@@ -1,38 +1,519 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes one entry per implemented operator family from
+SURVEY.md §2; ``oracle_sql()`` gives the DuckDB-equivalent SQL for the
+differential correctness gate. Column names and value representations are
+aligned on both sides (exact decimal aggregation cast to double; ratios as
+floor(x*1e6) fixed-point) so order-insensitive value hashes match bit-for-bit.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from aleph2_contrib_spark.functions.query import Q, apply_query
+from aleph2_contrib_spark.functions.update import U, apply_update, delete_by_spec
+from aleph2_contrib_spark.operators import dedup as ddp
+from aleph2_contrib_spark.operators import similarity as sim
+from aleph2_contrib_spark.operators import text as txt
+from aleph2_contrib_spark.plans.pipeline import EnrichmentModule, Pipeline, Stage
+from aleph2_contrib_spark.sources.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _dec(col: str, scale: int = 2) -> F.Column:
+    return F.col(col).cast(f"decimal(18,{scale})")
+
+
+# ---------------------------------------------------------------------------
+# SQL passthrough (SURVEY P10) — TPC-H-style analytics
+# ---------------------------------------------------------------------------
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy aggregate; decimal-exact sums cast to
+    double for engine-stable results."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = (_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    charge = (disc_price * (F.lit(1).cast("decimal(18,2)") + _dec("l_tax"))).cast("decimal(18,6)")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-01-01")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1998-01-01")
+    rev = (_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+def q5_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way join with broadcast dims (nation/region/supplier are tiny)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+    rev = (_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .filter(cust.c_nationkey == supp.s_nationkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.sum(_dec("l_extendedprice") * _dec("l_discount")).cast("double").alias("revenue"))
+    )
+
+
+def window_top_order_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+def rollup_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Query DSL (SURVEY §2.1 Q1-Q18)
+# ---------------------------------------------------------------------------
+
+
+def dsl_equals_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 equals + Q2 any_of + Q16 orderBy + Q15 limit + Q17 projection."""
+    spec = (
+        Q.all_of()
+        .when("o_orderstatus", "F")
+        .with_any_of("o_orderpriority", ["1-URGENT", "2-HIGH"])
+        .order_by(("o_orderkey", 1))
+        .limit(100)
+        .with_projection(include=["o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"])
+    )
+    return apply_query(_t(spark, sf_dir, "orders"), spec)
+
+
+def dsl_range_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5-Q8 range combinations on dates and numbers (+ Q11 repeated field)."""
+    import datetime as dt
+
+    spec = (
+        Q.all_of()
+        .range_closed_open("l_shipdate", dt.datetime(1997, 1, 1), dt.datetime(1997, 3, 1))
+        .range_open_closed("l_quantity", 10, 40)
+        .range_above("l_extendedprice", 1000.0, inclusive=False)
+        .with_projection(include=["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"])
+    )
+    return apply_query(_t(spark, sf_dir, "lineitem"), spec)
+
+
+def dsl_nested_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 nested boolean tree: (status='F' OR priority='1-URGENT') AND price range."""
+    spec = Q.all_of(
+        Q.any_of().when("o_orderstatus", "F").when("o_orderpriority", "1-URGENT"),
+        Q.all_of().range_closed_closed("o_totalprice", 1000.0, 50000.0),
+    )
+    from aleph2_contrib_spark.functions.query import compile_query
+
+    orders = _t(spark, sf_dir, "orders")
+    return orders.filter(compile_query(spec, orders.schema)).select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+    )
+
+
+def dsl_not_equals_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 not-equals (2nd-arg negation quirk) + Q4 exists."""
+    spec = (
+        Q.all_of()
+        .when_not("o_orderstatus", "O")
+        .with_present("o_orderdate")
+        .with_projection(include=["o_orderkey", "o_orderstatus"])
+    )
+    return apply_query(_t(spark, sf_dir, "orders"), spec)
+
+
+def dsl_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 top-k = orderBy + limit (TakeOrderedAndProject — no global sort)."""
+    spec = (
+        Q.all_of()
+        .order_by(("c_acctbal", -1), ("c_custkey", 1))
+        .limit(15)
+        .with_projection(include=["c_custkey", "c_name", "c_acctbal"])
+    )
+    return apply_query(_t(spark, sf_dir, "customer"), spec)
+
+
+def dsl_all_of_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 all_of on an array field (array ⊇ set semantics)."""
+    docs = _t(spark, sf_dir, "documents").withColumn("toks", F.split(F.col("text"), r"\s+"))
+    spec = Q.all_of().with_all_of("toks", ["table", "query", "join"])
+    return apply_query(docs, spec).select("doc_id", "lang")
+
+
+# ---------------------------------------------------------------------------
+# Update DSL (SURVEY §2.2 C6-C14)
+# ---------------------------------------------------------------------------
+
+
+def update_increment_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7 increment + C8 set applied by spec (read-modify-write semantics)."""
+    ev = _t(spark, sf_dir, "events")
+    spec = Q.all_of().when("event_type", "click").range_above("value", 50.0, inclusive=True)
+    upd = U.update().increment("value", 10.0).set("event_type", "click_boosted")
+    return apply_update(ev, spec, upd).select("event_id", "event_type", "value")
+
+
+def update_delete_by_spec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C14 deleteObjectsBySpec → remaining rows."""
+    ev = _t(spark, sf_dir, "events")
+    spec = Q.any_of().when("event_type", "error").range_below("value", 1.0, inclusive=False)
+    return delete_by_spec(ev, spec).select("event_id", "event_type", "value")
+
+
+# ---------------------------------------------------------------------------
+# Pipeline engine (SURVEY §2.4)
+# ---------------------------------------------------------------------------
+
+
+class _GroupStatsModule(EnrichmentModule):
+    """Per-group stats via the post-group module protocol (P5)."""
+
+    def on_stage_initialize(self, grouping_key=None):
+        self.key = grouping_key or {}
+
+    def on_object_batch(self, batch):
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                "event_type": [self.key.get("event_type")],
+                "n": [len(batch)],
+                "min_value": [batch["value"].min()],
+                "max_value": [batch["value"].max()],
+            }
+        )
+
+
+def pipeline_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3/P4/P5: group by key, per-key module via applyInPandas."""
+    ev = _t(spark, sf_dir, "events")
+    pipe = Pipeline(
+        [
+            Stage(
+                name="stats",
+                dependencies=("$inputs",),
+                module=_GroupStatsModule(),
+                grouping_fields=("event_type",),
+                output_schema="event_type string, n bigint, min_value double, max_value double",
+            )
+        ]
+    )
+    return pipe.run(spark, {"events": ev})["stats"]
+
+
+def pipeline_sql_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10 SQL stage over pipeline inputs + P2 chaining with a map stage."""
+    orders = _t(spark, sf_dir, "orders")
+    pipe = Pipeline(
+        [
+            Stage(
+                name="filtered",
+                dependencies=("$inputs",),
+                transform=lambda df: df.filter(F.col("o_orderstatus") == "F"),
+            ),
+            Stage(
+                name="agg",
+                dependencies=("filtered",),
+                sql=(
+                    "SELECT o_orderpriority, count(*) AS n, "
+                    "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total "
+                    "FROM filtered GROUP BY o_orderpriority"
+                ),
+            ),
+        ]
+    )
+    return pipe.run(spark, {"orders": orders})["agg"]
+
+
+# ---------------------------------------------------------------------------
+# Dedup / text / similarity (LLM-data-pipeline operators)
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup keeping first by (ts, event_id) per (user_id, event_type)."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "__ord", F.struct(F.col("ts"), F.col("event_id"))
+    )
+    out = ddp.exact_dedup(ev, ["user_id", "event_type"], order_col="__ord", keep="first")
+    return out.select("event_id", "user_id", "event_type", "value")
+
+
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + quality features (fixed-point ratios)."""
+    docs = _t(spark, sf_dir, "documents")
+    return txt.quality_features(docs, "text", "doc_id")
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", ddp.fingerprint(F.col("text")).alias("fp"))
+
+
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction from the props payload column."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object(F.col("props"), "$.k").cast("bigint").alias("k_val"),
+    )
+
+
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (fixed-point score for engine stability)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 1).select("embedding").head()[0]
+    out = sim.brute_force_topk(emb, qvec, k=10)
+    return out.select("vec_id", F.floor(F.col("score") * 1e6).cast("long").alias("score_f6"))
+
+
+# ---------------------------------------------------------------------------
+# Driver contract
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q1_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q5_revenue_by_nation": q5_revenue_by_nation,
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "window_top_order_per_cust": window_top_order_per_cust,
+        "rollup_order_counts": rollup_order_counts,
+        "dsl_equals_in": dsl_equals_in,
+        "dsl_range_dates": dsl_range_dates,
+        "dsl_nested_bool": dsl_nested_bool,
+        "dsl_not_equals_exists": dsl_not_equals_exists,
+        "dsl_topk": dsl_topk,
+        "dsl_all_of_array": dsl_all_of_array,
+        "update_increment_set": update_increment_set,
+        "update_delete_by_spec": update_delete_by_spec,
+        "pipeline_group_stats": pipeline_group_stats,
+        "pipeline_sql_stage": pipeline_sql_stage,
+        "dedup_exact_first": dedup_exact_first,
+        "text_token_stats": text_token_stats,
+        "text_fingerprint": text_fingerprint,
+        "events_json_extract": events_json_extract,
+        "similarity_topk": similarity_topk,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_DISC = "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
+_DISC4 = f"CAST({_DISC} AS DECIMAL(18,4))"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": f"""
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+                   CAST(sum({_DISC4}) AS DOUBLE) AS sum_disc_price,
+                   CAST(sum(CAST({_DISC4} * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2))) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q3_shipping_priority": f"""
+            SELECT l_orderkey, o_orderdate,
+                   CAST(sum({_DISC4}) AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+              AND l_shipdate > TIMESTAMP '1998-01-01'
+            GROUP BY l_orderkey, o_orderdate
+            ORDER BY revenue DESC, l_orderkey ASC
+            LIMIT 10
+        """,
+        "q5_revenue_by_nation": f"""
+            SELECT n_name, CAST(sum({_DISC4}) AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE c_nationkey = s_nationkey
+            GROUP BY n_name
+        """,
+        "q6_forecast_revenue": """
+            SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+        """,
+        "window_top_order_per_cust": """
+            SELECT o_custkey, o_orderkey, o_totalprice FROM (
+                SELECT o_custkey, o_orderkey, o_totalprice,
+                       row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+                FROM orders
+            ) WHERE rn = 1
+        """,
+        "rollup_order_counts": """
+            SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+            FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        """,
+        "dsl_equals_in": """
+            SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+            FROM orders
+            WHERE o_orderstatus = 'F' AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+            ORDER BY o_orderkey ASC LIMIT 100
+        """,
+        "dsl_range_dates": """
+            SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-03-01'
+              AND l_quantity > 10 AND l_quantity <= 40
+              AND l_extendedprice > 1000.0
+        """,
+        "dsl_nested_bool": """
+            SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
+            FROM orders
+            WHERE (o_orderstatus = 'F' OR o_orderpriority = '1-URGENT')
+              AND o_totalprice BETWEEN 1000.0 AND 50000.0
+        """,
+        "dsl_not_equals_exists": """
+            SELECT o_orderkey, o_orderstatus FROM orders
+            WHERE (o_orderstatus IS NULL OR o_orderstatus <> 'O') AND o_orderdate IS NOT NULL
+        """,
+        "dsl_topk": """
+            SELECT c_custkey, c_name, c_acctbal FROM customer
+            ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 15
+        """,
+        "dsl_all_of_array": r"""
+            SELECT doc_id, lang FROM documents
+            WHERE list_has_all(regexp_split_to_array(text, '\s+'), ['table', 'query', 'join'])
+        """,
+        "update_increment_set": """
+            SELECT event_id,
+                   CASE WHEN event_type = 'click' AND value >= 50.0 THEN 'click_boosted' ELSE event_type END AS event_type,
+                   CASE WHEN event_type = 'click' AND value >= 50.0 THEN value + 10.0 ELSE value END AS value
+            FROM events
+        """,
+        "update_delete_by_spec": """
+            SELECT event_id, event_type, value FROM events
+            WHERE NOT (event_type = 'error' OR value < 1.0)
+        """,
+        "pipeline_group_stats": """
+            SELECT event_type, count(*) AS n, min(value) AS min_value, max(value) AS max_value
+            FROM events GROUP BY event_type
+        """,
+        "pipeline_sql_stage": """
+            SELECT o_orderpriority, count(*) AS n,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+            FROM orders WHERE o_orderstatus = 'F' GROUP BY o_orderpriority
+        """,
+        "dedup_exact_first": """
+            SELECT event_id, user_id, event_type, value FROM (
+                SELECT event_id, user_id, event_type, value,
+                       row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts ASC, event_id ASC) AS rn
+                FROM events
+            ) WHERE rn = 1
+        """,
+        "text_token_stats": r"""
+            WITH toks AS (
+                SELECT doc_id, length(text) AS n_chars,
+                       regexp_split_to_array(trim(text), '\s+') AS t
+                FROM documents
+            )
+            SELECT doc_id, n_chars, len(t) AS n_tokens,
+                   CAST(floor(len(list_distinct(t)) / len(t) * 1000000.0) AS BIGINT) AS distinct_ratio_f6,
+                   CAST(floor(len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is','that','it','for'))) / len(t) * 1000000.0) AS BIGINT) AS stopword_ratio_f6,
+                   CAST(floor(list_aggregate(list_transform(t, x -> length(x)), 'sum') / len(t) * 1000000.0) AS BIGINT) AS mean_token_len_f6
+            FROM toks
+        """,
+        "text_fingerprint": r"""
+            SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+            FROM documents
+        """,
+        "events_json_extract": """
+            SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+            FROM events
+        """,
+        "similarity_topk": """
+            WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 1),
+            scored AS (
+                SELECT vec_id,
+                       list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT qv FROM q)) AS score
+                FROM embeddings
+            )
+            SELECT vec_id, CAST(floor(score * 1000000.0) AS BIGINT) AS score_f6
+            FROM scored ORDER BY score DESC, vec_id ASC LIMIT 10
+        """,
+    }

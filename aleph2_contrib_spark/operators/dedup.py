@@ -1,0 +1,239 @@
+"""Deduplication operators — exact and near-duplicate, designed for 100 TB.
+
+The reference's dedup support is declarative-only (deduplication_fields forced
+to exact representation, ElasticsearchIndexUtils.java:236-251, consumed by the
+graph merge path TitanGraphBuildingUtils.java:328-374). Here dedup is a
+first-class operator family, all pure DataFrame ops (JVM-side, codegen):
+
+- exact_dedup:      hash-groupBy on key columns; one shuffle on the key.
+- minhash_lsh:      shingle → minhash signature → banded LSH buckets →
+                    candidate pairs → exact Jaccard verify. Shuffles only on
+                    band buckets (candidates), never all-pairs.
+- simhash:          64-bit sign fingerprint over token hashes; near-dup =
+                    same band prefix + Hamming distance ≤ t.
+- ngram_jaccard:    exact n-gram Jaccard on candidate pairs (verification
+                    primitive, also usable standalone with a blocking key).
+
+Scale notes: all-pairs comparison is O(n²) and never materialized — LSH
+banding keeps the join keyed on (band_id, band_hash), so the shuffle volume
+is O(n · bands) and skew is bounded by bucket size. At 100 TB the signature
+computation is a narrow pass (no shuffle); only candidate generation
+shuffles. No Python UDFs anywhere in this module.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exact_dedup(
+    df: DataFrame,
+    keys: list[str],
+    order_col: str | None = None,
+    keep: str = "first",
+) -> DataFrame:
+    """Keep one row per key combination. With ``order_col``, keeps the
+    first/last by that order (deterministic); without, keeps an arbitrary
+    row (``dropDuplicates`` — cheapest, map-side partial aggregation).
+
+    One shuffle on the key columns. For 100 TB, pre-bucketing the table on
+    the dedup key makes this shuffle-free.
+    """
+    if order_col is None:
+        return df.dropDuplicates(keys)
+    direction = F.col(order_col).asc() if keep == "first" else F.col(order_col).desc()
+    w = Window.partitionBy(*keys).orderBy(direction)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def normalize_text(col: Column) -> Column:
+    """Canonical text form for fingerprinting: lowercase, collapse
+    whitespace, trim."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def fingerprint(col: Column) -> Column:
+    """Deterministic document fingerprint = md5 of normalized text.
+    (md5 rather than xxhash64 so external systems can reproduce it.)"""
+    return F.md5(normalize_text(col))
+
+
+def char_shingles(col: Column, k: int = 5) -> Column:
+    """All k-character shingles of the normalized text (array<string>).
+    Pure Catalyst: sequence + transform + substring, no Python."""
+    norm = normalize_text(col)
+    n = F.greatest(F.length(norm) - F.lit(k - 1), F.lit(1))
+    return F.transform(F.sequence(F.lit(1), n), lambda i: norm.substr(i, F.lit(k)))
+
+
+def token_shingles(col: Column, n: int = 3) -> Column:
+    """Word n-gram shingles (array<string>)."""
+    toks = F.split(normalize_text(col), " ")
+    cnt = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(0), cnt - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
+    """MinHash signature (array<bigint> of length num_hashes) — for seed i,
+    min over shingles of xxhash64(shingle, i). xxhash64 is JVM-side and
+    vectorized; the whole signature is one narrow projection."""
+    sigs = [
+        F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, F.lit(i))))
+        for i in range(num_hashes)
+    ]
+    return F.array(*sigs)
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard similarity of two array columns (treated as sets)."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(union == 0, F.lit(1.0)).otherwise(inter / union)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b, jaccard ≥ threshold).
+
+    Plan shape (the part that matters at 100 TB):
+      1. narrow pass: shingles + minhash signature per doc (no shuffle)
+      2. explode to (band_id, band_hash) — bands·n rows
+      3. self-join on (band_id, band_hash) = the ONLY shuffle, keyed on
+         bucket; AQE splits skewed buckets
+      4. distinct candidate pairs, then exact Jaccard verify on shingle sets
+    """
+    rows_per_band = num_hashes // bands
+    base = df.select(
+        F.col(id_col).alias("id"),
+        char_shingles(F.col(text_col), shingle_k).alias("shingles"),
+    ).withColumn("sig", minhash_signature(F.col("shingles"), num_hashes))
+
+    banded = base.select(
+        "id",
+        "shingles",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                            lambda x: x.cast("string"),
+                        ),
+                    )
+                ),
+            )
+        ).alias("band_id", "band_hash"),
+    )
+
+    left = banded.select(
+        F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"), "band_id", "band_hash"
+    )
+    right = banded.select(
+        F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"), "band_id", "band_hash"
+    )
+    cand = (
+        left.join(right, ["band_id", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    **lsh_kwargs,
+) -> DataFrame:
+    """Drop near-duplicates, keeping the lowest id of each connected pair
+    (greedy: a doc is dropped if it pairs with any lower-id doc — one-pass
+    approximation of connected components, standard for corpus dedup)."""
+    pairs = minhash_lsh_pairs(df, id_col, text_col, **lsh_kwargs)
+    to_drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(to_drop, on=id_col, how="left_anti")
+
+
+def simhash(col: Column, num_bits: int = 64) -> Column:
+    """SimHash fingerprint: per token, xxhash64 supplies num_bits bits; each
+    bit votes +1/−1; fingerprint bit = sign of the vote sum. Expressed as
+    pure aggregate expressions over the token array (no Python, no shuffle).
+    """
+    toks = F.split(normalize_text(col), " ")
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    bits = []
+    for b in range(num_bits):
+        # vote_b = sum over tokens of (bit_b(h) ? 1 : -1)
+        vote = F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(h.bitwiseAND(F.lit(1 << b if b < 63 else -(2**63))) != 0, 1).otherwise(-1),
+        )
+        bits.append(F.when(vote > 0, F.lit(1)).otherwise(F.lit(0)).cast("long") * F.lit(1 << b if b < 63 else -(2**63)))
+    return reduce(lambda a, c: a.bitwiseOR(c), bits)
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band the 64-bit fingerprint into
+    ``bands`` chunks (pigeonhole: distance ≤ bands−1 guarantees one exact
+    band match), join on matching band, verify Hamming distance."""
+    bits_per = 64 // bands
+    base = df.select(F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("sh"))
+    banded = base.select(
+        "id",
+        "sh",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("sh"), i * bits_per).bitwiseAND(
+                        F.lit((1 << bits_per) - 1)
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("band_id", "band_val"),
+    )
+    left = banded.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), "band_id", "band_val")
+    right = banded.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), "band_id", "band_val")
+    return (
+        left.join(right, ["band_id", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", hamming64(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

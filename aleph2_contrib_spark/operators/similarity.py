@@ -1,0 +1,130 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k — a narrow pass (score per row, no
+shuffle) followed by a top-k sort that Spark executes as per-partition
+top-k + driver merge (TakeOrderedAndProject), so it scales to billions of
+rows without a global sort.
+
+Scale path: LSH bucketing via random signed hyperplanes — assignment is a
+narrow pass; search touches only the probe's bucket (and neighbors for
+multi-probe). Bucket assignment uses a deterministic seed so results are
+reproducible.
+
+All dot products are Catalyst ``aggregate``/``zip_with`` expressions —
+JVM-side, no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k against one query vector. Returns
+    (id, score) ordered desc with id tiebreak (deterministic)."""
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    scored = df.select(
+        F.col(id_col),
+        cosine(F.col(vec_col), q).alias("score"),
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Signed-hyperplane bucket id (int): bit b = sign(vec · plane_b)."""
+    bits = []
+    for b, plane in enumerate(planes):
+        p = F.array(*[F.lit(v) for v in plane])
+        bits.append(F.when(dot(vec, p) >= 0, F.lit(1 << b)).otherwise(F.lit(0)))
+    out = bits[0]
+    for c in bits[1:]:
+        out = out + c
+    return out
+
+
+def lsh_topk(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: score only the rows in the query's LSH bucket.
+    At scale the table is written partitioned by bucket id, so this prunes
+    to ~n/2^planes of the data before any scoring."""
+    dim = len(query_vec)
+    planes = _hyperplanes(dim, n_planes, seed)
+    qbucket = 0
+    for b, plane in enumerate(planes):
+        if sum(float(x) * float(y) for x, y in zip(query_vec, plane)) >= 0:
+            qbucket |= 1 << b
+    bucketed = df.withColumn("__bucket", lsh_bucket(F.col(vec_col), planes))
+    cand = bucketed.filter(F.col("__bucket") == F.lit(qbucket))
+    return brute_force_topk(cand, query_vec, k, id_col, vec_col)
+
+
+def all_pairs_above(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-duplicate pairs (cosine ≥ threshold) via LSH blocking:
+    join only within buckets instead of the full cross product."""
+    first = df.select(F.col(vec_col)).head()
+    if first is None:
+        return df.sparkSession.createDataFrame([], f"id_a long, id_b long, score double")
+    dim = len(first[0])
+    planes = _hyperplanes(dim, n_planes, seed)
+    bucketed = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    a = bucketed.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "bucket")
+    b = bucketed.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "bucket")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("score", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("score") >= threshold)
+        .select("id_a", "id_b", "score")
+    )

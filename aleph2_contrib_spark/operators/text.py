@@ -1,0 +1,94 @@
+"""Text-analysis operators for training-data pipelines.
+
+All hot-path functions are pure Catalyst Column expressions (JVM-side,
+codegen, no Python) so they run as a narrow pass over 100 TB of documents
+with zero shuffle. Ratios are exposed both raw and as ``floor(x·10⁶)``
+fixed-point (``*_f6``) so results are bit-stable across engines for
+differential testing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny deterministic per-language stopword sets for the n-gram/stopword
+# language-ID heuristic. (Real deployments plug in fastText etc. via a
+# pandas UDF; the heuristic keeps the plumbing testable and oracle-able.)
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "pour", "dans", "que"),
+    "es": ("el", "la", "los", "y", "es", "un", "una", "por", "para", "con"),
+}
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization of trimmed text (array<string>)."""
+    return F.split(F.trim(col), r"\s+")
+
+
+def token_count(col: Column) -> Column:
+    return F.when(F.trim(col) == "", F.lit(0)).otherwise(F.size(tokens(col)))
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """Approximate subword token count: words + punctuation runs counted
+    separately (a regex stand-in for BPE segmentation; deterministic)."""
+    pieces = F.split(F.trim(col), r"(?=[^\w\s])|(?<=[^\w\s])|\s+")
+    return F.size(F.filter(pieces, lambda p: p != ""))
+
+
+def _f6(x: Column) -> Column:
+    """Fixed-point f6: floor(x * 1e6) as bigint — bit-stable across engines."""
+    return F.floor(x * F.lit(1000000.0)).cast("long")
+
+
+def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document quality scoring features: length, token stats,
+    distinct-token ratio, stopword ratio, mean token length."""
+    t = tokens(F.col(text_col))
+    n_tok = F.size(t)
+    stop = F.array(*[F.lit(s) for s in LANG_STOPWORDS["en"]])
+    return df.select(
+        F.col(id_col),
+        F.length(F.col(text_col)).alias("n_chars"),
+        n_tok.alias("n_tokens"),
+        _f6(F.size(F.array_distinct(t)) / n_tok).alias("distinct_ratio_f6"),
+        _f6(F.size(F.filter(t, lambda x: F.array_contains(stop, x))) / n_tok).alias(
+            "stopword_ratio_f6"
+        ),
+        _f6(
+            F.aggregate(t, F.lit(0), lambda acc, x: acc + F.length(x)) / n_tok
+        ).alias("mean_token_len_f6"),
+    )
+
+
+def lang_id(col: Column) -> Column:
+    """Heuristic language ID: argmax over per-language stopword hit counts,
+    ties broken by language code order; 'und' when no hits."""
+    t = tokens(F.lower(col))
+    scores = []
+    for lang, words in sorted(LANG_STOPWORDS.items()):
+        arr = F.array(*[F.lit(w) for w in words])
+        scores.append(
+            F.struct(
+                F.size(F.filter(t, lambda x: F.array_contains(arr, x))).alias("score"),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    # array_max on struct orders by (score, lang); invert lang for asc tiebreak
+    best = F.reverse(F.array_sort(F.array(*scores)))[0]
+    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def rolling_hash_fingerprints(col: Column, window: int = 8) -> Column:
+    """Winnowing-style document fingerprints: xxhash64 of each
+    ``window``-token shingle, keep the per-document minimum k (here the
+    global min — callers can take bottom-k via array_sort + slice)."""
+    t = tokens(F.lower(col))
+    n = F.greatest(F.size(t) - F.lit(window - 1), F.lit(1))
+    shingles = F.transform(
+        F.sequence(F.lit(0), n - 1), lambda i: F.concat_ws(" ", F.slice(t, i + 1, window))
+    )
+    return F.transform(shingles, lambda s: F.xxhash64(s))

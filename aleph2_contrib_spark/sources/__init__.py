@@ -1,0 +1,1 @@
+from aleph2_contrib_spark.sources.tables import TABLE_NAMES, load_table, load_tables, register_views  # noqa: F401

@@ -1,0 +1,81 @@
+"""Dedup operator tests: exact, MinHash-LSH, SimHash — verified against
+brute-force similarity on small corpora with injected near-duplicates."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from aleph2_contrib_spark.operators import dedup as ddp
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2, "the quick brown fox jumps over the lazy dog near the river bank tonight"),  # near-dup of 1
+    (3, "completely different text about spark sql query optimization and shuffles"),
+    (4, "completely different text about spark sql query optimization and shuffle"),  # near-dup of 3
+    (5, "unrelated document mentioning databases indexes and storage engines"),
+    (6, "the quick brown fox jumps over the lazy dog near the river bank today"),  # exact dup of 1
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame([Row(doc_id=i, text=t) for i, t in DOCS])
+
+
+def test_exact_dedup_arbitrary(spark, docs):
+    out = ddp.exact_dedup(docs.withColumn("fp", ddp.fingerprint(F.col("text"))), ["fp"])
+    assert out.count() == 5
+
+
+def test_exact_dedup_keep_first(spark, docs):
+    withfp = docs.withColumn("fp", ddp.fingerprint(F.col("text")))
+    out = ddp.exact_dedup(withfp, ["fp"], order_col="doc_id", keep="first")
+    kept = sorted(r["doc_id"] for r in out.collect())
+    assert kept == [1, 2, 3, 4, 5]  # 6 dropped (dup of 1, higher id)
+
+
+def test_minhash_pairs_find_near_dups(spark, docs):
+    pairs = ddp.minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=64, bands=16, threshold=0.5)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got and (3, 4) in got and (1, 6) in got and (2, 6) in got
+    assert not any({a, b} & {5} for a, b in got)
+
+
+def test_minhash_jaccard_exactness(spark, docs):
+    """The jaccard column must equal brute-force shingle jaccard."""
+    pairs = ddp.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.0).collect()
+    sh = {
+        r["doc_id"]: set(r["sh"])
+        for r in docs.select("doc_id", ddp.char_shingles(F.col("text"), 5).alias("sh")).collect()
+    }
+    for r in pairs:
+        a, b = sh[r["id_a"]], sh[r["id_b"]]
+        expect = len(a & b) / len(a | b)
+        assert abs(r["jaccard"] - expect) < 1e-9
+
+
+def test_minhash_dedup_drops_higher_ids(spark, docs):
+    out = ddp.minhash_dedup(docs, "doc_id", "text", threshold=0.5)
+    kept = sorted(r["doc_id"] for r in out.collect())
+    assert kept == [1, 3, 5]
+
+
+def test_simhash_near_dups(spark, docs):
+    pairs = ddp.simhash_pairs(docs, "doc_id", "text", max_hamming=6)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 6) in got  # exact dup → hamming 0
+    assert (1, 2) in got and (3, 4) in got
+
+
+def test_simhash_exact_dup_zero_distance(spark, docs):
+    sh = {r["doc_id"]: r["s"] for r in docs.select("doc_id", ddp.simhash(F.col("text")).alias("s")).collect()}
+    assert sh[1] == sh[6]
+    assert sh[1] != sh[5]
+
+
+def test_token_shingles(spark, docs):
+    row = docs.filter(F.col("doc_id") == 5).select(
+        ddp.token_shingles(F.col("text"), 3).alias("sh")
+    ).head()
+    assert row["sh"][0] == "unrelated document mentioning"
+    assert len(row["sh"]) == 8 - 3 + 1

@@ -1,0 +1,90 @@
+"""Text analysis + similarity search operator tests."""
+
+import math
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from aleph2_contrib_spark.operators import similarity as sim
+from aleph2_contrib_spark.operators import text as txt
+
+
+def test_token_count(spark):
+    df = spark.createDataFrame([Row(t="a b  c"), Row(t="  x "), Row(t="")])
+    out = [r["n"] for r in df.select(txt.token_count(F.col("t")).alias("n")).collect()]
+    assert out == [3, 1, 0]
+
+
+def test_bpe_ish_token_count(spark):
+    df = spark.createDataFrame([Row(t="hello, world!"), Row(t="a.b")])
+    out = [r["n"] for r in df.select(txt.bpe_ish_token_count(F.col("t")).alias("n")).collect()]
+    assert out == [4, 3]  # hello , world !  |  a . b
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        [
+            Row(t="the cat sat of the mat and it is a hat"),
+            Row(t="der hund ist nicht mit der katze und das haus"),
+            Row(t="le chat est dans la maison et il est pour les"),
+            Row(t="xyzzy qwerty plugh"),
+        ]
+    )
+    out = [r["l"] for r in df.select(txt.lang_id(F.col("t")).alias("l")).collect()]
+    assert out == ["en", "de", "fr", "und"]
+
+
+def test_quality_features(spark):
+    df = spark.createDataFrame([Row(doc_id=1, text="the the cat")])
+    r = txt.quality_features(df).head()
+    assert r["n_tokens"] == 3 and r["n_chars"] == 11
+    assert r["distinct_ratio_f6"] == math.floor(2 / 3 * 1e6)
+    assert r["stopword_ratio_f6"] == math.floor(2 / 3 * 1e6)
+
+
+def test_rolling_hash_fingerprints(spark):
+    df = spark.createDataFrame([Row(t="one two three four five six seven eight nine ten")])
+    fps = df.select(txt.rolling_hash_fingerprints(F.col("t"), window=8).alias("f")).head()["f"]
+    assert len(fps) == 3  # 10 tokens, window 8 → 3 shingles
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rows = [
+        Row(vec_id=1, embedding=[1.0, 0.0, 0.0]),
+        Row(vec_id=2, embedding=[0.9, 0.1, 0.0]),
+        Row(vec_id=3, embedding=[0.0, 1.0, 0.0]),
+        Row(vec_id=4, embedding=[0.0, 0.0, 1.0]),
+        Row(vec_id=5, embedding=[-1.0, 0.0, 0.0]),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_brute_force_topk(spark, emb):
+    out = sim.brute_force_topk(emb, [1.0, 0.0, 0.0], k=3).collect()
+    assert [r["vec_id"] for r in out] == [1, 2, 3]
+    assert abs(out[0]["score"] - 1.0) < 1e-12
+    expect2 = 0.9 / math.sqrt(0.81 + 0.01)
+    assert abs(out[1]["score"] - expect2) < 1e-12
+
+
+def test_cosine_expression(spark, emb):
+    r = emb.filter(F.col("vec_id") == 5).select(
+        sim.cosine(F.col("embedding"), F.array(F.lit(1.0), F.lit(0.0), F.lit(0.0))).alias("c")
+    ).head()
+    assert abs(r["c"] - (-1.0)) < 1e-12
+
+
+def test_lsh_topk_matches_brute_force_for_close_vectors(spark, emb):
+    # query identical to vec 1: bucket contains vec 1 (same signs), result top-1 correct
+    out = sim.lsh_topk(emb, [1.0, 0.0, 0.0], k=2, n_planes=4)
+    rows = out.collect()
+    assert rows[0]["vec_id"] == 1
+
+
+def test_all_pairs_above(spark, emb):
+    pairs = sim.all_pairs_above(emb, threshold=0.95, n_planes=2)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got
+    assert all(not ({a, b} == {1, 5}) for a, b in got)
