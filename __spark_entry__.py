@@ -334,6 +334,185 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Joins / set ops / windows / stats (SQL-passthrough breadth, SURVEY P10)
+# ---------------------------------------------------------------------------
+
+
+def join_anti_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS): customers with no orders."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+def join_semi_parts_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): parts that appear in some lineitem."""
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    return part.join(li, part.p_partkey == li.l_partkey, "left_semi").select(
+        "p_partkey", "p_name"
+    )
+
+
+def setop_click_not_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT: users who clicked but never purchased."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    return clicks.subtract(buys)
+
+
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running decimal-exact total per customer ordered by date."""
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(_dec("o_totalprice")).over(w).cast("double").alias("running_total"),
+    )
+
+
+def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-user counts by event type as columns."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .count()
+        .na.fill(0)
+    )
+
+
+def stats_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (fixed-point)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.floor(F.expr("percentile(value, 0.5)") * 1e6).cast("long").alias("p50_f6"),
+        F.floor(F.expr("percentile(value, 0.9)") * 1e6).cast("long").alias("p90_f6"),
+    )
+
+
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: per user, a >30min gap starts a new session; returns
+    session counts per user. Lag + cumulative-sum windows (all JVM-side)."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gap = (F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)) > 1800
+    sessions = ev.withColumn("new_session", F.when(gap, 1).otherwise(0))
+    return sessions.groupBy("user_id").agg(
+        (F.sum("new_session") + 1).alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Graph operators (SURVEY §2.5)
+# ---------------------------------------------------------------------------
+
+
+def graph_vertices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2: decompose events into a user→action property graph; vertices."""
+    from aleph2_contrib_spark.operators.graph import DecompElement, decompose
+
+    ev = _t(spark, sf_dir, "events")
+    v, _ = decompose(
+        ev,
+        [DecompElement(from_fields=["user_id"], to_fields=["event_type"], edge_name="did",
+                       from_type="user", to_type="action")],
+    )
+    return v.select(F.col("key.name").alias("name"), F.col("key.type").alias("type"), "label")
+
+
+def graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2+G6: decomposed edges deduped per (inV, outV, label)."""
+    from aleph2_contrib_spark.operators.graph import DecompElement, build_graph
+
+    ev = _t(spark, sf_dir, "events")
+    _, e = build_graph(
+        ev,
+        [DecompElement(from_fields=["user_id"], to_fields=["event_type"], edge_name="did",
+                       from_type="user", to_type="action")],
+    )
+    return e.select(
+        "label", F.col("outV.name").alias("src"), F.col("inV.name").alias("dst")
+    )
+
+
+# ---------------------------------------------------------------------------
+# More text / dedup / similarity
+# ---------------------------------------------------------------------------
+
+
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", txt.lang_id(F.col("text")).alias("lang_pred"))
+
+
+def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard pairs within (lang, size-bucket) blocking.
+    Int/int division → bit-identical doubles across engines."""
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.col("lang"),
+        (F.col("n_chars") / F.lit(500)).cast("long").alias("size_bucket"),
+        F.array_distinct(F.split(F.col("text"), r"\s+")).alias("toks"),
+    )
+    a = t.select(F.col("doc_id").alias("id_a"), "lang", "size_bucket", F.col("toks").alias("ta"))
+    b = t.select(F.col("doc_id").alias("id_b"), "lang", "size_bucket", F.col("toks").alias("tb"))
+    inter = F.size(F.array_intersect(F.col("ta"), F.col("tb")))
+    union = F.size(F.array_union(F.col("ta"), F.col("tb")))
+    return (
+        a.join(b, ["lang", "size_bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("j_f6", F.floor(inter / union * 1e6).cast("long"))
+        .filter(F.col("j_f6") >= 600000)
+        .select("id_a", "id_b", "j_f6")
+    )
+
+
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidate pairs (no SQL oracle — verified
+    against exact jaccard in tests/test_dedup.py)."""
+    docs = _t(spark, sf_dir, "documents")
+    return ddp.minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=64, bands=16, threshold=0.5,
+        shingle_mode="token", verify="estimate",
+    )
+
+
+def dedup_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash 64-bit fingerprints (no SQL oracle — xxhash64-based)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", ddp.simhash(F.col("text")).alias("simhash"))
+
+
+def similarity_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via LSH bucketing (approximate — rows-only)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.all_pairs_above(emb, threshold=0.3, n_planes=4)
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing over real binary payloads (deterministic fake
+    decoder; no SQL oracle — sha256-derived features)."""
+    from aleph2_contrib_spark.operators import multimodal as mm
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("__source_file"),
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+    )
+    return mm.extract_media_features(docs, decoder=mm.fake_decoder)
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 
@@ -366,6 +545,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": text_fingerprint,
         "events_json_extract": events_json_extract,
         "similarity_topk": similarity_topk,
+        "join_anti_customers_no_orders": join_anti_customers_no_orders,
+        "join_semi_parts_ordered": join_semi_parts_ordered,
+        "setop_click_not_purchase": setop_click_not_purchase,
+        "window_running_total": window_running_total,
+        "pivot_event_counts": pivot_event_counts,
+        "stats_percentiles": stats_percentiles,
+        "events_sessionize": events_sessionize,
+        "graph_vertices": graph_vertices,
+        "graph_edges": graph_edges,
+        "text_lang_id": text_lang_id,
+        "dedup_ngram_jaccard_pairs": dedup_ngram_jaccard_pairs,
+        "dedup_minhash_pairs": dedup_minhash_pairs,
+        "dedup_simhash_fingerprints": dedup_simhash_fingerprints,
+        "similarity_pairs_lsh": similarity_pairs_lsh,
+        "multimodal_features": multimodal_features,
     }
 
 
@@ -505,6 +699,96 @@ def oracle_sql() -> dict[str, str]:
         "events_json_extract": """
             SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
             FROM events
+        """,
+        "join_anti_customers_no_orders": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        """,
+        "join_semi_parts_ordered": """
+            SELECT p_partkey, p_name FROM part
+            WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+        """,
+        "setop_click_not_purchase": """
+            SELECT user_id FROM events WHERE event_type = 'click'
+            EXCEPT
+            SELECT user_id FROM events WHERE event_type = 'purchase'
+        """,
+        "window_running_total": """
+            SELECT o_custkey, o_orderkey,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                        PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+                        ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total
+            FROM orders
+        """,
+        "pivot_event_counts": """
+            SELECT user_id,
+                   count(*) FILTER (WHERE event_type = 'click') AS click,
+                   count(*) FILTER (WHERE event_type = 'view') AS view,
+                   count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+                   count(*) FILTER (WHERE event_type = 'signup') AS signup,
+                   count(*) FILTER (WHERE event_type = 'error') AS error
+            FROM events GROUP BY user_id
+        """,
+        "stats_percentiles": """
+            SELECT event_type,
+                   CAST(floor(quantile_cont(value, 0.5) * 1000000.0) AS BIGINT) AS p50_f6,
+                   CAST(floor(quantile_cont(value, 0.9) * 1000000.0) AS BIGINT) AS p90_f6
+            FROM events GROUP BY event_type
+        """,
+        "events_sessionize": """
+            WITH g AS (
+                SELECT user_id,
+                       CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                                 - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+                                     PARTITION BY user_id ORDER BY ts ASC, event_id ASC) > 1800
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+            )
+            SELECT user_id, CAST(sum(new_session) + 1 AS BIGINT) AS n_sessions,
+                   count(*) AS n_events
+            FROM g GROUP BY user_id
+        """,
+        "graph_vertices": """
+            SELECT DISTINCT CAST(user_id AS VARCHAR) AS name, 'user' AS type, 'user' AS label FROM events
+            UNION
+            SELECT DISTINCT event_type AS name, 'action' AS type, 'action' AS label FROM events
+        """,
+        "graph_edges": """
+            SELECT DISTINCT 'did' AS label, CAST(user_id AS VARCHAR) AS src, event_type AS dst
+            FROM events
+        """,
+        "text_lang_id": r"""
+            WITH s AS (
+                SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
+            ), sc AS (
+                SELECT doc_id,
+                       len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is','that','it','for'))) AS s_en,
+                       len(list_filter(t, x -> x IN ('der','die','das','und','ist','nicht','ein','mit','von','zu'))) AS s_de,
+                       len(list_filter(t, x -> x IN ('le','la','les','et','est','un','une','pour','dans','que'))) AS s_fr,
+                       len(list_filter(t, x -> x IN ('el','la','los','y','es','un','una','por','para','con'))) AS s_es
+                FROM s
+            )
+            SELECT doc_id,
+                   CASE WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de AND s_fr > 0 THEN 'fr'
+                        WHEN s_es >= s_en AND s_es >= s_de AND s_es > 0 THEN 'es'
+                        WHEN s_en >= s_de AND s_en > 0 THEN 'en'
+                        WHEN s_de > 0 THEN 'de'
+                        ELSE 'und' END AS lang_pred
+            FROM sc
+        """,
+        "dedup_ngram_jaccard_pairs": r"""
+            WITH t AS (
+                SELECT doc_id, lang, CAST(floor(n_chars / 500.0) AS BIGINT) AS size_bucket,
+                       list_distinct(regexp_split_to_array(text, '\s+')) AS toks
+                FROM documents
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(floor(len(list_intersect(a.toks, b.toks))
+                        / len(list_distinct(list_concat(a.toks, b.toks))) * 1000000.0) AS BIGINT) AS j_f6
+            FROM t a JOIN t b
+              ON a.lang = b.lang AND a.size_bucket = b.size_bucket AND a.doc_id < b.doc_id
+            WHERE floor(len(list_intersect(a.toks, b.toks))
+                  / len(list_distinct(list_concat(a.toks, b.toks))) * 1000000.0) >= 600000
         """,
         "similarity_topk": """
             WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 1),

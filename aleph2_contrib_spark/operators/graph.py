@@ -1,0 +1,151 @@
+"""Graph build/merge operators — vertices/edges DataFrames à la GraphFrames.
+
+The reference decomposes records into a property graph and merges it into
+Titan with per-key dedup (reference SimpleGraphDecompService.java:77-130,
+TitanGraphBuildingUtils.java:139-460, SimpleGraphMergeService.java:61-99).
+Spark-native shape:
+
+- decompose:   per record, per configured (from_field, to_field, edge_name)
+               emit 2 vertices + 1 edge — a select/explode projection (G2).
+- merge_vertices: groupBy vertex key, winner = user merge module or
+               built-in first-wins (G5); existing-graph lookup is a keyed
+               join, not a multi-term scan (G4).
+- resolve_edges: rewrite edge endpoints to winning vertex ids and dedupe
+               per (inV, outV, label), keeping self-loops (G6).
+
+Scale: everything is keyed joins/groupBys on the vertex key — one shuffle
+each, broadcast when the new-batch side is small. Per-bucket visibility is
+a row-level ``bucket_path`` filter (G7).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class DecompElement:
+    """One decomposition rule (reference SimpleDecompConfigBean)."""
+
+    from_fields: Sequence[str]
+    to_fields: Sequence[str]
+    edge_name: str
+    from_type: str = "node"
+    to_type: str = "node"
+
+
+def decompose(
+    df: DataFrame,
+    elements: Sequence[DecompElement],
+    bucket_path: str = "/",
+) -> tuple[DataFrame, DataFrame]:
+    """G2: records → (vertices, edges).
+
+    vertices(key struct<name,type>, label, bucket_path)
+    edges(label, inV struct<name,type>, outV struct<name,type>)
+
+    Vertices are deduped within the batch (the reference dedupes in-batch
+    during onObjectBatch); null endpoints are dropped.
+    """
+    v_parts: list[DataFrame] = []
+    e_parts: list[DataFrame] = []
+    for el in elements:
+        for ff in el.from_fields:
+            for tf in el.to_fields:
+                src = F.struct(
+                    F.col(ff).cast("string").alias("name"), F.lit(el.from_type).alias("type")
+                )
+                dst = F.struct(
+                    F.col(tf).cast("string").alias("name"), F.lit(el.to_type).alias("type")
+                )
+                base = df.filter(F.col(ff).isNotNull() & F.col(tf).isNotNull())
+                v_parts.append(
+                    base.select(src.alias("key"), F.lit(el.from_type).alias("label"))
+                )
+                v_parts.append(base.select(dst.alias("key"), F.lit(el.to_type).alias("label")))
+                e_parts.append(
+                    base.select(
+                        F.lit(el.edge_name).alias("label"),
+                        dst.alias("inV"),
+                        src.alias("outV"),
+                    )
+                )
+    vertices = v_parts[0]
+    for p in v_parts[1:]:
+        vertices = vertices.unionByName(p)
+    edges = e_parts[0]
+    for p in e_parts[1:]:
+        edges = edges.unionByName(p)
+    vertices = vertices.dropDuplicates(["key"]).withColumn("bucket_path", F.lit(bucket_path))
+    return vertices, edges
+
+
+def merge_vertices(
+    existing: DataFrame | None,
+    new: DataFrame,
+    first_wins_order: str | None = None,
+) -> DataFrame:
+    """G4+G5: merge new vertices into the existing vertex table by key.
+
+    Built-in merge policy = first-wins (reference SimpleGraphMergeService:
+    the first element in (existing ++ new) order wins). Existing rows take
+    priority; among new duplicates, ``first_wins_order`` column breaks ties
+    (or arbitrary). One shuffle on the key.
+    """
+    if existing is None:
+        return new.dropDuplicates(["key"])
+    prioritized = existing.withColumn("__prio", F.lit(0)).unionByName(
+        new.withColumn("__prio", F.lit(1)), allowMissingColumns=True
+    )
+    order = [F.col("__prio").asc()]
+    if first_wins_order is not None:
+        order.append(F.col(first_wins_order).asc())
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("key").orderBy(*order)
+    return (
+        prioritized.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__prio")
+    )
+
+
+def resolve_edges(edges: DataFrame, winners: DataFrame) -> DataFrame:
+    """G6: rewrite inV/outV to the winning vertex keys and dedupe edges per
+    (inV, outV, label). Two keyed joins against the winner set (broadcast
+    when small); self-loops (inV == outV) are preserved.
+
+    Edges whose endpoints have no winning vertex are dropped (the reference
+    filters candidates to known vertices, finalEdgeGrouping:426+).
+    """
+    wk = winners.select(F.col("key").alias("__wk"))
+    out = (
+        edges.join(F.broadcast(wk), edges["inV"] == F.col("__wk"), "left_semi")
+        .join(F.broadcast(wk.withColumnRenamed("__wk", "__wk2")), edges["outV"] == F.col("__wk2"), "left_semi")
+        .dropDuplicates(["inV", "outV", "label"])
+    )
+    return out
+
+
+def build_graph(
+    records: DataFrame,
+    elements: Sequence[DecompElement],
+    existing_vertices: DataFrame | None = None,
+    existing_edges: DataFrame | None = None,
+    bucket_path: str = "/",
+) -> tuple[DataFrame, DataFrame]:
+    """End-to-end G2→G6: decompose records, merge vertices against the
+    existing graph, resolve + merge edges. Idempotent on re-run."""
+    new_v, new_e = decompose(records, elements, bucket_path)
+    winners = merge_vertices(existing_vertices, new_v)
+    all_edges = (
+        new_e
+        if existing_edges is None
+        else existing_edges.unionByName(new_e, allowMissingColumns=True)
+    )
+    edges = resolve_edges(all_edges, winners)
+    return winners, edges

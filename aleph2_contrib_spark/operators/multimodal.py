@@ -1,0 +1,137 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+Design: media payloads are ``binary`` columns with a metadata struct
+(mime, width/height/duration, codec). Decode / feature-extract / resize /
+frame-sample run as Arrow-batched pandas passes over ``mapInPandas`` —
+per-batch Python, zero shuffle, scales linearly with executors.
+
+The actual codec work (PIL/ffmpeg/torchaudio) is NOT available in this
+container, so the decode kernels are deliberately stubbed: the default
+``decoder`` raises NotImplementedError, and tests inject a deterministic
+fake decoder. The Spark-side plumbing — schema, batch iteration, partition
+behavior, UDF signatures — is real and tested; swapping in a real decoder
+is a one-argument change.
+
+At 100 TB: binary payloads dominate row size, so batch sizes are controlled
+by bytes not rows — set spark.sql.execution.arrow.maxRecordsPerBatch low
+(or pre-split with maxPartitionBytes) to bound executor memory; metadata-
+only queries never touch the binary column (parquet column pruning).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Callable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_META_SCHEMA = (
+    "mime string, width int, height int, n_frames int, duration_s double, codec string"
+)
+
+
+def _default_decoder(payload: bytes) -> dict:
+    raise NotImplementedError(
+        "media decoding requires PIL/ffmpeg — inject a decoder callable"
+    )
+
+
+def fake_decoder(payload: bytes) -> dict:
+    """Deterministic stand-in decoder for tests: derives pseudo-metadata and
+    a 16-dim feature vector from the payload hash."""
+    h = hashlib.sha256(payload).digest()
+    return {
+        "mime": "image/fake",
+        "width": 16 + h[0],
+        "height": 16 + h[1],
+        "n_frames": 1,
+        "duration_s": 0.0,
+        "codec": "fake",
+        "features": [b / 255.0 for b in h[:16]],
+    }
+
+
+def extract_media_metadata(
+    df: DataFrame,
+    binary_col: str = "content",
+    id_col: str = "__source_file",
+    decoder: Callable[[bytes], dict] = _default_decoder,
+) -> DataFrame:
+    """Decode each payload and emit (id, metadata struct columns). The
+    binary column is dropped from the output — downstream metadata queries
+    stay columnar and never reload payload bytes."""
+    schema = f"`{id_col}` string, {MEDIA_META_SCHEMA}"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for _, r in b.iterrows():
+                meta = decoder(bytes(r[binary_col]))
+                rows.append(
+                    {
+                        id_col: r[id_col],
+                        "mime": meta["mime"],
+                        "width": meta.get("width"),
+                        "height": meta.get("height"),
+                        "n_frames": meta.get("n_frames"),
+                        "duration_s": meta.get("duration_s"),
+                        "codec": meta.get("codec"),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, binary_col).mapInPandas(run, schema=schema)
+
+
+def extract_media_features(
+    df: DataFrame,
+    binary_col: str = "content",
+    id_col: str = "__source_file",
+    decoder: Callable[[bytes], dict] = _default_decoder,
+    dim: int = 16,
+) -> DataFrame:
+    """Decode + featurize each payload → (id, embedding array<double>).
+    Output feeds directly into operators.similarity."""
+    schema = f"`{id_col}` string, embedding array<double>"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for _, r in b.iterrows():
+                meta = decoder(bytes(r[binary_col]))
+                feats = meta.get("features")
+                if feats is not None and len(feats) == dim:
+                    rows.append({id_col: r[id_col], "embedding": list(feats)})
+            yield pd.DataFrame(rows, columns=[id_col, "embedding"])
+
+    return df.select(id_col, binary_col).mapInPandas(run, schema=schema)
+
+
+def sample_frames(
+    df: DataFrame,
+    every_n: int = 10,
+    binary_col: str = "content",
+    id_col: str = "__source_file",
+    frame_extractor: Callable[[bytes, int], list[bytes]] | None = None,
+) -> DataFrame:
+    """Frame sampling for video payloads → one row per sampled frame
+    (id, frame_idx, frame binary). ``frame_extractor(payload, every_n)``
+    returns the sampled frames; stubbed by default."""
+    if frame_extractor is None:
+        def frame_extractor(payload: bytes, n: int) -> list[bytes]:  # noqa: F811
+            raise NotImplementedError("frame extraction requires ffmpeg — inject one")
+
+    schema = f"`{id_col}` string, frame_idx int, frame binary"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for _, r in b.iterrows():
+                for i, frame in enumerate(frame_extractor(bytes(r[binary_col]), every_n)):
+                    rows.append({id_col: r[id_col], "frame_idx": i, "frame": frame})
+            yield pd.DataFrame(rows, columns=[id_col, "frame_idx", "frame"])
+
+    return df.select(id_col, binary_col).mapInPandas(run, schema=schema)

@@ -182,12 +182,15 @@ class Pipeline:
 
         if st.sql is not None:
             # P10: register every resolved stage + make `$inputs` available
-            # as view `inputs`; then arbitrary Spark SQL.
+            # as view `inputs`; then arbitrary Spark SQL. Views are bound to
+            # the DataFrames' own session (inside foreachBatch the micro-
+            # batch session differs from the driver session).
+            sql_session = cur.sparkSession if cur is not None else spark
             for n, d in resolved.items():
                 d.createOrReplaceTempView(n)
             if cur is not None:
                 cur.createOrReplaceTempView("inputs")
-            out = spark.sql(st.sql)
+            out = sql_session.sql(st.sql)
         elif st.transform is not None:
             out = st.transform(cur)
         elif st.module is not None and st.grouping_fields:

@@ -26,6 +26,10 @@ def get_spark(
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
+        # Local mode = driver-only JVM; give it the machine (must be set
+        # before JVM launch — a no-op on an already-running session).
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "90g"))
+        .config("spark.driver.maxResultSize", "8g")
         # AQE: runtime coalescing, skew-join splitting, dynamic join strategy.
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

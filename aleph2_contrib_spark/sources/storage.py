@@ -1,0 +1,181 @@
+"""Time-partitioned table storage: routed writes, pruned reads, retention,
+secondary ("ping-pong") buffers.
+
+Reference behaviors re-expressed on partitioned parquet:
+
+- S15 time-based routing: each record lands in the partition its time_field
+  value names (reference ElasticsearchContext.getWritableIndex:532-546) —
+  ``partitionBy(time_bucket)`` does per-record routing natively, including
+  late data (event-time partitioning, no lateness cutoff — SURVEY §2.7).
+- S9/Q18 read pruning: reads with a time range touch only matching
+  partitions (reference getTimedIndexes:156-164) — Catalyst partition
+  pruning on the derived ``__time_bucket`` column.
+- S18 retention: drop whole partitions older than exist_age_max
+  (reference handleAgeOutRequest:646-735).
+- S17 secondary buffers: write to a suffixed staging table, then an atomic
+  directory swap promotes it (reference ElasticsearchIndexService:495-545).
+- S14 segment rolling: maxRecordsPerFile + compression codec.
+- C16 optimizeQuery: sortWithinPartitions on the optimized field list
+  (Z-order-ish data clustering for min/max skipping).
+
+At 100 TB: writes are a narrow pass + partitioned commit (one file set per
+time bucket); reads prune to the queried window; retention is metadata-only
+directory deletes — no full-table rewrite anywhere.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aleph2_contrib_spark.model.bucket import Bucket
+from aleph2_contrib_spark.functions.query import (
+    MultiQuery,
+    SingleQuery,
+    extract_date_range,
+)
+
+PARTITION_COL = "__time_bucket"
+
+_TRUNC = {"hour": "hour", "day": "day", "week": "week", "month": "month",
+          "quarter": "quarter", "year": "year"}
+
+
+def time_bucket_col(time_field: str, period: str) -> F.Column:
+    """Derived partition value: date_trunc(period, time_field) rendered as
+    a sortable string (directory-name friendly)."""
+    return F.date_format(
+        F.date_trunc(_TRUNC[period], F.col(time_field)), "yyyy-MM-dd'T'HH"
+    )
+
+
+class TimePartitionedTable:
+    """One bucket's primary store (+ optional secondary buffers)."""
+
+    def __init__(self, spark: SparkSession, bucket: Bucket):
+        if bucket.temporal is None:
+            raise ValueError("TimePartitionedTable requires a temporal schema")
+        self.spark = spark
+        self.bucket = bucket
+        self.primary_path = os.path.join(bucket.path, "current")
+
+    # -- write (S14/S15/S16) ----------------------------------------------
+    def write(self, df: DataFrame, mode: str = "append", path: str | None = None) -> None:
+        t = self.bucket.temporal
+        out = df.withColumn(PARTITION_COL, time_bucket_col(t.time_field, t.grouping_time_period))
+        if self.bucket.columnar is not None:
+            cols = self.bucket.columnar.select_columns(df.schema)
+            out = out.select(*cols, PARTITION_COL)
+        if self.bucket.collide_policy == "error" and os.path.exists(path or self.primary_path):
+            existing = self.spark.read.parquet(path or self.primary_path).schema
+            new_fields = {f.name: f.dataType for f in out.schema.fields}
+            for f in existing.fields:
+                if f.name in new_fields and new_fields[f.name] != f.dataType:
+                    raise ValueError(
+                        f"schema collision on '{f.name}': {f.dataType} vs {new_fields[f.name]}"
+                        " (collide_policy=error)"
+                    )
+        (
+            out.write.mode(mode)
+            .option("maxRecordsPerFile", self.bucket.write.batch_max_objects)
+            .option("compression", self.bucket.write.compression)
+            .partitionBy(PARTITION_COL)
+            .parquet(path or self.primary_path)
+        )
+
+    # -- read (S9 pruned) --------------------------------------------------
+    def read(self, time_min: dt.datetime | None = None, time_max: dt.datetime | None = None) -> DataFrame:
+        df = self.spark.read.parquet(self.primary_path)
+        t = self.bucket.temporal
+        if time_min is not None:
+            df = df.filter(
+                F.col(PARTITION_COL)
+                >= F.date_format(F.date_trunc(_TRUNC[t.grouping_time_period], F.lit(time_min)), "yyyy-MM-dd'T'HH")
+            )
+        if time_max is not None:
+            df = df.filter(
+                F.col(PARTITION_COL)
+                <= F.date_format(F.date_trunc(_TRUNC[t.grouping_time_period], F.lit(time_max)), "yyyy-MM-dd'T'HH")
+            )
+        return df.drop(PARTITION_COL)
+
+    def read_with_query(self, spec: SingleQuery | MultiQuery) -> DataFrame:
+        """Q18 end-to-end: extract the obvious date range from the DSL query
+        and prune partitions before applying the full predicate."""
+        t = self.bucket.temporal
+        lo, hi = extract_date_range(spec, t.time_field)
+        from aleph2_contrib_spark.functions.query import apply_query
+
+        return apply_query(self.read(lo, hi), spec)
+
+    # -- retention (S18) ---------------------------------------------------
+    def age_out(self, now: dt.datetime | None = None) -> list[str]:
+        """Delete partitions entirely older than exist_age_max. Directory-
+        level deletes — no data rewrite. Returns removed partition values."""
+        t = self.bucket.temporal
+        if t.exist_age_max is None:
+            return []
+        n, unit = t.exist_age_max.split()
+        delta = dt.timedelta(**{unit if unit.endswith("s") else unit + "s": int(n)})
+        now = now or dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+        cutoff = now - delta
+        cutoff_str = cutoff.strftime("%Y-%m-%dT%H")
+        removed = []
+        if not os.path.exists(self.primary_path):
+            return removed
+        for d in sorted(os.listdir(self.primary_path)):
+            if not d.startswith(PARTITION_COL + "="):
+                continue
+            val = d.split("=", 1)[1]
+            if val < cutoff_str:
+                shutil.rmtree(os.path.join(self.primary_path, d))
+                removed.append(val)
+        return removed
+
+    # -- secondary buffers (S17) ------------------------------------------
+    def buffer_path(self, name: str) -> str:
+        return os.path.join(self.bucket.path, f"buffer_{name}")
+
+    def write_to_buffer(self, df: DataFrame, name: str, mode: str = "overwrite") -> None:
+        self.write(df, mode=mode, path=self.buffer_path(name))
+
+    def promote_buffer(self, name: str) -> None:
+        """Atomic-ish swap: current ← buffer, old current is retired.
+        (On a transactional format this is a single metadata commit.)"""
+        bp = self.buffer_path(name)
+        if not os.path.exists(bp):
+            raise FileNotFoundError(bp)
+        retired = os.path.join(self.bucket.path, "retired_" + uuid.uuid4().hex[:8])
+        if os.path.exists(self.primary_path):
+            shutil.move(self.primary_path, retired)
+        shutil.move(bp, self.primary_path)
+        shutil.rmtree(retired, ignore_errors=True)
+
+    # -- misc --------------------------------------------------------------
+    def optimize(self, sort_cols: list[str], path: str | None = None) -> None:
+        """C16 optimizeQuery: cluster data by the given field list so
+        min/max stats skip files (parquet stand-in for a secondary index).
+        """
+        p = path or self.primary_path
+        df = self.spark.read.parquet(p)
+        tmp = p + ".opt-" + uuid.uuid4().hex[:8]
+        (
+            df.repartition(F.col(PARTITION_COL))
+            .sortWithinPartitions(*sort_cols)
+            .write.mode("overwrite")
+            .partitionBy(PARTITION_COL)
+            .parquet(tmp)
+        )
+        old = p + ".old"
+        shutil.move(p, old)
+        shutil.move(tmp, p)
+        shutil.rmtree(old, ignore_errors=True)
+
+    def delete_datastore(self) -> None:
+        """S19 bucket deletion."""
+        shutil.rmtree(self.bucket.path, ignore_errors=True)

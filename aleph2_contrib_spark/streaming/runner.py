@@ -1,0 +1,114 @@
+"""Streaming execution: the SAME pipeline compiler under foreachBatch.
+
+The reference runs streaming jobs two ways — Storm topologies (spout →
+bolts → output bolt, at-least-once via acks, PassthroughTopology.java:56-73)
+and Spark DStreams reusing EnrichmentPipelineService in streaming mode
+(no onStageComplete; module pool across micro-batches —
+EnrichmentPipelineService.java:177-178,629-631). SURVEY §2.7: no windows or
+watermarks anywhere; late data lands in whatever event-time partition its
+time_field names.
+
+Spark-native mapping (P14-P16):
+- source: Kafka (``readStream.format("kafka")`` + from_json) or file
+  streams for test/local use (S11/S12).
+- pipeline: ``Pipeline.run`` inside ``foreachBatch`` — batch/streaming
+  parity is literal: the same DAG object executes in both modes.
+- sink: time-partitioned parquet append (event-time routed, so late
+  records rewrite nothing — they append to their old partition), or any
+  writer callback.
+- delivery: checkpointed foreachBatch = at-least-once (same guarantee as
+  the reference's Storm acks; exactly-once with a transactional sink).
+- P16 micro-batch interval: ``trigger(processingTime=...)``.
+
+At scale the streaming path inherits everything from the batch operators:
+narrow stages stay narrow inside the micro-batch, grouped stages shuffle
+only within the micro-batch.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from aleph2_contrib_spark.plans.pipeline import Pipeline
+
+
+def kafka_stream(
+    spark: SparkSession,
+    brokers: str,
+    topics: str,
+    value_schema: T.StructType | str,
+) -> DataFrame:
+    """S11: Kafka direct stream of JSON strings → typed columns.
+    (Requires the spark-sql-kafka package on the cluster; not available in
+    the local test container, so tests use json_file_stream instead.)"""
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("subscribe", topics)
+        .load()
+    )
+    return raw.select(
+        F.from_json(F.col("value").cast("string"), value_schema).alias("r")
+    ).select("r.*")
+
+
+def json_file_stream(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str,
+    max_files_per_trigger: int = 10,
+    clean_source: str | None = None,
+    archive_dir: str | None = None,
+) -> DataFrame:
+    """File-drop stream (the test/local stand-in for Kafka, and the
+    S5 inbox-consume semantics: cleanSource=archive|delete)."""
+    reader = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+    )
+    if clean_source:
+        reader = reader.option("cleanSource", clean_source)
+        if clean_source == "archive" and archive_dir:
+            reader = reader.option("sourceArchiveDir", archive_dir)
+    return reader.json(path)
+
+
+class StreamingPipelineRunner:
+    """P14: run a Pipeline on a streaming input via foreachBatch."""
+
+    def __init__(
+        self,
+        pipeline: Pipeline,
+        sink: Callable[[str, DataFrame, int], None],
+        checkpoint_dir: str,
+        trigger_interval: str | None = None,
+    ):
+        self.pipeline = pipeline
+        self.sink = sink
+        self.checkpoint_dir = checkpoint_dir
+        self.trigger_interval = trigger_interval
+        self.batches_seen = 0
+
+    def start(self, stream_df: DataFrame, input_name: str = "stream"):
+        spark = stream_df.sparkSession
+
+        def process(batch_df: DataFrame, batch_id: int) -> None:
+            self.batches_seen += 1
+            if batch_df.isEmpty():
+                return
+            outputs = self.pipeline.run(spark, {input_name: batch_df})
+            for stage_name, df in outputs.items():
+                self.sink(stage_name, df, batch_id)
+
+        writer = stream_df.writeStream.foreachBatch(process).option(
+            "checkpointLocation", self.checkpoint_dir
+        )
+        if self.trigger_interval:
+            writer = writer.trigger(processingTime=self.trigger_interval)
+        else:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()

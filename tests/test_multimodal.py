@@ -1,0 +1,60 @@
+"""Multimodal column plumbing tests (binary payloads + stubbed decoders)."""
+
+import pytest
+from pyspark.sql import Row
+
+from aleph2_contrib_spark.operators import multimodal as mm
+from aleph2_contrib_spark.operators import similarity as sim
+
+
+@pytest.fixture()
+def media(spark):
+    return spark.createDataFrame(
+        [
+            Row(__source_file="a.img", content=bytes([1, 2, 3])),
+            Row(__source_file="b.img", content=bytes([4, 5, 6])),
+            Row(__source_file="c.img", content=bytes([1, 2, 3])),  # dup payload
+        ]
+    )
+
+
+def test_metadata_extraction_with_fake_decoder(spark, media):
+    out = mm.extract_media_metadata(media, decoder=mm.fake_decoder)
+    rows = {r["__source_file"]: r for r in out.collect()}
+    assert set(rows) == {"a.img", "b.img", "c.img"}
+    assert rows["a.img"]["mime"] == "image/fake"
+    # deterministic: same payload → same metadata
+    assert rows["a.img"]["width"] == rows["c.img"]["width"]
+    assert "content" not in out.columns  # payload dropped from metadata table
+
+
+def test_default_decoder_is_stubbed(spark, media):
+    with pytest.raises(Exception, match="NotImplementedError|decoder"):
+        mm.extract_media_metadata(media).collect()
+
+
+def test_feature_extraction_feeds_similarity(spark, media):
+    feats = mm.extract_media_features(media, decoder=mm.fake_decoder)
+    rows = feats.collect()
+    assert all(len(r["embedding"]) == 16 for r in rows)
+    # duplicate payloads → identical embeddings → cosine 1.0 pair
+    pairs = sim.all_pairs_above(
+        feats.withColumnRenamed("__source_file", "vec_id"), threshold=0.9999, n_planes=2
+    )
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert ("a.img", "c.img") in got
+
+
+def test_frame_sampling_with_fake_extractor(spark, media):
+    def fake_frames(payload, every_n):
+        return [payload + bytes([i]) for i in range(3)]
+
+    out = mm.sample_frames(media, every_n=5, frame_extractor=fake_frames)
+    rows = out.collect()
+    assert len(rows) == 9
+    assert {r["frame_idx"] for r in rows} == {0, 1, 2}
+
+
+def test_frame_sampling_default_stub(spark, media):
+    with pytest.raises(Exception, match="NotImplementedError|ffmpeg"):
+        mm.sample_frames(media).collect()

@@ -1,0 +1,133 @@
+"""Time-partitioned storage tests (SURVEY S9, S14-S19, Q18, C16)."""
+
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from aleph2_contrib_spark.functions.query import Q
+from aleph2_contrib_spark.model.bucket import Bucket, ColumnarSchema, TemporalSchema
+from aleph2_contrib_spark.sources.storage import PARTITION_COL, TimePartitionedTable
+
+
+@pytest.fixture()
+def events_df(spark):
+    rows = [
+        Row(_id="a", ts=dt.datetime(2020, 1, 5), v=1.0, s="x"),
+        Row(_id="b", ts=dt.datetime(2020, 2, 10), v=2.0, s="y"),
+        Row(_id="c", ts=dt.datetime(2020, 2, 20), v=3.0, s="z"),
+        Row(_id="d", ts=dt.datetime(2021, 3, 1), v=4.0, s="w"),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def make_table(spark, tmp_path, **kw):
+    bucket = Bucket(
+        full_name="/test/events",
+        path=str(tmp_path / "events"),
+        temporal=TemporalSchema(time_field="ts", grouping_time_period="month", **kw),
+    )
+    return TimePartitionedTable(spark, bucket)
+
+
+def test_write_routes_by_time(spark, tmp_path, events_df):
+    t = make_table(spark, tmp_path)
+    t.write(events_df)
+    parts = sorted(d for d in os.listdir(t.primary_path) if d.startswith(PARTITION_COL))
+    assert parts == [
+        f"{PARTITION_COL}=2020-01-01T00",
+        f"{PARTITION_COL}=2020-02-01T00",
+        f"{PARTITION_COL}=2021-03-01T00",
+    ]
+
+
+def test_late_data_lands_in_old_partition(spark, tmp_path, events_df):
+    """Event-time routing with no lateness cutoff (SURVEY §2.7)."""
+    t = make_table(spark, tmp_path)
+    t.write(events_df)
+    late = spark.createDataFrame([Row(_id="late", ts=dt.datetime(2020, 1, 30), v=9.0, s="l")])
+    t.write(late)
+    jan = t.read(dt.datetime(2020, 1, 1), dt.datetime(2020, 1, 31))
+    assert sorted(r["_id"] for r in jan.collect()) == ["a", "late"]
+
+
+def test_read_prunes_partitions(spark, tmp_path, events_df):
+    t = make_table(spark, tmp_path)
+    t.write(events_df)
+    out = t.read(dt.datetime(2020, 2, 1), dt.datetime(2020, 2, 28))
+    assert sorted(r["_id"] for r in out.collect()) == ["b", "c"]
+    # physical plan must show partition filters (pruning, not post-filter)
+    plan = out.filter(F.lit(True))._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+
+
+def test_read_with_query_injects_partition_bounds(spark, tmp_path, events_df):
+    t = make_table(spark, tmp_path)
+    t.write(events_df)
+    spec = Q.all_of().range_closed_open("ts", dt.datetime(2020, 2, 1), dt.datetime(2020, 3, 1)).range_above("v", 2.5)
+    out = t.read_with_query(spec)
+    assert [r["_id"] for r in out.collect()] == ["c"]
+
+
+def test_age_out(spark, tmp_path, events_df):
+    t = make_table(spark, tmp_path, exist_age_max="365 days")
+    t.write(events_df)
+    removed = t.age_out(now=dt.datetime(2021, 3, 2))
+    assert removed == ["2020-01-01T00", "2020-02-01T00"]
+    assert sorted(r["_id"] for r in t.read().collect()) == ["d"]
+
+
+def test_secondary_buffer_promote(spark, tmp_path, events_df):
+    t = make_table(spark, tmp_path)
+    t.write(events_df)
+    v2 = spark.createDataFrame([Row(_id="new", ts=dt.datetime(2022, 1, 1), v=10.0, s="n")])
+    t.write_to_buffer(v2, "ping")
+    assert t.read().count() == 4  # readers still see old primary
+    t.promote_buffer("ping")
+    assert [r["_id"] for r in t.read().collect()] == ["new"]
+
+
+def test_columnar_include_exclude(spark, tmp_path, events_df):
+    bucket = Bucket(
+        full_name="/test/events",
+        path=str(tmp_path / "ev2"),
+        temporal=TemporalSchema(time_field="ts", grouping_time_period="month"),
+        columnar=ColumnarSchema(field_exclude_list=("s",)),
+    )
+    t = TimePartitionedTable(spark, bucket)
+    t.write(events_df)
+    assert sorted(t.read().columns) == ["_id", "ts", "v"]
+
+
+def test_collide_policy_error(spark, tmp_path, events_df):
+    bucket = Bucket(
+        full_name="/t", path=str(tmp_path / "ev3"),
+        temporal=TemporalSchema(time_field="ts", grouping_time_period="month"),
+        collide_policy="error",
+    )
+    t = TimePartitionedTable(spark, bucket)
+    t.write(events_df)
+    bad = spark.createDataFrame([Row(_id="x", ts=dt.datetime(2020, 5, 1), v="not-a-double", s="q")])
+    with pytest.raises(ValueError, match="schema collision"):
+        t.write(bad)
+
+
+def test_optimize_clusters_data(spark, tmp_path, events_df):
+    t = make_table(spark, tmp_path)
+    t.write(events_df)
+    t.optimize(["v"])
+    assert t.read().count() == 4
+
+
+def test_delete_datastore(spark, tmp_path, events_df):
+    t = make_table(spark, tmp_path)
+    t.write(events_df)
+    t.delete_datastore()
+    assert not os.path.exists(t.bucket.path)
+
+
+def test_columnar_schema_type_and_pattern_selection(spark, events_df):
+    cs = ColumnarSchema(field_type_include_list=("number",), field_include_pattern_list=("_i*",))
+    assert cs.select_columns(events_df.schema) == ["_id", "v"]

@@ -1,0 +1,137 @@
+"""Streaming tests (SURVEY P14-P16, §2.7): batch-vs-streaming pipeline
+parity, event-time partition routing of late records, inbox cleanSource."""
+
+import datetime as dt
+import json
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from aleph2_contrib_spark.model.bucket import Bucket, TemporalSchema
+from aleph2_contrib_spark.plans.pipeline import Pipeline, Stage
+from aleph2_contrib_spark.sources.storage import TimePartitionedTable
+from aleph2_contrib_spark.streaming.runner import StreamingPipelineRunner, json_file_stream
+
+SCHEMA = "event_id STRING, event_time TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE"
+
+
+def write_batch(d, name, events):
+    with open(os.path.join(d, name), "w") as f:
+        for e in events:
+            f.write(json.dumps(e) + "\n")
+
+
+@pytest.fixture()
+def stream_dir(tmp_path):
+    d = tmp_path / "stream_in"
+    d.mkdir()
+    write_batch(
+        str(d),
+        "b1.json",
+        [
+            {"event_id": "e1", "event_time": "2020-01-05T00:00:00", "user_id": 1, "event_type": "click", "value": 1.0},
+            {"event_id": "e2", "event_time": "2020-02-05T00:00:00", "user_id": 2, "event_type": "view", "value": 2.0},
+            # late record: event_time far behind the others
+            {"event_id": "late", "event_time": "2019-11-01T00:00:00", "user_id": 3, "event_type": "click", "value": 9.0},
+        ],
+    )
+    return str(d)
+
+
+def make_pipeline():
+    return Pipeline(
+        [
+            Stage(
+                name="enrich",
+                transform=lambda df: df.withColumn("flag", (F.col("value") > 1.5).cast("string")),
+            )
+        ]
+    )
+
+
+def test_streaming_batch_parity_and_event_time_routing(spark, tmp_path, stream_dir):
+    bucket = Bucket(
+        full_name="/stream/out",
+        path=str(tmp_path / "out"),
+        temporal=TemporalSchema(time_field="event_time", grouping_time_period="month"),
+    )
+    table = TimePartitionedTable(spark, bucket)
+
+    pipe = make_pipeline()
+    runner = StreamingPipelineRunner(
+        pipeline=pipe,
+        sink=lambda name, df, bid: table.write(df),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    stream = json_file_stream(spark, stream_dir, SCHEMA, max_files_per_trigger=1)
+    q = runner.start(stream)
+    q.awaitTermination(120)
+
+    out = table.read()
+    assert out.count() == 3
+    # P14 parity: streaming output == batch pipeline output on same input
+    batch_in = spark.read.schema(SCHEMA).json(stream_dir)
+    batch_out = pipe.run(spark, {"stream": batch_in})["enrich"]
+    assert sorted(r["event_id"] for r in out.collect()) == sorted(
+        r["event_id"] for r in batch_out.collect()
+    )
+    # §2.7: late record landed in ITS event-time partition (2019-11)
+    from aleph2_contrib_spark.sources.storage import PARTITION_COL
+
+    parts = sorted(d for d in os.listdir(table.primary_path) if d.startswith(PARTITION_COL))
+    assert f"{PARTITION_COL}=2019-11-01T00" in parts
+
+
+def test_streaming_incremental_second_batch(spark, tmp_path, stream_dir):
+    """New files after the first run are processed incrementally from the
+    checkpoint (at-least-once delivery)."""
+    bucket = Bucket(
+        full_name="/stream/out2",
+        path=str(tmp_path / "out2"),
+        temporal=TemporalSchema(time_field="event_time", grouping_time_period="month"),
+    )
+    table = TimePartitionedTable(spark, bucket)
+    pipe = make_pipeline()
+    ckpt = str(tmp_path / "ckpt2")
+    runner = StreamingPipelineRunner(pipe, lambda n, df, b: table.write(df), ckpt)
+    stream = json_file_stream(spark, stream_dir, SCHEMA)
+    runner.start(stream).awaitTermination(120)
+    assert table.read().count() == 3
+
+    write_batch(
+        stream_dir,
+        "b2.json",
+        [{"event_id": "e4", "event_time": "2020-03-01T00:00:00", "user_id": 4, "event_type": "buy", "value": 5.0}],
+    )
+    runner2 = StreamingPipelineRunner(pipe, lambda n, df, b: table.write(df), ckpt)
+    stream2 = json_file_stream(spark, stream_dir, SCHEMA)
+    runner2.start(stream2).awaitTermination(120)
+    # only the new record was appended (checkpoint skipped b1.json)
+    assert table.read().count() == 4
+
+
+def test_grouped_stage_in_streaming(spark, tmp_path, stream_dir):
+    """P14 with a grouped (shuffle) stage inside each micro-batch."""
+    collected = {}
+
+    def sink(name, df, bid):
+        for r in df.collect():
+            collected[(bid, r["event_type"])] = r["n"]
+
+    pipe = Pipeline(
+        [
+            Stage(
+                name="counts",
+                sql="SELECT event_type, count(*) AS n FROM inputs GROUP BY event_type",
+            )
+        ]
+    )
+    runner = StreamingPipelineRunner(pipe, sink, str(tmp_path / "ckpt3"))
+    stream = json_file_stream(spark, stream_dir, SCHEMA)
+    runner.start(stream).awaitTermination(120)
+    by_type = {}
+    for (bid, et), n in collected.items():
+        by_type[et] = by_type.get(et, 0) + n
+    assert by_type == {"click": 2, "view": 1}
