@@ -124,6 +124,15 @@ class SingleQuery(QueryBase):
     def range_closed_open(self, fld: str, lo: Any = None, hi: Any = None):
         return self._range(fld, lo, True, hi, False)
 
+    def text_match(self, fld: str, query: str, operator: str = "and"):
+        """Tokenized full-text match (ES `match` analogue): every (operator=
+        "and") or any (operator="or") whitespace token of ``query`` appears
+        among the lowercased tokens of the field. The reference reaches
+        tokenized search via ES analyzed fields (SURVEY §1.2); here it is an
+        explicit operator over the raw stored value."""
+        self.clauses.append(FieldClause(fld, "text_match", (query, operator)))
+        return self
+
     def range_above(self, fld: str, lo: Any, inclusive: bool = True):
         return self._range(fld, lo, inclusive, None, False)
 
@@ -261,6 +270,14 @@ def _clause_to_column(c: FieldClause, schema: T.StructType | None) -> Column:
         return reduce(lambda a, b: a & b, (col == _lit(v) for v in vals))
     if c.op == "exists":
         return col.isNotNull() if c.args[0] else col.isNull()
+    if c.op == "text_match":
+        query, operator = c.args
+        toks = F.split(F.lower(col), r"\s+")
+        preds = [F.array_contains(toks, t) for t in str(query).lower().split()]
+        if not preds:
+            return F.lit(True)
+        combine = (lambda a, b: a & b) if operator == "and" else (lambda a, b: a | b)
+        return reduce(combine, preds)
     if c.op == "range":
         lo, lo_incl, hi, hi_incl = c.args
         preds = []

@@ -106,10 +106,17 @@ class Pipeline:
     """P7 DAG builder + executor."""
 
     stages: list[Stage] = field(default_factory=list)
+    observations: dict[str, Any] = field(default_factory=dict, repr=False)
 
     def add(self, stage: Stage) -> "Pipeline":
         self.stages.append(stage)
         return self
+
+    def stage_stats(self) -> dict[str, dict]:
+        """P13 per-stage statistics: available after an action on a run with
+        observe_stats=True (reference logs per-stage in/out counts,
+        EnrichmentPipelineService.java:729-787)."""
+        return {name: obs.get for name, obs in self.observations.items()}
 
     # ------------------------------------------------------------------
     def run(
@@ -201,7 +208,11 @@ class Pipeline:
             out = cur  # passthrough
 
         if observe_stats:
-            out = out.observe(f"stage_{st.name}", F.count(F.lit(1)).alias("out_count"))
+            from pyspark.sql import Observation
+
+            obs = Observation(f"stage_{st.name}")
+            self.observations[st.name] = obs
+            out = out.observe(obs, F.count(F.lit(1)).alias("out_count"))
         return out
 
     @staticmethod
