@@ -418,6 +418,99 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS via SQL passthrough (P10)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders_v
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+def subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders above their status-group average (windowed avg, exact)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderstatus")
+    avg = F.sum(_dec("o_totalprice")).over(w).cast("double") / F.count(F.lit(1)).over(w)
+    return (
+        orders.withColumn("grp_avg", avg)
+        .filter(F.col("o_totalprice") > F.col("grp_avg"))
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+
+
+def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.upper(F.col("c_name")).alias("uname"),
+        F.substring(F.col("c_name"), 1, 8).alias("prefix"),
+        F.length(F.col("c_name")).alias("name_len"),
+        F.concat_ws("|", F.col("c_mktsegment"), F.col("c_name")).alias("tagged"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded"),
+    )
+
+
+def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofmonth("o_orderdate").alias("d"),
+        F.quarter("o_orderdate").alias("q"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+    )
+
+
+def cond_agg_priority_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (CASE inside decimal-exact sums)."""
+    orders = _t(spark, sf_dir, "orders")
+    urgent = F.when(F.col("o_orderpriority") == "1-URGENT", _dec("o_totalprice")).otherwise(
+        F.lit(0).cast("decimal(18,2)")
+    )
+    return orders.groupBy("o_orderstatus").agg(
+        F.sum(urgent).cast("double").alias("urgent_total"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("total"),
+        F.sum(F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)).alias("urgent_n"),
+    )
+
+
+def array_funcs_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array function surface: sort / slice / join over token arrays."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), r"\s+")
+    return docs.select(
+        "doc_id",
+        F.concat_ws(" ", F.slice(F.array_sort(F.array_distinct(toks)), 1, 3)).alias("first3"),
+        F.size(toks).alias("n_tokens"),
+        F.element_at(toks, 1).alias("head_tok"),
+    )
+
+
+def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def union_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_name").alias("name"), F.lit("customer").alias("kind"), F.col("c_nationkey").alias("nationkey")
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        F.col("s_name").alias("name"), F.lit("supplier").alias("kind"), F.col("s_nationkey").alias("nationkey")
+    )
+    return cust.unionByName(supp)
+
+
 # ---------------------------------------------------------------------------
 # Graph operators (SURVEY §2.5)
 # ---------------------------------------------------------------------------
@@ -567,6 +660,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_event_counts": pivot_event_counts,
         "stats_percentiles": stats_percentiles,
         "events_sessionize": events_sessionize,
+        "grouping_sets_revenue": grouping_sets_revenue,
+        "subquery_above_avg": subquery_above_avg,
+        "string_funcs": string_funcs,
+        "date_funcs": date_funcs,
+        "cond_agg_priority_share": cond_agg_priority_share,
+        "array_funcs_tokens": array_funcs_tokens,
+        "distinct_counts": distinct_counts,
+        "union_entities": union_entities,
         "graph_vertices": graph_vertices,
         "graph_edges": graph_edges,
         "text_lang_id": text_lang_id,
@@ -767,6 +868,63 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(sum(new_session) + 1 AS BIGINT) AS n_sessions,
                    count(*) AS n_events
             FROM g GROUP BY user_id
+        """,
+        "grouping_sets_revenue": """
+            SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """,
+        "subquery_above_avg": """
+            SELECT o_orderkey, o_orderstatus, o_totalprice FROM (
+                SELECT o_orderkey, o_orderstatus, o_totalprice,
+                       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_orderstatus) AS DOUBLE)
+                         / count(*) OVER (PARTITION BY o_orderstatus) AS grp_avg
+                FROM orders
+            ) WHERE o_totalprice > grp_avg
+        """,
+        "string_funcs": """
+            SELECT c_custkey, upper(c_name) AS uname, substring(c_name, 1, 8) AS prefix,
+                   length(c_name) AS name_len,
+                   concat_ws('|', c_mktsegment, c_name) AS tagged,
+                   lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded
+            FROM customer
+        """,
+        "date_funcs": """
+            SELECT o_orderkey,
+                   CAST(year(o_orderdate) AS INT) AS y,
+                   CAST(month(o_orderdate) AS INT) AS m,
+                   CAST(day(o_orderdate) AS INT) AS d,
+                   CAST(quarter(o_orderdate) AS INT) AS q,
+                   CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start
+            FROM orders
+        """,
+        "cond_agg_priority_share": """
+            SELECT o_orderstatus,
+                   CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+                                 THEN CAST(o_totalprice AS DECIMAL(18,2))
+                                 ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS urgent_total,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+                   CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS urgent_n
+            FROM orders GROUP BY o_orderstatus
+        """,
+        "array_funcs_tokens": r"""
+            WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM documents)
+            SELECT doc_id,
+                   array_to_string(list_sort(list_distinct(toks))[1:3], ' ') AS first3,
+                   len(toks) AS n_tokens,
+                   toks[1] AS head_tok
+            FROM t
+        """,
+        "distinct_counts": """
+            SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+                   count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "union_entities": """
+            SELECT c_name AS name, 'customer' AS kind, c_nationkey AS nationkey FROM customer
+            UNION ALL
+            SELECT s_name AS name, 'supplier' AS kind, s_nationkey AS nationkey FROM supplier
         """,
         "graph_vertices": """
             SELECT DISTINCT CAST(user_id AS VARCHAR) AS name, 'user' AS type, 'user' AS label FROM events

@@ -82,6 +82,19 @@ class CrudService:
             return self.df.count()
         return self.df.filter(compile_query(spec, self.df.schema)).count()
 
+    def get_meta_model(self) -> dict:
+        """C19: JDBC/MetaModel-style table metadata (reference wraps the
+        collection in an Apache MetaModel DataContext,
+        MongoDbCrudService.java:692-735) — here the Spark schema is the
+        catalog."""
+        return {
+            "table": self.path,
+            "columns": [
+                {"name": f.name, "type": f.dataType.simpleString(), "nullable": f.nullable}
+                for f in self.df.schema.fields
+            ],
+        }
+
     def get_raw_service(self) -> DataFrame:
         """C17: same table as untyped JSON strings."""
         return self.df.select(F.to_json(F.struct("*")).alias("json"))

@@ -88,6 +88,7 @@ def merge_vertices(
     existing: DataFrame | None,
     new: DataFrame,
     first_wins_order: str | None = None,
+    merge_module=None,
 ) -> DataFrame:
     """G4+G5: merge new vertices into the existing vertex table by key.
 
@@ -95,12 +96,37 @@ def merge_vertices(
     the first element in (existing ++ new) order wins). Existing rows take
     priority; among new duplicates, ``first_wins_order`` column breaks ties
     (or arbitrary). One shuffle on the key.
+
+    ``merge_module`` replaces the built-in policy with a user module (the
+    reference's invokeUserMergeCode, TitanGraphBuildingUtils:206-314): an
+    ``EnrichmentModule`` cloned per key whose batch is all candidate rows
+    for that key (existing first, ``__prio`` column marks provenance) and
+    which emits the winning row(s).
     """
-    if existing is None:
+    if existing is None and merge_module is None:
         return new.dropDuplicates(["key"])
-    prioritized = existing.withColumn("__prio", F.lit(0)).unionByName(
-        new.withColumn("__prio", F.lit(1)), allowMissingColumns=True
+    prioritized = (
+        new.withColumn("__prio", F.lit(1))
+        if existing is None
+        else existing.withColumn("__prio", F.lit(0)).unionByName(
+            new.withColumn("__prio", F.lit(1)), allowMissingColumns=True
+        )
     )
+    if merge_module is not None:
+        from aleph2_contrib_spark.plans.pipeline import Pipeline, Stage
+
+        schema = prioritized.drop("__prio").schema
+        pipe = Pipeline(
+            [
+                Stage(
+                    name="merge",
+                    module=merge_module,
+                    grouping_fields=("key",),
+                    output_schema=schema,
+                )
+            ]
+        )
+        return pipe.run(prioritized.sparkSession, {"v": prioritized})["merge"]
     order = [F.col("__prio").asc()]
     if first_wins_order is not None:
         order.append(F.col(first_wins_order).asc())
