@@ -212,6 +212,36 @@ def dsl_all_of_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     return apply_query(docs, spec).select("doc_id", "lang")
 
 
+def v1_mongo_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10: V1 Mongo-JSON scan surface ({q} + :fields + :tmin/:tmax)."""
+    from aleph2_contrib_spark.functions.native_queries import apply_v1_query
+
+    ev = _t(spark, sf_dir, "events")
+    return apply_v1_query(
+        ev,
+        q={"event_type": {"$in": ["click", "view"]}, "value": {"$gte": 10.0, "$lt": 90.0}},
+        fields=["event_id", "event_type", "value"],
+    )
+
+
+def es_dsl_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7: ES query-DSL pushdown surface (bool/term/range tree)."""
+    from aleph2_contrib_spark.functions.native_queries import apply_es_query
+
+    orders = _t(spark, sf_dir, "orders")
+    q = {
+        "bool": {
+            "must": [{"range": {"o_totalprice": {"gte": 1000.0, "lt": 100000.0}}}],
+            "should": [
+                {"term": {"o_orderstatus": "F"}},
+                {"term": {"o_orderpriority": "1-URGENT"}},
+            ],
+            "must_not": [{"term": {"o_orderstatus": "P"}}],
+        }
+    }
+    return apply_es_query(orders, q).select("o_orderkey", "o_orderstatus", "o_totalprice")
+
+
 # ---------------------------------------------------------------------------
 # Update DSL (SURVEY §2.2 C6-C14)
 # ---------------------------------------------------------------------------
@@ -591,7 +621,7 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return ddp.minhash_lsh_pairs(
         docs, "doc_id", "text", num_hashes=64, bands=16, threshold=0.5,
-        shingle_mode="token", verify="estimate",
+        shingle_mode="token", verify="estimate", sig_impl="numpy",
     )
 
 
@@ -644,6 +674,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_topk": dsl_topk,
         "dsl_all_of_array": dsl_all_of_array,
         "dsl_text_match": dsl_text_match,
+        "v1_mongo_query": v1_mongo_query,
+        "es_dsl_query": es_dsl_query,
         "update_increment_set": update_increment_set,
         "update_delete_by_spec": update_delete_by_spec,
         "pipeline_group_stats": pipeline_group_stats,
@@ -769,6 +801,16 @@ def oracle_sql() -> dict[str, str]:
         "dsl_all_of_array": r"""
             SELECT doc_id, lang FROM documents
             WHERE list_has_all(regexp_split_to_array(text, '\s+'), ['table', 'query', 'join'])
+        """,
+        "v1_mongo_query": """
+            SELECT event_id, event_type, value FROM events
+            WHERE event_type IN ('click', 'view') AND value >= 10.0 AND value < 90.0
+        """,
+        "es_dsl_query": """
+            SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+            WHERE o_totalprice >= 1000.0 AND o_totalprice < 100000.0
+              AND (o_orderstatus = 'F' OR o_orderpriority = '1-URGENT')
+              AND NOT (o_orderstatus = 'P')
         """,
         "dsl_text_match": r"""
             SELECT doc_id, lang FROM documents

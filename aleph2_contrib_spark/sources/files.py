@@ -107,9 +107,14 @@ def _xml_records(data: bytes, cfg: XmlConfig) -> list[dict]:
             # repeated leaves → JSON-encoded array (string schema friendly)
             import json as _json
 
-            records.append(
-                {k: (_json.dumps(v) if isinstance(v, list) else v) for k, v in rec.items()}
-            )
+            rec = {k: (_json.dumps(v) if isinstance(v, list) else v) for k, v in rec.items()}
+            if cfg.id_field and cfg.id_field in rec:
+                # promote the configured field to the record id (reference
+                # BeXmlParser id handling; set_id_from_content keeps both)
+                rec["_id"] = rec[cfg.id_field]
+                if not cfg.set_id_from_content:
+                    rec.pop(cfg.id_field)
+            records.append(rec)
             return
         for ch in list(elem):
             walk(ch)

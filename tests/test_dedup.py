@@ -60,6 +60,32 @@ def test_minhash_dedup_drops_higher_ids(spark, docs):
     assert kept == [1, 3, 5]
 
 
+def test_numpy_signature_bit_exact(spark, docs):
+    """The numpy fast path must produce IDENTICAL signatures to the pure
+    Catalyst expression path (it replicates Spark's XXH64 exactly)."""
+    from pyspark.sql import functions as F
+    from aleph2_contrib_spark.operators.dedup import (
+        char_shingles,
+        minhash_signature,
+        minhash_signature_numpy,
+    )
+
+    hashed = docs.select(
+        "doc_id", char_shingles(F.col("text"), 5).alias("sh")
+    ).withColumn("hs", F.array_distinct(F.transform(F.col("sh"), lambda s: F.xxhash64(s))))
+    expr_sig = {r["doc_id"]: r["sig"] for r in hashed.withColumn(
+        "sig", minhash_signature(F.col("sh"), 16)).select("doc_id", "sig").collect()}
+    np_sig = {r["doc_id"]: r["sig"] for r in minhash_signature_numpy(
+        hashed, "hs", 16).select("doc_id", "sig").collect()}
+    assert expr_sig == np_sig
+
+
+def test_minhash_numpy_impl_same_pairs(spark, docs):
+    a = ddp.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5)
+    b = ddp.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5, sig_impl="numpy")
+    assert {(r["id_a"], r["id_b"]) for r in a.collect()} == {(r["id_a"], r["id_b"]) for r in b.collect()}
+
+
 def test_simhash_near_dups(spark, docs):
     pairs = ddp.simhash_pairs(docs, "doc_id", "text", max_hamming=6)
     got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}

@@ -76,6 +76,15 @@ def test_xml_preserve_case_off(spark, tmp_path):
     assert rows[0]["@id"] == "9" and rows[0]["name"] == "q"
 
 
+def test_xml_id_field_promotion(spark, tmp_path):
+    d = tmp_path / "inbox_xml3"
+    d.mkdir()
+    (d / "f.xml").write_bytes(b"<feed><record><key>k9</key><v>1</v></record></feed>")
+    cfg = XmlConfig(root_fields=("record",), id_field="key")
+    rows = read_xml_inbox(spark, str(d), cfg).collect()
+    assert rows[0]["_id"] == "k9"
+
+
 def test_read_binary_inbox(spark, tmp_path):
     d = tmp_path / "inbox_bin"
     d.mkdir()
