@@ -649,6 +649,32 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.extract_media_features(docs, decoder=mm.fake_decoder)
 
 
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k probed over ALL cells — must equal exhaustive search, so
+    the brute-force DuckDB oracle applies exactly."""
+    from aleph2_contrib_spark.operators.similarity import ivf_build_centroids, ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 1).select("embedding").head()[0]
+    cents = ivf_build_centroids(emb, n_centroids=8)
+    out = ivf_topk(emb, qvec, cents, k=10, nprobe=8)
+    return out.select("vec_id", F.floor(F.col("score") * 1e6).cast("long").alias("score_f6"))
+
+
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase aggregation (hot-key spreading); algebraic aggs
+    only, so results are exact."""
+    from aleph2_contrib_spark.operators.skew import salted_agg
+
+    ev = _t(spark, sf_dir, "events")
+    return salted_agg(
+        ev,
+        ["event_type"],
+        {"n": ("count", "*"), "min_v": ("min", "value"), "max_v": ("max", "value")},
+        salt_buckets=8,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -707,6 +733,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_pairs": dedup_minhash_pairs,
         "dedup_simhash_fingerprints": dedup_simhash_fingerprints,
         "similarity_pairs_lsh": similarity_pairs_lsh,
+        "similarity_ivf_topk": similarity_ivf_topk,
+        "skew_salted_agg": skew_salted_agg,
         "multimodal_features": multimodal_features,
     }
 
@@ -1009,6 +1037,20 @@ def oracle_sql() -> dict[str, str]:
               ON a.lang = b.lang AND a.size_bucket = b.size_bucket AND a.doc_id < b.doc_id
             WHERE floor(len(list_intersect(a.toks, b.toks))
                   / len(list_distinct(list_concat(a.toks, b.toks))) * 1000000.0) >= 990000
+        """,
+        "similarity_ivf_topk": """
+            WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 1),
+            scored AS (
+                SELECT vec_id,
+                       list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT qv FROM q)) AS score
+                FROM embeddings
+            )
+            SELECT vec_id, CAST(floor(score * 1000000.0) AS BIGINT) AS score_f6
+            FROM scored ORDER BY score DESC, vec_id ASC LIMIT 10
+        """,
+        "skew_salted_agg": """
+            SELECT event_type, count(*) AS n, min(value) AS min_v, max(value) AS max_v
+            FROM events GROUP BY event_type
         """,
         "similarity_topk": """
             WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 1),

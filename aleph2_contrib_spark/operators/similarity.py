@@ -99,6 +99,79 @@ def lsh_topk(
     return brute_force_topk(cand, query_vec, k, id_col, vec_col)
 
 
+def ivf_build_centroids(
+    df: DataFrame,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    sample_rows: int = 2048,
+    iters: int = 5,
+    seed: int = 42,
+) -> list[list[float]]:
+    """IVF coarse quantizer: k-means on a bounded driver-side sample.
+
+    The sample is tiny (n_centroids × ~128 rows) regardless of table size —
+    the one deliberate driver-side step; assignment and search stay
+    distributed. Deterministic (seeded sample, fixed iterations)."""
+    import numpy as np
+
+    sample = (
+        df.select(vec_col).sample(fraction=1.0, seed=seed).limit(sample_rows).collect()
+    )
+    X = np.asarray([list(r[0]) for r in sample], dtype=np.float64)
+    rng = np.random.RandomState(seed)
+    cents = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)]
+    for _ in range(iters):
+        # cosine assignment on normalized vectors
+        Xn = X / (np.linalg.norm(X, axis=1, keepdims=True) + 1e-12)
+        Cn = cents / (np.linalg.norm(cents, axis=1, keepdims=True) + 1e-12)
+        assign = (Xn @ Cn.T).argmax(axis=1)
+        for c in range(len(cents)):
+            m = X[assign == c]
+            if len(m):
+                cents[c] = m.mean(axis=0)
+    return cents.tolist()
+
+
+def ivf_assign(df: DataFrame, centroids: list[list[float]], vec_col: str = "embedding") -> DataFrame:
+    """Assign each row to its nearest centroid (cosine) — a narrow JVM pass
+    (argmax over centroid-literal dot products). At scale the table is
+    written partitioned by ``__ivf_cell`` so probes prune to cells."""
+    scored = [
+        F.struct(cosine(F.col(vec_col), F.array(*[F.lit(float(v)) for v in c])).alias("s"),
+                 F.lit(i).alias("c"))
+        for i, c in enumerate(centroids)
+    ]
+    best = F.array_max(F.array(*scored))
+    return df.withColumn("__ivf_cell", best["c"])
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search: score only rows in the ``nprobe`` cells nearest the
+    query. With the table partitioned by cell this is a partition-pruned
+    scan of nprobe/n_centroids of the data."""
+    import math as _m
+
+    q = list(map(float, query_vec))
+    qn = _m.sqrt(sum(x * x for x in q)) or 1.0
+
+    def cos_q(c):
+        cn = _m.sqrt(sum(x * x for x in c)) or 1.0
+        return sum(a * b for a, b in zip(q, c)) / (qn * cn)
+
+    probe_cells = sorted(range(len(centroids)), key=lambda i: -cos_q(centroids[i]))[:nprobe]
+    assigned = ivf_assign(df, centroids, vec_col)
+    cand = assigned.filter(F.col("__ivf_cell").isin(probe_cells))
+    return brute_force_topk(cand, query_vec, k, id_col, vec_col)
+
+
 def all_pairs_above(
     df: DataFrame,
     threshold: float,

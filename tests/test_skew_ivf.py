@@ -1,0 +1,70 @@
+"""Salted aggregation + IVF similarity tests."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from aleph2_contrib_spark.operators.skew import salted_agg
+from aleph2_contrib_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_assign,
+    ivf_build_centroids,
+    ivf_topk,
+)
+
+
+def test_salted_agg_matches_plain(spark):
+    # hot key "a" has 90% of rows
+    rows = [Row(k="a", v=float(i % 7)) for i in range(900)] + [
+        Row(k="b", v=float(i)) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows)
+    got = {
+        r["k"]: (r["n"], r["total"], r["mn"], r["mx"])
+        for r in salted_agg(
+            df, ["k"],
+            {"n": ("count", "*"), "total": ("sum", "v"), "mn": ("min", "v"), "mx": ("max", "v")},
+        ).collect()
+    }
+    exp = {
+        r["k"]: (r["n"], r["total"], r["mn"], r["mx"])
+        for r in df.groupBy("k").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("v").alias("total"),
+            F.min("v").alias("mn"), F.max("v").alias("mx"),
+        ).collect()
+    }
+    assert got == exp
+
+
+def test_salted_agg_rejects_non_algebraic(spark):
+    df = spark.createDataFrame([Row(k="a", v=1.0)])
+    with pytest.raises(ValueError, match="non-algebraic"):
+        salted_agg(df, ["k"], {"a": ("avg", "v")})
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+def test_ivf_centroids_deterministic(spark, emb):
+    c1 = ivf_build_centroids(emb, n_centroids=8)
+    c2 = ivf_build_centroids(emb, n_centroids=8)
+    assert c1 == c2 and len(c1) == 8 and len(c1[0]) == 64
+
+
+def test_ivf_assign_all_rows(spark, emb):
+    cents = ivf_build_centroids(emb, n_centroids=8)
+    out = ivf_assign(emb, cents)
+    assert out.filter(F.col("__ivf_cell").isNull()).count() == 0
+    assert out.select("__ivf_cell").distinct().count() > 1
+
+
+def test_ivf_topk_recall_vs_brute_force(spark, emb):
+    qvec = emb.filter(F.col("vec_id") == 1).head()["embedding"]
+    exact = [r["vec_id"] for r in brute_force_topk(emb, qvec, k=10).collect()]
+    cents = ivf_build_centroids(emb, n_centroids=8)
+    approx = [r["vec_id"] for r in ivf_topk(emb, qvec, cents, k=10, nprobe=4).collect()]
+    # top-1 must match; recall@10 reasonably high with half the cells probed
+    assert approx[0] == exact[0]
+    assert len(set(exact) & set(approx)) >= 6
