@@ -593,7 +593,9 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     string computation (collision odds ~2^-64). Int/int division →
     bit-identical doubles across engines (the DuckDB oracle uses strings).
     """
-    docs = _t(spark, sf_dir, "documents")
+    from aleph2_contrib_spark.parallel import ensure_parallelism
+
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
     t = docs.select(
         "doc_id",
         F.col("lang"),
@@ -626,9 +628,11 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash 64-bit fingerprints (no SQL oracle — xxhash64-based)."""
+    """SimHash 64-bit fingerprints (no SQL oracle — xxhash64-based).
+    Uses the numpy vote/pack fast path (bit-identical to the pure-Column
+    formulation, asserted in tests)."""
     docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", ddp.simhash(F.col("text")).alias("simhash"))
+    return ddp.simhash_numpy(docs, "text").select("doc_id", "simhash")
 
 
 def similarity_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -137,21 +137,35 @@ def _np_sig_batch(hs_list, num_hashes: int):
             return h
 
         seeds = np.arange(num_hashes, dtype=np.uint64)
-        out = []
-        for arr in hs_list:
-            h = np.asarray(arr, dtype=np.int64).astype(np.uint64)
-            # hashLong(h, 42)
-            base = np.uint64(42) + P5 + np.uint64(8)
-            k1 = rotl(h * P2, 31) * P1
-            b = base ^ k1
-            b = rotl(b, 27) * P1 + P4
-            b = fmix(b)
-            # hashInt(i, base) for every permutation i: (n, num_hashes)
-            m = (b[:, None] + P5 + np.uint64(4)) ^ (seeds[None, :] * P1)
-            m = rotl(m, 23) * P2 + P3
-            m = fmix(m)
-            # min must be over SIGNED longs (Spark array_min semantics)
-            out.append(m.astype(np.int64).min(axis=0).tolist())
+        # Vectorize across the WHOLE Arrow batch: per-row numpy dispatch on
+        # tiny arrays costs ~1ms/row; one flat matrix + segmented min via
+        # np.minimum.reduceat is ~50x faster for short documents.
+        lens = np.fromiter((len(a) for a in hs_list), dtype=np.int64, count=len(hs_list))
+        if lens.sum() == 0:
+            return [[0] * num_hashes for _ in hs_list]
+        flat = np.concatenate(
+            [np.asarray(a, dtype=np.int64) for a in hs_list if len(a)]
+        ).astype(np.uint64)
+        # hashLong(h, 42) for every shingle hash
+        k1 = rotl(flat * P2, 31) * P1
+        b = (np.uint64(42) + P5 + np.uint64(8)) ^ k1
+        b = rotl(b, 27) * P1 + P4
+        b = fmix(b)
+        # hashInt(i, base) for every permutation i: (total, num_hashes)
+        m = (b[:, None] + P5 + np.uint64(4)) ^ (seeds[None, :] * P1)
+        m = rotl(m, 23) * P2 + P3
+        m = fmix(m).astype(np.int64)  # min over SIGNED longs (array_min)
+        nonempty = lens > 0
+        offsets = np.zeros(int(nonempty.sum()), dtype=np.int64)
+        np.cumsum(lens[nonempty][:-1], out=offsets[1:])
+        mins = np.minimum.reduceat(m, offsets, axis=0)
+        out, j = [], 0
+        for n in lens:
+            if n == 0:
+                out.append([0] * num_hashes)
+            else:
+                out.append(mins[j].tolist())
+                j += 1
         return out
 
 
@@ -203,6 +217,9 @@ def minhash_lsh_pairs(
            scale this is the default trade: shuffle volume drops from
            O(doc_len) to O(num_hashes) per row.
     """
+    from aleph2_contrib_spark.parallel import ensure_parallelism
+
+    df = ensure_parallelism(df)
     rows_per_band = num_hashes // bands
     shingler = char_shingles if shingle_mode == "char" else token_shingles
     shingle_n = shingle_k if shingle_mode == "char" else 3
@@ -224,6 +241,13 @@ def minhash_lsh_pairs(
                 ]
             ),
         )
+
+    # The banded projection feeds BOTH sides of the self-join; without a
+    # materialization barrier Spark recomputes the whole shingle+signature
+    # chain twice. Persist the (small: id + 64 longs [+ hashes]) stage once.
+    from pyspark import StorageLevel
+
+    base = base.persist(StorageLevel.MEMORY_AND_DISK)
 
     payload = ["hs"] if verify == "exact" else []
     banded = base.select(
@@ -308,6 +332,39 @@ def simhash(col: Column, num_bits: int = 64) -> Column:
     return reduce(lambda a, c: a.bitwiseOR(c), bits)
 
 
+def simhash_numpy(df: DataFrame, text_col: str, out_col: str = "simhash") -> DataFrame:
+    """Numpy fast path for SimHash: the token hashes are computed JVM-side
+    (one xxhash64 per token), the 64-bit vote/pack runs vectorized in an
+    Arrow batch. Bit-identical to ``simhash`` (asserted in tests)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def votes_fn(hs):
+        out = np.empty(len(hs), dtype=np.int64)
+        shifts = np.arange(64, dtype=np.uint64)
+        for i, arr in enumerate(hs):
+            h = np.asarray(arr, dtype=np.int64).astype(np.uint64)
+            if len(h) == 0:
+                out[i] = 0
+                continue
+            bits = ((h[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
+            votes = bits.sum(axis=0) * 2 - len(h)
+            fp = np.uint64(0)
+            for b in np.nonzero(votes > 0)[0]:
+                fp |= np.uint64(1) << np.uint64(b)
+            out[i] = np.int64(fp)
+        return pd.Series(out)
+
+    from aleph2_contrib_spark.parallel import ensure_parallelism
+
+    df = ensure_parallelism(df)
+    udf = pandas_udf(votes_fn, "long")
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    hashed = df.withColumn("__hs", F.transform(toks, lambda t: F.xxhash64(t)))
+    return hashed.withColumn(out_col, udf(F.col("__hs"))).drop("__hs")
+
+
 def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
@@ -322,7 +379,10 @@ def simhash_pairs(
     """Near-dup pairs by SimHash: band the 64-bit fingerprint into
     ``bands`` chunks (pigeonhole: distance ≤ bands−1 guarantees one exact
     band match), join on matching band, verify Hamming distance."""
+    from aleph2_contrib_spark.parallel import ensure_parallelism
+
     bits_per = 64 // bands
+    df = ensure_parallelism(df)
     base = df.select(F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("sh"))
     banded = base.select(
         "id",

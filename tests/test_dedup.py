@@ -93,6 +93,14 @@ def test_simhash_near_dups(spark, docs):
     assert (1, 2) in got and (3, 4) in got
 
 
+def test_simhash_numpy_bit_exact(spark, docs):
+    from pyspark.sql import functions as F
+
+    a = docs.select("doc_id", ddp.simhash(F.col("text")).alias("s1"))
+    b = ddp.simhash_numpy(docs, "text").select("doc_id", F.col("simhash").alias("s2"))
+    assert a.join(b, "doc_id").filter(F.col("s1") != F.col("s2")).count() == 0
+
+
 def test_simhash_exact_dup_zero_distance(spark, docs):
     sh = {r["doc_id"]: r["s"] for r in docs.select("doc_id", ddp.simhash(F.col("text")).alias("s")).collect()}
     assert sh[1] == sh[6]
