@@ -248,9 +248,15 @@ def _clause_to_column(c: FieldClause, schema: T.StructType | None) -> Column:
     is_array = isinstance(ftype, T.ArrayType)
 
     if c.op == "equals":
+        if is_array and not isinstance(c.args[0], (list, tuple)):
+            # equality against an array field matches ELEMENTS (Mongo
+            # {field: scalar} / ES term-on-array semantics)
+            return F.array_contains(col, _norm_value(c.args[0]))
         return col == _lit(c.args[0])
     if c.op == "not_equals":
         # Mongo $ne also matches missing fields; ES mustNot(term) likewise.
+        if is_array and not isinstance(c.args[0], (list, tuple)):
+            return col.isNull() | ~F.array_contains(col, _norm_value(c.args[0]))
         return col.isNull() | (col != _lit(c.args[0]))
     if c.op == "any_of":
         vals = [_norm_value(v) for v in c.args[0]]

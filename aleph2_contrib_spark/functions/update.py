@@ -178,6 +178,18 @@ def _set_nested(df: DataFrame, path: str, value_expr: Callable[[Column], Column]
             new = F.when(pred, new)
         return df.withColumn(path, new)
     root = parts[0]
+    root_type = _field_type(df.schema, root)
+    if isinstance(root_type, T.MapType) and len(parts) == 2:
+        # map-column path "m.key": set/mutate one entry via map_concat
+        # (Mongo dotted-path updates into subdocuments stored as maps).
+        key = parts[1]
+        cur = F.col(root).getItem(key)
+        entry = F.create_map(F.lit(key), value_expr(cur).cast(root_type.valueType))
+        new_root = F.map_concat(
+            F.map_filter(F.coalesce(F.col(root), F.create_map().cast(root_type)), lambda k, v: k != key),
+            entry,
+        )
+        return df.withColumn(root, F.when(pred, new_root).otherwise(F.col(root)))
     new_leaf = value_expr(F.col(path))
     new_root = _with_field_path(F.col(root), parts[1:], new_leaf)
     return df.withColumn(root, F.when(pred, new_root).otherwise(F.col(root)))
@@ -196,6 +208,13 @@ def _drop_nested(df: DataFrame, path: str, pred: Column) -> DataFrame:
         # the key; null is the columnar representation of absent)
         return df.withColumn(path, F.when(pred, F.lit(None).cast(df.schema[path].dataType)).otherwise(F.col(path)))
     root = parts[0]
+    root_type = _field_type(df.schema, root)
+    if isinstance(root_type, T.MapType) and len(parts) == 2:
+        # unset on a map path removes the KEY (true Mongo $unset semantics —
+        # maps, unlike structs, can drop entries).
+        key = parts[1]
+        dropped = F.map_filter(F.col(root), lambda k, v: k != key)
+        return df.withColumn(root, F.when(pred, dropped).otherwise(F.col(root)))
     leaf_type = _field_type(df.schema, path)
     nulled = _with_field_path(F.col(root), parts[1:], F.lit(None).cast(leaf_type))
     return df.withColumn(root, F.when(pred, nulled).otherwise(F.col(root)))

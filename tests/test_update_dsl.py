@@ -79,6 +79,22 @@ def test_remove_by_subquery(spark, kv):
     assert out["a"]["lst"] == []
 
 
+def test_map_column_set_increment_unset(spark):
+    rows = [
+        Row(_id="a", metrics={"clicks": 1.0, "views": 5.0}),
+        Row(_id="b", metrics={"clicks": 3.0}),
+        Row(_id="c", metrics=None),
+    ]
+    df = spark.createDataFrame(rows)
+    upd = U.update().increment("metrics.clicks", 2.0).set("metrics.score", 9.5).unset("metrics.views")
+    out = by_id(apply_update(df, Q.all_of().when("_id", "a"), upd))
+    assert out["a"]["metrics"] == {"clicks": 3.0, "score": 9.5}
+    assert out["b"]["metrics"] == {"clicks": 3.0}
+    # set into a null map creates it
+    out2 = by_id(apply_update(df, Q.all_of().when("_id", "c"), U.update().set("metrics.new", 1.0)))
+    assert out2["c"]["metrics"] == {"new": 1.0}
+
+
 def test_update_by_range_spec(spark, kv):
     out = by_id(apply_update(kv, Q.all_of().range_above("n", 2), U.update().set("s", "big")))
     assert out["b"]["s"] == "big" and out["a"]["s"] == "x" and out["c"]["s"] == "z"
