@@ -1,0 +1,59 @@
+"""Plan-quality gate: every contract query must compile to a sane physical
+plan — no cartesian products anywhere, predicate/projection pushdown on the
+DSL scans, broadcast joins for dim tables, TakeOrderedAndProject for top-k.
+This is the executable form of the 100 TB design claims in README."""
+
+import re
+
+import pytest
+
+import __spark_entry__ as em
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name):
+    df = em.queries()[name](spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# queries that legitimately skip the scan-plan checks (driver-side writes,
+# streaming runs, or tiny collected inputs)
+HEAVY_SETUP = {"storage_partitioned_roundtrip", "streaming_pipeline_gate"}
+
+
+def test_no_cartesian_products(spark):
+    for name in em.queries():
+        if name in HEAVY_SETUP:
+            continue
+        plan = plan_of(spark, name)
+        assert "CartesianProduct" not in plan, f"{name} has a cartesian product"
+        assert "BroadcastNestedLoopJoin" not in plan, f"{name} has a nested-loop join"
+
+
+@pytest.mark.parametrize("name", ["dsl_range_dates", "dsl_equals_in", "q6_forecast_revenue"])
+def test_filters_pushed_to_scan(spark, name):
+    plan = plan_of(spark, name)
+    # plan strings truncate long filter lists ("...") so don't require the
+    # closing bracket — just a non-empty pushed-filter list on some scan
+    m = re.search(r"PushedFilters: \[([^\]\n]+)", plan)
+    assert m and m.group(1).strip(), f"{name}: no pushed filters\n{plan[:500]}"
+
+
+def test_projection_pruned(spark):
+    plan = plan_of(spark, "dsl_topk")
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m is not None
+    cols = [c.split(":")[0] for c in m.group(1).split(",")]
+    assert set(cols) == {"c_custkey", "c_name", "c_acctbal"}, cols
+
+
+def test_topk_uses_take_ordered(spark):
+    assert "TakeOrderedAndProject" in plan_of(spark, "dsl_topk")
+    assert "TakeOrderedAndProject" in plan_of(spark, "q3_shipping_priority")
+
+
+def test_dim_joins_broadcast(spark):
+    plan = plan_of(spark, "q5_revenue_by_nation")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
