@@ -113,6 +113,63 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q4_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS-correlated semi-join + group count. The
+    lineitem side only needs (l_orderkey, l_shipdate) — column pruning keeps
+    the semi-join probe narrow at scale."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-04-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    matched = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return matched.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: fact-fact join on orderkey, broadcast nation dim,
+    top-k by revenue."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-04-01")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nat = _t(spark, sf_dir, "nation")
+    rev = (_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional aggregate ratio over a broadcast-joined
+    dimension attribute; decimal-exact sums, one final double division."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-02-01")
+    )
+    part = _t(spark, sf_dir, "part")
+    rev = (_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    promo = F.sum(
+        F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(18,4)"))
+    ).cast("double")
+    total = F.sum(rev).cast("double")
+    return joined.agg((F.lit(100.0) * promo / total).alias("promo_revenue"))
+
+
 def window_top_order_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
@@ -447,6 +504,28 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.floor(F.col("score") * 1e6).cast("long").alias("score_f6"))
 
 
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs within label blocks.
+
+    The blocked self-join is the scale pattern (join keyed on the block —
+    here ``label``; at corpus scale an LSH/IVF cell id): pair count is
+    O(sum block²), never n². Cosine is the same sequential-fold expression
+    the oracle's list_cosine_similarity computes, so floor(x·1e6) is
+    engine-stable (proven by similarity_topk)."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = emb.select(F.col("vec_id").alias("id_a"), "label", F.col("v").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), "label", F.col("v").alias("vb"))
+    return (
+        a.join(b, "label")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_f6", F.floor(sim.cosine(F.col("va"), F.col("vb")) * 1e6).cast("long"))
+        .filter(F.col("cos_f6") >= 250000)
+        .select("id_a", "id_b", "cos_f6")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Joins / set ops / windows / stats (SQL-passthrough breadth, SURVEY P10)
 # ---------------------------------------------------------------------------
@@ -773,6 +852,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_shipping_priority": q3_shipping_priority,
         "q5_revenue_by_nation": q5_revenue_by_nation,
         "q6_forecast_revenue": q6_forecast_revenue,
+        "q4_priority_exists": q4_priority_exists,
+        "q10_returned_items": q10_returned_items,
+        "q14_promo_revenue": q14_promo_revenue,
         "window_top_order_per_cust": window_top_order_per_cust,
         "rollup_order_counts": rollup_order_counts,
         "dsl_equals_in": dsl_equals_in,
@@ -817,6 +899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_pairs": dedup_minhash_pairs,
         "dedup_simhash_fingerprints": dedup_simhash_fingerprints,
         "similarity_pairs_lsh": similarity_pairs_lsh,
+        "dedup_embedding_cosine": dedup_embedding_cosine,
         "similarity_ivf_topk": similarity_ivf_topk,
         "skew_salted_agg": skew_salted_agg,
         "multimodal_features": multimodal_features,
@@ -870,6 +953,43 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
               AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+        """,
+        "q4_priority_exists": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-04-01'
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+            GROUP BY o_orderpriority
+        """,
+        "q10_returned_items": f"""
+            SELECT c_custkey, c_name, n_name,
+                   CAST(sum({_DISC4}) AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-04-01'
+            GROUP BY c_custkey, c_name, n_name
+            ORDER BY revenue DESC, c_custkey ASC
+            LIMIT 20
+        """,
+        "q14_promo_revenue": f"""
+            SELECT 100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN {_DISC4}
+                                         ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                         / CAST(sum({_DISC4}) AS DOUBLE) AS promo_revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-02-01'
+        """,
+        "dedup_embedding_cosine": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   CAST(floor(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                     CAST(b.embedding AS DOUBLE[])) * 1000000.0) AS BIGINT) AS cos_f6
+            FROM embeddings a JOIN embeddings b
+              ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.25
         """,
         "window_top_order_per_cust": """
             SELECT o_custkey, o_orderkey, o_totalprice FROM (
