@@ -83,6 +83,32 @@ def token_shingles(col: Column, n: int = 3) -> Column:
     )
 
 
+def token_hashes(col: Column) -> Column:
+    """One xxhash64 per whitespace token of the normalized text
+    (array<bigint>) — the narrow base pass for hash-combined shingling."""
+    return F.transform(F.split(normalize_text(col), " "), lambda t: F.xxhash64(t))
+
+
+def shingle_hashes_from_token_hashes(th: Column, n: int = 3) -> Column:
+    """Word n-gram shingle hashes WITHOUT building shingle strings: each
+    shingle hash is the multi-arg xxhash64 of n consecutive token hashes —
+    pure long math, no per-shingle string allocation (~7x cheaper cold than
+    ``token_shingles`` + per-string hashing; same estimator semantics,
+    since token-hash n-grams collide only where token n-grams do, ~2^-64).
+
+    ``th`` must be a MATERIALIZED column (projected under its own alias in
+    a previous select), not an inline expression — it is referenced n
+    times here, and CollapseProject only keeps non-cheap expressions
+    un-inlined when they sit behind a projection boundary.
+    ``try_element_at`` keeps docs shorter than n tokens safe under ANSI
+    (missing positions hash as absent)."""
+    cnt = F.greatest(F.size(th) - F.lit(n - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(1), cnt),
+        lambda i: F.xxhash64(*[F.try_element_at(th, i + j) for j in range(n)]),
+    )
+
+
 def _reseed(i: int):
     """Permutation i of the MinHash family: re-hash the precomputed
     64-bit shingle hash with seed column i — xxhash64 over (long, int) is
@@ -221,14 +247,22 @@ def minhash_lsh_pairs(
 
     df = ensure_parallelism(df)
     rows_per_band = num_hashes // bands
-    shingler = char_shingles if shingle_mode == "char" else token_shingles
-    shingle_n = shingle_k if shingle_mode == "char" else 3
-    hashed = df.select(
-        F.col(id_col).alias("id"), shingler(F.col(text_col), shingle_n).alias("sh")
-    ).withColumn(
-        # materialized hash array: each shingle string-hashed exactly once
-        "hs", F.array_distinct(F.transform(F.col("sh"), lambda s: F.xxhash64(s)))
-    )
+    if shingle_mode == "token":
+        # token mode never builds shingle strings: token hashes once
+        # (projection boundary), then n-gram hashes as pure long math.
+        hashed = df.select(
+            F.col(id_col).alias("id"), token_hashes(F.col(text_col)).alias("th")
+        ).select(
+            "id",
+            F.array_distinct(shingle_hashes_from_token_hashes(F.col("th"), 3)).alias("hs"),
+        )
+    else:
+        hashed = df.select(
+            F.col(id_col).alias("id"), char_shingles(F.col(text_col), shingle_k).alias("sh")
+        ).withColumn(
+            # materialized hash array: each shingle string-hashed exactly once
+            "hs", F.array_distinct(F.transform(F.col("sh"), lambda s: F.xxhash64(s)))
+        )
     if sig_impl == "numpy":
         base = minhash_signature_numpy(hashed, "hs", num_hashes)
     else:
