@@ -416,6 +416,80 @@ def storage_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def storage_retention_age_out(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S18 in the graded gate: write events time-partitioned, age out whole
+    partitions older than exist_age_max (directory-level delete, no data
+    rewrite), read back per-day counts. Must equal a plain filtered
+    aggregate over the source — proving age-out removes exactly the
+    partitions older than the bound and nothing else."""
+    import datetime as dt
+    import tempfile
+
+    from aleph2_contrib_spark.model.bucket import Bucket, TemporalSchema
+    from aleph2_contrib_spark.sources.storage import TimePartitionedTable
+
+    ev = _t(spark, sf_dir, "events")
+    bucket = Bucket(
+        full_name="/gate/events_retention",
+        path=tempfile.mkdtemp(prefix="a2s_gate_ret_"),
+        temporal=TemporalSchema(
+            time_field="ts", grouping_time_period="day", exist_age_max="10 days"
+        ),
+    )
+    table = TimePartitionedTable(spark, bucket)
+    table.write(ev)
+    table.age_out(now=dt.datetime(2024, 1, 25))
+    return (
+        table.read()
+        .groupBy(F.date_trunc("day", F.col("ts")).cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def storage_buffer_promote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S17 in the graded gate: primary holds clicks, a secondary buffer is
+    loaded with views, promote swaps it in atomically; the post-promote
+    read must see exactly the buffer contents (ping-pong reload)."""
+    import tempfile
+
+    from aleph2_contrib_spark.model.bucket import Bucket, TemporalSchema
+    from aleph2_contrib_spark.sources.storage import TimePartitionedTable
+
+    ev = _t(spark, sf_dir, "events")
+    bucket = Bucket(
+        full_name="/gate/events_buffer",
+        path=tempfile.mkdtemp(prefix="a2s_gate_buf_"),
+        temporal=TemporalSchema(time_field="ts", grouping_time_period="day"),
+    )
+    table = TimePartitionedTable(spark, bucket)
+    table.write(ev.filter(F.col("event_type") == "click"))
+    table.write_to_buffer(ev.filter(F.col("event_type") == "view"), "pong")
+    table.promote_buffer("pong")
+    return table.read().groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.countDistinct("user_id").alias("n_users")
+    )
+
+
+def file_ingest_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1+S2 in the graded gate: dump events as newline-JSON files, ingest
+    through the JSON inbox reader (schema inference + filename key), and
+    aggregate — the round-trip must be lossless."""
+    import tempfile
+
+    from aleph2_contrib_spark.sources.files import read_json_inbox
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    inbox = tempfile.mkdtemp(prefix="a2s_gate_inbox_")
+    ev.write.mode("overwrite").json(inbox)
+    got = read_json_inbox(spark, inbox)
+    return got.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("event_id").alias("n_ids"),
+        F.min("value").alias("min_v"),
+        F.max("value").alias("max_v"),
+    )
+
+
 def streaming_pipeline_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P14 in the graded gate: events re-played as a file stream through the
     SAME pipeline DAG under foreachBatch (availableNow), results accumulated
@@ -861,6 +935,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_group_stats": pipeline_group_stats,
         "pipeline_sql_stage": pipeline_sql_stage,
         "storage_partitioned_roundtrip": storage_partitioned_roundtrip,
+        "storage_retention_age_out": storage_retention_age_out,
+        "storage_buffer_promote": storage_buffer_promote,
+        "file_ingest_json_roundtrip": file_ingest_json_roundtrip,
         "streaming_pipeline_gate": streaming_pipeline_gate,
         "dedup_exact_first": dedup_exact_first,
         "text_token_stats": text_token_stats,
@@ -1064,6 +1141,21 @@ def oracle_sql() -> dict[str, str]:
             WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'
               AND event_type IN ('click', 'view', 'purchase')
             GROUP BY event_type
+        """,
+        "storage_retention_age_out": """
+            SELECT CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS n
+            FROM events
+            WHERE date_trunc('day', ts) >= TIMESTAMP '2024-01-15'
+            GROUP BY day
+        """,
+        "storage_buffer_promote": """
+            SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users
+            FROM events WHERE event_type = 'view' GROUP BY event_type
+        """,
+        "file_ingest_json_roundtrip": """
+            SELECT event_type, count(*) AS n, count(DISTINCT event_id) AS n_ids,
+                   min(value) AS min_v, max(value) AS max_v
+            FROM events GROUP BY event_type
         """,
         "streaming_pipeline_gate": """
             SELECT event_type, count(*) AS n,
