@@ -490,6 +490,67 @@ def file_ingest_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def file_ingest_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 in the graded gate: materialize nation as XML files (attributes +
+    nested elements), parse through the XML inbox reader (BeXmlParser
+    semantics: root_fields delimit records, attribute prefix, dotted
+    flattening), and project typed columns back — lossless round-trip."""
+    import os
+    import tempfile
+
+    from aleph2_contrib_spark.sources.files import XmlConfig, read_xml_inbox
+
+    nat = _t(spark, sf_dir, "nation").collect()  # tiny dim: fixture generation only
+    inbox = tempfile.mkdtemp(prefix="a2s_gate_xml_")
+    half = len(nat) // 2 or 1
+    for i, chunk in enumerate((nat[:half], nat[half:])):
+        if not chunk:
+            continue
+        body = "".join(
+            f'<nation key="{r.n_nationkey}"><name>{r.n_name}</name>'
+            f"<region>{r.n_regionkey}</region></nation>"
+            for r in chunk
+        )
+        with open(os.path.join(inbox, f"part{i}.xml"), "w") as f:
+            f.write(f"<nations>{body}</nations>")
+    cfg = XmlConfig(root_fields=["nation"], attribute_prefix="@", preserve_case=False)
+    out = read_xml_inbox(spark, inbox, cfg)
+    return out.select(
+        F.col("`@key`").cast("int").alias("n_nationkey"),
+        F.col("name").alias("n_name"),
+        F.col("region").cast("int").alias("n_regionkey"),
+    )
+
+
+def raw_json_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C17 in the graded gate: the untyped JSON-repo view of a typed table
+    (to_json over the row struct) — same bytes DuckDB's json_object emits
+    for int/string columns."""
+    nat = _t(spark, sf_dir, "nation")
+    return nat.select(
+        F.col("n_nationkey").alias("_id"),
+        F.to_json(F.struct("n_nationkey", "n_name", "n_regionkey")).alias("js"),
+    )
+
+
+def update_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C9-C11 in the graded gate: list add_deduplicate ($addToSet) on a
+    spec-matched subset, then remove ($pull) everywhere — set-semantics
+    output (sorted) so both engines agree on representation."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.slice(F.split(F.col("text"), r"\s+"), 1, 5).alias("tags"),
+    )
+    step1 = apply_update(
+        docs, Q.all_of().when("lang", "en"), U.update().add("tags", ["zzz"], deduplicate=True)
+    )
+    step2 = apply_update(step1, Q.all_of(), U.update().remove("tags", "the"))
+    return step2.select(
+        "doc_id", F.array_sort(F.array_distinct(F.col("tags"))).alias("tags_sorted")
+    )
+
+
 def streaming_pipeline_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P14 in the graded gate: events re-played as a file stream through the
     SAME pipeline DAG under foreachBatch (availableNow), results accumulated
@@ -938,6 +999,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "storage_retention_age_out": storage_retention_age_out,
         "storage_buffer_promote": storage_buffer_promote,
         "file_ingest_json_roundtrip": file_ingest_json_roundtrip,
+        "file_ingest_xml_roundtrip": file_ingest_xml_roundtrip,
+        "raw_json_view": raw_json_view,
+        "update_array_ops": update_array_ops,
         "streaming_pipeline_gate": streaming_pipeline_gate,
         "dedup_exact_first": dedup_exact_first,
         "text_token_stats": text_token_stats,
@@ -1141,6 +1205,29 @@ def oracle_sql() -> dict[str, str]:
             WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'
               AND event_type IN ('click', 'view', 'purchase')
             GROUP BY event_type
+        """,
+        "file_ingest_xml_roundtrip": """
+            SELECT n_nationkey, n_name, n_regionkey FROM nation
+        """,
+        "raw_json_view": """
+            SELECT n_nationkey AS _id,
+                   json_object('n_nationkey', n_nationkey, 'n_name', n_name,
+                               'n_regionkey', n_regionkey)::VARCHAR AS js
+            FROM nation
+        """,
+        "update_array_ops": r"""
+            WITH base AS (
+                SELECT doc_id, lang, regexp_split_to_array(text, '\s+')[1:5] AS tags
+                FROM documents
+            ), step1 AS (
+                SELECT doc_id, lang,
+                       CASE WHEN lang = 'en' THEN list_distinct(list_concat(tags, ['zzz']))
+                            ELSE tags END AS tags
+                FROM base
+            )
+            SELECT doc_id,
+                   list_sort(list_distinct(list_filter(tags, x -> x <> 'the'))) AS tags_sorted
+            FROM step1
         """,
         "storage_retention_age_out": """
             SELECT CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS n
