@@ -869,33 +869,19 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact token-set Jaccard pairs within (lang, size-bucket) blocking.
 
-    Scale shape: tokens are xxhash64-hashed to longs BEFORE the self-join,
-    so the shuffle and the per-pair set intersection run on long arrays
-    (~3x faster and ~5x smaller than strings); counts are identical to the
-    string computation (collision odds ~2^-64). Int/int division →
-    bit-identical doubles across engines (the DuckDB oracle uses strings).
-    """
-    from aleph2_contrib_spark.parallel import ensure_parallelism
-
-    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
-    t = docs.select(
+    Scale shape: tokens are xxhash64-hashed to longs in a narrow JVM pass
+    (counts identical to the string computation, collision odds ~2^-64),
+    then ONE shuffle on the block key and a per-block incidence matmul
+    produces all pairwise intersection counts — no per-pair hash-set
+    work. Int/int division → bit-identical doubles across engines (the
+    DuckDB oracle uses strings)."""
+    docs = _t(spark, sf_dir, "documents")
+    return ddp.blocked_token_jaccard_pairs(
+        docs,
         "doc_id",
-        F.col("lang"),
-        (F.col("n_chars") / F.lit(500)).cast("long").alias("size_bucket"),
-        F.array_distinct(
-            F.transform(F.split(F.col("text"), r"\s+"), lambda x: F.xxhash64(x))
-        ).alias("toks"),
-    )
-    a = t.select(F.col("doc_id").alias("id_a"), "lang", "size_bucket", F.col("toks").alias("ta"))
-    b = t.select(F.col("doc_id").alias("id_b"), "lang", "size_bucket", F.col("toks").alias("tb"))
-    inter = F.size(F.array_intersect(F.col("ta"), F.col("tb")))
-    union = F.size(F.array_union(F.col("ta"), F.col("tb")))
-    return (
-        a.join(b, ["lang", "size_bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("j_f6", F.floor(inter / union * 1e6).cast("long"))
-        .filter(F.col("j_f6") >= 990000)
-        .select("id_a", "id_b", "j_f6")
+        "text",
+        block_cols=[F.col("lang"), (F.col("n_chars") / F.lit(500)).cast("long")],
+        threshold_f6=990000,
     )
 
 
