@@ -948,6 +948,243 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# TPC-H breadth batch 2 (SQL passthrough P10). The driver star schema has no
+# partsupp table and lineitem lacks shipmode/commitdate/receiptdate, so q9/q12
+# keep the classic join/aggregate *shape* over the columns that exist.
+# ---------------------------------------------------------------------------
+
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: two-nation trade volume by year. Both nation dims
+    broadcast; the only shuffles are the two fact joins and the final agg."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    rev = (_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    trade = ["NATION_1", "NATION_2", "NATION_3", "NATION_4"]
+    pair = (
+        F.col("supp_nation").isin(trade)
+        & F.col("cust_nation").isin(trade)
+        & (F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: national market share within a region/part-type
+    market; conditional-sum ratio per order year."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_regionkey").alias("c_rkey")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    rev = (_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    joined = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nkey"))
+        .join(F.broadcast(reg), F.col("c_rkey") == F.col("r_regionkey"))
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nkey"))
+        .withColumn("volume", rev)
+    )
+    target = F.sum(
+        F.when(F.col("supp_nation") == "NATION_5", F.col("volume")).otherwise(
+            F.lit(0).cast("decimal(18,4)")
+        )
+    ).cast("double")
+    return (
+        joined.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg((target / F.sum(F.col("volume")).cast("double")).alias("mkt_share"))
+    )
+
+
+def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (no partsupp table in this schema, so profit =
+    discounted revenue): LIKE-filtered part dim, supplier-nation rollup by
+    order year."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("red"))
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    rev = (_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(F.sum(rev).cast("double").alias("sum_profit"))
+    )
+
+
+def q12_priority_by_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (schema has no l_shipmode, group on l_linestatus):
+    high/low order-priority counts for 1997 shipments."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    orders = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: left-outer join + two-level aggregation (orders per
+    customer, then customers per order-count)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "4-NOT SPECIFIED"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING-filtered aggregate as a semi-filter, then
+    re-join facts. The per-order qty agg is the only wide shuffle; the
+    surviving keyset is small, so the back-join broadcasts it."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 180)
+    )
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            _dec("o_totalprice").cast("double").alias("total"),
+            F.col("sum_qty").cast("double").alias("sum_qty"),
+        )
+    )
+
+
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-conjunctions across a broadcast-joined dim;
+    Catalyst extracts the common l_partkey join key so the disjunction
+    doesn't force a cartesian plan."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    rev = (_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    branch = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("p_size").between(1, 5)) & (F.col("l_quantity").between(1, 11)))
+        | ((F.col("p_brand") == "Brand#2") & (F.col("p_size").between(1, 10)) & (F.col("l_quantity").between(10, 20)))
+        | ((F.col("p_brand") == "Brand#3") & (F.col("p_size").between(1, 15)) & (F.col("l_quantity").between(20, 30)))
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(branch)
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+def q22_idle_balance_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar-subquery average + anti-join; the scalar agg
+    is broadcast-cross-joined so the plan stays fully distributed."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        (F.sum(_dec("c_acctbal")).cast("double") / F.count(F.lit(1))).alias("avg_bal")
+    )
+    recent = orders.filter(F.col("o_orderdate") >= "2000-01-01")
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal").cast("double") > F.col("avg_bal"))
+        .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"),
+        )
+    )
+
+
+def crud_filtered_repo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C18 getFilteredRepo: auth-filtered repo view composed with a DSL
+    query (reference: MongoDbCrudService.java:206-221)."""
+    from aleph2_contrib_spark.operators.crud import CrudService
+
+    svc = CrudService(spark, df=_t(spark, sf_dir, "events"))
+    repo = svc.get_filtered_repo(Q.all_of().when_not("event_type", "error"))
+    out = repo.get_objects_by_spec(Q.all_of().range_closed_open("value", 10.0, 1000.0))
+    return out.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.floor(F.min("value") * 1e6).cast("long").alias("min_v_f6"),
+        F.floor(F.max("value") * 1e6).cast("long").alias("max_v_f6"),
+    )
+
+
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window aggregation (the batch form of the
+    streaming windowed agg; F.window is epoch-aligned so it equals
+    date_trunc('hour') for a 1-hour width)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.floor(F.min("value") * 1e6).cast("long").alias("min_v_f6"),
+            F.floor(F.max("value") * 1e6).cast("long").alias("max_v_f6"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "min_v_f6", "max_v_f6")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 
@@ -1020,6 +1257,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ivf_topk": similarity_ivf_topk,
         "skew_salted_agg": skew_salted_agg,
         "multimodal_features": multimodal_features,
+        "q7_volume_shipping": q7_volume_shipping,
+        "q8_market_share": q8_market_share,
+        "q9_profit_by_nation_year": q9_profit_by_nation_year,
+        "q12_priority_by_linestatus": q12_priority_by_linestatus,
+        "q13_order_count_distribution": q13_order_count_distribution,
+        "q18_large_volume_customers": q18_large_volume_customers,
+        "q19_disjunctive_predicates": q19_disjunctive_predicates,
+        "q22_idle_balance_customers": q22_idle_balance_customers,
+        "crud_filtered_repo": crud_filtered_repo,
+        "events_tumbling_window": events_tumbling_window,
     }
 
 
@@ -1432,5 +1679,121 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT vec_id, CAST(floor(score * 1000000.0) AS BIGINT) AS score_f6
             FROM scored ORDER BY score DESC, vec_id ASC LIMIT 10
+        """,
+        "q7_volume_shipping": f"""
+            SELECT supp_nation, cust_nation, l_year,
+                   CAST(sum(volume) AS DOUBLE) AS revenue
+            FROM (
+                SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                       year(l_shipdate) AS l_year, {_DISC4} AS volume
+                FROM lineitem
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                JOIN nation n2 ON c_nationkey = n2.n_nationkey
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+                  AND n1.n_name IN ('NATION_1','NATION_2','NATION_3','NATION_4')
+                  AND n2.n_name IN ('NATION_1','NATION_2','NATION_3','NATION_4')
+                  AND n1.n_name <> n2.n_name
+            )
+            GROUP BY supp_nation, cust_nation, l_year
+        """,
+        "q8_market_share": f"""
+            SELECT o_year,
+                   CAST(sum(CASE WHEN supp_nation = 'NATION_5' THEN volume
+                                 ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                   / CAST(sum(volume) AS DOUBLE) AS mkt_share
+            FROM (
+                SELECT year(o_orderdate) AS o_year, {_DISC4} AS volume, n2.n_name AS supp_nation
+                FROM lineitem
+                JOIN part ON l_partkey = p_partkey
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation n1 ON c_nationkey = n1.n_nationkey
+                JOIN region ON n1.n_regionkey = r_regionkey
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation n2 ON s_nationkey = n2.n_nationkey
+                WHERE p_type = 'ECONOMY' AND r_name = 'ASIA'
+                  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+            )
+            GROUP BY o_year
+        """,
+        "q9_profit_by_nation_year": f"""
+            SELECT n_name AS nation, year(o_orderdate) AS o_year,
+                   CAST(sum({_DISC4}) AS DOUBLE) AS sum_profit
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE p_name LIKE '%red%'
+            GROUP BY n_name, year(o_orderdate)
+        """,
+        "q12_priority_by_linestatus": """
+            SELECT l_linestatus,
+                   sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+                   sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+            GROUP BY l_linestatus
+        """,
+        "q13_order_count_distribution": """
+            SELECT c_count, count(*) AS custdist
+            FROM (
+                SELECT c_custkey, count(o_orderkey) AS c_count
+                FROM customer
+                LEFT OUTER JOIN (SELECT * FROM orders WHERE o_orderpriority <> '4-NOT SPECIFIED') o
+                  ON c_custkey = o.o_custkey
+                GROUP BY c_custkey
+            )
+            GROUP BY c_count
+        """,
+        "q18_large_volume_customers": """
+            SELECT c_custkey, o_orderkey, o_orderdate,
+                   CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total,
+                   CAST(sum_qty AS DOUBLE) AS sum_qty
+            FROM orders
+            JOIN (
+                SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+                FROM lineitem GROUP BY l_orderkey HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 180
+            ) big ON o_orderkey = big.l_orderkey
+            JOIN customer ON o_custkey = c_custkey
+        """,
+        "q19_disjunctive_predicates": f"""
+            SELECT CAST(sum({_DISC4}) AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+        """,
+        "q22_idle_balance_customers": """
+            SELECT c_mktsegment, count(*) AS numcust,
+                   CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+            FROM customer
+            WHERE CAST(c_acctbal AS DOUBLE) > (
+                SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+                FROM customer WHERE c_acctbal > 0
+            )
+            AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                            AND o_orderdate >= TIMESTAMP '2000-01-01')
+            GROUP BY c_mktsegment
+        """,
+        "crud_filtered_repo": """
+            SELECT event_type, count(*) AS n,
+                   CAST(floor(min(value) * 1000000.0) AS BIGINT) AS min_v_f6,
+                   CAST(floor(max(value) * 1000000.0) AS BIGINT) AS max_v_f6
+            FROM events
+            WHERE event_type <> 'error' AND value >= 10.0 AND value < 1000.0
+            GROUP BY event_type
+        """,
+        "events_tumbling_window": """
+            SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n,
+                   CAST(floor(min(value) * 1000000.0) AS BIGINT) AS min_v_f6,
+                   CAST(floor(max(value) * 1000000.0) AS BIGINT) AS max_v_f6
+            FROM events
+            GROUP BY date_trunc('hour', ts), event_type
         """,
     }
