@@ -1184,6 +1184,72 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pipeline_combiner_partial_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 combiner in the graded gate: a reduce module with a map-side
+    combiner (reference BatchEnrichmentJob.BatchEnrichmentBaseCombiner
+    :762-782). The combiner collapses each in-partition key group to one
+    partial row, so the shuffle moves O(partitions x keys) partials instead
+    of all rows; the reducer folds partials. Exact (count/min/max are
+    algebraic)."""
+    import pandas as pd
+
+    schema = "event_type string, n long, min_v double, max_v double"
+
+    class PartialStats(EnrichmentModule):
+        def on_object_batch(self, batch: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "event_type": [batch["event_type"].iloc[0]],
+                    "n": [int(batch["n"].sum()) if "n" in batch else len(batch)],
+                    "min_v": [batch["min_v" if "min_v" in batch else "value"].min()],
+                    "max_v": [batch["max_v" if "max_v" in batch else "value"].max()],
+                }
+            )
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    pipe = Pipeline(
+        [
+            Stage(
+                name="stats",
+                module=PartialStats(),
+                combine_module=PartialStats(),
+                combine_schema=schema,
+                grouping_fields=["event_type"],
+                output_schema=schema,
+            )
+        ]
+    )
+    (out,) = pipe.run(spark, {"events": ev}).values()
+    return out.select(
+        "event_type",
+        "n",
+        F.floor(F.col("min_v") * 1e6).cast("long").alias("min_v_f6"),
+        F.floor(F.col("max_v") * 1e6).cast("long").alias("max_v_f6"),
+    )
+
+
+def file_ingest_binary_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 in the graded gate: opaque files through the binary inbox reader —
+    one record per file, key = filename (reference BeStreamParser;
+    BeFileInputReader.getCurrentKey:325-327). Decoded char length must match
+    the source text length."""
+    import os
+    import tempfile
+
+    from aleph2_contrib_spark.sources.files import read_binary_inbox
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    inbox = tempfile.mkdtemp(prefix="a2s_gate_bin_")
+    for r in docs.select("doc_id", "text").collect():  # small fixture write
+        with open(os.path.join(inbox, f"{int(r.doc_id):06d}.bin"), "wb") as f:
+            f.write(r.text.encode("utf-8"))
+    got = read_binary_inbox(spark, inbox)
+    return got.select(
+        F.regexp_extract(F.col("__source_file"), r"(\d+)\.bin$", 1).cast("int").alias("doc_id"),
+        F.length(F.decode(F.col("content"), "UTF-8")).alias("n_chars_decoded"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -1267,6 +1333,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_idle_balance_customers": q22_idle_balance_customers,
         "crud_filtered_repo": crud_filtered_repo,
         "events_tumbling_window": events_tumbling_window,
+        "pipeline_combiner_partial_agg": pipeline_combiner_partial_agg,
+        "file_ingest_binary_roundtrip": file_ingest_binary_roundtrip,
     }
 
 
@@ -1795,5 +1863,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(max(value) * 1000000.0) AS BIGINT) AS max_v_f6
             FROM events
             GROUP BY date_trunc('hour', ts), event_type
+        """,
+        "pipeline_combiner_partial_agg": """
+            SELECT event_type, count(*) AS n,
+                   CAST(floor(min(value) * 1000000.0) AS BIGINT) AS min_v_f6,
+                   CAST(floor(max(value) * 1000000.0) AS BIGINT) AS max_v_f6
+            FROM events GROUP BY event_type
+        """,
+        "file_ingest_binary_roundtrip": """
+            SELECT doc_id, length(text) AS n_chars_decoded
+            FROM documents WHERE doc_id < 100
         """,
     }

@@ -99,6 +99,13 @@ class Stage:
     transform: Callable[[DataFrame], DataFrame] | None = None
     sample_fraction: float | None = None  # P9
     test_record_limit: int | None = None  # S6
+    # P6 combiner (reference BatchEnrichmentJob.BatchEnrichmentBaseCombiner
+    # :762-782): a module run MAP-SIDE per (partition, key-group) before the
+    # shuffle, re-emitting keyed partial records with the same schema the
+    # reduce module consumes (combine_schema; defaults to the input schema).
+    # The shuffle then moves partials, not raw records.
+    combine_module: EnrichmentModule | None = None
+    combine_schema: Any = None
 
 
 @dataclass
@@ -236,6 +243,8 @@ class Pipeline:
     @staticmethod
     def _grouped_module(st: Stage, cur: DataFrame) -> DataFrame:
         module = st.module
+        if st.combine_module is not None:
+            cur = Pipeline._combine_map_side(st, cur)
         schema = st.output_schema or cur.schema
         keys = list(st.grouping_fields)
         if keys == ["?"]:
@@ -267,3 +276,32 @@ class Pipeline:
             return pd.concat(parts, ignore_index=True)
 
         return cur.groupBy(*key_cols).applyInPandas(run, schema=schema)
+
+    @staticmethod
+    def _combine_map_side(st: Stage, cur: DataFrame) -> DataFrame:
+        """P6: run the combiner per (Arrow batch, key group) before the
+        shuffle. Like the MR combiner it is an optimization contract: it must
+        emit records the reduce module accepts, keyed by the same
+        grouping_fields, so the shuffle carries partials instead of rows."""
+        combiner = st.combine_module
+        schema = st.combine_schema or cur.schema
+        keys = [k for k in st.grouping_fields if k != "?"] or ["grouping_key"]
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for b in batches:
+                if not len(b):
+                    continue
+                outs = []
+                for _, grp in b.groupby(keys, sort=False, dropna=False):
+                    m = combiner.clone_for_new_grouping()
+                    m.on_stage_initialize(None)
+                    out = m.on_object_batch(grp)
+                    if out is not None and len(out):
+                        outs.append(out)
+                    tail = m.on_stage_complete()
+                    if tail is not None and len(tail):
+                        outs.append(tail)
+                if outs:
+                    yield pd.concat(outs, ignore_index=True)
+
+        return cur.mapInPandas(run, schema=schema)

@@ -176,3 +176,65 @@ def test_observe_stats(spark, data):
     pipe = Pipeline([Stage(name="m", module=AddOne())])
     out = pipe.run(spark, {"in": data}, observe_stats=True)["m"]
     assert out.count() == 5
+
+
+class PartialSum(EnrichmentModule):
+    """Combiner/reducer pair for P6: emits one (k, n) partial per key group;
+    folding partials of partials is associative, so reduce(combine(x)) ==
+    reduce(x)."""
+
+    def on_object_batch(self, batch):
+        return pd.DataFrame({"k": [batch["k"].iloc[0]], "n": [int(batch["n"].sum())]})
+
+
+def test_combiner_partial_agg_matches_direct(spark, data):
+    schema = "k string, n long"
+
+    def build(with_combiner):
+        return Pipeline(
+            [
+                Stage(
+                    name="sum",
+                    module=PartialSum(),
+                    combine_module=PartialSum() if with_combiner else None,
+                    combine_schema=schema if with_combiner else None,
+                    grouping_fields=["k"],
+                    output_schema=schema,
+                )
+            ]
+        )
+
+    direct = {r["k"]: r["n"] for r in build(False).run(spark, {"in": data})["sum"].collect()}
+    combined = {r["k"]: r["n"] for r in build(True).run(spark, {"in": data})["sum"].collect()}
+    assert direct == combined == {"a": 3, "b": 7, "c": 5}
+
+
+def test_combiner_reduces_shuffle_rows(spark):
+    # 1000 rows, 2 keys, many partitions: the combiner's map-side output is
+    # at most (partitions x keys) partial rows, far fewer than the input.
+    df = spark.range(1000).select(
+        (F.col("id") % 2).cast("string").alias("k"), F.lit(1).alias("n")
+    ).repartition(8)
+    schema = "k string, n long"
+    seen = df.sparkSession.sparkContext.accumulator(0)
+
+    class CountingCombiner(PartialSum):
+        def on_object_batch(self, batch):
+            seen.add(len(batch))
+            return super().on_object_batch(batch)
+
+    pipe = Pipeline(
+        [
+            Stage(
+                name="sum",
+                module=PartialSum(),
+                combine_module=CountingCombiner(),
+                combine_schema=schema,
+                grouping_fields=["k"],
+                output_schema=schema,
+            )
+        ]
+    )
+    out = {r["k"]: r["n"] for r in pipe.run(spark, {"in": df})["sum"].collect()}
+    assert out == {"0": 500, "1": 500}
+    assert seen.value == 1000  # combiner saw every input row map-side
