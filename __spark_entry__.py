@@ -1184,6 +1184,27 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data corpus cleaning: quality gate (length +
+    token-count floors) → exact near-dup removal on normalized text
+    (first doc_id wins) → per-(lang, source) corpus stats. One narrow
+    JVM-side pass for features, ONE shuffle on the dedup key, one partial
+    agg — the shape that holds at 100 TB."""
+    docs = _t(spark, sf_dir, "documents")
+    qual = (
+        docs.withColumn("n_tokens", txt.token_count(F.col("text")))
+        .withColumn("norm", F.lower(F.trim(F.col("text"))))
+        .filter((F.col("n_chars") >= 50) & (F.col("n_tokens") >= 5))
+    )
+    w = W.partitionBy("norm").orderBy(F.col("doc_id").asc())
+    deduped = qual.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return deduped.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
 def pipeline_combiner_partial_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P6 combiner in the graded gate: a reduce module with a map-side
     combiner (reference BatchEnrichmentJob.BatchEnrichmentBaseCombiner
@@ -1335,6 +1356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_tumbling_window": events_tumbling_window,
         "pipeline_combiner_partial_agg": pipeline_combiner_partial_agg,
         "file_ingest_binary_roundtrip": file_ingest_binary_roundtrip,
+        "docs_clean_corpus": docs_clean_corpus,
     }
 
 
@@ -1873,5 +1895,27 @@ def oracle_sql() -> dict[str, str]:
         "file_ingest_binary_roundtrip": """
             SELECT doc_id, length(text) AS n_chars_decoded
             FROM documents WHERE doc_id < 100
+        """,
+        "docs_clean_corpus": r"""
+            WITH feats AS (
+                SELECT *,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+                       lower(trim(text)) AS norm
+                FROM documents
+            ),
+            qual AS (
+                SELECT * FROM feats WHERE n_chars >= 50 AND n_tokens >= 5
+            ),
+            deduped AS (
+                SELECT * FROM (
+                    SELECT *, row_number() OVER (PARTITION BY norm ORDER BY doc_id ASC) AS rn
+                    FROM qual
+                ) WHERE rn = 1
+            )
+            SELECT lang, source, count(*) AS n_docs,
+                   sum(n_tokens) AS total_tokens, sum(n_chars) AS total_chars
+            FROM deduped
+            GROUP BY lang, source
         """,
     }
