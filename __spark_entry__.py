@@ -1184,6 +1184,36 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def file_inbox_consume_archive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 in the graded gate: ingest an inbox, consume it (lock-rename then
+    move into a time-grouped archive — reference BeFileInputReader:249-306),
+    then re-read the ARCHIVE: contents must equal the original source and
+    the inbox must be empty."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    from aleph2_contrib_spark.sources.files import consume_inbox, read_json_inbox
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    inbox = tempfile.mkdtemp(prefix="a2s_gate_consume_")
+    archive = tempfile.mkdtemp(prefix="a2s_gate_archive_")
+    ev.write.mode("overwrite").json(inbox)
+    # drop Spark's _SUCCESS marker so only data files are consumed
+    marker = os.path.join(inbox, "_SUCCESS")
+    if os.path.exists(marker):
+        os.remove(marker)
+    consume_inbox(inbox, archive, mode="archive", time_group="month",
+                  now=dt.datetime(2024, 1, 31))
+    leftovers = [f for f in os.listdir(inbox) if os.path.isfile(os.path.join(inbox, f))]
+    assert not leftovers, f"inbox not drained: {leftovers}"
+    got = read_json_inbox(spark, os.path.join(archive, "2024-01"))
+    return got.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("event_id").alias("n_ids"),
+    )
+
+
 def graph_merge_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G4-G6 in the graded gate: build the graph from the first half of the
     stream, then incrementally merge the rest against the existing graph
@@ -1418,6 +1448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_merge_incremental": graph_merge_incremental,
         "math_funcs": math_funcs,
         "regexp_funcs": regexp_funcs,
+        "file_inbox_consume_archive": file_inbox_consume_archive,
     }
 
 
@@ -2006,5 +2037,9 @@ def oracle_sql() -> dict[str, str]:
                    regexp_matches(c_name, '00[0-4]$') AS ends_low,
                    regexp_extract(c_mktsegment, '^([A-Z]+)', 1) AS seg_word
             FROM customer
+        """,
+        "file_inbox_consume_archive": """
+            SELECT event_type, count(*) AS n, count(DISTINCT event_id) AS n_ids
+            FROM events GROUP BY event_type
         """,
     }

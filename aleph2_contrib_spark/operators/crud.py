@@ -103,6 +103,30 @@ class CrudService:
         """C18: repo view pre-filtered by an authorization predicate."""
         return CrudService(self.spark, df=self.df.filter(compile_query(auth_spec, self.df.schema)))
 
+    # -- physical layout hints (C16) ---------------------------------------
+    def optimize_query(self, ordered_fields: Sequence[str]) -> None:
+        """C16 optimizeQuery (reference: MongoDbCrudService.java:297-322
+        creates a secondary index on the field list). Parquet has no
+        secondary indexes; the scale-equivalent is clustering the file
+        layout on those fields so min/max row-group stats become selective
+        (the Z-ORDER/sort-order maintenance of table formats). Rewrites the
+        table sorted by the field list; a no-op for in-memory repos."""
+        if self.path is None:
+            return
+        self._registered_indexes = getattr(self, "_registered_indexes", [])
+        self._registered_indexes.append(tuple(ordered_fields))
+        self._rewrite(self.df.sortWithinPartitions(*ordered_fields))
+
+    def deregister_optimized_query(self, ordered_fields: Sequence[str]) -> bool:
+        """C16: drop a registered layout hint (data is left as-is — matching
+        Mongo dropIndex semantics, which don't reshuffle documents)."""
+        idx = getattr(self, "_registered_indexes", [])
+        try:
+            idx.remove(tuple(ordered_fields))
+            return True
+        except ValueError:
+            return False
+
     # -- write surface (C4-C6, C13-C15) ------------------------------------
     def store_objects(self, new_df: DataFrame, replace_if_present: bool = False, id_field: str = "_id") -> None:
         if replace_if_present and id_field in self.df.columns:
