@@ -1184,6 +1184,38 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def join_asof_last_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (union+window single-shuffle formulation): each
+    purchase event gets the ts of the user's latest signup at-or-before it.
+    Oracle = DuckDB's native ASOF LEFT JOIN."""
+    from aleph2_contrib_spark.operators.joins import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    signups = ev.filter(F.col("event_type") == "signup").select("user_id", "ts")
+    out = asof_join(purchases, signups, on=["user_id"], left_ts="ts", value_cols=[])
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("purchase_epoch"),
+        F.unix_timestamp("matched_ts").alias("signup_epoch"),
+    )
+
+
+def explode_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U5 explode/unnest surface: token frequencies across the corpus,
+    top 20. Explode → two-phase count agg (partial map-side)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(txt.tokens(F.lower(F.col("text")))).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("tok").asc())
+        .limit(20)
+    )
+
+
 def file_inbox_consume_archive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S5 in the graded gate: ingest an inbox, consume it (lock-rename then
     move into a time-grouped archive — reference BeFileInputReader:249-306),
@@ -1449,6 +1481,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "math_funcs": math_funcs,
         "regexp_funcs": regexp_funcs,
         "file_inbox_consume_archive": file_inbox_consume_archive,
+        "join_asof_last_signup": join_asof_last_signup,
+        "explode_top_tokens": explode_top_tokens,
     }
 
 
@@ -2041,5 +2075,24 @@ def oracle_sql() -> dict[str, str]:
         "file_inbox_consume_archive": """
             SELECT event_type, count(*) AS n, count(DISTINCT event_id) AS n_ids
             FROM events GROUP BY event_type
+        """,
+        "join_asof_last_signup": """
+            SELECT l.event_id, l.user_id,
+                   CAST(floor(epoch(l.ts)) AS BIGINT) AS purchase_epoch,
+                   CAST(floor(epoch(r.ts)) AS BIGINT) AS signup_epoch
+            FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') l
+            ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'signup') r
+              ON l.user_id = r.user_id AND r.ts <= l.ts
+        """,
+        "explode_top_tokens": r"""
+            SELECT tok, count(*) AS n
+            FROM (
+                SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+                FROM documents
+            )
+            WHERE tok <> ''
+            GROUP BY tok
+            ORDER BY n DESC, tok ASC
+            LIMIT 20
         """,
     }
