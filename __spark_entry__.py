@@ -1184,6 +1184,44 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def join_range_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (inequality) join: events bucketed into value bands via a
+    broadcast nested-loop join against a tiny bands dim — the Spark pattern
+    for interval lookup tables (the probe side never shuffles)."""
+    ev = _t(spark, sf_dir, "events")
+    bands = spark.createDataFrame(
+        [("tiny", 0.0, 10.0), ("small", 10.0, 100.0), ("large", 100.0, 1000.0),
+         ("huge", 1000.0, float("inf"))],
+        "band string, lo double, hi double",
+    )
+    return (
+        ev.join(F.broadcast(bands), (ev.value >= bands.lo) & (ev.value < bands.hi))
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+def rollup_time_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution rollup: day- and month-granularity
+    aggregates of one scan via GROUPING SETS over derived time buckets."""
+    ev = _t(spark, sf_dir, "events")
+    ev.select(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        F.date_trunc("month", F.col("ts")).cast("date").alias("month"),
+        "event_type",
+    ).createOrReplaceTempView("ev_buckets")
+    return spark.sql(
+        """
+        SELECT day, month, event_type, count(*) AS n
+        FROM ev_buckets
+        GROUP BY GROUPING SETS ((day, event_type), (month, event_type))
+        """
+    )
+
+
 def join_asof_last_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Backward as-of join (union+window single-shuffle formulation): each
     purchase event gets the ts of the user's latest signup at-or-before it.
@@ -1483,6 +1521,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "file_inbox_consume_archive": file_inbox_consume_archive,
         "join_asof_last_signup": join_asof_last_signup,
         "explode_top_tokens": explode_top_tokens,
+        "join_range_value_bands": join_range_value_bands,
+        "rollup_time_multires": rollup_time_multires,
     }
 
 
@@ -2094,5 +2134,24 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY tok
             ORDER BY n DESC, tok ASC
             LIMIT 20
+        """,
+        "join_range_value_bands": """
+            WITH bands(band, lo, hi) AS (
+                VALUES ('tiny', 0.0, 10.0), ('small', 10.0, 100.0),
+                       ('large', 100.0, 1000.0), ('huge', 1000.0, 1e308*10)
+            )
+            SELECT band, count(*) AS n, count(DISTINCT user_id) AS n_users
+            FROM events JOIN bands ON value >= lo AND value < hi
+            GROUP BY band
+        """,
+        "rollup_time_multires": """
+            SELECT day, month, event_type, count(*) AS n
+            FROM (
+                SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                       CAST(date_trunc('month', ts) AS DATE) AS month,
+                       event_type
+                FROM events
+            )
+            GROUP BY GROUPING SETS ((day, event_type), (month, event_type))
         """,
     }
