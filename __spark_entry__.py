@@ -1184,6 +1184,20 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def similarity_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine k-NN join (partial per-partition top-k, no candidate
+    shuffle): top-3 neighbors among vec_id>=5 for each query vec_id<5."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = sim.knn_join(
+        emb.filter(F.col("vec_id") >= 5),
+        emb.filter(F.col("vec_id") < 5),
+        k=3,
+    )
+    return out.select(
+        "query_id", "vec_id", F.floor(F.col("score") * 1e6).cast("long").alias("score_f6")
+    )
+
+
 def join_range_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range (inequality) join: events bucketed into value bands via a
     broadcast nested-loop join against a tiny bands dim — the Spark pattern
@@ -1523,6 +1537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "explode_top_tokens": explode_top_tokens,
         "join_range_value_bands": join_range_value_bands,
         "rollup_time_multires": rollup_time_multires,
+        "similarity_knn_join": similarity_knn_join,
     }
 
 
@@ -2153,5 +2168,30 @@ def oracle_sql() -> dict[str, str]:
                 FROM events
             )
             GROUP BY GROUPING SETS ((day, event_type), (month, event_type))
+        """,
+        "similarity_knn_join": """
+            WITH q AS (
+                SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                FROM embeddings WHERE vec_id < 5
+            ),
+            c AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings WHERE vec_id >= 5
+            ),
+            scored AS (
+                SELECT query_id, c.vec_id,
+                       list_cosine_similarity(v, qv) AS score
+                FROM c CROSS JOIN q
+            ),
+            ranked AS (
+                SELECT query_id, vec_id, score,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY score DESC, vec_id ASC) AS rn
+                FROM scored
+            )
+            SELECT CAST(query_id AS BIGINT) AS query_id,
+                   CAST(vec_id AS BIGINT) AS vec_id,
+                   CAST(floor(score * 1000000.0) AS BIGINT) AS score_f6
+            FROM ranked WHERE rn <= 3
         """,
     }

@@ -282,3 +282,67 @@ def all_pairs_above(
     return bucketed.groupBy("bucket").applyInPandas(
         score_bucket, schema=f"id_a {id_type}, id_b {id_type}, score double"
     )
+
+
+def knn_join(
+    candidates: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+    query_vec_col: str | None = None,
+) -> DataFrame:
+    """Exact cosine k-NN JOIN: for every query vector, the top-k nearest
+    candidate vectors. Returns (query_id, vec_id, score).
+
+    Scale shape: the query set is collected and broadcast (it must be
+    small — thousands, not millions); each candidate partition computes one
+    numpy matmul against all queries and emits only its LOCAL top-k per
+    query, so the candidate side never shuffles and the final exact merge
+    ranks just k x n_partitions x n_queries rows. This is the distributed
+    brute-force baseline an IVF/LSH index is benchmarked against.
+    """
+    import numpy as np
+    import pandas as pd
+
+    query_id_col = query_id_col or id_col
+    query_vec_col = query_vec_col or vec_col
+    qrows = queries.select(query_id_col, query_vec_col).collect()
+    if not qrows:
+        return candidates.sparkSession.createDataFrame(
+            [], "query_id long, vec_id long, score double"
+        )
+    qids = np.asarray([r[0] for r in qrows], dtype=np.int64)
+    Q = np.asarray([list(r[1]) for r in qrows], dtype=np.float64)
+    Qn = Q / (np.linalg.norm(Q, axis=1, keepdims=True) + 1e-300)
+
+    def local_topk(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.asarray([list(v) for v in pdf["v"]], dtype=np.float64)
+            Xn = X / (np.linalg.norm(X, axis=1, keepdims=True) + 1e-300)
+            S = Xn @ Qn.T  # (n_cand, n_query)
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            kk = min(k, len(pdf))
+            # per query: local top-k by (score desc, id asc)
+            order = np.lexsort((ids[:, None].repeat(S.shape[1], 1), -S), axis=0)[:kk]
+            out_q = np.repeat(qids[None, :], kk, axis=0).ravel()
+            out_i = ids[order].ravel()
+            out_s = np.take_along_axis(S, order, axis=0).ravel()
+            yield pd.DataFrame({"query_id": out_q, "vec_id": out_i, "score": out_s})
+
+    part = candidates.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).mapInPandas(local_topk, schema="query_id long, vec_id long, score double")
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("vec_id").asc())
+    return (
+        part.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -68,3 +68,32 @@ def test_ivf_topk_recall_vs_brute_force(spark, emb):
     # top-1 must match; recall@10 reasonably high with half the cells probed
     assert approx[0] == exact[0]
     assert len(set(exact) & set(approx)) >= 6
+
+
+def test_knn_join_matches_bruteforce(spark):
+    import numpy as np
+    from pyspark.sql import Row
+
+    from aleph2_contrib_spark.operators.similarity import brute_force_topk, knn_join
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(40, 8).astype(float)
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in vecs[i]]) for i in range(40)]
+    ).repartition(6)
+    queries = df.filter("vec_id < 2")
+    cands = df.filter("vec_id >= 2")
+    out = knn_join(cands, queries, k=5)
+    got = {
+        qid: [r["vec_id"] for r in rows]
+        for qid, rows in __import__("itertools").groupby(
+            sorted(out.collect(), key=lambda r: (r["query_id"], -r["score"], r["vec_id"])),
+            key=lambda r: r["query_id"],
+        )
+    }
+    for qid in (0, 1):
+        expect = [
+            r["vec_id"]
+            for r in brute_force_topk(cands, vecs[qid].tolist(), k=5).collect()
+        ]
+        assert got[qid] == expect
