@@ -1184,6 +1184,73 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q2_min_acctbal_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (no partsupp: supply relationship derived from
+    lineitem): per size-5 part, the supplier(s) with the MINIMUM acctbal
+    among suppliers that shipped it — correlated-min as a window over the
+    joined fact."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_size") == 5)
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    supp = _t(spark, sf_dir, "supplier")
+    joined = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+    )
+    w = W.partitionBy("p_partkey")
+    return (
+        joined.withColumn("min_bal", F.min(_dec("s_acctbal")).over(w))
+        .filter(_dec("s_acctbal") == F.col("min_bal"))
+        .select(
+            "p_partkey",
+            "p_brand",
+            "s_suppkey",
+            _dec("s_acctbal").cast("double").alias("s_acctbal"),
+        )
+    )
+
+
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct supplier counts per (brand, type) for
+    non-excluded brands, supply relation from lineitem."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") != "Brand#5")
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who shipped more than 300 units of 'red'
+    parts in 1997 (HAVING-filtered agg as a semi-join filter chain)."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("red"))
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    heavy = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum(_dec("l_quantity")).alias("qty"))
+        .filter(F.col("qty") > 300)
+    )
+    return (
+        supp.join(F.broadcast(heavy.select("l_suppkey")), supp.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name")
+    )
+
+
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish subword counting (word runs + individual punctuation chars);
+    the lookaround split is equivalent to counting \\w+ runs plus
+    [^\\w\\s] chars, which the RE2-based oracle can express."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", txt.bpe_ish_token_count(F.col("text")).alias("n_bpe"))
+
+
 def similarity_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine k-NN join (partial per-partition top-k, no candidate
     shuffle): top-3 neighbors among vec_id>=5 for each query vec_id<5."""
@@ -1538,6 +1605,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_range_value_bands": join_range_value_bands,
         "rollup_time_multires": rollup_time_multires,
         "similarity_knn_join": similarity_knn_join,
+        "q2_min_acctbal_supplier": q2_min_acctbal_supplier,
+        "q16_supplier_part_counts": q16_supplier_part_counts,
+        "q20_excess_stock_suppliers": q20_excess_stock_suppliers,
+        "text_bpe_token_count": text_bpe_token_count,
     }
 
 
@@ -2193,5 +2264,50 @@ def oracle_sql() -> dict[str, str]:
                    CAST(vec_id AS BIGINT) AS vec_id,
                    CAST(floor(score * 1000000.0) AS BIGINT) AS score_f6
             FROM ranked WHERE rn <= 3
+        """,
+        "q2_min_acctbal_supplier": """
+            WITH supply AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+            joined AS (
+                SELECT p_partkey, p_brand, s_suppkey,
+                       CAST(s_acctbal AS DECIMAL(18,2)) AS bal
+                FROM supply
+                JOIN part ON l_partkey = p_partkey
+                JOIN supplier ON l_suppkey = s_suppkey
+                WHERE p_size = 5
+            )
+            SELECT p_partkey, p_brand, s_suppkey, CAST(bal AS DOUBLE) AS s_acctbal
+            FROM (
+                SELECT *, min(bal) OVER (PARTITION BY p_partkey) AS min_bal
+                FROM joined
+            )
+            WHERE bal = min_bal
+        """,
+        "q16_supplier_part_counts": """
+            WITH supply AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+            SELECT p_brand, p_type, count(DISTINCT l_suppkey) AS supplier_cnt
+            FROM supply
+            JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#5'
+            GROUP BY p_brand, p_type
+        """,
+        "q20_excess_stock_suppliers": """
+            SELECT s_suppkey, s_name, n_name
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE s_suppkey IN (
+                SELECT l_suppkey
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                WHERE p_name LIKE '%red%'
+                  AND l_shipdate >= TIMESTAMP '1997-01-01'
+                  AND l_shipdate < TIMESTAMP '1998-01-01'
+                GROUP BY l_suppkey
+                HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 300
+            )
+        """,
+        "text_bpe_token_count": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '\w+'))
+                   + len(regexp_extract_all(text, '[^\w\s]')) AS n_bpe
+            FROM documents
         """,
     }
