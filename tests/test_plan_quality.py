@@ -22,13 +22,24 @@ def plan_of(spark, name):
 HEAVY_SETUP = {"storage_partitioned_roundtrip", "streaming_pipeline_gate"}
 
 
+# Queries where a BroadcastNestedLoopJoin IS the intended physical plan:
+# the build side is tiny by construction (a 1-row scalar aggregate, or a
+# literal interval-lookup dim), so the "nested loop" is a constant-time probe
+# per row — the correct shape at any scale.
+INTENTIONAL_BNLJ = {
+    "q22_idle_balance_customers",  # 1-row broadcast scalar subquery
+    "join_range_value_bands",      # 4-row broadcast range-lookup dim
+}
+
+
 def test_no_cartesian_products(spark):
     for name in em.queries():
         if name in HEAVY_SETUP:
             continue
         plan = plan_of(spark, name)
         assert "CartesianProduct" not in plan, f"{name} has a cartesian product"
-        assert "BroadcastNestedLoopJoin" not in plan, f"{name} has a nested-loop join"
+        if name not in INTENTIONAL_BNLJ:
+            assert "BroadcastNestedLoopJoin" not in plan, f"{name} has a nested-loop join"
 
 
 @pytest.mark.parametrize("name", ["dsl_range_dates", "dsl_equals_in", "q6_forecast_revenue"])
