@@ -1184,6 +1184,25 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def update_upsert_by_spec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6 upsert in the graded gate: a matched upsert updates in place; an
+    unmatched upsert seeds a new row from the spec's equality terms plus the
+    set clauses (Mongo upsert seeding semantics, MongoDbCrudService:484-563)."""
+    from aleph2_contrib_spark.operators.crud import CrudService
+
+    nat = _t(spark, sf_dir, "nation")
+    svc = CrudService(spark, df=nat)
+    svc.update_object_by_spec(
+        Q.all_of().when("n_nationkey", 3), U.update().set("n_name", "RENAMED"), upsert=True
+    )
+    svc.update_object_by_spec(
+        Q.all_of().when("n_nationkey", 999),
+        U.update().set("n_name", "INSERTED").set("n_regionkey", 0),
+        upsert=True,
+    )
+    return svc.df.select("n_nationkey", "n_name", "n_regionkey")
+
+
 def q2_min_acctbal_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape (no partsupp: supply relationship derived from
     lineitem): per size-5 part, the supplier(s) with the MINIMUM acctbal
@@ -1609,6 +1628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_supplier_part_counts": q16_supplier_part_counts,
         "q20_excess_stock_suppliers": q20_excess_stock_suppliers,
         "text_bpe_token_count": text_bpe_token_count,
+        "update_upsert_by_spec": update_upsert_by_spec,
     }
 
 
@@ -2309,5 +2329,13 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(text, '\w+'))
                    + len(regexp_extract_all(text, '[^\w\s]')) AS n_bpe
             FROM documents
+        """,
+        "update_upsert_by_spec": """
+            SELECT n_nationkey,
+                   CASE WHEN n_nationkey = 3 THEN 'RENAMED' ELSE n_name END AS n_name,
+                   n_regionkey
+            FROM nation
+            UNION ALL
+            SELECT 999, 'INSERTED', 0
         """,
     }

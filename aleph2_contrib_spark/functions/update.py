@@ -276,7 +276,9 @@ def upsert_by_spec(
         elif c.op in ("add", "add_dedup"):
             seed[c.fld] = list(c.args[0])
     spark = df.sparkSession
-    new_row = spark.createDataFrame([seed], schema=None)
+    # one seeded row: keep it in one partition (createDataFrame otherwise
+    # spreads a single row across defaultParallelism empty partitions)
+    new_row = spark.createDataFrame([seed], schema=None).coalesce(1)
     aligned = new_row
     for col_name in df.columns:
         if col_name not in new_row.columns:
