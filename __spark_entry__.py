@@ -1184,6 +1184,26 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dsl_enum_projection_exclude(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 enum normalization (enum values stringified before compare —
+    reference MongoDbUtils.removeEnums:183-188) + Q17 exclude-list
+    projection (all-but-named fields)."""
+    import enum
+
+    class Segment(enum.Enum):
+        BUILDING = 1
+        MACHINERY = 2
+
+    spec = (
+        Q.all_of()
+        .with_any_of("c_mktsegment", [Segment.BUILDING, Segment.MACHINERY])
+        .with_projection(exclude=["c_acctbal", "c_name"])
+        .order_by(("c_custkey", 1))
+        .limit(50)
+    )
+    return apply_query(_t(spark, sf_dir, "customer"), spec)
+
+
 def update_upsert_by_spec(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C6 upsert in the graded gate: a matched upsert updates in place; an
     unmatched upsert seeds a new row from the spec's equality terms plus the
@@ -1629,6 +1649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_excess_stock_suppliers": q20_excess_stock_suppliers,
         "text_bpe_token_count": text_bpe_token_count,
         "update_upsert_by_spec": update_upsert_by_spec,
+        "dsl_enum_projection_exclude": dsl_enum_projection_exclude,
     }
 
 
@@ -2337,5 +2358,12 @@ def oracle_sql() -> dict[str, str]:
             FROM nation
             UNION ALL
             SELECT 999, 'INSERTED', 0
+        """,
+        "dsl_enum_projection_exclude": """
+            SELECT c_custkey, c_nationkey, c_mktsegment
+            FROM customer
+            WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+            ORDER BY c_custkey ASC
+            LIMIT 50
         """,
     }
