@@ -90,6 +90,12 @@ class WriteSettings:
     batch_max_size_kb: int = 20 * 1024
     batch_flush_interval_s: int = 600
     compression: str = "snappy"  # gzip | snappy | none (codec list :642-686)
+    # Files written per time-partition (small-files control): writes are
+    # clustered on the partition value plus a salt bounded by this, so a
+    # partitioned write produces files_per_partition files per period
+    # instead of one per (task, period) pair. Raise it when single periods
+    # exceed one task's comfortable output size.
+    files_per_partition: int = 1
 
 
 @dataclass(frozen=True)

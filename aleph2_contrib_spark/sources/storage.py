@@ -80,6 +80,17 @@ class TimePartitionedTable:
                         f"schema collision on '{f.name}': {f.dataType} vs {new_fields[f.name]}"
                         " (collide_policy=error)"
                     )
+        # Cluster on the partition value (+ bounded salt) before the
+        # partitioned write: without this every task holding rows of a
+        # period opens its own file there, producing tasks x periods small
+        # files; with it each period gets files_per_partition files and the
+        # write parallelism is periods x files_per_partition tasks.
+        fpp = max(1, self.bucket.write.files_per_partition)
+        if fpp > 1:
+            salt = F.pmod(F.xxhash64(F.col(t.time_field)), F.lit(fpp))
+            out = out.repartition(F.col(PARTITION_COL), salt)
+        else:
+            out = out.repartition(F.col(PARTITION_COL))
         (
             out.write.mode(mode)
             .option("maxRecordsPerFile", self.bucket.write.batch_max_objects)
