@@ -1184,6 +1184,47 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: revenue per supplier over a quarter, keep the
+    max-revenue supplier(s) — scalar-max as a window over the aggregate
+    (no second scan of the fact)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    rev = (_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    per_supp = li.groupBy("l_suppkey").agg(F.sum(rev).alias("total_rev"))
+    w = W.partitionBy()
+    top = (
+        per_supp.withColumn("max_rev", F.max("total_rev").over(w))
+        .filter(F.col("total_rev") == F.col("max_rev"))
+    )
+    return (
+        top.join(F.broadcast(supp), top.l_suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name", F.col("total_rev").cast("double").alias("total_rev"))
+    )
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: lineitems below 20% of their part's average quantity
+    — correlated per-part average as a window over the broadcast-joined
+    fact, one pass."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#4")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    w = W.partitionBy("p_partkey")
+    avg_qty = (
+        F.sum(_dec("l_quantity")).over(w).cast("double") / F.count(F.lit(1)).over(w)
+    )
+    return (
+        joined.withColumn("avg_qty", avg_qty)
+        .filter(F.col("l_quantity").cast("double") < 0.2 * F.col("avg_qty"))
+        .agg((F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0)).alias("avg_yearly"))
+    )
+
+
 def dsl_enum_projection_exclude(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q14 enum normalization (enum values stringified before compare —
     reference MongoDbUtils.removeEnums:183-188) + Q17 exclude-list
@@ -1650,6 +1691,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_token_count": text_bpe_token_count,
         "update_upsert_by_spec": update_upsert_by_spec,
         "dsl_enum_projection_exclude": dsl_enum_projection_exclude,
+        "q15_top_supplier": q15_top_supplier,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
     }
 
 
@@ -2365,5 +2408,28 @@ def oracle_sql() -> dict[str, str]:
             WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
             ORDER BY c_custkey ASC
             LIMIT 50
+        """,
+        "q15_top_supplier": f"""
+            WITH per_supp AS (
+                SELECT l_suppkey, sum({_DISC4}) AS total_rev
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+                GROUP BY l_suppkey
+            )
+            SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_rev
+            FROM per_supp JOIN supplier ON l_suppkey = s_suppkey
+            WHERE total_rev = (SELECT max(total_rev) FROM per_supp)
+        """,
+        "q17_small_quantity_revenue": """
+            SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+            FROM (
+                SELECT l_extendedprice, l_quantity,
+                       CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+                            OVER (PARTITION BY p_partkey) AS DOUBLE)
+                       / count(*) OVER (PARTITION BY p_partkey) AS avg_qty
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                WHERE p_brand = 'Brand#4'
+            )
+            WHERE CAST(l_quantity AS DOUBLE) < 0.2 * avg_qty
         """,
     }
