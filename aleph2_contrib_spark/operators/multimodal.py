@@ -135,3 +135,37 @@ def sample_frames(
             yield pd.DataFrame(rows, columns=[id_col, "frame_idx", "frame"])
 
     return df.select(id_col, binary_col).mapInPandas(run, schema=schema)
+
+
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    binary_col: str = "content",
+    id_col: str = "__source_file",
+    resizer: Callable[[bytes, int, int], bytes] | None = None,
+) -> DataFrame:
+    """Image resize → (id, resized binary, width, height). ``resizer``
+    (payload, w, h) -> bytes is stubbed by default (PIL not available);
+    the Arrow-batched plumbing is real."""
+    if resizer is None:
+        def resizer(payload: bytes, w: int, h: int) -> bytes:  # noqa: F811
+            raise NotImplementedError("image resize requires PIL — inject a resizer")
+
+    schema = f"`{id_col}` string, content binary, width int, height int"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for _, r in b.iterrows():
+                rows.append(
+                    {
+                        id_col: r[id_col],
+                        "content": resizer(bytes(r[binary_col]), width, height),
+                        "width": width,
+                        "height": height,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[id_col, "content", "width", "height"])
+
+    return df.select(id_col, binary_col).mapInPandas(run, schema=schema)

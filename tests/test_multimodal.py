@@ -58,3 +58,24 @@ def test_frame_sampling_with_fake_extractor(spark, media):
 def test_frame_sampling_default_stub(spark, media):
     with pytest.raises(Exception, match="NotImplementedError|ffmpeg"):
         mm.sample_frames(media).collect()
+
+
+def test_resize_with_fake_resizer(spark, media):
+    from aleph2_contrib_spark.operators.multimodal import resize_images
+
+    def fake_resizer(payload, w, h):
+        return payload[: w * h % 32 + 1]
+
+    out = resize_images(media, 8, 8, resizer=fake_resizer).collect()
+    assert len(out) == media.count()
+    assert all(r["width"] == 8 and r["height"] == 8 for r in out)
+    assert all(isinstance(r["content"], (bytes, bytearray)) for r in out)
+
+
+def test_resize_default_stub(spark, media):
+    import pytest as _pytest
+
+    from aleph2_contrib_spark.operators.multimodal import resize_images
+
+    with _pytest.raises(Exception, match="PIL"):
+        resize_images(media, 8, 8).collect()
