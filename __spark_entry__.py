@@ -1186,8 +1186,8 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 shape: revenue per supplier over a quarter, keep the
-    max-revenue supplier(s) — scalar-max as a window over the aggregate
-    (no second scan of the fact)."""
+    max-revenue supplier(s) — scalar-max broadcast against the aggregate
+    (no global window, no second scan of the fact)."""
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
     )
@@ -1196,9 +1196,9 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "decimal(18,4)"
     )
     per_supp = li.groupBy("l_suppkey").agg(F.sum(rev).alias("total_rev"))
-    w = W.partitionBy()
+    max_rev = per_supp.agg(F.max("total_rev").alias("max_rev"))
     top = (
-        per_supp.withColumn("max_rev", F.max("total_rev").over(w))
+        per_supp.crossJoin(F.broadcast(max_rev))
         .filter(F.col("total_rev") == F.col("max_rev"))
     )
     return (

@@ -29,6 +29,7 @@ HEAVY_SETUP = {"storage_partitioned_roundtrip", "streaming_pipeline_gate"}
 INTENTIONAL_BNLJ = {
     "q22_idle_balance_customers",  # 1-row broadcast scalar subquery
     "join_range_value_bands",      # 4-row broadcast range-lookup dim
+    "q15_top_supplier",            # 1-row broadcast scalar max
 }
 
 
