@@ -910,8 +910,9 @@ def similarity_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing over real binary payloads (deterministic fake
-    decoder; no SQL oracle — sha256-derived features)."""
+    """Multimodal plumbing over real binary payloads: the deterministic
+    fake decoder derives a 16-dim feature vector from the payload's sha256,
+    which the DuckDB oracle reproduces hex-digit-for-hex-digit."""
     from aleph2_contrib_spark.operators import multimodal as mm
 
     docs = _t(spark, sf_dir, "documents").select(
@@ -2419,6 +2420,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_rev
             FROM per_supp JOIN supplier ON l_suppkey = s_suppkey
             WHERE total_rev = (SELECT max(total_rev) FROM per_supp)
+        """,
+        "multimodal_features": """
+            SELECT CAST(doc_id AS VARCHAR) AS "__source_file",
+                   list_transform(range(0,16),
+                     i -> CAST(CAST('0x' || substr(sha256(text), i*2+1, 2) AS UBIGINT) AS DOUBLE)
+                          / 255.0) AS embedding
+            FROM documents
         """,
         "q17_small_quantity_revenue": """
             SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
