@@ -1185,6 +1185,14 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked SimHash: md5-derived 60-bit token hashes (fits a
+    signed long) with the standard vote/pack — DuckDB recomputes the
+    fingerprints exactly (the xxhash64 variant stays the fast path)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", ddp.simhash_md5(F.col("text")).alias("simhash"))
+
+
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 shape: revenue per supplier over a quarter, keep the
     max-revenue supplier(s) — scalar-max broadcast against the aggregate
@@ -1694,11 +1702,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_enum_projection_exclude": dsl_enum_projection_exclude,
         "q15_top_supplier": q15_top_supplier,
         "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        "dedup_simhash_md5": dedup_simhash_md5,
     }
 
 
 _DISC = "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
 _DISC4 = f"CAST({_DISC} AS DECIMAL(18,4))"
+
+# 60-bit md5 SimHash oracle: per-bit vote columns, then pack sign bits.
+_SIMHASH_VOTES = ",\n                       ".join(
+    f"sum(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}" for b in range(60)
+)
+_SIMHASH_PACK = "\n                   + ".join(
+    f"(CASE WHEN v{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    for b in range(60)
+)
+_SIMHASH_MD5_ORACLE = rf"""
+    WITH t AS (
+        SELECT doc_id,
+               unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS tok
+        FROM documents
+    ),
+    h AS (
+        SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS UBIGINT) AS hv FROM t
+    ),
+    v AS (
+        SELECT doc_id, {_SIMHASH_VOTES}
+        FROM h GROUP BY doc_id
+    )
+    SELECT doc_id, CAST({_SIMHASH_PACK} AS BIGINT) AS simhash FROM v
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2421,6 +2454,7 @@ def oracle_sql() -> dict[str, str]:
             FROM per_supp JOIN supplier ON l_suppkey = s_suppkey
             WHERE total_rev = (SELECT max(total_rev) FROM per_supp)
         """,
+        "dedup_simhash_md5": _SIMHASH_MD5_ORACLE,
         "multimodal_features": """
             SELECT CAST(doc_id AS VARCHAR) AS "__source_file",
                    list_transform(range(0,16),

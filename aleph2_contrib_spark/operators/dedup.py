@@ -429,6 +429,29 @@ def simhash(col: Column, num_bits: int = 64) -> Column:
     return reduce(lambda a, c: a.bitwiseOR(c), bits)
 
 
+def simhash_md5(col: Column, num_bits: int = 60) -> Column:
+    """Oracle-reproducible SimHash variant: token hash = first 15 hex chars
+    of md5 (60 bits, fits a signed long), same vote/pack semantics as
+    ``simhash``. Any engine with md5 + bit ops can recompute it exactly —
+    the differential gate checks it against DuckDB."""
+    toks = F.split(normalize_text(col), " ")
+    hashes = F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+    )
+    bits = []
+    for b in range(num_bits):
+        vote = F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(h.bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1),
+        )
+        bits.append(
+            F.when(vote > 0, F.lit(1)).otherwise(F.lit(0)).cast("long") * F.lit(1 << b)
+        )
+    return reduce(lambda a, c: a.bitwiseOR(c), bits)
+
+
 def simhash_numpy(df: DataFrame, text_col: str, out_col: str = "simhash") -> DataFrame:
     """Numpy fast path for SimHash: the token hashes are computed JVM-side
     (one xxhash64 per token), the 64-bit vote/pack runs vectorized in an
