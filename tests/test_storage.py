@@ -131,3 +131,33 @@ def test_delete_datastore(spark, tmp_path, events_df):
 def test_columnar_schema_type_and_pattern_selection(spark, events_df):
     cs = ColumnarSchema(field_type_include_list=("number",), field_include_pattern_list=("_i*",))
     assert cs.select_columns(events_df.schema) == ["_id", "v"]
+
+
+def test_write_clusters_files_per_partition(spark, tmp_path, events_df):
+    from aleph2_contrib_spark.model.bucket import WriteSettings
+
+    # default: one file per period regardless of input parallelism
+    b1 = Bucket(
+        full_name="/t/one", path=str(tmp_path / "one"),
+        temporal=TemporalSchema(time_field="ts", grouping_time_period="month"),
+    )
+    t1 = TimePartitionedTable(spark, b1)
+    t1.write(events_df.repartition(8))
+    for d in os.listdir(t1.primary_path):
+        if d.startswith(PARTITION_COL):
+            files = [f for f in os.listdir(os.path.join(t1.primary_path, d)) if f.endswith(".parquet")]
+            assert len(files) == 1, (d, files)
+
+    # files_per_partition=2: at most 2 files per period, contents intact
+    b2 = Bucket(
+        full_name="/t/two", path=str(tmp_path / "two"),
+        temporal=TemporalSchema(time_field="ts", grouping_time_period="month"),
+        write=WriteSettings(files_per_partition=2),
+    )
+    t2 = TimePartitionedTable(spark, b2)
+    t2.write(events_df.repartition(8))
+    for d in os.listdir(t2.primary_path):
+        if d.startswith(PARTITION_COL):
+            files = [f for f in os.listdir(os.path.join(t2.primary_path, d)) if f.endswith(".parquet")]
+            assert 1 <= len(files) <= 2, (d, files)
+    assert {r["_id"] for r in t2.read().collect()} == {"a", "b", "c", "d"}
