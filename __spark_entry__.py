@@ -1188,9 +1188,10 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-checked SimHash: md5-derived 60-bit token hashes (fits a
     signed long) with the standard vote/pack — DuckDB recomputes the
-    fingerprints exactly (the xxhash64 variant stays the fast path)."""
+    fingerprints exactly. Uses the numpy vote/pack fast path (bit-identical
+    to the pure-Column form, asserted in tests)."""
     docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", ddp.simhash_md5(F.col("text")).alias("simhash"))
+    return ddp.simhash_md5_numpy(docs, "text").select("doc_id", "simhash")
 
 
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -452,17 +452,16 @@ def simhash_md5(col: Column, num_bits: int = 60) -> Column:
     return reduce(lambda a, c: a.bitwiseOR(c), bits)
 
 
-def simhash_numpy(df: DataFrame, text_col: str, out_col: str = "simhash") -> DataFrame:
-    """Numpy fast path for SimHash: the token hashes are computed JVM-side
-    (one xxhash64 per token), the 64-bit vote/pack runs vectorized in an
-    Arrow batch. Bit-identical to ``simhash`` (asserted in tests)."""
+def _votes_pack_udf(num_bits: int):
+    """Vectorized SimHash vote/pack as a pandas UDF over per-doc token-hash
+    arrays: bit b of the output = sign of sum over tokens of (±1 by bit b)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     def votes_fn(hs):
         out = np.empty(len(hs), dtype=np.int64)
-        shifts = np.arange(64, dtype=np.uint64)
+        shifts = np.arange(num_bits, dtype=np.uint64)
         for i, arr in enumerate(hs):
             h = np.asarray(arr, dtype=np.int64).astype(np.uint64)
             if len(h) == 0:
@@ -476,13 +475,37 @@ def simhash_numpy(df: DataFrame, text_col: str, out_col: str = "simhash") -> Dat
             out[i] = np.int64(fp)
         return pd.Series(out)
 
+    return pandas_udf(votes_fn, "long")
+
+
+def simhash_numpy(df: DataFrame, text_col: str, out_col: str = "simhash") -> DataFrame:
+    """Numpy fast path for SimHash: the token hashes are computed JVM-side
+    (one xxhash64 per token), the 64-bit vote/pack runs vectorized in an
+    Arrow batch. Bit-identical to ``simhash`` (asserted in tests)."""
     from aleph2_contrib_spark.parallel import ensure_parallelism
 
     df = ensure_parallelism(df)
-    udf = pandas_udf(votes_fn, "long")
     toks = F.split(normalize_text(F.col(text_col)), " ")
     hashed = df.withColumn("__hs", F.transform(toks, lambda t: F.xxhash64(t)))
-    return hashed.withColumn(out_col, udf(F.col("__hs"))).drop("__hs")
+    return hashed.withColumn(out_col, _votes_pack_udf(64)(F.col("__hs"))).drop("__hs")
+
+
+def simhash_md5_numpy(
+    df: DataFrame, text_col: str, out_col: str = "simhash", num_bits: int = 60
+) -> DataFrame:
+    """Fast path for ``simhash_md5``: one JVM md5 per token, vectorized
+    numpy vote/pack (bit-identical to the pure-Column form, asserted in
+    tests). The pure-Column form evaluates num_bits interpreted aggregates
+    per row — ~25x slower; this is the one to run at corpus scale."""
+    from aleph2_contrib_spark.parallel import ensure_parallelism
+
+    df = ensure_parallelism(df)
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    hashed = df.withColumn(
+        "__hs",
+        F.transform(toks, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")),
+    )
+    return hashed.withColumn(out_col, _votes_pack_udf(num_bits)(F.col("__hs"))).drop("__hs")
 
 
 def hamming64(a: Column, b: Column) -> Column:

@@ -113,3 +113,10 @@ def test_token_shingles(spark, docs):
     ).head()
     assert row["sh"][0] == "unrelated document mentioning"
     assert len(row["sh"]) == 8 - 3 + 1
+
+
+def test_simhash_md5_numpy_bit_exact(spark, docs):
+    a = docs.select("doc_id", ddp.simhash_md5(F.col("text")).alias("s1"))
+    b = ddp.simhash_md5_numpy(docs, "text").select("doc_id", F.col("simhash").alias("s2"))
+    j = a.join(b, "doc_id")
+    assert j.filter(F.col("s1") != F.col("s2")).count() == 0
