@@ -276,13 +276,19 @@ def upsert_by_spec(
         elif c.op in ("add", "add_dedup"):
             seed[c.fld] = list(c.args[0])
     spark = df.sparkSession
-    # one seeded row: keep it in one partition (createDataFrame otherwise
-    # spreads a single row across defaultParallelism empty partitions)
-    new_row = spark.createDataFrame([seed], schema=None).coalesce(1)
-    aligned = new_row
-    for col_name in df.columns:
-        if col_name not in new_row.columns:
-            aligned = aligned.withColumn(col_name, F.lit(None).cast(df.schema[col_name].dataType))
-        else:
-            aligned = aligned.withColumn(col_name, F.col(col_name).cast(df.schema[col_name].dataType))
-    return df.unionByName(aligned.select(df.columns))
+    # Build the seeded row JVM-side (range(1) + literals): a
+    # createDataFrame([dict]) row scans an ExistingRDD of Python objects,
+    # which re-launches a Python worker on EVERY downstream action —
+    # seconds of overhead for one row. Literals cost nothing.
+    def lit_of(v):
+        if isinstance(v, (list, tuple)):
+            return F.array(*[F.lit(x) for x in v])
+        return F.lit(v)
+
+    aligned = spark.range(1).select(
+        *[
+            (lit_of(seed[c]) if c in seed else F.lit(None)).cast(df.schema[c].dataType).alias(c)
+            for c in df.columns
+        ]
+    )
+    return df.unionByName(aligned)
