@@ -1,0 +1,41 @@
+"""Bucketed tables: pre-shuffled layout for co-located (shuffle-free) joins.
+
+The reference pushes join work to its backing stores; Spark's equivalent of
+a co-located join is hash-bucketed tables — both sides written with
+``bucketBy(n, keys)`` on the join key join WITHOUT an Exchange: each task
+reads matching bucket files from both sides. On repeatedly-joined 100 TB
+facts this converts every join from a full shuffle into a local merge,
+which is the single biggest join optimization available.
+
+Notes that matter at scale:
+- Both sides must agree on bucket count and key; a mismatch falls back to a
+  shuffle on one side (still half the work).
+- ``sortBy`` on the same keys lets SortMergeJoin skip its sort.
+- Bucketed tables are catalog tables (``saveAsTable``); path-only parquet
+  cannot carry bucket metadata.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_keys: Sequence[str],
+    num_buckets: int = 32,
+    sort: bool = True,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` as a bucketed (and bucket-sorted) catalog table."""
+    writer = df.write.mode(mode).bucketBy(num_buckets, *bucket_keys)
+    if sort:
+        writer = writer.sortBy(*bucket_keys)
+    writer.format("parquet").saveAsTable(table_name)
+
+
+def read_table(spark: SparkSession, table_name: str) -> DataFrame:
+    return spark.table(table_name)
