@@ -1185,6 +1185,36 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join in the graded gate: both facts written
+    bucketed on the join key, then joined and aggregated with NO Exchange
+    before the join (asserted) — the layout that turns every repeat join of
+    a 100 TB fact into local merges."""
+    from aleph2_contrib_spark.sources.bucketed import read_table, write_bucketed
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    write_bucketed(orders, "gate_b_orders", ["o_orderkey"], num_buckets=16)
+    write_bucketed(li.withColumnRenamed("l_orderkey", "o_orderkey"),
+                   "gate_b_lineitem", ["o_orderkey"], num_buckets=16)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = read_table(spark, "gate_b_orders").join(
+            read_table(spark, "gate_b_lineitem"), "o_orderkey"
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, "bucketed join must not shuffle"
+        out = joined.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(_dec("l_quantity")).cast("double").alias("total_qty"),
+        )
+        out.collect()  # force execution under the no-broadcast conf
+        return out
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-checked SimHash: md5-derived 60-bit token hashes (fits a
     signed long) with the standard vote/pack — DuckDB recomputes the
@@ -1704,6 +1734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q15_top_supplier": q15_top_supplier,
         "q17_small_quantity_revenue": q17_small_quantity_revenue,
         "dedup_simhash_md5": dedup_simhash_md5,
+        "join_bucketed_colocated": join_bucketed_colocated,
     }
 
 
@@ -2456,6 +2487,12 @@ def oracle_sql() -> dict[str, str]:
             WHERE total_rev = (SELECT max(total_rev) FROM per_supp)
         """,
         "dedup_simhash_md5": _SIMHASH_MD5_ORACLE,
+        "join_bucketed_colocated": """
+            SELECT o_orderstatus, count(*) AS n_lines,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            GROUP BY o_orderstatus
+        """,
         "multimodal_features": """
             SELECT CAST(doc_id AS VARCHAR) AS "__source_file",
                    list_transform(range(0,16),

@@ -31,6 +31,18 @@ def write_bucketed(
     mode: str = "overwrite",
 ) -> None:
     """Persist ``df`` as a bucketed (and bucket-sorted) catalog table."""
+    spark = df.sparkSession
+    if mode == "overwrite":
+        # A fresh session's in-memory catalog doesn't know tables written by
+        # a previous one, but their warehouse directories survive —
+        # saveAsTable then fails with LOCATION_ALREADY_EXISTS. Drop both.
+        spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+        import shutil
+        from urllib.parse import urlparse
+
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        loc = f"{wh}/{table_name.lower()}"
+        shutil.rmtree(loc, ignore_errors=True)
     writer = df.write.mode(mode).bucketBy(num_buckets, *bucket_keys)
     if sort:
         writer = writer.sortBy(*bucket_keys)
