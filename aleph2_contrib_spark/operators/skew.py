@@ -53,3 +53,33 @@ def salted_agg(
         merge = F.sum if fn in ("count", "sum") else getattr(F, fn)
         phase2_aggs.append(merge(out).alias(out))
     return partial.groupBy(*keys).agg(*phase2_aggs)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join by salting: the (large, skewed) LEFT side gets a
+    random salt; the (smaller, un-broadcastable) RIGHT side is replicated
+    once per salt value, so a hot key's rows spread over ``salt_buckets``
+    tasks instead of one straggler.
+
+    Cost model: right side is scanned once and exploded x salt_buckets —
+    use only when right is far smaller than left but too big to broadcast,
+    and the left key distribution is skewed. AQE's skew-join split handles
+    most cases at runtime; this operator is the explicit form for when AQE
+    can't (e.g. a skewed key known in advance, or non-AQE engines).
+
+    Supports inner / left joins (replication preserves left rows exactly
+    once per matching right row).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner/left joins")
+    salted_left = left.withColumn("__salt", (F.rand(seed=42) * salt_buckets).cast("int"))
+    salts = F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))).alias("__salt")
+    replicated_right = right.select("*", salts)
+    out = salted_left.join(replicated_right, on + ["__salt"], how)
+    return out.drop("__salt")

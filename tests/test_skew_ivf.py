@@ -97,3 +97,34 @@ def test_knn_join_matches_bruteforce(spark):
             for r in brute_force_topk(cands, vecs[qid].tolist(), k=5).collect()
         ]
         assert got[qid] == expect
+
+
+def test_salted_join_matches_plain_join(spark):
+    from pyspark.sql import Row
+
+    from aleph2_contrib_spark.operators.skew import salted_join
+
+    # heavy skew: 90% of left rows share one key
+    left = spark.createDataFrame(
+        [Row(k="hot" if i % 10 else f"k{i}", v=i) for i in range(1000)]
+    )
+    right = spark.createDataFrame(
+        [Row(k="hot", tag="H")] + [Row(k=f"k{i}", tag=f"t{i}") for i in range(0, 1000, 10)]
+    )
+    plain = left.join(right, ["k"]).groupBy("k", "tag").count()
+    salted = salted_join(left, right, ["k"], salt_buckets=8).groupBy("k", "tag").count()
+    a = {(r["k"], r["tag"]): r["count"] for r in plain.collect()}
+    b = {(r["k"], r["tag"]): r["count"] for r in salted.collect()}
+    assert a == b
+
+
+def test_salted_join_left_preserves_unmatched(spark):
+    from pyspark.sql import Row
+
+    from aleph2_contrib_spark.operators.skew import salted_join
+
+    left = spark.createDataFrame([Row(k="a", v=1), Row(k="b", v=2)])
+    right = spark.createDataFrame([Row(k="a", tag="x")])
+    out = salted_join(left, right, ["k"], salt_buckets=4, how="left").collect()
+    got = {(r["k"], r["tag"]) for r in out}
+    assert got == {("a", "x"), ("b", None)}
