@@ -61,6 +61,12 @@ class EnrichmentModule:
     def clone_for_new_grouping(self) -> "EnrichmentModule":
         return type(self)(self.config)
 
+    def validate_module(self, stage: "Stage") -> list[str]:
+        """Pre-flight validation (reference IEnrichmentBatchModule
+        .validateModule): return a list of error strings; non-empty fails
+        the pipeline BEFORE any executor work starts."""
+        return []
+
     def on_stage_initialize(self, grouping_key: dict | None = None) -> None:  # noqa: B027
         pass
 
@@ -134,6 +140,13 @@ class Pipeline:
     ) -> dict[str, DataFrame]:
         """Execute the DAG; returns {stage_name: DataFrame} for terminal
         stages only (P12 — intermediate stages are transient)."""
+        errors = []
+        for st in self.stages:
+            for m in (st.module, st.combine_module):
+                if m is not None:
+                    errors += [f"{st.name}: {e}" for e in m.validate_module(st)]
+        if errors:
+            raise ValueError("module validation failed: " + "; ".join(errors))
         union_all = None
         if inputs:
             dfs = list(inputs.values())

@@ -238,3 +238,23 @@ def test_combiner_reduces_shuffle_rows(spark):
     out = {r["k"]: r["n"] for r in pipe.run(spark, {"in": df})["sum"].collect()}
     assert out == {"0": 500, "1": 500}
     assert seen.value == 1000  # combiner saw every input row map-side
+
+
+class NeedsKeyModule(PassthroughModule):
+    def validate_module(self, stage):
+        if not stage.grouping_fields:
+            return ["requires grouping_fields"]
+        return []
+
+
+def test_validate_module_fails_before_execution(spark, data):
+    pipe = Pipeline([Stage(name="m", module=NeedsKeyModule())])
+    with pytest.raises(ValueError, match="requires grouping_fields"):
+        pipe.run(spark, {"in": data})
+
+
+def test_validate_module_passes_with_key(spark, data):
+    pipe = Pipeline(
+        [Stage(name="m", module=NeedsKeyModule(), grouping_fields=["k"])]
+    )
+    assert "m" in pipe.run(spark, {"in": data})
