@@ -120,3 +120,25 @@ def test_simhash_md5_numpy_bit_exact(spark, docs):
     b = ddp.simhash_md5_numpy(docs, "text").select("doc_id", F.col("simhash").alias("s2"))
     j = a.join(b, "doc_id")
     assert j.filter(F.col("s1") != F.col("s2")).count() == 0
+
+
+def test_connected_components_known_graph(spark):
+    from pyspark.sql import Row
+
+    pairs = spark.createDataFrame(
+        [Row(id_a=1, id_b=2), Row(id_a=2, id_b=3), Row(id_a=10, id_b=11),
+         Row(id_a=20, id_b=21), Row(id_a=21, id_b=22), Row(id_a=22, id_b=20)]
+    )
+    cc = {r["node"]: r["component"] for r in ddp.connected_components(pairs).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_connected_components_chain_converges(spark):
+    # a long path graph stresses the propagation rounds (diameter = n-1)
+    from pyspark.sql import Row
+
+    n = 12
+    pairs = spark.createDataFrame([Row(id_a=i, id_b=i + 1) for i in range(n)])
+    cc = ddp.connected_components(pairs, max_iter=n + 2).collect()
+    assert {r["component"] for r in cc} == {0}
+    assert len(cc) == n + 1
