@@ -1185,6 +1185,30 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: hourly counts per event type over the full
+    observed range INCLUDING empty hours (zero-filled) — dense grid via
+    sequence+explode cross-joined with the type dim, left-joined to the
+    sparse aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    hours = bounds.select(
+        F.explode(F.sequence("h0", "h1", F.expr("interval 1 hour"))).alias("hour")
+    )
+    types = ev.select("event_type").distinct()
+    grid = hours.crossJoin(F.broadcast(types))
+    counts = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return (
+        grid.join(counts, ["hour", "event_type"], "left")
+        .select("hour", "event_type", F.coalesce("n", F.lit(0)).alias("n"))
+    )
+
+
 def dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clustering end-to-end: blocked exact cosine pairs →
     distributed connected components (min-label propagation) → cluster
@@ -1752,6 +1776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_md5": dedup_simhash_md5,
         "join_bucketed_colocated": join_bucketed_colocated,
         "dedup_embedding_clusters": dedup_embedding_clusters,
+        "events_gap_fill": events_gap_fill,
     }
 
 
@@ -2533,6 +2558,21 @@ def oracle_sql() -> dict[str, str]:
             comp AS (SELECT node, min(label) AS component FROM reach GROUP BY node)
             SELECT CAST(component AS BIGINT) AS component, count(*) AS n_members
             FROM comp GROUP BY component
+        """,
+        "events_gap_fill": """
+            WITH b AS (
+                SELECT date_trunc('hour', min(ts)) AS h0, date_trunc('hour', max(ts)) AS h1
+                FROM events
+            ),
+            hours AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM b),
+            types AS (SELECT DISTINCT event_type FROM events),
+            counts AS (
+                SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n
+                FROM events GROUP BY 1, 2
+            )
+            SELECT hours.hour, types.event_type, coalesce(counts.n, 0) AS n
+            FROM hours CROSS JOIN types
+            LEFT JOIN counts ON counts.hour = hours.hour AND counts.event_type = types.event_type
         """,
         "multimodal_features": """
             SELECT CAST(doc_id AS VARCHAR) AS "__source_file",

@@ -30,6 +30,7 @@ INTENTIONAL_BNLJ = {
     "q22_idle_balance_customers",  # 1-row broadcast scalar subquery
     "join_range_value_bands",      # 4-row broadcast range-lookup dim
     "q15_top_supplier",            # 1-row broadcast scalar max
+    "events_gap_fill",             # dense-grid cross join of two tiny dims
 }
 
 
