@@ -135,3 +135,36 @@ def test_grouped_stage_in_streaming(spark, tmp_path, stream_dir):
     for (bid, et), n in collected.items():
         by_type[et] = by_type.get(et, 0) + n
     assert by_type == {"click": 2, "view": 1}
+
+
+def test_watermarked_windowed_stream_agg(spark, tmp_path, stream_dir):
+    """Optional watermark + tumbling-window agg on a stream (SURVEY §2.7:
+    the reference has no watermarks — this is the Spark-native extension).
+    Append mode emits a window only once the watermark passes its end, so
+    the two CLOSED windows (including the late 2019 record's) are emitted
+    and the window containing the max event time stays open."""
+    stream = json_file_stream(spark, stream_dir, SCHEMA)
+    agg = (
+        stream.withWatermark("event_time", "1 day")
+        .groupBy(F.window("event_time", "1 day").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out_dir = str(tmp_path / "out")
+    q = (
+        agg.select(F.col("w.start").alias("ws"), "event_type", "n")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["ws"].isoformat(), r["event_type"]): r["n"]
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got == {
+        ("2020-01-05T00:00:00", "click"): 1,
+        ("2019-11-01T00:00:00", "click"): 1,
+    }
