@@ -168,3 +168,51 @@ def test_watermarked_windowed_stream_agg(spark, tmp_path, stream_dir):
         ("2020-01-05T00:00:00", "click"): 1,
         ("2019-11-01T00:00:00", "click"): 1,
     }
+
+
+def test_stream_stream_join_with_watermarks(spark, tmp_path):
+    """Stream-stream inner join with event-time range + watermarks (pure
+    Spark-native extension; the reference joins only at rest). Clicks join
+    purchases by the same user within 1 day."""
+    d = tmp_path / "ss_in"
+    d.mkdir()
+    write_batch(
+        str(d),
+        "b1.json",
+        [
+            {"event_id": "c1", "event_time": "2020-01-01T00:00:00", "user_id": 1, "event_type": "click", "value": 0.0},
+            {"event_id": "p1", "event_time": "2020-01-01T06:00:00", "user_id": 1, "event_type": "purchase", "value": 5.0},
+            {"event_id": "c2", "event_time": "2020-01-02T00:00:00", "user_id": 2, "event_type": "click", "value": 0.0},
+            {"event_id": "p2", "event_time": "2020-01-09T00:00:00", "user_id": 2, "event_type": "purchase", "value": 7.0},
+        ],
+    )
+    src = json_file_stream(spark, str(d), SCHEMA)
+    clicks = (
+        src.filter(F.col("event_type") == "click")
+        .select("user_id", F.col("event_id").alias("click_id"), F.col("event_time").alias("click_time"))
+        .withWatermark("click_time", "1 hour")
+    )
+    buys = (
+        src.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("event_id").alias("buy_id"), F.col("event_time").alias("buy_time"))
+        .withWatermark("buy_time", "1 hour")
+    )
+    joined = clicks.join(
+        buys,
+        (clicks.user_id == buys.user_id)
+        & (buys.buy_time >= clicks.click_time)
+        & (buys.buy_time <= clicks.click_time + F.expr("interval 1 day")),
+    ).select("click_id", "buy_id")
+    out_dir = str(tmp_path / "ss_out")
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ss_ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r["click_id"], r["buy_id"]) for r in spark.read.parquet(out_dir).collect()}
+    # c1→p1 within a day; c2→p2 is 7 days apart → excluded
+    assert got == {("c1", "p1")}
