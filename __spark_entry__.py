@@ -1185,6 +1185,39 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def window_lag_lead_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window breadth: lag/lead over per-customer order history (exact
+    decimal deltas, deterministic tiebreak on orderkey)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+    prev = F.lag(_dec("o_totalprice")).over(w)
+    nxt = F.lead(_dec("o_totalprice")).over(w)
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        (_dec("o_totalprice") - prev).cast("double").alias("delta_prev"),
+        (nxt - _dec("o_totalprice")).cast("double").alias("delta_next"),
+    )
+
+
+def window_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window breadth: ntile(4) by totalprice within order status
+    (orderkey tiebreak keeps tile assignment engine-stable), then decimal-
+    exact per-quartile stats."""
+    orders = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("q", F.ntile(4).over(w))
+        .groupBy("o_orderstatus", "q")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total"),
+        )
+    )
+
+
 def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series gap filling: hourly counts per event type over the full
     observed range INCLUDING empty hours (zero-filled) — dense grid via
@@ -1777,6 +1810,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_bucketed_colocated": join_bucketed_colocated,
         "dedup_embedding_clusters": dedup_embedding_clusters,
         "events_gap_fill": events_gap_fill,
+        "window_lag_lead_delta": window_lag_lead_delta,
+        "window_ntile_quartiles": window_ntile_quartiles,
     }
 
 
@@ -2573,6 +2608,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT hours.hour, types.event_type, coalesce(counts.n, 0) AS n
             FROM hours CROSS JOIN types
             LEFT JOIN counts ON counts.hour = hours.hour AND counts.event_type = types.event_type
+        """,
+        "window_lag_lead_delta": """
+            SELECT o_orderkey, o_custkey,
+                   CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                        - lag(CAST(o_totalprice AS DECIMAL(18,2)))
+                          OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+                        AS DOUBLE) AS delta_prev,
+                   CAST(lead(CAST(o_totalprice AS DECIMAL(18,2)))
+                          OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+                        - CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS delta_next
+            FROM orders
+        """,
+        "window_ntile_quartiles": """
+            SELECT o_orderstatus, q, count(*) AS n,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+            FROM (
+                SELECT o_orderstatus, o_totalprice,
+                       ntile(4) OVER (PARTITION BY o_orderstatus
+                                      ORDER BY o_totalprice ASC, o_orderkey ASC) AS q
+                FROM orders
+            )
+            GROUP BY o_orderstatus, q
         """,
         "multimodal_features": """
             SELECT CAST(doc_id AS VARCHAR) AS "__source_file",
