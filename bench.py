@@ -1,7 +1,12 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+compact JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
+
+The round-1 harness could not parse the line because the per-query dict
+pushed it past the captured tail, so: totals come FIRST in the line,
+per-query values are 2-decimal, and the full-precision result (plus
+row counts) is written to BENCH_full.json as a separate artifact.
 """
 
 from __future__ import annotations
@@ -28,25 +33,43 @@ def main() -> None:
     entrymod.entry(spark).collect()
 
     timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
     total = 0.0
     for name, fn in entrymod.queries().items():
         t0 = time.perf_counter()
-        fn(spark, sf_dir).collect()
+        out = fn(spark, sf_dir).collect()
         dt = time.perf_counter() - t0
-        timings[name] = round(dt, 4)
+        timings[name] = dt
+        rows[name] = len(out)
         total += dt
 
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_sec",
-                "value": round(total, 4),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    full = {
+        "metric": "total_query_wall_sec",
+        "value": round(total, 4),
+        "unit": "sec",
+        "sf": sf_val,
+        "n_queries": len(timings),
+        "queries": {k: round(v, 4) for k, v in timings.items()},
+        "rows": rows,
+    }
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_full.json"), "w") as f:
+        json.dump(full, f, indent=1, sort_keys=True)
+
+    # Keep the printed line well under the harness's captured-stdout tail
+    # (~2 KB; the round-1 full-dict line was truncated and parsed as null):
+    # totals + the 20 slowest queries only, full dict in BENCH_full.json.
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:20])
+    compact = {
+        "metric": "total_query_wall_sec",
+        "value": round(total, 2),
+        "unit": "sec",
+        "sf": sf_val,
+        "n_queries": len(timings),
+        "queries": {k: round(v, 2) for k, v in slowest.items()},
+        "full": "BENCH_full.json",
+    }
+    print(json.dumps(compact, separators=(",", ":")))
 
 
 if __name__ == "__main__":
