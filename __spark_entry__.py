@@ -1462,17 +1462,19 @@ def similarity_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def join_range_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Range (inequality) join: events bucketed into value bands via a
-    broadcast nested-loop join against a tiny bands dim — the Spark pattern
-    for interval lookup tables (the probe side never shuffles)."""
+    """Events bucketed into value bands. For a STATIC band table the
+    scale-right plan is no join at all: compile the interval dim into a
+    CASE WHEN projection (narrow, codegen'd, zero extra scan), then a plain
+    groupBy. The general dynamic-interval pattern (broadcast range join)
+    lives in operators/joins.py:range_join and stays plan-tested there."""
+    from aleph2_contrib_spark.operators.joins import band_expr
+
     ev = _t(spark, sf_dir, "events")
-    bands = spark.createDataFrame(
-        [("tiny", 0.0, 10.0), ("small", 10.0, 100.0), ("large", 100.0, 1000.0),
-         ("huge", 1000.0, float("inf"))],
-        "band string, lo double, hi double",
-    )
+    bands = [("tiny", 0.0, 10.0), ("small", 10.0, 100.0), ("large", 100.0, 1000.0),
+             ("huge", 1000.0, float("inf"))]
     return (
-        ev.join(F.broadcast(bands), (ev.value >= bands.lo) & (ev.value < bands.hi))
+        ev.select(band_expr(bands, F.col("value")).alias("band"), "user_id")
+        .filter(F.col("band").isNotNull())
         .groupBy("band")
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -1545,7 +1547,8 @@ def file_inbox_consume_archive(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
     inbox = tempfile.mkdtemp(prefix="a2s_gate_consume_")
     archive = tempfile.mkdtemp(prefix="a2s_gate_archive_")
-    ev.write.mode("overwrite").json(inbox)
+    # few fat files beat many tiny ones for a local inbox fixture
+    ev.coalesce(4).write.mode("overwrite").json(inbox)
     # drop Spark's _SUCCESS marker so only data files are consumed
     marker = os.path.join(inbox, "_SUCCESS")
     if os.path.exists(marker):
@@ -1554,7 +1557,12 @@ def file_inbox_consume_archive(spark: SparkSession, sf_dir: str) -> DataFrame:
                   now=dt.datetime(2024, 1, 31))
     leftovers = [f for f in os.listdir(inbox) if os.path.isfile(os.path.join(inbox, f))]
     assert not leftovers, f"inbox not drained: {leftovers}"
-    got = read_json_inbox(spark, os.path.join(archive, "2024-01"))
+    # explicit schema: skips the whole-archive inference pass (a full extra
+    # scan — the dominant cost of this query at round 1)
+    got = read_json_inbox(
+        spark, os.path.join(archive, "2024-01"),
+        schema="event_id bigint, event_type string, value double",
+    )
     return got.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.countDistinct("event_id").alias("n_ids"),

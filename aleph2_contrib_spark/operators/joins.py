@@ -45,6 +45,19 @@ def asof_join(
         value_cols = [c for c in right.columns if c not in set(on) | {right_ts}]
     on = list(on)
 
+    # Output emits left.* + value_cols + matched_ts; a right value column
+    # shadowing a left column (both sides carrying e.g. 'price') would make
+    # by-name access ambiguous downstream, and user columns named like the
+    # internal tags would be clobbered by the union. Fail fast.
+    reserved = {"__ts", "__side", "__match_ts", "matched_ts"} | {f"__v_{c}" for c in value_cols}
+    clash = (set(left.columns) & set(value_cols)) | (set(left.columns) & reserved)
+    if clash:
+        raise ValueError(
+            f"asof_join output-name collision on {sorted(clash)}: rename the "
+            "left column(s) or pass explicit value_cols (right values are "
+            "emitted under their own names, plus 'matched_ts')"
+        )
+
     fill_cols = [f"__v_{c}" for c in value_cols]
     r = right.select(
         *on,
@@ -83,3 +96,51 @@ def asof_join(
         *[F.col(fc).alias(renames[fc]) for fc in fill_cols],
         F.col("__match_ts").alias("matched_ts"),
     )
+
+
+def range_join(
+    left: DataFrame,
+    intervals: DataFrame,
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    closed: str = "left",
+) -> DataFrame:
+    """General interval-dimension join: attach interval-table attributes to
+    each left row whose ``value_col`` falls inside [lo, hi).
+
+    The interval side is broadcast (interval dims are small by construction
+    — band tables, SLA tiers, rate cards), so the probe side never shuffles:
+    a BroadcastNestedLoopJoin whose build side is a few rows. For a STATIC
+    interval table known at plan time, prefer ``band_expr`` below — a CASE
+    projection with no join node at all.
+
+    ``closed``: 'left' → [lo, hi), 'right' → (lo, hi], 'both' → [lo, hi],
+    'neither' → (lo, hi).
+    """
+    v = left[value_col]
+    lo, hi = intervals[lo_col], intervals[hi_col]
+    lo_cmp = v >= lo if closed in ("left", "both") else v > lo
+    hi_cmp = v <= hi if closed in ("right", "both") else v < hi
+    return left.join(F.broadcast(intervals), lo_cmp & hi_cmp)
+
+
+def band_expr(
+    bands: Sequence[tuple[str, float, float]],
+    value: Column,
+) -> Column:
+    """Compile a static band table into a single CASE WHEN projection —
+    the no-join plan for interval lookup against a table known at plan
+    time. First matching band wins (mirrors non-overlapping range_join
+    semantics with closed='left'); values outside every band map to null.
+    Stays fully inside whole-stage codegen: zero shuffle, zero extra scan.
+    """
+    expr = None
+    for name, lo, hi in bands:
+        cond = value >= F.lit(float(lo))
+        if hi != float("inf"):
+            cond = cond & (value < F.lit(float(hi)))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    if expr is None:
+        return F.lit(None).cast("string")
+    return expr

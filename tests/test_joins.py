@@ -61,3 +61,45 @@ def test_asof_matched_ts_exposed(spark, trades, quotes):
     row = {r["qty"]: r["matched_ts"] for r in out.collect()}
     assert row[3] == ts(20)
     assert row[4] is None
+
+
+def test_asof_collision_raises(spark, trades, quotes):
+    # left already has 'px' -> ambiguous output name must fail fast
+    tl = trades.withColumn("px", F.lit(0.0))
+    with pytest.raises(ValueError, match="collision.*px"):
+        asof_join(tl, quotes, on=["sym"], left_ts="t", right_ts="t", value_cols=["px"])
+    # reserved internal/output names clash too
+    tl2 = trades.withColumn("matched_ts", F.lit(None).cast("timestamp"))
+    with pytest.raises(ValueError, match="collision.*matched_ts"):
+        asof_join(tl2, quotes, on=["sym"], left_ts="t", right_ts="t", value_cols=["px"])
+
+
+def test_range_join_and_band_expr_agree(spark):
+    from aleph2_contrib_spark.operators.joins import band_expr, range_join
+
+    bands = [("lo", 0.0, 10.0), ("mid", 10.0, 100.0), ("hi", 100.0, float("inf"))]
+    vals = spark.range(0, 500).select((F.col("id") * 0.7).alias("v"))
+    dim = spark.range(1).select(
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(n).alias("band"), F.lit(lo).alias("lo"),
+                         F.lit(hi if hi != float("inf") else 1e18).alias("hi"))
+                for n, lo, hi in bands
+            ])
+        ).alias("b")
+    ).select("b.*")
+
+    joined = (
+        range_join(vals, dim, value_col="v")
+        .groupBy("band").count().orderBy("band").collect()
+    )
+    cased = (
+        vals.select(band_expr(bands, F.col("v")).alias("band"))
+        .groupBy("band").count().orderBy("band").collect()
+    )
+    assert [(r["band"], r["count"]) for r in joined] == [
+        (r["band"], r["count"]) for r in cased
+    ]
+    # the band_expr plan must contain no join node at all
+    plan = vals.select(band_expr(bands, F.col("v")).alias("band"))._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
