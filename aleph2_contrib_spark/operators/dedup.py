@@ -564,12 +564,19 @@ def connected_components(
     turn pairwise near-dup evidence into dedup clusters (keep one
     representative per component).
 
-    Distributed min-label propagation: each round every node takes the min
-    label among itself and its neighbors — one join + one groupBy per
-    round, converging in O(graph diameter) rounds (near-dup clusters are
-    shallow). Lineage is cut with localCheckpoint each round so the plan
+    Distributed min-label propagation with POINTER JUMPING: each round every
+    node takes the min label among itself and its neighbors (one join + one
+    groupBy), then each label is shortcut to its label's label (one more
+    join) — path-compression halves chain depth every round, so convergence
+    is O(log diameter) rounds even for long chain-shaped components, not
+    O(diameter). Lineage is cut with localCheckpoint each round so the plan
     doesn't grow exponentially; convergence is detected by a changed-label
     count and the loop stops early.
+
+    Raises RuntimeError if the loop exhausts ``max_iter`` without
+    converging — returning partial labels would silently split clusters.
+    With pointer jumping, the default 25 rounds covers diameters up to
+    ~2^25; hitting the error means a pathological graph, not a tuning knob.
     """
     e = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     edges = e.unionByName(
@@ -588,13 +595,24 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("component").alias("nbr_min"))
         )
+        propagated = labels.join(
+            neigh_min, labels.node == neigh_min.src, "left"
+        ).select(
+            "node",
+            F.least(
+                F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+            ).alias("component"),
+        )
+        # pointer jumping: component <- component's own current label
+        # (labels are node ids, so the label table doubles as the lookup)
+        jump = propagated.select(
+            F.col("node").alias("j_node"), F.col("component").alias("j_comp")
+        )
         new_labels = (
-            labels.join(neigh_min, labels.node == neigh_min.src, "left")
+            propagated.join(jump, propagated.component == jump.j_node, "left")
             .select(
                 "node",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
-                ).alias("component"),
+                F.coalesce(F.col("j_comp"), F.col("component")).alias("component"),
             )
             .localCheckpoint(eager=True)
         )
@@ -606,5 +624,10 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds; "
+        "the pair graph has a pathologically deep component (pointer "
+        "jumping converges in O(log diameter) rounds — diameter would "
+        f"exceed ~2^{max_iter}). Inspect the input pairs or raise max_iter."
+    )

@@ -134,11 +134,21 @@ def test_connected_components_known_graph(spark):
 
 
 def test_connected_components_chain_converges(spark):
-    # a long path graph stresses the propagation rounds (diameter = n-1)
+    # a long path graph stresses the propagation rounds (diameter = n-1);
+    # pointer jumping must finish in O(log n) rounds, far under diameter
     from pyspark.sql import Row
 
-    n = 12
+    n = 40
     pairs = spark.createDataFrame([Row(id_a=i, id_b=i + 1) for i in range(n)])
-    cc = ddp.connected_components(pairs, max_iter=n + 2).collect()
+    cc = ddp.connected_components(pairs, max_iter=10).collect()
     assert {r["component"] for r in cc} == {0}
     assert len(cc) == n + 1
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    # exhausting max_iter must raise, never silently return split clusters
+    from pyspark.sql import Row
+
+    pairs = spark.createDataFrame([Row(id_a=i, id_b=i + 1) for i in range(40)])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        ddp.connected_components(pairs, max_iter=1)
