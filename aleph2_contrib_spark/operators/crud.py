@@ -110,12 +110,17 @@ class CrudService:
         secondary indexes; the scale-equivalent is clustering the file
         layout on those fields so min/max row-group stats become selective
         (the Z-ORDER/sort-order maintenance of table formats). Rewrites the
-        table sorted by the field list; a no-op for in-memory repos."""
+        table range-partitioned THEN sorted on the field list — without the
+        repartitionByRange, equal key values stay scattered across every
+        file and per-file min/max stats span the whole domain (no
+        selectivity); a no-op for in-memory repos."""
         if self.path is None:
             return
         self._registered_indexes = getattr(self, "_registered_indexes", [])
         self._registered_indexes.append(tuple(ordered_fields))
-        self._rewrite(self.df.sortWithinPartitions(*ordered_fields))
+        self._rewrite(
+            self.df.repartitionByRange(*ordered_fields).sortWithinPartitions(*ordered_fields)
+        )
 
     def deregister_optimized_query(self, ordered_fields: Sequence[str]) -> bool:
         """C16: drop a registered layout hint (data is left as-is — matching

@@ -33,16 +33,36 @@ def write_bucketed(
     """Persist ``df`` as a bucketed (and bucket-sorted) catalog table."""
     spark = df.sparkSession
     if mode == "overwrite":
-        # A fresh session's in-memory catalog doesn't know tables written by
-        # a previous one, but their warehouse directories survive —
-        # saveAsTable then fails with LOCATION_ALREADY_EXISTS. Drop both.
-        spark.sql(f"DROP TABLE IF EXISTS {table_name}")
         import shutil
         from urllib.parse import urlparse
 
-        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-        loc = f"{wh}/{table_name.lower()}"
-        shutil.rmtree(loc, ignore_errors=True)
+        # If the catalog knows the table, resolve its REAL location and type
+        # (db-qualified names live under db.db/tbl; external tables own
+        # their location) instead of guessing {warehouse}/{name}.
+        loc, is_managed = None, True
+        if spark.catalog.tableExists(table_name):
+            for r in spark.sql(f"DESCRIBE TABLE EXTENDED {table_name}").collect():
+                if r.col_name == "Location":
+                    loc = r.data_type
+                elif r.col_name == "Type":
+                    is_managed = r.data_type.strip().upper() == "MANAGED"
+        # DROP deletes a managed table's data through the catalog; external
+        # data is deliberately left in place.
+        spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+        if loc is None:
+            # Catalog didn't know the table (fresh in-memory catalog after a
+            # previous session) but its managed warehouse directory may
+            # survive — saveAsTable would fail with LOCATION_ALREADY_EXISTS.
+            # Derive the default managed location, honoring db qualification.
+            wh = urlparse(spark.conf.get("spark.sql.warehouse.dir"))
+            parts = table_name.lower().split(".")
+            rel = f"{parts[-2]}.db/{parts[-1]}" if len(parts) > 1 else parts[0]
+            loc, is_managed = f"{wh.scheme or 'file'}://{wh.path}/{rel}", True
+        p = urlparse(loc)
+        # only ever rm local filesystem paths; remote URIs (s3/hdfs) are the
+        # catalog's job and DROP TABLE above already handled managed data
+        if is_managed and p.scheme in ("", "file"):
+            shutil.rmtree(p.path, ignore_errors=True)
     writer = df.write.mode(mode).bucketBy(num_buckets, *bucket_keys)
     if sort:
         writer = writer.sortBy(*bucket_keys)

@@ -68,9 +68,16 @@ class TimePartitionedTable:
     def write(self, df: DataFrame, mode: str = "append", path: str | None = None) -> None:
         t = self.bucket.temporal
         out = df.withColumn(PARTITION_COL, time_bucket_col(t.time_field, t.grouping_time_period))
+        # Salt is derived from the raw time field BEFORE the columnar
+        # projection (which may drop that field from the stored schema);
+        # it only steers the repartition and is dropped before the write.
+        fpp = max(1, self.bucket.write.files_per_partition)
+        salt_col = "__a2s_write_salt"
+        if fpp > 1:
+            out = out.withColumn(salt_col, F.pmod(F.xxhash64(F.col(t.time_field)), F.lit(fpp)))
         if self.bucket.columnar is not None:
             cols = self.bucket.columnar.select_columns(df.schema)
-            out = out.select(*cols, PARTITION_COL)
+            out = out.select(*cols, PARTITION_COL, *([salt_col] if fpp > 1 else []))
         if self.bucket.collide_policy == "error" and os.path.exists(path or self.primary_path):
             existing = self.spark.read.parquet(path or self.primary_path).schema
             new_fields = {f.name: f.dataType for f in out.schema.fields}
@@ -85,10 +92,8 @@ class TimePartitionedTable:
         # period opens its own file there, producing tasks x periods small
         # files; with it each period gets files_per_partition files and the
         # write parallelism is periods x files_per_partition tasks.
-        fpp = max(1, self.bucket.write.files_per_partition)
         if fpp > 1:
-            salt = F.pmod(F.xxhash64(F.col(t.time_field)), F.lit(fpp))
-            out = out.repartition(F.col(PARTITION_COL), salt)
+            out = out.repartition(F.col(PARTITION_COL), F.col(salt_col)).drop(salt_col)
         else:
             out = out.repartition(F.col(PARTITION_COL))
         (

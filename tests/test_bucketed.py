@@ -57,3 +57,33 @@ def test_bucketed_agg_has_no_exchange(spark, bucketed):
     agg = b.groupBy("o_key").count()
     plan = agg._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_bucketed_overwrite_db_qualified(spark):
+    # overwrite of a db-qualified bucketed table must resolve the real
+    # location (db.db/tbl) — both when the catalog knows the table and when
+    # only the warehouse directory survives from a previous session
+    spark.sql("CREATE DATABASE IF NOT EXISTS bdb")
+    df = spark.createDataFrame([Row(k=i, v=i * 2) for i in range(10)])
+    try:
+        write_bucketed(df, "bdb.b_tbl", ["k"], num_buckets=4)
+        write_bucketed(df, "bdb.b_tbl", ["k"], num_buckets=4)  # overwrite, must not raise
+        assert read_table(spark, "bdb.b_tbl").count() == 10
+
+        # simulate a stale warehouse dir: drop from catalog but leave files
+        import shutil
+        from urllib.parse import urlparse
+
+        loc = None
+        for r in spark.sql("DESCRIBE TABLE EXTENDED bdb.b_tbl").collect():
+            if r.col_name == "Location":
+                loc = urlparse(r.data_type).path
+        backup = loc + "_backup"
+        shutil.copytree(loc, backup)
+        spark.sql("DROP TABLE bdb.b_tbl")
+        shutil.move(backup, loc)
+        write_bucketed(df, "bdb.b_tbl", ["k"], num_buckets=4)  # must clear leftover
+        assert read_table(spark, "bdb.b_tbl").count() == 10
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bdb.b_tbl")
+        spark.sql("DROP DATABASE IF EXISTS bdb")

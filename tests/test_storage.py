@@ -161,3 +161,22 @@ def test_write_clusters_files_per_partition(spark, tmp_path, events_df):
             files = [f for f in os.listdir(os.path.join(t2.primary_path, d)) if f.endswith(".parquet")]
             assert 1 <= len(files) <= 2, (d, files)
     assert {r["_id"] for r in t2.read().collect()} == {"a", "b", "c", "d"}
+
+
+def test_write_salted_with_columnar_excluding_time_field(spark, tmp_path, events_df):
+    # files_per_partition>1 + a columnar schema that DROPS the time field:
+    # the salt must be computed before the projection (regression: this
+    # raised an unresolved-column AnalysisException)
+    from aleph2_contrib_spark.model.bucket import WriteSettings
+
+    b = Bucket(
+        full_name="/t/salted", path=str(tmp_path / "salted"),
+        temporal=TemporalSchema(time_field="ts", grouping_time_period="month"),
+        columnar=ColumnarSchema(field_exclude_list=("ts", "s")),
+        write=WriteSettings(files_per_partition=2),
+    )
+    t = TimePartitionedTable(spark, b)
+    t.write(events_df.repartition(8))
+    out = t.read()
+    assert sorted(out.columns) == ["_id", "v"]  # no salt column persisted
+    assert {r["_id"] for r in out.collect()} == {"a", "b", "c", "d"}
