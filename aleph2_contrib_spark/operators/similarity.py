@@ -292,6 +292,7 @@ def knn_join(
     vec_col: str = "embedding",
     query_id_col: str | None = None,
     query_vec_col: str | None = None,
+    max_broadcast_queries: int = 100_000,
 ) -> DataFrame:
     """Exact cosine k-NN JOIN: for every query vector, the top-k nearest
     candidate vectors. Returns (query_id, vec_id, score).
@@ -302,13 +303,29 @@ def knn_join(
     query, so the candidate side never shuffles and the final exact merge
     ranks just k x n_partitions x n_queries rows. This is the distributed
     brute-force baseline an IVF/LSH index is benchmarked against.
+
+    The collect is HARD-CAPPED at ``max_broadcast_queries`` rows: the guard
+    probes limit(cap+1), so an oversized query side fails fast with a
+    pointer to ivf_topk instead of melting the driver.
     """
     import numpy as np
     import pandas as pd
 
     query_id_col = query_id_col or id_col
     query_vec_col = query_vec_col or vec_col
-    qrows = queries.select(query_id_col, query_vec_col).collect()
+    qrows = (
+        queries.select(query_id_col, query_vec_col)
+        .limit(max_broadcast_queries + 1)
+        .collect()
+    )
+    if len(qrows) > max_broadcast_queries:
+        raise ValueError(
+            f"knn_join query side exceeds max_broadcast_queries="
+            f"{max_broadcast_queries}: this operator broadcasts the query "
+            "set from the driver and is meant for small query batches. For "
+            "large query sets use ivf_topk (distributed index) or raise "
+            "the cap explicitly if the driver can hold it."
+        )
     if not qrows:
         return candidates.sparkSession.createDataFrame(
             [], "query_id long, vec_id long, score double"

@@ -128,10 +128,40 @@ def read_xml_inbox(
     path: str,
     cfg: XmlConfig,
     output_schema: str | None = None,
+    schema_sample_files: int | None = None,
 ) -> DataFrame:
     """S3: XML files → records. Files are distributed via binaryFile and
-    parsed in an Arrow-batched pandas pass (per-file parallelism)."""
+    parsed in an Arrow-batched pandas pass (per-file parallelism).
+
+    When no ``output_schema`` is given, discovery runs DISTRIBUTED: each
+    executor parses its files and emits only the distinct column names it
+    saw, so the driver receives a handful of strings — never file contents
+    (the naive collect() of the whole inbox melts the driver on a large
+    deployment). ``schema_sample_files`` optionally bounds discovery to the
+    first N files (faster, but can miss columns that appear only later —
+    explicit schemas remain the one-pass production path).
+    """
     files = spark.read.format("binaryFile").load(path)
+
+    if output_schema is None:
+        def discover(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            seen: set[str] = set()
+            for b in batches:
+                for _, r in b.iterrows():
+                    for rec in _xml_records(r["content"], cfg):
+                        seen.update(rec)
+            yield pd.DataFrame({"col": sorted(seen)})
+
+        probe = files.select("path", "content")
+        if schema_sample_files is not None:
+            probe = probe.limit(schema_sample_files)
+        names = probe.mapInPandas(discover, schema="col string").distinct().collect()
+        cols = sorted({r["col"] for r in names} | {"__source_file"})
+        output_schema = ", ".join(f"`{c}` string" for c in cols)
+
+    from pyspark.sql.types import _parse_datatype_string
+
+    schema_cols = [f.name for f in _parse_datatype_string(output_schema).fields]
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
@@ -141,19 +171,12 @@ def read_xml_inbox(
                     rec["__source_file"] = r["path"]
                     rows.append(rec)
             if rows:
-                yield pd.DataFrame(rows).astype(object).where(pd.notna(pd.DataFrame(rows)), None)
+                # align every batch to the full schema: records missing a
+                # column (it only appears in other files) yield nulls, and
+                # columns outside the schema are dropped
+                pdf = pd.DataFrame(rows).reindex(columns=schema_cols)
+                yield pdf.astype(object).where(pd.notna(pdf), None)
 
-    if output_schema is None:
-        # schema discovery pass on the driver for small inboxes; large
-        # deployments pass an explicit schema to stay one-pass
-        sample = files.select("path", "content").collect()
-        cols: dict[str, None] = {}
-        for r in sample:
-            for rec in _xml_records(r["content"], cfg):
-                for k in rec:
-                    cols.setdefault(k, None)
-        cols.setdefault("__source_file", None)
-        output_schema = ", ".join(f"`{c}` string" for c in sorted(cols))
     return files.mapInPandas(parse, schema=output_schema)
 
 

@@ -115,3 +115,24 @@ def test_consume_inbox_delete(tmp_path):
     (inbox / "f.bin").write_bytes(b"x")
     consume_inbox(str(inbox), None, mode="delete")
     assert os.listdir(inbox) == []
+
+
+def test_xml_schema_discovery_distributed_and_sampled(spark, tmp_path):
+    # schema discovery must see columns from EVERY file (distributed
+    # name-only aggregation, no whole-inbox collect); the optional
+    # schema_sample_files bound restricts which files are probed
+    d = tmp_path / "inbox_many"
+    d.mkdir()
+    for i in range(20):
+        extra = f"<extra{i}>v</extra{i}>" if i == 17 else ""
+        (d / f"f{i:02d}.xml").write_text(
+            f'<records><record id="{i}"><name>n{i}</name>{extra}</record></records>'
+        )
+    cfg = XmlConfig(root_fields=("record",), attribute_prefix="@")
+    df = read_xml_inbox(spark, str(d), cfg)
+    assert "extra17" in df.columns  # full discovery saw the rare column
+    assert df.count() == 20
+    # sampled discovery reads few files: rare column may be absent, but the
+    # schema stays consistent and the parse still returns every record
+    df2 = read_xml_inbox(spark, str(d), cfg, schema_sample_files=3)
+    assert df2.count() == 20

@@ -128,3 +128,17 @@ def test_salted_join_left_preserves_unmatched(spark):
     out = salted_join(left, right, ["k"], salt_buckets=4, how="left").collect()
     got = {(r["k"], r["tag"]) for r in out}
     assert got == {("a", "x"), ("b", None)}
+
+
+def test_knn_join_query_cap_fails_fast(spark):
+    from pyspark.sql import Row
+
+    from aleph2_contrib_spark.operators.similarity import knn_join
+
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(i), 1.0]) for i in range(30)]
+    )
+    with pytest.raises(ValueError, match="max_broadcast_queries"):
+        knn_join(df, df, k=3, max_broadcast_queries=10)
+    # at or under the cap: runs normally
+    assert knn_join(df.limit(5), df.limit(10), k=3, max_broadcast_queries=10).count() == 10 * 3
