@@ -889,27 +889,52 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup candidate pairs (no SQL oracle — verified
-    against exact jaccard in tests/test_dedup.py)."""
+    """MinHash-LSH near-dup pairs, ORACLE-CHECKED: r=1 banding (64 bands of
+    one hash) makes the per-pair miss probability (1-j)^64 ≤ 5e-20 at the
+    0.5 threshold, and exact-jaccard verification on the shingle-hash sets
+    makes every emitted pair's value exact — so the output equals DuckDB's
+    all-pairs token-3-gram jaccard join. (The production estimate-mode
+    config trades this for O(num_hashes) shuffle rows; same operator.)"""
     docs = _t(spark, sf_dir, "documents")
-    return ddp.minhash_lsh_pairs(
-        docs, "doc_id", "text", num_hashes=64, bands=16, threshold=0.5,
-        shingle_mode="token", verify="estimate", sig_impl="numpy",
+    out = ddp.minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=64, bands=64, threshold=0.5,
+        shingle_mode="token", verify="exact", sig_impl="numpy",
+    )
+    return out.select(
+        "id_a", "id_b",
+        F.floor(F.col("jaccard") * F.lit(1e6)).cast("long").alias("j_f6"),
     )
 
 
-def dedup_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash 64-bit fingerprints (no SQL oracle — xxhash64-based).
-    Uses the numpy vote/pack fast path (bit-identical to the pure-Column
-    formulation, asserted in tests)."""
+def dedup_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs via the banded pigeonhole join,
+    ORACLE-CHECKED: md5-derived 60-bit fingerprints (DuckDB recomputes them
+    bit-for-bit) and bands=4 > max_hamming=3 makes recall deterministically
+    exact, so the banded join must equal DuckDB's all-pairs hamming
+    filter. (xxhash64 fingerprints stay the production default; their
+    vote/pack parity is pytest-asserted.)"""
     docs = _t(spark, sf_dir, "documents")
-    return ddp.simhash_numpy(docs, "text").select("doc_id", "simhash")
+    fps = ddp.simhash_md5_numpy(docs, "text").select(
+        F.col("doc_id").alias("id"), F.col("simhash").alias("sh")
+    )
+    pairs = ddp.simhash_pairs_from_fingerprints(
+        fps, max_hamming=3, bands=4, num_bits=60
+    )
+    return pairs.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
 
 
 def similarity_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs via LSH bucketing (approximate — rows-only)."""
+    """Embedding near-dup pairs via signed-hyperplane LSH bucketing,
+    ORACLE-CHECKED: the hyperplanes are seeded constants, so the bucket
+    assignment is part of the query's definition — the oracle SQL embeds
+    the same plane literals and recomputes bucket + cosine exactly
+    (same-bucket pairs with cosine ≥ threshold)."""
     emb = _t(spark, sf_dir, "embeddings")
-    return sim.all_pairs_above(emb, threshold=0.3, n_planes=4)
+    out = sim.all_pairs_above(emb, threshold=0.3, n_planes=4, seed=42)
+    return out.select(
+        "id_a", "id_b",
+        F.floor(F.col("score") * F.lit(1e6)).cast("long").alias("cos_f6"),
+    )
 
 
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1735,7 +1760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": text_lang_id,
         "dedup_ngram_jaccard_pairs": dedup_ngram_jaccard_pairs,
         "dedup_minhash_pairs": dedup_minhash_pairs,
-        "dedup_simhash_fingerprints": dedup_simhash_fingerprints,
+        "dedup_simhash_hamming_pairs": dedup_simhash_hamming_pairs,
         "similarity_pairs_lsh": similarity_pairs_lsh,
         "dedup_embedding_cosine": dedup_embedding_cosine,
         "similarity_ivf_topk": similarity_ivf_topk,
@@ -1858,6 +1883,70 @@ _SIMHASH_MD5_ORACLE = rf"""
         FROM h GROUP BY doc_id
     )
     SELECT doc_id, CAST({_SIMHASH_PACK} AS BIGINT) AS simhash FROM v
+"""
+
+
+def _lsh_pairs_oracle(threshold: float = 0.3, n_planes: int = 4, seed: int = 42, dim: int = 64) -> str:
+    """Oracle for similarity_pairs_lsh: the hyperplanes are seeded
+    constants, so DuckDB recomputes the bucket assignment from the SAME
+    plane literals (list_dot_product is sequential left-to-right, matching
+    the Spark-side F.aggregate fold), then filters same-bucket pairs by
+    exact cosine."""
+    from aleph2_contrib_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, n_planes, seed)
+    bucket = "\n                     + ".join(
+        f"(CASE WHEN list_dot_product(v, {[float(x) for x in p]}) >= 0 THEN {1 << b} ELSE 0 END)"
+        for b, p in enumerate(planes)
+    )
+    return f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), b AS (
+            SELECT vec_id, v,
+                   {bucket} AS bucket
+            FROM e
+        )
+        SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+               CAST(floor(list_cosine_similarity(a.v, b2.v) * 1000000.0) AS BIGINT) AS cos_f6
+        FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+        WHERE list_cosine_similarity(a.v, b2.v) >= {threshold}
+    """
+
+
+# Token-3-gram jaccard, all pairs ≥ 0.5 — the exact answer the r=1-banded,
+# exact-verified MinHash-LSH gate query must reproduce. chr(31) joins the
+# token triples (unit separator; cannot occur in the whitespace-split
+# tokens of the synthetic corpus).
+_MINHASH_PAIRS_ORACLE = r"""
+    WITH t AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+        FROM documents
+    ), s AS (
+        SELECT doc_id,
+               list_distinct(
+                   list_transform(
+                       generate_series(1, greatest(len(toks) - 2, 1)),
+                       i -> toks[i] || chr(31) || coalesce(toks[i+1], '') || chr(31) || coalesce(toks[i+2], '')
+                   )
+               ) AS sh
+        FROM t
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(floor(len(list_intersect(a.sh, b.sh))
+                / len(list_distinct(list_concat(a.sh, b.sh))) * 1000000.0) AS BIGINT) AS j_f6
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.sh, b.sh))
+          / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+"""
+
+_SIMHASH_HAMMING_PAIRS_ORACLE = f"""
+    WITH fp AS ({_SIMHASH_MD5_ORACLE})
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 """
 
 
@@ -2229,6 +2318,9 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'und' END AS lang_pred
             FROM sc
         """,
+        "dedup_minhash_pairs": _MINHASH_PAIRS_ORACLE,
+        "dedup_simhash_hamming_pairs": _SIMHASH_HAMMING_PAIRS_ORACLE,
+        "similarity_pairs_lsh": _lsh_pairs_oracle(),
         "dedup_ngram_jaccard_pairs": r"""
             WITH t AS (
                 SELECT doc_id, lang, CAST(floor(n_chars / 500.0) AS BIGINT) AS size_bucket,

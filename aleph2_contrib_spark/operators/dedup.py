@@ -512,31 +512,48 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
-def simhash_pairs(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
+def simhash_pairs_from_fingerprints(
+    fps: DataFrame,
     max_hamming: int = 3,
     bands: int = 4,
+    id_col: str = "id",
+    sh_col: str = "sh",
+    num_bits: int = 64,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: band the 64-bit fingerprint into
-    ``bands`` chunks (pigeonhole: distance ≤ bands−1 guarantees one exact
-    band match), join on matching band, verify Hamming distance."""
-    from aleph2_contrib_spark.parallel import ensure_parallelism
+    """Near-dup pairs from precomputed SimHash fingerprints: band the
+    ``num_bits``-bit fingerprint into ``bands`` chunks, join on matching
+    band, verify Hamming distance. With ``bands >= max_hamming + 1`` the
+    pigeonhole principle makes recall EXACT (any pair within distance
+    max_hamming must agree on at least one whole band) — this is a
+    deterministic algorithm, not an approximation, which is what lets the
+    differential gate oracle it. One shuffle, keyed on (band, value)."""
+    if bands < max_hamming + 1:
+        # fewer bands than max_hamming+1 is a legitimate recall-for-shuffle
+        # trade, but the pigeonhole exactness guarantee is lost
+        import warnings
 
-    bits_per = 64 // bands
-    df = ensure_parallelism(df)
-    base = df.select(F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("sh"))
-    banded = base.select(
-        "id",
-        "sh",
+        warnings.warn(
+            f"bands={bands} < max_hamming+1={max_hamming + 1}: pigeonhole "
+            "recall guarantee lost — pairs within the hamming budget can be "
+            "missed (approximate mode)",
+            stacklevel=2,
+        )
+    # distribute num_bits across bands (first num_bits % bands bands get an
+    # extra bit) — unequal spans keep the pigeonhole guarantee
+    base_w, extra = divmod(num_bits, bands)
+    spans, start = [], 0
+    for i in range(bands):
+        w = base_w + (1 if i < extra else 0)
+        spans.append((start, w))
+        start += w
+    banded = fps.select(
+        F.col(id_col).alias("id"),
+        F.col(sh_col).alias("sh"),
         F.posexplode(
             F.array(
                 *[
-                    F.shiftrightunsigned(F.col("sh"), i * bits_per).bitwiseAND(
-                        F.lit((1 << bits_per) - 1)
-                    )
-                    for i in range(bands)
+                    F.shiftrightunsigned(F.col(sh_col), s).bitwiseAND(F.lit((1 << w) - 1))
+                    for s, w in spans
                 ]
             )
         ).alias("band_id", "band_val"),
@@ -550,6 +567,24 @@ def simhash_pairs(
         .withColumn("hamming", hamming64(F.col("sh_a"), F.col("sh_b")))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash over text (xxhash64 64-bit fingerprints);
+    see ``simhash_pairs_from_fingerprints`` for the join shape."""
+    from aleph2_contrib_spark.parallel import ensure_parallelism
+
+    df = ensure_parallelism(df)
+    base = df.select(F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("sh"))
+    return simhash_pairs_from_fingerprints(
+        base, max_hamming=max_hamming, bands=bands, num_bits=64
     )
 
 
