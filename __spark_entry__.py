@@ -281,6 +281,58 @@ def v1_mongo_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_V1X_NOW_MS = 1718447400000  # fixed "now" (2024-06-15T10:30Z) pins relative terms
+
+
+def v1_query_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 extras: the full V1 query-object envelope — ``:srctags``
+    source-tag restriction (broadcast semi-join on the source key),
+    community visibility filter, soft-delete exclusion (idx != '?DEL?'),
+    and :tmin/:tmax compiled to an ObjectId range on ``_id``
+    (LegacyV1HadoopUtils.parseQueryObject:51-184, createDateRange:192-212).
+    The V1-doc shape (_id/community_id/source_key/idx) is derived
+    deterministically from events so DuckDB rebuilds it bit-for-bit."""
+    from aleph2_contrib_spark.functions.native_queries import apply_v1_query_object
+
+    ev = _t(spark, sf_dir, "events")
+    docs = ev.select(
+        F.concat(
+            F.lpad(F.lower(F.hex(F.unix_timestamp(F.col("ts")))), 8, "0"),
+            F.lpad(F.lower(F.hex(F.col("event_id"))), 16, "0"),
+        ).alias("_id"),
+        (F.col("user_id") % 10).alias("community_id"),
+        F.col("event_type").alias("source_key"),
+        F.when(F.col("event_id") % 97 == 0, F.lit("?DEL?"))
+        .otherwise(F.concat(F.lit("idx_"), F.col("event_type")))
+        .alias("idx"),
+        "event_id",
+        "value",
+    )
+    sources = (
+        ev.select(F.col("event_type").alias("key"))
+        .distinct()
+        .withColumn("tags", F.array(F.substring(F.col("key"), 1, 1), F.lit("all")))
+    )
+    return apply_v1_query_object(
+        docs,
+        {
+            "value": {"$gte": 5.0},
+            ":tmin": "20240105",
+            ":tmax": "20240120",
+            ":srctags": {"$in": ["c", "p"]},
+            ":fields": {"_id": 1, "event_id": 1, "source_key": 1, "value": 1},
+            ":splits": 8,
+            ":docsPerSplit": 1000,
+        },
+        community_ids=[0, 1, 2, 3, 4, 5],
+        sources=sources,
+        source_key_field="source_key",
+        now_ms=_V1X_NOW_MS,
+        community_field="community_id",
+        index_field="idx",
+    )
+
+
 def es_dsl_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S7: ES query-DSL pushdown surface (bool/term/range tree)."""
     from aleph2_contrib_spark.functions.native_queries import apply_es_query
@@ -1766,6 +1818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ivf_topk": similarity_ivf_topk,
         "skew_salted_agg": skew_salted_agg,
         "multimodal_features": multimodal_features,
+        "v1_query_extras": v1_query_extras,
         "q7_volume_shipping": q7_volume_shipping,
         "q8_market_share": q8_market_share,
         "q9_profit_by_nation_year": q9_profit_by_nation_year,
@@ -1950,8 +2003,41 @@ _SIMHASH_HAMMING_PAIRS_ORACLE = f"""
 """
 
 
+def _v1_extras_oracle() -> str:
+    """Oracle for v1_query_extras: the ObjectId bounds are pure functions
+    of the query's :tmin/:tmax (+ pinned now), so the oracle embeds them as
+    literals computed by the same helpers; the :srctags semi-join reduces
+    to a first-letter filter because tags = [substr(key,1,1), 'all']."""
+    from aleph2_contrib_spark.functions.native_queries import (
+        objectid_bound,
+        parse_min_max_dates,
+    )
+
+    lo, hi = parse_min_max_dates("20240105", "20240120", _V1X_NOW_MS)
+    return f"""
+        WITH docs AS (
+            SELECT lpad(lower(hex(CAST(floor(epoch(ts)) AS BIGINT))), 8, '0')
+                   || lpad(lower(hex(event_id)), 16, '0') AS _id,
+                   user_id % 10 AS community_id,
+                   event_type AS source_key,
+                   CASE WHEN event_id % 97 = 0 THEN '?DEL?'
+                        ELSE 'idx_' || event_type END AS idx,
+                   event_id, value
+            FROM events
+        )
+        SELECT _id, event_id, source_key, value
+        FROM docs
+        WHERE substr(source_key, 1, 1) IN ('c', 'p')
+          AND value >= 5.0
+          AND community_id IN (0, 1, 2, 3, 4, 5)
+          AND _id >= '{objectid_bound(lo)}' AND _id <= '{objectid_bound(hi)}'
+          AND idx != '?DEL?'
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "v1_query_extras": _v1_extras_oracle(),
         "q1_pricing_summary": f"""
             SELECT l_returnflag, l_linestatus,
                    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -17,6 +17,7 @@ match_all, ids, bool{must, filter, should, must_not}, nested and/or trees.
 
 from __future__ import annotations
 
+import datetime as dt
 from functools import reduce
 from typing import Any, Mapping, Sequence
 
@@ -131,6 +132,234 @@ def apply_v1_query(
         out = out.select(*fields)
     if limit is not None:
         out = out.limit(limit)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# V1 legacy query-object parsing: relative dates, ObjectId ranges,
+# community/:srctags/soft-delete injection
+# (reference LegacyV1HadoopUtils.parseQueryObject:51-184 and the helpers it
+# C/P'd from V1: parseMinMaxDates:286-398, getInterval:405-437,
+# parseDate:446-468, createDateRange:192-212)
+# ---------------------------------------------------------------------------
+
+_V1_UNIT_MS = {
+    "h": 3_600_000,
+    "d": 86_400_000,
+    "w": 7 * 86_400_000,
+    "m": 30 * 86_400_000,
+    "y": 365 * 86_400_000,
+}
+
+# Python strptime renderings of the reference's _allowedDatesArray
+# (LegacyV1HadoopUtils.java:448-459); tried in order.
+_V1_DATE_FORMATS = (
+    "%Y-%j",
+    "%Y-%m-%d",
+    "%Y%m%d",
+    "%d %b %Y",
+    "%d %b %y",
+    "%m/%d/%y",
+    "%m/%d/%Y",
+    "%m.%d.%y",
+    "%m.%d.%Y",
+    "%Y-%m-%d %H:%M:%S",
+    "%d %b %y %H:%M:%S",
+    "%d %b %Y %H:%M:%S",
+    "%m/%d/%y %H:%M:%S",
+    "%m/%d/%Y %H:%M:%S",
+    "%m.%d.%y %H:%M:%S",
+    "%m.%d.%Y %H:%M:%S",
+    "%Y-%m-%dT%H:%M:%S",
+    "%Y-%m-%dT%H:%M:%S%z",
+    "%a, %d %b %Y %H:%M:%S %z",
+)
+
+_DAY_MS = 86_400_000
+
+
+def _v1_interval_ms(interval: str, default_unit: str = "d") -> int:
+    """``N[hdwmy]`` / ``month`` → milliseconds (getInterval:405-437)."""
+    if interval == "month":
+        return 30 * 86_400_000
+    last = interval[-1]
+    if last.isalpha():
+        return int(interval[:-1]) * _V1_UNIT_MS[last]
+    return int(interval) * _V1_UNIT_MS[default_unit]
+
+
+def _v1_parse_date_ms(s: str) -> int:
+    """Fixed-format date string → epoch ms, trying the reference's format
+    list in order (parseDate:446-468). All naive stamps are UTC."""
+    for fmt in _V1_DATE_FORMATS:
+        try:
+            parsed = dt.datetime.strptime(s, fmt)
+        except ValueError:
+            continue
+        if parsed.tzinfo is None:
+            parsed = parsed.replace(tzinfo=dt.timezone.utc)
+        return int(parsed.timestamp() * 1000)
+    raise ValueError(f"unparseable V1 date: {s!r}")
+
+
+def _v1_time_term_ms(term: Any, now_ms: int, *, is_max: bool) -> int:
+    """One :tmin/:tmax value → epoch ms (parseMinMaxDates:286-398 +
+    dateStringFromObject:220-252). Accepts epoch numbers, ``now``/
+    ``midnight`` ± ``N[hdwmy]`` relative forms, ``{"$date": ...}``
+    wrappers, datetimes, and the fixed-format list. Day-only max values
+    extend to end-of-day (23:59:59.999, :357-371)."""
+    if isinstance(term, bool):
+        raise ValueError("boolean is not a V1 time term")
+    if isinstance(term, (int, float)):
+        return int(term)
+    if isinstance(term, dt.datetime):
+        if term.tzinfo is None:
+            term = term.replace(tzinfo=dt.timezone.utc)
+        return int(term.timestamp() * 1000)
+    if isinstance(term, Mapping):
+        return _v1_time_term_ms(term["$date"], now_ms, is_max=is_max)
+    s = str(term)
+    midnight_ms = now_ms - now_ms % _DAY_MS
+    if s == "now":
+        return now_ms
+    if s.startswith("now"):
+        sgn = -1 if s[3] == "-" else 1
+        return now_ms + sgn * _v1_interval_ms(s[4:])
+    if s == "midnight":
+        return midnight_ms
+    if s.startswith("midnight"):
+        sgn = -1 if s[8] == "-" else 1
+        return midnight_ms + sgn * _v1_interval_ms(s[9:])
+    try:
+        n = int(s)
+        if n > 99_999_999:  # epoch ms; smaller is more likely YYYYMMDD
+            return n
+        ms = _v1_parse_date_ms(s)
+    except ValueError:
+        ms = _v1_parse_date_ms(s)
+        if is_max and ":" in s:  # full timestamp — no day extension
+            return ms
+    if is_max:  # day-only max → entire day (:357-359, :367-371)
+        ms = ms - ms % _DAY_MS + _DAY_MS - 1
+    return ms
+
+
+def parse_min_max_dates(
+    tmin: Any = None, tmax: Any = None, now_ms: int | None = None
+) -> tuple[int | None, int | None]:
+    """(:tmin, :tmax) → (min_ms, max_ms), swapped if inverted
+    (parseMinMaxDates:391-395). ``now_ms`` pins relative terms for
+    deterministic replay."""
+    if now_ms is None:
+        now_ms = int(dt.datetime.now(dt.timezone.utc).timestamp() * 1000)
+    lo = None if tmin in (None, "") else _v1_time_term_ms(tmin, now_ms, is_max=False)
+    hi = None if tmax in (None, "") else _v1_time_term_ms(tmax, now_ms, is_max=True)
+    if lo is not None and hi is not None and lo > hi:
+        lo, hi = hi, lo
+    return lo, hi
+
+
+def objectid_bound(ms: int) -> str:
+    """Epoch ms → the 24-hex ObjectId range boundary whose leading 4 bytes
+    are the epoch-seconds timestamp and whose machine/counter bytes are
+    zero (createDateRange:192-212 builds ``new ObjectId(date)`` bounds; the
+    timestamp prefix is what makes lexicographic hex compare == time
+    compare)."""
+    return f"{ms // 1000:08x}" + "0" * 16
+
+
+_V1_CONTROL_KEYS = (
+    ":limit", ":splits", ":docsPerSplit", ":fields", ":output", ":reducers",
+    ":mapper_key_class", ":mapper_value_class", ":caches", ":srctags",
+    ":tmin", ":tmax",
+)
+
+
+def parse_v1_query_object(
+    query: Mapping[str, Any],
+    community_ids: Sequence[Any] | None = None,
+    now_ms: int | None = None,
+    id_field: str = "_id",
+    community_field: str = "communityId",
+    index_field: str = "index",
+    soft_delete: bool = True,
+) -> dict[str, Any]:
+    """The full V1 query-object envelope (parseQueryObject:51-184): strip
+    the ``:control`` keys, then inject the server-side restrictions the
+    reference adds to every scan —
+
+    - community visibility: ``communityId $in [...]`` (:154)
+    - :tmin/:tmax → an ObjectId range on ``_id`` (:155-157, the V1 trick of
+      using the ObjectId's embedded creation timestamp as the time index)
+    - soft-delete exclusion: ``index != "?DEL?"`` (:158-159)
+    - ``:srctags`` → a separate source-level tag query (:91-94), returned
+      for the caller to resolve against the source dimension
+
+    Returns {"q": mongo-query-dict, "srctags": value-or-None,
+    "fields": dict-or-list, "limit": int-or-None}.
+    """
+    q = dict(query)
+    limit = q.get(":limit")
+    fields = q.get(":fields") or ()
+    srctags = q.get(":srctags")
+    tmin, tmax = q.get(":tmin"), q.get(":tmax")
+    for k in _V1_CONTROL_KEYS:
+        q.pop(k, None)
+    if community_ids:
+        q[community_field] = {"$in": list(community_ids)}
+    lo, hi = parse_min_max_dates(tmin, tmax, now_ms)
+    if lo is not None or hi is not None:
+        rng: dict[str, Any] = {}
+        if lo is not None:
+            rng["$gte"] = objectid_bound(lo)
+        if hi is not None:
+            rng["$lte"] = objectid_bound(hi)
+        q[id_field] = rng
+    if soft_delete:
+        q[index_field] = {"$ne": "?DEL?"}
+    return {"q": q, "srctags": srctags, "fields": fields, "limit": limit}
+
+
+def apply_v1_query_object(
+    df: DataFrame,
+    query: Mapping[str, Any],
+    community_ids: Sequence[Any] | None = None,
+    sources: DataFrame | None = None,
+    source_key_field: str = "sourceKey",
+    source_tags_field: str = "tags",
+    source_key_out: str = "key",
+    now_ms: int | None = None,
+    **parse_kwargs: Any,
+) -> DataFrame:
+    """End-to-end V1 scan: parse the envelope, resolve ``:srctags``
+    against the ``sources`` dimension (a broadcast semi-join on the source
+    key — the reference resolves srcTags to a source list driver-side and
+    restricts the doc query, InfiniteMongoSplitter semantics), then apply
+    the Mongo query + projection + limit."""
+    parsed = parse_v1_query_object(query, community_ids, now_ms, **parse_kwargs)
+    out = df
+    if parsed["srctags"] is not None:
+        if sources is None:
+            raise ValueError(":srctags requires a sources dimension")
+        matching = sources.filter(
+            _mongo_field_pred(sources.schema, source_tags_field, parsed["srctags"])
+        ).select(F.col(source_key_out).alias("__src_key")).distinct()
+        out = out.join(
+            F.broadcast(matching),
+            out[source_key_field] == F.col("__src_key"),
+            "left_semi",
+        )
+    out = out.filter(compile_mongo_query(parsed["q"], df.schema))
+    fields = parsed["fields"]
+    if fields:
+        if isinstance(fields, Mapping):  # V1 {f:1} include / {f:0} exclude
+            incl = [f for f, v in fields.items() if v]
+            excl = [f for f, v in fields.items() if not v]
+            out = out.select(*incl) if incl else out.drop(*excl)
+        else:
+            out = out.select(*fields)
+    if parsed["limit"] is not None:
+        out = out.limit(int(parsed["limit"]))
     return out
 
 

@@ -118,3 +118,128 @@ def test_es_wrapped_query_and_match_all(spark, df):
 def test_es_unsupported_raises(spark, df):
     with pytest.raises(ValueError, match="unsupported"):
         compile_es_query({"fuzzy": {"s": "x"}}, df.schema)
+
+
+# -- V1 legacy envelope (LegacyV1HadoopUtils.parseQueryObject) --------------
+
+
+NOW = int(dt.datetime(2024, 6, 15, 10, 30, tzinfo=dt.timezone.utc).timestamp() * 1000)
+DAY = 86_400_000
+
+
+def test_v1_relative_time_terms():
+    from aleph2_contrib_spark.functions.native_queries import parse_min_max_dates
+
+    assert parse_min_max_dates("now", None, NOW) == (NOW, None)
+    assert parse_min_max_dates("now-2d", "now", NOW) == (NOW - 2 * DAY, NOW)
+    midnight = NOW - NOW % DAY
+    assert parse_min_max_dates("midnight", None, NOW) == (midnight, None)
+    assert parse_min_max_dates("midnight-3h", None, NOW) == (midnight - 3 * 3_600_000, None)
+    # default unit is days; 'month' special case = 30d
+    assert parse_min_max_dates("now-2", None, NOW) == (NOW - 2 * DAY, None)
+    assert parse_min_max_dates("now-month", None, NOW) == (NOW - 30 * DAY, None)
+
+
+def test_v1_absolute_time_terms():
+    from aleph2_contrib_spark.functions.native_queries import parse_min_max_dates
+
+    feb1 = int(dt.datetime(2024, 2, 1, tzinfo=dt.timezone.utc).timestamp() * 1000)
+    # YYYYMMDD min is midnight; as max it extends to end-of-day
+    assert parse_min_max_dates("20240201", None, NOW) == (feb1, None)
+    assert parse_min_max_dates(None, "20240201", NOW) == (None, feb1 + DAY - 1)
+    # day-only other formats also extend; full timestamps don't
+    assert parse_min_max_dates(None, "02/01/2024", NOW)[1] == feb1 + DAY - 1
+    assert parse_min_max_dates(None, "2024-02-01 06:00:00", NOW)[1] == feb1 + 6 * 3_600_000
+    # epoch ms passthrough, $date wrapper, datetime, swap-if-inverted
+    assert parse_min_max_dates(feb1, {"$date": feb1 + 1000}, NOW) == (feb1, feb1 + 1000)
+    assert parse_min_max_dates("now", "now-2d", NOW) == (NOW - 2 * DAY, NOW)
+
+
+def test_v1_objectid_bound():
+    from aleph2_contrib_spark.functions.native_queries import objectid_bound
+
+    oid = objectid_bound(1_700_000_000_000)
+    assert len(oid) == 24 and oid == format(1_700_000_000, "08x") + "0" * 16
+    # lexicographic order == time order
+    assert objectid_bound(1_700_000_000_000) < objectid_bound(1_700_000_001_000)
+
+
+def test_v1_parse_query_object_envelope():
+    from aleph2_contrib_spark.functions.native_queries import (
+        objectid_bound,
+        parse_v1_query_object,
+    )
+
+    parsed = parse_v1_query_object(
+        {
+            "s": "x",
+            ":limit": 7,
+            ":splits": 4,
+            ":docsPerSplit": 100,
+            ":fields": {"n": 1},
+            ":srctags": {"$in": ["tag1"]},
+            ":tmin": "now-1d",
+            ":tmax": "now",
+            ":caches": "abc",
+        },
+        community_ids=["c1", "c2"],
+        now_ms=NOW,
+    )
+    assert parsed["limit"] == 7 and parsed["fields"] == {"n": 1}
+    assert parsed["srctags"] == {"$in": ["tag1"]}
+    q = parsed["q"]
+    # control keys stripped, server-side restrictions injected
+    assert not any(k.startswith(":") for k in q)
+    assert q["communityId"] == {"$in": ["c1", "c2"]}
+    assert q["index"] == {"$ne": "?DEL?"}
+    assert q["_id"] == {
+        "$gte": objectid_bound(NOW - DAY),
+        "$lte": objectid_bound(NOW),
+    }
+    assert q["s"] == "x"
+
+
+def test_v1_apply_query_object_end_to_end(spark):
+    from aleph2_contrib_spark.functions.native_queries import (
+        apply_v1_query_object,
+        objectid_bound,
+    )
+
+    t0 = NOW - 3 * DAY
+    docs = spark.createDataFrame(
+        [
+            Row(_id=objectid_bound(t0 + i * DAY // 2), communityId=f"c{i % 3}",
+                sourceKey=f"s{i % 4}", index="live" if i % 5 else "?DEL?", n=i)
+            for i in range(20)
+        ]
+    )
+    sources = spark.createDataFrame(
+        [Row(key=f"s{i}", tags=["all", f"t{i % 2}"]) for i in range(4)]
+    )
+    out = apply_v1_query_object(
+        docs,
+        {"n": {"$gte": 2}, ":tmin": t0 + DAY, ":tmax": "now", ":srctags": "t1",
+         ":fields": {"_id": 1, "n": 1}},
+        community_ids=["c0", "c1"],
+        sources=sources,
+        now_ms=NOW,
+    )
+    rows = out.collect()
+    assert out.columns == ["_id", "n"]
+    got = sorted(r["n"] for r in rows)
+    # manual expectation: n>=2, ts in [t0+DAY, NOW], community c0/c1,
+    # not soft-deleted (n % 5 != 0), source tagged t1 (odd source index)
+    exp = [
+        i for i in range(20)
+        if i >= 2 and t0 + DAY <= t0 + i * DAY // 2 <= NOW and i % 3 in (0, 1)
+        and i % 5 != 0 and (i % 4) % 2 == 1
+    ]
+    assert exp == [3]  # ids past NOW are excluded by the :tmax oid bound
+    assert got == exp
+
+
+def test_v1_srctags_requires_sources(spark, df):
+    from aleph2_contrib_spark.functions.native_queries import apply_v1_query_object
+
+    with pytest.raises(ValueError, match="srctags"):
+        apply_v1_query_object(df, {":srctags": "x"}, now_ms=NOW)
