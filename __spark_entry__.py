@@ -777,7 +777,11 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     session counts per user. Lag + cumulative-sum windows (all JVM-side)."""
     ev = _t(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
-    gap = (F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)) > 1800
+    # unix_timestamp, not cast("long"): ANSI mode (default in Spark 4)
+    # forbids timestamp→bigint casts, and events.ts arrives as
+    # TIMESTAMP_NTZ on engines that read parquet TIMESTAMP(NANOS) natively.
+    ts_sec = F.unix_timestamp(F.col("ts"))
+    gap = (ts_sec - F.lag(ts_sec).over(w)) > 1800
     sessions = ev.withColumn("new_session", F.when(gap, 1).otherwise(0))
     return sessions.groupBy("user_id").agg(
         (F.sum("new_session") + 1).alias("n_sessions"),
@@ -992,14 +996,24 @@ def similarity_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing over real binary payloads: the deterministic
     fake decoder derives a 16-dim feature vector from the payload's sha256,
-    which the DuckDB oracle reproduces hex-digit-for-hex-digit."""
+    which the DuckDB oracle reproduces hex-digit-for-hex-digit. The vector
+    is emitted as a comma-joined byte string (feature*255 is exactly the
+    sha byte) so the gate's canonicalizer sees a scalar column, not an
+    array."""
     from aleph2_contrib_spark.operators import multimodal as mm
 
     docs = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("string").alias("__source_file"),
         F.encode(F.col("text"), "UTF-8").alias("content"),
     )
-    return mm.extract_media_features(docs, decoder=mm.fake_decoder)
+    feats = mm.extract_media_features(docs, decoder=mm.fake_decoder)
+    return feats.select(
+        "__source_file",
+        F.concat_ws(
+            ",",
+            F.transform("embedding", lambda x: F.round(x * 255).cast("int").cast("string")),
+        ).alias("feat_bytes"),
+    )
 
 
 def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1662,7 +1676,12 @@ def graph_merge_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     first = ev.filter(F.col("ts") < "2024-01-15")
     rest = ev.filter(F.col("ts") >= "2024-01-15")
     v1, e1 = build_graph(first, elems)
+    # The first-half graph feeds both the vertex-merge and the edge-union of
+    # the incremental build, and v2 feeds both final count branches — persist
+    # the shared cuts or the whole first-half lineage runs once per branch.
+    v1, e1 = v1.persist(), e1.persist()
     v2, e2 = build_graph(rest, elems, existing_vertices=v1, existing_edges=e1)
+    v2 = v2.persist()
     vcounts = v2.groupBy(F.concat(F.lit("v:"), F.col("key.type")).alias("kind")).agg(
         F.count(F.lit(1)).alias("n")
     )
@@ -1792,6 +1811,96 @@ def file_ingest_binary_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Corpus-preparation operators (LLM training-data pipeline additions)
+# ---------------------------------------------------------------------------
+
+
+def corpus_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted source mixing (data-mixture step): per-source
+    md5-threshold sampling rates, verified by per-source survivor counts +
+    id checksums. Zero-shuffle narrow filter; the oracle reproduces every
+    keep/drop decision bit-for-bit."""
+    from aleph2_contrib_spark.operators import corpus as cp
+
+    docs = _t(spark, sf_dir, "documents")
+    sampled = cp.mix_sources(
+        docs, "source", {"src0": 0.9, "src1": 0.5, "src2": 0.25}, "doc_id",
+        seed="mix42", default_rate=0.1,
+    )
+    return sampled.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("doc_id").alias("id_sum"),
+    )
+
+
+def corpus_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination check: every 97th document plays the
+    benchmark set; corpus docs sharing any 4-token n-gram with it are
+    flagged with overlap counts (4-token grams). Benchmark gram set broadcasts; corpus
+    side joins on a 64-bit md5 gram key."""
+    from aleph2_contrib_spark.operators import corpus as cp
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return cp.contamination_check(corpus, bench, n=4)
+
+
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chop sequence packing to 2048-token packs in doc_id
+    order, via the two-phase distributed prefix sum (no single-partition
+    window). Output is partition-boundary-independent, so the oracle is a
+    plain window cumsum."""
+    from aleph2_contrib_spark.operators import corpus as cp
+    from aleph2_contrib_spark.operators.text import token_count
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).alias("tok_len")
+    )
+    return cp.pack_sequences(docs, "doc_id", "tok_len", max_len=2048)
+
+
+def corpus_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition quality signal: duplicate-bigram fraction
+    per doc, fixed-point f6. Pure narrow pass."""
+    from aleph2_contrib_spark.operators import corpus as cp
+
+    docs = _t(spark, sf_dir, "documents")
+    return cp.repetition_score(docs, n=2)
+
+
+def corpus_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based PII redaction: synthetic PII (email/SSN/phone/IPv4 derived
+    from doc_id) is appended to each doc, then redacted and counted. The
+    patterns stick to Java-regex/RE2-common syntax so the oracle replays
+    the exact rewrite; output pins md5(redacted)."""
+    from aleph2_contrib_spark.operators import corpus as cp
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-"),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" ssn 123-45-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7"),
+        ).alias("text"),
+    )
+    red = cp.pii_redact(docs, "text")
+    return red.select(
+        "doc_id",
+        "n_email", "n_ssn", "n_phone", "n_ipv4",
+        F.md5(F.col("redacted")).alias("redacted_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 
@@ -1802,64 +1911,23 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Registry order matters: the round-1 driver gate graded only the first 50
-    # entries, so the entries it has NOT yet verified are listed first this
-    # round (everything from graph_vertices onward in round 1), followed by
-    # the already-green round-1 block.
+    # Registry order matters: the driver gate grades the first ~50 entries
+    # each round. Order: (1) rows fixed/changed this round + new operators,
+    # (2) entries whose latest driver check was round 1 (refresh them),
+    # (3) round-2-verified greens.
     return {
-        "graph_vertices": graph_vertices,
-        "graph_edges": graph_edges,
-        "text_lang_id": text_lang_id,
-        "dedup_ngram_jaccard_pairs": dedup_ngram_jaccard_pairs,
-        "dedup_minhash_pairs": dedup_minhash_pairs,
-        "dedup_simhash_hamming_pairs": dedup_simhash_hamming_pairs,
-        "similarity_pairs_lsh": similarity_pairs_lsh,
-        "dedup_embedding_cosine": dedup_embedding_cosine,
-        "similarity_ivf_topk": similarity_ivf_topk,
-        "skew_salted_agg": skew_salted_agg,
         "multimodal_features": multimodal_features,
-        "v1_query_extras": v1_query_extras,
-        "q7_volume_shipping": q7_volume_shipping,
-        "q8_market_share": q8_market_share,
-        "q9_profit_by_nation_year": q9_profit_by_nation_year,
         "q12_priority_by_linestatus": q12_priority_by_linestatus,
-        "q13_order_count_distribution": q13_order_count_distribution,
-        "q18_large_volume_customers": q18_large_volume_customers,
-        "q19_disjunctive_predicates": q19_disjunctive_predicates,
-        "q22_idle_balance_customers": q22_idle_balance_customers,
-        "crud_filtered_repo": crud_filtered_repo,
-        "events_tumbling_window": events_tumbling_window,
-        "pipeline_combiner_partial_agg": pipeline_combiner_partial_agg,
-        "file_ingest_binary_roundtrip": file_ingest_binary_roundtrip,
         "docs_clean_corpus": docs_clean_corpus,
+        "corpus_mix_sample": corpus_mix_sample,
+        "corpus_contamination": corpus_contamination,
+        "corpus_pack_sequences": corpus_pack_sequences,
+        "corpus_repetition_score": corpus_repetition_score,
+        "corpus_pii_redact": corpus_pii_redact,
+        "dedup_minhash_pairs": dedup_minhash_pairs,
         "graph_merge_incremental": graph_merge_incremental,
-        "math_funcs": math_funcs,
-        "regexp_funcs": regexp_funcs,
-        "file_inbox_consume_archive": file_inbox_consume_archive,
-        "join_asof_last_signup": join_asof_last_signup,
-        "explode_top_tokens": explode_top_tokens,
-        "join_range_value_bands": join_range_value_bands,
-        "rollup_time_multires": rollup_time_multires,
-        "similarity_knn_join": similarity_knn_join,
-        "q2_min_acctbal_supplier": q2_min_acctbal_supplier,
-        "q16_supplier_part_counts": q16_supplier_part_counts,
-        "q20_excess_stock_suppliers": q20_excess_stock_suppliers,
-        "text_bpe_token_count": text_bpe_token_count,
-        "update_upsert_by_spec": update_upsert_by_spec,
-        "dsl_enum_projection_exclude": dsl_enum_projection_exclude,
-        "q15_top_supplier": q15_top_supplier,
-        "q17_small_quantity_revenue": q17_small_quantity_revenue,
-        "dedup_simhash_md5": dedup_simhash_md5,
-        "join_bucketed_colocated": join_bucketed_colocated,
-        "dedup_embedding_clusters": dedup_embedding_clusters,
-        "events_gap_fill": events_gap_fill,
-        "window_lag_lead_delta": window_lag_lead_delta,
-        "window_ntile_quartiles": window_ntile_quartiles,
-        # update_array_ops was the one red round-1 row (gate-representation
-        # fix this round) — keep it in the graded window too.
-        "update_array_ops": update_array_ops,
-        # --- round-1 driver-verified block ---
-        "q1_pricing_summary": q1_pricing_summary,
+        "events_sessionize": events_sessionize,
+        "dedup_ngram_jaccard_pairs": dedup_ngram_jaccard_pairs,
         "q3_shipping_priority": q3_shipping_priority,
         "q5_revenue_by_nation": q5_revenue_by_nation,
         "q6_forecast_revenue": q6_forecast_revenue,
@@ -1899,7 +1967,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_running_total": window_running_total,
         "pivot_event_counts": pivot_event_counts,
         "stats_percentiles": stats_percentiles,
-        "events_sessionize": events_sessionize,
         "grouping_sets_revenue": grouping_sets_revenue,
         "subquery_above_avg": subquery_above_avg,
         "string_funcs": string_funcs,
@@ -1908,6 +1975,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "array_funcs_tokens": array_funcs_tokens,
         "distinct_counts": distinct_counts,
         "union_entities": union_entities,
+        "graph_vertices": graph_vertices,
+        "graph_edges": graph_edges,
+        "text_lang_id": text_lang_id,
+        "dedup_simhash_hamming_pairs": dedup_simhash_hamming_pairs,
+        "similarity_pairs_lsh": similarity_pairs_lsh,
+        "dedup_embedding_cosine": dedup_embedding_cosine,
+        "similarity_ivf_topk": similarity_ivf_topk,
+        "skew_salted_agg": skew_salted_agg,
+        "v1_query_extras": v1_query_extras,
+        "q7_volume_shipping": q7_volume_shipping,
+        "q8_market_share": q8_market_share,
+        "q9_profit_by_nation_year": q9_profit_by_nation_year,
+        "q13_order_count_distribution": q13_order_count_distribution,
+        "q18_large_volume_customers": q18_large_volume_customers,
+        "q19_disjunctive_predicates": q19_disjunctive_predicates,
+        "q22_idle_balance_customers": q22_idle_balance_customers,
+        "crud_filtered_repo": crud_filtered_repo,
+        "events_tumbling_window": events_tumbling_window,
+        "pipeline_combiner_partial_agg": pipeline_combiner_partial_agg,
+        "file_ingest_binary_roundtrip": file_ingest_binary_roundtrip,
+        "math_funcs": math_funcs,
+        "regexp_funcs": regexp_funcs,
+        "file_inbox_consume_archive": file_inbox_consume_archive,
+        "join_asof_last_signup": join_asof_last_signup,
+        "explode_top_tokens": explode_top_tokens,
+        "join_range_value_bands": join_range_value_bands,
+        "rollup_time_multires": rollup_time_multires,
+        "similarity_knn_join": similarity_knn_join,
+        "q2_min_acctbal_supplier": q2_min_acctbal_supplier,
+        "q16_supplier_part_counts": q16_supplier_part_counts,
+        "q20_excess_stock_suppliers": q20_excess_stock_suppliers,
+        "text_bpe_token_count": text_bpe_token_count,
+        "update_upsert_by_spec": update_upsert_by_spec,
+        "dsl_enum_projection_exclude": dsl_enum_projection_exclude,
+        "q15_top_supplier": q15_top_supplier,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        "dedup_simhash_md5": dedup_simhash_md5,
+        "join_bucketed_colocated": join_bucketed_colocated,
+        "dedup_embedding_clusters": dedup_embedding_clusters,
+        "events_gap_fill": events_gap_fill,
+        "window_lag_lead_delta": window_lag_lead_delta,
+        "window_ntile_quartiles": window_ntile_quartiles,
+        "update_array_ops": update_array_ops,
+        "q1_pricing_summary": q1_pricing_summary,
     }
 
 
@@ -2497,8 +2608,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q12_priority_by_linestatus": """
             SELECT l_linestatus,
-                   sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-                   sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
             WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
@@ -2589,7 +2700,8 @@ def oracle_sql() -> dict[str, str]:
                 ) WHERE rn = 1
             )
             SELECT lang, source, count(*) AS n_docs,
-                   sum(n_tokens) AS total_tokens, sum(n_chars) AS total_chars
+                   CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars
             FROM deduped
             GROUP BY lang, source
         """,
@@ -2829,9 +2941,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "multimodal_features": """
             SELECT CAST(doc_id AS VARCHAR) AS "__source_file",
-                   list_transform(range(0,16),
-                     i -> CAST(CAST('0x' || substr(sha256(text), i*2+1, 2) AS UBIGINT) AS DOUBLE)
-                          / 255.0) AS embedding
+                   array_to_string(list_transform(range(0,16),
+                     i -> CAST(CAST('0x' || substr(sha256(text), i*2+1, 2) AS UBIGINT) AS VARCHAR)),
+                     ',') AS feat_bytes
             FROM documents
         """,
         "q17_small_quantity_revenue": """
@@ -2845,5 +2957,111 @@ def oracle_sql() -> dict[str, str]:
                 WHERE p_brand = 'Brand#4'
             )
             WHERE CAST(l_quantity AS DOUBLE) < 0.2 * avg_qty
+        """,
+        "corpus_mix_sample": """
+            SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+                   CAST(sum(doc_id) AS BIGINT) AS id_sum
+            FROM documents
+            WHERE CAST('0x' || substr(md5('mix42:' || CAST(doc_id AS VARCHAR)), 1, 8) AS UBIGINT)
+                  / 4294967296.0
+                  < CASE source WHEN 'src0' THEN 0.9 WHEN 'src1' THEN 0.5
+                                WHEN 'src2' THEN 0.25 ELSE 0.1 END
+            GROUP BY source
+        """,
+        "corpus_contamination": """
+            WITH toks AS (
+                SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+                FROM documents
+            ), grams AS (
+                SELECT doc_id,
+                       CASE WHEN len(t) >= 4
+                            THEN list_distinct(list_transform(range(1, len(t) - 4 + 2),
+                                 i -> array_to_string(t[i:i+3], ' ')))
+                            ELSE [] END AS g
+                FROM toks
+            ), bench AS (
+                SELECT DISTINCT unnest(g) AS gram FROM grams WHERE doc_id % 97 = 0
+            ), corpus AS (
+                SELECT doc_id, unnest(g) AS gram FROM grams WHERE doc_id % 97 <> 0
+            ), totals AS (
+                SELECT doc_id, CAST(len(g) AS BIGINT) AS n_doc_grams
+                FROM grams WHERE doc_id % 97 <> 0
+            ), hits AS (
+                SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_hit_grams
+                FROM corpus c JOIN bench b USING (gram) GROUP BY c.doc_id
+            )
+            SELECT h.doc_id, h.n_hit_grams, t.n_doc_grams,
+                   CAST(floor(h.n_hit_grams / t.n_doc_grams * 1000000.0) AS BIGINT) AS hit_ratio_f6
+            FROM hits h JOIN totals t ON h.doc_id = t.doc_id
+        """,
+        "corpus_pack_sequences": """
+            WITH d AS (
+                SELECT doc_id AS id,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(string_split_regex(trim(text), '\\s+')) END AS tok_len
+                FROM documents
+            ), pos AS (
+                SELECT id, CAST(tok_len AS BIGINT) AS tok_len,
+                       CAST(COALESCE(SUM(tok_len) OVER (ORDER BY id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                       AS cum_before
+                FROM d WHERE tok_len > 0
+            )
+            SELECT id, tok_len, cum_before,
+                   CAST(cum_before // 2048 AS BIGINT) AS first_pack,
+                   CAST((cum_before + tok_len - 1) // 2048 AS BIGINT) AS last_pack,
+                   CAST(cum_before % 2048 AS BIGINT) AS pack_offset
+            FROM pos
+        """,
+        "corpus_repetition_score": """
+            WITH toks AS (
+                SELECT doc_id, text, string_split_regex(lower(trim(text)), '\\s+') AS t
+                FROM documents
+            ), g AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) <> '' AND len(t) >= 2
+                            THEN list_transform(range(1, len(t)),
+                                 i -> array_to_string(t[i:i+1], ' '))
+                            ELSE [] END AS grams
+                FROM toks
+            )
+            SELECT doc_id,
+                   CAST(len(grams) AS BIGINT) AS n_grams,
+                   CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+                   CASE WHEN len(grams) > 0
+                        THEN CAST(floor((len(grams) - len(list_distinct(grams)))
+                                        / len(grams) * 1000000.0) AS BIGINT)
+                        ELSE 0 END AS rep_ratio_f6
+            FROM g
+        """,
+        "corpus_pii_redact": """
+            WITH aug AS (
+                SELECT doc_id,
+                       text || ' contact user' || CAST(doc_id AS VARCHAR)
+                            || '@example.com or 555-'
+                            || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+                            || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                            || ' ssn 123-45-'
+                            || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                            || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+                       AS text
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS n_email,
+                   CAST(len(regexp_extract_all(text,
+                        '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b')) AS INT) AS n_ssn,
+                   CAST(len(regexp_extract_all(text,
+                        '\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b')) AS INT) AS n_phone,
+                   CAST(len(regexp_extract_all(text,
+                        '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS INT) AS n_ipv4,
+                   md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                        '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b', '<SSN>', 'g'),
+                        '\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b', '<PHONE>', 'g'),
+                        '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IPV4>', 'g'))
+                   AS redacted_md5
+            FROM aug
         """,
     }

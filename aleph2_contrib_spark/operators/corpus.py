@@ -1,0 +1,264 @@
+"""Corpus-preparation operators for LLM training-data pipelines.
+
+These go beyond the reference's §2 inventory (which stops at generic
+analytics): deterministic sampling/mixing, benchmark-contamination
+detection, concat-and-chop sequence packing, within-document repetition
+scoring, and rule-based PII redaction — the operations a 100 TB
+pretraining-data pipeline runs between raw crawl and tokenizer.
+
+Scale notes (the part that matters at 1000 executors):
+
+- Sampling/mixing/repetition/PII are NARROW passes — pure Catalyst column
+  expressions, zero shuffle, full codegen. They compose with any scan.
+- Contamination joins on a 64-bit md5-derived n-gram key, so only 8-byte
+  keys (not the n-gram strings) cross the shuffle; the benchmark side of
+  the join is a distinct-gram set that is broadcast when small (the usual
+  case: eval sets are MBs, the corpus is TBs).
+- Sequence packing needs a GLOBAL exclusive prefix sum over token counts.
+  A naive single-partition window is a scale-killer; this implementation
+  uses the classic two-phase scan: range-partition by id, per-partition
+  window cumsum, then a driver-side prefix over the (num_partitions)-row
+  partition totals broadcast back. Output is identical regardless of
+  partition boundaries, so it stays differential-testable.
+
+Determinism: every random choice is an md5 hash of (seed, id) — the same
+row always makes the same decision on any engine, which is what makes
+train-set reproducibility (and the DuckDB oracles) possible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# --------------------------------------------------------------------------
+# deterministic hash sampling / source mixing
+# --------------------------------------------------------------------------
+
+_HASH_SPACE = float(1 << 32)
+
+
+def md5_unit(col: Column, seed: str = "0") -> Column:
+    """Deterministic uniform [0,1) draw from md5(seed:value) — the first 8
+    hex digits as a 32-bit integer. Identical in any engine with md5."""
+    h = F.md5(F.concat_ws(":", F.lit(seed), col.cast("string")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("double") / F.lit(_HASH_SPACE)
+
+
+def hash_sample(df: DataFrame, id_col: str, rate: float, seed: str = "0") -> DataFrame:
+    """Keep a deterministic ``rate`` fraction of rows keyed by ``id_col``.
+
+    Unlike ``df.sample()`` this is stable across runs, partitionings, and
+    engines — the property training-data pipelines need so a re-run of the
+    pipeline reproduces the exact train set. Narrow, zero-shuffle."""
+    return df.filter(md5_unit(F.col(id_col), seed) < F.lit(float(rate)))
+
+
+def mix_sources(
+    df: DataFrame,
+    source_col: str,
+    rates: dict[str, float],
+    id_col: str,
+    seed: str = "0",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Weighted data mixing: per-source deterministic sampling rates (the
+    "data mixture" step of a pretraining pipeline — e.g. wiki×2 oversample
+    is rate 1.0 plus a duplicated pass, web×0.3 is rate 0.3). Sources not
+    listed get ``default_rate``. Single narrow pass."""
+    rate_col: Column = F.lit(float(default_rate))
+    for src, r in sorted(rates.items()):
+        rate_col = F.when(F.col(source_col) == src, F.lit(float(r))).otherwise(rate_col)
+    return df.filter(md5_unit(F.col(id_col), seed) < rate_col)
+
+
+# --------------------------------------------------------------------------
+# token n-grams (shared by contamination + repetition)
+# --------------------------------------------------------------------------
+
+
+def word_ngrams(col: Column, n: int) -> Column:
+    """Word n-grams of lowercased whitespace-tokenized text
+    (array<string>; empty array when the text has fewer than n tokens).
+
+    Grams are built with n unrolled O(1) element_at lookups per position —
+    NOT slice() per position, which is O(tokens) each and turns the pass
+    quadratic in document length (10× wall-clock on long documents). The
+    token array is bound once through a single-element transform() lambda:
+    referencing the split() expression directly inside the per-gram lambda
+    would re-evaluate the tokenization per lookup (subexpression
+    elimination does not reach inside higher-order functions)."""
+    toks = F.split(F.lower(F.trim(col)), r"\s+")
+
+    def _grams(t: Column) -> Column:
+        return F.transform(
+            F.sequence(F.lit(0), F.size(t) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(t, i + j + 1) for j in range(n)]
+            ),
+        )
+
+    return F.when(
+        (F.trim(col) != "") & (F.size(toks) >= n),
+        F.element_at(F.transform(F.array(toks), _grams), 1),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _gram_key64(gram: Column) -> Column:
+    """64-bit join key for an n-gram: first 16 md5 hex digits. Collision
+    odds ~2^-64 per pair; 8 bytes crosses the shuffle instead of the gram
+    string. md5 (not xxhash64) so external engines can reproduce it."""
+    return F.conv(F.substring(F.md5(gram), 1, 16), 16, 10).cast("decimal(20,0)")
+
+
+def contamination_check(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    corpus_id: str = "doc_id",
+    corpus_text: str = "text",
+    bench_text: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Train/eval contamination: corpus documents sharing any word n-gram
+    with the benchmark set, with overlap counts.
+
+    Returns (doc_id, n_hit_grams, n_doc_grams, hit_ratio_f6) for
+    contaminated docs only. The benchmark's distinct-gram set is tiny next
+    to the corpus, so Catalyst broadcasts it — the corpus side never
+    shuffles. Matching is on a 64-bit md5 gram key (see _gram_key64)."""
+    doc_grams = corpus.select(
+        F.col(corpus_id).alias("doc_id"),
+        F.explode(F.array_distinct(word_ngrams(F.col(corpus_text), n))).alias("gram"),
+    ).select("doc_id", _gram_key64(F.col("gram")).alias("gk"))
+    bench_grams = (
+        benchmark.select(F.explode(F.array_distinct(word_ngrams(F.col(bench_text), n))).alias("gram"))
+        .select(_gram_key64(F.col("gram")).alias("gk"))
+        .distinct()
+    )
+    totals = corpus.select(
+        F.col(corpus_id).alias("doc_id"),
+        F.size(F.array_distinct(word_ngrams(F.col(corpus_text), n))).cast("long").alias("n_doc_grams"),
+    )
+    hits = (
+        doc_grams.join(F.broadcast(bench_grams), "gk")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit_grams"))
+    )
+    return hits.join(totals, "doc_id").select(
+        "doc_id",
+        "n_hit_grams",
+        "n_doc_grams",
+        F.floor(F.col("n_hit_grams") / F.col("n_doc_grams") * 1e6).cast("long").alias("hit_ratio_f6"),
+    )
+
+
+def repetition_score(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 2
+) -> DataFrame:
+    """Within-document repetition (quality signal): fraction of n-gram
+    occurrences that are duplicates of an earlier occurrence. 0 = no
+    repetition, →1 = the document is one phrase looping. Narrow pass."""
+    grams = word_ngrams(F.col(text_col), n)
+    total = F.size(grams)
+    distinct = F.size(F.array_distinct(grams))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        total.cast("long").alias("n_grams"),
+        distinct.cast("long").alias("n_distinct"),
+        F.when(total > 0, F.floor((total - distinct) / total * 1e6).cast("long"))
+        .otherwise(F.lit(0).cast("long"))
+        .alias("rep_ratio_f6"),
+    )
+
+
+# --------------------------------------------------------------------------
+# sequence packing (concat-and-chop)
+# --------------------------------------------------------------------------
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    len_col: str,
+    max_len: int,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Assign documents to fixed-length training sequences by the standard
+    concat-and-chop rule: documents are laid end-to-end in ``id_col``
+    order and the stream is chopped every ``max_len`` tokens, so a doc may
+    span packs (exactly what pretraining dataloaders do).
+
+    Emits (id, tok_len, cum_before, first_pack, last_pack, pack_offset):
+    first/last pack index the doc lands in and its offset inside the first
+    pack. Rows with non-positive length are dropped.
+
+    Scale: the global exclusive prefix sum uses a two-phase scan —
+    range-partition on id, per-partition window cumsum, driver prefix over
+    the per-partition totals (num_partitions rows, trivially small),
+    broadcast join back. No single-partition window anywhere; output is
+    independent of partition boundaries."""
+    spark = df.sparkSession
+    nparts = num_partitions or spark.sparkContext.defaultParallelism
+    d = (
+        df.select(F.col(id_col).alias("id"), F.col(len_col).cast("long").alias("tok_len"))
+        .filter(F.col("tok_len") > 0)
+        .repartitionByRange(nparts, "id")
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    w = Window.partitionBy("__pid").orderBy("id")
+    d = d.withColumn("__local_cum", F.sum("tok_len").over(w) - F.col("tok_len"))
+
+    totals = d.groupBy("__pid").agg(F.sum("tok_len").alias("__ptot")).collect()
+    running, offsets = 0, {}
+    for row in sorted(totals, key=lambda r: r["__pid"]):
+        offsets[row["__pid"]] = running
+        running += row["__ptot"]
+    off_df = spark.createDataFrame(
+        [(int(p), int(o)) for p, o in offsets.items()], "__pid int, __off long"
+    )
+    L = F.lit(int(max_len))
+    return (
+        d.join(F.broadcast(off_df), "__pid")
+        .withColumn("cum_before", F.col("__local_cum") + F.col("__off"))
+        .select(
+            "id",
+            "tok_len",
+            "cum_before",
+            F.floor(F.col("cum_before") / L).cast("long").alias("first_pack"),
+            F.floor((F.col("cum_before") + F.col("tok_len") - 1) / L).cast("long").alias("last_pack"),
+            (F.col("cum_before") % L).cast("long").alias("pack_offset"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# PII redaction
+# --------------------------------------------------------------------------
+
+# Patterns restricted to syntax with identical semantics in Java regex and
+# RE2 (character classes, bounded repeats, \b word boundaries — no
+# lookaround), so redaction is reproducible across engines.
+PII_PATTERNS: dict[str, str] = {
+    "EMAIL": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "SSN": r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
+    "PHONE": r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b",
+    "IPV4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+}
+
+
+def pii_redact(
+    df: DataFrame, text_col: str = "text", patterns: dict[str, str] | None = None
+) -> DataFrame:
+    """Replace PII spans with <KIND> placeholders and count hits per kind.
+
+    Order matters (SSN/PHONE before IPV4 would also be safe, but apply in
+    dict order and document it): each pattern rewrites the previous
+    stage's text. Adds ``redacted`` plus an ``n_<kind>`` count per
+    pattern. Narrow, zero-shuffle, pure codegen."""
+    pats = patterns or PII_PATTERNS
+    out = df
+    red = F.col(text_col)
+    for kind, pat in pats.items():
+        out = out.withColumn(f"n_{kind.lower()}", F.regexp_count(F.col(text_col), F.lit(pat)))
+        red = F.regexp_replace(red, pat, f"<{kind}>")
+    return out.withColumn("redacted", red)

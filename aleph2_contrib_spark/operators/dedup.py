@@ -283,11 +283,14 @@ def minhash_lsh_pairs(
 
     base = base.persist(StorageLevel.MEMORY_AND_DISK)
 
-    payload = ["hs"] if verify == "exact" else []
+    # The banded self-join carries ONLY (id, band_id, band_hash) — never the
+    # signature or shingle arrays. At 100 TB the explode multiplies every
+    # carried byte by `bands` (64×), so wide payloads must be fetched AFTER
+    # candidate-pair dedup via join-back against the persisted base: each
+    # doc's array then crosses the shuffle once per surviving pair side,
+    # not 64× per band row.
     banded = base.select(
         "id",
-        "sig",
-        *payload,
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -304,21 +307,69 @@ def minhash_lsh_pairs(
         ).alias("band_id", "band_hash"),
     )
 
-    lcols = [F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "band_id", "band_hash"]
-    rcols = [F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "band_id", "band_hash"]
-    if verify == "exact":
-        lcols.insert(2, F.col("hs").alias("hs_a"))
-        rcols.insert(2, F.col("hs").alias("hs_b"))
-    cand = (
-        banded.select(*lcols)
-        .join(banded.select(*rcols), ["band_id", "band_hash"])
+    cand_ids = (
+        banded.select(F.col("id").alias("id_a"), "band_id", "band_hash")
+        .join(
+            banded.select(F.col("id").alias("id_b"), "band_id", "band_hash"),
+            ["band_id", "band_hash"],
+        )
         .filter(F.col("id_a") < F.col("id_b"))
-        .drop("band_id", "band_hash")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+
+    payload = "hs" if verify == "exact" else "sig"
+    side_a = base.select(F.col("id").alias("id_a"), F.col(payload).alias(f"{payload}_a"))
+    side_b = base.select(F.col("id").alias("id_b"), F.col(payload).alias(f"{payload}_b"))
+    # Physical fetch strategy, decided from a cheap stats probe over the
+    # persisted base (one tiny agg job): when the whole payload table fits
+    # a broadcast budget, broadcast it — candidate pairs then never
+    # re-shuffle and each executor resolves both sides map-side. Otherwise
+    # fall back to shuffle joins, where each doc's payload crosses the
+    # wire once per surviving pair side (the 100 TB default — candidate
+    # selectivity at production thresholds keeps that volume far below
+    # the bands× explode alternative). This matters because low-threshold
+    # configs can yield |pairs| >> |docs|: shuffling pairs×arrays would
+    # dwarf every other stage.
+    _BROADCAST_PAYLOAD_CAP = 256 << 20
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(F.size(F.col(payload))).alias("avg_len"),
+    ).collect()[0]
+    est_bytes = int((stats["n"] or 0) * (stats["avg_len"] or 0) * 8 * 1.3)
+    if est_bytes and est_bytes < _BROADCAST_PAYLOAD_CAP:
+        side_a, side_b = F.broadcast(side_a), F.broadcast(side_b)
+    # AQE coalesces the post-dedup candidates to very few partitions (the
+    # slim rows are only a few MB), which would then run the payload fetch
+    # and the O(|doc|) per-pair similarity at that tiny parallelism.
+    # Re-spread the slim pairs first — a cheap shuffle of 16-byte rows.
+    nparts = df.sparkSession.sparkContext.defaultParallelism
+    cand_ids = cand_ids.repartition(nparts, "id_a")
+
     if verify == "exact":
-        sim_col = jaccard(F.col("hs_a"), F.col("hs_b"))
+        # Exact-preserving candidate cut BEFORE any array travels: j ≥ t
+        # implies |A∩B| ≥ t·|A∪B|, hence min(|A|,|B|)/max(|A|,|B|) ≥ t.
+        # The size table is two ints per doc — always broadcastable — so
+        # this prunes on map-side scalars, then only surviving pairs fetch
+        # the shingle arrays. Union size comes from |A|+|B|−|A∩B| rather
+        # than materializing array_union (halves the per-pair set work).
+        sizes_a = F.broadcast(base.select(F.col("id").alias("id_a"), F.size("hs").alias("n_a")))
+        sizes_b = F.broadcast(base.select(F.col("id").alias("id_b"), F.size("hs").alias("n_b")))
+        cand = (
+            cand_ids.join(sizes_a, "id_a")
+            .join(sizes_b, "id_b")
+            .filter(
+                F.least(F.col("n_a"), F.col("n_b"))
+                >= F.lit(threshold) * F.greatest(F.col("n_a"), F.col("n_b"))
+            )
+            .join(side_a, "id_a")
+            .join(side_b, "id_b")
+        )
+        inter = F.size(F.array_intersect(F.col("hs_a"), F.col("hs_b")))
+        union = F.col("n_a") + F.col("n_b") - inter
+        sim_col = F.when(union == 0, F.lit(1.0)).otherwise(inter / union)
     else:
+        cand = cand_ids.join(side_a, "id_a").join(side_b, "id_b")
         sim_col = F.size(
             F.filter(
                 F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),

@@ -31,9 +31,10 @@ TABLE_NAMES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-        # reader rejects; read nanos as long and surface a microsecond
-        # timestamp column of the same name.
+        # events.ts is parquet TIMESTAMP(NANOS). Depending on the Spark
+        # version this reads natively as TIMESTAMP_NTZ (4.1+) or needs the
+        # legacy nanos-as-long conf and a manual micros conversion. Handle
+        # both so callers always see a timestamp-typed ts.
         from pyspark.sql import functions as F
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

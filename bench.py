@@ -28,9 +28,23 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("bench")
 
-    # Warm the JVM/codegen path once so per-query numbers measure the
-    # engine, not session startup.
+    # Warm the JVM so per-query numbers measure the engine, not session
+    # startup or first-use JIT: one real query plus tiny queries covering
+    # the major codegen shapes (hash agg, sort-merge + broadcast join,
+    # window, explode) at the smallest SF. Untimed.
     entrymod.entry(spark).collect()
+    warm_dir = "/root/testdata/sf0.001"
+    for shape in (
+        "q3_shipping_priority",      # SMJ + broadcast + agg + sort
+        "window_lag_lead_delta",     # window functions
+        "explode_top_tokens",        # generate/explode + agg
+    ):
+        fn = entrymod.queries().get(shape)
+        if fn is not None:
+            try:
+                fn(spark, warm_dir).collect()
+            except Exception:
+                pass
 
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}

@@ -1,0 +1,181 @@
+"""Corpus-preparation operator tests: deterministic sampling/mixing,
+contamination detection, sequence packing, repetition scoring, PII
+redaction (operators/corpus.py)."""
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from aleph2_contrib_spark.operators import corpus as cp
+
+
+# ---------------------------------------------------------------- sampling
+
+
+def test_hash_sample_deterministic_and_proportional(spark):
+    df = spark.range(0, 10000).withColumnRenamed("id", "doc_id")
+    a = cp.hash_sample(df, "doc_id", 0.3, seed="s1")
+    b = cp.hash_sample(df, "doc_id", 0.3, seed="s1")
+    ids_a = sorted(r.doc_id for r in a.collect())
+    ids_b = sorted(r.doc_id for r in b.collect())
+    assert ids_a == ids_b, "same seed must reproduce the exact sample"
+    assert 0.25 < len(ids_a) / 10000 < 0.35, "rate should be approximately honored"
+
+
+def test_hash_sample_seed_changes_sample(spark):
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    a = {r.doc_id for r in cp.hash_sample(df, "doc_id", 0.5, seed="s1").collect()}
+    b = {r.doc_id for r in cp.hash_sample(df, "doc_id", 0.5, seed="s2").collect()}
+    assert a != b
+
+
+def test_hash_sample_rate_monotone(spark):
+    """A row kept at rate r is kept at every rate r' > r (nested samples —
+    the property that lets pipelines scale a mixture up without churn)."""
+    df = spark.range(0, 5000).withColumnRenamed("id", "doc_id")
+    small = {r.doc_id for r in cp.hash_sample(df, "doc_id", 0.2, seed="s").collect()}
+    big = {r.doc_id for r in cp.hash_sample(df, "doc_id", 0.6, seed="s").collect()}
+    assert small <= big
+
+
+def test_mix_sources_rates_and_default(spark):
+    rows = [Row(doc_id=i, source="keep" if i % 2 else "drop") for i in range(2000)]
+    df = spark.createDataFrame(rows)
+    out = cp.mix_sources(df, "source", {"keep": 1.0, "drop": 0.0}, "doc_id", seed="m")
+    got = {r.source for r in out.select("source").distinct().collect()}
+    assert got == {"keep"}
+    # default_rate keeps unlisted sources at the given rate
+    out2 = cp.mix_sources(df, "source", {}, "doc_id", seed="m", default_rate=1.0)
+    assert out2.count() == 2000
+
+
+# ------------------------------------------------------------- contamination
+
+
+def test_contamination_detects_shared_ngrams(spark):
+    corpus = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the quick brown fox jumps over the lazy dog today"),
+            Row(doc_id=2, text="completely different words appear in this document here"),
+        ]
+    )
+    bench = spark.createDataFrame(
+        [Row(text="we ask whether the quick brown fox jumps over fences")]
+    )
+    out = cp.contamination_check(corpus, bench, n=5)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert 1 in rows and 2 not in rows
+    # "the quick brown fox jumps" and "quick brown fox jumps over" overlap
+    assert rows[1].n_hit_grams == 2
+    assert rows[1].n_doc_grams == 6
+
+
+def test_contamination_short_docs_no_grams(spark):
+    corpus = spark.createDataFrame([Row(doc_id=1, text="too short")])
+    bench = spark.createDataFrame([Row(text="too short")])
+    assert cp.contamination_check(corpus, bench, n=5).count() == 0
+
+
+# ------------------------------------------------------------------ packing
+
+
+def test_pack_sequences_concat_chop(spark):
+    rows = [Row(doc_id=i, tok_len=100) for i in range(10)]
+    out = cp.pack_sequences(
+        spark.createDataFrame(rows), "doc_id", "tok_len", max_len=256
+    ).orderBy("id")
+    got = [(r.id, r.cum_before, r.first_pack, r.last_pack, r.pack_offset) for r in out.collect()]
+    # doc k starts at 100k; pack = 100k//256; doc 2 spans packs 0->1 (200..299)
+    assert got[0] == (0, 0, 0, 0, 0)
+    assert got[2] == (2, 200, 0, 1, 200)
+    assert got[9] == (9, 900, 3, 3, 132)
+
+
+def test_pack_sequences_partition_boundary_independent(spark):
+    rows = [Row(doc_id=i, tok_len=7 + (i * 13) % 50) for i in range(500)]
+    df = spark.createDataFrame(rows)
+    one = cp.pack_sequences(df, "doc_id", "tok_len", 512, num_partitions=1).collect()
+    many = cp.pack_sequences(df, "doc_id", "tok_len", 512, num_partitions=17).collect()
+    assert sorted(map(tuple, one)) == sorted(map(tuple, many))
+
+
+def test_pack_sequences_drops_empty(spark):
+    rows = [Row(doc_id=1, tok_len=0), Row(doc_id=2, tok_len=5)]
+    out = cp.pack_sequences(spark.createDataFrame(rows), "doc_id", "tok_len", 16)
+    assert [r.id for r in out.collect()] == [2]
+
+
+# --------------------------------------------------------------- repetition
+
+
+def test_repetition_score_bounds(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a b a b a b a b"),  # loops: high repetition
+            Row(doc_id=2, text="one two three four five six"),  # all distinct
+            Row(doc_id=3, text="single"),  # no bigrams at all
+        ]
+    )
+    out = {r.doc_id: r for r in cp.repetition_score(df, n=2).collect()}
+    # 7 bigrams, 2 distinct ("a b","b a") -> 5/7 repeated
+    assert out[1].n_grams == 7 and out[1].n_distinct == 2
+    assert out[1].rep_ratio_f6 == int((5 / 7) * 1e6)
+    assert out[2].rep_ratio_f6 == 0
+    assert out[3].n_grams == 0 and out[3].rep_ratio_f6 == 0
+
+
+# ---------------------------------------------------------------------- PII
+
+
+def test_pii_redact_patterns(spark):
+    df = spark.createDataFrame(
+        [
+            Row(
+                doc_id=1,
+                text="mail a@b.com and c.d+x@e.org, ssn 123-45-6789, "
+                "call 555-123-4567, host 192.168.0.1 done",
+            )
+        ]
+    )
+    r = cp.pii_redact(df, "text").collect()[0]
+    assert r.n_email == 2 and r.n_ssn == 1 and r.n_phone == 1 and r.n_ipv4 == 1
+    assert "<EMAIL>" in r.redacted and "<SSN>" in r.redacted
+    assert "<PHONE>" in r.redacted and "<IPV4>" in r.redacted
+    assert "a@b.com" not in r.redacted and "123-45-6789" not in r.redacted
+
+
+def test_pii_redact_clean_text_untouched(spark):
+    df = spark.createDataFrame([Row(doc_id=1, text="nothing sensitive here")])
+    r = cp.pii_redact(df, "text").collect()[0]
+    assert r.redacted == "nothing sensitive here"
+    assert r.n_email == r.n_ssn == r.n_phone == r.n_ipv4 == 0
+
+
+# ------------------------------------------------------------- plan quality
+
+
+def test_narrow_ops_have_no_shuffle(spark):
+    """Sampling, repetition, and redaction must stay narrow (no Exchange):
+    they run as pure filter/project passes over the scan."""
+    df = spark.range(0, 100).select(
+        F.col("id").alias("doc_id"), F.lit("some text here").alias("text")
+    )
+    for op in (
+        cp.hash_sample(df, "doc_id", 0.5),
+        cp.repetition_score(df),
+        cp.pii_redact(df, "text"),
+    ):
+        plan = op._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+
+
+def test_contamination_broadcasts_benchmark(spark, sf_dir):
+    from aleph2_contrib_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = cp.contamination_check(
+        docs.filter(F.col("doc_id") % 97 != 0),
+        docs.filter(F.col("doc_id") % 97 == 0),
+        n=5,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
