@@ -1869,6 +1869,28 @@ def corpus_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cp.repetition_score(docs, n=2)
 
 
+def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order shuffle: reproducible md5 permutation
+    with a global position (two-phase range scan, no single-partition
+    sort) and round-robin shard assignment."""
+    from aleph2_contrib_spark.operators import corpus as cp
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return cp.deterministic_shuffle(docs, "doc_id", seed="ep0", num_shards=8).select(
+        "doc_id", "idx", "shard"
+    )
+
+
+def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language stratified sample: exactly min(20, |stratum|) docs per
+    lang, chosen by deterministic md5 order (partitioned window, one
+    shuffle on the stratum key)."""
+    from aleph2_contrib_spark.operators import corpus as cp
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return cp.stratified_sample(docs, "lang", "doc_id", 20, seed="st1")
+
+
 def corpus_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rule-based PII redaction: synthetic PII (email/SSN/phone/IPv4 derived
     from doc_id) is appended to each doc, then redacted and counted. The
@@ -1924,6 +1946,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pack_sequences": corpus_pack_sequences,
         "corpus_repetition_score": corpus_repetition_score,
         "corpus_pii_redact": corpus_pii_redact,
+        "corpus_shuffle_shards": corpus_shuffle_shards,
+        "corpus_stratified_sample": corpus_stratified_sample,
         "dedup_minhash_pairs": dedup_minhash_pairs,
         "graph_merge_incremental": graph_merge_incremental,
         "events_sessionize": events_sessionize,
@@ -3063,5 +3087,19 @@ def oracle_sql() -> dict[str, str]:
                         '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IPV4>', 'g'))
                    AS redacted_md5
             FROM aug
+        """,
+        "corpus_shuffle_shards": """
+            SELECT doc_id,
+                   CAST(row_number() OVER (
+                        ORDER BY md5('ep0:' || CAST(doc_id AS VARCHAR))) - 1 AS BIGINT) AS idx,
+                   CAST((row_number() OVER (
+                        ORDER BY md5('ep0:' || CAST(doc_id AS VARCHAR))) - 1) % 8 AS INT) AS shard
+            FROM documents
+        """,
+        "corpus_stratified_sample": """
+            SELECT doc_id, lang FROM documents
+            QUALIFY row_number() OVER (
+                PARTITION BY lang
+                ORDER BY md5('st1:' || CAST(doc_id AS VARCHAR))) <= 20
         """,
     }

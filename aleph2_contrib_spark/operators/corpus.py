@@ -232,6 +232,72 @@ def pack_sequences(
 
 
 # --------------------------------------------------------------------------
+# deterministic global shuffle / stratified sampling
+# --------------------------------------------------------------------------
+
+
+def global_order_index(df: DataFrame, order_col: str, num_partitions: int | None = None) -> DataFrame:
+    """Add a 0-based dense global index ``idx`` ordered by ``order_col``
+    (values must be unique), via the same two-phase scan as
+    ``pack_sequences``: range-partition, per-partition row_number, driver
+    prefix over per-partition counts, broadcast join back. No
+    single-partition window; output independent of partition boundaries."""
+    spark = df.sparkSession
+    nparts = num_partitions or spark.sparkContext.defaultParallelism
+    d = df.repartitionByRange(nparts, order_col).withColumn("__pid", F.spark_partition_id())
+    w = Window.partitionBy("__pid").orderBy(order_col)
+    d = d.withColumn("__local_idx", F.row_number().over(w) - 1)
+    counts = d.groupBy("__pid").agg(F.count(F.lit(1)).alias("__pn")).collect()
+    running, offsets = 0, {}
+    for row in sorted(counts, key=lambda r: r["__pid"]):
+        offsets[row["__pid"]] = running
+        running += row["__pn"]
+    off_df = spark.createDataFrame(
+        [(int(p), int(o)) for p, o in offsets.items()], "__pid int, __off long"
+    )
+    return (
+        d.join(F.broadcast(off_df), "__pid")
+        .withColumn("idx", (F.col("__local_idx") + F.col("__off")).cast("long"))
+        .drop("__pid", "__local_idx", "__off")
+    )
+
+
+def deterministic_shuffle(
+    df: DataFrame, id_col: str, seed: str = "0", num_shards: int | None = None
+) -> DataFrame:
+    """Training-order randomization: a reproducible global permutation
+    ordered by md5(seed:id), exposed as ``idx`` (global position) and,
+    when ``num_shards`` is given, ``shard`` (round-robin over the
+    permutation — every shard is an unbiased sample of the corpus).
+
+    Epoch re-shuffles are just a different seed. Scale: the permutation
+    key is a narrow projection; ordering uses the two-phase range scan,
+    never a global sort into one partition."""
+    keyed = df.withColumn("__shufkey", F.md5(F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string"))))
+    out = global_order_index(keyed, "__shufkey")
+    if num_shards is not None:
+        out = out.withColumn("shard", (F.col("idx") % num_shards).cast("int"))
+    return out.drop("__shufkey")
+
+
+def stratified_sample(
+    df: DataFrame, stratum_col: str, id_col: str, per_stratum: int, seed: str = "0"
+) -> DataFrame:
+    """Exactly min(per_stratum, |stratum|) rows per stratum, chosen by
+    deterministic md5 order — reproducible across runs and engines (the
+    "N examples per language/source" eval-set builder). One shuffle on
+    the stratum key; the window is partitioned, never global."""
+    w = Window.partitionBy(stratum_col).orderBy(
+        F.md5(F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string")))
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= per_stratum)
+        .drop("__rn")
+    )
+
+
+# --------------------------------------------------------------------------
 # PII redaction
 # --------------------------------------------------------------------------
 

@@ -150,6 +150,41 @@ def test_pii_redact_clean_text_untouched(spark):
     assert r.n_email == r.n_ssn == r.n_phone == r.n_ipv4 == 0
 
 
+# ------------------------------------------- shuffle / stratified sampling
+
+
+def test_deterministic_shuffle_is_permutation(spark):
+    df = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    out = cp.deterministic_shuffle(df, "doc_id", seed="e1", num_shards=4)
+    rows = out.collect()
+    assert sorted(r.idx for r in rows) == list(range(1000))
+    assert {r.shard for r in rows} == {0, 1, 2, 3}
+    # reproducible; different seed -> different permutation
+    again = {r.doc_id: r.idx for r in cp.deterministic_shuffle(df, "doc_id", seed="e1").collect()}
+    other = {r.doc_id: r.idx for r in cp.deterministic_shuffle(df, "doc_id", seed="e2").collect()}
+    assert {r.doc_id: r.idx for r in rows} == again
+    assert again != other
+
+
+def test_global_order_index_partition_independent(spark):
+    df = spark.range(0, 777).withColumnRenamed("id", "k")
+    one = {r.k: r.idx for r in cp.global_order_index(df, "k", num_partitions=1).collect()}
+    many = {r.k: r.idx for r in cp.global_order_index(df, "k", num_partitions=13).collect()}
+    assert one == many == {i: i for i in range(777)}
+
+
+def test_stratified_sample_exact_per_stratum(spark):
+    from pyspark.sql import Row
+    rows = [Row(doc_id=i, lang="en" if i % 3 else "de") for i in range(300)]
+    out = cp.stratified_sample(spark.createDataFrame(rows), "lang", "doc_id", 25, seed="s")
+    counts = {r.lang: r.n for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {"en": 25, "de": 25}
+    # small stratum: returns the whole stratum
+    tiny = [Row(doc_id=i, lang="zh") for i in range(5)]
+    out2 = cp.stratified_sample(spark.createDataFrame(tiny), "lang", "doc_id", 25)
+    assert out2.count() == 5
+
+
 # ------------------------------------------------------------- plan quality
 
 
