@@ -1869,6 +1869,22 @@ def corpus_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cp.repetition_score(docs, n=2)
 
 
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus dedup (daily-crawl shape): odd doc_ids are the
+    new batch, even doc_ids the historical corpus; survivors are new docs
+    with no existing near-duplicate at token-3-gram Jaccard ≥ 0.5. r=1
+    banding + exact verify make the operator's output equal the all-pairs
+    oracle (same argument as dedup_minhash_pairs)."""
+    docs = _t(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    out = ddp.dedup_against_corpus(
+        new, old, "doc_id", "text", num_hashes=64, bands=64, threshold=0.5,
+        shingle_mode="token", verify="exact", sig_impl="numpy",
+    )
+    return out.select("doc_id", "source")
+
+
 def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic training-order shuffle: reproducible md5 permutation
     with a global position (two-phase range scan, no single-partition
@@ -1948,6 +1964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pii_redact": corpus_pii_redact,
         "corpus_shuffle_shards": corpus_shuffle_shards,
         "corpus_stratified_sample": corpus_stratified_sample,
+        "dedup_incremental": dedup_incremental,
         "dedup_minhash_pairs": dedup_minhash_pairs,
         "graph_merge_incremental": graph_merge_incremental,
         "events_sessionize": events_sessionize,
@@ -3101,5 +3118,30 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY row_number() OVER (
                 PARTITION BY lang
                 ORDER BY md5('st1:' || CAST(doc_id AS VARCHAR))) <= 20
+        """,
+        "dedup_incremental": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+                FROM documents
+            ), s AS (
+                SELECT doc_id,
+                       list_distinct(
+                           list_transform(
+                               generate_series(1, greatest(len(toks) - 2, 1)),
+                               i -> toks[i] || chr(31) || coalesce(toks[i+1], '') || chr(31) || coalesce(toks[i+2], '')
+                           )
+                       ) AS sh
+                FROM t
+            ), near_dup AS (
+                SELECT DISTINCT a.doc_id
+                FROM s a JOIN s b
+                  ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+                 AND len(list_intersect(a.sh, b.sh))
+                     / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+            )
+            SELECT d.doc_id, d.source FROM documents d
+            WHERE d.doc_id % 2 = 1
+              AND d.doc_id NOT IN (SELECT doc_id FROM near_dup)
         """,
     }

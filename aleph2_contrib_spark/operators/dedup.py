@@ -243,10 +243,43 @@ def minhash_lsh_pairs(
            scale this is the default trade: shuffle volume drops from
            O(doc_len) to O(num_hashes) per row.
     """
+    base = _minhash_base(
+        df, id_col, text_col,
+        num_hashes=num_hashes, shingle_k=shingle_k,
+        shingle_mode=shingle_mode, sig_impl=sig_impl,
+    )
+    banded = _band_keys(base, num_hashes, bands)
+    cand_ids = (
+        banded.select(F.col("id").alias("id_a"), "band_id", "band_hash")
+        .join(
+            banded.select(F.col("id").alias("id_b"), "band_id", "band_hash"),
+            ["band_id", "band_hash"],
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return _fetch_and_verify(cand_ids, base, base, threshold, verify, num_hashes)
+
+
+def _minhash_base(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    num_hashes: int,
+    shingle_k: int,
+    shingle_mode: str,
+    sig_impl: str,
+) -> DataFrame:
+    """(id, hs, sig) for every document, PERSISTED: the banded projection
+    and the verify join-backs all reuse it; without the materialization
+    barrier Spark would recompute the shingle+signature chain per use."""
+    from pyspark import StorageLevel
+
     from aleph2_contrib_spark.parallel import ensure_parallelism
 
     df = ensure_parallelism(df)
-    rows_per_band = num_hashes // bands
     if shingle_mode == "token":
         # token mode never builds shingle strings: token hashes once
         # (projection boundary), then n-gram hashes as pure long math.
@@ -275,21 +308,18 @@ def minhash_lsh_pairs(
                 ]
             ),
         )
+    return base.persist(StorageLevel.MEMORY_AND_DISK)
 
-    # The banded projection feeds BOTH sides of the self-join; without a
-    # materialization barrier Spark recomputes the whole shingle+signature
-    # chain twice. Persist the (small: id + 64 longs [+ hashes]) stage once.
-    from pyspark import StorageLevel
 
-    base = base.persist(StorageLevel.MEMORY_AND_DISK)
-
-    # The banded self-join carries ONLY (id, band_id, band_hash) — never the
-    # signature or shingle arrays. At 100 TB the explode multiplies every
-    # carried byte by `bands` (64×), so wide payloads must be fetched AFTER
-    # candidate-pair dedup via join-back against the persisted base: each
-    # doc's array then crosses the shuffle once per surviving pair side,
-    # not 64× per band row.
-    banded = base.select(
+def _band_keys(base: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(id, band_id, band_hash) — the band join carries ONLY these slim
+    keys, never the signature or shingle arrays. At 100 TB the explode
+    multiplies every carried byte by ``bands`` (64×), so wide payloads are
+    fetched AFTER candidate-pair dedup via join-back against the persisted
+    base: each doc's array then crosses the shuffle once per surviving
+    pair side, not 64× per band row."""
+    rows_per_band = num_hashes // bands
+    return base.select(
         "id",
         F.posexplode(
             F.transform(
@@ -307,43 +337,50 @@ def minhash_lsh_pairs(
         ).alias("band_id", "band_hash"),
     )
 
-    cand_ids = (
-        banded.select(F.col("id").alias("id_a"), "band_id", "band_hash")
-        .join(
-            banded.select(F.col("id").alias("id_b"), "band_id", "band_hash"),
-            ["band_id", "band_hash"],
-        )
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
 
-    payload = "hs" if verify == "exact" else "sig"
-    side_a = base.select(F.col("id").alias("id_a"), F.col(payload).alias(f"{payload}_a"))
-    side_b = base.select(F.col("id").alias("id_b"), F.col(payload).alias(f"{payload}_b"))
-    # Physical fetch strategy, decided from a cheap stats probe over the
-    # persisted base (one tiny agg job): when the whole payload table fits
-    # a broadcast budget, broadcast it — candidate pairs then never
-    # re-shuffle and each executor resolves both sides map-side. Otherwise
-    # fall back to shuffle joins, where each doc's payload crosses the
-    # wire once per surviving pair side (the 100 TB default — candidate
-    # selectivity at production thresholds keeps that volume far below
-    # the bands× explode alternative). This matters because low-threshold
-    # configs can yield |pairs| >> |docs|: shuffling pairs×arrays would
-    # dwarf every other stage.
+def _fetch_and_verify(
+    cand_ids: DataFrame,
+    base_a: DataFrame,
+    base_b: DataFrame,
+    threshold: float,
+    verify: str,
+    num_hashes: int,
+) -> DataFrame:
+    """Payload fetch + similarity verify for candidate (id_a, id_b) pairs.
+
+    Physical fetch strategy, decided from a cheap stats probe over the
+    persisted bases (one tiny agg job each): when a payload table fits a
+    broadcast budget, broadcast it — candidate pairs then never re-shuffle
+    and each executor resolves that side map-side. Otherwise fall back to
+    shuffle joins, where each doc's payload crosses the wire once per
+    surviving pair side (the 100 TB default — candidate selectivity at
+    production thresholds keeps that volume far below the bands× explode
+    alternative). This matters because low-threshold configs can yield
+    |pairs| >> |docs|: shuffling pairs×arrays would dwarf every other
+    stage.
+    """
     _BROADCAST_PAYLOAD_CAP = 256 << 20
-    stats = base.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.avg(F.size(F.col(payload))).alias("avg_len"),
-    ).collect()[0]
-    est_bytes = int((stats["n"] or 0) * (stats["avg_len"] or 0) * 8 * 1.3)
-    if est_bytes and est_bytes < _BROADCAST_PAYLOAD_CAP:
-        side_a, side_b = F.broadcast(side_a), F.broadcast(side_b)
+    payload = "hs" if verify == "exact" else "sig"
+
+    def _maybe_broadcast(side: DataFrame, base: DataFrame) -> DataFrame:
+        stats = base.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg(F.size(F.col(payload))).alias("avg_len"),
+        ).collect()[0]
+        est_bytes = int((stats["n"] or 0) * (stats["avg_len"] or 0) * 8 * 1.3)
+        return F.broadcast(side) if est_bytes and est_bytes < _BROADCAST_PAYLOAD_CAP else side
+
+    side_a = _maybe_broadcast(
+        base_a.select(F.col("id").alias("id_a"), F.col(payload).alias(f"{payload}_a")), base_a
+    )
+    side_b = _maybe_broadcast(
+        base_b.select(F.col("id").alias("id_b"), F.col(payload).alias(f"{payload}_b")), base_b
+    )
     # AQE coalesces the post-dedup candidates to very few partitions (the
     # slim rows are only a few MB), which would then run the payload fetch
     # and the O(|doc|) per-pair similarity at that tiny parallelism.
     # Re-spread the slim pairs first — a cheap shuffle of 16-byte rows.
-    nparts = df.sparkSession.sparkContext.defaultParallelism
+    nparts = cand_ids.sparkSession.sparkContext.defaultParallelism
     cand_ids = cand_ids.repartition(nparts, "id_a")
 
     if verify == "exact":
@@ -353,8 +390,8 @@ def minhash_lsh_pairs(
         # this prunes on map-side scalars, then only surviving pairs fetch
         # the shingle arrays. Union size comes from |A|+|B|−|A∩B| rather
         # than materializing array_union (halves the per-pair set work).
-        sizes_a = F.broadcast(base.select(F.col("id").alias("id_a"), F.size("hs").alias("n_a")))
-        sizes_b = F.broadcast(base.select(F.col("id").alias("id_b"), F.size("hs").alias("n_b")))
+        sizes_a = F.broadcast(base_a.select(F.col("id").alias("id_a"), F.size("hs").alias("n_a")))
+        sizes_b = F.broadcast(base_b.select(F.col("id").alias("id_b"), F.size("hs").alias("n_b")))
         cand = (
             cand_ids.join(sizes_a, "id_a")
             .join(sizes_b, "id_b")
@@ -381,6 +418,68 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def dedup_against_corpus(
+    new_df: DataFrame,
+    existing_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    threshold: float = 0.7,
+    shingle_mode: str = "char",
+    verify: str = "exact",
+    sig_impl: str = "expr",
+) -> DataFrame:
+    """Incremental corpus dedup: rows of ``new_df`` that are NOT (near-)
+    duplicates of any document already in ``existing_df`` — the daily-crawl
+    vs historical-corpus operation (reference analog: the dedup-fields
+    enrichment at DeduplicationService.java checks new batches against the
+    already-indexed store; here the historical side is a DataFrame/table).
+
+    Plan shape: (1) cheap exact stage — anti-join on a whole-text hash
+    removes byte-identical docs before any signature work; (2) bipartite
+    band join (new × existing, slim keys only) proposes candidates;
+    (3) exact-or-estimate verify as in ``minhash_lsh_pairs``; (4) anti-join
+    drops new docs with any verified match. Both signature tables persist;
+    at steady state the existing side's signatures would live in a bucketed
+    table and the band join co-locates on (band_id, band_hash).
+
+    With bands == num_hashes (r=1) and verify="exact" the result is exact:
+    a new doc survives iff no existing doc has Jaccard ≥ threshold.
+    """
+    txh = F.xxhash64(F.lower(F.trim(F.col(text_col))))
+    exact_old = existing_df.select(txh.alias("__txh")).dropDuplicates(["__txh"])
+    fresh = (
+        new_df.withColumn("__txh", txh)
+        .join(exact_old, "__txh", "left_anti")
+        .drop("__txh")
+    )
+
+    kw = dict(num_hashes=num_hashes, shingle_k=shingle_k,
+              shingle_mode=shingle_mode, sig_impl=sig_impl)
+    new_base = _minhash_base(fresh, id_col, text_col, **kw)
+    old_base = _minhash_base(existing_df, id_col, text_col, **kw)
+    cand_ids = (
+        _band_keys(new_base, num_hashes, bands)
+        .select(F.col("id").alias("id_a"), "band_id", "band_hash")
+        .join(
+            _band_keys(old_base, num_hashes, bands).select(
+                F.col("id").alias("id_b"), "band_id", "band_hash"
+            ),
+            ["band_id", "band_hash"],
+        )
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    dupes = (
+        _fetch_and_verify(cand_ids, new_base, old_base, threshold, verify, num_hashes)
+        .select(F.col("id_a").alias(id_col))
+        .dropDuplicates([id_col])
+    )
+    return fresh.join(dupes, id_col, "left_anti")
 
 
 def minhash_dedup(

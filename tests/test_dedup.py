@@ -152,3 +152,45 @@ def test_connected_components_nonconvergence_raises(spark):
     pairs = spark.createDataFrame([Row(id_a=i, id_b=i + 1) for i in range(40)])
     with pytest.raises(RuntimeError, match="did not converge"):
         ddp.connected_components(pairs, max_iter=1)
+
+
+# ------------------------------------------------- incremental corpus dedup
+
+
+def test_dedup_against_corpus_drops_near_dups(spark):
+    from pyspark.sql import Row
+
+    old = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the quick brown fox jumps over the lazy dog again and again today"),
+            Row(doc_id=2, text="an entirely different historical document about spark plans"),
+        ]
+    )
+    new = spark.createDataFrame(
+        [
+            # near-copy of old 1 (one word changed)
+            Row(doc_id=10, text="the quick brown fox jumps over the lazy cat again and again today"),
+            # exact copy of old 2 (different id)
+            Row(doc_id=11, text="an entirely different historical document about spark plans"),
+            # genuinely new
+            Row(doc_id=12, text="completely novel content that shares nothing with the corpus at all"),
+        ]
+    )
+    out = ddp.dedup_against_corpus(
+        new, old, "doc_id", "text", num_hashes=64, bands=64, threshold=0.5,
+        shingle_mode="token", verify="exact",
+    )
+    assert sorted(r.doc_id for r in out.collect()) == [12]
+
+
+def test_dedup_against_corpus_keeps_new_vs_new_dups(spark):
+    """Only the EXISTING corpus dedups the batch — duplicates within the
+    new batch itself are kept (callers run minhash_dedup for intra-batch)."""
+    from pyspark.sql import Row
+
+    old = spark.createDataFrame([Row(doc_id=1, text="old corpus text entirely unrelated to anything")])
+    dup = "two new documents that are exact copies of each other word for word"
+    new = spark.createDataFrame([Row(doc_id=10, text=dup), Row(doc_id=11, text=dup)])
+    out = ddp.dedup_against_corpus(new, old, "doc_id", "text", bands=64, threshold=0.5,
+                                   shingle_mode="token")
+    assert sorted(r.doc_id for r in out.collect()) == [10, 11]
