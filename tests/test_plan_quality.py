@@ -53,6 +53,28 @@ def test_filters_pushed_to_scan(spark, name):
     assert m and m.group(1).strip(), f"{name}: no pushed filters\n{plan[:500]}"
 
 
+def test_corpus_sampling_is_narrow_and_pruned(spark):
+    """Deterministic sampling/mixing must stay a pure filter over a pruned
+    scan: no shuffle anywhere, and the parquet read restricted to the
+    referenced columns."""
+    plan = plan_of(spark, "corpus_mix_sample")
+    agg_exchanges = plan.count("Exchange")
+    # one exchange pair for the final groupBy is fine; the sampling filter
+    # itself must not add any
+    assert agg_exchanges <= 2, plan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m is not None
+    cols = sorted(c.split(":")[0] for c in m.group(1).split(","))
+    assert cols == ["doc_id", "source"], cols
+
+
+def test_contamination_gram_join_is_broadcast(spark):
+    """The benchmark gram-key set must broadcast — the corpus side of the
+    contamination join never shuffles."""
+    plan = plan_of(spark, "corpus_contamination")
+    assert "BroadcastHashJoin" in plan, plan
+
+
 def test_projection_pruned(spark):
     plan = plan_of(spark, "dsl_topk")
     m = re.search(r"ReadSchema: struct<([^>]*)>", plan)

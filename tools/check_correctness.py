@@ -63,6 +63,23 @@ def main():
             print(f"FAIL {name}: spark error: {e}")
             n_fail += 1
             continue
+        # The DRIVER's canonicalizer sorts a pandas frame by every column
+        # and crashes on unhashable cells (TypeError: unhashable type:
+        # 'list') — round-2's multimodal_features failed exactly this way
+        # while this tool passed it. Reject array-typed result columns
+        # here so the mismatch is caught before the driver sees it.
+        if srows:
+            bad_cols = [
+                c for c, v in zip(scols, srows[0]) if isinstance(v, (list, tuple, dict))
+            ]
+            if bad_cols:
+                print(
+                    f"FAIL {name}: array/map-typed result columns {bad_cols} — "
+                    "the driver gate cannot canonicalize these; emit a scalar "
+                    "(concat_ws/to_json/hash) instead"
+                )
+                n_fail += 1
+                continue
         if name not in oracles:
             print(f"rows-only {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
             continue
