@@ -435,9 +435,11 @@ def dedup_against_corpus(
 ) -> DataFrame:
     """Incremental corpus dedup: rows of ``new_df`` that are NOT (near-)
     duplicates of any document already in ``existing_df`` — the daily-crawl
-    vs historical-corpus operation (reference analog: the dedup-fields
-    enrichment at DeduplicationService.java checks new batches against the
-    already-indexed store; here the historical side is a DataFrame/table).
+    vs historical-corpus operation. Reference analog: dedup-field matching
+    of a new batch against the already-indexed store (dedup-field prep at
+    ElasticsearchIndexUtils.java:236-251; existing-element lookup shape at
+    TitanGraphBuildingUtils.getGroupedVertices:328-374), generalized here
+    from exact field equality to near-duplicate text similarity.
 
     Plan shape: (1) cheap exact stage — anti-join on a whole-text hash
     removes byte-identical docs before any signature work; (2) bipartite
