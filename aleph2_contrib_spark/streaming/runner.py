@@ -77,6 +77,30 @@ def json_file_stream(
     return reader.json(path)
 
 
+def streaming_dedup(
+    stream_df: DataFrame,
+    keys: list[str],
+    event_time_col: str | None = None,
+    within: str | None = None,
+) -> DataFrame:
+    """Cross-micro-batch exact deduplication (the streaming form of the G1
+    dedup-fields semantics: a record whose key was already seen is
+    dropped, even if it arrives in a later micro-batch).
+
+    State discipline — the thing that matters on an unbounded stream:
+    with ``event_time_col`` + ``within`` (e.g. "2 hours") the dedup uses
+    ``dropDuplicatesWithinWatermark``, so per-key state expires once the
+    watermark passes — bounded memory at any stream length. Without a
+    watermark the state grows with distinct keys forever; that mode is for
+    finite replays/tests and is deliberately explicit, not the default
+    fallback of a misconfigured watermark."""
+    if (event_time_col is None) != (within is None):
+        raise ValueError("pass BOTH event_time_col and within, or neither")
+    if event_time_col is not None:
+        return stream_df.withWatermark(event_time_col, within).dropDuplicatesWithinWatermark(keys)
+    return stream_df.dropDuplicates(keys)
+
+
 class StreamingPipelineRunner:
     """P14: run a Pipeline on a streaming input via foreachBatch."""
 

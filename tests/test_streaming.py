@@ -216,3 +216,50 @@ def test_stream_stream_join_with_watermarks(spark, tmp_path):
     got = {(r["click_id"], r["buy_id"]) for r in spark.read.parquet(out_dir).collect()}
     # c1→p1 within a day; c2→p2 is 7 days apart → excluded
     assert got == {("c1", "p1")}
+
+
+def test_streaming_dedup_across_microbatches(spark, tmp_path):
+    """streaming_dedup drops a key seen in an EARLIER micro-batch; with a
+    watermark the state is bounded (dropDuplicatesWithinWatermark)."""
+    from aleph2_contrib_spark.streaming.runner import streaming_dedup
+
+    d = tmp_path / "dedup_in"
+    d.mkdir()
+    write_batch(
+        str(d), "b1.json",
+        [
+            {"event_id": "a", "event_time": "2020-01-01T10:00:00", "user_id": 1, "event_type": "c", "value": 1.0},
+            {"event_id": "b", "event_time": "2020-01-01T10:01:00", "user_id": 2, "event_type": "c", "value": 2.0},
+        ],
+    )
+    write_batch(
+        str(d), "b2.json",
+        [
+            # duplicate of a (later micro-batch) + one new key
+            {"event_id": "a", "event_time": "2020-01-01T10:02:00", "user_id": 1, "event_type": "c", "value": 1.0},
+            {"event_id": "c", "event_time": "2020-01-01T10:03:00", "user_id": 3, "event_type": "c", "value": 3.0},
+        ],
+    )
+    stream = json_file_stream(spark, str(d), SCHEMA, max_files_per_trigger=1)
+    deduped = streaming_dedup(stream, ["event_id"], "event_time", "1 hour")
+    out_dir = str(tmp_path / "dedup_out")
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r.event_id for r in spark.read.parquet(out_dir).collect())
+    assert got == ["a", "b", "c"]
+
+
+def test_streaming_dedup_requires_paired_watermark_args(spark, tmp_path):
+    from aleph2_contrib_spark.streaming.runner import streaming_dedup
+
+    d = tmp_path / "x"
+    d.mkdir()
+    stream = json_file_stream(spark, str(d), SCHEMA)
+    with pytest.raises(ValueError, match="BOTH"):
+        streaming_dedup(stream, ["event_id"], event_time_col="event_time")
