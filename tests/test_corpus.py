@@ -98,6 +98,27 @@ def test_pack_sequences_partition_boundary_independent(spark):
     assert sorted(map(tuple, one)) == sorted(map(tuple, many))
 
 
+def test_pack_sequences_invariants(spark):
+    """Structural invariants on irregular lengths: exclusive cumsum is
+    consistent (cum[i+1] = cum[i] + len[i] in id order), offsets stay
+    inside the pack, and span boundaries agree with the arithmetic."""
+    from pyspark.sql import Row
+
+    rows = [Row(doc_id=i, tok_len=1 + (i * 37) % 97) for i in range(400)]
+    L = 128
+    out = sorted(
+        cp.pack_sequences(spark.createDataFrame(rows), "doc_id", "tok_len", L).collect(),
+        key=lambda r: r.id,
+    )
+    cum = 0
+    for r in out:
+        assert r.cum_before == cum
+        assert 0 <= r.pack_offset < L and r.pack_offset == cum % L
+        assert r.first_pack == cum // L
+        assert r.last_pack == (cum + r.tok_len - 1) // L
+        cum += r.tok_len
+
+
 def test_pack_sequences_drops_empty(spark):
     rows = [Row(doc_id=1, tok_len=0), Row(doc_id=2, tok_len=5)]
     out = cp.pack_sequences(spark.createDataFrame(rows), "doc_id", "tok_len", 16)
