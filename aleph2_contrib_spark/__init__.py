@@ -15,8 +15,11 @@ Layers
 - ``sources``    — table catalog, file-ingest (JSON/XML/binary), streams.
 - ``plans``      — enrichment pipeline DAG compiler (EnrichmentPipelineService
   / RddDependencyUtils analogue) on mapInPandas / applyInPandas.
-- ``operators``  — CRUD service, dedup (exact/minhash/simhash), similarity
-  search, text analysis, graph build/merge, multimodal columns.
+- ``operators``  — CRUD service, dedup (exact/minhash/simhash/incremental),
+  similarity search, text analysis, graph build/merge, multimodal columns,
+  and corpus preparation for LLM training data (deterministic
+  sampling/mixing, contamination checks, sequence packing, repetition
+  scoring, PII redaction, training-order shuffles, stratified sampling).
 - ``streaming``  — Structured Streaming runner (same pipeline under
   foreachBatch).
 """

@@ -1,0 +1,113 @@
+"""Empirical scaling check: run the heavy operators on a synthetic corpus
+at 1x and 10x the sf0.1 size and report the wall-clock ratio.
+
+The 100 TB design claims (banded shuffles, narrow passes, two-phase
+scans) predict near-linear scaling for everything here; a super-linear
+ratio flags an operator whose plan degrades with size (all-pairs blowup,
+driver collect, single-partition stage). Writes only to /tmp.
+
+Usage: python tools/scale_stress.py [base_docs] [factor]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from aleph2_contrib_spark.session import get_spark
+
+
+def make_docs(spark, n, path, seed=7):
+    """Word-soup documents like the driver's testdata: ~120-token texts
+    over a small vocabulary (so near-dups exist), deterministic."""
+    vocab = [
+        "key", "agg", "row", "scan", "slow", "fast", "table", "value", "part",
+        "hash", "batch", "window", "spark", "order", "data", "column", "join",
+        "small", "line", "customer", "query", "filter", "merge", "the", "a",
+    ]
+    v = F.array(*[F.lit(w) for w in vocab])
+    df = (
+        spark.range(n)
+        .withColumn("doc_id", F.col("id"))
+        .withColumn(
+            "text",
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(120)),
+                    # xxhash64-seeded word choice; every ~40th doc is a
+                    # near-copy of its neighbor (same seed stream)
+                    lambda i: F.element_at(
+                        v,
+                        (
+                            F.abs(F.xxhash64(F.col("id") - (F.col("id") % 40 == 1).cast("long"), i, F.lit(seed)))
+                            % len(vocab)
+                        ).cast("int")
+                        + 1,
+                    ),
+                ),
+            ),
+        )
+        .withColumn("source", F.concat(F.lit("src"), (F.col("id") % 20).cast("string")))
+        .withColumn("lang", F.element_at(F.array(F.lit("en"), F.lit("de"), F.lit("fr")), (F.col("id") % 3).cast("int") + 1))
+        .drop("id")
+    )
+    df.write.mode("overwrite").parquet(path)
+    return path
+
+
+def bench_ops(spark, path, label):
+    from aleph2_contrib_spark.operators import corpus as cp
+    from aleph2_contrib_spark.operators import dedup as ddp
+    from aleph2_contrib_spark.operators.text import token_count
+
+    docs = spark.read.parquet(path)
+    docs.count()
+    out = {}
+
+    def run(name, thunk):
+        t0 = time.perf_counter()
+        thunk()
+        out[name] = round(time.perf_counter() - t0, 2)
+
+    run("minhash_production", lambda: ddp.minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=64, bands=16, threshold=0.7,
+        shingle_mode="token", verify="estimate", sig_impl="numpy").count())
+    run("exact_dedup", lambda: ddp.exact_dedup(docs, ["text"]).count()
+        if hasattr(ddp, "exact_dedup") else docs.dropDuplicates(["text"]).count())
+    run("contamination", lambda: cp.contamination_check(
+        docs.filter(F.col("doc_id") % 97 != 0), docs.filter(F.col("doc_id") % 97 == 0), n=4).count())
+    run("pack_sequences", lambda: cp.pack_sequences(
+        docs.select("doc_id", token_count(F.col("text")).alias("tl")), "doc_id", "tl", 2048).count())
+    run("det_shuffle", lambda: cp.deterministic_shuffle(docs.select("doc_id"), "doc_id", "e", 8).count())
+    # .count() would let Catalyst skip the projected columns entirely —
+    # aggregate a derived value to force the narrow pass to actually run
+    run("repetition", lambda: cp.repetition_score(docs).agg(F.sum("rep_ratio_f6")).collect())
+    run("pii_redact", lambda: cp.pii_redact(docs, "text").agg(F.sum(F.length("redacted"))).collect())
+    run("stratified", lambda: cp.stratified_sample(docs, "lang", "doc_id", 100).count())
+    print(label, out, flush=True)
+    return out
+
+
+def main():
+    base = int(sys.argv[1]) if len(sys.argv) > 1 else 5000
+    factor = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    spark = get_spark("scale-stress")
+    p1 = make_docs(spark, base, "/tmp/scale_docs_1x.parquet")
+    p2 = make_docs(spark, base * factor, f"/tmp/scale_docs_{factor}x.parquet")
+    r1 = bench_ops(spark, p1, "1x")
+    r2 = bench_ops(spark, p2, f"{factor}x")
+    print("--- scaling ratios (ideal <= %d; super-linear = plan problem) ---" % factor)
+    for k in r1:
+        ratio = r2[k] / r1[k] if r1[k] > 0 else float("inf")
+        flag = "  <-- SUPER-LINEAR" if ratio > factor * 1.5 else ""
+        print(f"{k:22s} 1x={r1[k]:7.2f}s {factor}x={r2[k]:8.2f}s ratio={ratio:5.1f}{flag}")
+
+
+if __name__ == "__main__":
+    main()
