@@ -1885,6 +1885,26 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source")
 
 
+def sql_udf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U5 via SQL scalar functions: the engine's scalar surface registered
+    as CREATE TEMPORARY FUNCTIONs (inlined by Catalyst — codegen identical
+    to the Column forms) and exercised from a plain SQL stage."""
+    from aleph2_contrib_spark.functions.sql_udfs import register_sql_functions
+
+    register_sql_functions(spark)
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("docs_sqlfn")
+    return spark.sql(
+        """
+        SELECT doc_id,
+               a2_fingerprint(text) AS fp,
+               a2_token_count(text) AS n_tokens,
+               a2_distinct_token_ratio_f6(text) AS distinct_ratio_f6,
+               CAST(a2_keep(CAST(doc_id AS STRING), 0.5, 'u5') AS INT) AS kept
+        FROM docs_sqlfn
+        """
+    )
+
+
 def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic training-order shuffle: reproducible md5 permutation
     with a global position (two-phase range scan, no single-partition
@@ -1965,6 +1985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_shuffle_shards": corpus_shuffle_shards,
         "corpus_stratified_sample": corpus_stratified_sample,
         "dedup_incremental": dedup_incremental,
+        "sql_udf_surface": sql_udf_surface,
         "dedup_minhash_pairs": dedup_minhash_pairs,
         "graph_merge_incremental": graph_merge_incremental,
         "events_sessionize": events_sessionize,
@@ -3143,5 +3164,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, d.source FROM documents d
             WHERE d.doc_id % 2 = 1
               AND d.doc_id NOT IN (SELECT doc_id FROM near_dup)
+        """,
+        "sql_udf_surface": r"""
+            SELECT doc_id,
+                   md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+                   CAST(CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(string_split_regex(trim(text), '\s+')) END AS INT) AS n_tokens,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE CAST(floor(len(list_distinct(string_split_regex(lower(trim(text)), '\s+')))
+                                  / len(string_split_regex(lower(trim(text)), '\s+')) * 1000000.0) AS BIGINT)
+                   END AS distinct_ratio_f6,
+                   CAST(CAST('0x' || substr(md5('u5:' || CAST(doc_id AS VARCHAR)), 1, 8) AS UBIGINT)
+                        / 4294967296.0 < 0.5 AS INT) AS kept
+            FROM documents
         """,
     }
