@@ -362,20 +362,24 @@ def _fetch_and_verify(
     _BROADCAST_PAYLOAD_CAP = 256 << 20
     payload = "hs" if verify == "exact" else "sig"
 
-    def _maybe_broadcast(side: DataFrame, base: DataFrame) -> DataFrame:
+    def _fits_broadcast(base: DataFrame) -> bool:
         stats = base.agg(
             F.count(F.lit(1)).alias("n"),
             F.avg(F.size(F.col(payload))).alias("avg_len"),
         ).collect()[0]
         est_bytes = int((stats["n"] or 0) * (stats["avg_len"] or 0) * 8 * 1.3)
-        return F.broadcast(side) if est_bytes and est_bytes < _BROADCAST_PAYLOAD_CAP else side
+        return bool(est_bytes) and est_bytes < _BROADCAST_PAYLOAD_CAP
 
-    side_a = _maybe_broadcast(
-        base_a.select(F.col("id").alias("id_a"), F.col(payload).alias(f"{payload}_a")), base_a
-    )
-    side_b = _maybe_broadcast(
-        base_b.select(F.col("id").alias("id_b"), F.col(payload).alias(f"{payload}_b")), base_b
-    )
+    fits_a = _fits_broadcast(base_a)
+    # self-join case: both sides are the same persisted base — one probe
+    fits_b = fits_a if base_b is base_a else _fits_broadcast(base_b)
+
+    side_a = base_a.select(F.col("id").alias("id_a"), F.col(payload).alias(f"{payload}_a"))
+    side_b = base_b.select(F.col("id").alias("id_b"), F.col(payload).alias(f"{payload}_b"))
+    if fits_a:
+        side_a = F.broadcast(side_a)
+    if fits_b:
+        side_b = F.broadcast(side_b)
     # AQE coalesces the post-dedup candidates to very few partitions (the
     # slim rows are only a few MB), which would then run the payload fetch
     # and the O(|doc|) per-pair similarity at that tiny parallelism.
