@@ -132,6 +132,33 @@ def ivf_build_centroids(
     return cents.tolist()
 
 
+def ivf_build_centroids_distributed(
+    df: DataFrame,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 10,
+) -> list[list[float]]:
+    """Distributed IVF coarse quantizer: Spark ML KMeans over the FULL
+    vector table (k-means|| init, executors do the lifting) — the scale
+    path when a bounded driver sample would misrepresent the distribution
+    (billions of vectors / many fine cells). Vectors are L2-normalized
+    first so euclidean k-means orders like cosine, matching ``ivf_assign``.
+
+    Deterministic for a fixed seed + input. For everyday cell counts the
+    sampled ``ivf_build_centroids`` is cheaper (one tiny collect, no ML
+    job); both feed the same ``ivf_assign``/``ivf_topk``."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    v = F.col(vec_col).cast("array<double>")
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+    unit = F.transform(v, lambda x: x / (norm + F.lit(1e-300)))
+    data = df.select(array_to_vector(unit).alias("features"))
+    model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(data)
+    return [list(map(float, c)) for c in model.clusterCenters()]
+
+
 def ivf_assign(df: DataFrame, centroids: list[list[float]], vec_col: str = "embedding") -> DataFrame:
     """Assign each row to its nearest centroid (cosine) — a narrow
     Arrow-batched pass: one (batch × centroids) numpy matmul per batch,

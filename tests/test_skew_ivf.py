@@ -142,3 +142,19 @@ def test_knn_join_query_cap_fails_fast(spark):
         knn_join(df, df, k=3, max_broadcast_queries=10)
     # at or under the cap: runs normally
     assert knn_join(df.limit(5), df.limit(10), k=3, max_broadcast_queries=10).count() == 10 * 3
+
+
+def test_ivf_distributed_kmeans_centroids(spark, sf_dir):
+    """The Spark ML KMeans quantizer feeds the same assign/search path and
+    reaches reasonable recall vs brute force on the real embeddings."""
+    from aleph2_contrib_spark.operators import similarity as sim
+    from aleph2_contrib_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = sim.ivf_build_centroids_distributed(emb, n_centroids=8, max_iter=5)
+    assert len(cents) == 8 and all(len(c) == len(cents[0]) for c in cents)
+    qvec = emb.filter(F.col("vec_id") == 1).select("embedding").head()[0]
+    exact = {r.vec_id for r in sim.brute_force_topk(emb, qvec, k=10).collect()}
+    assigned = sim.ivf_assign(emb, cents)
+    approx = {r.vec_id for r in sim.ivf_topk(assigned, qvec, cents, k=10, nprobe=3).collect()}
+    assert len(exact & approx) >= 6, (exact, approx)
