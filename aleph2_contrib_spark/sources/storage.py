@@ -192,6 +192,48 @@ class TimePartitionedTable:
         shutil.move(tmp, p)
         shutil.rmtree(old, ignore_errors=True)
 
+    def compact(
+        self,
+        target_file_bytes: int = 128 << 20,
+        path: str | None = None,
+    ) -> dict[str, tuple[int, int]]:
+        """Small-file compaction: per time-partition, bin-pack parquet
+        files to ~``target_file_bytes``. Streaming/micro-batch appends and
+        low-volume partitions accumulate small files; this is the
+        incremental maintenance job that fixes them — only partitions
+        whose file count exceeds the bin-packed need are rewritten
+        (``optimize()`` is the full clustering rewrite; this touches the
+        minimum). The partition value stays encoded in the directory name,
+        so per-directory rewrites preserve the table layout and partition
+        pruning. Each rewrite is its own Spark job; a production scheduler
+        submits them concurrently — the per-partition logic is identical.
+
+        Returns {partition_dir_name: (files_before, files_after)} for the
+        partitions rewritten.
+        """
+        import glob as _glob
+        import math as _math
+
+        p = path or self.primary_path
+        report: dict[str, tuple[int, int]] = {}
+        for part_dir in sorted(_glob.glob(os.path.join(p, f"{PARTITION_COL}=*"))):
+            files = _glob.glob(os.path.join(part_dir, "part-*"))
+            if len(files) < 2:
+                continue
+            total = sum(os.path.getsize(f) for f in files)
+            need = max(1, _math.ceil(total / target_file_bytes))
+            if len(files) <= need:
+                continue
+            df = self.spark.read.parquet(part_dir)
+            tmp = part_dir + ".cmp-" + uuid.uuid4().hex[:8]
+            df.coalesce(need).write.mode("overwrite").parquet(tmp)
+            old = part_dir + ".old"
+            shutil.move(part_dir, old)
+            shutil.move(tmp, part_dir)
+            shutil.rmtree(old, ignore_errors=True)
+            report[os.path.basename(part_dir)] = (len(files), need)
+        return report
+
     def delete_datastore(self) -> None:
         """S19 bucket deletion."""
         shutil.rmtree(self.bucket.path, ignore_errors=True)

@@ -180,3 +180,33 @@ def test_write_salted_with_columnar_excluding_time_field(spark, tmp_path, events
     out = t.read()
     assert sorted(out.columns) == ["_id", "v"]  # no salt column persisted
     assert {r["_id"] for r in out.collect()} == {"a", "b", "c", "d"}
+
+
+def test_compact_bin_packs_small_files(spark, tmp_path, events_df):
+    """Repeated appends accumulate small files; compact() rewrites only
+    the oversplit partitions, preserves all rows, and keeps the partition
+    layout (pruning still works)."""
+    import glob
+
+    t = make_table(spark, tmp_path)
+    for _ in range(5):  # 5 appends -> >=5 files per partition
+        t.write(events_df)
+    feb = os.path.join(t.primary_path, f"{PARTITION_COL}=2020-02-01T00")
+    before = len(glob.glob(os.path.join(feb, "part-*")))
+    assert before >= 5
+    report = t.compact(target_file_bytes=1 << 30)  # everything fits one file
+    assert report[f"{PARTITION_COL}=2020-02-01T00"][1] == 1
+    after = len(glob.glob(os.path.join(feb, "part-*")))
+    assert after == 1
+    df = spark.read.parquet(t.primary_path)
+    assert df.count() == 4 * 5
+    # partition directory layout intact -> pruning by partition col works
+    assert df.filter(F.col(PARTITION_COL) == "2020-02-01T00").count() == 2 * 5
+
+
+def test_compact_skips_already_packed(spark, tmp_path, events_df):
+    t = make_table(spark, tmp_path)
+    t.write(events_df)
+    t.compact(target_file_bytes=1 << 30)
+    # second run: nothing left to do
+    assert t.compact(target_file_bytes=1 << 30) == {}
