@@ -390,3 +390,119 @@ def knn_join(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+# --------------------------------------------------------------------------
+# Product quantization (PQ)
+# --------------------------------------------------------------------------
+
+
+def pq_train_codebooks(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    m: int = 8,
+    n_codes: int = 256,
+    sample_rows: int = 4096,
+    iters: int = 10,
+    seed: int = 42,
+):
+    """Train PQ codebooks: split the vector into ``m`` subspaces and
+    k-means each on a bounded driver sample (same deliberate driver-side
+    step as ivf_build_centroids — codebooks are tiny: m × n_codes × d/m
+    floats; encoding and search stay distributed). Deterministic.
+
+    Returns list of m (n_codes × d/m) codebooks (nested python lists).
+    """
+    import numpy as np
+
+    sample = df.select(vec_col).sample(fraction=1.0, seed=seed).limit(sample_rows).collect()
+    X = np.asarray([list(r[0]) for r in sample], dtype=np.float64)
+    d = X.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+    rng = np.random.RandomState(seed)
+    books = []
+    for j in range(m):
+        S = X[:, j * sub : (j + 1) * sub]
+        k = min(n_codes, len(S))
+        C = S[rng.choice(len(S), size=k, replace=False)]
+        for _ in range(iters):
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            a = d2.argmin(axis=1)
+            for c in range(k):
+                mset = S[a == c]
+                if len(mset):
+                    C[c] = mset.mean(axis=0)
+        books.append(C.tolist())
+    return books
+
+
+def pq_encode(df: DataFrame, codebooks, vec_col: str = "embedding") -> DataFrame:
+    """Encode vectors to PQ codes (array<smallint>, one code per
+    subspace): a narrow Arrow-batched pass — per batch, m vectorized
+    (batch × n_codes) nearest-centroid assignments. A 64-d float vector
+    (256 B as float32) compresses to m bytes — the representation that
+    lets 100 TB of embeddings fit a fraction of cluster memory."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    B = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    m = len(B)
+    sub = B[0].shape[1]
+
+    def encode_fn(vs):
+        if not len(vs):
+            return pd.Series([], dtype=object)
+        X = np.asarray([list(v) for v in vs], dtype=np.float64)
+        codes = np.empty((len(X), m), dtype=np.int16)
+        for j in range(m):
+            S = X[:, j * sub : (j + 1) * sub]
+            # ||s-c||² = ||s||² - 2s·c + ||c||²; ||s||² constant per row
+            d2 = -2.0 * (S @ B[j].T) + (B[j] ** 2).sum(axis=1)[None, :]
+            codes[:, j] = d2.argmin(axis=1)
+        return pd.Series(list(codes))
+
+    udf = pandas_udf(encode_fn, "array<smallint>")
+    return df.withColumn("pq_codes", udf(F.col(vec_col).cast("array<double>")))
+
+
+def pq_topk(
+    df: DataFrame,
+    query_vec,
+    codebooks,
+    k: int = 10,
+    id_col: str = "vec_id",
+    codes_col: str = "pq_codes",
+) -> DataFrame:
+    """Approximate top-k by asymmetric distance (ADC): precompute the
+    query's (m × n_codes) distance lookup table once, then score each
+    row's codes by m table lookups — no float vectors are read at all.
+    Per-partition top-k then TakeOrderedAndProject, like brute_force_topk.
+
+    Returns (id, adc_d2) ascending — squared-L2 approximation; on
+    normalized vectors the ordering tracks cosine."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    q = np.asarray(list(query_vec), dtype=np.float64)
+    B = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    m = len(B)
+    sub = B[0].shape[1]
+    # LUT[j][c] = ||q_j - B[j][c]||²
+    lut = [((B[j] - q[j * sub : (j + 1) * sub]) ** 2).sum(axis=1) for j in range(m)]
+
+    def score_fn(codes):
+        if not len(codes):
+            return pd.Series([], dtype="float64")
+        C = np.asarray([list(c) for c in codes], dtype=np.int64)
+        s = np.zeros(len(C), dtype=np.float64)
+        for j in range(m):
+            s += lut[j][C[:, j]]
+        return pd.Series(s)
+
+    udf = pandas_udf(score_fn, "double")
+    scored = df.select(id_col, udf(F.col(codes_col)).alias("adc_d2"))
+    return scored.orderBy(F.col("adc_d2").asc(), F.col(id_col).asc()).limit(k)

@@ -158,3 +158,48 @@ def test_ivf_distributed_kmeans_centroids(spark, sf_dir):
     assigned = sim.ivf_assign(emb, cents)
     approx = {r.vec_id for r in sim.ivf_topk(assigned, qvec, cents, k=10, nprobe=3).collect()}
     assert len(exact & approx) >= 6, (exact, approx)
+
+
+def test_pq_encode_and_adc_recall(spark, sf_dir):
+    """PQ: codes have m entries in [0, n_codes); ADC top-k reaches decent
+    recall vs exact euclidean on the real embeddings table."""
+    import math
+
+    from aleph2_contrib_spark.operators import similarity as sim
+    from aleph2_contrib_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = sim.pq_train_codebooks(emb, m=8, n_codes=64, sample_rows=1024, iters=5)
+    assert len(books) == 8
+    enc = sim.pq_encode(emb, books)
+    row = enc.select("pq_codes").head()
+    assert len(row.pq_codes) == 8 and all(0 <= c < 64 for c in row.pq_codes)
+
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 1).select("embedding").head()[0]]
+    approx = {r.vec_id for r in sim.pq_topk(enc, qvec, books, k=10).collect()}
+
+    # exact euclidean top-10 (PQ approximates L2, not cosine)
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("embedding").cast("array<double>"),
+            F.array(*[F.lit(v) for v in qvec]),
+            lambda x, y: (x - y) * (x - y),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    exact = {
+        r.vec_id
+        for r in emb.select("vec_id", d2.alias("d2")).orderBy(F.col("d2").asc(), F.col("vec_id").asc()).limit(10).collect()
+    }
+    assert len(exact & approx) >= 5, (exact, approx)
+
+
+def test_pq_deterministic(spark, sf_dir):
+    from aleph2_contrib_spark.operators import similarity as sim
+    from aleph2_contrib_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    b1 = sim.pq_train_codebooks(emb, m=4, n_codes=16, sample_rows=256, iters=3)
+    b2 = sim.pq_train_codebooks(emb, m=4, n_codes=16, sample_rows=256, iters=3)
+    assert b1 == b2
