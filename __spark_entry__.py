@@ -1885,6 +1885,41 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source")
 
 
+def corpus_e2e_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data prep composed from the corpus operators:
+    deterministic source mixing → quality filter (length + repetition) →
+    exact dedup on the normalized-text fingerprint (keep lowest doc_id) →
+    concat-and-chop packing. One narrow pass + one dedup shuffle + the
+    two-phase packing scan; every stage deterministic, so the whole chain
+    is one SQL oracle."""
+    from aleph2_contrib_spark.operators import corpus as cp
+    from aleph2_contrib_spark.operators.dedup import fingerprint
+    from aleph2_contrib_spark.operators.text import token_count
+    from pyspark.sql import Window as W2
+
+    docs = _t(spark, sf_dir, "documents")
+    mixed = cp.mix_sources(
+        docs, "source", {"src0": 1.0, "src1": 1.0, "src2": 1.0}, "doc_id",
+        seed="e2e", default_rate=0.5,
+    )
+    grams = cp.word_ngrams(F.col("text"), 2)
+    rep_f6 = F.when(
+        F.size(grams) > 0,
+        F.floor((F.size(grams) - F.size(F.array_distinct(grams))) / F.size(grams) * 1e6).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    feat = mixed.select(
+        "doc_id",
+        token_count(F.col("text")).cast("long").alias("tok_len"),
+        fingerprint(F.col("text")).alias("fp"),
+        rep_f6.alias("rep_f6"),
+    ).filter((F.col("tok_len") >= 20) & (F.col("rep_f6") < 500000))
+    w = W2.partitionBy("fp").orderBy("doc_id")
+    deduped = (
+        feat.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn", "fp", "rep_f6")
+    )
+    return cp.pack_sequences(deduped, "doc_id", "tok_len", max_len=1024)
+
+
 def sql_udf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U5 via SQL scalar functions: the engine's scalar surface registered
     as CREATE TEMPORARY FUNCTIONs (inlined by Catalyst — codegen identical
@@ -1986,6 +2021,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stratified_sample": corpus_stratified_sample,
         "dedup_incremental": dedup_incremental,
         "sql_udf_surface": sql_udf_surface,
+        "corpus_e2e_prep": corpus_e2e_prep,
         "dedup_minhash_pairs": dedup_minhash_pairs,
         "graph_merge_incremental": graph_merge_incremental,
         "events_sessionize": events_sessionize,
@@ -3177,5 +3213,46 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CAST('0x' || substr(md5('u5:' || CAST(doc_id AS VARCHAR)), 1, 8) AS UBIGINT)
                         / 4294967296.0 < 0.5 AS INT) AS kept
             FROM documents
+        """,
+        "corpus_e2e_prep": r"""
+            WITH mixed AS (
+                SELECT doc_id, text FROM documents
+                WHERE CAST('0x' || substr(md5('e2e:' || CAST(doc_id AS VARCHAR)), 1, 8) AS UBIGINT)
+                      / 4294967296.0
+                      < CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 1.0
+                                    WHEN 'src2' THEN 1.0 ELSE 0.5 END
+            ), toks AS (
+                SELECT doc_id, text, string_split_regex(lower(trim(text)), '\s+') AS t
+                FROM mixed
+            ), feat AS (
+                SELECT doc_id,
+                       CAST(CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS tok_len,
+                       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+                       CASE WHEN trim(text) <> '' AND len(t) >= 2
+                            THEN CAST(floor((len(list_transform(range(1, len(t)), i -> array_to_string(t[i:i+1], ' ')))
+                                            - len(list_distinct(list_transform(range(1, len(t)), i -> array_to_string(t[i:i+1], ' ')))))
+                                           / len(list_transform(range(1, len(t)), i -> array_to_string(t[i:i+1], ' ')))
+                                           * 1000000.0) AS BIGINT)
+                            ELSE 0 END AS rep_f6
+                FROM toks
+            ), filtered AS (
+                SELECT doc_id, tok_len, fp FROM feat
+                WHERE tok_len >= 20 AND rep_f6 < 500000
+            ), deduped AS (
+                SELECT doc_id, tok_len FROM filtered
+                QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1
+            ), pos AS (
+                SELECT doc_id AS id, tok_len,
+                       CAST(COALESCE(SUM(tok_len) OVER (ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                       AS cum_before
+                FROM deduped
+            )
+            SELECT id, tok_len, cum_before,
+                   CAST(cum_before // 1024 AS BIGINT) AS first_pack,
+                   CAST((cum_before + tok_len - 1) // 1024 AS BIGINT) AS last_pack,
+                   CAST(cum_before % 1024 AS BIGINT) AS pack_offset
+            FROM pos
         """,
     }
