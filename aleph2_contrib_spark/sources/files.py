@@ -48,6 +48,29 @@ def read_json_inbox(
     return df
 
 
+def read_csv_inbox(
+    spark: SparkSession,
+    path: str,
+    schema=None,
+    header: bool = True,
+    sep: str = ",",
+    test_record_limit: int | None = None,
+) -> DataFrame:
+    """S2 (CSV flavor): delimited files → records with the source filename
+    kept as key, matching read_json_inbox's contract. With no explicit
+    schema the reader infers one (an extra pass — pass a schema on large
+    inboxes, same guidance as JSON)."""
+    reader = spark.read.option("header", str(header).lower()).option("sep", sep)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    df = reader.csv(path).withColumn("__source_file", F.input_file_name())
+    if test_record_limit is not None:
+        df = df.limit(test_record_limit)
+    return df
+
+
 @dataclass(frozen=True)
 class XmlConfig:
     """Reference BeFileInputConfigBean.XML options (BeXmlParser.java:48-80)."""

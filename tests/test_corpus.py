@@ -235,3 +235,26 @@ def test_contamination_broadcasts_benchmark(spark, sf_dir):
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_word_ngrams_property_vs_reference(spark):
+    """Property check: the Catalyst word_ngrams expression matches a plain
+    Python reference implementation on assorted edge-case strings."""
+    from pyspark.sql import Row
+    import re as _re
+
+    cases = [
+        "", " ", "one", "one two", "one two three", "a  b   c", "  lead trail  ",
+        "UPPER lower MiXeD", "a b a b a", "x " * 50, "tab\tsep words here",
+        "word", "1 2 3 4 5 6 7", "self self self self",
+    ]
+
+    def ref_ngrams(s, n):
+        toks = _re.split(r"\s+", s.strip().lower()) if s.strip() else []
+        return [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)] if len(toks) >= n else []
+
+    df = spark.createDataFrame([Row(i=i, text=s) for i, s in enumerate(cases)])
+    for n in (1, 2, 3, 5):
+        got = {r.i: list(r.g) for r in df.select("i", cp.word_ngrams(F.col("text"), n).alias("g")).collect()}
+        want = {i: ref_ngrams(s, n) for i, s in enumerate(cases)}
+        assert got == want, (n, {k: (got[k], want[k]) for k in got if got[k] != want[k]})

@@ -136,3 +136,19 @@ def test_xml_schema_discovery_distributed_and_sampled(spark, tmp_path):
     # schema stays consistent and the parse still returns every record
     df2 = read_xml_inbox(spark, str(d), cfg, schema_sample_files=3)
     assert df2.count() == 20
+
+
+def test_csv_inbox_roundtrip(spark, tmp_path):
+    from aleph2_contrib_spark.sources.files import read_csv_inbox
+
+    d = tmp_path / "csv_in"
+    d.mkdir()
+    (d / "a.csv").write_text("id,name,score\n1,alpha,0.5\n2,beta,1.5\n")
+    (d / "b.csv").write_text("id,name,score\n3,gamma,2.5\n")
+    got = read_csv_inbox(spark, str(d), schema="id INT, name STRING, score DOUBLE")
+    rows = {r.id: (r.name, r.score) for r in got.collect()}
+    assert rows == {1: ("alpha", 0.5), 2: ("beta", 1.5), 3: ("gamma", 2.5)}
+    assert all(r["__source_file"].endswith(".csv") for r in got.collect())
+    # test record limit honored
+    assert read_csv_inbox(spark, str(d), schema="id INT, name STRING, score DOUBLE",
+                          test_record_limit=2).count() == 2
