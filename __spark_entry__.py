@@ -1508,6 +1508,61 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (adapted: lineitem×supplier stands in for partsupp):
+    per-part value for one nation's suppliers, HAVING the part's share
+    exceed a fraction of the nation total — aggregate + broadcast 1-row
+    scalar-subquery threshold."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier").filter(F.col("s_nationkey") == 1)
+    value = (_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount")))
+    joined = li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+    per_part = joined.groupBy("l_partkey").agg(F.sum(value).alias("val_dec"))
+    total = per_part.agg(F.sum("val_dec").alias("tot")).select(
+        F.col("tot").cast("double").alias("tot")
+    )
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("val_dec").cast("double") > F.col("tot") * 0.001)
+        .select("l_partkey", F.col("val_dec").cast("double").alias("part_value"))
+    )
+
+
+def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (adapted: returnflag plays the late-delivery role):
+    suppliers whose line was returned in a multi-supplier order where NO
+    other supplier's line was returned — the EXISTS + NOT-EXISTS double
+    self-join on the fact table, the hardest TPC-H relational shape."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    l1 = li.filter(F.col("l_returnflag") == "R").alias("l1")
+    l2 = li.alias("l2")
+    l3 = li.filter(F.col("l_returnflag") == "R").alias("l3")
+    base = l1.join(orders, F.col("l1.l_orderkey") == orders.o_orderkey)
+    exists_other = base.join(
+        l2,
+        (F.col("l2.l_orderkey") == F.col("l1.l_orderkey"))
+        & (F.col("l2.l_suppkey") != F.col("l1.l_suppkey")),
+        "left_semi",
+    )
+    not_exists_other_late = exists_other.join(
+        l3,
+        (F.col("l3.l_orderkey") == F.col("l1.l_orderkey"))
+        & (F.col("l3.l_suppkey") != F.col("l1.l_suppkey")),
+        "left_anti",
+    )
+    return (
+        not_exists_other_late.join(
+            F.broadcast(sup), F.col("l1.l_suppkey") == sup.s_suppkey
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(20)
+    )
+
+
 def q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q20 shape: suppliers who shipped more than 300 units of 'red'
     parts in 1997 (HAVING-filtered agg as a semi-join filter chain)."""
@@ -2022,6 +2077,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": dedup_incremental,
         "sql_udf_surface": sql_udf_surface,
         "corpus_e2e_prep": corpus_e2e_prep,
+        "q11_important_stock": q11_important_stock,
+        "q21_sole_late_supplier": q21_sole_late_supplier,
         "dedup_minhash_pairs": dedup_minhash_pairs,
         "graph_merge_incremental": graph_merge_incremental,
         "events_sessionize": events_sessionize,
@@ -3213,6 +3270,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CAST('0x' || substr(md5('u5:' || CAST(doc_id AS VARCHAR)), 1, 8) AS UBIGINT)
                         / 4294967296.0 < 0.5 AS INT) AS kept
             FROM documents
+        """,
+        "q11_important_stock": """
+            WITH pp AS (
+                SELECT l_partkey,
+                       sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                           * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS val_dec
+                FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+                WHERE s_nationkey = 1
+                GROUP BY l_partkey
+            )
+            SELECT l_partkey, CAST(val_dec AS DOUBLE) AS part_value
+            FROM pp
+            WHERE CAST(val_dec AS DOUBLE) >
+                  (SELECT CAST(sum(val_dec) AS DOUBLE) FROM pp) * 0.001
+        """,
+        "q21_sole_late_supplier": """
+            SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+            FROM lineitem l1
+            JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+            JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+            WHERE l1.l_returnflag = 'R'
+              AND EXISTS (SELECT 1 FROM lineitem l2
+                          WHERE l2.l_orderkey = l1.l_orderkey
+                            AND l2.l_suppkey <> l1.l_suppkey)
+              AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                              WHERE l3.l_orderkey = l1.l_orderkey
+                                AND l3.l_suppkey <> l1.l_suppkey
+                                AND l3.l_returnflag = 'R')
+            GROUP BY s_name
+            ORDER BY numwait DESC, s_name
+            LIMIT 20
         """,
         "corpus_e2e_prep": r"""
             WITH mixed AS (

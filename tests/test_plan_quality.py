@@ -31,6 +31,7 @@ INTENTIONAL_BNLJ = {
     "join_range_value_bands",      # 4-row broadcast range-lookup dim
     "q15_top_supplier",            # 1-row broadcast scalar max
     "events_gap_fill",             # dense-grid cross join of two tiny dims
+    "q11_important_stock",         # 1-row broadcast scalar total (threshold)
 }
 
 
