@@ -1,0 +1,139 @@
+"""Distributed cardinality sketch: an ENGINE-PORTABLE HyperLogLog.
+
+Spark's own approx_count_distinct is a fine HLL, but its hash and
+register layout are implementation-private — no external system can
+reproduce its estimate, so it can't be differential-tested and a corpus
+sketched by Spark can't be merged with one sketched elsewhere. This HLL
+fixes every bit: md5 is the hash, the first 3 hex chars are the bucket
+(p=12, m=4096), the next 13 hex chars the 52-bit word, rho = leading
+zeros + 1 via the trimmed binary-string length, and the harmonic sum is
+kept as an EXACT integer (sum of 2^(53-rho) ≤ m·2^53 < 2^65, held in
+DECIMAL(38,0)) so it is independent of aggregation order — the one
+place a naive float HLL diverges between engines. Any engine with md5
+and integer arithmetic computes the identical estimate.
+
+Plan shape: narrow hash pass → groupBy(bucket) max(rho) — a ≤4096-group
+aggregate with map-side partial max, so the shuffle is at most
+m × num_partitions tiny rows regardless of input size — then a 1-row
+final agg. Scale cost is one pass over the column.
+
+Reference analog: the reference delegates cardinality to Elasticsearch's
+HLL-based `cardinality` aggregation (search-index service); this is that
+capability, Spark-first and reproducible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_P = 12
+_M = 1 << _P  # 4096 buckets
+_W_BITS = 52  # 13 hex chars
+_SCALE = 1 << (_W_BITS + 1)  # 2^53: term for an empty register (rho = 0)
+_ALPHA_NUM = 0.7213  # alpha_m = 0.7213 / (1 + 1.079/m) for m >= 128
+
+
+def hll_registers(df: DataFrame, col: str) -> DataFrame:
+    """The sketch itself: (__hll_b bucket, __hll_m register) — ≤4096 rows
+    whatever the input size. Registers are MERGEABLE: the sketch of a
+    union is the per-bucket max of the parts' registers (hll_merge), so
+    per-partition/per-day sketches roll up without rescanning data."""
+    h = F.md5(F.col(col).cast("string"))
+    prepared = df.select(
+        F.conv(F.substring(h, 1, 3), 16, 10).cast("int").alias("__hll_b"),
+        F.conv(F.substring(h, 4, 13), 16, 10).cast("long").alias("__hll_w"),
+    ).withColumn(
+        "__hll_rho",
+        F.when(F.col("__hll_w") == 0, F.lit(_W_BITS + 1)).otherwise(
+            F.lit(_W_BITS + 1)
+            - F.length(F.expr("trim(LEADING '0' FROM bin(__hll_w))"))
+        ),
+    )
+    return prepared.groupBy("__hll_b").agg(F.max("__hll_rho").alias("__hll_m"))
+
+
+def hll_merge(*register_tables: DataFrame) -> DataFrame:
+    """Union sketches: per-bucket max over all parts."""
+    out = register_tables[0]
+    for t in register_tables[1:]:
+        out = out.unionByName(t)
+    return out.groupBy("__hll_b").agg(F.max("__hll_m").alias("__hll_m"))
+
+
+def hll_estimate(df: DataFrame, col: str) -> DataFrame:
+    """One-row DataFrame (est bigint, n_buckets int, zeros int,
+    sum_scaled decimal) — the HLL cardinality estimate of ``col`` plus
+    the exact intermediates an auditor (or another engine) can verify.
+
+    Small-range correction: linear counting m·ln(m/zeros) when the raw
+    estimate ≤ 2.5m and empty buckets exist (the standard HLL paper
+    rule); bias-corrected raw estimate otherwise."""
+    return hll_estimate_from_registers(hll_registers(df, col))
+
+
+def hll_estimate_from_registers(regs: DataFrame) -> DataFrame:
+    # exact integer harmonic sum: present buckets contribute 2^(53-rho),
+    # absent buckets 2^53 each
+    agg = regs.agg(
+        F.count(F.lit(1)).cast("int").alias("n_buckets"),
+        F.sum(
+            F.expr(f"CAST(shiftleft(CAST(1 AS BIGINT), {_W_BITS + 1} - __hll_m) AS DECIMAL(38,0))")
+        ).alias("present_sum"),
+    ).select(
+        "n_buckets",
+        (F.lit(_M) - F.col("n_buckets")).cast("int").alias("zeros"),
+        (
+            F.col("present_sum")
+            + (F.lit(_M) - F.col("n_buckets")).cast("decimal(38,0)") * F.lit(_SCALE).cast("decimal(38,0)")
+        ).alias("sum_scaled"),
+    )
+    alpha_mm_scaled = F.lit(_ALPHA_NUM) / (F.lit(1.0) + F.lit(1.079) / F.lit(float(_M))) * F.lit(
+        float(_M)
+    ) * F.lit(float(_M)) * F.lit(float(_SCALE))
+    e_raw = alpha_mm_scaled / F.col("sum_scaled").cast("double")
+    est = F.when(
+        (e_raw <= F.lit(2.5 * _M)) & (F.col("zeros") > 0),
+        F.lit(float(_M)) * F.log(F.lit(float(_M)) / F.col("zeros").cast("double")),
+    ).otherwise(e_raw)
+    return agg.select(
+        F.floor(est).cast("long").alias("est"),
+        "n_buckets",
+        "zeros",
+        F.col("sum_scaled").cast("decimal(38,0)").alias("sum_scaled"),
+    )
+
+
+def hll_oracle_sql(source_expr: str, table: str, where: str = "") -> str:
+    """The DuckDB replica of hll_estimate for differential testing —
+    bit-identical buckets, registers, exact integer sum, and the same
+    double-precision final arithmetic."""
+    w = f"WHERE {where}" if where else ""
+    return f"""
+        WITH h AS (
+            SELECT md5(CAST({source_expr} AS VARCHAR)) AS hx FROM {table} {w}
+        ), br AS (
+            SELECT CAST('0x' || substr(hx, 1, 3) AS INT) AS b,
+                   CAST('0x' || substr(hx, 4, 13) AS BIGINT) AS wv
+            FROM h
+        ), regs AS (
+            SELECT b, max(CASE WHEN wv = 0 THEN {_W_BITS + 1}
+                          ELSE {_W_BITS + 1} - length(trim(LEADING '0' FROM bin(wv))) END) AS m
+            FROM br GROUP BY b
+        ), agg AS (
+            SELECT CAST(count(*) AS INT) AS n_buckets,
+                   CAST({_M} - count(*) AS INT) AS zeros,
+                   CAST(sum(CAST(1 AS BIGINT) << ({_W_BITS + 1} - m)) AS DECIMAL(38,0))
+                   + CAST({_M} - count(*) AS DECIMAL(38,0)) * CAST({_SCALE} AS DECIMAL(38,0))
+                   AS sum_scaled
+            FROM regs
+        )
+        SELECT CAST(floor(CASE WHEN ({_ALPHA_NUM} / (1.0 + 1.079 / {float(_M)}) * {float(_M)} * {float(_M)} * {float(_SCALE)})
+                                    / CAST(sum_scaled AS DOUBLE) <= {2.5 * _M}
+                               AND zeros > 0
+                          THEN {float(_M)} * ln({float(_M)} / CAST(zeros AS DOUBLE))
+                          ELSE ({_ALPHA_NUM} / (1.0 + 1.079 / {float(_M)}) * {float(_M)} * {float(_M)} * {float(_SCALE)})
+                               / CAST(sum_scaled AS DOUBLE) END) AS BIGINT) AS est,
+               n_buckets, zeros, CAST(sum_scaled AS DECIMAL(38,0)) AS sum_scaled
+        FROM agg
+    """
