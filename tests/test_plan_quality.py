@@ -32,6 +32,7 @@ INTENTIONAL_BNLJ = {
     "q15_top_supplier",            # 1-row broadcast scalar max
     "events_gap_fill",             # dense-grid cross join of two tiny dims
     "q11_important_stock",         # 1-row broadcast scalar total (threshold)
+    "sketch_hll_cardinality",      # 1-row estimate x 1-row broadcast truth
 }
 
 
