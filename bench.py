@@ -53,10 +53,12 @@ def main() -> None:
                 pass
 
     # Host-noise robustness: wall-clock on this box can vary 2-3x with
-    # neighbor load (observed identical code at 120s and 270s). Run the
-    # set twice and keep the per-query MIN — unless the first pass shows
-    # the host is slow right now, in which case a second pass would only
-    # risk the harness timeout without fixing the noise.
+    # neighbor load (observed identical code at 120s and 340s). Run the
+    # set twice and keep the per-query MIN — noise is bursty, so the
+    # second pass usually rescues the queries the first pass mis-timed.
+    # Skip the second pass only when the first shows the host is
+    # catastrophically slow (the retry itself would risk the harness
+    # timeout without changing the verdict).
     passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
@@ -70,7 +72,7 @@ def main() -> None:
             if name not in timings or dt < timings[name]:
                 timings[name] = dt
             rows[name] = len(out)
-        if pass_total > 200.0:
+        if pass_total > 420.0:
             break
     total = sum(timings.values())
 
