@@ -263,6 +263,23 @@ def upsert_by_spec(
     matched = df.filter(pred).limit(1).count() > 0
     if matched:
         return apply_update(df, spec, update)
+    aligned = seed_row_df(df.sparkSession, df.schema, spec, update, insert_row)
+    return df.unionByName(aligned)
+
+
+def seed_row_df(
+    spark,
+    schema: T.StructType,
+    spec: SingleQuery | MultiQuery,
+    update: UpdateComponent,
+    insert_row: dict[str, Any] | None = None,
+) -> DataFrame:
+    """The single seeded row a no-match upsert inserts: the spec's equality
+    terms + the update's set/increment/add clauses (Mongo upsert seeding),
+    aligned to ``schema``. Built JVM-side (range(1) + literals): a
+    createDataFrame([dict]) row scans an ExistingRDD of Python objects,
+    which re-launches a Python worker on EVERY downstream action —
+    seconds of overhead for one row. Literals cost nothing."""
     seed: dict[str, Any] = dict(insert_row or {})
     if isinstance(spec, SingleQuery):
         for c in spec.clauses:
@@ -275,20 +292,15 @@ def upsert_by_spec(
             seed[c.fld] = c.args[0]
         elif c.op in ("add", "add_dedup"):
             seed[c.fld] = list(c.args[0])
-    spark = df.sparkSession
-    # Build the seeded row JVM-side (range(1) + literals): a
-    # createDataFrame([dict]) row scans an ExistingRDD of Python objects,
-    # which re-launches a Python worker on EVERY downstream action —
-    # seconds of overhead for one row. Literals cost nothing.
+
     def lit_of(v):
         if isinstance(v, (list, tuple)):
             return F.array(*[F.lit(x) for x in v])
         return F.lit(v)
 
-    aligned = spark.range(1).select(
+    return spark.range(1).select(
         *[
-            (lit_of(seed[c]) if c in seed else F.lit(None)).cast(df.schema[c].dataType).alias(c)
-            for c in df.columns
+            (lit_of(seed[f.name]) if f.name in seed else F.lit(None)).cast(f.dataType).alias(f.name)
+            for f in schema.fields
         ]
     )
-    return df.unionByName(aligned)

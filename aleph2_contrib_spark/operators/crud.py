@@ -3,19 +3,28 @@ reference's per-backend ICrudService implementations
 (ElasticsearchCrudService.java / MongoDbCrudService.java).
 
 Read ops are lazy DataFrame expressions (Catalyst pushes predicates and
-projections into the scan). Write ops are read-modify-write against the
-table path; at 100 TB these map onto a transactional format's MERGE/DELETE
-with partition pruning — the compiled expressions are identical, only the
-commit protocol differs.
+projections into the scan). Write ops come in three backends, most- to
+least-capable:
+
+- ``table=`` (a :class:`~aleph2_contrib_spark.sources.txlog.TransactionalTable`):
+  mutations are PARTITION-SCOPED file replacement + one atomic log
+  commit — only the files of partitions the spec can touch are read or
+  written (the reference's per-shard update routing,
+  ElasticsearchCrudService.java:869-914, re-expressed as a commit log).
+  This is the 100 TB path.
+- ``path=`` (plain parquet dir): full-snapshot rewrite, but committed via
+  a pointer-file version swap (``sources/manifest.py``) — never a
+  directory move, so the table stays readable throughout and the commit
+  is object-store-safe. Correct at any scale, efficient only for small
+  reference tables.
+- ``df=`` (in-memory): rebinds the DataFrame; tests and derived views.
 """
 
 from __future__ import annotations
 
 import os
 import shutil
-import tempfile
-import uuid
-from typing import Any, Sequence
+from typing import TYPE_CHECKING, Any, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -32,37 +41,66 @@ from aleph2_contrib_spark.functions.update import (
     delete_by_spec,
     upsert_by_spec,
 )
+from aleph2_contrib_spark.sources import manifest
+
+if TYPE_CHECKING:
+    from aleph2_contrib_spark.sources.txlog import TransactionalTable
 
 
 class CrudService:
     """One instance per bucket/table. ``df`` is the current snapshot."""
 
-    def __init__(self, spark: SparkSession, path: str | None = None, df: DataFrame | None = None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str | None = None,
+        df: DataFrame | None = None,
+        table: "TransactionalTable | None" = None,
+    ):
         self.spark = spark
         self.path = path
         self._df = df
+        self.table = table
 
     # -- plumbing ----------------------------------------------------------
     @property
     def df(self) -> DataFrame:
+        if self.table is not None:
+            return self.table.read()
         if self._df is None:
-            self._df = self.spark.read.parquet(self.path)
+            self._df = self.spark.read.parquet(self._data_path())
         return self._df
 
+    def _data_path(self) -> str:
+        """Live data dir: the manifest pointer if one exists, else the raw
+        path (legacy layout before the first versioned rewrite)."""
+        return manifest.resolve(self.path) or self.path
+
     def _rewrite(self, new_df: DataFrame) -> None:
-        """Atomic-ish table replace: write to a temp dir, swap directories.
-        This is the parquet stand-in for the reference's secondary-buffer
-        promote (ElasticsearchIndexService.java:495-545); a transactional
-        format replaces it with a metadata commit."""
+        """Full-snapshot replace via pointer commit: write a NEW immutable
+        version dir, then atomically repoint ``_current`` (manifest.py) —
+        the parquet stand-in for the reference's alias repoint on promote
+        (ElasticsearchIndexService.java:495-545). Readers holding the old
+        version keep a fully intact directory; retired versions are
+        garbage-collected with a one-version grace window."""
+        if self.table is not None:
+            self.table.overwrite(new_df)
+            return
         if self.path is None:
             self._df = new_df
             return
-        tmp = self.path + ".staging-" + uuid.uuid4().hex[:8]
-        new_df.write.mode("overwrite").parquet(tmp)
-        old = self.path + ".old-" + uuid.uuid4().hex[:8]
-        shutil.move(self.path, old)
-        shutil.move(tmp, self.path)
-        shutil.rmtree(old, ignore_errors=True)
+        version = manifest.new_version()
+        new_df.write.mode("overwrite").parquet(os.path.join(self.path, version))
+        had_pointer = manifest.read_pointer(self.path) is not None
+        manifest.commit(self.path, version)
+        if not had_pointer:
+            # first versioned rewrite over a legacy flat layout: the old
+            # top-level files are the retired version — drop them
+            for name in os.listdir(self.path):
+                p = os.path.join(self.path, name)
+                if os.path.isfile(p) and not name.startswith(("_", ".")):
+                    os.remove(p)
+        manifest.vacuum(self.path, keep=1)
         self._df = None
 
     # -- read surface (C1-C3, C17-C18) ------------------------------------
@@ -139,28 +177,47 @@ class CrudService:
                 F.broadcast(new_df.select(id_field)), on=id_field, how="left_anti"
             )
             self._rewrite(survivors.unionByName(new_df, allowMissingColumns=True))
+        elif self.table is not None:
+            self.table.append(new_df)
         elif self.path is not None:
-            new_df.write.mode("append").parquet(self.path)
+            new_df.write.mode("append").parquet(self._data_path())
             self._df = None
         else:
             self._df = self.df.unionByName(new_df, allowMissingColumns=True)
 
     def update_objects_by_spec(self, spec, update: UpdateComponent) -> None:
-        self._rewrite(apply_update(self.df, spec, update))
+        if self.table is not None:
+            self.table.update_by_spec(spec, update)  # partition-scoped
+        else:
+            self._rewrite(apply_update(self.df, spec, update))
 
     def update_object_by_spec(self, spec, update: UpdateComponent, upsert: bool = False) -> None:
-        if upsert:
+        if self.table is not None:
+            if upsert:
+                self.table.upsert_by_spec(spec, update)
+            else:
+                self.table.update_by_spec(spec, update)
+        elif upsert:
             self._rewrite(upsert_by_spec(self.df, spec, update))
         else:
             self._rewrite(apply_update(self.df, spec, update))
 
     def delete_objects_by_spec(self, spec) -> None:
-        self._rewrite(delete_by_spec(self.df, spec))
+        if self.table is not None:
+            self.table.delete_by_spec(spec)  # partition-scoped
+        else:
+            self._rewrite(delete_by_spec(self.df, spec))
 
     def delete_object_by_id(self, oid: Any, id_field: str = "_id") -> None:
-        self._rewrite(self.df.filter(F.col(id_field) != F.lit(oid)))
+        if self.table is not None:
+            from aleph2_contrib_spark.functions.query import Q
+
+            self.table.delete_by_spec(Q.all_of().when(id_field, oid))
+        else:
+            self._rewrite(self.df.filter(F.col(id_field) != F.lit(oid)))
 
     def delete_datastore(self) -> None:
-        if self.path and os.path.exists(self.path):
-            shutil.rmtree(self.path)
+        root = self.table.root if self.table is not None else self.path
+        if root and os.path.exists(root):
+            shutil.rmtree(root)
         self._df = None

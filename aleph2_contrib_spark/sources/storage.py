@@ -12,8 +12,11 @@ Reference behaviors re-expressed on partitioned parquet:
   pruning on the derived ``__time_bucket`` column.
 - S18 retention: drop whole partitions older than exist_age_max
   (reference handleAgeOutRequest:646-735).
-- S17 secondary buffers: write to a suffixed staging table, then an atomic
-  directory swap promotes it (reference ElasticsearchIndexService:495-545).
+- S17 secondary buffers: buffers and the primary are immutable version
+  directories named by pointer files (``manifest.py``); promote is ONE
+  atomic pointer repoint — zero data movement, concurrent readers keep
+  their resolved version (reference promotes by atomically moving the ES
+  read alias, ElasticsearchIndexService:495-545).
 - S14 segment rolling: maxRecordsPerFile + compression codec.
 - C16 optimizeQuery: sortWithinPartitions on the optimized field list
   (Z-order-ish data clustering for min/max skipping).
@@ -39,6 +42,7 @@ from aleph2_contrib_spark.functions.query import (
     SingleQuery,
     extract_date_range,
 )
+from aleph2_contrib_spark.sources import manifest
 
 PARTITION_COL = "__time_bucket"
 
@@ -62,7 +66,14 @@ class TimePartitionedTable:
             raise ValueError("TimePartitionedTable requires a temporal schema")
         self.spark = spark
         self.bucket = bucket
-        self.primary_path = os.path.join(bucket.path, "current")
+
+    @property
+    def primary_path(self) -> str:
+        """Live primary data dir, resolved through the ``_current`` pointer
+        (legacy pre-pointer layout: the ``current`` directory)."""
+        return manifest.resolve(self.bucket.path, legacy="current") or os.path.join(
+            self.bucket.path, "current"
+        )
 
     # -- write (S14/S15/S16) ----------------------------------------------
     def write(self, df: DataFrame, mode: str = "append", path: str | None = None) -> None:
@@ -155,42 +166,77 @@ class TimePartitionedTable:
 
     # -- secondary buffers (S17) ------------------------------------------
     def buffer_path(self, name: str) -> str:
-        return os.path.join(self.bucket.path, f"buffer_{name}")
+        """Live data dir of buffer ``name`` (pointer-resolved; legacy
+        pre-pointer layout: the ``buffer_<name>`` directory)."""
+        return manifest.resolve(
+            self.bucket.path, manifest.buffer_pointer(name), legacy=f"buffer_{name}"
+        ) or os.path.join(self.bucket.path, f"buffer_{name}")
 
     def write_to_buffer(self, df: DataFrame, name: str, mode: str = "overwrite") -> None:
-        self.write(df, mode=mode, path=self.buffer_path(name))
+        """Load a secondary buffer. ``overwrite`` writes a FRESH immutable
+        version dir and repoints the buffer only once the write completes —
+        a failed load can never corrupt the existing buffer, and a buffer
+        that was previously promoted (its dir is now the primary) is never
+        touched. ``append`` adds files to the buffer's current version."""
+        ptr = manifest.buffer_pointer(name)
+        if mode == "overwrite" or manifest.resolve(self.bucket.path, ptr, legacy=f"buffer_{name}") is None:
+            version = manifest.new_version()
+            self.write(df, mode="overwrite", path=os.path.join(self.bucket.path, version))
+            manifest.commit(self.bucket.path, version, ptr)
+        else:
+            self.write(df, mode=mode, path=self.buffer_path(name))
 
-    def promote_buffer(self, name: str) -> None:
-        """Atomic-ish swap: current ← buffer, old current is retired.
-        (On a transactional format this is a single metadata commit.)"""
+    def promote_buffer(self, name: str, vacuum: bool = True) -> None:
+        """S17 promote as a pure metadata commit: repoint ``_current`` at
+        the buffer's data dir (reference: atomic ES alias move,
+        ElasticsearchIndexService.java:495-545). No data moves; a reader
+        that resolved the old primary keeps reading an intact directory —
+        retirement happens via ``manifest.vacuum`` with a grace window."""
         bp = self.buffer_path(name)
         if not os.path.exists(bp):
             raise FileNotFoundError(bp)
-        retired = os.path.join(self.bucket.path, "retired_" + uuid.uuid4().hex[:8])
-        if os.path.exists(self.primary_path):
-            shutil.move(self.primary_path, retired)
-        shutil.move(bp, self.primary_path)
-        shutil.rmtree(retired, ignore_errors=True)
+        if manifest.read_pointer(self.bucket.path) is None and os.path.isdir(
+            os.path.join(self.bucket.path, "current")
+        ):
+            # adopt the legacy primary dir into the pointer scheme so the
+            # promote below retires it cleanly
+            manifest.commit(self.bucket.path, "current")
+        manifest.commit(self.bucket.path, os.path.relpath(bp, self.bucket.path))
+        manifest.drop_pointer(self.bucket.path, manifest.buffer_pointer(name))
+        if vacuum:
+            manifest.vacuum(self.bucket.path, keep=1)
 
     # -- misc --------------------------------------------------------------
     def optimize(self, sort_cols: list[str], path: str | None = None) -> None:
         """C16 optimizeQuery: cluster data by the given field list so
         min/max stats skip files (parquet stand-in for a secondary index).
+        The clustered copy is written as a NEW version dir and promoted by
+        pointer commit — the table stays readable during the rewrite.
         """
         p = path or self.primary_path
         df = self.spark.read.parquet(p)
-        tmp = p + ".opt-" + uuid.uuid4().hex[:8]
+        version = manifest.new_version()
         (
             df.repartition(F.col(PARTITION_COL))
             .sortWithinPartitions(*sort_cols)
             .write.mode("overwrite")
             .partitionBy(PARTITION_COL)
-            .parquet(tmp)
+            .parquet(os.path.join(self.bucket.path, version))
         )
-        old = p + ".old"
-        shutil.move(p, old)
-        shutil.move(tmp, p)
-        shutil.rmtree(old, ignore_errors=True)
+        if path is None:
+            manifest.commit(self.bucket.path, version)
+            manifest.vacuum(self.bucket.path, keep=1)
+        else:
+            # explicit-path variant (e.g. clustering a buffer): repoint the
+            # buffer pointer if one names this path, else swap in place
+            for name in os.listdir(self.bucket.path):
+                if name.startswith("_buffer_") and manifest.resolve(self.bucket.path, name) == path:
+                    manifest.commit(self.bucket.path, version, name)
+                    return
+            old = path + ".old-" + uuid.uuid4().hex[:8]
+            shutil.move(path, old)
+            shutil.move(os.path.join(self.bucket.path, version), path)
+            shutil.rmtree(old, ignore_errors=True)
 
     def compact(
         self,

@@ -210,3 +210,58 @@ def test_compact_skips_already_packed(spark, tmp_path, events_df):
     t.compact(target_file_bytes=1 << 30)
     # second run: nothing left to do
     assert t.compact(target_file_bytes=1 << 30) == {}
+
+
+def test_promote_is_pointer_commit_not_directory_move(spark, tmp_path, events_df):
+    """S17 object-store safety: promote repoints _current; the promoted
+    buffer's data directory is NOT moved, and the retired primary stays on
+    disk (grace window) so in-flight readers keep a valid path."""
+    from aleph2_contrib_spark.sources import manifest
+
+    t = make_table(spark, tmp_path)
+    t.write(events_df)
+    old_primary = t.primary_path
+    v2 = spark.createDataFrame([Row(_id="new", ts=dt.datetime(2022, 1, 1), v=10.0, s="n")])
+    t.write_to_buffer(v2, "ping")
+    buffer_dir = t.buffer_path("ping")
+    t.promote_buffer("ping")
+    # pointer names the former buffer dir verbatim — zero data movement
+    assert t.primary_path == buffer_dir
+    assert os.path.isdir(buffer_dir)
+    assert manifest.read_pointer(str(tmp_path / "events")) is not None
+    # retired primary kept for the grace window
+    assert os.path.isdir(old_primary)
+
+
+def test_concurrent_reader_survives_promote_loop(spark, tmp_path, events_df):
+    """A reader that resolved the primary BEFORE a promote still collects
+    cleanly AFTER it (snapshot-style isolation via retained versions) —
+    the failure mode of the old directory swap was exactly this reader
+    dying on a vanished path."""
+    t = make_table(spark, tmp_path)
+    t.write(events_df)
+    for i in range(3):
+        pre_resolved = t.read()  # lazy plan over the current version
+        buf = spark.createDataFrame(
+            [Row(_id=f"gen{i}", ts=dt.datetime(2022, 1, 1 + i), v=float(i), s="g")]
+        )
+        t.write_to_buffer(buf, "pong")
+        t.promote_buffer("pong")
+        # post-promote: the pre-promote reader's files are intact
+        assert pre_resolved.count() in (4, 1)
+        assert [r["_id"] for r in t.read().collect()] == [f"gen{i}"]
+
+
+def test_buffer_overwrite_after_promote_never_touches_live_data(spark, tmp_path, events_df):
+    """Reloading a buffer name that was previously promoted must write a
+    FRESH version dir — not clobber the live primary that dir became."""
+    t = make_table(spark, tmp_path)
+    t.write(events_df)
+    t.write_to_buffer(events_df.limit(2), "ping")
+    t.promote_buffer("ping")
+    live = t.primary_path
+    t.write_to_buffer(events_df.limit(1), "ping")  # reload same buffer name
+    assert t.buffer_path("ping") != live
+    assert t.read().count() == 2  # live data untouched
+    t.promote_buffer("ping")
+    assert t.read().count() == 1

@@ -1,0 +1,224 @@
+"""TransactionalTable (sources/txlog.py): the commit-log mutation path.
+
+The invariants that make the mutation path 100 TB-safe:
+- partition-scoped mutations leave untouched partitions' files
+  BYTE-IDENTICAL (checked by hash, not row equality);
+- commits are atomic metadata; a reader's resolved snapshot keeps
+  working through overwrites and (grace-bounded) vacuums;
+- conflicting concurrent rewrites are detected, not silently merged.
+"""
+
+import glob
+import hashlib
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from aleph2_contrib_spark.functions.query import Q
+from aleph2_contrib_spark.functions.update import U
+from aleph2_contrib_spark.operators.crud import CrudService
+from aleph2_contrib_spark.sources.txlog import (
+    ConcurrentModificationError,
+    TransactionalTable,
+)
+
+
+def _events(spark, n=60):
+    return spark.range(n).select(
+        F.col("id").alias("event_id"),
+        F.concat(F.lit("t"), (F.col("id") % 3).cast("string")).alias("event_type"),
+        (F.col("id") % 7).cast("double").alias("value"),
+    )
+
+
+def _mk(spark, partition_cols=("event_type",), n=60):
+    root = tempfile.mkdtemp(prefix="a2s_txlog_")
+    t = TransactionalTable(spark, root, partition_cols=partition_cols)
+    t.append(_events(spark, n))
+    return t
+
+
+def _file_hashes(t):
+    out = {}
+    for f in glob.glob(os.path.join(t.root, "_data", "**", "*.parquet"), recursive=True):
+        out[os.path.relpath(f, t.root)] = hashlib.md5(open(f, "rb").read()).hexdigest()
+    return out
+
+
+def test_append_read_roundtrip(spark):
+    t = _mk(spark)
+    assert t.read().count() == 60
+    got = {r.event_type for r in t.read().select("event_type").distinct().collect()}
+    assert got == {"t0", "t1", "t2"}
+    # partition values recorded in the log
+    _, files = t.snapshot()
+    assert {e.partition["event_type"] for e in files} == {"t0", "t1", "t2"}
+
+
+def test_update_by_spec_touches_only_matched_partitions(spark):
+    t = _mk(spark)
+    before = _file_hashes(t)
+    untouched_before = {
+        p: h
+        for p, h in before.items()
+        for e in t.snapshot()[1]
+        if e.path == p and e.partition["event_type"] != "t1"
+    }
+    t.update_by_spec(
+        Q.all_of().when("event_type", "t1"), U.update().increment("value", 100.0)
+    )
+    after = _file_hashes(t)
+    # untouched partitions: files still present, byte-identical
+    for p, h in untouched_before.items():
+        assert after.get(p) == h, f"untouched file {p} changed"
+    # values updated exactly where matched
+    df = t.read()
+    assert df.filter((F.col("event_type") == "t1") & (F.col("value") < 100)).count() == 0
+    assert df.filter((F.col("event_type") != "t1") & (F.col("value") >= 100)).count() == 0
+    assert df.count() == 60
+
+
+def test_static_partition_pruning_no_probe(spark):
+    t = _mk(spark)
+    sets = t._static_partition_sets(
+        Q.all_of().when("event_type", "t2").range_above("value", 3.0, inclusive=True)
+    )
+    assert sets == {"event_type": {"t2"}}
+    touched, untouched = t._touched(Q.all_of().when("event_type", "t2"))
+    assert all(e.partition["event_type"] == "t2" for e in touched)
+    assert all(e.partition["event_type"] != "t2" for e in untouched)
+
+
+def test_probe_fallback_on_nonpartition_spec(spark):
+    t = _mk(spark)
+    # spec doesn't mention the partition col → dynamic probe; only
+    # partitions actually containing matches are touched
+    touched, untouched = t._touched(Q.all_of().when("event_id", 4))  # 4 % 3 = 1 → t1
+    assert {e.partition["event_type"] for e in touched} == {"t1"}
+    assert len(untouched) > 0
+
+
+def test_delete_empties_partition_without_residue(spark):
+    t = _mk(spark)
+    t.delete_by_spec(Q.all_of().when("event_type", "t0"))
+    df = t.read()
+    assert df.filter(F.col("event_type") == "t0").count() == 0
+    assert df.count() == 40
+    _, files = t.snapshot()
+    assert all(e.partition["event_type"] != "t0" for e in files)
+
+
+def test_upsert_match_updates_and_no_match_appends(spark):
+    t = _mk(spark)
+    t.upsert_by_spec(
+        Q.all_of().when("event_type", "t2"), U.update().set("value", 9.5)
+    )
+    assert t.read().filter((F.col("event_type") == "t2") & (F.col("value") != 9.5)).count() == 0
+    v_before = t.latest_version()
+    t.upsert_by_spec(
+        Q.all_of().when("event_type", "brand_new"), U.update().set("value", 1.25)
+    )
+    hist = t.history()
+    assert hist[-1]["op"] == "upsert_insert" and hist[-1]["n_remove"] == 0
+    row = t.read().filter(F.col("event_type") == "brand_new").collect()
+    assert len(row) == 1 and row[0].value == 1.25
+    assert t.latest_version() == v_before + 1
+
+
+def test_snapshot_isolation_and_vacuum_grace(spark):
+    t = _mk(spark)
+    old = t.read()  # resolves the v1 snapshot's files
+    t.overwrite(_events(spark, 10))
+    t.vacuum(retain_snapshots=2)  # grace keeps the prior snapshot's files
+    assert old.count() == 60  # reader on the old snapshot unaffected
+    assert t.read().count() == 10
+    removed = t.vacuum(retain_snapshots=1)
+    assert removed, "expected retired files to be vacuumed"
+
+
+def test_time_travel(spark):
+    t = _mk(spark)
+    v1 = t.latest_version()
+    t.delete_by_spec(Q.all_of().when("event_type", "t0"))
+    assert t.read(version=v1).count() == 60
+    assert t.read().count() == 40
+
+
+def test_concurrent_conflict_detected(spark):
+    t = _mk(spark)
+    rv = t.latest_version()  # the version this transaction reads at
+    schema, files = t.snapshot()
+    touched, _ = t._touched(Q.all_of().when("event_type", "t1"))
+    # a racing writer overwrites the table (removes every active file)
+    t2 = TransactionalTable(spark, t.root, partition_cols=t.partition_cols)
+    t2.overwrite(_events(spark, 5))
+    with pytest.raises(ConcurrentModificationError):
+        t._commit(
+            "update_by_spec", [], [e.path for e in touched], schema,
+            expect_active=[e.path for e in touched], read_version=rv,
+        )
+
+
+def test_append_conflict_retries_cleanly(spark):
+    t = _mk(spark)
+    # steal the next version number, as a racing append would
+    v = t.latest_version() + 1
+    with open(os.path.join(t.root, "_txlog", f"{v:020d}.json"), "x") as f:
+        f.write('{"v": %d, "op": "noop", "add": [], "remove": []}' % v)
+    t.append(_events(spark, 3))  # retries onto v+1 without error
+    assert t.read().count() == 63
+
+
+def test_schema_evolution_add_column(spark):
+    t = _mk(spark)
+    t.append(
+        _events(spark, 5).withColumn("lang", F.lit("en"))
+    )
+    df = t.read()
+    assert "lang" in df.columns
+    assert df.filter(F.col("lang").isNull()).count() == 60  # old files → null
+    assert df.filter(F.col("lang") == "en").count() == 5
+
+
+def test_compact_reduces_files_preserves_data(spark):
+    t = _mk(spark, n=30)
+    for _ in range(3):
+        t.append(_events(spark, 30))
+    before_total = t.read().agg(F.sum("value")).collect()[0][0]
+    n_before = len(t.snapshot()[1])
+    t.compact(target_files_per_partition=1)
+    _, files = t.snapshot()
+    per_part = {}
+    for e in files:
+        per_part[e.partition["event_type"]] = per_part.get(e.partition["event_type"], 0) + 1
+    assert len(files) < n_before
+    assert t.read().count() == 120
+    assert t.read().agg(F.sum("value")).collect()[0][0] == before_total
+
+
+def test_unpartitioned_table_mutations(spark):
+    root = tempfile.mkdtemp(prefix="a2s_txlog_np_")
+    t = TransactionalTable(spark, root)
+    t.append(_events(spark, 20))
+    t.update_by_spec(Q.all_of().when("event_id", 3), U.update().set("value", 99.0))
+    assert t.read().filter(F.col("event_id") == 3).collect()[0].value == 99.0
+    t.delete_by_spec(Q.all_of().when("event_id", 3))
+    assert t.read().count() == 19
+
+
+def test_crud_service_on_transactional_table(spark):
+    t = _mk(spark)
+    svc = CrudService(spark, table=t)
+    assert svc.count_objects() == 60
+    svc.update_objects_by_spec(
+        Q.all_of().when("event_type", "t0"), U.update().set("value", -1.0)
+    )
+    assert svc.df.filter((F.col("event_type") == "t0") & (F.col("value") != -1.0)).count() == 0
+    svc.delete_object_by_id(7, id_field="event_id")
+    assert svc.count_objects() == 59
+    svc.store_objects(_events(spark, 2))
+    assert svc.count_objects() == 61
+    assert t.history()[-1]["op"] == "append"
