@@ -371,6 +371,35 @@ def update_delete_by_spec(spark: SparkSession, sf_dir: str) -> DataFrame:
     return delete_by_spec(ev, spec).select("event_id", "event_type", "value")
 
 
+def update_partition_scoped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6/C7/C14 through the TRANSACTIONAL mutation path (sources/txlog.py):
+    events land in a commit-log table partitioned by event_type; an
+    update-by-spec that pins the partition column rewrites ONLY the matched
+    partition's files (log-level pruning — other partitions are neither
+    read nor written, byte-identical after the commit), then a
+    delete-by-spec retires a whole partition as a pure log commit. The
+    read-back must equal the same mutations expressed in plain SQL over
+    the source — proving the logged mutation path is lossless. This is the
+    Spark-side replacement for the reference's per-shard update routing
+    (ElasticsearchCrudService.java:869-914,1016-1143) and benches the
+    partition-scoped write path end to end."""
+    import tempfile
+
+    from aleph2_contrib_spark.sources.txlog import TransactionalTable
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    t = TransactionalTable(
+        spark, tempfile.mkdtemp(prefix="a2s_gate_tx_"), partition_cols=("event_type",)
+    )
+    t.append(ev)
+    t.update_by_spec(
+        Q.all_of().when("event_type", "click").range_above("value", 50.0, inclusive=True),
+        U.update().increment("value", 10.0),
+    )
+    t.delete_by_spec(Q.all_of().when("event_type", "error"))
+    return t.read().select("event_id", "event_type", "value")
+
+
 # ---------------------------------------------------------------------------
 # Pipeline engine (SURVEY §2.4)
 # ---------------------------------------------------------------------------
@@ -2114,26 +2143,96 @@ def _hll_gate_oracle() -> str:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver gate grades the first ~50 entries
-    # each round. Order: (1) rows fixed/changed this round + new operators,
-    # (2) entries whose latest driver check was round 1 (refresh them),
-    # (3) round-2-verified greens.
+    # each round. Round-4 rotation (VERDICT r3 item 2): (1) new operators +
+    # queries whose code changed this round, (2) the round-1-verified
+    # cohort (oldest green checks — refresh them), (3) round-2-verified
+    # greens, prioritizing families touched by this round's code changes,
+    # (4) everything re-verified in round 3 (freshest) last.
     return {
+        # -- (1) new / changed this round -----------------------------------
+        "update_partition_scoped": update_partition_scoped,
+        "dedup_incremental": dedup_incremental,
+        "storage_buffer_promote": storage_buffer_promote,
+        "corpus_pack_sequences": corpus_pack_sequences,
+        "corpus_pii_redact": corpus_pii_redact,
+        "sketch_hll_cardinality": sketch_hll_cardinality,
+        "update_upsert_by_spec": update_upsert_by_spec,
+        # -- (2) round-1 cohort (stalest green checks) ----------------------
+        "string_funcs": string_funcs,
+        "date_funcs": date_funcs,
+        "array_funcs_tokens": array_funcs_tokens,
+        "window_running_total": window_running_total,
+        "setop_click_not_purchase": setop_click_not_purchase,
+        "union_entities": union_entities,
+        "join_anti_customers_no_orders": join_anti_customers_no_orders,
+        "join_semi_parts_ordered": join_semi_parts_ordered,
+        "pivot_event_counts": pivot_event_counts,
+        "stats_percentiles": stats_percentiles,
+        "grouping_sets_revenue": grouping_sets_revenue,
+        "subquery_above_avg": subquery_above_avg,
+        "cond_agg_priority_share": cond_agg_priority_share,
+        "distinct_counts": distinct_counts,
+        "events_json_extract": events_json_extract,
+        "similarity_topk": similarity_topk,
+        "text_fingerprint": text_fingerprint,
+        # -- (3) round-2 cohort, touched families first ---------------------
+        "q1_pricing_summary": q1_pricing_summary,
+        "update_array_ops": update_array_ops,
+        "window_lag_lead_delta": window_lag_lead_delta,
+        "window_ntile_quartiles": window_ntile_quartiles,
+        "dsl_enum_projection_exclude": dsl_enum_projection_exclude,
+        "similarity_ivf_topk": similarity_ivf_topk,
+        "similarity_pairs_lsh": similarity_pairs_lsh,
+        "similarity_knn_join": similarity_knn_join,
+        "dedup_embedding_cosine": dedup_embedding_cosine,
+        "dedup_embedding_clusters": dedup_embedding_clusters,
+        "dedup_simhash_hamming_pairs": dedup_simhash_hamming_pairs,
+        "dedup_simhash_md5": dedup_simhash_md5,
+        "text_bpe_token_count": text_bpe_token_count,
+        "text_lang_id": text_lang_id,
+        "math_funcs": math_funcs,
+        "regexp_funcs": regexp_funcs,
+        "events_tumbling_window": events_tumbling_window,
+        "events_gap_fill": events_gap_fill,
+        "explode_top_tokens": explode_top_tokens,
+        "join_asof_last_signup": join_asof_last_signup,
+        "join_bucketed_colocated": join_bucketed_colocated,
+        "join_range_value_bands": join_range_value_bands,
+        "pipeline_combiner_partial_agg": pipeline_combiner_partial_agg,
+        "skew_salted_agg": skew_salted_agg,
+        "crud_filtered_repo": crud_filtered_repo,
+        "v1_query_extras": v1_query_extras,
+        # ---- first-50 window boundary (round 4) ---------------------------
+        "file_inbox_consume_archive": file_inbox_consume_archive,
+        "file_ingest_binary_roundtrip": file_ingest_binary_roundtrip,
+        "graph_vertices": graph_vertices,
+        "graph_edges": graph_edges,
+        "rollup_time_multires": rollup_time_multires,
+        "q2_min_acctbal_supplier": q2_min_acctbal_supplier,
+        "q7_volume_shipping": q7_volume_shipping,
+        "q8_market_share": q8_market_share,
+        "q9_profit_by_nation_year": q9_profit_by_nation_year,
+        "q13_order_count_distribution": q13_order_count_distribution,
+        "q15_top_supplier": q15_top_supplier,
+        "q16_supplier_part_counts": q16_supplier_part_counts,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        "q18_large_volume_customers": q18_large_volume_customers,
+        "q19_disjunctive_predicates": q19_disjunctive_predicates,
+        "q20_excess_stock_suppliers": q20_excess_stock_suppliers,
+        "q22_idle_balance_customers": q22_idle_balance_customers,
+        # -- (4) re-verified in round 3 (freshest) --------------------------
         "multimodal_features": multimodal_features,
         "q12_priority_by_linestatus": q12_priority_by_linestatus,
         "docs_clean_corpus": docs_clean_corpus,
         "corpus_mix_sample": corpus_mix_sample,
         "corpus_contamination": corpus_contamination,
-        "corpus_pack_sequences": corpus_pack_sequences,
         "corpus_repetition_score": corpus_repetition_score,
-        "corpus_pii_redact": corpus_pii_redact,
         "corpus_shuffle_shards": corpus_shuffle_shards,
         "corpus_stratified_sample": corpus_stratified_sample,
-        "dedup_incremental": dedup_incremental,
         "sql_udf_surface": sql_udf_surface,
         "corpus_e2e_prep": corpus_e2e_prep,
         "q11_important_stock": q11_important_stock,
         "q21_sole_late_supplier": q21_sole_late_supplier,
-        "sketch_hll_cardinality": sketch_hll_cardinality,
         "dedup_minhash_pairs": dedup_minhash_pairs,
         "graph_merge_incremental": graph_merge_incremental,
         "events_sessionize": events_sessionize,
@@ -2161,74 +2260,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_sql_stage": pipeline_sql_stage,
         "storage_partitioned_roundtrip": storage_partitioned_roundtrip,
         "storage_retention_age_out": storage_retention_age_out,
-        "storage_buffer_promote": storage_buffer_promote,
         "file_ingest_json_roundtrip": file_ingest_json_roundtrip,
         "file_ingest_xml_roundtrip": file_ingest_xml_roundtrip,
         "raw_json_view": raw_json_view,
         "streaming_pipeline_gate": streaming_pipeline_gate,
         "dedup_exact_first": dedup_exact_first,
         "text_token_stats": text_token_stats,
-        "text_fingerprint": text_fingerprint,
-        "events_json_extract": events_json_extract,
-        "similarity_topk": similarity_topk,
-        "join_anti_customers_no_orders": join_anti_customers_no_orders,
-        "join_semi_parts_ordered": join_semi_parts_ordered,
-        "setop_click_not_purchase": setop_click_not_purchase,
-        "window_running_total": window_running_total,
-        "pivot_event_counts": pivot_event_counts,
-        "stats_percentiles": stats_percentiles,
-        "grouping_sets_revenue": grouping_sets_revenue,
-        "subquery_above_avg": subquery_above_avg,
-        "string_funcs": string_funcs,
-        "date_funcs": date_funcs,
-        "cond_agg_priority_share": cond_agg_priority_share,
-        "array_funcs_tokens": array_funcs_tokens,
-        "distinct_counts": distinct_counts,
-        "union_entities": union_entities,
-        "graph_vertices": graph_vertices,
-        "graph_edges": graph_edges,
-        "text_lang_id": text_lang_id,
-        "dedup_simhash_hamming_pairs": dedup_simhash_hamming_pairs,
-        "similarity_pairs_lsh": similarity_pairs_lsh,
-        "dedup_embedding_cosine": dedup_embedding_cosine,
-        "similarity_ivf_topk": similarity_ivf_topk,
-        "skew_salted_agg": skew_salted_agg,
-        "v1_query_extras": v1_query_extras,
-        "q7_volume_shipping": q7_volume_shipping,
-        "q8_market_share": q8_market_share,
-        "q9_profit_by_nation_year": q9_profit_by_nation_year,
-        "q13_order_count_distribution": q13_order_count_distribution,
-        "q18_large_volume_customers": q18_large_volume_customers,
-        "q19_disjunctive_predicates": q19_disjunctive_predicates,
-        "q22_idle_balance_customers": q22_idle_balance_customers,
-        "crud_filtered_repo": crud_filtered_repo,
-        "events_tumbling_window": events_tumbling_window,
-        "pipeline_combiner_partial_agg": pipeline_combiner_partial_agg,
-        "file_ingest_binary_roundtrip": file_ingest_binary_roundtrip,
-        "math_funcs": math_funcs,
-        "regexp_funcs": regexp_funcs,
-        "file_inbox_consume_archive": file_inbox_consume_archive,
-        "join_asof_last_signup": join_asof_last_signup,
-        "explode_top_tokens": explode_top_tokens,
-        "join_range_value_bands": join_range_value_bands,
-        "rollup_time_multires": rollup_time_multires,
-        "similarity_knn_join": similarity_knn_join,
-        "q2_min_acctbal_supplier": q2_min_acctbal_supplier,
-        "q16_supplier_part_counts": q16_supplier_part_counts,
-        "q20_excess_stock_suppliers": q20_excess_stock_suppliers,
-        "text_bpe_token_count": text_bpe_token_count,
-        "update_upsert_by_spec": update_upsert_by_spec,
-        "dsl_enum_projection_exclude": dsl_enum_projection_exclude,
-        "q15_top_supplier": q15_top_supplier,
-        "q17_small_quantity_revenue": q17_small_quantity_revenue,
-        "dedup_simhash_md5": dedup_simhash_md5,
-        "join_bucketed_colocated": join_bucketed_colocated,
-        "dedup_embedding_clusters": dedup_embedding_clusters,
-        "events_gap_fill": events_gap_fill,
-        "window_lag_lead_delta": window_lag_lead_delta,
-        "window_ntile_quartiles": window_ntile_quartiles,
-        "update_array_ops": update_array_ops,
-        "q1_pricing_summary": q1_pricing_summary,
     }
 
 
@@ -2505,6 +2542,13 @@ def oracle_sql() -> dict[str, str]:
         "update_delete_by_spec": """
             SELECT event_id, event_type, value FROM events
             WHERE NOT (event_type = 'error' OR value < 1.0)
+        """,
+        "update_partition_scoped": """
+            SELECT event_id, event_type,
+                   CASE WHEN event_type = 'click' AND value >= 50.0
+                        THEN value + 10.0 ELSE value END AS value
+            FROM events
+            WHERE event_type != 'error'
         """,
         "pipeline_group_stats": """
             SELECT event_type, count(*) AS n, min(value) AS min_value, max(value) AS max_value
