@@ -3301,22 +3301,35 @@ def oracle_sql() -> dict[str, str]:
                        AS text
                 FROM documents
             )
+            , r1 AS (
+                SELECT doc_id, text,
+                       regexp_replace(text,
+                            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+                FROM aug
+            ), r2 AS (
+                SELECT *, regexp_replace(t1,
+                            '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b', '<SSN>', 'g') AS t2
+                FROM r1
+            ), r3 AS (
+                SELECT *, regexp_replace(t2,
+                            '\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b', '<PHONE>', 'g') AS t3
+                FROM r2
+            )
+            -- counts replay the sequential-redaction semantics: each kind
+            -- is counted on the text already redacted by earlier patterns
             SELECT doc_id,
                    CAST(len(regexp_extract_all(text,
                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS n_email,
-                   CAST(len(regexp_extract_all(text,
+                   CAST(len(regexp_extract_all(t1,
                         '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b')) AS INT) AS n_ssn,
-                   CAST(len(regexp_extract_all(text,
+                   CAST(len(regexp_extract_all(t2,
                         '\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b')) AS INT) AS n_phone,
-                   CAST(len(regexp_extract_all(text,
+                   CAST(len(regexp_extract_all(t3,
                         '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS INT) AS n_ipv4,
-                   md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
-                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-                        '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b', '<SSN>', 'g'),
-                        '\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b', '<PHONE>', 'g'),
+                   md5(regexp_replace(t3,
                         '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IPV4>', 'g'))
                    AS redacted_md5
-            FROM aug
+            FROM r3
         """,
         "corpus_shuffle_shards": """
             SELECT doc_id,

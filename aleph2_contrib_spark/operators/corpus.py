@@ -208,6 +208,17 @@ def pack_sequences(
     w = Window.partitionBy("__pid").orderBy("id")
     d = d.withColumn("__local_cum", F.sum("tok_len").over(w) - F.col("tok_len"))
 
+    # Persist BEFORE the totals action: the per-partition offsets below are
+    # keyed by __pid, and RangePartitioner boundaries come from sampling
+    # that can differ between two independent executions of this plan —
+    # without the persist, the final job could land rows in different
+    # partitions than the totals job measured, silently corrupting
+    # cum_before. MEMORY_AND_DISK spills rather than evicts, so both jobs
+    # read the SAME materialized partitioning; blocks are reclaimed by the
+    # context cleaner when the result DataFrame is garbage-collected.
+    from pyspark import StorageLevel
+
+    d = d.persist(StorageLevel.MEMORY_AND_DISK)
     totals = d.groupBy("__pid").agg(F.sum("tok_len").alias("__ptot")).collect()
     running, offsets = 0, {}
     for row in sorted(totals, key=lambda r: r["__pid"]):
@@ -247,6 +258,12 @@ def global_order_index(df: DataFrame, order_col: str, num_partitions: int | None
     d = df.repartitionByRange(nparts, order_col).withColumn("__pid", F.spark_partition_id())
     w = Window.partitionBy("__pid").orderBy(order_col)
     d = d.withColumn("__local_idx", F.row_number().over(w) - 1)
+    # Persist before the counts action — same reasoning as pack_sequences:
+    # freeze the sampled range partitioning so the offsets keyed by __pid
+    # apply to the identical row placement in the final job.
+    from pyspark import StorageLevel
+
+    d = d.persist(StorageLevel.MEMORY_AND_DISK)
     counts = d.groupBy("__pid").agg(F.count(F.lit(1)).alias("__pn")).collect()
     running, offsets = 0, {}
     for row in sorted(counts, key=lambda r: r["__pid"]):
@@ -317,14 +334,18 @@ def pii_redact(
 ) -> DataFrame:
     """Replace PII spans with <KIND> placeholders and count hits per kind.
 
-    Order matters (SSN/PHONE before IPV4 would also be safe, but apply in
-    dict order and document it): each pattern rewrites the previous
-    stage's text. Adds ``redacted`` plus an ``n_<kind>`` count per
-    pattern. Narrow, zero-shuffle, pure codegen."""
+    Patterns apply sequentially in dict insertion order (the order IS part
+    of the contract — an earlier pattern consumes spans later ones would
+    otherwise match, e.g. digits inside an email domain never double-count
+    as IPV4). Each ``n_<kind>`` is counted against the text AS ALREADY
+    REDACTED by the preceding patterns, so it equals exactly the number of
+    ``<KIND>`` tags emitted — counts and tags can never disagree. Adds
+    ``redacted`` plus the per-kind counts. Narrow, zero-shuffle, pure
+    codegen."""
     pats = patterns or PII_PATTERNS
     out = df
     red = F.col(text_col)
     for kind, pat in pats.items():
-        out = out.withColumn(f"n_{kind.lower()}", F.regexp_count(F.col(text_col), F.lit(pat)))
+        out = out.withColumn(f"n_{kind.lower()}", F.regexp_count(red, F.lit(pat)))
         red = F.regexp_replace(red, pat, f"<{kind}>")
     return out.withColumn("redacted", red)

@@ -415,18 +415,46 @@ def pq_train_codebooks(
     """
     import numpy as np
 
-    sample = df.select(vec_col).sample(fraction=1.0, seed=seed).limit(sample_rows).collect()
+    # Representative + reproducible sample: order by a seeded hash of the
+    # vector bytes, then take the first sample_rows. A bare
+    # .limit(sample_rows) would train on whichever partitions list first
+    # (a biased prefix, unstable across partitionings), and
+    # .sample(fraction=1.0) is a no-op — the seed would have no effect.
+    sample = (
+        df.select(vec_col)
+        .orderBy(F.xxhash64(F.col(vec_col).cast("string"), F.lit(seed)))
+        .limit(sample_rows)
+        .collect()
+    )
     X = np.asarray([list(r[0]) for r in sample], dtype=np.float64)
     d = X.shape[1]
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m}")
     sub = d // m
     rng = np.random.RandomState(seed)
+
+    def _kmeanspp(S: "np.ndarray", k: int) -> "np.ndarray":
+        # k-means++ seeding: spread initial centers ∝ squared distance to
+        # the nearest chosen center — far less order/init-sensitive than
+        # uniform index choice, and deterministic under the seeded rng.
+        C = [S[rng.randint(len(S))]]
+        d2 = ((S - C[0]) ** 2).sum(axis=1)
+        for _ in range(1, k):
+            tot = d2.sum()
+            if tot <= 0:
+                C.append(S[rng.randint(len(S))])
+                continue
+            idx = int(np.searchsorted(np.cumsum(d2 / tot), rng.rand()))
+            idx = min(idx, len(S) - 1)
+            C.append(S[idx])
+            d2 = np.minimum(d2, ((S - C[-1]) ** 2).sum(axis=1))
+        return np.asarray(C)
+
     books = []
     for j in range(m):
         S = X[:, j * sub : (j + 1) * sub]
         k = min(n_codes, len(S))
-        C = S[rng.choice(len(S), size=k, replace=False)]
+        C = _kmeanspp(S, k)
         for _ in range(iters):
             d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
             a = d2.argmin(axis=1)

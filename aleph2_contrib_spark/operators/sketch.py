@@ -77,8 +77,14 @@ def hll_estimate_from_registers(regs: DataFrame) -> DataFrame:
     # absent buckets 2^53 each
     agg = regs.agg(
         F.count(F.lit(1)).cast("int").alias("n_buckets"),
-        F.sum(
-            F.expr(f"CAST(shiftleft(CAST(1 AS BIGINT), {_W_BITS + 1} - __hll_m) AS DECIMAL(38,0))")
+        # coalesce: SUM over zero rows is NULL — an EMPTY register table
+        # must degenerate to present_sum=0 so zeros=m and the linear-
+        # counting branch yields est = m*ln(m/m) = 0, not NULL
+        F.coalesce(
+            F.sum(
+                F.expr(f"CAST(shiftleft(CAST(1 AS BIGINT), {_W_BITS + 1} - __hll_m) AS DECIMAL(38,0))")
+            ),
+            F.lit(0).cast("decimal(38,0)"),
         ).alias("present_sum"),
     ).select(
         "n_buckets",

@@ -11,8 +11,13 @@ row counts) is written to BENCH_full.json as a separate artifact.
 Methodology: per-query MIN over (default) two passes in one session —
 steady-state engine cost, excluding first-use JIT/codegen and transient
 host noise (identical code has measured 120s vs 270s totals under
-neighbor load). Queries that persist() intermediates (minhash family)
-reuse them on the second pass, as a production re-run would.
+neighbor load). The SQL cache is CLEARED between passes so pass 2
+re-executes every plan instead of re-reading pass 1's persisted
+intermediates (minhash family) from the block store — without the clear,
+the MIN silently mixes cold executions with cache-hit scans and
+understates real per-query cost. Per-pass totals are recorded in
+BENCH_full.json ("pass_totals") so the residual warm-JVM effect stays
+visible rather than folded into the headline number.
 """
 
 from __future__ import annotations
@@ -62,7 +67,12 @@ def main() -> None:
     passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
+    pass_totals: list[float] = []
     for p in range(max(1, passes)):
+        if p > 0:
+            # Drop persisted intermediates so this pass measures execution,
+            # not block-store reads of the previous pass's cache.
+            spark.catalog.clearCache()
         pass_total = 0.0
         for name, fn in entrymod.queries().items():
             t0 = time.perf_counter()
@@ -72,6 +82,7 @@ def main() -> None:
             if name not in timings or dt < timings[name]:
                 timings[name] = dt
             rows[name] = len(out)
+        pass_totals.append(round(pass_total, 2))
         if pass_total > 420.0:
             break
     total = sum(timings.values())
@@ -85,6 +96,7 @@ def main() -> None:
         "n_queries": len(timings),
         "queries": {k: round(v, 4) for k, v in timings.items()},
         "rows": rows,
+        "pass_totals": pass_totals,
     }
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_full.json"), "w") as f:
         json.dump(full, f, indent=1, sort_keys=True)

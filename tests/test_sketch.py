@@ -61,3 +61,12 @@ def test_hll_matches_duckdb_bit_for_bit(spark, tmp_path):
     drow = con.execute(hll_oracle_sql("v", "t")).fetchone()
     assert (srow.est, srow.n_buckets, srow.zeros) == (drow[0], drow[1], drow[2])
     assert int(srow.sum_scaled) == int(drow[3])
+
+
+def test_hll_empty_input_estimates_zero(spark):
+    """SUM over zero register rows is NULL; the coalesce must degrade the
+    empty table to est=0 via linear counting, not a NULL estimate."""
+    df = spark.range(0).select(F.col("id").cast("string").alias("v"))
+    row = hll_estimate(df, "v").collect()[0]
+    assert row.est == 0
+    assert row.zeros == row.n_buckets + row.zeros  # all buckets empty
