@@ -271,27 +271,34 @@ def _minhash_base(
     shingle_k: int,
     shingle_mode: str,
     sig_impl: str,
+    keep_txh: bool = False,
 ) -> DataFrame:
-    """(id, hs, sig) for every document, PERSISTED: the banded projection
-    and the verify join-backs all reuse it; without the materialization
-    barrier Spark would recompute the shingle+signature chain per use."""
+    """(id[, __txh], hs, sig) for every document, PERSISTED: the banded
+    projection and the verify join-backs all reuse it; without the
+    materialization barrier Spark would recompute the shingle+signature
+    chain per use. ``keep_txh`` additionally carries the whole-text hash
+    (for signature stores, whose exact-dup stage reads it back)."""
     from pyspark import StorageLevel
 
     from aleph2_contrib_spark.parallel import ensure_parallelism
 
     df = ensure_parallelism(df)
+    extra = (
+        [F.xxhash64(F.lower(F.trim(F.col(text_col)))).alias("__txh")] if keep_txh else []
+    )
     if shingle_mode == "token":
         # token mode never builds shingle strings: token hashes once
         # (projection boundary), then n-gram hashes as pure long math.
         hashed = df.select(
-            F.col(id_col).alias("id"), token_hashes(F.col(text_col)).alias("th")
+            F.col(id_col).alias("id"), *extra, token_hashes(F.col(text_col)).alias("th")
         ).select(
             "id",
+            *(["__txh"] if keep_txh else []),
             F.array_distinct(shingle_hashes_from_token_hashes(F.col("th"), 3)).alias("hs"),
         )
     else:
         hashed = df.select(
-            F.col(id_col).alias("id"), char_shingles(F.col(text_col), shingle_k).alias("sh")
+            F.col(id_col).alias("id"), *extra, char_shingles(F.col(text_col), shingle_k).alias("sh")
         ).withColumn(
             # materialized hash array: each shingle string-hashed exactly once
             "hs", F.array_distinct(F.transform(F.col("sh"), lambda s: F.xxhash64(s)))
@@ -424,11 +431,106 @@ def _fetch_and_verify(
     )
 
 
+class MinHashSignatureStore:
+    """Persisted MinHash signatures of a historical corpus — the steady-
+    state half of incremental dedup. The corpus side's signatures are
+    computed ONCE (a daily/weekly maintenance job), written to two
+    bucketed catalog tables, and every subsequent batch dedup signs only
+    its OWN documents and band-joins the stored slim keys:
+
+    - ``<prefix>_base``  (id, __txh, hs, sig), bucketed on id — payload
+      fetch for the verify stage reads only the candidate ids' buckets.
+    - ``<prefix>_bands`` (id, band_id, band_hash), bucketed AND sorted on
+      (band_id, band_hash) — the bipartite band join reads this side
+      pre-shuffled (no Exchange on the corpus side, the whole point at
+      100 TB: per-day cost goes from O(corpus + batch) to O(batch)).
+
+    ``append`` is the post-dedup maintenance op: survivors of today's
+    batch are signed once and appended to both tables, so tomorrow's run
+    sees them as corpus. Reference analog: the already-indexed store IS
+    the reference's signature state (dedup-field prep against the live
+    index, ElasticsearchIndexUtils.java:236-251); this class materializes
+    the same state for an engine with no resident index.
+    """
+
+    def __init__(
+        self,
+        spark,
+        prefix: str,
+        *,
+        num_hashes: int = 64,
+        bands: int = 16,
+        shingle_k: int = 5,
+        shingle_mode: str = "char",
+        sig_impl: str = "expr",
+        num_buckets: int = 32,
+    ):
+        self.spark = spark
+        self.prefix = prefix
+        self.num_hashes = num_hashes
+        self.bands = bands
+        self.shingle_k = shingle_k
+        self.shingle_mode = shingle_mode
+        self.sig_impl = sig_impl
+        self.num_buckets = num_buckets
+        self.base_table = f"{prefix}_base"
+        self.bands_table = f"{prefix}_bands"
+
+    def exists(self) -> bool:
+        return self.spark.catalog.tableExists(self.base_table) and self.spark.catalog.tableExists(
+            self.bands_table
+        )
+
+    def _kw(self) -> dict:
+        return dict(
+            num_hashes=self.num_hashes,
+            shingle_k=self.shingle_k,
+            shingle_mode=self.shingle_mode,
+            sig_impl=self.sig_impl,
+        )
+
+    def _write(self, df: DataFrame, id_col: str, text_col: str, mode: str) -> None:
+        from aleph2_contrib_spark.sources.bucketed import write_bucketed
+
+        base = _minhash_base(df, id_col, text_col, keep_txh=True, **self._kw())
+        write_bucketed(
+            base.select("id", "__txh", "hs", "sig"),
+            self.base_table,
+            ["id"],
+            num_buckets=self.num_buckets,
+            mode=mode,
+        )
+        write_bucketed(
+            _band_keys(base, self.num_hashes, self.bands),
+            self.bands_table,
+            ["band_id", "band_hash"],
+            num_buckets=self.num_buckets,
+            mode=mode,
+        )
+        base.unpersist()
+
+    def build(self, existing_df: DataFrame, id_col: str, text_col: str) -> "MinHashSignatureStore":
+        """Sign the whole corpus and (re)write both tables."""
+        self._write(existing_df, id_col, text_col, mode="overwrite")
+        return self
+
+    def append(self, new_docs_df: DataFrame, id_col: str, text_col: str) -> None:
+        """Incremental maintenance: sign only the new documents and append
+        (bucket specs match, so the append stays bucket-aligned)."""
+        self._write(new_docs_df, id_col, text_col, mode="append")
+
+    def base_df(self) -> DataFrame:
+        return self.spark.table(self.base_table)
+
+    def band_df(self) -> DataFrame:
+        return self.spark.table(self.bands_table)
+
+
 def dedup_against_corpus(
     new_df: DataFrame,
-    existing_df: DataFrame,
-    id_col: str,
-    text_col: str,
+    existing_df: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
     num_hashes: int = 64,
     bands: int = 16,
     shingle_k: int = 5,
@@ -436,28 +538,44 @@ def dedup_against_corpus(
     shingle_mode: str = "char",
     verify: str = "exact",
     sig_impl: str = "expr",
+    store: MinHashSignatureStore | None = None,
 ) -> DataFrame:
     """Incremental corpus dedup: rows of ``new_df`` that are NOT (near-)
-    duplicates of any document already in ``existing_df`` — the daily-crawl
+    duplicates of any document already in the corpus — the daily-crawl
     vs historical-corpus operation. Reference analog: dedup-field matching
     of a new batch against the already-indexed store (dedup-field prep at
     ElasticsearchIndexUtils.java:236-251; existing-element lookup shape at
     TitanGraphBuildingUtils.getGroupedVertices:328-374), generalized here
     from exact field equality to near-duplicate text similarity.
 
+    The corpus side comes from either ``existing_df`` (signed on the fly —
+    one-shot comparisons) or a :class:`MinHashSignatureStore` (``store=``,
+    the steady-state path: the corpus is NEVER re-signed; its slim band
+    keys stream out of a bucketed table pre-shuffled on the join key, so
+    per-run cost is O(batch) regardless of corpus size). When a store is
+    given, its signature parameters override the keyword arguments — the
+    two sides must be signed identically for band hashes to collide.
+
     Plan shape: (1) cheap exact stage — anti-join on a whole-text hash
     removes byte-identical docs before any signature work; (2) bipartite
     band join (new × existing, slim keys only) proposes candidates;
     (3) exact-or-estimate verify as in ``minhash_lsh_pairs``; (4) anti-join
-    drops new docs with any verified match. Both signature tables persist;
-    at steady state the existing side's signatures would live in a bucketed
-    table and the band join co-locates on (band_id, band_hash).
+    drops new docs with any verified match.
 
     With bands == num_hashes (r=1) and verify="exact" the result is exact:
     a new doc survives iff no existing doc has Jaccard ≥ threshold.
     """
+    if (existing_df is None) == (store is None):
+        raise ValueError("pass exactly one of existing_df or store")
+    if store is not None:
+        num_hashes, bands = store.num_hashes, store.bands
+        shingle_k, shingle_mode, sig_impl = store.shingle_k, store.shingle_mode, store.sig_impl
+
     txh = F.xxhash64(F.lower(F.trim(F.col(text_col))))
-    exact_old = existing_df.select(txh.alias("__txh")).dropDuplicates(["__txh"])
+    if store is not None:
+        exact_old = store.base_df().select("__txh").dropDuplicates(["__txh"])
+    else:
+        exact_old = existing_df.select(txh.alias("__txh")).dropDuplicates(["__txh"])
     fresh = (
         new_df.withColumn("__txh", txh)
         .join(exact_old, "__txh", "left_anti")
@@ -467,14 +585,17 @@ def dedup_against_corpus(
     kw = dict(num_hashes=num_hashes, shingle_k=shingle_k,
               shingle_mode=shingle_mode, sig_impl=sig_impl)
     new_base = _minhash_base(fresh, id_col, text_col, **kw)
-    old_base = _minhash_base(existing_df, id_col, text_col, **kw)
+    if store is not None:
+        old_base = store.base_df().select("id", "hs", "sig")
+        old_bands = store.band_df()
+    else:
+        old_base = _minhash_base(existing_df, id_col, text_col, **kw)
+        old_bands = _band_keys(old_base, num_hashes, bands)
     cand_ids = (
         _band_keys(new_base, num_hashes, bands)
         .select(F.col("id").alias("id_a"), "band_id", "band_hash")
         .join(
-            _band_keys(old_base, num_hashes, bands).select(
-                F.col("id").alias("id_b"), "band_id", "band_hash"
-            ),
+            old_bands.select(F.col("id").alias("id_b"), "band_id", "band_hash"),
             ["band_id", "band_hash"],
         )
         .select("id_a", "id_b")

@@ -194,3 +194,67 @@ def test_dedup_against_corpus_keeps_new_vs_new_dups(spark):
     out = ddp.dedup_against_corpus(new, old, "doc_id", "text", bands=64, threshold=0.5,
                                    shingle_mode="token")
     assert sorted(r.doc_id for r in out.collect()) == [10, 11]
+
+
+def test_signature_store_matches_on_the_fly_path(spark):
+    """Store-backed incremental dedup must return exactly what signing the
+    corpus on the fly returns (same signatures → same candidates → same
+    survivors), and append() must fold new docs into the corpus so the
+    next day's run sees them."""
+    from pyspark.sql import Row
+
+    old = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the quick brown fox jumps over the lazy dog again and again today"),
+            Row(doc_id=2, text="an entirely different historical document about spark plans"),
+        ]
+    )
+    new = spark.createDataFrame(
+        [
+            Row(doc_id=10, text="the quick brown fox jumps over the lazy cat again and again today"),
+            Row(doc_id=11, text="an entirely different historical document about spark plans"),
+            Row(doc_id=12, text="completely novel content that shares nothing with the corpus at all"),
+        ]
+    )
+    kw = dict(num_hashes=64, bands=64, threshold=0.5, shingle_mode="token", verify="exact")
+    expected = sorted(
+        r.doc_id for r in ddp.dedup_against_corpus(new, old, "doc_id", "text", **kw).collect()
+    )
+    store = ddp.MinHashSignatureStore(
+        spark, "a2s_test_sigstore", num_hashes=64, bands=64, shingle_mode="token"
+    ).build(old, "doc_id", "text")
+    got = sorted(
+        r.doc_id
+        for r in ddp.dedup_against_corpus(
+            new, id_col="doc_id", text_col="text", threshold=0.5, verify="exact", store=store
+        ).collect()
+    )
+    assert got == expected == [12]
+
+    # maintenance: survivors join the corpus; an exact re-submission of 12
+    # is now a duplicate, an unrelated doc still survives
+    store.append(new.filter(F.col("doc_id") == 12), "doc_id", "text")
+    day2 = spark.createDataFrame(
+        [
+            Row(doc_id=20, text="completely novel content that shares nothing with the corpus at all"),
+            Row(doc_id=21, text="fresh unrelated material mentioning neither foxes nor plans whatsoever"),
+        ]
+    )
+    got2 = sorted(
+        r.doc_id
+        for r in ddp.dedup_against_corpus(
+            day2, id_col="doc_id", text_col="text", threshold=0.5, verify="exact", store=store
+        ).collect()
+    )
+    assert got2 == [21]
+
+
+def test_dedup_against_corpus_requires_exactly_one_source(spark):
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame([Row(doc_id=1, text="x")])
+    with pytest.raises(ValueError):
+        ddp.dedup_against_corpus(df)
+    store = ddp.MinHashSignatureStore(spark, "a2s_test_sigstore_dummy")
+    with pytest.raises(ValueError):
+        ddp.dedup_against_corpus(df, df, "doc_id", "text", store=store)
