@@ -36,6 +36,38 @@ from pyspark.sql import types as T
 from aleph2_contrib_spark.plans.pipeline import Pipeline
 
 
+# The Kafka source's fixed wire schema (what `format("kafka").load()`
+# yields) — tests build DataFrames of this exact shape to exercise the
+# decode path without a broker.
+KAFKA_WIRE_SCHEMA = (
+    "key BINARY, value BINARY, topic STRING, partition INT, offset LONG, "
+    "timestamp TIMESTAMP, timestampType INT"
+)
+
+
+def kafka_decode(raw: DataFrame, value_schema: T.StructType | str) -> DataFrame:
+    """The post-source transform of ``kafka_stream``: Kafka's binary
+    ``value`` column → JSON-parsed typed columns (the Spark rendering of
+    the reference's spout deserialization,
+    SparkTechnologyUtils.buildStreamingSparkInputs:483-508). Factored out
+    of the source wiring so the EXACT production decode path is
+    unit-testable against Kafka-wire-shaped rows when no broker exists —
+    works identically on a static or streaming DataFrame (same Catalyst
+    expression either way). Corrupt values are dropped (Kafka poison-pill
+    hygiene: one bad record must not kill the stream) — from_json's
+    PERMISSIVE mode renders them as an all-null struct, which serializes
+    to the empty JSON object, so the filter keeps any record with at
+    least one parsed field; route ``raw`` through a second permissive
+    decode to build a dead-letter sink if corrupt payloads need
+    auditing."""
+    parsed = raw.select(
+        F.from_json(F.col("value").cast("string"), value_schema).alias("r")
+    )
+    return parsed.filter(
+        F.col("r").isNotNull() & (F.to_json(F.col("r")) != F.lit("{}"))
+    ).select("r.*")
+
+
 def kafka_stream(
     spark: SparkSession,
     brokers: str,
@@ -44,16 +76,15 @@ def kafka_stream(
 ) -> DataFrame:
     """S11: Kafka direct stream of JSON strings → typed columns.
     (Requires the spark-sql-kafka package on the cluster; not available in
-    the local test container, so tests use json_file_stream instead.)"""
+    the local test container — tests drive :func:`kafka_decode` on
+    wire-shaped rows instead, so everything but the socket is covered.)"""
     raw = (
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", brokers)
         .option("subscribe", topics)
         .load()
     )
-    return raw.select(
-        F.from_json(F.col("value").cast("string"), value_schema).alias("r")
-    ).select("r.*")
+    return kafka_decode(raw, value_schema)
 
 
 def json_file_stream(
