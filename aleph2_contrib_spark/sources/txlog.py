@@ -94,6 +94,9 @@ class ConcurrentModificationError(RuntimeError):
 class FileEntry:
     path: str  # root-relative
     partition: dict[str, str | None]
+    # per-column [min, max] over the file's non-null values (zone map);
+    # None/missing column = no stats recorded → file is never skipped
+    stats: dict[str, list] | None = None
 
 
 def _pstr(v: Any) -> str | None:
@@ -106,6 +109,52 @@ def _pstr(v: Any) -> str | None:
     return str(v)
 
 
+def _stat_json(v: Any) -> Any:
+    """JSON-storable, order-preserving form of a stats value."""
+    import datetime as _dt
+    import decimal as _decimal
+
+    if isinstance(v, (_dt.datetime, _dt.date)):
+        return v.isoformat()
+    if isinstance(v, _decimal.Decimal):
+        return float(v)
+    return v
+
+
+def _stat_cmp_key(v: Any) -> Any:
+    """Comparable form: spec literals and stored stats must land in the
+    same ordering domain. Numbers → float; dates/datetimes → ISO strings
+    (lexicographic == chronological); everything else unchanged."""
+    import datetime as _dt
+    import decimal as _decimal
+
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, (int, float, _decimal.Decimal)):
+        return float(v)
+    if isinstance(v, (_dt.datetime, _dt.date)):
+        return v.isoformat()
+    return v
+
+
+def _overlaps(stats: list, lo, lo_incl: bool, hi, hi_incl: bool) -> bool:
+    """Interval-overlap test between a file's [min, max] and a spec range.
+    Any comparison failure (mixed types) → True (never skip unsafely)."""
+    try:
+        mn, mx = _stat_cmp_key(stats[0]), _stat_cmp_key(stats[1])
+        if lo is not None:
+            lo = _stat_cmp_key(lo)
+            if (mx < lo) or (mx == lo and not lo_incl):
+                return False
+        if hi is not None:
+            hi = _stat_cmp_key(hi)
+            if (mn > hi) or (mn == hi and not hi_incl):
+                return False
+        return True
+    except TypeError:
+        return True
+
+
 class TransactionalTable:
     """One table root with an append-only commit log.
 
@@ -114,12 +163,27 @@ class TransactionalTable:
     ordinary data columns in the files — the log, not a hive directory
     scheme, is the source of partition metadata, so readers never depend
     on directory-name type inference.
+
+    ``stats_cols`` names columns whose per-file [min, max] are recorded in
+    the log at write time (zone maps, the file-level analogue of parquet
+    row-group stats / a table format's data skipping). Reads and
+    mutations whose spec constrains a stats column skip non-overlapping
+    files from log metadata alone — e.g. a table appended in id order
+    gets O(1)-file by-id updates without any partition on id. One extra
+    scan of the JUST-WRITTEN files per write pays for it.
     """
 
-    def __init__(self, spark: SparkSession, root: str, partition_cols: Sequence[str] = ()):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        partition_cols: Sequence[str] = (),
+        stats_cols: Sequence[str] = (),
+    ):
         self.spark = spark
         self.root = root
         self.partition_cols = tuple(partition_cols)
+        self.stats_cols = tuple(stats_cols)
 
     # -- log plumbing ------------------------------------------------------
     def _log_dir(self) -> str:
@@ -175,7 +239,9 @@ class TransactionalTable:
             for path in rec.get("remove", []):
                 active.pop(path, None)
             for a in rec.get("add", []):
-                active[a["path"]] = FileEntry(a["path"], a.get("partition", {}))
+                active[a["path"]] = FileEntry(
+                    a["path"], a.get("partition", {}), a.get("stats")
+                )
         return schema, list(active.values())
 
     def _commit(
@@ -198,7 +264,11 @@ class TransactionalTable:
             "op": op,
             "ts": time.time(),
             "schema": schema.json(),
-            "add": [{"path": e.path, "partition": e.partition} for e in add],
+            "add": [
+                {"path": e.path, "partition": e.partition}
+                | ({"stats": e.stats} if e.stats else {})
+                for e in add
+            ],
             "remove": list(remove),
         }
         expect = set(expect_active)
@@ -240,6 +310,7 @@ class TransactionalTable:
             w = w.partitionBy(*writer_cols)
         w.parquet(staging)
         entries: list[FileEntry] = []
+        paths: list[str] = []
         for f in glob.glob(os.path.join(staging, "**", "*.parquet"), recursive=True):
             rel = os.path.relpath(f, self.root)
             part: dict[str, str | None] = {}
@@ -252,7 +323,47 @@ class TransactionalTable:
                 val = urllib.parse.unquote(raw)
                 part[k] = None if val == _HIVE_NULL else val
             entries.append(FileEntry(rel, part))
+            paths.append(f)
+        stats = self._collect_stats(df.schema, paths)
+        if stats:
+            entries = [
+                FileEntry(e.path, e.partition, stats.get(os.path.join(self.root, e.path)))
+                for e in entries
+            ]
         return entries
+
+    def _collect_stats(
+        self, schema: T.StructType, paths: list[str]
+    ) -> dict[str, dict[str, list]]:
+        """Per-file [min, max] of every stats column, in ONE Spark job over
+        the just-written files only (grouped on input_file_name). Returns
+        {abs path: {col: [min, max]}}; columns entirely null in a file are
+        omitted (no stats → never skipped)."""
+        cols = [c for c in self.stats_cols if c in {f.name for f in schema.fields}]
+        if not cols or not paths:
+            return {}
+        aggs = []
+        for c in cols:
+            aggs.append(F.min(c).alias(f"__mn_{c}"))
+            aggs.append(F.max(c).alias(f"__mx_{c}"))
+        rows = (
+            self.spark.read.schema(schema)
+            .parquet(*paths)
+            .groupBy(F.input_file_name().alias("__f"))
+            .agg(*aggs)
+            .collect()
+        )
+        out: dict[str, dict[str, list]] = {}
+        for r in rows:
+            key = urllib.parse.unquote(urllib.parse.urlparse(r["__f"]).path)
+            st = {
+                c: [_stat_json(r[f"__mn_{c}"]), _stat_json(r[f"__mx_{c}"])]
+                for c in cols
+                if r[f"__mn_{c}"] is not None
+            }
+            if st:
+                out[key] = st
+        return out
 
     def _aligned(self, df: DataFrame, schema: T.StructType | None) -> tuple[DataFrame, T.StructType]:
         """Align ``df`` to the table schema with add-column evolution:
@@ -308,21 +419,22 @@ class TransactionalTable:
         schema, active = self.snapshot()
         if schema is None:
             raise FileNotFoundError(f"no commits at {self.root}")
-        sets = self._static_partition_sets(spec)
-        if sets:
-            active = [e for e in active if _partition_matches(e, sets)]
+        active = self._prune_files(active, spec)
         from aleph2_contrib_spark.functions.query import apply_query
 
         return apply_query(self.read(files=active), spec)
 
     # -- partition-scoped mutations ---------------------------------------
-    def _static_partition_sets(self, spec) -> dict[str, set[str | None]]:
-        """Per-partition-column allowed-value sets implied by the spec in
-        top-level AND context (equality / any_of only — the conservative
-        subset, same philosophy as interpretObviousDateRange,
-        ElasticsearchUtils.java:261-305). Empty dict = no static
-        constraint (caller falls back to a probe)."""
-        out: dict[str, set[str | None]] = {}
+    def _static_constraints(self, spec) -> dict[str, list[tuple]]:
+        """Per-column constraints implied by the spec in top-level AND
+        context (the conservative subset, same philosophy as
+        interpretObviousDateRange, ElasticsearchUtils.java:261-305) for
+        the prunable columns (partition + stats). Constraint forms:
+        ("in", [raw values...]) from equals/any_of, and
+        ("range", lo, lo_incl, hi, hi_incl). Empty dict = nothing static
+        (mutations fall back to a probe)."""
+        prunable = set(self.partition_cols) | set(self.stats_cols)
+        out: dict[str, list[tuple]] = {}
 
         def visit(node):
             if isinstance(node, MultiQuery):
@@ -334,18 +446,62 @@ class TransactionalTable:
             if node.op != "and":
                 return
             for c in node.clauses:
-                if c.fld not in self.partition_cols:
+                if c.fld not in prunable:
                     continue
                 if c.op == "equals":
-                    vals = {_pstr(c.args[0])}
+                    out.setdefault(c.fld, []).append(("in", [c.args[0]]))
                 elif c.op == "any_of":
-                    vals = {_pstr(v) for v in c.args[0]}
-                else:
-                    continue
-                out[c.fld] = out[c.fld] & vals if c.fld in out else vals
+                    out.setdefault(c.fld, []).append(("in", list(c.args[0])))
+                elif c.op == "range":
+                    lo, lo_incl, hi, hi_incl = c.args
+                    out.setdefault(c.fld, []).append(("range", lo, lo_incl, hi, hi_incl))
 
         visit(spec)
         return out
+
+    def _static_partition_sets(self, spec) -> dict[str, set[str | None]]:
+        """Partition-column allowed-value sets (equality/any_of only —
+        partition values are stored as directory strings, so range
+        constraints prune via stats, not here)."""
+        out: dict[str, set[str | None]] = {}
+        for col, cons in self._static_constraints(spec).items():
+            if col not in self.partition_cols:
+                continue
+            for kind, *payload in cons:
+                if kind != "in":
+                    continue
+                vals = {_pstr(v) for v in payload[0]}
+                out[col] = out[col] & vals if col in out else vals
+        return out
+
+    def _prune_files(self, active: list[FileEntry], spec) -> list[FileEntry]:
+        """Log-metadata pruning: partition-value match + zone-map overlap.
+        Files lacking stats for a constrained column are conservatively
+        kept."""
+        sets = self._static_partition_sets(spec)
+        if sets:
+            active = [e for e in active if _partition_matches(e, sets)]
+        cons = self._static_constraints(spec)
+        stat_cons = {c: v for c, v in cons.items() if c in self.stats_cols}
+        if not stat_cons:
+            return active
+
+        def keep(e: FileEntry) -> bool:
+            for col, clist in stat_cons.items():
+                st = (e.stats or {}).get(col)
+                if st is None:
+                    continue  # no stats → cannot skip
+                for con in clist:
+                    if con[0] == "in":
+                        if not any(_overlaps(st, v, True, v, True) for v in con[1]):
+                            return False
+                    else:
+                        _, lo, lo_incl, hi, hi_incl = con
+                        if not _overlaps(st, lo, lo_incl, hi, hi_incl):
+                            return False
+            return True
+
+        return [e for e in active if keep(e)]
 
     def _touched(self, spec) -> tuple[list[FileEntry], list[FileEntry]]:
         """(touched, untouched) file split for a mutation spec. Static
@@ -355,15 +511,20 @@ class TransactionalTable:
         schema, active = self.snapshot()
         if schema is None:
             raise FileNotFoundError(f"no commits at {self.root}")
-        if not self.partition_cols:
-            return active, []
-        sets = self._static_partition_sets(spec)
-        if sets:
-            touched = [e for e in active if _partition_matches(e, sets)]
+        # metadata-only narrowing first: partition-value match + zone-map
+        # overlap — excluded files are PROVABLY match-free, so skipping
+        # them from the rewrite is exact
+        pruned = self._prune_files(active, spec)
+        if self._static_partition_sets(spec) or not self.partition_cols:
+            # partitions pinned statically (or no partitioning to probe):
+            # the metadata answer is final
+            touched = pruned
         else:
+            # partitioned but not statically pinned: probe the (possibly
+            # stats-narrowed) candidates for the exact touched partitions
             pred = compile_query(spec, schema)
             rows = (
-                self.read(files=active)
+                self.read(files=pruned)
                 .filter(pred)
                 .select(*self.partition_cols)
                 .distinct()
@@ -372,7 +533,7 @@ class TransactionalTable:
             allowed = {tuple(_pstr(r[c]) for c in self.partition_cols) for r in rows}
             touched = [
                 e
-                for e in active
+                for e in pruned
                 if tuple(e.partition.get(c) for c in self.partition_cols) in allowed
             ]
         touched_set = {e.path for e in touched}

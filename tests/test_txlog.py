@@ -222,3 +222,80 @@ def test_crud_service_on_transactional_table(spark):
     svc.store_objects(_events(spark, 2))
     assert svc.count_objects() == 61
     assert t.history()[-1]["op"] == "append"
+
+
+def test_zone_map_stats_skip_files_on_mutation(spark):
+    """stats_cols zone maps: a by-id update on an id-ordered table must
+    rewrite only the file(s) whose [min,max] covers the id — every other
+    file stays byte-identical, with NO probe scan (pure log metadata)."""
+    root = tempfile.mkdtemp(prefix="a2s_txlog_zm_")
+    t = TransactionalTable(spark, root, stats_cols=("event_id",))
+    for lo in (0, 20, 40):
+        batch = spark.range(lo, lo + 20).select(
+            F.col("id").alias("event_id"), F.lit("x").alias("payload"), F.lit(1.0).alias("value")
+        ).coalesce(1)
+        t.append(batch)
+    _, files = t.snapshot()
+    assert all(e.stats and "event_id" in e.stats for e in files)
+    before = _file_hashes(t)
+
+    spec = Q.all_of().when("event_id", 25)
+    # metadata pruning alone pins the touched set
+    touched, untouched = t._touched(spec)
+    assert len(touched) == 1
+    assert touched[0].stats["event_id"] == [20, 39]
+
+    t.update_by_spec(spec, U.update().set("value", 99.0))
+    after = _file_hashes(t)
+    for e in untouched:
+        assert after.get(e.path) == before[e.path], f"untouched {e.path} changed"
+    assert t.read().filter(F.col("event_id") == 25).collect()[0].value == 99.0
+    assert t.read().count() == 60
+
+
+def test_zone_map_range_pruning_on_read_and_delete(spark):
+    root = tempfile.mkdtemp(prefix="a2s_txlog_zr_")
+    t = TransactionalTable(spark, root, stats_cols=("event_id",))
+    for lo in (0, 20, 40):
+        t.append(
+            spark.range(lo, lo + 20).select(
+                F.col("id").alias("event_id"), F.lit(1.0).alias("value")
+            ).coalesce(1)
+        )
+    _, active = t.snapshot()
+    spec = Q.all_of().range_above("event_id", 40, inclusive=True)
+    pruned = t._prune_files(active, spec)
+    assert len(pruned) == 1 and pruned[0].stats["event_id"] == [40, 59]
+    assert t.read_with_query(spec).count() == 20
+
+    before = _file_hashes(t)
+    t.delete_by_spec(spec)
+    after = _file_hashes(t)
+    for e in active:
+        if e.stats["event_id"][0] < 40:
+            assert after.get(e.path) == before[e.path]
+    assert t.read().count() == 40
+
+
+def test_stats_survive_partitioned_layout(spark):
+    """Partition pruning and zone maps compose: partition pins event_type,
+    stats pin the id range within it."""
+    root = tempfile.mkdtemp(prefix="a2s_txlog_zp_")
+    t = TransactionalTable(
+        spark, root, partition_cols=("event_type",), stats_cols=("event_id",)
+    )
+    for lo in (0, 100):
+        t.append(
+            spark.range(lo, lo + 50).select(
+                F.col("id").alias("event_id"),
+                F.concat(F.lit("t"), (F.col("id") % 2).cast("string")).alias("event_type"),
+                F.lit(0.0).alias("value"),
+            )
+        )
+    _, active = t.snapshot()
+    spec = Q.all_of().when("event_type", "t0").range_below("event_id", 50, inclusive=False)
+    pruned = t._prune_files(active, spec)
+    assert all(e.partition["event_type"] == "t0" for e in pruned)
+    assert all(e.stats["event_id"][0] < 50 for e in pruned)
+    assert len(pruned) < len([e for e in active if e.partition["event_type"] == "t0"])
+    assert t.read_with_query(spec).count() == 25
