@@ -252,6 +252,7 @@ class TransactionalTable:
         schema: T.StructType,
         expect_active: Iterable[str] = (),
         read_version: int | None = None,
+        txn: dict | None = None,
     ) -> int:
         """Exclusive-create log file ``read_version + 1`` (the version this
         transaction's snapshot was based on — so a log that advanced
@@ -271,6 +272,8 @@ class TransactionalTable:
             ],
             "remove": list(remove),
         }
+        if txn is not None:
+            rec["txn"] = txn
         expect = set(expect_active)
         v = (read_version if read_version is not None else self.latest_version()) + 1
         while True:
@@ -384,13 +387,39 @@ class TransactionalTable:
         return df.select(*cols), new_schema
 
     # -- public write surface ---------------------------------------------
-    def append(self, df: DataFrame) -> int:
+    def append(
+        self, df: DataFrame, txn_app: str | None = None, txn_version: int | None = None
+    ) -> int:
+        """Append new files. With ``txn_app``/``txn_version`` the append is
+        IDEMPOTENT per app: a commit records the (app, version) marker,
+        and a replay of an already-committed version is a no-op — the
+        contract a Structured Streaming ``foreachBatch`` sink needs to
+        turn checkpointed at-least-once batch delivery into exactly-once
+        table contents (same design as a table format's transactional
+        writer identifiers). One writer per app at a time; concurrent
+        DIFFERENT apps interleave safely through the commit log."""
+        if (txn_app is None) != (txn_version is None):
+            raise ValueError("pass BOTH txn_app and txn_version, or neither")
+        if txn_app is not None and self.last_txn_version(txn_app) >= txn_version:
+            return self.latest_version()  # replayed batch — already in
         rv = self.latest_version()
         schema, _ = self.snapshot(rv if rv else None)
         aligned, new_schema = self._aligned(df, schema)
+        txn = {"app": txn_app, "version": txn_version} if txn_app is not None else None
         return self._commit(
-            "append", self._write_files(aligned), [], new_schema, read_version=rv
+            "append", self._write_files(aligned), [], new_schema, read_version=rv, txn=txn
         )
+
+    def last_txn_version(self, app: str) -> int:
+        """Highest committed txn version for ``app`` (-1 if none)."""
+        best = -1
+        for _, p in self._commits():
+            with open(p) as f:
+                rec = json.load(f)
+            t = rec.get("txn")
+            if t and t.get("app") == app:
+                best = max(best, int(t.get("version", -1)))
+        return best
 
     def overwrite(self, df: DataFrame) -> int:
         rv = self.latest_version()

@@ -132,6 +132,36 @@ def streaming_dedup(
     return stream_df.dropDuplicates(keys)
 
 
+def transactional_sink(table, app_id: str):
+    """Exactly-once streaming sink into a TransactionalTable: each
+    micro-batch appends under an idempotent (app_id, batch_id) txn marker,
+    so a checkpoint-replayed batch commits nothing the second time —
+    at-least-once foreachBatch delivery becomes exactly-once table
+    contents (the commit-log analogue of the reference's Storm ack
+    guarantee upgraded by a transactional store; same design as table-
+    format writer txn identifiers). Use directly::
+
+        stream.writeStream.foreachBatch(transactional_sink(t, "job1"))
+              .option("checkpointLocation", ckpt).start()
+
+    or as the ``sink`` of :class:`StreamingPipelineRunner` (the stage name
+    joins the app id so multi-output pipelines keep distinct markers).
+    """
+
+    def sink(*args) -> None:
+        # foreachBatch calls (df, batch_id); StreamingPipelineRunner
+        # calls (stage_name, df, batch_id)
+        if len(args) == 2:
+            df, batch_id = args
+            app = app_id
+        else:
+            stage, df, batch_id = args
+            app = f"{app_id}/{stage}"
+        table.append(df, txn_app=app, txn_version=int(batch_id))
+
+    return sink
+
+
 class StreamingPipelineRunner:
     """P14: run a Pipeline on a streaming input via foreachBatch."""
 

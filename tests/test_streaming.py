@@ -364,3 +364,28 @@ def test_kafka_decode_runs_in_streaming_pipeline(spark, tmp_path):
     q = runner.start(typed, input_name="events")
     q.awaitTermination(60)
     assert sorted(got) == ["e1", "e2"]
+
+
+def test_transactional_sink_exactly_once(spark, tmp_path, stream_dir):
+    """Streaming into the commit-log table: a replayed micro-batch (the
+    at-least-once failure mode of foreachBatch) must not duplicate rows —
+    the idempotent txn marker makes table contents exactly-once."""
+    from aleph2_contrib_spark.sources.txlog import TransactionalTable
+    from aleph2_contrib_spark.streaming.runner import transactional_sink
+
+    t = TransactionalTable(spark, str(tmp_path / "txtable"))
+    sink = transactional_sink(t, "ingest")
+    stream = json_file_stream(spark, stream_dir, SCHEMA)
+    q = stream.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", str(tmp_path / "ckpt_tx")
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(60)
+    assert t.read().count() == 3
+
+    # simulate a post-crash replay of batch 0 with the same data
+    batch0 = spark.read.schema(SCHEMA).json(stream_dir)
+    sink(batch0, 0)
+    assert t.read().count() == 3  # no duplicates
+    # a genuinely new batch id appends
+    sink(batch0.limit(1), 1)
+    assert t.read().count() == 4

@@ -299,3 +299,22 @@ def test_stats_survive_partitioned_layout(spark):
     assert all(e.stats["event_id"][0] < 50 for e in pruned)
     assert len(pruned) < len([e for e in active if e.partition["event_type"] == "t0"])
     assert t.read_with_query(spec).count() == 25
+
+
+def test_idempotent_txn_append(spark):
+    """(txn_app, txn_version) markers: a replayed batch version commits
+    nothing; a new version appends; different apps don't interfere."""
+    root = tempfile.mkdtemp(prefix="a2s_txlog_txn_")
+    t = TransactionalTable(spark, root)
+    t.append(_events(spark, 10), txn_app="jobA", txn_version=0)
+    assert t.read().count() == 10
+    t.append(_events(spark, 10), txn_app="jobA", txn_version=0)  # replay
+    assert t.read().count() == 10
+    t.append(_events(spark, 5), txn_app="jobA", txn_version=1)
+    assert t.read().count() == 15
+    t.append(_events(spark, 3), txn_app="jobB", txn_version=0)  # other app
+    assert t.read().count() == 18
+    assert t.last_txn_version("jobA") == 1
+    assert t.last_txn_version("jobB") == 0
+    with pytest.raises(ValueError):
+        t.append(_events(spark, 1), txn_app="jobA")  # version missing
