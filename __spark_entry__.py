@@ -1983,6 +1983,16 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source")
 
 
+def dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style exact span dedup (operators/dedup.span_dedup): 10-token
+    spans keep only their first global (doc_id, position) occurrence;
+    documents are reassembled from surviving spans. Catches boilerplate
+    repeated ACROSS documents that whole-doc dedup can't touch — span
+    counts and the reassembled text are both oracle-checked."""
+    docs = _t(spark, sf_dir, "documents")
+    return ddp.span_dedup(docs, "doc_id", "text", span_tokens=10)
+
+
 def sketch_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Engine-portable HyperLogLog (operators/sketch.py): md5-derived
     buckets/registers and an exact integer harmonic sum make the estimate
@@ -2165,6 +2175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- (1) new / changed this round -----------------------------------
         "update_partition_scoped": update_partition_scoped,
+        "dedup_spans": dedup_spans,
         "dedup_incremental": dedup_incremental,
         "storage_buffer_promote": storage_buffer_promote,
         "corpus_pack_sequences": corpus_pack_sequences,
@@ -2563,6 +2574,30 @@ def oracle_sql() -> dict[str, str]:
                         THEN value + 10.0 ELSE value END AS value
             FROM events
             WHERE event_type != 'error'
+        """,
+        "dedup_spans": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS tk
+                FROM documents
+            ), chunks AS (
+                SELECT doc_id, i AS idx,
+                       array_to_string(tk[(i*10+1):(i*10+10)], ' ') AS span
+                FROM toks, LATERAL (
+                    SELECT unnest(generate_series(
+                        0, greatest(CAST(ceil(len(tk)/10.0) AS INT), 1) - 1)) AS i
+                )
+            ), ranked AS (
+                SELECT doc_id, idx, span,
+                       row_number() OVER (PARTITION BY span ORDER BY doc_id, idx) AS rn
+                FROM chunks
+            )
+            SELECT doc_id,
+                   CAST(count(*) AS INT) AS n_spans,
+                   CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS INT) AS n_kept,
+                   coalesce(string_agg(CASE WHEN rn = 1 THEN span END, ' ' ORDER BY idx), '')
+                       AS deduped_text
+            FROM ranked GROUP BY doc_id
         """,
         "pipeline_group_stats": """
             SELECT event_type, count(*) AS n, min(value) AS min_value, max(value) AS max_value

@@ -943,3 +943,67 @@ def connected_components(
         "jumping converges in O(log diameter) rounds — diameter would "
         f"exceed ~2^{max_iter}). Inspect the input pairs or raise max_iter."
     )
+
+
+# ---------------------------------------------------------------------------
+# span-level exact dedup (C4-style repeated-span removal)
+# ---------------------------------------------------------------------------
+
+
+def span_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    span_tokens: int = 10,
+) -> DataFrame:
+    """C4-style exact span dedup ACROSS the corpus: texts are chopped into
+    consecutive non-overlapping ``span_tokens``-token spans; every span
+    keeps only its FIRST global occurrence (ordered by (id, position)),
+    and each document's text is reassembled from its surviving spans.
+    This removes boilerplate repeated across documents (headers, license
+    blocks, navigation chrome) that whole-document dedup can't touch —
+    the standard span-granularity pass of LLM corpus prep, generalizing
+    the reference's whole-record dedup-field matching
+    (ElasticsearchIndexUtils.java:236-251) to intra-document granularity.
+
+    Returns (id, n_spans, n_kept, deduped_text).
+
+    Plan shape at scale: one narrow chop (split + slice, pure codegen),
+    then exactly two shuffles — a window keyed on the span value to rank
+    global occurrences (hash-partitioned; no all-pairs anywhere), and the
+    reassembly groupBy on id. Shuffled rows carry (id, idx, span): bytes
+    scale with corpus size × 1, not with any pairing."""
+    toks = F.split(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")), " ")
+    n_spans = F.greatest(F.ceil(F.size(toks) / F.lit(span_tokens)).cast("int"), F.lit(1))
+    chunks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_spans - 1),
+                lambda i: F.array_join(
+                    F.slice(toks, i * span_tokens + 1, span_tokens), " "
+                ),
+            )
+        ).alias("idx", "span"),
+    )
+    w = Window.partitionBy("span").orderBy("id", "idx")
+    ranked = chunks.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_spans"),
+            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).cast("int").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("rn") == 1, F.struct(F.col("idx"), F.col("span")))
+                        )
+                    ),
+                    lambda s: s.getField("span"),
+                ),
+                " ",
+            ).alias("deduped_text"),
+        )
+        .withColumnRenamed("id", id_col)
+    )

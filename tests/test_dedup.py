@@ -258,3 +258,38 @@ def test_dedup_against_corpus_requires_exactly_one_source(spark):
     store = ddp.MinHashSignatureStore(spark, "a2s_test_sigstore_dummy")
     with pytest.raises(ValueError):
         ddp.dedup_against_corpus(df, df, "doc_id", "text", store=store)
+
+
+def test_span_dedup_removes_cross_doc_spans_keeps_first(spark):
+    """A 4-token span repeated across docs survives only in the earliest
+    (id, position); unique spans all survive; reassembly preserves
+    in-document order."""
+    from pyspark.sql import Row
+
+    boiler = "copyright notice all rights"
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=f"{boiler} alpha beta gamma delta"),
+            Row(doc_id=2, text=f"{boiler} epsilon zeta eta theta"),
+            Row(doc_id=3, text="entirely unique content nothing shared here at all"),
+        ]
+    )
+    out = {r.doc_id: r for r in ddp.span_dedup(docs, "doc_id", "text", span_tokens=4).collect()}
+    assert out[1].deduped_text == f"{boiler} alpha beta gamma delta"
+    assert out[1].n_spans == 2 and out[1].n_kept == 2
+    # doc 2 loses the boilerplate span but keeps its own tail
+    assert out[2].deduped_text == "epsilon zeta eta theta"
+    assert out[2].n_spans == 2 and out[2].n_kept == 1
+    assert out[3].n_kept == out[3].n_spans == 2
+    assert out[3].deduped_text == "entirely unique content nothing shared here at all"
+
+
+def test_span_dedup_partition_independent(spark):
+    from pyspark.sql import Row
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=" ".join(f"w{(i * 7 + j) % 23}" for j in range(25))) for i in range(40)]
+    )
+    a = sorted(ddp.span_dedup(docs, "doc_id", "text", 5).collect())
+    b = sorted(ddp.span_dedup(docs.repartition(13), "doc_id", "text", 5).collect())
+    assert a == b
