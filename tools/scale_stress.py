@@ -90,8 +90,74 @@ def bench_ops(spark, path, label):
     run("repetition", lambda: cp.repetition_score(docs).agg(F.sum("rep_ratio_f6")).collect())
     run("pii_redact", lambda: cp.pii_redact(docs, "text").agg(F.sum(F.length("redacted"))).collect())
     run("stratified", lambda: cp.stratified_sample(docs, "lang", "doc_id", 100).count())
+    run("span_dedup", lambda: ddp.span_dedup(docs, "doc_id", "text", 10)
+        .agg(F.sum("n_kept")).collect())
     print(label, out, flush=True)
     return out
+
+
+def bench_mutation_path(spark, path, label):
+    """The transactional-table scaling claims, measured:
+
+    - tx_update_hot: the table grows with scale but the updated partition
+      is a FIXED-SIZE hot partition — update wall-clock must stay ~flat
+      (rewrite cost follows the touched partition, not the table).
+    - store_incremental: corpus grows with scale, the daily batch is
+      FIXED — per-run dedup cost must grow far slower than the corpus
+      (the store removes O(corpus) re-signing; what remains is a slim
+      columnar scan of stored band keys)."""
+    import tempfile
+
+    from aleph2_contrib_spark.functions.query import Q
+    from aleph2_contrib_spark.functions.update import U
+    from aleph2_contrib_spark.operators import dedup as ddp
+    from aleph2_contrib_spark.sources.txlog import TransactionalTable
+
+    docs = spark.read.parquet(path)
+    docs.count()
+    out = {}
+
+    t = TransactionalTable(
+        spark, tempfile.mkdtemp(prefix="a2s_scale_tx_"), partition_cols=("source",)
+    )
+    t.append(docs)
+    hot = make_hot_docs(spark, 1000)  # fixed-size partition at every scale
+    t.append(hot)
+    t0 = time.perf_counter()
+    t.update_by_spec(Q.all_of().when("source", "hot"), U.update().set("lang", "xx"))
+    out["tx_update_hot"] = round(time.perf_counter() - t0, 2)
+
+    store = ddp.MinHashSignatureStore(
+        spark, f"a2s_scale_store_{label}", num_hashes=64, bands=16,
+        shingle_mode="token", sig_impl="numpy",
+    ).build(docs, "doc_id", "text")
+    batch = make_hot_docs(spark, 2000, id_offset=10_000_000)  # fixed batch
+    t0 = time.perf_counter()
+    ddp.dedup_against_corpus(
+        batch, id_col="doc_id", text_col="text", threshold=0.7,
+        verify="estimate", store=store,
+    ).count()
+    out["store_incremental"] = round(time.perf_counter() - t0, 2)
+    print(label, out, flush=True)
+    return out
+
+
+def make_hot_docs(spark, n, id_offset=5_000_000):
+    return (
+        spark.range(n)
+        .select(
+            (F.col("id") + id_offset).alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(120)),
+                    lambda i: F.concat(F.lit("w"), (F.abs(F.xxhash64(F.col("id"), i)) % 50).cast("string")),
+                ),
+            ).alias("text"),
+            F.lit("hot").alias("source"),
+            F.lit("en").alias("lang"),
+        )
+    )
 
 
 def main():
@@ -102,11 +168,18 @@ def main():
     p2 = make_docs(spark, base * factor, f"/tmp/scale_docs_{factor}x.parquet")
     r1 = bench_ops(spark, p1, "1x")
     r2 = bench_ops(spark, p2, f"{factor}x")
+    m1 = bench_mutation_path(spark, p1, "1x")
+    m2 = bench_mutation_path(spark, p2, f"{factor}x")
     print("--- scaling ratios (ideal <= %d; super-linear = plan problem) ---" % factor)
     for k in r1:
         ratio = r2[k] / r1[k] if r1[k] > 0 else float("inf")
         flag = "  <-- SUPER-LINEAR" if ratio > factor * 1.5 else ""
         print(f"{k:22s} 1x={r1[k]:7.2f}s {factor}x={r2[k]:8.2f}s ratio={ratio:5.1f}{flag}")
+    print("--- fixed-work-under-growing-table ratios (ideal ~1) ---")
+    for k in m1:
+        ratio = m2[k] / m1[k] if m1[k] > 0 else float("inf")
+        flag = "  <-- GROWS WITH TABLE" if ratio > 3.0 else ""
+        print(f"{k:22s} 1x={m1[k]:7.2f}s {factor}x={m2[k]:8.2f}s ratio={ratio:5.1f}{flag}")
 
 
 if __name__ == "__main__":
