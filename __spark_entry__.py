@@ -1983,6 +1983,37 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source")
 
 
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (operators/events.py): users who viewed, then
+    clicked at-or-after the view, then purchased at-or-after the click.
+    One shuffle on user_id; chained windowed mins share the exchange."""
+    from aleph2_contrib_spark.operators.events import funnel_counts
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel_counts(ev, "user_id", "ts", "event_type", ["view", "click", "purchase"])
+
+
+def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-portable Count-Min sketch (operators/sketch.py): md5 hash
+    family, exact integer counters, min-over-rows estimates — any engine
+    reproduces the identical sketch, so the DuckDB oracle replays it
+    bit-for-bit. Top-10 heavy hitters of events.user_id by estimated
+    count, with the exact count alongside (est >= exact always; equality
+    shows the 4x2048 sketch absorbs this key cardinality)."""
+    from aleph2_contrib_spark.operators.sketch import cms_estimate, cms_sketch
+
+    ev = _t(spark, sf_dir, "events")
+    sk = cms_sketch(ev, "user_id")
+    cand = ev.select("user_id").distinct()
+    est = cms_estimate(sk, cand, "user_id")
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_n"))
+    return (
+        est.join(exact, "user_id")
+        .orderBy(F.col("est").desc(), F.col("user_id"))
+        .limit(10)
+    )
+
+
 def dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style exact span dedup (operators/dedup.span_dedup): 10-token
     spans keep only their first global (doc_id, position) occurrence;
@@ -2176,6 +2207,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- (1) new / changed this round -----------------------------------
         "update_partition_scoped": update_partition_scoped,
         "dedup_spans": dedup_spans,
+        "sketch_cms_heavy_hitters": sketch_cms_heavy_hitters,
+        "events_funnel": events_funnel,
         "dedup_incremental": dedup_incremental,
         "storage_buffer_promote": storage_buffer_promote,
         "corpus_pack_sequences": corpus_pack_sequences,
@@ -2574,6 +2607,51 @@ def oracle_sql() -> dict[str, str]:
                         THEN value + 10.0 ELSE value END AS value
             FROM events
             WHERE event_type != 'error'
+        """,
+        "events_funnel": """
+            WITH v AS (
+                SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS t0
+                FROM events GROUP BY user_id
+            ), c AS (
+                SELECT v.user_id, v.t0, min(CASE WHEN e.event_type = 'click' AND e.ts >= v.t0 THEN e.ts END) AS t1
+                FROM v JOIN events e ON e.user_id = v.user_id
+                GROUP BY v.user_id, v.t0
+            ), p AS (
+                SELECT c.user_id, c.t0, c.t1,
+                       min(CASE WHEN e.event_type = 'purchase' AND e.ts >= c.t1 THEN e.ts END) AS t2
+                FROM c JOIN events e ON e.user_id = c.user_id
+                GROUP BY c.user_id, c.t0, c.t1
+            ), agg AS (
+                SELECT count(t0) AS n0, count(t1) AS n1, count(t2) AS n2 FROM p
+            )
+            SELECT 0 AS step_idx, 'view' AS step, n0 AS n_users FROM agg
+            UNION ALL SELECT 1, 'click', n1 FROM agg
+            UNION ALL SELECT 2, 'purchase', n2 FROM agg
+        """,
+        "sketch_cms_heavy_hitters": """
+            WITH pairs AS (
+                SELECT j,
+                       CAST(CAST('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)), 1, 8) AS UBIGINT) % 2048 AS INT) AS k
+                FROM events, LATERAL (SELECT unnest(generate_series(0, 3)) AS j)
+            ), sketch AS (
+                SELECT j, k, count(*) AS n FROM pairs GROUP BY j, k
+            ), cand AS (
+                SELECT DISTINCT user_id FROM events
+            ), probes AS (
+                SELECT c.user_id, j,
+                       CAST(CAST('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || CAST(c.user_id AS VARCHAR)), 1, 8) AS UBIGINT) % 2048 AS INT) AS k
+                FROM cand c, LATERAL (SELECT unnest(generate_series(0, 3)) AS j)
+            ), est AS (
+                SELECT p.user_id, min(coalesce(s.n, 0)) AS est
+                FROM probes p LEFT JOIN sketch s USING (j, k)
+                GROUP BY p.user_id
+            ), exact AS (
+                SELECT user_id, count(*) AS exact_n FROM events GROUP BY user_id
+            )
+            SELECT e.user_id, e.est, x.exact_n
+            FROM est e JOIN exact x USING (user_id)
+            ORDER BY e.est DESC, e.user_id
+            LIMIT 10
         """,
         "dedup_spans": r"""
             WITH toks AS (

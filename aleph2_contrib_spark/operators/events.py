@@ -1,0 +1,82 @@
+"""Event-sequence analytics: ordered funnels over per-user event streams.
+
+The reference's analytics surface delegates event aggregation to its
+backing stores; funnel analysis (how many users performed step A, then B
+at-or-after A, then C at-or-after B, ...) is the canonical ordered-
+sequence aggregate of that family, re-expressed Spark-first.
+
+Plan shape at scale: ONE shuffle on the user key; every funnel step is a
+windowed min over that same partitioning (no orderBy in the window spec,
+so no per-partition sort), and Catalyst reuses the single exchange
+across the chained window nodes. Nothing is ever joined per-event —
+shuffle volume is the event stream once.
+
+Semantics: step i's timestamp is the EARLIEST event of that step type
+at-or-after step i-1's timestamp (inclusive ``>=`` — simultaneous events
+count as ordered); a user whose chain breaks has nulls from that step on.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def funnel_times(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: Sequence[str],
+) -> DataFrame:
+    """Per-user step-completion times: (user, t_0 .. t_{k-1})."""
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    w = Window.partitionBy(user_col)
+    out = df.select(user_col, ts_col, type_col)
+    for i, step in enumerate(steps):
+        cond = F.col(type_col) == F.lit(step)
+        if i > 0:
+            prev = F.col(f"__t{i - 1}")
+            cond = cond & prev.isNotNull() & (F.col(ts_col) >= prev)
+        out = out.withColumn(f"__t{i}", F.min(F.when(cond, F.col(ts_col))).over(w))
+    return out.groupBy(user_col).agg(
+        *[F.min(f"__t{i}").alias(f"t_{i}") for i in range(len(steps))]
+    )
+
+
+def funnel_counts(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: Sequence[str],
+) -> DataFrame:
+    """Funnel summary: one row per step — (step_idx, step, n_users) where
+    n_users = users who completed steps 0..i in order. A single 1-row
+    aggregate pivoted to rows (the per-step counts travel as one tiny
+    row; no per-step jobs)."""
+    times = funnel_times(df, user_col, ts_col, type_col, steps)
+    agg = times.agg(
+        *[
+            F.count(F.when(F.col(f"t_{i}").isNotNull(), 1)).alias(f"n_{i}")
+            for i in range(len(steps))
+        ]
+    )
+    stacked = agg.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("step_idx"),
+                        F.lit(step).alias("step"),
+                        F.col(f"n_{i}").alias("n_users"),
+                    )
+                    for i, step in enumerate(steps)
+                ]
+            )
+        ).alias("s")
+    )
+    return stacked.select("s.step_idx", "s.step", "s.n_users")

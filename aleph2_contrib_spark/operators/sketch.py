@@ -143,3 +143,72 @@ def hll_oracle_sql(source_expr: str, table: str, where: str = "") -> str:
                n_buckets, zeros, CAST(sum_scaled AS DECIMAL(38,0)) AS sum_scaled
         FROM agg
     """
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch: engine-portable frequency estimation / heavy hitters
+# ---------------------------------------------------------------------------
+# Same portability contract as the HLL above: md5 is the hash family
+# (row j hashes value v as md5("j:" || v), first 8 hex chars mod width),
+# counters are exact integers, and the estimate is the min over rows —
+# any engine reproduces the identical sketch AND the identical estimates,
+# so differential tests are exact and sketches built by different engines
+# merge (cms_merge = per-cell sum; CMS is a linear sketch).
+#
+# Plan shape: one narrow pass exploding each value into `depth` (row,
+# cell) pairs, then groupBy(row, cell) count — map-side partial
+# aggregation caps the shuffle at depth x width tiny rows per partition
+# whatever the input size. Estimation broadcasts the <= depth x width
+# sketch and probes it map-side.
+
+_CMS_DEPTH = 4
+_CMS_WIDTH = 2048
+
+
+def _cms_cell(col: Column, j: int, width: int) -> Column:
+    h = F.md5(F.concat(F.lit(f"{j}:"), col.cast("string")))
+    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % F.lit(width)).cast("int")
+
+
+def cms_sketch(df: DataFrame, col: str, depth: int = _CMS_DEPTH, width: int = _CMS_WIDTH) -> DataFrame:
+    """Build the sketch: (__cms_j row, __cms_k cell, __cms_n count) —
+    at most depth x width rows whatever the input size."""
+    pairs = df.select(
+        F.posexplode(
+            F.array(*[_cms_cell(F.col(col), j, width) for j in range(depth)])
+        ).alias("__cms_j", "__cms_k")
+    )
+    return pairs.groupBy("__cms_j", "__cms_k").agg(F.count(F.lit(1)).alias("__cms_n"))
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """CMS is linear: the sketch of a union is the per-cell SUM."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("__cms_j", "__cms_k").agg(F.sum("__cms_n").alias("__cms_n"))
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    values_df: DataFrame,
+    col: str,
+    depth: int = _CMS_DEPTH,
+    width: int = _CMS_WIDTH,
+) -> DataFrame:
+    """Estimated occurrence count for each row of ``values_df[col]``:
+    min over rows of the addressed counters (0 if a cell was never hit).
+    Guaranteed >= the true count; overestimates only via collisions
+    (eps ~ e/width). The sketch is broadcast — probing is map-side, no
+    shuffle of the probe side."""
+    probes = values_df.select(
+        F.col(col),
+        F.posexplode(
+            F.array(*[_cms_cell(F.col(col), j, width) for j in range(depth)])
+        ).alias("__cms_j", "__cms_k"),
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["__cms_j", "__cms_k"], "left")
+        .groupBy(col)
+        .agg(F.min(F.coalesce(F.col("__cms_n"), F.lit(0))).alias("est"))
+    )

@@ -1,0 +1,53 @@
+"""operators/events.py: ordered funnel semantics."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row
+
+from aleph2_contrib_spark.operators.events import funnel_counts, funnel_times
+
+
+def _ev(spark):
+    T = dt.datetime
+    rows = [
+        # u1: full funnel in order
+        Row(user_id=1, ts=T(2024, 1, 1, 10), event_type="view"),
+        Row(user_id=1, ts=T(2024, 1, 1, 11), event_type="click"),
+        Row(user_id=1, ts=T(2024, 1, 1, 12), event_type="purchase"),
+        # u2: purchase BEFORE click — chain breaks at purchase
+        Row(user_id=2, ts=T(2024, 1, 1, 10), event_type="view"),
+        Row(user_id=2, ts=T(2024, 1, 1, 9), event_type="purchase"),
+        Row(user_id=2, ts=T(2024, 1, 1, 11), event_type="click"),
+        # u3: view only
+        Row(user_id=3, ts=T(2024, 1, 1, 10), event_type="view"),
+        # u4: click/purchase but never viewed — not in funnel at all
+        Row(user_id=4, ts=T(2024, 1, 1, 10), event_type="click"),
+        Row(user_id=4, ts=T(2024, 1, 1, 11), event_type="purchase"),
+        # u5: simultaneous view+click (inclusive >=) then purchase
+        Row(user_id=5, ts=T(2024, 1, 1, 10), event_type="view"),
+        Row(user_id=5, ts=T(2024, 1, 1, 10), event_type="click"),
+        Row(user_id=5, ts=T(2024, 1, 1, 11), event_type="purchase"),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_funnel_times_chain_semantics(spark):
+    t = {r.user_id: r for r in funnel_times(_ev(spark), "user_id", "ts", "event_type",
+                                            ["view", "click", "purchase"]).collect()}
+    assert t[1].t_0 and t[1].t_1 and t[1].t_2
+    assert t[2].t_0 is not None and t[2].t_1 is not None and t[2].t_2 is None
+    assert t[3].t_1 is None and t[3].t_2 is None
+    assert t[4].t_0 is None and t[4].t_1 is None  # no view → no chain
+    assert t[5].t_1 == t[5].t_0  # inclusive same-timestamp ordering
+
+
+def test_funnel_counts(spark):
+    out = {r.step: r.n_users for r in funnel_counts(
+        _ev(spark), "user_id", "ts", "event_type", ["view", "click", "purchase"]).collect()}
+    assert out == {"view": 4, "click": 3, "purchase": 2}
+
+
+def test_funnel_rejects_empty_steps(spark):
+    with pytest.raises(ValueError):
+        funnel_times(_ev(spark), "user_id", "ts", "event_type", [])

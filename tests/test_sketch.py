@@ -70,3 +70,36 @@ def test_hll_empty_input_estimates_zero(spark):
     row = hll_estimate(df, "v").collect()[0]
     assert row.est == 0
     assert row.zeros == row.n_buckets + row.zeros  # all buckets empty
+
+
+def test_cms_exact_on_sparse_keys_and_overestimate_bound(spark):
+    from aleph2_contrib_spark.operators.sketch import cms_estimate, cms_sketch
+
+    df = spark.range(1000).select((F.col("id") % 7).cast("string").alias("v"))
+    sk = cms_sketch(df, "v")
+    cand = df.select("v").distinct()
+    est = {r.v: r.est for r in cms_estimate(sk, cand, "v").collect()}
+    exact = {r.v: r["count"] for r in df.groupBy("v").count().collect()}
+    # 7 keys in 4x2048 cells: collisions are impossible to matter — exact
+    assert est == exact
+    # CMS never underestimates, on any key set
+    many = spark.range(5000).select(F.col("id").cast("string").alias("v"))
+    sk2 = cms_sketch(many, "v")
+    est2 = {r.v: r.est for r in cms_estimate(sk2, many.distinct(), "v").collect()}
+    assert all(e >= 1 for e in est2.values())
+
+
+def test_cms_merge_is_union_sketch(spark):
+    from aleph2_contrib_spark.operators.sketch import cms_merge, cms_sketch
+
+    a = spark.range(0, 400).select((F.col("id") % 11).cast("string").alias("v"))
+    b = spark.range(400, 900).select((F.col("id") % 11).cast("string").alias("v"))
+    merged = {
+        (r["__cms_j"], r["__cms_k"]): r["__cms_n"]
+        for r in cms_merge(cms_sketch(a, "v"), cms_sketch(b, "v")).collect()
+    }
+    whole = {
+        (r["__cms_j"], r["__cms_k"]): r["__cms_n"]
+        for r in cms_sketch(a.unionByName(b), "v").collect()
+    }
+    assert merged == whole
