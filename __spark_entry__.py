@@ -1983,6 +1983,15 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source")
 
 
+def text_bigram_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-statistical quality score (operators/text.bigram_rarity):
+    fraction of each doc's word bigrams that are rare in the corpus —
+    the model-free stand-in for perplexity filtering. Integer counts +
+    fixed-point ratio, oracle-exact."""
+    docs = _t(spark, sf_dir, "documents")
+    return txt.bigram_rarity(docs, "doc_id", "text", rare_threshold=2)
+
+
 def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel (operators/events.py): users who viewed, then
     clicked at-or-after the view, then purchased at-or-after the click.
@@ -2209,6 +2218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_spans": dedup_spans,
         "sketch_cms_heavy_hitters": sketch_cms_heavy_hitters,
         "events_funnel": events_funnel,
+        "text_bigram_rarity": text_bigram_rarity,
         "dedup_incremental": dedup_incremental,
         "storage_buffer_promote": storage_buffer_promote,
         "corpus_pack_sequences": corpus_pack_sequences,
@@ -2607,6 +2617,25 @@ def oracle_sql() -> dict[str, str]:
                         THEN value + 10.0 ELSE value END AS value
             FROM events
             WHERE event_type != 'error'
+        """,
+        "text_bigram_rarity": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk
+                FROM documents
+            ), bg AS (
+                SELECT doc_id, tk[i] || ' ' || tk[i+1] AS bigram
+                FROM toks, LATERAL (SELECT unnest(generate_series(1, len(tk) - 1)) AS i)
+                WHERE len(tk) >= 2
+            ), cnt AS (
+                SELECT bigram, count(*) AS c FROM bg GROUP BY bigram
+            )
+            SELECT doc_id,
+                   CAST(count(*) AS INT) AS n_bigrams,
+                   CAST(sum(CASE WHEN c <= 2 THEN 1 ELSE 0 END) AS INT) AS n_rare,
+                   CAST(floor(1000000.0 * sum(CASE WHEN c <= 2 THEN 1 ELSE 0 END) / count(*)) AS BIGINT) AS rare_ratio_f6
+            FROM bg JOIN cnt USING (bigram)
+            GROUP BY doc_id
         """,
         "events_funnel": """
             WITH v AS (

@@ -88,3 +88,23 @@ def test_all_pairs_above(spark, emb):
     got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
     assert (1, 2) in got
     assert all(not ({a, b} == {1, 5}) for a, b in got)
+
+
+def test_bigram_rarity_scores_gibberish_high(spark):
+    from pyspark.sql import Row
+
+    from aleph2_contrib_spark.operators.text import bigram_rarity
+
+    common = "the quick brown fox jumps"
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=common) for i in range(5)]
+        + [Row(doc_id=99, text="zxqv wplk njud qefa hgyt")]  # gibberish
+        + [Row(doc_id=100, text="solo")]  # <2 tokens → dropped
+    )
+    out = {r.doc_id: r for r in bigram_rarity(docs, "doc_id", "text", rare_threshold=2).collect()}
+    assert 100 not in out
+    # common doc's bigrams occur 5x > threshold → rarity 0
+    assert out[0].n_bigrams == 4 and out[0].n_rare == 0 and out[0].rare_ratio_f6 == 0
+    # gibberish bigrams occur once each → all rare
+    assert out[99].n_rare == out[99].n_bigrams == 4
+    assert out[99].rare_ratio_f6 == 1_000_000
