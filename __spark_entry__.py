@@ -2270,7 +2270,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_salted_agg": skew_salted_agg,
         "crud_filtered_repo": crud_filtered_repo,
         "v1_query_extras": v1_query_extras,
-        # ---- first-50 window boundary (round 4) ---------------------------
+        # ---- ~first-50 window boundary (round 4; the 4 entries just above
+        # shifted past it as new gates landed — they wait for round 5) -----
         "file_inbox_consume_archive": file_inbox_consume_archive,
         "file_ingest_binary_roundtrip": file_ingest_binary_roundtrip,
         "graph_vertices": graph_vertices,

@@ -111,11 +111,17 @@ def ivf_build_centroids(
 
     The sample is tiny (n_centroids × ~128 rows) regardless of table size —
     the one deliberate driver-side step; assignment and search stay
-    distributed. Deterministic (seeded sample, fixed iterations)."""
+    distributed. Deterministic: rows are ordered by a seeded hash of the
+    vector (representative + reproducible regardless of partitioning —
+    a bare limit would take a partition-order prefix) and the k-means
+    init indices come from the seeded rng."""
     import numpy as np
 
     sample = (
-        df.select(vec_col).sample(fraction=1.0, seed=seed).limit(sample_rows).collect()
+        df.select(vec_col)
+        .orderBy(F.xxhash64(F.col(vec_col).cast("string"), F.lit(seed)))
+        .limit(sample_rows)
+        .collect()
     )
     X = np.asarray([list(r[0]) for r in sample], dtype=np.float64)
     rng = np.random.RandomState(seed)
@@ -534,3 +540,47 @@ def pq_topk(
     udf = pandas_udf(score_fn, "double")
     scored = df.select(id_col, udf(F.col(codes_col)).alias("adc_d2"))
     return scored.orderBy(F.col("adc_d2").asc(), F.col(id_col).asc()).limit(k)
+
+
+def ivf_pq_topk(
+    df: DataFrame,
+    query_vec,
+    centroids,
+    codebooks,
+    k: int = 10,
+    nprobe: int = 4,
+    refine: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Composed IVF-PQ search — the production ANN shape (a coarse
+    quantizer prunes the scan, PQ codes score candidates without reading
+    float vectors, an exact refine pass re-ranks the short list):
+
+    1. probe the ``nprobe`` cells nearest the query (cell assignment is
+       a narrow Arrow pass; with the table written partitioned by
+       ``__ivf_cell`` the probe is a partition-pruned scan),
+    2. ADC-score the probed rows from their ``m``-byte PQ codes — the
+       only per-row work, m table lookups, no vector reads,
+    3. exact cosine re-rank of the top ``refine * k`` ADC candidates
+       (reads ``refine*k`` float vectors total, a driver-bounded list).
+
+    At 100 TB: step 2's input is nprobe/n_centroids of the table at
+    ~1/32 the bytes (codes vs float32 vectors); step 3 touches a few
+    dozen rows. Returns (id, score) by exact cosine, descending."""
+    import math as _m
+
+    q = list(map(float, query_vec))
+    qn = _m.sqrt(sum(x * x for x in q)) or 1.0
+
+    def cos_q(c):
+        cn = _m.sqrt(sum(x * x for x in c)) or 1.0
+        return sum(a * b for a, b in zip(q, c)) / (qn * cn)
+
+    probe_cells = sorted(range(len(centroids)), key=lambda i: -cos_q(centroids[i]))[:nprobe]
+    assigned = ivf_assign(df, centroids, vec_col)
+    cand = assigned.filter(F.col("__ivf_cell").isin(probe_cells))
+    coded = pq_encode(cand, codebooks, vec_col)
+    short = pq_topk(coded.select(id_col, "pq_codes"), q, codebooks, k=refine * k, id_col=id_col)
+    refined = df.join(F.broadcast(short.select(id_col)), id_col, "inner")
+    return brute_force_topk(refined, q, k, id_col, vec_col)

@@ -224,3 +224,47 @@ def test_pq_codebooks_partition_invariant_and_seeded(spark):
     b1 = pq_train_codebooks(df, m=2, n_codes=4, sample_rows=64, iters=2, seed=7)
     b2 = pq_train_codebooks(df.repartition(13), m=2, n_codes=4, sample_rows=64, iters=2, seed=7)
     assert b1 == b2
+
+
+def test_ivf_pq_topk_composed_recall(spark, sf_dir):
+    """IVF-PQ with full probing and a generous refine must recover the
+    exact top-k head: the refine stage re-ranks by true cosine, so
+    errors can only come from PQ dropping a true neighbor out of the
+    shortlist — averaged overlap must clear a far-above-chance bar."""
+    from aleph2_contrib_spark.operators import similarity as sim
+    from aleph2_contrib_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = sim.ivf_build_centroids(emb, n_centroids=8)
+    books = sim.pq_train_codebooks(emb, m=8, n_codes=64, sample_rows=1024, iters=5)
+    overlaps = []
+    for qid in (1, 2, 3):
+        qvec = [float(x) for x in emb.filter(F.col("vec_id") == qid).select("embedding").head()[0]]
+        approx = {r.vec_id for r in sim.ivf_pq_topk(
+            emb, qvec, cents, books, k=10, nprobe=8, refine=6).collect()}
+        exact = {r.vec_id for r in sim.brute_force_topk(emb, qvec, 10).collect()}
+        overlaps.append(len(exact & approx))
+    assert sum(overlaps) / len(overlaps) >= 5.0, overlaps
+
+
+def test_ivf_pq_prunes_to_probed_cells(spark, sf_dir):
+    """nprobe=1 must only ever score rows of the single probed cell."""
+    from aleph2_contrib_spark.operators import similarity as sim
+    from aleph2_contrib_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = sim.ivf_build_centroids(emb, n_centroids=8)
+    books = sim.pq_train_codebooks(emb, m=8, n_codes=16, sample_rows=512, iters=3)
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 1).select("embedding").head()[0]]
+    out = sim.ivf_pq_topk(emb, qvec, cents, books, k=5, nprobe=1, refine=2)
+    got = {r.vec_id for r in out.collect()}
+    assigned = sim.ivf_assign(emb, cents)
+    import math
+    qn = math.sqrt(sum(x * x for x in qvec)) or 1.0
+    best_cell = max(
+        range(len(cents)),
+        key=lambda i: sum(a * b for a, b in zip(qvec, cents[i]))
+        / (qn * (math.sqrt(sum(x * x for x in cents[i])) or 1.0)),
+    )
+    cell_ids = {r.vec_id for r in assigned.filter(F.col("__ivf_cell") == best_cell).select("vec_id").collect()}
+    assert got <= cell_ids
