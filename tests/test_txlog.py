@@ -318,3 +318,60 @@ def test_idempotent_txn_append(spark):
     assert t.last_txn_version("jobB") == 0
     with pytest.raises(ValueError):
         t.append(_events(spark, 1), txn_app="jobA")  # version missing
+
+
+def test_model_based_random_op_sequences(spark):
+    """Model-based check: a seeded random sequence of append / update /
+    delete / overwrite commits against the commit-log table must match a
+    plain in-memory model of the same operations, after every step. This
+    is the durability analogue of the DSL fuzz suite — it exercises op
+    interleavings (empty touches, partition moves, repeated keys) no
+    hand-written case covers."""
+    import random
+
+    rng = random.Random(20240814)
+    root = tempfile.mkdtemp(prefix="a2s_txlog_model_")
+    t = TransactionalTable(spark, root, partition_cols=("event_type",))
+    model: dict[int, tuple[str, float]] = {}  # event_id -> (event_type, value)
+    next_id = 0
+
+    def snapshot_table():
+        return {
+            r.event_id: (r.event_type, r.value)
+            for r in t.read().collect()
+        }
+
+    for step in range(12):
+        op = rng.choice(["append", "update", "delete", "overwrite"] if model else ["append"])
+        if op == "append":
+            n = rng.randint(1, 8)
+            rows = [
+                (next_id + i, f"t{rng.randint(0, 2)}", float(rng.randint(0, 9)))
+                for i in range(n)
+            ]
+            next_id += n
+            t.append(spark.createDataFrame(rows, "event_id long, event_type string, value double"))
+            for i, ty, v in rows:
+                model[i] = (ty, v)
+        elif op == "update":
+            ty = f"t{rng.randint(0, 2)}"
+            delta = float(rng.randint(1, 5))
+            t.update_by_spec(
+                Q.all_of().when("event_type", ty), U.update().increment("value", delta)
+            )
+            for k, (mt, mv) in list(model.items()):
+                if mt == ty:
+                    model[k] = (mt, mv + delta)
+        elif op == "delete":
+            cut = float(rng.randint(0, 12))
+            t.delete_by_spec(Q.all_of().range_above("value", cut, inclusive=True))
+            model = {k: v for k, v in model.items() if v[1] < cut}
+        else:  # overwrite with a subset
+            keep = {k: v for k, v in model.items() if k % 2 == 0}
+            rows = [(k, ty, v) for k, (ty, v) in keep.items()]
+            t.overwrite(
+                spark.createDataFrame(rows, "event_id long, event_type string, value double")
+            )
+            model = keep
+        got = snapshot_table()
+        assert got == model, f"divergence after step {step} ({op}): {got} != {model}"
