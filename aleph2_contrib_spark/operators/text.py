@@ -111,30 +111,38 @@ def bigram_rarity(
     are dropped (no bigrams). rare_ratio_f6 = floor(1e6 * n_rare /
     n_bigrams) — integer fixed-point, engine-exact.
 
-    Plan shape: narrow bigram explode, ONE groupBy(bigram) count (the
-    corpus LM), a shuffle join of doc-bigrams to counts keyed on the
-    bigram (AQE handles skewed stopword bigrams), then groupBy(id).
-    Everything is counts of strings — no floats until the final f6."""
+    Plan shape: narrow bigram explode, then a COUNT WINDOW partitioned on
+    the bigram (one shuffle — the corpus LM and the per-occurrence lookup
+    in the same pass, no self-join, no recomputed explode), then
+    groupBy(id). Everything is counts of strings — no floats until the
+    final f6."""
+    from pyspark.sql import Window
+
     toks = F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " ")
-    bg = (
-        df.filter(F.size(toks) >= 2)
-        .select(
-            F.col(id_col).alias("id"),
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size(toks) - 1),
-                    lambda i: F.concat_ws(
-                        " ", F.try_element_at(toks, i), F.try_element_at(toks, i + 1)
-                    ),
-                )
-            ).alias("bigram"),
-        )
+    # Materialize the token array behind its own projection BEFORE the
+    # per-bigram lambdas: referenced inline, CollapseProject would splice
+    # the regexp+split chain into every try_element_at call — ~2x tokens
+    # redundant regex evaluations per document (the same trap documented
+    # at shingle_hashes_from_token_hashes).
+    base = df.select(F.col(id_col).alias("id"), toks.alias("__tk")).filter(
+        F.size(F.col("__tk")) >= 2
     )
-    counts = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("__c"))
+    tk = F.col("__tk")
+    bg = base.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(tk) - 1),
+                lambda i: F.concat_ws(
+                    " ", F.try_element_at(tk, i), F.try_element_at(tk, i + 1)
+                ),
+            )
+        ).alias("bigram"),
+    )
+    counted = bg.withColumn("__c", F.count(F.lit(1)).over(Window.partitionBy("bigram")))
     rare = F.when(F.col("__c") <= rare_threshold, 1).otherwise(0)
     return (
-        bg.join(counts, "bigram")
-        .groupBy("id")
+        counted.groupBy("id")
         .agg(
             F.count(F.lit(1)).cast("int").alias("n_bigrams"),
             F.sum(rare).cast("int").alias("n_rare"),
