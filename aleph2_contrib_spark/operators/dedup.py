@@ -974,14 +974,19 @@ def span_dedup(
     reassembly groupBy on id. Shuffled rows carry (id, idx, span): bytes
     scale with corpus size × 1, not with any pairing."""
     toks = F.split(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")), " ")
-    n_spans = F.greatest(F.ceil(F.size(toks) / F.lit(span_tokens)).cast("int"), F.lit(1))
-    chunks = df.select(
-        F.col(id_col).alias("id"),
+    # Token array materialized behind its own projection so the per-span
+    # lambdas don't each re-run the regexp+split chain (CollapseProject
+    # inlining — see shingle_hashes_from_token_hashes).
+    base = df.select(F.col(id_col).alias("id"), toks.alias("__tk"))
+    tk = F.col("__tk")
+    n_spans = F.greatest(F.ceil(F.size(tk) / F.lit(span_tokens)).cast("int"), F.lit(1))
+    chunks = base.select(
+        "id",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), n_spans - 1),
                 lambda i: F.array_join(
-                    F.slice(toks, i * span_tokens + 1, span_tokens), " "
+                    F.slice(tk, i * span_tokens + 1, span_tokens), " "
                 ),
             )
         ).alias("idx", "span"),
