@@ -85,13 +85,21 @@ def lang_id(col: Column) -> Column:
 def rolling_hash_fingerprints(col: Column, window: int = 8) -> Column:
     """Winnowing-style document fingerprints: xxhash64 of each
     ``window``-token shingle, keep the per-document minimum k (here the
-    global min — callers can take bottom-k via array_sort + slice)."""
-    t = tokens(F.lower(col))
-    n = F.greatest(F.size(t) - F.lit(window - 1), F.lit(1))
-    shingles = F.transform(
-        F.sequence(F.lit(0), n - 1), lambda i: F.concat_ws(" ", F.slice(t, i + 1, window))
-    )
-    return F.transform(shingles, lambda s: F.xxhash64(s))
+    global min — callers can take bottom-k via array_sort + slice).
+
+    The token array is bound ONCE as a lambda variable of a 1-element
+    outer transform: referenced inline, the split+trim chain would be
+    re-evaluated for every window position (lambda bodies don't get
+    subexpression elimination) — the bind-once pattern keeps this a pure
+    Column function while paying the tokenization exactly once per row."""
+    def shingle_hashes(t: Column) -> Column:
+        n = F.greatest(F.size(t) - F.lit(window - 1), F.lit(1))
+        return F.transform(
+            F.sequence(F.lit(0), n - 1),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(t, i + 1, window))),
+        )
+
+    return F.transform(F.array(tokens(F.lower(col))), shingle_hashes)[0]
 
 
 def bigram_rarity(
