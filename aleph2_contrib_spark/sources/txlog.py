@@ -580,8 +580,12 @@ class TransactionalTable:
             return rv
         out = transform(self.read(files=touched))
         adds = self._write_files(out)
+        # commit the MERGED schema: an update that sets a brand-new column
+        # must evolve the table schema, or reads (which project the
+        # committed schema) would silently drop the new column
+        _, merged = self._aligned(out.limit(0), schema)
         return self._commit(
-            op, adds, [e.path for e in touched], schema,
+            op, adds, [e.path for e in touched], merged,
             expect_active=[e.path for e in touched], read_version=rv,
         )
 

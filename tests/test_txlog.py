@@ -375,3 +375,36 @@ def test_model_based_random_op_sequences(spark):
             model = keep
         got = snapshot_table()
         assert got == model, f"divergence after step {step} ({op}): {got} != {model}"
+
+
+def test_update_adding_new_column_evolves_schema(spark):
+    """An update that SETs a brand-new column must evolve the committed
+    schema: matched partitions carry the value, untouched partitions read
+    as null (not silently dropped)."""
+    t = _mk(spark)
+    t.update_by_spec(
+        Q.all_of().when("event_type", "t1"), U.update().set("flagged", "yes")
+    )
+    df = t.read()
+    assert "flagged" in df.columns
+    assert df.filter((F.col("event_type") == "t1") & (F.col("flagged") != "yes")).count() == 0
+    assert df.filter((F.col("event_type") != "t1") & F.col("flagged").isNotNull()).count() == 0
+
+
+def test_update_moving_rows_across_partitions(spark):
+    """An update that rewrites the PARTITION column moves rows between
+    partitions inside one atomic commit: new files land under the target
+    partition value, source files retire, nothing is lost or duplicated."""
+    t = _mk(spark)
+    t.update_by_spec(
+        Q.all_of().when("event_type", "t2"), U.update().set("event_type", "t1")
+    )
+    df = t.read()
+    assert df.count() == 60
+    assert df.filter(F.col("event_type") == "t2").count() == 0
+    assert df.filter(F.col("event_type") == "t1").count() == 40  # 20 + moved 20
+    _, files = t.snapshot()
+    assert all(e.partition["event_type"] != "t2" for e in files)
+    # a follow-up partition-pinned mutation sees the moved rows
+    t.delete_by_spec(Q.all_of().when("event_type", "t1"))
+    assert t.read().count() == 20
