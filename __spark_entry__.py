@@ -1983,6 +1983,24 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source")
 
 
+def profile_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (operators/profile.py): fixed-boundary mergeable
+    histogram of events.value over [0, 100] — integer bin counts, exact
+    in any engine — unioned with the one-row DECIMAL-exact summary
+    rendered into the same shape (bin = -1)."""
+    from aleph2_contrib_spark.operators.profile import numeric_histogram, numeric_summary
+
+    ev = _t(spark, sf_dir, "events")
+    hist = numeric_histogram(ev, "value", 0.0, 100.0, bins=20)
+    summary = numeric_summary(ev, "value").select(
+        F.lit(-1).alias("bin"),
+        F.col("min_v").alias("bin_lo"),
+        F.col("max_v").alias("bin_hi"),
+        F.col("n").alias("cnt"),
+    )
+    return hist.unionByName(summary)
+
+
 def text_bigram_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-statistical quality score (operators/text.bigram_rarity):
     fraction of each doc's word bigrams that are rare in the corpus —
@@ -2219,6 +2237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_cms_heavy_hitters": sketch_cms_heavy_hitters,
         "events_funnel": events_funnel,
         "text_bigram_rarity": text_bigram_rarity,
+        "profile_value_histogram": profile_value_histogram,
         "dedup_incremental": dedup_incremental,
         "storage_buffer_promote": storage_buffer_promote,
         "corpus_pack_sequences": corpus_pack_sequences,
@@ -2618,6 +2637,23 @@ def oracle_sql() -> dict[str, str]:
                         THEN value + 10.0 ELSE value END AS value
             FROM events
             WHERE event_type != 'error'
+        """,
+        "profile_value_histogram": """
+            WITH hist AS (
+                SELECT CAST(least(floor((CAST(value AS DOUBLE) - 0.0) / 5.0), 19) AS INT) AS bin,
+                       count(*) AS cnt
+                FROM events
+                WHERE CAST(value AS DOUBLE) >= 0.0 AND CAST(value AS DOUBLE) <= 100.0
+                GROUP BY 1
+            )
+            SELECT bin, 0.0 + bin * 5.0 AS bin_lo, 0.0 + (bin + 1) * 5.0 AS bin_hi, cnt
+            FROM hist
+            UNION ALL
+            SELECT -1,
+                   CAST(min(value) AS DOUBLE),
+                   CAST(max(value) AS DOUBLE),
+                   count(*)
+            FROM events
         """,
         "text_bigram_rarity": r"""
             WITH toks AS (

@@ -1,0 +1,90 @@
+"""Column profiling for ingest QA — the "what did we just load" pass a
+100 TB pipeline runs before training jobs trust a table.
+
+Everything is engine-portable by construction (the project's sketch
+discipline): histogram bins are fixed-boundary integers, summary
+aggregates are exact DECIMAL sums cast to double at the boundary, and
+the distinct estimate is the repo's reproducible HLL — so a profile
+computed by this engine equals one computed by DuckDB (or any engine)
+bit-for-bit, and day-over-day profiles diff meaningfully.
+
+Plan shape: each profile is ONE aggregation pass over the column
+(map-side partial, ≤bins or 1 output rows); the distinct estimate adds
+the HLL's bounded ≤4096-group pass. Nothing is collected beyond the
+final tiny result.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def numeric_histogram(
+    df: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    bins: int = 20,
+) -> DataFrame:
+    """Fixed-boundary histogram of ``col`` over [lo, hi]: rows
+    (bin, bin_lo, bin_hi, cnt), bin width (hi-lo)/bins, values == hi land
+    in the last bin, values outside [lo, hi] are excluded (profile them
+    via ``numeric_summary``'s min/max first). Fixed boundaries — unlike
+    quantile-adaptive bins — make histograms MERGEABLE across partitions,
+    days, and engines: same bins, add the counts."""
+    if not bins > 0 or not hi > lo:
+        raise ValueError("need bins > 0 and hi > lo")
+    w = (hi - lo) / bins
+    c = F.col(col).cast("double")
+    b = F.least(F.floor((c - F.lit(lo)) / F.lit(w)), F.lit(bins - 1)).cast("int")
+    return (
+        df.filter((c >= lo) & (c <= hi))
+        .groupBy(b.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "bin",
+            (F.lit(lo) + F.col("bin") * F.lit(w)).alias("bin_lo"),
+            (F.lit(lo) + (F.col("bin") + 1) * F.lit(w)).alias("bin_hi"),
+            "cnt",
+        )
+    )
+
+
+def numeric_summary(df: DataFrame, col: str) -> DataFrame:
+    """One-row summary: n, n_null, min, max, sum (exact DECIMAL → double),
+    mean (exact sum / n). Engine-stable: no float accumulation anywhere."""
+    c = F.col(col)
+    dec = c.cast("decimal(28,6)")
+    return df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(c.isNull(), 1).otherwise(0)).cast("long").alias("n_null"),
+        F.min(c).cast("double").alias("min_v"),
+        F.max(c).cast("double").alias("max_v"),
+        F.sum(dec).cast("double").alias("sum_v"),
+        (F.sum(dec) / F.count(c)).cast("double").alias("mean_v"),
+    )
+
+
+def profile_column(df: DataFrame, col: str, bins: int = 20) -> dict:
+    """Full profile of a numeric column: summary + reproducible HLL
+    distinct estimate + a histogram spanning the observed [min, max].
+    Returns a plain dict (driver-side — the inputs are one-row/tiny
+    aggregates, not data). Two passes: one for the summary bounds, one
+    for the histogram over them."""
+    from aleph2_contrib_spark.operators.sketch import hll_estimate
+
+    s = numeric_summary(df, col).collect()[0].asDict()
+    est = hll_estimate(df.filter(F.col(col).isNotNull()), col).collect()[0].est
+    out = dict(s)
+    out["distinct_est"] = est
+    if s["min_v"] is not None and s["max_v"] is not None and s["max_v"] > s["min_v"]:
+        out["histogram"] = [
+            r.asDict()
+            for r in numeric_histogram(df, col, s["min_v"], s["max_v"], bins)
+            .orderBy("bin")
+            .collect()
+        ]
+    else:
+        out["histogram"] = []
+    return out

@@ -1,0 +1,42 @@
+"""operators/profile.py: engine-portable column profiling."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from aleph2_contrib_spark.operators.profile import (
+    numeric_histogram,
+    numeric_summary,
+    profile_column,
+)
+
+
+def test_histogram_bins_and_boundaries(spark):
+    df = spark.range(100).select((F.col("id") % 10).cast("double").alias("v"))
+    out = {r.bin: r.cnt for r in numeric_histogram(df, "v", 0.0, 10.0, bins=5).collect()}
+    # width 2: values {0..9} → bins 0..4, 20 each
+    assert out == {0: 20, 1: 20, 2: 20, 3: 20, 4: 20}
+    # value == hi lands in the LAST bin, outside excluded
+    df2 = spark.createDataFrame([(0.0,), (10.0,), (11.0,), (-1.0,)], "v double")
+    out2 = {r.bin: r.cnt for r in numeric_histogram(df2, "v", 0.0, 10.0, bins=5).collect()}
+    assert out2 == {0: 1, 4: 1}
+    with pytest.raises(ValueError):
+        numeric_histogram(df, "v", 5.0, 5.0, bins=5)
+
+
+def test_histogram_is_mergeable(spark):
+    a = spark.range(0, 500).select((F.col("id") % 37).cast("double").alias("v"))
+    b = spark.range(500, 900).select((F.col("id") % 37).cast("double").alias("v"))
+    whole = {r.bin: r.cnt for r in numeric_histogram(a.unionByName(b), "v", 0.0, 40.0, 8).collect()}
+    pa = {r.bin: r.cnt for r in numeric_histogram(a, "v", 0.0, 40.0, 8).collect()}
+    pb = {r.bin: r.cnt for r in numeric_histogram(b, "v", 0.0, 40.0, 8).collect()}
+    merged = {k: pa.get(k, 0) + pb.get(k, 0) for k in set(pa) | set(pb)}
+    assert merged == whole
+
+
+def test_summary_and_profile(spark):
+    df = spark.createDataFrame([(1.0,), (2.0,), (3.0,), (None,)], "v double")
+    s = numeric_summary(df, "v").collect()[0]
+    assert (s.n, s.n_null, s.min_v, s.max_v, s.sum_v, s.mean_v) == (4, 1, 1.0, 3.0, 6.0, 2.0)
+    p = profile_column(df, "v", bins=2)
+    assert p["distinct_est"] == 3  # small-range HLL is exact here
+    assert sum(h["cnt"] for h in p["histogram"]) == 3
