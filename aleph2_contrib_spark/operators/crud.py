@@ -109,15 +109,24 @@ class CrudService:
         return rows[0].asDict(recursive=True) if rows else None
 
     def get_object_by_spec(self, spec) -> dict | None:
-        rows = apply_query(self.df, spec).limit(1).collect()
+        rows = self.get_objects_by_spec(spec).limit(1).collect()
         return rows[0].asDict(recursive=True) if rows else None
 
     def get_objects_by_spec(self, spec) -> DataFrame:
+        if self.table is not None:
+            # file-level pruning from the commit log (partition values,
+            # zone maps, Blooms) before the full predicate
+            return self.table.read_with_query(spec)
         return apply_query(self.df, spec)
 
     def count_objects(self, spec=None) -> int:
         if spec is None:
             return self.df.count()
+        if self.table is not None:
+            # pruned scan + predicate only (count ignores the spec's
+            # limit/ordering/projection, like the non-table path)
+            pruned = self.table.read_pruned(spec)
+            return pruned.filter(compile_query(spec, pruned.schema)).count()
         return self.df.filter(compile_query(spec, self.df.schema)).count()
 
     def get_meta_model(self) -> dict:

@@ -97,6 +97,31 @@ class FileEntry:
     # per-column [min, max] over the file's non-null values (zone map);
     # None/missing column = no stats recorded → file is never skipped
     stats: dict[str, list] | None = None
+    # per-column Bloom filter (hex of an m-bit integer) for equality
+    # skipping; None/missing column = never skipped
+    bloom: dict[str, str] | None = None
+
+
+_BLOOM_M = 1024
+_BLOOM_K = 4
+
+
+def _bloom_positions(v: Any) -> list[int]:
+    """The k bit positions of a value — md5 double-hash family, same
+    canonical string form on both the build (Spark cast-to-string) and
+    probe (python) sides."""
+    import hashlib
+
+    s = _pstr(v)
+    return [
+        int(hashlib.md5(f"{j}:{s}".encode()).hexdigest()[:8], 16) % _BLOOM_M
+        for j in range(_BLOOM_K)
+    ]
+
+
+def _bloom_may_contain(hex_bits: str, v: Any) -> bool:
+    bits = int(hex_bits, 16)
+    return all((bits >> p) & 1 for p in _bloom_positions(v))
 
 
 def _pstr(v: Any) -> str | None:
@@ -171,6 +196,14 @@ class TransactionalTable:
     files from log metadata alone — e.g. a table appended in id order
     gets O(1)-file by-id updates without any partition on id. One extra
     scan of the JUST-WRITTEN files per write pays for it.
+
+    ``bloom_cols`` adds a per-file Bloom filter (m=1024 bits, k=4, md5
+    double hashing) for EQUALITY skipping on columns with no useful
+    ordering — the zone map of an unordered id column spans everything,
+    but its Bloom answers "definitely not in this file" for point
+    lookups/deletes with ~2% false-positive rate at 100 values/file
+    (a false positive only costs reading one extra file). 256 hex chars
+    per column per file in the log.
     """
 
     def __init__(
@@ -179,11 +212,13 @@ class TransactionalTable:
         root: str,
         partition_cols: Sequence[str] = (),
         stats_cols: Sequence[str] = (),
+        bloom_cols: Sequence[str] = (),
     ):
         self.spark = spark
         self.root = root
         self.partition_cols = tuple(partition_cols)
         self.stats_cols = tuple(stats_cols)
+        self.bloom_cols = tuple(bloom_cols)
 
     # -- log plumbing ------------------------------------------------------
     def _log_dir(self) -> str:
@@ -240,7 +275,7 @@ class TransactionalTable:
                 active.pop(path, None)
             for a in rec.get("add", []):
                 active[a["path"]] = FileEntry(
-                    a["path"], a.get("partition", {}), a.get("stats")
+                    a["path"], a.get("partition", {}), a.get("stats"), a.get("bloom")
                 )
         return schema, list(active.values())
 
@@ -268,6 +303,7 @@ class TransactionalTable:
             "add": [
                 {"path": e.path, "partition": e.partition}
                 | ({"stats": e.stats} if e.stats else {})
+                | ({"bloom": e.bloom} if e.bloom else {})
                 for e in add
             ],
             "remove": list(remove),
@@ -327,28 +363,55 @@ class TransactionalTable:
                 part[k] = None if val == _HIVE_NULL else val
             entries.append(FileEntry(rel, part))
             paths.append(f)
-        stats = self._collect_stats(df.schema, paths)
-        if stats:
+        stats, blooms = self._collect_stats(df.schema, paths)
+        if stats or blooms:
             entries = [
-                FileEntry(e.path, e.partition, stats.get(os.path.join(self.root, e.path)))
+                FileEntry(
+                    e.path,
+                    e.partition,
+                    stats.get(os.path.join(self.root, e.path)),
+                    blooms.get(os.path.join(self.root, e.path)),
+                )
                 for e in entries
             ]
         return entries
 
     def _collect_stats(
         self, schema: T.StructType, paths: list[str]
-    ) -> dict[str, dict[str, list]]:
-        """Per-file [min, max] of every stats column, in ONE Spark job over
-        the just-written files only (grouped on input_file_name). Returns
-        {abs path: {col: [min, max]}}; columns entirely null in a file are
-        omitted (no stats → never skipped)."""
-        cols = [c for c in self.stats_cols if c in {f.name for f in schema.fields}]
-        if not cols or not paths:
-            return {}
+    ) -> tuple[dict[str, dict[str, list]], dict[str, dict[str, str]]]:
+        """Per-file [min, max] of every stats column and per-file Bloom
+        bits of every bloom column, in ONE Spark job over the just-written
+        files only (grouped on input_file_name). Returns ({abs path:
+        {col: [min, max]}}, {abs path: {col: hex_bits}}); columns entirely
+        null in a file are omitted (no metadata → never skipped)."""
+        names = {f.name for f in schema.fields}
+        cols = [c for c in self.stats_cols if c in names]
+        bcols = [c for c in self.bloom_cols if c in names]
+        if (not cols and not bcols) or not paths:
+            return {}, {}
         aggs = []
         for c in cols:
             aggs.append(F.min(c).alias(f"__mn_{c}"))
             aggs.append(F.max(c).alias(f"__mx_{c}"))
+        for c in bcols:
+            pos = F.array(
+                *[
+                    (
+                        F.conv(
+                            F.substring(
+                                F.md5(F.concat(F.lit(f"{j}:"), F.col(c).cast("string"))), 1, 8
+                            ),
+                            16,
+                            10,
+                        ).cast("long")
+                        % _BLOOM_M
+                    ).cast("int")
+                    for j in range(_BLOOM_K)
+                ]
+            )
+            aggs.append(
+                F.array_distinct(F.flatten(F.collect_list(pos))).alias(f"__bl_{c}")
+            )
         rows = (
             self.spark.read.schema(schema)
             .parquet(*paths)
@@ -356,7 +419,8 @@ class TransactionalTable:
             .agg(*aggs)
             .collect()
         )
-        out: dict[str, dict[str, list]] = {}
+        stats_out: dict[str, dict[str, list]] = {}
+        bloom_out: dict[str, dict[str, str]] = {}
         for r in rows:
             key = urllib.parse.unquote(urllib.parse.urlparse(r["__f"]).path)
             st = {
@@ -365,8 +429,18 @@ class TransactionalTable:
                 if r[f"__mn_{c}"] is not None
             }
             if st:
-                out[key] = st
-        return out
+                stats_out[key] = st
+            bl = {}
+            for c in bcols:
+                positions = r[f"__bl_{c}"]
+                if positions:
+                    bits = 0
+                    for p in positions:
+                        bits |= 1 << p
+                    bl[c] = f"{bits:x}"
+            if bl:
+                bloom_out[key] = bl
+        return stats_out, bloom_out
 
     def _aligned(self, df: DataFrame, schema: T.StructType | None) -> tuple[DataFrame, T.StructType]:
         """Align ``df`` to the table schema with add-column evolution:
@@ -441,17 +515,22 @@ class TransactionalTable:
         paths = [os.path.join(self.root, e.path) for e in active]
         return self.spark.read.schema(schema).parquet(*paths)
 
-    def read_with_query(self, spec: SingleQuery | MultiQuery) -> DataFrame:
-        """Pruned read: file-level partition pruning from the spec's static
-        partition constraints (pure log metadata — no scan of excluded
-        files), then the full predicate on the survivors."""
+    def read_pruned(self, spec: SingleQuery | MultiQuery) -> DataFrame:
+        """The snapshot restricted to files the spec could possibly match
+        (partition values + zone maps + Blooms, pure log metadata — no
+        scan of excluded files). The spec's predicate is NOT applied —
+        callers compose their own filter/count/projection on top."""
         schema, active = self.snapshot()
         if schema is None:
             raise FileNotFoundError(f"no commits at {self.root}")
-        active = self._prune_files(active, spec)
+        return self.read(files=self._prune_files(active, spec))
+
+    def read_with_query(self, spec: SingleQuery | MultiQuery) -> DataFrame:
+        """Pruned read + the full query semantics (predicate, projection,
+        ordering, limit) on the survivors."""
         from aleph2_contrib_spark.functions.query import apply_query
 
-        return apply_query(self.read(files=active), spec)
+        return apply_query(self.read_pruned(spec), spec)
 
     # -- partition-scoped mutations ---------------------------------------
     def _static_constraints(self, spec) -> dict[str, list[tuple]]:
@@ -462,7 +541,7 @@ class TransactionalTable:
         ("in", [raw values...]) from equals/any_of, and
         ("range", lo, lo_incl, hi, hi_incl). Empty dict = nothing static
         (mutations fall back to a probe)."""
-        prunable = set(self.partition_cols) | set(self.stats_cols)
+        prunable = set(self.partition_cols) | set(self.stats_cols) | set(self.bloom_cols)
         out: dict[str, list[tuple]] = {}
 
         def visit(node):
@@ -504,15 +583,21 @@ class TransactionalTable:
         return out
 
     def _prune_files(self, active: list[FileEntry], spec) -> list[FileEntry]:
-        """Log-metadata pruning: partition-value match + zone-map overlap.
-        Files lacking stats for a constrained column are conservatively
-        kept."""
+        """Log-metadata pruning: partition-value match + zone-map overlap +
+        Bloom membership for equality terms. Files lacking metadata for a
+        constrained column are conservatively kept."""
         sets = self._static_partition_sets(spec)
         if sets:
             active = [e for e in active if _partition_matches(e, sets)]
         cons = self._static_constraints(spec)
         stat_cons = {c: v for c, v in cons.items() if c in self.stats_cols}
-        if not stat_cons:
+        bloom_cons = {
+            c: [con for con in v if con[0] == "in"]
+            for c, v in cons.items()
+            if c in self.bloom_cols
+        }
+        bloom_cons = {c: v for c, v in bloom_cons.items() if v}
+        if not stat_cons and not bloom_cons:
             return active
 
         def keep(e: FileEntry) -> bool:
@@ -528,6 +613,15 @@ class TransactionalTable:
                         _, lo, lo_incl, hi, hi_incl = con
                         if not _overlaps(st, lo, lo_incl, hi, hi_incl):
                             return False
+            for col, clist in bloom_cons.items():
+                bl = (e.bloom or {}).get(col)
+                if bl is None:
+                    continue
+                for con in clist:
+                    # the file can match only if SOME candidate value may
+                    # be present ("definitely absent" for all → skip)
+                    if not any(_bloom_may_contain(bl, v) for v in con[1]):
+                        return False
             return True
 
         return [e for e in active if keep(e)]

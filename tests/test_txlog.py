@@ -408,3 +408,34 @@ def test_update_moving_rows_across_partitions(spark):
     # a follow-up partition-pinned mutation sees the moved rows
     t.delete_by_spec(Q.all_of().when("event_type", "t1"))
     assert t.read().count() == 20
+
+
+def test_bloom_skipping_on_unordered_point_lookup(spark):
+    """Bloom file skipping: appends of DISJOINT but UNORDERED id sets get
+    per-file Blooms; a by-id mutation skips every file whose Bloom says
+    'definitely absent' — the zone map alone can't help because each
+    file's [min, max] spans nearly the whole domain."""
+    root = tempfile.mkdtemp(prefix="a2s_txlog_bloom_")
+    t = TransactionalTable(spark, root, bloom_cols=("event_id",))
+    # three appends with interleaved ids: 0,3,6..., 1,4,7..., 2,5,8...
+    for start in (0, 1, 2):
+        batch = spark.range(20).select(
+            (F.col("id") * 3 + start).alias("event_id"), F.lit(1.0).alias("value")
+        ).coalesce(1)
+        t.append(batch)
+    _, files = t.snapshot()
+    assert all(e.bloom and "event_id" in e.bloom for e in files)
+    # id 30 lives in the start=0 file only (30 % 3 == 0)
+    touched, untouched = t._touched(Q.all_of().when("event_id", 30))
+    assert len(touched) == 1 and len(untouched) == 2
+    before = _file_hashes(t)
+    t.update_by_spec(Q.all_of().when("event_id", 30), U.update().set("value", 5.0))
+    after = _file_hashes(t)
+    for e in untouched:
+        assert after.get(e.path) == before[e.path]
+    assert t.read().filter(F.col("event_id") == 30).collect()[0].value == 5.0
+    assert t.read().count() == 60
+    # pruned reads through the CrudService route
+    svc = CrudService(spark, table=t)
+    assert svc.count_objects(Q.all_of().when("event_id", 30)) == 1
+    assert svc.get_object_by_spec(Q.all_of().when("event_id", 31))["value"] == 1.0
