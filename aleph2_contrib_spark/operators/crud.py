@@ -161,10 +161,14 @@ class CrudService:
         repartitionByRange, equal key values stay scattered across every
         file and per-file min/max stats span the whole domain (no
         selectivity); a no-op for in-memory repos."""
-        if self.path is None:
+        if self.path is None and self.table is None:
             return
         self._registered_indexes = getattr(self, "_registered_indexes", [])
         self._registered_indexes.append(tuple(ordered_fields))
+        if self.table is not None:
+            # log-committed clustering: zone maps become the index
+            self.table.optimize(ordered_fields)
+            return
         self._rewrite(
             self.df.repartitionByRange(*ordered_fields).sortWithinPartitions(*ordered_fields)
         )

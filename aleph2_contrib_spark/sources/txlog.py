@@ -718,6 +718,35 @@ class TransactionalTable:
         )
 
     # -- maintenance -------------------------------------------------------
+    def optimize(self, sort_cols: Sequence[str], files_per_range: int = 1) -> int:
+        """C16 optimizeQuery as a log commit: rewrite the table clustered
+        on ``sort_cols`` (range-partitioned THEN sorted within files), so
+        each data file covers a narrow [min, max] slice and the zone maps
+        recorded at write time become sharply selective — point lookups
+        and range scans on those columns then touch O(1) files. The old
+        files retire in the same atomic commit; in-flight readers keep
+        their snapshot (vacuum grace), unlike an in-place rewrite.
+
+        The parquet table format's Z-ORDER analogue, reduced to the
+        single-dimension case the reference's optimizeQuery models
+        (MongoDbCrudService.java:297-322 creates a secondary index on the
+        field list; here the LAYOUT is the index and the commit log holds
+        its statistics)."""
+        rv = self.latest_version()
+        schema, active = self.snapshot(rv if rv else None)
+        if schema is None:
+            raise FileNotFoundError(f"no commits at {self.root}")
+        if not active:
+            return rv
+        df = self.read(files=active).repartitionByRange(
+            max(1, len(active) // max(1, files_per_range)) or 1, *sort_cols
+        ).sortWithinPartitions(*sort_cols)
+        adds = self._write_files(df)
+        return self._commit(
+            "optimize", adds, [e.path for e in active], schema,
+            expect_active=[e.path for e in active], read_version=rv,
+        )
+
     def compact(self, target_files_per_partition: int = 1) -> int | None:
         """Small-file compaction as a log commit: per partition value,
         coalesce that partition's files when it has more than the target.

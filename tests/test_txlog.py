@@ -439,3 +439,31 @@ def test_bloom_skipping_on_unordered_point_lookup(spark):
     svc = CrudService(spark, table=t)
     assert svc.count_objects(Q.all_of().when("event_id", 30)) == 1
     assert svc.get_object_by_spec(Q.all_of().when("event_id", 31))["value"] == 1.0
+
+
+def test_optimize_clusters_files_making_zone_maps_selective(spark):
+    """Before optimize, interleaved appends give every file a domain-wide
+    [min, max] (zone maps useless). optimize() re-clusters as a log
+    commit; afterwards a by-id mutation touches exactly one file."""
+    root = tempfile.mkdtemp(prefix="a2s_txlog_opt_")
+    t = TransactionalTable(spark, root, stats_cols=("event_id",))
+    for start in (0, 1, 2):
+        t.append(
+            spark.range(20).select(
+                (F.col("id") * 3 + start).alias("event_id"), F.lit(1.0).alias("value")
+            ).coalesce(1)
+        )
+    touched, _ = t._touched(Q.all_of().when("event_id", 30))
+    assert len(touched) == 3  # every file's range covers id 30
+    t.optimize(["event_id"])
+    _, files = t.snapshot()
+    assert len(files) >= 2
+    # ranges are now disjoint slices
+    spans = sorted(tuple(e.stats["event_id"]) for e in files)
+    for (a_lo, a_hi), (b_lo, b_hi) in zip(spans, spans[1:]):
+        assert a_hi < b_lo
+    touched2, untouched2 = t._touched(Q.all_of().when("event_id", 30))
+    assert len(touched2) == 1 and len(untouched2) == len(files) - 1
+    assert t.read().count() == 60
+    # old reader snapshot still valid (files retired, not deleted)
+    assert t.read(version=3).count() == 60
