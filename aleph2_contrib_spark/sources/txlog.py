@@ -484,6 +484,65 @@ class TransactionalTable:
             "append", self._write_files(aligned), [], new_schema, read_version=rv, txn=txn
         )
 
+    def merge_by_key(
+        self,
+        df: DataFrame,
+        key_cols: Sequence[str],
+        txn_app: str | None = None,
+        txn_version: int | None = None,
+    ) -> int:
+        """MERGE INTO by key: rows of ``df`` REPLACE existing rows with
+        the same ``key_cols`` tuple and insert otherwise — one atomic
+        commit. The upsert primitive a streaming update-mode aggregate
+        needs (each micro-batch emits changed groups; merging them keeps
+        the table equal to the current aggregate state), and the
+        reference's storeObjects(replace_if_present) semantics
+        (ElasticsearchCrudService.java:388-454) at file granularity.
+
+        Only candidate files are rewritten: files are pruned by zone-map
+        overlap with the incoming keys' [min, max] (per key column) —
+        configure ``stats_cols`` on the merge keys (plus ``optimize`` for
+        clustering) to keep the rewrite O(touched), not O(table). Files
+        without stats are conservatively rewritten. Supports the same
+        idempotent (txn_app, txn_version) markers as append."""
+        if (txn_app is None) != (txn_version is None):
+            raise ValueError("pass BOTH txn_app and txn_version, or neither")
+        if txn_app is not None and self.last_txn_version(txn_app) >= txn_version:
+            return self.latest_version()
+        rv = self.latest_version()
+        schema, active = self.snapshot(rv if rv else None)
+        txn = {"app": txn_app, "version": txn_version} if txn_app is not None else None
+        if schema is None:
+            return self._commit(
+                "merge_by_key", self._write_files(df), [], df.schema, read_version=rv, txn=txn
+            )
+        aligned, merged_schema = self._aligned(df, schema)
+        keys = aligned.select(*key_cols).dropDuplicates(list(key_cols))
+        # zone-map candidate pruning from the incoming keys' bounds
+        stat_keys = [c for c in key_cols if c in self.stats_cols]
+        touched = active
+        if stat_keys:
+            bounds = keys.agg(
+                *[F.min(c).alias(f"__lo_{c}") for c in stat_keys],
+                *[F.max(c).alias(f"__hi_{c}") for c in stat_keys],
+            ).collect()[0]
+            touched = [
+                e
+                for e in active
+                if all(
+                    (e.stats or {}).get(c) is None
+                    or _overlaps(e.stats[c], bounds[f"__lo_{c}"], True, bounds[f"__hi_{c}"], True)
+                    for c in stat_keys
+                )
+            ]
+        survivors = self.read(files=touched).join(keys, list(key_cols), "left_anti")
+        out = survivors.unionByName(aligned, allowMissingColumns=True)
+        adds = self._write_files(out)
+        return self._commit(
+            "merge_by_key", adds, [e.path for e in touched], merged_schema,
+            expect_active=[e.path for e in touched], read_version=rv, txn=txn,
+        )
+
     def last_txn_version(self, app: str) -> int:
         """Highest committed txn version for ``app`` (-1 if none)."""
         best = -1

@@ -132,14 +132,23 @@ def streaming_dedup(
     return stream_df.dropDuplicates(keys)
 
 
-def transactional_sink(table, app_id: str):
+def transactional_sink(table, app_id: str, merge_keys: list[str] | None = None):
     """Exactly-once streaming sink into a TransactionalTable: each
-    micro-batch appends under an idempotent (app_id, batch_id) txn marker,
+    micro-batch commits under an idempotent (app_id, batch_id) txn marker,
     so a checkpoint-replayed batch commits nothing the second time —
     at-least-once foreachBatch delivery becomes exactly-once table
     contents (the commit-log analogue of the reference's Storm ack
     guarantee upgraded by a transactional store; same design as table-
-    format writer txn identifiers). Use directly::
+    format writer txn identifiers).
+
+    Two modes:
+    - append (default): raw event ingestion.
+    - ``merge_keys``: micro-batches UPSERT by key — the sink for an
+      update-mode streaming aggregate, whose batches carry only the
+      CHANGED groups; merging them keeps the table equal to the current
+      aggregate state at every commit.
+
+    Use directly::
 
         stream.writeStream.foreachBatch(transactional_sink(t, "job1"))
               .option("checkpointLocation", ckpt).start()
@@ -157,7 +166,10 @@ def transactional_sink(table, app_id: str):
         else:
             stage, df, batch_id = args
             app = f"{app_id}/{stage}"
-        table.append(df, txn_app=app, txn_version=int(batch_id))
+        if merge_keys:
+            table.merge_by_key(df, merge_keys, txn_app=app, txn_version=int(batch_id))
+        else:
+            table.append(df, txn_app=app, txn_version=int(batch_id))
 
     return sink
 

@@ -389,3 +389,42 @@ def test_transactional_sink_exactly_once(spark, tmp_path, stream_dir):
     # a genuinely new batch id appends
     sink(batch0.limit(1), 1)
     assert t.read().count() == 4
+
+
+def test_update_mode_aggregate_merges_into_table(spark, tmp_path, stream_dir):
+    """The streaming-materialized-view shape: an update-mode aggregate
+    emits only CHANGED groups per micro-batch; the merge sink upserts
+    them, so after every commit the table equals the batch aggregate of
+    all data seen. Second batch arrives → changed groups overwrite."""
+    from aleph2_contrib_spark.sources.txlog import TransactionalTable
+    from aleph2_contrib_spark.streaming.runner import transactional_sink
+
+    t = TransactionalTable(spark, str(tmp_path / "agg_table"))
+    sink = transactional_sink(t, "agg", merge_keys=["event_type"])
+    ckpt = str(tmp_path / "ckpt_agg")
+
+    def run_once():
+        stream = json_file_stream(spark, stream_dir, SCHEMA)
+        agg = stream.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("value").alias("total")
+        )
+        q = agg.writeStream.outputMode("update").foreachBatch(sink).option(
+            "checkpointLocation", ckpt
+        ).trigger(availableNow=True).start()
+        q.awaitTermination(60)
+
+    run_once()
+    got = {r.event_type: (r.n, r.total) for r in t.read().collect()}
+    assert got == {"click": (2, 10.0), "view": (1, 2.0)}
+
+    # second file arrives: click count changes, new type appears
+    write_batch(
+        stream_dir, "b2.json",
+        [
+            {"event_id": "e4", "event_time": "2020-03-01T00:00:00", "user_id": 4, "event_type": "click", "value": 5.0},
+            {"event_id": "e5", "event_time": "2020-03-02T00:00:00", "user_id": 5, "event_type": "purchase", "value": 7.0},
+        ],
+    )
+    run_once()
+    got = {r.event_type: (r.n, r.total) for r in t.read().collect()}
+    assert got == {"click": (3, 15.0), "view": (1, 2.0), "purchase": (1, 7.0)}

@@ -467,3 +467,57 @@ def test_optimize_clusters_files_making_zone_maps_selective(spark):
     assert t.read().count() == 60
     # old reader snapshot still valid (files retired, not deleted)
     assert t.read(version=3).count() == 60
+
+
+def test_merge_by_key_upserts_and_prunes(spark):
+    """MERGE by key: matching keys replaced, new keys inserted, one
+    commit; with clustered stats, files outside the incoming keys'
+    range stay byte-identical."""
+    root = tempfile.mkdtemp(prefix="a2s_txlog_merge_")
+    t = TransactionalTable(spark, root, stats_cols=("event_id",))
+    for lo in (0, 20, 40):
+        t.append(
+            spark.range(lo, lo + 20).select(
+                F.col("id").alias("event_id"), F.lit(1.0).alias("value")
+            ).coalesce(1)
+        )
+    before = _file_hashes(t)
+    _, active = t.snapshot()
+    incoming = spark.createDataFrame(
+        [(5, 100.0), (7, 200.0), (60, 300.0)], "event_id long, value double"
+    )
+    t.merge_by_key(incoming, ["event_id"])
+    df = t.read()
+    assert df.count() == 61  # 60 - 2 replaced + 3 incoming
+    got = {r.event_id: r.value for r in df.filter(F.col("event_id").isin(5, 7, 60)).collect()}
+    assert got == {5: 100.0, 7: 200.0, 60: 300.0}
+    # files covering [20,39] and [40,59] are outside [5,60]? 60 overlaps [40,59]? no — 60 > 59;
+    # bounds are [5, 60] so ALL ranges overlapping [5,60] rewrite; [20,39] and [40,59] overlap.
+    # Narrow-merge case: keys within one file's range
+    before2 = _file_hashes(t)
+    _, active2 = t.snapshot()
+    t.merge_by_key(
+        spark.createDataFrame([(21, 9.0)], "event_id long, value double"), ["event_id"]
+    )
+    after2 = _file_hashes(t)
+    for e in active2:
+        lo, hi = e.stats["event_id"]
+        if hi < 21 or lo > 21:
+            assert after2.get(e.path) == before2[e.path], f"pruned file {e.path} changed"
+    assert t.read().filter(F.col("event_id") == 21).collect()[0].value == 9.0
+    assert t.history()[-1]["op"] == "merge_by_key"
+
+
+def test_merge_by_key_idempotent_txn(spark):
+    root = tempfile.mkdtemp(prefix="a2s_txlog_mtx_")
+    t = TransactionalTable(spark, root)
+    inc = spark.createDataFrame([(1, 1.0)], "k long, v double")
+    t.merge_by_key(inc, ["k"], txn_app="agg", txn_version=0)
+    t.merge_by_key(inc, ["k"], txn_app="agg", txn_version=0)  # replay
+    assert t.read().count() == 1
+    t.merge_by_key(
+        spark.createDataFrame([(1, 2.0), (2, 5.0)], "k long, v double"),
+        ["k"], txn_app="agg", txn_version=1,
+    )
+    got = {r.k: r.v for r in t.read().collect()}
+    assert got == {1: 2.0, 2: 5.0}
