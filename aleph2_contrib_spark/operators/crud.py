@@ -121,6 +121,10 @@ class CrudService:
 
     def count_objects(self, spec=None) -> int:
         if spec is None:
+            if self.table is not None:
+                n = self.table.count_rows()  # metadata-only when tracked
+                if n is not None:
+                    return n
             return self.df.count()
         if self.table is not None:
             # pruned scan + predicate only (count ignores the spec's
@@ -185,7 +189,11 @@ class CrudService:
 
     # -- write surface (C4-C6, C13-C15) ------------------------------------
     def store_objects(self, new_df: DataFrame, replace_if_present: bool = False, id_field: str = "_id") -> None:
-        if replace_if_present and id_field in self.df.columns:
+        if replace_if_present and self.table is not None and id_field in self.df.columns:
+            # upsert-by-id = MERGE: one commit, candidate files pruned by
+            # the incoming ids' bounds — not a full-table rewrite
+            self.table.merge_by_key(new_df, [id_field])
+        elif replace_if_present and id_field in self.df.columns:
             survivors = self.df.join(
                 F.broadcast(new_df.select(id_field)), on=id_field, how="left_anti"
             )

@@ -100,6 +100,9 @@ class FileEntry:
     # per-column Bloom filter (hex of an m-bit integer) for equality
     # skipping; None/missing column = never skipped
     bloom: dict[str, str] | None = None
+    # row count (recorded when the write-time stats job runs) — lets an
+    # unfiltered COUNT answer from log metadata alone
+    rows: int | None = None
 
 
 _BLOOM_M = 1024
@@ -275,7 +278,8 @@ class TransactionalTable:
                 active.pop(path, None)
             for a in rec.get("add", []):
                 active[a["path"]] = FileEntry(
-                    a["path"], a.get("partition", {}), a.get("stats"), a.get("bloom")
+                    a["path"], a.get("partition", {}), a.get("stats"),
+                    a.get("bloom"), a.get("rows"),
                 )
         return schema, list(active.values())
 
@@ -304,6 +308,7 @@ class TransactionalTable:
                 {"path": e.path, "partition": e.partition}
                 | ({"stats": e.stats} if e.stats else {})
                 | ({"bloom": e.bloom} if e.bloom else {})
+                | ({"rows": e.rows} if e.rows is not None else {})
                 for e in add
             ],
             "remove": list(remove),
@@ -363,14 +368,17 @@ class TransactionalTable:
                 part[k] = None if val == _HIVE_NULL else val
             entries.append(FileEntry(rel, part))
             paths.append(f)
-        stats, blooms = self._collect_stats(df.schema, paths)
-        if stats or blooms:
+        stats, blooms, rows = self._collect_stats(df.schema, paths)
+        if self.stats_cols or self.bloom_cols:
             entries = [
                 FileEntry(
                     e.path,
                     e.partition,
                     stats.get(os.path.join(self.root, e.path)),
                     blooms.get(os.path.join(self.root, e.path)),
+                    # a file absent from the grouped stats job is EMPTY
+                    # (0 rows groups nothing) — record 0, not unknown
+                    rows.get(os.path.join(self.root, e.path), 0),
                 )
                 for e in entries
             ]
@@ -378,18 +386,19 @@ class TransactionalTable:
 
     def _collect_stats(
         self, schema: T.StructType, paths: list[str]
-    ) -> tuple[dict[str, dict[str, list]], dict[str, dict[str, str]]]:
-        """Per-file [min, max] of every stats column and per-file Bloom
-        bits of every bloom column, in ONE Spark job over the just-written
-        files only (grouped on input_file_name). Returns ({abs path:
-        {col: [min, max]}}, {abs path: {col: hex_bits}}); columns entirely
-        null in a file are omitted (no metadata → never skipped)."""
+    ) -> tuple[dict[str, dict[str, list]], dict[str, dict[str, str]], dict[str, int]]:
+        """Per-file [min, max] of every stats column, per-file Bloom bits
+        of every bloom column, and per-file row counts, in ONE Spark job
+        over the just-written files only (grouped on input_file_name).
+        Returns ({abs path: {col: [min, max]}}, {abs path: {col:
+        hex_bits}}, {abs path: rows}); columns entirely null in a file are
+        omitted (no metadata → never skipped)."""
         names = {f.name for f in schema.fields}
         cols = [c for c in self.stats_cols if c in names]
         bcols = [c for c in self.bloom_cols if c in names]
         if (not cols and not bcols) or not paths:
-            return {}, {}
-        aggs = []
+            return {}, {}, {}
+        aggs = [F.count(F.lit(1)).alias("__rows")]
         for c in cols:
             aggs.append(F.min(c).alias(f"__mn_{c}"))
             aggs.append(F.max(c).alias(f"__mx_{c}"))
@@ -421,8 +430,10 @@ class TransactionalTable:
         )
         stats_out: dict[str, dict[str, list]] = {}
         bloom_out: dict[str, dict[str, str]] = {}
+        rows_out: dict[str, int] = {}
         for r in rows:
             key = urllib.parse.unquote(urllib.parse.urlparse(r["__f"]).path)
+            rows_out[key] = int(r["__rows"])
             st = {
                 c: [_stat_json(r[f"__mn_{c}"]), _stat_json(r[f"__mx_{c}"])]
                 for c in cols
@@ -440,7 +451,18 @@ class TransactionalTable:
                     bl[c] = f"{bits:x}"
             if bl:
                 bloom_out[key] = bl
-        return stats_out, bloom_out
+        return stats_out, bloom_out, rows_out
+
+    def count_rows(self) -> int | None:
+        """Metadata-only COUNT(*): the sum of per-file row counts, when
+        every active file has one recorded (tables with stats/bloom
+        columns); None → caller falls back to a scan. The commit-log
+        answer to the classic 'count the table' warehouse query — zero
+        data read."""
+        _, active = self.snapshot()
+        if not active or any(e.rows is None for e in active):
+            return None
+        return sum(e.rows for e in active)
 
     def _aligned(self, df: DataFrame, schema: T.StructType | None) -> tuple[DataFrame, T.StructType]:
         """Align ``df`` to the table schema with add-column evolution:

@@ -521,3 +521,25 @@ def test_merge_by_key_idempotent_txn(spark):
     )
     got = {r.k: r.v for r in t.read().collect()}
     assert got == {1: 2.0, 2: 5.0}
+
+
+def test_metadata_only_count_and_merge_upsert_via_crud(spark):
+    root = tempfile.mkdtemp(prefix="a2s_txlog_cnt_")
+    t = TransactionalTable(spark, root, stats_cols=("event_id",))
+    t.append(_events(spark, 30))
+    assert t.count_rows() == 30  # pure log metadata
+    t.delete_by_spec(Q.all_of().when("event_id", 3))
+    assert t.count_rows() == 29
+    svc = CrudService(spark, table=t)
+    assert svc.count_objects() == 29
+    # store_objects(replace_if_present) routes through MERGE
+    newer = spark.range(2).select(
+        (F.col("id") + 28).alias("event_id"),
+        F.lit("tX").alias("event_type"),
+        F.lit(9.9).alias("value"),
+    )
+    svc.store_objects(newer, replace_if_present=True, id_field="event_id")
+    assert t.history()[-1]["op"] == "merge_by_key"
+    got = {r.event_id: r.value for r in t.read().filter(F.col("event_id") >= 28).collect()}
+    assert got == {28: 9.9, 29: 9.9}
+    assert svc.count_objects() == 29  # 28,29 replaced (28 existed, 29 existed)
