@@ -246,8 +246,13 @@ def apply_update(
 def delete_by_spec(df: DataFrame, spec: SingleQuery | MultiQuery) -> DataFrame:
     """deleteObjectsBySpec → anti-filter (reference
     ElasticsearchCrudService.java:1016-1143). With a transactional format
-    this compiles to ``DELETE WHERE`` touching only matching partitions."""
-    return df.filter(~compile_query(spec, df.schema))
+    this compiles to ``DELETE WHERE`` touching only matching partitions.
+
+    NULL-safe: a row whose predicate evaluates to NULL (NULL field in an
+    equality/range term) is NOT matched by the delete query and must
+    survive — a bare ``~pred`` would silently drop it under three-valued
+    logic."""
+    return df.filter(~F.coalesce(compile_query(spec, df.schema), F.lit(False)))
 
 
 def upsert_by_spec(

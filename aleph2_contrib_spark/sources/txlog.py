@@ -109,12 +109,17 @@ _BLOOM_M = 1024
 _BLOOM_K = 4
 
 
-def _bloom_positions(v: Any) -> list[int]:
-    """The k bit positions of a value — md5 double-hash family, same
-    canonical string form on both the build (Spark cast-to-string) and
-    probe (python) sides."""
+def _bloom_positions(v: Any) -> list[int] | None:
+    """The k bit positions of a value — md5 double-hash family. Returns
+    None (→ caller must keep the file) for value types whose Python str()
+    can diverge from Spark's cast-to-string used at build time
+    (floats render 1.23E8 vs 123456789.0; timestamps differ in
+    fractional-second padding): Bloom skipping is restricted to
+    int / str / bool keys, where the renderings provably agree."""
     import hashlib
 
+    if v is None or not isinstance(v, (int, str, bool)):
+        return None
     s = _pstr(v)
     return [
         int(hashlib.md5(f"{j}:{s}".encode()).hexdigest()[:8], 16) % _BLOOM_M
@@ -123,8 +128,33 @@ def _bloom_positions(v: Any) -> list[int]:
 
 
 def _bloom_may_contain(hex_bits: str, v: Any) -> bool:
+    pos = _bloom_positions(v)
+    if pos is None:
+        return True  # cannot probe this type safely → cannot skip
     bits = int(hex_bits, 16)
-    return all((bits >> p) & 1 for p in _bloom_positions(v))
+    return all((bits >> p) & 1 for p in pos)
+
+
+def _pval_matches(dir_val: str | None, lit: Any) -> bool:
+    """Does a hive directory value match a spec literal? Renderings are
+    compared string-wise AND numerically (an int literal must match a
+    float-typed partition's '2020.0' directory and vice versa); literal
+    types whose rendering is engine-dependent (datetime/date/Decimal)
+    return True — "might match", never wrongly pruned (the probe or the
+    row-level predicate decides)."""
+    import datetime as _dt
+    import decimal as _decimal
+
+    if lit is None or dir_val is None:
+        return lit is None and dir_val is None
+    if isinstance(lit, (_dt.datetime, _dt.date, _decimal.Decimal)):
+        return True
+    if dir_val == _pstr(lit):
+        return True
+    try:
+        return float(dir_val) == float(lit)
+    except (TypeError, ValueError):
+        return False
 
 
 def _pstr(v: Any) -> str | None:
@@ -218,10 +248,14 @@ class TransactionalTable:
         bloom_cols: Sequence[str] = (),
     ):
         self.spark = spark
-        self.root = root
+        # absolute: stats collection keys files by the absolute URI Spark
+        # reports in input_file_name(); a relative root would never match
+        self.root = os.path.abspath(root)
         self.partition_cols = tuple(partition_cols)
         self.stats_cols = tuple(stats_cols)
         self.bloom_cols = tuple(bloom_cols)
+        # incremental commit-log replay cache (see _replay)
+        self._cache: dict | None = None
 
     # -- log plumbing ------------------------------------------------------
     def _log_dir(self) -> str:
@@ -261,27 +295,61 @@ class TransactionalTable:
             )
         return out
 
+    @staticmethod
+    def _apply_commit(state: dict, v: int, path: str) -> None:
+        with open(path) as f:
+            rec = json.load(f)
+        if rec.get("schema"):
+            state["schema"] = T.StructType.fromJson(json.loads(rec["schema"]))
+        for p in rec.get("remove", []):
+            state["active"].pop(p, None)
+        for a in rec.get("add", []):
+            state["active"][a["path"]] = FileEntry(
+                a["path"], a.get("partition", {}), a.get("stats"),
+                a.get("bloom"), a.get("rows"),
+            )
+        t = rec.get("txn")
+        if t and t.get("app"):
+            state["txn"][t["app"]] = max(
+                state["txn"].get(t["app"], -1), int(t.get("version", -1))
+            )
+        state["v"] = v
+
+    def _replay_latest(self, commits: list[tuple[int, str]]) -> dict:
+        """Incrementally replay NEW commits on the per-instance cache —
+        every operation would otherwise re-parse the whole log
+        (O(commits²) lifetime cost for a streaming sink; on an object
+        store, thousands of redundant GETs per batch). Commits from other
+        writers are picked up because the replay always advances to the
+        listed tail; a truncated/rewritten log (tests, manual surgery)
+        resets the cache."""
+        latest = commits[-1][0] if commits else 0
+        c = self._cache
+        if c is None or c["v"] > latest:
+            c = {"v": 0, "schema": None, "active": {}, "txn": {}}
+        for v, p in commits:
+            if v > c["v"]:
+                self._apply_commit(c, v, p)
+        self._cache = c
+        return c
+
     def snapshot(self, version: int | None = None) -> tuple[T.StructType | None, list[FileEntry]]:
         """Replay the log up to ``version`` (inclusive; None = latest).
         Returns (schema, active files). Schema None means the table has
-        never been written."""
-        schema: T.StructType | None = None
-        active: dict[str, FileEntry] = {}
-        for v, p in self._commits():
-            if version is not None and v > version:
+        never been written. The latest snapshot is served from the
+        incremental cache; historical versions (time travel) replay
+        bounded from scratch."""
+        commits = self._commits()
+        latest = commits[-1][0] if commits else 0
+        if version is None or version >= latest:
+            c = self._replay_latest(commits)
+            return c["schema"], list(c["active"].values())
+        state: dict = {"v": 0, "schema": None, "active": {}, "txn": {}}
+        for v, p in commits:
+            if v > version:
                 break
-            with open(p) as f:
-                rec = json.load(f)
-            if rec.get("schema"):
-                schema = T.StructType.fromJson(json.loads(rec["schema"]))
-            for path in rec.get("remove", []):
-                active.pop(path, None)
-            for a in rec.get("add", []):
-                active[a["path"]] = FileEntry(
-                    a["path"], a.get("partition", {}), a.get("stats"),
-                    a.get("bloom"), a.get("rows"),
-                )
-        return schema, list(active.values())
+            self._apply_commit(state, v, p)
+        return state["schema"], list(state["active"].values())
 
     def _commit(
         self,
@@ -355,7 +423,7 @@ class TransactionalTable:
         w.parquet(staging)
         entries: list[FileEntry] = []
         paths: list[str] = []
-        for f in glob.glob(os.path.join(staging, "**", "*.parquet"), recursive=True):
+        for f in glob.glob(os.path.join(glob.escape(staging), "**", "*.parquet"), recursive=True):
             rel = os.path.relpath(f, self.root)
             part: dict[str, str | None] = {}
             for seg in os.path.relpath(f, staging).split(os.sep)[:-1]:
@@ -369,7 +437,7 @@ class TransactionalTable:
             entries.append(FileEntry(rel, part))
             paths.append(f)
         stats, blooms, rows = self._collect_stats(df.schema, paths)
-        if self.stats_cols or self.bloom_cols:
+        if rows is not None:  # the stats job actually ran over these files
             entries = [
                 FileEntry(
                     e.path,
@@ -386,7 +454,7 @@ class TransactionalTable:
 
     def _collect_stats(
         self, schema: T.StructType, paths: list[str]
-    ) -> tuple[dict[str, dict[str, list]], dict[str, dict[str, str]], dict[str, int]]:
+    ) -> tuple[dict[str, dict[str, list]], dict[str, dict[str, str]], dict[str, int] | None]:
         """Per-file [min, max] of every stats column, per-file Bloom bits
         of every bloom column, and per-file row counts, in ONE Spark job
         over the just-written files only (grouped on input_file_name).
@@ -397,7 +465,7 @@ class TransactionalTable:
         cols = [c for c in self.stats_cols if c in names]
         bcols = [c for c in self.bloom_cols if c in names]
         if (not cols and not bcols) or not paths:
-            return {}, {}, {}
+            return {}, {}, None  # job did not run (no configured column present)
         aggs = [F.count(F.lit(1)).alias("__rows")]
         for c in cols:
             aggs.append(F.min(c).alias(f"__mn_{c}"))
@@ -418,8 +486,12 @@ class TransactionalTable:
                     for j in range(_BLOOM_K)
                 ]
             )
+            # NULL values contribute no bits (collect_list drops the null
+            # entry) — a NULL can never satisfy an equality term anyway
             aggs.append(
-                F.array_distinct(F.flatten(F.collect_list(pos))).alias(f"__bl_{c}")
+                F.array_distinct(
+                    F.flatten(F.collect_list(F.when(F.col(c).isNotNull(), pos)))
+                ).alias(f"__bl_{c}")
             )
         rows = (
             self.spark.read.schema(schema)
@@ -538,6 +610,11 @@ class TransactionalTable:
             return self._commit(
                 "merge_by_key", self._write_files(df), [], df.schema, read_version=rv, txn=txn
             )
+        if df.isEmpty():
+            # empty micro-batches are common under foreachBatch — without
+            # this guard the all-NULL key bounds would overlap every file
+            # and the whole table would be rewritten per empty batch
+            return rv
         aligned, merged_schema = self._aligned(df, schema)
         keys = aligned.select(*key_cols).dropDuplicates(list(key_cols))
         # zone-map candidate pruning from the incoming keys' bounds
@@ -566,15 +643,9 @@ class TransactionalTable:
         )
 
     def last_txn_version(self, app: str) -> int:
-        """Highest committed txn version for ``app`` (-1 if none)."""
-        best = -1
-        for _, p in self._commits():
-            with open(p) as f:
-                rec = json.load(f)
-            t = rec.get("txn")
-            if t and t.get("app") == app:
-                best = max(best, int(t.get("version", -1)))
-        return best
+        """Highest committed txn version for ``app`` (-1 if none) — from
+        the incremental replay cache, not a fresh log scan."""
+        return self._replay_latest(self._commits())["txn"].get(app, -1)
 
     def overwrite(self, df: DataFrame) -> int:
         rv = self.latest_version()
@@ -648,18 +719,20 @@ class TransactionalTable:
         visit(spec)
         return out
 
-    def _static_partition_sets(self, spec) -> dict[str, set[str | None]]:
-        """Partition-column allowed-value sets (equality/any_of only —
-        partition values are stored as directory strings, so range
-        constraints prune via stats, not here)."""
-        out: dict[str, set[str | None]] = {}
+    def _static_partition_sets(self, spec) -> dict[str, set]:
+        """Partition-column allowed-value sets — RAW spec literals
+        (equality/any_of only; range constraints prune via stats, not
+        here). Matching against directory strings goes through
+        ``_pval_matches``, which is numeric-coercion-aware and declines
+        engine-dependent renderings rather than wrongly pruning."""
+        out: dict[str, set] = {}
         for col, cons in self._static_constraints(spec).items():
             if col not in self.partition_cols:
                 continue
             for kind, *payload in cons:
                 if kind != "in":
                     continue
-                vals = {_pstr(v) for v in payload[0]}
+                vals = set(payload[0])
                 out[col] = out[col] & vals if col in out else vals
         return out
 
@@ -777,8 +850,14 @@ class TransactionalTable:
         """C13/C14, partition-scoped. A partition whose rows are all
         deleted simply contributes no new files — the log removal makes it
         vanish (no empty-directory residue)."""
+        # NULL-safe negation: a row whose predicate evaluates to NULL (e.g.
+        # a NULL field in an equality term) is NOT matched and must SURVIVE
+        # the delete — filter(~NULL) would silently drop it (three-valued
+        # logic), diverging from the delete-by-query semantics matched here.
         return self._mutate(
-            "delete_by_spec", spec, lambda df: df.filter(~compile_query(spec, df.schema))
+            "delete_by_spec",
+            spec,
+            lambda df: df.filter(~F.coalesce(compile_query(spec, df.schema), F.lit(False))),
         )
 
     def upsert_by_spec(self, spec, update: UpdateComponent) -> int:
@@ -854,10 +933,14 @@ class TransactionalTable:
             expect_active=[e.path for e in flat], read_version=rv,
         )
 
-    def vacuum(self, retain_snapshots: int = 2) -> list[str]:
+    def vacuum(self, retain_snapshots: int = 2, min_age_seconds: float = 3600.0) -> list[str]:
         """Delete data files unreferenced by the last ``retain_snapshots``
-        snapshots (the grace window for in-flight readers; production uses
-        an age bound). Returns the root-relative files removed."""
+        snapshots (the grace window for in-flight READERS). Files younger
+        than ``min_age_seconds`` are always kept — they may be a
+        concurrent WRITER's staged-but-uncommitted output, which is
+        referenced by no snapshot yet; deleting it would corrupt that
+        writer's eventual commit (the same reason Delta's VACUUM has a
+        retention floor). Returns the root-relative files removed."""
         commits = self._commits()
         if not commits:
             return []
@@ -866,15 +949,16 @@ class TransactionalTable:
         for v in versions:
             _, files = self.snapshot(v)
             keep.update(e.path for e in files)
+        cutoff = time.time() - min_age_seconds
         removed = []
-        for f in glob.glob(os.path.join(self.root, _DATA_DIR, "**", "*.parquet"), recursive=True):
+        for f in glob.glob(os.path.join(glob.escape(os.path.join(self.root, _DATA_DIR)), "**", "*.parquet"), recursive=True):
             rel = os.path.relpath(f, self.root)
-            if rel not in keep:
+            if rel not in keep and os.path.getmtime(f) < cutoff:
                 os.remove(f)
                 removed.append(rel)
         # prune now-empty staging dirs
         for d in sorted(
-            glob.glob(os.path.join(self.root, _DATA_DIR, "*")), reverse=True
+            glob.glob(os.path.join(glob.escape(os.path.join(self.root, _DATA_DIR)), "*")), reverse=True
         ):
             for sub in sorted(
                 (p for p, dn, fn in os.walk(d) if not dn and not fn), key=len, reverse=True
@@ -885,5 +969,8 @@ class TransactionalTable:
         return removed
 
 
-def _partition_matches(e: FileEntry, sets: dict[str, set[str | None]]) -> bool:
-    return all(e.partition.get(c) in vals for c, vals in sets.items())
+def _partition_matches(e: FileEntry, sets: dict[str, set]) -> bool:
+    return all(
+        any(_pval_matches(e.partition.get(c), lit) for lit in vals)
+        for c, vals in sets.items()
+    )

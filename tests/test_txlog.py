@@ -132,10 +132,12 @@ def test_snapshot_isolation_and_vacuum_grace(spark):
     t = _mk(spark)
     old = t.read()  # resolves the v1 snapshot's files
     t.overwrite(_events(spark, 10))
-    t.vacuum(retain_snapshots=2)  # grace keeps the prior snapshot's files
+    t.vacuum(retain_snapshots=2, min_age_seconds=0)  # snapshot grace keeps prior files
     assert old.count() == 60  # reader on the old snapshot unaffected
     assert t.read().count() == 10
-    removed = t.vacuum(retain_snapshots=1)
+    # default min_age keeps young files (concurrent-writer staging grace)
+    assert t.vacuum(retain_snapshots=1) == []
+    removed = t.vacuum(retain_snapshots=1, min_age_seconds=0)
     assert removed, "expected retired files to be vacuumed"
 
 
@@ -543,3 +545,56 @@ def test_metadata_only_count_and_merge_upsert_via_crud(spark):
     got = {r.event_id: r.value for r in t.read().filter(F.col("event_id") >= 28).collect()}
     assert got == {28: 9.9, 29: 9.9}
     assert svc.count_objects() == 29  # 28,29 replaced (28 existed, 29 existed)
+
+
+def test_delete_by_spec_null_rows_survive(spark):
+    """Three-valued logic: a row with NULL in the queried field is NOT
+    matched by the delete and must survive (the naive ~pred drops it)."""
+    root = tempfile.mkdtemp(prefix="a2s_txlog_null_")
+    t = TransactionalTable(spark, root)
+    t.append(
+        spark.createDataFrame(
+            [(1, "expired"), (2, None), (3, "live")], "event_id long, status string"
+        )
+    )
+    t.delete_by_spec(Q.all_of().when("status", "expired"))
+    got = sorted(r.event_id for r in t.read().collect())
+    assert got == [2, 3]
+
+
+def test_bloom_cols_tolerate_null_values(spark):
+    root = tempfile.mkdtemp(prefix="a2s_txlog_blnull_")
+    t = TransactionalTable(spark, root, bloom_cols=("k",))
+    t.append(
+        spark.createDataFrame([(1, "a"), (2, None), (3, "b")], "event_id long, k string")
+    )
+    _, files = t.snapshot()
+    assert all(e.rows is not None for e in files)  # write survived
+    touched, _ = t._touched(Q.all_of().when("k", "a"))
+    assert touched  # file with "a" kept
+    assert t.read().count() == 3
+
+
+def test_float_literal_does_not_misprune_int_partition(spark):
+    """Type-coerced literals: spec year == 2020.0 must still touch the
+    year=2020 directory (string-exact matching would prune everything and
+    silently no-op the mutation)."""
+    root = tempfile.mkdtemp(prefix="a2s_txlog_coerce_")
+    t = TransactionalTable(spark, root, partition_cols=("year",))
+    t.append(
+        spark.createDataFrame([(1, 2020, 1.0), (2, 2021, 2.0)],
+                              "event_id long, year int, value double")
+    )
+    t.delete_by_spec(Q.all_of().when("year", 2020.0))
+    got = [r.event_id for r in t.read().collect()]
+    assert got == [2]
+
+
+def test_merge_empty_batch_is_noop(spark):
+    root = tempfile.mkdtemp(prefix="a2s_txlog_mempty_")
+    t = TransactionalTable(spark, root)
+    t.append(spark.createDataFrame([(1, 1.0)], "k long, v double"))
+    v = t.latest_version()
+    empty = spark.createDataFrame([], "k long, v double")
+    assert t.merge_by_key(empty, ["k"]) == v  # no commit, no rewrite
+    assert t.latest_version() == v
