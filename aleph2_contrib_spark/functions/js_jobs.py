@@ -31,10 +31,10 @@ import pandas as pd
 
 from aleph2_contrib_spark.plans.pipeline import EnrichmentModule
 
-Evaluator = Callable[[str, list[dict]], list[dict]]
+Evaluator = Callable[[str, list[dict], str], list[dict]]
 
 
-def nashorn_unavailable(script: str, records: list[dict]) -> list[dict]:
+def nashorn_unavailable(script: str, records: list[dict], entry_point: str) -> list[dict]:
     """Default evaluator: fail fast with wiring guidance (no JS engine is
     baked into this environment — inject one)."""
     raise NotImplementedError(
@@ -53,9 +53,9 @@ class JsEnrichmentModule(EnrichmentModule):
       - ``script``: the JS source (must define ``entry_point``; contract
         mirrors the reference: function(record) -> record | null, null
         drops the record).
-      - ``entry_point``: function name, default "transform" (the
-        evaluator applies it; kept in config so engines that need the
-        name — e.g. to invoke after eval — receive it).
+      - ``entry_point``: function name, default "transform" — passed as
+        the evaluator's third argument so an engine can invoke the named
+        function after evaluating the script.
     """
 
     def __init__(self, config: dict[str, Any] | None = None, evaluator: Evaluator = nashorn_unavailable):
@@ -77,8 +77,22 @@ class JsEnrichmentModule(EnrichmentModule):
         return errs
 
     def on_object_batch(self, batch: pd.DataFrame) -> pd.DataFrame | None:
-        records = batch.to_dict("records")
-        out = self.evaluator(self.config["script"], records)
+        # Arrow nulls decode to pandas NaN/NaT; the reference hands
+        # Nashorn real nulls (LinkedHashMap values), and ported scripts
+        # test `rec.field == null` — marshal back to None so that
+        # contract holds (array-valued cells pass through untouched).
+        def clean(v):
+            try:
+                return None if pd.isna(v) else v
+            except (TypeError, ValueError):
+                return v
+
+        records = [
+            {k: clean(v) for k, v in r.items()} for r in batch.to_dict("records")
+        ]
+        out = self.evaluator(
+            self.config["script"], records, self.config.get("entry_point", "transform")
+        )
         if not out:
             return None
         return pd.DataFrame(out)

@@ -13,7 +13,11 @@ shuffle volume is the event stream once.
 
 Semantics: step i's timestamp is the EARLIEST event of that step type
 at-or-after step i-1's timestamp (inclusive ``>=`` — simultaneous events
-count as ordered); a user whose chain breaks has nulls from that step on.
+of DIFFERENT types count as ordered); a user whose chain breaks has
+nulls from that step on. When two CONSECUTIVE steps share the same event
+type (view → view), the second requires a strictly later timestamp —
+otherwise the single event that produced step i-1 would satisfy step i
+too, and a one-view user would count as having viewed twice.
 """
 
 from __future__ import annotations
@@ -35,12 +39,22 @@ def funnel_times(
     if not steps:
         raise ValueError("steps must be non-empty")
     w = Window.partitionBy(user_col)
-    out = df.select(user_col, ts_col, type_col)
+    # only funnel-relevant event types can satisfy any condition — filter
+    # BEFORE the shuffle (on a real event stream the steps are a few
+    # percent of traffic, so this shrinks the one shuffle by that factor)
+    out = df.filter(F.col(type_col).isin(list(steps))).select(user_col, ts_col, type_col)
     for i, step in enumerate(steps):
         cond = F.col(type_col) == F.lit(step)
         if i > 0:
             prev = F.col(f"__t{i - 1}")
-            cond = cond & prev.isNotNull() & (F.col(ts_col) >= prev)
+            # strict > for a repeated step type: the event that produced
+            # step i-1 must not also satisfy step i
+            later = (
+                (F.col(ts_col) > prev)
+                if step == steps[i - 1]
+                else (F.col(ts_col) >= prev)
+            )
+            cond = cond & prev.isNotNull() & later
         out = out.withColumn(f"__t{i}", F.min(F.when(cond, F.col(ts_col))).over(w))
     return out.groupBy(user_col).agg(
         *[F.min(f"__t{i}").alias(f"t_{i}") for i in range(len(steps))]

@@ -52,17 +52,30 @@ def numeric_histogram(
 
 
 def numeric_summary(df: DataFrame, col: str) -> DataFrame:
-    """One-row summary: n, n_null, min, max, sum (exact DECIMAL → double),
-    mean (exact sum / n). Engine-stable: no float accumulation anywhere."""
+    """One-row summary: n, n_null, n_nan, n_unsummable, min, max (NaN
+    excluded — Spark sorts NaN above every double, which would poison
+    max and silently disable histograms), sum (exact DECIMAL → double),
+    mean (exact sum / summable count). Engine-stable: no float
+    accumulation anywhere.
+
+    A QA profiler must SURVIVE anomalous data and report it, not crash
+    on it: values outside DECIMAL(38,6) range or NaN cannot join the
+    exact sum — they are counted in ``n_unsummable`` (with NaN broken
+    out as ``n_nan``) and excluded from sum/mean via try_cast, instead
+    of throwing under ANSI mode or skewing the mean's divisor."""
     c = F.col(col)
-    dec = c.cast("decimal(28,6)")
+    cd = c.cast("double")
+    finite = F.when(~F.isnan(cd), c)
+    dec = c.try_cast("decimal(38,6)")
     return df.agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.when(c.isNull(), 1).otherwise(0)).cast("long").alias("n_null"),
-        F.min(c).cast("double").alias("min_v"),
-        F.max(c).cast("double").alias("max_v"),
+        (F.count(F.lit(1)) - F.count(c)).cast("long").alias("n_null"),
+        F.count(F.when(F.isnan(cd), 1)).cast("long").alias("n_nan"),
+        (F.count(c) - F.count(dec)).cast("long").alias("n_unsummable"),
+        F.min(finite).cast("double").alias("min_v"),
+        F.max(finite).cast("double").alias("max_v"),
         F.sum(dec).cast("double").alias("sum_v"),
-        (F.sum(dec) / F.count(c)).cast("double").alias("mean_v"),
+        (F.sum(dec) / F.count(dec)).cast("double").alias("mean_v"),
     )
 
 

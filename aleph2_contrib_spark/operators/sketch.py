@@ -38,7 +38,12 @@ def hll_registers(df: DataFrame, col: str) -> DataFrame:
     """The sketch itself: (__hll_b bucket, __hll_m register) — ≤4096 rows
     whatever the input size. Registers are MERGEABLE: the sketch of a
     union is the per-bucket max of the parts' registers (hll_merge), so
-    per-partition/per-day sketches roll up without rescanning data."""
+    per-partition/per-day sketches roll up without rescanning data.
+
+    NULLs are ignored (approx_count_distinct semantics): md5(NULL) is
+    NULL, which would otherwise create a phantom NULL-bucket register
+    that inflates n_buckets and corrupts the exact harmonic sum."""
+    df = df.filter(F.col(col).isNotNull())
     h = F.md5(F.col(col).cast("string"))
     prepared = df.select(
         F.conv(F.substring(h, 1, 3), 16, 10).cast("int").alias("__hll_b"),
@@ -113,8 +118,10 @@ def hll_estimate_from_registers(regs: DataFrame) -> DataFrame:
 def hll_oracle_sql(source_expr: str, table: str, where: str = "") -> str:
     """The DuckDB replica of hll_estimate for differential testing —
     bit-identical buckets, registers, exact integer sum, and the same
-    double-precision final arithmetic."""
-    w = f"WHERE {where}" if where else ""
+    double-precision final arithmetic (NULLs excluded, like the Spark
+    side)."""
+    null_guard = f"({source_expr}) IS NOT NULL"
+    w = f"WHERE ({where}) AND {null_guard}" if where else f"WHERE {null_guard}"
     return f"""
         WITH h AS (
             SELECT md5(CAST({source_expr} AS VARCHAR)) AS hx FROM {table} {w}
@@ -172,7 +179,10 @@ def _cms_cell(col: Column, j: int, width: int) -> Column:
 
 def cms_sketch(df: DataFrame, col: str, depth: int = _CMS_DEPTH, width: int = _CMS_WIDTH) -> DataFrame:
     """Build the sketch: (__cms_j row, __cms_k cell, __cms_n count) —
-    at most depth x width rows whatever the input size."""
+    at most depth x width rows whatever the input size. NULLs are
+    excluded (md5 of NULL is NULL; they would occupy phantom NULL cells
+    that no equi-join probe can reach)."""
+    df = df.filter(F.col(col).isNotNull())
     pairs = df.select(
         F.posexplode(
             F.array(*[_cms_cell(F.col(col), j, width) for j in range(depth)])
@@ -198,9 +208,11 @@ def cms_estimate(
 ) -> DataFrame:
     """Estimated occurrence count for each row of ``values_df[col]``:
     min over rows of the addressed counters (0 if a cell was never hit).
-    Guaranteed >= the true count; overestimates only via collisions
-    (eps ~ e/width). The sketch is broadcast — probing is map-side, no
-    shuffle of the probe side."""
+    Guaranteed >= the true count for NON-NULL values (NULLs are excluded
+    from both the sketch and the probe — an equi-join cannot address
+    them); overestimates only via collisions (eps ~ e/width). The sketch
+    is broadcast — probing is map-side, no shuffle of the probe side."""
+    values_df = values_df.filter(F.col(col).isNotNull())
     probes = values_df.select(
         F.col(col),
         F.posexplode(

@@ -51,3 +51,20 @@ def test_funnel_counts(spark):
 def test_funnel_rejects_empty_steps(spark):
     with pytest.raises(ValueError):
         funnel_times(_ev(spark), "user_id", "ts", "event_type", [])
+
+
+def test_funnel_repeated_step_requires_distinct_events(spark):
+    """view -> view: one event must not satisfy both steps; two views at
+    strictly increasing times do."""
+    T = dt.datetime
+    one = spark.createDataFrame([Row(user_id=1, ts=T(2024, 1, 1, 10), event_type="view")])
+    out = {r.step_idx: r.n_users for r in funnel_counts(
+        one, "user_id", "ts", "event_type", ["view", "view"]).collect()}
+    assert out == {0: 1, 1: 0}
+    two = spark.createDataFrame([
+        Row(user_id=1, ts=T(2024, 1, 1, 10), event_type="view"),
+        Row(user_id=1, ts=T(2024, 1, 1, 11), event_type="view"),
+    ])
+    out2 = {r.step_idx: r.n_users for r in funnel_counts(
+        two, "user_id", "ts", "event_type", ["view", "view"]).collect()}
+    assert out2 == {0: 1, 1: 1}

@@ -16,14 +16,14 @@ function transform(rec) {
 """
 
 
-def fake_js_evaluator(script, records):
+def fake_js_evaluator(script, records, entry_point):
     """Deterministic stand-in for an embedded JS engine, applying the
     semantics of SCRIPT above (drop value<=1, add flagged). Marked fake:
     tests exercise the module plumbing, not a JS parser."""
-    assert "function transform" in script  # the engine receives the source
+    assert f"function {entry_point}" in script  # engine gets source + name
     out = []
     for r in records:
-        if r["value"] <= 1:
+        if r["value"] is None or r["value"] <= 1:
             continue
         out.append({**r, "flagged": True})
     return out
@@ -65,3 +65,28 @@ def test_js_module_default_engine_fails_with_guidance(spark):
     mod = JsEnrichmentModule({"script": SCRIPT})
     with pytest.raises(NotImplementedError, match="JavaScript engine"):
         mod.on_object_batch(pd.DataFrame([{"value": 5.0}]))
+
+
+def test_js_records_see_real_nulls_not_nan(spark):
+    """Arrow nulls decode to pandas NaN; scripts ported from the
+    reference test `rec.field == null` — the module must marshal NaN/NaT
+    back to None before handing records to the engine."""
+    def classify(script, records, entry_point):
+        # runs on executors — report what the engine SAW through the output
+        return [
+            {
+                "event_id": r["event_id"],
+                "saw_none": r["value"] is None,
+                "saw_nan": isinstance(r["value"], float) and r["value"] != r["value"],
+            }
+            for r in records
+        ]
+
+    mod = JsEnrichmentModule({"script": SCRIPT}, evaluator=classify)
+    pipe = Pipeline([
+        Stage(name="js", dependencies=("$inputs",), module=mod,
+              output_schema="event_id long, saw_none boolean, saw_nan boolean")
+    ])
+    df = spark.createDataFrame([(1, 2.0), (2, None)], "event_id long, value double")
+    got = {r.event_id: (r.saw_none, r.saw_nan) for r in pipe.run(spark, {"e": df})["js"].collect()}
+    assert got == {1: (False, False), 2: (True, False)}

@@ -40,3 +40,25 @@ def test_summary_and_profile(spark):
     p = profile_column(df, "v", bins=2)
     assert p["distinct_est"] == 3  # small-range HLL is exact here
     assert sum(h["cnt"] for h in p["histogram"]) == 3
+
+
+def test_summary_survives_extreme_and_nan_values(spark):
+    """QA profilers must report anomalies, not crash on them: values
+    beyond DECIMAL range and NaN are excluded from the exact sum/mean
+    and surfaced as counts; min/max ignore NaN so histograms still work."""
+    df = spark.createDataFrame(
+        [(1.0,), (2.0,), (float("nan"),), (1e35,), (None,)], "v double"
+    )
+    s = numeric_summary(df, "v").collect()[0]
+    assert s.n == 5 and s.n_null == 1 and s.n_nan == 1
+    assert s.n_unsummable == 2  # the NaN + the beyond-DECIMAL(38,6) value
+    assert (s.min_v, s.max_v) == (1.0, 1e35)
+    assert s.sum_v == 3.0 and s.mean_v == 1.5  # exact over summable values
+    p = profile_column(df, "v", bins=2)
+    assert sum(h["cnt"] for h in p["histogram"]) == 3  # NaN/null excluded
+
+
+def test_summary_empty_input(spark):
+    df = spark.createDataFrame([], "v double")
+    s = numeric_summary(df, "v").collect()[0]
+    assert (s.n, s.n_null, s.n_nan, s.n_unsummable) == (0, 0, 0, 0)

@@ -103,3 +103,18 @@ def test_cms_merge_is_union_sketch(spark):
         for r in cms_sketch(a.unionByName(b), "v").collect()
     }
     assert merged == whole
+
+
+def test_hll_and_cms_ignore_nulls(spark):
+    from aleph2_contrib_spark.operators.sketch import cms_estimate, cms_sketch
+
+    df = spark.createDataFrame(
+        [(str(i),) for i in range(200)] + [(None,)] * 5, "v string"
+    )
+    row = hll_estimate(df, "v").collect()[0]
+    clean = hll_estimate(df.filter(F.col("v").isNotNull()), "v").collect()[0]
+    assert (row.est, row.n_buckets, row.zeros) == (clean.est, clean.n_buckets, clean.zeros)
+    sk = cms_sketch(df, "v")
+    est = {r.v: r.est for r in cms_estimate(sk, df.distinct(), "v").collect()}
+    assert None not in est
+    assert est["7"] == 1
