@@ -2193,6 +2193,28 @@ def corpus_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-battery quality flags (operators/corpus.py
+    gopher_quality): word count, mean word length, symbol ratio,
+    bullet/ellipsis line ratios, alpha-word ratio, stopword presence —
+    one narrow zero-shuffle projection. Deterministic multi-line +
+    ellipsis suffixes are injected for a subset of docs so the line-based
+    rules are exercised on the single-line synthetic corpus."""
+    from aleph2_contrib_spark.operators import corpus as cp
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("\n- bullet item\n• another"))
+            .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 4 == 0, F.lit("\nto be continued..."))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return cp.gopher_quality(docs, min_stopword_hits=1)
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -2232,6 +2254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (4) everything re-verified in round 3 (freshest) last.
     return {
         # -- (1) new / changed this round -----------------------------------
+        "corpus_gopher_rules": corpus_gopher_rules,
         "update_partition_scoped": update_partition_scoped,
         "dedup_spans": dedup_spans,
         "sketch_cms_heavy_hitters": sketch_cms_heavy_hitters,
@@ -3523,6 +3546,69 @@ def oracle_sql() -> dict[str, str]:
                         '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IPV4>', 'g'))
                    AS redacted_md5
             FROM r3
+        """,
+        "corpus_gopher_rules": r"""
+            WITH aug AS (
+                SELECT doc_id,
+                       text
+                       || CASE WHEN doc_id % 3 = 0
+                               THEN chr(10) || '- bullet item' || chr(10) || '• another'
+                               ELSE '' END
+                       || CASE WHEN doc_id % 4 = 0
+                               THEN chr(10) || 'to be continued...'
+                               ELSE '' END AS text
+                FROM documents
+            ), base AS (
+                SELECT doc_id, text,
+                       regexp_split_to_array(trim(text), '\s+') AS t,
+                       string_split(text, chr(10)) AS lines
+                FROM aug
+            ), sized AS (
+                SELECT doc_id, text, t, lines,
+                       CASE WHEN trim(text) = '' THEN 0 ELSE len(t) END AS n_words,
+                       len(lines) AS n_lines
+                FROM base
+            ), feat AS (
+                SELECT doc_id, n_words,
+                       CASE WHEN n_words > 0 THEN CAST(floor(
+                            list_aggregate(list_transform(t, x -> length(x)), 'sum')
+                            / n_words * 1000000.0) AS BIGINT) END AS mean_word_len_f6,
+                       CASE WHEN n_words > 0 THEN CAST(floor(
+                            len(regexp_extract_all(text, '#|\.\.\.|…'))
+                            / n_words * 1000000.0) AS BIGINT) END AS symbol_ratio_f6,
+                       CASE WHEN n_lines > 0 THEN CAST(floor(
+                            len(list_filter(lines, x -> regexp_matches(x, '^\s*[-*•]')))
+                            / n_lines * 1000000.0) AS BIGINT) END AS bullet_line_ratio_f6,
+                       CASE WHEN n_lines > 0 THEN CAST(floor(
+                            len(list_filter(lines, x -> regexp_matches(x, '(\.\.\.|…)\s*$')))
+                            / n_lines * 1000000.0) AS BIGINT) END AS ellipsis_line_ratio_f6,
+                       CASE WHEN n_words > 0 THEN CAST(floor(
+                            len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]')))
+                            / n_words * 1000000.0) AS BIGINT) END AS alpha_word_ratio_f6,
+                       len(list_intersect(
+                            list_distinct(list_transform(t, x -> lower(x))),
+                            ['the','be','to','of','and','that','have','with'])) AS n_stopword_hits
+                FROM sized
+            ), flags AS (
+                SELECT *,
+                       n_words BETWEEN 50 AND 100000 AS r_word_count,
+                       COALESCE(mean_word_len_f6 BETWEEN 3000000 AND 10000000, FALSE) AS r_mean_word_len,
+                       COALESCE(symbol_ratio_f6 < 100000, FALSE) AS r_symbol_ratio,
+                       COALESCE(bullet_line_ratio_f6 < 900000, FALSE) AS r_bullet_lines,
+                       COALESCE(ellipsis_line_ratio_f6 <= 300000, FALSE) AS r_ellipsis_lines,
+                       COALESCE(alpha_word_ratio_f6 >= 800000, FALSE) AS r_alpha_words,
+                       n_stopword_hits >= 1 AS r_stopwords
+                FROM feat
+            )
+            SELECT doc_id, n_words, mean_word_len_f6, symbol_ratio_f6,
+                   bullet_line_ratio_f6, ellipsis_line_ratio_f6,
+                   alpha_word_ratio_f6, n_stopword_hits,
+                   r_word_count, r_mean_word_len, r_symbol_ratio,
+                   r_bullet_lines, r_ellipsis_lines, r_alpha_words, r_stopwords,
+                   r_word_count AND r_mean_word_len AND r_symbol_ratio
+                   AND r_bullet_lines AND r_ellipsis_lines AND r_alpha_words
+                   AND r_stopwords AS pass_gopher
+            FROM flags
         """,
         "corpus_shuffle_shards": """
             SELECT doc_id,

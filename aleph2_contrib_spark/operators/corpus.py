@@ -349,3 +349,117 @@ def pii_redact(
         out = out.withColumn(f"n_{kind.lower()}", F.regexp_count(red, F.lit(pat)))
         red = F.regexp_replace(red, pat, f"<{kind}>")
     return out.withColumn("redacted", red)
+
+
+# --------------------------------------------------------------------------
+# rule-based quality filtering (Gopher / C4 heuristics)
+# --------------------------------------------------------------------------
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len_f6: int = 3_000_000,
+    max_mean_word_len_f6: int = 10_000_000,
+    max_symbol_ratio_f6: int = 100_000,
+    max_bullet_line_ratio_f6: int = 900_000,
+    max_ellipsis_line_ratio_f6: int = 300_000,
+    min_alpha_word_ratio_f6: int = 800_000,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """Per-document Gopher-style quality-rule flags (Rae et al. 2021 §A1.1,
+    plus the C4 terminal-punctuation spirit) — the standard rule battery a
+    pretraining pipeline runs before any model-based filter:
+
+    - word count within [min_words, max_words]
+    - mean word length within [3, 10] characters
+    - symbol-to-word ratio (``#`` and ellipsis) below 0.1
+    - < 90% of lines starting with a bullet character
+    - <= 30% of lines ending with an ellipsis
+    - >= 80% of words containing at least one alphabetic character
+    - >= 2 distinct English stop words present (of an 8-word set)
+
+    Emits the measured features (fixed-point ``*_f6`` — floor(1e6·x),
+    bit-stable across engines) alongside one boolean per rule and
+    ``pass_gopher`` (AND of all). Documents with zero words or zero lines
+    fail the dependent rules outright (ratio columns stay NULL) — the
+    paper's behavior, where empty documents are always removed.
+
+    Plan shape: a single narrow projection — pure Column expressions over
+    higher-order array functions, zero shuffle, whole-stage codegen; at
+    100 TB this runs at scan speed and composes with any downstream
+    filter's predicate pushdown. Thresholds are integer f6 so no float
+    crosses an engine boundary.
+    """
+    t = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_words = F.when(F.trim(F.col(text_col)) == "", F.lit(0)).otherwise(F.size(t))
+    lines = F.split(F.col(text_col), r"\n")
+    n_lines = F.size(lines)
+
+    def f6_ratio(num: Column, den: Column) -> Column:
+        return F.when(den > 0, F.floor(num / den * F.lit(1000000.0)).cast("long"))
+
+    mean_wl = f6_ratio(F.aggregate(t, F.lit(0), lambda a, x: a + F.length(x)), n_words)
+    sym = f6_ratio(F.regexp_count(F.col(text_col), F.lit(r"#|\.\.\.|…")), n_words)
+    bullet = f6_ratio(
+        F.size(F.filter(lines, lambda x: x.rlike(r"^\s*[-*•]"))), n_lines
+    )
+    ellip = f6_ratio(
+        F.size(F.filter(lines, lambda x: x.rlike(r"(\.\.\.|…)\s*$"))), n_lines
+    )
+    alpha = f6_ratio(F.size(F.filter(t, lambda x: x.rlike("[A-Za-z]"))), n_words)
+    stop_arr = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    stops = F.size(
+        F.array_intersect(F.array_distinct(F.transform(t, F.lower)), stop_arr)
+    )
+
+    def ok(c: Column) -> Column:
+        return F.coalesce(c, F.lit(False))
+
+    d = df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len_f6"),
+        sym.alias("symbol_ratio_f6"),
+        bullet.alias("bullet_line_ratio_f6"),
+        ellip.alias("ellipsis_line_ratio_f6"),
+        alpha.alias("alpha_word_ratio_f6"),
+        stops.alias("n_stopword_hits"),
+    )
+    d = d.select(
+        "*",
+        (F.col("n_words").between(min_words, max_words)).alias("r_word_count"),
+        ok(
+            F.col("mean_word_len_f6").between(
+                min_mean_word_len_f6, max_mean_word_len_f6
+            )
+        ).alias("r_mean_word_len"),
+        ok(F.col("symbol_ratio_f6") < max_symbol_ratio_f6).alias("r_symbol_ratio"),
+        ok(F.col("bullet_line_ratio_f6") < max_bullet_line_ratio_f6).alias(
+            "r_bullet_lines"
+        ),
+        ok(F.col("ellipsis_line_ratio_f6") <= max_ellipsis_line_ratio_f6).alias(
+            "r_ellipsis_lines"
+        ),
+        ok(F.col("alpha_word_ratio_f6") >= min_alpha_word_ratio_f6).alias(
+            "r_alpha_words"
+        ),
+        (F.col("n_stopword_hits") >= min_stopword_hits).alias("r_stopwords"),
+    )
+    return d.select(
+        "*",
+        (
+            F.col("r_word_count")
+            & F.col("r_mean_word_len")
+            & F.col("r_symbol_ratio")
+            & F.col("r_bullet_lines")
+            & F.col("r_ellipsis_lines")
+            & F.col("r_alpha_words")
+            & F.col("r_stopwords")
+        ).alias("pass_gopher"),
+    )

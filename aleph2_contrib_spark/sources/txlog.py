@@ -84,10 +84,22 @@ _LOG_DIR = "_txlog"
 _DATA_DIR = "_data"
 _PPREFIX = "__p_"  # duplicated partition columns in the physical layout
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+_CKPT_SUFFIX = ".checkpoint.json"
+_LAST_CKPT = "_last_checkpoint"
 
 
 class ConcurrentModificationError(RuntimeError):
     """A concurrent commit removed files this transaction also rewrites."""
+
+
+def _entry_dict(e: "FileEntry") -> dict:
+    """JSON form of a FileEntry, shared by commit and checkpoint files."""
+    return (
+        {"path": e.path, "partition": e.partition}
+        | ({"stats": e.stats} if e.stats else {})
+        | ({"bloom": e.bloom} if e.bloom else {})
+        | ({"rows": e.rows} if e.rows is not None else {})
+    )
 
 
 @dataclass(frozen=True)
@@ -246,6 +258,7 @@ class TransactionalTable:
         partition_cols: Sequence[str] = (),
         stats_cols: Sequence[str] = (),
         bloom_cols: Sequence[str] = (),
+        checkpoint_interval: int = 20,
     ):
         self.spark = spark
         # absolute: stats collection keys files by the absolute URI Spark
@@ -254,6 +267,11 @@ class TransactionalTable:
         self.partition_cols = tuple(partition_cols)
         self.stats_cols = tuple(stats_cols)
         self.bloom_cols = tuple(bloom_cols)
+        # every N commits, the full replay state is checkpointed so a cold
+        # reader does O(commits mod N) log reads, not O(commits) — the
+        # difference between 1 GET and 10⁴ after a day of streaming
+        # commits. 0 disables.
+        self.checkpoint_interval = int(checkpoint_interval)
         # incremental commit-log replay cache (see _replay)
         self._cache: dict | None = None
 
@@ -267,12 +285,92 @@ class TransactionalTable:
             return []
         out = []
         for name in os.listdir(d):
-            if name.endswith(".json"):
+            if name.endswith(".json") and not name.endswith(_CKPT_SUFFIX):
                 try:
                     out.append((int(name[:-5]), os.path.join(d, name)))
                 except ValueError:
                     continue
         return sorted(out)
+
+    # -- checkpoints -------------------------------------------------------
+    def _checkpoints(self) -> list[tuple[int, str]]:
+        d = self._log_dir()
+        if not os.path.isdir(d):
+            return []
+        out = []
+        for name in os.listdir(d):
+            if name.endswith(_CKPT_SUFFIX):
+                try:
+                    out.append((int(name[: -len(_CKPT_SUFFIX)]), os.path.join(d, name)))
+                except ValueError:
+                    continue
+        return sorted(out)
+
+    def _load_checkpoint(self, path: str) -> dict:
+        with open(path) as f:
+            rec = json.load(f)
+        return {
+            "v": rec["v"],
+            "schema": T.StructType.fromJson(json.loads(rec["schema"])) if rec.get("schema") else None,
+            "active": {
+                a["path"]: FileEntry(
+                    a["path"], a.get("partition", {}), a.get("stats"),
+                    a.get("bloom"), a.get("rows"),
+                )
+                for a in rec.get("active", [])
+            },
+            "txn": {k: int(v) for k, v in rec.get("txn", {}).items()},
+        }
+
+    def _maybe_checkpoint(self, v: int) -> None:
+        """Best-effort full-state checkpoint after commit ``v`` (every
+        ``checkpoint_interval`` commits). Exclusive-create, so concurrent
+        committers of the same version write it once; failure is harmless
+        (the next eligible commit retries). ``_last_checkpoint`` is an
+        O(1) discovery hint (Delta's `_last_checkpoint` file) — stale or
+        missing hints only cost a directory listing, never correctness."""
+        if self.checkpoint_interval <= 0 or v % self.checkpoint_interval != 0:
+            return
+        state = self._replay_latest(self._commits())
+        if state["v"] != v:
+            # the log advanced underneath us (or replay fell short):
+            # checkpoint exactly version v via a bounded rebuild
+            state = self._seed_state(v) or {"v": 0, "schema": None, "active": {}, "txn": {}}
+            for cv, p in self._commits():
+                if cv > v:
+                    break
+                if cv > state["v"]:
+                    self._apply_commit(state, cv, p)
+            if state["v"] != v:
+                return
+        rec = {
+            "v": v,
+            "schema": state["schema"].json() if state["schema"] is not None else None,
+            "active": [_entry_dict(e) for e in state["active"].values()],
+            "txn": state["txn"],
+        }
+        path = os.path.join(self._log_dir(), f"{v:020d}{_CKPT_SUFFIX}")
+        try:
+            with open(path, "x") as f:
+                json.dump(rec, f)
+        except FileExistsError:
+            return
+        tmp = os.path.join(self._log_dir(), _LAST_CKPT + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump({"version": v}, f)
+        os.replace(tmp, os.path.join(self._log_dir(), _LAST_CKPT))
+
+    def _seed_state(self, version: int | None) -> dict | None:
+        """Freshest checkpoint state usable as a replay base for
+        ``version`` (None = latest). Prefers the ``_last_checkpoint``
+        hint; falls back to listing."""
+        ckpts = self._checkpoints()
+        if not ckpts:
+            return None
+        usable = [c for c in ckpts if version is None or c[0] <= version]
+        if not usable:
+            return None
+        return self._load_checkpoint(usable[-1][1])
 
     def latest_version(self) -> int:
         c = self._commits()
@@ -326,7 +424,13 @@ class TransactionalTable:
         latest = commits[-1][0] if commits else 0
         c = self._cache
         if c is None or c["v"] > latest:
-            c = {"v": 0, "schema": None, "active": {}, "txn": {}}
+            # cold instance (or truncated log): seed from the newest
+            # checkpoint instead of replaying the whole log
+            c = self._seed_state(latest if latest else None) or {
+                "v": 0, "schema": None, "active": {}, "txn": {}
+            }
+            if c["v"] > latest:  # checkpoint newer than a truncated log
+                c = {"v": 0, "schema": None, "active": {}, "txn": {}}
         for v, p in commits:
             if v > c["v"]:
                 self._apply_commit(c, v, p)
@@ -344,11 +448,12 @@ class TransactionalTable:
         if version is None or version >= latest:
             c = self._replay_latest(commits)
             return c["schema"], list(c["active"].values())
-        state: dict = {"v": 0, "schema": None, "active": {}, "txn": {}}
+        state = self._seed_state(version) or {"v": 0, "schema": None, "active": {}, "txn": {}}
         for v, p in commits:
             if v > version:
                 break
-            self._apply_commit(state, v, p)
+            if v > state["v"]:
+                self._apply_commit(state, v, p)
         return state["schema"], list(state["active"].values())
 
     def _commit(
@@ -372,13 +477,7 @@ class TransactionalTable:
             "op": op,
             "ts": time.time(),
             "schema": schema.json(),
-            "add": [
-                {"path": e.path, "partition": e.partition}
-                | ({"stats": e.stats} if e.stats else {})
-                | ({"bloom": e.bloom} if e.bloom else {})
-                | ({"rows": e.rows} if e.rows is not None else {})
-                for e in add
-            ],
+            "add": [_entry_dict(e) for e in add],
             "remove": list(remove),
         }
         if txn is not None:
@@ -390,6 +489,7 @@ class TransactionalTable:
             try:
                 with open(os.path.join(self._log_dir(), f"{v:020d}.json"), "x") as f:
                     json.dump(rec, f)
+                self._maybe_checkpoint(v)
                 return v
             except FileExistsError:
                 # lost the race — validate against the new snapshot and retry
@@ -654,6 +754,114 @@ class TransactionalTable:
             "overwrite", self._write_files(df), [e.path for e in files], df.schema,
             expect_active=[e.path for e in files], read_version=rv,
         )
+
+    def restore(self, version: int) -> int:
+        """RESTORE to a historical snapshot as a METADATA-ONLY commit: the
+        new commit re-adds the target snapshot's files and retires the
+        current ones — zero data read or written, any table size. The
+        rollback a training pipeline needs when a bad batch lands ("the
+        7am crawl poisoned the corpus — put yesterday's table back") and
+        the reference's point-in-time recovery analogue done the table-
+        format way (Delta RESTORE). History is preserved: the restore is
+        itself a commit, so it can in turn be restored away.
+
+        Raises if any target file was already vacuumed (the snapshot is
+        unrecoverable past the vacuum grace window)."""
+        rv = self.latest_version()
+        if version >= rv:
+            return rv
+        schema, target = self.snapshot(version)
+        if schema is None:
+            raise FileNotFoundError(f"no commits at {self.root} as of v{version}")
+        missing = [e.path for e in target if not os.path.exists(os.path.join(self.root, e.path))]
+        if missing:
+            raise FileNotFoundError(
+                f"cannot restore to v{version}: {len(missing)} file(s) vacuumed, "
+                f"e.g. {missing[0]!r} — increase vacuum retain_snapshots"
+            )
+        _, cur = self.snapshot(rv)
+        cur_paths = {e.path for e in cur}
+        target_paths = {e.path for e in target}
+        return self._commit(
+            "restore",
+            [e for e in target if e.path not in cur_paths],
+            sorted(cur_paths - target_paths),
+            schema,
+            expect_active=cur_paths & target_paths,
+            read_version=rv,
+        )
+
+    def read_changes(
+        self, from_version: int, to_version: int | None = None, include_rewrites: bool = False
+    ) -> DataFrame:
+        """Change-data-feed over the commit log: the rows ADDED by commits
+        in ``(from_version, to_version]``, stamped ``_commit_version`` and
+        ``_change_op`` — the incremental-consumption half of the txn-marker
+        contract (a downstream job persists its last-consumed version and
+        asks only for what's new, instead of re-scanning 100 TB per run).
+
+        Append-only commits (``append``/``upsert_insert``) are EXACT
+        inserts. Rewrite commits (update/delete/merge/optimize/...) add
+        files that also contain unchanged survivor rows; without per-row
+        change tracking those cannot be split into before/after images, so
+        by default a rewrite commit in range raises — pass
+        ``include_rewrites=True`` to get every added-file row anyway
+        (documented as "the post-image of the touched files", which is the
+        right feed for a full-refresh-of-touched-partitions consumer).
+        Maintenance commits (``optimize``/``compact``/``restore``) move
+        rows between files without changing table contents and are always
+        SKIPPED rather than re-emitted."""
+        commits = self._commits()
+        schema, _ = self.snapshot()
+        if schema is None:
+            raise FileNotFoundError(f"no commits at {self.root}")
+        out_schema = T.StructType(
+            list(schema.fields)
+            + [
+                T.StructField("_commit_version", T.LongType(), False),
+                T.StructField("_change_op", T.StringType(), False),
+            ]
+        )
+        parts: list[DataFrame] = []
+        for v, p in commits:
+            if v <= from_version or (to_version is not None and v > to_version):
+                continue
+            with open(p) as f:
+                rec = json.load(f)
+            op = rec.get("op")
+            if op in ("optimize", "compact", "restore"):
+                continue  # layout-only: no logical change to emit
+            if op not in ("append", "upsert_insert") and not include_rewrites:
+                raise ValueError(
+                    f"commit v{v} is {op!r} (a rewrite); rows added by it include "
+                    f"unchanged survivors — pass include_rewrites=True to consume "
+                    f"touched-file post-images, or restrict the version range"
+                )
+            paths = [
+                os.path.join(self.root, a["path"])
+                for a in rec.get("add", [])
+                if os.path.exists(os.path.join(self.root, a["path"]))
+            ]
+            if not paths:
+                continue
+            file_schema = (
+                T.StructType.fromJson(json.loads(rec["schema"])) if rec.get("schema") else schema
+            )
+            d = self.spark.read.schema(file_schema).parquet(*paths)
+            # align historical commits to the CURRENT schema (add-column
+            # evolution means later columns are null for earlier commits)
+            d, _ = self._aligned(d, schema)
+            parts.append(
+                d.withColumn("_commit_version", F.lit(v).cast("long")).withColumn(
+                    "_change_op", F.lit(op)
+                )
+            )
+        if not parts:
+            return self.spark.createDataFrame([], out_schema)
+        out = parts[0]
+        for d in parts[1:]:
+            out = out.unionByName(d)
+        return out
 
     # -- read surface ------------------------------------------------------
     def read(self, version: int | None = None, files: list[FileEntry] | None = None) -> DataFrame:

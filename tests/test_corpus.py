@@ -258,3 +258,40 @@ def test_word_ngrams_property_vs_reference(spark):
         got = {r.i: list(r.g) for r in df.select("i", cp.word_ngrams(F.col("text"), n).alias("g")).collect()}
         want = {i: ref_ngrams(s, n) for i, s in enumerate(cases)}
         assert got == want, (n, {k: (got[k], want[k]) for k in got if got[k] != want[k]})
+
+
+def test_gopher_quality_rules(spark):
+    """Rule battery on constructed edge cases: a good doc, an empty doc,
+    a bullet-list doc, an ellipsis-heavy doc, a symbol-heavy doc, and a
+    no-alpha doc each trip exactly the expected flags."""
+    from pyspark.sql import Row
+
+    good = ("the quick brown fox jumps over a lazy dog and then runs off "
+            "to the hills with great speed that nobody can match ") * 3
+    docs = [
+        Row(doc_id=0, text=good),                                  # passes all
+        Row(doc_id=1, text=""),                                    # empty: all dependent rules fail
+        Row(doc_id=2, text="\n".join(["- item " + good] * 10)),    # 100% bullet lines
+        Row(doc_id=3, text="\n".join([good + "..."] * 10)),        # 100% ellipsis lines
+        Row(doc_id=4, text=("# " * 60) + good),                    # symbol ratio high
+        Row(doc_id=5, text="1 2 3 4 5 " * 12),                     # no alpha words
+    ]
+    out = {
+        r.doc_id: r.asDict()
+        for r in cp.gopher_quality(
+            spark.createDataFrame(docs), min_words=20
+        ).collect()
+    }
+    assert out[0]["pass_gopher"] is True
+    assert out[1]["n_words"] == 0 and out[1]["pass_gopher"] is False
+    assert out[1]["mean_word_len_f6"] is None  # NULL features, False flags
+    assert out[2]["r_bullet_lines"] is False and out[2]["r_word_count"] is True
+    assert out[3]["r_ellipsis_lines"] is False
+    assert out[4]["r_symbol_ratio"] is False
+    assert out[5]["r_alpha_words"] is False and out[5]["r_stopwords"] is False
+    # single narrow projection: no shuffle in the plan
+    plan = (
+        cp.gopher_quality(spark.createDataFrame(docs))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan

@@ -598,3 +598,147 @@ def test_merge_empty_batch_is_noop(spark):
     empty = spark.createDataFrame([], "k long, v double")
     assert t.merge_by_key(empty, ["k"]) == v  # no commit, no rewrite
     assert t.latest_version() == v
+
+
+# ------------------------------------------------- checkpoints / restore / CDF
+
+def test_checkpoint_bounds_cold_replay(spark):
+    """After `checkpoint_interval` commits a checkpoint file exists, and a
+    COLD instance reconstructs the same snapshot while parsing only the
+    commits after the checkpoint (the O(1)-GET cold-read property)."""
+    root = tempfile.mkdtemp(prefix="a2s_txlog_")
+    t = TransactionalTable(spark, root, checkpoint_interval=5)
+    for i in range(7):
+        t.append(spark.range(i * 10, i * 10 + 10).select(F.col("id").alias("event_id")))
+    ckpts = glob.glob(os.path.join(root, "_txlog", "*.checkpoint.json"))
+    assert len(ckpts) == 1 and ckpts[0].endswith("00000000000000000005.checkpoint.json")
+    assert os.path.exists(os.path.join(root, "_txlog", "_last_checkpoint"))
+    # cold reader: correct snapshot...
+    cold = TransactionalTable(spark, root, checkpoint_interval=5)
+    assert cold.read().count() == 70
+    # ...built without opening pre-checkpoint commit files
+    import unittest.mock as mock
+
+    cold2 = TransactionalTable(spark, root, checkpoint_interval=5)
+    opened = []
+    orig = TransactionalTable._apply_commit
+
+    def spy(state, v, path):
+        opened.append(v)
+        return orig(state, v, path)
+
+    with mock.patch.object(TransactionalTable, "_apply_commit", staticmethod(spy)):
+        cold2.snapshot()
+    assert opened == [6, 7]
+
+
+def test_checkpoint_time_travel_before_checkpoint(spark):
+    """Historical reads BEFORE the checkpoint still replay correctly (the
+    log is never truncated by checkpointing)."""
+    root = tempfile.mkdtemp(prefix="a2s_txlog_")
+    t = TransactionalTable(spark, root, checkpoint_interval=3)
+    for i in range(5):
+        t.append(spark.range(10).select(F.col("id").alias("event_id")))
+    assert t.read(version=2).count() == 20
+    assert t.read(version=4).count() == 40
+    cold = TransactionalTable(spark, root, checkpoint_interval=3)
+    assert cold.read(version=2).count() == 20
+
+
+def test_checkpoint_preserves_stats_and_txn_markers(spark):
+    """Zone maps, Blooms, row counts, and idempotent txn markers survive a
+    checkpoint round-trip — a cold reader prunes and dedups identically."""
+    root = tempfile.mkdtemp(prefix="a2s_txlog_")
+    t = TransactionalTable(spark, root, stats_cols=("event_id",), checkpoint_interval=2)
+    # coalesce(2): a 32-slice range writes empty part files (no rows → no
+    # stats recorded), which is correct behavior but not what this asserts
+    t.append(_events(spark, 30).coalesce(2), txn_app="job", txn_version=1)
+    t.append(_events(spark, 30).coalesce(2), txn_app="job", txn_version=2)  # commit 2 → checkpoint
+    cold = TransactionalTable(spark, root, stats_cols=("event_id",), checkpoint_interval=2)
+    assert cold.last_txn_version("job") == 2
+    assert cold.count_rows() == 60  # per-file rows survived
+    _, files = cold.snapshot()
+    assert all(e.stats and "event_id" in e.stats for e in files)
+    # replayed txn version is a no-op on the cold instance too
+    before = cold.latest_version()
+    cold.append(_events(spark, 5), txn_app="job", txn_version=2)
+    assert cold.latest_version() == before
+
+
+def test_restore_is_metadata_only_and_roundtrips(spark):
+    t = _mk(spark)  # v1: 60 rows
+    v1 = t.latest_version()
+    hashes_before = _file_hashes(t)
+    t.delete_by_spec(Q.all_of().when("event_type", "t0"))
+    t.append(_events(spark, 10))
+    assert t.read().count() == 50
+    data_files_before_restore = set(_file_hashes(t))
+    t.restore(v1)
+    assert t.read().count() == 60
+    # metadata-only: no new data files were written by the restore
+    after = _file_hashes(t)
+    assert set(after) == data_files_before_restore
+    # v1's files are byte-identical to their originals
+    for p, h in hashes_before.items():
+        assert after[p] == h
+    # restore is itself history: rolling forward again works
+    t.restore(t.latest_version() - 1)
+    assert t.read().count() == 50
+
+
+def test_restore_raises_after_vacuum(spark):
+    t = _mk(spark)
+    v1 = t.latest_version()
+    t.overwrite(_events(spark, 5))
+    t.vacuum(retain_snapshots=1, min_age_seconds=0.0)
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        t.restore(v1)
+
+
+def test_read_changes_appends_exact(spark):
+    root = tempfile.mkdtemp(prefix="a2s_txlog_")
+    t = TransactionalTable(spark, root)
+    t.append(spark.range(10).select(F.col("id").alias("event_id")))
+    v1 = t.latest_version()
+    t.append(spark.range(10, 25).select(F.col("id").alias("event_id")))
+    t.append(spark.range(25, 30).select(F.col("id").alias("event_id")))
+    ch = t.read_changes(v1)
+    assert ch.count() == 20
+    assert {r._change_op for r in ch.select("_change_op").distinct().collect()} == {"append"}
+    # versioned consumption: second batch only
+    assert t.read_changes(v1, v1 + 1).count() == 15
+    # nothing new → empty frame with the right schema
+    empty = t.read_changes(t.latest_version())
+    assert empty.count() == 0 and "_commit_version" in empty.columns
+
+
+def test_read_changes_rewrites_guarded(spark):
+    t = _mk(spark)
+    v1 = t.latest_version()
+    t.update_by_spec(Q.all_of().when("event_type", "t1"), U.update().set("value", 99.0))
+    with pytest.raises(ValueError, match="include_rewrites"):
+        t.read_changes(v1)
+    post = t.read_changes(v1, include_rewrites=True)
+    # post-image of the touched partition only
+    assert {r.event_type for r in post.select("event_type").distinct().collect()} == {"t1"}
+    assert post.count() == 20
+    # maintenance commits are skipped, not re-emitted
+    v2 = t.latest_version()
+    t.compact(target_files_per_partition=1)
+    assert t.read_changes(v2).count() == 0
+
+
+def test_read_changes_schema_evolution_aligns(spark):
+    root = tempfile.mkdtemp(prefix="a2s_txlog_")
+    t = TransactionalTable(spark, root)
+    t.append(spark.range(5).select(F.col("id").alias("event_id")))
+    v1 = t.latest_version()
+    t.append(
+        spark.range(5, 8).select(
+            F.col("id").alias("event_id"), F.lit("new").alias("tag")
+        )
+    )
+    ch = t.read_changes(0)  # includes the pre-evolution commit
+    assert set(ch.columns) == {"event_id", "tag", "_commit_version", "_change_op"}
+    old_rows = ch.filter(F.col("_commit_version") == v1).collect()
+    assert all(r.tag is None for r in old_rows)
