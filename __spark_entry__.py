@@ -400,6 +400,48 @@ def update_partition_scoped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read().select("event_id", "event_type", "value")
 
 
+def txlog_restore_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel, RESTORE, checkpointing, and the change feed end to end
+    (sources/txlog.py): events append in two deterministic batches, a
+    partition is deleted (commit 3 — which also writes a log checkpoint),
+    then RESTORE rolls back to the pre-delete snapshot as a METADATA-ONLY
+    commit. The output is the append-commits change feed (exact row-level
+    inserts, stamped with their commit version) unioned with the restored
+    final snapshot — the oracle can state both halves in plain SQL over
+    the source, proving (a) the feed reproduces exactly what was appended
+    per commit and (b) restore loses nothing. The rollback a pretraining
+    pipeline needs when a bad crawl batch lands, done the table-format way
+    (Delta RESTORE analogue; reference point-in-time story:
+    ElasticsearchIndexService.java alias repoint)."""
+    import tempfile
+
+    from aleph2_contrib_spark.sources.txlog import TransactionalTable
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    t = TransactionalTable(
+        spark,
+        tempfile.mkdtemp(prefix="a2s_gate_restore_"),
+        partition_cols=("event_type",),
+        checkpoint_interval=3,
+    )
+    t.append(ev.filter(F.col("event_id") % 2 == 0))
+    t.append(ev.filter(F.col("event_id") % 2 == 1))
+    v2 = t.latest_version()
+    t.delete_by_spec(Q.all_of().when("event_type", "error"))
+    t.restore(v2)  # metadata-only undo of the delete
+    feed = t.read_changes(0, v2).select(
+        "event_id", "event_type", "value", "_commit_version", "_change_op"
+    )
+    snap = t.read().select(
+        "event_id",
+        "event_type",
+        "value",
+        F.lit(-1).cast("long").alias("_commit_version"),
+        F.lit("snapshot").alias("_change_op"),
+    )
+    return feed.unionByName(snap)
+
+
 # ---------------------------------------------------------------------------
 # Pipeline engine (SURVEY §2.4)
 # ---------------------------------------------------------------------------
@@ -2255,6 +2297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- (1) new / changed this round -----------------------------------
         "corpus_gopher_rules": corpus_gopher_rules,
+        "txlog_restore_changefeed": txlog_restore_changefeed,
         "update_partition_scoped": update_partition_scoped,
         "dedup_spans": dedup_spans,
         "sketch_cms_heavy_hitters": sketch_cms_heavy_hitters,
@@ -2660,6 +2703,18 @@ def oracle_sql() -> dict[str, str]:
                         THEN value + 10.0 ELSE value END AS value
             FROM events
             WHERE event_type != 'error'
+        """,
+        "txlog_restore_changefeed": """
+            SELECT event_id, event_type, value,
+                   CAST(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 2 END AS BIGINT)
+                       AS _commit_version,
+                   'append' AS _change_op
+            FROM events
+            UNION ALL
+            SELECT event_id, event_type, value,
+                   CAST(-1 AS BIGINT) AS _commit_version,
+                   'snapshot' AS _change_op
+            FROM events
         """,
         "profile_value_histogram": """
             WITH hist AS (

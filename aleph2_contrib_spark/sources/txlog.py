@@ -1086,7 +1086,13 @@ class TransactionalTable:
         )
 
     # -- maintenance -------------------------------------------------------
-    def optimize(self, sort_cols: Sequence[str], files_per_range: int = 1) -> int:
+    def optimize(
+        self,
+        sort_cols: Sequence[str],
+        files_per_range: int = 1,
+        zorder: bool = False,
+        zorder_bits: int = 6,
+    ) -> int:
         """C16 optimizeQuery as a log commit: rewrite the table clustered
         on ``sort_cols`` (range-partitioned THEN sorted within files), so
         each data file covers a narrow [min, max] slice and the zone maps
@@ -1095,25 +1101,88 @@ class TransactionalTable:
         files retire in the same atomic commit; in-flight readers keep
         their snapshot (vacuum grace), unlike an in-place rewrite.
 
-        The parquet table format's Z-ORDER analogue, reduced to the
-        single-dimension case the reference's optimizeQuery models
-        (MongoDbCrudService.java:297-322 creates a secondary index on the
-        field list; here the LAYOUT is the index and the commit log holds
-        its statistics)."""
+        Lexicographic sort is the single-dimension case the reference's
+        optimizeQuery models (MongoDbCrudService.java:297-322 creates a
+        secondary index on the field list; here the LAYOUT is the index
+        and the commit log holds its statistics). It makes only the FIRST
+        sort column's zone maps selective; with ``zorder=True`` the rows
+        are instead clustered on a Morton (Z-) curve over ALL the columns
+        — every column's per-file [min, max] narrows to ~domain/2^(bits
+        shared per dim), so multi-dimension point/range queries each skip
+        most files (the table-format Z-ORDER). Implementation: per-column
+        equi-depth bucket ids from one bounded ``approxQuantile`` pass
+        (equi-depth, so skewed columns still spread across buckets),
+        bit-interleaved into a single long, then range-partition + sort on
+        that z-value. The z column is derived transiently and not stored.
+        Z-order columns must cast to double (numeric/timestamp/date/bool);
+        raises on strings — lexicographic sort is the right tool there."""
         rv = self.latest_version()
         schema, active = self.snapshot(rv if rv else None)
         if schema is None:
             raise FileNotFoundError(f"no commits at {self.root}")
         if not active:
             return rv
-        df = self.read(files=active).repartitionByRange(
-            max(1, len(active) // max(1, files_per_range)) or 1, *sort_cols
-        ).sortWithinPartitions(*sort_cols)
+        nparts = max(1, len(active) // max(1, files_per_range)) or 1
+        df = self.read(files=active)
+        if zorder and len(sort_cols) > 1:
+            z = self._zvalue(df, sort_cols, zorder_bits)
+            df = (
+                df.withColumn("__z", z)
+                .repartitionByRange(nparts, "__z")
+                .sortWithinPartitions("__z")
+                .drop("__z")
+            )
+        else:
+            df = df.repartitionByRange(nparts, *sort_cols).sortWithinPartitions(*sort_cols)
         adds = self._write_files(df)
         return self._commit(
             "optimize", adds, [e.path for e in active], schema,
             expect_active=[e.path for e in active], read_version=rv,
         )
+
+    def _zvalue(self, df: DataFrame, cols: Sequence[str], bits: int) -> "F.Column":
+        """Morton z-value Column over ``cols``: equi-depth bucket per
+        column (boundaries from ONE approxQuantile pass — driver holds
+        2^bits floats per column, bounded regardless of table size), bits
+        interleaved lowest-first so all dimensions share locality at every
+        scale of the curve. NULLs sort to bucket 0 (the curve's origin),
+        matching NULLS FIRST."""
+        if bits * len(cols) > 62:
+            raise ValueError(f"zorder_bits={bits} × {len(cols)} cols exceeds 62 bits")
+        dcols = []
+        tmp = df
+        for ci, c in enumerate(cols):
+            f = next((f for f in df.schema.fields if f.name == c), None)
+            if f is None:
+                raise KeyError(f"zorder column {c!r} not in table schema")
+            if isinstance(f.dataType, (T.StringType, T.BinaryType)):
+                raise ValueError(
+                    f"zorder column {c!r} is {f.dataType.simpleString()}: z-order "
+                    f"needs a numeric ordering — use lexicographic optimize() for strings"
+                )
+            d = f"__zq_{ci}"
+            tmp = tmp.withColumn(d, F.col(c).cast("double"))
+            dcols.append(d)
+        probs = [i / float(1 << bits) for i in range(1, 1 << bits)]
+        quantiles = tmp.stat.approxQuantile(dcols, probs, 0.001)
+        z = F.lit(0).cast("long")
+        for ci, (c, d, qs) in enumerate(zip(cols, dcols, quantiles)):
+            bounds = sorted({q for q in qs if q is not None})
+            if not bounds:  # all-null or constant column: contributes bucket 0
+                continue
+            arr = F.array(*[F.lit(b) for b in bounds])
+            dc = F.col(c).cast("double")
+            bucket = F.when(dc.isNull(), F.lit(0)).otherwise(
+                F.size(F.filter(arr, lambda b: dc >= b))
+            ).cast("long")
+            for i in range(bits):
+                z = z.bitwiseOR(
+                    F.shiftleft(
+                        F.shiftright(bucket, i).bitwiseAND(F.lit(1)),
+                        i * len(cols) + ci,
+                    )
+                )
+        return z
 
     def compact(self, target_files_per_partition: int = 1) -> int | None:
         """Small-file compaction as a log commit: per partition value,

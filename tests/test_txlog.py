@@ -742,3 +742,43 @@ def test_read_changes_schema_evolution_aligns(spark):
     assert set(ch.columns) == {"event_id", "tag", "_commit_version", "_change_op"}
     old_rows = ch.filter(F.col("_commit_version") == v1).collect()
     assert all(r.tag is None for r in old_rows)
+
+
+def test_zorder_optimize_skips_files_on_both_dimensions(spark):
+    """Z-order clustering makes BOTH columns' zone maps selective: a
+    narrow range on either dimension prunes most files from log metadata,
+    where a lexicographic sort only serves its leading column."""
+    root = tempfile.mkdtemp(prefix="a2s_txlog_")
+    t = TransactionalTable(spark, root, stats_cols=("a", "b"))
+    # two independent pseudo-uniform dimensions, many input files
+    df = spark.range(4096).repartition(16).select(
+        ((F.col("id") * 2654435761) % 1000).alias("a"),
+        ((F.col("id") * 7919 + 13) % 1000).alias("b"),
+        F.col("id").alias("payload"),
+    )
+    t.append(df)
+    t.optimize(["a", "b"], files_per_range=1, zorder=True)
+    _, active = t.snapshot()
+    total = len(active)
+    assert total >= 8  # enough files for pruning to mean something
+
+    def touched(col):
+        spec = Q.all_of().range_closed_closed(col, 100, 160)
+        return len(t._prune_files(active, spec))
+
+    # each dimension alone prunes to well under half the files
+    assert touched("a") <= total // 2, (touched("a"), total)
+    assert touched("b") <= total // 2, (touched("b"), total)
+    # data intact
+    assert t.read().count() == 4096
+    assert t.read().agg(F.sum("payload")).collect()[0][0] == 4096 * 4095 // 2
+
+
+def test_zorder_rejects_strings_and_checks_bits(spark):
+    root = tempfile.mkdtemp(prefix="a2s_txlog_")
+    t = TransactionalTable(spark, root)
+    t.append(spark.range(10).select(F.col("id").alias("a"), F.lit("x").alias("s")))
+    with pytest.raises(ValueError, match="z-order"):
+        t.optimize(["a", "s"], zorder=True)
+    with pytest.raises(ValueError, match="62 bits"):
+        t.optimize(["a", "a", "a"], zorder=True, zorder_bits=21)
