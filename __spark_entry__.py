@@ -2257,6 +2257,37 @@ def corpus_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cp.gopher_quality(docs, min_stopword_hits=1)
 
 
+def corpus_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line cleaning (operators/corpus.py c4_line_filter):
+    terminal-punctuation / min-words / javascript line rules plus
+    lorem-ipsum & curly-brace document kill rules, as one zero-shuffle
+    projection. Multi-line docs are synthesized deterministically (the
+    corpus is single-line) so every rule fires on a known subset."""
+    from aleph2_contrib_spark.operators import corpus as cp
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.concat(F.col("text"), F.lit(".")),       # keeps: punct + long
+            F.lit("short line"),                        # dropped: < 3 words
+            F.lit("no terminal punctuation at all"),    # dropped: no punct
+            F.lit("this page uses javascript heavily."),  # dropped: js
+            F.when(
+                F.col("doc_id") % 7 == 0, F.lit("lorem ipsum dolor sit amet.")
+            ).otherwise(F.lit("a perfectly normal closing sentence.")),
+        ).alias("text"),
+    )
+    out = cp.c4_line_filter(docs)
+    return out.select(
+        "doc_id",
+        "n_lines_kept",
+        "n_lines_dropped",
+        "keep_doc",
+        F.md5(F.col("cleaned")).alias("cleaned_md5"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -2297,6 +2328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- (1) new / changed this round -----------------------------------
         "corpus_gopher_rules": corpus_gopher_rules,
+        "corpus_c4_line_filter": corpus_c4_line_filter,
         "txlog_restore_changefeed": txlog_restore_changefeed,
         "update_partition_scoped": update_partition_scoped,
         "dedup_spans": dedup_spans,
@@ -3664,6 +3696,35 @@ def oracle_sql() -> dict[str, str]:
                    AND r_bullet_lines AND r_ellipsis_lines AND r_alpha_words
                    AND r_stopwords AS pass_gopher
             FROM flags
+        """,
+        "corpus_c4_line_filter": r"""
+            WITH aug AS (
+                SELECT doc_id,
+                       text || '.' || chr(10)
+                       || 'short line' || chr(10)
+                       || 'no terminal punctuation at all' || chr(10)
+                       || 'this page uses javascript heavily.' || chr(10)
+                       || CASE WHEN doc_id % 7 = 0
+                               THEN 'lorem ipsum dolor sit amet.'
+                               ELSE 'a perfectly normal closing sentence.' END AS text
+                FROM documents
+            ), base AS (
+                SELECT doc_id, text,
+                       list_filter(string_split(text, chr(10)),
+                           x -> regexp_matches(x, '[.!?"]\s*$')
+                                AND len(regexp_split_to_array(trim(x), '\s+')) >= 3
+                                AND NOT contains(lower(x), 'javascript')) AS kept,
+                       len(string_split(text, chr(10))) AS n_lines
+                FROM aug
+            )
+            SELECT doc_id,
+                   CAST(len(kept) AS INT) AS n_lines_kept,
+                   CAST(n_lines - len(kept) AS INT) AS n_lines_dropped,
+                   NOT contains(lower(text), 'lorem ipsum')
+                       AND NOT contains(text, '{')
+                       AND len(kept) >= 1 AS keep_doc,
+                   md5(array_to_string(kept, chr(10))) AS cleaned_md5
+            FROM base
         """,
         "corpus_shuffle_shards": """
             SELECT doc_id,

@@ -463,3 +463,44 @@ def gopher_quality(
             & F.col("r_stopwords")
         ).alias("pass_gopher"),
     )
+
+
+def c4_line_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words_per_line: int = 3,
+    min_lines_kept: int = 1,
+) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2): keep only
+    lines that end in terminal punctuation (``. ! ? "``), have at least
+    ``min_words_per_line`` whitespace words, and don't mention
+    "javascript"; drop the whole document if it contains "lorem ipsum" or
+    a curly brace (template/boilerplate tell), or if fewer than
+    ``min_lines_kept`` lines survive.
+
+    Adds ``cleaned`` (surviving lines re-joined), ``n_lines_kept``,
+    ``n_lines_dropped``, and ``keep_doc``. Line filtering REWRITES the
+    document (unlike gopher_quality, which only flags) — the two compose:
+    C4 line cleanup first, Gopher flags on the cleaned text.
+
+    Pure higher-order Column expressions — zero shuffle, codegen'd, runs
+    at scan speed on any partitioning."""
+    lines = F.split(F.col(text_col), r"\n")
+    kept = F.filter(
+        lines,
+        lambda x: x.rlike(r'[.!?"]\s*$')
+        & (F.size(F.split(F.trim(x), r"\s+")) >= min_words_per_line)
+        & ~F.lower(x).contains("javascript"),
+    )
+    n_kept = F.size(kept)
+    return df.select(
+        "*",
+        F.array_join(kept, "\n").alias("cleaned"),
+        n_kept.alias("n_lines_kept"),
+        (F.size(lines) - n_kept).alias("n_lines_dropped"),
+        (
+            ~F.lower(F.col(text_col)).contains("lorem ipsum")
+            & ~F.col(text_col).contains("{")
+            & (n_kept >= min_lines_kept)
+        ).alias("keep_doc"),
+    )

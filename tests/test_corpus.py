@@ -295,3 +295,33 @@ def test_gopher_quality_rules(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan, plan
+
+
+def test_c4_line_filter(spark):
+    """Line rules: terminal punctuation, min words, javascript; doc rules:
+    lorem ipsum, curly brace, min surviving lines."""
+    from pyspark.sql import Row
+
+    docs = [
+        Row(doc_id=0, text='Good sentence stays here.\nbad\nAnother keeper, truly!'),
+        Row(doc_id=1, text='This mentions javascript sadly.\nOnly line.'),
+        Row(doc_id=2, text='lorem ipsum dolor sit amet.\nFine sentence otherwise here.'),
+        Row(doc_id=3, text='Template {placeholder} text here.\nGood line nonetheless.'),
+        Row(doc_id=4, text='no punctuation on this line\nnor on this one'),
+        Row(doc_id=5, text='Ends with quote he said."'),
+    ]
+    out = {r.doc_id: r.asDict() for r in cp.c4_line_filter(spark.createDataFrame(docs)).collect()}
+    assert out[0]["n_lines_kept"] == 2 and out[0]["n_lines_dropped"] == 1
+    assert out[0]["keep_doc"] is True
+    assert out[0]["cleaned"] == "Good sentence stays here.\nAnother keeper, truly!"
+    # the js line is dropped; 'Only line.' has 2 words -> dropped; nothing survives
+    assert out[1]["n_lines_kept"] == 0 and out[1]["keep_doc"] is False
+    assert out[2]["keep_doc"] is False  # lorem ipsum kills the doc
+    assert out[3]["keep_doc"] is False  # curly brace kills the doc
+    assert out[4]["n_lines_kept"] == 0 and out[4]["keep_doc"] is False
+    assert out[5]["n_lines_kept"] == 1 and out[5]["keep_doc"] is True
+    plan = (
+        cp.c4_line_filter(spark.createDataFrame(docs))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan
