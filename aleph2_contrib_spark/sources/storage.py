@@ -31,7 +31,6 @@ from __future__ import annotations
 import datetime as dt
 import os
 import shutil
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -223,20 +222,50 @@ class TimePartitionedTable:
             .partitionBy(PARTITION_COL)
             .parquet(os.path.join(self.bucket.path, version))
         )
-        if path is None:
+        self._publish_version(version, path)
+
+    def _publish_version(self, version: str, replaced_path: str | None) -> None:
+        """Make ``version`` (a just-written root-relative data dir) the
+        live data for whatever pointer currently names ``replaced_path``
+        (None → the primary). One atomic pointer write; the replaced
+        directory is retired by ``manifest.vacuum`` grace, never moved —
+        concurrent readers keep their resolved version. Unmanaged paths
+        are refused: the swap-in-place alternative has a reader-visible
+        window where the directory is missing, which is exactly the
+        non-atomicity this storage layer exists to rule out."""
+        if replaced_path is None or os.path.realpath(replaced_path) == os.path.realpath(
+            self.primary_path
+        ):
             manifest.commit(self.bucket.path, version)
             manifest.vacuum(self.bucket.path, keep=1)
-        else:
-            # explicit-path variant (e.g. clustering a buffer): repoint the
-            # buffer pointer if one names this path, else swap in place
-            for name in os.listdir(self.bucket.path):
-                if name.startswith("_buffer_") and manifest.resolve(self.bucket.path, name) == path:
-                    manifest.commit(self.bucket.path, version, name)
-                    return
-            old = path + ".old-" + uuid.uuid4().hex[:8]
-            shutil.move(path, old)
-            shutil.move(os.path.join(self.bucket.path, version), path)
-            shutil.rmtree(old, ignore_errors=True)
+            return
+        for name in os.listdir(self.bucket.path):
+            if name.startswith("_buffer_") and manifest.resolve(self.bucket.path, name) == replaced_path:
+                manifest.commit(self.bucket.path, version, name)
+                manifest.vacuum(self.bucket.path, keep=1)
+                return
+        raise ValueError(
+            f"{replaced_path!r} is not the primary or a pointer-managed buffer of "
+            f"{self.bucket.path!r}; refusing a non-atomic in-place swap"
+        )
+
+    @staticmethod
+    def _link_or_copy_tree(src: str, dst: str) -> None:
+        """Populate ``dst`` with ``src``'s files without copying bytes:
+        hardlinks when the filesystem allows, byte-copy fallback. The
+        local-disk rendering of what a manifest/commit-log does on an
+        object store — untouched data is REFERENCED by the new version,
+        not duplicated."""
+        for root, _dirs, files in os.walk(src):
+            rel = os.path.relpath(root, src)
+            troot = os.path.join(dst, rel) if rel != "." else dst
+            os.makedirs(troot, exist_ok=True)
+            for f in files:
+                s, t = os.path.join(root, f), os.path.join(troot, f)
+                try:
+                    os.link(s, t)
+                except OSError:
+                    shutil.copy2(s, t)
 
     def compact(
         self,
@@ -250,9 +279,16 @@ class TimePartitionedTable:
         whose file count exceeds the bin-packed need are rewritten
         (``optimize()`` is the full clustering rewrite; this touches the
         minimum). The partition value stays encoded in the directory name,
-        so per-directory rewrites preserve the table layout and partition
-        pruning. Each rewrite is its own Spark job; a production scheduler
-        submits them concurrently — the per-partition logic is identical.
+        so the table layout and partition pruning are preserved.
+
+        Publication is ONE atomic pointer commit of a new version dir:
+        compacted partitions get fresh files, untouched partitions are
+        hardlinked (referenced, not copied — the on-disk analogue of a
+        table-format manifest entry), and readers racing the compaction
+        keep their resolved version intact through the vacuum grace
+        window. Each partition rewrite is its own Spark job; a production
+        scheduler submits them concurrently — the per-partition logic is
+        identical.
 
         Returns {partition_dir_name: (files_before, files_after)} for the
         partitions rewritten.
@@ -261,7 +297,7 @@ class TimePartitionedTable:
         import math as _math
 
         p = path or self.primary_path
-        report: dict[str, tuple[int, int]] = {}
+        plan: dict[str, tuple[int, int]] = {}
         for part_dir in sorted(_glob.glob(os.path.join(p, f"{PARTITION_COL}=*"))):
             files = _glob.glob(os.path.join(part_dir, "part-*"))
             if len(files) < 2:
@@ -270,15 +306,28 @@ class TimePartitionedTable:
             need = max(1, _math.ceil(total / target_file_bytes))
             if len(files) <= need:
                 continue
-            df = self.spark.read.parquet(part_dir)
-            tmp = part_dir + ".cmp-" + uuid.uuid4().hex[:8]
-            df.coalesce(need).write.mode("overwrite").parquet(tmp)
-            old = part_dir + ".old"
-            shutil.move(part_dir, old)
-            shutil.move(tmp, part_dir)
-            shutil.rmtree(old, ignore_errors=True)
-            report[os.path.basename(part_dir)] = (len(files), need)
-        return report
+            plan[os.path.basename(part_dir)] = (len(files), need)
+        if not plan:
+            return {}
+        version = manifest.new_version()
+        dest_root = os.path.join(self.bucket.path, version)
+        os.makedirs(dest_root, exist_ok=True)
+        for entry in sorted(os.listdir(p)):
+            src = os.path.join(p, entry)
+            dst = os.path.join(dest_root, entry)
+            if entry in plan:
+                _before, need = plan[entry]
+                df = self.spark.read.parquet(src)
+                df.coalesce(need).write.mode("overwrite").parquet(dst)
+            elif os.path.isdir(src):
+                self._link_or_copy_tree(src, dst)
+            else:  # top-level markers (_SUCCESS)
+                try:
+                    os.link(src, dst)
+                except OSError:
+                    shutil.copy2(src, dst)
+        self._publish_version(version, p)
+        return plan
 
     def delete_datastore(self) -> None:
         """S19 bucket deletion."""

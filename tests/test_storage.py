@@ -191,17 +191,24 @@ def test_compact_bin_packs_small_files(spark, tmp_path, events_df):
     t = make_table(spark, tmp_path)
     for _ in range(5):  # 5 appends -> >=5 files per partition
         t.write(events_df)
-    feb = os.path.join(t.primary_path, f"{PARTITION_COL}=2020-02-01T00")
-    before = len(glob.glob(os.path.join(feb, "part-*")))
+    old_primary = t.primary_path
+    feb_old = os.path.join(old_primary, f"{PARTITION_COL}=2020-02-01T00")
+    before = len(glob.glob(os.path.join(feb_old, "part-*")))
     assert before >= 5
+    # a reader resolved before the compaction
+    old_reader = spark.read.parquet(old_primary)
     report = t.compact(target_file_bytes=1 << 30)  # everything fits one file
     assert report[f"{PARTITION_COL}=2020-02-01T00"][1] == 1
-    after = len(glob.glob(os.path.join(feb, "part-*")))
-    assert after == 1
+    # publication is a pointer commit: primary now names a NEW version dir
+    assert t.primary_path != old_primary
+    feb = os.path.join(t.primary_path, f"{PARTITION_COL}=2020-02-01T00")
+    assert len(glob.glob(os.path.join(feb, "part-*"))) == 1
     df = spark.read.parquet(t.primary_path)
     assert df.count() == 4 * 5
     # partition directory layout intact -> pruning by partition col works
     assert df.filter(F.col(PARTITION_COL) == "2020-02-01T00").count() == 2 * 5
+    # the racing reader's snapshot survived (vacuum grace keeps the old dir)
+    assert old_reader.count() == 4 * 5
 
 
 def test_compact_skips_already_packed(spark, tmp_path, events_df):
