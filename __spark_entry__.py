@@ -442,6 +442,35 @@ def txlog_restore_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feed.unionByName(snap)
 
 
+def txlog_incremental_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once incremental ETL (sources/txlog.run_incremental): the
+    source table fills in two commits; each run consumes ONLY the new
+    commits (O(batch), not O(table)) and commits the transform's output
+    stamped with an idempotent (app, source-version) marker — a rerun
+    with nothing new is a no-op, which is asserted inline (the oracle
+    can't see marker state, but a violated assert fails the gate). The
+    downstream table must equal the transform over the whole source —
+    stated in plain SQL by the oracle."""
+    import tempfile
+
+    from aleph2_contrib_spark.sources.txlog import TransactionalTable, run_incremental
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    src = TransactionalTable(spark, tempfile.mkdtemp(prefix="a2s_gate_incsrc_"))
+    dst = TransactionalTable(spark, tempfile.mkdtemp(prefix="a2s_gate_incdst_"))
+    src.append(ev.filter(F.col("event_id") % 2 == 0))
+    src.append(ev.filter(F.col("event_id") % 2 == 1))
+
+    def enrich(df: DataFrame) -> DataFrame:
+        return df.select(
+            "event_id", "event_type", (F.col("value") * 2.0).alias("value_x2")
+        )
+
+    assert run_incremental(src, dst, "etl", enrich) == 2
+    assert run_incremental(src, dst, "etl", enrich) is None  # marker no-op
+    return dst.read()
+
+
 # ---------------------------------------------------------------------------
 # Pipeline engine (SURVEY §2.4)
 # ---------------------------------------------------------------------------
@@ -2330,6 +2359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_gopher_rules": corpus_gopher_rules,
         "corpus_c4_line_filter": corpus_c4_line_filter,
         "txlog_restore_changefeed": txlog_restore_changefeed,
+        "txlog_incremental_etl": txlog_incremental_etl,
         "update_partition_scoped": update_partition_scoped,
         "dedup_spans": dedup_spans,
         "sketch_cms_heavy_hitters": sketch_cms_heavy_hitters,
@@ -2735,6 +2765,10 @@ def oracle_sql() -> dict[str, str]:
                         THEN value + 10.0 ELSE value END AS value
             FROM events
             WHERE event_type != 'error'
+        """,
+        "txlog_incremental_etl": """
+            SELECT event_id, event_type, value * 2.0 AS value_x2
+            FROM events
         """,
         "txlog_restore_changefeed": """
             SELECT event_id, event_type, value,

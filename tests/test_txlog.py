@@ -782,3 +782,61 @@ def test_zorder_rejects_strings_and_checks_bits(spark):
         t.optimize(["a", "s"], zorder=True)
     with pytest.raises(ValueError, match="62 bits"):
         t.optimize(["a", "a", "a"], zorder=True, zorder_bits=21)
+
+
+def test_run_incremental_exactly_once(spark):
+    """Incremental ETL loop: each run consumes only new source commits,
+    reruns are marker-detected no-ops, and maintenance-only ranges don't
+    advance or commit anything."""
+    from aleph2_contrib_spark.sources.txlog import run_incremental
+
+    src = TransactionalTable(spark, tempfile.mkdtemp(prefix="a2s_inc_src_"))
+    dst = TransactionalTable(spark, tempfile.mkdtemp(prefix="a2s_inc_dst_"))
+    double = lambda df: df.select("event_id", (F.col("event_id") * 2).alias("doubled"))
+
+    src.append(spark.range(10).select(F.col("id").alias("event_id")))
+    src.append(spark.range(10, 20).select(F.col("id").alias("event_id")))
+    assert run_incremental(src, dst, "etl", double) == 2
+    assert dst.read().count() == 20
+    # nothing new → no-op, no empty commits
+    v = dst.latest_version()
+    assert run_incremental(src, dst, "etl", double) is None
+    assert dst.latest_version() == v
+    # a third source batch is consumed alone (O(batch), not O(table))
+    src.append(spark.range(20, 25).select(F.col("id").alias("event_id")))
+    assert run_incremental(src, dst, "etl", double) == 3
+    assert dst.read().count() == 25
+    assert dst.read().filter(F.col("doubled") == 48).count() == 1
+    # maintenance-only range: compact emits no logical changes
+    src.compact(target_files_per_partition=1)
+    assert run_incremental(src, dst, "etl", double) is None
+
+
+def test_run_incremental_merge_keys(spark):
+    """merge_keys: re-delivered keys REPLACE rather than duplicate, and a
+    crash-replay (same source version rerun) cannot double-apply."""
+    from aleph2_contrib_spark.sources.txlog import run_incremental
+
+    src = TransactionalTable(spark, tempfile.mkdtemp(prefix="a2s_inc_src_"))
+    dst = TransactionalTable(spark, tempfile.mkdtemp(prefix="a2s_inc_dst_"))
+    src.append(
+        spark.range(5).select((F.col("id") % 3).alias("k"), F.col("id").alias("x"))
+    )
+    latest = lambda df: df.groupBy("k").agg(F.max("x").alias("x"))
+    assert run_incremental(src, dst, "mv", latest, merge_keys=("k",)) == 1
+    assert dst.read().count() == 3
+    # same keys again with new values: replaced, not appended
+    src.append(
+        spark.range(100, 103).select((F.col("id") % 3).alias("k"), F.col("id").alias("x"))
+    )
+    assert run_incremental(src, dst, "mv", latest, merge_keys=("k",)) == 2
+    got = {r.k: r.x for r in dst.read().collect()}
+    assert len(got) == 3 and all(v >= 100 for v in got.values())
+    # crash-replay: marker already records v2 → merge is a no-op commit-wise
+    before = dst.latest_version()
+    dst.merge_by_key(
+        src.read_changes(1, 2).drop("_commit_version", "_change_op")
+        .groupBy("k").agg(F.max("x").alias("x")),
+        ["k"], txn_app="mv", txn_version=2,
+    )
+    assert dst.latest_version() == before
