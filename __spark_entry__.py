@@ -471,6 +471,19 @@ def txlog_incremental_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dst.read()
 
 
+def profile_histogram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-QA drift check (operators/profile.histogram_drift): fixed-bin
+    value histograms of two event cohorts compared by total-variation
+    distance — exact DECIMAL arithmetic, one double division at the end,
+    engine-portable bit-for-bit (no logarithms)."""
+    from aleph2_contrib_spark.operators import profile as pf
+
+    ev = _t(spark, sf_dir, "events")
+    ref = pf.numeric_histogram(ev.filter(F.col("event_id") % 2 == 0), "value", 0.0, 100.0, 20)
+    cur = pf.numeric_histogram(ev.filter(F.col("event_id") % 2 == 1), "value", 0.0, 100.0, 20)
+    return pf.histogram_drift(ref, cur)
+
+
 # ---------------------------------------------------------------------------
 # Pipeline engine (SURVEY §2.4)
 # ---------------------------------------------------------------------------
@@ -2360,6 +2373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_c4_line_filter": corpus_c4_line_filter,
         "txlog_restore_changefeed": txlog_restore_changefeed,
         "txlog_incremental_etl": txlog_incremental_etl,
+        "profile_histogram_drift": profile_histogram_drift,
         "update_partition_scoped": update_partition_scoped,
         "dedup_spans": dedup_spans,
         "sketch_cms_heavy_hitters": sketch_cms_heavy_hitters,
@@ -2769,6 +2783,39 @@ def oracle_sql() -> dict[str, str]:
         "txlog_incremental_etl": """
             SELECT event_id, event_type, value * 2.0 AS value_x2
             FROM events
+        """,
+        "profile_histogram_drift": """
+            WITH ref AS (
+                SELECT CAST(least(floor((CAST(value AS DOUBLE) - 0.0) / 5.0), 19) AS INT) AS bin,
+                       count(*) AS cnt
+                FROM events
+                WHERE event_id % 2 = 0
+                  AND CAST(value AS DOUBLE) >= 0.0 AND CAST(value AS DOUBLE) <= 100.0
+                GROUP BY 1
+            ), cur AS (
+                SELECT CAST(least(floor((CAST(value AS DOUBLE) - 0.0) / 5.0), 19) AS INT) AS bin,
+                       count(*) AS cnt
+                FROM events
+                WHERE event_id % 2 = 1
+                  AND CAST(value AS DOUBLE) >= 0.0 AND CAST(value AS DOUBLE) <= 100.0
+                GROUP BY 1
+            ), j AS (
+                SELECT CAST(COALESCE(r.cnt, 0) AS DECIMAL(38,0)) AS cnt_ref,
+                       CAST(COALESCE(c.cnt, 0) AS DECIMAL(38,0)) AS cnt_cur
+                FROM ref r FULL OUTER JOIN cur c ON r.bin = c.bin
+            ), t AS (
+                SELECT CAST(sum(cnt_ref) AS DECIMAL(38,0)) AS tr,
+                       CAST(sum(cnt_cur) AS DECIMAL(38,0)) AS tc,
+                       count(*) AS n_bins
+                FROM j
+            )
+            SELECT CAST(tr AS BIGINT) AS n_ref,
+                   CAST(tc AS BIGINT) AS n_cur,
+                   CAST(n_bins AS INT) AS n_bins,
+                   CAST(sum(abs(cnt_cur * tr - cnt_ref * tc)) AS DOUBLE)
+                       / ((2.0 * CAST(tr AS DOUBLE)) * CAST(tc AS DOUBLE)) AS tvd
+            FROM j, t
+            GROUP BY tr, tc, n_bins
         """,
         "txlog_restore_changefeed": """
             SELECT event_id, event_type, value,

@@ -101,3 +101,57 @@ def profile_column(df: DataFrame, col: str, bins: int = 20) -> dict:
     else:
         out["histogram"] = []
     return out
+
+
+def histogram_drift(h_ref: DataFrame, h_cur: DataFrame) -> DataFrame:
+    """Distribution drift between two FIXED-BIN histograms (same
+    boundaries — that is what makes day-over-day profiles comparable):
+    one row (n_ref, n_cur, n_bins, tvd) where tvd is the total-variation
+    distance Σ|p_cur − p_ref|/2 ∈ [0, 1] — the ingest-QA tripwire
+    ("today's value distribution moved 0.4 from yesterday's — hold the
+    training run").
+
+    TVD instead of the PSI/KL family on purpose: it needs no logarithm,
+    so the whole computation is EXACT integer arithmetic — per-bin
+    |cnt_cur·n_ref − cnt_ref·n_cur| in DECIMAL(38,0) (safe to ~1e18-row
+    histograms), one double division at the very end. Engine-portable
+    bit-for-bit, per the module's sketch discipline; ln() would differ in
+    final ulps across libms.
+
+    Plan: full-outer join on bin (missing bins count 0 — a bin present
+    only on one side is drift, not an error), 1-row broadcast of the
+    totals, one aggregate. Histogram inputs are ≤bins rows, so every
+    stage is trivially small regardless of the profiled table's size."""
+    r = h_ref.select("bin", F.col("cnt").alias("cnt_ref"))
+    c = h_cur.select("bin", F.col("cnt").alias("cnt_cur"))
+    j = r.join(c, ["bin"], "full_outer").select(
+        F.coalesce(F.col("cnt_ref"), F.lit(0)).cast("decimal(38,0)").alias("cnt_ref"),
+        F.coalesce(F.col("cnt_cur"), F.lit(0)).cast("decimal(38,0)").alias("cnt_cur"),
+    )
+    tot = j.agg(
+        F.sum("cnt_ref").cast("decimal(38,0)").alias("tr"),
+        F.sum("cnt_cur").cast("decimal(38,0)").alias("tc"),
+        F.count(F.lit(1)).alias("n_bins"),
+    )
+    x = j.crossJoin(F.broadcast(tot))
+    return (
+        x.groupBy("tr", "tc", "n_bins")
+        .agg(
+            F.sum(
+                F.abs(F.col("cnt_cur") * F.col("tr") - F.col("cnt_ref") * F.col("tc"))
+            ).alias("num")
+        )
+        .select(
+            F.col("tr").cast("long").alias("n_ref"),
+            F.col("tc").cast("long").alias("n_cur"),
+            F.col("n_bins").cast("int").alias("n_bins"),
+            F.when(
+                (F.col("tr") > 0) & (F.col("tc") > 0),
+                F.col("num").cast("double")
+                / (
+                    (F.lit(2.0) * F.col("tr").cast("double"))
+                    * F.col("tc").cast("double")
+                ),
+            ).alias("tvd"),
+        )
+    )

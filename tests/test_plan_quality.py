@@ -33,6 +33,7 @@ INTENTIONAL_BNLJ = {
     "events_gap_fill",             # dense-grid cross join of two tiny dims
     "q11_important_stock",         # 1-row broadcast scalar total (threshold)
     "sketch_hll_cardinality",      # 1-row estimate x 1-row broadcast truth
+    "profile_histogram_drift",     # ≤bins rows x 1-row broadcast totals
 }
 
 

@@ -3,6 +3,7 @@
 import pytest
 from pyspark.sql import functions as F
 
+from aleph2_contrib_spark.operators import profile as pf
 from aleph2_contrib_spark.operators.profile import (
     numeric_histogram,
     numeric_summary,
@@ -62,3 +63,26 @@ def test_summary_empty_input(spark):
     df = spark.createDataFrame([], "v double")
     s = numeric_summary(df, "v").collect()[0]
     assert (s.n, s.n_null, s.n_nan, s.n_unsummable) == (0, 0, 0, 0)
+
+
+def test_histogram_drift_tvd(spark):
+    """TVD properties: 0 for identical histograms, 1 for disjoint ones,
+    exact rational value for a hand-computed case, missing bins count 0."""
+    from pyspark.sql import Row
+
+    def h(rows):
+        return spark.createDataFrame([Row(bin=b, cnt=c) for b, c in rows])
+
+    same = pf.histogram_drift(h([(0, 5), (1, 5)]), h([(0, 5), (1, 5)])).collect()[0]
+    assert same.tvd == 0.0 and same.n_ref == 10 and same.n_cur == 10
+
+    disjoint = pf.histogram_drift(h([(0, 7)]), h([(1, 3)])).collect()[0]
+    assert disjoint.tvd == 1.0 and disjoint.n_bins == 2
+
+    # ref p = (0.75, 0.25), cur p = (0.25, 0.75) -> tvd = 0.5
+    half = pf.histogram_drift(h([(0, 3), (1, 1)]), h([(0, 1), (1, 3)])).collect()[0]
+    assert half.tvd == 0.5
+
+    # a bin present on one side only contributes its whole mass
+    onesided = pf.histogram_drift(h([(0, 4)]), h([(0, 2), (1, 2)])).collect()[0]
+    assert onesided.tvd == 0.5
