@@ -142,6 +142,36 @@ def bench_mutation_path(spark, path, label):
     return out
 
 
+def bench_log_replay(spark, n_commits=400, trials=20):
+    """Cold-reader cost vs commit-log length, the checkpoint claim
+    measured: a cold TransactionalTable instance replays the log to
+    resolve its first snapshot — O(n_commits) JSON reads without
+    checkpoints, O(checkpoint_interval) with. The commits here are real
+    log commits (one real data append, then metadata-only appends via
+    the commit path), so replay cost is honest while the benchmark stays
+    fast. Reports total cold-snapshot wall over ``trials`` fresh
+    instances."""
+    import tempfile
+
+    from aleph2_contrib_spark.sources.txlog import TransactionalTable
+
+    out = {}
+    for label, interval in (("ckpt_on(20)", 20), ("ckpt_off", 0)):
+        root = tempfile.mkdtemp(prefix=f"a2s_scale_log_{interval}_")
+        t = TransactionalTable(spark, root, checkpoint_interval=interval)
+        t.append(spark.range(10).select(F.col("id").alias("x")).coalesce(1))
+        schema, _ = t.snapshot()
+        for _ in range(n_commits - 1):
+            t._commit("append", [], [], schema)
+        t0 = time.perf_counter()
+        for _ in range(trials):
+            cold = TransactionalTable(spark, root, checkpoint_interval=interval)
+            cold.snapshot()
+        out[label] = round(time.perf_counter() - t0, 3)
+    print("log_replay_cold", out, flush=True)
+    return out
+
+
 def make_hot_docs(spark, n, id_offset=5_000_000):
     return (
         spark.range(n)
@@ -180,6 +210,10 @@ def main():
         ratio = m2[k] / m1[k] if m1[k] > 0 else float("inf")
         flag = "  <-- GROWS WITH TABLE" if ratio > 3.0 else ""
         print(f"{k:22s} 1x={m1[k]:7.2f}s {factor}x={m2[k]:8.2f}s ratio={ratio:5.1f}{flag}")
+    lr = bench_log_replay(spark)
+    print("--- cold log replay over 400 commits x 20 trials (checkpoints bound it) ---")
+    for k, v in lr.items():
+        print(f"{k:22s} {v:7.3f}s")
 
 
 if __name__ == "__main__":
