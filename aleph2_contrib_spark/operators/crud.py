@@ -170,7 +170,18 @@ class CrudService:
         self._registered_indexes = getattr(self, "_registered_indexes", [])
         self._registered_indexes.append(tuple(ordered_fields))
         if self.table is not None:
-            # log-committed clustering: zone maps become the index
+            # log-committed clustering: zone maps become the index. A
+            # multi-field "index" clusters on the Z-curve so EVERY field's
+            # zone maps are selective (a lexicographic sort serves only the
+            # leading field — not what a Mongo compound index user expects
+            # of the later fields); string fields fall back to
+            # lexicographic, where Z-bucketing has no ordering to exploit.
+            if len(ordered_fields) > 1:
+                try:
+                    self.table.optimize(ordered_fields, zorder=True)
+                    return
+                except ValueError:
+                    pass  # non-numeric field in the list
             self.table.optimize(ordered_fields)
             return
         self._rewrite(

@@ -4,6 +4,7 @@ TestElasticsearchCrudService shapes (store/count/meta-model/index mgmt)."""
 
 import pytest
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from aleph2_contrib_spark.functions.query import Q
 from aleph2_contrib_spark.operators.crud import CrudService
@@ -43,3 +44,38 @@ def test_optimize_query_noop_in_memory(spark):
     svc = CrudService(spark, df=df)
     svc.optimize_query(["n"])  # no path: must not raise
     assert svc.count_objects() == 1
+
+
+def test_optimize_query_zorders_numeric_compound_index(spark):
+    """A multi-field optimizeQuery on a commit-log table clusters on the
+    Z-curve: both fields' zone maps become selective, and a string field
+    in the list falls back to lexicographic without raising."""
+    import tempfile
+
+    from aleph2_contrib_spark.functions.query import Q
+    from aleph2_contrib_spark.sources.txlog import TransactionalTable
+
+    root = tempfile.mkdtemp(prefix="a2s_crud_zorder_")
+    t = TransactionalTable(spark, root, stats_cols=("a", "b"))
+    t.append(
+        spark.range(4096).repartition(16).select(
+            ((F.col("id") * 2654435761) % 500).alias("a"),
+            ((F.col("id") * 7919 + 13) % 500).alias("b"),
+            F.concat(F.lit("s"), (F.col("id") % 5).cast("string")).alias("s"),
+        )
+    )
+    svc = CrudService(spark, table=t)
+    svc.optimize_query(["a", "b"])
+    _, active = t.snapshot()
+    total = len(active)
+    assert total >= 8
+    # with F files over d dims the curve resolves ~F^(1/d) buckets per
+    # dim; a range inside ONE per-dim bucket must prune to well under
+    # half the files ON EITHER DIMENSION (lexicographic clustering would
+    # leave the trailing dim's zone maps spanning everything)
+    for col in ("a", "b"):
+        touched = len(t._prune_files(active, Q.all_of().range_closed_closed(col, 40, 80)))
+        assert touched <= total // 2, (col, touched, total)
+    # string field: silent lexicographic fallback, still a commit
+    svc.optimize_query(["s", "a"])
+    assert svc.count_objects() == 4096
