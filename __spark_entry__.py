@@ -471,6 +471,18 @@ def txlog_incremental_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dst.read()
 
 
+def text_relevance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES-style scored full-text ranking (operators/text.relevance_topk):
+    BM25-shaped top-k with a log-free rational idf so every arithmetic op
+    is IEEE +,−,×,÷ — bit-identical in any engine, hence oracle-exact.
+    Covers the scored-query half of the reference's Elasticsearch surface
+    (filter context is es_dsl_query)."""
+    from aleph2_contrib_spark.operators import text as txt
+
+    docs = _t(spark, sf_dir, "documents")
+    return txt.relevance_topk(docs, ["table", "merge", "spark"], k=50)
+
+
 def profile_histogram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ingest-QA drift check (operators/profile.histogram_drift): fixed-bin
     value histograms of two event cohorts compared by total-variation
@@ -2374,6 +2386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txlog_restore_changefeed": txlog_restore_changefeed,
         "txlog_incremental_etl": txlog_incremental_etl,
         "profile_histogram_drift": profile_histogram_drift,
+        "text_relevance_topk": text_relevance_topk,
         "update_partition_scoped": update_partition_scoped,
         "dedup_spans": dedup_spans,
         "sketch_cms_heavy_hitters": sketch_cms_heavy_hitters,
@@ -2783,6 +2796,45 @@ def oracle_sql() -> dict[str, str]:
         "txlog_incremental_etl": """
             SELECT event_id, event_type, value * 2.0 AS value_x2
             FROM events
+        """,
+        "text_relevance_topk": r"""
+            WITH base AS (
+                SELECT doc_id,
+                       CAST(len(t) AS DOUBLE) AS dl,
+                       CAST(len(list_filter(t, x -> x = 'table')) AS DOUBLE) AS tf0,
+                       CAST(len(list_filter(t, x -> x = 'merge')) AS DOUBLE) AS tf1,
+                       CAST(len(list_filter(t, x -> x = 'spark')) AS DOUBLE) AS tf2
+                FROM (
+                    SELECT doc_id,
+                           regexp_split_to_array(trim(lower(text)), '\s+') AS t
+                    FROM documents
+                )
+            ), s AS (
+                SELECT CAST(count(*) AS DOUBLE) AS n,
+                       sum(dl) / count(*) AS avgdl,
+                       CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+                       CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+                       CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+                FROM base
+            )
+            SELECT doc_id,
+                   CAST(floor((
+                       (
+                           (0.0
+                            + ((((n - df0) + 0.5) / (df0 + 0.5))
+                               * ((tf0 * (1.2 + 1.0))
+                                  / (tf0 + (1.2 * ((1.0 - 0.75) + ((0.75 * dl) / avgdl)))))))
+                            + ((((n - df1) + 0.5) / (df1 + 0.5))
+                               * ((tf1 * (1.2 + 1.0))
+                                  / (tf1 + (1.2 * ((1.0 - 0.75) + ((0.75 * dl) / avgdl))))))
+                       )
+                        + ((((n - df2) + 0.5) / (df2 + 0.5))
+                           * ((tf2 * (1.2 + 1.0))
+                              / (tf2 + (1.2 * ((1.0 - 0.75) + ((0.75 * dl) / avgdl))))))
+                   ) * 1000000.0) AS BIGINT) AS score_f6
+            FROM base, s
+            ORDER BY score_f6 DESC, doc_id ASC
+            LIMIT 50
         """,
         "profile_histogram_drift": """
             WITH ref AS (

@@ -160,3 +160,75 @@ def bigram_rarity(
         )
         .withColumnRenamed("id", id_col)
     )
+
+
+def relevance_topk(
+    df: DataFrame,
+    query_terms: "list[str]",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25-shaped relevance ranking over a tokenized text column — the
+    scored-query half of the reference's Elasticsearch surface (the repo's
+    ES DSL handles filter context; this adds ordering by score, reference
+    ElasticsearchUtils full-text query path). Returns the top-``k``
+    (id, score_f6) by score desc, id asc.
+
+    Deliberately LOG-FREE: idf is the raw Robertson odds
+    (N − df + 0.5)/(df + 0.5) without the ln() BM25 wraps around it.
+    Per-term ordering is identical (ln is monotone); the summed score can
+    order differently from textbook BM25 when idf magnitudes differ
+    wildly — the trade accepted for ENGINE-EXACT scores: +,−,×,÷ on
+    doubles are IEEE-correctly-rounded and bit-identical in any engine,
+    while ln() differs in final ulps across libms, which would make
+    scores (and therefore ranks and fixed-point hashes) engine-dependent.
+    Term contributions are summed in the given fixed term order
+    (left-assoc fold — float addition isn't associative, so the order is
+    part of the contract).
+
+    Plan: ONE narrow pass computes per-doc tf vector + dl; one tiny agg
+    derives (N, avgdl, per-term df); a 1-row broadcast joins the stats
+    back; TakeOrderedAndProject does the top-k. No shuffle of the corpus,
+    no explode — per-term tf is a vectorized array filter, so cost is
+    O(docs × terms) at scan speed."""
+    terms = [t.lower() for t in query_terms]
+    toks = tokens(F.lower(F.col(text_col)))
+
+    def tf_of(term: str):
+        # closure factory: a 2-arg lambda would make Spark pass the array
+        # INDEX as the second argument (higher-order functions dispatch on
+        # lambda arity), silently comparing tokens to positions
+        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+
+    base = df.select(
+        F.col(id_col),
+        F.size(toks).cast("double").alias("__dl"),
+        *[tf_of(t).cast("double").alias(f"__tf_{i}") for i, t in enumerate(terms)],
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        (F.sum("__dl") / F.count(F.lit(1))).alias("__avgdl"),
+        *[
+            F.sum((F.col(f"__tf_{i}") > 0).cast("long")).cast("double").alias(f"__df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+    x = base.crossJoin(F.broadcast(stats))
+    score = F.lit(0.0)
+    for i in range(len(terms)):
+        tf, dfq = F.col(f"__tf_{i}"), F.col(f"__df_{i}")
+        idf = (F.col("__n") - dfq + F.lit(0.5)) / (dfq + F.lit(0.5))
+        num = tf * F.lit(k1 + 1.0)
+        den = tf + (
+            F.lit(k1)
+            * ((F.lit(1.0 - b)) + ((F.lit(b) * F.col("__dl")) / F.col("__avgdl")))
+        )
+        score = score + (idf * (num / den))
+    return (
+        x.select(F.col(id_col), F.floor(score * F.lit(1000000.0)).cast("long").alias("score_f6"))
+        .orderBy(F.col("score_f6").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

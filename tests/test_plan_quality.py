@@ -34,6 +34,7 @@ INTENTIONAL_BNLJ = {
     "q11_important_stock",         # 1-row broadcast scalar total (threshold)
     "sketch_hll_cardinality",      # 1-row estimate x 1-row broadcast truth
     "profile_histogram_drift",     # ≤bins rows x 1-row broadcast totals
+    "text_relevance_topk",         # corpus x 1-row broadcast (N, avgdl, df) stats
 }
 
 

@@ -108,3 +108,35 @@ def test_bigram_rarity_scores_gibberish_high(spark):
     # gibberish bigrams occur once each → all rare
     assert out[99].n_rare == out[99].n_bigrams == 4
     assert out[99].rare_ratio_f6 == 1_000_000
+
+
+def test_relevance_topk_ranking_properties(spark):
+    """BM25-shaped ranking sanity: more query-term hits rank higher, rare
+    terms outweigh common ones, longer docs are length-normalized down,
+    and the plan compiles to TakeOrderedAndProject over a broadcast."""
+    from pyspark.sql import Row
+
+    from aleph2_contrib_spark.operators.text import relevance_topk
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="spark spark spark merge filler filler filler filler"),
+            Row(doc_id=1, text="spark filler filler filler filler filler filler filler"),
+            Row(doc_id=2, text="filler filler filler filler filler filler filler filler"),
+            # 3: same tf as 1 but doubled length -> normalized below 1
+            Row(doc_id=3, text="spark " + "filler " * 15),
+            # 4: rare term; 'rare' appears only here, 'spark' in many docs
+            Row(doc_id=4, text="rare filler filler filler filler filler filler filler"),
+        ]
+    )
+    out = relevance_topk(docs, ["spark", "merge", "rare"], k=5)
+    rows = out.collect()
+    order = [r.doc_id for r in rows]
+    scores = {r.doc_id: r.score_f6 for r in rows}
+    assert order[0] == 0                       # most hits wins
+    assert scores[1] > scores[3]               # length normalization
+    assert scores[4] > scores[1]               # rare term idf > common term idf
+    assert scores[2] == 0                      # no hits -> zero
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan   # the intended 1-row stats join
