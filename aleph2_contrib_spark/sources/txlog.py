@@ -1217,10 +1217,19 @@ class TransactionalTable:
         concurrent WRITER's staged-but-uncommitted output, which is
         referenced by no snapshot yet; deleting it would corrupt that
         writer's eventual commit (the same reason Delta's VACUUM has a
-        retention floor). Returns the root-relative files removed."""
+        retention floor). Also trims checkpoint files down to the two
+        newest (cold readers only ever load the latest; one older is kept
+        so historical replays near the tail stay cheap — earlier versions
+        replay from the full log, which vacuum never deletes).
+        Returns the root-relative files removed."""
         commits = self._commits()
         if not commits:
             return []
+        for _v, p in self._checkpoints()[:-2]:
+            try:
+                os.remove(p)
+            except FileNotFoundError:
+                pass
         keep: set[str] = set()
         versions = [v for v, _ in commits][-retain_snapshots:]
         for v in versions:

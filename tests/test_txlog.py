@@ -938,3 +938,19 @@ def test_concurrent_appenders_serialize_through_log(spark):
     versions = [v for v, _ in t._commits()]
     assert versions == sorted(set(versions))  # strictly increasing, no dups
     assert len(versions) == 11  # 1 seed + 10 appends, each its own commit
+
+
+def test_vacuum_trims_old_checkpoints(spark):
+    root = tempfile.mkdtemp(prefix="a2s_txlog_ckvac_")
+    t = TransactionalTable(spark, root, checkpoint_interval=2)
+    row = spark.range(3).select(F.col("id").alias("x")).coalesce(1)
+    for _ in range(9):  # checkpoints at v2, v4, v6, v8
+        t.append(row)
+    assert len(t._checkpoints()) == 4
+    t.vacuum(retain_snapshots=2, min_age_seconds=0.0)
+    kept = [v for v, _ in t._checkpoints()]
+    assert kept == [6, 8]
+    # replay still correct from every angle
+    cold = TransactionalTable(spark, root, checkpoint_interval=2)
+    assert cold.read().count() == 27
+    assert cold.read(version=3).count() == 9  # pre-trimmed-checkpoint history
