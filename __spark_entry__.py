@@ -777,6 +777,52 @@ def streaming_pipeline_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P14 stateful form in the graded gate: events re-played as a
+    multi-batch file stream through ``applyInPandasWithState``
+    (streaming/stateful.py) — per-key counter state carried ACROSS
+    micro-batches, checkpointed in the state store. Each batch emits the
+    key's running total; the fixpoint (max running total per key) must
+    equal the batch-mode count(*) — cross-batch state correctness as an
+    oracle-checked invariant, not just a pytest."""
+    import tempfile
+
+    from aleph2_contrib_spark.streaming.runner import json_file_stream
+    from aleph2_contrib_spark.streaming.stateful import (
+        RunningCountModule,
+        apply_stateful,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type")
+    src = tempfile.mkdtemp(prefix="a2s_state_src_")
+    ev.repartition(4).write.mode("overwrite").json(src)  # 4 files → 2 triggers
+
+    stream = json_file_stream(
+        spark, src, "event_id string, event_type string", max_files_per_trigger=2
+    )
+    running = apply_stateful(
+        stream,
+        ["event_type"],
+        RunningCountModule(),
+        output_schema="key string, running_total long",
+        state_schema="total long",
+    )
+    sink_dir = tempfile.mkdtemp(prefix="a2s_state_out_")
+    q = (
+        running.writeStream.format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="a2s_state_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.read.parquet(sink_dir)
+        .groupBy("key")
+        .agg(F.max("running_total").alias("final_total"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Dedup / text / similarity (LLM-data-pipeline operators)
 # ---------------------------------------------------------------------------
@@ -2342,6 +2388,73 @@ def corpus_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_chunk_stride(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window token chunking (operators/corpus.py chunk_tokens):
+    16-token chunks at stride 8 (50% overlap) — the context-window
+    preprocessing pass that bounds each training piece to the model
+    window. One narrow zero-shuffle pass; row count = sum of per-doc
+    chunk counts, oracle-replayed with generate_series + list_slice."""
+    from aleph2_contrib_spark.operators import corpus as cp
+
+    docs = _t(spark, sf_dir, "documents")
+    return cp.chunk_tokens(docs, "doc_id", "text", chunk_size=16, stride=8)
+
+
+def corpus_domain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain curation rollup (operators/corpus.py domain_rollup):
+    doc count, corpus share in ppm, fixed-point mean length, and the
+    blocklist/quality keep-drop decision per source — the domain-level
+    gate of a crawl pipeline. One agg + a 1-row scalar broadcast."""
+    from aleph2_contrib_spark.operators import corpus as cp
+
+    docs = _t(spark, sf_dir, "documents")
+    return cp.domain_rollup(
+        docs, "source", "n_chars",
+        blocklist=["src0", "src13"], min_mean_chars=290,
+    )
+
+
+def profile_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative expectations contract (operators/profile.py
+    expectations_report): five rule kinds (not_null, unique, range,
+    in_set, regex) over documents, ALL compiled into one aggregation
+    pass — adding a rule adds an accumulator, not a scan. The in_set
+    rule intentionally fires (zh docs) so violation counting is proven
+    non-trivially."""
+    from aleph2_contrib_spark.operators.profile import expectations_report
+
+    docs = _t(spark, sf_dir, "documents")
+    return expectations_report(
+        docs,
+        [
+            {"rule": "doc_id_not_null", "kind": "not_null", "column": "doc_id"},
+            {"rule": "doc_id_unique", "kind": "unique", "column": "doc_id"},
+            {"rule": "n_chars_in_range", "kind": "range", "column": "n_chars",
+             "lo": 1, "hi": 400},
+            {"rule": "lang_known_western", "kind": "in_set", "column": "lang",
+             "values": ["en", "es", "de", "fr"]},
+            {"rule": "source_shape", "kind": "regex", "column": "source",
+             "pattern": "^src[0-9]+$"},
+        ],
+    )
+
+
+def dedup_minhash_cc_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-exact minhash dedup (operators/dedup.py minhash_dedup_cc):
+    LSH pairs (r=1 banding + exact verify ⇒ equals the all-pairs jaccard
+    graph) closed into connected components by distributed pointer
+    jumping; one min-id representative survives per cluster, annotated
+    with the cluster's size. The oracle closes the same pair graph with
+    a recursive CTE — the distributed CC and SQL transitive closure must
+    reach the same fixpoint."""
+    docs = _t(spark, sf_dir, "documents")
+    out = ddp.minhash_dedup_cc(
+        docs, "doc_id", "text", num_hashes=64, bands=64, threshold=0.5,
+        shingle_mode="token", verify="exact", sig_impl="numpy",
+    )
+    return out.select("doc_id", "source", "dup_group_size")
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -2381,6 +2494,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (4) everything re-verified in round 3 (freshest) last.
     return {
         # -- (1) new / changed this round -----------------------------------
+        "corpus_chunk_stride": corpus_chunk_stride,
+        "corpus_domain_rollup": corpus_domain_rollup,
+        "profile_expectations": profile_expectations,
+        "dedup_minhash_cc_keep": dedup_minhash_cc_keep,
+        "streaming_stateful_counts": streaming_stateful_counts,
         "corpus_gopher_rules": corpus_gopher_rules,
         "corpus_c4_line_filter": corpus_c4_line_filter,
         "txlog_restore_changefeed": txlog_restore_changefeed,
@@ -2638,6 +2756,104 @@ def _v1_extras_oracle() -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "streaming_stateful_counts": """
+            SELECT event_type AS key, count(*) AS final_total
+            FROM events GROUP BY event_type
+        """,
+        "corpus_chunk_stride": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+                FROM documents
+            ), n AS (
+                SELECT doc_id, toks,
+                       greatest(1, CAST(ceil((len(toks) - 16) / 8.0) + 1 AS INT)) AS n_chunks
+                FROM t
+            )
+            SELECT doc_id,
+                   CAST(i AS BIGINT) AS chunk_idx,
+                   len(list_slice(toks, i * 8 + 1, i * 8 + 16)) AS n_chunk_tokens,
+                   array_to_string(list_slice(toks, i * 8 + 1, i * 8 + 16), ' ') AS chunk_text
+            FROM n, unnest(generate_series(0, n_chunks - 1)) AS u(i)
+        """,
+        "corpus_domain_rollup": """
+            WITH agg AS (
+                SELECT source, count(*) AS n_docs,
+                       sum(CAST(n_chars AS DECIMAL(28,0))) AS sum_chars
+                FROM documents GROUP BY source
+            ), tot AS (SELECT sum(n_docs) AS total FROM agg)
+            SELECT source, n_docs,
+                   CAST(floor(n_docs * 1000000 / total) AS BIGINT) AS share_ppm,
+                   CAST(floor(sum_chars * 100 / n_docs) AS BIGINT) AS mean_chars_f2,
+                   CASE WHEN source IN ('src0', 'src13') THEN 'drop_blocklist'
+                        WHEN floor(sum_chars * 100 / n_docs) < 290 * 100 THEN 'drop_low_quality'
+                        ELSE 'keep' END AS decision
+            FROM agg, tot
+        """,
+        "profile_expectations": """
+            WITH n AS (SELECT count(*) AS n_rows FROM documents)
+            SELECT r.rule, r.col_name, r.kind, n.n_rows, r.n_violations,
+                   CAST(r.n_violations = 0 AS INT) AS passed
+            FROM n, (
+                SELECT 'doc_id_not_null' AS rule, 'doc_id' AS col_name, 'not_null' AS kind,
+                       (SELECT count(*) FROM documents WHERE doc_id IS NULL) AS n_violations
+                UNION ALL
+                SELECT 'doc_id_unique', 'doc_id', 'unique',
+                       (SELECT count(doc_id) - count(DISTINCT doc_id) FROM documents)
+                UNION ALL
+                SELECT 'n_chars_in_range', 'n_chars', 'range',
+                       (SELECT count(*) FROM documents
+                        WHERE n_chars IS NOT NULL AND (n_chars < 1 OR n_chars > 400))
+                UNION ALL
+                SELECT 'lang_known_western', 'lang', 'in_set',
+                       (SELECT count(*) FROM documents
+                        WHERE lang IS NOT NULL AND lang NOT IN ('en','es','de','fr'))
+                UNION ALL
+                SELECT 'source_shape', 'source', 'regex',
+                       (SELECT count(*) FROM documents
+                        WHERE source IS NOT NULL AND NOT regexp_matches(source, '^src[0-9]+$'))
+            ) r
+        """,
+        "dedup_minhash_cc_keep": r"""
+            WITH RECURSIVE t AS (
+                SELECT doc_id,
+                       string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+                FROM documents
+            ), s AS (
+                SELECT doc_id,
+                       list_distinct(
+                           list_transform(
+                               generate_series(1, greatest(len(toks) - 2, 1)),
+                               i -> toks[i] || chr(31) || coalesce(toks[i+1], '') || chr(31) || coalesce(toks[i+2], '')
+                           )
+                       ) AS sh
+                FROM t
+            ), pairs AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM s a JOIN s b ON a.doc_id < b.doc_id
+                WHERE len(list_intersect(a.sh, b.sh))
+                      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+            ),
+            edges AS (
+                SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION ALL
+                SELECT id_b, id_a FROM pairs
+            ),
+            nodes AS (SELECT DISTINCT src AS node FROM edges),
+            reach(node, label) AS (
+                SELECT node, node FROM nodes
+                UNION
+                SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node
+            ),
+            comp AS (SELECT node, min(label) AS component FROM reach GROUP BY node),
+            sizes AS (SELECT component, count(*) AS dup_group_size FROM comp GROUP BY component)
+            SELECT d.doc_id, d.source,
+                   coalesce(z.dup_group_size, 1) AS dup_group_size
+            FROM documents d
+            LEFT JOIN comp c ON d.doc_id = c.node
+            LEFT JOIN sizes z ON c.component = z.component
+            WHERE c.node IS NULL OR d.doc_id = c.component
+        """,
         "v1_query_extras": _v1_extras_oracle(),
         "q1_pricing_summary": f"""
             SELECT l_returnflag, l_linestatus,

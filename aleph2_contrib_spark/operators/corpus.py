@@ -504,3 +504,110 @@ def c4_line_filter(
             & (n_kept >= min_lines_kept)
         ).alias("keep_doc"),
     )
+
+
+def chunk_tokens(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_size: int,
+    stride: int,
+) -> DataFrame:
+    """Sliding-window token chunking — the context-window preprocessing
+    step of an LLM training pipeline (reference scope: corpus prep beyond
+    the Aleph2 operator set, per the pipeline-operator mandate; same
+    family as ``pack_sequences``, which packs AFTER a chunker like this
+    bounds each piece to the model's window).
+
+    Tokens are lowercased whitespace words (the repo's corpus-wide
+    tokenization convention). Chunk ``i`` covers token span
+    ``[i*stride, i*stride + chunk_size)``; the number of chunks is
+    ``max(1, ceil((n_tokens - chunk_size)/stride) + 1)`` so every token is
+    covered, the final chunk may be short, and an empty/short doc still
+    yields exactly one chunk. ``stride < chunk_size`` gives overlapping
+    chunks (the usual boundary-context trade); ``stride == chunk_size``
+    tiles exactly.
+
+    Plan shape: one narrow pass — split, per-row sequence, posexplode,
+    slice. No shuffle, no UDF; output row count is sum(n_chunks) and the
+    operator runs at scan speed on any partitioning, so it holds at
+    100 TB by construction.
+    """
+    if chunk_size <= 0 or stride <= 0:
+        raise ValueError("chunk_size and stride must be positive")
+    toks = F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " ")
+    n = F.size(toks)
+    n_chunks = F.greatest(
+        F.lit(1),
+        (F.ceil((n - F.lit(chunk_size)) / F.lit(stride)) + 1).cast("int"),
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            toks.alias("__toks"),
+            F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx", "__i"),
+        )
+        .select(
+            id_col,
+            F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+            F.slice(
+                F.col("__toks"), F.col("chunk_idx") * stride + 1, chunk_size
+            ).alias("__chunk"),
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            F.size("__chunk").alias("n_chunk_tokens"),
+            F.array_join("__chunk", " ").alias("chunk_text"),
+        )
+    )
+
+
+def domain_rollup(
+    df: DataFrame,
+    source_col: str,
+    chars_col: str,
+    blocklist: list[str],
+    min_mean_chars: int,
+) -> DataFrame:
+    """Per-domain curation rollup — the source-level quality gate a crawl
+    pipeline applies before document-level filters (drop spam domains
+    wholesale, keep the rest; cf. domain-level filtering in C4/RefinedWeb
+    pipelines). Emits one row per source: document count, corpus share
+    (floor ppm — exact integer arithmetic, engine-portable), mean doc
+    length in fixed-point centichars, and the decision:
+    ``drop_blocklist`` > ``drop_low_quality`` (mean chars below the
+    threshold) > ``keep``.
+
+    Plan shape: one groupBy(source) aggregate (map-side partial), then a
+    1-row total broadcast-joined onto the per-source rows — the scalar
+    pattern q15 uses; per-source stats never leave the executors until
+    the final tiny result. Blocklist membership is a literal isin —
+    no join, no shuffle beyond the single agg.
+    """
+    agg = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col(chars_col).cast("decimal(28,0)")).alias("__sum_chars"),
+    )
+    total = agg.agg(F.sum("n_docs").alias("__total"))
+    return (
+        agg.crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "n_docs",
+            F.floor(F.col("n_docs") * 1000000 / F.col("__total"))
+            .cast("bigint")
+            .alias("share_ppm"),
+            F.floor(F.col("__sum_chars") * 100 / F.col("n_docs"))
+            .cast("bigint")
+            .alias("mean_chars_f2"),
+            F.when(F.col("source").isin(list(blocklist)), F.lit("drop_blocklist"))
+            .when(
+                F.floor(F.col("__sum_chars") * 100 / F.col("n_docs"))
+                < F.lit(min_mean_chars) * 100,
+                F.lit("drop_low_quality"),
+            )
+            .otherwise(F.lit("keep"))
+            .alias("decision"),
+        )
+    )

@@ -623,6 +623,51 @@ def minhash_dedup(
     return df.join(to_drop, on=id_col, how="left_anti")
 
 
+def minhash_dedup_cc(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    **lsh_kwargs,
+) -> DataFrame:
+    """Cluster-exact near-dup removal: LSH pairs → connected components →
+    keep ONE representative (min id) per component, plus every singleton.
+
+    The greedy ``minhash_dedup`` drops a doc iff it pairs with a lower id,
+    which over-deletes on chain-shaped clusters (B~A and C~B but C≁A:
+    greedy keeps only A; the cluster's diversity argues for judging C
+    against its own representative, and standard corpus dedup — e.g. the
+    MinHash stage of RefinedWeb/SlimPajama pipelines — deduplicates per
+    CLUSTER). This variant closes the pair graph with the distributed
+    pointer-jumping CC (O(log diameter) rounds) and keeps exactly one doc
+    per cluster, annotated with ``dup_group_size`` (1 for singletons) so
+    downstream sampling can reweight by how much near-duplicate mass each
+    survivor represents.
+
+    Plan shape: pairs cost = minhash_lsh_pairs (slim band-key shuffle);
+    CC runs on the pair graph only (≪ corpus); survivors come from one
+    left join on id (label table is tiny relative to the corpus — Spark
+    broadcasts it when stats allow). No full-text shuffle anywhere.
+    """
+    pairs = minhash_lsh_pairs(df, id_col, text_col, **lsh_kwargs)
+    labels = connected_components(pairs, "id_a", "id_b")
+    sizes = labels.groupBy("component").agg(
+        F.count(F.lit(1)).alias("dup_group_size")
+    )
+    reps = labels.join(sizes, "component").select(
+        F.col("node").alias(id_col),
+        F.col("component").alias("__comp"),
+        "dup_group_size",
+    )
+    return (
+        df.join(reps, id_col, "left")
+        .filter(F.col("__comp").isNull() | (F.col(id_col) == F.col("__comp")))
+        .drop("__comp")
+        .withColumn(
+            "dup_group_size", F.coalesce(F.col("dup_group_size"), F.lit(1))
+        )
+    )
+
+
 def blocked_token_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -870,20 +915,32 @@ def connected_components(
     a_col: str = "id_a",
     b_col: str = "id_b",
     max_iter: int = 25,
+    driver_max_edges: int = 1_000_000,
 ) -> DataFrame:
     """Connected components over a near-duplicate pair graph → (node,
     component) where component = min node id reachable. The standard way to
     turn pairwise near-dup evidence into dedup clusters (keep one
     representative per component).
 
-    Distributed min-label propagation with POINTER JUMPING: each round every
-    node takes the min label among itself and its neighbors (one join + one
-    groupBy), then each label is shortcut to its label's label (one more
-    join) — path-compression halves chain depth every round, so convergence
-    is O(log diameter) rounds even for long chain-shaped components, not
-    O(diameter). Lineage is cut with localCheckpoint each round so the plan
-    doesn't grow exponentially; convergence is detected by a changed-label
-    count and the loop stops early.
+    STATS-PROBED HYBRID (the repo's broadcast-or-shuffle discipline): the
+    pair graph is materialized once and counted. A near-dup pair graph is
+    orders of magnitude smaller than its corpus (only documents with a
+    close neighbor appear at all), so when it fits the
+    ``driver_max_edges`` cap the components are solved exactly with a
+    driver-side union-find (path compression + min-id representatives —
+    microseconds per edge, no per-round Spark jobs). Above the cap the
+    distributed path takes over; the two paths produce IDENTICAL labels
+    (min reachable id), asserted in tests.
+
+    Distributed path: min-label propagation with POINTER JUMPING — each
+    round every node takes the min label among itself and its neighbors
+    (one join + one groupBy), then each label is shortcut to its label's
+    label (one more join) — path-compression halves chain depth every
+    round, so convergence is O(log diameter) rounds even for long
+    chain-shaped components, not O(diameter). Lineage is cut with
+    localCheckpoint each round so the plan doesn't grow exponentially;
+    convergence is detected by a changed-label count and the loop stops
+    early.
 
     Raises RuntimeError if the loop exhausts ``max_iter`` without
     converging — returning partial labels would silently split clusters.
@@ -891,6 +948,9 @@ def connected_components(
     ~2^25; hitting the error means a pathological graph, not a tuning knob.
     """
     e = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    e = e.localCheckpoint(eager=True)
+    if e.count() <= driver_max_edges:
+        return _union_find_local(e)
     edges = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint(eager=True)
@@ -943,6 +1003,44 @@ def connected_components(
         "jumping converges in O(log diameter) rounds — diameter would "
         f"exceed ~2^{max_iter}). Inspect the input pairs or raise max_iter."
     )
+
+
+def _union_find_local(e: DataFrame) -> DataFrame:
+    """Exact driver-side components for a capped pair graph: classic
+    union-find with path compression, representatives forced to the MIN
+    node id of each set (so the output contract — component = min
+    reachable id — matches the distributed path bit-for-bit). Input is a
+    materialized (src, dst) DataFrame; output (node, component) keeps the
+    input id type."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for src, dst in e.collect():
+        if src not in parent:
+            parent[src] = src
+        if dst not in parent:
+            parent[dst] = dst
+        ra, rb = find(src), find(dst)
+        if ra != rb:
+            # min id becomes the representative — determinism contract
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+
+    from pyspark.sql import types as T
+
+    id_type = e.schema["src"].dataType
+    schema = T.StructType(
+        [T.StructField("node", id_type), T.StructField("component", id_type)]
+    )
+    rows = [(n, find(n)) for n in parent]
+    return e.sparkSession.createDataFrame(rows, schema)
 
 
 # ---------------------------------------------------------------------------

@@ -325,3 +325,113 @@ def test_c4_line_filter(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan, plan
+
+
+def test_chunk_tokens_tiling_and_overlap(spark):
+    from pyspark.sql import Row
+
+    toks = [f"w{i}" for i in range(10)]
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=" ".join(toks)),          # 10 tokens
+            Row(doc_id=2, text="a b c"),                 # shorter than chunk
+            Row(doc_id=3, text="  x   Y  "),             # messy whitespace
+        ]
+    )
+    out = {
+        (r["doc_id"], r["chunk_idx"]): (r["n_chunk_tokens"], r["chunk_text"])
+        for r in cp.chunk_tokens(df, "doc_id", "text", chunk_size=4, stride=2).collect()
+    }
+    # doc 1: ceil((10-4)/2)+1 = 4 chunks, 50% overlap, last is full
+    assert out[(1, 0)] == (4, "w0 w1 w2 w3")
+    assert out[(1, 1)] == (4, "w2 w3 w4 w5")
+    assert out[(1, 2)] == (4, "w4 w5 w6 w7")
+    assert out[(1, 3)] == (4, "w6 w7 w8 w9")
+    assert (1, 4) not in out
+    # doc 2: one short chunk
+    assert out[(2, 0)] == (3, "a b c")
+    # doc 3: normalization collapses whitespace and lowercases
+    assert out[(3, 0)] == (2, "x y")
+    # exact tiling when stride == chunk_size
+    tiled = cp.chunk_tokens(df, "doc_id", "text", chunk_size=5, stride=5)
+    d1 = sorted(
+        (r["chunk_idx"], r["chunk_text"])
+        for r in tiled.filter(F.col("doc_id") == 1).collect()
+    )
+    assert d1 == [(0, "w0 w1 w2 w3 w4"), (1, "w5 w6 w7 w8 w9")]
+    plan = (
+        cp.chunk_tokens(df, "doc_id", "text", 4, 2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan
+
+
+def test_chunk_tokens_validates_params(spark):
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame([Row(doc_id=1, text="a b")])
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        cp.chunk_tokens(df, "doc_id", "text", chunk_size=0, stride=1)
+    with _pt.raises(ValueError):
+        cp.chunk_tokens(df, "doc_id", "text", chunk_size=4, stride=0)
+
+
+def test_domain_rollup_decisions(spark):
+    from pyspark.sql import Row
+
+    rows = (
+        [Row(source="spam.example", n_chars=1000)] * 2
+        + [Row(source="tiny.example", n_chars=10)] * 4
+        + [Row(source="good.example", n_chars=500)] * 4
+    )
+    out = {
+        r["source"]: r.asDict()
+        for r in cp.domain_rollup(
+            spark.createDataFrame(rows), "source", "n_chars",
+            blocklist=["spam.example"], min_mean_chars=100,
+        ).collect()
+    }
+    assert out["spam.example"]["decision"] == "drop_blocklist"  # beats quality
+    assert out["tiny.example"]["decision"] == "drop_low_quality"
+    assert out["good.example"]["decision"] == "keep"
+    assert out["good.example"]["n_docs"] == 4
+    assert out["good.example"]["share_ppm"] == 400000
+    assert out["good.example"]["mean_chars_f2"] == 50000
+    assert sum(v["n_docs"] for v in out.values()) == 10
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab cX\t", min_size=0, max_size=60), min_size=1, max_size=6
+    ),
+    chunk=st.integers(min_value=1, max_value=8),
+    stride=st.integers(min_value=1, max_value=8),
+)
+def test_chunk_tokens_fuzz_matches_reference(spark, texts, chunk, stride):
+    """Property fuzz: the Spark chunker equals a direct Python reference
+    (same normalization, coverage, overlap) for arbitrary text/params."""
+    import math
+    import re
+
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in enumerate(texts)])
+    got = {
+        (r["doc_id"], r["chunk_idx"]): (r["n_chunk_tokens"], r["chunk_text"])
+        for r in cp.chunk_tokens(df, "doc_id", "text", chunk, stride).collect()
+    }
+    expect = {}
+    for i, t in enumerate(texts):
+        toks = re.sub(r"\s+", " ", t.lower()).strip().split(" ")
+        n = len(toks)
+        n_chunks = max(1, math.ceil((n - chunk) / stride) + 1)
+        for c in range(n_chunks):
+            piece = toks[c * stride : c * stride + chunk]
+            expect[(i, c)] = (len(piece), " ".join(piece))
+    assert got == expect

@@ -140,7 +140,7 @@ def test_connected_components_chain_converges(spark):
 
     n = 40
     pairs = spark.createDataFrame([Row(id_a=i, id_b=i + 1) for i in range(n)])
-    cc = ddp.connected_components(pairs, max_iter=10).collect()
+    cc = ddp.connected_components(pairs, max_iter=10, driver_max_edges=0).collect()
     assert {r["component"] for r in cc} == {0}
     assert len(cc) == n + 1
 
@@ -151,7 +151,35 @@ def test_connected_components_nonconvergence_raises(spark):
 
     pairs = spark.createDataFrame([Row(id_a=i, id_b=i + 1) for i in range(40)])
     with pytest.raises(RuntimeError, match="did not converge"):
-        ddp.connected_components(pairs, max_iter=1)
+        ddp.connected_components(pairs, max_iter=1, driver_max_edges=0)
+
+
+def test_connected_components_local_distributed_parity(spark):
+    """The stats-probed driver-side union-find and the distributed
+    pointer-jumping loop must emit IDENTICAL (node, component) labels —
+    same min-id representative contract — on a graph mixing chains,
+    cycles, a star, and singleton-free isolates."""
+    import random
+
+    from pyspark.sql import Row
+
+    rng = random.Random(7)
+    edges = (
+        [(i, i + 1) for i in range(0, 30)]            # chain
+        + [(100, 101), (101, 102), (102, 100)]        # cycle
+        + [(200, 200 + k) for k in range(1, 8)]       # star
+        + [(rng.randrange(300, 340), rng.randrange(300, 340)) for _ in range(25)]
+    )
+    pairs = spark.createDataFrame([Row(id_a=a, id_b=b) for a, b in edges])
+    local = {
+        (r["node"], r["component"])
+        for r in ddp.connected_components(pairs).collect()
+    }
+    dist = {
+        (r["node"], r["component"])
+        for r in ddp.connected_components(pairs, driver_max_edges=0).collect()
+    }
+    assert local == dist and local
 
 
 # ------------------------------------------------- incremental corpus dedup
@@ -293,3 +321,43 @@ def test_span_dedup_partition_independent(spark):
     a = sorted(ddp.span_dedup(docs, "doc_id", "text", 5).collect())
     b = sorted(ddp.span_dedup(docs.repartition(13), "doc_id", "text", 5).collect())
     assert a == b
+
+
+def test_minhash_dedup_cc_one_rep_per_cluster(spark, docs):
+    """Docs 1,2,6 form one near-dup cluster, 3,4 another, 5 a singleton —
+    CC keeps exactly the min id of each with the cluster size attached."""
+    out = ddp.minhash_dedup_cc(docs, "doc_id", "text", threshold=0.5)
+    got = {r["doc_id"]: r["dup_group_size"] for r in out.collect()}
+    assert got == {1: 3, 3: 2, 5: 1}
+
+
+def test_minhash_dedup_cc_transitive_vs_greedy(spark):
+    """A hub-shaped cluster (A~C, B~C, A!~B): greedy drops only C (keeps
+    two docs of one cluster); CC collapses the component to its min id.
+    The hub is built from two distinct halves that share doc C's text."""
+    half1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    half2 = "one two three four five six seven eight nine ten"
+    rows = [
+        Row(doc_id=10, text=half1),
+        Row(doc_id=20, text=half2),
+        Row(doc_id=30, text=half1 + " " + half2),  # hub: near both halves?
+    ]
+    df = spark.createDataFrame(rows)
+    # token-3-gram jaccard(half, hub) = 8/18 = 0.444; pick 0.4 threshold
+    pairs = ddp.minhash_lsh_pairs(
+        df, "doc_id", "text", num_hashes=64, bands=64,
+        threshold=0.4, shingle_mode="token",
+    )
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert got == {(10, 30), (20, 30)}
+    cc = ddp.minhash_dedup_cc(
+        df, "doc_id", "text", num_hashes=64, bands=64,
+        threshold=0.4, shingle_mode="token",
+    )
+    kept = {r["doc_id"]: r["dup_group_size"] for r in cc.collect()}
+    assert kept == {10: 3}
+    greedy = ddp.minhash_dedup(
+        df, "doc_id", "text", num_hashes=64, bands=64,
+        threshold=0.4, shingle_mode="token",
+    )
+    assert sorted(r["doc_id"] for r in greedy.collect()) == [10, 20]

@@ -19,7 +19,11 @@ def plan_of(spark, name):
 
 # queries that legitimately skip the scan-plan checks (driver-side writes,
 # streaming runs, or tiny collected inputs)
-HEAVY_SETUP = {"storage_partitioned_roundtrip", "streaming_pipeline_gate"}
+HEAVY_SETUP = {
+    "storage_partitioned_roundtrip",
+    "streaming_pipeline_gate",
+    "streaming_stateful_counts",
+}
 
 
 # Queries where a BroadcastNestedLoopJoin IS the intended physical plan:
@@ -35,6 +39,7 @@ INTENTIONAL_BNLJ = {
     "sketch_hll_cardinality",      # 1-row estimate x 1-row broadcast truth
     "profile_histogram_drift",     # ≤bins rows x 1-row broadcast totals
     "text_relevance_topk",         # corpus x 1-row broadcast (N, avgdl, df) stats
+    "corpus_domain_rollup",        # per-source rows x 1-row broadcast corpus total
 }
 
 

@@ -86,3 +86,60 @@ def test_histogram_drift_tvd(spark):
     # a bin present on one side only contributes its whole mass
     onesided = pf.histogram_drift(h([(0, 4)]), h([(0, 2), (1, 2)])).collect()[0]
     assert onesided.tvd == 0.5
+
+
+def test_expectations_report_kinds(spark):
+    """Every rule kind counts its violations; NULL semantics per docstring."""
+    from pyspark.sql import Row
+
+    rows = [
+        Row(id=1, v=5, tag="en", code="src1"),
+        Row(id=1, v=50, tag="zz", code="src2"),     # dup id, out-of-set tag
+        Row(id=None, v=None, tag="en", code="bad"),  # null id/v, bad code
+        Row(id=3, v=-1, tag=None, code="src3"),      # v below range
+    ]
+    out = {
+        r["rule"]: r.asDict()
+        for r in pf.expectations_report(
+            spark.createDataFrame(rows),
+            [
+                {"rule": "id_nn", "kind": "not_null", "column": "id"},
+                {"rule": "id_uq", "kind": "unique", "column": "id"},
+                {"rule": "v_rng", "kind": "range", "column": "v", "lo": 0, "hi": 10},
+                {"rule": "tag_set", "kind": "in_set", "column": "tag", "values": ["en", "es"]},
+                {"rule": "code_re", "kind": "regex", "column": "code", "pattern": "^src[0-9]$"},
+            ],
+        ).collect()
+    }
+    assert all(v["n_rows"] == 4 for v in out.values())
+    assert out["id_nn"]["n_violations"] == 1 and out["id_nn"]["passed"] == 0
+    assert out["id_uq"]["n_violations"] == 1          # id=1 twice; NULL not counted
+    assert out["v_rng"]["n_violations"] == 2          # 50 and -1; NULL not counted
+    assert out["tag_set"]["n_violations"] == 1        # zz; NULL not counted
+    assert out["code_re"]["n_violations"] == 1        # bad
+    assert set(out) == {"id_nn", "id_uq", "v_rng", "tag_set", "code_re"}
+
+
+def test_expectations_single_scan_and_empty_input(spark):
+    """All rules share ONE scan of the input; empty tables pass cleanly."""
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame([Row(id=1, v=2)])
+    rules = [
+        {"rule": "a", "kind": "not_null", "column": "id"},
+        {"rule": "b", "kind": "range", "column": "v", "lo": 0, "hi": 10},
+        {"rule": "c", "kind": "unique", "column": "id"},
+    ]
+    plan = (
+        pf.expectations_report(df, rules)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Scan ExistingRDD") == 1, plan
+    empty = pf.expectations_report(df.filter(F.col("id") < 0), rules)
+    got = {r["rule"]: r.asDict() for r in empty.collect()}
+    assert all(v["n_rows"] == 0 and v["n_violations"] == 0 and v["passed"] == 1
+               for v in got.values())
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        pf.expectations_report(df, [{"rule": "x", "kind": "nope", "column": "id"}])
