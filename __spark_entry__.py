@@ -2388,6 +2388,25 @@ def corpus_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def similarity_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids (operators/similarity.py
+    label_centroids): components floored to 1e6 fixed-point BEFORE
+    summing, so the aggregation is exact integer math — order-,
+    partitioning-, and engine-independent. posexplode → one skinny
+    groupBy(label, pos) with map-side partials → array rebuild; the gate
+    emits the centroid as a comma-joined string (the driver gate cannot
+    canonicalize array cells)."""
+    from aleph2_contrib_spark.operators.similarity import label_centroids
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = label_centroids(emb, "label", "embedding")
+    return out.select(
+        "label",
+        "n_vectors",
+        F.concat_ws(",", F.col("centroid_f6")).alias("centroid_f6_csv"),
+    )
+
+
 def corpus_chunk_stride(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window token chunking (operators/corpus.py chunk_tokens):
     16-token chunks at stride 8 (50% overlap) — the context-window
@@ -2499,6 +2518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_expectations": profile_expectations,
         "dedup_minhash_cc_keep": dedup_minhash_cc_keep,
         "streaming_stateful_counts": streaming_stateful_counts,
+        "similarity_label_centroids": similarity_label_centroids,
         "corpus_gopher_rules": corpus_gopher_rules,
         "corpus_c4_line_filter": corpus_c4_line_filter,
         "txlog_restore_changefeed": txlog_restore_changefeed,
@@ -2759,6 +2779,20 @@ def oracle_sql() -> dict[str, str]:
         "streaming_stateful_counts": """
             SELECT event_type AS key, count(*) AS final_total
             FROM events GROUP BY event_type
+        """,
+        "similarity_label_centroids": """
+            WITH e AS (
+                SELECT label, i - 1 AS pos,
+                       CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS c_fx
+                FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+            ), per_pos AS (
+                SELECT label, pos, sum(c_fx) AS sum_fx, count(*) AS n
+                FROM e GROUP BY label, pos
+            )
+            SELECT label,
+                   CAST(max(n) AS BIGINT) AS n_vectors,
+                   array_to_string(list(CAST(floor(sum_fx / n) AS BIGINT) ORDER BY pos), ',') AS centroid_f6_csv
+            FROM per_pos GROUP BY label
         """,
         "corpus_chunk_stride": r"""
             WITH t AS (

@@ -584,3 +584,58 @@ def ivf_pq_topk(
     short = pq_topk(coded.select(id_col, "pq_codes"), q, codebooks, k=refine * k, id_col=id_col)
     refined = df.join(F.broadcast(short.select(id_col)), id_col, "inner")
     return brute_force_topk(refined, q, k, id_col, vec_col)
+
+
+def label_centroids(
+    df: DataFrame,
+    label_col: str,
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-label centroid of an embedding column — the vector-aggregation
+    primitive behind class prototypes, cluster summaries, and IVF codebook
+    refreshes over a labeled corpus.
+
+    Engine-portable by the repo's fixed-point discipline: each component is
+    floored to ``scale`` fixed-point (bigint) BEFORE summing, so the sums
+    are exact integers — independent of addition order, partitioning, and
+    engine — and the centroid is the integer division floor(sum/n). Output:
+    (label, n_vectors, centroid_f6 array<bigint>).
+
+    Plan shape — the part that matters at 100 TB: posexplode to
+    (label, pos, component) then ONE groupBy(label, pos) with map-side
+    partial aggregation; n·dim skinny rows shuffle at most once (partial
+    sums collapse most of it), and the final per-label array is rebuilt
+    from dim rows via a tiny second agg. No per-row Python, no
+    whole-vector structs through the shuffle, no width limit on dim.
+    """
+    exploded = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("pos", "c"),
+    ).select(
+        "label",
+        "pos",
+        F.floor(F.col("c").cast("double") * scale).cast("bigint").alias("c_fx"),
+    )
+    per_pos = exploded.groupBy("label", "pos").agg(
+        F.sum("c_fx").alias("sum_fx"), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        per_pos.withColumn(
+            "comp_fx", F.floor(F.col("sum_fx") / F.col("n")).cast("bigint")
+        )
+        .groupBy("label")
+        .agg(
+            F.max("n").alias("n_vectors"),
+            F.array_sort(
+                F.collect_list(F.struct(F.col("pos"), F.col("comp_fx")))
+            ).alias("__sorted"),
+        )
+        .select(
+            "label",
+            "n_vectors",
+            F.transform(F.col("__sorted"), lambda s: s["comp_fx"]).alias(
+                "centroid_f6"
+            ),
+        )
+    )

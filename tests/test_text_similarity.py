@@ -140,3 +140,30 @@ def test_relevance_topk_ranking_properties(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan, plan
     assert "BroadcastNestedLoopJoin" in plan   # the intended 1-row stats join
+
+
+def test_label_centroids_exact_fixed_point(spark):
+    """Hand-computed centroids; negative components floor correctly; a
+    label with one vector returns the vector itself (floored)."""
+    rows = [
+        Row(label=1, embedding=[1.0, 2.0]),
+        Row(label=1, embedding=[2.0, 3.5]),
+        Row(label=2, embedding=[-0.5, 0.25]),
+    ]
+    out = {
+        r["label"]: r.asDict()
+        for r in sim.label_centroids(
+            spark.createDataFrame(rows), "label"
+        ).collect()
+    }
+    # label 1: sums (3e6, 5.5e6) over 2 -> (1.5e6, 2.75e6)
+    assert out[1]["n_vectors"] == 2
+    assert out[1]["centroid_f6"] == [1500000, 2750000]
+    assert out[2]["n_vectors"] == 1
+    assert out[2]["centroid_f6"] == [-500000, 250000]
+    # plan: the explode is narrow; aggregation is the only exchange chain
+    plan = (
+        sim.label_centroids(spark.createDataFrame(rows), "label")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
