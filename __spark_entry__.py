@@ -2407,6 +2407,69 @@ def similarity_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy-match pairs (operators/dedup.fuzzy_levenshtein_pairs):
+    record-linkage by bounded edit distance over canonicalized 48-char
+    prefixes, blocked on the first 8 chars — JVM-builtin levenshtein,
+    never all-pairs. Complements the MinHash family (token-set overlap)
+    with character-level edit tolerance."""
+    docs = _t(spark, sf_dir, "documents")
+    return ddp.fuzzy_levenshtein_pairs(
+        docs, "doc_id", "text", max_distance=4, compare_chars=48, block_chars=8
+    ).select("id_a", "id_b", F.col("lev_dist").cast("int").alias("lev_dist"))
+
+
+def text_inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index materialization (operators/text.inverted_postings):
+    term → doc_freq + bounded id-ordered posting list. The batch analogue
+    of the reference's ES search-index service; posting lists are capped
+    BEFORE aggregation (window rank shares the groupBy's exchange) so
+    stopword skew never materializes an unbounded array."""
+    docs = _t(spark, sf_dir, "documents")
+    return txt.inverted_postings(docs, "doc_id", "text", min_df=5, max_postings=10)
+
+
+def events_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history (operators/events.scd2_intervals): per-customer
+    order-priority runs collapsed to half-open validity intervals —
+    gaps-and-islands via two chained windows + one groupBy, all sharing a
+    single exchange on the key."""
+    from aleph2_contrib_spark.operators.events import scd2_intervals
+
+    orders = _t(spark, sf_dir, "orders")
+    return scd2_intervals(orders, "o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey")
+
+
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank (operators/graph.pagerank) over the
+    user→action graph of the G2 decomposition gates: 3 join+agg rounds in
+    exact 1e6 fixed-point integer arithmetic (floor at every division),
+    so the iterative dataflow is bit-identical to the oracle's unrolled
+    CTEs. Dangling mass drops (bounded-leak variant)."""
+    from aleph2_contrib_spark.operators.graph import pagerank
+
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        F.concat(F.lit("u:"), F.col("user_id").cast("string")).alias("src"),
+        F.concat(F.lit("a:"), F.col("event_type")).alias("dst"),
+    ).distinct()
+    return pagerank(e, iterations=3)
+
+
+def sketch_quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-histogram quantile sketch (operators/sketch.
+    histogram_quantiles over profile.numeric_histogram): p25/p50/p75/p90/
+    p99 of events.value estimated from 20 fixed bins with pure integer
+    interpolation — the sketch answers quantiles without rescanning, and
+    merging shards is count addition."""
+    from aleph2_contrib_spark.operators.profile import numeric_histogram
+    from aleph2_contrib_spark.operators.sketch import histogram_quantiles
+
+    ev = _t(spark, sf_dir, "events")
+    hist = numeric_histogram(ev, "value", 0.0, 100.0, bins=20)
+    return histogram_quantiles(hist)
+
+
 def corpus_chunk_stride(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window token chunking (operators/corpus.py chunk_tokens):
     16-token chunks at stride 8 (50% overlap) — the context-window
@@ -2513,6 +2576,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (4) everything re-verified in round 3 (freshest) last.
     return {
         # -- (1) new / changed this round -----------------------------------
+        "dedup_fuzzy_levenshtein": dedup_fuzzy_levenshtein,
+        "text_inverted_postings": text_inverted_postings,
+        "events_scd2_intervals": events_scd2_intervals,
+        "graph_pagerank": graph_pagerank,
+        "sketch_quantile_hist": sketch_quantile_hist,
         "corpus_chunk_stride": corpus_chunk_stride,
         "corpus_domain_rollup": corpus_domain_rollup,
         "profile_expectations": profile_expectations,
@@ -2779,6 +2847,130 @@ def oracle_sql() -> dict[str, str]:
         "streaming_stateful_counts": """
             SELECT event_type AS key, count(*) AS final_total
             FROM events GROUP BY event_type
+        """,
+        "dedup_fuzzy_levenshtein": r"""
+            WITH c AS (
+                SELECT doc_id,
+                       substr(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 48) AS s
+                FROM documents
+            ), b AS (
+                SELECT doc_id, s, substr(s, 1, 8) AS blk FROM c
+            )
+            SELECT a.doc_id AS id_a, bb.doc_id AS id_b,
+                   CAST(levenshtein(a.s, bb.s) AS INT) AS lev_dist
+            FROM b a JOIN b bb ON a.blk = bb.blk AND a.doc_id < bb.doc_id
+            WHERE abs(length(a.s) - length(bb.s)) <= 4
+              AND levenshtein(a.s, bb.s) <= 4
+        """,
+        "text_inverted_postings": r"""
+            WITH t AS (
+                SELECT DISTINCT doc_id, u.term
+                FROM documents,
+                     unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS u(term)
+                WHERE u.term <> ''
+            ), g AS (
+                SELECT term, count(*) AS doc_freq,
+                       array_to_string(list_slice(list(doc_id ORDER BY doc_id), 1, 10), ',')
+                           AS postings_csv
+                FROM t GROUP BY term
+            )
+            SELECT term, doc_freq, postings_csv FROM g WHERE doc_freq >= 5
+        """,
+        "events_scd2_intervals": """
+            WITH o AS (
+                SELECT o_custkey AS key, o_orderpriority AS attr,
+                       o_orderdate AS d, o_orderkey AS k
+                FROM orders
+            ), marked AS (
+                SELECT *, CASE WHEN lag(attr) OVER w IS NOT DISTINCT FROM attr
+                               THEN 0 ELSE 1 END AS new_run
+                FROM o WINDOW w AS (PARTITION BY key ORDER BY d, k)
+            ), runs AS (
+                SELECT *, sum(new_run) OVER (
+                    PARTITION BY key ORDER BY d, k ROWS UNBOUNDED PRECEDING) AS run
+                FROM marked
+            ), g AS (
+                SELECT key, run, min(attr) AS attr, min(d) AS valid_from,
+                       count(*) AS n_obs
+                FROM runs GROUP BY key, run
+            )
+            SELECT key, attr, valid_from,
+                   lead(valid_from) OVER (
+                       PARTITION BY key ORDER BY valid_from, run) AS valid_to,
+                   n_obs, CAST(run AS INT) AS version
+            FROM g
+        """,
+        "graph_pagerank": """
+            WITH e AS (
+                SELECT DISTINCT 'u:' || CAST(user_id AS VARCHAR) AS src,
+                                'a:' || event_type AS dst
+                FROM events
+            ), nodes AS (
+                SELECT src AS node FROM e UNION SELECT dst FROM e
+            ), outdeg AS (
+                SELECT src, count(*) AS od FROM e GROUP BY src
+            ), r0 AS (
+                SELECT node, CAST(1000000 AS BIGINT) AS rank_fx FROM nodes
+            ), c1 AS (
+                SELECT e.dst AS node,
+                       sum(CAST(floor(r.rank_fx / o.od) AS BIGINT)) AS csum
+                FROM r0 r JOIN outdeg o ON r.node = o.src JOIN e ON e.src = o.src
+                GROUP BY e.dst
+            ), r1 AS (
+                SELECT n.node,
+                       CAST(150000 + floor(850 * COALESCE(c.csum, 0) / 1000) AS BIGINT) AS rank_fx
+                FROM nodes n LEFT JOIN c1 c ON n.node = c.node
+            ), c2 AS (
+                SELECT e.dst AS node,
+                       sum(CAST(floor(r.rank_fx / o.od) AS BIGINT)) AS csum
+                FROM r1 r JOIN outdeg o ON r.node = o.src JOIN e ON e.src = o.src
+                GROUP BY e.dst
+            ), r2 AS (
+                SELECT n.node,
+                       CAST(150000 + floor(850 * COALESCE(c.csum, 0) / 1000) AS BIGINT) AS rank_fx
+                FROM nodes n LEFT JOIN c2 c ON n.node = c.node
+            ), c3 AS (
+                SELECT e.dst AS node,
+                       sum(CAST(floor(r.rank_fx / o.od) AS BIGINT)) AS csum
+                FROM r2 r JOIN outdeg o ON r.node = o.src JOIN e ON e.src = o.src
+                GROUP BY e.dst
+            ), r3 AS (
+                SELECT n.node,
+                       CAST(150000 + floor(850 * COALESCE(c.csum, 0) / 1000) AS BIGINT) AS rank_fx
+                FROM nodes n LEFT JOIN c3 c ON n.node = c.node
+            )
+            SELECT node, rank_fx AS rank_f6 FROM r3
+        """,
+        "sketch_quantile_hist": """
+            WITH h AS (
+                SELECT CAST(least(floor(value / 5.0), 19) AS INT) AS bin,
+                       count(*) AS cnt
+                FROM events WHERE value >= 0 AND value <= 100
+                GROUP BY 1
+            ), hb AS (
+                SELECT bin,
+                       CAST(floor((bin * 5.0) * 1000000) AS BIGINT) AS lo_f6,
+                       CAST(floor(((bin + 1) * 5.0) * 1000000) AS BIGINT) AS hi_f6,
+                       cnt
+                FROM h
+            ), cumt AS (
+                SELECT *,
+                       sum(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum,
+                       sum(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) - cnt AS cum_before,
+                       sum(cnt) OVER () AS n
+                FROM hb
+            ), q AS (
+                SELECT unnest([250, 500, 750, 900, 990]) AS q_permille
+            ), x AS (
+                SELECT cumt.*, q.q_permille,
+                       CAST(ceil(q.q_permille * n / 1000) AS BIGINT) AS need
+                FROM cumt, q
+            )
+            SELECT q_permille,
+                   CAST(lo_f6 + floor((hi_f6 - lo_f6) * (need - cum_before) / cnt) AS BIGINT)
+                       AS est_f6
+            FROM x
+            WHERE cum >= need AND cum_before < need
         """,
         "similarity_label_centroids": """
             WITH e AS (

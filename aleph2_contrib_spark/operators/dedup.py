@@ -1110,3 +1110,64 @@ def span_dedup(
         )
         .withColumnRenamed("id", id_col)
     )
+
+
+def fuzzy_levenshtein_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_distance: int = 4,
+    compare_chars: int = 48,
+    block_chars: int = 8,
+) -> DataFrame:
+    """Blocked fuzzy-matching pairs by edit distance — the record-linkage
+    primitive (match candidate generation + verify) that complements the
+    set-similarity family (MinHash/Jaccard measures token overlap;
+    Levenshtein catches small in-place edits like typos and OCR noise
+    that shift every shingle).
+
+    Reference analog: deduplication_fields matching generalized from
+    exact equality (ElasticsearchIndexUtils.java:236-251) to bounded
+    edit distance.
+
+    Semantics: texts are canonicalized (lower, collapse whitespace,
+    trim) and truncated to ``compare_chars``; two docs pair when their
+    canonical prefixes share the first ``block_chars`` chars (the
+    blocking key) and levenshtein(prefix_a, prefix_b) <= max_distance.
+    Returns (id_a, id_b, lev_dist) with id_a < id_b.
+
+    Plan shape at 100 TB: one narrow canonicalization pass, then a
+    self-equi-join keyed ONLY on the block key — never all-pairs. Two
+    cheap necessary conditions run before the O(len²) levenshtein:
+    equal block key (join key) and |len_a − len_b| ≤ max_distance
+    (edit distance is bounded below by the length gap). Everything is
+    JVM codegen (``F.levenshtein`` is a builtin); no Python. Blocking
+    recall caveat: an edit inside the first ``block_chars`` chars moves
+    the pair to different blocks — production runs union several
+    blocking passes (prefix, suffix, length band) exactly like
+    multi-probe LSH; each pass is this same operator with a different
+    key expression.
+    """
+    canon = F.substring(
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), 1, compare_chars
+    )
+    base = df.select(
+        F.col(id_col).alias("id"),
+        canon.alias("__s"),
+    ).withColumn("__blk", F.substring(F.col("__s"), 1, block_chars))
+    a = base.select(
+        F.col("id").alias("id_a"), F.col("__s").alias("__sa"), "__blk"
+    )
+    b = base.select(
+        F.col("id").alias("id_b"), F.col("__s").alias("__sb"), "__blk"
+    )
+    return (
+        a.join(b, "__blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.abs(F.length("__sa") - F.length("__sb")) <= F.lit(max_distance)
+        )
+        .withColumn("lev_dist", F.levenshtein("__sa", "__sb"))
+        .filter(F.col("lev_dist") <= F.lit(max_distance))
+        .select("id_a", "id_b", "lev_dist")
+    )

@@ -94,3 +94,62 @@ def funnel_counts(
         ).alias("s")
     )
     return stacked.select("s.step_idx", "s.step", "s.n_users")
+
+
+def scd2_intervals(
+    df: DataFrame,
+    key_col: str,
+    attr_col: str,
+    ts_col: str,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Slowly-changing-dimension (type 2) history from an event/snapshot
+    stream: per key, collapse consecutive runs of the same attribute
+    value into validity intervals — the change-tracking companion to the
+    commit-log change feed (sources/txlog.py), and the classic
+    gaps-and-islands problem re-expressed as two chained windows over
+    ONE exchange.
+
+    Returns (key, attr, valid_from, valid_to, n_obs, version) where
+    ``valid_from`` is the first observation of a run, ``valid_to`` the
+    first observation of the NEXT run (NULL while current — half-open
+    intervals chain exactly), ``n_obs`` the observations inside the run,
+    and ``version`` the 1-based run ordinal per key.
+
+    Determinism: rows are ordered by (ts, tiebreak); with same-timestamp
+    observations of different attrs, the tiebreak decides run membership
+    — pass a unique column (an id) or the result would depend on
+    partition order.
+
+    Plan shape at scale: one shuffle on key; both windows (lag to mark
+    run starts, running sum to number runs) and the final groupBy all
+    share that exchange. Shuffled bytes = the observation stream once;
+    no joins, no all-pairs, no driver state.
+    """
+    order = [F.col(ts_col).asc()]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).asc())
+    w = Window.partitionBy(key_col).orderBy(*order)
+    runs = (
+        df.withColumn(
+            "__new_run",
+            F.when(
+                F.lag(F.col(attr_col)).over(w).eqNullSafe(F.col(attr_col)), 0
+            ).otherwise(1),
+        )
+        .withColumn("__run", F.sum("__new_run").over(w))
+    )
+    grouped = runs.groupBy(F.col(key_col).alias("key"), F.col("__run")).agg(
+        F.first(F.col(attr_col)).alias("attr"),
+        F.min(F.col(ts_col)).alias("valid_from"),
+        F.count(F.lit(1)).alias("n_obs"),
+    )
+    w2 = Window.partitionBy("key").orderBy(F.col("valid_from").asc(), F.col("__run").asc())
+    return grouped.select(
+        "key",
+        "attr",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        "n_obs",
+        F.col("__run").cast("int").alias("version"),
+    )

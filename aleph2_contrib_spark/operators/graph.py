@@ -175,3 +175,79 @@ def build_graph(
     )
     edges = resolve_edges(all_edges, winners)
     return winners, edges
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 5,
+    damping_permille: int = 850,
+    scale: int = 1_000_000,
+    checkpoint_every: int = 0,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list — the canonical
+    iterative graph analytic the reference's Titan-backed graph service
+    defers to its store (TitanGraphService.java exposes traversal, not
+    analytics); here it is join-based dataflow a 1000-executor cluster
+    runs natively.
+
+    Exact integer arithmetic so results are engine-portable for
+    differential testing: ranks live in ``scale`` fixed-point bigints,
+    every division is an integer floor, damping is the exact rational
+    ``damping_permille/1000``. One update step is
+
+        rank'(v) = floor((1000-d)·scale/1000)
+                   + floor(d · Σ_{u→v} floor(rank(u)/outdeg(u)) / 1000)
+
+    Dangling mass (nodes with no out-edges) is dropped, not
+    redistributed — the bounded-leak variant; document totals therefore
+    shrink per round. Deterministic regardless of partitioning: every
+    aggregate is an integer sum.
+
+    Returns (node, rank_f6) for every distinct node.
+
+    Plan shape at scale: per iteration, one broadcast-or-shuffle
+    hash join ranks⋈edges on src (pre-partition both on the node key
+    and the exchanges are reused across iterations), one groupBy dst
+    with map-side partial sums, one left join back onto the node list
+    to re-inject the teleport term for in-degree-0 nodes. Lineage grows
+    linearly in ``iterations``; pass ``checkpoint_every`` > 0 to
+    localCheckpoint periodically (mandatory beyond ~20 rounds, where
+    plan compilation, not execution, becomes the bottleneck).
+    """
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    base = int((1000 - damping_permille) * scale // 1000)
+    ranks = nodes.withColumn("rank_fx", F.lit(int(scale)).cast("long"))
+    for i in range(iterations):
+        contribs = (
+            ranks.join(outdeg, ranks["node"] == outdeg["src"], "inner")
+            .join(e, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.floor(F.col("rank_fx") / F.col("outdeg")).cast("long").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("csum"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.floor(
+                        F.lit(int(damping_permille)) * F.coalesce(F.col("csum"), F.lit(0)) / F.lit(1000)
+                    )
+                ).cast("long").alias("rank_fx"),
+            )
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint(eager=False)
+    return ranks.select("node", F.col("rank_fx").alias("rank_f6"))

@@ -224,3 +224,72 @@ def cms_estimate(
         .groupBy(col)
         .agg(F.min(F.coalesce(F.col("__cms_n"), F.lit(0))).alias("est"))
     )
+
+
+def histogram_quantiles(
+    hist: DataFrame,
+    total_col: str = "cnt",
+    quantiles: tuple[int, ...] = (250, 500, 750, 900, 990),
+) -> DataFrame:
+    """Quantile estimates from a MERGEABLE fixed-boundary histogram
+    (profile.numeric_histogram rows, or any (bin, bin_lo, bin_hi, cnt)
+    table — sum cnt across shards/days first, the merge is just an
+    addition). The mergeable-summary counterpart to percentile_approx:
+    sketch once on ingest, answer quantile queries from the tiny
+    histogram forever, never rescanning the data — the same
+    state-not-scan philosophy as the HLL and CMS sketches in this
+    module.
+
+    ``quantiles`` are permille ranks (250 = p25). For rank q, find the
+    first bin (by bin order) whose running count reaches
+    need = ceil(q·n/1000), then interpolate inside it with pure integer
+    arithmetic:
+
+        est_f6 = bin_lo_f6 + floor((bin_hi_f6 - bin_lo_f6)
+                 · (need - cum_before) / cnt_bin)
+
+    where *_f6 are the boundaries floored to 1e6 fixed-point. Exact
+    integer math end-to-end → engine-portable (differential-testable)
+    and independent of partitioning.
+
+    Returns (q_permille, est_f6). Empty histogram → empty result (no
+    quantiles of nothing).
+
+    Scale: the histogram is bins rows — the window runs on one
+    partition, which is the POINT of a sketch (the heavy data was
+    reduced at scan time by numeric_histogram's map-side-combined
+    groupBy). The quantile list joins as a 1-row-per-q broadcast.
+    """
+    from pyspark.sql import Window
+
+    spark = hist.sparkSession
+    qdf = spark.createDataFrame([(int(q),) for q in quantiles], "q_permille int")
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = (
+        hist.select(
+            "bin",
+            F.floor(F.col("bin_lo") * 1_000_000).cast("long").alias("lo_f6"),
+            F.floor(F.col("bin_hi") * 1_000_000).cast("long").alias("hi_f6"),
+            F.col(total_col).cast("long").alias("cnt"),
+        )
+        .withColumn("cum", F.sum("cnt").over(w))
+        .withColumn("cum_before", F.col("cum") - F.col("cnt"))
+        .withColumn("n", F.max("cum").over(Window.partitionBy()))
+    )
+    need = F.ceil(F.col("q_permille") * F.col("n") / F.lit(1000)).cast("long")
+    hit = (
+        cum.join(F.broadcast(qdf))
+        .withColumn("need", need)
+        .filter((F.col("cum") >= F.col("need")) & (F.col("cum_before") < F.col("need")))
+    )
+    return hit.select(
+        "q_permille",
+        (
+            F.col("lo_f6")
+            + F.floor(
+                (F.col("hi_f6") - F.col("lo_f6"))
+                * (F.col("need") - F.col("cum_before"))
+                / F.col("cnt")
+            )
+        ).cast("long").alias("est_f6"),
+    )

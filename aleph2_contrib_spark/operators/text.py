@@ -9,7 +9,7 @@ differential testing.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Tiny deterministic per-language stopword sets for the n-gram/stopword
@@ -231,4 +231,72 @@ def relevance_topk(
         x.select(F.col(id_col), F.floor(score * F.lit(1000000.0)).cast("long").alias("score_f6"))
         .orderBy(F.col("score_f6").desc(), F.col(id_col).asc())
         .limit(k)
+    )
+
+
+def inverted_postings(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 1,
+    max_postings: int = 20,
+) -> DataFrame:
+    """Inverted-index materialization: term → document frequency + a
+    bounded, id-ordered posting list. The batch analogue of the
+    reference's search-index service (documents written to Elasticsearch
+    ARE an inverted index, ElasticsearchIndexService.java) for engines
+    with no resident index: the output table, bucketed on term, serves
+    term-lookup joins.
+
+    Tokenization matches the rest of this module (lowercase, split on
+    non-alphanumerics, empties dropped); per-document duplicate terms
+    collapse before the shuffle, so a term contributes one row per doc.
+
+    Returns (term, doc_freq, postings_csv) for terms with
+    ``doc_freq >= min_df``; postings_csv holds the first
+    ``max_postings`` doc ids ascending.
+
+    Scale: array_distinct runs document-local (narrow), so the single
+    shuffle is keyed on term and carries (term, doc_id) pairs —
+    vocabulary skew (stopwords appear in every doc) is why the posting
+    list is BOUNDED: a row_number window ranks each term's docs by id
+    BEFORE aggregation, so collect_list only ever sees ≤ max_postings
+    ids per term (collect_list skips the NULLs the rank filter leaves) —
+    no executor materializes an unbounded stopword posting array even
+    transiently. The window and the groupBy share one exchange on term
+    (same key → Catalyst reuses the partitioning). At 100 TB, store the
+    full postings instead by writing the ranked rows keyed on
+    (term, bucket(rank)) — same plan, sharded lists.
+    """
+    terms = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.array_distinct(
+                F.filter(
+                    F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
+                    lambda t: t != "",
+                )
+            )
+        ).alias("term"),
+    )
+    w = Window.partitionBy("term").orderBy("doc_id")
+    ranked = terms.withColumn("__rn", F.row_number().over(w))
+    return (
+        ranked.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("doc_freq"),
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("__rn") <= F.lit(max_postings), F.col("doc_id"))
+                )
+            ).alias("__post"),
+        )
+        .filter(F.col("doc_freq") >= F.lit(min_df))
+        .select(
+            "term",
+            "doc_freq",
+            F.array_join(F.transform(F.col("__post"), lambda d: d.cast("string")), ",").alias(
+                "postings_csv"
+            ),
+        )
     )

@@ -361,3 +361,47 @@ def test_minhash_dedup_cc_transitive_vs_greedy(spark):
         threshold=0.4, shingle_mode="token",
     )
     assert sorted(r["doc_id"] for r in greedy.collect()) == [10, 20]
+
+
+# ------------------------------------------------- fuzzy levenshtein pairs
+
+
+def test_fuzzy_levenshtein_pairs_basic(spark):
+    """Small edits within a block pair up; different blocks never meet;
+    the length pre-filter and distance threshold both apply."""
+    rows = [
+        Row(doc_id=1, text="the quick brown fox jumps over the lazy dog"),
+        Row(doc_id=2, text="the quick brown fox jumped over the lazy dog"),   # dist small
+        Row(doc_id=3, text="the quick brown cat naps all day long"),          # same block, far
+        Row(doc_id=4, text="zzz completely different text entirely"),         # other block
+    ]
+    out = ddp.fuzzy_levenshtein_pairs(
+        spark.createDataFrame(rows), "doc_id", "text",
+        max_distance=4, compare_chars=48, block_chars=8,
+    ).collect()
+    pairs = {(r.id_a, r.id_b): r.lev_dist for r in out}
+    assert (1, 2) in pairs and 1 <= pairs[(1, 2)] <= 4
+    assert all(k == (1, 2) for k in pairs), pairs
+
+
+def test_fuzzy_levenshtein_canonicalizes_whitespace_and_case(spark):
+    rows = [
+        Row(doc_id=1, text="Hello   World THIS IS fine"),
+        Row(doc_id=2, text="hello world this is fine"),
+    ]
+    out = ddp.fuzzy_levenshtein_pairs(
+        spark.createDataFrame(rows), "doc_id", "text", max_distance=0
+    ).collect()
+    assert len(out) == 1 and out[0].lev_dist == 0
+
+
+def test_fuzzy_levenshtein_plan_is_blocked_equi_join(spark):
+    """The self-join must be a hash join on the block key — no cartesian,
+    no nested loop."""
+    rows = [Row(doc_id=i, text=f"doc number {i} body") for i in range(10)]
+    plan = (
+        ddp.fuzzy_levenshtein_pairs(spark.createDataFrame(rows), "doc_id", "text")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

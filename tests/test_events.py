@@ -68,3 +68,62 @@ def test_funnel_repeated_step_requires_distinct_events(spark):
     out2 = {r.step_idx: r.n_users for r in funnel_counts(
         two, "user_id", "ts", "event_type", ["view", "view"]).collect()}
     assert out2 == {0: 1, 1: 1}
+
+
+# ------------------------------------------------- SCD2 intervals
+
+
+def test_scd2_intervals_runs_and_versions(spark):
+    from aleph2_contrib_spark.operators.events import scd2_intervals
+
+    d = dt.date
+    rows = [
+        # key 1: A,A,B,A -> three runs
+        Row(k=1, a="A", ts=d(2024, 1, 1), id=1),
+        Row(k=1, a="A", ts=d(2024, 1, 5), id=2),
+        Row(k=1, a="B", ts=d(2024, 2, 1), id=3),
+        Row(k=1, a="A", ts=d(2024, 3, 1), id=4),
+        # key 2: single observation
+        Row(k=2, a="X", ts=d(2024, 1, 1), id=5),
+    ]
+    out = scd2_intervals(spark.createDataFrame(rows), "k", "a", "ts", "id").collect()
+    by = {(r.key, r.version): r for r in out}
+    assert len(by) == 4
+    r11 = by[(1, 1)]
+    assert (r11.attr, r11.valid_from, r11.valid_to, r11.n_obs) == ("A", d(2024, 1, 1), d(2024, 2, 1), 2)
+    r12 = by[(1, 2)]
+    assert (r12.attr, r12.valid_to) == ("B", d(2024, 3, 1))
+    r13 = by[(1, 3)]
+    assert (r13.attr, r13.valid_to) == ("A", None)      # open (current) interval
+    assert by[(2, 1)].valid_to is None
+
+
+def test_scd2_same_day_tiebreak_and_nulls(spark):
+    """Same-timestamp rows order by the tiebreak id; NULL attr compares
+    null-safe (consecutive NULLs are ONE run, not many)."""
+    from aleph2_contrib_spark.operators.events import scd2_intervals
+
+    d = dt.date
+    rows = [
+        Row(k=1, a="A", ts=d(2024, 1, 1), id=2),
+        Row(k=1, a="B", ts=d(2024, 1, 1), id=1),   # earlier id → B first
+        Row(k=1, a=None, ts=d(2024, 1, 2), id=3),
+        Row(k=1, a=None, ts=d(2024, 1, 3), id=4),
+    ]
+    out = scd2_intervals(spark.createDataFrame(rows), "k", "a", "ts", "id").collect()
+    seq = [r.attr for r in sorted(out, key=lambda r: r.version)]
+    assert seq == ["B", "A", None]
+    assert sorted(r.n_obs for r in out) == [1, 1, 2]
+
+
+def test_scd2_single_exchange(spark):
+    """All windows + the groupBy share one hash exchange on the key."""
+    from aleph2_contrib_spark.operators.events import scd2_intervals
+
+    d = dt.date
+    rows = [Row(k=i % 3, a="A", ts=d(2024, 1, 1 + i % 5), id=i) for i in range(20)]
+    plan = (
+        scd2_intervals(spark.createDataFrame(rows), "k", "a", "ts", "id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") <= 1, plan

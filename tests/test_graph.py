@@ -73,3 +73,56 @@ def test_edges_to_unknown_vertices_dropped(spark, records):
     )
     # only edges with BOTH endpoints in winners survive; none here qualify
     assert resolve_edges(e, winners).count() == 0
+
+
+# ------------------------------------------------- PageRank
+
+
+def test_pagerank_hand_computed(spark):
+    """2-node cycle + dangler: exact fixed-point values after 1 and 2
+    iterations, computed by hand with the operator's own floor rules."""
+    from aleph2_contrib_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [Row(src="a", dst="b"), Row(src="b", dst="a"), Row(src="a", dst="c")]
+    )
+    # iteration 1: ranks start at 1_000_000.
+    #   a: base + floor(850*floor(1e6/1)/1000)       = 150000 + 850000 = 1000000
+    #   b: base + floor(850*floor(1e6/2)/1000)       = 150000 + 425000 = 575000
+    #   c: same as b                                  = 575000
+    r1 = {r.node: r.rank_f6 for r in pagerank(edges, iterations=1).collect()}
+    assert r1 == {"a": 1000000, "b": 575000, "c": 575000}
+    # iteration 2:
+    #   a: 150000 + floor(850*floor(575000/1)/1000)  = 150000 + 488750 = 638750
+    #   b: 150000 + floor(850*floor(1000000/2)/1000) = 150000 + 425000 = 575000
+    #   c: same as b
+    r2 = {r.node: r.rank_f6 for r in pagerank(edges, iterations=2).collect()}
+    assert r2 == {"a": 638750, "b": 575000, "c": 575000}
+
+
+def test_pagerank_deterministic_across_partitionings(spark):
+    from aleph2_contrib_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [Row(src=f"n{i}", dst=f"n{(i * 7) % 23}") for i in range(100)]
+    )
+    a = {r.node: r.rank_f6 for r in pagerank(edges, iterations=4).collect()}
+    b = {
+        r.node: r.rank_f6
+        for r in pagerank(edges.repartition(13), iterations=4).collect()
+    }
+    assert a == b
+
+
+def test_pagerank_checkpoint_matches_unchckpointed(spark):
+    from aleph2_contrib_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [Row(src=f"n{i}", dst=f"n{(i + 1) % 10}") for i in range(10)]
+    )
+    a = {r.node: r.rank_f6 for r in pagerank(edges, iterations=4).collect()}
+    b = {
+        r.node: r.rank_f6
+        for r in pagerank(edges, iterations=4, checkpoint_every=2).collect()
+    }
+    assert a == b

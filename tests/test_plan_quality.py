@@ -40,6 +40,7 @@ INTENTIONAL_BNLJ = {
     "profile_histogram_drift",     # ≤bins rows x 1-row broadcast totals
     "text_relevance_topk",         # corpus x 1-row broadcast (N, avgdl, df) stats
     "corpus_domain_rollup",        # per-source rows x 1-row broadcast corpus total
+    "sketch_quantile_hist",        # ≤bins rows x 5-row broadcast quantile list
 }
 
 

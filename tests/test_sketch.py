@@ -118,3 +118,51 @@ def test_hll_and_cms_ignore_nulls(spark):
     est = {r.v: r.est for r in cms_estimate(sk, df.distinct(), "v").collect()}
     assert None not in est
     assert est["7"] == 1
+
+
+# ------------------------------------------------- histogram quantiles
+
+
+def test_histogram_quantiles_hand_case(spark):
+    """Uniform 0..99 (one value per int), 10 bins of width 10: p50 needs
+    rank 50 → bin 4 (cum 50), est = 40 + floor(10 * (50-40)/10) = 50."""
+    from aleph2_contrib_spark.operators.profile import numeric_histogram
+    from aleph2_contrib_spark.operators.sketch import histogram_quantiles
+
+    df = spark.createDataFrame([(float(i),) for i in range(100)], "value double")
+    hist = numeric_histogram(df, "value", 0.0, 100.0, bins=10)
+    out = {r.q_permille: r.est_f6 for r in histogram_quantiles(hist).collect()}
+    assert out[500] == 50_000_000
+    assert out[250] == 25_000_000
+    assert out[990] == 99_000_000
+
+
+def test_histogram_quantiles_merge_then_estimate(spark):
+    """Merging two shards' histograms (sum cnt) estimates quantiles of the
+    union — the mergeability contract."""
+    from aleph2_contrib_spark.operators.profile import numeric_histogram
+    from aleph2_contrib_spark.operators.sketch import histogram_quantiles
+    from pyspark.sql import functions as F
+
+    a = spark.createDataFrame([(float(i),) for i in range(50)], "value double")
+    b = spark.createDataFrame([(float(i),) for i in range(50, 100)], "value double")
+    ha = numeric_histogram(a, "value", 0.0, 100.0, bins=10)
+    hb = numeric_histogram(b, "value", 0.0, 100.0, bins=10)
+    merged = (
+        ha.unionByName(hb)
+        .groupBy("bin", "bin_lo", "bin_hi")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = numeric_histogram(a.unionByName(b), "value", 0.0, 100.0, bins=10)
+    em = {r.q_permille: r.est_f6 for r in histogram_quantiles(merged).collect()}
+    ew = {r.q_permille: r.est_f6 for r in histogram_quantiles(whole).collect()}
+    assert em == ew
+
+
+def test_histogram_quantiles_empty(spark):
+    from aleph2_contrib_spark.operators.profile import numeric_histogram
+    from aleph2_contrib_spark.operators.sketch import histogram_quantiles
+
+    df = spark.createDataFrame([], "value double")
+    hist = numeric_histogram(df, "value", 0.0, 100.0, bins=10)
+    assert histogram_quantiles(hist).count() == 0

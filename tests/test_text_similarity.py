@@ -167,3 +167,37 @@ def test_label_centroids_exact_fixed_point(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "CartesianProduct" not in plan
+
+
+# ------------------------------------------------- inverted postings
+
+
+def test_inverted_postings_caps_and_dedups(spark):
+    """Per-doc repeated terms count once; postings capped at max_postings
+    ascending; min_df filters."""
+    import aleph2_contrib_spark.operators.text as t
+
+    rows = [Row(doc_id=i, text="alpha alpha beta" if i < 5 else "beta") for i in range(8)]
+    out = {
+        r.term: r
+        for r in t.inverted_postings(
+            spark.createDataFrame(rows), "doc_id", "text", min_df=2, max_postings=3
+        ).collect()
+    }
+    assert out["alpha"].doc_freq == 5
+    assert out["alpha"].postings_csv == "0,1,2"      # capped at 3
+    assert out["beta"].doc_freq == 8
+    assert out["beta"].postings_csv == "0,1,2"
+    assert set(out) == {"alpha", "beta"}             # min_df drops nothing else here
+
+
+def test_inverted_postings_single_exchange(spark):
+    """Window rank and groupBy share one exchange on term."""
+    import aleph2_contrib_spark.operators.text as t
+
+    rows = [Row(doc_id=i, text=f"w{i % 3} common") for i in range(12)]
+    plan = (
+        t.inverted_postings(spark.createDataFrame(rows), "doc_id", "text")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
