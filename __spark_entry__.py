@@ -2407,6 +2407,59 @@ def similarity_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (operators/similarity.hard_negative_mining):
+    for each anchor (vec_id<5), the top-3 most-similar vectors with a
+    DIFFERENT label — contrastive-training pair mining. Same broadcast +
+    per-partition-matmul shape as knn_join; the label mask applies
+    before ranking."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = sim.hard_negative_mining(
+        emb.filter(F.col("vec_id") >= 5), emb.filter(F.col("vec_id") < 5), k=3
+    )
+    return out.select(
+        "anchor_id", "vec_id", F.floor(F.col("score") * 1e6).cast("long").alias("score_f6")
+    )
+
+
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sqrt-free z-score anomaly QA (operators/profile.
+    anomaly_zscore_flags): |x−μ|>3σ tested as (x·n−S)² > 9(nQ−S²) in
+    exact decimal — order/partitioning/engine independent. Gate reports
+    per-group totals."""
+    from aleph2_contrib_spark.operators.profile import anomaly_zscore_flags
+
+    ev = _t(spark, sf_dir, "events")
+    flagged = anomaly_zscore_flags(ev, "value", "event_type", z=3)
+    return flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("is_anomaly"), 1).otherwise(0)).cast("long").alias("n_anomaly"),
+    )
+
+
+def text_char_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-training inner loop (operators/text.char_pair_counts): corpus
+    top-20 adjacent character pairs inside words, deterministic
+    (cnt desc, pair asc) cut. Narrow codegen pass + one tiny-state
+    aggregate."""
+    docs = _t(spark, sf_dir, "documents")
+    return txt.char_pair_counts(docs, "text", top_n=20)
+
+
+def sketch_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based distinct overlap (operators/sketch.
+    hll_intersection_estimate): clickers ∩ purchasers by
+    inclusion-exclusion over three engine-portable HLL estimates."""
+    from aleph2_contrib_spark.operators.sketch import hll_intersection_estimate
+
+    ev = _t(spark, sf_dir, "events")
+    return hll_intersection_estimate(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+        "user_id",
+    )
+
+
 def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked fuzzy-match pairs (operators/dedup.fuzzy_levenshtein_pairs):
     record-linkage by bounded edit distance over canonicalized 48-char
@@ -2567,6 +2620,21 @@ def _hll_gate_oracle() -> str:
     return " UNION ALL ".join(parts)
 
 
+def _hll_intersection_oracle() -> str:
+    """DuckDB replica of sketch_hll_intersection: inclusion-exclusion over
+    three portable-HLL estimates (click users, purchase users, union)."""
+    from aleph2_contrib_spark.operators.sketch import hll_oracle_sql
+
+    a = hll_oracle_sql("user_id", "events", "event_type = 'click'")
+    b = hll_oracle_sql("user_id", "events", "event_type = 'purchase'")
+    u = hll_oracle_sql("user_id", "events", "event_type IN ('click', 'purchase')")
+    return f"""
+        SELECT a.est AS est_a, b.est AS est_b, u.est AS est_union,
+               greatest(CAST(0 AS BIGINT), a.est + b.est - u.est) AS est_intersection
+        FROM ({a}) a, ({b}) b, ({u}) u
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver gate grades the first ~50 entries
     # each round. Round-4 rotation (VERDICT r3 item 2): (1) new operators +
@@ -2576,6 +2644,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (4) everything re-verified in round 3 (freshest) last.
     return {
         # -- (1) new / changed this round -----------------------------------
+        "similarity_hard_negatives": similarity_hard_negatives,
+        "events_anomaly_zscore": events_anomaly_zscore,
+        "text_char_pairs": text_char_pairs,
+        "sketch_hll_intersection": sketch_hll_intersection,
         "dedup_fuzzy_levenshtein": dedup_fuzzy_levenshtein,
         "text_inverted_postings": text_inverted_postings,
         "events_scd2_intervals": events_scd2_intervals,
@@ -2847,6 +2919,60 @@ def oracle_sql() -> dict[str, str]:
         "streaming_stateful_counts": """
             SELECT event_type AS key, count(*) AS final_total
             FROM events GROUP BY event_type
+        """,
+        "similarity_hard_negatives": """
+            WITH q AS (
+                SELECT vec_id AS anchor_id, CAST(embedding AS DOUBLE[]) AS qv, label
+                FROM embeddings WHERE vec_id < 5
+            ), c AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+                FROM embeddings WHERE vec_id >= 5
+            ), scored AS (
+                SELECT anchor_id, c.vec_id,
+                       list_cosine_similarity(v, qv) AS score
+                FROM c JOIN q ON c.label <> q.label
+            ), ranked AS (
+                SELECT anchor_id, vec_id, score,
+                       row_number() OVER (PARTITION BY anchor_id
+                                          ORDER BY score DESC, vec_id ASC) AS rn
+                FROM scored
+            )
+            SELECT CAST(anchor_id AS BIGINT) AS anchor_id,
+                   CAST(vec_id AS BIGINT) AS vec_id,
+                   CAST(floor(score * 1000000.0) AS BIGINT) AS score_f6
+            FROM ranked WHERE rn <= 3
+        """,
+        "events_anomaly_zscore": """
+            WITH x AS (
+                SELECT event_type,
+                       CAST(floor(value * 1000000) AS HUGEINT) AS xf
+                FROM events
+            ), g AS (
+                SELECT event_type,
+                       CAST(count(*) AS HUGEINT) AS n,
+                       CAST(sum(xf) AS HUGEINT) AS s,
+                       CAST(sum(xf * xf) AS HUGEINT) AS q
+                FROM x GROUP BY event_type
+            )
+            SELECT x.event_type,
+                   CAST(max(g.n) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN (x.xf * g.n - g.s) * (x.xf * g.n - g.s)
+                                      > 9 * (g.n * g.q - g.s * g.s)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_anomaly
+            FROM x JOIN g USING (event_type)
+            GROUP BY x.event_type
+        """,
+        "text_char_pairs": """
+            WITH w AS (
+                SELECT u.word FROM documents,
+                     unnest(string_split_regex(lower(text), '[^a-z]+')) AS u(word)
+                WHERE length(u.word) >= 2
+            ), p AS (
+                SELECT substr(word, CAST(i AS INT), 2) AS pair
+                FROM w, unnest(generate_series(1, length(word) - 1)) AS t(i)
+            )
+            SELECT pair, count(*) AS cnt FROM p
+            GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT 20
         """,
         "dedup_fuzzy_levenshtein": r"""
             WITH c AS (
@@ -4354,6 +4480,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "sketch_hll_cardinality": _hll_gate_oracle(),
+        "sketch_hll_intersection": _hll_intersection_oracle(),
         "q11_important_stock": """
             WITH pp AS (
                 SELECT l_partkey,

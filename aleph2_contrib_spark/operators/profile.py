@@ -232,3 +232,52 @@ def expectations_report(df: DataFrame, rules: list[dict]) -> DataFrame:
         "r.n_violations",
         (F.col("r.n_violations") == 0).cast("int").alias("passed"),
     )
+
+
+def anomaly_zscore_flags(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    z: int = 3,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-group z-score outlier flags WITHOUT sqrt — ingest-QA anomaly
+    detection whose arithmetic is exact end-to-end, so the flags are
+    engine-portable (differential-testable) and independent of
+    partitioning/summation order, unlike a float stddev.
+
+    The test |x − μ| > z·σ is squared and cleared of divisions:
+
+        (x_fx·n − S)²  >  z² · (n·Q − S²)
+
+    where x_fx = floor(x·scale), S = Σx_fx, Q = Σx_fx² (population
+    variance, no Bessel correction). Everything is integer/decimal(38,0)
+    — products stay ≤ ~1e29 for x ≤ 1e8·scale⁻¹·…, far under the 1e38
+    decimal ceiling; overflow-free for |x| ≤ 10⁵ at the default scale
+    with up to ~10⁹ rows per group.
+
+    Adds ``is_anomaly`` (boolean). Plan shape: one groupBy on the group
+    key for (n, S, Q), broadcast the per-group stats back (groups ≪
+    rows), then a narrow flag pass — the heavy side never shuffles.
+    """
+    xf = F.floor(F.col(value_col).cast("double") * scale).cast("long")
+    d = df.withColumn("__xf", xf)
+    dec = "decimal(38,0)"
+    stats = d.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum("__xf").cast("long").alias("__s"),
+        F.sum(F.col("__xf").cast(dec) * F.col("__xf").cast(dec)).cast(dec).alias("__q"),
+    )
+    lhs_root = F.col("__xf").cast(dec) * F.col("__n").cast(dec) - F.col("__s").cast(dec)
+    rhs = (
+        F.lit(z * z).cast(dec)
+        * (
+            F.col("__n").cast(dec) * F.col("__q")
+            - F.col("__s").cast(dec) * F.col("__s").cast(dec)
+        )
+    )
+    return (
+        d.join(F.broadcast(stats), group_col)
+        .withColumn("is_anomaly", (lhs_root * lhs_root) > rhs)
+        .drop("__xf", "__n", "__s", "__q")
+    )

@@ -639,3 +639,91 @@ def label_centroids(
             ),
         )
     )
+
+
+def hard_negative_mining(
+    candidates: DataFrame,
+    anchors: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    max_broadcast_anchors: int = 100_000,
+) -> DataFrame:
+    """Contrastive-training pair mining: for every anchor, the top-k most
+    cosine-similar candidates with a DIFFERENT label — the "hard
+    negatives" that dominate the gradient signal when training embedding
+    models on a prepared corpus. The supervised sibling of ``knn_join``.
+
+    Returns (anchor_id, vec_id, score) — k rows per anchor (fewer when
+    the other-label candidate pool is smaller than k).
+
+    Scale shape (same contract as knn_join): anchors are collected and
+    broadcast (small side, hard-capped with a fail-fast probe); each
+    candidate partition computes ONE numpy matmul against all anchors,
+    masks same-label columns to -inf BEFORE ranking (the label filter
+    must precede top-k — filtering after would leave anchors with
+    < k negatives even when enough exist), and emits only its local
+    top-k per anchor. Candidates never shuffle; the exact merge ranks
+    k · n_partitions · n_anchors rows. For million-anchor mining, run
+    this per IVF cell instead (ivf_topk's partitioning) — same math,
+    sharded anchor set.
+    """
+    import numpy as np
+    import pandas as pd
+
+    arows = (
+        anchors.select(id_col, vec_col, label_col)
+        .limit(max_broadcast_anchors + 1)
+        .collect()
+    )
+    if len(arows) > max_broadcast_anchors:
+        raise ValueError(
+            f"hard_negative_mining anchor side exceeds max_broadcast_anchors="
+            f"{max_broadcast_anchors}: anchors broadcast from the driver. "
+            "Shard the anchor set (e.g. per IVF cell) for larger runs."
+        )
+    if not arows:
+        return candidates.sparkSession.createDataFrame(
+            [], "anchor_id long, vec_id long, score double"
+        )
+    aids = np.asarray([r[0] for r in arows], dtype=np.int64)
+    alabels = np.asarray([r[2] for r in arows])
+    A = np.asarray([list(r[1]) for r in arows], dtype=np.float64)
+    An = A / (np.linalg.norm(A, axis=1, keepdims=True) + 1e-300)
+
+    def local_topk(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.asarray([list(v) for v in pdf["v"]], dtype=np.float64)
+            Xn = X / (np.linalg.norm(X, axis=1, keepdims=True) + 1e-300)
+            S = Xn @ An.T  # (n_cand, n_anchor)
+            labels = pdf["lbl"].to_numpy()
+            same = labels[:, None] == alabels[None, :]
+            S = np.where(same, -np.inf, S)
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            kk = min(k, len(pdf))
+            order = np.lexsort((ids[:, None].repeat(S.shape[1], 1), -S), axis=0)[:kk]
+            out_a = np.repeat(aids[None, :], kk, axis=0).ravel()
+            out_i = ids[order].ravel()
+            out_s = np.take_along_axis(S, order, axis=0).ravel()
+            keep = np.isfinite(out_s)
+            yield pd.DataFrame(
+                {"anchor_id": out_a[keep], "vec_id": out_i[keep], "score": out_s[keep]}
+            )
+
+    part = candidates.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        F.col(label_col).alias("lbl"),
+    ).mapInPandas(local_topk, schema="anchor_id long, vec_id long, score double")
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("anchor_id").orderBy(F.col("score").desc(), F.col("vec_id").asc())
+    return (
+        part.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

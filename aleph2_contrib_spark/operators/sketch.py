@@ -293,3 +293,45 @@ def histogram_quantiles(
             )
         ).cast("long").alias("est_f6"),
     )
+
+
+def hll_intersection_estimate(
+    df_a: DataFrame, df_b: DataFrame, col: str
+) -> DataFrame:
+    """Distinct-overlap estimate between two populations by
+    inclusion–exclusion over three HLL estimates:
+    |A∩B| ≈ est(A) + est(B) − est(A∪B). One row
+    (est_a, est_b, est_union, est_intersection).
+
+    This is the audience-overlap / cross-corpus-contamination question
+    ("how many users/documents appear in BOTH sources?") answered from
+    sketches: at steady state keep per-source REGISTER tables
+    (hll_registers, mergeable by max) and this operator never rescans
+    the data — est(A∪B) is the register-wise max of the two sketches,
+    the same merge hll_merge implements. Here the three estimates are
+    computed from the inputs directly so the result is differential-
+    testable end-to-end.
+
+    Inclusion–exclusion inherits HLL error from THREE estimates; for
+    small overlaps the subtraction can go negative — clamped at 0, as
+    any production sketch library does. The three 1-row estimates meet
+    in a broadcast nested-loop join of 1×1 rows: constant cost.
+    """
+    est_a = hll_estimate(df_a, col).select(F.col("est").alias("est_a"))
+    est_b = hll_estimate(df_b, col).select(F.col("est").alias("est_b"))
+    est_u = hll_estimate(df_a.select(col).unionByName(df_b.select(col)), col).select(
+        F.col("est").alias("est_union")
+    )
+    return (
+        est_a.join(est_b)
+        .join(est_u)
+        .select(
+            "est_a",
+            "est_b",
+            "est_union",
+            F.greatest(
+                F.lit(0).cast("long"),
+                (F.col("est_a") + F.col("est_b") - F.col("est_union")).cast("long"),
+            ).alias("est_intersection"),
+        )
+    )

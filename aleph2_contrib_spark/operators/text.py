@@ -300,3 +300,44 @@ def inverted_postings(
             ),
         )
     )
+
+
+def char_pair_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    top_n: int = 20,
+) -> DataFrame:
+    """Adjacent-character-pair frequencies — the inner loop of BPE
+    tokenizer training (each merge round promotes the most frequent
+    pair): corpus-wide counts of every 2-char window inside words, top-N
+    by (count desc, pair asc) so the cut is deterministic.
+
+    Words are lowercase alphabetic runs of length ≥ 2; pairs are drawn
+    within words only (BPE never merges across word boundaries).
+
+    Scale: pair generation is a narrow pure-codegen pass (split →
+    nested transform → flatten → explode); the only shuffle carries
+    (pair, partial count) after map-side combine — the pair alphabet is
+    ≤ 26², so the aggregate state is tiny no matter the corpus size, and
+    the top-N compiles to TakeOrderedAndProject. A full BPE trainer
+    re-runs this over re-segmented text each merge round; the per-round
+    plan is exactly this one.
+    """
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), r"[^a-z]+"), lambda w: F.length(w) >= 2
+    )
+    pairs = F.flatten(
+        F.transform(
+            words,
+            lambda w: F.transform(
+                F.sequence(F.lit(1), F.length(w) - 1), lambda i: w.substr(i, F.lit(2))
+            ),
+        )
+    )
+    return (
+        df.select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("pair").asc())
+        .limit(top_n)
+    )

@@ -143,3 +143,31 @@ def test_expectations_single_scan_and_empty_input(spark):
 
     with _pt.raises(ValueError):
         pf.expectations_report(df, [{"rule": "x", "kind": "nope", "column": "id"}])
+
+
+def test_anomaly_zscore_flags_hand_case(spark):
+    """99 values at 10.0 plus one at 1000.0: the spike flags, the rest
+    don't; exact integer math is partition-order independent."""
+    from pyspark.sql import functions as F
+
+    from aleph2_contrib_spark.operators.profile import anomaly_zscore_flags
+
+    rows = [("g", 10.0)] * 99 + [("g", 1000.0)]
+    df = spark.createDataFrame(rows, "grp string, value double")
+    out = anomaly_zscore_flags(df, "value", "grp", z=3)
+    flagged = out.filter(F.col("is_anomaly")).select("value").collect()
+    assert [r.value for r in flagged] == [1000.0]
+    out2 = anomaly_zscore_flags(df.repartition(7), "value", "grp", z=3)
+    assert out2.filter(F.col("is_anomaly")).count() == 1
+
+
+def test_anomaly_zscore_constant_group_flags_nothing(spark):
+    """Zero variance: rhs == lhs == 0, strict > flags no row."""
+    from pyspark.sql import functions as F
+
+    from aleph2_contrib_spark.operators.profile import anomaly_zscore_flags
+
+    df = spark.createDataFrame([("g", 5.0)] * 10, "grp string, value double")
+    assert (
+        anomaly_zscore_flags(df, "value", "grp").filter(F.col("is_anomaly")).count() == 0
+    )

@@ -166,3 +166,16 @@ def test_histogram_quantiles_empty(spark):
     df = spark.createDataFrame([], "value double")
     hist = numeric_histogram(df, "value", 0.0, 100.0, bins=10)
     assert histogram_quantiles(hist).count() == 0
+
+
+def test_hll_intersection_estimate(spark):
+    """Disjoint sets → intersection ≈ 0 (clamped); identical sets →
+    est_intersection == est_a == est_b."""
+    from aleph2_contrib_spark.operators.sketch import hll_intersection_estimate
+
+    a = spark.createDataFrame([(f"a{i}",) for i in range(300)], "v string")
+    b = spark.createDataFrame([(f"b{i}",) for i in range(300)], "v string")
+    row = hll_intersection_estimate(a, b, "v").collect()[0]
+    assert row.est_intersection <= max(row.est_a, row.est_b) * 0.2
+    same = hll_intersection_estimate(a, a, "v").collect()[0]
+    assert same.est_a == same.est_b == same.est_union == same.est_intersection

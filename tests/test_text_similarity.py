@@ -201,3 +201,71 @@ def test_inverted_postings_single_exchange(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+# ------------------------------------------------- char pair counts (BPE)
+
+
+def test_char_pair_counts_hand_case(spark):
+    import aleph2_contrib_spark.operators.text as t
+
+    df = spark.createDataFrame([Row(text="aba ab! AB-cd")], "text string")
+    # words: aba, ab, ab, cd -> pairs: ab,ba | ab | ab | cd
+    out = {r.pair: r.cnt for r in t.char_pair_counts(df, "text", top_n=10).collect()}
+    assert out == {"ab": 3, "ba": 1, "cd": 1}
+
+
+def test_char_pair_counts_deterministic_cut(spark):
+    """Ties at the top_n boundary break by pair asc."""
+    import aleph2_contrib_spark.operators.text as t
+
+    df = spark.createDataFrame([Row(text="xy za zb zc")], "text string")
+    out = [r.pair for r in t.char_pair_counts(df, "text", top_n=2).collect()]
+    assert out == ["xy", "za"]
+
+
+# ------------------------------------------------- hard negative mining
+
+
+def test_hard_negative_mining_excludes_same_label(spark):
+    from aleph2_contrib_spark.operators import similarity as s
+
+    anchors = spark.createDataFrame(
+        [Row(vec_id=0, embedding=[1.0, 0.0], label=1)]
+    )
+    cands = spark.createDataFrame(
+        [
+            Row(vec_id=10, embedding=[1.0, 0.0], label=1),   # same label: excluded
+            Row(vec_id=11, embedding=[0.9, 0.1], label=2),
+            Row(vec_id=12, embedding=[0.0, 1.0], label=2),
+            Row(vec_id=13, embedding=[0.5, 0.5], label=3),
+        ]
+    )
+    out = s.hard_negative_mining(cands, anchors, k=2).collect()
+    assert [r.vec_id for r in out] == [11, 13]
+    assert all(r.anchor_id == 0 for r in out)
+
+
+def test_hard_negative_mining_matches_single_partition(spark):
+    """Per-partition local top-k + merge equals the one-partition result."""
+    import random
+
+    from aleph2_contrib_spark.operators import similarity as s
+
+    rng = random.Random(7)
+    cands = spark.createDataFrame(
+        [
+            Row(vec_id=i, embedding=[rng.gauss(0, 1) for _ in range(8)], label=i % 3)
+            for i in range(60)
+        ]
+    )
+    anchors = spark.createDataFrame(
+        [Row(vec_id=100 + j, embedding=[rng.gauss(0, 1) for _ in range(8)], label=j % 3)
+         for j in range(4)]
+    )
+    a = s.hard_negative_mining(cands.repartition(8), anchors, k=5).collect()
+    b = s.hard_negative_mining(cands.coalesce(1), anchors, k=5).collect()
+    key = lambda r: (r.anchor_id, r.vec_id)
+    assert sorted(map(key, a)) == sorted(map(key, b))
+    bad = [r for r in a if (r.anchor_id - 100) % 3 == r.vec_id % 3]
+    assert not bad  # no same-label pair survives
