@@ -2407,6 +2407,86 @@ def similarity_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle count (operators/graph.triangle_count) over the
+    part co-occurrence graph (parts sharing an order): degree-ordered
+    orientation bounds every out-degree at O(√m), so the wedge join
+    never explodes on hub parts."""
+    from aleph2_contrib_spark.operators.graph import triangle_count
+
+    # 1/7 deterministic order sample: the full co-occurrence graph is
+    # near-random-dense (avg degree ~120 at sf0.1 → ~70M wedges); the
+    # sampled graph keeps the operator's plan shape honest at ~1/50 the
+    # wedge volume. The operator itself has no such cap.
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 7 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    # co-occurrence pairs via per-order collect + local expansion: ONE
+    # shuffle (groupBy orderkey, tiny per-group sets) instead of a
+    # self-join that shuffles the fact table twice
+    grouped = (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+        .filter(F.size("ps") >= 2)
+    )
+    ps = F.col("ps")
+    n = F.size(ps)
+    e = grouped.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), n - 1),
+                    lambda i: F.transform(
+                        F.sequence(i + 1, n),
+                        lambda j: F.struct(
+                            F.element_at(ps, i).alias("src"),
+                            F.element_at(ps, j).alias("dst"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.src", "p.dst")
+    return triangle_count(e)
+
+
+def join_scd2_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time lookup against SCD2 history (operators/events.
+    scd2_intervals + operators/joins.asof_join): each order joined to the
+    customer's priority interval in force 30 days BEFORE the order —
+    the leakage-free feature-lookup shape of a training pipeline. The
+    asof join is the union + forward-fill plan: one shuffle, no pair
+    explosion."""
+    from aleph2_contrib_spark.operators.events import scd2_intervals
+    from aleph2_contrib_spark.operators.joins import asof_join
+
+    orders = _t(spark, sf_dir, "orders")
+    dim = scd2_intervals(orders, "o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey")
+    w = W.partitionBy("key", "valid_from").orderBy(F.col("version").desc())
+    dim2 = (
+        dim.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("key").alias("o_custkey"),
+            F.col("valid_from"),
+            F.col("attr").alias("prio_asof"),
+        )
+    )
+    facts = orders.select(
+        "o_orderkey", "o_custkey", F.date_sub("o_orderdate", 30).alias("asof_date")
+    )
+    out = asof_join(
+        facts, dim2, on=["o_custkey"], left_ts="asof_date", right_ts="valid_from",
+        value_cols=["prio_asof"],
+    )
+    return out.select(
+        "o_orderkey", "o_custkey", "asof_date", "prio_asof",
+        F.col("matched_ts").cast("date").alias("matched_ts"),
+    )
+
+
 def similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining (operators/similarity.hard_negative_mining):
     for each anchor (vec_id<5), the top-3 most-similar vectors with a
@@ -2644,6 +2724,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (4) everything re-verified in round 3 (freshest) last.
     return {
         # -- (1) new / changed this round -----------------------------------
+        "graph_triangles": graph_triangles,
+        "join_scd2_pit": join_scd2_pit,
         "similarity_hard_negatives": similarity_hard_negatives,
         "events_anomaly_zscore": events_anomaly_zscore,
         "text_char_pairs": text_char_pairs,
@@ -2919,6 +3001,71 @@ def oracle_sql() -> dict[str, str]:
         "streaming_stateful_counts": """
             SELECT event_type AS key, count(*) AS final_total
             FROM events GROUP BY event_type
+        """,
+        "graph_triangles": """
+            WITH raw AS (
+                SELECT l1.l_partkey AS a, l2.l_partkey AS b
+                FROM lineitem l1 JOIN lineitem l2
+                  ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+                WHERE l1.l_orderkey % 7 = 0
+            ), e AS (
+                SELECT DISTINCT a, b FROM raw
+            ), deg AS (
+                SELECT n, count(*) AS d FROM (
+                    SELECT a AS n FROM e UNION ALL SELECT b AS n FROM e
+                ) GROUP BY n
+            ), ed AS (
+                SELECT e.a, e.b, da.d AS da, db.d AS db
+                FROM e JOIN deg da ON e.a = da.n JOIN deg db ON e.b = db.n
+            ), o AS (
+                SELECT CASE WHEN (da < db) OR (da = db AND a < b) THEN a ELSE b END AS u,
+                       CASE WHEN (da < db) OR (da = db AND a < b) THEN b ELSE a END AS v,
+                       CASE WHEN (da < db) OR (da = db AND a < b) THEN db ELSE da END AS dv
+                FROM ed
+            ), w AS (
+                SELECT x.v AS wb, y.v AS wc
+                FROM o x JOIN o y ON x.u = y.u AND x.v <> y.v
+                WHERE (x.dv < y.dv) OR (x.dv = y.dv AND x.v < y.v)
+            ), t AS (
+                SELECT count(*) AS n_triangles
+                FROM w JOIN o ON w.wb = o.u AND w.wc = o.v
+            )
+            SELECT (SELECT count(*) FROM deg) AS n_vertices,
+                   (SELECT count(*) FROM e) AS n_edges,
+                   n_triangles
+            FROM t
+        """,
+        "join_scd2_pit": """
+            WITH obs AS (
+                SELECT o_custkey AS key, o_orderpriority AS attr,
+                       o_orderdate AS d, o_orderkey AS k
+                FROM orders
+            ), marked AS (
+                SELECT *, CASE WHEN lag(attr) OVER w IS NOT DISTINCT FROM attr
+                               THEN 0 ELSE 1 END AS new_run
+                FROM obs WINDOW w AS (PARTITION BY key ORDER BY d, k)
+            ), runs AS (
+                SELECT *, sum(new_run) OVER (
+                    PARTITION BY key ORDER BY d, k ROWS UNBOUNDED PRECEDING) AS run
+                FROM marked
+            ), g AS (
+                SELECT key, run, min(attr) AS attr, min(d) AS valid_from
+                FROM runs GROUP BY key, run
+            ), dim AS (
+                SELECT key, attr, valid_from FROM (
+                    SELECT g.*, row_number() OVER (
+                        PARTITION BY key, valid_from ORDER BY run DESC) AS rn
+                    FROM g
+                ) WHERE rn = 1
+            ), facts AS (
+                SELECT o_orderkey, o_custkey,
+                       CAST(o_orderdate - INTERVAL 30 DAY AS DATE) AS asof_date
+                FROM orders
+            )
+            SELECT f.o_orderkey, f.o_custkey, f.asof_date,
+                   d.attr AS prio_asof, CAST(d.valid_from AS DATE) AS matched_ts
+            FROM facts f ASOF LEFT JOIN dim d
+              ON f.o_custkey = d.key AND f.asof_date >= d.valid_from
         """,
         "similarity_hard_negatives": """
             WITH q AS (

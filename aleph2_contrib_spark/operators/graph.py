@@ -251,3 +251,86 @@ def pagerank(
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint(eager=False)
     return ranks.select("node", F.col("rank_fx").alias("rank_f6"))
+
+
+def triangle_count(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Exact global triangle count over an undirected graph, via
+    degree-ordered orientation — the standard distributed formulation
+    (each triangle is found exactly once, from its lowest-order vertex)
+    and the reason this scales where a naive wedge join does not: after
+    orienting every edge from the (degree, id)-smaller endpoint to the
+    larger, every out-degree is O(√m), so the wedge join's blow-up is
+    bounded by m^1.5 total wedges regardless of how skewed the raw
+    degree distribution is (a hub with degree d would otherwise create
+    d² wedges).
+
+    Input edges may be directed/duplicated/self-looped; they are
+    canonicalized (unordered distinct pairs, loops dropped) first.
+    Returns one row (n_vertices, n_edges, n_triangles) — all exact
+    integers.
+
+    Plan: canonicalize (one distinct), degree count (one groupBy),
+    orient (two broadcast-or-shuffle hash joins against the slim degree
+    table), wedge self-join on the source (the √m-bounded step), and a
+    final hash join of wedges against oriented edges. Nothing is ever
+    all-pairs; every join is an equi-join. The canonical edge list and
+    the oriented edge list are PERSISTED (memory-and-disk): the oriented
+    table feeds three plan branches (both wedge sides + the closing
+    join) and the edge list two — without the persist each branch
+    re-runs the upstream canonicalize+orient, tripling the dominant
+    cost. Blocks are reclaimed by the context cleaner when the result
+    goes out of scope.
+    """
+    from pyspark import StorageLevel
+
+    a = F.least(F.col(src_col), F.col(dst_col)).alias("a")
+    b = F.greatest(F.col(src_col), F.col(dst_col)).alias("b")
+    e = (
+        edges.select(a, b)
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    deg = (
+        e.select(F.col("a").alias("n"))
+        .unionByName(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = deg.select(F.col("n").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("n").alias("b"), F.col("d").alias("db"))
+    ed = e.join(da, "a").join(db, "b")
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = ed.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    x, y = oriented.alias("x"), oriented.alias("y")
+    # wedge (u; v1 ≺ v2) with ≺ the SAME (degree, id) order used to orient,
+    # so the closing edge — if it exists — is exactly (v1 → v2)
+    v1_first = (F.col("x.dv") < F.col("y.dv")) | (
+        (F.col("x.dv") == F.col("y.dv")) & (F.col("x.v") < F.col("y.v"))
+    )
+    wedges = (
+        x.join(y, F.col("x.u") == F.col("y.u"))
+        .filter(F.col("x.v") != F.col("y.v"))
+        .filter(v1_first)
+        .select(F.col("x.v").alias("wb"), F.col("y.v").alias("wc"))
+    )
+    tri = wedges.join(
+        oriented.select(F.col("u").alias("wb"), F.col("v").alias("wc")),
+        ["wb", "wc"],
+    )
+    return (
+        oriented.agg(F.count(F.lit(1)).alias("n_edges"))  # |oriented| == |e|
+        .join(deg.agg(F.count(F.lit(1)).alias("n_vertices")))
+        .join(tri.agg(F.count(F.lit(1)).alias("n_triangles")))
+        .select("n_vertices", "n_edges", "n_triangles")
+    )

@@ -126,3 +126,31 @@ def test_pagerank_checkpoint_matches_unchckpointed(spark):
         for r in pagerank(edges, iterations=4, checkpoint_every=2).collect()
     }
     assert a == b
+
+
+# ------------------------------------------------- triangle count
+
+
+def test_triangle_count_hand_graphs(spark):
+    from aleph2_contrib_spark.operators.graph import triangle_count
+
+    # K4 has 4 triangles; duplicates/reverses/self-loops must not change it
+    k4 = [(a, b) for a in range(4) for b in range(4) if a != b]
+    edges = spark.createDataFrame(
+        [Row(src=a, dst=b) for a, b in k4] + [Row(src=0, dst=0)]
+    )
+    row = triangle_count(edges).collect()[0]
+    assert (row.n_vertices, row.n_edges, row.n_triangles) == (4, 6, 4)
+    # a path graph has none
+    path = spark.createDataFrame([Row(src=i, dst=i + 1) for i in range(5)])
+    assert triangle_count(path).collect()[0].n_triangles == 0
+
+
+def test_triangle_count_star_plus_rim(spark):
+    """Hub star + one rim edge = exactly 1 triangle; the hub's high degree
+    must not blow up the wedge count (orientation pushes wedges off it)."""
+    from aleph2_contrib_spark.operators.graph import triangle_count
+
+    edges = [Row(src=0, dst=i) for i in range(1, 30)] + [Row(src=1, dst=2)]
+    row = triangle_count(spark.createDataFrame(edges)).collect()[0]
+    assert (row.n_vertices, row.n_edges, row.n_triangles) == (30, 30, 1)

@@ -103,3 +103,41 @@ def test_range_join_and_band_expr_agree(spark):
     # the band_expr plan must contain no join node at all
     plan = vals.select(band_expr(bands, F.col("v")).alias("band"))._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
+
+
+def test_scd2_pit_lookup_is_leakage_free(spark):
+    """asof_join over scd2_intervals returns the interval in force AT the
+    lookup date — never a later one (no feature leakage)."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from aleph2_contrib_spark.operators.events import scd2_intervals
+    from aleph2_contrib_spark.operators.joins import asof_join
+
+    d = dt.date
+    obs = spark.createDataFrame(
+        [
+            Row(k=1, a="LOW", ts=d(2024, 1, 1), id=1),
+            Row(k=1, a="HIGH", ts=d(2024, 6, 1), id=2),
+        ]
+    )
+    dim = scd2_intervals(obs, "k", "a", "ts", "id").select(
+        F.col("key").alias("k"), "valid_from", F.col("attr").alias("a_asof")
+    )
+    facts = spark.createDataFrame(
+        [
+            Row(fid=1, k=1, when=d(2024, 3, 1)),   # mid first interval
+            Row(fid=2, k=1, when=d(2024, 6, 1)),   # boundary: new value in force
+            Row(fid=3, k=1, when=d(2023, 12, 1)),  # before history: null
+        ]
+    )
+    out = {
+        r.fid: r.a_asof
+        for r in asof_join(
+            facts, dim, on=["k"], left_ts="when", right_ts="valid_from",
+            value_cols=["a_asof"],
+        ).collect()
+    }
+    assert out == {1: "LOW", 2: "HIGH", 3: None}
