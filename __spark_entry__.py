@@ -2407,6 +2407,16 @@ def similarity_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sketch_hll_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group engine-portable HLL (operators/sketch.
+    hll_estimate_by_group): distinct users per event_type in one pass —
+    register agg and per-group estimate share a single exchange."""
+    from aleph2_contrib_spark.operators.sketch import hll_estimate_by_group
+
+    ev = _t(spark, sf_dir, "events")
+    return hll_estimate_by_group(ev, "user_id", "event_type")
+
+
 def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact triangle count (operators/graph.triangle_count) over the
     part co-occurrence graph (parts sharing an order): degree-ordered
@@ -2700,6 +2710,14 @@ def _hll_gate_oracle() -> str:
     return " UNION ALL ".join(parts)
 
 
+def _hll_by_group_oracle() -> str:
+    """DuckDB replica of sketch_hll_by_group (grouped portable HLL)."""
+    from aleph2_contrib_spark.operators.sketch import hll_group_oracle_sql
+
+    inner = hll_group_oracle_sql("user_id", "event_type", "events")
+    return f"SELECT g AS event_type, est, n_buckets, zeros FROM ({inner})"
+
+
 def _hll_intersection_oracle() -> str:
     """DuckDB replica of sketch_hll_intersection: inclusion-exclusion over
     three portable-HLL estimates (click users, purchase users, union)."""
@@ -2724,6 +2742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (4) everything re-verified in round 3 (freshest) last.
     return {
         # -- (1) new / changed this round -----------------------------------
+        "sketch_hll_by_group": sketch_hll_by_group,
         "graph_triangles": graph_triangles,
         "join_scd2_pit": join_scd2_pit,
         "similarity_hard_negatives": similarity_hard_negatives,
@@ -4628,6 +4647,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sketch_hll_cardinality": _hll_gate_oracle(),
         "sketch_hll_intersection": _hll_intersection_oracle(),
+        "sketch_hll_by_group": _hll_by_group_oracle(),
         "q11_important_stock": """
             WITH pp AS (
                 SELECT l_partkey,

@@ -115,6 +115,107 @@ def hll_estimate_from_registers(regs: DataFrame) -> DataFrame:
     )
 
 
+def hll_estimate_by_group(df: DataFrame, col: str, group_col: str) -> DataFrame:
+    """Per-group HLL estimates in ONE pass — the per-day / per-source /
+    per-partition distinct-count shape of a 100 TB pipeline (Spark's
+    approx_count_distinct per group, but engine-portable and mergeable:
+    the per-group register rows roll up across days with a max, exactly
+    like the global sketch).
+
+    Returns (group, est, n_buckets, zeros) — one row per group.
+
+    Plan: narrow hash pass → groupBy(group, bucket) max(rho) — at most
+    m=4096 rows per group per input partition survive the map-side
+    partial max — then a per-group final agg. Two exchanges, both
+    post-partial-agg and therefore tiny; deliberately NOT collapsed to
+    one exchange on the group alone, which would route every raw row of
+    a group through a single partition (skew) instead of spreading each
+    group over its 4096 buckets.
+    """
+    d = df.filter(F.col(col).isNotNull())
+    h = F.md5(F.col(col).cast("string"))
+    prepared = d.select(
+        F.col(group_col).alias("__g"),
+        F.conv(F.substring(h, 1, 3), 16, 10).cast("int").alias("__hll_b"),
+        F.conv(F.substring(h, 4, 13), 16, 10).cast("long").alias("__hll_w"),
+    ).withColumn(
+        "__hll_rho",
+        F.when(F.col("__hll_w") == 0, F.lit(_W_BITS + 1)).otherwise(
+            F.lit(_W_BITS + 1)
+            - F.length(F.expr("trim(LEADING '0' FROM bin(__hll_w))"))
+        ),
+    )
+    regs = prepared.groupBy("__g", "__hll_b").agg(F.max("__hll_rho").alias("__hll_m"))
+    agg = regs.groupBy("__g").agg(
+        F.count(F.lit(1)).cast("int").alias("n_buckets"),
+        F.sum(
+            F.expr(
+                f"CAST(shiftleft(CAST(1 AS BIGINT), {_W_BITS + 1} - __hll_m) AS DECIMAL(38,0))"
+            )
+        ).alias("present_sum"),
+    ).select(
+        "__g",
+        "n_buckets",
+        (F.lit(_M) - F.col("n_buckets")).cast("int").alias("zeros"),
+        (
+            F.col("present_sum")
+            + (F.lit(_M) - F.col("n_buckets")).cast("decimal(38,0)")
+            * F.lit(_SCALE).cast("decimal(38,0)")
+        ).alias("sum_scaled"),
+    )
+    alpha_mm_scaled = (
+        F.lit(_ALPHA_NUM) / (F.lit(1.0) + F.lit(1.079) / F.lit(float(_M)))
+        * F.lit(float(_M)) * F.lit(float(_M)) * F.lit(float(_SCALE))
+    )
+    e_raw = alpha_mm_scaled / F.col("sum_scaled").cast("double")
+    est = F.when(
+        (e_raw <= F.lit(2.5 * _M)) & (F.col("zeros") > 0),
+        F.lit(float(_M)) * F.log(F.lit(float(_M)) / F.col("zeros").cast("double")),
+    ).otherwise(e_raw)
+    return agg.select(
+        F.col("__g").alias(group_col),
+        F.floor(est).cast("long").alias("est"),
+        "n_buckets",
+        "zeros",
+    )
+
+
+def hll_group_oracle_sql(source_expr: str, group_expr: str, table: str) -> str:
+    """DuckDB replica of hll_estimate_by_group (same registers, exact
+    sum, final arithmetic — grouped)."""
+    return f"""
+        WITH h AS (
+            SELECT {group_expr} AS g, md5(CAST({source_expr} AS VARCHAR)) AS hx
+            FROM {table} WHERE ({source_expr}) IS NOT NULL
+        ), br AS (
+            SELECT g, CAST('0x' || substr(hx, 1, 3) AS INT) AS b,
+                   CAST('0x' || substr(hx, 4, 13) AS BIGINT) AS wv
+            FROM h
+        ), regs AS (
+            SELECT g, b, max(CASE WHEN wv = 0 THEN {_W_BITS + 1}
+                          ELSE {_W_BITS + 1} - length(trim(LEADING '0' FROM bin(wv))) END) AS m
+            FROM br GROUP BY g, b
+        ), agg AS (
+            SELECT g, CAST(count(*) AS INT) AS n_buckets,
+                   CAST({_M} - count(*) AS INT) AS zeros,
+                   CAST(sum(CAST(1 AS BIGINT) << ({_W_BITS + 1} - m)) AS DECIMAL(38,0))
+                   + CAST({_M} - count(*) AS DECIMAL(38,0)) * CAST({_SCALE} AS DECIMAL(38,0))
+                   AS sum_scaled
+            FROM regs GROUP BY g
+        )
+        SELECT g, CAST(floor(
+                   CASE WHEN ({_ALPHA_NUM} / (1.0 + 1.079 / {float(_M)}) * {float(_M)} * {float(_M)} * {float(_SCALE)})
+                             / CAST(sum_scaled AS DOUBLE) <= {2.5 * _M}
+                        AND zeros > 0
+                   THEN {float(_M)} * ln({float(_M)} / CAST(zeros AS DOUBLE))
+                   ELSE ({_ALPHA_NUM} / (1.0 + 1.079 / {float(_M)}) * {float(_M)} * {float(_M)} * {float(_SCALE)})
+                        / CAST(sum_scaled AS DOUBLE)
+                   END) AS BIGINT) AS est,
+               n_buckets, zeros
+        FROM agg
+    """
+
+
 def hll_oracle_sql(source_expr: str, table: str, where: str = "") -> str:
     """The DuckDB replica of hll_estimate for differential testing —
     bit-identical buckets, registers, exact integer sum, and the same

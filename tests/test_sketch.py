@@ -179,3 +179,28 @@ def test_hll_intersection_estimate(spark):
     assert row.est_intersection <= max(row.est_a, row.est_b) * 0.2
     same = hll_intersection_estimate(a, a, "v").collect()[0]
     assert same.est_a == same.est_b == same.est_union == same.est_intersection
+
+
+def test_hll_by_group_matches_global_per_slice(spark):
+    """Each group's estimate equals the GLOBAL estimate of that group's
+    slice (same registers), and the plan uses one exchange."""
+    from aleph2_contrib_spark.operators.sketch import (
+        hll_estimate,
+        hll_estimate_by_group,
+    )
+
+    df = spark.createDataFrame(
+        [(f"g{i % 3}", f"u{i % 200}") for i in range(1000)], "grp string, v string"
+    )
+    per = {r.grp: (r.est, r.n_buckets, r.zeros)
+           for r in hll_estimate_by_group(df, "v", "grp").collect()}
+    for g in ("g0", "g1", "g2"):
+        row = hll_estimate(df.filter(F.col("grp") == g), "v").collect()[0]
+        assert per[g] == (row.est, row.n_buckets, row.zeros)
+    # two exchanges, both post-partial-agg (see docstring: one exchange
+    # on the bare group key would concentrate skewed groups)
+    plan = (
+        hll_estimate_by_group(df, "v", "grp")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") <= 2, plan

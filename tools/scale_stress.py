@@ -172,6 +172,35 @@ def bench_log_replay(spark, n_commits=400, trials=20):
     return out
 
 
+def bench_graph_ops(spark, n_edges, label):
+    """Iterative/combinatorial graph analytics at constant average degree
+    (nodes and edges grow together): pagerank rounds are join+agg passes
+    (linear in edges); triangle counting's wedge volume is Σ outdeg² —
+    constant-degree growth keeps it linear, and the degree orientation is
+    what stops a hub from breaking that."""
+    from aleph2_contrib_spark.operators.graph import pagerank, triangle_count
+
+    nv = max(n_edges // 15, 10)
+    e = spark.range(n_edges).select(
+        (F.abs(F.xxhash64(F.col("id"), F.lit(1))) % nv).alias("src"),
+        (F.abs(F.xxhash64(F.col("id"), F.lit(2))) % nv).alias("dst"),
+    )
+    e = e.persist()
+    e.count()
+    out = {}
+
+    def run(name, thunk):
+        t0 = time.perf_counter()
+        thunk()
+        out[name] = round(time.perf_counter() - t0, 2)
+
+    run("pagerank3", lambda: pagerank(e, iterations=3).agg(F.sum("rank_f6")).collect())
+    run("triangles", lambda: triangle_count(e).collect())
+    e.unpersist()
+    print(label, out, flush=True)
+    return out
+
+
 def make_hot_docs(spark, n, id_offset=5_000_000):
     return (
         spark.range(n)
@@ -198,6 +227,10 @@ def main():
     p2 = make_docs(spark, base * factor, f"/tmp/scale_docs_{factor}x.parquet")
     r1 = bench_ops(spark, p1, "1x")
     r2 = bench_ops(spark, p2, f"{factor}x")
+    g1 = bench_graph_ops(spark, base * 20, "1x")
+    g2 = bench_graph_ops(spark, base * factor * 20, f"{factor}x")
+    r1.update(g1)
+    r2.update(g2)
     m1 = bench_mutation_path(spark, p1, "1x")
     m2 = bench_mutation_path(spark, p2, f"{factor}x")
     print("--- scaling ratios (ideal <= %d; super-linear = plan problem) ---" % factor)
