@@ -154,6 +154,33 @@ class CrudService:
         """C18: repo view pre-filtered by an authorization predicate."""
         return CrudService(self.spark, df=self.df.filter(compile_query(auth_spec, self.df.schema)))
 
+    def get_masked_repo(
+        self,
+        auth_spec=None,
+        drop_cols: Sequence[str] = (),
+        hash_cols: Sequence[str] = (),
+    ) -> "CrudService":
+        """G7/C18 field-level visibility: a repo view with rows filtered by
+        an auth predicate, sensitive columns DROPPED, and pseudonymizable
+        columns replaced by a stable sha256 digest (joinable across views,
+        not reversible). The field-level half of the reference's security
+        service (per-field document visibility in its security-service
+        integration); row-level `bucket_path` filtering is the other half.
+
+        Masking is a pure projection over the same lazy plan — Catalyst
+        still prunes/pushes into the scan, and dropped columns never leave
+        the parquet reader."""
+        d = self.df
+        if auth_spec is not None:
+            d = d.filter(compile_query(auth_spec, d.schema))
+        missing = (set(drop_cols) | set(hash_cols)) - set(d.columns)
+        if missing:
+            raise ValueError(f"masked columns not in schema: {sorted(missing)}")
+        d = d.drop(*drop_cols)
+        for c in hash_cols:
+            d = d.withColumn(c, F.sha2(F.col(c).cast("string"), 256))
+        return CrudService(self.spark, df=d)
+
     # -- physical layout hints (C16) ---------------------------------------
     def optimize_query(self, ordered_fields: Sequence[str]) -> None:
         """C16 optimizeQuery (reference: MongoDbCrudService.java:297-322

@@ -79,3 +79,29 @@ def test_optimize_query_zorders_numeric_compound_index(spark):
     # string field: silent lexicographic fallback, still a commit
     svc.optimize_query(["s", "a"])
     assert svc.count_objects() == 4096
+
+
+def test_masked_repo_field_level_visibility(svc, spark):
+    """G7 field-level half: rows filtered, columns dropped, pseudonymized
+    columns stable + non-reversible; unknown columns fail fast; masking
+    stays a pruned projection (dropped col absent from ReadSchema)."""
+    masked = svc.get_masked_repo(
+        auth_spec=Q.all_of().when("s", "s1"), drop_cols=["s"], hash_cols=["_id"]
+    )
+    rows = masked.df.collect()
+    assert rows and all(r.n % 3 == 1 for r in rows)
+    assert "s" not in masked.df.columns
+    # sha256 digests: 64 hex chars, stable across two reads
+    again = {r.n: r._id for r in masked.df.collect()}
+    assert all(len(r._id) == 64 for r in rows)
+    assert {r.n: r._id for r in rows} == again
+    with pytest.raises(ValueError, match="not in schema"):
+        svc.get_masked_repo(drop_cols=["nope"])
+    # without the auth filter referencing it, a dropped column never
+    # reaches the parquet reader at all
+    plan = (
+        svc.get_masked_repo(drop_cols=["s"])
+        .df.select("n")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ReadSchema" in plan and "s:string" not in plan.split("ReadSchema")[1][:200]
