@@ -2407,6 +2407,70 @@ def similarity_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_join_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream event-time join in the graded gate: clicks and
+    purchases replayed as two file streams, inner-joined per user on a
+    1-hour event-time band (purchase at-or-after the click), pair counts
+    re-aggregated from the sink — must equal the batch interval join the
+    oracle runs. Both sides carry watermarks (the state-cleanup contract
+    a production join needs; availableNow + a generous delay keeps parity
+    exact here). One trigger in the gate — the cross-micro-batch join
+    path (matches arriving in different batches) is exercised by
+    test_streaming.py's multi-batch stream-stream test; per-gate cost
+    stays bounded by running the state machinery once."""
+    import tempfile
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.unix_timestamp("ts").alias("sec")
+    )
+    src = tempfile.mkdtemp(prefix="a2s_sjoin_src_")
+    ev.repartition(2).write.mode("overwrite").parquet(src)
+    schema = "event_id long, user_id long, event_type string, sec long"
+
+    def side(name, evt):
+        s = spark.readStream.schema(schema).option("maxFilesPerTrigger", 2).parquet(src)
+        return (
+            s.filter(F.col("event_type") == evt)
+            .select(
+                F.col("user_id").alias(f"{name}_user"),
+                F.col("event_id").alias(f"{name}_id"),
+                F.timestamp_seconds(F.col("sec")).alias(f"{name}_ts"),
+            )
+            .withWatermark(f"{name}_ts", "3650 days")
+        )
+
+    clicks, purchases = side("c", "click"), side("p", "purchase")
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    sink_dir = tempfile.mkdtemp(prefix="a2s_sjoin_out_")
+    # the stream-stream join keeps 4 state stores per shuffle partition;
+    # 8 partitions bound that fixed cost at gate scale (a production run
+    # sizes this to its key cardinality, not the session default)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            joined.select(F.col("c_user").alias("user_id"), "c_id", "p_id")
+            .writeStream.format("parquet")
+            .option("path", sink_dir)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="a2s_sjoin_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return (
+        spark.read.parquet(sink_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
 def sketch_hll_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group engine-portable HLL (operators/sketch.
     hll_estimate_by_group): distinct users per event_type in one pass —
@@ -2743,6 +2807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- (1) new / changed this round -----------------------------------
         "sketch_hll_by_group": sketch_hll_by_group,
+        "streaming_join_gate": streaming_join_gate,
         "graph_triangles": graph_triangles,
         "join_scd2_pit": join_scd2_pit,
         "similarity_hard_negatives": similarity_hard_negatives,
@@ -3020,6 +3085,21 @@ def oracle_sql() -> dict[str, str]:
         "streaming_stateful_counts": """
             SELECT event_type AS key, count(*) AS final_total
             FROM events GROUP BY event_type
+        """,
+        "streaming_join_gate": """
+            WITH c AS (
+                SELECT user_id, event_id,
+                       CAST(floor(epoch(ts)) AS BIGINT) AS s
+                FROM events WHERE event_type = 'click'
+            ), p AS (
+                SELECT user_id, event_id,
+                       CAST(floor(epoch(ts)) AS BIGINT) AS s
+                FROM events WHERE event_type = 'purchase'
+            )
+            SELECT c.user_id, count(*) AS n_pairs
+            FROM c JOIN p ON c.user_id = p.user_id
+                         AND p.s >= c.s AND p.s <= c.s + 3600
+            GROUP BY c.user_id
         """,
         "graph_triangles": """
             WITH raw AS (

@@ -23,6 +23,7 @@ HEAVY_SETUP = {
     "storage_partitioned_roundtrip",
     "streaming_pipeline_gate",
     "streaming_stateful_counts",
+    "streaming_join_gate",
 }
 
 
