@@ -2407,6 +2407,27 @@ def similarity_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association mining (operators/events.basket_pair_lift): top
+    supplier pairs co-appearing in orders ranked by lift — exact integer
+    counts and an integral `div`, so the ranking is engine-exact."""
+    from aleph2_contrib_spark.operators.events import basket_pair_lift
+
+    li = _t(spark, sf_dir, "lineitem")
+    return basket_pair_lift(
+        li, "l_orderkey", "l_suppkey", top_n=20, min_pair_support=3
+    )
+
+
+def text_keywords_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction (operators/text.top_terms_tfidf):
+    top-3 terms per doc by log-free rational TF-IDF — corpus df and
+    per-doc tf in one pass via a count window, integral div fixed
+    point."""
+    docs = _t(spark, sf_dir, "documents")
+    return txt.top_terms_tfidf(docs, "doc_id", "text", k=3, min_df=2)
+
+
 def streaming_join_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream event-time join in the graded gate: clicks and
     purchases replayed as two file streams, inner-joined per user on a
@@ -2808,6 +2829,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- (1) new / changed this round -----------------------------------
         "sketch_hll_by_group": sketch_hll_by_group,
         "streaming_join_gate": streaming_join_gate,
+        "events_basket_lift": events_basket_lift,
+        "text_keywords_tfidf": text_keywords_tfidf,
         "graph_triangles": graph_triangles,
         "join_scd2_pit": join_scd2_pit,
         "similarity_hard_negatives": similarity_hard_negatives,
@@ -3085,6 +3108,51 @@ def oracle_sql() -> dict[str, str]:
         "streaming_stateful_counts": """
             SELECT event_type AS key, count(*) AS final_total
             FROM events GROUP BY event_type
+        """,
+        "events_basket_lift": """
+            WITH bi AS (
+                SELECT DISTINCT l_orderkey AS b, l_suppkey AS i FROM lineitem
+            ), nb AS (
+                SELECT count(DISTINCT b) AS n FROM bi
+            ), ic AS (
+                SELECT i, count(*) AS ci FROM bi GROUP BY i
+            ), p AS (
+                SELECT a.i AS item_a, bb.i AS item_b, count(*) AS pair_cnt
+                FROM bi a JOIN bi bb ON a.b = bb.b AND a.i < bb.i
+                GROUP BY a.i, bb.i HAVING count(*) >= 3
+            )
+            SELECT item_a, item_b, pair_cnt,
+                   CAST((CAST(1000000 AS HUGEINT) * pair_cnt * (SELECT n FROM nb))
+                        // (CAST(ca.ci AS HUGEINT) * cb.ci) AS BIGINT) AS lift_f6
+            FROM p JOIN ic ca ON p.item_a = ca.i JOIN ic cb ON p.item_b = cb.i
+            ORDER BY lift_f6 DESC, item_a ASC, item_b ASC LIMIT 20
+        """,
+        "text_keywords_tfidf": """
+            WITH t AS (
+                SELECT doc_id AS id, u.term
+                FROM documents,
+                     unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS u(term)
+                WHERE u.term <> ''
+            ), tf AS (
+                SELECT id, term, count(*) AS tf FROM t GROUP BY id, term
+            ), nd AS (
+                SELECT count(DISTINCT doc_id) AS n FROM documents
+            ), sc AS (
+                SELECT id, term, tf,
+                       count(*) OVER (PARTITION BY term) AS df_t
+                FROM tf
+            ), scored AS (
+                SELECT id, term, tf,
+                       CAST((CAST(1000000 AS HUGEINT) * tf * (SELECT n FROM nd))
+                            // CAST(df_t AS HUGEINT) AS BIGINT) AS score_f6
+                FROM sc WHERE df_t >= 2
+            ), ranked AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY id ORDER BY score_f6 DESC, term ASC) AS rank
+                FROM scored
+            )
+            SELECT id AS doc_id, term, tf, score_f6, CAST(rank AS INT) AS rank
+            FROM ranked WHERE rank <= 3
         """,
         "streaming_join_gate": """
             WITH c AS (

@@ -153,3 +153,90 @@ def scd2_intervals(
         "n_obs",
         F.col("__run").cast("int").alias("version"),
     )
+
+
+def basket_pair_lift(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    top_n: int = 20,
+    min_pair_support: int = 2,
+) -> DataFrame:
+    """Association mining over transactions: top item pairs by LIFT
+    (observed co-occurrence over the independence expectation) — the
+    frequent-itemset analytic behind "bought together" and feature
+    co-occurrence audits.
+
+        lift(a,b) = P(a,b) / (P(a)·P(b))
+                  = c(a,b) · n_baskets / (c(a) · c(b))
+
+    reported as floor(lift · 10⁶) — an exact integer expression over
+    exact counts, so the ranking is engine-portable bit-for-bit.
+    Returns (item_a, item_b, pair_cnt, lift_f6) with item_a < item_b,
+    top-N by (lift desc, item_a, item_b) — a deterministic cut.
+
+    Plan shape at scale: one groupBy(basket) collecting the DISTINCT
+    item set (map-side partial; baskets are small), a narrow local pair
+    expansion (quadratic only in basket size, never corpus size), one
+    groupBy(pair) with partial counts, and two slim joins against the
+    per-item count table (broadcast when stats allow). The final top-N
+    compiles to TakeOrderedAndProject. No all-pairs of the catalog.
+    """
+    bi = df.select(
+        F.col(basket_col).alias("b"), F.col(item_col).alias("i")
+    ).dropDuplicates(["b", "i"])
+    n_baskets = bi.select("b").distinct().count()
+    item_cnt = bi.groupBy("i").agg(F.count(F.lit(1)).alias("ci"))
+    sets = bi.groupBy("b").agg(F.sort_array(F.collect_set("i")).alias("items"))
+    items = F.col("items")
+    n = F.size(items)
+    pairs = (
+        sets.filter(n >= 2)
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.sequence(F.lit(1), n - 1),
+                        lambda i: F.transform(
+                            F.sequence(i + 1, n),
+                            lambda j: F.struct(
+                                F.element_at(items, i).alias("item_a"),
+                                F.element_at(items, j).alias("item_b"),
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.item_a", "p.item_b")
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("pair_cnt"))
+        .filter(F.col("pair_cnt") >= min_pair_support)
+    )
+    ca = item_cnt.select(F.col("i").alias("item_a"), F.col("ci").alias("ca"))
+    cb = item_cnt.select(F.col("i").alias("item_b"), F.col("ci").alias("cb"))
+    return (
+        pairs.join(ca, "item_a")
+        .join(cb, "item_b")
+        .withColumn(
+            "__num",
+            F.lit(1000000).cast("decimal(38,0)")
+            * F.col("pair_cnt").cast("decimal(38,0)")
+            * F.lit(int(n_baskets)).cast("decimal(38,0)"),
+        )
+        .withColumn(
+            "__den",
+            F.col("ca").cast("decimal(38,0)") * F.col("cb").cast("decimal(38,0)"),
+        )
+        # integral `div`, not float /: the numerator can exceed 2^53, where
+        # a double division would round before the floor — div stays exact
+        # in any engine (DuckDB mirrors it with HUGEINT //)
+        .select(
+            "item_a",
+            "item_b",
+            "pair_cnt",
+            F.expr("CAST(__num div __den AS BIGINT)").alias("lift_f6"),
+        )
+        .orderBy(F.col("lift_f6").desc(), F.col("item_a").asc(), F.col("item_b").asc())
+        .limit(top_n)
+    )

@@ -341,3 +341,59 @@ def char_pair_counts(
         .orderBy(F.col("cnt").desc(), F.col("pair").asc())
         .limit(top_n)
     )
+
+
+def top_terms_tfidf(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    min_df: int = 1,
+) -> DataFrame:
+    """Per-document keyword extraction: top-k terms by TF-IDF — the
+    document-representation primitive behind tag suggestion, corpus
+    search facets, and classic sparse retrieval features.
+
+    LOG-FREE like relevance_topk: score = tf · N / df_t (the raw
+    idf odds without ln — per-document ranking by tf·N/df is order-
+    equivalent to tf·ln-idf only when tf is constant, so this is a
+    deliberately different, fully-rational scoring whose integral
+    fixed-point floor(10⁶·tf·N/df) is bit-stable across engines).
+    Returns (id, term, tf, score_f6, rank) with rank 1..k per doc by
+    (score desc, term asc) — deterministic.
+
+    Plan shape: narrow tokenize+explode, groupBy(id, term) for tf, a
+    COUNT window partitioned on term for df (corpus statistics and
+    per-doc rows in the same pass — no self-join), then the per-doc
+    top-k window. Shuffle volume is the (id, term) stream — never
+    all-pairs, no driver state.
+    """
+    terms = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"), lambda t: t != ""
+            )
+        ).alias("term"),
+    )
+    tf = terms.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = df.select(F.col(id_col)).distinct().count()
+    wdf = Window.partitionBy("term")
+    scored = (
+        tf.withColumn("df_t", F.count(F.lit(1)).over(wdf))
+        .filter(F.col("df_t") >= F.lit(min_df))
+        .withColumn(
+            "score_f6",
+            F.expr(
+                f"CAST((CAST(1000000 AS DECIMAL(38,0)) * CAST(tf AS DECIMAL(38,0))"
+                f" * CAST({int(n_docs)} AS DECIMAL(38,0)))"
+                f" div CAST(df_t AS DECIMAL(38,0)) AS BIGINT)"
+            ),
+        )
+    )
+    wk = Window.partitionBy("id").orderBy(F.col("score_f6").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select(F.col("id").alias(id_col), "term", "tf", "score_f6", "rank")
+    )

@@ -127,3 +127,45 @@ def test_scd2_single_exchange(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+# ------------------------------------------------- basket pair lift
+
+
+def test_basket_pair_lift_hand_case(spark):
+    from aleph2_contrib_spark.operators.events import basket_pair_lift
+
+    rows = [
+        # a,b always together (2 baskets); c everywhere (4); d alone once
+        Row(b=1, i="a"), Row(b=1, i="b"), Row(b=1, i="c"),
+        Row(b=2, i="a"), Row(b=2, i="b"), Row(b=2, i="c"),
+        Row(b=3, i="c"), Row(b=3, i="d"),
+        Row(b=4, i="c"), Row(b=4, i="a"),  # duplicate entry below too
+        Row(b=4, i="a"),
+    ]
+    out = basket_pair_lift(
+        spark.createDataFrame(rows), "b", "i", top_n=10, min_pair_support=2
+    ).collect()
+    by = {(r.item_a, r.item_b): r for r in out}
+    # n_baskets=4; c(a)=3 (dup collapsed), c(b)=2, c(ab)=2
+    assert by[("a", "b")].pair_cnt == 2
+    assert by[("a", "b")].lift_f6 == 1000000 * 2 * 4 // (3 * 2)
+    # c appears in all 4 baskets: lift(a,c)=1e6*3*4//(3*4)=1e6
+    assert by[("a", "c")].lift_f6 == 1000000
+    # ranking: lift desc — (a,b) ≈1.33e6 first
+    assert out[0].item_a == "a" and out[0].item_b == "b"
+
+
+def test_basket_pair_lift_min_support_and_determinism(spark):
+    from aleph2_contrib_spark.operators.events import basket_pair_lift
+
+    rows = [Row(b=i, i=x) for i in range(6) for x in ("p", "q")] + [
+        Row(b=99, i="p"), Row(b=99, i="z")
+    ]
+    df = spark.createDataFrame(rows)
+    out = basket_pair_lift(df, "b", "i", top_n=5, min_pair_support=2).collect()
+    assert [(r.item_a, r.item_b) for r in out] == [("p", "q")]   # (p,z) support 1
+    out2 = basket_pair_lift(df.repartition(7), "b", "i", top_n=5, min_pair_support=2).collect()
+    assert [(r.item_a, r.item_b, r.lift_f6) for r in out] == [
+        (r.item_a, r.item_b, r.lift_f6) for r in out2
+    ]

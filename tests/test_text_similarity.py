@@ -269,3 +269,32 @@ def test_hard_negative_mining_matches_single_partition(spark):
     assert sorted(map(key, a)) == sorted(map(key, b))
     bad = [r for r in a if (r.anchor_id - 100) % 3 == r.vec_id % 3]
     assert not bad  # no same-label pair survives
+
+
+# ------------------------------------------------- TF-IDF keywords
+
+
+def test_top_terms_tfidf_hand_case(spark):
+    import aleph2_contrib_spark.operators.text as t
+
+    rows = [
+        Row(doc_id=1, text="apple apple banana common"),
+        Row(doc_id=2, text="banana cherry common"),
+        Row(doc_id=3, text="common common cherry"),
+    ]
+    out = t.top_terms_tfidf(spark.createDataFrame(rows), k=2, min_df=1).collect()
+    by = {(r.doc_id, r.rank): r for r in out}
+    # doc 1: apple tf=2 df=1 → score 2*3/1=6e6; banana tf=1 df=2 → 1.5e6
+    assert by[(1, 1)].term == "apple" and by[(1, 1)].score_f6 == 6_000_000
+    assert by[(1, 2)].term == "banana" and by[(1, 2)].score_f6 == 1_500_000
+    # doc 3: common tf=2 df=3 → 2e6; cherry tf=1 df=2 → 1.5e6
+    assert by[(3, 1)].term == "common" and by[(3, 1)].score_f6 == 2_000_000
+    assert by[(3, 2)].term == "cherry"
+
+
+def test_top_terms_tfidf_min_df_filters(spark):
+    import aleph2_contrib_spark.operators.text as t
+
+    rows = [Row(doc_id=1, text="unique shared"), Row(doc_id=2, text="shared")]
+    out = t.top_terms_tfidf(spark.createDataFrame(rows), k=5, min_df=2).collect()
+    assert {r.term for r in out} == {"shared"}
