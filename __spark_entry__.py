@@ -2860,13 +2860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": events_funnel,
         "text_bigram_rarity": text_bigram_rarity,
         "profile_value_histogram": profile_value_histogram,
-        "dedup_incremental": dedup_incremental,
-        "storage_buffer_promote": storage_buffer_promote,
-        "corpus_pack_sequences": corpus_pack_sequences,
-        "corpus_pii_redact": corpus_pii_redact,
-        "sketch_hll_cardinality": sketch_hll_cardinality,
-        "update_upsert_by_spec": update_upsert_by_spec,
-        # -- (2) round-1 cohort (stalest green checks) ----------------------
+        # -- (2) round-1 cohort (stalest driver checks) ---------------------
         "string_funcs": string_funcs,
         "date_funcs": date_funcs,
         "array_funcs_tokens": array_funcs_tokens,
@@ -2884,7 +2878,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_extract": events_json_extract,
         "similarity_topk": similarity_topk,
         "text_fingerprint": text_fingerprint,
-        # -- (3) round-2 cohort, touched families first ---------------------
+        # -- (3) verified in round 3, code touched since --------------------
+        "dedup_incremental": dedup_incremental,
+        "storage_buffer_promote": storage_buffer_promote,
+        "corpus_pack_sequences": corpus_pack_sequences,
+        "corpus_pii_redact": corpus_pii_redact,
+        "sketch_hll_cardinality": sketch_hll_cardinality,
+        "update_upsert_by_spec": update_upsert_by_spec,
+        # -- (4) round-2 cohort, touched families first ---------------------
         "q1_pricing_summary": q1_pricing_summary,
         "update_array_ops": update_array_ops,
         "window_lag_lead_delta": window_lag_lead_delta,
