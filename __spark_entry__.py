@@ -2407,6 +2407,37 @@ def similarity_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact containment join (operators/dedup.containment_pairs):
+    directed doc-inside-doc pairs at τ=0.6 over distinct token-3-gram
+    sets via rarest-first prefix filtering — one shingle-keyed
+    equi-join, never all-pairs; the oracle brute-forces every ordered
+    pair."""
+    docs = _t(spark, sf_dir, "documents")
+    return ddp.containment_pairs(docs, "doc_id", "text", tau_permille=600, ngram=3)
+
+
+def similarity_ivf_pq_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed IVF-PQ ANN (operators/similarity.ivf_pq_topk) run with
+    exhaustive parameters (probe every cell, refine list covering the
+    table) so its output is provably the exact cosine top-k — the gate
+    pins the COMPOSITION (cell assignment drops/duplicates nothing, PQ
+    candidate plumbing preserves ids, the refine re-rank is exact)
+    against the brute-force oracle; the pruned approximate path's recall
+    is covered by pytest (test_skew_ivf.py)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 2).select("embedding").head()[0]
+    centroids = sim.ivf_build_centroids(emb, n_centroids=8)
+    codebooks = sim.pq_train_codebooks(emb, m=8, n_codes=16)
+    n = emb.count()
+    out = sim.ivf_pq_topk(
+        emb, qvec, centroids, codebooks, k=10, nprobe=8, refine=(n // 10) + 1
+    )
+    return out.select(
+        "vec_id", F.floor(F.col("score") * 1e6).cast("long").alias("score_f6")
+    )
+
+
 def events_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Association mining (operators/events.basket_pair_lift): top
     supplier pairs co-appearing in orders ranked by lift — exact integer
@@ -2830,6 +2861,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_hll_by_group": sketch_hll_by_group,
         "streaming_join_gate": streaming_join_gate,
         "events_basket_lift": events_basket_lift,
+        "similarity_ivf_pq_exact": similarity_ivf_pq_exact,
+        "dedup_containment_pairs": dedup_containment_pairs,
         "text_keywords_tfidf": text_keywords_tfidf,
         "graph_triangles": graph_triangles,
         "join_scd2_pit": join_scd2_pit,
@@ -3109,6 +3142,38 @@ def oracle_sql() -> dict[str, str]:
         "streaming_stateful_counts": """
             SELECT event_type AS key, count(*) AS final_total
             FROM events GROUP BY event_type
+        """,
+        "dedup_containment_pairs": """
+            WITH w AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                   t -> t <> '') AS wds
+                FROM documents
+            ), s AS (
+                SELECT doc_id,
+                       list_distinct([wds[i] || ' ' || wds[i+1] || ' ' || wds[i+2]
+                                      for i in generate_series(1, len(wds) - 2)]) AS tk
+                FROM w WHERE len(wds) >= 3
+            ), s2 AS (
+                SELECT doc_id, tk, len(tk) AS n FROM s WHERE len(tk) > 0
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(len(list_intersect(a.tk, b.tk)) AS INT) AS inter,
+                   CAST(a.n AS INT) AS size_a,
+                   CAST(floor(1000000 * len(list_intersect(a.tk, b.tk)) / a.n)
+                        AS BIGINT) AS cont_f6
+            FROM s2 a JOIN s2 b ON a.doc_id <> b.doc_id
+            WHERE len(list_intersect(a.tk, b.tk)) * 1000 >= 600 * a.n
+        """,
+        "similarity_ivf_pq_exact": """
+            WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 2),
+            scored AS (
+                SELECT vec_id,
+                       list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT qv FROM q)) AS score
+                FROM embeddings
+            )
+            SELECT vec_id, CAST(floor(score * 1000000.0) AS BIGINT) AS score_f6
+            FROM scored ORDER BY score DESC, vec_id ASC LIMIT 10
         """,
         "events_basket_lift": """
             WITH bi AS (

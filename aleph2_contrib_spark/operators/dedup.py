@@ -1171,3 +1171,141 @@ def fuzzy_levenshtein_pairs(
         .filter(F.col("lev_dist") <= F.lit(max_distance))
         .select("id_a", "id_b", "lev_dist")
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tau_permille: int = 800,
+    ngram: int = 3,
+) -> DataFrame:
+    """EXACT shingle-set containment join: directed pairs (id_a, id_b)
+    where |A∩B| / |A| ≥ τ over the documents' distinct token ``ngram``
+    sets — the doc-inside-doc detector. Jaccard-based dedup (MinHash/
+    LSH) structurally misses a small document embedded in a large one
+    (the union dominates); containment is the right measure for quote
+    extraction, boilerplate wrapping, and superset pages, and is the
+    second classic set-similarity predicate (SSJoin/PPJoin family)
+    alongside Jaccard. Shingles (not bare tokens) keep the universe
+    order-sensitive and large — on a small-vocabulary corpus every
+    token SET contains every other, while shingle sets only match real
+    shared passages; ``ngram=1`` degenerates to token sets.
+
+    Exact, via PREFIX FILTERING: order the token universe rarest-first
+    (corpus frequency asc, token asc); if |A∩B| ≥ ⌈τ·|A|⌉ then at least
+    one of A's first p = |A| − ⌈τ|A|⌉ + 1 tokens in that order is in B
+    (if all p were outside B, too few tokens would remain to reach the
+    overlap — so joining A-prefixes against FULL token postings loses
+    nothing). Any total order gives exactness; rarest-first gives
+    performance, because the join key distribution is then dominated by
+    RARE tokens on the prefix side, and a rare token's full posting list
+    is short — the stopword postings that would otherwise explode the
+    join are excluded from prefixes precisely because they sort last.
+
+    Returns (id_a, id_b, inter, size_a, cont_f6) with id_a ≠ id_b,
+    cont_f6 = floor(10⁶·inter/size_a); all thresholds compared in
+    integers (τ as permille), so results are engine-exact.
+
+    Plan shape at scale: tokenize+distinct narrow; one groupBy(token)
+    for corpus frequencies; per-doc sort-by-(freq,token) via array_sort
+    of structs (document-local); prefix explode; ONE equi-join
+    (prefix × postings) keyed on token; exact verify on the candidate
+    pairs only (array_intersect of the two token arrays). Never
+    all-pairs.
+    """
+    wds = F.filter(F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"), lambda t: t != "")
+
+    # Bind the word array ONCE as a lambda variable of a 1-element outer
+    # transform (the rolling_hash_fingerprints pattern): referenced as a
+    # plain projected column, CollapseProject splices the split+filter
+    # chain into EVERY F.slice(w, i, n) call — re-tokenizing each
+    # document ~|shingles| times (measured 5-10x slower end-to-end).
+    def _from_words(warr: Column) -> Column:
+        # greatest(..., 1): sequence(1, 0) would run DESCENDING and hit
+        # slice(start=0); short docs get one junk shingle instead, and the
+        # __nw filter below drops those rows anyway
+        return F.array_distinct(
+            F.transform(
+                F.sequence(
+                    F.lit(1), F.greatest(F.size(warr) - F.lit(ngram - 1), F.lit(1))
+                ),
+                lambda i: F.concat_ws(" ", F.slice(warr, i, ngram)),
+            )
+        )
+
+    shingles = F.transform(F.array(wds), _from_words)[0]
+    base = (
+        df.select(F.col(id_col).alias("id"), F.size(wds).alias("__nw"), shingles.alias("tk"))
+        .filter(F.col("__nw") >= F.lit(ngram))
+        .select("id", "tk")
+        .filter(F.size("tk") > 0)
+    )
+    freq = (
+        base.select(F.explode("tk").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    # per-doc tokens sorted rarest-first: join freqs, rebuild the array
+    # document-locally from (freq, token) structs
+    ordered = (
+        base.select("id", F.explode("tk").alias("tok"))
+        .join(freq, "tok")
+        .groupBy("id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("tf"), F.col("tok")))),
+                lambda s: s["tok"],
+            ).alias("tk_sorted")
+        )
+    )
+    from pyspark import StorageLevel
+
+    # ordered feeds four plan branches (prefix side, posting side, two
+    # array fetches) — persist once; and keep the candidate join SLIM:
+    # only (tok, id) pairs shuffle through it, the shingle arrays join
+    # back by id afterwards for the verify. Carrying the arrays through
+    # the exploded prefix rows would multiply shuffle bytes by the
+    # prefix length.
+    ordered = ordered.persist(StorageLevel.MEMORY_AND_DISK)
+    n = F.size("tk_sorted")
+    # p = n − ceil(τ·n/1000) + 1, in pure integer arithmetic
+    need = F.floor((F.lit(int(tau_permille)) * n + F.lit(999)) / F.lit(1000)).cast("int")
+    prefix_len = (n - need + F.lit(1)).cast("int")
+    prefixes = ordered.select(
+        F.col("id").alias("id_a"),
+        F.explode(F.slice("tk_sorted", 1, prefix_len)).alias("tok"),
+    )
+    postings = ordered.select(
+        F.col("id").alias("id_b"),
+        F.explode("tk_sorted").alias("tok"),
+    )
+    cand_ids = (
+        prefixes.join(postings, "tok")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    cand = cand_ids.join(
+        ordered.select(F.col("id").alias("id_a"), F.col("tk_sorted").alias("tk_a")),
+        "id_a",
+    ).join(
+        ordered.select(F.col("id").alias("id_b"), F.col("tk_sorted").alias("tk_b")),
+        "id_b",
+    )
+    inter = F.size(F.array_intersect("tk_a", "tk_b"))
+    size_a = F.size("tk_a")
+    return (
+        cand.withColumn("inter", inter)
+        .withColumn("size_a", size_a)
+        .filter(F.col("inter") * 1000 >= F.lit(int(tau_permille)) * F.col("size_a"))
+        .select(
+            "id_a",
+            "id_b",
+            "inter",
+            "size_a",
+            F.floor(F.lit(1000000) * F.col("inter") / F.col("size_a"))
+            .cast("long")
+            .alias("cont_f6"),
+        )
+    )

@@ -405,3 +405,58 @@ def test_fuzzy_levenshtein_plan_is_blocked_equi_join(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ------------------------------------------------- containment pairs
+
+
+def test_containment_pairs_doc_inside_doc(spark):
+    """A small doc fully embedded in a big one: containment catches it in
+    the small→big direction even though Jaccard is low; unrelated docs
+    produce nothing."""
+    inner = "alpha beta gamma delta epsilon zeta"
+    big = inner + " " + " ".join(f"w{i} x{i} y{i}" for i in range(30))
+    rows = [
+        Row(doc_id=1, text=inner),
+        Row(doc_id=2, text=big),
+        Row(doc_id=3, text="totally different words here entirely now"),
+    ]
+    out = ddp.containment_pairs(
+        spark.createDataFrame(rows), "doc_id", "text", tau_permille=900, ngram=3
+    ).collect()
+    pairs = {(r.id_a, r.id_b): r for r in out}
+    assert (1, 2) in pairs                      # small ⊂ big
+    assert pairs[(1, 2)].cont_f6 == 1_000_000   # every shingle contained
+    assert (2, 1) not in pairs                  # big ⊄ small
+    assert all(3 not in p for p in pairs)
+
+
+def test_containment_prefix_filter_is_lossless(spark):
+    """The prefix-filtered join must equal the brute-force all-pairs
+    answer (exactness guarantee of prefix filtering)."""
+    import itertools
+    import random
+
+    rng = random.Random(3)
+    vocab = [f"t{i}" for i in range(30)]
+    rows = [
+        Row(doc_id=i, text=" ".join(rng.choice(vocab) for _ in range(rng.randint(3, 40))))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows)
+    got = {
+        (r.id_a, r.id_b): (r.inter, r.size_a)
+        for r in ddp.containment_pairs(df, "doc_id", "text", tau_permille=700, ngram=2).collect()
+    }
+
+    def shingle(t):
+        w = [x for x in t.lower().split() if x]
+        return set(" ".join(w[i:i + 2]) for i in range(len(w) - 1))
+
+    sets = {r.doc_id: shingle(r.text) for r in rows if len(r.text.split()) >= 2}
+    want = {}
+    for a, b in itertools.permutations(sets, 2):
+        inter = len(sets[a] & sets[b])
+        if inter * 1000 >= 700 * len(sets[a]):
+            want[(a, b)] = (inter, len(sets[a]))
+    assert got == want
