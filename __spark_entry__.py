@@ -2407,6 +2407,41 @@ def similarity_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixing (operators/corpus.temperature_mix,
+    T=2): kept counts ∝ √n_s, rates derived from per-source counts
+    (sqrt is correctly-rounded IEEE in every engine, so the floored
+    rates — and therefore the exact kept set — are engine-identical).
+    Gate reports per-source kept count + id checksum."""
+    from aleph2_contrib_spark.operators.corpus import temperature_mix
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = temperature_mix(docs, "source", "doc_id", temperature=2.0, seed="tmix")
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("doc_id").alias("id_sum"),
+    )
+
+
+def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS (operators/graph.bfs_levels) over each user's
+    event chain (next-event edges, seeds = first events): exact hop
+    levels ≤ 4. The operator is general join-based frontier BFS; the
+    oracle exploits the chain structure (level = position − 1)."""
+    from aleph2_contrib_spark.operators.graph import bfs_levels
+
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    chain = ev.select("event_id", "user_id", "ts").withColumn(
+        "__nxt", F.lead("event_id").over(w)
+    ).withColumn("__rn", F.row_number().over(w))
+    edges = chain.filter(F.col("__nxt").isNotNull()).select(
+        F.col("event_id").alias("src"), F.col("__nxt").alias("dst")
+    )
+    seeds = chain.filter(F.col("__rn") == 1).select(F.col("event_id").alias("node"))
+    return bfs_levels(edges, seeds, max_iters=4)
+
+
 def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact containment join (operators/dedup.containment_pairs):
     directed doc-inside-doc pairs at τ=0.6 over distinct token-3-gram
@@ -2863,6 +2898,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_basket_lift": events_basket_lift,
         "similarity_ivf_pq_exact": similarity_ivf_pq_exact,
         "dedup_containment_pairs": dedup_containment_pairs,
+        "corpus_temperature_mix": corpus_temperature_mix,
+        "graph_bfs_levels": graph_bfs_levels,
         "text_keywords_tfidf": text_keywords_tfidf,
         "graph_triangles": graph_triangles,
         "join_scd2_pit": join_scd2_pit,
@@ -3142,6 +3179,34 @@ def oracle_sql() -> dict[str, str]:
         "streaming_stateful_counts": """
             SELECT event_type AS key, count(*) AS final_total
             FROM events GROUP BY event_type
+        """,
+        "corpus_temperature_mix": """
+            WITH c AS (
+                SELECT source, count(*) AS n FROM documents GROUP BY source
+            ), mx AS (
+                SELECT max(sqrt(CAST(n AS DOUBLE))) AS m FROM c
+            ), r AS (
+                SELECT source,
+                       floor(1000000.0 * 1.0 * sqrt(CAST(n AS DOUBLE))
+                             / (SELECT m FROM mx)) / 1000000.0 AS rate
+                FROM c
+            )
+            SELECT d.source, CAST(count(*) AS BIGINT) AS n_kept,
+                   CAST(sum(doc_id) AS BIGINT) AS id_sum
+            FROM documents d JOIN r ON d.source = r.source
+            WHERE CAST('0x' || substr(md5('tmix:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                       AS UBIGINT) / 4294967296.0 < r.rate
+            GROUP BY d.source
+        """,
+        "graph_bfs_levels": """
+            WITH o AS (
+                SELECT event_id,
+                       row_number() OVER (
+                           PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS rn
+                FROM events
+            )
+            SELECT event_id AS node, CAST(rn - 1 AS INT) AS level
+            FROM o WHERE rn <= 5
         """,
         "dedup_containment_pairs": """
             WITH w AS (

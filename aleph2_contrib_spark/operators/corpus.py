@@ -611,3 +611,44 @@ def domain_rollup(
             .alias("decision"),
         )
     )
+
+
+def temperature_mix(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    temperature: float = 2.0,
+    cap_rate: float = 1.0,
+    seed: str = "tmix",
+) -> DataFrame:
+    """Temperature-based source mixing — the standard pretraining recipe
+    for flattening a skewed source distribution: sample source s at a
+    rate ∝ n_s^(1/T − 1), so kept counts are ∝ n_s^(1/T) (T=1 keeps the
+    natural mix, T→∞ equalizes sources). The largest source gets
+    ``cap_rate``; everything else scales down from it.
+
+    Rates are computed from a tiny per-source count collect (sources ≪
+    rows), floored to 6 decimals, then applied with the deterministic
+    md5-threshold sampler (hash_sample/mix_sources) — the whole pipeline
+    is reproducible across runs, partitionings, and engines. T=2 uses
+    sqrt (IEEE correctly-rounded in every engine, so the floored rates
+    are bit-identical to an independent reimplementation); other T use
+    pow, which can differ by 1 ulp across libms — with the 1e-6 floor
+    the discrepancy window is ~1e-10 per source.
+
+    One narrow filter pass over the data; no shuffle.
+    """
+    import math
+
+    counts = {r[0]: r[1] for r in df.groupBy(source_col).count().collect()}
+    if not counts:
+        return df
+    root = (lambda x: math.sqrt(x)) if temperature == 2.0 else (
+        lambda x: x ** (1.0 / temperature)
+    )
+    mx = max(root(float(n)) for n in counts.values())
+    rates = {
+        s: math.floor(1000000.0 * cap_rate * root(float(n)) / mx) / 1000000.0
+        for s, n in counts.items()
+    }
+    return mix_sources(df, source_col, rates, id_col, seed=seed)

@@ -334,3 +334,53 @@ def triangle_count(
         .join(tri.agg(F.count(F.lit(1)).alias("n_triangles")))
         .select("n_vertices", "n_edges", "n_triangles")
     )
+
+
+def bfs_levels(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+    max_iters: int = 4,
+) -> DataFrame:
+    """Multi-source BFS: minimum hop distance (≤ ``max_iters``) from any
+    seed node, following edge direction — reachability tiers, blast-
+    radius analysis, and the traversal primitive the reference's graph
+    service delegates to its store (TitanGraphService exposes Tinkerpop
+    traversal; this is the dataflow form a Spark cluster runs natively).
+
+    Returns (node, level) for every reached node, level = exact minimum
+    hop count (0 for seeds). Deterministic: levels are integers and every
+    step is a min-aggregate — no tie-breaking needed.
+
+    Plan shape: per round, one equi-join frontier⋈edges on the source
+    key plus a min-groupBy — the frontier (not the full level table)
+    drives each join, so round cost tracks the expanding wave, and a
+    node reached twice collapses by min. Lineage grows linearly with
+    rounds; checkpoint beyond ~20 (see pagerank). Deep-diameter graphs
+    at 100 TB want the O(log d) pointer-jumping variant
+    (dedup.connected_components) instead; BFS levels by hops are what
+    pointer jumping cannot give you.
+    """
+    e = edges.select(F.col(src_col).alias("__s"), F.col(dst_col).alias("__d"))
+    levels = seeds.select(F.col(node_col).alias("node")).distinct().withColumn(
+        "level", F.lit(0)
+    )
+    frontier = levels
+    for i in range(1, max_iters + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["__s"])
+            .select(F.col("__d").alias("node"), F.lit(i).alias("level"))
+            .distinct()
+        )
+        # new frontier: nodes not already reached at a lower level
+        frontier = nxt.join(levels, "node", "left_anti").distinct()
+        if not frontier.take(1):
+            break
+        levels = (
+            levels.unionByName(frontier)
+            .groupBy("node")
+            .agg(F.min("level").alias("level"))
+        )
+    return levels.select("node", F.col("level").cast("int").alias("level"))

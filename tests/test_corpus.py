@@ -435,3 +435,23 @@ def test_chunk_tokens_fuzz_matches_reference(spark, texts, chunk, stride):
             piece = toks[c * stride : c * stride + chunk]
             expect[(i, c)] = (len(piece), " ".join(piece))
     assert got == expect
+
+
+def test_temperature_mix_flattens_distribution(spark):
+    """T=2: kept counts ∝ sqrt(n_s) — the big source is downsampled, the
+    biggest keeps everything (cap_rate=1), determinism across reruns."""
+    from pyspark.sql import Row
+
+    from aleph2_contrib_spark.operators.corpus import temperature_mix
+
+    rows = [Row(doc_id=i, source="big" if i < 3600 else "small") for i in range(4000)]
+    df = spark.createDataFrame(rows)
+    kept = temperature_mix(df, "source", "doc_id", temperature=2.0)
+    by = {r.source: r.n for r in kept.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert by["big"] == 3600                      # largest source: rate 1.0
+    # small: rate = sqrt(400)/sqrt(3600) = 1/3 → ~133 of 400 kept
+    assert 90 <= by["small"] <= 180
+    again = temperature_mix(df.repartition(9), "source", "doc_id", temperature=2.0)
+    assert sorted(r.doc_id for r in kept.collect()) == sorted(
+        r.doc_id for r in again.collect()
+    )

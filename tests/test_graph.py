@@ -154,3 +154,33 @@ def test_triangle_count_star_plus_rim(spark):
     edges = [Row(src=0, dst=i) for i in range(1, 30)] + [Row(src=1, dst=2)]
     row = triangle_count(spark.createDataFrame(edges)).collect()[0]
     assert (row.n_vertices, row.n_edges, row.n_triangles) == (30, 30, 1)
+
+
+# ------------------------------------------------- BFS levels
+
+
+def test_bfs_levels_hand_graph(spark):
+    """Diamond + tail: min-hop levels, multi-seed, unreachable nodes
+    absent, cap respected."""
+    from aleph2_contrib_spark.operators.graph import bfs_levels
+
+    #     1 -> 2 -> 4 -> 5 -> 6(beyond cap at max_iters=3 from seed 1)
+    #     1 -> 3 -> 4 ;  9 isolated ; seed also 7 -> 8
+    edges = spark.createDataFrame(
+        [Row(src=1, dst=2), Row(src=1, dst=3), Row(src=2, dst=4), Row(src=3, dst=4),
+         Row(src=4, dst=5), Row(src=5, dst=6), Row(src=7, dst=8), Row(src=9, dst=9)]
+    )
+    seeds = spark.createDataFrame([Row(node=1), Row(node=7)])
+    out = {r.node: r.level for r in bfs_levels(edges, seeds, max_iters=3).collect()}
+    assert out == {1: 0, 7: 0, 2: 1, 3: 1, 8: 1, 4: 2, 5: 3}
+
+
+def test_bfs_levels_cycle_terminates_with_min(spark):
+    from aleph2_contrib_spark.operators.graph import bfs_levels
+
+    edges = spark.createDataFrame(
+        [Row(src=i, dst=(i + 1) % 4) for i in range(4)]
+    )
+    seeds = spark.createDataFrame([Row(node=0)])
+    out = {r.node: r.level for r in bfs_levels(edges, seeds, max_iters=10).collect()}
+    assert out == {0: 0, 1: 1, 2: 2, 3: 3}
