@@ -2430,16 +2430,24 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle exploits the chain structure (level = position − 1)."""
     from aleph2_contrib_spark.operators.graph import bfs_levels
 
+    from pyspark import StorageLevel
+
     ev = _t(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
-    chain = ev.select("event_id", "user_id", "ts").withColumn(
-        "__nxt", F.lead("event_id").over(w)
-    ).withColumn("__rn", F.row_number().over(w))
+    # persist the windowed chain: it feeds the edge list, the seed set,
+    # and the operator's stats probe — unpersisted, the event-table
+    # window would re-run once per branch
+    chain = (
+        ev.select("event_id", "user_id", "ts")
+        .withColumn("__nxt", F.lead("event_id").over(w))
+        .withColumn("__rn", F.row_number().over(w))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     edges = chain.filter(F.col("__nxt").isNotNull()).select(
         F.col("event_id").alias("src"), F.col("__nxt").alias("dst")
     )
     seeds = chain.filter(F.col("__rn") == 1).select(F.col("event_id").alias("node"))
-    return bfs_levels(edges, seeds, max_iters=4)
+    return bfs_levels(edges, seeds, max_iters=4, broadcast_frontier=True)
 
 
 def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -343,6 +343,8 @@ def bfs_levels(
     dst_col: str = "dst",
     node_col: str = "node",
     max_iters: int = 4,
+    broadcast_frontier: bool = False,
+    driver_cap_edges: int = 2_000_000,
 ) -> DataFrame:
     """Multi-source BFS: minimum hop distance (≤ ``max_iters``) from any
     seed node, following edge direction — reachability tiers, blast-
@@ -363,24 +365,95 @@ def bfs_levels(
     (dedup.connected_components) instead; BFS levels by hops are what
     pointer jumping cannot give you.
     """
-    e = edges.select(F.col(src_col).alias("__s"), F.col(dst_col).alias("__d"))
-    levels = seeds.select(F.col(node_col).alias("node")).distinct().withColumn(
-        "level", F.lit(0)
+    from pyspark import StorageLevel
+
+    # Pre-partition the edge table on the join key ONCE: every round's
+    # frontier⋈edges then reuses this persisted partitioning and only
+    # the (small) frontier moves — otherwise each round re-shuffles the
+    # full edge table. ``broadcast_frontier=True`` removes even that
+    # exchange (right when frontiers are known-small, e.g. seeded
+    # reachability); leave it off for wavefronts that can approach the
+    # graph's size.
+    spark = edges.sparkSession
+
+    # Hybrid, like dedup.connected_components: a BFS round is a join +
+    # anti-join + count — on a SMALL graph the per-round job overhead
+    # (≥3 scheduled stages × max_iters) dwarfs the work, so graphs under
+    # ``driver_cap_edges`` solve with an exact driver-side BFS in one
+    # collect (identical levels by construction). The distributed loop
+    # below is the 100 TB path; the stats probe is one count.
+    slim = edges.select(F.col(src_col).alias("__s"), F.col(dst_col).alias("__d"))
+    if slim.limit(driver_cap_edges + 1).count() <= driver_cap_edges:
+        from collections import defaultdict, deque
+
+        adj = defaultdict(list)
+        for r in slim.collect():
+            adj[r["__s"]].append(r["__d"])
+        dist = {
+            r[0]: 0 for r in seeds.select(F.col(node_col).alias("node")).distinct().collect()
+        }
+        dq = deque(dist)
+        while dq:
+            u = dq.popleft()
+            if dist[u] >= max_iters:
+                continue
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    dq.append(v)
+        from pyspark.sql.types import IntegerType, StructField, StructType
+
+        node_type = seeds.select(F.col(node_col)).schema[0].dataType
+        out_schema = StructType(
+            [StructField("node", node_type), StructField("level", IntegerType())]
+        )
+        return spark.createDataFrame(
+            [(n, int(l)) for n, l in dist.items()], out_schema
+        )
+
+    e = (
+        slim
+        .repartition("__s")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    levels = (
+        seeds.select(F.col(node_col).alias("node"))
+        .distinct()
+        .withColumn("level", F.lit(0))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # Per-round persistence is load-bearing, not a tweak: frontier feeds
+    # both the emptiness probe and the next round, and levels feeds the
+    # anti-join of EVERY later round — unpersisted, round i re-derives
+    # rounds 1..i-1 from scratch on each branch (measured superlinear
+    # blowup). Old round states are unpersisted once the next is
+    # materialized.
     frontier = levels
     for i in range(1, max_iters + 1):
+        f = F.broadcast(frontier) if broadcast_frontier else frontier
         nxt = (
-            frontier.join(e, frontier["node"] == e["__s"])
+            f.join(e, f["node"] == e["__s"])
             .select(F.col("__d").alias("node"), F.lit(i).alias("level"))
             .distinct()
         )
         # new frontier: nodes not already reached at a lower level
-        frontier = nxt.join(levels, "node", "left_anti").distinct()
-        if not frontier.take(1):
-            break
-        levels = (
-            levels.unionByName(frontier)
-            .groupBy("node")
-            .agg(F.min("level").alias("level"))
+        frontier = (
+            nxt.join(levels, "node", "left_anti")
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
-    return levels.select("node", F.col("level").cast("int").alias("level"))
+        # one action per round: the count doubles as the emptiness probe
+        # and the materialization barrier (nxt.distinct() already bounds
+        # duplicate frontier rows; cross-round dupes are impossible —
+        # the anti-join excludes every previously reached node)
+        if frontier.count() == 0:
+            frontier.unpersist()
+            break
+        new_levels = levels.unionByName(frontier).persist(StorageLevel.MEMORY_AND_DISK)
+        levels = new_levels
+    e.unpersist()
+    # a node can appear once per reaching round pre-min; collapse here
+    return (
+        levels.groupBy("node")
+        .agg(F.min("level").alias("level"))
+        .select("node", F.col("level").cast("int").alias("level"))
+    )

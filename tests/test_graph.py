@@ -184,3 +184,24 @@ def test_bfs_levels_cycle_terminates_with_min(spark):
     seeds = spark.createDataFrame([Row(node=0)])
     out = {r.node: r.level for r in bfs_levels(edges, seeds, max_iters=10).collect()}
     assert out == {0: 0, 1: 1, 2: 2, 3: 3}
+
+
+def test_bfs_levels_distributed_path_matches_driver_path(spark):
+    """Forcing the distributed loop (cap=0) gives identical levels to the
+    driver-side BFS — the hybrid contract."""
+    from aleph2_contrib_spark.operators.graph import bfs_levels
+
+    import random
+    rng = random.Random(11)
+    edges = spark.createDataFrame(
+        [Row(src=rng.randint(0, 50), dst=rng.randint(0, 50)) for _ in range(200)]
+    )
+    seeds = spark.createDataFrame([Row(node=0), Row(node=13)])
+    a = {r.node: r.level for r in bfs_levels(edges, seeds, max_iters=5).collect()}
+    b = {
+        r.node: r.level
+        for r in bfs_levels(
+            edges, seeds, max_iters=5, driver_cap_edges=0, broadcast_frontier=True
+        ).collect()
+    }
+    assert a == b and a[0] == 0
