@@ -3347,7 +3347,8 @@ def oracle_sql() -> dict[str, str]:
                        o_orderdate AS d, o_orderkey AS k
                 FROM orders
             ), marked AS (
-                SELECT *, CASE WHEN lag(attr) OVER w IS NOT DISTINCT FROM attr
+                SELECT *, CASE WHEN lag(1) OVER w IS NULL THEN 1
+                               WHEN lag(attr) OVER w IS NOT DISTINCT FROM attr
                                THEN 0 ELSE 1 END AS new_run
                 FROM obs WINDOW w AS (PARTITION BY key ORDER BY d, k)
             ), runs AS (
@@ -3461,7 +3462,8 @@ def oracle_sql() -> dict[str, str]:
                        o_orderdate AS d, o_orderkey AS k
                 FROM orders
             ), marked AS (
-                SELECT *, CASE WHEN lag(attr) OVER w IS NOT DISTINCT FROM attr
+                SELECT *, CASE WHEN lag(1) OVER w IS NULL THEN 1
+                               WHEN lag(attr) OVER w IS NOT DISTINCT FROM attr
                                THEN 0 ELSE 1 END AS new_run
                 FROM o WINDOW w AS (PARTITION BY key ORDER BY d, k)
             ), runs AS (

@@ -130,12 +130,16 @@ def scd2_intervals(
     if tiebreak_col is not None:
         order.append(F.col(tiebreak_col).asc())
     w = Window.partitionBy(key_col).orderBy(*order)
+    # lag(attr) is NULL both for "no previous row" and "previous attr is
+    # NULL" — eqNullSafe alone would let a key whose FIRST attr is NULL
+    # merge with the nonexistent predecessor and start runs at 0. Lag a
+    # constant marker to detect the true first row.
     runs = (
         df.withColumn(
             "__new_run",
-            F.when(
-                F.lag(F.col(attr_col)).over(w).eqNullSafe(F.col(attr_col)), 0
-            ).otherwise(1),
+            F.when(F.lag(F.lit(1)).over(w).isNull(), 1)
+            .when(F.lag(F.col(attr_col)).over(w).eqNullSafe(F.col(attr_col)), 0)
+            .otherwise(1),
         )
         .withColumn("__run", F.sum("__new_run").over(w))
     )

@@ -169,3 +169,58 @@ def test_basket_pair_lift_min_support_and_determinism(spark):
     assert [(r.item_a, r.item_b, r.lift_f6) for r in out] == [
         (r.item_a, r.item_b, r.lift_f6) for r in out2
     ]
+
+
+# ------------------------------------------------- SCD2 property test
+
+
+def test_scd2_property_vs_python_reference(spark):
+    """Hypothesis: random observation streams — scd2_intervals must equal
+    an independent run-length-encoding reference, for every key, under
+    any partitioning."""
+    from hypothesis import given, settings, strategies as st
+
+    from aleph2_contrib_spark.operators.events import scd2_intervals
+
+    obs = st.lists(
+        st.tuples(
+            st.integers(0, 2),                     # key
+            st.sampled_from(["A", "B", None]),     # attr
+            st.integers(0, 6),                     # ts (day ordinal)
+        ),
+        min_size=1,
+        max_size=14,
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(obs)
+    def run(events):
+        rows = [
+            {"k": k, "a": a, "ts": t, "id": i}
+            for i, (k, a, t) in enumerate(events)
+        ]
+        df = spark.createDataFrame(
+            rows, "k int, a string, ts int, id int"
+        ).repartition(3)
+        got = {
+            (r.key, r.version): (r.attr, r.valid_from, r.valid_to, r.n_obs)
+            for r in scd2_intervals(df, "k", "a", "ts", "id").collect()
+        }
+        # reference: sort per key by (ts, id), RLE on attr
+        want = {}
+        bykey = {}
+        for r in sorted(rows, key=lambda r: (r["ts"], r["id"])):
+            bykey.setdefault(r["k"], []).append(r)
+        for k, seq in bykey.items():
+            runs = []
+            for r in seq:
+                if runs and runs[-1]["attr"] == r["a"]:
+                    runs[-1]["n"] += 1
+                else:
+                    runs.append({"attr": r["a"], "from": r["ts"], "n": 1})
+            for v, run_ in enumerate(runs, 1):
+                nxt = runs[v]["from"] if v < len(runs) else None
+                want[(k, v)] = (run_["attr"], run_["from"], nxt, run_["n"])
+        assert got == want
+
+    run()
