@@ -457,3 +457,65 @@ def bfs_levels(
         .agg(F.min("level").alias("level"))
         .select("node", F.col("level").cast("int").alias("level"))
     )
+
+
+def kcore_decomposition(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    k: int = 2,
+    max_rounds: int = 50,
+) -> DataFrame:
+    """k-core of an undirected graph: the maximal subgraph where every
+    vertex keeps degree ≥ k — the standard peel for separating a dense
+    community core from its periphery (spam-farm detection, influence
+    seeding, visual de-cluttering).
+
+    Iterative peeling: drop vertices with degree < k, recompute degrees
+    on the induced subgraph, repeat to fixpoint. Deterministic — the
+    fixpoint is unique regardless of peel order. Returns the surviving
+    canonical edge list (a, b), a < b.
+
+    Plan shape: each round is one groupBy(degree) + one semi-join of the
+    edge list against surviving vertices — edge bytes shrink
+    monotonically, and rounds are bounded by ``max_rounds`` (the peel
+    usually converges in a handful; raises if not, like
+    connected_components). Edge state is persisted per round and
+    released when the next materializes.
+    """
+    from pyspark import StorageLevel
+
+    a = F.least(F.col(src_col), F.col(dst_col)).alias("a")
+    b = F.greatest(F.col(src_col), F.col(dst_col)).alias("b")
+    e = (
+        edges.select(a, b)
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n_edges = e.count()
+    for _ in range(max_rounds):
+        if n_edges == 0:
+            return e
+        deg = (
+            e.select(F.col("a").alias("n"))
+            .unionByName(e.select(F.col("b").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= k).select("n")
+        pruned = (
+            e.join(keep.withColumnRenamed("n", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("n", "b"), "b", "left_semi")
+            .select("a", "b")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        n_pruned = pruned.count()
+        e.unpersist()
+        if n_pruned == n_edges:
+            return pruned
+        e, n_edges = pruned, n_pruned
+    raise RuntimeError(
+        f"kcore_decomposition did not converge in {max_rounds} rounds; "
+        "raise max_rounds for pathologically deep peel sequences"
+    )

@@ -205,3 +205,39 @@ def test_bfs_levels_distributed_path_matches_driver_path(spark):
         ).collect()
     }
     assert a == b and a[0] == 0
+
+
+# ------------------------------------------------- k-core
+
+
+def test_kcore_peels_tail_keeps_clique(spark):
+    """Triangle core + pendant chain: 2-core keeps exactly the triangle
+    (peeling cascades down the chain); 4-core of K4 is empty at k=4? no —
+    K4 vertices have degree 3, so 3-core keeps K4 and 4-core is empty."""
+    from aleph2_contrib_spark.operators.graph import kcore_decomposition
+
+    tri_plus_chain = spark.createDataFrame(
+        [Row(src=1, dst=2), Row(src=2, dst=3), Row(src=1, dst=3),
+         Row(src=3, dst=4), Row(src=4, dst=5), Row(src=5, dst=6)]
+    )
+    core = {(r.a, r.b) for r in kcore_decomposition(tri_plus_chain, k=2).collect()}
+    assert core == {(1, 2), (2, 3), (1, 3)}
+
+    k4 = spark.createDataFrame(
+        [Row(src=x, dst=y) for x in range(4) for y in range(4) if x < y]
+    )
+    assert len(kcore_decomposition(k4, k=3).collect()) == 6
+    assert kcore_decomposition(k4, k=4).count() == 0
+
+
+def test_kcore_fixpoint_partition_independent(spark):
+    from aleph2_contrib_spark.operators.graph import kcore_decomposition
+
+    import random
+    rng = random.Random(5)
+    edges = spark.createDataFrame(
+        [Row(src=rng.randint(0, 30), dst=rng.randint(0, 30)) for _ in range(120)]
+    )
+    a = {(r.a, r.b) for r in kcore_decomposition(edges, k=3).collect()}
+    b = {(r.a, r.b) for r in kcore_decomposition(edges.repartition(11), k=3).collect()}
+    assert a == b
