@@ -1119,6 +1119,7 @@ def fuzzy_levenshtein_pairs(
     max_distance: int = 4,
     compare_chars: int = 48,
     block_chars: int = 8,
+    max_block_size: int | None = None,
 ) -> DataFrame:
     """Blocked fuzzy-matching pairs by edit distance — the record-linkage
     primitive (match candidate generation + verify) that complements the
@@ -1147,6 +1148,13 @@ def fuzzy_levenshtein_pairs(
     blocking passes (prefix, suffix, length band) exactly like
     multi-probe LSH; each pass is this same operator with a different
     key expression.
+
+    Block-skew guard: a boilerplate prefix shared by a huge fraction of
+    the corpus ("terms of service...") makes one block quadratic. With
+    ``max_block_size`` set, blocks larger than it are dropped BEFORE the
+    self-join (deterministic, documented recall cut — boilerplate
+    prefixes are exactly the pairs edit-distance matching is least
+    useful for); unset, all blocks join.
     """
     canon = F.substring(
         F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), 1, compare_chars
@@ -1155,6 +1163,14 @@ def fuzzy_levenshtein_pairs(
         F.col(id_col).alias("id"),
         canon.alias("__s"),
     ).withColumn("__blk", F.substring(F.col("__s"), 1, block_chars))
+    if max_block_size is not None:
+        base = (
+            base.withColumn(
+                "__bn", F.count(F.lit(1)).over(Window.partitionBy("__blk"))
+            )
+            .filter(F.col("__bn") <= F.lit(int(max_block_size)))
+            .drop("__bn")
+        )
     a = base.select(
         F.col("id").alias("id_a"), F.col("__s").alias("__sa"), "__blk"
     )

@@ -240,6 +240,7 @@ def anomaly_zscore_flags(
     group_col: str,
     z: int = 3,
     scale: int = 1_000_000,
+    broadcast_stats: bool = True,
 ) -> DataFrame:
     """Per-group z-score outlier flags WITHOUT sqrt — ingest-QA anomaly
     detection whose arithmetic is exact end-to-end, so the flags are
@@ -258,7 +259,10 @@ def anomaly_zscore_flags(
 
     Adds ``is_anomaly`` (boolean). Plan shape: one groupBy on the group
     key for (n, S, Q), broadcast the per-group stats back (groups ≪
-    rows), then a narrow flag pass — the heavy side never shuffles.
+    rows — the common QA case), then a narrow flag pass: the heavy side
+    never shuffles. With ultra-high-cardinality groups (stats table too
+    big for the driver) pass ``broadcast_stats=False`` to let the
+    planner pick a shuffle hash join on the group key instead.
     """
     xf = F.floor(F.col(value_col).cast("double") * scale).cast("long")
     d = df.withColumn("__xf", xf)
@@ -276,8 +280,9 @@ def anomaly_zscore_flags(
             - F.col("__s").cast(dec) * F.col("__s").cast(dec)
         )
     )
+    stats_side = F.broadcast(stats) if broadcast_stats else stats
     return (
-        d.join(F.broadcast(stats), group_col)
+        d.join(stats_side, group_col)
         .withColumn("is_anomaly", (lhs_root * lhs_root) > rhs)
         .drop("__xf", "__n", "__s", "__q")
     )

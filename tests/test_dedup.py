@@ -460,3 +460,19 @@ def test_containment_prefix_filter_is_lossless(spark):
         if inter * 1000 >= 700 * len(sets[a]):
             want[(a, b)] = (inter, len(sets[a]))
     assert got == want
+
+
+def test_fuzzy_levenshtein_block_size_cap(spark):
+    """max_block_size drops oversized boilerplate blocks deterministically;
+    small blocks still pair."""
+    rows = [Row(doc_id=i, text=f"boilerplate prefix shared variant {i}") for i in range(10)]
+    rows += [Row(doc_id=100, text="unique pair text one"),
+             Row(doc_id=101, text="unique pair text two")]
+    df = spark.createDataFrame(rows)
+    uncapped = ddp.fuzzy_levenshtein_pairs(df, "doc_id", "text", max_distance=10)
+    capped = ddp.fuzzy_levenshtein_pairs(
+        df, "doc_id", "text", max_distance=10, max_block_size=5
+    )
+    got = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert got == {(100, 101)}                       # big block dropped whole
+    assert len(uncapped.collect()) > len(got)

@@ -92,6 +92,11 @@ def bench_ops(spark, path, label):
     run("stratified", lambda: cp.stratified_sample(docs, "lang", "doc_id", 100).count())
     run("span_dedup", lambda: ddp.span_dedup(docs, "doc_id", "text", 10)
         .agg(F.sum("n_kept")).collect())
+    run("containment", lambda: ddp.containment_pairs(
+        docs, "doc_id", "text", tau_permille=800).count())
+    run("tfidf_keywords", lambda: __import__(
+        "aleph2_contrib_spark.operators.text", fromlist=["top_terms_tfidf"]
+    ).top_terms_tfidf(docs, "doc_id", "text", k=3).count())
     print(label, out, flush=True)
     return out
 
