@@ -93,3 +93,48 @@ def test_crud_meta_model(spark):
     mm = svc.get_meta_model()
     cols = {c["name"]: c["type"] for c in mm["columns"]}
     assert cols == {"_id": "string", "n": "bigint", "tags": "array<string>"}
+
+
+def test_session_window_module_times_out_and_closes(spark, tmp_path):
+    """ProcessingTimeTimeout path: a key with no new data past timeout_ms
+    gets on_timeout — one session summary row is emitted and the state is
+    removed (a later event would open a FRESH session)."""
+    import time
+
+    from aleph2_contrib_spark.streaming.stateful import SessionWindowModule
+
+    src = tmp_path / "sess_in"
+    src.mkdir()
+    with open(src / "b1.json", "w") as f:
+        for v in (3.0, 7.0):
+            f.write(json.dumps({"user": "u1", "value": v}) + "\n")
+
+    collected = []
+    stream = (
+        spark.readStream.schema("user string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    out = apply_stateful(
+        stream,
+        ["user"],
+        SessionWindowModule(timeout_ms=2000),
+        output_schema="key string, n_events long, v_min double, v_max double",
+        state_schema="n long, v_min double, v_max double",
+        timeout="ProcessingTimeTimeout",
+    )
+    q = (
+        out.writeStream.foreachBatch(
+            lambda df, bid: collected.extend(r.asDict() for r in df.collect())
+        )
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while not collected and time.time() < deadline:
+            time.sleep(1)
+    finally:
+        q.stop()
+    assert collected == [{"key": "u1", "n_events": 2, "v_min": 3.0, "v_max": 7.0}]
