@@ -2502,6 +2502,20 @@ def text_keywords_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return txt.top_terms_tfidf(docs, "doc_id", "text", k=3, min_df=2)
 
 
+def sketch_quantile_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group quantile sketch (operators/sketch.
+    histogram_quantiles_by_group over profile.numeric_histogram_by_group):
+    p25..p99 of events.value per event_type from per-group mergeable
+    20-bin histograms — integer interpolation, group-partitioned
+    windows."""
+    from aleph2_contrib_spark.operators.profile import numeric_histogram_by_group
+    from aleph2_contrib_spark.operators.sketch import histogram_quantiles_by_group
+
+    ev = _t(spark, sf_dir, "events")
+    hist = numeric_histogram_by_group(ev, "value", "event_type", 0.0, 100.0, bins=20)
+    return histogram_quantiles_by_group(hist).withColumnRenamed("grp", "event_type")
+
+
 def streaming_join_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream event-time join in the graded gate: clicks and
     purchases replayed as two file streams, inner-joined per user on a
@@ -2903,6 +2917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- (1) new / changed this round -----------------------------------
         "sketch_hll_by_group": sketch_hll_by_group,
         "streaming_join_gate": streaming_join_gate,
+        "sketch_quantile_by_group": sketch_quantile_by_group,
         "events_basket_lift": events_basket_lift,
         "similarity_ivf_pq_exact": similarity_ivf_pq_exact,
         "dedup_containment_pairs": dedup_containment_pairs,
@@ -3292,6 +3307,40 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id AS doc_id, term, tf, score_f6, CAST(rank AS INT) AS rank
             FROM ranked WHERE rank <= 3
+        """,
+        "sketch_quantile_by_group": """
+            WITH h AS (
+                SELECT event_type AS grp,
+                       CAST(least(floor(value / 5.0), 19) AS INT) AS bin,
+                       count(*) AS cnt
+                FROM events WHERE value >= 0 AND value <= 100
+                GROUP BY 1, 2
+            ), hb AS (
+                SELECT grp, bin,
+                       CAST(floor((bin * 5.0) * 1000000) AS BIGINT) AS lo_f6,
+                       CAST(floor(((bin + 1) * 5.0) * 1000000) AS BIGINT) AS hi_f6,
+                       cnt
+                FROM h
+            ), cumt AS (
+                SELECT *,
+                       sum(cnt) OVER (PARTITION BY grp ORDER BY bin
+                                      ROWS UNBOUNDED PRECEDING) AS cum,
+                       sum(cnt) OVER (PARTITION BY grp ORDER BY bin
+                                      ROWS UNBOUNDED PRECEDING) - cnt AS cum_before,
+                       sum(cnt) OVER (PARTITION BY grp) AS n
+                FROM hb
+            ), q AS (
+                SELECT unnest([250, 500, 750, 900, 990]) AS q_permille
+            ), x AS (
+                SELECT cumt.*, q.q_permille,
+                       CAST(ceil(q.q_permille * n / 1000) AS BIGINT) AS need
+                FROM cumt, q
+            )
+            SELECT grp AS event_type, q_permille,
+                   CAST(lo_f6 + floor((hi_f6 - lo_f6) * (need - cum_before) / cnt) AS BIGINT)
+                       AS est_f6
+            FROM x
+            WHERE cum >= need AND cum_before < need
         """,
         "streaming_join_gate": """
             WITH c AS (

@@ -286,3 +286,34 @@ def anomaly_zscore_flags(
         .withColumn("is_anomaly", (lhs_root * lhs_root) > rhs)
         .drop("__xf", "__n", "__s", "__q")
     )
+
+
+def numeric_histogram_by_group(
+    df: DataFrame,
+    col: str,
+    group_col: str,
+    lo: float,
+    hi: float,
+    bins: int = 20,
+) -> DataFrame:
+    """Per-group fixed-boundary histogram: (group, bin, bin_lo, bin_hi,
+    cnt) — same mergeable-bin contract as numeric_histogram, one
+    groupBy(group, bin) pass with map-side partials (aggregate state is
+    groups × bins, independent of row count)."""
+    if not bins > 0 or not hi > lo:
+        raise ValueError("need bins > 0 and hi > lo")
+    w = (hi - lo) / bins
+    c = F.col(col).cast("double")
+    b = F.least(F.floor((c - F.lit(lo)) / F.lit(w)), F.lit(bins - 1)).cast("int")
+    return (
+        df.filter((c >= lo) & (c <= hi))
+        .groupBy(F.col(group_col).alias("grp"), b.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "grp",
+            "bin",
+            (F.lit(lo) + F.col("bin") * F.lit(w)).alias("bin_lo"),
+            (F.lit(lo) + (F.col("bin") + 1) * F.lit(w)).alias("bin_hi"),
+            "cnt",
+        )
+    )

@@ -436,3 +436,54 @@ def hll_intersection_estimate(
             ).alias("est_intersection"),
         )
     )
+
+
+def histogram_quantiles_by_group(
+    hist: DataFrame,
+    total_col: str = "cnt",
+    quantiles: tuple[int, ...] = (250, 500, 750, 900, 990),
+) -> DataFrame:
+    """Per-group quantile estimates from per-group mergeable histograms
+    (profile.numeric_histogram_by_group rows): same integer
+    interpolation as histogram_quantiles, windows PARTITIONED on the
+    group so every group's cumulative scan is independent — aggregate
+    state is groups × bins rows, and the quantile list joins as a tiny
+    broadcast. Returns (grp, q_permille, est_f6)."""
+    from pyspark.sql import Window
+
+    spark = hist.sparkSession
+    qdf = spark.createDataFrame([(int(q),) for q in quantiles], "q_permille int")
+    w = Window.partitionBy("grp").orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wg = Window.partitionBy("grp")
+    cum = (
+        hist.select(
+            "grp",
+            "bin",
+            F.floor(F.col("bin_lo") * 1_000_000).cast("long").alias("lo_f6"),
+            F.floor(F.col("bin_hi") * 1_000_000).cast("long").alias("hi_f6"),
+            F.col(total_col).cast("long").alias("cnt"),
+        )
+        .withColumn("cum", F.sum("cnt").over(w))
+        .withColumn("cum_before", F.col("cum") - F.col("cnt"))
+        .withColumn("n", F.max("cum").over(wg))
+    )
+    need = F.ceil(F.col("q_permille") * F.col("n") / F.lit(1000)).cast("long")
+    hit = (
+        cum.join(F.broadcast(qdf))
+        .withColumn("need", need)
+        .filter((F.col("cum") >= F.col("need")) & (F.col("cum_before") < F.col("need")))
+    )
+    return hit.select(
+        "grp",
+        "q_permille",
+        (
+            F.col("lo_f6")
+            + F.floor(
+                (F.col("hi_f6") - F.col("lo_f6"))
+                * (F.col("need") - F.col("cum_before"))
+                / F.col("cnt")
+            )
+        ).cast("long").alias("est_f6"),
+    )

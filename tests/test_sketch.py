@@ -204,3 +204,29 @@ def test_hll_by_group_matches_global_per_slice(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_histogram_quantiles_by_group_matches_global_per_slice(spark):
+    """Each group's estimates equal the global estimator run on that
+    group's slice alone."""
+    from aleph2_contrib_spark.operators.profile import (
+        numeric_histogram,
+        numeric_histogram_by_group,
+    )
+    from aleph2_contrib_spark.operators.sketch import (
+        histogram_quantiles,
+        histogram_quantiles_by_group,
+    )
+
+    rows = [("a", float(i)) for i in range(100)] + [("b", float(i * 2)) for i in range(50)]
+    df = spark.createDataFrame(rows, "grp string, value double")
+    hist = numeric_histogram_by_group(df, "value", "grp", 0.0, 100.0, bins=10)
+    per = {
+        (r.grp, r.q_permille): r.est_f6
+        for r in histogram_quantiles_by_group(hist).collect()
+    }
+    for g in ("a", "b"):
+        solo = numeric_histogram(df.filter(F.col("grp") == g), "value", 0.0, 100.0, bins=10)
+        want = {r.q_permille: r.est_f6 for r in histogram_quantiles(solo).collect()}
+        got = {q: v for (gg, q), v in per.items() if gg == g}
+        assert got == want
