@@ -1195,6 +1195,7 @@ def containment_pairs(
     text_col: str = "text",
     tau_permille: int = 800,
     ngram: int = 3,
+    max_shingle_freq: int | None = None,
 ) -> DataFrame:
     """EXACT shingle-set containment join: directed pairs (id_a, id_b)
     where |A∩B| / |A| ≥ τ over the documents' distinct token ``ngram``
@@ -1229,6 +1230,19 @@ def containment_pairs(
     (prefix × postings) keyed on token; exact verify on the candidate
     pairs only (array_intersect of the two token arrays). Never
     all-pairs.
+
+    Degeneracy guard: candidate volume is Σ prefix-occurrences ×
+    posting-length. On natural corpora the shingle universe grows with
+    the corpus (Heap's law) and posting lengths stay ~flat → linear
+    scaling; on LOW-DIVERSITY corpora (tiny vocabulary, templated text)
+    every shingle's frequency grows with n and the join goes quadratic
+    (tools/scale_stress.py reproduces this). ``max_shingle_freq`` drops
+    shingles more frequent than the cap from BOTH join sides — a
+    deterministic, documented recall trade (a pair sharing ONLY
+    ultra-common shingles is boilerplate overlap, the least meaningful
+    containment signal); the exact verify still uses the FULL shingle
+    sets, so reported cont_f6 values are unaffected — only candidate
+    generation loses the hot keys.
     """
     wds = F.filter(F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"), lambda t: t != "")
 
@@ -1296,6 +1310,10 @@ def containment_pairs(
         F.col("id").alias("id_b"),
         F.explode("tk_sorted").alias("tok"),
     )
+    if max_shingle_freq is not None:
+        ok = freq.filter(F.col("tf") <= F.lit(int(max_shingle_freq))).select("tok")
+        prefixes = prefixes.join(ok, "tok", "left_semi")
+        postings = postings.join(ok, "tok", "left_semi")
     cand_ids = (
         prefixes.join(postings, "tok")
         .filter(F.col("id_a") != F.col("id_b"))

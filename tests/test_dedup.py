@@ -476,3 +476,30 @@ def test_fuzzy_levenshtein_block_size_cap(spark):
     got = {(r.id_a, r.id_b) for r in capped.collect()}
     assert got == {(100, 101)}                       # big block dropped whole
     assert len(uncapped.collect()) > len(got)
+
+
+def test_containment_hot_shingle_cap_keeps_rare_matches(spark):
+    """max_shingle_freq drops boilerplate-only candidates but pairs that
+    share RARE shingles still verify against their FULL sets (cont_f6
+    unchanged vs uncapped for surviving pairs)."""
+    boiler = "terms of service apply to all users here"
+    rows = [Row(doc_id=i, text=boiler) for i in range(8)]
+    rows += [
+        Row(doc_id=100, text="rare unique passage appears here exactly once more"),
+        Row(doc_id=101, text="rare unique passage appears here exactly once more today"),
+    ]
+    df = spark.createDataFrame(rows)
+    capped = {
+        (r.id_a, r.id_b): r.cont_f6
+        for r in ddp.containment_pairs(
+            df, "doc_id", "text", tau_permille=900, max_shingle_freq=4
+        ).collect()
+    }
+    # boilerplate clique (freq-8 shingles) is gone; the rare pair stays
+    assert all(a >= 100 and b >= 100 for a, b in capped)
+    assert (100, 101) in capped
+    uncapped = {
+        (r.id_a, r.id_b): r.cont_f6
+        for r in ddp.containment_pairs(df, "doc_id", "text", tau_permille=900).collect()
+    }
+    assert capped[(100, 101)] == uncapped[(100, 101)]
