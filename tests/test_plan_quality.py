@@ -42,6 +42,7 @@ INTENTIONAL_BNLJ = {
     "text_relevance_topk",         # corpus x 1-row broadcast (N, avgdl, df) stats
     "corpus_domain_rollup",        # per-source rows x 1-row broadcast corpus total
     "sketch_quantile_hist",        # ≤bins rows x 5-row broadcast quantile list
+    "sketch_quantile_by_group",    # groups×bins rows x 5-row broadcast quantile list
     "sketch_hll_intersection",     # three 1-row estimates joined 1x1x1
     "graph_triangles",             # three 1-row global counts joined 1x1x1
 }
