@@ -2502,6 +2502,30 @@ def text_keywords_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return txt.top_terms_tfidf(docs, "doc_id", "text", k=3, min_df=2)
 
 
+def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-arrival statistics: min/max/mean gap (seconds)
+    between consecutive events plus event count — the activity-cadence
+    feature of a behavioral pipeline. One shuffle on user_id (lag window
+    + groupBy share the exchange); gaps are exact integer seconds, the
+    mean an exact DECIMAL ratio cast to double at the boundary."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    sec = F.unix_timestamp(F.col("ts"))
+    gaps = ev.select(
+        "user_id",
+        (sec - F.lag(sec).over(w)).alias("gap"),
+    )
+    return gaps.groupBy("user_id").agg(
+        (F.count(F.lit(1))).alias("n_events"),
+        F.min("gap").alias("min_gap_s"),
+        F.max("gap").alias("max_gap_s"),
+        (
+            F.sum(F.col("gap").cast("decimal(20,0)")).cast("double")
+            / F.count("gap")
+        ).alias("mean_gap_s"),
+    )
+
+
 def sketch_quantile_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group quantile sketch (operators/sketch.
     histogram_quantiles_by_group over profile.numeric_histogram_by_group):
@@ -2918,6 +2942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_hll_by_group": sketch_hll_by_group,
         "streaming_join_gate": streaming_join_gate,
         "sketch_quantile_by_group": sketch_quantile_by_group,
+        "events_interarrival_stats": events_interarrival_stats,
         "events_basket_lift": events_basket_lift,
         "similarity_ivf_pq_exact": similarity_ivf_pq_exact,
         "dedup_containment_pairs": dedup_containment_pairs,
@@ -3307,6 +3332,22 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id AS doc_id, term, tf, score_f6, CAST(rank AS INT) AS rank
             FROM ranked WHERE rank <= 3
+        """,
+        "events_interarrival_stats": """
+            WITH g AS (
+                SELECT user_id,
+                       CAST(floor(epoch(ts)) AS BIGINT)
+                       - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+                           PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS gap
+                FROM events
+            )
+            SELECT user_id,
+                   count(*) AS n_events,
+                   min(gap) AS min_gap_s,
+                   max(gap) AS max_gap_s,
+                   CAST(CAST(sum(gap) AS DECIMAL(20,0)) AS DOUBLE) / count(gap)
+                       AS mean_gap_s
+            FROM g GROUP BY user_id
         """,
         "sketch_quantile_by_group": """
             WITH h AS (
