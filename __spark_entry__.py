@@ -2863,12 +2863,16 @@ def profile_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dedup_minhash_cc_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-exact minhash dedup (operators/dedup.py minhash_dedup_cc):
-    LSH pairs (r=1 banding + exact verify ⇒ equals the all-pairs jaccard
-    graph) closed into connected components by distributed pointer
-    jumping; one min-id representative survives per cluster, annotated
-    with the cluster's size. The oracle closes the same pair graph with
-    a recursive CTE — the distributed CC and SQL transitive closure must
-    reach the same fixpoint."""
+    LSH candidate pairs (r=1 banding, 64 bands) + exact jaccard verify,
+    closed into connected components by distributed pointer jumping; one
+    min-id representative survives per cluster, annotated with the
+    cluster's size. NOTE the banding is probabilistic recall, not a
+    guarantee: a pair with true jaccard J ≥ 0.5 is missed with
+    probability (1-J)^64 (≤ 1/2^64 at the threshold) — the oracle's
+    brute-force all-pairs closure therefore agrees with overwhelming
+    probability at this scale/seed, not by identity. The exact-verify
+    step means any surviving difference is a MISSING edge, never a
+    spurious one."""
     docs = _t(spark, sf_dir, "documents")
     out = ddp.minhash_dedup_cc(
         docs, "doc_id", "text", num_hashes=64, bands=64, threshold=0.5,
@@ -3374,11 +3378,11 @@ def oracle_sql() -> dict[str, str]:
                 SELECT unnest([250, 500, 750, 900, 990]) AS q_permille
             ), x AS (
                 SELECT cumt.*, q.q_permille,
-                       CAST(ceil(q.q_permille * n / 1000) AS BIGINT) AS need
+                       CAST((q.q_permille * n + 999) // 1000 AS BIGINT) AS need
                 FROM cumt, q
             )
             SELECT grp AS event_type, q_permille,
-                   CAST(lo_f6 + floor((hi_f6 - lo_f6) * (need - cum_before) / cnt) AS BIGINT)
+                   CAST(lo_f6 + ((hi_f6 - lo_f6) * (need - cum_before)) // cnt AS BIGINT)
                        AS est_f6
             FROM x
             WHERE cum >= need AND cum_before < need
@@ -3584,30 +3588,30 @@ def oracle_sql() -> dict[str, str]:
                 SELECT node, CAST(1000000 AS BIGINT) AS rank_fx FROM nodes
             ), c1 AS (
                 SELECT e.dst AS node,
-                       sum(CAST(floor(r.rank_fx / o.od) AS BIGINT)) AS csum
+                       sum(CAST(r.rank_fx // o.od AS BIGINT)) AS csum
                 FROM r0 r JOIN outdeg o ON r.node = o.src JOIN e ON e.src = o.src
                 GROUP BY e.dst
             ), r1 AS (
                 SELECT n.node,
-                       CAST(150000 + floor(850 * COALESCE(c.csum, 0) / 1000) AS BIGINT) AS rank_fx
+                       CAST(150000 + (850 * COALESCE(c.csum, 0)) // 1000 AS BIGINT) AS rank_fx
                 FROM nodes n LEFT JOIN c1 c ON n.node = c.node
             ), c2 AS (
                 SELECT e.dst AS node,
-                       sum(CAST(floor(r.rank_fx / o.od) AS BIGINT)) AS csum
+                       sum(CAST(r.rank_fx // o.od AS BIGINT)) AS csum
                 FROM r1 r JOIN outdeg o ON r.node = o.src JOIN e ON e.src = o.src
                 GROUP BY e.dst
             ), r2 AS (
                 SELECT n.node,
-                       CAST(150000 + floor(850 * COALESCE(c.csum, 0) / 1000) AS BIGINT) AS rank_fx
+                       CAST(150000 + (850 * COALESCE(c.csum, 0)) // 1000 AS BIGINT) AS rank_fx
                 FROM nodes n LEFT JOIN c2 c ON n.node = c.node
             ), c3 AS (
                 SELECT e.dst AS node,
-                       sum(CAST(floor(r.rank_fx / o.od) AS BIGINT)) AS csum
+                       sum(CAST(r.rank_fx // o.od AS BIGINT)) AS csum
                 FROM r2 r JOIN outdeg o ON r.node = o.src JOIN e ON e.src = o.src
                 GROUP BY e.dst
             ), r3 AS (
                 SELECT n.node,
-                       CAST(150000 + floor(850 * COALESCE(c.csum, 0) / 1000) AS BIGINT) AS rank_fx
+                       CAST(150000 + (850 * COALESCE(c.csum, 0)) // 1000 AS BIGINT) AS rank_fx
                 FROM nodes n LEFT JOIN c3 c ON n.node = c.node
             )
             SELECT node, rank_fx AS rank_f6 FROM r3
@@ -3634,11 +3638,11 @@ def oracle_sql() -> dict[str, str]:
                 SELECT unnest([250, 500, 750, 900, 990]) AS q_permille
             ), x AS (
                 SELECT cumt.*, q.q_permille,
-                       CAST(ceil(q.q_permille * n / 1000) AS BIGINT) AS need
+                       CAST((q.q_permille * n + 999) // 1000 AS BIGINT) AS need
                 FROM cumt, q
             )
             SELECT q_permille,
-                   CAST(lo_f6 + floor((hi_f6 - lo_f6) * (need - cum_before) / cnt) AS BIGINT)
+                   CAST(lo_f6 + ((hi_f6 - lo_f6) * (need - cum_before)) // cnt AS BIGINT)
                        AS est_f6
             FROM x
             WHERE cum >= need AND cum_before < need

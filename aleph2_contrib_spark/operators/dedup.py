@@ -932,6 +932,13 @@ def connected_components(
     distributed path takes over; the two paths produce IDENTICAL labels
     (min reachable id), asserted in tests.
 
+    DRIVER-MEMORY NOTE: the fast path collects up to ``driver_max_edges``
+    edges into Python on the driver — at the 1M default that is on the
+    order of ~100 MB of tuples, sized for the 1 GiB+ drivers typical of
+    analytics clusters. On a memory-constrained driver pass a lower cap;
+    pass ``driver_max_edges=0`` to DISABLE the driver path entirely and
+    force the fully-distributed pointer-jumping loop regardless of size.
+
     Distributed path: min-label propagation with POINTER JUMPING — each
     round every node takes the min label among itself and its neighbors
     (one join + one groupBy), then each label is shortcut to its label's

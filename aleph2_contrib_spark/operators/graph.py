@@ -231,20 +231,25 @@ def pagerank(
             .join(e, "src")
             .select(
                 F.col("dst").alias("node"),
-                F.floor(F.col("rank_fx") / F.col("outdeg")).cast("long").alias("c"),
+                # integer `div`, not floor(float /): double division loses
+                # exactness past 2^53, breaking the bit-for-bit contract at
+                # large rank magnitudes. Operands are non-negative longs, so
+                # div == floor here at ANY magnitude.
+                F.expr("rank_fx div outdeg").cast("long").alias("c"),
             )
             .groupBy("node")
             .agg(F.sum("c").alias("csum"))
         )
         ranks = (
             nodes.join(contribs, "node", "left")
+            .withColumn("csum0", F.coalesce(F.col("csum"), F.lit(0)).cast("long"))
             .select(
                 "node",
                 (
                     F.lit(base)
-                    + F.floor(
-                        F.lit(int(damping_permille)) * F.coalesce(F.col("csum"), F.lit(0)) / F.lit(1000)
-                    )
+                    # exact integer fixed-point: `div` keeps the arithmetic
+                    # lossless where floor(double /) would round past 2^53
+                    + F.expr(f"({int(damping_permille)} * csum0) div 1000")
                 ).cast("long").alias("rank_fx"),
             )
         )

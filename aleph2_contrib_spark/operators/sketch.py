@@ -377,7 +377,9 @@ def histogram_quantiles(
         .withColumn("cum_before", F.col("cum") - F.col("cnt"))
         .withColumn("n", F.max("cum").over(Window.partitionBy()))
     )
-    need = F.ceil(F.col("q_permille") * F.col("n") / F.lit(1000)).cast("long")
+    # exact integer ceil-div: (a + 999) div 1000 == ceil(a/1000) for a >= 0,
+    # lossless at any magnitude where ceil(double /) rounds past 2^53
+    need = F.expr("(CAST(q_permille AS BIGINT) * n + 999) div 1000").cast("long")
     hit = (
         cum.join(F.broadcast(qdf))
         .withColumn("need", need)
@@ -387,11 +389,9 @@ def histogram_quantiles(
         "q_permille",
         (
             F.col("lo_f6")
-            + F.floor(
-                (F.col("hi_f6") - F.col("lo_f6"))
-                * (F.col("need") - F.col("cum_before"))
-                / F.col("cnt")
-            )
+            # integer div (operands non-negative: bins ordered, cnt > 0),
+            # exact at any magnitude unlike floor(double /)
+            + F.expr("((hi_f6 - lo_f6) * (need - cum_before)) div cnt")
         ).cast("long").alias("est_f6"),
     )
 
@@ -469,7 +469,9 @@ def histogram_quantiles_by_group(
         .withColumn("cum_before", F.col("cum") - F.col("cnt"))
         .withColumn("n", F.max("cum").over(wg))
     )
-    need = F.ceil(F.col("q_permille") * F.col("n") / F.lit(1000)).cast("long")
+    # exact integer ceil-div: (a + 999) div 1000 == ceil(a/1000) for a >= 0,
+    # lossless at any magnitude where ceil(double /) rounds past 2^53
+    need = F.expr("(CAST(q_permille AS BIGINT) * n + 999) div 1000").cast("long")
     hit = (
         cum.join(F.broadcast(qdf))
         .withColumn("need", need)
@@ -480,10 +482,8 @@ def histogram_quantiles_by_group(
         "q_permille",
         (
             F.col("lo_f6")
-            + F.floor(
-                (F.col("hi_f6") - F.col("lo_f6"))
-                * (F.col("need") - F.col("cum_before"))
-                / F.col("cnt")
-            )
+            # integer div (operands non-negative: bins ordered, cnt > 0),
+            # exact at any magnitude unlike floor(double /)
+            + F.expr("((hi_f6 - lo_f6) * (need - cum_before)) div cnt")
         ).cast("long").alias("est_f6"),
     )

@@ -328,9 +328,22 @@ class TransactionalTable:
         committers of the same version write it once; failure is harmless
         (the next eligible commit retries). ``_last_checkpoint`` is an
         O(1) discovery hint (Delta's `_last_checkpoint` file) — stale or
-        missing hints only cost a directory listing, never correctness."""
+        missing hints only cost a directory listing, never correctness.
+
+        The whole body is exception-guarded: by the time this runs the commit
+        has already durably succeeded, so NO checkpointing failure (disk
+        full, permission, race) may propagate to the committer. The
+        checkpoint JSON itself is written tmp-file + atomic os.replace so a
+        crash mid-dump can never leave a truncated ``*.checkpoint.json``
+        for readers to trip over."""
         if self.checkpoint_interval <= 0 or v % self.checkpoint_interval != 0:
             return
+        try:
+            self._write_checkpoint(v)
+        except Exception:  # noqa: BLE001 — best-effort by contract
+            return
+
+    def _write_checkpoint(self, v: int) -> None:
         state = self._replay_latest(self._commits())
         if state["v"] != v:
             # the log advanced underneath us (or replay fell short):
@@ -350,11 +363,15 @@ class TransactionalTable:
             "txn": state["txn"],
         }
         path = os.path.join(self._log_dir(), f"{v:020d}{_CKPT_SUFFIX}")
-        try:
-            with open(path, "x") as f:
-                json.dump(rec, f)
-        except FileExistsError:
-            return
+        if os.path.exists(path):
+            return  # a concurrent committer of the same version beat us
+        # tmp + atomic rename: readers either see the complete checkpoint or
+        # none at all — never a truncated JSON (open(path,'x') + dump could
+        # leave one after a mid-dump crash).
+        ckpt_tmp = path + f".tmp.{os.getpid()}"
+        with open(ckpt_tmp, "w") as f:
+            json.dump(rec, f)
+        os.replace(ckpt_tmp, path)
         tmp = os.path.join(self._log_dir(), _LAST_CKPT + ".tmp")
         with open(tmp, "w") as f:
             json.dump({"version": v}, f)
@@ -368,9 +385,15 @@ class TransactionalTable:
         if not ckpts:
             return None
         usable = [c for c in ckpts if version is None or c[0] <= version]
-        if not usable:
-            return None
-        return self._load_checkpoint(usable[-1][1])
+        # A corrupt/unreadable checkpoint (partial write from a pre-atomic
+        # version, disk fault) must never brick reads: fall back to the next
+        # older checkpoint, and ultimately to full log replay (None).
+        for _, path in reversed(usable):
+            try:
+                return self._load_checkpoint(path)
+            except (OSError, ValueError, KeyError):
+                continue
+        return None
 
     def latest_version(self) -> int:
         c = self._commits()
@@ -837,11 +860,19 @@ class TransactionalTable:
                     f"unchanged survivors — pass include_rewrites=True to consume "
                     f"touched-file post-images, or restrict the version range"
                 )
-            paths = [
-                os.path.join(self.root, a["path"])
-                for a in rec.get("add", [])
-                if os.path.exists(os.path.join(self.root, a["path"]))
-            ]
+            paths = [os.path.join(self.root, a["path"]) for a in rec.get("add", [])]
+            missing = [p for p in paths if not os.path.exists(p)]
+            if missing:
+                # A later rewrite retired these files and vacuum removed them.
+                # Silently dropping them would violate the "EXACT inserts"
+                # contract (and run_incremental's exactly-once guarantee) for
+                # a lagging consumer — fail loudly, like restore() does.
+                raise FileNotFoundError(
+                    f"commit v{v}: {len(missing)} data file(s) vacuumed (e.g. "
+                    f"{os.path.basename(missing[0])!r}); the change feed for this "
+                    f"range is no longer reconstructable — narrow the version "
+                    f"range or increase vacuum retain_snapshots"
+                )
             if not paths:
                 continue
             file_schema = (
