@@ -2881,6 +2881,93 @@ def dedup_minhash_cc_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source", "dup_group_size")
 
 
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (operators/graph.kcore_decomposition) over the
+    co-purchase graph: parts sharing an order are adjacent (equi-join of
+    lineitem with itself on l_orderkey), k=65 — a threshold inside the
+    degree distribution so the peel runs multiple rounds and leaves a
+    non-empty core at every tested sf (2 rounds @ sf0.01, 4 @ sf0.001).
+    Emits (node, core_deg): every surviving vertex with its degree inside
+    the core — a full-strength checksum of the surviving edge set. Oracle
+    is the peel loop unrolled to 10 rounds (graph.kcore_oracle_sql);
+    rounds past convergence are no-ops, so the bound only has to hold."""
+    from aleph2_contrib_spark.operators.graph import kcore_decomposition
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    lj = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+    edges = (
+        li.join(lj, (li.l_orderkey == lj.ok) & (li.l_partkey < lj.pk))
+        .select(F.col("l_partkey").alias("src"), F.col("pk").alias("dst"))
+    )
+    core = kcore_decomposition(edges, k=65)
+    return (
+        core.select(F.col("a").alias("node"))
+        .unionByName(core.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("core_deg"))
+    )
+
+
+def streaming_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P14 idle-timeout form in the graded gate: SessionWindowModule
+    (streaming/stateful.py) closes a key's session via ProcessingTimeTimeout
+    — ``on_timeout`` fires when the key goes idle, emits the session
+    summary, and REMOVES the state. Deterministic replay: every event lands
+    in ONE micro-batch (single json file), so each user has exactly one
+    session and the summaries must equal the batch-mode per-user aggregate
+    — the timeout path itself is what produces the rows (update() emits
+    nothing), making session-close correctness oracle-checked rather than
+    pytest-only. The poll loop waits until every key's timeout has fired."""
+    import tempfile
+    import time as _time
+
+    from aleph2_contrib_spark.streaming.stateful import (
+        SessionWindowModule,
+        apply_stateful,
+    )
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .select(F.col("user_id").cast("string").alias("user"), "value")
+    )
+    n_keys = ev.select("user").distinct().count()
+    src = tempfile.mkdtemp(prefix="a2s_sess_src_")
+    ev.coalesce(1).write.mode("overwrite").json(src)  # ONE file → one batch
+
+    stream = (
+        spark.readStream.schema("user string, value double")
+        .option("maxFilesPerTrigger", 10)
+        .json(src)
+    )
+    out = apply_stateful(
+        stream,
+        ["user"],
+        SessionWindowModule(timeout_ms=1_500),
+        output_schema="key string, n_events long, v_min double, v_max double",
+        state_schema="n long, v_min double, v_max double",
+        timeout="ProcessingTimeTimeout",
+    )
+    collected: list = []
+    q = (
+        out.writeStream.foreachBatch(
+            lambda df, bid: collected.extend(r.asDict() for r in df.collect())
+        )
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="a2s_sess_ckpt_"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        deadline = _time.time() + 120
+        while len(collected) < n_keys and _time.time() < deadline:
+            _time.sleep(0.5)
+    finally:
+        q.stop()
+    return spark.createDataFrame(
+        collected, "key string, n_events long, v_min double, v_max double"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -2935,14 +3022,72 @@ def _hll_intersection_oracle() -> str:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Registry order matters: the driver gate grades the first ~50 entries
-    # each round. Round-4 rotation (VERDICT r3 item 2): (1) new operators +
-    # queries whose code changed this round, (2) the round-1-verified
-    # cohort (oldest green checks — refresh them), (3) round-2-verified
-    # greens, prioritizing families touched by this round's code changes,
-    # (4) everything re-verified in round 3 (freshest) last.
+    # Registry order matters: the driver gate grades the FIRST 50 entries
+    # each round. Round-5 rotation (VERDICT r4 items 1-2 + standing rule 8):
+    # (1) the two NEW oracle gates (graph_kcore, streaming_session_timeout),
+    # (2) the 6 queries last driver-checked in round 1, (3) the 44 last
+    # checked in round 2 — with the two lowest-risk pure-function gates
+    # (math_funcs, regexp_funcs) placed at slots 51-52; they are verified
+    # by the local harness (tools/check_correctness.py) this round and
+    # rotate into the driver window next, (4) round-3-verified, then
+    # round-4-verified (freshest) last.
     return {
-        # -- (1) new / changed this round -----------------------------------
+        # -- (1) new oracle gates this round ------------------------------
+        "graph_kcore": graph_kcore,
+        "streaming_session_timeout": streaming_session_timeout,
+        # -- (2) last driver-checked in round 1 ---------------------------
+        "cond_agg_priority_share": cond_agg_priority_share,
+        "distinct_counts": distinct_counts,
+        "events_json_extract": events_json_extract,
+        "similarity_topk": similarity_topk,
+        "subquery_above_avg": subquery_above_avg,
+        "text_fingerprint": text_fingerprint,
+        # -- (3) last driver-checked in round 2 ---------------------------
+        "crud_filtered_repo": crud_filtered_repo,
+        "dedup_embedding_clusters": dedup_embedding_clusters,
+        "dedup_embedding_cosine": dedup_embedding_cosine,
+        "dedup_simhash_hamming_pairs": dedup_simhash_hamming_pairs,
+        "dedup_simhash_md5": dedup_simhash_md5,
+        "dsl_enum_projection_exclude": dsl_enum_projection_exclude,
+        "events_gap_fill": events_gap_fill,
+        "events_tumbling_window": events_tumbling_window,
+        "explode_top_tokens": explode_top_tokens,
+        "file_inbox_consume_archive": file_inbox_consume_archive,
+        "file_ingest_binary_roundtrip": file_ingest_binary_roundtrip,
+        "graph_edges": graph_edges,
+        "graph_vertices": graph_vertices,
+        "join_asof_last_signup": join_asof_last_signup,
+        "join_bucketed_colocated": join_bucketed_colocated,
+        "join_range_value_bands": join_range_value_bands,
+        "pipeline_combiner_partial_agg": pipeline_combiner_partial_agg,
+        "q13_order_count_distribution": q13_order_count_distribution,
+        "q15_top_supplier": q15_top_supplier,
+        "q16_supplier_part_counts": q16_supplier_part_counts,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        "q18_large_volume_customers": q18_large_volume_customers,
+        "q19_disjunctive_predicates": q19_disjunctive_predicates,
+        "q1_pricing_summary": q1_pricing_summary,
+        "q20_excess_stock_suppliers": q20_excess_stock_suppliers,
+        "q22_idle_balance_customers": q22_idle_balance_customers,
+        "q2_min_acctbal_supplier": q2_min_acctbal_supplier,
+        "q7_volume_shipping": q7_volume_shipping,
+        "q8_market_share": q8_market_share,
+        "q9_profit_by_nation_year": q9_profit_by_nation_year,
+        "rollup_time_multires": rollup_time_multires,
+        "similarity_ivf_topk": similarity_ivf_topk,
+        "similarity_knn_join": similarity_knn_join,
+        "similarity_pairs_lsh": similarity_pairs_lsh,
+        "skew_salted_agg": skew_salted_agg,
+        "text_bpe_token_count": text_bpe_token_count,
+        "text_lang_id": text_lang_id,
+        "update_array_ops": update_array_ops,
+        "update_upsert_by_spec": update_upsert_by_spec,
+        "v1_query_extras": v1_query_extras,
+        "window_lag_lead_delta": window_lag_lead_delta,
+        "window_ntile_quartiles": window_ntile_quartiles,
+        "math_funcs": math_funcs,
+        "regexp_funcs": regexp_funcs,
+        # -- (4) round-3-verified, then round-4-verified ------------------
         "sketch_hll_by_group": sketch_hll_by_group,
         "streaming_join_gate": streaming_join_gate,
         "sketch_quantile_by_group": sketch_quantile_by_group,
@@ -2982,7 +3127,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": events_funnel,
         "text_bigram_rarity": text_bigram_rarity,
         "profile_value_histogram": profile_value_histogram,
-        # -- (2) round-1 cohort (stalest driver checks) ---------------------
         "string_funcs": string_funcs,
         "date_funcs": date_funcs,
         "array_funcs_tokens": array_funcs_tokens,
@@ -2994,66 +3138,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_event_counts": pivot_event_counts,
         "stats_percentiles": stats_percentiles,
         "grouping_sets_revenue": grouping_sets_revenue,
-        "subquery_above_avg": subquery_above_avg,
-        "cond_agg_priority_share": cond_agg_priority_share,
-        "distinct_counts": distinct_counts,
-        "events_json_extract": events_json_extract,
-        "similarity_topk": similarity_topk,
-        "text_fingerprint": text_fingerprint,
-        # -- (3) verified in round 3, code touched since --------------------
         "dedup_incremental": dedup_incremental,
         "storage_buffer_promote": storage_buffer_promote,
         "corpus_pack_sequences": corpus_pack_sequences,
         "corpus_pii_redact": corpus_pii_redact,
         "sketch_hll_cardinality": sketch_hll_cardinality,
-        "update_upsert_by_spec": update_upsert_by_spec,
-        # -- (4) round-2 cohort, touched families first ---------------------
-        "q1_pricing_summary": q1_pricing_summary,
-        "update_array_ops": update_array_ops,
-        "window_lag_lead_delta": window_lag_lead_delta,
-        "window_ntile_quartiles": window_ntile_quartiles,
-        "dsl_enum_projection_exclude": dsl_enum_projection_exclude,
-        "similarity_ivf_topk": similarity_ivf_topk,
-        "similarity_pairs_lsh": similarity_pairs_lsh,
-        "similarity_knn_join": similarity_knn_join,
-        "dedup_embedding_cosine": dedup_embedding_cosine,
-        "dedup_embedding_clusters": dedup_embedding_clusters,
-        "dedup_simhash_hamming_pairs": dedup_simhash_hamming_pairs,
-        "dedup_simhash_md5": dedup_simhash_md5,
-        "text_bpe_token_count": text_bpe_token_count,
-        "text_lang_id": text_lang_id,
-        "math_funcs": math_funcs,
-        "regexp_funcs": regexp_funcs,
-        "events_tumbling_window": events_tumbling_window,
-        "events_gap_fill": events_gap_fill,
-        "explode_top_tokens": explode_top_tokens,
-        "join_asof_last_signup": join_asof_last_signup,
-        "join_bucketed_colocated": join_bucketed_colocated,
-        "join_range_value_bands": join_range_value_bands,
-        "pipeline_combiner_partial_agg": pipeline_combiner_partial_agg,
-        "skew_salted_agg": skew_salted_agg,
-        "crud_filtered_repo": crud_filtered_repo,
-        "v1_query_extras": v1_query_extras,
-        # ---- ~first-50 window boundary (round 4; the 4 entries just above
-        # shifted past it as new gates landed — they wait for round 5) -----
-        "file_inbox_consume_archive": file_inbox_consume_archive,
-        "file_ingest_binary_roundtrip": file_ingest_binary_roundtrip,
-        "graph_vertices": graph_vertices,
-        "graph_edges": graph_edges,
-        "rollup_time_multires": rollup_time_multires,
-        "q2_min_acctbal_supplier": q2_min_acctbal_supplier,
-        "q7_volume_shipping": q7_volume_shipping,
-        "q8_market_share": q8_market_share,
-        "q9_profit_by_nation_year": q9_profit_by_nation_year,
-        "q13_order_count_distribution": q13_order_count_distribution,
-        "q15_top_supplier": q15_top_supplier,
-        "q16_supplier_part_counts": q16_supplier_part_counts,
-        "q17_small_quantity_revenue": q17_small_quantity_revenue,
-        "q18_large_volume_customers": q18_large_volume_customers,
-        "q19_disjunctive_predicates": q19_disjunctive_predicates,
-        "q20_excess_stock_suppliers": q20_excess_stock_suppliers,
-        "q22_idle_balance_customers": q22_idle_balance_customers,
-        # -- (4) re-verified in round 3 (freshest) --------------------------
         "multimodal_features": multimodal_features,
         "q12_priority_by_linestatus": q12_priority_by_linestatus,
         "docs_clean_corpus": docs_clean_corpus,
@@ -3226,8 +3315,28 @@ def _v1_extras_oracle() -> str:
     """
 
 
+def _kcore_oracle() -> str:
+    """DuckDB replica of graph_kcore: the peel unrolled to 10 rounds over
+    the same co-purchase edge list (see graph.kcore_oracle_sql)."""
+    from aleph2_contrib_spark.operators.graph import kcore_oracle_sql
+
+    edge_sql = (
+        "SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS a, "
+        "greatest(a.l_partkey, b.l_partkey) AS b "
+        "FROM lineitem a JOIN lineitem b "
+        "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey"
+    )
+    return kcore_oracle_sql(edge_sql, k=65, rounds=10)
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "graph_kcore": _kcore_oracle(),
+        "streaming_session_timeout": """
+            SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS n_events,
+                   min(value) AS v_min, max(value) AS v_max
+            FROM events WHERE event_type = 'click' GROUP BY user_id
+        """,
         "streaming_stateful_counts": """
             SELECT event_type AS key, count(*) AS final_total
             FROM events GROUP BY event_type

@@ -524,3 +524,33 @@ def kcore_decomposition(
         f"kcore_decomposition did not converge in {max_rounds} rounds; "
         "raise max_rounds for pathologically deep peel sequences"
     )
+
+
+def kcore_oracle_sql(edge_sql: str, k: int, rounds: int = 10) -> str:
+    """ANSI-SQL replica of ``kcore_decomposition`` for differential testing:
+    the iterative peel UNROLLED to a fixed number of rounds (recursive CTEs
+    cannot re-aggregate degrees over their own working table, so the
+    fixpoint loop is expanded textually — extra rounds past convergence are
+    no-ops, so ``rounds`` only needs to be an upper bound on the peel depth
+    for the dataset at hand; the gate's graph converges in ≤ 9 rounds at
+    every tested sf). ``edge_sql`` must yield a canonical (a, b) edge list
+    (a < b, distinct, no loops). Emits (node, core_deg): every surviving
+    vertex with its degree inside the k-core — a full-strength checksum of
+    the surviving edge set at 1/50th the row count."""
+    # AS MATERIALIZED is load-bearing: DuckDB otherwise inlines every CTE
+    # reference, and with e{i} referenced 5x per round the expansion is
+    # 5^rounds scans of the base table — fd exhaustion before round 10.
+    parts = [f"WITH e0 AS MATERIALIZED ({edge_sql})"]
+    for i in range(rounds):
+        parts.append(
+            f", d{i} AS MATERIALIZED (SELECT n, count(*) AS d FROM "
+            f"(SELECT a AS n FROM e{i} UNION ALL SELECT b FROM e{i}) GROUP BY n)"
+            f", k{i} AS MATERIALIZED (SELECT n FROM d{i} WHERE d >= {int(k)})"
+            f", e{i + 1} AS MATERIALIZED (SELECT e.a, e.b FROM e{i} e "
+            f"JOIN k{i} x ON e.a = x.n JOIN k{i} y ON e.b = y.n)"
+        )
+    parts.append(
+        f" SELECT n AS node, count(*) AS core_deg FROM "
+        f"(SELECT a AS n FROM e{rounds} UNION ALL SELECT b FROM e{rounds}) GROUP BY n"
+    )
+    return "".join(parts)
