@@ -370,19 +370,43 @@ def _fetch_and_verify(
     payload = "hs" if verify == "exact" else "sig"
 
     def _fits_broadcast(base: DataFrame) -> bool:
-        stats = base.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.avg(F.size(F.col(payload))).alias("avg_len"),
+        # Row count is metadata-cheap (parquet/table stats or the persisted
+        # block sizes); the avg payload length comes from a bounded sample —
+        # a full avg(size(payload)) would decompress the heavy array column
+        # of the ENTIRE corpus store on every incremental run. The 1.3×
+        # slack absorbs sample bias; a misestimate only flips the
+        # broadcast/shuffle strategy, never correctness.
+        n = base.count()
+        if n == 0:
+            return False
+        s = base.select(F.size(F.col(payload)).alias("l")).limit(2048).agg(
+            F.avg("l").alias("avg_len")
         ).collect()[0]
-        est_bytes = int((stats["n"] or 0) * (stats["avg_len"] or 0) * 8 * 1.3)
+        est_bytes = int(n * (s["avg_len"] or 0) * 8 * 1.3)
         return bool(est_bytes) and est_bytes < _BROADCAST_PAYLOAD_CAP
 
     fits_a = _fits_broadcast(base_a)
     # self-join case: both sides are the same persisted base — one probe
     fits_b = fits_a if base_b is base_a else _fits_broadcast(base_b)
 
+    def _n_col(base: DataFrame):
+        # precomputed scalar length (signature stores write n_hs at build
+        # time) beats size(hs), which decompresses the array column
+        return F.col("n_hs") if "n_hs" in base.columns else F.size(F.col("hs"))
+
     side_a = base_a.select(F.col("id").alias("id_a"), F.col(payload).alias(f"{payload}_a"))
     side_b = base_b.select(F.col("id").alias("id_b"), F.col(payload).alias(f"{payload}_b"))
+    if verify == "exact":
+        # carry the size WITH the payload: one decode + one broadcast/
+        # shuffle per side instead of separate sizes- and payload-joins
+        # (the separate sizes broadcast decoded the corpus array column a
+        # second time on EVERY incremental run — the round-5 hotspot)
+        side_a = base_a.select(
+            F.col("id").alias("id_a"), F.col("hs").alias("hs_a"), _n_col(base_a).alias("n_a")
+        )
+        side_b = base_b.select(
+            F.col("id").alias("id_b"), F.col("hs").alias("hs_b"), _n_col(base_b).alias("n_b")
+        )
     if fits_a:
         side_a = F.broadcast(side_a)
     if fits_b:
@@ -395,23 +419,22 @@ def _fetch_and_verify(
     cand_ids = cand_ids.repartition(nparts, "id_a")
 
     if verify == "exact":
-        # Exact-preserving candidate cut BEFORE any array travels: j ≥ t
+        # Exact-preserving candidate cut before the set intersection: j ≥ t
         # implies |A∩B| ≥ t·|A∪B|, hence min(|A|,|B|)/max(|A|,|B|) ≥ t.
-        # The size table is two ints per doc — always broadcastable — so
-        # this prunes on map-side scalars, then only surviving pairs fetch
-        # the shingle arrays. Union size comes from |A|+|B|−|A∩B| rather
-        # than materializing array_union (halves the per-pair set work).
-        sizes_a = F.broadcast(base_a.select(F.col("id").alias("id_a"), F.size("hs").alias("n_a")))
-        sizes_b = F.broadcast(base_b.select(F.col("id").alias("id_b"), F.size("hs").alias("n_b")))
+        # With broadcast sides the filter is map-side and costs nothing
+        # extra; in shuffle mode the arrays of size-filtered pairs still
+        # cross once (a deliberate trade: a separate scalar-only prejoin
+        # would decode/shuffle the corpus payload table twice — measured
+        # slower at every tested scale unless selectivity is extreme).
+        # Union size comes from |A|+|B|−|A∩B| rather than materializing
+        # array_union (halves the per-pair set work).
         cand = (
-            cand_ids.join(sizes_a, "id_a")
-            .join(sizes_b, "id_b")
+            cand_ids.join(side_a, "id_a")
+            .join(side_b, "id_b")
             .filter(
                 F.least(F.col("n_a"), F.col("n_b"))
                 >= F.lit(threshold) * F.greatest(F.col("n_a"), F.col("n_b"))
             )
-            .join(side_a, "id_a")
-            .join(side_b, "id_b")
         )
         inter = F.size(F.array_intersect(F.col("hs_a"), F.col("hs_b")))
         union = F.col("n_a") + F.col("n_b") - inter
@@ -494,7 +517,9 @@ class MinHashSignatureStore:
 
         base = _minhash_base(df, id_col, text_col, keep_txh=True, **self._kw())
         write_bucketed(
-            base.select("id", "__txh", "hs", "sig"),
+            # n_hs: precomputed payload length so incremental runs can
+            # size-filter candidates without decompressing the hs arrays
+            base.select("id", "__txh", "hs", "sig", F.size("hs").alias("n_hs")),
             self.base_table,
             ["id"],
             num_buckets=self.num_buckets,
@@ -573,20 +598,33 @@ def dedup_against_corpus(
 
     txh = F.xxhash64(F.lower(F.trim(F.col(text_col))))
     if store is not None:
-        exact_old = store.base_df().select("__txh").dropDuplicates(["__txh"])
+        # no dropDuplicates: LEFT ANTI semantics are identical against a
+        # non-distinct right side, and the dedup would cost a full shuffle
+        # of the corpus hash column on every incremental run
+        exact_old = store.base_df().select("__txh")
     else:
-        exact_old = existing_df.select(txh.alias("__txh")).dropDuplicates(["__txh"])
+        exact_old = existing_df.select(txh.alias("__txh"))
+    # PERSISTED: ``fresh`` feeds both the signature chain and the final
+    # anti-join — without the barrier the exact-dedup anti-join (a corpus
+    # __txh scan) re-runs per consumer.
+    from pyspark import StorageLevel
+
     fresh = (
         new_df.withColumn("__txh", txh)
         .join(exact_old, "__txh", "left_anti")
         .drop("__txh")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
     kw = dict(num_hashes=num_hashes, shingle_k=shingle_k,
               shingle_mode=shingle_mode, sig_impl=sig_impl)
     new_base = _minhash_base(fresh, id_col, text_col, **kw)
     if store is not None:
-        old_base = store.base_df().select("id", "hs", "sig")
+        bd = store.base_df()
+        # stores built before n_hs existed lack the column — degrade to size()
+        old_base = bd.select(
+            "id", "hs", "sig", *(["n_hs"] if "n_hs" in bd.columns else [])
+        )
         old_bands = store.band_df()
     else:
         old_base = _minhash_base(existing_df, id_col, text_col, **kw)

@@ -99,6 +99,45 @@ def lsh_topk(
     return brute_force_topk(cand, query_vec, k, id_col, vec_col)
 
 
+def deterministic_vector_sample(
+    df: DataFrame, vec_col: str, sample_rows: int, seed: int = 42
+) -> list:
+    """Bounded, deterministic, partitioning-independent sample of vector
+    rows: the ``sample_rows`` smallest rows by seeded 64-bit hash of the
+    vector. A bare .limit() would take a biased partition-order prefix and
+    .sample(seed=) changes with partitioning.
+
+    Plan shape (the round-4 hotspot fix): NOT a global orderBy+limit —
+    TakeOrdered is O(n log k) but still hashes, compares, and heap-sifts
+    every row of the corpus per training call. Instead: one cheap count,
+    then a hash-THRESHOLD filter scan (Catalyst pushes the comparison
+    beside the scan, no sort anywhere) that passes ~4× sample_rows rows,
+    and a driver-side sort of just those. The selected SET is the global
+    hash-order prefix, so the result is identical across partitionings
+    and runs; the vanishingly-unlikely undersample (Chernoff bound at 4×
+    oversampling) falls back to collecting the full hash column."""
+    h = F.xxhash64(F.col(vec_col), F.lit(seed))
+    cnt = df.count()
+    if cnt == 0:
+        return []
+    if cnt <= max(sample_rows, 64) * 8:
+        rows = df.select(F.col(vec_col).alias("v"), h.alias("h")).collect()
+    else:
+        # unsigned-order threshold: u < cap  ⇔  h >= 0 AND h < cap for
+        # cap < 2^63 (frac ≤ 1/2 is guaranteed by the branch above)
+        cap = int(min(0.5, 4.0 * sample_rows / cnt) * (1 << 64))
+        cand = (
+            df.select(F.col(vec_col).alias("v"), h.alias("h"))
+            .filter((F.col("h") >= 0) & (F.col("h") < F.lit(cap)))
+            .collect()
+        )
+        if len(cand) < sample_rows:  # statistical fluke: widen to exact
+            cand = df.select(F.col(vec_col).alias("v"), h.alias("h")).collect()
+        rows = cand
+    rows.sort(key=lambda r: r["h"] & ((1 << 64) - 1))
+    return [r["v"] for r in rows[:sample_rows]]
+
+
 def ivf_build_centroids(
     df: DataFrame,
     n_centroids: int = 16,
@@ -111,19 +150,15 @@ def ivf_build_centroids(
 
     The sample is tiny (n_centroids × ~128 rows) regardless of table size —
     the one deliberate driver-side step; assignment and search stay
-    distributed. Deterministic: rows are ordered by a seeded hash of the
-    vector (representative + reproducible regardless of partitioning —
-    a bare limit would take a partition-order prefix) and the k-means
-    init indices come from the seeded rng."""
+    distributed. Deterministic: the sample is the global prefix of a
+    seeded hash order (``deterministic_vector_sample`` — representative
+    + reproducible regardless of partitioning, computed by threshold
+    filter rather than a corpus-wide sort) and the k-means init indices
+    come from the seeded rng."""
     import numpy as np
 
-    sample = (
-        df.select(vec_col)
-        .orderBy(F.xxhash64(F.col(vec_col).cast("string"), F.lit(seed)))
-        .limit(sample_rows)
-        .collect()
-    )
-    X = np.asarray([list(r[0]) for r in sample], dtype=np.float64)
+    sample = deterministic_vector_sample(df, vec_col, sample_rows, seed)
+    X = np.asarray([list(v) for v in sample], dtype=np.float64)
     rng = np.random.RandomState(seed)
     cents = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)]
     for _ in range(iters):
@@ -421,18 +456,11 @@ def pq_train_codebooks(
     """
     import numpy as np
 
-    # Representative + reproducible sample: order by a seeded hash of the
-    # vector bytes, then take the first sample_rows. A bare
-    # .limit(sample_rows) would train on whichever partitions list first
-    # (a biased prefix, unstable across partitionings), and
-    # .sample(fraction=1.0) is a no-op — the seed would have no effect.
-    sample = (
-        df.select(vec_col)
-        .orderBy(F.xxhash64(F.col(vec_col).cast("string"), F.lit(seed)))
-        .limit(sample_rows)
-        .collect()
-    )
-    X = np.asarray([list(r[0]) for r in sample], dtype=np.float64)
+    # Representative + reproducible sample: global prefix of a seeded
+    # hash order, computed by threshold filter (no corpus-wide sort) —
+    # see deterministic_vector_sample for the plan-shape rationale.
+    sample = deterministic_vector_sample(df, vec_col, sample_rows, seed)
+    X = np.asarray([list(v) for v in sample], dtype=np.float64)
     d = X.shape[1]
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m}")

