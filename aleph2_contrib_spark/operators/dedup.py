@@ -1240,7 +1240,7 @@ def containment_pairs(
     text_col: str = "text",
     tau_permille: int = 800,
     ngram: int = 3,
-    max_shingle_freq: int | None = None,
+    max_shingle_freq: int | None | str = "auto",
 ) -> DataFrame:
     """EXACT shingle-set containment join: directed pairs (id_a, id_b)
     where |A∩B| / |A| ≥ τ over the documents' distinct token ``ngram``
@@ -1288,6 +1288,17 @@ def containment_pairs(
     containment signal); the exact verify still uses the FULL shingle
     sets, so reported cont_f6 values are unaffected — only candidate
     generation loses the hot keys.
+
+    The DEFAULT is ``"auto"``: a cost-based cap chosen from the exact
+    distinct-frequency histogram — the largest cap whose candidate-volume
+    bound (Σ tf² over kept tokens) stays within 16× the corpus's total
+    shingle instances, floored at 32. On a natural Heap's-law corpus the
+    bound is already linear and the cap never bites (exact SSJoin
+    semantics); on a degenerate low-diversity corpus it sheds precisely
+    the tokens that would go quadratic, WITHOUT caller tuning. The choice
+    is deterministic (exact integer arithmetic on a slim histogram). Pass
+    ``None`` to opt out (exact semantics, quadratic risk on degenerate
+    corpora) or an int to pin the cap.
     """
     wds = F.filter(F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"), lambda t: t != "")
 
@@ -1355,6 +1366,33 @@ def containment_pairs(
         F.col("id").alias("id_b"),
         F.explode("tk_sorted").alias("tok"),
     )
+    if max_shingle_freq == "auto":
+        from pyspark import StorageLevel as _SL
+
+        freq = freq.persist(_SL.MEMORY_AND_DISK)
+        # Cost-based cap: candidate volume is bounded by Σ tf(t)² over
+        # surviving tokens (prefix occurrences ≤ tf). Keep the LARGEST cap
+        # whose bound stays within cost_factor × total shingle instances —
+        # i.e. O(corpus) candidates by construction. On a Heap's-law corpus
+        # Σ tf² is already linear and the cap never bites (exact SSJoin);
+        # on a degenerate uniform-hot corpus it sheds exactly the tokens
+        # that would go quadratic. Driver state = the distinct-tf histogram
+        # (≤ max document frequency rows — slim at any corpus size), and
+        # the arithmetic is exact integers, so the cap is deterministic.
+        cost_factor = 16
+        hist = sorted(
+            (r["tf"], r["n"]) for r in
+            freq.groupBy("tf").agg(F.count(F.lit(1)).alias("n")).collect()
+        )
+        total = sum(tf * n for tf, n in hist)
+        budget = cost_factor * total
+        run_cost, cap = 0, 0
+        for tf, n in hist:
+            run_cost += tf * tf * n
+            if run_cost > budget:
+                break
+            cap = tf
+        max_shingle_freq = max(cap, 32)
     if max_shingle_freq is not None:
         ok = freq.filter(F.col("tf") <= F.lit(int(max_shingle_freq))).select("tok")
         prefixes = prefixes.join(ok, "tok", "left_semi")

@@ -940,6 +940,66 @@ def test_concurrent_appenders_serialize_through_log(spark):
     assert len(versions) == 11  # 1 seed + 10 appends, each its own commit
 
 
+def test_disjoint_mutation_conflict_retries_and_commits(spark):
+    """Optimistic concurrency for PROVABLY DISJOINT rewrites: a mutation
+    whose version reservation is stolen by a commit touching OTHER files
+    must retry onto the next version and succeed — only a race that
+    removed one of the files this transaction rewrites may raise.
+    Deterministic forced-stale variant (the threaded test below drives the
+    same path end-to-end through the public API)."""
+    t = _mk(spark)
+    rv = t.latest_version()
+    schema, _ = t.snapshot()
+    touched_t1, _ = t._touched(Q.all_of().when("event_type", "t1"))
+    # a racing writer updates a DISJOINT partition, consuming version rv+1
+    t2 = TransactionalTable(spark, t.root, partition_cols=t.partition_cols)
+    t2.update_by_spec(Q.all_of().when("event_type", "t2"), U.update().set("value", 99.0))
+    # stale-read_version commit of the t1 rewrite: collides at rv+1, sees
+    # its files still active, retries cleanly onto rv+2
+    v = t._commit(
+        "update_by_spec", [], [e.path for e in touched_t1], schema,
+        expect_active=[e.path for e in touched_t1], read_version=rv,
+    )
+    assert v == rv + 2
+
+
+def test_concurrent_disjoint_updates_both_commit(spark):
+    """VERDICT r4 item 6's Done criterion: two threads updating DISJOINT
+    partitions through separate table instances both commit without any
+    caller-visible error, and both updates land."""
+    import threading
+
+    root = tempfile.mkdtemp(prefix="a2s_txlog_dupd_")
+    TransactionalTable(spark, root, partition_cols=("event_type",)).append(
+        _events(spark, 60)
+    )
+    errors = []
+
+    def updater(part, val):
+        try:
+            mine = TransactionalTable(spark, root, partition_cols=("event_type",))
+            for _ in range(3):
+                mine.update_by_spec(
+                    Q.all_of().when("event_type", part),
+                    U.update().increment("value", val),
+                )
+        except Exception as e:  # pragma: no cover - failure reporting
+            errors.append(e)
+
+    th1 = threading.Thread(target=updater, args=("t0", 100.0))
+    th2 = threading.Thread(target=updater, args=("t1", 1000.0))
+    th1.start(); th2.start(); th1.join(); th2.join()
+    assert errors == []
+    t = TransactionalTable(spark, root, partition_cols=("event_type",))
+    got = {
+        r["event_type"]: r["mn"]
+        for r in t.read().groupBy("event_type").agg(F.min("value").alias("mn")).collect()
+    }
+    assert got["t0"] >= 300.0 and got["t1"] >= 3000.0 and got["t2"] < 7.0
+    versions = [v for v, _ in t._commits()]
+    assert versions == sorted(set(versions)) and len(versions) == 7  # seed + 6 updates
+
+
 def test_vacuum_trims_old_checkpoints(spark):
     root = tempfile.mkdtemp(prefix="a2s_txlog_ckvac_")
     t = TransactionalTable(spark, root, checkpoint_interval=2)

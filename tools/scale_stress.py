@@ -92,12 +92,13 @@ def bench_ops(spark, path, label):
     run("stratified", lambda: cp.stratified_sample(docs, "lang", "doc_id", 100).count())
     run("span_dedup", lambda: ddp.span_dedup(docs, "doc_id", "text", 10)
         .agg(F.sum("n_kept")).collect())
-    # hot-shingle cap: the word-soup corpus has a FIXED tiny vocabulary,
-    # so shingle frequencies grow with n and uncapped prefix filtering
-    # goes quadratic (measured 42x at 10x data) — the cap is the
-    # documented production guard for low-diversity corpora
+    # the word-soup corpus has a FIXED tiny vocabulary, so shingle
+    # frequencies grow with n and uncapped prefix filtering goes
+    # quadratic (measured 42x at 10x data; pass max_shingle_freq=None to
+    # reproduce) — the DEFAULT "auto" p99.9 cap must fence this without
+    # caller tuning (VERDICT r4 item 7)
     run("containment", lambda: ddp.containment_pairs(
-        docs, "doc_id", "text", tau_permille=800, max_shingle_freq=100).count())
+        docs, "doc_id", "text", tau_permille=800).count())
     run("tfidf_keywords", lambda: __import__(
         "aleph2_contrib_spark.operators.text", fromlist=["top_terms_tfidf"]
     ).top_terms_tfidf(docs, "doc_id", "text", k=3).count())
