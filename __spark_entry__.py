@@ -2968,6 +2968,67 @@ def streaming_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11/G1 streaming form in the graded gate: the documents corpus
+    re-played TWICE as a multi-batch file stream (every document arrives
+    again in a later micro-batch) through ``streaming_dedup``'s
+    watermarked ``dropDuplicatesWithinWatermark``
+    (streaming/runner.py:111) — cross-micro-batch dedup state must
+    collapse the second copy of every document regardless of which batch
+    it lands in. Result = one (doc_id, fp) row per distinct document,
+    equal to the batch DISTINCT — ingest-dedup correctness as an
+    oracle-checked invariant (previously pytest-only; VERDICT r4 ungated
+    list). Safe to return doc_id: copies of a document share it, and no
+    two documents share a fingerprint, so the surviving row is
+    deterministic whatever the batch interleaving."""
+    import tempfile
+
+    from aleph2_contrib_spark.streaming.runner import (
+        json_file_stream,
+        streaming_dedup,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        ddp.fingerprint(F.col("text")).alias("fp"),
+        # deterministic event time; all copies inside one watermark window
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("event_time"),
+    )
+    src = tempfile.mkdtemp(prefix="a2s_sdedup_src_")
+    # copy 1 in two files, copy 2 in two more → duplicates guaranteed to
+    # span micro-batches at maxFilesPerTrigger=2
+    docs.repartition(2).write.mode("overwrite").json(src)
+    docs.repartition(2).write.mode("append").json(src)
+
+    stream = json_file_stream(
+        spark,
+        src,
+        "doc_id long, fp string, event_time timestamp",
+        max_files_per_trigger=2,
+    )
+    deduped = streaming_dedup(stream, ["fp"], "event_time", "1 hour")
+    sink_dir = tempfile.mkdtemp(prefix="a2s_sdedup_out_")
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="a2s_sdedup_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(sink_dir).select("doc_id", "fp")
+
+
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-scored quality filtering (fastText/CCNet-style) as a pure
+    Catalyst map: hashed unigram+bigram features → deterministic weight
+    table → exact integer score (operators/text.py
+    quality_classifier_score). Oracle replays the identical md5 feature
+    hashing and integer arithmetic in DuckDB."""
+    docs = _t(spark, sf_dir, "documents")
+    return txt.quality_classifier_score(docs)
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -3024,10 +3085,12 @@ def _hll_intersection_oracle() -> str:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver gate grades the FIRST 50 entries
     # each round. Round-5 rotation (VERDICT r4 items 1-2 + standing rule 8):
-    # (1) the two NEW oracle gates (graph_kcore, streaming_session_timeout),
+    # (1) the four NEW oracle gates (graph_kcore, streaming_session_timeout,
+    # streaming_dedup_gate, text_quality_classifier),
     # (2) the 6 queries last driver-checked in round 1, (3) the 44 last
-    # checked in round 2 — with the two lowest-risk pure-function gates
-    # (math_funcs, regexp_funcs) placed at slots 51-52; they are verified
+    # checked in round 2 — with the four lowest-risk pure-function gates
+    # (window_lag_lead_delta, window_ntile_quartiles, math_funcs,
+    # regexp_funcs) placed at slots 51-54; they are verified
     # by the local harness (tools/check_correctness.py) this round and
     # rotate into the driver window next, (4) round-3-verified, then
     # round-4-verified (freshest) last.
@@ -3035,6 +3098,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- (1) new oracle gates this round ------------------------------
         "graph_kcore": graph_kcore,
         "streaming_session_timeout": streaming_session_timeout,
+        "streaming_dedup_gate": streaming_dedup_gate,
+        "text_quality_classifier": text_quality_classifier,
         # -- (2) last driver-checked in round 1 ---------------------------
         "cond_agg_priority_share": cond_agg_priority_share,
         "distinct_counts": distinct_counts,
@@ -3083,6 +3148,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "update_array_ops": update_array_ops,
         "update_upsert_by_spec": update_upsert_by_spec,
         "v1_query_extras": v1_query_extras,
+        # window_lag_lead_delta / window_ntile_quartiles / math_funcs /
+        # regexp_funcs sit just past the 50-slot driver window to make room
+        # for the four NEW gates above (standing rule: new/changed gates
+        # first, then oldest-verified fill). All four are pure-function SQL
+        # gates unchanged since round 2, verified green by the local
+        # harness (tools/check_correctness.py, identical differential
+        # check) this round; they rotate into the driver window next round.
         "window_lag_lead_delta": window_lag_lead_delta,
         "window_ntile_quartiles": window_ntile_quartiles,
         "math_funcs": math_funcs,
@@ -3340,6 +3412,34 @@ def oracle_sql() -> dict[str, str]:
         "streaming_stateful_counts": """
             SELECT event_type AS key, count(*) AS final_total
             FROM events GROUP BY event_type
+        """,
+        "streaming_dedup_gate": r"""
+            SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+            FROM documents
+        """,
+        "text_quality_classifier": r"""
+            WITH base AS (
+                SELECT doc_id,
+                       string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk
+                FROM documents
+            ), feat AS (
+                SELECT doc_id,
+                       unnest(list_concat(
+                           tk,
+                           list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])
+                       )) AS f
+                FROM base
+            ), w AS (
+                SELECT doc_id,
+                       CAST('0x' || substr(md5('w:' || CAST(
+                           CAST('0x' || substr(md5(f), 1, 8) AS BIGINT) % 1024
+                       AS VARCHAR)), 1, 8) AS BIGINT) % 2001 - 1000 AS wt
+                FROM feat
+            )
+            SELECT doc_id AS id, CAST(count(*) AS INT) AS n_features,
+                   CAST(sum(wt) AS BIGINT) AS score_fx,
+                   CAST(sum(wt) AS BIGINT) >= 0 AS keep
+            FROM w GROUP BY doc_id
         """,
         "corpus_temperature_mix": """
             WITH c AS (

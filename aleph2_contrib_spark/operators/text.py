@@ -64,6 +64,82 @@ def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
 
 
+def quality_classifier_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+    weight_span: int = 1000,
+    bias_fx: int = 0,
+    threshold_fx: int = 0,
+) -> DataFrame:
+    """fastText-style linear quality classifier over hashed unigram+bigram
+    features — the "model-scored quality filter" stage of LLM corpus prep
+    (CCNet-style filtering), expressed as a pure Catalyst map: tokenize →
+    feature-hash → per-bucket weight lookup → exact integer score. One
+    narrow codegen pass, no shuffle, no Python — the shape you want when
+    scoring 100 TB of documents.
+
+    Hashing is engine-portable: ``bucket(f) = int(md5(f)[0:8], 16) %
+    n_buckets`` (md5, not xxhash64, so external systems reproduce the
+    features bit-for-bit). The shipped weight table is a DETERMINISTIC
+    placeholder — ``w(b) = int(md5('w:'+b)[0:8], 16) % (2·span+1) - span``
+    — standing in for trained parameters; production swaps in a real
+    model by replacing ``_bucket_weight`` (the operator owns the hashing,
+    feature extraction, and exact arithmetic; the weights are data).
+    Scoring is integer fixed-point, so the per-document sum is
+    order-independent and bit-stable across engines at any scale — no
+    float-summation drift.
+
+    Returns ``(id, n_features, score_fx, keep)`` where ``keep =
+    score_fx + bias_fx >= threshold_fx``.
+
+    Generalizes the reference's per-record scoring/enrichment stage
+    (EnrichmentPipelineService batch modules) to a declared, optimizable
+    column program instead of opaque row-at-a-time user code.
+    """
+
+    def _bucket(f: Column) -> Column:
+        return F.conv(F.substring(F.md5(f), 1, 8), 16, 10).cast("long") % F.lit(
+            n_buckets
+        )
+
+    def _bucket_weight(b: Column) -> Column:
+        h = F.md5(F.concat(F.lit("w:"), b.cast("string")))
+        return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % F.lit(
+            2 * weight_span + 1
+        ) - F.lit(weight_span)
+
+    # Token array materialized behind its own projection so the per-feature
+    # lambdas don't each re-run the regexp+split chain (lambda bodies don't
+    # get subexpression elimination — same bind-once discipline as
+    # rolling_hash_fingerprints).
+    tk_expr = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " "
+    )
+    base = df.select(F.col(id_col).alias("id"), tk_expr.alias("__tk"))
+    tk = F.col("__tk")
+    n = F.size(tk)
+    bigrams = F.zip_with(
+        F.slice(tk, 1, n - 1),
+        F.slice(tk, 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    feats = base.select("id", F.concat(tk, bigrams).alias("__fs"))
+    fs = F.col("__fs")
+    score = F.aggregate(
+        fs,
+        F.lit(0).cast("long"),
+        lambda acc, f: acc + _bucket_weight(_bucket(f)),
+    ) + F.lit(bias_fx)
+    scored = feats.select(
+        F.col("id"),
+        F.size(fs).alias("n_features"),
+        score.alias("score_fx"),
+    )
+    return scored.withColumn("keep", F.col("score_fx") >= F.lit(threshold_fx))
+
+
 def lang_id(col: Column) -> Column:
     """Heuristic language ID: argmax over per-language stopword hit counts,
     ties broken by language code order; 'und' when no hits."""

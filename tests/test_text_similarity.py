@@ -298,3 +298,42 @@ def test_top_terms_tfidf_min_df_filters(spark):
     rows = [Row(doc_id=1, text="unique shared"), Row(doc_id=2, text="shared")]
     out = t.top_terms_tfidf(spark.createDataFrame(rows), k=5, min_df=2).collect()
     assert {r.term for r in out} == {"shared"}
+
+
+def test_quality_classifier_hand_properties(spark):
+    """Exact-integer scoring: identical texts score identically regardless
+    of whitespace/case; feature count = unigrams + bigrams; keep matches
+    the threshold; a hand-computed single-token doc matches Python md5."""
+    import hashlib
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="Hello  World"),
+            Row(doc_id=2, text="hello world"),
+            Row(doc_id=3, text="hello"),
+        ]
+    )
+    out = {r.id: r for r in txt.quality_classifier_score(df).collect()}
+    # normalization: case + whitespace collapse → same features, same score
+    assert out[1].score_fx == out[2].score_fx
+    assert out[1].n_features == out[2].n_features == 3  # 2 unigrams + 1 bigram
+    assert out[3].n_features == 1
+    # hand-compute the single-feature score the way the docstring says
+    b = int(hashlib.md5(b"hello").hexdigest()[:8], 16) % 1024
+    w = int(hashlib.md5(f"w:{b}".encode()).hexdigest()[:8], 16) % 2001 - 1000
+    assert out[3].score_fx == w
+    assert out[3].keep == (w >= 0)
+
+
+def test_quality_classifier_threshold_and_plan(spark):
+    """Threshold shifts the keep flag; the plan is a single narrow
+    project over the scan — no exchange (shuffle) anywhere."""
+    df = spark.createDataFrame([Row(doc_id=1, text="alpha beta gamma")])
+    base = txt.quality_classifier_score(df).collect()[0]
+    flipped = txt.quality_classifier_score(
+        df, threshold_fx=base.score_fx + 1
+    ).collect()[0]
+    assert base.keep is True or base.keep is False
+    assert flipped.keep is False  # threshold just above own score
+    plan = txt.quality_classifier_score(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
