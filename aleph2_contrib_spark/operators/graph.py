@@ -14,8 +14,16 @@ Spark-native shape:
                per (inV, outV, label), keeping self-loops (G6).
 
 Scale: everything is keyed joins/groupBys on the vertex key — one shuffle
-each, broadcast when the new-batch side is small. Per-bucket visibility is
-a row-level ``bucket_path`` filter (G7).
+each, broadcast when the new-batch side is small. Per-bucket visibility
+(G7) is the reference's ``isAllowed`` model made declarative: every
+element carries an ``a2_p`` membership list of contributing bucket paths
+(merges union it), and ``element_visibility`` compiles the reader's
+bucket + permission grants into a pure Column predicate — same-bucket
+always visible, test-vs-prod isolation on the ``/aleph2_testing/``
+prefix, otherwise a permission-set check (TitanGraphBuildingUtils.
+isAllowed:901-919, buildPermission:924-927). Test buckets additionally
+never join against the existing production graph during merge
+(TitanGraphBuildingUtils.java:294-296).
 """
 
 from __future__ import annotations
@@ -36,6 +44,69 @@ class DecompElement:
     edge_name: str
     from_type: str = "node"
     to_type: str = "node"
+
+
+# The reference's test-bucket namespace (BucketUtils.TEST_BUCKET_PREFIX):
+# buckets under it are invisible to production readers and vice versa, and
+# their merges never consult the existing production graph.
+TEST_BUCKET_PREFIX = "/aleph2_testing/"
+
+
+def is_test_bucket(bucket_path: str) -> bool:
+    return bucket_path.startswith(TEST_BUCKET_PREFIX)
+
+
+def element_visibility(
+    this_bucket: str,
+    permitted_buckets: Sequence[str],
+    membership_col: str = "a2_p",
+):
+    """G7 visibility predicate (the reference's per-element ``isAllowed``,
+    TitanGraphBuildingUtils.java:901-919) as a pure Column expression: an
+    element is visible from ``this_bucket`` iff EVERY bucket path in its
+    ``a2_p`` membership list passes —
+
+    1. the element's path equals the reader's bucket (own data always
+       visible, even inside the test namespace);
+    2. otherwise it FAILS when either side is under ``/aleph2_testing/``
+       (test-vs-prod isolation both directions);
+    3. otherwise it passes iff the path is in the reader's permission
+       grants (the reference asks ISecurityService.isUserPermitted for
+       ``DataBucketBean:read,write:<path>`` — here the already-resolved
+       grant set, which is user-metadata-sized, not data-sized, so it
+       inlines as a literal array).
+
+    An empty or missing membership list is visible (no security applied —
+    the reference's "allMatch on empty stream" comment).
+
+    Pure predicate ⇒ Catalyst pushes it into the scan; no join, no UDF.
+    """
+    permitted = F.array(*[F.lit(p) for p in permitted_buckets])
+    reader_is_test = is_test_bucket(this_bucket)
+
+    def allowed(p):
+        same = p == F.lit(this_bucket)
+        cross_test = (
+            F.lit(True)
+            if reader_is_test
+            else p.startswith(TEST_BUCKET_PREFIX)
+        )
+        return same | (~cross_test & F.array_contains(permitted, p))
+
+    memb = F.coalesce(F.col(membership_col), F.array().cast("array<string>"))
+    return F.forall(memb, allowed)
+
+
+def filter_visible(
+    df: DataFrame,
+    this_bucket: str,
+    permitted_buckets: Sequence[str],
+    membership_col: str = "a2_p",
+) -> DataFrame:
+    """Apply :func:`element_visibility` to a vertex/edge table."""
+    return df.filter(
+        element_visibility(this_bucket, permitted_buckets, membership_col)
+    )
 
 
 def decompose(
@@ -72,6 +143,7 @@ def decompose(
                         F.lit(el.edge_name).alias("label"),
                         dst.alias("inV"),
                         src.alias("outV"),
+                        F.array(F.lit(bucket_path)).alias("a2_p"),
                     )
                 )
     vertices = v_parts[0]
@@ -80,7 +152,13 @@ def decompose(
     edges = e_parts[0]
     for p in e_parts[1:]:
         edges = edges.unionByName(p)
-    vertices = vertices.dropDuplicates(["key"]).withColumn("bucket_path", F.lit(bucket_path))
+    vertices = (
+        vertices.dropDuplicates(["key"])
+        .withColumn("bucket_path", F.lit(bucket_path))
+        # G7 membership list: which buckets contributed this element
+        # (reference GraphAnnotationBean.a2_p; merges union it)
+        .withColumn("a2_p", F.array(F.lit(bucket_path)))
+    )
     return vertices, edges
 
 
@@ -133,11 +211,19 @@ def merge_vertices(
     from pyspark.sql import Window
 
     w = Window.partitionBy("key").orderBy(*order)
-    return (
-        prioritized.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn", "__prio")
-    )
+    ranked = prioritized.withColumn("__rn", F.row_number().over(w))
+    if "a2_p" in prioritized.columns:
+        # G7: the winning row's membership list = union over ALL candidate
+        # rows of the key (the reference unions a2_p on merge so an element
+        # stays visible to every bucket that contributed it). Unbounded
+        # window over the same partitioning as the ranking window — Catalyst
+        # merges them into the one existing key shuffle, no extra exchange.
+        w_all = Window.partitionBy("key")
+        ranked = ranked.withColumn(
+            "a2_p",
+            F.array_distinct(F.flatten(F.collect_list("a2_p").over(w_all))),
+        )
+    return ranked.filter(F.col("__rn") == 1).drop("__rn", "__prio")
 
 
 def resolve_edges(edges: DataFrame, winners: DataFrame) -> DataFrame:
@@ -149,12 +235,25 @@ def resolve_edges(edges: DataFrame, winners: DataFrame) -> DataFrame:
     filters candidates to known vertices, finalEdgeGrouping:426+).
     """
     wk = winners.select(F.col("key").alias("__wk"))
-    out = (
-        edges.join(F.broadcast(wk), edges["inV"] == F.col("__wk"), "left_semi")
-        .join(F.broadcast(wk.withColumnRenamed("__wk", "__wk2")), edges["outV"] == F.col("__wk2"), "left_semi")
-        .dropDuplicates(["inV", "outV", "label"])
+    resolved = edges.join(
+        F.broadcast(wk), edges["inV"] == F.col("__wk"), "left_semi"
+    ).join(
+        F.broadcast(wk.withColumnRenamed("__wk", "__wk2")),
+        edges["outV"] == F.col("__wk2"),
+        "left_semi",
     )
-    return out
+    if "a2_p" in edges.columns:
+        # G7: merged edge keeps the union of contributing buckets (same
+        # membership-union rule as vertices); the dedup groupBy doubles as
+        # the union aggregation — still one shuffle.
+        others = [
+            c for c in edges.columns if c not in ("inV", "outV", "label", "a2_p")
+        ]
+        return resolved.groupBy("inV", "outV", "label").agg(
+            F.array_distinct(F.flatten(F.collect_list("a2_p"))).alias("a2_p"),
+            *[F.first(c).alias(c) for c in others],
+        )
+    return resolved.dropDuplicates(["inV", "outV", "label"])
 
 
 def build_graph(
@@ -165,7 +264,15 @@ def build_graph(
     bucket_path: str = "/",
 ) -> tuple[DataFrame, DataFrame]:
     """End-to-end G2→G6: decompose records, merge vertices against the
-    existing graph, resolve + merge edges. Idempotent on re-run."""
+    existing graph, resolve + merge edges. Idempotent on re-run.
+
+    G7 test isolation: a ``/aleph2_testing/`` bucket never consults the
+    existing production graph — its merge sees only its own batch
+    (reference TitanGraphBuildingUtils.java:294-296: isTestBucket ⇒ no
+    existing elements), so test runs cannot read or link to prod data."""
+    if is_test_bucket(bucket_path):
+        existing_vertices = None
+        existing_edges = None
     new_v, new_e = decompose(records, elements, bucket_path)
     winners = merge_vertices(existing_vertices, new_v)
     all_edges = (
@@ -470,6 +577,7 @@ def kcore_decomposition(
     dst_col: str = "dst",
     k: int = 2,
     max_rounds: int = 50,
+    return_degrees: bool = False,
 ) -> DataFrame:
     """k-core of an undirected graph: the maximal subgraph where every
     vertex keeps degree ≥ k — the standard peel for separating a dense
@@ -481,15 +589,22 @@ def kcore_decomposition(
     fixpoint is unique regardless of peel order. Returns the surviving
     canonical edge list (a, b), a < b.
 
-    Plan shape: each round is one groupBy(degree) + one semi-join of the
-    edge list against surviving vertices — edge bytes shrink
-    monotonically, and rounds are bounded by ``max_rounds`` (the peel
-    usually converges in a handful; raises if not, like
-    connected_components). Edge state is persisted per round and
-    released when the next materializes.
+    Plan shape — peel by REMOVAL, not retention: each round computes
+    degrees (the round's one edge-sized shuffle), then counts the
+    DROPPED vertex set (degree < k). Convergence (no drops) is detected
+    from that node-sized count BEFORE any new edge set is built, and the
+    prune applies the dropped set as a broadcast ANTI-join whenever it
+    fits (``broadcast_drop_cap``): on a monotone peel the dropped set is
+    typically a sliver of the graph, so pruning is map-side — no edge
+    shuffle at all — where the retention formulation paid two edge-sized
+    semi-join shuffles per round. Falls back to survivor semi-joins for
+    avalanche rounds that drop more than the cap. Rounds are bounded by
+    ``max_rounds`` (raises if exceeded, like connected_components); edge
+    state is persisted per round and released when the next materializes.
     """
     from pyspark import StorageLevel
 
+    broadcast_drop_cap = 500_000  # rows; ~8 MB of bigints per side
     a = F.least(F.col(src_col), F.col(dst_col)).alias("a")
     b = F.greatest(F.col(src_col), F.col(dst_col)).alias("b")
     e = (
@@ -499,27 +614,49 @@ def kcore_decomposition(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     n_edges = e.count()
+
+    def _empty_degrees():
+        return e.select(F.col("a").alias("n")).withColumn(
+            "d", F.lit(0).cast("long")
+        ).limit(0)
+
     for _ in range(max_rounds):
         if n_edges == 0:
-            return e
+            return _empty_degrees() if return_degrees else e
         deg = (
             e.select(F.col("a").alias("n"))
             .unionByName(e.select(F.col("b").alias("n")))
             .groupBy("n")
             .agg(F.count(F.lit(1)).alias("d"))
-        )
-        keep = deg.filter(F.col("d") >= k).select("n")
-        pruned = (
-            e.join(keep.withColumnRenamed("n", "a"), "a", "left_semi")
-            .join(keep.withColumnRenamed("n", "b"), "b", "left_semi")
-            .select("a", "b")
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        n_pruned = pruned.count()
+        dropped = deg.filter(F.col("d") < k).select("n")
+        n_dropped = dropped.count()
+        if n_dropped == 0:
+            if return_degrees:
+                # deg stays persisted — it is the result
+                return deg.select("n", "d")
+            deg.unpersist()
+            return e
+        if n_dropped <= broadcast_drop_cap:
+            pruned = (
+                e.join(F.broadcast(dropped.withColumnRenamed("n", "a")), "a", "left_anti")
+                .join(F.broadcast(dropped.withColumnRenamed("n", "b")), "b", "left_anti")
+                .select("a", "b")
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
+        else:
+            keep = deg.filter(F.col("d") >= k).select("n")
+            pruned = (
+                e.join(keep.withColumnRenamed("n", "a"), "a", "left_semi")
+                .join(keep.withColumnRenamed("n", "b"), "b", "left_semi")
+                .select("a", "b")
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
+        n_edges = pruned.count()
         e.unpersist()
-        if n_pruned == n_edges:
-            return pruned
-        e, n_edges = pruned, n_pruned
+        deg.unpersist()
+        e = pruned
     raise RuntimeError(
         f"kcore_decomposition did not converge in {max_rounds} rounds; "
         "raise max_rounds for pathologically deep peel sequences"

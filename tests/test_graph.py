@@ -241,3 +241,87 @@ def test_kcore_fixpoint_partition_independent(spark):
     a = {(r.a, r.b) for r in kcore_decomposition(edges, k=3).collect()}
     b = {(r.a, r.b) for r in kcore_decomposition(edges.repartition(11), k=3).collect()}
     assert a == b
+
+
+# ------------------------------------------------- G7 visibility
+
+
+def test_visibility_rules(spark):
+    """element_visibility replicates the reference isAllowed matrix:
+    own-bucket always visible, test-vs-prod isolated both ways, foreign
+    prod buckets need a grant, empty membership is unsecured."""
+    from aleph2_contrib_spark.operators.graph import filter_visible
+
+    rows = [
+        Row(key="own", a2_p=["/prod/a"]),
+        Row(key="granted", a2_p=["/prod/b"]),
+        Row(key="denied", a2_p=["/prod/c"]),
+        Row(key="mixed_denied", a2_p=["/prod/a", "/prod/c"]),  # ALL must pass
+        Row(key="test_elem", a2_p=["/aleph2_testing/x"]),
+        Row(key="open", a2_p=[]),
+    ]
+    df = spark.createDataFrame(rows, "key string, a2_p array<string>")
+    vis = {r.key for r in filter_visible(df, "/prod/a", ["/prod/b"]).collect()}
+    assert vis == {"own", "granted", "open"}
+
+    # reader inside the test namespace: sees ONLY its own bucket (+open),
+    # even with grants on prod buckets
+    vis_t = {
+        r.key
+        for r in filter_visible(
+            df.unionByName(
+                spark.createDataFrame(
+                    [Row(key="own_test", a2_p=["/aleph2_testing/x"])],
+                    "key string, a2_p array<string>",
+                )
+            ),
+            "/aleph2_testing/x",
+            ["/prod/a", "/prod/b"],
+        ).collect()
+    }
+    assert vis_t == {"test_elem", "own_test", "open"}
+
+
+def test_merge_unions_membership(spark, records):
+    """G7: the winning vertex keeps the UNION of contributing buckets."""
+    v, _ = decompose(records, EL, bucket_path="/prod/new")
+    existing = spark.createDataFrame(
+        [
+            Row(
+                key=Row(name="10.0.0.1", type="ip"),
+                label="ip_EXISTING",
+                bucket_path="/prod/old",
+                a2_p=["/prod/old"],
+            )
+        ]
+    )
+    merged = {r["key"]["name"]: r for r in merge_vertices(existing, v).collect()}
+    assert merged["10.0.0.1"]["label"] == "ip_EXISTING"  # existing wins
+    assert sorted(merged["10.0.0.1"]["a2_p"]) == ["/prod/new", "/prod/old"]
+    assert merged["10.0.0.3"]["a2_p"] == ["/prod/new"]
+
+
+def test_resolve_edges_unions_membership(spark, records):
+    """G7: deduped edges keep the union of contributing buckets."""
+    va, ea = decompose(records, EL, bucket_path="/prod/a")
+    vb, eb = decompose(records, EL, bucket_path="/prod/b")
+    winners = merge_vertices(va, vb)
+    out = resolve_edges(ea.unionByName(eb), winners)
+    for r in out.collect():
+        assert sorted(r["a2_p"]) == ["/prod/a", "/prod/b"]
+
+
+def test_build_graph_test_bucket_isolated(spark, records):
+    """G7: a /aleph2_testing/ bucket merges against NOTHING — the existing
+    production graph is invisible to it."""
+    pv, pe = build_graph(records, EL, bucket_path="/prod/a")
+    tv, te = build_graph(
+        records,
+        EL,
+        existing_vertices=pv,
+        existing_edges=pe,
+        bucket_path="/aleph2_testing/t",
+    )
+    # identical to a fresh build: no prod labels/membership leaked in
+    assert {r["a2_p"][0] for r in tv.collect()} == {"/aleph2_testing/t"}
+    assert all(len(r["a2_p"]) == 1 for r in te.collect())
