@@ -25,6 +25,27 @@ from aleph2_contrib_spark.plans.pipeline import EnrichmentModule, Pipeline, Stag
 from aleph2_contrib_spark.sources.tables import load_table
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _stream_shuffle(spark: SparkSession, n: int = 8):
+    """Scope spark.sql.shuffle.partitions around a streaming query START.
+
+    Streaming state/agg partition counts are frozen at query start (AQE is
+    disabled for streams), and the default 32 means 32 state stores + 32
+    Python workers for gates whose streams carry a handful of keys — pure
+    fixed cost. 8 partitions carry the same keys at 4x less overhead.
+    Restoring immediately after ``.start()`` is safe (the plan is already
+    compiled) and leaves every batch query in the session untouched."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
@@ -767,7 +788,8 @@ def streaming_pipeline_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = json_file_stream(
         spark, src, "event_id string, event_type string, value double", max_files_per_trigger=2
     )
-    q = runner.start(stream)
+    with _stream_shuffle(spark):
+        q = runner.start(stream)
     q.awaitTermination(300)
     partials = spark.read.parquet(sink_dir)
     # merge per-micro-batch partials (decimal-exact)
@@ -808,13 +830,14 @@ def streaming_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         state_schema="total long",
     )
     sink_dir = tempfile.mkdtemp(prefix="a2s_state_out_")
-    q = (
-        running.writeStream.format("parquet")
-        .option("path", sink_dir)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="a2s_state_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
+    with _stream_shuffle(spark):
+        q = (
+            running.writeStream.format("parquet")
+            .option("path", sink_dir)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="a2s_state_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
     q.awaitTermination(300)
     return (
         spark.read.parquet(sink_dir)
@@ -2620,9 +2643,7 @@ def streaming_join_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the stream-stream join keeps 4 state stores per shuffle partition;
     # 8 partitions bound that fixed cost at gate scale (a production run
     # sizes this to its key cardinality, not the session default)
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
+    with _stream_shuffle(spark):
         q = (
             joined.select(F.col("c_user").alias("user_id"), "c_id", "p_id")
             .writeStream.format("parquet")
@@ -2631,9 +2652,7 @@ def streaming_join_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    q.awaitTermination(300)
     return (
         spark.read.parquet(sink_dir)
         .groupBy("user_id")
@@ -2977,24 +2996,31 @@ def streaming_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = apply_stateful(
         stream,
         ["user"],
-        SessionWindowModule(timeout_ms=1_500),
+        # 800 ms idle budget: the single batch sets every key's timer in
+        # one trigger, so the only constraint is that the timer outlives
+        # that batch's own processing — it does by construction
+        # (ProcessingTimeTimeout is measured from state-update time).
+        # Shorter idle + faster trigger/poll cuts ~1.5 s of pure waiting
+        # from the gate without touching semantics.
+        SessionWindowModule(timeout_ms=800),
         output_schema="key string, n_events long, v_min double, v_max double",
         state_schema="n long, v_min double, v_max double",
         timeout="ProcessingTimeTimeout",
     )
     collected: list = []
-    q = (
-        out.writeStream.foreachBatch(
-            lambda df, bid: collected.extend(r.asDict() for r in df.collect())
+    with _stream_shuffle(spark):
+        q = (
+            out.writeStream.foreachBatch(
+                lambda df, bid: collected.extend(r.asDict() for r in df.collect())
+            )
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="a2s_sess_ckpt_"))
+            .trigger(processingTime="250 milliseconds")
+            .start()
         )
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="a2s_sess_ckpt_"))
-        .trigger(processingTime="500 milliseconds")
-        .start()
-    )
     try:
         deadline = _time.time() + 120
         while len(collected) < n_keys and _time.time() < deadline:
-            _time.sleep(0.5)
+            _time.sleep(0.2)
     finally:
         q.stop()
     return spark.createDataFrame(
@@ -3009,12 +3035,13 @@ def streaming_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermarked ``dropDuplicatesWithinWatermark``
     (streaming/runner.py:111) — cross-micro-batch dedup state must
     collapse the second copy of every document regardless of which batch
-    it lands in. Result = one (doc_id, fp) row per distinct document,
-    equal to the batch DISTINCT — ingest-dedup correctness as an
-    oracle-checked invariant (previously pytest-only; VERDICT r4 ungated
-    list). Safe to return doc_id: copies of a document share it, and no
-    two documents share a fingerprint, so the surviving row is
-    deterministic whatever the batch interleaving."""
+    it lands in. Result = one row per distinct FINGERPRINT, equal to the
+    batch DISTINCT — ingest-dedup correctness as an oracle-checked
+    invariant (previously pytest-only; VERDICT r4 ungated list). The
+    gate returns fp only: which copy survives a collision is
+    arrival-order-dependent, and larger SFs contain genuine intra-corpus
+    duplicate texts (sf0.1: 5000 docs, 4992 fingerprints) that the
+    stream must also collapse — the fp set is the deterministic part."""
     import tempfile
 
     from aleph2_contrib_spark.streaming.runner import (
@@ -3042,15 +3069,16 @@ def streaming_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deduped = streaming_dedup(stream, ["fp"], "event_time", "1 hour")
     sink_dir = tempfile.mkdtemp(prefix="a2s_sdedup_out_")
-    q = (
-        deduped.writeStream.format("parquet")
-        .option("path", sink_dir)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="a2s_sdedup_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
+    with _stream_shuffle(spark):
+        q = (
+            deduped.writeStream.format("parquet")
+            .option("path", sink_dir)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="a2s_sdedup_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
     q.awaitTermination(300)
-    return spark.read.parquet(sink_dir).select("doc_id", "fp")
+    return spark.read.parquet(sink_dir).select("fp")
 
 
 def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3454,7 +3482,7 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY event_type
         """,
         "streaming_dedup_gate": r"""
-            SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+            SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
             FROM documents
         """,
         "graph_visibility": """
