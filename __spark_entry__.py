@@ -2586,6 +2586,17 @@ def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix (operators/events.retention_cohorts):
+    users bucketed by first-event week, distinct-active counts per
+    (cohort, week offset). One user-keyed shuffle + a tiny rollup; exact
+    integral offsets (both sides week-truncated)."""
+    from aleph2_contrib_spark.operators.events import retention_cohorts
+
+    ev = _t(spark, sf_dir, "events")
+    return retention_cohorts(ev)
+
+
 def sketch_quantile_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group quantile sketch (operators/sketch.
     histogram_quantiles_by_group over profile.numeric_histogram_by_group):
@@ -3148,16 +3159,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver gate grades the FIRST 50 entries
     # each round. Round-5 rotation (VERDICT r4 items 1-2 + standing rule 8:
     # window = all new/changed gates + oldest-verified fill):
-    # (1) the five NEW oracle gates (graph_kcore, streaming_session_timeout,
-    # streaming_dedup_gate, text_quality_classifier, graph_visibility) plus
+    # (1) the six NEW oracle gates (graph_kcore, streaming_session_timeout,
+    # streaming_dedup_gate, text_quality_classifier, graph_visibility,
+    # events_retention_cohorts) plus
     # graph_merge_incremental, whose merge/resolve path changed this round
     # (G7 membership unions) and which VERDICT r4 item 5 flags for a
     # fresh check,
     # (2) the 6 queries last driver-checked in round 1, (3) the 44 last
-    # checked in round 2 — with the six lowest-risk pure-function gates
+    # checked in round 2 — with the seven lowest-risk pure-SQL gates
     # (window_lag_lead_delta, window_ntile_quartiles, math_funcs,
-    # regexp_funcs, explode_top_tokens, q13_order_count_distribution)
-    # placed at slots 51-56; they are verified by the local harness
+    # regexp_funcs, explode_top_tokens, q13_order_count_distribution,
+    # q17_small_quantity_revenue)
+    # placed at slots 51-57; they are verified by the local harness
     # (tools/check_correctness.py, the identical differential check) this
     # round and rotate into the driver window next, (4) round-3-verified,
     # then round-4-verified (freshest) last.
@@ -3168,6 +3181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup_gate": streaming_dedup_gate,
         "text_quality_classifier": text_quality_classifier,
         "graph_visibility": graph_visibility,
+        "events_retention_cohorts": events_retention_cohorts,
         "graph_merge_incremental": graph_merge_incremental,
         # -- (2) last driver-checked in round 1 ---------------------------
         "cond_agg_priority_share": cond_agg_priority_share,
@@ -3195,7 +3209,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_combiner_partial_agg": pipeline_combiner_partial_agg,
         "q15_top_supplier": q15_top_supplier,
         "q16_supplier_part_counts": q16_supplier_part_counts,
-        "q17_small_quantity_revenue": q17_small_quantity_revenue,
         "q18_large_volume_customers": q18_large_volume_customers,
         "q19_disjunctive_predicates": q19_disjunctive_predicates,
         "q1_pricing_summary": q1_pricing_summary,
@@ -3228,6 +3241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regexp_funcs": regexp_funcs,
         "explode_top_tokens": explode_top_tokens,
         "q13_order_count_distribution": q13_order_count_distribution,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
         # -- (4) round-3-verified, then round-4-verified ------------------
         "sketch_hll_by_group": sketch_hll_by_group,
         "streaming_join_gate": streaming_join_gate,
@@ -3480,6 +3494,19 @@ def oracle_sql() -> dict[str, str]:
         "streaming_stateful_counts": """
             SELECT event_type AS key, count(*) AS final_total
             FROM events GROUP BY event_type
+        """,
+        "events_retention_cohorts": """
+            WITH a AS (
+                SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk FROM events
+            ), c AS (
+                SELECT user_id, min(wk) AS cohort FROM a GROUP BY user_id
+            ), act AS (
+                SELECT DISTINCT a.user_id, c.cohort, a.wk
+                FROM a JOIN c ON a.user_id = c.user_id
+            )
+            SELECT cohort, CAST(date_diff('day', cohort, wk) // 7 AS INT) AS offset_weeks,
+                   count(*) AS n_users
+            FROM act GROUP BY 1, 2
         """,
         "streaming_dedup_gate": r"""
             SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp

@@ -244,3 +244,38 @@ def basket_pair_lift(
         .orderBy(F.col("lift_f6").desc(), F.col("item_a").asc(), F.col("item_b").asc())
         .limit(top_n)
     )
+
+
+def retention_cohorts(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly cohort retention matrix — the standard product-analytics
+    rollup: users are grouped into the week of their FIRST event (their
+    cohort); for every (cohort_week, offset) cell, the number of cohort
+    users active ``offset`` weeks later. Generalizes the reference's
+    temporal bucketing (grouping_time_period index routing,
+    ElasticsearchContext.java:532-546) from storage layout to an
+    analytic rollup over it.
+
+    Returns (cohort, offset_weeks, n_users), offset 0 = the cohort week
+    itself (n_users there = cohort size).
+
+    Plan shape at scale: one shuffle keyed on the user (window-min for
+    the cohort anchor), one distinct over (user, cohort, week) that
+    reuses the same hash partitioning, then a tiny cohort×offset
+    aggregate — no self-joins, no per-week passes. Offsets use integral
+    ``div`` on day counts (both sides are week-truncated, so the
+    division is exact in any engine)."""
+    wk = F.date_trunc("week", F.col(ts_col)).cast("date")
+    base = df.select(F.col(user_col).alias("u"), wk.alias("wk"))
+    anch = base.withColumn("cohort", F.min("wk").over(Window.partitionBy("u")))
+    active = anch.select("u", "cohort", "wk").distinct()
+    return (
+        active.groupBy(
+            "cohort",
+            F.expr("CAST(datediff(wk, cohort) div 7 AS INT)").alias("offset_weeks"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

@@ -224,3 +224,32 @@ def test_scd2_property_vs_python_reference(spark):
         assert got == want
 
     run()
+
+
+def test_retention_cohorts_hand_case(spark):
+    """Two cohorts; offsets count distinct users per later week, multiple
+    same-week events collapse to one."""
+    from aleph2_contrib_spark.operators.events import retention_cohorts
+
+    T = dt.datetime
+    rows = [
+        # user 1: first event week of 2024-01-01 (Mon), active wk0 + wk1
+        Row(user_id=1, ts=T(2024, 1, 2, 10)),
+        Row(user_id=1, ts=T(2024, 1, 3, 9)),   # same week, must not double count
+        Row(user_id=1, ts=T(2024, 1, 9, 8)),   # next week
+        # user 2: same cohort, active wk0 only
+        Row(user_id=2, ts=T(2024, 1, 4, 12)),
+        # user 3: cohort of 2024-01-08, active wk0 + wk2
+        Row(user_id=3, ts=T(2024, 1, 8, 0)),
+        Row(user_id=3, ts=T(2024, 1, 22, 5)),
+    ]
+    out = {
+        (r["cohort"].isoformat(), r["offset_weeks"]): r["n_users"]
+        for r in retention_cohorts(spark.createDataFrame(rows)).collect()
+    }
+    assert out == {
+        ("2024-01-01", 0): 2,
+        ("2024-01-01", 1): 1,
+        ("2024-01-08", 0): 1,
+        ("2024-01-08", 2): 1,
+    }
