@@ -188,7 +188,11 @@ def bench_graph_ops(spark, n_edges, label):
     (linear in edges); triangle counting's wedge volume is Σ outdeg² —
     constant-degree growth keeps it linear, and the degree orientation is
     what stops a hub from breaking that."""
-    from aleph2_contrib_spark.operators.graph import pagerank, triangle_count
+    from aleph2_contrib_spark.operators.graph import (
+        kcore_decomposition,
+        pagerank,
+        triangle_count,
+    )
 
     nv = max(n_edges // 15, 10)
     e = spark.range(n_edges).select(
@@ -206,6 +210,10 @@ def bench_graph_ops(spark, n_edges, label):
 
     run("pagerank3", lambda: pagerank(e, iterations=3).agg(F.sum("rank_f6")).collect())
     run("triangles", lambda: triangle_count(e).collect())
+    # peel at a threshold inside the degree distribution (avg degree ~30
+    # after dedup): several rounds, non-trivial dropped sets — exercises
+    # the broadcast-anti-join prune
+    run("kcore", lambda: kcore_decomposition(e, k=25).count())
     e.unpersist()
     print(label, out, flush=True)
     return out
