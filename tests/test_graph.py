@@ -325,3 +325,33 @@ def test_build_graph_test_bucket_isolated(spark, records):
     # identical to a fresh build: no prod labels/membership leaked in
     assert {r["a2_p"][0] for r in tv.collect()} == {"/aleph2_testing/t"}
     assert all(len(r["a2_p"]) == 1 for r in te.collect())
+
+
+def test_kcore_driver_and_distributed_paths_agree(spark):
+    """The hybrid contract: driver-exact peel (edges under the cap) and
+    the distributed removal loop (cap=0 forces it) reach the identical
+    unique fixpoint, in both edge-list and degree forms."""
+    import random
+
+    from aleph2_contrib_spark.operators.graph import kcore_decomposition
+
+    rng = random.Random(11)
+    rows = [Row(src=rng.randrange(40), dst=rng.randrange(40)) for _ in range(400)]
+    edges = spark.createDataFrame(rows)
+    drv = {(r.a, r.b) for r in kcore_decomposition(edges, k=4).collect()}
+    dist = {
+        (r.a, r.b)
+        for r in kcore_decomposition(edges, k=4, driver_max_edges=0).collect()
+    }
+    assert drv == dist and len(drv) > 0
+    ddeg = {
+        (r.n, r.d)
+        for r in kcore_decomposition(edges, k=4, return_degrees=True).collect()
+    }
+    sdeg = {
+        (r.n, r.d)
+        for r in kcore_decomposition(
+            edges, k=4, return_degrees=True, driver_max_edges=0
+        ).collect()
+    }
+    assert ddeg == sdeg and len(ddeg) > 0
