@@ -371,18 +371,36 @@ def _fetch_and_verify(
 
     def _fits_broadcast(base: DataFrame) -> bool:
         # Row count is metadata-cheap (parquet/table stats or the persisted
-        # block sizes); the avg payload length comes from a bounded sample —
-        # a full avg(size(payload)) would decompress the heavy array column
-        # of the ENTIRE corpus store on every incremental run. The 1.3×
-        # slack absorbs sample bias; a misestimate only flips the
-        # broadcast/shuffle strategy, never correctness.
+        # block sizes). Average payload length, in preference order:
+        # - sig payload: structurally num_hashes — no scan at all;
+        # - hs with the store's precomputed n_hs scalar: EXACT avg over a
+        #   cheap int column (no array decompress);
+        # - else a hash-SPREAD sample (~2048 rows selected by id hash, so
+        #   it cannot be fooled by length-sorted storage the way a
+        #   partition-order limit() prefix can — review finding: a
+        #   length-sorted store made the prefix underestimate by orders of
+        #   magnitude and wrongly broadcast a multi-GB side, which is an
+        #   OOM, not just a strategy flip).
         n = base.count()
         if n == 0:
             return False
-        s = base.select(F.size(F.col(payload)).alias("l")).limit(2048).agg(
-            F.avg("l").alias("avg_len")
-        ).collect()[0]
-        est_bytes = int(n * (s["avg_len"] or 0) * 8 * 1.3)
+        if payload == "sig":
+            avg_len = float(num_hashes)
+        elif "n_hs" in base.columns:
+            avg_len = (
+                base.agg(F.avg("n_hs").alias("avg_len")).collect()[0]["avg_len"]
+                or 0.0
+            )
+        else:
+            step = max(1, n // 2048)
+            s = (
+                base.filter(F.pmod(F.xxhash64(F.col("id")), F.lit(step)) == 0)
+                .select(F.size(F.col(payload)).alias("l"))
+                .agg(F.avg("l").alias("avg_len"))
+                .collect()[0]
+            )
+            avg_len = s["avg_len"] or 0.0
+        est_bytes = int(n * avg_len * 8 * 1.3)
         return bool(est_bytes) and est_bytes < _BROADCAST_PAYLOAD_CAP
 
     fits_a = _fits_broadcast(base_a)
@@ -606,7 +624,11 @@ def dedup_against_corpus(
         exact_old = existing_df.select(txh.alias("__txh"))
     # PERSISTED: ``fresh`` feeds both the signature chain and the final
     # anti-join — without the barrier the exact-dedup anti-join (a corpus
-    # __txh scan) re-runs per consumer.
+    # __txh scan) re-runs per consumer. The cache stays referenced by the
+    # returned plan, so the operator cannot release it; blocks are
+    # LRU-evictable (MEMORY_AND_DISK), but sessions running many batches
+    # should materialize the result and spark.catalog.clearCache()
+    # between batches to keep the storage pool clean.
     from pyspark import StorageLevel
 
     fresh = (
@@ -1393,6 +1415,24 @@ def containment_pairs(
                 break
             cap = tf
         max_shingle_freq = max(cap, 32)
+        max_tf = hist[-1][0] if hist else 0
+        if max_tf > max_shingle_freq:
+            # the cap is actually shedding hot shingles on THIS corpus —
+            # candidate generation loses pairs whose only shared shingles
+            # are hotter than the cap. Never silent (review finding):
+            # callers who need exact semantics pass max_shingle_freq=None.
+            import warnings
+
+            n_dropped_tokens = sum(n for tf, n in hist if tf > max_shingle_freq)
+            warnings.warn(
+                "containment_pairs auto cap engaged: dropping "
+                f"{n_dropped_tokens} shingles with corpus frequency > "
+                f"{max_shingle_freq} (max observed {max_tf}) from candidate "
+                "generation — recall may be reduced for pairs sharing only "
+                "ultra-common shingles; pass max_shingle_freq=None for "
+                "exact (quadratic-risk) semantics",
+                stacklevel=2,
+            )
     if max_shingle_freq is not None:
         ok = freq.filter(F.col("tf") <= F.lit(int(max_shingle_freq))).select("tok")
         prefixes = prefixes.join(ok, "tok", "left_semi")

@@ -642,20 +642,18 @@ def kcore_decomposition(
         pdf = e.toPandas()
         A = pdf["a"].to_numpy()
         B = pdf["b"].to_numpy()
-        for _ in range(max_rounds):
-            if len(A) == 0:
-                break
+        # No max_rounds here: that bound exists to cap DISTRIBUTED rounds
+        # (each a full job); driver rounds cost microseconds and every
+        # iteration strictly shrinks the edge set, so termination is
+        # guaranteed within n_edges iterations — exactly the deep-peel
+        # workload this path exists for.
+        while len(A) > 0:
             nodes, counts = np.unique(np.concatenate([A, B]), return_counts=True)
             alive = nodes[counts >= k]
             if len(alive) == len(nodes):
                 break
             mask = np.isin(A, alive) & np.isin(B, alive)
             A, B = A[mask], B[mask]
-        else:
-            raise RuntimeError(
-                f"kcore_decomposition did not converge in {max_rounds} rounds; "
-                "raise max_rounds for pathologically deep peel sequences"
-            )
         from pyspark.sql import types as T
 
         spark = edges.sparkSession
@@ -674,20 +672,24 @@ def kcore_decomposition(
                 ),
             )
         if len(A) == 0:
-            return e.limit(0)
+            out = e.limit(0)
+            e.unpersist()
+            return out
         import pandas as pd
 
-        core_nodes = spark.createDataFrame(
-            pd.DataFrame({"n": np.unique(np.concatenate([A, B]))}),
-            schema=T.StructType([T.StructField("n", node_type)]),
+        # re-upload the surviving edges (bounded: ≤ driver_max_edges rows
+        # ≈ 32 MB at the default cap) rather than semi-joining against the
+        # persisted canonical list — the result then has no lineage on
+        # ``e``, so the cache is released here instead of leaking a
+        # MEMORY_AND_DISK copy per call into the session's storage pool
+        out = spark.createDataFrame(
+            pd.DataFrame({"a": A, "b": B}),
+            schema=T.StructType(
+                [T.StructField("a", node_type), T.StructField("b", node_type)]
+            ),
         )
-        # filter the persisted canonical edges instead of re-uploading the
-        # (possibly barely-shrunk) core: two broadcast semi-joins, map-side
-        return e.join(
-            F.broadcast(core_nodes.withColumnRenamed("n", "a")), "a", "left_semi"
-        ).join(
-            F.broadcast(core_nodes.withColumnRenamed("n", "b")), "b", "left_semi"
-        )
+        e.unpersist()
+        return out
 
     for _ in range(max_rounds):
         if n_edges == 0:
@@ -703,7 +705,10 @@ def kcore_decomposition(
         n_dropped = dropped.count()
         if n_dropped == 0:
             if return_degrees:
-                # deg stays persisted — it is the result
+                # deg stays persisted — it is the result (already
+                # materialized by the count above, so dropping e's cache
+                # does not trigger recompute)
+                e.unpersist()
                 return deg.select("n", "d")
             deg.unpersist()
             return e

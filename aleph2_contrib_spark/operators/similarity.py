@@ -114,8 +114,12 @@ def deterministic_vector_sample(
     beside the scan, no sort anywhere) that passes ~4× sample_rows rows,
     and a driver-side sort of just those. The selected SET is the global
     hash-order prefix, so the result is identical across partitionings
-    and runs; the vanishingly-unlikely undersample (Chernoff bound at 4×
-    oversampling) falls back to collecting the full hash column."""
+    and runs. The undersample fallback is a TakeOrdered top-k — BOUNDED
+    at sample_rows driver rows. (It is NOT vanishingly unlikely on every
+    corpus: duplicate vectors share one hash, so the threshold filter
+    passes whole duplicate-groups or none — a corpus of few distinct
+    vectors routinely lands here, and an unbounded collect would pull
+    the entire corpus to the driver.)"""
     h = F.xxhash64(F.col(vec_col), F.lit(seed))
     cnt = df.count()
     if cnt == 0:
@@ -131,8 +135,17 @@ def deterministic_vector_sample(
             .filter((F.col("h") >= 0) & (F.col("h") < F.lit(cap)))
             .collect()
         )
-        if len(cand) < sample_rows:  # statistical fluke: widen to exact
-            cand = df.select(F.col(vec_col).alias("v"), h.alias("h")).collect()
+        if len(cand) < sample_rows:
+            # undersample (duplicate-heavy corpus or statistical fluke):
+            # exact global top-k by unsigned hash — TakeOrderedAndProject,
+            # ≤ sample_rows rows to the driver, same set as the prefix
+            # (unsigned order = non-negatives ascending, then negatives)
+            cand = (
+                df.select(F.col(vec_col).alias("v"), h.alias("h"))
+                .orderBy((F.col("h") < 0).asc(), F.col("h").asc())
+                .limit(sample_rows)
+                .collect()
+            )
         rows = cand
     rows.sort(key=lambda r: r["h"] & ((1 << 64) - 1))
     return [r["v"] for r in rows[:sample_rows]]

@@ -91,8 +91,8 @@ def quality_classifier_score(
     order-independent and bit-stable across engines at any scale — no
     float-summation drift.
 
-    Returns ``(id, n_features, score_fx, keep)`` where ``keep =
-    score_fx + bias_fx >= threshold_fx``.
+    Returns ``(id, n_features, score_fx, keep)``; ``score_fx`` already
+    includes ``bias_fx``, and ``keep = score_fx >= threshold_fx``.
 
     Generalizes the reference's per-record scoring/enrichment stage
     (EnrichmentPipelineService batch modules) to a declared, optimizable
