@@ -253,3 +253,19 @@ def test_retention_cohorts_hand_case(spark):
         ("2024-01-08", 0): 1,
         ("2024-01-08", 2): 1,
     }
+
+
+def test_retention_cohorts_partition_invariant(spark):
+    """Cohort matrix is independent of input partitioning."""
+    from aleph2_contrib_spark.operators.events import retention_cohorts
+
+    T = dt.datetime
+    rows = [
+        Row(user_id=u, ts=T(2024, 1, 1 + (u * 7 + i * 3) % 25, 8))
+        for u in range(1, 30)
+        for i in range(4)
+    ]
+    df = spark.createDataFrame(rows)
+    a = sorted(map(tuple, retention_cohorts(df).collect()))
+    b = sorted(map(tuple, retention_cohorts(df.repartition(11)).collect()))
+    assert a == b and len(a) > 3

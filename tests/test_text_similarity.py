@@ -337,3 +337,13 @@ def test_quality_classifier_threshold_and_plan(spark):
     assert flipped.keep is False  # threshold just above own score
     plan = txt.quality_classifier_score(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_quality_classifier_partition_invariant(spark):
+    """Scores are per-row pure functions — partitioning cannot change them."""
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=f"alpha beta w{i} gamma {i%7}") for i in range(50)]
+    )
+    a = sorted(map(tuple, txt.quality_classifier_score(df).collect()))
+    b = sorted(map(tuple, txt.quality_classifier_score(df.repartition(9)).collect()))
+    assert a == b and len(a) == 50
