@@ -2,7 +2,12 @@
 on Spark and its oracle_sql() on DuckDB over the same parquet tables, then
 compare row count, column names, and order-insensitive values.
 
-Usage: python tools/check_correctness.py [sf_dir] [query ...]
+Usage: python tools/check_correctness.py [sf_dir] [query ...] [--json OUT]
+
+``--json OUT`` additionally writes a machine-readable result file
+({name: {status, rows, sec}} + summary) — committed per round as
+CORRECTNESS_local_r*.json so the FULL registry's local verification is
+auditable alongside the driver's 50-query window.
 """
 
 from __future__ import annotations
@@ -40,8 +45,15 @@ def canon(rows, cols):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
+    results: dict[str, dict] = {}
 
     spark = get_spark("correctness-check")
     con = duckdb.connect()
@@ -61,6 +73,7 @@ def main():
             scols = sdf.columns
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
+            results[name] = {"status": "fail", "err": f"spark error: {e}"[:300]}
             n_fail += 1
             continue
         # The DRIVER's canonicalizer sorts a pandas frame by every column
@@ -78,10 +91,13 @@ def main():
                     "the driver gate cannot canonicalize these; emit a scalar "
                     "(concat_ws/to_json/hash) instead"
                 )
+                results[name] = {"status": "fail", "err": f"array cols {bad_cols}"}
                 n_fail += 1
                 continue
         if name not in oracles:
             print(f"rows-only {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
+            results[name] = {"status": "rows_only", "rows": len(srows),
+                             "sec": round(time.time() - t0, 2)}
             continue
         try:
             res = con.execute(oracles[name])
@@ -89,6 +105,7 @@ def main():
             drows = res.fetchall()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
+            results[name] = {"status": "fail", "err": f"duckdb error: {e}"[:300]}
             n_fail += 1
             continue
         ok = True
@@ -108,11 +125,22 @@ def main():
                 msgs.append(f"values differ; first diffs: {diffs}")
         if ok:
             print(f"PASS {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
+            results[name] = {"status": "pass", "rows": len(srows),
+                             "sec": round(time.time() - t0, 2)}
             n_pass += 1
         else:
             print(f"FAIL {name}: {'; '.join(msgs)}")
+            results[name] = {"status": "fail", "err": "; ".join(msgs)[:300]}
             n_fail += 1
     print(f"\n{n_pass} pass, {n_fail} fail")
+    if json_out:
+        import json as _json
+
+        payload = {"sf_dir": sf_dir, "n_pass": n_pass, "n_fail": n_fail,
+                   "n_queries": len(results), "results": results}
+        with open(json_out, "w") as f:
+            _json.dump(payload, f, indent=1, sort_keys=True)
+        print(f"wrote {json_out}")
     return 1 if n_fail else 0
 
 
