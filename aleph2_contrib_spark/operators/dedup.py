@@ -1406,6 +1406,11 @@ def containment_pairs(
             (r["tf"], r["n"]) for r in
             freq.groupBy("tf").agg(F.count(F.lit(1)).alias("n")).collect()
         )
+        # cache served only the histogram job above; release it here rather
+        # than leaking one cached table per call into the session storage
+        # pool (the ok semi-join below recomputes freq — one token-count
+        # aggregation — inside the consumer's job)
+        freq.unpersist()
         total = sum(tf * n for tf, n in hist)
         budget = cost_factor * total
         run_cost, cap = 0, 0

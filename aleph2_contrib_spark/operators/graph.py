@@ -219,9 +219,12 @@ def merge_vertices(
         # window over the same partitioning as the ranking window — Catalyst
         # merges them into the one existing key shuffle, no extra exchange.
         w_all = Window.partitionBy("key")
+        # array_sort makes the persisted membership list bit-stable across
+        # runs/partitionings: collect_list order depends on shuffle arrival,
+        # and membership is a set, so sorting is semantics-free.
         ranked = ranked.withColumn(
             "a2_p",
-            F.array_distinct(F.flatten(F.collect_list("a2_p").over(w_all))),
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("a2_p").over(w_all)))),
         )
     return ranked.filter(F.col("__rn") == 1).drop("__rn", "__prio")
 
@@ -249,10 +252,23 @@ def resolve_edges(edges: DataFrame, winners: DataFrame) -> DataFrame:
         others = [
             c for c in edges.columns if c not in ("inV", "outV", "label", "a2_p")
         ]
-        return resolved.groupBy("inV", "outV", "label").agg(
-            F.array_distinct(F.flatten(F.collect_list("a2_p"))).alias("a2_p"),
-            *[F.first(c).alias(c) for c in others],
-        )
+        # Deterministic merge of duplicate (inV,outV,label) rows: membership
+        # is a set → array_sort for bit-stable output; non-key columns are
+        # taken from ONE coherent row (the lexicographically-least struct)
+        # rather than per-column unordered first(), which could mix rows.
+        agg = [
+            F.array_sort(
+                F.array_distinct(F.flatten(F.collect_list("a2_p")))
+            ).alias("a2_p")
+        ]
+        if others:
+            agg.append(F.min(F.struct(*[F.col(c).alias(c) for c in others])).alias("__row"))
+            merged = resolved.groupBy("inV", "outV", "label").agg(*agg)
+            return merged.select(
+                "inV", "outV", "label", "a2_p",
+                *[F.col(f"__row.{c}").alias(c) for c in others],
+            )
+        return resolved.groupBy("inV", "outV", "label").agg(*agg)
     return resolved.dropDuplicates(["inV", "outV", "label"])
 
 
@@ -613,10 +629,13 @@ def kcore_decomposition(
     connected_components) the peel itself runs on the driver over two
     numpy arrays — every round a vectorized pass, the whole sequence
     sub-second. Only the RESULT then touches the cluster: the degree
-    table (node-sized) for ``return_degrees``, or two broadcast
-    semi-joins of the still-persisted canonical edge list against the
-    surviving node set (map-side, no shuffle, no edge re-upload) for the
-    edge-list form. Identical unique fixpoint on either path.
+    table (node-sized) for ``return_degrees``, or the surviving edge
+    list re-uploaded via ``createDataFrame`` (bounded: ≤
+    ``driver_max_edges`` rows ≈ 32 MB at the default cap) for the
+    edge-list form — the result carries no lineage on the canonical
+    edge cache, which is released immediately instead of leaking a
+    MEMORY_AND_DISK copy per call. Identical unique fixpoint on either
+    path.
     """
     from pyspark import StorageLevel
 
@@ -760,8 +779,15 @@ def kcore_oracle_sql(edge_sql: str, k: int, rounds: int = 10) -> str:
             f", e{i + 1} AS MATERIALIZED (SELECT e.a, e.b FROM e{i} e "
             f"JOIN k{i} x ON e.a = x.n JOIN k{i} y ON e.b = y.n)"
         )
+    # Convergence sentinel: a too-small ``rounds`` bound would otherwise
+    # silently return a non-converged core and the differential gate would
+    # report a false Spark failure. When the last two edge sets differ, a
+    # row with core_deg = -1 (impossible for a real degree) is appended so
+    # the mismatch is attributable to the oracle bound, not the engine.
     parts.append(
         f" SELECT n AS node, count(*) AS core_deg FROM "
         f"(SELECT a AS n FROM e{rounds} UNION ALL SELECT b FROM e{rounds}) GROUP BY n"
+        f" UNION ALL SELECT NULL AS node, -1 AS core_deg"
+        f" WHERE (SELECT count(*) FROM e{rounds}) != (SELECT count(*) FROM e{rounds - 1})"
     )
     return "".join(parts)
