@@ -3102,6 +3102,220 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return txt.quality_classifier_score(docs)
 
 
+def crud_batch_writer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5 in the graded gate: the buffered batch-write sub-service
+    (sources/batch_writer.py, reference HfdsDataWriteService WriterWorker
+    :427-489) fed one object at a time; the count trigger (> max_objects)
+    rolls segments mid-stream and the final flush drains the remainder.
+    Read-back must be lossless AND the segment count must equal the exact
+    trigger arithmetic ceil(K / (max_objects+1)) — both checked against
+    the SQL oracle over the same source rows."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from aleph2_contrib_spark.model.bucket import Bucket, TemporalSchema, WriteSettings
+    from aleph2_contrib_spark.sources.batch_writer import BatchWriteService
+    from aleph2_contrib_spark.sources.storage import TimePartitionedTable
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value", "ts")
+    # deterministic micro-ingest feed: the 200 smallest event_ids (the
+    # gate exercises the per-object edge, not bulk throughput)
+    rows = ev.orderBy("event_id").limit(200).collect()
+    bucket = Bucket(
+        full_name="/gate/batch_writer",
+        path=tempfile.mkdtemp(prefix="a2s_gate_bw_"),
+        temporal=TemporalSchema(time_field="ts", grouping_time_period="day"),
+        write=WriteSettings(batch_max_objects=60),
+    )
+    table = TimePartitionedTable(spark, bucket)
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    svc = BatchWriteService(table, schema)
+    svc.store_objects(r.asDict() for r in rows)
+    svc.flush()
+    return table.read().groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("event_id").alias("n_ids"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total"),
+        F.lit(svc.segments_written).cast("long").alias("n_segments"),
+    )
+
+
+def storage_segment_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S14 in the graded gate: segment rolling + codecs (reference
+    HfdsDataWriteService defaults :438-441, codecs :642-686). Events are
+    written time-partitioned under maxRecordsPerFile=150 with gzip and
+    snappy codecs; per partition the gate emits the read-back row/id
+    counts, the physical parquet file count (must equal the roll
+    arithmetic ceil(rows/150) — one task per partition by construction),
+    and how many of those files carry the codec's extension (must be all
+    of them). The oracle recomputes every column from the source table."""
+    import glob
+    import os
+    import tempfile
+
+    from aleph2_contrib_spark.model.bucket import Bucket, TemporalSchema, WriteSettings
+    from aleph2_contrib_spark.sources.storage import PARTITION_COL, TimePartitionedTable
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts")
+    out_rows = []
+    for codec, ext in (("gzip", "gz"), ("snappy", "snappy")):
+        bucket = Bucket(
+            full_name=f"/gate/segroll_{codec}",
+            path=tempfile.mkdtemp(prefix=f"a2s_gate_roll_{codec}_"),
+            temporal=TemporalSchema(time_field="ts", grouping_time_period="day"),
+            write=WriteSettings(batch_max_objects=150, compression=codec),
+        )
+        table = TimePartitionedTable(spark, bucket)
+        table.write(ev)
+        counts = {
+            r["part"]: (r["n_rows"], r["n_ids"])
+            for r in table.read()
+            .groupBy(
+                F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd'T'HH").alias("part")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.countDistinct("event_id").alias("n_ids"),
+            )
+            .collect()
+        }
+        for part_dir in sorted(glob.glob(os.path.join(table.primary_path, f"{PARTITION_COL}=*"))):
+            val = os.path.basename(part_dir).split("=", 1)[1]
+            files = glob.glob(os.path.join(part_dir, "part-*"))
+            n_rows, n_ids = counts[val]
+            out_rows.append(
+                (
+                    codec,
+                    val,
+                    int(n_rows),
+                    int(n_ids),
+                    len(files),
+                    sum(f.endswith(f".{ext}.parquet") for f in files),
+                )
+            )
+    return spark.createDataFrame(
+        out_rows,
+        schema="codec string, part string, n_rows long, n_ids long, n_files long, n_files_codec_ok long",
+    )
+
+
+def storage_collide_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S16 collide policy in the graded gate (reference
+    ElasticsearchIndexUtils getTypeKey:115-128 — auto-type retry
+    type_1→type_2 vs error): even-id events are written with a DOUBLE
+    ``value``; a second write carries ``value`` as a STRING. Under
+    ``error`` the second write must raise and leave the store intact;
+    under ``new_type`` it must land in the suffix column ``value_2`` with
+    every original row/column preserved. All counts are recomputed by the
+    oracle from the source table."""
+    import tempfile
+
+    from aleph2_contrib_spark.model.bucket import Bucket, TemporalSchema
+    from aleph2_contrib_spark.sources.storage import TimePartitionedTable
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "value", "ts")
+    even = ev.filter(F.col("event_id") % 2 == 0)
+    odd = ev.filter(F.col("event_id") % 2 == 1).withColumn(
+        "value", F.concat(F.lit("v"), F.col("event_id").cast("string"))
+    )
+    out_rows = []
+    for policy in ("error", "new_type"):
+        bucket = Bucket(
+            full_name=f"/gate/collide_{policy}",
+            path=tempfile.mkdtemp(prefix=f"a2s_gate_collide_{policy}_"),
+            temporal=TemporalSchema(time_field="ts", grouping_time_period="day"),
+            collide_policy=policy,
+        )
+        table = TimePartitionedTable(spark, bucket)
+        table.write(even)
+        raised = 0
+        try:
+            table.write(odd)
+        except ValueError:
+            raised = 1
+        got = table.read()
+        n_value_new = (
+            got.filter(F.col("value_2").isNotNull()).count() if "value_2" in got.columns else 0
+        )
+        out_rows.append(
+            (
+                policy,
+                raised,
+                got.count(),
+                got.filter(F.col("value").isNotNull()).count(),
+                n_value_new,
+            )
+        )
+    return spark.createDataFrame(
+        out_rows,
+        schema="policy string, raised long, n_rows long, n_value_double long, n_value_new_type long",
+    )
+
+
+def streaming_late_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S15 streaming form in the graded gate (SURVEY §2.7: late records
+    land in the partition their time_field says — event-time partitioning
+    with NO lateness cutoff). Events are re-played as a file stream whose
+    micro-batches arrive in REVERSE event-time order — every batch after
+    the first is entirely 'late' relative to the max event time already
+    written — through the time-partitioned sink under foreachBatch. The
+    gate reads the PHYSICAL partition assignment back from the directory
+    layout; it must equal the batch date_trunc grouping of the source,
+    proving late rows appended to their old event-time partitions."""
+    import tempfile
+
+    from aleph2_contrib_spark.sources.storage import PARTITION_COL, TimePartitionedTable
+    from aleph2_contrib_spark.model.bucket import Bucket, TemporalSchema
+    from aleph2_contrib_spark.streaming.runner import json_file_stream
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value", "ts")
+    src = tempfile.mkdtemp(prefix="a2s_late_src_")
+    # four sequential single-file writes, NEWEST time range first — the
+    # file stream consumes files in modification order, so event time
+    # runs backward across micro-batches
+    day = F.dayofmonth("ts")
+    for lo, hi in ((23, 31), (16, 22), (9, 15), (1, 8)):
+        ev.filter((day >= lo) & (day <= hi)).coalesce(1).write.mode("append").json(src)
+    bucket = Bucket(
+        full_name="/gate/late_routing",
+        path=tempfile.mkdtemp(prefix="a2s_gate_late_"),
+        temporal=TemporalSchema(time_field="ts", grouping_time_period="day"),
+    )
+    table = TimePartitionedTable(spark, bucket)
+
+    def sink(batch_df: DataFrame, _bid: int) -> None:
+        if not batch_df.isEmpty():
+            table.write(batch_df, mode="append")
+
+    stream = json_file_stream(
+        spark,
+        src,
+        "event_id long, event_type string, value double, ts timestamp",
+        max_files_per_trigger=1,
+    )
+    with _stream_shuffle(spark):
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="a2s_late_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+    q.awaitTermination(300)
+    return (
+        spark.read.parquet(table.primary_path)
+        .groupBy(F.col(PARTITION_COL).cast("string").alias("part"))
+        .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("event_id").alias("n_ids"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -3176,6 +3390,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # then round-4-verified (freshest) last.
     return {
         # -- (1) new/changed oracle gates this round ----------------------
+        "crud_batch_writer_roundtrip": crud_batch_writer_roundtrip,
+        "storage_segment_rolling": storage_segment_rolling,
+        "storage_collide_policy": storage_collide_policy,
+        "streaming_late_routing": streaming_late_routing,
         "graph_kcore": graph_kcore,
         "streaming_session_timeout": streaming_session_timeout,
         "streaming_dedup_gate": streaming_dedup_gate,
@@ -3485,6 +3703,49 @@ def _kcore_oracle() -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "crud_batch_writer_roundtrip": """
+            WITH sel AS (
+                SELECT * FROM events ORDER BY event_id LIMIT 200
+            )
+            SELECT event_type,
+                   count(*) AS n,
+                   count(DISTINCT event_id) AS n_ids,
+                   CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total,
+                   (SELECT CAST(ceil(count(*) / 61.0) AS BIGINT) FROM sel) AS n_segments
+            FROM sel GROUP BY event_type
+        """,
+        "storage_segment_rolling": """
+            SELECT codec,
+                   strftime(date_trunc('day', ts), '%Y-%m-%dT00') AS part,
+                   count(*) AS n_rows,
+                   count(DISTINCT event_id) AS n_ids,
+                   CAST(ceil(count(*) / 150.0) AS BIGINT) AS n_files,
+                   CAST(ceil(count(*) / 150.0) AS BIGINT) AS n_files_codec_ok
+            FROM events CROSS JOIN (VALUES ('gzip'), ('snappy')) c(codec)
+            GROUP BY codec, part
+        """,
+        "storage_collide_policy": """
+            WITH c AS (
+                SELECT count(*) AS total,
+                       sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS even,
+                       sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS odd
+                FROM events
+            )
+            SELECT 'error' AS policy, CAST(1 AS BIGINT) AS raised,
+                   CAST(even AS BIGINT) AS n_rows,
+                   CAST(even AS BIGINT) AS n_value_double,
+                   CAST(0 AS BIGINT) AS n_value_new_type
+            FROM c
+            UNION ALL
+            SELECT 'new_type', CAST(0 AS BIGINT), CAST(total AS BIGINT),
+                   CAST(even AS BIGINT), CAST(odd AS BIGINT)
+            FROM c
+        """,
+        "streaming_late_routing": """
+            SELECT strftime(date_trunc('day', ts), '%Y-%m-%dT00') AS part,
+                   count(*) AS n, count(DISTINCT event_id) AS n_ids
+            FROM events GROUP BY part
+        """,
         "graph_kcore": _kcore_oracle(),
         "streaming_session_timeout": """
             SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS n_events,

@@ -88,15 +88,35 @@ class TimePartitionedTable:
         if self.bucket.columnar is not None:
             cols = self.bucket.columnar.select_columns(df.schema)
             out = out.select(*cols, PARTITION_COL, *([salt_col] if fpp > 1 else []))
-        if self.bucket.collide_policy == "error" and os.path.exists(path or self.primary_path):
-            existing = self.spark.read.parquet(path or self.primary_path).schema
-            new_fields = {f.name: f.dataType for f in out.schema.fields}
-            for f in existing.fields:
-                if f.name in new_fields and new_fields[f.name] != f.dataType:
-                    raise ValueError(
-                        f"schema collision on '{f.name}': {f.dataType} vs {new_fields[f.name]}"
-                        " (collide_policy=error)"
-                    )
+        if os.path.exists(path or self.primary_path):
+            # S16 collide policy (reference ElasticsearchIndexUtils
+            # getTypeKey:115-128 + auto-type retry type_1→type_2…):
+            # - "error": fail the write on any same-name/different-type
+            #   column (schema-on-write validation).
+            # - "new_type": the colliding incoming column is stored under
+            #   the next free "<name>_N" suffix whose stored type matches
+            #   (reusing an existing suffix column when types agree) — the
+            #   parquet rendering of ES retrying the doc under type_2: both
+            #   representations coexist, readers see both columns with
+            #   nulls where a row lacks that representation (mergeSchema
+            #   on read).
+            existing = (
+                self.spark.read.option("mergeSchema", "true")
+                .parquet(path or self.primary_path)
+                .schema
+            )
+            etypes = {f.name: f.dataType for f in existing.fields}
+            for f in list(out.schema.fields):
+                if f.name in etypes and etypes[f.name] != f.dataType and f.name != PARTITION_COL:
+                    if self.bucket.collide_policy == "error":
+                        raise ValueError(
+                            f"schema collision on '{f.name}': {etypes[f.name]} vs {f.dataType}"
+                            " (collide_policy=error)"
+                        )
+                    n = 2
+                    while f"{f.name}_{n}" in etypes and etypes[f"{f.name}_{n}"] != f.dataType:
+                        n += 1
+                    out = out.withColumnRenamed(f.name, f"{f.name}_{n}")
         # Cluster on the partition value (+ bounded salt) before the
         # partitioned write: without this every task holding rows of a
         # period opens its own file there, producing tasks x periods small
@@ -116,7 +136,12 @@ class TimePartitionedTable:
 
     # -- read (S9 pruned) --------------------------------------------------
     def read(self, time_min: dt.datetime | None = None, time_max: dt.datetime | None = None) -> DataFrame:
-        df = self.spark.read.parquet(self.primary_path)
+        # mergeSchema: a new_type-evolved store holds files with different
+        # column sets; a single-footer schema sample would hide the
+        # suffix columns. Cost = one footer read per file (parallelized);
+        # stores written under collide_policy=error never evolve and pay
+        # only the footer pass.
+        df = self.spark.read.option("mergeSchema", "true").parquet(self.primary_path)
         t = self.bucket.temporal
         if time_min is not None:
             df = df.filter(

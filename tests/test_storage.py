@@ -114,6 +114,32 @@ def test_collide_policy_error(spark, tmp_path, events_df):
         t.write(bad)
 
 
+def test_collide_policy_new_type(spark, tmp_path, events_df):
+    """S16 new_type: a colliding column is stored under the next free
+    <name>_N suffix (ES auto-type retry type_1→type_2…); readers see both
+    representations with nulls where a row lacks one, and a later write
+    with the SAME evolved type reuses the suffix column."""
+    bucket = Bucket(
+        full_name="/t", path=str(tmp_path / "ev4"),
+        temporal=TemporalSchema(time_field="ts", grouping_time_period="month"),
+        collide_policy="new_type",
+    )
+    t = TimePartitionedTable(spark, bucket)
+    t.write(events_df)
+    evolved = spark.createDataFrame(
+        [Row(_id="x", ts=dt.datetime(2020, 5, 1), v="not-a-double", s="q")]
+    )
+    t.write(evolved)
+    t.write(evolved.withColumn("_id", F.lit("y")))  # same evolved type → reuse v_2
+    got = t.read()
+    assert sorted(got.columns) == ["_id", "s", "ts", "v", "v_2"]
+    assert got.filter(F.col("v").isNotNull()).count() == 4
+    assert sorted(
+        r["v_2"] for r in got.filter(F.col("v_2").isNotNull()).collect()
+    ) == ["not-a-double", "not-a-double"]
+    assert dict(got.dtypes)["v"] == "double" and dict(got.dtypes)["v_2"] == "string"
+
+
 def test_optimize_clusters_data(spark, tmp_path, events_df):
     t = make_table(spark, tmp_path)
     t.write(events_df)
