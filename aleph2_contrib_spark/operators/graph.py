@@ -756,6 +756,183 @@ def kcore_decomposition(
     )
 
 
+def coreness_decomposition(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_rounds: int = 100,
+    driver_max_edges: int = 2_000_000,
+) -> DataFrame:
+    """Full core decomposition: per-vertex core numbers c(v) = max k such
+    that v belongs to the k-core — the whole-graph generalization of
+    ``kcore_decomposition`` (spam-core ranking, community-strength
+    scoring, degeneracy ordering all want the full decomposition, and one
+    decomposition amortizes the deep per-k peel cost). Returns
+    (node, coreness); isolated vertices never appear (no edges → no row),
+    matching kcore_decomposition's edge-list domain.
+
+    Two paths, identical unique fixpoint (the kcore/bfs/cc hybrid
+    contract):
+
+    - Driver-exact peel when the canonical edge list fits under
+      ``driver_max_edges`` (2M edges ≈ 32 MB of int64; same
+      driver-memory note as kcore_decomposition): ascending-k removal
+      peel over two numpy arrays — vertices stripped while peeling to
+      the k-core have coreness k-1. Microseconds per round; the result
+      is re-uploaded bounded (≤ nodes rows) with no lineage on the
+      cached edges.
+    - Distributed h-index fixpoint above the cap: init c₀(v) = deg(v),
+      then iterate c_{t+1}(v) = H({c_t(u) : u ~ v}) where H is the
+      h-index (the largest h with ≥ h neighbors of value ≥ h). The
+      iteration is monotone non-increasing and converges exactly to the
+      coreness (Lü et al., "The H-index of a network node and its
+      relation to degree and coreness", Nat. Commun. 7:10168, 2016).
+      Each round is one edge-sized join + one per-vertex window — two
+      shuffles on the SAME vertex key, so Catalyst reuses the exchange;
+      convergence is detected from a node-sized changed-count. Rounds
+      are bounded by ``max_rounds`` (raises if exceeded) — measured
+      depth grows slowly (10/19/38 rounds at sf0.001/0.01/0.1 on the
+      co-purchase graph), far under the bound.
+    """
+    from pyspark import StorageLevel
+
+    a = F.least(F.col(src_col), F.col(dst_col)).alias("a")
+    b = F.greatest(F.col(src_col), F.col(dst_col)).alias("b")
+    e = (
+        edges.select(a, b)
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n_edges = e.count()
+    spark = edges.sparkSession
+    from pyspark.sql import types as T
+
+    node_type = e.schema["a"].dataType
+
+    if n_edges == 0:
+        out = e.select(F.col("a").alias("node")).withColumn(
+            "coreness", F.lit(0).cast("long")
+        ).limit(0)
+        e.unpersist()
+        return out
+
+    if n_edges <= driver_max_edges:
+        import numpy as np
+        import pandas as pd
+
+        pdf = e.toPandas()
+        e.unpersist()
+        A = pdf["a"].to_numpy()
+        B = pdf["b"].to_numpy()
+        core_nodes: list = []
+        core_vals: list = []
+        k = 2
+        # ascending-k peel: entering iteration k the graph is the
+        # (k-1)-core; vertices removed while peeling to the k-core have
+        # coreness exactly k-1 — including any survivors left edge-less
+        # when the peel empties the graph (in the (k-1)-core, not the
+        # k-core). Terminates: every k-round strictly shrinks the edge
+        # set or ends the loop.
+        while len(A) > 0:
+            while True:
+                nodes, counts = np.unique(np.concatenate([A, B]), return_counts=True)
+                alive = nodes[counts >= k]
+                gone = nodes[counts < k]
+                if len(gone) == 0:
+                    break
+                core_nodes.append(gone)
+                core_vals.append(np.full(len(gone), k - 1, dtype="int64"))
+                mask = np.isin(A, alive) & np.isin(B, alive)
+                A, B = A[mask], B[mask]
+                if len(A) == 0:
+                    core_nodes.append(alive)
+                    core_vals.append(np.full(len(alive), k - 1, dtype="int64"))
+                    break
+            k += 1
+        if core_nodes:
+            out_n = np.concatenate(core_nodes)
+            out_c = np.concatenate(core_vals)
+        else:
+            out_n = np.array([], dtype="int64")
+            out_c = np.array([], dtype="int64")
+        return spark.createDataFrame(
+            pd.DataFrame({"node": out_n, "coreness": out_c}),
+            schema=T.StructType(
+                [T.StructField("node", node_type), T.StructField("coreness", T.LongType())]
+            ),
+        )
+
+    from pyspark.sql import Window
+
+    und = (
+        e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+        .unionByName(e.select(F.col("b").alias("x"), F.col("a").alias("y")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    c = (
+        und.groupBy(F.col("x").alias("n"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    c.count()
+    e.unpersist()
+    w = Window.partitionBy("n").orderBy(F.col("cv").desc())
+    for _ in range(max_rounds):
+        nxt = (
+            und.join(c.select(F.col("n").alias("y"), F.col("c").alias("cv")), "y")
+            .select(F.col("x").alias("n"), "cv")
+            .withColumn("rn", F.row_number().over(w))
+            .groupBy("n")
+            .agg(F.max(F.least(F.col("rn").cast("long"), F.col("cv"))).alias("c"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        changed = nxt.join(c.withColumnRenamed("c", "c_prev"), "n").filter(
+            F.col("c") != F.col("c_prev")
+        ).count()
+        c.unpersist()
+        c = nxt
+        if changed == 0:
+            und.unpersist()
+            return c.select(F.col("n").alias("node"), F.col("c").alias("coreness"))
+    raise RuntimeError(
+        f"coreness_decomposition did not converge in {max_rounds} h-index rounds"
+    )
+
+
+def coreness_oracle_sql(edge_sql: str, rounds: int = 25) -> str:
+    """ANSI-SQL replica of ``coreness_decomposition`` for differential
+    testing: the h-index fixpoint iteration UNROLLED to ``rounds``
+    (recursive CTEs cannot window over their own working table). Extra
+    rounds past convergence are no-ops, so ``rounds`` only needs to be an
+    upper bound on the fixpoint depth for the dataset at hand. Emits
+    (node, coreness); when the bound was too small a sentinel row with
+    coreness = -1 (impossible: real coreness ≥ 1 on the edge-list domain)
+    is appended, so an under-provisioned oracle is distinguishable from
+    an engine mismatch. ``edge_sql`` must yield a canonical (a, b) edge
+    list (a < b, distinct, no loops)."""
+    parts = [
+        f"WITH e0 AS MATERIALIZED ({edge_sql})",
+        ", und AS MATERIALIZED (SELECT a AS x, b AS y FROM e0 "
+        "UNION ALL SELECT b, a FROM e0)",
+        ", c0 AS MATERIALIZED (SELECT x AS n, count(*) AS c FROM und GROUP BY x)",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f", c{i} AS MATERIALIZED (SELECT n, max(least(rn, cv)) AS c FROM ("
+            f"SELECT u.x AS n, p.c AS cv, "
+            f"row_number() OVER (PARTITION BY u.x ORDER BY p.c DESC) AS rn "
+            f"FROM und u JOIN c{i - 1} p ON u.y = p.n) GROUP BY n)"
+        )
+    parts.append(
+        f" SELECT n AS node, CAST(c AS BIGINT) AS coreness FROM c{rounds}"
+        f" UNION ALL SELECT NULL AS node, CAST(-1 AS BIGINT) AS coreness"
+        f" WHERE (SELECT count(*) FROM c{rounds} a JOIN c{rounds - 1} b"
+        f" ON a.n = b.n AND a.c != b.c) != 0"
+    )
+    return "".join(parts)
+
+
 def kcore_oracle_sql(edge_sql: str, k: int, rounds: int = 10) -> str:
     """ANSI-SQL replica of ``kcore_decomposition`` for differential testing:
     the iterative peel UNROLLED to a fixed number of rounds (recursive CTEs

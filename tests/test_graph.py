@@ -355,3 +355,79 @@ def test_kcore_driver_and_distributed_paths_agree(spark):
         ).collect()
     }
     assert ddeg == sdeg and len(ddeg) > 0
+
+
+def _brute_coreness(pairs):
+    """Definition-level reference: c(v) = max k with v in the k-core,
+    computed by a naive per-k peel over Python sets."""
+    core = {}
+    edges = {tuple(sorted(p)) for p in pairs if p[0] != p[1]}
+    k = 1
+    while edges:
+        # peel to the (k+1)-core; removed vertices have coreness k
+        cur = set(edges)
+        while True:
+            deg = {}
+            for a, b in cur:
+                deg[a] = deg.get(a, 0) + 1
+                deg[b] = deg.get(b, 0) + 1
+            drop = {n for n, d in deg.items() if d < k + 1}
+            if not drop:
+                break
+            survivors_lost = set(deg) - drop
+            cur = {(a, b) for a, b in cur if a not in drop and b not in drop}
+            if not cur:
+                for n in survivors_lost:
+                    core[n] = k
+            for n in drop:
+                core.setdefault(n, k)
+        edges = cur
+        k += 1
+    return core
+
+
+def test_coreness_matches_brute_force_definition(spark):
+    import random
+
+    from aleph2_contrib_spark.operators.graph import coreness_decomposition
+
+    rng = random.Random(7)
+    pairs = [(rng.randrange(30), rng.randrange(30)) for _ in range(250)]
+    expect = _brute_coreness(pairs)
+    edges = spark.createDataFrame([Row(src=a, dst=b) for a, b in pairs])
+    got = {r.node: r.coreness for r in coreness_decomposition(edges).collect()}
+    assert got == expect
+
+
+def test_coreness_driver_and_distributed_paths_agree(spark):
+    """Hybrid contract: the driver ascending-k peel and the distributed
+    h-index fixpoint (forced via driver_max_edges=0) agree exactly."""
+    import random
+
+    from aleph2_contrib_spark.operators.graph import coreness_decomposition
+
+    rng = random.Random(13)
+    rows = [Row(src=rng.randrange(40), dst=rng.randrange(40)) for _ in range(400)]
+    edges = spark.createDataFrame(rows)
+    drv = {(r.node, r.coreness) for r in coreness_decomposition(edges).collect()}
+    dist = {
+        (r.node, r.coreness)
+        for r in coreness_decomposition(edges, driver_max_edges=0).collect()
+    }
+    assert drv == dist and len(drv) > 0
+
+
+def test_coreness_partition_independent(spark):
+    import random
+
+    from aleph2_contrib_spark.operators.graph import coreness_decomposition
+
+    rng = random.Random(17)
+    rows = [Row(src=rng.randrange(25), dst=rng.randrange(25)) for _ in range(200)]
+    edges = spark.createDataFrame(rows)
+    a = {(r.node, r.coreness) for r in coreness_decomposition(edges).collect()}
+    b = {
+        (r.node, r.coreness)
+        for r in coreness_decomposition(edges.repartition(11)).collect()
+    }
+    assert a == b and len(a) > 0
