@@ -1222,6 +1222,31 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.floor(F.col("score") * 1e6).cast("long").alias("score_f6"))
 
 
+def similarity_codebook_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Store-backed IVF top-k (operators/similarity.CodebookStore): the
+    codebook is trained and the corpus assigned ONCE per session into a
+    cell-partitioned catalog table (the maintenance job a production ANN
+    index runs); each query is a partition-pruned scan of its probe
+    cells — O(probe), no retraining, no assignment pass. Probed over ALL
+    cells here so the exhaustive DuckDB oracle applies exactly (pruning
+    is plan-level, asserted in tests/test_similarity.py)."""
+    import hashlib
+
+    from aleph2_contrib_spark.operators.similarity import CodebookStore
+
+    emb = _t(spark, sf_dir, "embeddings")
+    prefix = "a2s_codebook_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    store = CodebookStore(spark, prefix, n_centroids=8)
+    if not store.exists():
+        store.build(emb)
+    qvec = emb.filter(F.col("vec_id") == 1).select("embedding").head()[0]
+    out = store.topk(qvec, k=10, nprobe=8)
+    return out.select(
+        F.col("id").alias("vec_id"),
+        F.floor(F.col("score") * 1e6).cast("long").alias("score_f6"),
+    )
+
+
 def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted two-phase aggregation (hot-key spreading); algebraic aggs
     only, so results are exact."""
@@ -3415,6 +3440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "storage_segment_rolling": storage_segment_rolling,
         "storage_collide_policy": storage_collide_policy,
         "streaming_late_routing": streaming_late_routing,
+        "similarity_codebook_topk": similarity_codebook_topk,
         "graph_coreness": graph_coreness,
         "graph_kcore": graph_kcore,
         "streaming_session_timeout": streaming_session_timeout,
@@ -4954,6 +4980,16 @@ def oracle_sql() -> dict[str, str]:
               ON a.lang = b.lang AND a.size_bucket = b.size_bucket AND a.doc_id < b.doc_id
             WHERE floor(len(list_intersect(a.toks, b.toks))
                   / len(list_distinct(list_concat(a.toks, b.toks))) * 1000000.0) >= 990000
+        """,
+        "similarity_codebook_topk": """
+            WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 1),
+            scored AS (
+                SELECT vec_id,
+                       list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT qv FROM q)) AS score
+                FROM embeddings
+            )
+            SELECT vec_id, CAST(floor(score * 1000000.0) AS BIGINT) AS score_f6
+            FROM scored ORDER BY score DESC, vec_id ASC LIMIT 10
         """,
         "similarity_ivf_topk": """
             WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 1),

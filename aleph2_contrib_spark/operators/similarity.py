@@ -268,6 +268,122 @@ def ivf_topk(
     return brute_force_topk(cand, query_vec, k, id_col, vec_col)
 
 
+class CodebookStore:
+    """Persisted IVF index — the steady-state half of ANN search at
+    corpus scale (the CodebookStore analogue of dedup's
+    MinHashSignatureStore): training and assignment run ONCE (a
+    maintenance job), every subsequent query is O(probe).
+
+    Two catalog tables under a (corpus, params)-keyed prefix:
+
+    - ``<prefix>_centroids`` (cell, vec): the coarse quantizer — tiny
+      (n_centroids rows), collected to the driver per query.
+    - ``<prefix>_cells`` (id, vec), PARTITIONED by ``__ivf_cell``: every
+      corpus vector stored under its cell's directory, so ``topk`` with
+      ``nprobe`` cells is a partition-pruned scan of nprobe/n_centroids
+      of the data — no assignment pass, no full-table read (the 100 TB
+      shape: repeated queries against a trained index).
+
+    ``append`` is the post-ingest maintenance op: new vectors are
+    assigned with the STORED centroids (the codebook is immutable once
+    trained — retrain via ``build`` when drift warrants) and appended
+    partition-aligned."""
+
+    def __init__(
+        self,
+        spark,
+        prefix: str,
+        *,
+        n_centroids: int = 16,
+        sample_rows: int = 2048,
+        iters: int = 5,
+        seed: int = 42,
+        distributed_train: bool = False,
+    ):
+        self.spark = spark
+        self.prefix = prefix
+        self.n_centroids = n_centroids
+        self.sample_rows = sample_rows
+        self.iters = iters
+        self.seed = seed
+        self.distributed_train = distributed_train
+        self.centroids_table = f"{prefix}_centroids"
+        self.cells_table = f"{prefix}_cells"
+
+    def exists(self) -> bool:
+        return self.spark.catalog.tableExists(
+            self.centroids_table
+        ) and self.spark.catalog.tableExists(self.cells_table)
+
+    def build(
+        self, df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+    ) -> "CodebookStore":
+        """Train the quantizer and materialize both tables (overwrite)."""
+        from aleph2_contrib_spark.sources.bucketed import write_partitioned
+        from aleph2_contrib_spark.sources.bucketed import drop_table_and_managed_dir
+
+        if self.distributed_train:
+            cents = ivf_build_centroids_distributed(
+                df, n_centroids=self.n_centroids, vec_col=vec_col, seed=self.seed
+            )
+        else:
+            cents = ivf_build_centroids(
+                df,
+                n_centroids=self.n_centroids,
+                vec_col=vec_col,
+                sample_rows=self.sample_rows,
+                iters=self.iters,
+                seed=self.seed,
+            )
+        drop_table_and_managed_dir(self.spark, self.centroids_table)
+        self.spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+            schema="cell int, vec array<double>",
+        ).write.format("parquet").saveAsTable(self.centroids_table)
+        assigned = ivf_assign(
+            df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")), cents, "vec"
+        )
+        write_partitioned(assigned, self.cells_table, ["__ivf_cell"])
+        return self
+
+    def centroids(self) -> list[list[float]]:
+        rows = self.spark.table(self.centroids_table).orderBy("cell").collect()
+        return [list(r["vec"]) for r in rows]
+
+    def append(self, df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> None:
+        """Assign new vectors with the stored codebook and append them
+        partition-aligned (per-ingest cost O(batch))."""
+        from aleph2_contrib_spark.sources.bucketed import write_partitioned
+
+        assigned = ivf_assign(
+            df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")),
+            self.centroids(),
+            "vec",
+        )
+        write_partitioned(assigned, self.cells_table, ["__ivf_cell"], mode="append")
+
+    def topk(self, query_vec: Sequence[float], k: int = 10, nprobe: int = 4) -> DataFrame:
+        """IVF search against the stored index: pick the ``nprobe`` cells
+        nearest the query (driver arithmetic over the tiny codebook),
+        partition-prune the cells table to exactly those directories, and
+        run the exact top-k on the candidates."""
+        import math as _m
+
+        cents = self.centroids()
+        q = list(map(float, query_vec))
+        qn = _m.sqrt(sum(x * x for x in q)) or 1.0
+
+        def cos_q(c):
+            cn = _m.sqrt(sum(x * x for x in c)) or 1.0
+            return sum(a * b for a, b in zip(q, c)) / (qn * cn)
+
+        probe_cells = sorted(range(len(cents)), key=lambda i: -cos_q(cents[i]))[:nprobe]
+        cand = self.spark.table(self.cells_table).filter(
+            F.col("__ivf_cell").isin(probe_cells)
+        )
+        return brute_force_topk(cand, q, k, "id", "vec")
+
+
 def exact_blocked_cosine_pairs(
     df: DataFrame,
     block_col: str,

@@ -62,12 +62,15 @@ def main() -> None:
     # the timed passes measure the steady-state per-batch cost — the
     # number that scales with production use — not the amortized build.
     # (VERDICT r4 item 4: split build from per-batch query.)
-    fn = entrymod.queries().get("dedup_incremental")
-    if fn is not None:
-        try:
-            fn(spark, sf_dir).collect()
-        except Exception:
-            pass
+    # similarity_codebook_topk's CodebookStore is the same shape: train +
+    # assign once (maintenance), query O(probe) per call.
+    for state_q in ("dedup_incremental", "similarity_codebook_topk"):
+        fn = entrymod.queries().get(state_q)
+        if fn is not None:
+            try:
+                fn(spark, sf_dir).collect()
+            except Exception:
+                pass
 
     # Host-noise robustness: wall-clock on this box can vary 2-3x with
     # neighbor load (observed identical code at 120s and 340s). Run the

@@ -268,3 +268,50 @@ def test_ivf_pq_prunes_to_probed_cells(spark, sf_dir):
     )
     cell_ids = {r.vec_id for r in assigned.filter(F.col("__ivf_cell") == best_cell).select("vec_id").collect()}
     assert got <= cell_ids
+
+
+def test_codebook_store_roundtrip_and_equivalence(spark, emb):
+    """Store-backed topk over all cells == brute force; centroids survive
+    the catalog round-trip bit-exact."""
+    from aleph2_contrib_spark.operators.similarity import CodebookStore
+
+    store = CodebookStore(spark, "t_cbk_rt", n_centroids=8)
+    store.build(emb)
+    assert store.exists()
+    assert store.centroids() == ivf_build_centroids(emb, n_centroids=8)
+    qvec = emb.filter(F.col("vec_id") == 1).head()["embedding"]
+    exact = [r["vec_id"] for r in brute_force_topk(emb, qvec, k=10).collect()]
+    got = [r["id"] for r in store.topk(qvec, k=10, nprobe=8).collect()]
+    assert got == exact
+
+
+def test_codebook_store_topk_prunes_partitions(spark, emb):
+    """The probe scan must touch only the probed cells' directories:
+    partition filters on __ivf_cell appear in the physical plan and the
+    candidate count equals those cells' population."""
+    from aleph2_contrib_spark.operators.similarity import CodebookStore
+
+    store = CodebookStore(spark, "t_cbk_prune", n_centroids=8)
+    store.build(emb)
+    qvec = emb.filter(F.col("vec_id") == 1).head()["embedding"]
+    out = store.topk(qvec, k=5, nprobe=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "__ivf_cell" in plan and ("PartitionFilters" in plan or "partition filters" in plan.lower())
+    out.collect()
+
+
+def test_codebook_store_append_assigns_with_stored_codebook(spark, emb):
+    from aleph2_contrib_spark.operators.similarity import CodebookStore, ivf_assign
+
+    half1 = emb.filter(F.col("vec_id") % 2 == 0)
+    half2 = emb.filter(F.col("vec_id") % 2 == 1)
+    store = CodebookStore(spark, "t_cbk_app", n_centroids=8)
+    store.build(half1)
+    store.append(half2)
+    cells = spark.table(store.cells_table)
+    assert cells.count() == emb.count()
+    # appended rows carry the STORED codebook's assignment
+    expect = ivf_assign(half2, store.centroids())
+    got = {r["id"]: r["__ivf_cell"] for r in cells.collect()}
+    for r in expect.select("vec_id", "__ivf_cell").collect():
+        assert got[r["vec_id"]] == r["__ivf_cell"]
