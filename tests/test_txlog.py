@@ -1014,3 +1014,99 @@ def test_vacuum_trims_old_checkpoints(spark):
     cold = TransactionalTable(spark, root, checkpoint_interval=2)
     assert cold.read().count() == 27
     assert cold.read(version=3).count() == 9  # pre-trimmed-checkpoint history
+
+
+def test_changefeed_vacuum_race_raises_not_drops(spark):
+    """VERDICT r5 item 4: read_changes racing a vacuum must surface an
+    error, never silently lose rows. Two deterministic interleavings:
+
+    (a) vacuum BEFORE the feed is built → the commit-walk existence check
+        (txlog.py read_changes missing-file guard) raises with a
+        'vacuumed' pointer;
+    (b) vacuum AFTER the feed resolved its paths but BEFORE execution →
+        the Spark scan itself fails (ignoreMissingFiles=false default),
+        not an empty/short result."""
+    t = _mk(spark)
+    v1 = t.latest_version()
+    t.append(_events(spark, 12))
+    # retire v1's files, then vacuum them away past the grace window
+    t.overwrite(_events(spark, 6))
+    t.vacuum(retain_snapshots=1, min_age_seconds=0)
+
+    # (a) feed built after the vacuum: loud, attributable failure
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        t.read_changes(from_version=0)
+
+    # (b) feed built BEFORE the vacuum, executed after: the plan's file
+    # list is stale; execution must error, not return fewer rows
+    t2 = _mk(spark)
+    t2.append(_events(spark, 12))
+    feed = t2.read_changes(from_version=0)  # resolves paths now
+    t2.overwrite(_events(spark, 6))
+    t2.vacuum(retain_snapshots=1, min_age_seconds=0)
+    from py4j.protocol import Py4JJavaError
+
+    with pytest.raises(Exception) as ei:
+        feed.count()
+    assert not isinstance(ei.value, AssertionError)
+    # Spark surfaces the missing file; accept any error type but require
+    # the cause to be the deleted file, not a wrong count
+    assert "FileNotFound" in str(ei.value) or "does not exist" in str(ei.value)
+
+
+def test_restore_vacuum_race_raises_not_corrupts(spark):
+    """restore() racing a vacuum: restoring to a snapshot whose files were
+    vacuumed must raise (metadata-only restore would otherwise commit
+    pointers to deleted bytes); the live table stays intact."""
+    t = _mk(spark)
+    v1 = t.latest_version()
+    t.overwrite(_events(spark, 6))
+    t.vacuum(retain_snapshots=1, min_age_seconds=0)
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        t.restore(v1)
+    # the failed restore committed nothing and the table still reads
+    assert t.read().count() == 6
+    assert t._commits()[-1][0] == t.latest_version()
+
+
+def test_changefeed_vacuum_thread_race_never_short_counts(spark):
+    """Threaded form: a consumer repeatedly reading the full change feed
+    while a writer rewrites + vacuums. Every successful read must carry
+    the EXACT per-commit row counts (12 per append commit it covers);
+    failures must be loud errors, never short results."""
+    import threading
+
+    t = _mk(spark, n=12)
+    for _ in range(2):
+        t.append(_events(spark, 12))
+    v_appends = t.latest_version()  # feed range = the 3 append commits only
+    results, errors = [], []
+    stop = threading.Event()
+
+    def consumer():
+        mine = TransactionalTable(spark, t.root, partition_cols=t.partition_cols)
+        while not stop.is_set():
+            try:
+                n = mine.read_changes(from_version=0, to_version=v_appends).count()
+            except Exception as e:
+                errors.append(e)
+                continue
+            results.append(n)
+
+    def writer():
+        mine = TransactionalTable(spark, t.root, partition_cols=t.partition_cols)
+        for _ in range(3):
+            mine.overwrite(_events(spark, 6))
+            mine.vacuum(retain_snapshots=1, min_age_seconds=0)
+        stop.set()
+
+    c = threading.Thread(target=consumer)
+    w = threading.Thread(target=writer)
+    c.start(); w.start(); w.join(); c.join()
+    # every successful full-feed read saw all three 12-row appends intact
+    assert all(n == 36 for n in results)
+    # racing reads may fail loudly — but only with the vacuumed/missing
+    # diagnostics, never a silent partial count
+    for e in errors:
+        msg = str(e)
+        assert "vacuum" in msg or "FileNotFound" in msg or "does not exist" in msg
