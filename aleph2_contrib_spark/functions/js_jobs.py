@@ -46,6 +46,62 @@ def nashorn_unavailable(script: str, records: list[dict], entry_point: str) -> l
     )
 
 
+def ported_script_evaluator(fn: Callable[[dict], dict | None]) -> Evaluator:
+    """U2 migration adapter: wrap a Python function carrying the
+    reference's per-record JS contract — ``fn(record) -> record | None``,
+    ``None`` drops the record (SparkJsInterpreterTopology.java:123-160) —
+    into an :data:`Evaluator`. A script ported line-for-line from JS to
+    Python runs through the SAME ``JsEnrichmentModule`` batching,
+    lifecycle, and null-marshalling with a one-line pipeline change
+    (``evaluator=ported_script_evaluator(my_fn)``); nothing else in the
+    job spec moves. This is the documented migration path for deployments
+    that cannot embed a JS engine."""
+
+    def evaluator(script: str, records: list[dict], entry_point: str) -> list[dict]:
+        out = []
+        for r in records:
+            res = fn(r)
+            if res is not None:
+                out.append(res)
+        return out
+
+    return evaluator
+
+
+class PortedScriptModule(EnrichmentModule):
+    """The migration adapter packaged as a module: construct directly from
+    the ported per-record function (no placeholder script needed)::
+
+        Stage(name="xform",
+              module=PortedScriptModule(my_record_fn),
+              output_schema="...")
+
+    Same record contract as the JS original (dict in, dict-or-None out,
+    real ``None`` for nulls — never NaN), same Arrow batching underneath.
+    """
+
+    def __init__(self, fn: Callable[[dict], dict | None], config: dict[str, Any] | None = None):
+        super().__init__(config)
+        self.fn = fn
+        self._impl = JsEnrichmentModule(
+            {"script": "(ported)", **(config or {})}, evaluator=ported_script_evaluator(fn)
+        )
+
+    def clone_for_new_grouping(self) -> "PortedScriptModule":
+        return type(self)(self.fn, self.config)
+
+    def validate_module(self, stage) -> list[str]:
+        if stage.output_schema is None:
+            return [
+                f"stage {stage.name}: ported-script module requires an explicit "
+                "output_schema (record functions are untyped; the pipeline is not)"
+            ]
+        return []
+
+    def on_object_batch(self, batch: pd.DataFrame) -> pd.DataFrame | None:
+        return self._impl.on_object_batch(batch)
+
+
 class JsEnrichmentModule(EnrichmentModule):
     """Batch module running a user JS script over each Arrow batch.
 

@@ -90,3 +90,62 @@ def test_js_records_see_real_nulls_not_nan(spark):
     df = spark.createDataFrame([(1, 2.0), (2, None)], "event_id long, value double")
     got = {r.event_id: (r.saw_none, r.saw_nan) for r in pipe.run(spark, {"e": df})["js"].collect()}
     assert got == {1: (False, False), 2: (True, False)}
+
+
+def test_ported_script_adapter_matches_js_semantics(spark):
+    """U2 migration path: SCRIPT ported line-for-line to Python through
+    ported_script_evaluator produces exactly what the JS engine would —
+    same drops, same added field, same pipeline wiring."""
+    from aleph2_contrib_spark.functions.js_jobs import ported_script_evaluator
+
+    def transform(rec):  # the Python port of SCRIPT
+        if rec["value"] is None or rec["value"] <= 1:
+            return None
+        return {**rec, "flagged": True}
+
+    mod = JsEnrichmentModule(
+        {"script": SCRIPT}, evaluator=ported_script_evaluator(transform)
+    )
+    pipe = Pipeline(
+        [
+            Stage(
+                name="js",
+                dependencies=("$inputs",),
+                module=mod,
+                output_schema="event_id long, value double, flagged boolean",
+            )
+        ]
+    )
+    out = pipe.run(spark, {"events": _events(spark)})["js"]
+    rows = out.collect()
+    assert len(rows) == 20 and all(r.flagged and r.value > 1 for r in rows)
+
+
+def test_ported_script_module_direct(spark):
+    """PortedScriptModule needs no placeholder script: the record function
+    IS the module; nulls arrive as real None (the JS contract)."""
+    from aleph2_contrib_spark.functions.js_jobs import PortedScriptModule
+
+    def transform(rec):
+        if rec["value"] is None:
+            return {"event_id": rec["event_id"], "value": -1.0}
+        return {"event_id": rec["event_id"], "value": rec["value"] * 10}
+
+    mod = PortedScriptModule(transform)
+    pipe = Pipeline(
+        [
+            Stage(
+                name="p",
+                dependencies=("$inputs",),
+                module=mod,
+                output_schema="event_id long, value double",
+            )
+        ]
+    )
+    df = spark.createDataFrame([(1, 2.0), (2, None)], "event_id long, value double")
+    got = {r.event_id: r.value for r in pipe.run(spark, {"e": df})["p"].collect()}
+    assert got == {1: 20.0, 2: -1.0}
+    clone = mod.clone_for_new_grouping()
+    assert clone is not mod and clone.fn is transform
+    errs = mod.validate_module(Stage(name="p", module=mod, output_schema=None))
+    assert errs and "output_schema" in errs[0]
