@@ -3417,105 +3417,90 @@ def _hll_intersection_oracle() -> str:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver gate grades the FIRST 50 entries
-    # each round. Round-5 rotation (VERDICT r4 items 1-2 + standing rule 8:
-    # window = all new/changed gates + oldest-verified fill):
-    # (1) the six NEW oracle gates (graph_kcore, streaming_session_timeout,
-    # streaming_dedup_gate, text_quality_classifier, graph_visibility,
-    # events_retention_cohorts) plus
-    # graph_merge_incremental, whose merge/resolve path changed this round
-    # (G7 membership unions) and which VERDICT r4 item 5 flags for a
-    # fresh check,
-    # (2) the 6 queries last driver-checked in round 1, (3) the 44 last
-    # checked in round 2 — with the seven lowest-risk pure-SQL gates
-    # (window_lag_lead_delta, window_ntile_quartiles, math_funcs,
-    # regexp_funcs, explode_top_tokens, q13_order_count_distribution,
-    # q17_small_quantity_revenue)
-    # placed at slots 51-57; they are verified by the local harness
-    # (tools/check_correctness.py, the identical differential check) this
-    # round and rotate into the driver window next, (4) round-3-verified,
-    # then round-4-verified (freshest) last.
+    # each round. Round-6 rotation (VERDICT r5 item 1 + standing rule:
+    # new/changed gates first, then oldest-verified fill): after this
+    # window clears, no contract query's latest driver check is older
+    # than round 3, and the remaining round-3 block sits at slots 51+ to
+    # lead round 7. All entries past the window are green in this round's
+    # full-registry local run (CORRECTNESS_local_r06.json).
     return {
-        # -- (1) new/changed oracle gates this round ----------------------
+        # -- (1) NEW oracle gates this round (never driver-checked) --
         "crud_batch_writer_roundtrip": crud_batch_writer_roundtrip,
         "storage_segment_rolling": storage_segment_rolling,
         "storage_collide_policy": storage_collide_policy,
         "streaming_late_routing": streaming_late_routing,
-        "similarity_codebook_topk": similarity_codebook_topk,
         "graph_coreness": graph_coreness,
-        "graph_kcore": graph_kcore,
-        "streaming_session_timeout": streaming_session_timeout,
-        "streaming_dedup_gate": streaming_dedup_gate,
-        "text_quality_classifier": text_quality_classifier,
-        "graph_visibility": graph_visibility,
-        "events_retention_cohorts": events_retention_cohorts,
+        "similarity_codebook_topk": similarity_codebook_topk,
+        # -- (2) gates whose code path changed this round (graph merge determinism, kcore oracle sentinel, containment cache fix, storage mergeSchema/collide rework) --
         "graph_merge_incremental": graph_merge_incremental,
-        # -- (2) last driver-checked in round 1 ---------------------------
-        "cond_agg_priority_share": cond_agg_priority_share,
-        "distinct_counts": distinct_counts,
-        "events_json_extract": events_json_extract,
-        "similarity_topk": similarity_topk,
-        "subquery_above_avg": subquery_above_avg,
-        "text_fingerprint": text_fingerprint,
-        # -- (3) last driver-checked in round 2 ---------------------------
-        "crud_filtered_repo": crud_filtered_repo,
-        "dedup_embedding_clusters": dedup_embedding_clusters,
-        "dedup_embedding_cosine": dedup_embedding_cosine,
-        "dedup_simhash_hamming_pairs": dedup_simhash_hamming_pairs,
-        "dedup_simhash_md5": dedup_simhash_md5,
-        "dsl_enum_projection_exclude": dsl_enum_projection_exclude,
-        "events_gap_fill": events_gap_fill,
-        "events_tumbling_window": events_tumbling_window,
-        "file_inbox_consume_archive": file_inbox_consume_archive,
-        "file_ingest_binary_roundtrip": file_ingest_binary_roundtrip,
-        "graph_edges": graph_edges,
-        "graph_vertices": graph_vertices,
-        "join_asof_last_signup": join_asof_last_signup,
-        "join_bucketed_colocated": join_bucketed_colocated,
-        "join_range_value_bands": join_range_value_bands,
-        "pipeline_combiner_partial_agg": pipeline_combiner_partial_agg,
-        "q15_top_supplier": q15_top_supplier,
-        "q16_supplier_part_counts": q16_supplier_part_counts,
-        "q18_large_volume_customers": q18_large_volume_customers,
-        "q19_disjunctive_predicates": q19_disjunctive_predicates,
-        "q1_pricing_summary": q1_pricing_summary,
-        "q20_excess_stock_suppliers": q20_excess_stock_suppliers,
-        "q22_idle_balance_customers": q22_idle_balance_customers,
-        "q2_min_acctbal_supplier": q2_min_acctbal_supplier,
-        "q7_volume_shipping": q7_volume_shipping,
-        "q8_market_share": q8_market_share,
-        "q9_profit_by_nation_year": q9_profit_by_nation_year,
-        "rollup_time_multires": rollup_time_multires,
-        "similarity_ivf_topk": similarity_ivf_topk,
-        "similarity_knn_join": similarity_knn_join,
-        "similarity_pairs_lsh": similarity_pairs_lsh,
-        "skew_salted_agg": skew_salted_agg,
-        "text_bpe_token_count": text_bpe_token_count,
-        "text_lang_id": text_lang_id,
-        "update_array_ops": update_array_ops,
-        "update_upsert_by_spec": update_upsert_by_spec,
-        "v1_query_extras": v1_query_extras,
-        # window_lag_lead_delta / window_ntile_quartiles / math_funcs /
-        # regexp_funcs sit just past the 50-slot driver window to make room
-        # for the four NEW gates above (standing rule: new/changed gates
-        # first, then oldest-verified fill). All four are pure-function SQL
-        # gates unchanged since round 2, verified green by the local
-        # harness (tools/check_correctness.py, identical differential
-        # check) this round; they rotate into the driver window next round.
-        "window_lag_lead_delta": window_lag_lead_delta,
-        "window_ntile_quartiles": window_ntile_quartiles,
-        "math_funcs": math_funcs,
-        "regexp_funcs": regexp_funcs,
+        "graph_visibility": graph_visibility,
+        "graph_kcore": graph_kcore,
+        "dedup_containment_pairs": dedup_containment_pairs,
+        "storage_partitioned_roundtrip": storage_partitioned_roundtrip,
+        "storage_retention_age_out": storage_retention_age_out,
+        "storage_buffer_promote": storage_buffer_promote,
+        # -- (3) the 7 round-2-stale queries (VERDICT r5 item 1: they must lead the round-6 window) --
         "explode_top_tokens": explode_top_tokens,
+        "math_funcs": math_funcs,
         "q13_order_count_distribution": q13_order_count_distribution,
         "q17_small_quantity_revenue": q17_small_quantity_revenue,
-        # -- (4) round-3-verified, then round-4-verified ------------------
+        "regexp_funcs": regexp_funcs,
+        "window_lag_lead_delta": window_lag_lead_delta,
+        "window_ntile_quartiles": window_ntile_quartiles,
+        # -- (4) oldest-verified fill to slot 50: round-3-checked gates --
+        "dedup_incremental": dedup_incremental,
+        "corpus_pack_sequences": corpus_pack_sequences,
+        "corpus_pii_redact": corpus_pii_redact,
+        "sketch_hll_cardinality": sketch_hll_cardinality,
+        "multimodal_features": multimodal_features,
+        "q12_priority_by_linestatus": q12_priority_by_linestatus,
+        "docs_clean_corpus": docs_clean_corpus,
+        "corpus_mix_sample": corpus_mix_sample,
+        "corpus_contamination": corpus_contamination,
+        "corpus_repetition_score": corpus_repetition_score,
+        "corpus_shuffle_shards": corpus_shuffle_shards,
+        "corpus_stratified_sample": corpus_stratified_sample,
+        "sql_udf_surface": sql_udf_surface,
+        "corpus_e2e_prep": corpus_e2e_prep,
+        "q11_important_stock": q11_important_stock,
+        "q21_sole_late_supplier": q21_sole_late_supplier,
+        "dedup_minhash_pairs": dedup_minhash_pairs,
+        "events_sessionize": events_sessionize,
+        "dedup_ngram_jaccard_pairs": dedup_ngram_jaccard_pairs,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q5_revenue_by_nation": q5_revenue_by_nation,
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "q4_priority_exists": q4_priority_exists,
+        "q10_returned_items": q10_returned_items,
+        "q14_promo_revenue": q14_promo_revenue,
+        "window_top_order_per_cust": window_top_order_per_cust,
+        "rollup_order_counts": rollup_order_counts,
+        "dsl_equals_in": dsl_equals_in,
+        "dsl_range_dates": dsl_range_dates,
+        "dsl_nested_bool": dsl_nested_bool,
+        # -- (5) past the 50-slot window: remaining round-3 gates first (they lead next round's rotation), then round-4, then round-5 (freshest) last --
+        "dsl_not_equals_exists": dsl_not_equals_exists,
+        "dsl_topk": dsl_topk,
+        "dsl_all_of_array": dsl_all_of_array,
+        "dsl_text_match": dsl_text_match,
+        "v1_mongo_query": v1_mongo_query,
+        "es_dsl_query": es_dsl_query,
+        "update_increment_set": update_increment_set,
+        "update_delete_by_spec": update_delete_by_spec,
+        "pipeline_group_stats": pipeline_group_stats,
+        "pipeline_sql_stage": pipeline_sql_stage,
+        "file_ingest_json_roundtrip": file_ingest_json_roundtrip,
+        "file_ingest_xml_roundtrip": file_ingest_xml_roundtrip,
+        "raw_json_view": raw_json_view,
+        "streaming_pipeline_gate": streaming_pipeline_gate,
+        "dedup_exact_first": dedup_exact_first,
+        "text_token_stats": text_token_stats,
         "sketch_hll_by_group": sketch_hll_by_group,
         "streaming_join_gate": streaming_join_gate,
         "sketch_quantile_by_group": sketch_quantile_by_group,
         "events_interarrival_stats": events_interarrival_stats,
         "events_basket_lift": events_basket_lift,
         "similarity_ivf_pq_exact": similarity_ivf_pq_exact,
-        "dedup_containment_pairs": dedup_containment_pairs,
         "corpus_temperature_mix": corpus_temperature_mix,
         "graph_bfs_levels": graph_bfs_levels,
         "text_keywords_tfidf": text_keywords_tfidf,
@@ -3559,55 +3544,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_event_counts": pivot_event_counts,
         "stats_percentiles": stats_percentiles,
         "grouping_sets_revenue": grouping_sets_revenue,
-        "dedup_incremental": dedup_incremental,
-        "storage_buffer_promote": storage_buffer_promote,
-        "corpus_pack_sequences": corpus_pack_sequences,
-        "corpus_pii_redact": corpus_pii_redact,
-        "sketch_hll_cardinality": sketch_hll_cardinality,
-        "multimodal_features": multimodal_features,
-        "q12_priority_by_linestatus": q12_priority_by_linestatus,
-        "docs_clean_corpus": docs_clean_corpus,
-        "corpus_mix_sample": corpus_mix_sample,
-        "corpus_contamination": corpus_contamination,
-        "corpus_repetition_score": corpus_repetition_score,
-        "corpus_shuffle_shards": corpus_shuffle_shards,
-        "corpus_stratified_sample": corpus_stratified_sample,
-        "sql_udf_surface": sql_udf_surface,
-        "corpus_e2e_prep": corpus_e2e_prep,
-        "q11_important_stock": q11_important_stock,
-        "q21_sole_late_supplier": q21_sole_late_supplier,
-        "dedup_minhash_pairs": dedup_minhash_pairs,
-        "events_sessionize": events_sessionize,
-        "dedup_ngram_jaccard_pairs": dedup_ngram_jaccard_pairs,
-        "q3_shipping_priority": q3_shipping_priority,
-        "q5_revenue_by_nation": q5_revenue_by_nation,
-        "q6_forecast_revenue": q6_forecast_revenue,
-        "q4_priority_exists": q4_priority_exists,
-        "q10_returned_items": q10_returned_items,
-        "q14_promo_revenue": q14_promo_revenue,
-        "window_top_order_per_cust": window_top_order_per_cust,
-        "rollup_order_counts": rollup_order_counts,
-        "dsl_equals_in": dsl_equals_in,
-        "dsl_range_dates": dsl_range_dates,
-        "dsl_nested_bool": dsl_nested_bool,
-        "dsl_not_equals_exists": dsl_not_equals_exists,
-        "dsl_topk": dsl_topk,
-        "dsl_all_of_array": dsl_all_of_array,
-        "dsl_text_match": dsl_text_match,
-        "v1_mongo_query": v1_mongo_query,
-        "es_dsl_query": es_dsl_query,
-        "update_increment_set": update_increment_set,
-        "update_delete_by_spec": update_delete_by_spec,
-        "pipeline_group_stats": pipeline_group_stats,
-        "pipeline_sql_stage": pipeline_sql_stage,
-        "storage_partitioned_roundtrip": storage_partitioned_roundtrip,
-        "storage_retention_age_out": storage_retention_age_out,
-        "file_ingest_json_roundtrip": file_ingest_json_roundtrip,
-        "file_ingest_xml_roundtrip": file_ingest_xml_roundtrip,
-        "raw_json_view": raw_json_view,
-        "streaming_pipeline_gate": streaming_pipeline_gate,
-        "dedup_exact_first": dedup_exact_first,
-        "text_token_stats": text_token_stats,
+        "streaming_session_timeout": streaming_session_timeout,
+        "streaming_dedup_gate": streaming_dedup_gate,
+        "text_quality_classifier": text_quality_classifier,
+        "events_retention_cohorts": events_retention_cohorts,
+        "cond_agg_priority_share": cond_agg_priority_share,
+        "distinct_counts": distinct_counts,
+        "events_json_extract": events_json_extract,
+        "similarity_topk": similarity_topk,
+        "subquery_above_avg": subquery_above_avg,
+        "text_fingerprint": text_fingerprint,
+        "crud_filtered_repo": crud_filtered_repo,
+        "dedup_embedding_clusters": dedup_embedding_clusters,
+        "dedup_embedding_cosine": dedup_embedding_cosine,
+        "dedup_simhash_hamming_pairs": dedup_simhash_hamming_pairs,
+        "dedup_simhash_md5": dedup_simhash_md5,
+        "dsl_enum_projection_exclude": dsl_enum_projection_exclude,
+        "events_gap_fill": events_gap_fill,
+        "events_tumbling_window": events_tumbling_window,
+        "file_inbox_consume_archive": file_inbox_consume_archive,
+        "file_ingest_binary_roundtrip": file_ingest_binary_roundtrip,
+        "graph_edges": graph_edges,
+        "graph_vertices": graph_vertices,
+        "join_asof_last_signup": join_asof_last_signup,
+        "join_bucketed_colocated": join_bucketed_colocated,
+        "join_range_value_bands": join_range_value_bands,
+        "pipeline_combiner_partial_agg": pipeline_combiner_partial_agg,
+        "q15_top_supplier": q15_top_supplier,
+        "q16_supplier_part_counts": q16_supplier_part_counts,
+        "q18_large_volume_customers": q18_large_volume_customers,
+        "q19_disjunctive_predicates": q19_disjunctive_predicates,
+        "q1_pricing_summary": q1_pricing_summary,
+        "q20_excess_stock_suppliers": q20_excess_stock_suppliers,
+        "q22_idle_balance_customers": q22_idle_balance_customers,
+        "q2_min_acctbal_supplier": q2_min_acctbal_supplier,
+        "q7_volume_shipping": q7_volume_shipping,
+        "q8_market_share": q8_market_share,
+        "q9_profit_by_nation_year": q9_profit_by_nation_year,
+        "rollup_time_multires": rollup_time_multires,
+        "similarity_ivf_topk": similarity_ivf_topk,
+        "similarity_knn_join": similarity_knn_join,
+        "similarity_pairs_lsh": similarity_pairs_lsh,
+        "skew_salted_agg": skew_salted_agg,
+        "text_bpe_token_count": text_bpe_token_count,
+        "text_lang_id": text_lang_id,
+        "update_array_ops": update_array_ops,
+        "update_upsert_by_spec": update_upsert_by_spec,
+        "v1_query_extras": v1_query_extras,
     }
 
 

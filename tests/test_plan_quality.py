@@ -24,6 +24,10 @@ HEAVY_SETUP = {
     "streaming_pipeline_gate",
     "streaming_stateful_counts",
     "streaming_join_gate",
+    "streaming_late_routing",       # full streaming replay through the sink
+    "crud_batch_writer_roundtrip",  # per-object driver feed + segment writes
+    "storage_segment_rolling",      # two full codec writes; result is a local table
+    "storage_collide_policy",       # two bucket writes incl. an expected failure
 }
 
 

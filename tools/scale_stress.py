@@ -78,6 +78,11 @@ def bench_ops(spark, path, label):
     run("minhash_production", lambda: ddp.minhash_lsh_pairs(
         docs, "doc_id", "text", num_hashes=64, bands=16, threshold=0.7,
         shingle_mode="token", verify="estimate", sig_impl="numpy").count())
+    # the full cluster-exact family (VERDICT r5 item 7): LSH pairs →
+    # pointer-jumping CC → one representative per cluster
+    run("minhash_cc_keep", lambda: ddp.minhash_dedup_cc(
+        docs, "doc_id", "text", num_hashes=64, bands=16, threshold=0.7,
+        shingle_mode="token", verify="estimate", sig_impl="numpy").count())
     run("exact_dedup", lambda: ddp.exact_dedup(docs, ["text"]).count()
         if hasattr(ddp, "exact_dedup") else docs.dropDuplicates(["text"]).count())
     run("contamination", lambda: cp.contamination_check(
@@ -189,6 +194,7 @@ def bench_graph_ops(spark, n_edges, label):
     constant-degree growth keeps it linear, and the degree orientation is
     what stops a hub from breaking that."""
     from aleph2_contrib_spark.operators.graph import (
+        coreness_decomposition,
         kcore_decomposition,
         pagerank,
         triangle_count,
@@ -214,6 +220,9 @@ def bench_graph_ops(spark, n_edges, label):
     # after dedup): several rounds, non-trivial dropped sets — exercises
     # the broadcast-anti-join prune
     run("kcore", lambda: kcore_decomposition(e, k=25).count())
+    # full decomposition: ascending-k peel on the driver path; ~max-core
+    # rounds of vectorized passes, amortizing every per-k peel
+    run("coreness", lambda: coreness_decomposition(e).count())
     e.unpersist()
     print(label, out, flush=True)
     return out
