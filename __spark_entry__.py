@@ -3210,7 +3210,16 @@ def storage_segment_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aleph2_contrib_spark.model.bucket import Bucket, TemporalSchema, WriteSettings
     from aleph2_contrib_spark.sources.storage import PARTITION_COL, TimePartitionedTable
 
-    ev = _t(spark, sf_dir, "events").select("event_id", "ts")
+    # Bounded to the first FIVE event days (mirrored in the oracle): roll
+    # arithmetic is per-partition, so five partitions with multiple
+    # segments each exercise every boundary the full month does, while
+    # the per-file codec overhead (the dominant cost — ~150-row
+    # gzip/snappy segments) stays flat as sf grows the day count.
+    ev_all = _t(spark, sf_dir, "events").select("event_id", "ts")
+    cutoff = ev_all.agg(
+        F.date_add(F.date_trunc("day", F.min("ts")), 5).alias("c")
+    ).collect()[0]["c"]  # 1-row probe
+    ev = ev_all.filter(F.col("ts") < F.lit(cutoff).cast("timestamp"))
     out_rows = []
     for codec, ext in (("gzip", "gz"), ("snappy", "snappy")):
         bucket = Bucket(
@@ -3763,6 +3772,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ceil(count(*) / 150.0) AS BIGINT) AS n_files,
                    CAST(ceil(count(*) / 150.0) AS BIGINT) AS n_files_codec_ok
             FROM events CROSS JOIN (VALUES ('gzip'), ('snappy')) c(codec)
+            WHERE ts < (SELECT date_trunc('day', min(ts)) + INTERVAL 5 DAY
+                        FROM events)
             GROUP BY codec, part
         """,
         "storage_collide_policy": """

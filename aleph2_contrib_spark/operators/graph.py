@@ -825,39 +825,47 @@ def coreness_decomposition(
         e.unpersist()
         A = pdf["a"].to_numpy()
         B = pdf["b"].to_numpy()
-        core_nodes: list = []
-        core_vals: list = []
+        # Map node ids to a contiguous [0, nv) index once so every round
+        # is bincount + boolean gather — O(E) per pass instead of the
+        # O(E log E) unique/isin formulation. Crucially the coreness
+        # array keeps a slot for EVERY node that ever had an edge: a
+        # vertex whose entire neighborhood is peeled in one round (star
+        # center next to a surviving component) drops to degree 0 and is
+        # assigned on the next pass instead of silently vanishing from
+        # the edge array (that lost-vertex bug is pinned by the
+        # star+triangle case in tests/test_graph.py).
+        nodes_all, inv = np.unique(np.concatenate([A, B]), return_inverse=True)
+        Ai = inv[: len(A)].astype(np.int64)
+        Bi = inv[len(A):].astype(np.int64)
+        nv = len(nodes_all)
+        coreness = np.full(nv, -1, dtype=np.int64)
         k = 2
-        # ascending-k peel: entering iteration k the graph is the
+        # ascending-k peel: entering level k the surviving graph is the
         # (k-1)-core; vertices removed while peeling to the k-core have
-        # coreness exactly k-1 — including any survivors left edge-less
-        # when the peel empties the graph (in the (k-1)-core, not the
-        # k-core). Terminates: every k-round strictly shrinks the edge
-        # set or ends the loop.
-        while len(A) > 0:
+        # coreness exactly k-1. Terminates: every level strictly shrinks
+        # the edge set or ends the loop.
+        while len(Ai) > 0:
             while True:
-                nodes, counts = np.unique(np.concatenate([A, B]), return_counts=True)
-                alive = nodes[counts >= k]
-                gone = nodes[counts < k]
-                if len(gone) == 0:
+                deg = np.bincount(Ai, minlength=nv) + np.bincount(Bi, minlength=nv)
+                gone = (coreness < 0) & (deg < k)
+                if not gone.any():
                     break
-                core_nodes.append(gone)
-                core_vals.append(np.full(len(gone), k - 1, dtype="int64"))
-                mask = np.isin(A, alive) & np.isin(B, alive)
-                A, B = A[mask], B[mask]
-                if len(A) == 0:
-                    core_nodes.append(alive)
-                    core_vals.append(np.full(len(alive), k - 1, dtype="int64"))
+                coreness[gone] = k - 1
+                keep = ~(gone[Ai] | gone[Bi])
+                Ai, Bi = Ai[keep], Bi[keep]
+                if len(Ai) == 0:
                     break
-            k += 1
-        if core_nodes:
-            out_n = np.concatenate(core_nodes)
-            out_c = np.concatenate(core_vals)
-        else:
-            out_n = np.array([], dtype="int64")
-            out_c = np.array([], dtype="int64")
+            if len(Ai) > 0:
+                # whole surviving graph is a (min-degree)-core: jump the
+                # level there so degree-distribution gaps don't cost one
+                # empty O(V+E) pass per skipped k
+                unassigned = coreness < 0
+                k = max(k + 1, int(deg[unassigned].min()) + 1)
+        # peel emptied the graph at level k: edge-less survivors are in
+        # the (k-1)-core but no k-core exists (no edges remain)
+        coreness[coreness < 0] = k - 1
         return spark.createDataFrame(
-            pd.DataFrame({"node": out_n, "coreness": out_c}),
+            pd.DataFrame({"node": nodes_all, "coreness": coreness}),
             schema=T.StructType(
                 [T.StructField("node", node_type), T.StructField("coreness", T.LongType())]
             ),
