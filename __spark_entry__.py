@@ -2237,6 +2237,26 @@ def text_bigram_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return txt.bigram_rarity(docs, "doc_id", "text", rare_threshold=2)
 
 
+def text_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM surprisal scoring (operators/text.ngram_lm_surprisal):
+    the model-based perplexity filter of CCNet-style corpus prep, with
+    per-bigram surprisal quantized to whole bits via the integer identity
+    floor(log2(b/a)) = length(bin(b div a)) - 1 — no transcendentals, so
+    the DuckDB oracle replays the add-one-smoothed LM bit-for-bit."""
+    docs = _t(spark, sf_dir, "documents")
+    return txt.ngram_lm_surprisal(docs, "doc_id", "text")
+
+
+def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (operators/text.winnowing_fingerprints, the
+    MOSS scheme): md5-prefix shingle hashes, per-window minima, distinct
+    selected hashes — every shared window+k-1 token run between two docs
+    shares a fingerprint. Narrow per-doc Column program; the only shuffle
+    is the final distinct."""
+    docs = _t(spark, sf_dir, "documents")
+    return txt.winnowing_fingerprints(docs, "doc_id", "text", k=5, window=4)
+
+
 def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel (operators/events.py): users who viewed, then
     clicked at-or-after the view, then purchased at-or-after the click.
@@ -3434,6 +3454,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # full-registry local run (CORRECTNESS_local_r06.json).
     return {
         # -- (1) NEW oracle gates this round (never driver-checked) --
+        "text_lm_surprisal": text_lm_surprisal,
+        "text_winnowing": text_winnowing,
         "crud_batch_writer_roundtrip": crud_batch_writer_roundtrip,
         "storage_segment_rolling": storage_segment_rolling,
         "storage_collide_policy": storage_collide_policy,
@@ -4669,6 +4691,53 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(1000000.0 * sum(CASE WHEN c <= 2 THEN 1 ELSE 0 END) / count(*)) AS BIGINT) AS rare_ratio_f6
             FROM bg JOIN cnt USING (bigram)
             GROUP BY doc_id
+        """,
+        "text_lm_surprisal": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk
+                FROM documents
+            ), voc AS (
+                SELECT count(DISTINCT w) AS v FROM toks, LATERAL (SELECT unnest(tk) AS w)
+            ), bg AS (
+                SELECT doc_id, tk[i] AS w1, tk[i] || ' ' || tk[i+1] AS bigram, count(*) AS m
+                FROM toks, LATERAL (SELECT unnest(generate_series(1, len(tk) - 1)) AS i)
+                WHERE len(tk) >= 2
+                GROUP BY 1, 2, 3
+            ), cnt AS (
+                SELECT doc_id, m,
+                       sum(m) OVER (PARTITION BY bigram) AS cbg,
+                       sum(m) OVER (PARTITION BY w1) AS cctx
+                FROM bg
+            ), bits AS (
+                SELECT doc_id, m,
+                       length(bin(CAST((cctx + v) // (cbg + 1) AS BIGINT))) - 1 AS b
+                FROM cnt, voc
+            )
+            SELECT doc_id,
+                   CAST(sum(m) AS INT) AS n_bigrams,
+                   CAST(sum(m * b) AS BIGINT) AS total_bits,
+                   CAST((1000000 * sum(m * b)) // sum(m) AS BIGINT) AS mean_bits_f6
+            FROM bits GROUP BY doc_id
+        """,
+        "text_winnowing": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk
+                FROM documents
+            ), sh AS (
+                SELECT doc_id, i,
+                       CAST(CAST('0x' || substr(md5(array_to_string(tk[i:i+4], ' ')), 1, 8) AS UBIGINT) AS BIGINT) AS h,
+                       greatest(len(tk) - 4, 1) AS n_sh
+                FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(tk) - 4, 1))) AS i)
+            ), wmin AS (
+                SELECT doc_id, i,
+                       min(h) OVER (PARTITION BY doc_id ORDER BY i
+                                    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+                       n_sh
+                FROM sh
+            )
+            SELECT DISTINCT doc_id, fp FROM wmin WHERE i <= greatest(n_sh - 3, 1)
         """,
         "events_funnel": """
             WITH v AS (

@@ -473,3 +473,149 @@ def top_terms_tfidf(
         .filter(F.col("rank") <= k)
         .select(F.col("id").alias(id_col), "term", "tf", "score_f6", "rank")
     )
+
+
+def ngram_lm_surprisal(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Bigram-LM surprisal scoring — the model-based perplexity filter of
+    CCNet/KenLM-style corpus prep (score each document by how surprising
+    its word transitions are under a language model trained on the corpus
+    itself), expressed so the score is EXACT INTEGER ARITHMETIC and
+    therefore bit-stable across engines.
+
+    Model: add-one-smoothed bigram LM over the corpus.
+    ``P(w2|w1) = (c(w1 w2) + 1) / (ctx(w1) + V)`` where ``ctx(w1)`` is
+    the number of bigram positions whose left word is ``w1`` and ``V``
+    is the corpus vocabulary size. Per-bigram surprisal is quantized to
+    whole bits using an identity that needs no transcendentals:
+
+        floor(log2(b / a)) = bit_length(b div a) - 1   (b >= a >= 1)
+
+    computed as ``length(bin(b div a)) - 1`` — pure integer ops, so the
+    per-document sum is order-independent and identical in any engine
+    (ln()/log2() differ in final ulps across libms, which is why the
+    gated output avoids them; see relevance_topk for the same trade).
+    ``b = ctx(w1) + V >= c(w1 w2) + 1 = a`` always, so the quotient is
+    >= 1 and the identity applies.
+
+    Returns ``(id, n_bigrams, total_bits, mean_bits_f6)`` for documents
+    with >= 2 tokens; ``mean_bits_f6 = floor(1e6 · total_bits /
+    n_bigrams)`` is the integer-bit cross-entropy estimate (higher =
+    more surprising = gibberish/OCR noise/boilerplate stitching, the
+    CCNet "tail" bucket).
+
+    Plan shape (scale-first): narrow bigram explode → groupBy(id, w1,
+    bigram) with map-side combine (shuffle volume is DISTINCT per-doc
+    bigrams, not occurrences — repetitive docs collapse before the
+    exchange) → corpus statistics via two SUM windows (partitioned on
+    bigram, then on w1) over that reduced table → groupBy(id). The
+    vocabulary size is one tiny aggregate broadcast back as a scalar.
+    No self-joins, no driver-side model, no floats until the final f6.
+    """
+    toks = F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " ")
+    base = df.select(F.col(id_col).alias("id"), toks.alias("__tk"))
+    tk = F.col("__tk")
+
+    # Vocabulary size over ALL token positions (one tiny agg, broadcast).
+    vocab = (
+        base.select(F.explode(tk).alias("w"))
+        .agg(F.count_distinct(F.col("w")).alias("__v"))
+    )
+
+    bg = (
+        base.filter(F.size(tk) >= 2)
+        .select(
+            "id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(tk) - 1),
+                    lambda i: F.struct(
+                        F.try_element_at(tk, i).alias("w1"),
+                        F.concat_ws(
+                            " ", F.try_element_at(tk, i), F.try_element_at(tk, i + 1)
+                        ).alias("bigram"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        .select("id", F.col("p.w1").alias("w1"), F.col("p.bigram").alias("bigram"))
+        .groupBy("id", "w1", "bigram")
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    c_bg = F.sum("m").over(Window.partitionBy("bigram"))
+    c_ctx = F.sum("m").over(Window.partitionBy("w1"))
+    counted = bg.withColumn("__cbg", c_bg).withColumn("__cctx", c_ctx)
+
+    q = F.expr("(__cctx + __v) div (__cbg + 1)")
+    bits = (F.length(F.bin(q)) - F.lit(1)).cast("long")
+    return (
+        counted.crossJoin(F.broadcast(vocab))
+        .withColumn("__bits", bits)
+        .groupBy("id")
+        .agg(
+            F.sum("m").cast("int").alias("n_bigrams"),
+            F.sum(F.col("m") * F.col("__bits")).cast("long").alias("total_bits"),
+            F.expr(
+                "CAST((1000000 * sum(m * __bits)) div sum(m) AS BIGINT)"
+            ).alias("mean_bits_f6"),
+        )
+        .withColumnRenamed("id", id_col)
+    )
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the
+    MOSS scheme): hash every ``k``-token shingle, slide a ``window`` of
+    consecutive hashes over the document, keep the minimum of each
+    window, and emit the distinct selected hashes. Guarantees every
+    shared run of ``window + k - 1`` tokens between two documents shares
+    at least one fingerprint, while storing only ~2/(window+1) of the
+    shingle hashes — the standard near-dup/plagiarism index primitive.
+
+    Hashes are the engine-portable md5 32-bit prefix (same family as the
+    sketch module) rather than xxhash64, so any engine — and the DuckDB
+    oracle — reproduces the fingerprint set bit-for-bit.
+
+    Returns distinct ``(id, fp)`` rows (fp BIGINT). Documents with fewer
+    than ``k`` tokens hash their full token run as a single shingle.
+
+    Plan shape: everything per-document is a narrow Column program (one
+    tokenize, one hash array, one window-min array — the token array and
+    hash array are each bound ONCE as lambda variables so the split/md5
+    chains aren't re-evaluated per position); the only shuffle is the
+    final distinct on (id, fp).
+    """
+    def mins_of(hs: Column) -> Column:
+        n_win = F.greatest(F.size(hs) - F.lit(window - 1), F.lit(1))
+        return F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n_win),
+                lambda j: F.array_min(F.slice(hs, j, window)),
+            )
+        )
+
+    def hashes_of(t: Column) -> Column:
+        n_sh = F.greatest(F.size(t) - F.lit(k - 1), F.lit(1))
+        return F.transform(
+            F.sequence(F.lit(1), n_sh),
+            lambda i: F.conv(
+                F.substring(F.md5(F.concat_ws(" ", F.slice(t, i, k))), 1, 8), 16, 10
+            ).cast("long"),
+        )
+
+    toks = F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " ")
+    fps = (
+        df.select(F.col(id_col).alias("id"), toks.alias("__tk"))
+        .select("id", F.transform(F.array(F.col("__tk")), hashes_of)[0].alias("__hs"))
+        .select("id", F.explode(F.transform(F.array(F.col("__hs")), mins_of)[0]).alias("fp"))
+    )
+    return fps.distinct().withColumnRenamed("id", id_col)

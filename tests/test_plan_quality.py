@@ -49,6 +49,7 @@ INTENTIONAL_BNLJ = {
     "sketch_quantile_by_group",    # groups×bins rows x 5-row broadcast quantile list
     "sketch_hll_intersection",     # three 1-row estimates joined 1x1x1
     "graph_triangles",             # three 1-row global counts joined 1x1x1
+    "text_lm_surprisal",           # corpus x 1-row broadcast vocab-size scalar
 }
 
 

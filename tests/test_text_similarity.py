@@ -347,3 +347,85 @@ def test_quality_classifier_partition_invariant(spark):
     a = sorted(map(tuple, txt.quality_classifier_score(df).collect()))
     b = sorted(map(tuple, txt.quality_classifier_score(df.repartition(9)).collect()))
     assert a == b and len(a) == 50
+
+
+def test_ngram_lm_surprisal_hand_case(spark):
+    # Corpus: "a b a b" and "a b c". Vocab V = {a,b,c} = 3.
+    # Context counts (left word of a bigram): ctx(a)=3, ctx(b)=2.
+    # Bigram counts: c(a b)=3, c(b a)=1, c(b c)=1.
+    # bits(bg) = bit_length((ctx+V) div (c+1)) - 1:
+    #   "a b": (3+3) div (3+1) = 1 -> 0 bits
+    #   "b a": (2+3) div (1+1) = 2 -> 1 bit
+    #   "b c": (2+3) div (1+1) = 2 -> 1 bit
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="a b a b"), Row(doc_id=2, text="a b c")]
+    )
+    rows = {r["doc_id"]: r for r in txt.ngram_lm_surprisal(df).collect()}
+    assert rows[1]["n_bigrams"] == 3  # a b, b a, a b
+    assert rows[1]["total_bits"] == 0 + 1 + 0
+    assert rows[1]["mean_bits_f6"] == 1000000 // 3
+    assert rows[2]["n_bigrams"] == 2  # a b, b c
+    assert rows[2]["total_bits"] == 0 + 1
+    assert rows[2]["mean_bits_f6"] == 500000
+
+
+def test_ngram_lm_surprisal_flags_gibberish(spark):
+    # Natural-ish prose reusing common transitions scores fewer bits per
+    # bigram than one-off token soup (every bigram unseen elsewhere).
+    common = [Row(doc_id=i, text="the cat sat on the mat") for i in range(10)]
+    rare = [Row(doc_id=99, text="zq xv qp wm kj zz")]
+    df = spark.createDataFrame(common + rare)
+    rows = {r["doc_id"]: r["mean_bits_f6"] for r in txt.ngram_lm_surprisal(df).collect()}
+    assert rows[99] > rows[0]
+
+
+def test_ngram_lm_surprisal_drops_short_docs(spark):
+    df = spark.createDataFrame([Row(doc_id=1, text="solo"), Row(doc_id=2, text="a b")])
+    ids = [r["doc_id"] for r in txt.ngram_lm_surprisal(df).collect()]
+    assert ids == [2]
+
+
+def test_ngram_lm_surprisal_partition_invariant(spark):
+    rows = [
+        Row(doc_id=i, text=" ".join(["tok%d" % ((i * 7 + j) % 13) for j in range(20)]))
+        for i in range(40)
+    ]
+    df1 = spark.createDataFrame(rows).repartition(1)
+    df2 = spark.createDataFrame(rows).repartition(16)
+    a = sorted(map(tuple, txt.ngram_lm_surprisal(df1).collect()))
+    b = sorted(map(tuple, txt.ngram_lm_surprisal(df2).collect()))
+    assert a == b
+
+
+def test_winnowing_shared_run_shares_fingerprint(spark):
+    # Winnowing guarantee: any shared token run of length >= window+k-1
+    # (= 4+5-1 = 8) yields at least one common fingerprint.
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="x1 x2 x3 " + shared + " y1 y2"),
+            Row(doc_id=2, text="z9 " + shared + " w4 w5 w6 w7"),
+            Row(doc_id=3, text="completely different words entirely here now"),
+        ]
+    )
+    out = txt.winnowing_fingerprints(df)
+    fps = {i: {r["fp"] for r in out.filter(F.col("doc_id") == i).collect()} for i in (1, 2, 3)}
+    assert fps[1] & fps[2]
+    assert not (fps[1] & fps[3])
+
+
+def test_winnowing_short_doc_single_shingle(spark):
+    # Fewer than k tokens: the whole token run is one shingle -> one fp.
+    df = spark.createDataFrame([Row(doc_id=1, text="just three tokens")])
+    out = txt.winnowing_fingerprints(df).collect()
+    assert len(out) == 1
+
+
+def test_winnowing_compresses_vs_all_shingles(spark):
+    # Selected fingerprints must be a strict subset of all shingle hashes
+    # for a long document (density ~ 2/(w+1)).
+    text = " ".join("tok%d" % (i % 50) for i in range(400))
+    df = spark.createDataFrame([Row(doc_id=1, text=text)])
+    n_fp = txt.winnowing_fingerprints(df).count()
+    n_shingles = 400 - 5 + 1
+    assert 0 < n_fp < n_shingles / 2
