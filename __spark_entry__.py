@@ -1247,6 +1247,18 @@ def similarity_codebook_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversified top-k (operators/similarity.mmr_topk): two-stage
+    rerank — distributed cosine pool, then greedy relevance-vs-redundancy
+    selection over the bounded pool. lam=0.75 keeps (1-lam) binary-exact;
+    pool sims use the same Catalyst fold as the corpus rels, so the
+    unrolled-greedy DuckDB oracle replays every argmax."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 1).select("embedding").head()[0]
+    cands = emb.filter(F.col("vec_id") != 1)
+    return sim.mmr_topk(cands, qvec, k=5, lam=0.75, pool_size=20)
+
+
 def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted two-phase aggregation (hot-key spreading); algebraic aggs
     only, so results are exact."""
@@ -3456,6 +3468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- (1) NEW oracle gates this round (never driver-checked) --
         "text_lm_surprisal": text_lm_surprisal,
         "text_winnowing": text_winnowing,
+        "similarity_mmr_rerank": similarity_mmr_rerank,
         "crud_batch_writer_roundtrip": crud_batch_writer_roundtrip,
         "storage_segment_rolling": storage_segment_rolling,
         "storage_collide_policy": storage_collide_policy,
@@ -3771,6 +3784,46 @@ def _kcore_oracle() -> str:
     from aleph2_contrib_spark.operators.graph import kcore_oracle_sql
 
     return kcore_oracle_sql(_COPURCHASE_EDGE_SQL, k=65, rounds=10)
+
+
+def _mmr_oracle(k: int = 5, lam: str = "0.75", one_minus: str = "0.25", pool: int = 20) -> str:
+    """Unrolled-greedy MMR oracle: selection i is a CTE taking the argmax
+    of lam·rel − (1−lam)·max-sim-to-selected over the not-yet-selected
+    pool (ties to the smaller vec_id, mirroring mmr_topk's driver greedy).
+    Unrolling the k selection steps textually is the same differential
+    technique as the k-core oracle's unrolled peel."""
+    parts = [
+        f"""
+            WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 1),
+            pool AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                       list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT qv FROM q)) AS rel
+                FROM embeddings WHERE vec_id <> 1
+                ORDER BY rel DESC, vec_id ASC LIMIT {pool}
+            ),
+            s1 AS (SELECT vec_id, {lam} * rel AS mmr FROM pool ORDER BY mmr DESC, vec_id ASC LIMIT 1)"""
+    ]
+    for i in range(2, k + 1):
+        sel_union = " UNION ALL ".join(f"SELECT vec_id FROM s{j}" for j in range(1, i))
+        parts.append(
+            f""",
+            s{i} AS (
+                SELECT p.vec_id,
+                       {lam} * p.rel - {one_minus} * (
+                           SELECT max(list_cosine_similarity(p.v, s.v)) FROM pool s
+                           WHERE s.vec_id IN ({sel_union})
+                       ) AS mmr
+                FROM pool p WHERE p.vec_id NOT IN ({sel_union})
+                ORDER BY mmr DESC, p.vec_id ASC LIMIT 1
+            )"""
+        )
+    finals = "\n            UNION ALL ".join(
+        f"SELECT CAST({i} AS INTEGER) AS rank, vec_id,"
+        f" CAST(floor(mmr * 1000000.0) AS BIGINT) AS mmr_f6 FROM s{i}"
+        for i in range(1, k + 1)
+    )
+    parts.append("\n            " + finals)
+    return "".join(parts)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4739,6 +4792,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT DISTINCT doc_id, fp FROM wmin WHERE i <= greatest(n_sh - 3, 1)
         """,
+        "similarity_mmr_rerank": _mmr_oracle(),
         "events_funnel": """
             WITH v AS (
                 SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS t0

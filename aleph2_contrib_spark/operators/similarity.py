@@ -884,3 +884,97 @@ def hard_negative_mining(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def mmr_topk(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 5,
+    lam: float = 0.75,
+    pool_size: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal-marginal-relevance diversified top-k (Carbonell &
+    Goldstein 1998) — the rerank stage of a retrieval pipeline: take the
+    ``pool_size`` most relevant vectors, then greedily select ``k`` of
+    them trading relevance against redundancy with what's already
+    selected:
+
+        mmr(c) = lam · rel(c) − (1 − lam) · max_{s ∈ selected} sim(c, s)
+
+    (the first pick's redundancy term is 0, so it is the pure-relevance
+    argmax). Ties break toward the smaller id. ``lam`` defaults to 0.75
+    so ``1 − lam`` is exact in binary floating point and both engines
+    compute the identical subtraction.
+
+    Scale shape — the two-stage rerank pattern: stage 1 scores the FULL
+    corpus distributively (narrow cosine pass, TakeOrderedAndProject
+    top-``pool_size``); stage 2 is bounded by construction — pool²
+    pairwise cosines via the same Catalyst fold (so pool sims and
+    corpus rels are bit-identical quantities), then an O(k·pool) greedy
+    on the driver over ≤ pool_size scalars. The corpus never feeds the
+    quadratic stage; at 100 TB stage 1 is the only data-sized cost (or
+    is replaced by the IVF/LSH retrievers in this module feeding the
+    same rerank).
+
+    Returns (rank, id, mmr_f6): selection order 1..k with the
+    fixed-point MMR score at selection time.
+    """
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    pool_df = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            cosine(F.col(vec_col), q).alias("rel"),
+        )
+        .orderBy(F.col("rel").desc(), F.col("id").asc())
+        .limit(pool_size)
+    )
+    pool_df = pool_df.persist()
+    try:
+        pool = [(r["id"], float(r["rel"])) for r in pool_df.select("id", "rel").collect()]
+        a = pool_df.select(F.col("id").alias("ia"), F.col("v").alias("va"))
+        b = pool_df.select(F.col("id").alias("ib"), F.col("v").alias("vb"))
+        sim_rows = (
+            a.crossJoin(b)
+            .filter(F.col("ia") < F.col("ib"))
+            .select("ia", "ib", cosine(F.col("va"), F.col("vb")).alias("s"))
+            .collect()
+        )
+    finally:
+        pool_df.unpersist()
+    sims: dict[tuple, float] = {}
+    for r in sim_rows:
+        sims[(r["ia"], r["ib"])] = float(r["s"])
+        sims[(r["ib"], r["ia"])] = float(r["s"])
+
+    rel = dict(pool)
+    remaining = sorted(rel)  # ascending id -> strict > keeps smallest id on ties
+    selected: list = []
+    out: list[tuple] = []
+    for rank in range(1, min(k, len(remaining)) + 1):
+        best_id, best_v = None, None
+        for cid in remaining:
+            maxsim = max((sims[(cid, s)] for s in selected), default=0.0)
+            v = lam * rel[cid] - (1.0 - lam) * maxsim
+            if best_v is None or v > best_v:
+                best_id, best_v = cid, v
+        remaining.remove(best_id)
+        selected.append(best_id)
+        out.append((rank, best_id, int(math.floor(best_v * 1000000.0))))
+
+    spark = df.sparkSession
+    from pyspark.sql import types as T
+
+    id_type = df.schema[id_col].dataType
+    return spark.createDataFrame(
+        out,
+        T.StructType(
+            [
+                T.StructField("rank", T.IntegerType(), False),
+                T.StructField(id_col, id_type, False),
+                T.StructField("mmr_f6", T.LongType(), False),
+            ]
+        ),
+    )

@@ -429,3 +429,55 @@ def test_winnowing_compresses_vs_all_shingles(spark):
     n_fp = txt.winnowing_fingerprints(df).count()
     n_shingles = 400 - 5 + 1
     assert 0 < n_fp < n_shingles / 2
+
+
+def test_mmr_topk_diversifies(spark):
+    # q = [1, 0]; 1 and 2 are near-duplicates slightly more relevant than
+    # the diverse 3 (note q must differ from every candidate: if q == a
+    # then rel(x) == sim(x, a) and the second pick degenerates to
+    # (2·lam − 1)·rel). Pure top-2 = {1, 2}; MMR at lam=0.5 picks 1 then
+    # 3 — 2's redundancy with 1 outweighs its relevance edge.
+    emb = spark.createDataFrame(
+        [
+            Row(vec_id=1, embedding=[0.9, 0.3]),
+            Row(vec_id=2, embedding=[0.9, 0.305]),
+            Row(vec_id=3, embedding=[0.88, -0.3]),
+        ]
+    )
+    brute = [r["vec_id"] for r in sim.brute_force_topk(emb, [1.0, 0.0], k=2).collect()]
+    assert brute == [1, 2]
+    out = sim.mmr_topk(emb, [1.0, 0.0], k=2, lam=0.5, pool_size=3).collect()
+    assert [(r["rank"], r["vec_id"]) for r in out] == [(1, 1), (2, 3)]
+
+
+def test_mmr_topk_lam_one_is_pure_relevance(spark):
+    emb = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[1.0, float(i) / 10.0]) for i in range(1, 8)]
+    )
+    q = [1.0, 0.05]
+    brute = [r["vec_id"] for r in sim.brute_force_topk(emb, q, k=4).collect()]
+    mmr = [r["vec_id"] for r in sim.mmr_topk(emb, q, k=4, lam=1.0, pool_size=7).collect()]
+    assert mmr == brute
+
+
+def test_mmr_topk_k_exceeding_pool_returns_pool(spark):
+    emb = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(i), 1.0]) for i in range(1, 4)]
+    )
+    out = sim.mmr_topk(emb, [1.0, 0.0], k=10, pool_size=3).collect()
+    assert len(out) == 3
+    assert [r["rank"] for r in out] == [1, 2, 3]
+
+
+def test_mmr_topk_partition_invariant(spark):
+    import random as _r
+
+    rng = _r.Random(11)
+    rows = [
+        Row(vec_id=i, embedding=[rng.uniform(-1, 1) for _ in range(8)])
+        for i in range(60)
+    ]
+    q = rows[0]["embedding"]
+    a = [tuple(r) for r in sim.mmr_topk(spark.createDataFrame(rows).repartition(1), q, k=5).collect()]
+    b = [tuple(r) for r in sim.mmr_topk(spark.createDataFrame(rows).repartition(16), q, k=5).collect()]
+    assert a == b
