@@ -3170,6 +3170,66 @@ def streaming_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(sink_dir).select("fp")
 
 
+def streaming_hll_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-window approximate distinct counts
+    (streaming/runner.streaming_hll_window_registers): the events stream
+    replayed as multi-batch files through a watermarked windowed MAX over
+    portable HLL registers — O(4096) state per open window, never a
+    distinct set. Two future-dated sentinel files drive the final
+    watermark past every real window (A advances it, B's batch emits the
+    finalized registers; both sentinel windows stay open and are never
+    emitted), so the emitted register set equals the batch sketch of the
+    same rows and the grouped DuckDB HLL oracle replays the estimates
+    bit-for-bit."""
+    import os
+    import tempfile
+    import time
+
+    from aleph2_contrib_spark.operators.sketch import (
+        hll_estimate_from_group_registers,
+    )
+    from aleph2_contrib_spark.streaming.runner import (
+        json_file_stream,
+        streaming_hll_window_registers,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    src = tempfile.mkdtemp(prefix="a2s_shll_src_")
+    day = F.dayofmonth("ts")
+    for lo, hi in ((1, 10), (11, 20), (21, 31)):
+        ev.filter((day >= lo) & (day <= hi)).coalesce(1).write.mode("append").json(src)
+    now = time.time()
+    for i, (name, ts) in enumerate(
+        (("zz_sentinel_a.json", "2030-01-01T00:00:00.000Z"),
+         ("zz_sentinel_b.json", "2030-01-01T02:00:00.000Z"))
+    ):
+        p = os.path.join(src, name)
+        with open(p, "w") as f:
+            f.write('{"user_id": -1, "ts": "%s"}\n' % ts)
+        os.utime(p, (now + 100 * (i + 1), now + 100 * (i + 1)))
+
+    stream = json_file_stream(
+        spark, src, "user_id long, ts timestamp", max_files_per_trigger=1
+    )
+    regs = streaming_hll_window_registers(stream, "user_id", "ts", "1 hour", "1 hour")
+    sink_dir = tempfile.mkdtemp(prefix="a2s_shll_out_")
+    with _stream_shuffle(spark):
+        q = (
+            regs.writeStream.format("parquet")
+            .option("path", sink_dir)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="a2s_shll_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+    q.awaitTermination(300)
+    # sentinel A's window end coincides with the final watermark and is
+    # emitted too — drop the sentinel era, keep only real event windows
+    emitted = spark.read.parquet(sink_dir).filter(
+        F.col("window_start") < F.lit("2029-01-01").cast("timestamp")
+    )
+    return hll_estimate_from_group_registers(emitted, "window_start")
+
+
 def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-scored quality filtering (fastText/CCNet-style) as a pure
     Catalyst map: hashed unigram+bigram features → deterministic weight
@@ -3441,6 +3501,17 @@ def _hll_by_group_oracle() -> str:
     return f"SELECT g AS event_type, est, n_buckets, zeros FROM ({inner})"
 
 
+def _hll_windows_oracle() -> str:
+    """DuckDB replica of streaming_hll_windows: the batch grouped HLL of
+    the same rows keyed on the hour window — equality proves the
+    streaming state-store max accumulated registers across micro-batches
+    exactly (F.window at 1 hour is epoch-aligned = date_trunc('hour'))."""
+    from aleph2_contrib_spark.operators.sketch import hll_group_oracle_sql
+
+    inner = hll_group_oracle_sql("user_id", "date_trunc('hour', ts)", "events")
+    return f"SELECT g AS window_start, est, n_buckets, zeros FROM ({inner})"
+
+
 def _hll_intersection_oracle() -> str:
     """DuckDB replica of sketch_hll_intersection: inclusion-exclusion over
     three portable-HLL estimates (click users, purchase users, union)."""
@@ -3469,6 +3540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lm_surprisal": text_lm_surprisal,
         "text_winnowing": text_winnowing,
         "similarity_mmr_rerank": similarity_mmr_rerank,
+        "streaming_hll_windows": streaming_hll_windows,
         "crud_batch_writer_roundtrip": crud_batch_writer_roundtrip,
         "storage_segment_rolling": storage_segment_rolling,
         "storage_collide_policy": storage_collide_policy,
@@ -5800,6 +5872,7 @@ def oracle_sql() -> dict[str, str]:
         "sketch_hll_cardinality": _hll_gate_oracle(),
         "sketch_hll_intersection": _hll_intersection_oracle(),
         "sketch_hll_by_group": _hll_by_group_oracle(),
+        "streaming_hll_windows": _hll_windows_oracle(),
         "q11_important_stock": """
             WITH pp AS (
                 SELECT l_partkey,

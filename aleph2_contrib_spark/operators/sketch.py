@@ -146,7 +146,17 @@ def hll_estimate_by_group(df: DataFrame, col: str, group_col: str) -> DataFrame:
         ),
     )
     regs = prepared.groupBy("__g", "__hll_b").agg(F.max("__hll_rho").alias("__hll_m"))
-    agg = regs.groupBy("__g").agg(
+    return hll_estimate_from_group_registers(regs, "__g").withColumnRenamed(
+        "__g", group_col
+    )
+
+
+def hll_estimate_from_group_registers(regs: DataFrame, group_col: str) -> DataFrame:
+    """Finalize per-group register tables (group, __hll_b, __hll_m) into
+    (group, est, n_buckets, zeros) — the merge-then-estimate step shared
+    by the batch by-group path and the streaming windowed sketch (whose
+    registers arrive from the state store already maxed per window)."""
+    agg = regs.groupBy(group_col).agg(
         F.count(F.lit(1)).cast("int").alias("n_buckets"),
         F.sum(
             F.expr(
@@ -154,7 +164,7 @@ def hll_estimate_by_group(df: DataFrame, col: str, group_col: str) -> DataFrame:
             )
         ).alias("present_sum"),
     ).select(
-        "__g",
+        group_col,
         "n_buckets",
         (F.lit(_M) - F.col("n_buckets")).cast("int").alias("zeros"),
         (
@@ -173,7 +183,7 @@ def hll_estimate_by_group(df: DataFrame, col: str, group_col: str) -> DataFrame:
         F.lit(float(_M)) * F.log(F.lit(float(_M)) / F.col("zeros").cast("double")),
     ).otherwise(e_raw)
     return agg.select(
-        F.col("__g").alias(group_col),
+        group_col,
         F.floor(est).cast("long").alias("est"),
         "n_buckets",
         "zeros",

@@ -132,6 +132,64 @@ def streaming_dedup(
     return stream_df.dropDuplicates(keys)
 
 
+def streaming_hll_window_registers(
+    stream_df: DataFrame,
+    col: str,
+    event_time_col: str,
+    window_duration: str = "1 hour",
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """Per-window HyperLogLog registers over a stream — approximate
+    distinct counts per event-time window with bounded state (the
+    streaming form of sketch.hll_estimate_by_group; "how many distinct
+    users per hour" over an unbounded stream without per-key state).
+
+    The sketch is MERGEABLE (per-bucket max), so the state store
+    accumulates each window's registers across micro-batches with a
+    plain windowed MAX aggregate: state is O(m=4096) per open window no
+    matter how many rows or distinct values arrive — never a distinct
+    set. Append mode emits a window's finalized registers exactly once
+    when the watermark passes its end; downstream,
+    ``sketch.hll_estimate_from_group_registers`` turns emitted register
+    rows into estimates, and later re-emissions of the same period
+    (reprocessing, multiple streams) union by another max — the same
+    rollup contract as the batch sketch.
+
+    Hashing is the module's engine-portable md5 family, so emitted
+    registers are bit-identical to the batch sketch of the same rows —
+    an oracle-checkable invariant.
+
+    Returns (window_start, __hll_b, __hll_m) rows.
+    """
+    from aleph2_contrib_spark.operators.sketch import _W_BITS
+
+    h = F.md5(F.col(col).cast("string"))
+    prepared = (
+        stream_df.filter(F.col(col).isNotNull())
+        .withWatermark(event_time_col, watermark_delay)
+        .select(
+            F.col(event_time_col),
+            F.conv(F.substring(h, 1, 3), 16, 10).cast("int").alias("__hll_b"),
+            F.conv(F.substring(h, 4, 13), 16, 10).cast("long").alias("__hll_w"),
+        )
+        .withColumn(
+            "__hll_rho",
+            F.when(F.col("__hll_w") == 0, F.lit(_W_BITS + 1)).otherwise(
+                F.lit(_W_BITS + 1)
+                - F.length(F.expr("trim(LEADING '0' FROM bin(__hll_w))"))
+            ),
+        )
+    )
+    return (
+        prepared.groupBy(
+            F.window(F.col(event_time_col), window_duration).alias("__w"),
+            F.col("__hll_b"),
+        )
+        .agg(F.max("__hll_rho").alias("__hll_m"))
+        .select(F.col("__w.start").alias("window_start"), "__hll_b", "__hll_m")
+    )
+
+
 def transactional_sink(table, app_id: str, merge_keys: list[str] | None = None):
     """Exactly-once streaming sink into a TransactionalTable: each
     micro-batch commits under an idempotent (app_id, batch_id) txn marker,

@@ -28,6 +28,7 @@ HEAVY_SETUP = {
     "crud_batch_writer_roundtrip",  # per-object driver feed + segment writes
     "storage_segment_rolling",      # two full codec writes; result is a local table
     "storage_collide_policy",       # two bucket writes incl. an expected failure
+    "streaming_hll_windows",        # full streaming replay; result finalizes emitted registers
 }
 
 

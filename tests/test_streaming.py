@@ -428,3 +428,62 @@ def test_update_mode_aggregate_merges_into_table(spark, tmp_path, stream_dir):
     run_once()
     got = {r.event_type: (r.n, r.total) for r in t.read().collect()}
     assert got == {"click": (3, 15.0), "view": (1, 2.0), "purchase": (1, 7.0)}
+
+
+def test_streaming_hll_registers_equal_batch_sketch(spark, tmp_path):
+    """Windowed HLL registers accumulated across micro-batches via the
+    state-store max equal the batch sketch of the same rows per window
+    (mergeability is what makes the streaming form exact)."""
+    import time as _time
+
+    from aleph2_contrib_spark.operators.sketch import (
+        hll_estimate_by_group,
+        hll_estimate_from_group_registers,
+    )
+    from aleph2_contrib_spark.streaming.runner import streaming_hll_window_registers
+
+    src = tmp_path / "hll_src"
+    src.mkdir()
+    # two hour-windows; users deliberately repeat across the two batches
+    # so cross-batch register maxing is exercised
+    rows_a = [{"user_id": u, "ts": "2024-05-01T10:%02d:00" % (u % 60)} for u in range(40)]
+    rows_b = [{"user_id": u, "ts": "2024-05-01T11:%02d:00" % (u % 60)} for u in range(20, 60)]
+    now = _time.time()
+    for i, (name, rows) in enumerate(
+        (
+            ("b1.json", rows_a),
+            ("b2.json", rows_b),
+            ("b3_sentinel_a.json", [{"user_id": -1, "ts": "2030-01-01T00:00:00"}]),
+            ("b4_sentinel_b.json", [{"user_id": -1, "ts": "2030-01-01T02:00:00"}]),
+        )
+    ):
+        p = src / name
+        p.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+        os.utime(p, (now + 50 * i, now + 50 * i))
+
+    stream = json_file_stream(spark, str(src), "user_id long, ts timestamp", max_files_per_trigger=1)
+    regs = streaming_hll_window_registers(stream, "user_id", "ts", "1 hour", "1 hour")
+    sink = str(tmp_path / "hll_out")
+    q = (
+        regs.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "hll_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    emitted = spark.read.parquet(sink).filter(F.col("window_start") < F.lit("2029-01-01").cast("timestamp"))
+    got = {
+        (r["window_start"].isoformat(), r["est"], r["n_buckets"], r["zeros"])
+        for r in hll_estimate_from_group_registers(emitted, "window_start").collect()
+    }
+
+    batch = spark.createDataFrame(
+        [Row(user_id=r["user_id"], ts=dt.datetime.fromisoformat(r["ts"])) for r in rows_a + rows_b]
+    ).withColumn("w", F.window("ts", "1 hour")["start"])
+    want = {
+        (r["w"].isoformat(), r["est"], r["n_buckets"], r["zeros"])
+        for r in hll_estimate_by_group(batch, "user_id", "w").collect()
+    }
+    assert got == want and len(want) == 2
