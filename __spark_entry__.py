@@ -2279,6 +2279,30 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_counts(ev, "user_id", "ts", "event_type", ["view", "click", "purchase"])
 
 
+def events_path_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path mining (operators/events.path_ngrams): top event-type
+    trigrams over per-user ordered streams — one user-key shuffle, shared
+    window for the lead chain, TakeOrderedAndProject cut."""
+    from aleph2_contrib_spark.operators.events import path_ngrams
+
+    ev = _t(spark, sf_dir, "events")
+    return path_ngrams(ev, "user_id", "ts", "event_type", "event_id", n=3, top_k=20)
+
+
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch conversion attribution (operators/events.
+    touch_attribution): purchases credited to the latest strictly-
+    preceding click/view by the same user via an IGNORE-NULLS running
+    window — the no-self-join attribution shape."""
+    from aleph2_contrib_spark.operators.events import touch_attribution
+
+    ev = _t(spark, sf_dir, "events")
+    return touch_attribution(
+        ev, "user_id", "ts", "event_type", "event_id",
+        conversion_type="purchase", touch_types=["click", "view"], model="last",
+    )
+
+
 def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Engine-portable Count-Min sketch (operators/sketch.py): md5 hash
     family, exact integer counters, min-over-rows estimates — any engine
@@ -3541,6 +3565,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_winnowing": text_winnowing,
         "similarity_mmr_rerank": similarity_mmr_rerank,
         "streaming_hll_windows": streaming_hll_windows,
+        "events_path_ngrams": events_path_ngrams,
+        "events_attribution": events_attribution,
         "crud_batch_writer_roundtrip": crud_batch_writer_roundtrip,
         "storage_segment_rolling": storage_segment_rolling,
         "storage_collide_policy": storage_collide_policy,
@@ -4865,6 +4891,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT doc_id, fp FROM wmin WHERE i <= greatest(n_sh - 3, 1)
         """,
         "similarity_mmr_rerank": _mmr_oracle(),
+        "events_path_ngrams": """
+            WITH s AS (
+                SELECT event_type,
+                       lead(event_type, 1) OVER w AS t1,
+                       lead(event_type, 2) OVER w AS t2
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+            )
+            SELECT event_type || '>' || t1 || '>' || t2 AS path, count(*) AS cnt
+            FROM s WHERE t2 IS NOT NULL
+            GROUP BY 1 ORDER BY cnt DESC, path ASC LIMIT 20
+        """,
+        "events_attribution": """
+            WITH s AS (
+                SELECT event_type,
+                       last_value(CASE WHEN event_type IN ('click', 'view')
+                                       THEN event_type END IGNORE NULLS)
+                         OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+                FROM events
+            )
+            SELECT COALESCE(touch, '(none)') AS touch, count(*) AS conversions
+            FROM s WHERE event_type = 'purchase'
+            GROUP BY 1 ORDER BY conversions DESC, touch ASC
+        """,
         "events_funnel": """
             WITH v AS (
                 SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS t0

@@ -279,3 +279,92 @@ def retention_cohorts(
         )
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+def path_ngrams(
+    df: DataFrame,
+    user_col: str,
+    time_col: str,
+    type_col: str,
+    id_col: str,
+    n: int = 3,
+    top_k: int = 20,
+) -> DataFrame:
+    """Top event-type n-grams over per-user ordered streams — the
+    path-mining analytic behind "what do users do next" and UI-flow
+    audits: every length-``n`` run of consecutive events by one user is
+    an n-gram; report the ``top_k`` most frequent.
+
+    Returns (path, cnt) with path = types joined by ``>``, ordered by
+    (cnt desc, path asc) — a deterministic cut. Ordering within a user
+    is (time, id) so simultaneous events are stable.
+
+    Plan shape at scale: ONE shuffle on the user key; the n−1 ``lead``
+    columns share the same window spec (one sort, one exchange —
+    Catalyst collapses the chained window nodes), the n-gram concat is
+    narrow, and the count groupBy is map-side partial over short
+    strings. The final cut compiles to TakeOrderedAndProject. No
+    self-joins, no per-user collect.
+    """
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(time_col).asc(), F.col(id_col).asc()
+    )
+    steps = [F.col(type_col)] + [
+        F.lead(type_col, i).over(w) for i in range(1, n)
+    ]
+    return (
+        df.select(F.concat_ws(">", *steps).alias("path"), steps[-1].alias("__last"))
+        .filter(F.col("__last").isNotNull())
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("path").asc())
+        .limit(top_k)
+    )
+
+
+def touch_attribution(
+    df: DataFrame,
+    user_col: str,
+    time_col: str,
+    type_col: str,
+    id_col: str,
+    conversion_type: str,
+    touch_types: Sequence[str],
+    model: str = "last",
+) -> DataFrame:
+    """First/last-touch conversion attribution: each conversion event is
+    credited to the latest (``model="last"``) or earliest
+    (``model="first"``) STRICTLY-PRECEDING event of an allowed touch
+    type by the same user; conversions with no preceding touch are
+    reported under ``(none)``.
+
+    Returns (touch, conversions) — one row per touch type that received
+    credit (plus ``(none)``), ordered by (conversions desc, touch asc).
+
+    Plan shape at scale: ONE shuffle on the user key; the credited touch
+    is an IGNORE-NULLS last/first over the running frame (UNBOUNDED
+    PRECEDING .. 1 PRECEDING) of the conditional touch column — the
+    standard no-self-join attribution shape; the final rollup is a tiny
+    groupBy over touch types.
+    """
+    if model not in ("last", "first"):
+        raise ValueError("model must be 'last' or 'first'")
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(F.col(time_col).asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(
+        F.col(type_col).isin(*[str(t) for t in touch_types]), F.col(type_col)
+    )
+    pick = F.last(touch, ignorenulls=True) if model == "last" else F.first(
+        touch, ignorenulls=True
+    )
+    return (
+        df.withColumn("__touch", pick.over(w))
+        .filter(F.col(type_col) == conversion_type)
+        .select(F.coalesce(F.col("__touch"), F.lit("(none)")).alias("touch"))
+        .groupBy("touch")
+        .agg(F.count(F.lit(1)).alias("conversions"))
+        .orderBy(F.col("conversions").desc(), F.col("touch").asc())
+    )

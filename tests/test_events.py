@@ -269,3 +269,93 @@ def test_retention_cohorts_partition_invariant(spark):
     a = sorted(map(tuple, retention_cohorts(df).collect()))
     b = sorted(map(tuple, retention_cohorts(df.repartition(11)).collect()))
     assert a == b and len(a) > 3
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [
+            Row(event_id=i, user_id=u, ts=dt.datetime(2024, 1, 1, 0, m), event_type=t)
+            for i, (u, m, t) in enumerate(rows)
+        ]
+    )
+
+
+def test_path_ngrams_hand_case(spark):
+    from aleph2_contrib_spark.operators.events import path_ngrams
+
+    # user 1: a b c b c  -> trigrams a>b>c, b>c>b, c>b>c
+    # user 2: a b c      -> trigram  a>b>c
+    df = _ev(
+        spark,
+        [(1, 0, "a"), (1, 1, "b"), (1, 2, "c"), (1, 3, "b"), (1, 4, "c"),
+         (2, 0, "a"), (2, 1, "b"), (2, 2, "c")],
+    )
+    out = {(r["path"], r["cnt"]) for r in path_ngrams(df, "user_id", "ts", "event_type", "event_id").collect()}
+    assert out == {("a>b>c", 2), ("b>c>b", 1), ("c>b>c", 1)}
+
+
+def test_path_ngrams_never_crosses_users(spark):
+    from aleph2_contrib_spark.operators.events import path_ngrams
+
+    # two users with < n events each: no trigram may span the boundary
+    df = _ev(spark, [(1, 0, "a"), (1, 1, "b"), (2, 2, "c"), (2, 3, "d")])
+    assert path_ngrams(df, "user_id", "ts", "event_type", "event_id").count() == 0
+
+
+def test_path_ngrams_simultaneous_events_stable(spark):
+    from aleph2_contrib_spark.operators.events import path_ngrams
+
+    # equal timestamps: order falls back to event_id, so the path is the
+    # insertion order regardless of partitioning
+    df = _ev(spark, [(1, 0, "x"), (1, 0, "y"), (1, 0, "z")])
+    a = [tuple(r) for r in path_ngrams(df.repartition(1), "user_id", "ts", "event_type", "event_id").collect()]
+    b = [tuple(r) for r in path_ngrams(df.repartition(8), "user_id", "ts", "event_type", "event_id").collect()]
+    assert a == b == [("x>y>z", 1)]
+
+
+def test_touch_attribution_last_and_first(spark):
+    from aleph2_contrib_spark.operators.events import touch_attribution
+
+    # user 1: view click purchase  -> last=click, first=view
+    # user 2: purchase             -> (none)
+    # user 3: click view purchase purchase -> both purchases credit view (last)
+    df = _ev(
+        spark,
+        [(1, 0, "view"), (1, 1, "click"), (1, 2, "purchase"),
+         (2, 0, "purchase"),
+         (3, 0, "click"), (3, 1, "view"), (3, 2, "purchase"), (3, 3, "purchase")],
+    )
+    last = {
+        (r["touch"], r["conversions"])
+        for r in touch_attribution(
+            df, "user_id", "ts", "event_type", "event_id", "purchase", ["click", "view"], "last"
+        ).collect()
+    }
+    assert last == {("click", 1), ("(none)", 1), ("view", 2)}
+    first = {
+        (r["touch"], r["conversions"])
+        for r in touch_attribution(
+            df, "user_id", "ts", "event_type", "event_id", "purchase", ["click", "view"], "first"
+        ).collect()
+    }
+    assert first == {("view", 1), ("(none)", 1), ("click", 2)}
+
+
+def test_touch_attribution_touch_must_strictly_precede(spark):
+    from aleph2_contrib_spark.operators.events import touch_attribution
+
+    # the conversion row itself is outside the frame: a purchase with a
+    # simultaneous click (later event_id) is NOT credited to it
+    df = _ev(spark, [(1, 0, "purchase"), (1, 0, "click")])
+    out = {(r["touch"], r["conversions"]) for r in touch_attribution(
+        df, "user_id", "ts", "event_type", "event_id", "purchase", ["click"], "last"
+    ).collect()}
+    assert out == {("(none)", 1)}
+
+
+def test_touch_attribution_rejects_bad_model(spark):
+    from aleph2_contrib_spark.operators.events import touch_attribution
+
+    df = _ev(spark, [(1, 0, "purchase")])
+    with pytest.raises(ValueError, match="model"):
+        touch_attribution(df, "user_id", "ts", "event_type", "event_id", "purchase", ["click"], "linear")
