@@ -2279,6 +2279,26 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_counts(ev, "user_id", "ts", "event_type", ["view", "click", "purchase"])
 
 
+def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label-propagation communities (operators/graph.
+    lpa_communities) over the sampled part co-purchase graph: 3 fixed
+    rounds of most-frequent-neighbor-label with min-label tie-break —
+    deterministic by construction; the oracle unrolls the rounds
+    (graph.lpa_oracle_sql) like the k-core peel."""
+    from aleph2_contrib_spark.operators.graph import lpa_communities
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 7 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    lj = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+    edges = li.join(lj, (li.l_orderkey == lj.ok) & (li.l_partkey < lj.pk)).select(
+        F.col("l_partkey").alias("src"), F.col("pk").alias("dst")
+    )
+    return lpa_communities(edges, rounds=3)
+
+
 def events_path_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Path mining (operators/events.path_ngrams): top event-type
     trigrams over per-user ordered streams — one user-key shuffle, shared
@@ -3525,6 +3545,19 @@ def _hll_by_group_oracle() -> str:
     return f"SELECT g AS event_type, est, n_buckets, zeros FROM ({inner})"
 
 
+def _lpa_oracle() -> str:
+    """DuckDB replica of graph_lpa_communities (rounds unrolled)."""
+    from aleph2_contrib_spark.operators.graph import lpa_oracle_sql
+
+    edges_sql = """
+        SELECT a.l_partkey AS src, b.l_partkey AS dst
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        WHERE a.l_orderkey % 7 = 0
+    """
+    return lpa_oracle_sql(edges_sql, rounds=3)
+
+
 def _hll_windows_oracle() -> str:
     """DuckDB replica of streaming_hll_windows: the batch grouped HLL of
     the same rows keyed on the hour window — equality proves the
@@ -3567,6 +3600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_hll_windows": streaming_hll_windows,
         "events_path_ngrams": events_path_ngrams,
         "events_attribution": events_attribution,
+        "graph_lpa_communities": graph_lpa_communities,
         "crud_batch_writer_roundtrip": crud_batch_writer_roundtrip,
         "storage_segment_rolling": storage_segment_rolling,
         "storage_collide_policy": storage_collide_policy,
@@ -5924,6 +5958,7 @@ def oracle_sql() -> dict[str, str]:
         "sketch_hll_intersection": _hll_intersection_oracle(),
         "sketch_hll_by_group": _hll_by_group_oracle(),
         "streaming_hll_windows": _hll_windows_oracle(),
+        "graph_lpa_communities": _lpa_oracle(),
         "q11_important_stock": """
             WITH pp AS (
                 SELECT l_partkey,

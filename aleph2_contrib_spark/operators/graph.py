@@ -976,3 +976,110 @@ def kcore_oracle_sql(edge_sql: str, k: int, rounds: int = 10) -> str:
         f" WHERE (SELECT count(*) FROM e{rounds}) != (SELECT count(*) FROM e{rounds - 1})"
     )
     return "".join(parts)
+
+
+def lpa_communities(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    rounds: int = 3,
+    checkpoint_every: int = 0,
+) -> DataFrame:
+    """Synchronous label-propagation community detection over an
+    undirected graph — the cheap community analytic (spam clusters,
+    boilerplate families, topical groups) the reference's graph store
+    leaves to traversals, expressed as fixed-round join dataflow.
+
+    Every node starts labeled with its own id; each round, every node
+    SIMULTANEOUSLY adopts the most frequent label among its neighbors,
+    ties broken toward the SMALLEST label. Synchronous update + counted
+    ties make the result fully deterministic for a given round count —
+    no dependence on visit order or partitioning (asynchronous LPA is
+    famously order-dependent; determinism is the differential-testing
+    contract here, and oscillation is bounded by the fixed ``rounds``).
+
+    Returns (node, community) for every distinct endpoint.
+
+    Plan shape at scale: the symmetrized, deduped edge list is persisted
+    and pre-partitioned on the neighbor key ONCE; each round is one
+    labels⋈edges hash join on that key, one groupBy(node, label) with
+    map-side partial counts, and one per-node argmax window over the
+    counted label table (rows = distinct (node, neighbor-label) pairs,
+    already far smaller than the edge list). Labels persist per round so
+    no round re-derives its predecessor; ``checkpoint_every`` bounds
+    lineage for deep runs, same contract as pagerank.
+    """
+    from pyspark.sql import Window
+
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    und = (
+        e.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionByName(e.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        .repartition("v")
+        .persist()
+    )
+    labels = und.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    ).persist()
+    try:
+        for i in range(rounds):
+            counted = (
+                und.join(labels, und["v"] == labels["node"])
+                .select(F.col("u"), F.col("label"))
+                .groupBy("u", "label")
+                .agg(F.count(F.lit(1)).alias("c"))
+            )
+            w = Window.partitionBy("u").orderBy(F.col("c").desc(), F.col("label").asc())
+            new_labels = (
+                counted.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .select(F.col("u").alias("node"), "label")
+                .persist()
+            )
+            if checkpoint_every and (i + 1) % checkpoint_every == 0:
+                new_labels = new_labels.localCheckpoint(eager=False)
+            labels.unpersist()
+            labels = new_labels
+        return labels.select("node", F.col("label").alias("community"))
+    finally:
+        und.unpersist()
+
+
+def lpa_oracle_sql(edges_sql: str, rounds: int = 3) -> str:
+    """DuckDB replica of lpa_communities: the synchronous rounds unrolled
+    textually (same technique as kcore_oracle_sql). ``edges_sql`` must
+    select columns (src, dst)."""
+    parts = [
+        f"""
+        WITH raw AS ({edges_sql}),
+        e0 AS (
+            SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+            FROM raw WHERE src <> dst
+        ),
+        und AS (
+            SELECT a AS u, b AS v FROM e0 UNION ALL SELECT b AS u, a AS v FROM e0
+        ),
+        l0 AS (SELECT DISTINCT u AS node, u AS label FROM und)"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""",
+        l{i} AS (
+            SELECT u AS node, label FROM (
+                SELECT n.u, l.label,
+                       row_number() OVER (PARTITION BY n.u
+                                          ORDER BY count(*) DESC, l.label ASC) AS rn
+                FROM und n JOIN l{i - 1} l ON l.node = n.v
+                GROUP BY n.u, l.label
+            ) WHERE rn = 1
+        )"""
+        )
+    parts.append(f"\n        SELECT node, label AS community FROM l{rounds}")
+    return "".join(parts)

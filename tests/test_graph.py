@@ -431,3 +431,44 @@ def test_coreness_partition_independent(spark):
         for r in coreness_decomposition(edges.repartition(11)).collect()
     }
     assert a == b and len(a) > 0
+
+
+def test_lpa_two_cliques_with_bridge(spark):
+    from aleph2_contrib_spark.operators.graph import lpa_communities
+
+    # triangles {1,2,3} and {4,5,6} joined by bridge 3-4: three
+    # synchronous rounds settle each triangle on one label (hand-traced:
+    # 1,2,3 -> 1 and 4,5,6 -> 3 after round 3; deterministic by the
+    # min-label tie-break).
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)],
+        ["src", "dst"],
+    )
+    got = {r["node"]: r["community"] for r in lpa_communities(edges, rounds=3).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 3, 5: 3, 6: 3}
+
+
+def test_lpa_ignores_duplicates_selfloops_and_direction(spark):
+    from aleph2_contrib_spark.operators.graph import lpa_communities
+
+    base = spark.createDataFrame([(1, 2), (2, 3), (1, 3)], ["src", "dst"])
+    noisy = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (2, 3), (1, 3), (2, 2)], ["src", "dst"]
+    )
+    a = sorted(map(tuple, lpa_communities(base, rounds=2).collect()))
+    b = sorted(map(tuple, lpa_communities(noisy, rounds=2).collect()))
+    assert a == b
+
+
+def test_lpa_partition_invariant(spark):
+    from aleph2_contrib_spark.operators.graph import lpa_communities
+
+    import random as _r
+
+    rng = _r.Random(5)
+    edges = [(rng.randrange(50), rng.randrange(50)) for _ in range(300)]
+    df1 = spark.createDataFrame(edges, ["src", "dst"]).repartition(1)
+    df2 = spark.createDataFrame(edges, ["src", "dst"]).repartition(16)
+    a = sorted(map(tuple, lpa_communities(df1, rounds=3).collect()))
+    b = sorted(map(tuple, lpa_communities(df2, rounds=3).collect()))
+    assert a == b
