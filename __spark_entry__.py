@@ -2279,6 +2279,17 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_counts(ev, "user_id", "ts", "event_type", ["view", "click", "purchase"])
 
 
+def corpus_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/eval split (operators/corpus.leakage_safe_split):
+    fingerprint groups assigned WHOLE to one side by md5 of the group
+    representative — eval can never contain a duplicate of a training
+    doc; one MIN-window shuffle total."""
+    from aleph2_contrib_spark.operators import corpus as cp
+
+    docs = _t(spark, sf_dir, "documents")
+    return cp.leakage_safe_split(docs, "doc_id", "text", eval_permille=100, seed="split")
+
+
 def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synchronous label-propagation communities (operators/graph.
     lpa_communities) over the sampled part co-purchase graph: 3 fixed
@@ -3601,6 +3612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_path_ngrams": events_path_ngrams,
         "events_attribution": events_attribution,
         "graph_lpa_communities": graph_lpa_communities,
+        "corpus_leakage_safe_split": corpus_leakage_safe_split,
         "crud_batch_writer_roundtrip": crud_batch_writer_roundtrip,
         "storage_segment_rolling": storage_segment_rolling,
         "storage_collide_policy": storage_collide_policy,
@@ -5959,6 +5971,18 @@ def oracle_sql() -> dict[str, str]:
         "sketch_hll_by_group": _hll_by_group_oracle(),
         "streaming_hll_windows": _hll_windows_oracle(),
         "graph_lpa_communities": _lpa_oracle(),
+        "corpus_leakage_safe_split": r"""
+            WITH base AS (
+                SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+                FROM documents
+            ), g AS (
+                SELECT doc_id, min(doc_id) OVER (PARTITION BY fp) AS group_rep FROM base
+            )
+            SELECT doc_id, group_rep,
+                   CASE WHEN CAST(CAST('0x' || substr(md5('split:' || CAST(group_rep AS VARCHAR)), 1, 8) AS UBIGINT) % 1000 AS BIGINT) < 100
+                        THEN 'eval' ELSE 'train' END AS split
+            FROM g
+        """,
         "q11_important_stock": """
             WITH pp AS (
                 SELECT l_partkey,

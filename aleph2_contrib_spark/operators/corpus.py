@@ -652,3 +652,58 @@ def temperature_mix(
         for s, n in counts.items()
     }
     return mix_sources(df, source_col, rates, id_col, seed=seed)
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_permille: int = 100,
+    seed: str = "split",
+) -> DataFrame:
+    """Train/eval split that can NEVER leak a near-duplicate across the
+    boundary: documents sharing a normalized-text fingerprint form a
+    group, and the WHOLE group is assigned to one side by a
+    deterministic hash of the group representative — so an eval document
+    cannot have a training-set duplicate, the contamination mode a plain
+    per-document hash split silently permits. (For fuzzier leakage run
+    the minhash family first and pass its cluster representative as the
+    text: the split mechanics are identical — group, hash the
+    representative, assign the group.)
+
+    ``eval_permille`` is the expected eval share in ‰ of GROUPS;
+    assignment is ``int(md5(seed:rep)[0:8], 16) % 1000 < eval_permille``
+    — engine-portable, reproducible, stable under re-runs and corpus
+    growth (adding new docs never flips an existing group).
+
+    Returns (id, group_rep, split) with split ∈ {'train', 'eval'}.
+
+    Plan shape at scale: one narrow fingerprint pass, one MIN window
+    partitioned on the fingerprint (group representative = smallest id —
+    corpus statistics and per-doc rows in the same exchange, no
+    self-join), then a narrow hash-assign. One shuffle total.
+    """
+    from pyspark.sql import Window
+
+    from aleph2_contrib_spark.operators.dedup import fingerprint
+
+    fp = fingerprint(F.col(text_col))
+    base = df.select(F.col(id_col).alias("id"), fp.alias("__fp"))
+    rep = F.min("id").over(Window.partitionBy("__fp"))
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit(seed), rep.cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000
+    )
+    return base.select(
+        F.col("id").alias(id_col),
+        rep.alias("group_rep"),
+        F.when(bucket < F.lit(int(eval_permille)), F.lit("eval"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )

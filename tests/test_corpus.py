@@ -455,3 +455,38 @@ def test_temperature_mix_flattens_distribution(spark):
     assert sorted(r.doc_id for r in kept.collect()) == sorted(
         r.doc_id for r in again.collect()
     )
+
+
+def test_leakage_safe_split_never_splits_duplicates(spark):
+    from aleph2_contrib_spark.operators.corpus import leakage_safe_split
+
+    rows = [Row(doc_id=i, text="unique text %d" % i) for i in range(40)]
+    # duplicate family: same normalized text under ids 100-104 (case and
+    # whitespace noise must not separate them)
+    dups = [
+        Row(doc_id=100, text="The  Shared   Document"),
+        Row(doc_id=101, text="the shared document"),
+        Row(doc_id=102, text="THE SHARED DOCUMENT"),
+        Row(doc_id=103, text=" the shared  document "),
+        Row(doc_id=104, text="the shared document"),
+    ]
+    df = spark.createDataFrame(rows + dups)
+    out = leakage_safe_split(df, eval_permille=300).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    fam = [by_id[i] for i in range(100, 105)]
+    assert len({r["split"] for r in fam}) == 1
+    assert {r["group_rep"] for r in fam} == {100}
+    # both sides populated at this rate on 41 groups
+    assert {r["split"] for r in out} == {"train", "eval"}
+
+
+def test_leakage_safe_split_stable_under_corpus_growth(spark):
+    from aleph2_contrib_spark.operators.corpus import leakage_safe_split
+
+    old = spark.createDataFrame([Row(doc_id=i, text="doc %d" % i) for i in range(30)])
+    grown = spark.createDataFrame(
+        [Row(doc_id=i, text="doc %d" % i) for i in range(60)]
+    )
+    a = {r["doc_id"]: r["split"] for r in leakage_safe_split(old).collect()}
+    b = {r["doc_id"]: r["split"] for r in leakage_safe_split(grown).collect()}
+    assert all(b[i] == a[i] for i in a)
