@@ -157,14 +157,24 @@ def repetition_score(
 ) -> DataFrame:
     """Within-document repetition (quality signal): fraction of n-gram
     occurrences that are duplicates of an earlier occurrence. 0 = no
-    repetition, →1 = the document is one phrase looping. Narrow pass."""
+    repetition, →1 = the document is one phrase looping. Narrow pass.
+
+    The gram array and the two counts are bound behind their own
+    projections (the bind-once discipline, see rolling_hash_fingerprints):
+    referenced inline, CollapseProject would splice the split+transform
+    n-gram chain into every consumer — ~4 redundant evaluations per row,
+    measured ~3x the scan cost at 50k docs."""
     grams = word_ngrams(F.col(text_col), n)
-    total = F.size(grams)
-    distinct = F.size(F.array_distinct(grams))
-    return df.select(
-        F.col(id_col).alias("doc_id"),
-        total.cast("long").alias("n_grams"),
-        distinct.cast("long").alias("n_distinct"),
+    counted = df.select(F.col(id_col).alias("doc_id"), grams.alias("__g")).select(
+        "doc_id",
+        F.size(F.col("__g")).cast("long").alias("n_grams"),
+        F.size(F.array_distinct(F.col("__g"))).cast("long").alias("n_distinct"),
+    )
+    total, distinct = F.col("n_grams"), F.col("n_distinct")
+    return counted.select(
+        "doc_id",
+        "n_grams",
+        "n_distinct",
         F.when(total > 0, F.floor((total - distinct) / total * 1e6).cast("long"))
         .otherwise(F.lit(0).cast("long"))
         .alias("rep_ratio_f6"),
