@@ -2279,6 +2279,16 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_counts(ev, "user_id", "ts", "event_type", ["view", "click", "purchase"])
 
 
+def text_hashed_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashed bag-of-words embeddings (operators/text.
+    hashed_embedding) in the sparse exact-integer form: md5 bucket +
+    deterministic sign, summed per (doc, bucket) — the model-free text →
+    vector bridge into the ANN/MMR/dedup operators; the dense unit-norm
+    form divides these exact counts by their L2 norm."""
+    docs = _t(spark, sf_dir, "documents")
+    return txt.hashed_embedding(docs, "doc_id", "text", dim=64, as_rows=True)
+
+
 def corpus_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe train/eval split (operators/corpus.leakage_safe_split):
     fingerprint groups assigned WHOLE to one side by md5 of the group
@@ -3598,10 +3608,13 @@ def _hll_intersection_oracle() -> str:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver gate grades the FIRST 50 entries
     # each round. Round-6 rotation (VERDICT r5 item 1 + standing rule:
-    # new/changed gates first, then oldest-verified fill): after this
-    # window clears, no contract query's latest driver check is older
-    # than round 3, and the remaining round-3 block sits at slots 51+ to
-    # lead round 7. All entries past the window are green in this round's
+    # new/changed gates first, then oldest-verified fill): the window
+    # leads with the 14 gates built this round (never driver-checked),
+    # then gates whose code path changed, then the 7 round-2-stale
+    # queries, then oldest-verified round-3 fill. After this window
+    # clears, no contract query's latest driver check is older than
+    # round 3; the displaced round-3 block sits at slots 51+ to lead
+    # round 7. All entries past the window are green in this round's
     # full-registry local run (CORRECTNESS_local_r06.json).
     return {
         # -- (1) NEW oracle gates this round (never driver-checked) --
@@ -3613,6 +3626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_attribution": events_attribution,
         "graph_lpa_communities": graph_lpa_communities,
         "corpus_leakage_safe_split": corpus_leakage_safe_split,
+        "text_hashed_embedding": text_hashed_embedding,
         "crud_batch_writer_roundtrip": crud_batch_writer_roundtrip,
         "storage_segment_rolling": storage_segment_rolling,
         "storage_collide_policy": storage_collide_policy,
@@ -5971,6 +5985,20 @@ def oracle_sql() -> dict[str, str]:
         "sketch_hll_by_group": _hll_by_group_oracle(),
         "streaming_hll_windows": _hll_windows_oracle(),
         "graph_lpa_communities": _lpa_oracle(),
+        "text_hashed_embedding": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS tok
+                FROM documents
+            ), f AS (
+                SELECT doc_id,
+                       CAST(CAST('0x' || substr(md5(tok), 1, 8) AS UBIGINT) % 64 AS BIGINT) AS bucket,
+                       CASE WHEN CAST('0x' || substr(md5(tok), 9, 1) AS INT) < 8 THEN 1 ELSE -1 END AS s
+                FROM t WHERE tok <> ''
+            )
+            SELECT doc_id, bucket, CAST(sum(s) AS BIGINT) AS weight
+            FROM f GROUP BY doc_id, bucket HAVING sum(s) <> 0
+        """,
         "corpus_leakage_safe_split": r"""
             WITH base AS (
                 SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp

@@ -619,3 +619,89 @@ def winnowing_fingerprints(
         .select("id", F.explode(F.transform(F.array(F.col("__hs")), mins_of)[0]).alias("fp"))
     )
     return fps.distinct().withColumnRenamed("id", id_col)
+
+
+def hashed_embedding(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 64,
+    as_rows: bool = False,
+) -> DataFrame:
+    """Feature-hashed bag-of-words document embeddings — the model-free
+    bridge from raw text to this repo's vector operators (brute-force /
+    LSH / IVF ANN, MMR rerank, embedding-cosine dedup): hash every token
+    into one of ``dim`` buckets with a deterministic sign, sum, and
+    L2-normalize. The hashing-trick embedding (Weinberger et al. 2009) —
+    no trained model, engine-portable md5 features, cosine between two
+    documents approximates their token-profile similarity.
+
+    Bucket and sign come from disjoint md5 prefix fields (same family as
+    the sketch module): ``bucket = int(md5(tok)[0:8], 16) % dim``,
+    ``sign = +1 if int(md5(tok)[8:9], 16) < 8 else -1``.
+
+    Default output is one row per document with a dense
+    ``array<double>`` ``embedding`` (unit L2 norm; the all-zero edge
+    case — empty text — stays all-zero rather than dividing by zero).
+    ``as_rows=True`` instead emits the sparse integer form
+    ``(id, bucket, weight)`` BEFORE normalization — exact counts, the
+    differential-test surface (SQL engines reproduce it bit-for-bit
+    without array plumbing) and the natural input to a downstream
+    merge (weights of a sharded corpus sum).
+
+    Plan shape at scale: explode tokens (narrow), groupBy(id, bucket)
+    with map-side partial sums — shuffle volume is distinct per-doc
+    buckets, capped at ``dim`` rows per document regardless of length —
+    then (dense form) one map_from_entries + transform rebuild per doc.
+    No Python anywhere.
+    """
+    toks = F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " ")
+    h = F.md5(F.col("tok"))
+    sparse = (
+        df.select(F.col(id_col).alias("id"), F.explode(toks).alias("tok"))
+        .filter(F.col("tok") != "")
+        .select(
+            "id",
+            (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % F.lit(dim)).alias("bucket"),
+            F.when(
+                F.conv(F.substring(h, 9, 1), 16, 10).cast("int") < F.lit(8), F.lit(1)
+            ).otherwise(F.lit(-1)).alias("s"),
+        )
+        .groupBy("id", "bucket")
+        .agg(F.sum("s").cast("long").alias("weight"))
+    )
+    if as_rows:
+        return sparse.filter(F.col("weight") != 0).withColumnRenamed("id", id_col)
+    # left join back onto the id set: token-free documents (empty text)
+    # keep a row — element_at on their NULL map yields NULL → coalesce 0,
+    # so they come out as the documented all-zero vector
+    dense = df.select(F.col(id_col).alias("id")).join(
+        sparse.groupBy("id").agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("bucket"), F.col("weight")))
+            ).alias("__m")
+        ),
+        "id",
+        "left",
+    )
+    # bind-once discipline (see rolling_hash_fingerprints): the raw vector
+    # and its norm each get their own projection so the map-rebuild and
+    # the norm aren't re-evaluated per element inside the lambdas
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda b: F.coalesce(F.element_at(F.col("__m"), b.cast("long")), F.lit(0)).cast(
+            "double"
+        ),
+    )
+    staged = dense.select("id", vec.alias("__v")).select(
+        "id",
+        "__v",
+        F.sqrt(F.aggregate(F.col("__v"), F.lit(0.0), lambda a, x: a + x * x)).alias("__n"),
+    )
+    return staged.select(
+        F.col("id").alias(id_col),
+        F.transform(
+            F.col("__v"),
+            lambda x: F.when(F.col("__n") == 0.0, F.lit(0.0)).otherwise(x / F.col("__n")),
+        ).alias("embedding"),
+    )

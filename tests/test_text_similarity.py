@@ -481,3 +481,48 @@ def test_mmr_topk_partition_invariant(spark):
     a = [tuple(r) for r in sim.mmr_topk(spark.createDataFrame(rows).repartition(1), q, k=5).collect()]
     b = [tuple(r) for r in sim.mmr_topk(spark.createDataFrame(rows).repartition(16), q, k=5).collect()]
     assert a == b
+
+
+def test_hashed_embedding_dense_unit_norm_and_zero_text(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="alpha beta gamma alpha"), Row(doc_id=2, text="")]
+    )
+    rows = {r["doc_id"]: r["embedding"] for r in txt.hashed_embedding(df, dim=16).collect()}
+    assert abs(sum(x * x for x in rows[1]) - 1.0) < 1e-12
+    assert rows[2] == [0.0] * 16
+
+
+def test_hashed_embedding_sparse_matches_dense_direction(spark):
+    df = spark.createDataFrame([Row(doc_id=1, text="a b c a a b")])
+    sparse = {
+        (r["bucket"]): r["weight"]
+        for r in txt.hashed_embedding(df, dim=32, as_rows=True).collect()
+    }
+    dense = txt.hashed_embedding(df, dim=32).collect()[0]["embedding"]
+    norm = sum(w * w for w in sparse.values()) ** 0.5
+    for b in range(32):
+        assert abs(dense[b] - sparse.get(b, 0) / norm) < 1e-12
+
+
+def test_hashed_embedding_feeds_ann_pipeline(spark):
+    # identical docs → cosine 1 → brute-force top-1 finds the duplicate;
+    # the embedding column slots straight into the similarity operators
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the quick brown fox jumps over the lazy dog"),
+            Row(doc_id=2, text="the quick brown fox jumps over the lazy dog"),
+            Row(doc_id=3, text="completely unrelated sentence about spark plans"),
+        ]
+    )
+    emb = txt.hashed_embedding(df, dim=64).withColumnRenamed("doc_id", "vec_id")
+    q = emb.filter(F.col("vec_id") == 1).head()["embedding"]
+    top = sim.brute_force_topk(emb, q, k=2).collect()
+    assert [r["vec_id"] for r in top] == [1, 2]
+    assert abs(top[1]["score"] - 1.0) < 1e-9
+
+
+def test_hashed_embedding_partition_invariant(spark):
+    rows = [Row(doc_id=i, text=" ".join("w%d" % ((i * 3 + j) % 40) for j in range(25))) for i in range(50)]
+    a = sorted((r["doc_id"], tuple(r["embedding"])) for r in txt.hashed_embedding(spark.createDataFrame(rows).repartition(1), dim=32).collect())
+    b = sorted((r["doc_id"], tuple(r["embedding"])) for r in txt.hashed_embedding(spark.createDataFrame(rows).repartition(16), dim=32).collect())
+    assert a == b
