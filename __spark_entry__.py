@@ -2320,6 +2320,17 @@ def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lpa_communities(edges, rounds=3)
 
 
+def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA smoothing (operators/events.ewma_smooth): α=1/2 makes
+    every weight a power of two, so the truncated-renormalized EWMA is
+    exact integer arithmetic (weighted sum div weight sum) — one user-key
+    shuffle, all lags sharing a single window sort."""
+    from aleph2_contrib_spark.operators.events import ewma_smooth
+
+    ev = _t(spark, sf_dir, "events")
+    return ewma_smooth(ev, "user_id", "ts", "event_id", "value", window=8)
+
+
 def events_path_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Path mining (operators/events.path_ngrams): top event-type
     trigrams over per-user ordered streams — one user-key shuffle, shared
@@ -3566,6 +3577,34 @@ def _hll_by_group_oracle() -> str:
     return f"SELECT g AS event_type, est, n_buckets, zeros FROM ({inner})"
 
 
+def _ewma_oracle(window: int = 8) -> str:
+    """DuckDB replica of events_ewma: the same power-of-two weighted sum
+    over lag columns, integral division (both engines truncate)."""
+    vf6 = "CAST(floor(value * 1000000.0) AS BIGINT)"
+    lags = ",\n                   ".join(
+        f"lag({vf6}, {k}) OVER w AS v{k}" for k in range(1, window)
+    )
+    num = " + ".join(
+        f"COALESCE(v{k} * {1 << (window - 1 - k)}, 0)" for k in range(window)
+    )
+    den = " + ".join(
+        f"(CASE WHEN v{k} IS NOT NULL THEN {1 << (window - 1 - k)} ELSE 0 END)"
+        for k in range(window)
+    )
+    return f"""
+            WITH l AS (
+                SELECT event_id, user_id,
+                   {vf6} AS v0,
+                   {lags}
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+            )
+            SELECT event_id, user_id,
+                   CAST(({num}) // ({den}) AS BIGINT) AS ewma_f6
+            FROM l
+        """
+
+
 def _lpa_oracle() -> str:
     """DuckDB replica of graph_lpa_communities (rounds unrolled)."""
     from aleph2_contrib_spark.operators.graph import lpa_oracle_sql
@@ -3627,6 +3666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_lpa_communities": graph_lpa_communities,
         "corpus_leakage_safe_split": corpus_leakage_safe_split,
         "text_hashed_embedding": text_hashed_embedding,
+        "events_ewma": events_ewma,
         "crud_batch_writer_roundtrip": crud_batch_writer_roundtrip,
         "storage_segment_rolling": storage_segment_rolling,
         "storage_collide_policy": storage_collide_policy,
@@ -5985,6 +6025,7 @@ def oracle_sql() -> dict[str, str]:
         "sketch_hll_by_group": _hll_by_group_oracle(),
         "streaming_hll_windows": _hll_windows_oracle(),
         "graph_lpa_communities": _lpa_oracle(),
+        "events_ewma": _ewma_oracle(),
         "text_hashed_embedding": r"""
             WITH t AS (
                 SELECT doc_id,

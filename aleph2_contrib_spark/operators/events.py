@@ -368,3 +368,63 @@ def touch_attribution(
         .agg(F.count(F.lit(1)).alias("conversions"))
         .orderBy(F.col("conversions").desc(), F.col("touch").asc())
     )
+
+
+def ewma_smooth(
+    df: DataFrame,
+    key_col: str,
+    time_col: str,
+    id_col: str,
+    value_col: str,
+    window: int = 8,
+) -> DataFrame:
+    """Per-key exponentially-weighted moving average (α = 1/2) over each
+    event stream — the streaming-metrics smoother (latency trends,
+    per-user spend drift) — truncated at ``window`` lags and computed in
+    EXACT INTEGER arithmetic so it is engine-portable: with α = 1/2
+    every weight is a power of two, so
+
+        ewma_f6(t) = (Σ_k v_f6(t−k) · 2^(window−1−k))
+                     div (Σ_k 2^(window−1−k))        over available lags
+
+    where ``v_f6 = floor(value·10⁶)``. Missing lags at the head of a
+    stream drop out of BOTH sums (the usual renormalized truncated
+    EWMA), so early events average over what exists rather than decaying
+    toward zero. Exact integer mult/sum/div — no float-summation or
+    pow() drift anywhere.
+
+    Returns every input row's (id, key, ewma_f6). Ordering within a key
+    is (time, id) — deterministic under ties.
+
+    Plan shape at scale: ONE shuffle on the key; all ``window`` lag
+    columns share the same window spec, so Catalyst keeps a single sort
+    and exchange; everything after is narrow integer arithmetic.
+    """
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(time_col).asc(), F.col(id_col).asc()
+    )
+    v_f6 = F.floor(F.col(value_col) * F.lit(1000000.0)).cast("long")
+    base = df.select(
+        F.col(id_col),
+        F.col(key_col),
+        v_f6.alias("__v0"),
+        *[F.lag(v_f6, k).over(w).alias(f"__v{k}") for k in range(1, window)],
+    )
+    num = F.lit(0).cast("long")
+    den = F.lit(0).cast("long")
+    for k in range(window):
+        wt = F.lit(1 << (window - 1 - k)).cast("long")
+        have = F.col(f"__v{k}").isNotNull()
+        num = num + F.when(have, F.col(f"__v{k}") * wt).otherwise(F.lit(0))
+        den = den + F.when(have, wt).otherwise(F.lit(0))
+    return (
+        base.withColumn("__num", num)
+        .withColumn("__den", den)
+        .select(
+            F.col(id_col),
+            F.col(key_col),
+            # integral div over exact longs, not floor(float /): the
+            # weighted sum can exceed 2^53 where double division rounds
+            F.expr("__num div __den").cast("long").alias("ewma_f6"),
+        )
+    )

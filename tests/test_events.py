@@ -359,3 +359,43 @@ def test_touch_attribution_rejects_bad_model(spark):
     df = _ev(spark, [(1, 0, "purchase")])
     with pytest.raises(ValueError, match="model"):
         touch_attribution(df, "user_id", "ts", "event_type", "event_id", "purchase", ["click"], "linear")
+
+
+def test_ewma_hand_case_and_first_event(spark):
+    from aleph2_contrib_spark.operators.events import ewma_smooth
+
+    df = spark.createDataFrame(
+        [
+            Row(event_id=1, user_id=1, ts=dt.datetime(2024, 1, 1, 0, 0), value=1.0),
+            Row(event_id=2, user_id=1, ts=dt.datetime(2024, 1, 1, 0, 1), value=3.0),
+        ]
+    )
+    out = {r["event_id"]: r["ewma_f6"] for r in ewma_smooth(df, "user_id", "ts", "event_id", "value").collect()}
+    # first event: only its own value
+    assert out[1] == 1_000_000
+    # second: (3e6*128 + 1e6*64) div 192 = 448e6/192
+    assert out[2] == 448_000_000 // 192
+
+
+def test_ewma_window_truncation(spark):
+    from aleph2_contrib_spark.operators.events import ewma_smooth
+
+    # 10 events; at the last event only the trailing 8 participate, so a
+    # huge value at position 0 must not influence it
+    rows = [Row(event_id=i, user_id=1, ts=dt.datetime(2024, 1, 1, 0, i), value=(1e6 if i == 0 else 2.0)) for i in range(10)]
+    out = {r["event_id"]: r["ewma_f6"] for r in ewma_smooth(spark.createDataFrame(rows), "user_id", "ts", "event_id", "value").collect()}
+    assert out[9] == 2_000_000  # constant tail -> exactly the value
+
+
+def test_ewma_partition_invariant_and_keys_isolated(spark):
+    from aleph2_contrib_spark.operators.events import ewma_smooth
+
+    rows = [
+        Row(event_id=i, user_id=i % 5, ts=dt.datetime(2024, 1, 1, 0, i % 60), value=float((i * 7) % 23))
+        for i in range(200)
+    ]
+    df1 = spark.createDataFrame(rows).repartition(1)
+    df2 = spark.createDataFrame(rows).repartition(16)
+    a = sorted(map(tuple, ewma_smooth(df1, "user_id", "ts", "event_id", "value").collect()))
+    b = sorted(map(tuple, ewma_smooth(df2, "user_id", "ts", "event_id", "value").collect()))
+    assert a == b
