@@ -2894,6 +2894,75 @@ def join_scd2_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_pit_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming feature enrichment with point-in-time correctness: the
+    order facts replayed as a file stream in REVERSE date order (every
+    batch after the first is late), each micro-batch asof-joined under
+    foreachBatch against the static SCD2 priority dimension — the
+    leakage-free feature-lookup shape of a streaming training-data
+    ingest. Per-batch facts match against the full dim independently, so
+    the union over micro-batches must equal the batch PIT join: the gate
+    shares join_scd2_pit's oracle verbatim."""
+    import tempfile
+
+    from aleph2_contrib_spark.operators.events import scd2_intervals
+    from aleph2_contrib_spark.operators.joins import asof_join
+    from aleph2_contrib_spark.streaming.runner import json_file_stream
+
+    orders = _t(spark, sf_dir, "orders")
+    dim = scd2_intervals(orders, "o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey")
+    w = W.partitionBy("key", "valid_from").orderBy(F.col("version").desc())
+    dim2 = (
+        dim.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("key").alias("o_custkey"),
+            F.col("valid_from"),
+            F.col("attr").alias("prio_asof"),
+        )
+        .persist()
+    )
+    dim2.count()
+
+    facts = orders.select(
+        "o_orderkey", "o_custkey", F.date_sub("o_orderdate", 30).alias("asof_date")
+    )
+    src = tempfile.mkdtemp(prefix="a2s_pit_src_")
+    yr = F.year(F.col("asof_date"))
+    # newest years first → later micro-batches are entirely "late"
+    for lo, hi in ((2000, 2100), (1998, 1999), (1996, 1997), (1900, 1995)):
+        facts.filter((yr >= lo) & (yr <= hi)).coalesce(1).write.mode("append").json(src)
+
+    stream = json_file_stream(
+        spark, src, "o_orderkey long, o_custkey long, asof_date date",
+        max_files_per_trigger=1,
+    )
+    sink_dir = tempfile.mkdtemp(prefix="a2s_pit_out_")
+
+    def sink(batch_df: DataFrame, _bid: int) -> None:
+        if batch_df.isEmpty():
+            return
+        out = asof_join(
+            batch_df, dim2, on=["o_custkey"], left_ts="asof_date",
+            right_ts="valid_from", value_cols=["prio_asof"],
+        ).select(
+            "o_orderkey", "o_custkey", "asof_date", "prio_asof",
+            F.col("matched_ts").cast("date").alias("matched_ts"),
+        )
+        out.write.mode("append").parquet(sink_dir)
+
+    with _stream_shuffle(spark):
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="a2s_pit_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+    q.awaitTermination(300)
+    dim2.unpersist()
+    return spark.read.parquet(sink_dir)
+
+
 def similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining (operators/similarity.hard_negative_mining):
     for each anchor (vec_id<5), the top-3 most-similar vectors with a
@@ -3577,6 +3646,41 @@ def _hll_by_group_oracle() -> str:
     return f"SELECT g AS event_type, est, n_buckets, zeros FROM ({inner})"
 
 
+_SCD2_PIT_ORACLE = """
+            WITH obs AS (
+                SELECT o_custkey AS key, o_orderpriority AS attr,
+                       o_orderdate AS d, o_orderkey AS k
+                FROM orders
+            ), marked AS (
+                SELECT *, CASE WHEN lag(1) OVER w IS NULL THEN 1
+                               WHEN lag(attr) OVER w IS NOT DISTINCT FROM attr
+                               THEN 0 ELSE 1 END AS new_run
+                FROM obs WINDOW w AS (PARTITION BY key ORDER BY d, k)
+            ), runs AS (
+                SELECT *, sum(new_run) OVER (
+                    PARTITION BY key ORDER BY d, k ROWS UNBOUNDED PRECEDING) AS run
+                FROM marked
+            ), g AS (
+                SELECT key, run, min(attr) AS attr, min(d) AS valid_from
+                FROM runs GROUP BY key, run
+            ), dim AS (
+                SELECT key, attr, valid_from FROM (
+                    SELECT g.*, row_number() OVER (
+                        PARTITION BY key, valid_from ORDER BY run DESC) AS rn
+                    FROM g
+                ) WHERE rn = 1
+            ), facts AS (
+                SELECT o_orderkey, o_custkey,
+                       CAST(o_orderdate - INTERVAL 30 DAY AS DATE) AS asof_date
+                FROM orders
+            )
+            SELECT f.o_orderkey, f.o_custkey, f.asof_date,
+                   d.attr AS prio_asof, CAST(d.valid_from AS DATE) AS matched_ts
+            FROM facts f ASOF LEFT JOIN dim d
+              ON f.o_custkey = d.key AND f.asof_date >= d.valid_from
+        """
+
+
 def _ewma_oracle(window: int = 8) -> str:
     """DuckDB replica of events_ewma: the same power-of-two weighted sum
     over lag columns, integral division (both engines truncate)."""
@@ -3667,6 +3771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_leakage_safe_split": corpus_leakage_safe_split,
         "text_hashed_embedding": text_hashed_embedding,
         "events_ewma": events_ewma,
+        "streaming_pit_enrichment": streaming_pit_enrichment,
         "crud_batch_writer_roundtrip": crud_batch_writer_roundtrip,
         "storage_segment_rolling": storage_segment_rolling,
         "storage_collide_policy": storage_collide_policy,
@@ -4344,7 +4449,7 @@ def oracle_sql() -> dict[str, str]:
                    n_triangles
             FROM t
         """,
-        "join_scd2_pit": """
+        "join_scd2_pit": _SCD2_PIT_ORACLE,    "join_scd2_pit": """
             WITH obs AS (
                 SELECT o_custkey AS key, o_orderpriority AS attr,
                        o_orderdate AS d, o_orderkey AS k
@@ -6026,6 +6131,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_hll_windows": _hll_windows_oracle(),
         "graph_lpa_communities": _lpa_oracle(),
         "events_ewma": _ewma_oracle(),
+        "streaming_pit_enrichment": _SCD2_PIT_ORACLE,
         "text_hashed_embedding": r"""
             WITH t AS (
                 SELECT doc_id,

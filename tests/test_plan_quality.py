@@ -29,6 +29,7 @@ HEAVY_SETUP = {
     "storage_segment_rolling",      # two full codec writes; result is a local table
     "storage_collide_policy",       # two bucket writes incl. an expected failure
     "streaming_hll_windows",        # full streaming replay; result finalizes emitted registers
+    "streaming_pit_enrichment",     # full streaming replay through foreachBatch asof joins
 }
 
 
