@@ -2289,6 +2289,20 @@ def text_hashed_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return txt.hashed_embedding(docs, "doc_id", "text", dim=64, as_rows=True)
 
 
+def corpus_quality_budget_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-driven quality cut (operators/corpus.quality_budget_filter):
+    keep exactly the top 400‰ of documents by classifier score via the
+    two-phase global rank (range partition → per-partition row_number →
+    O(partitions) driver prefix) — never a single-partition window; the
+    cut is a rank, so kept volume is exact whatever the score
+    distribution."""
+    from aleph2_contrib_spark.operators.corpus import quality_budget_filter
+
+    docs = _t(spark, sf_dir, "documents")
+    scores = txt.quality_classifier_score(docs).select("id", "score_fx")
+    return quality_budget_filter(scores, "score_fx", "id", keep_permille=400)
+
+
 def corpus_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe train/eval split (operators/corpus.leakage_safe_split):
     fingerprint groups assigned WHOLE to one side by md5 of the group
@@ -3681,6 +3695,32 @@ _SCD2_PIT_ORACLE = """
         """
 
 
+_QUALITY_CLASSIFIER_ORACLE = r"""
+            WITH base AS (
+                SELECT doc_id,
+                       string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk
+                FROM documents
+            ), feat AS (
+                SELECT doc_id,
+                       unnest(list_concat(
+                           tk,
+                           list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])
+                       )) AS f
+                FROM base
+            ), w AS (
+                SELECT doc_id,
+                       CAST('0x' || substr(md5('w:' || CAST(
+                           CAST('0x' || substr(md5(f), 1, 8) AS BIGINT) % 1024
+                       AS VARCHAR)), 1, 8) AS BIGINT) % 2001 - 1000 AS wt
+                FROM feat
+            )
+            SELECT doc_id AS id, CAST(count(*) AS INT) AS n_features,
+                   CAST(sum(wt) AS BIGINT) AS score_fx,
+                   CAST(sum(wt) AS BIGINT) >= 0 AS keep
+            FROM w GROUP BY doc_id
+        """
+
+
 def _ewma_oracle(window: int = 8) -> str:
     """DuckDB replica of events_ewma: the same power-of-two weighted sum
     over lag columns, integral division (both engines truncate)."""
@@ -3772,6 +3812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_hashed_embedding": text_hashed_embedding,
         "events_ewma": events_ewma,
         "streaming_pit_enrichment": streaming_pit_enrichment,
+        "corpus_quality_budget_filter": corpus_quality_budget_filter,
         "crud_batch_writer_roundtrip": crud_batch_writer_roundtrip,
         "storage_segment_rolling": storage_segment_rolling,
         "storage_collide_policy": storage_collide_policy,
@@ -4222,7 +4263,7 @@ def oracle_sql() -> dict[str, str]:
                               '/orders/4-NOT SPECIFIED'))
             ))) = 0
         """,
-        "text_quality_classifier": r"""
+        "text_quality_classifier": _QUALITY_CLASSIFIER_ORACLE,    "text_quality_classifier": r"""
             WITH base AS (
                 SELECT doc_id,
                        string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk
@@ -6132,6 +6173,16 @@ def oracle_sql() -> dict[str, str]:
         "graph_lpa_communities": _lpa_oracle(),
         "events_ewma": _ewma_oracle(),
         "streaming_pit_enrichment": _SCD2_PIT_ORACLE,
+        "corpus_quality_budget_filter": f"""
+            WITH ranked AS (
+                SELECT id, score_fx,
+                       row_number() OVER (ORDER BY score_fx DESC, id ASC) AS rank,
+                       count(*) OVER () AS n
+                FROM ({_QUALITY_CLASSIFIER_ORACLE})
+            )
+            SELECT id, score_fx, CAST(rank AS BIGINT) AS rank
+            FROM ranked WHERE rank <= (n * 400) // 1000
+        """,
         "text_hashed_embedding": r"""
             WITH t AS (
                 SELECT doc_id,

@@ -717,3 +717,60 @@ def leakage_safe_split(
         .otherwise(F.lit("train"))
         .alias("split"),
     )
+
+
+def quality_budget_filter(
+    df: DataFrame,
+    score_col: str,
+    id_col: str,
+    keep_permille: int,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Budget-driven quality filtering: keep exactly the top
+    ``keep_permille`` ‰ of rows by (score desc, id asc) — the "we can
+    afford to train on 40% of this crawl" stage, where the cutoff is a
+    RANK, not a score threshold, so the kept volume is exact regardless
+    of how scores are distributed (a fixed threshold over- or
+    under-shoots as the corpus shifts). ``k = (n · keep_permille) div
+    1000`` — exact integer arithmetic; ties broken by id so the cut is
+    deterministic.
+
+    Returns the kept rows as (id, score, rank) with rank 1..k.
+
+    Plan shape at scale: the global ranking is the same two-phase scan
+    as global_order_index/pack_sequences — range-partition on the sort
+    key, per-partition row_number, driver prefix over O(partitions)
+    counts broadcast back — NEVER a single-partition window. The total
+    row count falls out of the same per-partition counts, so the whole
+    operator costs one extra tiny collect over partition totals.
+    """
+    from pyspark import StorageLevel
+
+    spark = df.sparkSession
+    nparts = num_partitions or spark.sparkContext.defaultParallelism
+    d = df.repartitionByRange(
+        nparts, F.col(score_col).desc(), F.col(id_col).asc()
+    ).withColumn("__pid", F.spark_partition_id())
+    w = Window.partitionBy("__pid").orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    d = d.withColumn("__local_rank", F.row_number().over(w))
+    # persist BEFORE the counts action: freeze the sampled range
+    # partitioning so the offsets keyed by __pid apply to the identical
+    # row placement in the final job (same reasoning as pack_sequences)
+    d = d.persist(StorageLevel.MEMORY_AND_DISK)
+    counts = d.groupBy("__pid").agg(F.count(F.lit(1)).alias("__pn")).collect()
+    running, offsets = 0, {}
+    for row in sorted(counts, key=lambda r: r["__pid"]):
+        offsets[row["__pid"]] = running
+        running += row["__pn"]
+    k = (running * keep_permille) // 1000
+    off_df = spark.createDataFrame(
+        [(int(p), int(o)) for p, o in offsets.items()], "__pid int, __off long"
+    )
+    return (
+        d.join(F.broadcast(off_df), "__pid")
+        .withColumn("rank", (F.col("__local_rank") + F.col("__off")).cast("long"))
+        .filter(F.col("rank") <= F.lit(int(k)))
+        .select(F.col(id_col), F.col(score_col), "rank")
+    )

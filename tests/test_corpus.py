@@ -490,3 +490,30 @@ def test_leakage_safe_split_stable_under_corpus_growth(spark):
     a = {r["doc_id"]: r["split"] for r in leakage_safe_split(old).collect()}
     b = {r["doc_id"]: r["split"] for r in leakage_safe_split(grown).collect()}
     assert all(b[i] == a[i] for i in a)
+
+
+def test_quality_budget_filter_exact_cut_and_ties(spark):
+    from aleph2_contrib_spark.operators.corpus import quality_budget_filter
+
+    # 10 rows, keep 300 permille -> exactly 3; scores tie so the id
+    # tiebreak decides the boundary deterministically
+    rows = [Row(id=i, s=100 if i < 5 else 50) for i in range(10)]
+    out = quality_budget_filter(spark.createDataFrame(rows), "s", "id", 300).collect()
+    got = sorted((r["id"], r["rank"]) for r in out)
+    assert got == [(0, 1), (1, 2), (2, 3)]
+
+
+def test_quality_budget_filter_partition_invariant(spark):
+    from aleph2_contrib_spark.operators.corpus import quality_budget_filter
+
+    rows = [Row(id=i, s=(i * 37) % 101) for i in range(200)]
+    a = sorted(map(tuple, quality_budget_filter(spark.createDataFrame(rows).repartition(1), "s", "id", 250).collect()))
+    b = sorted(map(tuple, quality_budget_filter(spark.createDataFrame(rows).repartition(16), "s", "id", 250, num_partitions=7).collect()))
+    assert a == b and len(a) == 50
+
+
+def test_quality_budget_filter_zero_keep(spark):
+    from aleph2_contrib_spark.operators.corpus import quality_budget_filter
+
+    rows = [Row(id=i, s=i) for i in range(3)]
+    assert quality_budget_filter(spark.createDataFrame(rows), "s", "id", 1).count() == 0
