@@ -2314,6 +2314,29 @@ def corpus_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cp.leakage_safe_split(docs, "doc_id", "text", eval_permille=100, seed="split")
 
 
+def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components (operators/dedup.connected_components —
+    pointer-jumping min-label propagation with the documented driver-exact
+    hybrid) over the sampled part co-purchase graph, forced onto the
+    DISTRIBUTED path (driver_max_edges=0) so the gate checks the O(log d)
+    pointer-jumping loop itself. Oracle: plain min-label propagation
+    unrolled 8 rounds with a convergence sentinel row — pointer jumping
+    converges at least as fast, and the sampled co-purchase graph's
+    diameter is far below 8 at every tested sf."""
+    from aleph2_contrib_spark.operators.dedup import connected_components
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 7 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    lj = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+    edges = li.join(lj, (li.l_orderkey == lj.ok) & (li.l_partkey < lj.pk)).select(
+        F.col("l_partkey").alias("id_a"), F.col("pk").alias("id_b")
+    )
+    return connected_components(edges, driver_max_edges=0).select("node", "component")
+
+
 def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synchronous label-propagation communities (operators/graph.
     lpa_communities) over the sampled part co-purchase graph: 3 fixed
@@ -3762,6 +3785,52 @@ def _lpa_oracle() -> str:
     return lpa_oracle_sql(edges_sql, rounds=3)
 
 
+def _cc_oracle(rounds: int = 8) -> str:
+    """DuckDB replica of graph_connected_components: plain min-label
+    propagation unrolled to ``rounds`` with a convergence sentinel (a
+    NULL/-1 row appears if the bound was too small, so a too-tight unroll
+    is distinguishable from a real engine mismatch — same technique as
+    kcore_oracle_sql). Pointer jumping reaches the same fixpoint in
+    O(log diameter) rounds, so equality at convergence is the contract."""
+    parts = [
+        """
+            WITH raw AS (
+                SELECT a.l_partkey AS src, b.l_partkey AS dst
+                FROM lineitem a JOIN lineitem b
+                  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+                WHERE a.l_orderkey % 7 = 0
+            ),
+            e0 AS (
+                SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+                FROM raw WHERE src <> dst
+            ),
+            und AS (
+                SELECT a AS u, b AS v FROM e0 UNION ALL SELECT b AS u, a AS v FROM e0
+            ),
+            l0 AS (SELECT DISTINCT u AS node, u AS label FROM und)"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""",
+            l{i} AS (
+                SELECT p.node, least(p.label, COALESCE(min(q.label), p.label)) AS label
+                FROM l{i - 1} p
+                LEFT JOIN und n2 ON n2.u = p.node
+                LEFT JOIN l{i - 1} q ON q.node = n2.v
+                GROUP BY p.node, p.label
+            )"""
+        )
+    parts.append(
+        f"""
+            SELECT node, label AS component FROM l{rounds}
+            UNION ALL
+            SELECT NULL AS node, -1 AS component
+            WHERE (SELECT count(*) FROM
+                   (SELECT * FROM l{rounds} EXCEPT SELECT * FROM l{rounds - 1})) > 0"""
+    )
+    return "".join(parts)
+
+
 def _hll_windows_oracle() -> str:
     """DuckDB replica of streaming_hll_windows: the batch grouped HLL of
     the same rows keyed on the hour window — equality proves the
@@ -3813,6 +3882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_ewma": events_ewma,
         "streaming_pit_enrichment": streaming_pit_enrichment,
         "corpus_quality_budget_filter": corpus_quality_budget_filter,
+        "graph_connected_components": graph_connected_components,
         "crud_batch_writer_roundtrip": crud_batch_writer_roundtrip,
         "storage_segment_rolling": storage_segment_rolling,
         "storage_collide_policy": storage_collide_policy,
@@ -6171,6 +6241,7 @@ def oracle_sql() -> dict[str, str]:
         "sketch_hll_by_group": _hll_by_group_oracle(),
         "streaming_hll_windows": _hll_windows_oracle(),
         "graph_lpa_communities": _lpa_oracle(),
+        "graph_connected_components": _cc_oracle(),
         "events_ewma": _ewma_oracle(),
         "streaming_pit_enrichment": _SCD2_PIT_ORACLE,
         "corpus_quality_budget_filter": f"""
