@@ -2392,6 +2392,19 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def profile_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KS distance (operators/profile.ks_statistic) between
+    click and view value distributions: exact integer cross-products
+    (|n_b·cum_a − n_a·cum_b| over quantized values), global cumsums via
+    the two-phase scan — the unbucketed drift monitor."""
+    from aleph2_contrib_spark.operators.profile import ks_statistic
+
+    ev = _t(spark, sf_dir, "events")
+    return ks_statistic(
+        ev, "value", F.col("event_type") == "click", F.col("event_type") == "view"
+    )
+
+
 def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Engine-portable Count-Min sketch (operators/sketch.py): md5 hash
     family, exact integer counters, min-over-rows estimates — any engine
@@ -3883,6 +3896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_pit_enrichment": streaming_pit_enrichment,
         "corpus_quality_budget_filter": corpus_quality_budget_filter,
         "graph_connected_components": graph_connected_components,
+        "profile_ks_drift": profile_ks_drift,
         "crud_batch_writer_roundtrip": crud_batch_writer_roundtrip,
         "storage_segment_rolling": storage_segment_rolling,
         "storage_collide_policy": storage_collide_policy,
@@ -6242,6 +6256,25 @@ def oracle_sql() -> dict[str, str]:
         "streaming_hll_windows": _hll_windows_oracle(),
         "graph_lpa_communities": _lpa_oracle(),
         "graph_connected_components": _cc_oracle(),
+        "profile_ks_drift": """
+            WITH obs AS (
+                SELECT CAST(floor(value * 1000000.0) AS BIGINT) AS v,
+                       CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ia,
+                       CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS ib
+                FROM events WHERE event_type IN ('click', 'view')
+            ), g AS (
+                SELECT v, sum(ia) AS ca, sum(ib) AS cb FROM obs GROUP BY v
+            ), c AS (
+                SELECT v,
+                       sum(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cuma,
+                       sum(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cumb
+                FROM g
+            ), n AS (SELECT sum(ia) AS na, sum(ib) AS nb FROM obs)
+            SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+                   CAST((1000000 * (SELECT max(abs(nb * cuma - na * cumb)) FROM c, n))
+                        // (na * nb) AS BIGINT) AS ks_f6
+            FROM n
+        """,
         "events_ewma": _ewma_oracle(),
         "streaming_pit_enrichment": _SCD2_PIT_ORACLE,
         "corpus_quality_budget_filter": f"""

@@ -317,3 +317,96 @@ def numeric_histogram_by_group(
             "cnt",
         )
     )
+
+
+def ks_statistic(
+    df: DataFrame,
+    value_col: str,
+    cond_a,
+    cond_b,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov distance between the ``value_col``
+    distributions of two row subsets — the distribution-drift monitor
+    (did this week's quality scores / token lengths / latencies shift
+    from last week's?) that histogram comparisons blur: KS is the max
+    CDF gap at ANY point, not bucketed.
+
+    Exact integer arithmetic throughout (the module's portability
+    discipline): values quantize to ``floor(v·10⁶)`` longs, and since
+
+        |F_a(x) − F_b(x)| = |n_b·cum_a(x) − n_a·cum_b(x)| / (n_a·n_b)
+
+    the supremum is a max over exact integer cross-products — no float
+    CDFs, so any engine reproduces the statistic bit-for-bit. Returns
+    one row (n_a, n_b, ks_f6) with ``ks_f6 = (10⁶·max_gap) div
+    (n_a·n_b)`` (DECIMAL cross-products — no 2^63 overflow at any n).
+
+    Plan shape at scale: one groupBy(value) collapses both samples to
+    distinct observation points with per-sample counts (map-side
+    partial), then the global cumulative sums use the two-phase scan
+    (range partition by value, per-partition window cumsum, driver
+    prefix over O(partitions) totals broadcast back — same pattern as
+    pack_sequences; NEVER a single-partition window), and one tiny max
+    aggregate finishes. Shuffle volume is distinct values, not rows.
+    """
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    v = F.floor(F.col(value_col) * F.lit(1000000.0)).cast("long")
+    obs = (
+        df.select(
+            v.alias("__v"),
+            cond_a.cast("int").alias("__ia"),
+            cond_b.cast("int").alias("__ib"),
+        )
+        .filter((F.col("__ia") == 1) | (F.col("__ib") == 1))
+        .groupBy("__v")
+        .agg(F.sum("__ia").alias("__ca"), F.sum("__ib").alias("__cb"))
+    )
+    nparts = num_partitions or spark.sparkContext.defaultParallelism
+    d = obs.repartitionByRange(nparts, F.col("__v").asc()).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    d = d.withColumn("__la", F.sum("__ca").over(w)).withColumn(
+        "__lb", F.sum("__cb").over(w)
+    )
+    d = d.persist(StorageLevel.MEMORY_AND_DISK)
+    totals = (
+        d.groupBy("__pid")
+        .agg(F.sum("__ca").alias("__pa"), F.sum("__cb").alias("__pb"))
+        .collect()
+    )
+    run_a, run_b, offsets = 0, 0, {}
+    for row in sorted(totals, key=lambda r: r["__pid"]):
+        offsets[row["__pid"]] = (run_a, run_b)
+        run_a += row["__pa"] or 0
+        run_b += row["__pb"] or 0
+    off_df = spark.createDataFrame(
+        [(int(p), int(a), int(b)) for p, (a, b) in offsets.items()],
+        "__pid int, __offa long, __offb long",
+    )
+    gap = F.abs(
+        F.lit(int(run_b)).cast("decimal(38,0)")
+        * (F.col("__la") + F.col("__offa")).cast("decimal(38,0)")
+        - F.lit(int(run_a)).cast("decimal(38,0)")
+        * (F.col("__lb") + F.col("__offb")).cast("decimal(38,0)")
+    )
+    return (
+        d.join(F.broadcast(off_df), "__pid")
+        .agg(F.max(gap).alias("__maxgap"))
+        .select(
+            F.lit(int(run_a)).cast("long").alias("n_a"),
+            F.lit(int(run_b)).cast("long").alias("n_b"),
+            F.expr(
+                f"CAST((CAST(1000000 AS DECIMAL(38,0)) * __maxgap)"
+                f" div (CAST({int(run_a)} AS DECIMAL(38,0)) * CAST({int(run_b)} AS DECIMAL(38,0))) AS BIGINT)"
+            ).alias("ks_f6"),
+        )
+    )

@@ -171,3 +171,46 @@ def test_anomaly_zscore_constant_group_flags_nothing(spark):
     assert (
         anomaly_zscore_flags(df, "value", "grp").filter(F.col("is_anomaly")).count() == 0
     )
+
+
+def test_ks_statistic_hand_case(spark):
+    from aleph2_contrib_spark.operators.profile import ks_statistic
+    from pyspark.sql import Row, functions as F
+
+    # a = {1,2,3,4}, b = {3,4,5,6}: the max CDF gap is 0.5 (at value 2)
+    rows = [Row(g="a", v=float(x)) for x in (1, 2, 3, 4)] + [
+        Row(g="b", v=float(x)) for x in (3, 4, 5, 6)
+    ]
+    out = ks_statistic(
+        spark.createDataFrame(rows), "v", F.col("g") == "a", F.col("g") == "b"
+    ).head()
+    assert (out["n_a"], out["n_b"]) == (4, 4)
+    assert out["ks_f6"] == 500000
+
+
+def test_ks_statistic_identical_and_disjoint(spark):
+    from aleph2_contrib_spark.operators.profile import ks_statistic
+    from pyspark.sql import Row, functions as F
+
+    same = [Row(g=g, v=float(x)) for g in ("a", "b") for x in range(10)]
+    out = ks_statistic(
+        spark.createDataFrame(same), "v", F.col("g") == "a", F.col("g") == "b"
+    ).head()
+    assert out["ks_f6"] == 0
+    apart = [Row(g="a", v=float(x)) for x in range(5)] + [
+        Row(g="b", v=float(x + 100)) for x in range(5)
+    ]
+    out2 = ks_statistic(
+        spark.createDataFrame(apart), "v", F.col("g") == "a", F.col("g") == "b"
+    ).head()
+    assert out2["ks_f6"] == 1000000
+
+
+def test_ks_statistic_partition_invariant(spark):
+    from aleph2_contrib_spark.operators.profile import ks_statistic
+    from pyspark.sql import Row, functions as F
+
+    rows = [Row(g="a" if i % 3 else "b", v=float((i * 13) % 47) / 7.0) for i in range(300)]
+    a = ks_statistic(spark.createDataFrame(rows).repartition(1), "v", F.col("g") == "a", F.col("g") == "b").head()
+    b = ks_statistic(spark.createDataFrame(rows).repartition(16), "v", F.col("g") == "a", F.col("g") == "b", num_partitions=5).head()
+    assert tuple(a) == tuple(b)
