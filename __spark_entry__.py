@@ -2279,6 +2279,14 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_counts(ev, "user_id", "ts", "event_type", ["view", "click", "purchase"])
 
 
+def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining (operators/text.collocations): top adjacent
+    word pairs by exact rational lift (PMI-order-identical, log-free) —
+    min_count floor, DECIMAL cross-products, TakeOrderedAndProject cut."""
+    docs = _t(spark, sf_dir, "documents")
+    return txt.collocations(docs, "doc_id", "text", min_count=5, top_k=20)
+
+
 def text_hashed_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-hashed bag-of-words embeddings (operators/text.
     hashed_embedding) in the sparse exact-integer form: md5 bucket +
@@ -3897,6 +3905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_quality_budget_filter": corpus_quality_budget_filter,
         "graph_connected_components": graph_connected_components,
         "profile_ks_drift": profile_ks_drift,
+        "text_collocations": text_collocations,
         "crud_batch_writer_roundtrip": crud_batch_writer_roundtrip,
         "storage_segment_rolling": storage_segment_rolling,
         "storage_collide_policy": storage_collide_policy,
@@ -6256,6 +6265,26 @@ def oracle_sql() -> dict[str, str]:
         "streaming_hll_windows": _hll_windows_oracle(),
         "graph_lpa_communities": _lpa_oracle(),
         "graph_connected_components": _cc_oracle(),
+        "text_collocations": r"""
+            WITH toks AS (
+                SELECT string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk
+                FROM documents
+            ), bg AS (
+                SELECT tk[i] AS w1, tk[i+1] AS w2
+                FROM toks, LATERAL (SELECT unnest(generate_series(1, len(tk) - 1)) AS i)
+                WHERE len(tk) >= 2
+            ), pairs AS (
+                SELECT w1, w2, count(*) AS pair_cnt FROM bg GROUP BY w1, w2
+                HAVING count(*) >= 5
+            ), ca AS (SELECT w1, count(*) AS c FROM bg GROUP BY w1),
+               cb AS (SELECT w2, count(*) AS c FROM bg GROUP BY w2),
+               n AS (SELECT count(*) AS total FROM bg)
+            SELECT p.w1, p.w2, p.pair_cnt,
+                   CAST((1000000 * CAST(p.pair_cnt AS HUGEINT) * (SELECT total FROM n))
+                        // (CAST(ca.c AS HUGEINT) * cb.c) AS BIGINT) AS lift_f6
+            FROM pairs p JOIN ca ON p.w1 = ca.w1 JOIN cb ON p.w2 = cb.w2
+            ORDER BY lift_f6 DESC, p.w1 ASC, p.w2 ASC LIMIT 20
+        """,
         "profile_ks_drift": """
             WITH obs AS (
                 SELECT CAST(floor(value * 1000000.0) AS BIGINT) AS v,

@@ -705,3 +705,77 @@ def hashed_embedding(
             lambda x: F.when(F.col("__n") == 0.0, F.lit(0.0)).otherwise(x / F.col("__n")),
         ).alias("embedding"),
     )
+
+
+def collocations(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 20,
+) -> DataFrame:
+    """Corpus collocation mining: the word pairs that co-occur adjacently
+    far more than chance — multiword-expression discovery ("new york",
+    "machine learning") for tokenizer seeding, phrase-aware indexing,
+    and corpus audits. Association is the exact rational LIFT
+
+        lift(a b) = c(a b) · N / (c(a) · c(b))
+
+    (c = corpus counts over bigram positions, N = total bigrams).
+    Ranking by lift is order-identical to ranking by PMI — log is
+    monotone — but the score stays an exact integer fixed-point
+    (DECIMAL cross-products, integral div), bit-stable in any engine;
+    the same log-free trade as relevance_topk and basket_pair_lift.
+
+    ``min_count`` floors c(a b) (hapax pairs otherwise dominate any
+    association measure); returns top-``top_k`` by (lift desc, w1, w2) —
+    a deterministic cut — as (w1, w2, pair_cnt, lift_f6).
+
+    Plan shape at scale: one narrow bigram explode feeds BOTH count
+    tables (pairs via groupBy(w1, w2); left/right unigram-position
+    counts via two slim groupBys of the same pass), two joins keyed on
+    single words against the pair table (already ≤ distinct-pair-sized,
+    and min_count-pruned before joining), TakeOrderedAndProject for the
+    cut. Shuffle volume is distinct pairs + distinct words, never
+    occurrences past the first partial agg.
+    """
+    toks = F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " ")
+    base = df.select(F.col(id_col).alias("id"), toks.alias("__tk")).filter(
+        F.size(F.col("__tk")) >= 2
+    )
+    tk = F.col("__tk")
+    bg = base.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(tk) - 1),
+                lambda i: F.struct(
+                    F.try_element_at(tk, i).alias("w1"),
+                    F.try_element_at(tk, i + 1).alias("w2"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    pairs = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("pair_cnt"))
+        .filter(F.col("pair_cnt") >= F.lit(int(min_count)))
+    )
+    left_cnt = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("__ca"))
+    right_cnt = bg.groupBy("w2").agg(F.count(F.lit(1)).alias("__cb"))
+    n_total = bg.count()
+    return (
+        pairs.join(left_cnt, "w1")
+        .join(right_cnt, "w2")
+        .select(
+            "w1",
+            "w2",
+            "pair_cnt",
+            F.expr(
+                f"CAST((CAST(1000000 AS DECIMAL(38,0)) * CAST(pair_cnt AS DECIMAL(38,0))"
+                f" * CAST({int(n_total)} AS DECIMAL(38,0)))"
+                f" div (CAST(__ca AS DECIMAL(38,0)) * CAST(__cb AS DECIMAL(38,0))) AS BIGINT)"
+            ).alias("lift_f6"),
+        )
+        .orderBy(F.col("lift_f6").desc(), F.col("w1").asc(), F.col("w2").asc())
+        .limit(top_k)
+    )

@@ -526,3 +526,46 @@ def test_hashed_embedding_partition_invariant(spark):
     a = sorted((r["doc_id"], tuple(r["embedding"])) for r in txt.hashed_embedding(spark.createDataFrame(rows).repartition(1), dim=32).collect())
     b = sorted((r["doc_id"], tuple(r["embedding"])) for r in txt.hashed_embedding(spark.createDataFrame(rows).repartition(16), dim=32).collect())
     assert a == b
+
+
+def test_collocations_hand_case(spark):
+    # "new york" always adjacent; "the cat"/"the dog" dilute "the"'s
+    # association. min_count=2 keeps both phrases; lift ranks the
+    # exclusive pair first.
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text="new york is where the cat and the dog live") for i in range(3)]
+    )
+    out = txt.collocations(docs, min_count=2, top_k=9).collect()
+    by_pair = {(r["w1"], r["w2"]): r["lift_f6"] for r in out}
+    # exclusive pair: lift = 3*27/(3*3) = 9 exactly
+    assert by_pair[("new", "york")] == 9_000_000
+    # "the" is w1 of two pairs (the cat / the dog): lift halves to 4.5
+    assert by_pair[("the", "cat")] == 4_500_000
+    assert by_pair[("new", "york")] > by_pair[("the", "cat")]
+    # ties resolve by (w1, w2) asc: first row is the lexicographically
+    # smallest of the max-lift pairs, and the cut is deterministic
+    max_lift = max(by_pair.values())
+    assert out[0]["lift_f6"] == max_lift
+    assert (out[0]["w1"], out[0]["w2"]) == min(
+        p for p, l in by_pair.items() if l == max_lift
+    )
+
+
+def test_collocations_min_count_floor(spark):
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="alpha beta"), Row(doc_id=2, text="gamma delta gamma delta")]
+    )
+    out = txt.collocations(docs, min_count=2, top_k=10).collect()
+    assert {(r["w1"], r["w2"]) for r in out} == {("gamma", "delta")}
+
+
+def test_collocations_deterministic_cut(spark):
+    docs1 = spark.createDataFrame(
+        [Row(doc_id=i, text="a b c d a b") for i in range(10)]
+    ).repartition(1)
+    docs2 = spark.createDataFrame(
+        [Row(doc_id=i, text="a b c d a b") for i in range(10)]
+    ).repartition(8)
+    a = [tuple(r) for r in txt.collocations(docs1, min_count=2, top_k=3).collect()]
+    b = [tuple(r) for r in txt.collocations(docs2, min_count=2, top_k=3).collect()]
+    assert a == b
