@@ -2365,6 +2365,42 @@ def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lpa_communities(edges, rounds=3)
 
 
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbors / Jaccard link prediction (operators/graph.
+    link_prediction) over the sampled part co-purchase graph: top-30
+    non-adjacent pairs by shared-neighbor count with an exact integral
+    jaccard_permille tie-break. The witness-degree cap (40) actually
+    bites at the tested SFs, so the gate pins the cap semantics (hub
+    witnesses skipped, true degrees kept in the Jaccard term), not just
+    the uncapped formula."""
+    from aleph2_contrib_spark.operators.graph import link_prediction
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 7 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    lj = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+    edges = li.join(lj, (li.l_orderkey == lj.ok) & (li.l_partkey < lj.pk)).select(
+        F.col("l_partkey").alias("src"), F.col("pk").alias("dst")
+    )
+    return link_prediction(edges, top_n=30, max_witness_degree=40)
+
+
+def _link_prediction_oracle() -> str:
+    """DuckDB replica of graph_link_prediction (graph.
+    link_prediction_oracle_sql over the same sampled co-purchase edges)."""
+    from aleph2_contrib_spark.operators.graph import link_prediction_oracle_sql
+
+    edges_sql = """
+        SELECT a.l_partkey AS src, b.l_partkey AS dst
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        WHERE a.l_orderkey % 7 = 0
+    """
+    return link_prediction_oracle_sql(edges_sql, top_n=30, max_witness_degree=40)
+
+
 def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user EWMA smoothing (operators/events.ewma_smooth): α=1/2 makes
     every weight a power of two, so the truncated-renormalized EWMA is
@@ -3897,6 +3933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_hll_windows": streaming_hll_windows,
         "events_path_ngrams": events_path_ngrams,
         "events_attribution": events_attribution,
+        "graph_link_prediction": graph_link_prediction,
         "graph_lpa_communities": graph_lpa_communities,
         "corpus_leakage_safe_split": corpus_leakage_safe_split,
         "text_hashed_embedding": text_hashed_embedding,
@@ -6263,6 +6300,7 @@ def oracle_sql() -> dict[str, str]:
         "sketch_hll_intersection": _hll_intersection_oracle(),
         "sketch_hll_by_group": _hll_by_group_oracle(),
         "streaming_hll_windows": _hll_windows_oracle(),
+        "graph_link_prediction": _link_prediction_oracle(),
         "graph_lpa_communities": _lpa_oracle(),
         "graph_connected_components": _cc_oracle(),
         "text_collocations": r"""

@@ -1083,3 +1083,164 @@ def lpa_oracle_sql(edges_sql: str, rounds: int = 3) -> str:
         )
     parts.append(f"\n        SELECT node, label AS community FROM l{rounds}")
     return "".join(parts)
+
+def link_prediction(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    top_n: int = 20,
+    max_witness_degree: int | None = None,
+) -> DataFrame:
+    """Neighborhood-based link prediction: rank the NON-adjacent vertex
+    pairs of an undirected graph by common-neighbor count, with an
+    exact-rational Jaccard coefficient as tie-break — the classic
+    common-neighbors / Jaccard predictors (Liben-Nowell & Kleinberg),
+    kept engine-exact by avoiding floats entirely.
+
+    Reference parity: extends the graph-merge family (reference
+    SimpleGraphMergeService.java:61-99 materializes candidate edges
+    between existing vertices); this is the analytics-side "which edges
+    are missing" question over the same decomposed vertex/edge model.
+
+    Semantics
+    ---------
+    * Edges are canonicalized first (unordered distinct pairs, loops
+      dropped); degrees are computed on the canonical graph.
+    * cn(a,b) = number of shared neighbors, counted via *witness*
+      expansion: every vertex w emits each unordered pair of its
+      neighbors once. ``max_witness_degree`` (optional) drops vertices
+      with degree > cap from the WITNESS role only — hub witnesses are
+      the quadratic term (C(d,2) pairs per witness) and carry the least
+      signal (a neighbor shared through a hub says little; Adamic-Adar
+      formalizes the same intuition by down-weighting high-degree
+      witnesses toward 0). Degrees in the Jaccard term always remain
+      the true degrees, and capped vertices still appear in predicted
+      pairs through their other witnesses.
+    * Already-adjacent pairs are removed (left-anti join on the
+      canonical edge list).
+    * jaccard_permille = (1000*cn) div (da + db - cn): integral div of
+      exact integers, so identical in every engine.
+    * Output: top ``top_n`` rows ordered by (cn DESC, jaccard_permille
+      DESC, a ASC, b ASC) — a total order, hence deterministic.
+
+    Scale design: one shuffle groups neighbors per witness (collect_set
+    bounded by the degree cap), pair expansion is partition-local array
+    code (no Python), the pair count is a second keyed shuffle, the
+    adjacency exclusion is an equi-anti-join, and the global top-n
+    compiles to TakeOrderedAndProject (no full sort). With witness cap
+    W the expanded pair volume is <= m*W/2 rows regardless of skew.
+    The canonical edge list and the grouped adjacency are persisted
+    (each feeds two plan branches — e: expansion + anti-join, grouped:
+    pair expansion + both degree joins); blocks are reclaimed by the
+    context cleaner when the returned plan goes out of scope.
+    """
+    from pyspark import StorageLevel
+
+    a = F.least(F.col(src_col), F.col(dst_col)).alias("a")
+    b = F.greatest(F.col(src_col), F.col(dst_col)).alias("b")
+    e = (
+        edges.select(a, b)
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    adj = e.select(F.col("a").alias("w"), F.col("b").alias("n")).unionByName(
+        e.select(F.col("b").alias("w"), F.col("a").alias("n"))
+    )
+    # one shuffle: neighbors per witness, sorted so the local pair
+    # expansion emits canonical (p < q) pairs directly
+    grouped = (
+        adj.groupBy("w")
+        .agg(F.sort_array(F.collect_set("n")).alias("ns"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    deg = grouped.select(F.col("w").alias("node"), F.size("ns").alias("d"))
+    if max_witness_degree is not None:
+        grouped = grouped.filter(F.size("ns") <= int(max_witness_degree))
+    ns = F.col("ns")
+    sz = F.size(ns)
+    pairs = grouped.filter(sz >= 2).select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), sz - 1),
+                    lambda i: F.transform(
+                        F.sequence(i + 1, sz),
+                        lambda j: F.struct(
+                            F.element_at(ns, i).alias("p"),
+                            F.element_at(ns, j).alias("q"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("pq")
+    )
+    cn = pairs.groupBy(F.col("pq.p").alias("a"), F.col("pq.q").alias("b")).agg(
+        F.count(F.lit(1)).alias("cn")
+    )
+    candidates = cn.join(e, ["a", "b"], "left_anti")
+    da = deg.select(F.col("node").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("d").alias("db"))
+    scored = (
+        candidates.join(da, "a")
+        .join(db, "b")
+        .withColumn(
+            "jaccard_permille",
+            # integral div over exact longs — engine-identical, unlike
+            # floor(float /) which can round before flooring
+            F.expr("(1000 * cn) div (da + db - cn)").cast("long"),
+        )
+    )
+    return (
+        scored.select("a", "b", "cn", "da", "db", "jaccard_permille")
+        .orderBy(
+            F.col("cn").desc(),
+            F.col("jaccard_permille").desc(),
+            F.col("a").asc(),
+            F.col("b").asc(),
+        )
+        .limit(top_n)
+    )
+
+
+def link_prediction_oracle_sql(
+    edge_sql: str, top_n: int = 20, max_witness_degree: int | None = None
+) -> str:
+    """DuckDB replica of :func:`link_prediction`. ``edge_sql`` must
+    select columns (src, dst)."""
+    cap = (
+        f"WHERE d <= {int(max_witness_degree)}"
+        if max_witness_degree is not None
+        else ""
+    )
+    return f"""
+        WITH raw AS ({edge_sql}),
+        e AS (
+            SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+            FROM raw WHERE src <> dst
+        ),
+        adj AS (
+            SELECT a AS w, b AS n FROM e UNION ALL SELECT b AS w, a AS n FROM e
+        ),
+        deg AS (SELECT w AS node, count(*) AS d FROM adj GROUP BY w),
+        wit AS (
+            SELECT adj.w, adj.n FROM adj
+            JOIN (SELECT node FROM deg {cap}) ok ON adj.w = ok.node
+        ),
+        cn AS (
+            SELECT x.n AS a, y.n AS b, count(*) AS cn
+            FROM wit x JOIN wit y ON x.w = y.w AND x.n < y.n
+            GROUP BY x.n, y.n
+        ),
+        cand AS (
+            SELECT cn.* FROM cn ANTI JOIN e ON cn.a = e.a AND cn.b = e.b
+        )
+        SELECT cand.a, cand.b, cn, da.d AS da, db.d AS db,
+               CAST((1000 * cn) // (da.d + db.d - cn) AS BIGINT)
+                   AS jaccard_permille
+        FROM cand
+        JOIN deg da ON cand.a = da.node
+        JOIN deg db ON cand.b = db.node
+        ORDER BY cn DESC, jaccard_permille DESC, a ASC, b ASC
+        LIMIT {int(top_n)}
+    """

@@ -271,7 +271,7 @@ def test_retention_cohorts_partition_invariant(spark):
     assert a == b and len(a) > 3
 
 
-def _ev(spark, rows):
+def _ev_rows(spark, rows):
     return spark.createDataFrame(
         [
             Row(event_id=i, user_id=u, ts=dt.datetime(2024, 1, 1, 0, m), event_type=t)
@@ -285,7 +285,7 @@ def test_path_ngrams_hand_case(spark):
 
     # user 1: a b c b c  -> trigrams a>b>c, b>c>b, c>b>c
     # user 2: a b c      -> trigram  a>b>c
-    df = _ev(
+    df = _ev_rows(
         spark,
         [(1, 0, "a"), (1, 1, "b"), (1, 2, "c"), (1, 3, "b"), (1, 4, "c"),
          (2, 0, "a"), (2, 1, "b"), (2, 2, "c")],
@@ -298,7 +298,7 @@ def test_path_ngrams_never_crosses_users(spark):
     from aleph2_contrib_spark.operators.events import path_ngrams
 
     # two users with < n events each: no trigram may span the boundary
-    df = _ev(spark, [(1, 0, "a"), (1, 1, "b"), (2, 2, "c"), (2, 3, "d")])
+    df = _ev_rows(spark, [(1, 0, "a"), (1, 1, "b"), (2, 2, "c"), (2, 3, "d")])
     assert path_ngrams(df, "user_id", "ts", "event_type", "event_id").count() == 0
 
 
@@ -307,7 +307,7 @@ def test_path_ngrams_simultaneous_events_stable(spark):
 
     # equal timestamps: order falls back to event_id, so the path is the
     # insertion order regardless of partitioning
-    df = _ev(spark, [(1, 0, "x"), (1, 0, "y"), (1, 0, "z")])
+    df = _ev_rows(spark, [(1, 0, "x"), (1, 0, "y"), (1, 0, "z")])
     a = [tuple(r) for r in path_ngrams(df.repartition(1), "user_id", "ts", "event_type", "event_id").collect()]
     b = [tuple(r) for r in path_ngrams(df.repartition(8), "user_id", "ts", "event_type", "event_id").collect()]
     assert a == b == [("x>y>z", 1)]
@@ -319,7 +319,7 @@ def test_touch_attribution_last_and_first(spark):
     # user 1: view click purchase  -> last=click, first=view
     # user 2: purchase             -> (none)
     # user 3: click view purchase purchase -> both purchases credit view (last)
-    df = _ev(
+    df = _ev_rows(
         spark,
         [(1, 0, "view"), (1, 1, "click"), (1, 2, "purchase"),
          (2, 0, "purchase"),
@@ -346,7 +346,7 @@ def test_touch_attribution_touch_must_strictly_precede(spark):
 
     # the conversion row itself is outside the frame: a purchase with a
     # simultaneous click (later event_id) is NOT credited to it
-    df = _ev(spark, [(1, 0, "purchase"), (1, 0, "click")])
+    df = _ev_rows(spark, [(1, 0, "purchase"), (1, 0, "click")])
     out = {(r["touch"], r["conversions"]) for r in touch_attribution(
         df, "user_id", "ts", "event_type", "event_id", "purchase", ["click"], "last"
     ).collect()}
@@ -356,7 +356,7 @@ def test_touch_attribution_touch_must_strictly_precede(spark):
 def test_touch_attribution_rejects_bad_model(spark):
     from aleph2_contrib_spark.operators.events import touch_attribution
 
-    df = _ev(spark, [(1, 0, "purchase")])
+    df = _ev_rows(spark, [(1, 0, "purchase")])
     with pytest.raises(ValueError, match="model"):
         touch_attribution(df, "user_id", "ts", "event_type", "event_id", "purchase", ["click"], "linear")
 

@@ -472,3 +472,40 @@ def test_lpa_partition_invariant(spark):
     a = sorted(map(tuple, lpa_communities(df1, rounds=3).collect()))
     b = sorted(map(tuple, lpa_communities(df2, rounds=3).collect()))
     assert a == b
+
+
+def _lp_rows(spark, edges, **kw):
+    from aleph2_contrib_spark.operators.graph import link_prediction
+
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    return [tuple(r) for r in link_prediction(df, **kw).collect()]
+
+
+def test_link_prediction_hand_case(spark):
+    # triangle 1-2-3 plus pendant 3-4: only non-adjacent pairs sharing a
+    # neighbor are (1,4) and (2,4), both witnessed by 3
+    rows = _lp_rows(spark, [(1, 2), (1, 3), (2, 3), (3, 4)])
+    # (a, b, cn, da, db, jaccard_permille); 1000*1 div (2+1-1) = 500
+    assert rows == [(1, 4, 1, 2, 1, 500), (2, 4, 1, 2, 1, 500)]
+
+
+def test_link_prediction_excludes_existing_edges(spark):
+    # square 1-2-3-4-1: diagonals (1,3) and (2,4) are predicted (cn=2),
+    # the four existing edges never appear
+    rows = _lp_rows(spark, [(1, 2), (2, 3), (3, 4), (4, 1)])
+    assert rows == [(1, 3, 2, 2, 2, 1000), (2, 4, 2, 2, 2, 1000)]
+
+
+def test_link_prediction_witness_cap_skips_hubs(spark):
+    # star: hub 0 with leaves 1..3 — every candidate pair is witnessed
+    # only by the hub (degree 3), so capping witnesses at 2 empties the
+    # output while leaf degrees stay true degrees without the cap
+    star = [(0, 1), (0, 2), (0, 3)]
+    assert len(_lp_rows(spark, star)) == 3
+    assert _lp_rows(spark, star, max_witness_degree=2) == []
+
+
+def test_link_prediction_direction_and_duplicate_invariant(spark):
+    base = [(1, 2), (1, 3), (2, 3), (3, 4)]
+    noisy = base + [(b, a) for a, b in base] + base + [(4, 4)]
+    assert _lp_rows(spark, base) == _lp_rows(spark, noisy)
