@@ -3702,6 +3702,68 @@ def streaming_late_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC apply: an ordered change stream (upserts + deletes
+    derived from orders, seq = (o_orderdate, o_orderkey)) is replayed as
+    a file stream in four date-chunk micro-batches through
+    TransactionalTable.apply_cdc under foreachBatch — one atomic commit
+    per batch, last-op-per-key reduce inside each batch, idempotent
+    batch_id markers. The reconstructed table must equal the batch
+    last-writer-wins query (keys whose final change is a delete absent),
+    proving batch-wise reduced application composes to the global
+    answer."""
+    import tempfile
+
+    from aleph2_contrib_spark.sources.txlog import TransactionalTable
+    from aleph2_contrib_spark.streaming.runner import json_file_stream
+
+    cdc = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_totalprice").alias("val"),
+        F.when(F.col("o_orderkey") % 11 == 0, F.lit("d"))
+        .otherwise(F.lit("u"))
+        .alias("op"),
+        F.col("o_orderdate").cast("date").alias("d"),
+        F.col("o_orderkey").alias("seq"),
+    )
+    src = tempfile.mkdtemp(prefix="a2s_cdc_src_")
+    # four sequential single-file writes in ASCENDING date order (ranges
+    # cover the synthetic tables' full 1995-2001 span): batches partition
+    # the (d, seq) order, the precondition for batch-wise
+    # last-writer-wins composing to the global one
+    yr = F.year("d")
+    for lo, hi in ((0, 1996), (1997, 1998), (1999, 2000), (2001, 9999)):
+        cdc.filter((yr >= lo) & (yr <= hi)).coalesce(1).write.mode("append").json(src)
+    table = TransactionalTable(
+        spark, tempfile.mkdtemp(prefix="a2s_cdc_tbl_"), stats_cols=("k",)
+    )
+
+    def sink(batch_df: DataFrame, bid: int) -> None:
+        table.apply_cdc(
+            batch_df,
+            key_cols=["k"],
+            seq_cols=("d", "seq"),
+            txn_app="cdc-gate",
+            txn_version=bid,
+        )
+
+    stream = json_file_stream(
+        spark,
+        src,
+        "k long, val double, op string, d date, seq long",
+        max_files_per_trigger=1,
+    )
+    with _stream_shuffle(spark):
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="a2s_cdc_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+    q.awaitTermination(300)
+    return table.read().select("k", "val", "d", "seq")
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -3946,6 +4008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crud_batch_writer_roundtrip": crud_batch_writer_roundtrip,
         "storage_segment_rolling": storage_segment_rolling,
         "storage_collide_policy": storage_collide_policy,
+        "streaming_cdc_apply": streaming_cdc_apply,
         "streaming_late_routing": streaming_late_routing,
         "graph_coreness": graph_coreness,
         "similarity_codebook_topk": similarity_codebook_topk,
@@ -4341,6 +4404,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'new_type', CAST(0 AS BIGINT), CAST(total AS BIGINT),
                    CAST(even AS BIGINT), CAST(odd AS BIGINT)
             FROM c
+        """,
+        "streaming_cdc_apply": """
+            WITH cdc AS (
+                SELECT o_custkey AS k, o_totalprice AS val,
+                       CASE WHEN o_orderkey % 11 = 0 THEN 'd' ELSE 'u' END AS op,
+                       CAST(o_orderdate AS DATE) AS d, o_orderkey AS seq
+                FROM orders
+            ), last AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY k ORDER BY d DESC, seq DESC) AS rn
+                FROM cdc
+            )
+            SELECT k, val, d, seq FROM last WHERE rn = 1 AND op = 'u'
         """,
         "streaming_late_routing": """
             SELECT strftime(date_trunc('day', ts), '%Y-%m-%dT00') AS part,

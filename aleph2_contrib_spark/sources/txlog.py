@@ -765,6 +765,90 @@ class TransactionalTable:
             expect_active=[e.path for e in touched], read_version=rv, txn=txn,
         )
 
+    def apply_cdc(
+        self,
+        df: DataFrame,
+        key_cols: Sequence[str],
+        op_col: str = "op",
+        seq_cols: Sequence[str] = ("seq",),
+        delete_value: str = "d",
+        txn_app: str | None = None,
+        txn_version: int | None = None,
+    ) -> int:
+        """Apply a change-data-capture batch in ONE atomic commit: rows
+        carry an ``op_col`` ('u'psert vs ``delete_value``) and ordering
+        columns ``seq_cols``; per key the LAST change wins (ties broken
+        by the later seq tuple), upserts replace/insert and deletes
+        remove. The streaming CDC-apply primitive (foreachBatch sink over
+        an ordered change stream): batch-wise application of reduced
+        batches equals global last-writer-wins as long as batches
+        partition the stream in seq order, so replaying a change feed
+        reconstructs the table exactly.
+
+        vs ``merge_by_key`` + ``delete_by_spec``: one commit instead of
+        two (a reader can never observe the half-applied state between
+        them), one candidate-file rewrite instead of two, and the
+        delete keys never round-trip through the driver as a query spec.
+
+        ``op_col`` is stripped from the stored payload; ``seq_cols``
+        remain ordinary payload columns (the version/timestamp column of
+        a CDC feed is normally part of the row). Same zone-map candidate
+        pruning and idempotent (txn_app, txn_version) markers as
+        ``merge_by_key`` — pass the foreachBatch batch_id as the version
+        for exactly-once under micro-batch retries."""
+        from pyspark.sql import Window
+
+        if (txn_app is None) != (txn_version is None):
+            raise ValueError("pass BOTH txn_app and txn_version, or neither")
+        if txn_app is not None and self.last_txn_version(txn_app) >= txn_version:
+            return self.latest_version()
+        rv = self.latest_version()
+        schema, active = self.snapshot(rv if rv else None)
+        txn = {"app": txn_app, "version": txn_version} if txn_app is not None else None
+        if df.isEmpty():
+            return rv
+        w = Window.partitionBy(*key_cols).orderBy(
+            *[F.col(c).desc() for c in seq_cols]
+        )
+        last = (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        upserts = last.filter(F.col(op_col) != F.lit(delete_value)).drop(op_col)
+        if schema is None:
+            return self._commit(
+                "apply_cdc", self._write_files(upserts), [], upserts.schema,
+                read_version=rv, txn=txn,
+            )
+        aligned, merged_schema = self._aligned(upserts, schema)
+        # EVERY changed key evicts its old row (upserts replace, deletes
+        # just don't come back) — one anti-join covers both op kinds
+        keys = last.select(*key_cols).dropDuplicates(list(key_cols))
+        stat_keys = [c for c in key_cols if c in self.stats_cols]
+        touched = active
+        if stat_keys:
+            bounds = keys.agg(
+                *[F.min(c).alias(f"__lo_{c}") for c in stat_keys],
+                *[F.max(c).alias(f"__hi_{c}") for c in stat_keys],
+            ).collect()[0]
+            touched = [
+                e
+                for e in active
+                if all(
+                    (e.stats or {}).get(c) is None
+                    or _overlaps(e.stats[c], bounds[f"__lo_{c}"], True, bounds[f"__hi_{c}"], True)
+                    for c in stat_keys
+                )
+            ]
+        survivors = self.read(files=touched).join(keys, list(key_cols), "left_anti")
+        out = survivors.unionByName(aligned, allowMissingColumns=True)
+        adds = self._write_files(out)
+        return self._commit(
+            "apply_cdc", adds, [e.path for e in touched], merged_schema,
+            expect_active=[e.path for e in touched], read_version=rv, txn=txn,
+        )
+
     def last_txn_version(self, app: str) -> int:
         """Highest committed txn version for ``app`` (-1 if none) — from
         the incremental replay cache, not a fresh log scan."""

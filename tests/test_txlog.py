@@ -1110,3 +1110,91 @@ def test_changefeed_vacuum_thread_race_never_short_counts(spark):
     for e in errors:
         msg = str(e)
         assert "vacuum" in msg or "FileNotFound" in msg or "does not exist" in msg
+
+
+# -- apply_cdc ------------------------------------------------------------
+
+
+def _cdc(spark, rows):
+    """rows: (k, val, op, seq)"""
+    return spark.createDataFrame(rows, "k long, val string, op string, seq long")
+
+
+def test_apply_cdc_last_op_per_key_wins_within_batch(spark):
+    root = tempfile.mkdtemp(prefix="a2s_cdc_")
+    t = TransactionalTable(spark, root, stats_cols=("k",))
+    t.apply_cdc(
+        _cdc(spark, [
+            (1, "a1", "u", 1), (1, "a2", "u", 5), (1, "zzz", "u", 3),  # last=a2
+            (2, "b1", "u", 1), (2, "gone", "d", 9),                    # last=delete
+            (3, "c1", "d", 1), (3, "c2", "u", 2),                      # delete then upsert
+        ]),
+        key_cols=["k"],
+    )
+    got = {r.k: (r.val, r.seq) for r in t.read().collect()}
+    assert got == {1: ("a2", 5), 3: ("c2", 2)}
+
+
+def test_apply_cdc_cross_batch_replay_equals_last_writer_wins(spark):
+    root = tempfile.mkdtemp(prefix="a2s_cdc_")
+    t = TransactionalTable(spark, root, stats_cols=("k",))
+    b1 = [(1, "v1", "u", 1), (2, "w1", "u", 2), (3, "x1", "u", 3)]
+    b2 = [(2, "", "d", 4), (3, "x2", "u", 5), (4, "y1", "u", 6)]
+    b3 = [(2, "w2", "u", 7), (4, "", "d", 8)]
+    t.apply_cdc(_cdc(spark, b1), key_cols=["k"])
+    t.apply_cdc(_cdc(spark, b2), key_cols=["k"])
+    t.apply_cdc(_cdc(spark, b3), key_cols=["k"])
+    got = {r.k: r.val for r in t.read().collect()}
+    # global last op per key: 1→v1, 2→w2 (deleted then re-upserted),
+    # 3→x2, 4 deleted last
+    assert got == {1: "v1", 2: "w2", 3: "x2"}
+
+
+def test_apply_cdc_is_one_commit_and_strips_op_col(spark):
+    root = tempfile.mkdtemp(prefix="a2s_cdc_")
+    t = TransactionalTable(spark, root)
+    v0 = t.latest_version()
+    t.apply_cdc(_cdc(spark, [(1, "a", "u", 1), (2, "b", "d", 1)]), key_cols=["k"])
+    assert t.latest_version() == v0 + 1
+    assert sorted(t.read().columns) == ["k", "seq", "val"]
+
+
+def test_apply_cdc_idempotent_txn_markers(spark):
+    root = tempfile.mkdtemp(prefix="a2s_cdc_")
+    t = TransactionalTable(spark, root)
+    batch = _cdc(spark, [(1, "a", "u", 1)])
+    t.apply_cdc(batch, key_cols=["k"], txn_app="cdc", txn_version=0)
+    v = t.latest_version()
+    # a foreachBatch retry re-delivers the same batch_id: must be a no-op
+    t.apply_cdc(
+        _cdc(spark, [(1, "DIFFERENT", "u", 99)]),
+        key_cols=["k"], txn_app="cdc", txn_version=0,
+    )
+    assert t.latest_version() == v
+    assert [r.val for r in t.read().collect()] == ["a"]
+
+
+def test_apply_cdc_empty_batch_is_noop(spark):
+    root = tempfile.mkdtemp(prefix="a2s_cdc_")
+    t = TransactionalTable(spark, root)
+    t.apply_cdc(_cdc(spark, [(1, "a", "u", 1)]), key_cols=["k"])
+    v = t.latest_version()
+    t.apply_cdc(_cdc(spark, []), key_cols=["k"])
+    assert t.latest_version() == v
+
+
+def test_apply_cdc_prunes_untouched_files_by_zone_map(spark):
+    root = tempfile.mkdtemp(prefix="a2s_cdc_")
+    t = TransactionalTable(spark, root, stats_cols=("k",))
+    t.apply_cdc(_cdc(spark, [(i, f"lo{i}", "u", 1) for i in range(5)]).coalesce(1),
+                key_cols=["k"])
+    t.apply_cdc(_cdc(spark, [(i, f"hi{i}", "u", 2) for i in range(100, 105)]).coalesce(1),
+                key_cols=["k"])
+    before = _file_hashes(t)
+    # touches only the high-key range: the low file must stay byte-identical
+    t.apply_cdc(_cdc(spark, [(101, "hi101b", "u", 3)]).coalesce(1), key_cols=["k"])
+    after = _file_hashes(t)
+    shared = set(before) & set(after)
+    assert any(before[p] == after[p] for p in shared), "low-key file was rewritten"
+    got = {r.k: r.val for r in t.read().collect()}
+    assert got[101] == "hi101b" and got[0] == "lo0"
