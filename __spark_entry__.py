@@ -3289,6 +3289,63 @@ def graph_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return coreness_decomposition(edges)
 
 
+def graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source weighted shortest paths (operators/graph.sssp_weighted)
+    over the bipartite supplier↔part shipment graph: each sampled lineitem
+    (l_orderkey % 13) links its supplier and part in both directions with
+    integer cost 100+l_quantity (the +100 hop floor keeps optimal paths
+    short, so Bellman-Ford converges in ≤4 relaxation rounds at every
+    tested sf). Seeds are the s_suppkey % 7 == 1 suppliers; node ids are
+    's'/'p'-prefixed so the two key spaces can't collide. Exact integer
+    distances — no float tolerance needed. Oracle: the relaxation unrolled
+    to 10 rounds (graph.sssp_oracle_sql) with a NULL-node sentinel row if
+    the last two rounds still differ, so a too-small bound is
+    distinguishable from an engine mismatch."""
+    from aleph2_contrib_spark.operators.graph import sssp_weighted
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 13 == 0)
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s_node"),
+            F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("p_node"),
+            (F.lit(100) + F.col("l_quantity")).cast("long").alias("w"),
+        )
+    )
+    edges = li.select(F.col("s_node").alias("src"), F.col("p_node").alias("dst"), "w").unionByName(
+        li.select(F.col("p_node").alias("src"), F.col("s_node").alias("dst"), "w")
+    )
+    seeds = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") % 7 == 1)
+        .select(F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("node"))
+    )
+    return sssp_weighted(edges, seeds, max_iters=10)
+
+
+def _sssp_oracle() -> str:
+    """DuckDB replica of graph_sssp (graph.sssp_oracle_sql over the same
+    bipartite shipment edges, relaxation unrolled to 10 rounds)."""
+    from aleph2_contrib_spark.operators.graph import sssp_oracle_sql
+
+    edge_sql = """
+        SELECT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+               'p' || CAST(l_partkey AS VARCHAR) AS dst,
+               CAST(100 + l_quantity AS BIGINT) AS w
+        FROM lineitem WHERE l_orderkey % 13 = 0
+        UNION ALL
+        SELECT 'p' || CAST(l_partkey AS VARCHAR),
+               's' || CAST(l_suppkey AS VARCHAR),
+               CAST(100 + l_quantity AS BIGINT)
+        FROM lineitem WHERE l_orderkey % 13 = 0
+    """
+    seed_sql = (
+        "SELECT 's' || CAST(s_suppkey AS VARCHAR) AS node"
+        " FROM supplier WHERE s_suppkey % 7 = 1"
+    )
+    return sssp_oracle_sql(edge_sql, seed_sql, rounds=10)
+
+
 def streaming_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P14 idle-timeout form in the graded gate: SessionWindowModule
     (streaming/stateful.py) closes a key's session via ProcessingTimeTimeout
@@ -4012,6 +4069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_late_routing": streaming_late_routing,
         "graph_coreness": graph_coreness,
         "similarity_codebook_topk": similarity_codebook_topk,
+        "graph_sssp": graph_sssp,
         # -- (2) gates whose code path changed this round (graph merge determinism, kcore oracle sentinel, containment cache fix, storage mergeSchema/collide rework) --
         "graph_merge_incremental": graph_merge_incremental,
         "graph_visibility": graph_visibility,
@@ -4425,6 +4483,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "graph_coreness": _coreness_oracle(),
         "graph_kcore": _kcore_oracle(),
+        "graph_sssp": _sssp_oracle(),
         "streaming_session_timeout": """
             SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS n_events,
                    min(value) AS v_min, max(value) AS v_max

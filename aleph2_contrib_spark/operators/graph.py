@@ -1244,3 +1244,153 @@ def link_prediction_oracle_sql(
         ORDER BY cn DESC, jaccard_permille DESC, a ASC, b ASC
         LIMIT {int(top_n)}
     """
+
+def sssp_weighted(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "w",
+    node_col: str = "node",
+    max_iters: int = 12,
+    driver_cap_edges: int = 2_000_000,
+) -> DataFrame:
+    """Multi-source weighted shortest paths (non-negative integer
+    weights, edge direction followed): minimum total weight from any
+    seed, exact because distances are sums/mins of integers. The
+    weighted companion to :func:`bfs_levels` — cost-to-reach tiers where
+    BFS gives hop tiers.
+
+    Returns (node, dist) for every node reachable within ``max_iters``
+    relaxation rounds; round i finalizes every shortest path of ≤ i
+    edges (Bellman-Ford), so ``max_iters`` bounds path LENGTH, not
+    weight, and must be ≥ the hop count of the longest shortest path
+    for a converged answer. The loop exits early the first round
+    nothing improves — the converged case, detectable because the
+    improvement count doubles as the materialization barrier.
+
+    Hybrid, like bfs_levels/kcore: graphs under ``driver_cap_edges``
+    run the same bounded relaxation as three numpy arrays on the driver
+    (np.minimum.at per round — vectorized, no Python per-edge loop),
+    byte-equal to the distributed answer by construction. The
+    distributed loop is the 100 TB path: the edge table is partitioned
+    on the join key ONCE and persisted, then every round moves only the
+    improved-frontier rows — join on src, min-combine per dst, compare
+    against the running best (left join + filter), anti-join merge —
+    with a per-round lineage cut (eager localCheckpoint) so the plan
+    stays O(1) per round instead of growing exponentially.
+    """
+    from pyspark import StorageLevel
+
+    spark = edges.sparkSession
+    slim = edges.select(
+        F.col(src_col).alias("__s"),
+        F.col(dst_col).alias("__d"),
+        F.col(weight_col).cast("long").alias("__w"),
+    )
+    seed_nodes = seeds.select(F.col(node_col).alias("node")).distinct()
+
+    if slim.limit(driver_cap_edges + 1).count() <= driver_cap_edges:
+        import numpy as np
+
+        from pyspark.sql import types as T
+
+        rows = slim.collect()
+        seed_list = [r[0] for r in seed_nodes.collect()]
+        idx: dict = {}
+        for r in rows:
+            idx.setdefault(r["__s"], len(idx))
+            idx.setdefault(r["__d"], len(idx))
+        for n in seed_list:
+            idx.setdefault(n, len(idx))
+        n_nodes = len(idx)
+        src = np.fromiter((idx[r["__s"]] for r in rows), dtype=np.int64, count=len(rows))
+        dst = np.fromiter((idx[r["__d"]] for r in rows), dtype=np.int64, count=len(rows))
+        w = np.fromiter((r["__w"] for r in rows), dtype=np.int64, count=len(rows))
+        INF = np.iinfo(np.int64).max // 4
+        dist = np.full(n_nodes, INF, dtype=np.int64)
+        for n in seed_list:
+            dist[idx[n]] = 0
+        for _ in range(max_iters):
+            before = dist.copy()
+            cand = dist[src] + w  # INF/4 headroom: no overflow
+            np.minimum.at(dist, dst, cand)
+            if np.array_equal(before, dist):
+                break
+        node_type = seed_nodes.schema[0].dataType
+        out_schema = T.StructType(
+            [T.StructField("node", node_type), T.StructField("dist", T.LongType())]
+        )
+        inv = {i: n for n, i in idx.items()}
+        data = [(inv[i], int(d)) for i, d in enumerate(dist) if d < INF]
+        return spark.createDataFrame(data, out_schema)
+
+    e = slim.repartition("__s").persist(StorageLevel.MEMORY_AND_DISK)
+    # Every round state is localCheckpoint(eager=True)-ed: dists_i's plan
+    # references dists_{i-1} twice (anti-join + union) and improved_i once,
+    # which itself references dists_{i-1} again — without a per-round
+    # lineage cut the analyzed plan grows exponentially and Catalyst
+    # analysis, not execution, becomes the bottleneck by round ~10. The
+    # checkpoint materializes one row per reached node (tiny next to the
+    # per-round edge join); on a real cluster swap in checkpoint() with a
+    # reliable dir if executor loss during the loop must be survivable.
+    dists = seed_nodes.withColumn("dist", F.lit(0).cast("long")).localCheckpoint(
+        eager=True
+    )
+    frontier = dists
+    for _ in range(max_iters):
+        cand = (
+            frontier.join(e, frontier["node"] == e["__s"])
+            .select(F.col("__d").alias("node"), (F.col("dist") + F.col("__w")).alias("cand"))
+            .groupBy("node")
+            .agg(F.min("cand").alias("cand"))
+        )
+        cur = dists.select("node", F.col("dist").alias("__cur"))
+        improved = (
+            cand.join(cur, "node", "left")
+            .filter(F.col("__cur").isNull() | (F.col("cand") < F.col("__cur")))
+            .select("node", F.col("cand").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        if improved.isEmpty():
+            break
+        dists = (
+            dists.join(improved, "node", "left_anti")
+            .unionByName(improved)
+            .localCheckpoint(eager=True)
+        )
+        frontier = improved
+    e.unpersist()
+    return dists.select("node", "dist")
+
+
+def sssp_oracle_sql(edge_sql: str, seed_sql: str, rounds: int = 12) -> str:
+    """DuckDB replica of :func:`sssp_weighted`: the relaxation rounds
+    unrolled textually (same technique and AS MATERIALIZED discipline as
+    kcore_oracle_sql). ``edge_sql`` must yield (src, dst, w); ``seed_sql``
+    must yield (node). A convergence sentinel row (node NULL, dist -1)
+    appears if the last two rounds still differ, so a too-small
+    ``rounds`` bound is distinguishable from a real engine mismatch."""
+    parts = [
+        f"WITH e AS MATERIALIZED ({edge_sql}),"
+        f" d0 AS MATERIALIZED (SELECT DISTINCT node, CAST(0 AS BIGINT) AS dist"
+        f" FROM ({seed_sql}))"
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f", d{i} AS MATERIALIZED ("
+            f"SELECT node, min(dist) AS dist FROM ("
+            f"SELECT node, dist FROM d{i - 1}"
+            f" UNION ALL "
+            f"SELECT e.dst AS node, d.dist + e.w AS dist"
+            f" FROM d{i - 1} d JOIN e ON d.node = e.src"
+            f") GROUP BY node)"
+        )
+    r = rounds
+    parts.append(
+        f" SELECT node, dist FROM d{r}"
+        f" UNION ALL SELECT NULL AS node, CAST(-1 AS BIGINT) AS dist"
+        f" WHERE (SELECT count(*) FROM d{r}) != (SELECT count(*) FROM d{r - 1})"
+        f" OR (SELECT sum(dist) FROM d{r}) != (SELECT sum(dist) FROM d{r - 1})"
+    )
+    return "".join(parts)

@@ -509,3 +509,48 @@ def test_link_prediction_direction_and_duplicate_invariant(spark):
     base = [(1, 2), (1, 3), (2, 3), (3, 4)]
     noisy = base + [(b, a) for a, b in base] + base + [(4, 4)]
     assert _lp_rows(spark, base) == _lp_rows(spark, noisy)
+
+
+def _sssp(spark, edges, seeds, **kw):
+    from aleph2_contrib_spark.operators.graph import sssp_weighted
+
+    e = spark.createDataFrame(edges, ["src", "dst", "w"])
+    s = spark.createDataFrame([(x,) for x in seeds], ["node"])
+    return {r.node: r.dist for r in sssp_weighted(e, s, **kw).collect()}
+
+
+def test_sssp_many_hops_beat_heavy_edge(spark):
+    # 1→4 direct costs 10; 1→2→3→4 costs 3 — Bellman-Ford must prefer
+    # the longer-hop cheaper path
+    d = _sssp(spark, [(1, 4, 10), (1, 2, 1), (2, 3, 1), (3, 4, 1)], [1])
+    assert d == {1: 0, 2: 1, 3: 2, 4: 3}
+
+
+def test_sssp_respects_direction_and_unreachable_absent(spark):
+    d = _sssp(spark, [(1, 2, 5), (3, 2, 1)], [1])
+    assert d == {1: 0, 2: 5}  # 3 unreachable (edge points INTO 2)
+
+
+def test_sssp_multi_source_min_and_zero_weight(spark):
+    d = _sssp(spark, [(1, 2, 0), (5, 2, 3), (2, 3, 2)], [1, 5])
+    assert d == {1: 0, 5: 0, 2: 0, 3: 2}
+
+
+def test_sssp_driver_and_distributed_paths_agree(spark):
+    import random
+
+    rng = random.Random(7)
+    edges = [
+        (rng.randrange(40), rng.randrange(40), rng.randrange(1, 9))
+        for _ in range(160)
+    ]
+    seeds = [0, 17]
+    a = _sssp(spark, edges, seeds)
+    b = _sssp(spark, edges, seeds, driver_cap_edges=0)  # force distributed
+    assert a == b and len(a) > 10
+
+
+def test_sssp_max_iters_bounds_hop_count(spark):
+    chain = [(i, i + 1, 1) for i in range(6)]
+    d = _sssp(spark, chain, [0], max_iters=3)
+    assert d == {0: 0, 1: 1, 2: 2, 3: 3}  # nodes >3 hops not yet reached
