@@ -3323,6 +3323,80 @@ def graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sssp_weighted(edges, seeds, max_iters=10)
 
 
+def join_point_in_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Big-big point-in-interval join (operators/joins.point_in_interval_join):
+    sampled orders become promo windows [orderdate, orderdate+2+key%5) in
+    exact epoch days; sampled lineitem shipdates are the points. The grid
+    rewrite replicates only the interval side (one row per spanned 4-day
+    cell), maps each point to exactly one cell, and equi-joins on the cell
+    id — a shuffle-hash plan that AQE can skew-split, instead of the
+    BroadcastNestedLoopJoin a naive inequality join compiles to. Gate
+    aggregates per window: hit count + total shipped quantity (exact
+    integers)."""
+    from aleph2_contrib_spark.operators.joins import point_in_interval_join
+
+    epoch = F.lit("1970-01-01").cast("date")
+    iv = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 97 == 0)
+        .select(
+            F.col("o_orderkey").alias("iv_id"),
+            F.datediff(F.col("o_orderdate").cast("date"), epoch).alias("lo"),
+        )
+        .withColumn("hi", F.col("lo") + 2 + F.col("iv_id") % 5)
+    )
+    pt = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 11 == 0)
+        .select(
+            F.datediff(F.col("l_shipdate").cast("date"), epoch).alias("p"),
+            F.col("l_quantity").cast("long").alias("q"),
+        )
+    )
+    return (
+        point_in_interval_join(pt, iv, "p", bucket=4)
+        .groupBy("iv_id")
+        .agg(F.count("*").alias("n_pts"), F.sum("q").alias("sum_qty"))
+    )
+
+
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyless big-big interval overlap join (operators/joins.
+    interval_overlap_join) between two disjoint order samples' active
+    windows: one row per overlapping (a, b) pair with the exact overlap
+    length in days. Both sides explode to 8-day grid cells, equi-join on
+    the cell, and a pair survives only in the cell containing its overlap
+    start — exactly-once without a distinct shuffle (proven against
+    brute force across bucket sizes in tests/test_joins.py)."""
+    from aleph2_contrib_spark.operators.joins import interval_overlap_join
+
+    epoch = F.lit("1970-01-01").cast("date")
+    o = _t(spark, sf_dir, "orders")
+    a = (
+        o.filter(F.col("o_orderkey") % 53 == 0)
+        .select(
+            F.col("o_orderkey").alias("a_id"),
+            F.datediff(F.col("o_orderdate").cast("date"), epoch).alias("a_lo"),
+        )
+        .withColumn("a_hi", F.col("a_lo") + 1 + F.col("a_id") % 11)
+    )
+    b = (
+        o.filter(F.col("o_orderkey") % 59 == 1)
+        .select(
+            F.col("o_orderkey").alias("b_id"),
+            F.datediff(F.col("o_orderdate").cast("date"), epoch).alias("b_lo"),
+        )
+        .withColumn("b_hi", F.col("b_lo") + 1 + F.col("b_id") % 13)
+    )
+    return interval_overlap_join(
+        a, b, ("a_lo", "a_hi"), ("b_lo", "b_hi"), bucket=8
+    ).select(
+        "a_id",
+        "b_id",
+        (F.least("a_hi", "b_hi") - F.greatest("a_lo", "b_lo")).alias("overlap_days"),
+    )
+
+
 def _sssp_oracle() -> str:
     """DuckDB replica of graph_sssp (graph.sssp_oracle_sql over the same
     bipartite shipment edges, relaxation unrolled to 10 rounds)."""
@@ -4070,6 +4144,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_coreness": graph_coreness,
         "similarity_codebook_topk": similarity_codebook_topk,
         "graph_sssp": graph_sssp,
+        "join_point_in_interval": join_point_in_interval,
+        "join_interval_overlap": join_interval_overlap,
         # -- (2) gates whose code path changed this round (graph merge determinism, kcore oracle sentinel, containment cache fix, storage mergeSchema/collide rework) --
         "graph_merge_incremental": graph_merge_incremental,
         "graph_visibility": graph_visibility,
@@ -4484,6 +4560,44 @@ def oracle_sql() -> dict[str, str]:
         "graph_coreness": _coreness_oracle(),
         "graph_kcore": _kcore_oracle(),
         "graph_sssp": _sssp_oracle(),
+        "join_point_in_interval": """
+            WITH iv AS (
+                SELECT o_orderkey AS iv_id,
+                       datediff('day', DATE '1970-01-01',
+                                CAST(o_orderdate AS DATE)) AS lo,
+                       datediff('day', DATE '1970-01-01',
+                                CAST(o_orderdate AS DATE)) + 2 + o_orderkey % 5 AS hi
+                FROM orders WHERE o_orderkey % 97 = 0
+            ), pt AS (
+                SELECT datediff('day', DATE '1970-01-01',
+                                CAST(l_shipdate AS DATE)) AS p,
+                       CAST(l_quantity AS BIGINT) AS q
+                FROM lineitem WHERE l_orderkey % 11 = 0
+            )
+            SELECT iv_id, count(*) AS n_pts, sum(q) AS sum_qty
+            FROM iv JOIN pt ON p >= lo AND p < hi
+            GROUP BY iv_id
+        """,
+        "join_interval_overlap": """
+            WITH a AS (
+                SELECT o_orderkey AS a_id,
+                       datediff('day', DATE '1970-01-01',
+                                CAST(o_orderdate AS DATE)) AS a_lo,
+                       datediff('day', DATE '1970-01-01',
+                                CAST(o_orderdate AS DATE)) + 1 + o_orderkey % 11 AS a_hi
+                FROM orders WHERE o_orderkey % 53 = 0
+            ), b AS (
+                SELECT o_orderkey AS b_id,
+                       datediff('day', DATE '1970-01-01',
+                                CAST(o_orderdate AS DATE)) AS b_lo,
+                       datediff('day', DATE '1970-01-01',
+                                CAST(o_orderdate AS DATE)) + 1 + o_orderkey % 13 AS b_hi
+                FROM orders WHERE o_orderkey % 59 = 1
+            )
+            SELECT a_id, b_id,
+                   least(a_hi, b_hi) - greatest(a_lo, b_lo) AS overlap_days
+            FROM a JOIN b ON greatest(a_lo, b_lo) < least(a_hi, b_hi)
+        """,
         "streaming_session_timeout": """
             SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS n_events,
                    min(value) AS v_min, max(value) AS v_max

@@ -125,6 +125,123 @@ def range_join(
     return left.join(F.broadcast(intervals), lo_cmp & hi_cmp)
 
 
+def point_in_interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    bucket: int = 16,
+) -> DataFrame:
+    """Big-big point-in-interval join over an integer domain: inner-join
+    each point row to every interval row with ``lo <= point < hi``
+    (half-open), when NEITHER side fits in a broadcast — the case
+    :func:`range_join` (broadcast) and :func:`band_expr` (static CASE)
+    can't serve. Callers with timestamps convert to an integer unit first
+    (epoch days/seconds), keeping the predicate exact.
+
+    Grid bucketing turns the inequality join into an equi-join Catalyst
+    can shuffle-hash: each interval is replicated to the ``ceil(width /
+    bucket)`` grid cells it spans (``F.sequence`` + ``explode``), each
+    point maps to exactly ONE cell, and the join key is the cell id.
+    A true-predicate filter after the join removes same-cell non-matches.
+    Points are never replicated, so the pair count examined is
+    |points| × (intervals overlapping their cell), not |points| ×
+    |intervals| — the BroadcastNestedLoopJoin explosion a naive
+    inequality join compiles to.
+
+    Scale knobs: pick ``bucket`` near the median interval width — smaller
+    buckets replicate intervals more, larger buckets admit more false
+    candidates per cell. Hot cells (dense time ranges) behave like any
+    skewed equi-join key: AQE skew-join splitting applies because this IS
+    a plain equi-join after the rewrite.
+
+    Empty intervals (``hi <= lo``) match nothing and are dropped at the
+    explode. Output: all point columns + all interval columns.
+    """
+    if bucket <= 0:
+        raise ValueError(f"bucket must be a positive integer, got {bucket}")
+    b = F.lit(int(bucket))
+    lo, hi = F.col(lo_col), F.col(hi_col)
+    iv = intervals.filter(hi > lo).withColumn(
+        "__cell",
+        F.explode(
+            F.sequence(
+                F.floor(lo / b).cast("long"), F.floor((hi - 1) / b).cast("long")
+            )
+        ),
+    )
+    pt = points.withColumn("__cell", F.floor(F.col(point_col) / b).cast("long"))
+    p = F.col(point_col)
+    return (
+        pt.join(iv, "__cell")
+        .filter((p >= F.col(lo_col)) & (p < F.col(hi_col)))
+        .drop("__cell")
+    )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_cols: tuple[str, str] = ("lo", "hi"),
+    right_cols: tuple[str, str] = ("lo", "hi"),
+    bucket: int = 16,
+) -> DataFrame:
+    """Big-big interval OVERLAP join over an integer domain: emit one row
+    per (left, right) pair whose half-open intervals intersect —
+    ``max(l_lo, r_lo) < min(l_hi, r_hi)`` — without broadcasting either
+    side and without a distinct/dedup shuffle.
+
+    Same grid rewrite as :func:`point_in_interval_join`, on both sides:
+    every interval is exploded to its grid cells and the join key is the
+    cell. A pair overlapping k shared cells would surface k times, so the
+    join keeps a candidate only in the ONE cell that contains the overlap
+    start ``max(l_lo, r_lo)`` — that point lies inside both intervals
+    (hi is exclusive), so its cell is guaranteed to be in both explode
+    ranges, and the dedup is a free per-row predicate instead of a
+    whole-output distinct shuffle.
+
+    Column-name collisions between the two sides are rejected up front
+    (rename before joining); output is left columns + right columns.
+    """
+    if bucket <= 0:
+        raise ValueError(f"bucket must be a positive integer, got {bucket}")
+    clash = set(left.columns) & set(right.columns)
+    if clash:
+        raise ValueError(
+            f"interval_overlap_join requires disjoint column names, both "
+            f"sides carry {sorted(clash)}: rename one side first"
+        )
+    b = F.lit(int(bucket))
+    llo, lhi = F.col(left_cols[0]), F.col(left_cols[1])
+    rlo, rhi = F.col(right_cols[0]), F.col(right_cols[1])
+    le = left.filter(lhi > llo).withColumn(
+        "__cell",
+        F.explode(
+            F.sequence(
+                F.floor(llo / b).cast("long"), F.floor((lhi - 1) / b).cast("long")
+            )
+        ),
+    )
+    re_ = right.filter(rhi > rlo).withColumn(
+        "__cell",
+        F.explode(
+            F.sequence(
+                F.floor(rlo / b).cast("long"), F.floor((rhi - 1) / b).cast("long")
+            )
+        ),
+    )
+    start = F.greatest(llo, rlo)
+    return (
+        le.join(re_, "__cell")
+        .filter(
+            (start < F.least(lhi, rhi))
+            & (F.col("__cell") == F.floor(start / b).cast("long"))
+        )
+        .drop("__cell")
+    )
+
+
 def band_expr(
     bands: Sequence[tuple[str, float, float]],
     value: Column,

@@ -141,3 +141,81 @@ def test_scd2_pit_lookup_is_leakage_free(spark):
         ).collect()
     }
     assert out == {1: "LOW", 2: "HIGH", 3: None}
+
+
+# ---- grid-bucketed big-big interval joins ----
+
+
+def _brute_pii(points, intervals):
+    return sorted(
+        (p, i)
+        for p, *_ in points
+        for i, lo, hi in intervals
+        if lo <= p < hi
+    )
+
+
+def test_point_in_interval_matches_bruteforce(spark):
+    import random
+
+    from aleph2_contrib_spark.operators.joins import point_in_interval_join
+
+    rng = random.Random(11)
+    points = [(rng.randrange(-50, 200),) for _ in range(120)]
+    intervals = [
+        (i, lo, lo + rng.randrange(0, 40))
+        for i, lo in enumerate(rng.randrange(-60, 190) for _ in range(40))
+    ]
+    pdf = spark.createDataFrame(points, ["p"])
+    idf = spark.createDataFrame(intervals, ["iv_id", "lo", "hi"])
+    for bucket in (1, 7, 64):
+        got = sorted(
+            (r.p, r.iv_id)
+            for r in point_in_interval_join(pdf, idf, "p", bucket=bucket).collect()
+        )
+        assert got == _brute_pii(points, intervals)
+
+
+def test_point_in_interval_half_open_and_empty(spark):
+    from aleph2_contrib_spark.operators.joins import point_in_interval_join
+
+    pdf = spark.createDataFrame([(5,), (9,), (10,)], ["p"])
+    idf = spark.createDataFrame([(1, 5, 10), (2, 7, 7)], ["iv_id", "lo", "hi"])
+    got = sorted(
+        (r.p, r.iv_id) for r in point_in_interval_join(pdf, idf, "p", bucket=4).collect()
+    )
+    assert got == [(5, 1), (9, 1)]  # hi exclusive, empty interval matches nothing
+
+
+def test_interval_overlap_matches_bruteforce_no_dups(spark):
+    import random
+
+    from aleph2_contrib_spark.operators.joins import interval_overlap_join
+
+    rng = random.Random(13)
+    a = [(i, lo, lo + rng.randrange(1, 30)) for i, lo in enumerate(rng.randrange(-40, 150) for _ in range(35))]
+    b = [(j, lo, lo + rng.randrange(1, 30)) for j, lo in enumerate(rng.randrange(-40, 150) for _ in range(35))]
+    want = sorted(
+        (i, j)
+        for i, alo, ahi in a
+        for j, blo, bhi in b
+        if max(alo, blo) < min(ahi, bhi)
+    )
+    adf = spark.createDataFrame(a, ["a_id", "a_lo", "a_hi"])
+    bdf = spark.createDataFrame(b, ["b_id", "b_lo", "b_hi"])
+    for bucket in (1, 8, 100):
+        rows = interval_overlap_join(
+            adf, bdf, ("a_lo", "a_hi"), ("b_lo", "b_hi"), bucket=bucket
+        ).collect()
+        got = sorted((r.a_id, r.b_id) for r in rows)
+        assert got == want  # sorted-with-dups comparison: also proves exactly-once
+
+
+def test_interval_overlap_rejects_column_clash(spark):
+    import pytest as _pytest
+
+    from aleph2_contrib_spark.operators.joins import interval_overlap_join
+
+    adf = spark.createDataFrame([(1, 0, 5)], ["id", "lo", "hi"])
+    with _pytest.raises(ValueError, match="disjoint column names"):
+        interval_overlap_join(adf, adf, ("lo", "hi"), ("lo", "hi"))
