@@ -3397,6 +3397,36 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def topk_pruned_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed top-k with candidate pruning (operators/topk.
+    exact_topk, TPUT-family): top-25 word bigrams across the corpus.
+    Unlike the plain groupBy/orderBy/limit (whose shuffle moves EVERY
+    distinct bigram — the long tail is the cost at 100 TB n-gram
+    cardinalities), the pruned plan shuffles only per-partition top-B
+    candidates plus one threshold per partition, then PROVES exactness:
+    the k-th exact candidate count must exceed the summed per-partition
+    prune thresholds, else the operator raises rather than approximate.
+    Same bigram normalization as text_bigram_rarity, so the oracle
+    reuses that tokenization verbatim."""
+    from aleph2_contrib_spark.operators.topk import exact_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " ")
+    base = docs.select(toks.alias("__tk")).filter(F.size(F.col("__tk")) >= 2)
+    tk = F.col("__tk")
+    bg = base.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(tk) - 1),
+                lambda i: F.concat_ws(
+                    " ", F.try_element_at(tk, i), F.try_element_at(tk, i + 1)
+                ),
+            )
+        ).alias("bigram")
+    )
+    return exact_topk(bg, ["bigram"], 25, local_budget=512)
+
+
 def _sssp_oracle() -> str:
     """DuckDB replica of graph_sssp (graph.sssp_oracle_sql over the same
     bipartite shipment edges, relaxation unrolled to 10 rounds)."""
@@ -4146,6 +4176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_sssp": graph_sssp,
         "join_point_in_interval": join_point_in_interval,
         "join_interval_overlap": join_interval_overlap,
+        "topk_pruned_bigrams": topk_pruned_bigrams,
         # -- (2) gates whose code path changed this round (graph merge determinism, kcore oracle sentinel, containment cache fix, storage mergeSchema/collide rework) --
         "graph_merge_incremental": graph_merge_incremental,
         "graph_visibility": graph_visibility,
@@ -4577,6 +4608,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT iv_id, count(*) AS n_pts, sum(q) AS sum_qty
             FROM iv JOIN pt ON p >= lo AND p < hi
             GROUP BY iv_id
+        """,
+        "topk_pruned_bigrams": r"""
+            WITH toks AS (
+                SELECT string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk
+                FROM documents
+            ), bg AS (
+                SELECT tk[i] || ' ' || tk[i+1] AS bigram
+                FROM toks, LATERAL (SELECT unnest(generate_series(1, len(tk) - 1)) AS i)
+                WHERE len(tk) >= 2
+            )
+            SELECT bigram, count(*) AS cnt FROM bg
+            GROUP BY bigram
+            ORDER BY cnt DESC, bigram ASC
+            LIMIT 25
         """,
         "join_interval_overlap": """
             WITH a AS (
