@@ -509,12 +509,22 @@ class TransactionalTable:
         v = (read_version if read_version is not None else self.latest_version()) + 1
         while True:
             rec["v"] = v
+            # Two-step atomic claim: dump the full record to a tmp name
+            # (skipped by the log listing — non-integer stem), then claim
+            # the version slot with os.link, which both fails atomically
+            # if a racer won (the optimistic-concurrency contract "x" gave
+            # us) AND only ever exposes a COMPLETE file under the commit
+            # name — a reader can never observe a half-dumped commit JSON.
+            tmp = os.path.join(self._log_dir(), f"inflight-{uuid.uuid4().hex}.json")
+            with open(tmp, "w") as f:
+                json.dump(rec, f)
             try:
-                with open(os.path.join(self._log_dir(), f"{v:020d}.json"), "x") as f:
-                    json.dump(rec, f)
+                os.link(tmp, os.path.join(self._log_dir(), f"{v:020d}.json"))
+                os.unlink(tmp)
                 self._maybe_checkpoint(v)
                 return v
             except FileExistsError:
+                os.unlink(tmp)
                 # lost the race — validate against the new snapshot and retry
                 _, files = self.snapshot()
                 still = {e.path for e in files}
