@@ -3427,6 +3427,69 @@ def topk_pruned_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_topk(bg, ["bigram"], 25, local_budget=512)
 
 
+def sketch_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL hierarchy rollup (operators/sketch.hll_registers_by_group):
+    customer-key sketches built once at nation grain, then rolled up to
+    region with a (region, bucket) max over the ≤25×4096 register rows —
+    no rescan of the customer table, the defining property of mergeable
+    sketches in a 100 TB rollup. The gate emits the rolled-up estimate
+    NEXT TO the direct region-grain estimate; they are equal by register
+    algebra (max is associative), and the oracle recomputes the direct
+    path from scratch in DuckDB — so a pass pins both the sketch
+    portability and the merge correctness."""
+    from aleph2_contrib_spark.operators.sketch import (
+        hll_estimate_by_group,
+        hll_estimate_from_group_registers,
+        hll_registers_by_group,
+    )
+
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    region = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey", "n_nationkey", "r_name")
+    )
+    nation_regs = hll_registers_by_group(cust, "c_custkey", "n_nationkey")
+    # merge-up: nation → region over register rows only
+    n2r = cust.select("n_nationkey", "r_name").distinct()
+    region_regs = (
+        nation_regs.join(F.broadcast(n2r), "n_nationkey")
+        .groupBy("r_name", "__hll_b")
+        .agg(F.max("__hll_m").alias("__hll_m"))
+    )
+    rolled = hll_estimate_from_group_registers(region_regs, "r_name").select(
+        "r_name", F.col("est").alias("est_rollup"), "n_buckets", "zeros"
+    )
+    direct = hll_estimate_by_group(cust, "c_custkey", "r_name").select(
+        "r_name", F.col("est").alias("est_direct")
+    )
+    return rolled.join(direct, "r_name").select(
+        "r_name", "est_rollup", "est_direct", "n_buckets", "zeros"
+    )
+
+
+def _hll_rollup_oracle() -> str:
+    """DuckDB replica of sketch_hll_rollup: the direct region-grain sketch
+    (sketch.hll_group_oracle_sql), est emitted under both output names —
+    the Spark side's rollup and direct paths are algebraically equal."""
+    from aleph2_contrib_spark.operators.sketch import hll_group_oracle_sql
+
+    inner = hll_group_oracle_sql(
+        "c_custkey",
+        "r_name",
+        "(SELECT c_custkey, r_name FROM customer "
+        " JOIN nation ON c_nationkey = n_nationkey "
+        " JOIN region ON n_regionkey = r_regionkey)",
+    )
+    return f"""
+        SELECT g AS r_name, est AS est_rollup, est AS est_direct,
+               n_buckets, zeros
+        FROM ({inner})
+    """
+
+
 def _sssp_oracle() -> str:
     """DuckDB replica of graph_sssp (graph.sssp_oracle_sql over the same
     bipartite shipment edges, relaxation unrolled to 10 rounds)."""
@@ -4177,6 +4240,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_point_in_interval": join_point_in_interval,
         "join_interval_overlap": join_interval_overlap,
         "topk_pruned_bigrams": topk_pruned_bigrams,
+        "sketch_hll_rollup": sketch_hll_rollup,
         # -- (2) gates whose code path changed this round (graph merge determinism, kcore oracle sentinel, containment cache fix, storage mergeSchema/collide rework) --
         "graph_merge_incremental": graph_merge_incremental,
         "graph_visibility": graph_visibility,
@@ -4591,6 +4655,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_coreness": _coreness_oracle(),
         "graph_kcore": _kcore_oracle(),
         "graph_sssp": _sssp_oracle(),
+        "sketch_hll_rollup": _hll_rollup_oracle(),
         "join_point_in_interval": """
             WITH iv AS (
                 SELECT o_orderkey AS iv_id,

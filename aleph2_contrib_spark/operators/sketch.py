@@ -132,10 +132,24 @@ def hll_estimate_by_group(df: DataFrame, col: str, group_col: str) -> DataFrame:
     a group through a single partition (skew) instead of spreading each
     group over its 4096 buckets.
     """
+    regs = hll_registers_by_group(df, col, group_col).withColumnRenamed(
+        group_col, "__g"
+    )
+    return hll_estimate_from_group_registers(regs, "__g").withColumnRenamed(
+        "__g", group_col
+    )
+
+
+def hll_registers_by_group(df: DataFrame, col: str, group_col: str) -> DataFrame:
+    """Per-group sketch rows (group, __hll_b, __hll_m), maxed per
+    (group, bucket). These are the MERGEABLE unit of the hierarchy
+    rollup: registers sketched at a fine grain (day, nation, shard)
+    roll up to any coarser grain with a groupBy(coarse, bucket) max —
+    no rescan of the raw data, which is the entire point at 100 TB."""
     d = df.filter(F.col(col).isNotNull())
     h = F.md5(F.col(col).cast("string"))
     prepared = d.select(
-        F.col(group_col).alias("__g"),
+        F.col(group_col),
         F.conv(F.substring(h, 1, 3), 16, 10).cast("int").alias("__hll_b"),
         F.conv(F.substring(h, 4, 13), 16, 10).cast("long").alias("__hll_w"),
     ).withColumn(
@@ -145,9 +159,8 @@ def hll_estimate_by_group(df: DataFrame, col: str, group_col: str) -> DataFrame:
             - F.length(F.expr("trim(LEADING '0' FROM bin(__hll_w))"))
         ),
     )
-    regs = prepared.groupBy("__g", "__hll_b").agg(F.max("__hll_rho").alias("__hll_m"))
-    return hll_estimate_from_group_registers(regs, "__g").withColumnRenamed(
-        "__g", group_col
+    return prepared.groupBy(group_col, "__hll_b").agg(
+        F.max("__hll_rho").alias("__hll_m")
     )
 
 

@@ -230,3 +230,35 @@ def test_histogram_quantiles_by_group_matches_global_per_slice(spark):
         want = {r.q_permille: r.est_f6 for r in histogram_quantiles(solo).collect()}
         got = {q: v for (gg, q), v in per.items() if gg == g}
         assert got == want
+
+
+def test_hll_group_registers_rollup_equals_direct(spark):
+    """Registers built at fine grain and rolled up with a (coarse, bucket)
+    max must finalize to the IDENTICAL estimate as sketching the coarse
+    grain directly — the mergeable-hierarchy contract."""
+    from aleph2_contrib_spark.operators.sketch import (
+        hll_estimate_by_group,
+        hll_estimate_from_group_registers,
+        hll_registers_by_group,
+    )
+
+    df = spark.range(0, 3000).select(
+        (F.col("id") % 1300).alias("v"),          # dup keys across fine groups
+        (F.col("id") % 6).alias("fine"),
+        ((F.col("id") % 6) % 2).alias("coarse"),  # 3 fine groups per coarse
+    )
+    fine_regs = hll_registers_by_group(df, "v", "fine")
+    rolled = (
+        fine_regs.withColumn("coarse", F.col("fine") % 2)
+        .groupBy("coarse", "__hll_b")
+        .agg(F.max("__hll_m").alias("__hll_m"))
+    )
+    got = {
+        r.coarse: (r.est, r.n_buckets, r.zeros)
+        for r in hll_estimate_from_group_registers(rolled, "coarse").collect()
+    }
+    want = {
+        r.coarse: (r.est, r.n_buckets, r.zeros)
+        for r in hll_estimate_by_group(df, "v", "coarse").collect()
+    }
+    assert got == want and len(got) == 2

@@ -228,6 +228,66 @@ def bench_graph_ops(spark, n_edges, label):
     return out
 
 
+def bench_join_topk_ops(spark, path, n_edges, label):
+    """Round-6 additions: the grid-bucketed interval joins, the
+    distributed SSSP loop (driver cap disabled so the 100 TB path is the
+    thing measured), and pruned exact top-k. All claims are linear-ish:
+    interval joins shuffle O(rows × cells-per-interval); SSSP rounds are
+    frontier joins against a statically-partitioned edge table; top-k's
+    shuffle is O(budget × partitions) regardless of distinct-key count
+    (the plain aggregate it replaces shuffles every distinct key —
+    topk_plain is printed alongside for that comparison)."""
+    from aleph2_contrib_spark.operators.joins import (
+        interval_overlap_join,
+        point_in_interval_join,
+    )
+    from aleph2_contrib_spark.operators.graph import sssp_weighted
+    from aleph2_contrib_spark.operators.topk import exact_topk
+
+    docs = spark.read.parquet(path)
+    n = docs.count()
+    out = {}
+
+    def run(name, thunk):
+        t0 = time.perf_counter()
+        thunk()
+        out[name] = round(time.perf_counter() - t0, 2)
+
+    # intervals over a dense integer domain, ~4 cells each at bucket=32
+    iv = docs.select(
+        F.col("doc_id").alias("iv_id"),
+        (F.abs(F.xxhash64("doc_id", F.lit(3))) % (n * 4)).alias("lo"),
+    ).withColumn("hi", F.col("lo") + 1 + F.abs(F.xxhash64("iv_id", F.lit(4))) % 120)
+    pt = docs.select(
+        F.col("doc_id").alias("p_id"),
+        (F.abs(F.xxhash64("doc_id", F.lit(5))) % (n * 4)).alias("p"),
+    )
+    run("pii_join", lambda: point_in_interval_join(pt, iv, "p", bucket=32).count())
+    a = iv.select(F.col("iv_id").alias("a_id"), F.col("lo").alias("a_lo"), F.col("hi").alias("a_hi"))
+    b = iv.select((F.col("iv_id") + 10_000_000).alias("b_id"), (F.col("lo") + 40).alias("b_lo"), (F.col("hi") + 70).alias("b_hi"))
+    run("overlap_join", lambda: interval_overlap_join(
+        a, b, ("a_lo", "a_hi"), ("b_lo", "b_hi"), bucket=32).count())
+
+    nv = max(n_edges // 15, 10)
+    e = spark.range(n_edges).select(
+        (F.abs(F.xxhash64(F.col("id"), F.lit(1))) % nv).alias("src"),
+        (F.abs(F.xxhash64(F.col("id"), F.lit(2))) % nv).alias("dst"),
+        (F.lit(100) + F.abs(F.xxhash64(F.col("id"), F.lit(3))) % 50).alias("w"),
+    ).persist()
+    e.count()
+    seeds = spark.range(5).select(F.col("id").alias("node"))
+    run("sssp_distributed", lambda: sssp_weighted(
+        e, seeds, max_iters=12, driver_cap_edges=0).count())
+    e.unpersist()
+
+    toks = docs.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+    run("topk_pruned", lambda: exact_topk(toks, ["tok"], 20).count())
+    run("topk_plain", lambda: toks.groupBy("tok").count()
+        .orderBy(F.col("count").desc(), F.col("tok").asc()).limit(20).count())
+    print(label, out, flush=True)
+    return out
+
+
 def make_hot_docs(spark, n, id_offset=5_000_000):
     return (
         spark.range(n)
@@ -258,6 +318,10 @@ def main():
     g2 = bench_graph_ops(spark, base * factor * 20, f"{factor}x")
     r1.update(g1)
     r2.update(g2)
+    j1 = bench_join_topk_ops(spark, p1, base * 20, "1x")
+    j2 = bench_join_topk_ops(spark, p2, base * factor * 20, f"{factor}x")
+    r1.update(j1)
+    r2.update(j2)
     m1 = bench_mutation_path(spark, p1, "1x")
     m2 = bench_mutation_path(spark, p2, f"{factor}x")
     print("--- scaling ratios (ideal <= %d; super-linear = plan problem) ---" % factor)
