@@ -3490,6 +3490,57 @@ def _hll_rollup_oracle() -> str:
     """
 
 
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities (operators/graph.hits_scores) over the
+    directed supplier→part shipment graph (lineitem sample, deduped to a
+    simple graph): suppliers are hubs (they ship many parts), parts are
+    authorities (shipped by many suppliers). Three unnormalized exact-
+    integer rounds — scores stay well inside int64 at every tested sf
+    (growth ≈ (d_hub·d_auth) per round), and the oracle unrolls the same
+    recurrence in HUGEINT so any overflow would diverge loudly instead
+    of passing wrapped."""
+    from aleph2_contrib_spark.operators.graph import hits_scores
+
+    edges = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 7 == 0)
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+            F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    return hits_scores(edges, iterations=3)
+
+
+def profile_table_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass whole-table profile (operators/profile.table_summary):
+    per-column row counts, null counts, EXACT distinct counts, and
+    min/max over four orders columns — a single aggregation (the
+    multi-distinct Expand is the documented exact-mode cost; approx mode
+    drops it for production-wide tables). Columns chosen integer/string
+    so min/max string casts are engine-identical."""
+    from aleph2_contrib_spark.operators.profile import table_summary
+
+    o = _t(spark, sf_dir, "orders")
+    return table_summary(
+        o, ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+    )
+
+
+def _hits_oracle() -> str:
+    """DuckDB replica of graph_hits (graph.hits_oracle_sql over the same
+    deduped shipment edges, 3 rounds unrolled)."""
+    from aleph2_contrib_spark.operators.graph import hits_oracle_sql
+
+    edge_sql = """
+        SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+                        'p' || CAST(l_partkey AS VARCHAR) AS dst
+        FROM lineitem WHERE l_orderkey % 7 = 0
+    """
+    return hits_oracle_sql(edge_sql, iterations=3)
+
+
 def _sssp_oracle() -> str:
     """DuckDB replica of graph_sssp (graph.sssp_oracle_sql over the same
     bipartite shipment edges, relaxation unrolled to 10 rounds)."""
@@ -4241,6 +4292,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_interval_overlap": join_interval_overlap,
         "topk_pruned_bigrams": topk_pruned_bigrams,
         "sketch_hll_rollup": sketch_hll_rollup,
+        "graph_hits": graph_hits,
+        "profile_table_summary": profile_table_summary,
         # -- (2) gates whose code path changed this round (graph merge determinism, kcore oracle sentinel, containment cache fix, storage mergeSchema/collide rework) --
         "graph_merge_incremental": graph_merge_incremental,
         "graph_visibility": graph_visibility,
@@ -4656,6 +4709,33 @@ def oracle_sql() -> dict[str, str]:
         "graph_kcore": _kcore_oracle(),
         "graph_sssp": _sssp_oracle(),
         "sketch_hll_rollup": _hll_rollup_oracle(),
+        "graph_hits": _hits_oracle(),
+        "profile_table_summary": """
+            SELECT col_name, n_rows, n_nulls, n_distinct, min_str, max_str
+            FROM (
+                SELECT 'o_orderkey' AS col_name, count(*) AS n_rows,
+                       count(*) - count(o_orderkey) AS n_nulls,
+                       count(DISTINCT o_orderkey) AS n_distinct,
+                       CAST(min(o_orderkey) AS VARCHAR) AS min_str,
+                       CAST(max(o_orderkey) AS VARCHAR) AS max_str
+                FROM orders
+                UNION ALL
+                SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+                       count(DISTINCT o_custkey),
+                       CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+                FROM orders
+                UNION ALL
+                SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+                       count(DISTINCT o_orderstatus),
+                       min(o_orderstatus), max(o_orderstatus)
+                FROM orders
+                UNION ALL
+                SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+                       count(DISTINCT o_orderpriority),
+                       min(o_orderpriority), max(o_orderpriority)
+                FROM orders
+            )
+        """,
         "join_point_in_interval": """
             WITH iv AS (
                 SELECT o_orderkey AS iv_id,

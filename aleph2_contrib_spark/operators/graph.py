@@ -1394,3 +1394,109 @@ def sssp_oracle_sql(edge_sql: str, seed_sql: str, rounds: int = 12) -> str:
         f" OR (SELECT sum(dist) FROM d{r}) != (SELECT sum(dist) FROM d{r - 1})"
     )
     return "".join(parts)
+
+
+def hits_scores(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 3,
+) -> DataFrame:
+    """Kleinberg HITS hubs-and-authorities, exact-integer form: starting
+    from h₀ = 1 everywhere, each round computes a(v) = Σ h(u) over
+    in-edges u→v then h(u) = Σ a(v) over out-edges — UNNORMALIZED, so
+    every score is an exact integer and rounds unroll verbatim in any
+    SQL engine (same trick as the integer-div pagerank above). Relative
+    ranking is unchanged by skipping per-round normalization; callers
+    wanting [0,1] scores divide by the max afterwards.
+
+    Returns (node, hub, auth) for every node incident to an edge.
+    Multi-edges count with multiplicity (dedupe upstream if the graph is
+    simple). Magnitudes grow by roughly (d_hub · d_auth) per round —
+    pick ``iterations`` so that bound stays inside int64; a silent JVM
+    wrap cannot survive the differential gate (DuckDB sums into
+    HUGEINT, so any overflow diverges loudly).
+
+    Plan: the edge list is shuffled onto src ONCE and persisted; each
+    round is two slim joins (edges ⋈ scores) + two partial-aggregated
+    sums — per-round cost is linear in edges, state is one row per node,
+    and nothing touches the driver.
+    """
+    from pyspark import StorageLevel
+
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    e = edges.select(
+        F.col(src_col).alias("__s"), F.col(dst_col).alias("__d")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    nodes = (
+        e.select(F.col("__s").alias("node"))
+        .unionByName(e.select(F.col("__d").alias("node")))
+        .distinct()
+    )
+    h = nodes.withColumn("hub", F.lit(1).cast("long"))
+    for _ in range(iterations):
+        a = (
+            e.join(h, e["__s"] == h["node"])
+            .groupBy(F.col("__d").alias("node"))
+            .agg(F.sum("hub").alias("auth"))
+        )
+        h_new = (
+            e.join(a, e["__d"] == a["node"])
+            .groupBy(F.col("__s").alias("node"))
+            .agg(F.sum("auth").alias("hub"))
+        )
+        # sinks/sources fall out of the joins; restore them with 0 so the
+        # output covers every incident node and the next round sees them
+        h = (
+            nodes.join(h_new, "node", "left")
+            .select("node", F.coalesce("hub", F.lit(0)).cast("long").alias("hub"))
+        )
+        last_a = a
+    out = (
+        nodes.join(h, "node")
+        .join(last_a, "node", "left")
+        .select(
+            "node",
+            F.col("hub"),
+            F.coalesce("auth", F.lit(0)).cast("long").alias("auth"),
+        )
+        # eager: one row per node, materialized now so the edge cache can
+        # be RELEASED before returning (a lazily-returned plan would pin
+        # it in the session storage pool with no one left to unpersist)
+        .localCheckpoint(eager=True)
+    )
+    e.unpersist()
+    return out
+
+
+def hits_oracle_sql(edge_sql: str, iterations: int = 3) -> str:
+    """DuckDB replica of :func:`hits_scores`: the rounds unrolled
+    textually (AS MATERIALIZED, like kcore/sssp oracles). ``edge_sql``
+    must yield (src, dst)."""
+    parts = [
+        f"WITH e AS MATERIALIZED ({edge_sql}),"
+        " nodes AS MATERIALIZED ("
+        "SELECT DISTINCT src AS node FROM e"
+        " UNION SELECT DISTINCT dst FROM e),"
+        " h0 AS MATERIALIZED (SELECT node, CAST(1 AS HUGEINT) AS hub FROM nodes)"
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f", a{i} AS MATERIALIZED ("
+            f"SELECT e.dst AS node, sum(h.hub) AS auth"
+            f" FROM e JOIN h{i - 1} h ON e.src = h.node GROUP BY e.dst)"
+            f", h{i} AS MATERIALIZED ("
+            f"SELECT n.node, CAST(coalesce(x.hub, 0) AS HUGEINT) AS hub FROM nodes n"
+            f" LEFT JOIN (SELECT e.src AS node, sum(a.auth) AS hub"
+            f" FROM e JOIN a{i} a ON e.dst = a.node GROUP BY e.src) x"
+            f" ON n.node = x.node)"
+        )
+    r = iterations
+    parts.append(
+        f" SELECT n.node, CAST(h.hub AS BIGINT) AS hub,"
+        f" CAST(coalesce(a.auth, 0) AS BIGINT) AS auth"
+        f" FROM nodes n JOIN h{r} h ON n.node = h.node"
+        f" LEFT JOIN a{r} a ON n.node = a.node"
+    )
+    return "".join(parts)

@@ -410,3 +410,73 @@ def ks_statistic(
             ).alias("ks_f6"),
         )
     )
+
+
+def table_summary(
+    df: DataFrame,
+    cols: list[str] | None = None,
+    distinct: str = "exact",
+) -> DataFrame:
+    """Whole-table profile in ONE aggregation pass: one output row per
+    column with (col_name, n_rows, n_nulls, n_distinct, min_str, max_str).
+    min/max are cast to string so heterogeneous column types share one
+    result schema; NULL-only columns profile to NULL min/max.
+
+    ``distinct``:
+    - ``"exact"``  — COUNT(DISTINCT col) per column. Catalyst compiles
+      multiple distinct aggregates into an Expand (input multiplied by
+      n_cols+1 before the shuffle) — exact, still one pass over the
+      scan, but the multiplier is real at 100 TB.
+    - ``"approx"`` — approx_count_distinct (built-in HLL++, rsd 5%): no
+      Expand, plain partial-aggregated single shuffle; the production
+      default for wide tables.
+    - ``"none"``   — skip distinct counting entirely (n_distinct NULL).
+
+    The per-column stats travel as ONE row of struct-ish aggregates and
+    are unpivoted driver-free with ``stack`` — no per-column jobs, no
+    collect of data values.
+    """
+    if distinct not in ("exact", "approx", "none"):
+        raise ValueError(f"distinct must be exact|approx|none, got {distinct!r}")
+    cols = list(cols) if cols is not None else list(df.columns)
+    if not cols:
+        raise ValueError("no columns to profile")
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"columns not in DataFrame: {missing}")
+
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, c in enumerate(cols):
+        aggs.append(F.count(F.col(c)).alias(f"__nn_{i}"))
+        if distinct == "exact":
+            aggs.append(F.count_distinct(F.col(c)).alias(f"__nd_{i}"))
+        elif distinct == "approx":
+            aggs.append(F.approx_count_distinct(c).alias(f"__nd_{i}"))
+        else:
+            aggs.append(F.lit(None).cast("long").alias(f"__nd_{i}"))
+        aggs.append(F.min(F.col(c)).cast("string").alias(f"__mn_{i}"))
+        aggs.append(F.max(F.col(c)).cast("string").alias(f"__mx_{i}"))
+    one = df.agg(*aggs)
+
+    # unpivot the single stats row into one row per column, all JVM-side
+    parts = []
+    for i, c in enumerate(cols):
+        name = c.replace("'", "\\'")
+        parts.append(
+            f"'{name}', __nn_{i}, CAST(__nd_{i} AS BIGINT), __mn_{i}, __mx_{i}"
+        )
+    stacked = one.select(
+        F.col("__n"),
+        F.expr(
+            f"stack({len(cols)}, {', '.join(parts)}) "
+            "AS (col_name, __nn, n_distinct, min_str, max_str)"
+        ),
+    )
+    return stacked.select(
+        "col_name",
+        F.col("__n").alias("n_rows"),
+        (F.col("__n") - F.col("__nn")).alias("n_nulls"),
+        "n_distinct",
+        "min_str",
+        "max_str",
+    )

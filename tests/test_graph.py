@@ -554,3 +554,57 @@ def test_sssp_max_iters_bounds_hop_count(spark):
     chain = [(i, i + 1, 1) for i in range(6)]
     d = _sssp(spark, chain, [0], max_iters=3)
     assert d == {0: 0, 1: 1, 2: 2, 3: 3}  # nodes >3 hops not yet reached
+
+
+def _brute_hits(edges, iters):
+    nodes = sorted({x for e in edges for x in e})
+    h = {n: 1 for n in nodes}
+    a = {n: 0 for n in nodes}
+    for _ in range(iters):
+        a = {n: 0 for n in nodes}
+        for s, d in edges:
+            a[d] += h[s]
+        h2 = {n: 0 for n in nodes}
+        for s, d in edges:
+            h2[s] += a[d]
+        h = h2
+    return {n: (h[n], a[n]) for n in nodes}
+
+
+def _hits(spark, edges, **kw):
+    from aleph2_contrib_spark.operators.graph import hits_scores
+
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    return {r.node: (r.hub, r.auth) for r in hits_scores(e, **kw).collect()}
+
+
+def test_hits_matches_bruteforce_random(spark):
+    import random
+
+    rng = random.Random(17)
+    edges = [(rng.randrange(30), 30 + rng.randrange(20)) for _ in range(120)]
+    for iters in (1, 3):
+        assert _hits(spark, edges, iterations=iters) == _brute_hits(edges, iters)
+
+
+def test_hits_sources_sinks_and_multiplicity(spark):
+    # 1->2 twice (multi-edge counts), 3 is a pure source, 2 a pure sink
+    edges = [(1, 2), (1, 2), (3, 2)]
+    got = _hits(spark, edges, iterations=2)
+    assert got == _brute_hits(edges, 2)
+    assert got[2][0] == 0 and got[3][1] == 0  # sink has no hub, source no auth
+
+
+def test_hits_oracle_matches_spark(spark):
+    import duckdb
+    import random
+
+    from aleph2_contrib_spark.operators.graph import hits_oracle_sql
+
+    rng = random.Random(23)
+    edges = [(rng.randrange(25), rng.randrange(25)) for _ in range(90)]
+    got = _hits(spark, edges, iterations=3)
+    vals = ", ".join(f"({s}, {d})" for s, d in edges)
+    sql = hits_oracle_sql(f"SELECT * FROM (VALUES {vals}) t(src, dst)", 3)
+    want = {n: (int(h), int(a)) for n, h, a in duckdb.sql(sql).fetchall()}
+    assert got == want

@@ -214,3 +214,40 @@ def test_ks_statistic_partition_invariant(spark):
     a = ks_statistic(spark.createDataFrame(rows).repartition(1), "v", F.col("g") == "a", F.col("g") == "b").head()
     b = ks_statistic(spark.createDataFrame(rows).repartition(16), "v", F.col("g") == "a", F.col("g") == "b", num_partitions=5).head()
     assert tuple(a) == tuple(b)
+
+
+def test_table_summary_exact(spark):
+    from aleph2_contrib_spark.operators.profile import table_summary
+
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, "a", 5.0), (2, None, 7.0), (3, "c", None)],
+        "k long, s string, v double",
+    )
+    got = {r.col_name: tuple(r)[1:] for r in table_summary(df).collect()}
+    assert got["k"] == (4, 0, 3, "1", "3")
+    assert got["s"] == (4, 1, 2, "a", "c")
+    assert got["v"] == (4, 2, 2, "5.0", "7.0")
+
+
+def test_table_summary_modes_and_validation(spark):
+    import pytest as _pytest
+
+    from aleph2_contrib_spark.operators.profile import table_summary
+
+    df = spark.createDataFrame([(1, "x")], "k long, s string")
+    none_mode = {r.col_name: r.n_distinct for r in table_summary(df, distinct="none").collect()}
+    assert none_mode == {"k": None, "s": None}
+    approx = {r.col_name: r.n_distinct for r in table_summary(df, distinct="approx").collect()}
+    assert approx == {"k": 1, "s": 1}  # exact at trivial cardinality
+    with _pytest.raises(ValueError, match="not in DataFrame"):
+        table_summary(df, cols=["nope"])
+    with _pytest.raises(ValueError, match="exact|approx|none"):
+        table_summary(df, distinct="bogus")
+
+
+def test_table_summary_all_null_column(spark):
+    from aleph2_contrib_spark.operators.profile import table_summary
+
+    df = spark.createDataFrame([(1, None), (2, None)], "k long, s string")
+    got = {r.col_name: tuple(r)[1:] for r in table_summary(df).collect()}
+    assert got["s"] == (2, 2, 0, None, None)
