@@ -4251,6 +4251,102 @@ def _hll_intersection_oracle() -> str:
     """
 
 
+def mining_frequent_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apriori frequent itemsets (operators/itemsets.frequent_itemsets) over
+    order baskets: txn = l_orderkey, item = part-group label. Level-1 cut
+    prunes the stream before the pair self-join; level-3 extensions are
+    semi-joined against every frequent sub-pair before counting, so no
+    per-transaction subset explosion ever materializes. Extends the
+    reference's basket lift (events_basket_lift) to sets of size 3."""
+    from aleph2_contrib_spark.operators.itemsets import frequent_itemsets
+
+    li = _t(spark, sf_dir, "lineitem")
+    tx = li.select(
+        F.col("l_orderkey").alias("txn_id"),
+        F.concat(F.lit("B"), (F.col("l_partkey") % 40).cast("string")).alias(
+            "item"
+        ),
+    )
+    return frequent_itemsets(tx, minsup=8, max_size=3)
+
+
+def profile_fd_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency profiling (operators/profile.fd_violations):
+    four candidate FDs over orders, each ONE partial-aggregated groupBy on
+    its lhs plus an O(groups) reduction — no self-joins, no violation-row
+    materialization. Output is one row per FD with group/violation tallies;
+    an FD holds iff violating_groups = 0."""
+    from aleph2_contrib_spark.operators.profile import fd_violations
+
+    o = _t(spark, sf_dir, "orders")
+    return fd_violations(
+        o,
+        [
+            (["o_orderkey"], "o_orderstatus"),
+            (["o_custkey"], "o_orderstatus"),
+            (["o_custkey", "o_orderdate"], "o_orderpriority"),
+            (["o_orderstatus"], "o_orderpriority"),
+        ],
+    )
+
+
+def _frequent_itemsets_oracle() -> str:
+    """DuckDB replica of mining_frequent_itemsets: same Apriori joins
+    spelled in ANSI SQL over the same order baskets."""
+    from aleph2_contrib_spark.operators.itemsets import frequent_itemsets_oracle_sql
+
+    txn = (
+        "SELECT l_orderkey AS txn_id,"
+        " 'B' || CAST(l_partkey % 40 AS VARCHAR) AS item FROM lineitem"
+    )
+    return frequent_itemsets_oracle_sql(txn, minsup=8, max_size=3)
+
+
+def _fd_violations_oracle() -> str:
+    """DuckDB replica of profile_fd_violations (same four candidate FDs)."""
+    from aleph2_contrib_spark.operators.profile import fd_violations_oracle_sql
+
+    return fd_violations_oracle_sql(
+        "orders",
+        [
+            (["o_orderkey"], "o_orderstatus"),
+            (["o_custkey"], "o_orderstatus"),
+            (["o_custkey", "o_orderdate"], "o_orderpriority"),
+            (["o_orderstatus"], "o_orderpriority"),
+        ],
+    )
+
+
+def join_bitmap_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact semi-join via a broadcast bitmap pre-filter
+    (operators/joins.bitmap_prefilter_semi_join): the build side's keys are
+    hashed into a fixed 2^22-bit array (≤0.5 MB regardless of key count),
+    the fact table is filtered map-side against the broadcast bitmap, and
+    only survivors reach the exact semi-join — Spark's runtime bloom-filter
+    pattern made explicit, sized so the shuffle moves the matched slice
+    instead of the full fact table. Result aggregated per flag/status and
+    proven equal to a plain EXISTS."""
+    from aleph2_contrib_spark.operators.joins import bitmap_prefilter_semi_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    keys = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    hits = bitmap_prefilter_semi_join(li, keys, on=["l_orderkey"])
+    return (
+        hits.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver gate grades the FIRST 50 entries
     # each round. Round-6 rotation (VERDICT r5 item 1 + standing rule:
@@ -4294,6 +4390,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_hll_rollup": sketch_hll_rollup,
         "graph_hits": graph_hits,
         "profile_table_summary": profile_table_summary,
+        "mining_frequent_itemsets": mining_frequent_itemsets,
+        "profile_fd_violations": profile_fd_violations,
+        "join_bitmap_prefilter": join_bitmap_prefilter,
         # -- (2) gates whose code path changed this round (graph merge determinism, kcore oracle sentinel, containment cache fix, storage mergeSchema/collide rework) --
         "graph_merge_incremental": graph_merge_incremental,
         "graph_visibility": graph_visibility,
@@ -4710,6 +4809,21 @@ def oracle_sql() -> dict[str, str]:
         "graph_sssp": _sssp_oracle(),
         "sketch_hll_rollup": _hll_rollup_oracle(),
         "graph_hits": _hits_oracle(),
+        "mining_frequent_itemsets": _frequent_itemsets_oracle(),
+        "profile_fd_violations": _fd_violations_oracle(),
+        "join_bitmap_prefilter": """
+            SELECT l_returnflag, l_linestatus,
+                   count(*) AS n,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                       AS sum_qty
+            FROM lineitem l
+            WHERE EXISTS (
+                SELECT 1 FROM orders o
+                WHERE o.o_orderkey = l.l_orderkey
+                  AND o.o_orderpriority = '1-URGENT'
+            )
+            GROUP BY l_returnflag, l_linestatus
+        """,
         "profile_table_summary": """
             SELECT col_name, n_rows, n_nulls, n_distinct, min_str, max_str
             FROM (

@@ -261,3 +261,55 @@ def band_expr(
     if expr is None:
         return F.lit(None).cast("string")
     return expr
+
+
+def bitmap_prefilter_semi_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: Sequence[str],
+    m_bits: int = 1 << 22,
+) -> DataFrame:
+    """Exact semi-join of ``big`` against ``small`` with a broadcast BITMAP
+    pre-filter — the runtime-row-filter pattern (Spark's own runtime bloom
+    filters, DPP) made explicit as an operator.
+
+    Build side: hash the key of every ``small`` row into an ``m_bits``-wide
+    bit array stored as (word_index, 64-bit mask) rows — at the default
+    2^22 bits that is ≤ 65,536 rows ≈ 0.5 MB regardless of how many rows
+    ``small`` has. Probe side: each ``big`` row joins its word via a
+    BROADCAST hash join (map-side, no shuffle of ``big``) and survives only
+    if its bit is set. Survivors — typically a tiny fraction when the key
+    overlap is selective — then pass through an exact semi-join against
+    ``small`` to remove hash false positives, so the RESULT is exactly
+    ``big SEMI JOIN small ON on`` while only survivor rows ever reach the
+    shuffle. At 100 TB this is the difference between shuffling the full
+    fact table and shuffling the matched slice.
+
+    ``on``: key column name(s), same names on both sides.
+    """
+    on = list(on)
+    if not on:
+        raise ValueError("join key required")
+    for c in on:
+        if c not in big.columns or c not in small.columns:
+            raise ValueError(f"key column {c!r} must exist on both sides")
+    if m_bits < 64 or m_bits % 64:
+        raise ValueError(f"m_bits must be a positive multiple of 64, got {m_bits}")
+
+    h = F.pmod(F.xxhash64(*[F.col(c) for c in on]), F.lit(m_bits))
+    word = (h / 64).cast("long")
+    bit = (h % 64).cast("int")
+
+    bitmap = (
+        small.select(word.alias("__w"), bit.alias("__b"))
+        .groupBy("__w")
+        .agg(F.expr("bit_or(shiftleft(1L, __b))").alias("__mask"))
+    )
+    survivors = (
+        big.withColumn("__w", word)
+        .withColumn("__b", bit)
+        .join(F.broadcast(bitmap), "__w")
+        .filter(F.expr("(shiftright(__mask, __b) & 1L) = 1L"))
+        .drop("__w", "__b", "__mask")
+    )
+    return survivors.join(small.select(*on).distinct(), on, "left_semi")

@@ -480,3 +480,76 @@ def table_summary(
         "min_str",
         "max_str",
     )
+
+
+def fd_violations(
+    df: DataFrame,
+    fds: list[tuple[list[str], str]],
+) -> DataFrame:
+    """Functional-dependency profiling: for each candidate FD ``lhs -> rhs``
+    report how badly the data violates it — one output row per FD with
+    (fd, n_groups, violating_groups, violating_rows, max_rhs_ndv). An FD
+    HOLDS exactly when violating_groups = 0 (every lhs group maps to one
+    distinct non-null rhs value; NULL rhs values are ignored, matching the
+    SQL count(DISTINCT) convention).
+
+    Scale design: each FD costs ONE partial-aggregated groupBy on its lhs
+    (count + count-distinct-rhs per group) followed by an O(groups)
+    reduction to a single row; the per-FD plans are unioned so Spark runs
+    them as independent stages of one job. No self-joins, no row
+    materialization of the violations themselves (use a groupBy-having
+    query to fetch offenders once a violated FD is identified).
+    """
+    if not fds:
+        raise ValueError("no candidate FDs given")
+    parts = []
+    for lhs, rhs in fds:
+        lhs = list(lhs)
+        missing = [c for c in lhs + [rhs] if c not in df.columns]
+        if missing:
+            raise ValueError(f"columns not in DataFrame: {missing}")
+        name = f"{','.join(lhs)}->{rhs}"
+        g = df.groupBy(*lhs).agg(
+            F.count_distinct(F.col(rhs)).alias("__ndv"),
+            F.count(F.lit(1)).alias("__rows"),
+        )
+        parts.append(
+            g.agg(
+                F.lit(name).alias("fd"),
+                F.count(F.lit(1)).alias("n_groups"),
+                F.sum(F.when(F.col("__ndv") > 1, 1).otherwise(0)).alias(
+                    "violating_groups"
+                ),
+                F.sum(F.when(F.col("__ndv") > 1, F.col("__rows")).otherwise(0)).alias(
+                    "violating_rows"
+                ),
+                F.max("__ndv").alias("max_rhs_ndv"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def fd_violations_oracle_sql(table: str, fds: list[tuple[list[str], str]]) -> str:
+    """DuckDB replica of :func:`fd_violations` over a registered view."""
+    selects = []
+    for lhs, rhs in fds:
+        lhs_list = ", ".join(lhs)
+        name = f"{','.join(lhs)}->{rhs}"
+        selects.append(
+            f"""
+            SELECT '{name}' AS fd,
+                   count(*) AS n_groups,
+                   CAST(sum(CASE WHEN ndv > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS violating_groups,
+                   CAST(sum(CASE WHEN ndv > 1 THEN n_rows ELSE 0 END) AS BIGINT)
+                       AS violating_rows,
+                   max(ndv) AS max_rhs_ndv
+            FROM (
+                SELECT count(DISTINCT {rhs}) AS ndv, count(*) AS n_rows
+                FROM {table} GROUP BY {lhs_list}
+            )"""
+        )
+    return " UNION ALL ".join(selects)

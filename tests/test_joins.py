@@ -219,3 +219,66 @@ def test_interval_overlap_rejects_column_clash(spark):
     adf = spark.createDataFrame([(1, 0, 5)], ["id", "lo", "hi"])
     with _pytest.raises(ValueError, match="disjoint column names"):
         interval_overlap_join(adf, adf, ("lo", "hi"), ("lo", "hi"))
+
+
+def test_bitmap_prefilter_semi_join_exact(spark):
+    from aleph2_contrib_spark.operators.joins import bitmap_prefilter_semi_join
+
+    big = spark.createDataFrame([(i, i * 10) for i in range(500)], ["k", "v"])
+    small = spark.createDataFrame(
+        [(i,) for i in range(0, 500, 7)] * 3, ["k"]  # dup keys on build side
+    )
+    got = sorted(r.k for r in bitmap_prefilter_semi_join(big, small, ["k"]).collect())
+    want = sorted(r.k for r in big.join(small.distinct(), "k", "left_semi").collect())
+    assert got == want
+    # schema passthrough: survivors keep ALL big columns, no helper columns
+    assert bitmap_prefilter_semi_join(big, small, ["k"]).columns == ["k", "v"]
+
+
+def test_bitmap_prefilter_tiny_bitmap_still_exact(spark):
+    # m_bits=64 => single word, every key collides => the exact semi-join
+    # backstop must remove all false positives
+    from aleph2_contrib_spark.operators.joins import bitmap_prefilter_semi_join
+
+    big = spark.createDataFrame([(i,) for i in range(200)], ["k"])
+    small = spark.createDataFrame([(3,), (77,)], ["k"])
+    got = sorted(
+        r.k for r in bitmap_prefilter_semi_join(big, small, ["k"], m_bits=64).collect()
+    )
+    assert got == [3, 77]
+
+
+def test_bitmap_prefilter_composite_key_and_validation(spark):
+    import pytest as _pytest
+
+    from aleph2_contrib_spark.operators.joins import bitmap_prefilter_semi_join
+
+    big = spark.createDataFrame(
+        [(i % 5, i % 3, i) for i in range(60)], ["a", "b", "v"]
+    )
+    small = spark.createDataFrame([(1, 2), (4, 0)], ["a", "b"])
+    got = sorted(
+        (r.a, r.b, r.v)
+        for r in bitmap_prefilter_semi_join(big, small, ["a", "b"]).collect()
+    )
+    want = sorted(
+        (r.a, r.b, r.v) for r in big.join(small, ["a", "b"], "left_semi").collect()
+    )
+    assert got == want
+    with _pytest.raises(ValueError, match="key required"):
+        bitmap_prefilter_semi_join(big, small, [])
+    with _pytest.raises(ValueError, match="must exist"):
+        bitmap_prefilter_semi_join(big, small, ["nope"])
+    with _pytest.raises(ValueError, match="multiple of 64"):
+        bitmap_prefilter_semi_join(big, small, ["a", "b"], m_bits=65)
+
+
+def test_bitmap_prefilter_broadcasts_bitmap_not_shuffle(spark):
+    # the bitmap probe must be a broadcast hash join: the big side may not
+    # hit an Exchange before the bitmap filter
+    from aleph2_contrib_spark.operators.joins import bitmap_prefilter_semi_join
+
+    big = spark.range(10000).withColumnRenamed("id", "k")
+    small = spark.range(0, 10000, 13).withColumnRenamed("id", "k")
+    plan = bitmap_prefilter_semi_join(big, small, ["k"])._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

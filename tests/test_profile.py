@@ -251,3 +251,42 @@ def test_table_summary_all_null_column(spark):
     df = spark.createDataFrame([(1, None), (2, None)], "k long, s string")
     got = {r.col_name: tuple(r)[1:] for r in table_summary(df).collect()}
     assert got["s"] == (2, 2, 0, None, None)
+
+
+def test_fd_violations_holds_and_violated(spark):
+    from aleph2_contrib_spark.operators.profile import fd_violations
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", 10),
+            (1, "a", 11),  # x->y holds for x=1
+            (2, "b", 10),
+            (2, "c", 10),  # x->y violated for x=2 (2 distinct y)
+            (3, None, 5),  # NULL rhs ignored
+            (3, "d", 5),
+        ],
+        "x int, y string, z int",
+    )
+    got = {r.fd: r for r in fd_violations(df, [(["x"], "y"), (["y"], "x")]).collect()}
+    r = got["x->y"]
+    assert (r.n_groups, r.violating_groups, r.violating_rows, r.max_rhs_ndv) == (
+        3,
+        1,
+        2,
+        2,
+    )
+    # y->x holds: each y value (incl. the NULL group) maps to one x
+    r2 = got["y->x"]
+    assert (r2.n_groups, r2.violating_groups, r2.max_rhs_ndv) == (5, 0, 1)
+
+
+def test_fd_violations_validation(spark):
+    import pytest as _pytest
+
+    from aleph2_contrib_spark.operators.profile import fd_violations
+
+    df = spark.createDataFrame([(1, 2)], "a int, b int")
+    with _pytest.raises(ValueError, match="no candidate"):
+        fd_violations(df, [])
+    with _pytest.raises(ValueError, match="not in DataFrame"):
+        fd_violations(df, [(["a"], "nope")])
