@@ -3289,6 +3289,41 @@ def graph_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return coreness_decomposition(edges)
 
 
+def graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """6-truss (operators/graph.ktruss_decomposition) over a sampled
+    co-purchase graph (orders with l_orderkey % 32 == 0; parts sharing an
+    order are adjacent): every surviving edge closes >= 4 triangles inside
+    the surviving subgraph — the edge-strength analogue of graph_kcore.
+    Each peel round re-counts per-edge support via the same degree-ordered
+    orientation as triangle_count (wedges bounded by m^1.5). Oracle: the
+    support-peel unrolled (graph.ktruss_oracle_sql) with a support=-1
+    sentinel row if the round bound was too small."""
+    from aleph2_contrib_spark.operators.graph import ktruss_decomposition
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 32 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    lj = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+    edges = li.join(lj, (li.l_orderkey == lj.ok) & (li.l_partkey < lj.pk)).select(
+        F.col("l_partkey").alias("src"), F.col("pk").alias("dst")
+    )
+    return ktruss_decomposition(edges, k=6)
+
+
+def _ktruss_oracle() -> str:
+    from aleph2_contrib_spark.operators.graph import ktruss_oracle_sql
+
+    edge_sql = (
+        "SELECT DISTINCT least(i.l_partkey, j.l_partkey) AS a,"
+        " greatest(i.l_partkey, j.l_partkey) AS b"
+        " FROM lineitem i JOIN lineitem j ON i.l_orderkey = j.l_orderkey"
+        " AND i.l_partkey < j.l_partkey WHERE i.l_orderkey % 32 = 0"
+    )
+    return ktruss_oracle_sql(edge_sql, k=6, rounds=8)
+
+
 def graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-source weighted shortest paths (operators/graph.sssp_weighted)
     over the bipartite supplier↔part shipment graph: each sampled lineitem
@@ -4260,14 +4295,149 @@ def mining_frequent_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference's basket lift (events_basket_lift) to sets of size 3."""
     from aleph2_contrib_spark.operators.itemsets import frequent_itemsets
 
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 3 == 0)
     tx = li.select(
         F.col("l_orderkey").alias("txn_id"),
-        F.concat(F.lit("B"), (F.col("l_partkey") % 40).cast("string")).alias(
+        F.concat(F.lit("B"), (F.col("l_partkey") % 24).cast("string")).alias(
             "item"
         ),
     )
     return frequent_itemsets(tx, minsup=8, max_size=3)
+
+
+def events_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact one-sided CUSUM change detection (operators/events.
+    cusum_alarms) over per-type daily event counts: the sequential
+    max-recursion is rewritten as prefix-sum minus running-min — two
+    windows over one (type, day) ordering, one shuffle, all int64
+    (n-scaled to clear the rational mean). Alarm rows only."""
+    from aleph2_contrib_spark.operators.events import cusum_alarms
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type"), F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    return cusum_alarms(daily, "event_type", "d", "x", threshold=5, slack=0)
+
+
+def _cusum_oracle() -> str:
+    from aleph2_contrib_spark.operators.events import cusum_oracle_sql
+
+    series = (
+        "SELECT event_type AS k, CAST(ts AS DATE) AS t, count(*) AS x"
+        " FROM events GROUP BY 1, 2"
+    )
+    return cusum_oracle_sql(series, "event_type", "d", threshold=5, slack=0)
+
+
+def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (operators/corpus.weighted_sample): 200 documents drawn with priority
+    md5_unit(id)/n_chars — longer documents proportionally likelier, the
+    re-runnable quality-weighted subsample a training pipeline needs.
+    Compiles to TakeOrderedAndProject (per-partition top-k + k-row driver
+    merge, no global sort); priority is one IEEE double division, so the
+    pick set is bit-identical in any engine with md5."""
+    from aleph2_contrib_spark.operators.corpus import weighted_sample
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return weighted_sample(d, "doc_id", "n_chars", k=200, seed="ws6").orderBy(
+        "doc_id"
+    )
+
+
+def _weighted_sample_oracle() -> str:
+    from aleph2_contrib_spark.operators.corpus import weighted_sample_oracle_sql
+
+    inner = weighted_sample_oracle_sql(
+        "SELECT doc_id, source, n_chars FROM documents",
+        "doc_id",
+        "n_chars",
+        k=200,
+        seed="ws6",
+    )
+    return f"SELECT * FROM ({inner}) ORDER BY doc_id"
+
+
+def mining_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-criteria skyline (operators/skyline.skyline_2d) over parts:
+    the Pareto frontier of (p_retailprice MIN, p_size MAX) — no part on
+    the frontier is both cheaper-or-equal and larger-or-equal elsewhere.
+    Pure Column program: bucket by price, prefix-min across buckets,
+    running-min window within buckets — one data shuffle, no self-join.
+    Oracle is the quadratic NOT EXISTS dominance the operator avoids."""
+    from aleph2_contrib_spark.operators.skyline import skyline_2d
+
+    p = _t(spark, sf_dir, "part")
+    return skyline_2d(
+        p, "p_retailprice", "p_size", minimize_x=True, minimize_y=False
+    ).orderBy("p_retailprice", "p_size")
+
+
+def _skyline_oracle() -> str:
+    from aleph2_contrib_spark.operators.skyline import skyline_oracle_sql
+
+    return skyline_oracle_sql(
+        "SELECT p_retailprice, p_size FROM part",
+        [("p_retailprice", "min"), ("p_size", "max")],
+    )
+
+
+def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact lag-1..3 autocorrelation (operators/events.autocorrelation)
+    of per-type daily event-count series: the n²-scaled fixed-point ACF
+    keeps the whole computation in int64, so the result is bit-identical
+    across engines. One window shuffle on event_type + one groupBy on the
+    same key (exchange reuse); lags unpivoted via stack, no per-lag
+    rescans."""
+    from aleph2_contrib_spark.operators.events import autocorrelation
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type"), F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    return autocorrelation(daily, "event_type", "d", "x", max_lag=3)
+
+
+def _autocorrelation_oracle() -> str:
+    from aleph2_contrib_spark.operators.events import autocorrelation_oracle_sql
+
+    series = (
+        "SELECT event_type AS k, CAST(ts AS DATE) AS t, count(*) AS x"
+        " FROM events GROUP BY 1, 2"
+    )
+    return autocorrelation_oracle_sql(series, "event_type", max_lag=3)
+
+
+def mining_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules with exact integer-ppm confidence/lift
+    (operators/itemsets.association_rules) over the same order baskets as
+    mining_frequent_itemsets: rule generation is pure broadcast joins
+    between the support-bounded L1/L2/L3 tables — the transaction stream is
+    never rescanned after the itemset counts."""
+    from aleph2_contrib_spark.operators.itemsets import association_rules
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 5 == 0)
+    tx = li.select(
+        F.col("l_orderkey").alias("txn_id"),
+        F.concat(F.lit("B"), (F.col("l_partkey") % 16).cast("string")).alias(
+            "item"
+        ),
+    )
+    return association_rules(tx, minsup=8, min_conf_ppm=20_000)
+
+
+def _association_rules_oracle() -> str:
+    """DuckDB replica of mining_association_rules (same Apriori CTEs and
+    integer-ppm arithmetic)."""
+    from aleph2_contrib_spark.operators.itemsets import association_rules_oracle_sql
+
+    txn = (
+        "SELECT l_orderkey AS txn_id,"
+        " 'B' || CAST(l_partkey % 16 AS VARCHAR) AS item FROM lineitem"
+        " WHERE l_orderkey % 5 = 0"
+    )
+    return association_rules_oracle_sql(txn, minsup=8, min_conf_ppm=20_000)
 
 
 def profile_fd_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4297,7 +4467,8 @@ def _frequent_itemsets_oracle() -> str:
 
     txn = (
         "SELECT l_orderkey AS txn_id,"
-        " 'B' || CAST(l_partkey % 40 AS VARCHAR) AS item FROM lineitem"
+        " 'B' || CAST(l_partkey % 24 AS VARCHAR) AS item FROM lineitem"
+        " WHERE l_orderkey % 3 = 0"
     )
     return frequent_itemsets_oracle_sql(txn, minsup=8, max_size=3)
 
@@ -4349,16 +4520,24 @@ def join_bitmap_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver gate grades the FIRST 50 entries
-    # each round. Round-6 rotation (VERDICT r5 item 1 + standing rule:
-    # new/changed gates first, then oldest-verified fill): the window
-    # leads with the 14 gates built this round (never driver-checked),
-    # then gates whose code path changed, then the 7 round-2-stale
-    # queries, then oldest-verified round-3 fill. After this window
-    # clears, no contract query's latest driver check is older than
-    # round 3; the displaced round-3 block sits at slots 51+ to lead
-    # round 7. All entries past the window are green in this round's
-    # full-registry local run (CORRECTNESS_local_r06.json).
+    # each round. Round-6 rotation (VERDICT r5 item 1): the window LEADS
+    # with the 7 round-2-stale queries — after this window clears, no
+    # contract query's latest driver check is older than round 3 — then
+    # the gates built this round (never driver-checked), then gates whose
+    # round-6 code changes touched their path. 53 candidates compete for
+    # 50 slots, so the 3 newest self-contained gates (skyline / weighted
+    # sample / CUSUM) wait at 51-53 to lead round 7 together with the
+    # displaced round-3 block. All entries past the window are green in
+    # this round's full-registry local run (CORRECTNESS_local_r06.json).
     return {
+        # -- (0) round-2-stale rotation block (VERDICT r5 item 1) --
+        "explode_top_tokens": explode_top_tokens,
+        "math_funcs": math_funcs,
+        "q13_order_count_distribution": q13_order_count_distribution,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        "regexp_funcs": regexp_funcs,
+        "window_lag_lead_delta": window_lag_lead_delta,
+        "window_ntile_quartiles": window_ntile_quartiles,
         # -- (1) NEW oracle gates this round (never driver-checked) --
         "text_lm_surprisal": text_lm_surprisal,
         "text_winnowing": text_winnowing,
@@ -4391,8 +4570,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_hits": graph_hits,
         "profile_table_summary": profile_table_summary,
         "mining_frequent_itemsets": mining_frequent_itemsets,
+        "mining_association_rules": mining_association_rules,
         "profile_fd_violations": profile_fd_violations,
         "join_bitmap_prefilter": join_bitmap_prefilter,
+        "graph_ktruss": graph_ktruss,
+        "events_autocorrelation": events_autocorrelation,
         # -- (2) gates whose code path changed this round (graph merge determinism, kcore oracle sentinel, containment cache fix, storage mergeSchema/collide rework) --
         "graph_merge_incremental": graph_merge_incremental,
         "graph_visibility": graph_visibility,
@@ -4401,15 +4583,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "storage_partitioned_roundtrip": storage_partitioned_roundtrip,
         "storage_retention_age_out": storage_retention_age_out,
         "storage_buffer_promote": storage_buffer_promote,
-        # -- (3) the 7 round-2-stale queries (VERDICT r5 item 1: they must lead the round-6 window) --
-        "explode_top_tokens": explode_top_tokens,
-        "math_funcs": math_funcs,
-        "q13_order_count_distribution": q13_order_count_distribution,
-        "q17_small_quantity_revenue": q17_small_quantity_revenue,
-        "regexp_funcs": regexp_funcs,
-        "window_lag_lead_delta": window_lag_lead_delta,
-        "window_ntile_quartiles": window_ntile_quartiles,
-        # -- (4) oldest-verified fill to slot 50: round-3-checked gates --
+        # -- (3) newest self-contained gates: first out of the 50-slot
+        #        window, queued to lead round 7 (green locally this round) --
+        "mining_skyline": mining_skyline,
+        "corpus_weighted_sample": corpus_weighted_sample,
+        "events_cusum_alarms": events_cusum_alarms,
+        # -- (4) displaced round-3-checked block: rotates in from round 7 --
         "dedup_incremental": dedup_incremental,
         "corpus_pack_sequences": corpus_pack_sequences,
         "corpus_pii_redact": corpus_pii_redact,
@@ -4810,6 +4989,12 @@ def oracle_sql() -> dict[str, str]:
         "sketch_hll_rollup": _hll_rollup_oracle(),
         "graph_hits": _hits_oracle(),
         "mining_frequent_itemsets": _frequent_itemsets_oracle(),
+        "mining_association_rules": _association_rules_oracle(),
+        "graph_ktruss": _ktruss_oracle(),
+        "events_autocorrelation": _autocorrelation_oracle(),
+        "mining_skyline": _skyline_oracle(),
+        "corpus_weighted_sample": _weighted_sample_oracle(),
+        "events_cusum_alarms": _cusum_oracle(),
         "profile_fd_violations": _fd_violations_oracle(),
         "join_bitmap_prefilter": """
             SELECT l_returnflag, l_linestatus,

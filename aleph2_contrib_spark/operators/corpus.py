@@ -774,3 +774,64 @@ def quality_budget_filter(
         .filter(F.col("rank") <= F.lit(int(k)))
         .select(F.col(id_col), F.col(score_col), "rank")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    seed: str = "0",
+) -> DataFrame:
+    """Deterministic weighted sample of ``k`` rows without replacement:
+    each row draws u = md5_unit(seed:id) and is ranked by priority
+    u / weight — the exponential-race shape (a row with twice the weight
+    halves its expected priority), so inclusion odds scale with weight
+    while staying REPRODUCIBLE across runs, partitionings, and engines
+    (df.sample() and rand() are neither). Quality-weighted corpus
+    subsampling is the 100 TB use: re-running the pipeline must rebuild
+    the exact same train set.
+
+    Exactness: u is an exact 32-bit integer over 2^32 and the priority is
+    one IEEE-754 double division — correctly rounded and bit-identical in
+    every engine (unlike pow/ln, which vary by libm; the classic A-ES key
+    u^(1/w) is NOT reproducible across engines). Ties (md5 collisions on
+    the 8-hex prefix) are broken by id, so the result set is unique.
+
+    Scale: orderBy(priority).limit(k) compiles to TakeOrderedAndProject —
+    per-partition top-k then a k-row merge on the driver, no global sort,
+    no shuffle of the data. Rows with weight <= 0 or NULL never qualify.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    w = F.col(weight_col).cast("double")
+    pri = md5_unit(F.col(id_col), seed) / w
+    return (
+        df.filter(w > 0)
+        .withColumn("__pri", pri)
+        .orderBy(F.col("__pri").asc(), F.col(id_col).asc())
+        .limit(k)
+        .drop("__pri")
+    )
+
+
+def weighted_sample_oracle_sql(
+    rows_sql: str, id_expr: str, weight_expr: str, k: int, seed: str = "0"
+) -> str:
+    """DuckDB replica of :func:`weighted_sample` — identical md5 priority
+    and IEEE division, ORDER BY + LIMIT. ``rows_sql`` yields the candidate
+    rows; ``id_expr``/``weight_expr`` are column expressions over it."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    return f"""
+SELECT * EXCLUDE (__pri) FROM (
+    SELECT r.*,
+           CAST(CAST('0x' || substr(md5('{seed}:' || CAST({id_expr} AS VARCHAR)), 1, 8)
+                AS BIGINT) AS DOUBLE) / 4294967296.0
+               / CAST({weight_expr} AS DOUBLE) AS __pri
+    FROM ({rows_sql}) r
+    WHERE CAST({weight_expr} AS DOUBLE) > 0
+)
+ORDER BY __pri ASC, {id_expr} ASC
+LIMIT {int(k)}
+"""

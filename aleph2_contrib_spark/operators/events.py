@@ -428,3 +428,237 @@ def ewma_smooth(
             F.expr("__num div __den").cast("long").alias("ewma_f6"),
         )
     )
+
+
+def autocorrelation(
+    series: DataFrame,
+    key_col: str,
+    time_col: str,
+    value_col: str,
+    max_lag: int = 3,
+) -> DataFrame:
+    """Lag-k autocorrelation of integer-valued regular series, EXACT: one
+    output row per (series key, lag 1..``max_lag``) with
+
+        acf_ppm = floor(1e6 * n²·num / n²·den)
+
+    where num/den are the standard sample-ACF numerator and variance
+    denominator and the division FLOORS. acf can be negative, and integral
+    division disagrees across engines on negatives (Spark ``div`` truncates
+    toward zero, DuckDB ``//`` floors) — so the quotient is computed as
+    ``(1e6·(num + den)) div den - 1e6``: |num| ≤ den by Cauchy-Schwarz, the
+    shifted numerator is non-negative, and floor == truncate. Multiplying
+    num and den by n² clears the rational mean x̄ = S/n, so the entire
+    computation stays in int64 and is bit-identical across engines (the
+    same fixed-point discipline as ewma_smooth / pagerank):
+
+        n²·num(k) = n²·Σ x_t·x_{t+k}  -  n·S·(A_k + B_k)  +  (n-k)·S²
+        n²·den    = n²·Σ x_t²         -  n·S²
+
+    with S = Σ x_t, A_k = Σ_{t≤n-k} x_t (heads), B_k = Σ_{t>k} x_t (tails).
+    Rows where den = 0 (constant series) or n ≤ k are dropped.
+
+    Overflow note: int64 holds n²·Σx·x′ for n·max|x| up to ~3e9 — series of
+    daily counts are safely inside; the caller owns rescaling beyond that.
+
+    Scale design: ONE shuffle — the window partitioned by series key and
+    ordered by time computes every lead column; the per-(key, lag) sums are
+    then one partial-aggregated groupBy on the same key, so AQE coalesces
+    the exchange. Lags are unpivoted with ``stack`` (no per-lag rescan).
+    ``time_col`` must be unique per key (pre-aggregate to one row per tick,
+    e.g. per day) — ties would make lead() order-dependent.
+    """
+    if max_lag < 1:
+        raise ValueError(f"max_lag must be >= 1, got {max_lag}")
+    from pyspark.sql import Window
+
+    x = F.col("__x")
+    df = series.select(
+        F.col(key_col).alias("__k"),
+        F.col(time_col).alias("__t"),
+        F.col(value_col).cast("long").alias("__x"),
+    )
+    leads = df.select(
+        "__k",
+        "__x",
+        *[
+            F.lead("__x", k).over(
+                Window.partitionBy("__k").orderBy("__t")
+            ).alias(f"__x{k}")
+            for k in range(1, max_lag + 1)
+        ],
+    )
+    per_key = leads.groupBy("__k").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("s"),
+        F.sum(x * x).alias("sxx"),
+        *[
+            agg
+            for k in range(1, max_lag + 1)
+            for agg in (
+                F.sum(x * F.col(f"__x{k}")).alias(f"sprod{k}"),
+                F.sum(F.when(F.col(f"__x{k}").isNotNull(), x)).alias(f"head{k}"),
+                F.sum(F.col(f"__x{k}")).alias(f"tail{k}"),
+            )
+        ],
+    )
+    stack_args = ", ".join(
+        f"{k}, sprod{k}, head{k}, tail{k}" for k in range(1, max_lag + 1)
+    )
+    unpivoted = per_key.select(
+        F.col("__k"),
+        "n",
+        "s",
+        "sxx",
+        F.expr(
+            f"stack({max_lag}, {stack_args}) AS (lag, sprod, head_sum, tail_sum)"
+        ),
+    )
+    num = (
+        F.col("n") * F.col("n") * F.col("sprod")
+        - F.col("n") * F.col("s") * (F.col("head_sum") + F.col("tail_sum"))
+        + (F.col("n") - F.col("lag")) * F.col("s") * F.col("s")
+    )
+    den = F.col("n") * F.col("n") * F.col("sxx") - F.col("n") * F.col("s") * F.col("s")
+    return (
+        unpivoted.filter((F.col("n") > F.col("lag")) & (den != 0))
+        .select(
+            F.col("__k").alias(key_col),
+            F.col("lag").cast("int").alias("lag"),
+            F.col("n").cast("long").alias("n"),
+            (F.lit(1_000_000) * (num + den)).alias("__num_shifted"),
+            den.alias("__den"),
+        )
+        .select(
+            key_col,
+            "lag",
+            "n",
+            (F.expr("__num_shifted div __den") - F.lit(1_000_000)).alias(
+                "acf_ppm"
+            ),
+        )
+    )
+
+
+def autocorrelation_oracle_sql(
+    series_sql: str, key_col: str, max_lag: int = 3
+) -> str:
+    """DuckDB replica of :func:`autocorrelation`. ``series_sql`` must yield
+    (key, t, x) with x integral and t unique per key."""
+    lead_cols = ", ".join(
+        f"lead(x, {k}) OVER (PARTITION BY k ORDER BY t) AS x{k}"
+        for k in range(1, max_lag + 1)
+    )
+    per_lag = " UNION ALL ".join(
+        f"SELECT k, n, s, sxx, {k} AS lag, sprod{k} AS sprod,"
+        f" head{k} AS head_sum, tail{k} AS tail_sum FROM agg"
+        for k in range(1, max_lag + 1)
+    )
+    aggs = ", ".join(
+        f"sum(x * x{k}) AS sprod{k},"
+        f" sum(CASE WHEN x{k} IS NOT NULL THEN x END) AS head{k},"
+        f" sum(x{k}) AS tail{k}"
+        for k in range(1, max_lag + 1)
+    )
+    return f"""
+WITH base AS MATERIALIZED (SELECT * FROM ({series_sql})),
+led AS (SELECT k, x, {lead_cols} FROM base),
+agg AS MATERIALIZED (
+    SELECT k, count(*) AS n, sum(x) AS s, sum(x * x) AS sxx, {aggs}
+    FROM led GROUP BY k
+),
+unp AS ({per_lag})
+SELECT k AS {key_col}, CAST(lag AS INT) AS lag, CAST(n AS BIGINT) AS n,
+       CAST((1000000 * ((n*n*sprod - n*s*(head_sum + tail_sum) + (n - lag)*s*s)
+                        + (n*n*sxx - n*s*s)))
+            // (n*n*sxx - n*s*s) - 1000000 AS BIGINT) AS acf_ppm
+FROM unp
+WHERE n > lag AND (n*n*sxx - n*s*s) != 0
+"""
+
+
+def cusum_alarms(
+    series: DataFrame,
+    key_col: str,
+    time_col: str,
+    value_col: str,
+    threshold: int,
+    slack: int = 0,
+) -> DataFrame:
+    """One-sided CUSUM change detection over integer series, EXACT: flags
+    the ticks where the cumulative positive deviation from the series mean
+    exceeds ``threshold``. The textbook recursion S_t = max(0, S_{t-1} +
+    (x_t - x̄ - slack)) looks inherently sequential, but has the classic
+    closed form
+
+        S_t = P_t - min(0, min_{j≤t} P_j),   P_t = Σ_{i≤t} (x_i - x̄ - slack)
+
+    so it is TWO window functions over one (key, time) ordering — a prefix
+    sum and a running min — one shuffle, no recursion, no UDF. Everything
+    is scaled by n (the per-key length) to clear the rational mean:
+    D_t = n·x_t - S - n·slack keeps the whole computation in int64 and
+    bit-identical across engines. Emits the alarm rows
+    (key, time, x, cusum_num, n) where cusum_num = n·S_t > n·threshold;
+    cusum_num / n is the CUSUM statistic in original units.
+
+    ``time_col`` must be unique per key (pre-aggregate to one row per
+    tick). Detecting downward shifts = negate the values.
+    """
+    from pyspark.sql import Window
+
+    df = series.select(
+        F.col(key_col).alias("__k"),
+        F.col(time_col).alias("__t"),
+        F.col(value_col).cast("long").alias("__x"),
+    )
+    totals = df.groupBy("__k").agg(
+        F.count(F.lit(1)).alias("__n"), F.sum("__x").alias("__s")
+    )
+    wrun = Window.partitionBy("__k").orderBy("__t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    d = F.col("__n") * F.col("__x") - F.col("__s") - F.col("__n") * F.lit(int(slack))
+    with_p = df.join(totals, "__k").withColumn("__p", F.sum(d).over(wrun))
+    cusum = F.col("__p") - F.least(F.lit(0).cast("long"), F.min("__p").over(wrun))
+    return (
+        with_p.withColumn("__cusum", cusum)
+        .filter(F.col("__cusum") > F.col("__n") * F.lit(int(threshold)))
+        .select(
+            F.col("__k").alias(key_col),
+            F.col("__t").alias(time_col),
+            F.col("__x").alias("x"),
+            F.col("__cusum").alias("cusum_num"),
+            F.col("__n").alias("n"),
+        )
+    )
+
+
+def cusum_oracle_sql(
+    series_sql: str,
+    key_col: str,
+    time_col: str,
+    threshold: int,
+    slack: int = 0,
+) -> str:
+    """DuckDB replica of :func:`cusum_alarms`. ``series_sql`` must yield
+    (k, t, x) with x integral and t unique per key."""
+    return f"""
+WITH base AS MATERIALIZED (SELECT * FROM ({series_sql})),
+tot AS MATERIALIZED (SELECT k, count(*) AS n, sum(x) AS s FROM base GROUP BY k),
+p AS (
+    SELECT b.k, b.t, b.x, tot.n, tot.s,
+           sum(tot.n * b.x - tot.s - tot.n * {int(slack)})
+               OVER (PARTITION BY b.k ORDER BY b.t
+                     ROWS UNBOUNDED PRECEDING) AS pp
+    FROM base b JOIN tot ON b.k = tot.k
+),
+c AS (
+    SELECT k, t, x, n,
+           pp - least(0, min(pp) OVER (PARTITION BY k ORDER BY t
+                                       ROWS UNBOUNDED PRECEDING)) AS cusum_num
+    FROM p
+)
+SELECT k AS {key_col}, t AS {time_col}, CAST(x AS BIGINT) AS x,
+       CAST(cusum_num AS BIGINT) AS cusum_num, CAST(n AS BIGINT) AS n
+FROM c WHERE cusum_num > n * {int(threshold)}
+"""

@@ -1500,3 +1500,149 @@ def hits_oracle_sql(edge_sql: str, iterations: int = 3) -> str:
         f" LEFT JOIN a{r} a ON n.node = a.node"
     )
     return "".join(parts)
+
+
+def ktruss_decomposition(
+    edges: DataFrame,
+    k: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_rounds: int = 30,
+) -> DataFrame:
+    """k-truss: the maximal subgraph in which every edge closes at least
+    ``k - 2`` triangles WITHIN the subgraph — the edge-strength analogue of
+    the k-core (cohesive-community extraction; a k-truss is always inside
+    the (k-1)-core but much denser). Returns the surviving canonical edge
+    list (a, b) with each edge's final in-truss triangle support.
+
+    Reference parity: the reference's graph store (TitanGraphService)
+    exposes traversal primitives and leaves subgraph mining to the caller;
+    this is the dataflow formulation a Spark cluster runs natively.
+
+    Scale design: each peel round re-counts per-edge triangle support via
+    DEGREE-ORDERED orientation (same √m-bounded wedge join as
+    ``triangle_count`` — a hub with degree d would naively create d²
+    wedges; orientation bounds total wedges by m^1.5). Every triangle
+    (u, v1, v2) found once from its lowest-order vertex contributes
+    support to its three edges through a 3-way projection union, one
+    groupBy. Edges below k-2 are dropped and the loop repeats; the edge
+    set only shrinks, so (count == previous count) IS the fixpoint test.
+    Peeling is bounded by ``max_rounds`` (raises if exceeded). Every
+    round's surviving edge set is cut from its lineage with an eager
+    localCheckpoint (the pagerank/sssp/connected-components discipline):
+    one round's plan embeds a whole triangle enumeration, so without the
+    cut the nested plan grows by that subtree every round and Catalyst's
+    own tree traversals come to dominate the runtime.
+    """
+    if k < 3:
+        raise ValueError(f"k must be >= 3 for a k-truss, got {k}")
+    from pyspark import StorageLevel
+
+    a = F.least(F.col(src_col), F.col(dst_col)).alias("a")
+    b = F.greatest(F.col(src_col), F.col(dst_col)).alias("b")
+    e = (
+        edges.select(a, b)
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_edges = e.count()
+
+    for _ in range(max_rounds):
+        if n_edges == 0:
+            return e.withColumn("support", F.lit(0).cast("long")).limit(0)
+        deg = (
+            e.select(F.col("a").alias("n"))
+            .unionByName(e.select(F.col("b").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        ed = e.join(deg.select(F.col("n").alias("a"), F.col("d").alias("da")), "a").join(
+            deg.select(F.col("n").alias("b"), F.col("d").alias("db")), "b"
+        )
+        a_first = (F.col("da") < F.col("db")) | (
+            (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+        )
+        oriented = ed.select(
+            F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+            F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        x, y = oriented.alias("x"), oriented.alias("y")
+        v1_first = (F.col("x.dv") < F.col("y.dv")) | (
+            (F.col("x.dv") == F.col("y.dv")) & (F.col("x.v") < F.col("y.v"))
+        )
+        tri = (
+            x.join(y, F.col("x.u") == F.col("y.u"))
+            .filter(F.col("x.v") != F.col("y.v"))
+            .filter(v1_first)
+            .select(
+                F.col("x.u").alias("tu"),
+                F.col("x.v").alias("tv1"),
+                F.col("y.v").alias("tv2"),
+            )
+            .join(
+                oriented.select(F.col("u").alias("tv1"), F.col("v").alias("tv2")),
+                ["tv1", "tv2"],
+            )
+        )
+
+        def _edge(p, q):
+            return tri.select(
+                F.least(F.col(p), F.col(q)).alias("a"),
+                F.greatest(F.col(p), F.col(q)).alias("b"),
+            )
+
+        sup = (
+            _edge("tu", "tv1")
+            .unionByName(_edge("tu", "tv2"))
+            .unionByName(_edge("tv1", "tv2"))
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        )
+        nxt = (
+            e.join(sup, ["a", "b"], "left")
+            .select("a", "b", F.coalesce(F.col("support"), F.lit(0).cast("long")).alias("support"))
+            .filter(F.col("support") >= k - 2)
+            .localCheckpoint(eager=True)
+        )
+        n_next = nxt.count()
+        oriented.unpersist()
+        if n_next == n_edges:
+            return nxt
+        e = nxt.select("a", "b")
+        n_edges = n_next
+    raise RuntimeError(f"ktruss_decomposition did not converge in {max_rounds} rounds")
+
+
+def ktruss_oracle_sql(edge_sql: str, k: int, rounds: int = 8) -> str:
+    """ANSI-SQL replica of :func:`ktruss_decomposition`: the support-peel
+    unrolled to ``rounds`` (rounds past convergence are no-ops). Per round
+    the in-subgraph triangle support of edge (a, b) is its common-neighbor
+    count — both endpoints adjacency-joined on the shared neighbor, exact
+    on the small differential graphs this gate runs on. Emits the surviving
+    (a, b, support) rows; when the last two edge sets still differ a
+    sentinel row with support = -1 (impossible) is appended so a too-small
+    ``rounds`` bound is distinguishable from an engine mismatch.
+    ``edge_sql`` must yield a canonical (a, b) edge list (a < b, distinct,
+    no loops)."""
+    if k < 3:
+        raise ValueError(f"k must be >= 3 for a k-truss, got {k}")
+    parts = [f"WITH e0 AS MATERIALIZED ({edge_sql})"]
+    for i in range(rounds):
+        parts.append(
+            f", u{i} AS MATERIALIZED (SELECT a AS x, b AS y FROM e{i} "
+            f"UNION ALL SELECT b, a FROM e{i})"
+            f", s{i} AS MATERIALIZED (SELECT e.a, e.b, count(*) AS support "
+            f"FROM e{i} e JOIN u{i} p ON p.x = e.a JOIN u{i} q "
+            f"ON q.x = e.b AND q.y = p.y GROUP BY e.a, e.b)"
+            f", e{i + 1} AS MATERIALIZED (SELECT a, b FROM s{i} "
+            f"WHERE support >= {int(k) - 2})"
+        )
+    parts.append(
+        f" SELECT e.a, e.b, CAST(coalesce(s.support, 0) AS BIGINT) AS support"
+        f" FROM e{rounds} e LEFT JOIN s{rounds - 1} s ON e.a = s.a AND e.b = s.b"
+        f" UNION ALL SELECT NULL, NULL, CAST(-1 AS BIGINT)"
+        f" WHERE (SELECT count(*) FROM e{rounds}) != (SELECT count(*) FROM e{rounds - 1})"
+    )
+    return "".join(parts)

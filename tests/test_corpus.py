@@ -517,3 +517,56 @@ def test_quality_budget_filter_zero_keep(spark):
 
     rows = [Row(id=i, s=i) for i in range(3)]
     assert quality_budget_filter(spark.createDataFrame(rows), "s", "id", 1).count() == 0
+
+
+# ------------------------------------------------------------ weighted_sample
+
+
+def test_weighted_sample_deterministic_and_weighted(spark):
+    import hashlib
+
+    from aleph2_contrib_spark.operators.corpus import weighted_sample
+
+    rows = [(i, 1 if i < 80 else 50) for i in range(100)]
+    df = spark.createDataFrame(rows, "id int, w int")
+
+    def brute(k, seed="0"):
+        def pri(i, w):
+            u = int(hashlib.md5(f"{seed}:{i}".encode()).hexdigest()[:8], 16) / 2**32
+            return (u / w, i)
+
+        return {i for i, _ in sorted(rows, key=lambda r: pri(*r))[:k]}
+
+    got = {r["id"] for r in weighted_sample(df, "id", "w", k=10).collect()}
+    assert got == brute(10)
+    # stable across partitionings
+    got2 = {
+        r["id"]
+        for r in weighted_sample(df.repartition(17), "id", "w", k=10).collect()
+    }
+    assert got2 == got
+    # the 20 heavy rows (w=50) should dominate a small sample of 100 rows
+    heavy = sum(1 for i in got if i >= 80)
+    assert heavy >= 7
+
+
+def test_weighted_sample_drops_nonpositive_and_validates(spark):
+    import pytest as _pytest
+
+    from aleph2_contrib_spark.operators.corpus import weighted_sample
+
+    df = spark.createDataFrame(
+        [(1, 5), (2, 0), (3, -4), (4, None)], "id int, w int"
+    )
+    got = [r["id"] for r in weighted_sample(df, "id", "w", k=10).collect()]
+    assert got == [1]
+    with _pytest.raises(ValueError, match="k must be"):
+        weighted_sample(df, "id", "w", k=0)
+
+
+def test_weighted_sample_plan_is_take_ordered(spark):
+    from aleph2_contrib_spark.operators.corpus import weighted_sample
+
+    df = spark.range(1000).withColumn("w", (F.col("id") % 7) + 1)
+    plan = weighted_sample(df, "id", "w", k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan

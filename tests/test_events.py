@@ -399,3 +399,108 @@ def test_ewma_partition_invariant_and_keys_isolated(spark):
     a = sorted(map(tuple, ewma_smooth(df1, "user_id", "ts", "event_id", "value").collect()))
     b = sorted(map(tuple, ewma_smooth(df2, "user_id", "ts", "event_id", "value").collect()))
     assert a == b
+
+
+# ---------------------------------------------------------- autocorrelation
+
+
+def _brute_acf_ppm(xs: list[int], lag: int) -> int | None:
+    n = len(xs)
+    if n <= lag:
+        return None
+    s = sum(xs)
+    sxx = sum(v * v for v in xs)
+    den = n * n * sxx - n * s * s
+    if den == 0:
+        return None
+    sprod = sum(xs[i] * xs[i + lag] for i in range(n - lag))
+    head = sum(xs[: n - lag])
+    tail = sum(xs[lag:])
+    num = n * n * sprod - n * s * (head + tail) + (n - lag) * s * s
+    # the operator computes floor((1e6*(num+den))/den) - 1e6: num+den >= 0
+    # by Cauchy-Schwarz, so floor == truncate in every engine
+    return (1_000_000 * (num + den)) // den - 1_000_000
+
+
+def test_autocorrelation_matches_reference_series(spark):
+    from aleph2_contrib_spark.operators.events import autocorrelation
+
+    series = {
+        "up": [1, 2, 3, 4, 5, 6, 7, 8],            # strong positive acf
+        "alt": [5, 1, 5, 1, 5, 1, 5, 1, 5],        # lag-1 negative, lag-2 positive
+        "const": [4, 4, 4, 4],                      # zero variance: dropped
+        "short": [7, 9],                            # n <= lag for lag >= 2
+        "noisy": [3, 7, 2, 9, 4, 6, 1, 8, 5, 5, 2], # arbitrary
+    }
+    rows = [(k, i, v) for k, xs in series.items() for i, v in enumerate(xs)]
+    df = spark.createDataFrame(rows, "k string, t int, x int")
+    got = {
+        (r["k"], r["lag"]): (r["n"], r["acf_ppm"])
+        for r in autocorrelation(df, "k", "t", "x", max_lag=3).collect()
+    }
+    for k, xs in series.items():
+        for lag in (1, 2, 3):
+            want = _brute_acf_ppm(xs, lag)
+            if want is None:
+                assert (k, lag) not in got
+            else:
+                assert got[(k, lag)] == (len(xs), want), (k, lag)
+    # sanity on signs: monotone series highly autocorrelated, alternating
+    # series anti-correlated at lag 1 and correlated at lag 2
+    assert got[("up", 1)][1] > 500_000
+    assert got[("alt", 1)][1] < -500_000
+    assert got[("alt", 2)][1] > 500_000
+
+
+def test_autocorrelation_validation(spark):
+    from aleph2_contrib_spark.operators.events import autocorrelation
+
+    df = spark.createDataFrame([("a", 1, 1)], "k string, t int, x int")
+    with pytest.raises(ValueError, match="max_lag"):
+        autocorrelation(df, "k", "t", "x", max_lag=0)
+
+
+# ------------------------------------------------------------------- CUSUM
+
+
+def _brute_cusum_alarms(series: dict[str, list[int]], threshold: int, slack: int):
+    out = set()
+    for k, xs in series.items():
+        n, s = len(xs), sum(xs)
+        cur = 0
+        for t, x in enumerate(xs):
+            cur = max(0, cur + (n * x - s - n * slack))
+            if cur > n * threshold:
+                out.add((k, t, x, cur, n))
+    return out
+
+
+@pytest.mark.parametrize("threshold,slack", [(0, 0), (3, 0), (2, 1)])
+def test_cusum_matches_recursion(spark, threshold, slack):
+    from aleph2_contrib_spark.operators.events import cusum_alarms
+
+    series = {
+        "shift": [5, 5, 5, 5, 9, 9, 9, 9],   # upward level shift mid-series
+        "flat": [4, 4, 4, 4, 4],             # never alarms
+        "spike": [3, 3, 30, 3, 3],           # single spike, then decays
+        "ramp": [1, 2, 3, 4, 5, 6, 7],
+    }
+    rows = [(k, t, x) for k, xs in series.items() for t, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "k string, t int, x int")
+    got = {
+        (r["k"], r["t"], r["x"], r["cusum_num"], r["n"])
+        for r in cusum_alarms(df, "k", "t", "x", threshold, slack).collect()
+    }
+    assert got == _brute_cusum_alarms(series, threshold, slack)
+
+
+def test_cusum_partition_invariant(spark):
+    from aleph2_contrib_spark.operators.events import cusum_alarms
+
+    rows = [("a", t, (t * 37) % 11) for t in range(200)]
+    df = spark.createDataFrame(rows, "k string, t int, x int")
+    r1 = set(map(tuple, cusum_alarms(df, "k", "t", "x", 1).collect()))
+    r2 = set(
+        map(tuple, cusum_alarms(df.repartition(13), "k", "t", "x", 1).collect())
+    )
+    assert r1 == r2 and r1

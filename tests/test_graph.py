@@ -608,3 +608,91 @@ def test_hits_oracle_matches_spark(spark):
     sql = hits_oracle_sql(f"SELECT * FROM (VALUES {vals}) t(src, dst)", 3)
     want = {n: (int(h), int(a)) for n, h, a in duckdb.sql(sql).fetchall()}
     assert got == want
+
+
+# ---------------------------------------------------------------- k-truss
+
+
+def _brute_truss(edges, k):
+    from collections import defaultdict
+
+    E = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    while True:
+        adj = defaultdict(set)
+        for a, b in E:
+            adj[a].add(b)
+            adj[b].add(a)
+        sup = {e: len(adj[e[0]] & adj[e[1]]) for e in E}
+        keep = {e for e in E if sup[e] >= k - 2}
+        if keep == E:
+            return {(a, b, sup[(a, b)]) for a, b in E}
+        E = keep
+
+
+@pytest.fixture(scope="module")
+def truss_edges():
+    from itertools import combinations
+
+    edges = list(combinations([1, 2, 3, 4, 5], 2))  # K5
+    edges += [(5, 6), (6, 7), (5, 7)]  # pendant triangle sharing vertex 5
+    edges += [(7, 8), (8, 9), (9, 10)]  # tail chain (no triangles)
+    edges += [(2, 1), (3, 3), (4, 1)]  # dup reversed, loop, dup
+    return edges
+
+
+@pytest.mark.parametrize("k", [3, 4, 5])
+def test_ktruss_matches_brute_force(spark, truss_edges, k):
+    from aleph2_contrib_spark.operators.graph import ktruss_decomposition
+
+    df = spark.createDataFrame(truss_edges, "src int, dst int")
+    got = {
+        (r["a"], r["b"], r["support"])
+        for r in ktruss_decomposition(df, k=k).collect()
+    }
+    assert got == _brute_truss(truss_edges, k)
+
+
+def test_ktruss_peels_iteratively(spark):
+    # a triangle strip: each interior edge has 2 triangles, boundary 1;
+    # k=4 requires support >= 2, removing boundary edges cascades the
+    # interior down — the whole strip dies only through ITERATED peeling
+    # (single-pass support filtering would keep the interior edges)
+    from aleph2_contrib_spark.operators.graph import ktruss_decomposition
+
+    strip = [(i, i + 1) for i in range(1, 8)] + [(i, i + 2) for i in range(1, 7)]
+    df = spark.createDataFrame(strip, "src int, dst int")
+    assert ktruss_decomposition(df, k=4).count() == 0
+    assert _brute_truss(strip, 4) == set()
+
+
+def test_ktruss_validation(spark):
+    from aleph2_contrib_spark.operators.graph import ktruss_decomposition
+
+    df = spark.createDataFrame([(1, 2)], "src int, dst int")
+    with pytest.raises(ValueError, match="k must be >= 3"):
+        ktruss_decomposition(df, k=2)
+
+
+def test_ktruss_oracle_matches_duckdb(spark, truss_edges):
+    import duckdb
+
+    from aleph2_contrib_spark.operators.graph import (
+        ktruss_decomposition,
+        ktruss_oracle_sql,
+    )
+
+    df = spark.createDataFrame(truss_edges, "src int, dst int")
+    got = {
+        (r["a"], r["b"], r["support"])
+        for r in ktruss_decomposition(df, k=4).collect()
+    }
+    vals = ", ".join(f"({a}, {b})" for a, b in truss_edges)
+    edge_sql = (
+        f"SELECT DISTINCT least(c1, c2) AS a, greatest(c1, c2) AS b "
+        f"FROM (VALUES {vals}) t(c1, c2) WHERE c1 != c2"
+    )
+    oracle = {
+        tuple(r)
+        for r in duckdb.sql(ktruss_oracle_sql(edge_sql, k=4, rounds=6)).fetchall()
+    }
+    assert got == oracle

@@ -89,3 +89,61 @@ def test_validation(spark, baskets):
         frequent_itemsets(df, "txn_id", "item", minsup=0)
     with pytest.raises(ValueError, match="max_size"):
         frequent_itemsets(df, "txn_id", "item", max_size=4)
+
+
+def _brute_rules(baskets: dict[int, set[str]], minsup: int, min_conf_ppm: int = 0):
+    n = len(baskets)
+    sup: dict[tuple, int] = {}
+    for k in (1, 2, 3):
+        for items in baskets.values():
+            for combo in combinations(sorted(items), k):
+                sup[combo] = sup.get(combo, 0) + 1
+    freq = {c: s for c, s in sup.items() if s >= minsup}
+    out = set()
+    for combo, s in freq.items():
+        if len(combo) < 2:
+            continue
+        for asize in range(1, len(combo)):
+            for ante in combinations(combo, asize):
+                cons = tuple(i for i in combo if i not in ante)
+                sa, sc = freq.get(ante), freq.get(cons)
+                if sa is None or sc is None:
+                    continue  # downward closure means this never fires
+                conf = 1_000_000 * s // sa
+                lift = 1_000_000 * n * s // (sa * sc)
+                if conf >= min_conf_ppm:
+                    out.add((",".join(ante), ",".join(cons), s, sa, sc, conf, lift))
+    return out
+
+
+@pytest.mark.parametrize("minsup,min_conf", [(2, 0), (3, 0), (2, 500_000)])
+def test_association_rules_match_brute_force(spark, baskets, minsup, min_conf):
+    from aleph2_contrib_spark.operators.itemsets import association_rules
+
+    got = {
+        (
+            r["antecedent"],
+            r["consequent"],
+            r["sup_rule"],
+            r["sup_ante"],
+            r["sup_cons"],
+            r["conf_ppm"],
+            r["lift_ppm"],
+        )
+        for r in association_rules(
+            _df(spark, baskets), "txn_id", "item", minsup=minsup, min_conf_ppm=min_conf
+        ).collect()
+    }
+    assert got == _brute_rules(baskets, minsup, min_conf)
+
+
+def test_association_rules_lift_sanity(spark, baskets):
+    from aleph2_contrib_spark.operators.itemsets import association_rules
+
+    rows = association_rules(_df(spark, baskets), minsup=2).collect()
+    assert rows
+    for r in rows:
+        # confidence is a probability: 0 < conf <= 1
+        assert 0 < r["conf_ppm"] <= 1_000_000
+        # P(A∪C) <= min(P(A), P(C))
+        assert r["sup_rule"] <= min(r["sup_ante"], r["sup_cons"])
