@@ -8,7 +8,8 @@ pushed it past the captured tail, so: totals come FIRST in the line,
 per-query values are 2-decimal, and the full-precision result (plus
 row counts) is written to BENCH_full.json as a separate artifact.
 
-Methodology: per-query MIN over (default) two passes in one session —
+Methodology: per-query MIN over (default) two passes in one session
+(pass 2 re-times only the slowest/multi-second queries; see inline) —
 steady-state engine cost, excluding first-use JIT/codegen and transient
 host noise (identical code has measured 120s vs 270s totals under
 neighbor load). The SQL cache is CLEARED between passes so pass 2
@@ -80,16 +81,31 @@ def main() -> None:
     # catastrophically slow (the retry itself would risk the harness
     # timeout without changing the verdict).
     passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
+    # Pass 2+ re-times only the SLOWEST pass-1 queries: bursty host noise
+    # moves multi-second queries by seconds (worth a retry) and
+    # sub-second queries by milliseconds (not worth doubling a ~200-query
+    # registry's wall clock). The re-run set is every query above the
+    # noise floor or in the slowest 60 — the per-query MIN methodology is
+    # unchanged where it matters, and total bench time stays bounded as
+    # the registry grows.
+    rerun_top = int(os.environ.get("SPARK_GRAFT_BENCH_RERUN_TOP", "60"))
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
     pass_totals: list[float] = []
+    rerun: set[str] | None = None
     for p in range(max(1, passes)):
         if p > 0:
             # Drop persisted intermediates so this pass measures execution,
             # not block-store reads of the previous pass's cache.
             spark.catalog.clearCache()
+            by_cost = sorted(timings, key=lambda k: -timings[k])
+            rerun = {k for k in by_cost[:rerun_top]} | {
+                k for k in timings if timings[k] > 1.0
+            }
         pass_total = 0.0
         for name, fn in entrymod.queries().items():
+            if rerun is not None and name not in rerun:
+                continue
             t0 = time.perf_counter()
             out = fn(spark, sf_dir).collect()
             dt = time.perf_counter() - t0

@@ -306,6 +306,70 @@ def make_hot_docs(spark, n, id_offset=5_000_000):
     )
 
 
+def bench_mining_ops(spark, path, n_edges, label):
+    """Round-6 additions: Apriori itemsets/rules (fixed item vocabulary,
+    so the frequent-set tables are size-bounded and every pass is linear
+    in transactions), k-truss (constant average degree: per-round wedge
+    volume stays linear for the same reason triangle counting does), and
+    the bucketed 2D skyline (one data shuffle + an O(buckets) prefix
+    table)."""
+    from aleph2_contrib_spark.operators.graph import ktruss_decomposition
+    from aleph2_contrib_spark.operators.itemsets import (
+        association_rules,
+        frequent_itemsets,
+    )
+    from aleph2_contrib_spark.operators.skyline import skyline_2d
+
+    docs = spark.read.parquet(path)
+    out = {}
+
+    def run(name, thunk):
+        t0 = time.perf_counter()
+        thunk()
+        out[name] = round(time.perf_counter() - t0, 2)
+
+    # ~6 items per basket over a 24-item space: frequent tables bounded
+    tx = docs.select(
+        (F.col("doc_id") % F.lit(1_000_000_000)).alias("txn_id"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(6)),
+                lambda i: F.concat(
+                    F.lit("B"),
+                    (F.abs(F.xxhash64(F.col("doc_id"), i)) % 24).cast("string"),
+                ),
+            )
+        ).alias("item"),
+    )
+    n_tx = docs.count()
+    minsup = max(2, n_tx // 50)
+    run(
+        "itemsets",
+        lambda: frequent_itemsets(tx, minsup=minsup).agg(F.sum("support")).collect(),
+    )
+    run(
+        "assoc_rules",
+        lambda: association_rules(tx, minsup=minsup).agg(F.sum("conf_ppm")).collect(),
+    )
+
+    nv = max(n_edges // 15, 10)
+    e = spark.range(n_edges).select(
+        (F.abs(F.xxhash64(F.col("id"), F.lit(11))) % nv).alias("src"),
+        (F.abs(F.xxhash64(F.col("id"), F.lit(12))) % nv).alias("dst"),
+    )
+    # avg degree ~30 after dedup -> support threshold inside the triangle
+    # distribution so the peel runs a few real rounds
+    run("ktruss", lambda: ktruss_decomposition(e, k=4).count())
+
+    pts = docs.select(
+        (F.abs(F.xxhash64("doc_id", F.lit(21))) % 100_000).alias("x"),
+        (F.abs(F.xxhash64("doc_id", F.lit(22))) % 100_000).alias("y"),
+    )
+    run("skyline2d", lambda: skyline_2d(pts, "x", "y").count())
+    print(label, out, flush=True)
+    return out
+
+
 def main():
     base = int(sys.argv[1]) if len(sys.argv) > 1 else 5000
     factor = int(sys.argv[2]) if len(sys.argv) > 2 else 10
@@ -322,6 +386,10 @@ def main():
     j2 = bench_join_topk_ops(spark, p2, base * factor * 20, f"{factor}x")
     r1.update(j1)
     r2.update(j2)
+    k1 = bench_mining_ops(spark, p1, base * 20, "1x")
+    k2 = bench_mining_ops(spark, p2, base * factor * 20, f"{factor}x")
+    r1.update(k1)
+    r2.update(k2)
     m1 = bench_mutation_path(spark, p1, "1x")
     m2 = bench_mutation_path(spark, p2, f"{factor}x")
     print("--- scaling ratios (ideal <= %d; super-linear = plan problem) ---" % factor)
