@@ -9,7 +9,7 @@ per-query values are 2-decimal, and the full-precision result (plus
 row counts) is written to BENCH_full.json as a separate artifact.
 
 Methodology: per-query MIN over (default) two passes in one session
-(pass 2 re-times only the slowest/multi-second queries; see inline) —
+(pass 2 re-times the slowest queries first under a fixed budget; see inline) —
 steady-state engine cost, excluding first-use JIT/codegen and transient
 host noise (identical code has measured 120s vs 270s totals under
 neighbor load). The SQL cache is CLEARED between passes so pass 2
@@ -81,31 +81,33 @@ def main() -> None:
     # catastrophically slow (the retry itself would risk the harness
     # timeout without changing the verdict).
     passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
-    # Pass 2+ re-times only the SLOWEST pass-1 queries: bursty host noise
-    # moves multi-second queries by seconds (worth a retry) and
-    # sub-second queries by milliseconds (not worth doubling a ~200-query
-    # registry's wall clock). The re-run set is every query above the
-    # noise floor or in the slowest 60 — the per-query MIN methodology is
-    # unchanged where it matters, and total bench time stays bounded as
-    # the registry grows.
-    rerun_top = int(os.environ.get("SPARK_GRAFT_BENCH_RERUN_TOP", "60"))
+    # Pass 2+ re-times the SLOWEST pass-1 queries first, under a fixed
+    # wall-clock budget: bursty host noise moves multi-second queries by
+    # seconds (worth a retry) and sub-second queries by milliseconds (not
+    # worth doubling a ~200-query registry's wall clock). Per-query MIN
+    # methodology is unchanged where it matters, and total bench time is
+    # bounded at pass-1 + budget no matter how the registry grows.
+    rerun_budget = float(os.environ.get("SPARK_GRAFT_BENCH_RERUN_BUDGET", "150"))
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
     pass_totals: list[float] = []
-    rerun: set[str] | None = None
     for p in range(max(1, passes)):
-        if p > 0:
+        if p == 0:
+            plan = list(entrymod.queries().items())
+            budget = float("inf")
+        else:
             # Drop persisted intermediates so this pass measures execution,
             # not block-store reads of the previous pass's cache.
             spark.catalog.clearCache()
-            by_cost = sorted(timings, key=lambda k: -timings[k])
-            rerun = {k for k in by_cost[:rerun_top]} | {
-                k for k in timings if timings[k] > 1.0
-            }
+            qmap = entrymod.queries()
+            plan = [
+                (k, qmap[k]) for k in sorted(timings, key=lambda k: -timings[k])
+            ]
+            budget = rerun_budget
         pass_total = 0.0
-        for name, fn in entrymod.queries().items():
-            if rerun is not None and name not in rerun:
-                continue
+        for name, fn in plan:
+            if pass_total > budget:
+                break
             t0 = time.perf_counter()
             out = fn(spark, sf_dir).collect()
             dt = time.perf_counter() - t0
