@@ -4305,6 +4305,41 @@ def mining_frequent_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frequent_itemsets(tx, minsup=8, max_size=3)
 
 
+def join_nearest_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D nearest-neighbor join (operators/joins.nearest_value_join):
+    each sampled order matched to the part whose retail price is closest
+    to the order's total price (ties broken by price then partkey). Both
+    sides range-bucketed on value and merged into one ordered stream per
+    bucket; cross-bucket neighbors carried by an O(buckets) broadcast
+    boundary table — no inequality join, no distance-band guess. Oracle
+    is the quadratic LATERAL the operator avoids."""
+    from aleph2_contrib_spark.operators.joins import nearest_value_join
+
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 499 == 0)
+        .select("o_orderkey", "o_totalprice")
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+    return nearest_value_join(
+        o, p, "o_totalprice", "p_retailprice", "o_orderkey", "p_partkey"
+    ).orderBy("o_orderkey")
+
+
+def _nearest_value_oracle() -> str:
+    from aleph2_contrib_spark.operators.joins import nearest_value_join_oracle_sql
+
+    inner = nearest_value_join_oracle_sql(
+        "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 499 = 0",
+        "SELECT p_partkey, p_retailprice FROM part",
+        "o_totalprice",
+        "p_retailprice",
+        "o_orderkey",
+        "p_partkey",
+    )
+    return f"SELECT * FROM ({inner}) ORDER BY o_orderkey"
+
+
 def events_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact one-sided CUSUM change detection (operators/events.
     cusum_alarms) over per-type daily event counts: the sequential
@@ -4588,6 +4623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mining_skyline": mining_skyline,
         "corpus_weighted_sample": corpus_weighted_sample,
         "events_cusum_alarms": events_cusum_alarms,
+        "join_nearest_value": join_nearest_value,
         # -- (4) displaced round-3-checked block: rotates in from round 7 --
         "dedup_incremental": dedup_incremental,
         "corpus_pack_sequences": corpus_pack_sequences,
@@ -4995,6 +5031,7 @@ def oracle_sql() -> dict[str, str]:
         "mining_skyline": _skyline_oracle(),
         "corpus_weighted_sample": _weighted_sample_oracle(),
         "events_cusum_alarms": _cusum_oracle(),
+        "join_nearest_value": _nearest_value_oracle(),
         "profile_fd_violations": _fd_violations_oracle(),
         "join_bitmap_prefilter": """
             SELECT l_returnflag, l_linestatus,

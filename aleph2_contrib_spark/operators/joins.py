@@ -313,3 +313,214 @@ def bitmap_prefilter_semi_join(
         .drop("__w", "__b", "__mask")
     )
     return survivors.join(small.select(*on).distinct(), on, "left_semi")
+
+
+def nearest_value_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_val: str,
+    right_val: str,
+    left_id: str,
+    right_id: str,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """1-D nearest-neighbor join: for every left row, the right row whose
+    value is CLOSEST (absolute distance), ties broken deterministically by
+    (distance, right value, right id) ascending — timestamp/price/sensor
+    alignment where asof's one-sided "latest before" is the wrong
+    semantic. Returns (left_id, left_val, right_id, right_val, dist).
+
+    Scale design — the classic formulation is a cross join pruned by a
+    distance band (guess the band wrong and it's either wrong or
+    quadratic). Instead, both sides are range-bucketed on value and merged
+    into ONE ordered stream per bucket (the sort-merge discipline, like
+    skyline_2d):
+
+    - right rows are deduped to one representative per distinct value
+      (min right-id — exactly the tie-break winner), so equal-value ties
+      cost nothing downstream;
+    - within a bucket, a backward window (last right value at-or-before,
+      rights sorting before lefts on equal value) and a forward window
+      (first right value after) find both in-bucket candidates in one
+      partition-local sort;
+    - cross-bucket neighbors come from an O(buckets) boundary table: the
+      greatest right value in any EARLIER bucket and the least in any
+      LATER bucket, computed with two windows over the tiny per-bucket
+      aggregate and broadcast back.
+
+    One shuffle of the merged stream (bucket hash), one broadcast of the
+    boundary table; no inequality join ever materializes. Rows with NULL
+    values are dropped on both sides; an empty right side yields an empty
+    result (inner semantics).
+    """
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    from pyspark.sql import Window
+
+    l = left.select(
+        F.col(left_id).alias("__lid"), F.col(left_val).alias("__lv")
+    ).filter(F.col("__lv").isNotNull())
+    # one representative per distinct right value: the min id IS the
+    # (dist, value, id)-ascending tie-break winner for any query point
+    r = (
+        right.select(F.col(right_id).alias("__rid"), F.col(right_val).alias("__rv"))
+        .filter(F.col("__rv").isNotNull())
+        .groupBy("__rv")
+        .agg(F.min("__rid").alias("__rid"))
+    )
+
+    rng = l.select(F.col("__lv").cast("double").alias("v")).unionByName(
+        r.select(F.col("__rv").cast("double").alias("v"))
+    ).agg(F.min("v").alias("lo"), F.max("v").alias("hi")).first()
+    if rng["lo"] is None:
+        return (
+            l.select(
+                F.col("__lid").alias(left_id),
+                F.col("__lv").alias(left_val),
+                F.col("__lid").alias(right_id),
+                F.col("__lv").alias(right_val),
+                F.lit(0.0).alias("dist"),
+            ).limit(0)
+        )
+    lo, hi = float(rng["lo"]), float(rng["hi"])
+    width = (hi - lo) or 1.0
+
+    def bucket(col):
+        return F.least(
+            F.lit(n_buckets - 1),
+            F.floor((col.cast("double") - F.lit(lo)) / F.lit(width) * F.lit(n_buckets)).cast("int"),
+        )
+
+    rb = r.select("__rv", "__rid", bucket(F.col("__rv")).alias("__b"))
+
+    # O(buckets) boundary table: for bucket b, the right row with the
+    # greatest value in ANY earlier bucket and the least in any later one
+    per_bucket = rb.groupBy("__b").agg(
+        F.max_by(F.struct("__rv", "__rid"), F.col("__rv")).alias("__hi"),
+        F.min_by(F.struct("__rv", "__rid"), F.col("__rv")).alias("__lo"),
+    )
+    all_buckets = l.sparkSession.range(n_buckets).select(F.col("id").cast("int").alias("__b"))
+    wprev = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    wnext = Window.orderBy("__b").rowsBetween(1, Window.unboundedFollowing)
+    bounds = (
+        all_buckets.join(per_bucket, "__b", "left")
+        .select(
+            "__b",
+            F.last("__hi", ignorenulls=True).over(wprev).alias("__prev_nb"),
+            F.first("__lo", ignorenulls=True).over(wnext).alias("__next_nb"),
+        )
+    )
+
+    merged = (
+        l.select(
+            bucket(F.col("__lv")).alias("__b"),
+            F.col("__lv").cast("double").alias("__v"),
+            F.lit(0).alias("__is_r"),
+            "__lid",
+            F.col("__lv").alias("__orig_lv"),
+            F.lit(None).cast(r.schema["__rv"].dataType).alias("__rv"),
+            F.lit(None).cast(r.schema["__rid"].dataType).alias("__rid"),
+        )
+        .unionByName(
+            rb.select(
+                "__b",
+                F.col("__rv").cast("double").alias("__v"),
+                F.lit(1).alias("__is_r"),
+                F.lit(None).cast(l.schema["__lid"].dataType).alias("__lid"),
+                F.lit(None).cast(l.schema["__lv"].dataType).alias("__orig_lv"),
+                "__rv",
+                "__rid",
+            )
+        )
+    )
+    # rights sort BEFORE lefts at equal value so the backward neighbor
+    # includes an exact match (dist 0)
+    order = [F.col("__v").asc(), F.col("__is_r").desc()]
+    wback = Window.partitionBy("__b").orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wfwd = Window.partitionBy("__b").orderBy(*order).rowsBetween(
+        0, Window.unboundedFollowing
+    )
+    cand = (
+        merged.withColumn(
+            "__back",
+            F.last(
+                F.when(F.col("__is_r") == 1, F.struct("__rv", "__rid")),
+                ignorenulls=True,
+            ).over(wback),
+        )
+        .withColumn(
+            "__fwd",
+            F.first(
+                F.when(F.col("__is_r") == 1, F.struct("__rv", "__rid")),
+                ignorenulls=True,
+            ).over(wfwd),
+        )
+        .filter(F.col("__is_r") == 0)
+        .join(F.broadcast(bounds), "__b")
+        .withColumn("__back", F.coalesce(F.col("__back"), F.col("__prev_nb")))
+        .withColumn("__fwd", F.coalesce(F.col("__fwd"), F.col("__next_nb")))
+    )
+
+    def dist(c):
+        return F.abs(F.col("__v") - c.getField("__rv").cast("double"))
+
+    b, f = F.col("__back"), F.col("__fwd")
+    pick_back = f.isNull() | (
+        b.isNotNull()
+        & (
+            (dist(b) < dist(f))
+            | (
+                (dist(b) == dist(f))
+                & (
+                    (b.getField("__rv") < f.getField("__rv"))
+                    | (
+                        (b.getField("__rv") == f.getField("__rv"))
+                        & (b.getField("__rid") <= f.getField("__rid"))
+                    )
+                )
+            )
+        )
+    )
+    chosen = cand.withColumn("__nn", F.when(pick_back, b).otherwise(f)).filter(
+        F.col("__nn").isNotNull()
+    )
+    return chosen.select(
+        F.col("__lid").alias(left_id),
+        F.col("__orig_lv").alias(left_val),
+        F.col("__nn").getField("__rid").alias(right_id),
+        F.col("__nn").getField("__rv").alias(right_val),
+        F.abs(F.col("__v") - F.col("__nn").getField("__rv").cast("double")).alias("dist"),
+    )
+
+
+def nearest_value_join_oracle_sql(
+    left_sql: str,
+    right_sql: str,
+    left_val: str,
+    right_val: str,
+    left_id: str,
+    right_id: str,
+) -> str:
+    """DuckDB replica of :func:`nearest_value_join` — the quadratic
+    LATERAL-order-by the dataflow operator exists to avoid. Right rows are
+    deduped to min-id per value exactly like the operator."""
+    return f"""
+WITH l AS MATERIALIZED (
+    SELECT {left_id} AS lid, {left_val} AS lv FROM ({left_sql})
+    WHERE {left_val} IS NOT NULL
+),
+r AS MATERIALIZED (
+    SELECT {right_val} AS rv, min({right_id}) AS rid FROM ({right_sql})
+    WHERE {right_val} IS NOT NULL GROUP BY {right_val}
+)
+SELECT l.lid AS {left_id}, l.lv AS {left_val},
+       nn.rid AS {right_id}, nn.rv AS {right_val},
+       abs(CAST(l.lv AS DOUBLE) - CAST(nn.rv AS DOUBLE)) AS dist
+FROM l, LATERAL (
+    SELECT rid, rv FROM r
+    ORDER BY abs(CAST(l.lv AS DOUBLE) - CAST(rv AS DOUBLE)), rv, rid
+    LIMIT 1
+) nn
+"""

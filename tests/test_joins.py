@@ -282,3 +282,87 @@ def test_bitmap_prefilter_broadcasts_bitmap_not_shuffle(spark):
     small = spark.range(0, 10000, 13).withColumnRenamed("id", "k")
     plan = bitmap_prefilter_semi_join(big, small, ["k"])._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+# ------------------------------------------------------- nearest-value join
+
+
+def _brute_nearest(lrows, rrows):
+    out = set()
+    # dedupe right to min-id per value (the operator's documented tie rule)
+    byval = {}
+    for rid, rv in rrows:
+        if rv is None:
+            continue
+        if rv not in byval or rid < byval[rv]:
+            byval[rv] = rid
+    reps = [(rid, rv) for rv, rid in byval.items()]
+    for lid, lv in lrows:
+        if lv is None or not reps:
+            continue
+        best = min(reps, key=lambda r: (abs(float(lv) - float(r[1])), r[1], r[0]))
+        out.add((lid, lv, best[0], best[1], abs(float(lv) - float(best[1]))))
+    return out
+
+
+@pytest.fixture(scope="module")
+def nn_data():
+    import random
+
+    rnd = random.Random(13)
+    lrows = [(i, rnd.randint(-50, 1050)) for i in range(300)]
+    lrows += [(1000, None), (1001, 500)]  # null value dropped; exact match
+    rrows = [(j, rnd.randint(0, 1000)) for j in range(120)]
+    rrows += [(2000, 500), (2001, 500), (2002, None)]  # value ties + null
+    return lrows, rrows
+
+
+@pytest.mark.parametrize("n_buckets", [1, 7, 64])
+def test_nearest_value_join_matches_brute_force(spark, nn_data, n_buckets):
+    from aleph2_contrib_spark.operators.joins import nearest_value_join
+
+    lrows, rrows = nn_data
+    l = spark.createDataFrame(lrows, "lid int, lv int").repartition(9)
+    r = spark.createDataFrame(rrows, "rid int, rv int").repartition(5)
+    got = {
+        (x["lid"], x["lv"], x["rid"], x["rv"], x["dist"])
+        for x in nearest_value_join(
+            l, r, "lv", "rv", "lid", "rid", n_buckets=n_buckets
+        ).collect()
+    }
+    assert got == _brute_nearest(lrows, rrows)
+
+
+def test_nearest_value_join_empty_right_and_validation(spark):
+    from aleph2_contrib_spark.operators.joins import nearest_value_join
+
+    l = spark.createDataFrame([(1, 10)], "lid int, lv int")
+    r = spark.createDataFrame([], "rid int, rv int")
+    assert nearest_value_join(l, r, "lv", "rv", "lid", "rid").count() == 0
+    with pytest.raises(ValueError, match="n_buckets"):
+        nearest_value_join(l, r, "lv", "rv", "lid", "rid", n_buckets=0)
+
+
+def test_nearest_value_join_oracle_matches(spark, nn_data):
+    import duckdb
+
+    from aleph2_contrib_spark.operators.joins import (
+        nearest_value_join,
+        nearest_value_join_oracle_sql,
+    )
+
+    lrows, rrows = nn_data
+    l = spark.createDataFrame(lrows, "lid int, lv int")
+    r = spark.createDataFrame(rrows, "rid int, rv int")
+    got = {
+        tuple(x)
+        for x in nearest_value_join(l, r, "lv", "rv", "lid", "rid").collect()
+    }
+    lv = ", ".join(f"({a}, {'NULL' if b is None else b})" for a, b in lrows)
+    rv = ", ".join(f"({a}, {'NULL' if b is None else b})" for a, b in rrows)
+    sql = nearest_value_join_oracle_sql(
+        f"SELECT c1 AS lid, c2 AS lv FROM (VALUES {lv}) t(c1, c2)",
+        f"SELECT c1 AS rid, c2 AS rv FROM (VALUES {rv}) t(c1, c2)",
+        "lv", "rv", "lid", "rid",
+    )
+    assert got == {tuple(x) for x in duckdb.sql(sql).fetchall()}
