@@ -4305,6 +4305,34 @@ def mining_frequent_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frequent_itemsets(tx, minsup=8, max_size=3)
 
 
+def events_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-type OLS trend (operators/events.trend_slope) over daily
+    event counts, x = epoch-day index: slope in integer ppm (both engines'
+    integer division truncates, so no correction term), intercept as the
+    exact rational (num, den) pair. One partial-aggregated groupBy — five
+    sums, no window, no join. Complements events_cusum_alarms: CUSUM says
+    when a series shifted, the trend says how fast it drifts."""
+    from aleph2_contrib_spark.operators.events import trend_slope
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type"),
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias("x"),
+    ).agg(F.count(F.lit(1)).alias("y"))
+    return trend_slope(daily, "event_type", "x", "y")
+
+
+def _trend_slope_oracle() -> str:
+    from aleph2_contrib_spark.operators.events import trend_slope_oracle_sql
+
+    series = (
+        "SELECT event_type AS k,"
+        " CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS x,"
+        " count(*) AS y FROM events GROUP BY 1, 2"
+    )
+    return trend_slope_oracle_sql(series, "event_type")
+
+
 def join_nearest_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-D nearest-neighbor join (operators/joins.nearest_value_join):
     each sampled order matched to the part whose retail price is closest
@@ -4624,6 +4652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_weighted_sample": corpus_weighted_sample,
         "events_cusum_alarms": events_cusum_alarms,
         "join_nearest_value": join_nearest_value,
+        "events_trend_slope": events_trend_slope,
         # -- (4) displaced round-3-checked block: rotates in from round 7 --
         "dedup_incremental": dedup_incremental,
         "corpus_pack_sequences": corpus_pack_sequences,
@@ -5032,6 +5061,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_weighted_sample": _weighted_sample_oracle(),
         "events_cusum_alarms": _cusum_oracle(),
         "join_nearest_value": _nearest_value_oracle(),
+        "events_trend_slope": _trend_slope_oracle(),
         "profile_fd_violations": _fd_violations_oracle(),
         "join_bitmap_prefilter": """
             SELECT l_returnflag, l_linestatus,

@@ -443,11 +443,12 @@ def autocorrelation(
         acf_ppm = floor(1e6 * n²·num / n²·den)
 
     where num/den are the standard sample-ACF numerator and variance
-    denominator and the division FLOORS. acf can be negative, and integral
-    division disagrees across engines on negatives (Spark ``div`` truncates
-    toward zero, DuckDB ``//`` floors) — so the quotient is computed as
-    ``(1e6·(num + den)) div den - 1e6``: |num| ≤ den by Cauchy-Schwarz, the
-    shifted numerator is non-negative, and floor == truncate. Multiplying
+    denominator and the division FLOORS (a floor is a better-behaved
+    quantizer than truncation for a symmetric statistic: uniform bucket
+    widths across zero). Both engines' integer division truncates toward
+    zero, so the floor is built by shifting: ``(1e6·(num + den)) div den -
+    1e6`` — |num| ≤ den by Cauchy-Schwarz, the shifted numerator is
+    non-negative, and floor == truncate there. Multiplying
     num and den by n² clears the rational mean x̄ = S/n, so the entire
     computation stays in int64 and is bit-identical across engines (the
     same fixed-point discipline as ewma_smooth / pagerank):
@@ -661,4 +662,89 @@ c AS (
 SELECT k AS {key_col}, t AS {time_col}, CAST(x AS BIGINT) AS x,
        CAST(cusum_num AS BIGINT) AS cusum_num, CAST(n AS BIGINT) AS n
 FROM c WHERE cusum_num > n * {int(threshold)}
+"""
+
+
+def trend_slope(
+    series: DataFrame,
+    key_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-key ordinary-least-squares trend over integer series, EXACT:
+    one row per key with
+
+        slope_ppm     = trunc(1e6 * N / D)        N = n·Σxy − Σx·Σy
+        intercept_num = Σy·D − N·Σx               D = n·Σx² − (Σx)²
+        intercept_den = n·D
+
+    (intercept = intercept_num / intercept_den — emitted as the exact
+    integer rational instead of a float so the result hashes identically
+    in every engine; callers divide at the edge). The slope quotient
+    truncates toward zero: Spark ``div`` and DuckDB ``//`` both truncate
+    integer division (verified on negatives), so the raw operator is
+    engine-exact with no correction term.
+
+    Complements ``cusum_alarms``: CUSUM says WHEN a series shifted, the
+    trend says how fast it drifts. Keys with fewer than 2 distinct x
+    values (D = 0) are dropped.
+
+    Overflow: int64 holds 1e6·N for n·max|x|·max|y| up to ~9e12 — day
+    indexes against daily counts are far inside; rescale x/y beyond that.
+
+    Scale: ONE partial-aggregated groupBy on the key — five sums, no
+    window, no join; the narrowest possible trend pass at 100 TB.
+    """
+    x = F.col("__x")
+    y = F.col("__y")
+    df = series.select(
+        F.col(key_col).alias("__k"),
+        F.col(x_col).cast("long").alias("__x"),
+        F.col(y_col).cast("long").alias("__y"),
+    )
+    agg = df.groupBy("__k").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(x * y).alias("sxy"),
+    )
+    N = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    D = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    a = (F.lit(1_000_000) * N).alias("__a")
+    out = agg.select(
+        F.col("__k").alias(key_col),
+        F.col("n").cast("long").alias("n"),
+        a,
+        D.alias("__d"),
+        (F.col("sy") * D - N * F.col("sx")).alias("intercept_num"),
+        (F.col("n") * D).alias("intercept_den"),
+    ).filter(F.col("__d") != 0)
+    return out.select(
+        key_col,
+        "n",
+        F.expr("__a div __d").alias("slope_ppm"),
+        "intercept_num",
+        "intercept_den",
+    )
+
+
+def trend_slope_oracle_sql(series_sql: str, key_col: str) -> str:
+    """DuckDB replica of :func:`trend_slope` (``//`` already floors).
+    ``series_sql`` must yield (k, x, y) with x/y integral."""
+    return f"""
+WITH agg AS (
+    SELECT k, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+           sum(x * x) AS sxx, sum(x * y) AS sxy
+    FROM ({series_sql}) GROUP BY k
+),
+c AS (
+    SELECT k, n, n * sxy - sx * sy AS nn, n * sxx - sx * sx AS d, sx, sy
+    FROM agg
+)
+SELECT k AS {key_col}, CAST(n AS BIGINT) AS n,
+       CAST((1000000 * nn) // d AS BIGINT) AS slope_ppm,
+       CAST(sy * d - nn * sx AS BIGINT) AS intercept_num,
+       CAST(n * d AS BIGINT) AS intercept_den
+FROM c WHERE d != 0
 """

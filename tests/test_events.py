@@ -504,3 +504,78 @@ def test_cusum_partition_invariant(spark):
         map(tuple, cusum_alarms(df.repartition(13), "k", "t", "x", 1).collect())
     )
     assert r1 == r2 and r1
+
+
+# -------------------------------------------------------------- trend slope
+
+
+def _brute_trend(series: dict[str, list[tuple[int, int]]]):
+    out = {}
+    for k, pts in series.items():
+        n = len(pts)
+        sx = sum(p[0] for p in pts)
+        sy = sum(p[1] for p in pts)
+        sxx = sum(p[0] * p[0] for p in pts)
+        sxy = sum(p[0] * p[1] for p in pts)
+        N = n * sxy - sx * sy
+        D = n * sxx - sx * sx
+        if D == 0:
+            continue
+        a = 1_000_000 * N
+        q = abs(a) // abs(D)
+        slope = q if (a >= 0) == (D >= 0) else -q  # truncate like div / //
+        out[k] = (n, slope, sy * D - N * sx, n * D)
+    return out
+
+
+def test_trend_slope_exact(spark):
+    from aleph2_contrib_spark.operators.events import trend_slope
+
+    series = {
+        "up": [(i, 3 * i + 7) for i in range(10)],            # slope exactly 3
+        "down": [(i, 100 - 2 * i) for i in range(8)],          # negative slope
+        "frac": [(0, 0), (1, 0), (2, 1)],                      # slope 1/2 -> floor
+        "negfrac": [(0, 1), (1, 1), (2, 0)],                   # slope -1/2 -> floors to -500000
+        "degenerate": [(5, 1), (5, 9)],                        # D = 0: dropped
+        "noisy": [(t, (t * 13) % 7 + t) for t in range(20)],
+    }
+    rows = [(k, x, y) for k, pts in series.items() for x, y in pts]
+    df = spark.createDataFrame(rows, "k string, x int, y int")
+    got = {
+        r["k"]: (r["n"], r["slope_ppm"], r["intercept_num"], r["intercept_den"])
+        for r in trend_slope(df, "k", "x", "y").collect()
+    }
+    assert got == _brute_trend(series)
+    assert got["up"][1] == 3_000_000
+    assert got["down"][1] == -2_000_000
+    assert got["frac"][1] == 500_000
+    # floor, not truncate: -0.5 -> -500000 exactly here, but check a true
+    # floor case: slope -1/3
+    tri = spark.createDataFrame([("t", 0, 1), ("t", 1, 1), ("t", 2, 0), ("t", 3, 0)],
+                                "k string, x int, y int")
+    r = trend_slope(tri, "k", "x", "y").collect()[0]
+    # N = 4*1 - 6*2 = ... compute: sxy=0*1+1*1+2*0+3*0=1; sx=6; sy=2; n=4
+    # N = 4 - 12 = -8; D = 4*14 - 36 = 20; slope = -0.4 -> floor(-400000)
+    assert r["slope_ppm"] == -400_000
+    # intercept = (sy*D - N*sx) / (n*D) = (40 + 48) / 80 = 1.1
+    assert (r["intercept_num"], r["intercept_den"]) == (88, 80)
+
+
+def test_trend_slope_oracle_matches(spark):
+    import duckdb
+
+    from aleph2_contrib_spark.operators.events import (
+        trend_slope,
+        trend_slope_oracle_sql,
+    )
+
+    rows = [("a", t, (t * 31) % 11) for t in range(50)] + [
+        ("b", t, 200 - 3 * t) for t in range(30)
+    ]
+    df = spark.createDataFrame(rows, "k string, x int, y int")
+    got = {tuple(r) for r in trend_slope(df, "k", "x", "y").collect()}
+    vals = ", ".join(f"('{k}', {x}, {y})" for k, x, y in rows)
+    sql = trend_slope_oracle_sql(
+        f"SELECT c1 AS k, c2 AS x, c3 AS y FROM (VALUES {vals}) t(c1, c2, c3)", "k"
+    )
+    assert got == {tuple(r) for r in duckdb.sql(sql).fetchall()}
