@@ -4587,11 +4587,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # with the 7 round-2-stale queries — after this window clears, no
     # contract query's latest driver check is older than round 3 — then
     # the gates built this round (never driver-checked), then gates whose
-    # round-6 code changes touched their path. 53 candidates compete for
-    # 50 slots, so the 3 newest self-contained gates (skyline / weighted
-    # sample / CUSUM) wait at 51-53 to lead round 7 together with the
-    # displaced round-3 block. All entries past the window are green in
-    # this round's full-registry local run (CORRECTNESS_local_r06.json).
+    # round-6 code changes touched their path. 55 candidates compete for
+    # 50 slots, so the 5 newest self-contained gates (skyline / weighted
+    # sample / CUSUM / nearest-value join / trend slope) wait at 51-55 to
+    # lead round 7 together with the displaced round-3 block. All entries
+    # past the window are green in this round's full-registry local run
+    # (CORRECTNESS_local_r06.json, 197/197).
     return {
         # -- (0) round-2-stale rotation block (VERDICT r5 item 1) --
         "explode_top_tokens": explode_top_tokens,
@@ -4646,7 +4647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "storage_partitioned_roundtrip": storage_partitioned_roundtrip,
         "storage_retention_age_out": storage_retention_age_out,
         "storage_buffer_promote": storage_buffer_promote,
-        # -- (3) newest self-contained gates: first out of the 50-slot
+        # -- (3) newest self-contained gates: first past the 50-slot
         #        window, queued to lead round 7 (green locally this round) --
         "mining_skyline": mining_skyline,
         "corpus_weighted_sample": corpus_weighted_sample,
