@@ -3619,7 +3619,12 @@ def streaming_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = (
         _t(spark, sf_dir, "events")
-        .filter(F.col("event_type") == "click")
+        # ~50 session keys, not every click user: the timeout semantics
+        # need SOME keys, and each extra key is an 800 ms stateful timer
+        # the poll loop must outlive — at sf0.1 the unfiltered 1,500 keys
+        # made the gate's worst case two minutes under host load (r6
+        # bench: 119.76 s). user_id % 31 keeps the oracle a plain WHERE.
+        .filter((F.col("event_type") == "click") & (F.col("user_id") % 31 == 0))
         .select(F.col("user_id").cast("string").alias("user"), "value")
     )
     n_keys = ev.select("user").distinct().count()
@@ -3656,7 +3661,7 @@ def streaming_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
     try:
-        deadline = _time.time() + 120
+        deadline = _time.time() + 60
         while len(collected) < n_keys and _time.time() < deadline:
             _time.sleep(0.2)
     finally:
@@ -3687,7 +3692,11 @@ def streaming_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         streaming_dedup,
     )
 
-    docs = _t(spark, sf_dir, "documents").select(
+    # 1-in-3 documents: cross-batch dedup state behaves identically on a
+    # subset, and fingerprinting + double-serializing the full sf0.1
+    # corpus made this gate's worst case 48.8 s under r6 host load
+    # (VERDICT r6 item 4) — the capped feed keeps it in seconds.
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0).select(
         "doc_id",
         ddp.fingerprint(F.col("text")).alias("fp"),
         # deterministic event time; all copies inside one watermark window
@@ -3742,7 +3751,15 @@ def streaming_hll_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         streaming_hll_window_registers,
     )
 
-    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    # 1-in-5 users: the windowed-register semantics are identical on any
+    # subset, and the gate's cost is dominated by serializing the feed to
+    # JSON files — 5× fewer rows keeps the worst case under load in
+    # seconds (r6 driver: 12+ s; VERDICT r6 item 4).
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 5 == 0)
+        .select("user_id", "ts")
+    )
     src = tempfile.mkdtemp(prefix="a2s_shll_src_")
     day = F.dayofmonth("ts")
     for lo, hi in ((1, 10), (11, 20), (21, 31)):
@@ -4267,7 +4284,11 @@ def _hll_windows_oracle() -> str:
     exactly (F.window at 1 hour is epoch-aligned = date_trunc('hour'))."""
     from aleph2_contrib_spark.operators.sketch import hll_group_oracle_sql
 
-    inner = hll_group_oracle_sql("user_id", "date_trunc('hour', ts)", "events")
+    inner = hll_group_oracle_sql(
+        "user_id",
+        "date_trunc('hour', ts)",
+        "(SELECT * FROM events WHERE user_id % 5 = 0)",
+    )
     return f"SELECT g AS window_start, est, n_buckets, zeros FROM ({inner})"
 
 
@@ -5117,7 +5138,8 @@ def oracle_sql() -> dict[str, str]:
                        CAST(l_quantity AS BIGINT) AS q
                 FROM lineitem WHERE l_orderkey % 11 = 0
             )
-            SELECT iv_id, count(*) AS n_pts, sum(q) AS sum_qty
+            SELECT iv_id, CAST(count(*) AS BIGINT) AS n_pts,
+                   CAST(sum(q) AS BIGINT) AS sum_qty
             FROM iv JOIN pt ON p >= lo AND p < hi
             GROUP BY iv_id
         """,
@@ -5158,7 +5180,8 @@ def oracle_sql() -> dict[str, str]:
         "streaming_session_timeout": """
             SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS n_events,
                    min(value) AS v_min, max(value) AS v_max
-            FROM events WHERE event_type = 'click' GROUP BY user_id
+            FROM events WHERE event_type = 'click' AND user_id % 31 = 0
+            GROUP BY user_id
         """,
         "streaming_stateful_counts": """
             SELECT event_type AS key, count(*) AS final_total
@@ -5179,7 +5202,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "streaming_dedup_gate": r"""
             SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
-            FROM documents
+            FROM documents WHERE doc_id % 3 = 0
         """,
         "graph_visibility": """
             WITH m AS (
@@ -7179,10 +7202,10 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
                 FROM documents
             ), g AS (
-                SELECT doc_id, min(doc_id) OVER (PARTITION BY fp) AS group_rep FROM base
+                SELECT doc_id, fp, min(doc_id) OVER (PARTITION BY fp) AS group_rep FROM base
             )
             SELECT doc_id, group_rep,
-                   CASE WHEN CAST(CAST('0x' || substr(md5('split:' || CAST(group_rep AS VARCHAR)), 1, 8) AS UBIGINT) % 1000 AS BIGINT) < 100
+                   CASE WHEN CAST(CAST('0x' || substr(md5('split:' || fp), 1, 8) AS UBIGINT) % 1000 AS BIGINT) < 100
                         THEN 'eval' ELSE 'train' END AS split
             FROM g
         """,

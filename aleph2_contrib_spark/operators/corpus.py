@@ -682,9 +682,15 @@ def leakage_safe_split(
     representative, assign the group.)
 
     ``eval_permille`` is the expected eval share in ‰ of GROUPS;
-    assignment is ``int(md5(seed:rep)[0:8], 16) % 1000 < eval_permille``
-    — engine-portable, reproducible, stable under re-runs and corpus
-    growth (adding new docs never flips an existing group).
+    assignment is ``int(md5(seed:fingerprint)[0:8], 16) % 1000 <
+    eval_permille`` — the hash keys on the CONTENT fingerprint, not the
+    group's min-id representative, so it is engine-portable,
+    reproducible, and stable under re-runs and corpus growth: adding new
+    docs (whatever their ids) never flips an existing group, because
+    nothing about the assignment depends on which ids are present.
+    (``group_rep`` = min id is still returned for lineage/debugging, and
+    CAN change when a smaller-id duplicate arrives — only the label is
+    id-dependent, never the split.)
 
     Returns (id, group_rep, split) with split ∈ {'train', 'eval'}.
 
@@ -703,7 +709,7 @@ def leakage_safe_split(
     bucket = (
         F.conv(
             F.substring(
-                F.md5(F.concat_ws(":", F.lit(seed), rep.cast("string"))), 1, 8
+                F.md5(F.concat_ws(":", F.lit(seed), F.col("__fp"))), 1, 8
             ),
             16,
             10,

@@ -157,10 +157,19 @@ def point_in_interval_join(
     a plain equi-join after the rewrite.
 
     Empty intervals (``hi <= lo``) match nothing and are dropped at the
-    explode. Output: all point columns + all interval columns.
+    explode. Output: all point columns + all interval columns; the sides
+    must have disjoint column names (rename before joining) — otherwise
+    the post-join lo/hi filter would be ambiguous and any other shared
+    name would duplicate in the output.
     """
     if bucket <= 0:
         raise ValueError(f"bucket must be a positive integer, got {bucket}")
+    clash = set(points.columns) & set(intervals.columns)
+    if clash:
+        raise ValueError(
+            f"point_in_interval_join requires disjoint column names, both "
+            f"sides carry {sorted(clash)}: rename one side first"
+        )
     b = F.lit(int(bucket))
     lo, hi = F.col(lo_col), F.col(hi_col)
     iv = intervals.filter(hi > lo).withColumn(

@@ -398,7 +398,7 @@ def ks_statistic(
         - F.lit(int(run_a)).cast("decimal(38,0)")
         * (F.col("__lb") + F.col("__offb")).cast("decimal(38,0)")
     )
-    return (
+    final = (
         d.join(F.broadcast(off_df), "__pid")
         .agg(F.max(gap).alias("__maxgap"))
         .select(
@@ -410,6 +410,13 @@ def ks_statistic(
             ).alias("ks_f6"),
         )
     )
+    # materialize the one-row answer so the cached cumsum can be released
+    # before returning — otherwise every call leaks blocks into the
+    # session storage pool for the life of the returned (lazy) DataFrame
+    row = final.collect()
+    out = spark.createDataFrame(row, final.schema)
+    d.unpersist()
+    return out
 
 
 def table_summary(

@@ -169,6 +169,19 @@ def skyline(
                 keep_rows.append(i)
             yield pdf.iloc[sorted(keep_rows)]
 
+    def _exact_skyline(batches):
+        # Final single-task pass. Arrow hands the partition over as MULTIPLE
+        # batches (arrow.maxRecordsPerBatch); the dominance frontier must
+        # span all of them, so concatenate before filtering — a per-batch
+        # frontier would let a point survive whose dominator sits in a
+        # different batch.
+        import pandas as pd
+
+        pdfs = [p for p in batches if len(p)]
+        if not pdfs:
+            return
+        yield from _local_skyline([pd.concat(pdfs, ignore_index=True)])
+
     local = pts.mapInPandas(_local_skyline, schema=schema)
     n_candidates = local.count()
     if n_candidates > max_frontier:
@@ -177,7 +190,7 @@ def skyline(
             f"(> max_frontier={max_frontier}); partition the data or use "
             "skyline_2d for 2-criteria skylines"
         )
-    return local.repartition(1).mapInPandas(_local_skyline, schema=schema)
+    return local.repartition(1).mapInPandas(_exact_skyline, schema=schema)
 
 
 def skyline_oracle_sql(

@@ -825,6 +825,15 @@ class TransactionalTable:
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
+        # A NULL op must ERROR, not silently act as a delete: the upsert
+        # filter below is three-valued (NULL != delete_value is NULL →
+        # dropped from upserts while its key still evicts the old row).
+        if df.filter(F.col(op_col).isNull()).limit(1).count() > 0:
+            raise ValueError(
+                f"apply_cdc: NULL value in op column {op_col!r} — every CDC "
+                f"row must carry an explicit op (delete rows use "
+                f"{delete_value!r}); refusing to guess"
+            )
         upserts = last.filter(F.col(op_col) != F.lit(delete_value)).drop(op_col)
         if schema is None:
             return self._commit(

@@ -221,6 +221,17 @@ def test_interval_overlap_rejects_column_clash(spark):
         interval_overlap_join(adf, adf, ("lo", "hi"), ("lo", "hi"))
 
 
+def test_point_in_interval_rejects_column_clash(spark):
+    import pytest as _pytest
+
+    from aleph2_contrib_spark.operators.joins import point_in_interval_join
+
+    pts = spark.createDataFrame([(3, 0, 5)], ["p", "lo", "hi"])
+    ivs = spark.createDataFrame([(1, 0, 5)], ["iv_id", "lo", "hi"])
+    with _pytest.raises(ValueError, match="disjoint column names"):
+        point_in_interval_join(pts, ivs, "p")
+
+
 def test_bitmap_prefilter_semi_join_exact(spark):
     from aleph2_contrib_spark.operators.joins import bitmap_prefilter_semi_join
 

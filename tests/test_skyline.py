@@ -89,6 +89,26 @@ def test_skyline_cap_and_validation(spark):
         skyline_2d(df, "x", "y", n_buckets=0)
 
 
+def test_skyline_final_pass_spans_arrow_batches(spark):
+    """The stage-2 exact pass must hold ONE dominance frontier across all
+    Arrow batches of the single gathered partition. Regression: with
+    maxRecordsPerBatch smaller than the candidate count, a per-batch
+    frontier lets points survive whose dominator sits in another batch."""
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "50")
+    try:
+        # anti-correlated diagonal: every (i, N-i) survives any local
+        # skyline; the single global dominator (0, 0) kills them all
+        n = 400
+        pts = [(i, n - i) for i in range(1, n)] + [(0, 0)]
+        df = spark.createDataFrame(pts, "x int, y int").repartition(8)
+        rows = skyline(df, [("x", "min"), ("y", "min")]).collect()
+        assert {(r["x"], r["y"]) for r in rows} == {(0, 0)}
+    finally:
+        spark.conf.set(key, prev)
+
+
 def test_skyline_oracle_sql_matches(spark, points2d):
     import duckdb
 

@@ -1135,6 +1135,17 @@ def test_apply_cdc_last_op_per_key_wins_within_batch(spark):
     assert got == {1: ("a2", 5), 3: ("c2", 2)}
 
 
+def test_apply_cdc_null_op_errors_instead_of_deleting(spark):
+    # NULL op must raise: the three-valued upsert filter would otherwise
+    # silently turn a malformed row into a delete of its key
+    root = tempfile.mkdtemp(prefix="a2s_cdc_")
+    t = TransactionalTable(spark, root, stats_cols=("k",))
+    t.apply_cdc(_cdc(spark, [(1, "a1", "u", 1)]), key_cols=["k"])
+    with pytest.raises(ValueError, match="NULL value in op column"):
+        t.apply_cdc(_cdc(spark, [(1, "a2", None, 2)]), key_cols=["k"])
+    assert {r.k: r.val for r in t.read().collect()} == {1: "a1"}
+
+
 def test_apply_cdc_cross_batch_replay_equals_last_writer_wins(spark):
     root = tempfile.mkdtemp(prefix="a2s_cdc_")
     t = TransactionalTable(spark, root, stats_cols=("k",))
