@@ -2806,6 +2806,22 @@ def similarity_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_sequential_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential pattern mining (operators/events.sequential_patterns):
+    frequent non-contiguous event-type subsequences (length 1-3) by
+    distinct-user support over (ts, event_id)-ordered streams — the
+    GSP/PrefixSpan support semantics, reduced to equi-joins over the
+    O(users x types) first/last-position table so no per-user
+    subsequence set ever materializes."""
+    from aleph2_contrib_spark.operators.events import sequential_patterns
+
+    ev = _t(spark, sf_dir, "events")
+    return sequential_patterns(
+        ev, "user_id", "ts", "event_type", "event_id",
+        min_support=5, max_len=3,
+    )
+
+
 def events_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Association mining (operators/events.basket_pair_lift): top
     supplier pairs co-appearing in orders ranked by lift — exact integer
@@ -3179,6 +3195,27 @@ def events_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = _t(spark, sf_dir, "orders")
     return scd2_intervals(orders, "o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey")
+
+
+def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (operators/graph.personalized_pagerank):
+    teleport mass restarted onto two seed users of the user→action
+    graph — same exact 1e6 fixed-point join+agg rounds as graph_pagerank
+    but only seed-reachable nodes carry mass; oracle is the unrolled-CTE
+    replica from ppr_oracle_sql."""
+    from aleph2_contrib_spark.operators.graph import personalized_pagerank
+
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        F.concat(F.lit("u:"), F.col("user_id").cast("string")).alias("src"),
+        F.concat(F.lit("a:"), F.col("event_type")).alias("dst"),
+    ).distinct()
+    # actions link back to the users that perform them: a real two-hop
+    # neighborhood for the restart walk instead of a bipartite dead end
+    back = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    return personalized_pagerank(
+        e.unionByName(back), ["u:1", "u:2"], iterations=3
+    )
 
 
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4381,6 +4418,35 @@ def events_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trend_slope(daily, "event_type", "x", "y")
 
 
+def _ppr_oracle() -> str:
+    from aleph2_contrib_spark.operators.graph import ppr_oracle_sql
+
+    edge_sql = (
+        "SELECT src, dst FROM ("
+        "  SELECT DISTINCT 'u:' || CAST(user_id AS VARCHAR) AS src,"
+        "         'a:' || event_type AS dst FROM events"
+        ") UNION ALL "
+        "SELECT dst AS src, src AS dst FROM ("
+        "  SELECT DISTINCT 'u:' || CAST(user_id AS VARCHAR) AS src,"
+        "         'a:' || event_type AS dst FROM events"
+        ")"
+    )
+    seed_sql = "SELECT 'u:1' AS node UNION ALL SELECT 'u:2'"
+    return ppr_oracle_sql(edge_sql, seed_sql, iterations=3)
+
+
+def _sequential_patterns_oracle() -> str:
+    from aleph2_contrib_spark.operators.events import (
+        sequential_patterns_oracle_sql,
+    )
+
+    ev = (
+        "SELECT user_id AS u, event_type AS t, ts, event_id AS eid"
+        " FROM events"
+    )
+    return sequential_patterns_oracle_sql(ev, min_support=5, max_len=3)
+
+
 def _trend_slope_oracle() -> str:
     from aleph2_contrib_spark.operators.events import trend_slope_oracle_sql
 
@@ -4731,6 +4797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q11_important_stock": q11_important_stock,
         "q21_sole_late_supplier": q21_sole_late_supplier,
         "dedup_minhash_pairs": dedup_minhash_pairs,
+        "events_sequential_patterns": events_sequential_patterns,
         "events_sessionize": events_sessionize,
         "dedup_ngram_jaccard_pairs": dedup_ngram_jaccard_pairs,
         "q3_shipping_priority": q3_shipping_priority,
@@ -4781,6 +4848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_inverted_postings": text_inverted_postings,
         "events_scd2_intervals": events_scd2_intervals,
         "graph_pagerank": graph_pagerank,
+        "graph_personalized_pagerank": graph_personalized_pagerank,
         "sketch_quantile_hist": sketch_quantile_hist,
         "corpus_chunk_stride": corpus_chunk_stride,
         "corpus_domain_rollup": corpus_domain_rollup,
@@ -5167,6 +5235,7 @@ def oracle_sql() -> dict[str, str]:
         "events_cusum_alarms": _cusum_oracle(),
         "join_nearest_value": _nearest_value_oracle(),
         "events_trend_slope": _trend_slope_oracle(),
+        "events_sequential_patterns": _sequential_patterns_oracle(),
         "profile_fd_violations": _fd_violations_oracle(),
         "join_bitmap_prefilter": """
             SELECT l_returnflag, l_linestatus,
@@ -5676,6 +5745,7 @@ def oracle_sql() -> dict[str, str]:
                    n_obs, CAST(run AS INT) AS version
             FROM g
         """,
+        "graph_personalized_pagerank": _ppr_oracle(),
         "graph_pagerank": """
             WITH e AS (
                 SELECT DISTINCT 'u:' || CAST(user_id AS VARCHAR) AS src,

@@ -748,3 +748,140 @@ SELECT k AS {key_col}, CAST(n AS BIGINT) AS n,
        CAST(n * d AS BIGINT) AS intercept_den
 FROM c WHERE d != 0
 """
+
+
+def sequential_patterns(
+    df: DataFrame,
+    user_col: str,
+    time_col: str,
+    type_col: str,
+    id_col: str,
+    min_support: int = 2,
+    max_len: int = 3,
+) -> DataFrame:
+    """GSP/PrefixSpan-family sequential pattern mining over per-user event
+    streams: a pattern ``<a,b,c>`` is supported by a user when their
+    stream contains events of those types in that order — NOT necessarily
+    consecutive (the non-contiguous complement of :func:`path_ngrams`).
+    Support counts DISTINCT users, the standard market-basket-over-time
+    semantics (reference surface: the enrichment/grouping pipeline mines
+    per-entity behavior; this is the canonical sequence analytic on it).
+
+    Returns (pattern, length, support) for lengths 1..max_len (max 3)
+    with support >= min_support; pattern is types joined by ``>``.
+
+    Scale design — no per-user subsequence explosion, ever: a length-2
+    pattern <a,b> exists in a stream iff first_pos(a) < last_pos(b), and
+    a length-3 <a,b,c> iff some b-position sits strictly between
+    first_pos(a) and last_pos(c) — so support counting reduces to
+    equi-joins over the O(users x |types|) first/last-position table
+    (one groupBy of the positioned stream) plus, for length 3, ONE join
+    of the positioned events against that table to find the earliest b
+    after each first_pos(a) (O(events x |types|) rows, linear in events
+    for a bounded type alphabet — event taxonomies are dozens of types,
+    not open vocabularies; that assumption is this operator's contract).
+    Every stage is a Catalyst equi-join + partial agg; nothing is
+    collected, no window wider than the per-user position sort.
+    """
+    if max_len < 1 or max_len > 3:
+        raise ValueError(f"max_len must be 1..3, got {max_len}")
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(time_col).asc(), F.col(id_col).asc()
+    )
+    pos = df.select(
+        F.col(user_col).alias("u"),
+        F.col(type_col).alias("t"),
+        F.row_number().over(w).alias("p"),
+    )
+    # first/last position of each type per user: O(users x |types|)
+    fl = pos.groupBy("u", "t").agg(
+        F.min("p").alias("f"), F.max("p").alias("l")
+    )
+    parts = []
+    l1 = (
+        fl.groupBy("t")
+        .agg(F.countDistinct("u").alias("support"))
+        .select(F.col("t").alias("pattern"), F.lit(1).alias("length"), "support")
+    )
+    parts.append(l1)
+    if max_len >= 2:
+        a = fl.select(F.col("u"), F.col("t").alias("ta"), F.col("f"))
+        b = fl.select(F.col("u"), F.col("t").alias("tb"), F.col("l"))
+        l2 = (
+            a.join(b, "u")
+            .filter(F.col("f") < F.col("l"))
+            .groupBy("ta", "tb")
+            .agg(F.countDistinct("u").alias("support"))
+            .select(
+                F.concat_ws(">", "ta", "tb").alias("pattern"),
+                F.lit(2).alias("length"),
+                "support",
+            )
+        )
+        parts.append(l2)
+    if max_len >= 3:
+        a = fl.select(F.col("u"), F.col("t").alias("ta"), F.col("f"))
+        # earliest b-position strictly after first_pos(a), per (u, a, b)
+        mid = (
+            pos.withColumnRenamed("t", "tb")
+            .join(a, "u")
+            .filter(F.col("p") > F.col("f"))
+            .groupBy("u", "ta", "tb")
+            .agg(F.min("p").alias("j"))
+        )
+        c = fl.select(F.col("u"), F.col("t").alias("tc"), F.col("l"))
+        l3 = (
+            mid.join(c, "u")
+            .filter(F.col("l") > F.col("j"))
+            .groupBy("ta", "tb", "tc")
+            .agg(F.countDistinct("u").alias("support"))
+            .select(
+                F.concat_ws(">", "ta", "tb", "tc").alias("pattern"),
+                F.lit(3).alias("length"),
+                "support",
+            )
+        )
+        parts.append(l3)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.filter(F.col("support") >= F.lit(int(min_support)))
+
+
+def sequential_patterns_oracle_sql(
+    events_sql: str, min_support: int = 2, max_len: int = 3
+) -> str:
+    """DuckDB replica of :func:`sequential_patterns`. ``events_sql`` must
+    yield (u, t, ts, eid); positions replay the same (ts, eid) order."""
+    return f"""
+WITH pos AS (
+    SELECT u, t, row_number() OVER (PARTITION BY u ORDER BY ts, eid) AS p
+    FROM ({events_sql})
+), fl AS (
+    SELECT u, t, min(p) AS f, max(p) AS l FROM pos GROUP BY u, t
+), l1 AS (
+    SELECT t AS pattern, 1 AS length, count(DISTINCT u) AS support
+    FROM fl GROUP BY t
+), l2 AS (
+    SELECT a.t || '>' || b.t AS pattern, 2 AS length,
+           count(DISTINCT a.u) AS support
+    FROM fl a JOIN fl b ON a.u = b.u AND a.f < b.l
+    GROUP BY a.t, b.t
+), mid AS (
+    SELECT pos.u, a.t AS ta, pos.t AS tb, min(pos.p) AS j
+    FROM pos JOIN fl a ON pos.u = a.u AND pos.p > a.f
+    GROUP BY pos.u, a.t, pos.t
+), l3 AS (
+    SELECT mid.ta || '>' || mid.tb || '>' || c.t AS pattern, 3 AS length,
+           count(DISTINCT mid.u) AS support
+    FROM mid JOIN fl c ON mid.u = c.u AND c.l > mid.j
+    GROUP BY mid.ta, mid.tb, c.t
+), unioned AS (
+    SELECT * FROM l1
+    {"UNION ALL SELECT * FROM l2" if max_len >= 2 else ""}
+    {"UNION ALL SELECT * FROM l3" if max_len >= 3 else ""}
+)
+SELECT pattern, CAST(length AS INT) AS length,
+       CAST(support AS BIGINT) AS support
+FROM unioned WHERE support >= {int(min_support)}
+"""

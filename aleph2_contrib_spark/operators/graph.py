@@ -1646,3 +1646,123 @@ def ktruss_oracle_sql(edge_sql: str, k: int, rounds: int = 8) -> str:
         f" WHERE (SELECT count(*) FROM e{rounds}) != (SELECT count(*) FROM e{rounds - 1})"
     )
     return "".join(parts)
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: Sequence[str],
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 5,
+    damping_permille: int = 850,
+    scale: int = 1_000_000,
+    checkpoint_every: int = 0,
+) -> DataFrame:
+    """Personalized PageRank: identical fixed-point update to
+    :func:`pagerank` but the teleport mass restarts onto the SEED set
+    only — the similarity/recommendation ranking ("nodes relevant to
+    THESE users/docs") that global PageRank can't express. rank0(v) =
+    scale·[v ∈ S]; per round,
+
+        rank'(v) = base·[v ∈ S] + floor(d · Σ_{u→v} floor(rank(u)/outdeg(u)) / 1000)
+
+    with base = floor((1000−d)·scale/1000). Same bounded-leak dangling
+    policy, same exact-integer engine-portability contract (every
+    aggregate an integer sum, every division a floor) as pagerank.
+
+    ``seeds`` is a driver-side list: PPR queries are "a handful of
+    nodes" by construction (a user, a doc, a small cohort); the seed
+    membership travels as a broadcast literal set, never a shuffle.
+
+    Plan shape at scale: per iteration one ranks⋈edges equi-join +
+    one groupBy(dst) partial-agg — the rank frontier narrows to nodes
+    reachable from the seeds, so iterations touch a shrinking-or-stable
+    working set rather than every node; the final left join re-injects
+    seed base mass only.
+    """
+    if not seeds:
+        raise ValueError("personalized_pagerank requires at least one seed")
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    base = int((1000 - damping_permille) * scale // 1000)
+    seed_list = [str(s) for s in seeds]
+    is_seed = F.col("node").isin(seed_list)
+    ranks = nodes.withColumn(
+        "rank_fx",
+        F.when(is_seed, F.lit(int(scale))).otherwise(F.lit(0)).cast("long"),
+    )
+    for i in range(iterations):
+        live = ranks.filter(F.col("rank_fx") > 0)
+        contribs = (
+            live.join(outdeg, live["node"] == outdeg["src"], "inner")
+            .join(e, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("rank_fx div outdeg").cast("long").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("csum"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .withColumn("csum0", F.coalesce(F.col("csum"), F.lit(0)).cast("long"))
+            .select(
+                "node",
+                (
+                    F.when(is_seed, F.lit(base)).otherwise(F.lit(0))
+                    + F.expr(f"({int(damping_permille)} * csum0) div 1000")
+                ).cast("long").alias("rank_fx"),
+            )
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint(eager=False)
+    return ranks.filter(F.col("rank_fx") > 0).select(
+        "node", F.col("rank_fx").alias("rank_f6")
+    )
+
+
+def ppr_oracle_sql(
+    edge_sql: str,
+    seed_sql: str,
+    iterations: int = 5,
+    damping_permille: int = 850,
+    scale: int = 1_000_000,
+) -> str:
+    """DuckDB replica of :func:`personalized_pagerank`, rounds unrolled
+    textually (same technique as sssp_oracle_sql). ``edge_sql`` yields
+    (src, dst); ``seed_sql`` yields (node)."""
+    base = int((1000 - damping_permille) * scale // 1000)
+    d = int(damping_permille)
+    parts = [
+        f"WITH e AS MATERIALIZED ({edge_sql}),",
+        f"seeds AS MATERIALIZED (SELECT node FROM ({seed_sql})),",
+        "nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),",
+        "outdeg AS MATERIALIZED (SELECT src, count(*) AS od FROM e GROUP BY src),",
+        "r0 AS (SELECT n.node,"
+        f" CAST(CASE WHEN s.node IS NOT NULL THEN {int(scale)} ELSE 0 END AS BIGINT)"
+        " AS rank_fx FROM nodes n LEFT JOIN seeds s ON n.node = s.node),",
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"c{i} AS (SELECT e.dst AS node,"
+            f" sum(CAST(r.rank_fx // o.od AS BIGINT)) AS csum"
+            f" FROM r{i-1} r JOIN outdeg o ON r.node = o.src"
+            f" JOIN e ON e.src = o.src WHERE r.rank_fx > 0 GROUP BY e.dst),"
+        )
+        parts.append(
+            f"r{i} AS (SELECT n.node,"
+            f" CAST(CASE WHEN s.node IS NOT NULL THEN {base} ELSE 0 END"
+            f" + ({d} * COALESCE(c.csum, 0)) // 1000 AS BIGINT) AS rank_fx"
+            f" FROM nodes n LEFT JOIN seeds s ON n.node = s.node"
+            f" LEFT JOIN c{i} c ON n.node = c.node),"
+        )
+    body = "\n".join(parts).rstrip(",")
+    return (
+        f"{body}\n"
+        f"SELECT node, rank_fx AS rank_f6 FROM r{iterations} WHERE rank_fx > 0"
+    )

@@ -579,3 +579,89 @@ def test_trend_slope_oracle_matches(spark):
         f"SELECT c1 AS k, c2 AS x, c3 AS y FROM (VALUES {vals}) t(c1, c2, c3)", "k"
     )
     assert got == {tuple(r) for r in duckdb.sql(sql).fetchall()}
+
+
+# -- sequential_patterns ---------------------------------------------------
+
+
+def _brute_seq_patterns(streams, min_support, max_len):
+    """streams: {user: [type, ...]} in order. Exhaustive subsequence check."""
+    import itertools
+
+    def has_subseq(seq, pat):
+        it = iter(seq)
+        return all(any(x == want for x in it) for want in pat)
+
+    types = sorted({t for s in streams.values() for t in s})
+    out = {}
+    for ln in range(1, max_len + 1):
+        for pat in itertools.product(types, repeat=ln):
+            sup = sum(1 for s in streams.values() if has_subseq(s, pat))
+            if sup >= min_support:
+                out[(">".join(pat), ln)] = sup
+    return out
+
+
+def test_sequential_patterns_matches_brute_force(spark):
+    import random
+
+    from aleph2_contrib_spark.operators.events import sequential_patterns
+
+    rnd = random.Random(13)
+    streams = {
+        u: [rnd.choice("abcd") for _ in range(rnd.randint(0, 12))]
+        for u in range(25)
+    }
+    rows = [
+        (u, t, i, u * 1000 + i)
+        for u, seq in streams.items()
+        for i, t in enumerate(seq)
+    ]
+    df = spark.createDataFrame(rows, "user long, typ string, ts long, eid long")
+    got = {
+        (r["pattern"], r["length"]): r["support"]
+        for r in sequential_patterns(
+            df, "user", "ts", "typ", "eid", min_support=2, max_len=3
+        ).collect()
+    }
+    assert got == _brute_seq_patterns(streams, 2, 3)
+
+
+def test_sequential_patterns_oracle_matches(spark):
+    import random
+
+    import duckdb
+
+    from aleph2_contrib_spark.operators.events import (
+        sequential_patterns,
+        sequential_patterns_oracle_sql,
+    )
+
+    rnd = random.Random(29)
+    rows = [
+        (u, rnd.choice(["x", "y", "z"]), i, u * 100 + i)
+        for u in range(12)
+        for i in range(rnd.randint(1, 9))
+    ]
+    df = spark.createDataFrame(rows, "user long, typ string, ts long, eid long")
+    got = {
+        tuple(r)
+        for r in sequential_patterns(
+            df, "user", "ts", "typ", "eid", min_support=3, max_len=3
+        ).collect()
+    }
+    vals = ", ".join(f"({u}, '{t}', {ts}, {e})" for u, t, ts, e in rows)
+    sql = sequential_patterns_oracle_sql(
+        f"SELECT c1 AS u, c2 AS t, c3 AS ts, c4 AS eid "
+        f"FROM (VALUES {vals}) v(c1, c2, c3, c4)",
+        min_support=3,
+    )
+    assert got == {tuple(r) for r in duckdb.sql(sql).fetchall()}
+
+
+def test_sequential_patterns_validation(spark):
+    from aleph2_contrib_spark.operators.events import sequential_patterns
+
+    df = spark.createDataFrame([(1, "a", 1, 1)], "u long, t string, ts long, e long")
+    with pytest.raises(ValueError, match="max_len"):
+        sequential_patterns(df, "u", "ts", "t", "e", max_len=4)

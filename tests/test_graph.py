@@ -696,3 +696,81 @@ def test_ktruss_oracle_matches_duckdb(spark, truss_edges):
         for r in duckdb.sql(ktruss_oracle_sql(edge_sql, k=4, rounds=6)).fetchall()
     }
     assert got == oracle
+
+
+# -- personalized_pagerank -------------------------------------------------
+
+
+def _brute_ppr(edges, seeds, iterations=3, d=850, scale=1_000_000):
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    outdeg = {}
+    for a, _ in edges:
+        outdeg[a] = outdeg.get(a, 0) + 1
+    base = (1000 - d) * scale // 1000
+    rank = {n: (scale if n in seeds else 0) for n in nodes}
+    for _ in range(iterations):
+        csum = {n: 0 for n in nodes}
+        for a, b in edges:
+            if rank[a] > 0:
+                csum[b] += rank[a] // outdeg[a]
+        rank = {
+            n: (base if n in seeds else 0) + (d * csum[n]) // 1000
+            for n in nodes
+        }
+    return {n: r for n, r in rank.items() if r > 0}
+
+
+def test_personalized_pagerank_matches_brute_force(spark):
+    import random
+
+    from aleph2_contrib_spark.operators.graph import personalized_pagerank
+
+    rnd = random.Random(17)
+    edges = sorted(
+        {
+            (f"n{rnd.randint(0, 30)}", f"n{rnd.randint(0, 30)}")
+            for _ in range(120)
+        }
+    )
+    seeds = ["n1", "n2"]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        r["node"]: r["rank_f6"]
+        for r in personalized_pagerank(df, seeds, iterations=3).collect()
+    }
+    assert got == _brute_ppr(edges, set(seeds), iterations=3)
+
+
+def test_personalized_pagerank_oracle_matches(spark):
+    import duckdb
+
+    from aleph2_contrib_spark.operators.graph import (
+        personalized_pagerank,
+        ppr_oracle_sql,
+    )
+
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "a"), ("x", "y")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        (r["node"], r["rank_f6"])
+        for r in personalized_pagerank(df, ["a"], iterations=4).collect()
+    }
+    vals = ", ".join(f"('{a}', '{b}')" for a, b in edges)
+    sql = ppr_oracle_sql(
+        f"SELECT c1 AS src, c2 AS dst FROM (VALUES {vals}) t(c1, c2)",
+        "SELECT 'a' AS node",
+        iterations=4,
+    )
+    assert got == {tuple(r) for r in duckdb.sql(sql).fetchall()}
+    # the disconnected component (x, y) must carry zero mass
+    assert not any(n in ("x", "y") for n, _ in got)
+
+
+def test_personalized_pagerank_validation(spark):
+    import pytest as _pytest
+
+    from aleph2_contrib_spark.operators.graph import personalized_pagerank
+
+    df = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with _pytest.raises(ValueError, match="at least one seed"):
+        personalized_pagerank(df, [])
