@@ -2806,6 +2806,35 @@ def similarity_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def linkage_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source record linkage (operators/linkage.linked_pairs): two
+    disjoint part "catalogs" (partkey mod 4 = 1 vs 3) linked on
+    first-name-token blocks with a weighted score (name token-Jaccard
+    w=3, brand exact w=1) — blocked equi-join candidates only, exact
+    integer fixed-point scoring, threshold 0.5."""
+    from aleph2_contrib_spark.operators.linkage import LinkField, linked_pairs
+
+    part = _t(spark, sf_dir, "part")
+    l = part.filter(F.col("p_partkey") % 4 == 1)
+    r = part.filter(F.col("p_partkey") % 4 == 3).select(
+        F.col("p_partkey").alias("r_partkey"),
+        F.col("p_name").alias("r_name"),
+        F.col("p_brand").alias("r_brand"),
+    )
+    first_tok = lambda c: F.element_at(  # noqa: E731
+        F.split(F.trim(F.regexp_replace(F.lower(F.col(c)), r"\s+", " ")), " "), 1
+    )
+    return linked_pairs(
+        l, r, "p_partkey", "r_partkey",
+        first_tok("p_name"), first_tok("r_name"),
+        [
+            LinkField("p_name", "r_name", 3, "jaccard"),
+            LinkField("p_brand", "r_brand", 1, "exact"),
+        ],
+        min_score_f6=500_000,
+    )
+
+
 def events_sequential_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequential pattern mining (operators/events.sequential_patterns):
     frequent non-contiguous event-type subsequences (length 1-3) by
@@ -4418,6 +4447,30 @@ def events_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trend_slope(daily, "event_type", "x", "y")
 
 
+def _linkage_oracle() -> str:
+    from aleph2_contrib_spark.operators.linkage import (
+        LinkField,
+        linked_pairs_oracle_sql,
+    )
+
+    bk = "string_split(trim(regexp_replace(lower(p_name), '\\s+', ' ', 'g')), ' ')[1]"
+    inner = linked_pairs_oracle_sql(
+        f"SELECT p_partkey AS lid, {bk} AS bk, p_name AS f0, p_brand AS f1"
+        " FROM part WHERE p_partkey % 4 = 1",
+        f"SELECT p_partkey AS rid, {bk} AS bk, p_name AS f0, p_brand AS f1"
+        " FROM part WHERE p_partkey % 4 = 3",
+        [
+            LinkField("p_name", "r_name", 3, "jaccard"),
+            LinkField("p_brand", "r_brand", 1, "exact"),
+        ],
+        min_score_f6=500_000,
+    )
+    return (
+        "SELECT lid AS p_partkey, rid AS r_partkey, score_f6 "
+        f"FROM ({inner})"
+    )
+
+
 def _ppr_oracle() -> str:
     from aleph2_contrib_spark.operators.graph import ppr_oracle_sql
 
@@ -4798,6 +4851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_sole_late_supplier": q21_sole_late_supplier,
         "dedup_minhash_pairs": dedup_minhash_pairs,
         "events_sequential_patterns": events_sequential_patterns,
+        "linkage_blocked_pairs": linkage_blocked_pairs,
         "events_sessionize": events_sessionize,
         "dedup_ngram_jaccard_pairs": dedup_ngram_jaccard_pairs,
         "q3_shipping_priority": q3_shipping_priority,
@@ -5236,6 +5290,7 @@ def oracle_sql() -> dict[str, str]:
         "join_nearest_value": _nearest_value_oracle(),
         "events_trend_slope": _trend_slope_oracle(),
         "events_sequential_patterns": _sequential_patterns_oracle(),
+        "linkage_blocked_pairs": _linkage_oracle(),
         "profile_fd_violations": _fd_violations_oracle(),
         "join_bitmap_prefilter": """
             SELECT l_returnflag, l_linestatus,
