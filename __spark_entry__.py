@@ -3900,6 +3900,79 @@ def streaming_hll_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_estimate_from_group_registers(emitted, "window_start")
 
 
+def streaming_interval_join_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream watermarked interval join
+    (streaming/runner.streaming_interval_join): clicks and purchases
+    replayed as TWO independent multi-batch file streams, inner-joined
+    per user with purchase time in [click, click + 1 hour] — the
+    bounded-state correlation join (state expires once the watermark
+    passes click + upper). Events carry exact epoch-micros through the
+    JSON feed so the per-user (n_pairs, gap-sum) aggregate is
+    bit-identical to the batch SQL oracle."""
+    import tempfile
+
+    from aleph2_contrib_spark.streaming.runner import (
+        json_file_stream,
+        streaming_interval_join,
+    )
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        # 1-in-3 users: join semantics identical on a subset; keeps the
+        # JSON serialize + two-stream replay in seconds at sf0.1
+        .filter(F.col("user_id") % 3 == 0)
+        .select(
+            "user_id",
+            "event_type",
+            # ts loads as TIMESTAMP_NTZ; the NTZ→TZ cast uses the session
+            # zone (UTC here and in the driver). The gate's aggregates are
+            # all DIFFERENCES and window predicates, so any consistent
+            # offset cancels — no DST-sensitivity.
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        )
+    )
+    src_c = tempfile.mkdtemp(prefix="a2s_sij_c_")
+    src_p = tempfile.mkdtemp(prefix="a2s_sij_p_")
+    ev.filter(F.col("event_type") == "click").select("user_id", "us").repartition(
+        2
+    ).write.mode("overwrite").json(src_c)
+    ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("us").alias("p_us")
+    ).repartition(2).write.mode("overwrite").json(src_p)
+
+    cs = (
+        json_file_stream(spark, src_c, "user_id long, us long", max_files_per_trigger=1)
+        .withColumn("c_ts", F.timestamp_micros(F.col("us")))
+        .withColumnRenamed("us", "c_us")
+    )
+    ps = (
+        json_file_stream(spark, src_p, "p_user long, p_us long", max_files_per_trigger=1)
+        .withColumn("p_ts", F.timestamp_micros(F.col("p_us")))
+        .withColumnRenamed("p_user", "user_id")
+    )
+    joined = streaming_interval_join(
+        cs, ps, "user_id", "c_ts", "p_ts", "1 hour", "2 hours"
+    )
+    sink_dir = tempfile.mkdtemp(prefix="a2s_sij_out_")
+    with _stream_shuffle(spark):
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", sink_dir)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="a2s_sij_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+    q.awaitTermination(300)
+    pairs = spark.read.parquet(sink_dir)
+    return (
+        pairs.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.col("p_us") - F.col("c_us")).alias("gap_us_sum"),
+        )
+    )
+
+
 def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-scored quality filtering (fastText/CCNet-style) as a pure
     Catalyst map: hashed unigram+bigram features → deterministic weight
@@ -4852,6 +4925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_pairs": dedup_minhash_pairs,
         "events_sequential_patterns": events_sequential_patterns,
         "linkage_blocked_pairs": linkage_blocked_pairs,
+        "streaming_interval_join": streaming_interval_join_gate,
         "events_sessionize": events_sessionize,
         "dedup_ngram_jaccard_pairs": dedup_ngram_jaccard_pairs,
         "q3_shipping_priority": q3_shipping_priority,
@@ -5291,6 +5365,18 @@ def oracle_sql() -> dict[str, str]:
         "events_trend_slope": _trend_slope_oracle(),
         "events_sequential_patterns": _sequential_patterns_oracle(),
         "linkage_blocked_pairs": _linkage_oracle(),
+        "streaming_interval_join": """
+            SELECT c.user_id,
+                   CAST(count(*) AS BIGINT) AS n_pairs,
+                   CAST(sum(epoch_us(p.ts) - epoch_us(c.ts)) AS BIGINT) AS gap_us_sum
+            FROM (SELECT user_id, ts FROM events
+                  WHERE event_type = 'click' AND user_id % 3 = 0) c
+            JOIN (SELECT user_id, ts FROM events
+                  WHERE event_type = 'purchase' AND user_id % 3 = 0) p
+              ON c.user_id = p.user_id
+             AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+            GROUP BY c.user_id
+        """,
         "profile_fd_violations": _fd_violations_oracle(),
         "join_bitmap_prefilter": """
             SELECT l_returnflag, l_linestatus,

@@ -190,6 +190,48 @@ def streaming_hll_window_registers(
     )
 
 
+def streaming_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_time: str,
+    right_time: str,
+    upper: str,
+    watermark: str,
+) -> DataFrame:
+    """Watermarked stream-stream INNER join: each left row pairs with the
+    right rows sharing ``key`` whose ``right_time`` falls in
+    [left_time, left_time + upper] — the click-to-conversion /
+    impression-to-action correlation join, run with bounded state.
+
+    Both sides carry a ``watermark`` delay and the join condition bounds
+    the event-time skew, which is exactly what Structured Streaming needs
+    to EXPIRE buffered rows: a left row's state is dropped once the
+    right watermark passes left_time + upper, so state is
+    O(rows inside the time envelope), never O(stream). Without the time
+    bound Spark must buffer both sides forever — this helper makes the
+    bounded form the only expressible one.
+
+    Column names other than ``key`` must be disjoint across the sides
+    (same contract as the batch interval joins); ``upper`` is a SQL
+    interval literal body, e.g. ``"1 hour"``.
+    """
+    clash = (set(left.columns) & set(right.columns)) - {key}
+    if clash:
+        raise ValueError(
+            f"streaming_interval_join requires disjoint column names apart "
+            f"from the key, both sides carry {sorted(clash)}: rename first"
+        )
+    l = left.withWatermark(left_time, watermark)
+    r = right.withWatermark(right_time, watermark)
+    cond = (
+        (l[key] == r[key])
+        & (r[right_time] >= l[left_time])
+        & (r[right_time] <= l[left_time] + F.expr(f"INTERVAL {upper}"))
+    )
+    return l.join(r, cond, "inner").drop(r[key])
+
+
 def transactional_sink(table, app_id: str, merge_keys: list[str] | None = None):
     """Exactly-once streaming sink into a TransactionalTable: each
     micro-batch commits under an idempotent (app_id, batch_id) txn marker,

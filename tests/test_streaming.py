@@ -487,3 +487,47 @@ def test_streaming_hll_registers_equal_batch_sketch(spark, tmp_path):
         for r in hll_estimate_by_group(batch, "user_id", "w").collect()
     }
     assert got == want and len(want) == 2
+
+
+def test_streaming_interval_join_semantics_and_guard(spark):
+    """The helper's join predicate in batch mode (withWatermark is a
+    no-op on batch frames, the condition is the contract) + the
+    column-clash guard. The end-to-end streaming replay is covered by
+    the streaming_interval_join driver gate."""
+    import datetime as _dt
+
+    import pytest as _pytest
+
+    from aleph2_contrib_spark.streaming.runner import streaming_interval_join
+
+    t0 = _dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ts(minutes):
+        return t0 + _dt.timedelta(minutes=minutes)
+
+    left = spark.createDataFrame(
+        [(1, ts(0), "c1"), (1, ts(120), "c2"), (2, ts(0), "c3")],
+        "k long, lt timestamp, lid string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, ts(30), "p1"),   # inside c1's hour
+            (1, ts(61), "p2"),   # outside c1, before c2
+            (1, ts(150), "p3"),  # inside c2's hour
+            (2, ts(-1), "p4"),   # before c3 — excluded (lower bound)
+            (3, ts(10), "p5"),   # no matching key
+        ],
+        "k long, rt timestamp, rid string",
+    )
+    got = sorted(
+        (r["lid"], r["rid"])
+        for r in streaming_interval_join(
+            left, right, "k", "lt", "rt", "1 hour", "2 hours"
+        ).collect()
+    )
+    assert got == [("c1", "p1"), ("c2", "p3")]
+
+    with _pytest.raises(ValueError, match="disjoint column names"):
+        streaming_interval_join(
+            left, left, "k", "lt", "lt", "1 hour", "1 hour"
+        )
