@@ -2835,6 +2835,31 @@ def linkage_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-skew diagnostic (operators/profile.key_skew): heaviest-key
+    share and skew ratio for four candidate join/groupBy keys of the
+    fact tables — exact integer ppm, one O(distinct-keys) agg per
+    column."""
+    from aleph2_contrib_spark.operators.profile import key_skew
+
+    li = _t(spark, sf_dir, "lineitem")
+    ev = _t(spark, sf_dir, "events")
+    return key_skew(li, ["l_orderkey", "l_returnflag"]).unionByName(
+        key_skew(ev, ["user_id", "event_type"])
+    )
+
+
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix
+    (operators/events.markov_transitions) over per-user event streams:
+    consecutive (from → to) counts and exact-rational ppm probabilities;
+    one user-key shuffle + a broadcast of per-from totals."""
+    from aleph2_contrib_spark.operators.events import markov_transitions
+
+    ev = _t(spark, sf_dir, "events")
+    return markov_transitions(ev, "user_id", "ts", "event_type", "event_id")
+
+
 def events_sequential_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequential pattern mining (operators/events.sequential_patterns):
     frequent non-contiguous event-type subsequences (length 1-3) by
@@ -4520,6 +4545,26 @@ def events_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trend_slope(daily, "event_type", "x", "y")
 
 
+def _key_skew_oracle() -> str:
+    from aleph2_contrib_spark.operators.profile import key_skew_oracle_sql
+
+    a = key_skew_oracle_sql("lineitem", ["l_orderkey", "l_returnflag"])
+    b = key_skew_oracle_sql("events", ["user_id", "event_type"])
+    return f"{a} UNION ALL {b}"
+
+
+def _markov_oracle() -> str:
+    from aleph2_contrib_spark.operators.events import (
+        markov_transitions_oracle_sql,
+    )
+
+    ev = (
+        "SELECT user_id AS u, event_type AS t, ts, event_id AS eid"
+        " FROM events"
+    )
+    return markov_transitions_oracle_sql(ev)
+
+
 def _linkage_oracle() -> str:
     from aleph2_contrib_spark.operators.linkage import (
         LinkField,
@@ -4924,7 +4969,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_sole_late_supplier": q21_sole_late_supplier,
         "dedup_minhash_pairs": dedup_minhash_pairs,
         "events_sequential_patterns": events_sequential_patterns,
+        "events_markov_transitions": events_markov_transitions,
         "linkage_blocked_pairs": linkage_blocked_pairs,
+        "profile_key_skew": profile_key_skew,
         "streaming_interval_join": streaming_interval_join_gate,
         "events_sessionize": events_sessionize,
         "dedup_ngram_jaccard_pairs": dedup_ngram_jaccard_pairs,
@@ -5364,7 +5411,9 @@ def oracle_sql() -> dict[str, str]:
         "join_nearest_value": _nearest_value_oracle(),
         "events_trend_slope": _trend_slope_oracle(),
         "events_sequential_patterns": _sequential_patterns_oracle(),
+        "events_markov_transitions": _markov_oracle(),
         "linkage_blocked_pairs": _linkage_oracle(),
+        "profile_key_skew": _key_skew_oracle(),
         "streaming_interval_join": """
             SELECT c.user_id,
                    CAST(count(*) AS BIGINT) AS n_pairs,

@@ -885,3 +885,74 @@ SELECT pattern, CAST(length AS INT) AS length,
        CAST(support AS BIGINT) AS support
 FROM unioned WHERE support >= {int(min_support)}
 """
+
+
+def markov_transitions(
+    df: DataFrame,
+    user_col: str,
+    time_col: str,
+    type_col: str,
+    id_col: str,
+    min_count: int = 1,
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams:
+    for each consecutive (from → to) step, the transition count and the
+    exact rational probability ``p_ppm = 1e6·cnt div from_total`` — the
+    behavioral-model primitive behind next-action prediction and anomaly
+    scoring (a path_ngrams(n=2) normalized into a stochastic matrix).
+
+    Integer-exact output (from_type, to_type, cnt, p_ppm); rows with
+    cnt < min_count are dropped AFTER the denominator is computed, so
+    probabilities still sum (up to floor loss) per from_type.
+
+    Plan shape at scale: ONE shuffle on the user key (lead window),
+    groupBy(from, to) with partial aggregation, then a broadcast-sized
+    per-from_type total joined back — the matrix is |types|² rows, so
+    everything after the first agg is effectively free.
+    """
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(time_col).asc(), F.col(id_col).asc()
+    )
+    steps = (
+        df.select(
+            F.col(type_col).alias("from_type"),
+            F.lead(type_col).over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    totals = steps.groupBy("from_type").agg(F.sum("cnt").alias("__tot"))
+    return (
+        steps.join(F.broadcast(totals), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            F.col("cnt").cast("long").alias("cnt"),
+            F.expr("(1000000 * cnt) div __tot").alias("p_ppm"),
+        )
+        .filter(F.col("cnt") >= F.lit(int(min_count)))
+    )
+
+
+def markov_transitions_oracle_sql(
+    events_sql: str, min_count: int = 1
+) -> str:
+    """DuckDB replica of :func:`markov_transitions`. ``events_sql`` must
+    yield (u, t, ts, eid)."""
+    return f"""
+WITH s AS (
+    SELECT t AS from_type,
+           lead(t) OVER (PARTITION BY u ORDER BY ts, eid) AS to_type
+    FROM ({events_sql})
+), c AS (
+    SELECT from_type, to_type, count(*) AS cnt FROM s
+    WHERE to_type IS NOT NULL GROUP BY 1, 2
+), tot AS (
+    SELECT from_type, sum(cnt) AS tt FROM c GROUP BY 1
+)
+SELECT c.from_type, c.to_type, CAST(c.cnt AS BIGINT) AS cnt,
+       CAST((1000000 * c.cnt) // t.tt AS BIGINT) AS p_ppm
+FROM c JOIN tot t USING (from_type)
+WHERE c.cnt >= {int(min_count)}
+"""

@@ -560,3 +560,74 @@ def fd_violations_oracle_sql(table: str, fds: list[tuple[list[str], str]]) -> st
             )"""
         )
     return " UNION ALL ".join(selects)
+
+
+def key_skew(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Shuffle-skew diagnostic: for each candidate key column, how
+    concentrated is the row mass — the "will this join/groupBy key hot-spot
+    an executor at 100 TB?" profile that drives salting / AQE-skew
+    decisions before a job ships.
+
+    One row per key column: (col_name, n_rows, n_keys, max_cnt,
+    max_share_ppm, skew_ratio_ppm) with
+
+    - ``max_share_ppm``  = 1e6·max_cnt div n_rows (heaviest key's share),
+    - ``skew_ratio_ppm`` = 1e6·max_cnt·n_keys div n_rows (heaviest key
+      vs the perfectly-uniform per-key average; 1e6 = no skew).
+
+    All integer arithmetic (engine-portable). NULL keys count as a key
+    value (NULL is precisely the classic skew culprit).
+
+    Plan shape at scale: per column one map-side-combined
+    groupBy(key).count() whose output is O(distinct keys), then a
+    four-sum aggregate to ONE row — never a sort, never a driver-side
+    key list; the per-column jobs are independent narrow scans (column
+    pruning serves each).
+    """
+    if not key_cols:
+        raise ValueError("at least one key column required")
+    spark = df.sparkSession
+    parts = []
+    for c in key_cols:
+        if c not in df.columns:
+            raise ValueError(f"column {c!r} not in DataFrame")
+        cnts = (
+            df.select(F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL")).alias("__k"))
+            .groupBy("__k")
+            .agg(F.count(F.lit(1)).alias("__c"))
+        )
+        parts.append(
+            cnts.agg(
+                F.lit(c).alias("col_name"),
+                F.sum("__c").cast("long").alias("n_rows"),
+                F.count(F.lit(1)).cast("long").alias("n_keys"),
+                F.max("__c").cast("long").alias("max_cnt"),
+            ).select(
+                "col_name",
+                "n_rows",
+                "n_keys",
+                "max_cnt",
+                F.expr("(1000000 * max_cnt) div n_rows").alias("max_share_ppm"),
+                F.expr("(1000000 * max_cnt * n_keys) div n_rows").alias(
+                    "skew_ratio_ppm"
+                ),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def key_skew_oracle_sql(table: str, key_cols: list[str]) -> str:
+    """DuckDB replica of :func:`key_skew`."""
+    sels = []
+    for c in key_cols:
+        sels.append(f"""
+SELECT '{c}' AS col_name, CAST(sum(c) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_keys, CAST(max(c) AS BIGINT) AS max_cnt,
+       CAST((1000000 * max(c)) // sum(c) AS BIGINT) AS max_share_ppm,
+       CAST((1000000 * max(c) * count(*)) // sum(c) AS BIGINT) AS skew_ratio_ppm
+FROM (SELECT coalesce(CAST({c} AS VARCHAR), chr(0) || 'NULL') AS k, count(*) AS c
+      FROM {table} GROUP BY 1)""")
+    return " UNION ALL ".join(sels)

@@ -665,3 +665,56 @@ def test_sequential_patterns_validation(spark):
     df = spark.createDataFrame([(1, "a", 1, 1)], "u long, t string, ts long, e long")
     with pytest.raises(ValueError, match="max_len"):
         sequential_patterns(df, "u", "ts", "t", "e", max_len=4)
+
+
+# -- markov_transitions ----------------------------------------------------
+
+
+def test_markov_transitions_exact(spark):
+    from aleph2_contrib_spark.operators.events import markov_transitions
+
+    rows = [
+        (1, "a", 1, 1), (1, "b", 2, 2), (1, "a", 3, 3), (1, "b", 4, 4),
+        (2, "a", 1, 5), (2, "c", 2, 6),
+    ]
+    df = spark.createDataFrame(rows, "u long, t string, ts long, e long")
+    got = {
+        (r["from_type"], r["to_type"]): (r["cnt"], r["p_ppm"])
+        for r in markov_transitions(df, "u", "ts", "t", "e").collect()
+    }
+    # from 'a': a>b twice, a>c once; from 'b': b>a once
+    assert got == {
+        ("a", "b"): (2, 666_666),
+        ("a", "c"): (1, 333_333),
+        ("b", "a"): (1, 1_000_000),
+    }
+
+
+def test_markov_transitions_oracle_matches(spark):
+    import random
+
+    import duckdb
+
+    from aleph2_contrib_spark.operators.events import (
+        markov_transitions,
+        markov_transitions_oracle_sql,
+    )
+
+    rnd = random.Random(31)
+    rows = [
+        (u, rnd.choice(["x", "y", "z", "w"]), i, u * 100 + i)
+        for u in range(15)
+        for i in range(rnd.randint(1, 12))
+    ]
+    df = spark.createDataFrame(rows, "u long, t string, ts long, e long")
+    got = {
+        tuple(r)
+        for r in markov_transitions(df, "u", "ts", "t", "e", min_count=2).collect()
+    }
+    vals = ", ".join(f"({u}, '{t}', {ts}, {e})" for u, t, ts, e in rows)
+    sql = markov_transitions_oracle_sql(
+        f"SELECT c1 AS u, c2 AS t, c3 AS ts, c4 AS eid "
+        f"FROM (VALUES {vals}) v(c1, c2, c3, c4)",
+        min_count=2,
+    )
+    assert got == {tuple(r) for r in duckdb.sql(sql).fetchall()}

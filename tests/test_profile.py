@@ -290,3 +290,47 @@ def test_fd_violations_validation(spark):
         fd_violations(df, [])
     with _pytest.raises(ValueError, match="not in DataFrame"):
         fd_violations(df, [(["a"], "nope")])
+
+
+# -- key_skew --------------------------------------------------------------
+
+
+def test_key_skew_exact_and_null_handling(spark):
+    from aleph2_contrib_spark.operators.profile import key_skew
+
+    rows = [("a", 1), ("a", 2), ("a", 3), ("b", 4), (None, 5), (None, 6)]
+    df = spark.createDataFrame(rows, "k string, v int")
+    got = {r["col_name"]: r.asDict() for r in key_skew(df, ["k", "v"]).collect()}
+    k = got["k"]
+    # 3 keys (a, b, NULL), heaviest 'a' with 3 of 6 rows
+    assert (k["n_rows"], k["n_keys"], k["max_cnt"]) == (6, 3, 3)
+    assert k["max_share_ppm"] == 500_000
+    assert k["skew_ratio_ppm"] == 1_500_000
+    v = got["v"]
+    assert (v["n_keys"], v["max_cnt"], v["skew_ratio_ppm"]) == (6, 1, 1_000_000)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not in DataFrame"):
+        key_skew(df, ["zz"])
+    with _pytest.raises(ValueError, match="at least one"):
+        key_skew(df, [])
+
+
+def test_key_skew_oracle_matches(spark, tmp_path):
+    import duckdb
+
+    from aleph2_contrib_spark.operators.profile import (
+        key_skew,
+        key_skew_oracle_sql,
+    )
+
+    rows = [(i % 7, f"t{i % 3}") for i in range(200)] + [(None, None)]
+    df = spark.createDataFrame(rows, "a int, b string")
+    p = str(tmp_path / "t.parquet")
+    df.coalesce(1).write.parquet(p)
+    got = {tuple(r) for r in key_skew(df, ["a", "b"]).collect()}
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW t AS SELECT * FROM '{p}/*.parquet'")
+    want = {tuple(r) for r in con.execute(key_skew_oracle_sql("t", ["a", "b"])).fetchall()}
+    assert got == want

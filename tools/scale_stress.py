@@ -370,6 +370,85 @@ def bench_mining_ops(spark, path, n_edges, label):
     return out
 
 
+def bench_round7_ops(spark, path, label):
+    """Round-7 additions: sequential patterns (first/last-position table
+    is O(users x types) however long the streams get), record linkage
+    (blocked equi-join candidates only), Markov transitions (one window
+    shuffle), key skew (one O(distinct) agg per column), and
+    personalized PageRank (mass confined to the seed-reachable set)."""
+    from aleph2_contrib_spark.operators.events import (
+        markov_transitions,
+        sequential_patterns,
+    )
+    from aleph2_contrib_spark.operators.graph import personalized_pagerank
+    from aleph2_contrib_spark.operators.linkage import LinkField, linked_pairs
+    from aleph2_contrib_spark.operators.profile import key_skew
+
+    docs = spark.read.parquet(path)
+    out = {}
+
+    def run(name, thunk):
+        t0 = time.perf_counter()
+        thunk()
+        out[name] = round(time.perf_counter() - t0, 2)
+
+    # per-user event streams from the doc corpus: ~40 events per user
+    ev = docs.select(
+        (F.col("doc_id") % 125).alias("u"),
+        F.element_at(
+            F.array(*[F.lit(t) for t in ("a", "b", "c", "d", "e")]),
+            (F.abs(F.xxhash64("doc_id", F.lit(31))) % 5).cast("int") + 1,
+        ).alias("t"),
+        F.col("doc_id").alias("ts"),
+        F.col("doc_id").alias("eid"),
+    )
+    run(
+        "seq_patterns",
+        lambda: sequential_patterns(ev, "u", "ts", "t", "eid")
+        .agg(F.sum("support"))
+        .collect(),
+    )
+    run(
+        "markov",
+        lambda: markov_transitions(ev, "u", "ts", "t", "eid")
+        .agg(F.sum("cnt"))
+        .collect(),
+    )
+    run("key_skew", lambda: key_skew(docs, ["source", "lang"]).collect())
+
+    first_tok = F.element_at(F.split(F.col("text"), " "), 1)
+    l = docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("lid"), F.col("text").alias("lname")
+    )
+    r = docs.filter(F.col("doc_id") % 2 == 1).select(
+        F.col("doc_id").alias("rid"), F.col("text").alias("rname")
+    )
+    run(
+        "linkage",
+        lambda: linked_pairs(
+            l, r, "lid", "rid",
+            F.element_at(F.split(F.col("lname"), " "), 1),
+            F.element_at(F.split(F.col("rname"), " "), 1),
+            [LinkField("lname", "rname", 1, "jaccard")],
+            min_score_f6=600_000,
+        ).count(),
+    )
+
+    nv = max(docs.count() // 2, 10)
+    e = spark.range(nv * 8).select(
+        F.concat(F.lit("n"), (F.abs(F.xxhash64(F.col("id"), F.lit(41))) % nv).cast("string")).alias("src"),
+        F.concat(F.lit("n"), (F.abs(F.xxhash64(F.col("id"), F.lit(42))) % nv).cast("string")).alias("dst"),
+    )
+    run(
+        "ppr",
+        lambda: personalized_pagerank(
+            e, ["n1", "n2", "n3"], iterations=3
+        ).agg(F.sum("rank_f6")).collect(),
+    )
+    print(label, out, flush=True)
+    return out
+
+
 def main():
     base = int(sys.argv[1]) if len(sys.argv) > 1 else 5000
     factor = int(sys.argv[2]) if len(sys.argv) > 2 else 10
@@ -390,6 +469,10 @@ def main():
     k2 = bench_mining_ops(spark, p2, base * factor * 20, f"{factor}x")
     r1.update(k1)
     r2.update(k2)
+    s1 = bench_round7_ops(spark, p1, "1x")
+    s2 = bench_round7_ops(spark, p2, f"{factor}x")
+    r1.update(s1)
+    r2.update(s2)
     m1 = bench_mutation_path(spark, p1, "1x")
     m2 = bench_mutation_path(spark, p2, f"{factor}x")
     print("--- scaling ratios (ideal <= %d; super-linear = plan problem) ---" % factor)
