@@ -2808,10 +2808,14 @@ def similarity_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def linkage_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source record linkage (operators/linkage.linked_pairs): two
-    disjoint part "catalogs" (partkey mod 4 = 1 vs 3) linked on
-    first-name-token blocks with a weighted score (name token-Jaccard
-    w=3, brand exact w=1) — blocked equi-join candidates only, exact
-    integer fixed-point scoring, threshold 0.5."""
+    disjoint part "catalogs" (partkey mod 4 = 1 vs 3) linked with a
+    weighted score (name token-Jaccard w=3, brand exact w=1) at
+    threshold 0.8. Blocking key = the two SMALLEST sorted name tokens —
+    permutation-invariant, so reordered near-identical names still
+    co-block, and blocks stay small under the corpus's tiny shared
+    vocabulary (first-token-only blocking measured ~1M candidate pairs
+    at sf0.1 vs this key's tens of thousands for the same ≥0.8 result
+    set). Blocked equi-join candidates only; exact integer scoring."""
     from aleph2_contrib_spark.operators.linkage import LinkField, linked_pairs
 
     part = _t(spark, sf_dir, "part")
@@ -2821,17 +2825,25 @@ def linkage_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_name").alias("r_name"),
         F.col("p_brand").alias("r_brand"),
     )
-    first_tok = lambda c: F.element_at(  # noqa: E731
-        F.split(F.trim(F.regexp_replace(F.lower(F.col(c)), r"\s+", " ")), " "), 1
-    )
+
+    def blk(c):
+        toks = F.array_sort(
+            F.array_distinct(
+                F.split(
+                    F.trim(F.regexp_replace(F.lower(F.col(c)), r"\s+", " ")), " "
+                )
+            )
+        )
+        return F.concat_ws("|", F.element_at(toks, 1), F.element_at(toks, 2))
+
     return linked_pairs(
         l, r, "p_partkey", "r_partkey",
-        first_tok("p_name"), first_tok("r_name"),
+        blk("p_name"), blk("r_name"),
         [
             LinkField("p_name", "r_name", 3, "jaccard"),
             LinkField("p_brand", "r_brand", 1, "exact"),
         ],
-        min_score_f6=500_000,
+        min_score_f6=800_000,
     )
 
 
@@ -2847,6 +2859,24 @@ def profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     return key_skew(li, ["l_orderkey", "l_returnflag"]).unionByName(
         key_skew(ev, ["user_id", "event_type"])
     )
+
+
+def profile_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence screen (operators/profile.chi2_independence):
+    two categorical pairs — orders(status, priority) and
+    events(type, value-quartile bucket) — as exact integer chi2_f6 with
+    the documented floor-per-cell contract; one groupBy per pair, totals
+    derived from the cell table."""
+    from aleph2_contrib_spark.operators.profile import chi2_independence
+
+    o = _t(spark, sf_dir, "orders")
+    a = chi2_independence(o, "o_orderstatus", "o_orderpriority")
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") / 25.0).cast("int").alias("value_bucket"),
+    )
+    b = chi2_independence(ev, "event_type", "value_bucket")
+    return a.unionByName(b)
 
 
 def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4545,6 +4575,21 @@ def events_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trend_slope(daily, "event_type", "x", "y")
 
 
+def _chi2_oracle() -> str:
+    from aleph2_contrib_spark.operators.profile import (
+        chi2_independence_oracle_sql,
+    )
+
+    a = chi2_independence_oracle_sql("orders", "o_orderstatus", "o_orderpriority")
+    b = chi2_independence_oracle_sql(
+        "(SELECT event_type, CAST(floor(value / 25.0) AS INT) AS value_bucket"
+        " FROM events)",
+        "event_type",
+        "value_bucket",
+    )
+    return f"SELECT * FROM ({a}) UNION ALL SELECT * FROM ({b})"
+
+
 def _key_skew_oracle() -> str:
     from aleph2_contrib_spark.operators.profile import key_skew_oracle_sql
 
@@ -4571,7 +4616,8 @@ def _linkage_oracle() -> str:
         linked_pairs_oracle_sql,
     )
 
-    bk = "string_split(trim(regexp_replace(lower(p_name), '\\s+', ' ', 'g')), ' ')[1]"
+    toks = "list_sort(list_distinct(string_split(trim(regexp_replace(lower(p_name), '\\s+', ' ', 'g')), ' ')))"
+    bk = f"concat_ws('|', {toks}[1], {toks}[2])"
     inner = linked_pairs_oracle_sql(
         f"SELECT p_partkey AS lid, {bk} AS bk, p_name AS f0, p_brand AS f1"
         " FROM part WHERE p_partkey % 4 = 1",
@@ -4581,7 +4627,7 @@ def _linkage_oracle() -> str:
             LinkField("p_name", "r_name", 3, "jaccard"),
             LinkField("p_brand", "r_brand", 1, "exact"),
         ],
-        min_score_f6=500_000,
+        min_score_f6=800_000,
     )
     return (
         "SELECT lid AS p_partkey, rid AS r_partkey, score_f6 "
@@ -4972,6 +5018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_markov_transitions": events_markov_transitions,
         "linkage_blocked_pairs": linkage_blocked_pairs,
         "profile_key_skew": profile_key_skew,
+        "profile_chi2_independence": profile_chi2_independence,
         "streaming_interval_join": streaming_interval_join_gate,
         "events_sessionize": events_sessionize,
         "dedup_ngram_jaccard_pairs": dedup_ngram_jaccard_pairs,
@@ -5414,6 +5461,7 @@ def oracle_sql() -> dict[str, str]:
         "events_markov_transitions": _markov_oracle(),
         "linkage_blocked_pairs": _linkage_oracle(),
         "profile_key_skew": _key_skew_oracle(),
+        "profile_chi2_independence": _chi2_oracle(),
         "streaming_interval_join": """
             SELECT c.user_id,
                    CAST(count(*) AS BIGINT) AS n_pairs,

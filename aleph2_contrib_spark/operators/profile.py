@@ -631,3 +631,110 @@ SELECT '{c}' AS col_name, CAST(sum(c) AS BIGINT) AS n_rows,
 FROM (SELECT coalesce(CAST({c} AS VARCHAR), chr(0) || 'NULL') AS k, count(*) AS c
       FROM {table} GROUP BY 1)""")
     return " UNION ALL ".join(sels)
+
+
+def chi2_independence(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Pearson chi-square independence statistic between two categorical
+    columns — the dependency screen ("does source predict label? does
+    shard correlate with quality bucket?") a feature-audit pass runs
+    over a training table. Chosen over mutual information / G-test
+    because chi-square is log-free: every term is rational, so the
+    statistic is EXACT integer arithmetic end-to-end and engine-portable
+    (the module's discipline; ln() differs in final ulps across libms).
+
+    With O the observed cell count, r/c the row/col totals and n total:
+
+        (O - rc/n)²/E  =  (O·n - r·c)² / (n·r·c)
+
+    Emitted as ``chi2_f6 = Σ_cells (O·n - r·c)²·1e6 div (n·r·c)`` — the
+    per-cell floor makes the sum bit-identical in any engine (documented
+    as the contract; the true χ²·1e6 differs by < #cells). NULL
+    categories count as a real category. Output one row:
+    (col_a, col_b, n, n_rows_cat, n_cols_cat, dof, chi2_f6).
+
+    Plan shape at scale: ONE groupBy(a, b) over the scan (map-side
+    partial, output = distinct cell count); totals derive from the cell
+    table itself (two tiny aggs, broadcast back) — the raw table is
+    never rescanned, nothing driver-side. DECIMAL(38,0) cross-products
+    keep 1e20-scale squares exact.
+    """
+    for c in (col_a, col_b):
+        if c not in df.columns:
+            raise ValueError(f"column {c!r} not in DataFrame")
+    cells = (
+        df.select(
+            F.coalesce(F.col(col_a).cast("string"), F.lit("\x00NULL")).alias("__a"),
+            F.coalesce(F.col(col_b).cast("string"), F.lit("\x00NULL")).alias("__b"),
+        )
+        .groupBy("__a", "__b")
+        .agg(F.count(F.lit(1)).alias("__o"))
+    )
+    rt = cells.groupBy("__a").agg(F.sum("__o").alias("__r"))
+    ct = cells.groupBy("__b").agg(F.sum("__o").alias("__c"))
+    tot = cells.agg(
+        F.sum("__o").alias("__n"), F.countDistinct("__a").alias("__nr"),
+        F.countDistinct("__b").alias("__nc"),
+    )
+    x = (
+        cells.join(F.broadcast(rt), "__a")
+        .join(F.broadcast(ct), "__b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "__n", "__nr", "__nc",
+            F.expr(
+                "(CAST(__o AS DECIMAL(38,0)) * __n - CAST(__r AS DECIMAL(38,0)) * __c)"
+            ).alias("__d"),
+            F.expr(
+                "CAST(__n AS DECIMAL(38,0)) * __r * __c"
+            ).alias("__den"),
+        )
+        .select(
+            "__n", "__nr", "__nc",
+            F.expr("CAST((__d * __d * 1000000) div __den AS DECIMAL(38,0))").alias(
+                "__t"
+            ),
+        )
+    )
+    return (
+        x.groupBy("__n", "__nr", "__nc")
+        .agg(F.sum("__t").alias("__chi"))
+        .select(
+            F.lit(col_a).alias("col_a"),
+            F.lit(col_b).alias("col_b"),
+            F.col("__n").cast("long").alias("n"),
+            F.col("__nr").cast("int").alias("n_rows_cat"),
+            F.col("__nc").cast("int").alias("n_cols_cat"),
+            ((F.col("__nr") - 1) * (F.col("__nc") - 1)).cast("int").alias("dof"),
+            F.col("__chi").cast("long").alias("chi2_f6"),
+        )
+    )
+
+
+def chi2_independence_oracle_sql(table: str, col_a: str, col_b: str) -> str:
+    """DuckDB replica of :func:`chi2_independence` (HUGEINT carries the
+    1e26-scale per-cell products; same floor-per-cell contract)."""
+    return f"""
+WITH cells AS (
+    SELECT coalesce(CAST({col_a} AS VARCHAR), chr(0) || 'NULL') AS a,
+           coalesce(CAST({col_b} AS VARCHAR), chr(0) || 'NULL') AS b,
+           count(*) AS o
+    FROM {table} GROUP BY 1, 2
+), rt AS (SELECT a, sum(o) AS r FROM cells GROUP BY a),
+   ct AS (SELECT b, sum(o) AS c FROM cells GROUP BY b),
+   tot AS (SELECT sum(o) AS n, count(DISTINCT a) AS nr,
+                  count(DISTINCT b) AS nc FROM cells),
+   terms AS (
+    SELECT tot.n, tot.nr, tot.nc,
+           ((CAST(cells.o AS HUGEINT) * tot.n - CAST(rt.r AS HUGEINT) * ct.c)
+            * (CAST(cells.o AS HUGEINT) * tot.n - CAST(rt.r AS HUGEINT) * ct.c)
+            * 1000000)
+           // (CAST(tot.n AS HUGEINT) * rt.r * ct.c) AS t
+    FROM cells JOIN rt USING (a) JOIN ct USING (b) CROSS JOIN tot
+)
+SELECT '{col_a}' AS col_a, '{col_b}' AS col_b,
+       CAST(n AS BIGINT) AS n, CAST(nr AS INT) AS n_rows_cat,
+       CAST(nc AS INT) AS n_cols_cat,
+       CAST((nr - 1) * (nc - 1) AS INT) AS dof,
+       CAST(sum(t) AS BIGINT) AS chi2_f6
+FROM terms GROUP BY n, nr, nc
+"""

@@ -334,3 +334,65 @@ def test_key_skew_oracle_matches(spark, tmp_path):
     con.execute(f"CREATE VIEW t AS SELECT * FROM '{p}/*.parquet'")
     want = {tuple(r) for r in con.execute(key_skew_oracle_sql("t", ["a", "b"])).fetchall()}
     assert got == want
+
+
+# -- chi2_independence -----------------------------------------------------
+
+
+def test_chi2_independence_exact_and_independent_case(spark):
+    from aleph2_contrib_spark.operators.profile import chi2_independence
+
+    # perfectly independent 2x2: chi2 must be exactly 0
+    rows = [("x", "p")] * 10 + [("x", "q")] * 10 + [("y", "p")] * 10 + [("y", "q")] * 10
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = chi2_independence(df, "a", "b").collect()[0]
+    assert (r["n"], r["dof"], r["chi2_f6"]) == (40, 1, 0)
+
+    # hand-computed dependent 2x2: O = [[30,10],[10,30]], n=80
+    # chi2 = n(ad-bc)^2 / (r1 r2 c1 c2) = 80*(900-100)^2/40^4 = 20
+    # per-cell: each of 4 cells contributes exactly 5 (symmetric)
+    rows2 = (
+        [("x", "p")] * 30 + [("x", "q")] * 10 + [("y", "p")] * 10 + [("y", "q")] * 30
+    )
+    df2 = spark.createDataFrame(rows2, "a string, b string")
+    r2 = chi2_independence(df2, "a", "b").collect()[0]
+    assert r2["chi2_f6"] == 20_000_000
+    assert (r2["n_rows_cat"], r2["n_cols_cat"], r2["dof"]) == (2, 2, 1)
+
+
+def test_chi2_independence_oracle_matches(spark, tmp_path):
+    import random
+
+    import duckdb
+
+    from aleph2_contrib_spark.operators.profile import (
+        chi2_independence,
+        chi2_independence_oracle_sql,
+    )
+
+    rnd = random.Random(37)
+    rows = [
+        (rnd.choice(["a", "b", "c", None]), rnd.choice(["u", "v", "w"]))
+        for _ in range(500)
+    ]
+    df = spark.createDataFrame(rows, "s string, t string")
+    p = str(tmp_path / "c.parquet")
+    df.coalesce(1).write.parquet(p)
+    got = {tuple(r) for r in chi2_independence(df, "s", "t").collect()}
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW c AS SELECT * FROM '{p}/*.parquet'")
+    want = {
+        tuple(r)
+        for r in con.execute(chi2_independence_oracle_sql("c", "s", "t")).fetchall()
+    }
+    assert got == want
+
+
+def test_chi2_independence_validation(spark):
+    import pytest as _pytest
+
+    from aleph2_contrib_spark.operators.profile import chi2_independence
+
+    df = spark.createDataFrame([("a", "b")], "x string, y string")
+    with _pytest.raises(ValueError, match="not in DataFrame"):
+        chi2_independence(df, "x", "zz")
