@@ -4028,6 +4028,83 @@ def streaming_interval_join_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT-OUTER form of the stream-stream interval join: clicks with no
+    purchase inside [click, click+1h] must flush with null right columns
+    — which only happens once the watermark passes their join envelope,
+    so future-dated sentinel rows in BOTH feeds drive the final
+    watermark past every real event (same technique as
+    streaming_hll_windows). Per-user (n_matched, n_unmatched) equals the
+    batch LEFT JOIN oracle."""
+    import os
+    import tempfile
+    import time as _time
+
+    from aleph2_contrib_spark.streaming.runner import (
+        json_file_stream,
+        streaming_interval_join,
+    )
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 3 == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        )
+    )
+    src_c = tempfile.mkdtemp(prefix="a2s_sijo_c_")
+    src_p = tempfile.mkdtemp(prefix="a2s_sijo_p_")
+    ev.filter(F.col("event_type") == "click").select("user_id", "us").repartition(
+        2
+    ).write.mode("overwrite").json(src_c)
+    ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("us").alias("p_us")
+    ).repartition(2).write.mode("overwrite").json(src_p)
+    # future-dated sentinels (mtime-ordered last): advance both
+    # watermarks past every real event so unmatched lefts flush
+    sentinel_us = 1_900_000_000_000_000  # 2030-03
+    now = _time.time()
+    for src, payload in (
+        (src_c, '{"user_id": -1, "us": %d}\n' % sentinel_us),
+        (src_p, '{"p_user": -1, "p_us": %d}\n' % sentinel_us),
+    ):
+        p = os.path.join(src, "zz_sentinel.json")
+        with open(p, "w") as f:
+            f.write(payload)
+        os.utime(p, (now + 100, now + 100))
+
+    cs = (
+        json_file_stream(spark, src_c, "user_id long, us long", max_files_per_trigger=1)
+        .withColumn("c_ts", F.timestamp_micros(F.col("us")))
+        .withColumnRenamed("us", "c_us")
+    )
+    ps = (
+        json_file_stream(spark, src_p, "p_user long, p_us long", max_files_per_trigger=1)
+        .withColumn("p_ts", F.timestamp_micros(F.col("p_us")))
+        .withColumnRenamed("p_user", "user_id")
+    )
+    joined = streaming_interval_join(
+        cs, ps, "user_id", "c_ts", "p_ts", "1 hour", "2 hours", how="left_outer"
+    )
+    sink_dir = tempfile.mkdtemp(prefix="a2s_sijo_out_")
+    with _stream_shuffle(spark):
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", sink_dir)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="a2s_sijo_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+    q.awaitTermination(300)
+    pairs = spark.read.parquet(sink_dir).filter(F.col("user_id") >= 0)
+    return pairs.groupBy("user_id").agg(
+        F.count("p_us").alias("n_matched"),
+        F.sum(F.col("p_us").isNull().cast("long")).alias("n_unmatched"),
+    )
+
+
 def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-scored quality filtering (fastText/CCNet-style) as a pure
     Catalyst map: hashed unigram+bigram features → deterministic weight
@@ -5020,6 +5097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_key_skew": profile_key_skew,
         "profile_chi2_independence": profile_chi2_independence,
         "streaming_interval_join": streaming_interval_join_gate,
+        "streaming_interval_join_outer": streaming_interval_join_outer,
         "events_sessionize": events_sessionize,
         "dedup_ngram_jaccard_pairs": dedup_ngram_jaccard_pairs,
         "q3_shipping_priority": q3_shipping_priority,
@@ -5470,6 +5548,18 @@ def oracle_sql() -> dict[str, str]:
                   WHERE event_type = 'click' AND user_id % 3 = 0) c
             JOIN (SELECT user_id, ts FROM events
                   WHERE event_type = 'purchase' AND user_id % 3 = 0) p
+              ON c.user_id = p.user_id
+             AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+            GROUP BY c.user_id
+        """,
+        "streaming_interval_join_outer": """
+            SELECT c.user_id,
+                   CAST(count(p.ts) AS BIGINT) AS n_matched,
+                   CAST(count(*) - count(p.ts) AS BIGINT) AS n_unmatched
+            FROM (SELECT user_id, ts FROM events
+                  WHERE event_type = 'click' AND user_id % 3 = 1) c
+            LEFT JOIN (SELECT user_id, ts FROM events
+                       WHERE event_type = 'purchase' AND user_id % 3 = 1) p
               ON c.user_id = p.user_id
              AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
             GROUP BY c.user_id

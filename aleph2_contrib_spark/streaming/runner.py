@@ -198,8 +198,9 @@ def streaming_interval_join(
     right_time: str,
     upper: str,
     watermark: str,
+    how: str = "inner",
 ) -> DataFrame:
-    """Watermarked stream-stream INNER join: each left row pairs with the
+    """Watermarked stream-stream join: each left row pairs with the
     right rows sharing ``key`` whose ``right_time`` falls in
     [left_time, left_time + upper] — the click-to-conversion /
     impression-to-action correlation join, run with bounded state.
@@ -215,6 +216,14 @@ def streaming_interval_join(
     Column names other than ``key`` must be disjoint across the sides
     (same contract as the batch interval joins); ``upper`` is a SQL
     interval literal body, e.g. ``"1 hour"``.
+
+    ``how``: ``"inner"`` emits eagerly as matches arrive;
+    ``"left_outer"`` additionally emits each UNMATCHED left row (right
+    columns null) — but only once the watermark passes its join
+    envelope, since before that a match could still arrive. A finite
+    replay must therefore drive the watermark past the data (future-
+    dated sentinel rows, as the gate does) or the unmatched rows never
+    flush.
     """
     clash = (set(left.columns) & set(right.columns)) - {key}
     if clash:
@@ -222,6 +231,8 @@ def streaming_interval_join(
             f"streaming_interval_join requires disjoint column names apart "
             f"from the key, both sides carry {sorted(clash)}: rename first"
         )
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"how must be inner|left_outer, got {how!r}")
     l = left.withWatermark(left_time, watermark)
     r = right.withWatermark(right_time, watermark)
     cond = (
@@ -229,7 +240,7 @@ def streaming_interval_join(
         & (r[right_time] >= l[left_time])
         & (r[right_time] <= l[left_time] + F.expr(f"INTERVAL {upper}"))
     )
-    return l.join(r, cond, "inner").drop(r[key])
+    return l.join(r, cond, how).drop(r[key])
 
 
 def transactional_sink(table, app_id: str, merge_keys: list[str] | None = None):

@@ -30,6 +30,8 @@ HEAVY_SETUP = {
     "storage_collide_policy",       # two bucket writes incl. an expected failure
     "streaming_hll_windows",        # full streaming replay; result finalizes emitted registers
     "streaming_pit_enrichment",     # full streaming replay through foreachBatch asof joins
+    "streaming_interval_join",      # full two-stream replay through the parquet sink
+    "streaming_interval_join_outer",  # same, plus sentinel-driven watermark flush
 }
 
 
@@ -52,6 +54,7 @@ INTENTIONAL_BNLJ = {
     "sketch_hll_intersection",     # three 1-row estimates joined 1x1x1
     "graph_triangles",             # three 1-row global counts joined 1x1x1
     "text_lm_surprisal",           # corpus x 1-row broadcast vocab-size scalar
+    "profile_chi2_independence",   # cell table x 1-row broadcast (n, nr, nc) totals
 }
 
 

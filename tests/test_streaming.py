@@ -531,3 +531,36 @@ def test_streaming_interval_join_semantics_and_guard(spark):
         streaming_interval_join(
             left, left, "k", "lt", "lt", "1 hour", "1 hour"
         )
+
+
+def test_streaming_interval_join_left_outer_batch_semantics(spark):
+    import datetime as _dt
+
+    import pytest as _pytest
+
+    from aleph2_contrib_spark.streaming.runner import streaming_interval_join
+
+    t0 = _dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ts(minutes):
+        return t0 + _dt.timedelta(minutes=minutes)
+
+    left = spark.createDataFrame(
+        [(1, ts(0), "c1"), (1, ts(120), "c2"), (2, ts(0), "c3")],
+        "k long, lt timestamp, lid string",
+    )
+    right = spark.createDataFrame(
+        [(1, ts(30), "p1")], "k long, rt timestamp, rid string"
+    )
+    got = sorted(
+        (r["lid"], r["rid"])
+        for r in streaming_interval_join(
+            left, right, "k", "lt", "rt", "1 hour", "2 hours", how="left_outer"
+        ).collect()
+    )
+    assert got == [("c1", "p1"), ("c2", None), ("c3", None)]
+
+    with _pytest.raises(ValueError, match="inner|left_outer"):
+        streaming_interval_join(
+            left, right, "k", "lt", "rt", "1 hour", "1 hour", how="full"
+        )
