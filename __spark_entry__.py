@@ -2879,6 +2879,18 @@ def profile_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.unionByName(b)
 
 
+def profile_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-flight join-size profile (operators/profile.join_size_profile):
+    exact |lineitem ⋈ orders| on orderkey plus the heaviest key's output
+    share, computed from the two O(distinct) count tables without ever
+    running the join."""
+    from aleph2_contrib_spark.operators.profile import join_size_profile
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    return join_size_profile(li, o, "l_orderkey", "o_orderkey")
+
+
 def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix
     (operators/events.markov_transitions) over per-user event streams:
@@ -4652,6 +4664,19 @@ def events_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trend_slope(daily, "event_type", "x", "y")
 
 
+def _join_size_oracle() -> str:
+    from aleph2_contrib_spark.operators.profile import (
+        join_size_profile_oracle_sql,
+    )
+
+    return join_size_profile_oracle_sql(
+        "SELECT l_orderkey FROM lineitem",
+        "SELECT o_orderkey FROM orders",
+        "l_orderkey",
+        "o_orderkey",
+    )
+
+
 def _chi2_oracle() -> str:
     from aleph2_contrib_spark.operators.profile import (
         chi2_independence_oracle_sql,
@@ -5096,6 +5121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linkage_blocked_pairs": linkage_blocked_pairs,
         "profile_key_skew": profile_key_skew,
         "profile_chi2_independence": profile_chi2_independence,
+        "profile_join_size": profile_join_size,
         "streaming_interval_join": streaming_interval_join_gate,
         "streaming_interval_join_outer": streaming_interval_join_outer,
         "events_sessionize": events_sessionize,
@@ -5540,6 +5566,7 @@ def oracle_sql() -> dict[str, str]:
         "linkage_blocked_pairs": _linkage_oracle(),
         "profile_key_skew": _key_skew_oracle(),
         "profile_chi2_independence": _chi2_oracle(),
+        "profile_join_size": _join_size_oracle(),
         "streaming_interval_join": """
             SELECT c.user_id,
                    CAST(count(*) AS BIGINT) AS n_pairs,

@@ -738,3 +738,82 @@ SELECT '{col_a}' AS col_a, '{col_b}' AS col_b,
        CAST(sum(t) AS BIGINT) AS chi2_f6
 FROM terms GROUP BY n, nr, nc
 """
+
+
+def join_size_profile(
+    left: DataFrame, right: DataFrame, left_key: str, right_key: str
+) -> DataFrame:
+    """Exact pre-flight join-size profile: |A ⋈ B| = Σ_k cnt_A(k)·cnt_B(k)
+    computed WITHOUT running the join — the "will this equi-join explode"
+    check (duplicate-keyed fact-fact joins are the classic 100 TB
+    incident) plus the skew decomposition planners act on.
+
+    One row: (n_left, n_right, n_join_rows, n_matching_keys,
+    max_key_pairs, max_pairs_share_ppm) — max_key_pairs is the heaviest
+    single key's output contribution; its ppm share is the skew signal
+    (a 1e6-share join is one hot key doing all the work).
+
+    Plan shape at scale: ONE groupBy(key).count() scan per side (map-side
+    partial, O(distinct) output — NULL keys kept as a group so the total
+    row count folds into the same pass, no separate .count() job), an
+    equi-join of the two COUNT tables on non-null keys (distinct keys,
+    not rows), and a one-row aggregate. The join itself never runs.
+    DECIMAL(38,0) products — exact at any count. NULL keys never match
+    (SQL join semantics) and are excluded from the pair math.
+    """
+    a = left.groupBy(F.col(left_key).alias("__k")).agg(
+        F.count(F.lit(1)).alias("__ca")
+    )
+    b = right.groupBy(F.col(right_key).alias("__k")).agg(
+        F.count(F.lit(1)).alias("__cb")
+    )
+    ta = a.agg(F.sum("__ca").alias("__n")).select(
+        F.coalesce(F.col("__n"), F.lit(0)).cast("long").alias("n_left")
+    )
+    tb = b.agg(F.sum("__cb").alias("__n")).select(
+        F.coalesce(F.col("__n"), F.lit(0)).cast("long").alias("n_right")
+    )
+    joined = (
+        a.filter(F.col("__k").isNotNull())
+        .join(b.filter(F.col("__k").isNotNull()), "__k")
+        .select(
+            (F.col("__ca").cast("decimal(38,0)") * F.col("__cb")).alias("__p")
+        )
+    )
+    stats = joined.agg(
+        F.coalesce(F.sum("__p"), F.lit(0)).cast("long").alias("n_join_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_matching_keys"),
+        F.coalesce(F.max("__p"), F.lit(0)).cast("long").alias("max_key_pairs"),
+        F.coalesce(
+            F.expr("CAST((1000000 * max(__p)) div sum(__p) AS BIGINT)"), F.lit(0)
+        ).alias("max_pairs_share_ppm"),
+    )
+    return (
+        ta.crossJoin(F.broadcast(tb))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "n_left", "n_right", "n_join_rows", "n_matching_keys",
+            "max_key_pairs", "max_pairs_share_ppm",
+        )
+    )
+
+
+def join_size_profile_oracle_sql(
+    left_sql: str, right_sql: str, left_key: str, right_key: str
+) -> str:
+    """DuckDB replica of :func:`join_size_profile`."""
+    return f"""
+WITH l AS MATERIALIZED ({left_sql}), r AS MATERIALIZED ({right_sql}),
+a AS (SELECT {left_key} AS k, count(*) AS ca FROM l
+      WHERE {left_key} IS NOT NULL GROUP BY 1),
+b AS (SELECT {right_key} AS k, count(*) AS cb FROM r
+      WHERE {right_key} IS NOT NULL GROUP BY 1),
+j AS (SELECT CAST(ca AS HUGEINT) * cb AS p FROM a JOIN b USING (k))
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM l) AS n_left,
+       (SELECT CAST(count(*) AS BIGINT) FROM r) AS n_right,
+       CAST(coalesce(sum(p), 0) AS BIGINT) AS n_join_rows,
+       CAST(count(*) AS BIGINT) AS n_matching_keys,
+       CAST(coalesce(max(p), 0) AS BIGINT) AS max_key_pairs,
+       coalesce(CAST((1000000 * max(p)) // sum(p) AS BIGINT), 0) AS max_pairs_share_ppm
+FROM j
+"""

@@ -396,3 +396,59 @@ def test_chi2_independence_validation(spark):
     df = spark.createDataFrame([("a", "b")], "x string, y string")
     with _pytest.raises(ValueError, match="not in DataFrame"):
         chi2_independence(df, "x", "zz")
+
+
+# -- join_size_profile -----------------------------------------------------
+
+
+def test_join_size_profile_exact(spark):
+    from aleph2_contrib_spark.operators.profile import join_size_profile
+
+    l = spark.createDataFrame(
+        [(1,), (1,), (1,), (2,), (3,), (None,)], "k int"
+    )
+    r = spark.createDataFrame([(1,), (1,), (2,), (4,), (None,)], "k int")
+    row = join_size_profile(l, r, "k", "k").collect()[0]
+    # pairs: key1 3*2=6, key2 1*1=1; keys 3/4/None never match
+    assert row.asDict() == {
+        "n_left": 6, "n_right": 5, "n_join_rows": 7, "n_matching_keys": 2,
+        "max_key_pairs": 6, "max_pairs_share_ppm": 857_142,
+    }
+    # verify against the actual join
+    assert l.join(r, "k").count() == row["n_join_rows"]
+
+
+def test_join_size_profile_empty_overlap(spark):
+    from aleph2_contrib_spark.operators.profile import join_size_profile
+
+    l = spark.createDataFrame([(1,)], "k int")
+    r = spark.createDataFrame([(2,)], "k int")
+    row = join_size_profile(l, r, "k", "k").collect()[0]
+    assert (row["n_join_rows"], row["n_matching_keys"], row["max_key_pairs"]) == (0, 0, 0)
+
+
+def test_join_size_profile_oracle_matches(spark, tmp_path):
+    import random
+
+    import duckdb
+
+    from aleph2_contrib_spark.operators.profile import (
+        join_size_profile,
+        join_size_profile_oracle_sql,
+    )
+
+    rnd = random.Random(41)
+    lrows = [(rnd.randint(0, 30),) for _ in range(300)]
+    rrows = [(rnd.randint(20, 50),) for _ in range(200)]
+    l = spark.createDataFrame(lrows, "k int")
+    r = spark.createDataFrame(rrows, "k int")
+    lp, rp = str(tmp_path / "l.parquet"), str(tmp_path / "r.parquet")
+    l.coalesce(1).write.parquet(lp)
+    r.coalesce(1).write.parquet(rp)
+    got = {tuple(x) for x in join_size_profile(l, r, "k", "k").collect()}
+    sql = join_size_profile_oracle_sql(
+        f"SELECT k FROM '{lp}/*.parquet'",
+        f"SELECT k FROM '{rp}/*.parquet'",
+        "k", "k",
+    )
+    assert got == {tuple(x) for x in duckdb.sql(sql).fetchall()}
