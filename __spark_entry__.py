@@ -2891,6 +2891,20 @@ def profile_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     return join_size_profile(li, o, "l_orderkey", "o_orderkey")
 
 
+def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-window funnel (operators/events.funnel_counts_windowed):
+    view → click → purchase with the whole chain inside 6 hours of its
+    own anchor view; any view may anchor. Greedy-per-anchor state is
+    O(users x anchors); the quadratic EXISTS-chain oracle proves it."""
+    from aleph2_contrib_spark.operators.events import funnel_counts_windowed
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel_counts_windowed(
+        ev, "user_id", "ts", "event_type",
+        ["view", "click", "purchase"], window_seconds=6 * 3600,
+    )
+
+
 def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix
     (operators/events.markov_transitions) over per-user event streams:
@@ -4700,6 +4714,20 @@ def _key_skew_oracle() -> str:
     return f"{a} UNION ALL {b}"
 
 
+def _funnel_windowed_oracle() -> str:
+    from aleph2_contrib_spark.operators.events import (
+        funnel_windowed_oracle_sql,
+    )
+
+    ev = (
+        "SELECT user_id AS u, event_type AS t, epoch_us(ts) AS s"
+        " FROM events WHERE event_type IN ('view', 'click', 'purchase')"
+    )
+    return funnel_windowed_oracle_sql(
+        ev, ["view", "click", "purchase"], window_seconds=6 * 3600
+    )
+
+
 def _markov_oracle() -> str:
     from aleph2_contrib_spark.operators.events import (
         markov_transitions_oracle_sql,
@@ -5118,6 +5146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_pairs": dedup_minhash_pairs,
         "events_sequential_patterns": events_sequential_patterns,
         "events_markov_transitions": events_markov_transitions,
+        "events_funnel_windowed": events_funnel_windowed,
         "linkage_blocked_pairs": linkage_blocked_pairs,
         "profile_key_skew": profile_key_skew,
         "profile_chi2_independence": profile_chi2_independence,
@@ -5563,6 +5592,7 @@ def oracle_sql() -> dict[str, str]:
         "events_trend_slope": _trend_slope_oracle(),
         "events_sequential_patterns": _sequential_patterns_oracle(),
         "events_markov_transitions": _markov_oracle(),
+        "events_funnel_windowed": _funnel_windowed_oracle(),
         "linkage_blocked_pairs": _linkage_oracle(),
         "profile_key_skew": _key_skew_oracle(),
         "profile_chi2_independence": _chi2_oracle(),

@@ -956,3 +956,109 @@ SELECT c.from_type, c.to_type, CAST(c.cnt AS BIGINT) AS cnt,
 FROM c JOIN tot t USING (from_type)
 WHERE c.cnt >= {int(min_count)}
 """
+
+
+def funnel_counts_windowed(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: Sequence[str],
+    window_seconds: int,
+) -> DataFrame:
+    """Conversion-window funnel: a user completes step i when SOME
+    ordered chain t_0 < t_1 < ... < t_i of the step events exists with
+    the whole chain inside ``window_seconds`` of its own anchor t_0 —
+    the product-analytics semantics ("signup → activate → purchase
+    within 7 days of THAT signup") that :func:`funnel_counts`'s
+    unbounded earliest-chain cannot express. Any step-0 occurrence may
+    anchor the chain.
+
+    Returns (step_idx, step, n_users) like funnel_counts.
+
+    Exactness: for a FIXED anchor, if any in-window chain exists then
+    the greedy earliest-next-step chain exists (only ``t > prev`` and
+    ``t <= anchor + W`` constrain a step, so an earlier choice never
+    blocks a later step). So the operator tracks, per (user, anchor),
+    just the greedy min next-step time — candidate state is
+    O(users x step0 occurrences), never a cross product of step events.
+
+    Plan shape at scale: the stream is filtered to funnel-relevant types
+    BEFORE its one user-key shuffle; each subsequent step is one
+    equi-join on user + a (user, anchor) groupBy-min, all map-side
+    partialed. ``steps`` is capped at 5 — funnels are short by nature
+    and each step adds a join round.
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    if len(steps) > 5:
+        raise ValueError("windowed funnels support at most 5 steps")
+    if window_seconds <= 0:
+        raise ValueError("window_seconds must be positive")
+    sec = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    ev = (
+        df.filter(F.col(type_col).isin(list(steps)))
+        .select(
+            F.col(user_col).alias("__u"),
+            F.col(type_col).alias("__t"),
+            sec.alias("__s"),
+        )
+        .distinct()
+    )
+    w_us = int(window_seconds) * 1_000_000
+    chains = (
+        ev.filter(F.col("__t") == steps[0])
+        .select("__u", F.col("__s").alias("__anchor"), F.col("__s").alias("__prev"))
+    )
+    counts = [
+        chains.select("__u").distinct().count()
+    ]
+    for step in steps[1:]:
+        nxt = ev.filter(F.col("__t") == F.lit(step)).select(
+            "__u", F.col("__s").alias("__n")
+        )
+        chains = (
+            chains.join(nxt, "__u")
+            .filter(
+                (F.col("__n") > F.col("__prev"))
+                & (F.col("__n") <= F.col("__anchor") + F.lit(w_us))
+            )
+            .groupBy("__u", "__anchor")
+            .agg(F.min("__n").alias("__prev"))
+        )
+        counts.append(chains.select("__u").distinct().count())
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(i, s, int(n)) for i, (s, n) in enumerate(zip(steps, counts))],
+        "step_idx int, step string, n_users long",
+    )
+
+
+def funnel_windowed_oracle_sql(
+    events_sql: str, steps: Sequence[str], window_seconds: int
+) -> str:
+    """DuckDB replica of :func:`funnel_counts_windowed` via direct
+    EXISTS-chain joins (the quadratic formulation the operator avoids).
+    ``events_sql`` must yield (u, t, s) with s in epoch MICROseconds."""
+    w_us = int(window_seconds) * 1_000_000
+    selects = []
+    for i, step in enumerate(steps):
+        joins = ["FROM e e0"]
+        conds = [f"e0.t = '{steps[0]}'"]
+        for j in range(1, i + 1):
+            joins.append(f"JOIN e e{j} ON e{j}.u = e0.u")
+            conds.append(f"e{j}.t = '{steps[j]}'")
+            conds.append(f"e{j}.s > e{j-1}.s")
+            conds.append(f"e{j}.s <= e0.s + {w_us}")
+        selects.append(
+            f"SELECT {i} AS step_idx, '{step}' AS step,"
+            f" CAST(count(DISTINCT e0.u) AS BIGINT) AS n_users"
+            f" {' '.join(joins)} WHERE {' AND '.join(conds)}"
+        )
+    body = " UNION ALL ".join(selects)
+    return f"""
+WITH e AS MATERIALIZED (
+    SELECT DISTINCT u, t, CAST(s AS BIGINT) AS s FROM ({events_sql})
+)
+SELECT CAST(step_idx AS INT) AS step_idx, step, n_users FROM ({body})
+"""

@@ -718,3 +718,121 @@ def test_markov_transitions_oracle_matches(spark):
         min_count=2,
     )
     assert got == {tuple(r) for r in duckdb.sql(sql).fetchall()}
+
+
+# -- funnel_counts_windowed ------------------------------------------------
+
+
+def _brute_windowed_funnel(streams, steps, w):
+    """streams: {user: [(type, sec), ...]}. Exists-chain check."""
+    def completes(evs, upto):
+        evs = sorted(set(evs), key=lambda x: x[1])
+        anchors = [s for t, s in evs if t == steps[0]]
+        for a in anchors:
+            prev = a
+            ok = True
+            for step in steps[1:upto + 1]:
+                cand = [s for t, s in evs if t == step and s > prev and s <= a + w]
+                if not cand:
+                    ok = False
+                    break
+                prev = min(cand)
+            if ok:
+                return True
+        return False
+
+    return [
+        sum(1 for evs in streams.values() if completes(evs, i))
+        for i in range(len(steps))
+    ]
+
+
+def test_funnel_windowed_anchor_iteration(spark):
+    from aleph2_contrib_spark.operators.events import funnel_counts_windowed
+
+    def ts(sec):
+        return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=sec)
+
+    rows = [
+        # u1: first anchor too early; the SECOND anchor completes
+        (1, "A", ts(0)), (1, "A", ts(950)), (1, "B", ts(1000)),
+        # u2: only an early anchor — B is outside its window
+        (2, "A", ts(0)), (2, "B", ts(1000)),
+        # u3: full in-window chain
+        (3, "A", ts(0)), (3, "B", ts(50)),
+    ]
+    df = spark.createDataFrame(rows, "u long, t string, ts timestamp")
+    got = {
+        r["step"]: r["n_users"]
+        for r in funnel_counts_windowed(
+            df, "u", "ts", "t", ["A", "B"], window_seconds=100
+        ).collect()
+    }
+    assert got == {"A": 3, "B": 2}  # u2 must NOT convert
+
+
+def test_funnel_windowed_matches_brute_force_and_oracle(spark):
+    import random
+
+    import duckdb
+
+    from aleph2_contrib_spark.operators.events import (
+        funnel_counts_windowed,
+        funnel_windowed_oracle_sql,
+    )
+
+    rnd = random.Random(43)
+    streams = {
+        u: [
+            (rnd.choice(["s", "m", "p", "x"]), rnd.randint(0, 2000))
+            for _ in range(rnd.randint(0, 15))
+        ]
+        for u in range(30)
+    }
+    rows = [
+        (u, t, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s))
+        for u, evs in streams.items()
+        for t, s in evs
+    ]
+    if not rows:
+        rows = [(0, "s", dt.datetime(2024, 1, 1))]
+    df = spark.createDataFrame(rows, "u long, t string, ts timestamp")
+    steps = ["s", "m", "p"]
+    w = 500
+    got = [
+        r["n_users"]
+        for r in funnel_counts_windowed(df, "u", "ts", "t", steps, w)
+        .orderBy("step_idx")
+        .collect()
+    ]
+    micro = {
+        u: [(t, s * 1_000_000) for t, s in evs] for u, evs in streams.items()
+    }
+    assert got == _brute_windowed_funnel(micro, steps, w * 1_000_000)
+
+    vals = ", ".join(
+        f"({u}, '{t}', {s * 1_000_000})"
+        for u, evs in streams.items()
+        for t, s in evs
+    )
+    sql = funnel_windowed_oracle_sql(
+        f"SELECT c1 AS u, c2 AS t, c3 AS s FROM (VALUES {vals}) v(c1, c2, c3)",
+        steps,
+        w,
+    )
+    want = {
+        (r[0], r[1]): r[2] for r in duckdb.sql(sql).fetchall()
+    }
+    assert [want[(i, s)] for i, s in enumerate(steps)] == got
+
+
+def test_funnel_windowed_validation(spark):
+    from aleph2_contrib_spark.operators.events import funnel_counts_windowed
+
+    df = spark.createDataFrame([(1, "a", dt.datetime(2024, 1, 1))], "u long, t string, ts timestamp")
+    with pytest.raises(ValueError, match="non-empty"):
+        funnel_counts_windowed(df, "u", "ts", "t", [], 10)
+    with pytest.raises(ValueError, match="at most 5"):
+        funnel_counts_windowed(df, "u", "ts", "t", list("abcdef"), 10)
+    with pytest.raises(ValueError, match="positive"):
+        funnel_counts_windowed(df, "u", "ts", "t", ["a"], 0)
