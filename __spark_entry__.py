@@ -2891,6 +2891,27 @@ def profile_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     return join_size_profile(li, o, "l_orderkey", "o_orderkey")
 
 
+def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (operators/events.rfm_segments) over purchase
+    events: quartile scores on recency/frequency/monetary with full
+    determinism (table-max "now", integer micros/cents, user tie-breaks
+    in every ntile ordering)."""
+    from aleph2_contrib_spark.operators.events import rfm_segments
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    return rfm_segments(ev, "user_id", "ts", "value")
+
+
+def profile_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit QA (operators/profile.benford_profile) over
+    lineitem extended prices — exact ppm shares vs the embedded
+    log10(1+1/d) constants; one 9-row groupBy + a 1-row total
+    broadcast."""
+    from aleph2_contrib_spark.operators.profile import benford_profile
+
+    return benford_profile(_t(spark, sf_dir, "lineitem"), "l_extendedprice")
+
+
 def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conversion-window funnel (operators/events.funnel_counts_windowed):
     view → click → purchase with the whole chain inside 6 hours of its
@@ -4678,6 +4699,12 @@ def events_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trend_slope(daily, "event_type", "x", "y")
 
 
+def _benford_oracle() -> str:
+    from aleph2_contrib_spark.operators.profile import benford_profile_oracle_sql
+
+    return benford_profile_oracle_sql("lineitem", "l_extendedprice")
+
+
 def _join_size_oracle() -> str:
     from aleph2_contrib_spark.operators.profile import (
         join_size_profile_oracle_sql,
@@ -4712,6 +4739,16 @@ def _key_skew_oracle() -> str:
     a = key_skew_oracle_sql("lineitem", ["l_orderkey", "l_returnflag"])
     b = key_skew_oracle_sql("events", ["user_id", "event_type"])
     return f"{a} UNION ALL {b}"
+
+
+def _rfm_oracle() -> str:
+    from aleph2_contrib_spark.operators.events import rfm_segments_oracle_sql
+
+    ev = (
+        "SELECT user_id AS u, epoch_us(ts) AS s, value AS v"
+        " FROM events WHERE event_type = 'purchase'"
+    )
+    return rfm_segments_oracle_sql(ev)
 
 
 def _funnel_windowed_oracle() -> str:
@@ -5147,10 +5184,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sequential_patterns": events_sequential_patterns,
         "events_markov_transitions": events_markov_transitions,
         "events_funnel_windowed": events_funnel_windowed,
+        "events_rfm_segments": events_rfm_segments,
         "linkage_blocked_pairs": linkage_blocked_pairs,
         "profile_key_skew": profile_key_skew,
         "profile_chi2_independence": profile_chi2_independence,
         "profile_join_size": profile_join_size,
+        "profile_benford": profile_benford,
         "streaming_interval_join": streaming_interval_join_gate,
         "streaming_interval_join_outer": streaming_interval_join_outer,
         "events_sessionize": events_sessionize,
@@ -5593,10 +5632,12 @@ def oracle_sql() -> dict[str, str]:
         "events_sequential_patterns": _sequential_patterns_oracle(),
         "events_markov_transitions": _markov_oracle(),
         "events_funnel_windowed": _funnel_windowed_oracle(),
+        "events_rfm_segments": _rfm_oracle(),
         "linkage_blocked_pairs": _linkage_oracle(),
         "profile_key_skew": _key_skew_oracle(),
         "profile_chi2_independence": _chi2_oracle(),
         "profile_join_size": _join_size_oracle(),
+        "profile_benford": _benford_oracle(),
         "streaming_interval_join": """
             SELECT c.user_id,
                    CAST(count(*) AS BIGINT) AS n_pairs,

@@ -1062,3 +1062,96 @@ WITH e AS MATERIALIZED (
 )
 SELECT CAST(step_idx AS INT) AS step_idx, step, n_users FROM ({body})
 """
+
+
+def rfm_segments(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    value_col: str,
+    n_tiles: int = 4,
+) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation — the
+    classic behavioral-cohort labeling: each user scored 1..n_tiles on
+    how recently they acted, how often, and how much value they carried,
+    then labeled "RFM" (e.g. "111" = best on all three).
+
+    Determinism contract (the module's discipline): "now" is the table's
+    max timestamp (no wall clock), recency is exact integer
+    microseconds, monetary is the exact DECIMAL sum floored to integer
+    cents, and every ntile ordering carries ``user_col`` as the final
+    tie-break — so tiles are bit-identical in any engine. Tile 1 is
+    best (most recent / most frequent / highest value).
+
+    Returns (user, recency_us, frequency, monetary_c, r, f, m, segment).
+
+    Plan shape at scale: one groupBy(user) over the scan (map-side
+    partial), a 1-row max-ts broadcast, then three ntile windows over
+    the per-USER aggregate table (users, not events — and ntile needs a
+    single ordered partition, so this operator is for segment tables
+    that fit one task post-aggregation; shard by region/tenant first at
+    true 100 TB user counts, as real RFM deployments do).
+    """
+    if n_tiles < 1:
+        raise ValueError("n_tiles must be >= 1")
+    sec = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    per_user = df.groupBy(F.col(user_col).alias("user")).agg(
+        F.max(sec).alias("__last"),
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        F.floor(
+            F.sum(F.col(value_col).cast("decimal(38,6)")) * 100
+        ).cast("long").alias("monetary_c"),
+    )
+    now = per_user.agg(F.max("__last").alias("__now"))
+    scored = per_user.crossJoin(F.broadcast(now)).withColumn(
+        "recency_us", (F.col("__now") - F.col("__last")).cast("long")
+    )
+    wr = Window.orderBy(F.col("recency_us").asc(), F.col("user").asc())
+    wf = Window.orderBy(F.col("frequency").desc(), F.col("user").asc())
+    wm = Window.orderBy(F.col("monetary_c").desc(), F.col("user").asc())
+    out = (
+        scored.withColumn("r", F.ntile(n_tiles).over(wr))
+        .withColumn("f", F.ntile(n_tiles).over(wf))
+        .withColumn("m", F.ntile(n_tiles).over(wm))
+        .withColumn(
+            "segment",
+            F.concat(
+                F.col("r").cast("string"),
+                F.col("f").cast("string"),
+                F.col("m").cast("string"),
+            ),
+        )
+    )
+    return out.select(
+        "user", "recency_us", "frequency", "monetary_c", "r", "f", "m", "segment"
+    )
+
+
+def rfm_segments_oracle_sql(
+    events_sql: str, n_tiles: int = 4
+) -> str:
+    """DuckDB replica of :func:`rfm_segments`. ``events_sql`` must yield
+    (u, s, v) with s in epoch microseconds."""
+    n = int(n_tiles)
+    return f"""
+WITH per_user AS (
+    SELECT u AS "user", max(s) AS last_s,
+           CAST(count(*) AS BIGINT) AS frequency,
+           CAST(floor(sum(CAST(v AS DECIMAL(38,6))) * 100) AS BIGINT) AS monetary_c
+    FROM ({events_sql}) GROUP BY u
+), now_t AS (SELECT max(last_s) AS now_s FROM per_user),
+scored AS (
+    SELECT "user", CAST((SELECT now_s FROM now_t) - last_s AS BIGINT) AS recency_us,
+           frequency, monetary_c
+    FROM per_user
+), tiled AS (
+    SELECT *,
+        ntile({n}) OVER (ORDER BY recency_us ASC, "user" ASC) AS r,
+        ntile({n}) OVER (ORDER BY frequency DESC, "user" ASC) AS f,
+        ntile({n}) OVER (ORDER BY monetary_c DESC, "user" ASC) AS m
+    FROM scored
+)
+SELECT "user", recency_us, frequency, monetary_c, r, f, m,
+       CAST(r AS VARCHAR) || CAST(f AS VARCHAR) || CAST(m AS VARCHAR) AS segment
+FROM tiled
+"""

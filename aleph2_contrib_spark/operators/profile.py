@@ -817,3 +817,86 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM l) AS n_left,
        coalesce(CAST((1000000 * max(p)) // sum(p) AS BIGINT), 0) AS max_pairs_share_ppm
 FROM j
 """
+
+
+# Benford first-digit expectation, log10(1+1/d) in ppm — FIXED integer
+# constants so both engines compare against bit-identical expectations
+# (embedding the constants instead of computing log10 keeps the module
+# log-free / engine-portable).
+_BENFORD_PPM = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+    6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+
+
+def benford_profile(df: DataFrame, col: str) -> DataFrame:
+    """First-significant-digit distribution vs Benford's law — the
+    fabricated-data / unit-mix tripwire for numeric QA (price columns,
+    transaction amounts, populations follow it; uniform or invented data
+    does not).
+
+    One row per digit 1-9: (digit, cnt, share_ppm, benford_ppm,
+    dev_ppm = |share − benford|). Rows with NULL/zero/non-finite values
+    are excluded (they have no first significant digit). The first
+    digit is extracted lexically from the canonical float rendering —
+    regexp on the absolute value's digits, engine-agnostic — and all
+    shares are exact integer ppm.
+
+    Plan shape at scale: one narrow projection + groupBy(digit) with
+    map-side partials (9 output rows), one 1-row total broadcast back.
+    """
+    if col not in df.columns:
+        raise ValueError(f"column {col!r} not in DataFrame")
+    c = F.col(col).cast("double")
+    digit = F.regexp_extract(
+        F.regexp_replace(F.abs(c).cast("string"), r"[^1-9]", ""), r"^([1-9])", 1
+    )
+    cnts = (
+        df.filter(c.isNotNull() & ~F.isnan(c) & (c != 0))
+        .select(digit.alias("__d"))
+        .filter(F.col("__d") != "")
+        .groupBy("__d")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tot = cnts.agg(F.sum("cnt").alias("__n"))
+    bt = F.create_map(
+        *[x for d, p in _BENFORD_PPM.items() for x in (F.lit(str(d)), F.lit(p))]
+    )
+    return (
+        cnts.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("__d").cast("int").alias("digit"),
+            F.col("cnt").cast("long").alias("cnt"),
+            F.expr("(1000000 * cnt) div __n").alias("share_ppm"),
+            bt[F.col("__d")].cast("long").alias("benford_ppm"),
+        )
+        .withColumn(
+            "dev_ppm", F.abs(F.col("share_ppm") - F.col("benford_ppm"))
+        )
+    )
+
+
+def benford_profile_oracle_sql(table: str, col: str) -> str:
+    """DuckDB replica of :func:`benford_profile` (same lexical digit
+    extraction, same embedded ppm constants)."""
+    cases = " ".join(
+        f"WHEN '{d}' THEN {p}" for d, p in _BENFORD_PPM.items()
+    )
+    return f"""
+WITH v AS (
+    SELECT regexp_extract(
+               regexp_replace(CAST(abs(CAST({col} AS DOUBLE)) AS VARCHAR), '[^1-9]', '', 'g'),
+               '^([1-9])', 1) AS d
+    FROM {table}
+    WHERE {col} IS NOT NULL AND NOT isnan(CAST({col} AS DOUBLE))
+      AND CAST({col} AS DOUBLE) != 0
+), c AS (
+    SELECT d, count(*) AS cnt FROM v WHERE d != '' GROUP BY d
+), n AS (SELECT sum(cnt) AS n FROM c)
+SELECT CAST(d AS INT) AS digit, CAST(cnt AS BIGINT) AS cnt,
+       CAST((1000000 * cnt) // (SELECT n FROM n) AS BIGINT) AS share_ppm,
+       CAST(CASE d {cases} END AS BIGINT) AS benford_ppm,
+       CAST(abs((1000000 * cnt) // (SELECT n FROM n)
+                - (CASE d {cases} END)) AS BIGINT) AS dev_ppm
+FROM c
+"""

@@ -836,3 +836,60 @@ def test_funnel_windowed_validation(spark):
         funnel_counts_windowed(df, "u", "ts", "t", list("abcdef"), 10)
     with pytest.raises(ValueError, match="positive"):
         funnel_counts_windowed(df, "u", "ts", "t", ["a"], 0)
+
+
+# -- rfm_segments ----------------------------------------------------------
+
+
+def test_rfm_segments_exact_and_tiebreaks(spark):
+    from aleph2_contrib_spark.operators.events import rfm_segments
+
+    def ts(sec):
+        return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=sec)
+
+    rows = [
+        (1, ts(100), 10.0), (1, ts(200), 5.0),     # freq 2, mon 15.00, last 200
+        (2, ts(300), 1.0),                          # most recent, mon 1.00
+        (3, ts(50), 100.0), (3, ts(60), 1.0),       # high monetary, stale
+        (4, ts(10), 2.0),                           # stalest
+    ]
+    df = spark.createDataFrame(rows, "u long, ts timestamp, v double")
+    got = {r["user"]: r.asDict() for r in rfm_segments(df, "u", "ts", "v", n_tiles=2).collect()}
+    assert got[2]["r"] == 1 and got[4]["r"] == 2          # recency ordering
+    assert got[1]["f"] == 1 and got[3]["f"] == 1          # both freq-2 users in tile 1
+    assert got[3]["m"] == 1 and got[2]["m"] == 2          # monetary ordering
+    assert got[3]["monetary_c"] == 10100                  # exact cents
+    assert got[2]["recency_us"] == 0
+    assert got[1]["segment"] == f"{got[1]['r']}{got[1]['f']}{got[1]['m']}"
+
+
+def test_rfm_segments_oracle_matches(spark):
+    import random
+
+    import duckdb
+
+    from aleph2_contrib_spark.operators.events import (
+        rfm_segments,
+        rfm_segments_oracle_sql,
+    )
+
+    rnd = random.Random(53)
+    rows = [
+        (rnd.randint(0, 20), rnd.randint(0, 10_000), round(rnd.uniform(0, 50), 2))
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame(
+        [
+            (u, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s), v)
+            for u, s, v in rows
+        ],
+        "u long, ts timestamp, v double",
+    )
+    got = {tuple(r) for r in rfm_segments(df, "u", "ts", "v").collect()}
+    vals = ", ".join(f"({u}, {s * 1_000_000}, {v})" for u, s, v in rows)
+    base_us = int(dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+    sql = rfm_segments_oracle_sql(
+        f"SELECT c1 AS u, CAST(c2 AS BIGINT) + {base_us} AS s, c3 AS v "
+        f"FROM (VALUES {vals}) t(c1, c2, c3)"
+    )
+    assert got == {tuple(r) for r in duckdb.sql(sql).fetchall()}

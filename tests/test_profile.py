@@ -452,3 +452,43 @@ def test_join_size_profile_oracle_matches(spark, tmp_path):
         "k", "k",
     )
     assert got == {tuple(x) for x in duckdb.sql(sql).fetchall()}
+
+
+# -- benford_profile -------------------------------------------------------
+
+
+def test_benford_profile_exact(spark):
+    from aleph2_contrib_spark.operators.profile import benford_profile
+
+    vals = [1.0, 12.5, 0.00019, -2e6, 250.0, 3.0, None, 0.0, float("nan")]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = {r["digit"]: (r["cnt"], r["benford_ppm"]) for r in benford_profile(df, "x").collect()}
+    # digits: 1 (1.0), 1 (12.5), 1 (0.00019), 2 (-2e6), 2 (250), 3 (3.0)
+    assert got == {1: (3, 301030), 2: (2, 176091), 3: (1, 124939)}
+    row = {r["digit"]: r for r in benford_profile(df, "x").collect()}[1]
+    assert row["share_ppm"] == 500_000 and row["dev_ppm"] == 198_970
+
+
+def test_benford_profile_oracle_matches(spark, tmp_path):
+    import random
+
+    import duckdb
+
+    from aleph2_contrib_spark.operators.profile import (
+        benford_profile,
+        benford_profile_oracle_sql,
+    )
+
+    rnd = random.Random(47)
+    rows = [(rnd.uniform(-1e6, 1e6),) for _ in range(400)] + [(None,), (0.0,)]
+    df = spark.createDataFrame(rows, "x double")
+    p = str(tmp_path / "b.parquet")
+    df.coalesce(1).write.parquet(p)
+    got = {tuple(r) for r in benford_profile(df, "x").collect()}
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW b AS SELECT * FROM '{p}/*.parquet'")
+    want = {
+        tuple(r)
+        for r in con.execute(benford_profile_oracle_sql("b", "x")).fetchall()
+    }
+    assert got == want
