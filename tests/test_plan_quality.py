@@ -55,6 +55,9 @@ INTENTIONAL_BNLJ = {
     "graph_triangles",             # three 1-row global counts joined 1x1x1
     "text_lm_surprisal",           # corpus x 1-row broadcast vocab-size scalar
     "profile_chi2_independence",   # cell table x 1-row broadcast (n, nr, nc) totals
+    "profile_benford",             # 9-digit rows x 1-row broadcast total
+    "profile_join_size",           # three 1-row aggregates joined 1x1x1
+    "events_rfm_segments",         # per-user aggregate x 1-row broadcast max-ts "now"
 }
 
 
