@@ -2902,6 +2902,39 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rfm_segments(ev, "user_id", "ts", "value")
 
 
+def sketch_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable Bloom filter (operators/sketch.bloom_build/bloom_probe):
+    filter built over urgent orders' keys, probed with a third of
+    lineitem's distinct orderkeys; the md5 positions replay in DuckDB so
+    the probe verdicts — false positives included — hash-match exactly.
+    Output: one row (n_probed, n_may_contain, n_true_members)."""
+    from aleph2_contrib_spark.operators.sketch import bloom_build, bloom_probe
+
+    o = _t(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_orderkey").alias("key")
+    )
+    bloom = bloom_build(urgent, "key")
+    probes = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 3 == 0)
+        .select(F.col("l_orderkey").alias("key"))
+        .distinct()
+    )
+    res = bloom_probe(probes, bloom, "key")
+    truth = urgent.distinct().withColumn("__in", F.lit(1))
+    return (
+        res.join(truth, "key", "left")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_probed"),
+            F.sum(F.col("may_contain").cast("long")).alias("n_may_contain"),
+            F.sum(F.coalesce(F.col("__in"), F.lit(0)).cast("long")).alias(
+                "n_true_members"
+            ),
+        )
+    )
+
+
 def profile_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benford first-digit QA (operators/profile.benford_profile) over
     lineitem extended prices — exact ppm shares vs the embedded
@@ -4699,6 +4732,27 @@ def events_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trend_slope(daily, "event_type", "x", "y")
 
 
+def _bloom_oracle() -> str:
+    from aleph2_contrib_spark.operators.sketch import bloom_oracle_sql
+
+    inner = bloom_oracle_sql(
+        "SELECT o_orderkey AS v FROM orders WHERE o_orderpriority = '1-URGENT'",
+        "SELECT DISTINCT l_orderkey AS v FROM lineitem WHERE l_orderkey % 3 = 0",
+        "key",
+    )
+    return f"""
+        WITH probe AS ({inner}),
+        truth AS (
+            SELECT DISTINCT o_orderkey AS key FROM orders
+            WHERE o_orderpriority = '1-URGENT'
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_probed,
+               CAST(sum(CAST(may_contain AS INT)) AS BIGINT) AS n_may_contain,
+               CAST(count(truth.key) AS BIGINT) AS n_true_members
+        FROM probe LEFT JOIN truth USING (key)
+    """
+
+
 def _benford_oracle() -> str:
     from aleph2_contrib_spark.operators.profile import benford_profile_oracle_sql
 
@@ -5190,6 +5244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_chi2_independence": profile_chi2_independence,
         "profile_join_size": profile_join_size,
         "profile_benford": profile_benford,
+        "sketch_bloom_filter": sketch_bloom_filter,
         "streaming_interval_join": streaming_interval_join_gate,
         "streaming_interval_join_outer": streaming_interval_join_outer,
         "events_sessionize": events_sessionize,
@@ -5638,6 +5693,7 @@ def oracle_sql() -> dict[str, str]:
         "profile_chi2_independence": _chi2_oracle(),
         "profile_join_size": _join_size_oracle(),
         "profile_benford": _benford_oracle(),
+        "sketch_bloom_filter": _bloom_oracle(),
         "streaming_interval_join": """
             SELECT c.user_id,
                    CAST(count(*) AS BIGINT) AS n_pairs,

@@ -510,3 +510,130 @@ def histogram_quantiles_by_group(
             + F.expr("((hi_f6 - lo_f6) * (need - cum_before)) div cnt")
         ).cast("long").alias("est_f6"),
     )
+
+
+# -- portable Bloom filter --------------------------------------------------
+
+_BLOOM_M = 4096
+_BLOOM_K = 4
+
+
+def bloom_build(
+    df: DataFrame, col: str, m: int = _BLOOM_M, k: int = _BLOOM_K
+) -> DataFrame:
+    """Build a PORTABLE Bloom filter over ``col`` as its set-bit position
+    table: rows (pos int), ≤m of them — the reusable/persistable form of
+    the runtime-filter pattern (txlog's per-file blooms and
+    joins.bitmap_prefilter_semi_join build theirs inline; this one is an
+    artifact another job, day, or ENGINE can load and probe).
+
+    Hashing is the repo's engine-portable md5 family:
+    ``pos_j = int(md5(j || ':' || value)[:8], 16) % m`` for j in 0..k-1 —
+    any system reproduces the identical filter, which also makes probe
+    results (INCLUDING false positives) deterministic and therefore
+    differential-testable, unlike library blooms with private hashing.
+
+    Plan shape at scale: explode k positions per row (narrow), one
+    distinct on an integer domain ≤m — the output is bounded by m rows
+    no matter the input size, the mergeable/broadcastable sweet spot
+    (union two filters = UNION DISTINCT of their position tables).
+    NULLs are skipped (a NULL never probes true).
+    """
+    if m < 2 or k < 1:
+        raise ValueError(f"need m >= 2 and k >= 1, got m={m} k={k}")
+    s = F.col(col).cast("string")
+    positions = F.array(
+        *[
+            (
+                F.conv(
+                    F.substring(F.md5(F.concat_ws(":", F.lit(str(j)), s)), 1, 8),
+                    16,
+                    10,
+                ).cast("long")
+                % m
+            ).cast("int")
+            for j in range(k)
+        ]
+    )
+    return (
+        df.filter(s.isNotNull())
+        .select(F.explode(positions).alias("pos"))
+        .distinct()
+    )
+
+
+def bloom_probe(
+    keys: DataFrame,
+    bloom: DataFrame,
+    col: str,
+    m: int = _BLOOM_M,
+    k: int = _BLOOM_K,
+) -> DataFrame:
+    """Probe a :func:`bloom_build` position table: returns the key rows
+    plus ``may_contain`` (true iff ALL k positions are set — no false
+    negatives ever; false-positive rate ~(1-e^{-kn/m})^k).
+
+    Plan shape at scale: the filter is ≤m integer rows → broadcast; the
+    probe explodes k positions per key, left-joins the broadcast set,
+    and groups back counting hits — probe side shuffles only its own
+    (key, k) rows, and with m=4096 the broadcast is ~16 KB.
+    """
+    if m < 2 or k < 1:
+        raise ValueError(f"need m >= 2 and k >= 1, got m={m} k={k}")
+    s = F.col(col).cast("string")
+    positions = F.array(
+        *[
+            (
+                F.conv(
+                    F.substring(F.md5(F.concat_ws(":", F.lit(str(j)), s)), 1, 8),
+                    16,
+                    10,
+                ).cast("long")
+                % m
+            ).cast("int")
+            for j in range(k)
+        ]
+    )
+    probed = keys.select(
+        F.col(col).alias("__key"), F.explode(positions).alias("pos")
+    )
+    hit = F.when(F.col("__hit").isNotNull(), 1).otherwise(0)
+    return (
+        probed.join(
+            F.broadcast(bloom.select(F.col("pos"), F.lit(1).alias("__hit"))),
+            "pos",
+            "left",
+        )
+        .groupBy("__key")
+        .agg((F.sum(hit) == F.lit(int(k))).alias("may_contain"))
+        .select(F.col("__key").alias(col), "may_contain")
+    )
+
+
+def bloom_oracle_sql(
+    build_sql: str, probe_sql: str, col: str, m: int = _BLOOM_M, k: int = _BLOOM_K
+) -> str:
+    """DuckDB replica of bloom_build + bloom_probe (same md5 positions,
+    so false positives replay identically). ``build_sql``/``probe_sql``
+    must each yield a single column named ``v``."""
+    def pos_exprs(alias):
+        return ", ".join(
+            f"CAST(CAST('0x' || substr(md5('{j}:' || CAST({alias}.v AS VARCHAR)), 1, 8) AS UBIGINT) % {m} AS INT)"
+            for j in range(k)
+        )
+
+    return f"""
+WITH b AS MATERIALIZED ({build_sql}),
+p AS MATERIALIZED ({probe_sql}),
+bpos AS (
+    SELECT DISTINCT unnest([{pos_exprs('b')}]) AS pos
+    FROM b WHERE b.v IS NOT NULL
+),
+ppos AS (
+    SELECT p.v AS key, unnest([{pos_exprs('p')}]) AS pos FROM p
+)
+SELECT key AS {col},
+       (count(bpos.pos) = {k}) AS may_contain
+FROM ppos LEFT JOIN bpos USING (pos)
+GROUP BY key
+"""

@@ -262,3 +262,72 @@ def test_hll_group_registers_rollup_equals_direct(spark):
         for r in hll_estimate_by_group(df, "v", "coarse").collect()
     }
     assert got == want and len(got) == 2
+
+
+# -- portable bloom filter ---------------------------------------------------
+
+
+def test_bloom_no_false_negatives_and_oracle(spark, tmp_path):
+    import duckdb
+
+    from aleph2_contrib_spark.operators.sketch import (
+        bloom_build,
+        bloom_oracle_sql,
+        bloom_probe,
+    )
+
+    build_vals = [f"k{i}" for i in range(0, 400, 2)]  # even keys
+    probe_vals = [f"k{i}" for i in range(0, 400)] + ["zz", None]
+    b = spark.createDataFrame([(v,) for v in build_vals], "v string")
+    p = spark.createDataFrame([(v,) for v in probe_vals], "v string")
+    bloom = bloom_build(b, "v")
+    got = {
+        r["v"]: r["may_contain"] for r in bloom_probe(p, bloom, "v").collect()
+    }
+    # zero false negatives, always
+    assert all(got[v] for v in build_vals)
+    # the filter must actually reject most absent keys at this load
+    absent = [f"k{i}" for i in range(1, 400, 2)]
+    fp = sum(1 for v in absent if got[v])
+    assert fp < len(absent) * 0.2
+
+    # oracle replays the identical bit positions — INCLUDING false
+    # positives — so the probe table matches exactly
+    bp, pp = str(tmp_path / "b.parquet"), str(tmp_path / "p.parquet")
+    b.coalesce(1).write.parquet(bp)
+    p.coalesce(1).write.parquet(pp)
+    con = duckdb.connect()
+    sql = bloom_oracle_sql(
+        f"SELECT v FROM '{bp}/*.parquet'",
+        f"SELECT v FROM '{pp}/*.parquet'",
+        "v",
+    )
+    want = {r[0]: r[1] for r in con.execute(sql).fetchall()}
+    assert got == want
+
+
+def test_bloom_union_merge(spark):
+    from aleph2_contrib_spark.operators.sketch import bloom_build, bloom_probe
+
+    a = spark.createDataFrame([("a",)], "v string")
+    b = spark.createDataFrame([("b",)], "v string")
+    both = spark.createDataFrame([("a",), ("b",)], "v string")
+    merged = bloom_build(a, "v").unionByName(bloom_build(b, "v")).distinct()
+    direct = bloom_build(both, "v")
+    assert {r["pos"] for r in merged.collect()} == {
+        r["pos"] for r in direct.collect()
+    }
+    probe = bloom_probe(both, merged, "v")
+    assert all(r["may_contain"] for r in probe.collect())
+
+
+def test_bloom_validation(spark):
+    import pytest as _pytest
+
+    from aleph2_contrib_spark.operators.sketch import bloom_build, bloom_probe
+
+    df = spark.createDataFrame([("a",)], "v string")
+    with _pytest.raises(ValueError, match="m >= 2"):
+        bloom_build(df, "v", m=1)
+    with _pytest.raises(ValueError, match="m >= 2"):
+        bloom_probe(df, df.select(F.lit(1).alias("pos")), "v", k=0)
