@@ -2902,6 +2902,23 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rfm_segments(ev, "user_id", "ts", "value")
 
 
+def events_concurrency_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concurrency profile (operators/events.concurrency_timeline): order
+    activity windows (orderdate-day .. +1+key%7 days) swept with the
+    distributed +1/-1 boundary scan — per concurrency level, total days
+    and segment count; exact integers, two-phase cumsum (never a global
+    single-partition window)."""
+    from aleph2_contrib_spark.operators.events import concurrency_timeline
+
+    o = _t(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+    iv = o.select(
+        day.cast("long").alias("lo"),
+        (day + 1 + F.col("o_orderkey") % 7).cast("long").alias("hi"),
+    )
+    return concurrency_timeline(iv, "lo", "hi")
+
+
 def sketch_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Portable Bloom filter (operators/sketch.bloom_build/bloom_probe):
     filter built over urgent orders' keys, probed with a third of
@@ -4732,6 +4749,19 @@ def events_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trend_slope(daily, "event_type", "x", "y")
 
 
+def _concurrency_oracle() -> str:
+    from aleph2_contrib_spark.operators.events import (
+        concurrency_timeline_oracle_sql,
+    )
+
+    iv = (
+        "SELECT datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS lo,"
+        " datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))"
+        " + 1 + o_orderkey % 7 AS hi FROM orders"
+    )
+    return concurrency_timeline_oracle_sql(iv)
+
+
 def _bloom_oracle() -> str:
     from aleph2_contrib_spark.operators.sketch import bloom_oracle_sql
 
@@ -5245,6 +5275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_join_size": profile_join_size,
         "profile_benford": profile_benford,
         "sketch_bloom_filter": sketch_bloom_filter,
+        "events_concurrency_timeline": events_concurrency_timeline,
         "streaming_interval_join": streaming_interval_join_gate,
         "streaming_interval_join_outer": streaming_interval_join_outer,
         "events_sessionize": events_sessionize,
@@ -5694,6 +5725,7 @@ def oracle_sql() -> dict[str, str]:
         "profile_join_size": _join_size_oracle(),
         "profile_benford": _benford_oracle(),
         "sketch_bloom_filter": _bloom_oracle(),
+        "events_concurrency_timeline": _concurrency_oracle(),
         "streaming_interval_join": """
             SELECT c.user_id,
                    CAST(count(*) AS BIGINT) AS n_pairs,

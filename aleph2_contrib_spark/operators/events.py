@@ -1155,3 +1155,123 @@ SELECT "user", recency_us, frequency, monetary_c, r, f, m,
        CAST(r AS VARCHAR) || CAST(f AS VARCHAR) || CAST(m AS VARCHAR) AS segment
 FROM tiled
 """
+
+
+def concurrency_timeline(
+    df: DataFrame,
+    lo_col: str,
+    hi_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Concurrency profile of half-open integer intervals [lo, hi): for
+    every concurrency level, how much total time the timeline spends at
+    it — peak simultaneous sessions / connections / active jobs plus the
+    full distribution, the capacity-planning sweep ("how many concurrent
+    users must we size for, and for how long").
+
+    Classic +1/−1 boundary sweep, exact: boundaries collapse by
+    timestamp FIRST (groupBy(time) sum(delta) — this also removes any
+    same-instant ordering ambiguity: a [5,5) interval nets to zero), the
+    running sum over time order is the two-phase distributed scan
+    (range-partition by time, per-partition window cumsum, driver prefix
+    over O(partitions) totals broadcast back — never a single global
+    window; same pattern as profile.ks_statistic), and each level's
+    duration is the gap to the next boundary, with the cross-partition
+    gap closed by an O(partitions) next-first-time carry table.
+
+    Returns (concurrency, total_duration, n_segments) for concurrency >
+    0 segments; empty intervals (hi <= lo) contribute nothing. Exact
+    integers end to end.
+    """
+    spark = df.sparkSession
+    lo, hi = F.col(lo_col).cast("long"), F.col(hi_col).cast("long")
+    iv = df.filter(hi > lo)
+    bounds = (
+        iv.select(lo.alias("__t"), F.lit(1).alias("__d"))
+        .unionByName(iv.select(hi.alias("__t"), F.lit(-1).alias("__d")))
+        .groupBy("__t")
+        .agg(F.sum("__d").alias("__d"))
+    )
+    nparts = num_partitions or spark.sparkContext.defaultParallelism
+    d = bounds.repartitionByRange(nparts, F.col("__t").asc()).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy("__t")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wl = Window.partitionBy("__pid").orderBy("__t")
+    d = (
+        d.withColumn("__local", F.sum("__d").over(w))
+        .withColumn("__next_local", F.lead("__t").over(wl))
+        .persist()
+    )
+    parts = (
+        d.groupBy("__pid")
+        .agg(F.sum("__d").alias("__tot"), F.min("__t").alias("__first"))
+        .collect()
+    )
+    run, offsets = 0, {}
+    ordered = sorted(parts, key=lambda r: r["__pid"])
+    for i, row in enumerate(ordered):
+        nxt = next(
+            (ordered[j]["__first"] for j in range(i + 1, len(ordered))
+             if ordered[j]["__first"] is not None),
+            None,
+        )
+        offsets[row["__pid"]] = (run, nxt)
+        run += row["__tot"] or 0
+    off_df = spark.createDataFrame(
+        [(int(p), int(o), nf) for p, (o, nf) in offsets.items()],
+        "__pid int, __off long, __next_first long",
+    )
+    seg = (
+        d.join(F.broadcast(off_df), "__pid")
+        .select(
+            (F.col("__local") + F.col("__off")).alias("concurrency"),
+            (
+                F.coalesce(F.col("__next_local"), F.col("__next_first"))
+                - F.col("__t")
+            ).alias("__dur"),
+        )
+        .filter(F.col("__dur").isNotNull() & (F.col("concurrency") > 0))
+    )
+    out = seg.groupBy("concurrency").agg(
+        F.sum("__dur").cast("long").alias("total_duration"),
+        F.count(F.lit(1)).cast("long").alias("n_segments"),
+    )
+    res = out.select(
+        F.col("concurrency").cast("long").alias("concurrency"),
+        "total_duration",
+        "n_segments",
+    )
+    rows = res.collect()
+    d.unpersist()
+    return spark.createDataFrame(
+        rows, "concurrency long, total_duration long, n_segments long"
+    )
+
+
+def concurrency_timeline_oracle_sql(intervals_sql: str) -> str:
+    """DuckDB replica of :func:`concurrency_timeline`. ``intervals_sql``
+    must yield (lo, hi) integers."""
+    return """
+WITH iv AS MATERIALIZED (SELECT lo, hi FROM (%s) WHERE hi > lo),
+b AS (
+    SELECT t, sum(d) AS d FROM (
+        SELECT lo AS t, 1 AS d FROM iv
+        UNION ALL
+        SELECT hi AS t, -1 AS d FROM iv
+    ) GROUP BY t
+), c AS (
+    SELECT t, sum(d) OVER (ORDER BY t) AS concurrency,
+           lead(t) OVER (ORDER BY t) AS nxt
+    FROM b
+)
+SELECT CAST(concurrency AS BIGINT) AS concurrency,
+       CAST(sum(nxt - t) AS BIGINT) AS total_duration,
+       CAST(count(*) AS BIGINT) AS n_segments
+FROM c WHERE nxt IS NOT NULL AND concurrency > 0
+GROUP BY concurrency
+""" % intervals_sql

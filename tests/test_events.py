@@ -893,3 +893,55 @@ def test_rfm_segments_oracle_matches(spark):
         f"FROM (VALUES {vals}) t(c1, c2, c3)"
     )
     assert got == {tuple(r) for r in duckdb.sql(sql).fetchall()}
+
+
+# -- concurrency_timeline ----------------------------------------------------
+
+
+def _brute_concurrency(intervals):
+    pts = sorted({t for lo, hi in intervals for t in (lo, hi) if hi > lo})
+    out = {}
+    for t, nxt in zip(pts, pts[1:]):
+        c = sum(1 for lo, hi in intervals if lo <= t < hi)
+        if c > 0:
+            dur, n = out.get(c, (0, 0))
+            out[c] = (dur + nxt - t, n + 1)
+    return out
+
+
+def test_concurrency_timeline_matches_brute_force(spark):
+    import random
+
+    from aleph2_contrib_spark.operators.events import concurrency_timeline
+
+    rnd = random.Random(59)
+    ivs = [
+        (a, a + rnd.randint(-2, 40))
+        for a in (rnd.randint(0, 300) for _ in range(120))
+    ]
+    ivs += [(5, 5), (7, 3)]  # empty + inverted: must contribute nothing
+    df = spark.createDataFrame(ivs, "lo long, hi long")
+    for nparts in (1, 4, 16):
+        got = {
+            r["concurrency"]: (r["total_duration"], r["n_segments"])
+            for r in concurrency_timeline(df, "lo", "hi", nparts).collect()
+        }
+        assert got == _brute_concurrency(ivs), f"nparts={nparts}"
+
+
+def test_concurrency_timeline_oracle_matches(spark):
+    import duckdb
+
+    from aleph2_contrib_spark.operators.events import (
+        concurrency_timeline,
+        concurrency_timeline_oracle_sql,
+    )
+
+    ivs = [(0, 10), (5, 15), (5, 15), (20, 21), (14, 22)]
+    df = spark.createDataFrame(ivs, "lo long, hi long")
+    got = {tuple(r) for r in concurrency_timeline(df, "lo", "hi").collect()}
+    vals = ", ".join(f"({a}, {b})" for a, b in ivs)
+    sql = concurrency_timeline_oracle_sql(
+        f"SELECT c1 AS lo, c2 AS hi FROM (VALUES {vals}) t(c1, c2)"
+    )
+    assert got == {tuple(r) for r in duckdb.sql(sql).fetchall()}
