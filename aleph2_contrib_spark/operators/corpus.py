@@ -218,17 +218,16 @@ def pack_sequences(
     w = Window.partitionBy("__pid").orderBy("id")
     d = d.withColumn("__local_cum", F.sum("tok_len").over(w) - F.col("tok_len"))
 
-    # Persist BEFORE the totals action: the per-partition offsets below are
-    # keyed by __pid, and RangePartitioner boundaries come from sampling
-    # that can differ between two independent executions of this plan —
-    # without the persist, the final job could land rows in different
-    # partitions than the totals job measured, silently corrupting
-    # cum_before. MEMORY_AND_DISK spills rather than evicts, so both jobs
-    # read the SAME materialized partitioning; blocks are reclaimed by the
-    # context cleaner when the result DataFrame is garbage-collected.
-    from pyspark import StorageLevel
-
-    d = d.persist(StorageLevel.MEMORY_AND_DISK)
+    # Eager localCheckpoint BEFORE the totals action: the per-partition
+    # offsets below are keyed by __pid, and RangePartitioner boundaries
+    # come from sampling that can differ between two independent
+    # executions of this plan — without a barrier, the final job could
+    # land rows in different partitions than the totals job measured,
+    # silently corrupting cum_before. localCheckpoint (MEMORY_AND_DISK
+    # blocks, lineage CUT) is stronger than persist: a lost block fails
+    # the job instead of silently recomputing with re-sampled
+    # boundaries. Blocks are reclaimed when the DataFrame is GC'd.
+    d = d.localCheckpoint(eager=True)
     totals = d.groupBy("__pid").agg(F.sum("tok_len").alias("__ptot")).collect()
     running, offsets = 0, {}
     for row in sorted(totals, key=lambda r: r["__pid"]):
@@ -268,12 +267,12 @@ def global_order_index(df: DataFrame, order_col: str, num_partitions: int | None
     d = df.repartitionByRange(nparts, order_col).withColumn("__pid", F.spark_partition_id())
     w = Window.partitionBy("__pid").orderBy(order_col)
     d = d.withColumn("__local_idx", F.row_number().over(w) - 1)
-    # Persist before the counts action — same reasoning as pack_sequences:
-    # freeze the sampled range partitioning so the offsets keyed by __pid
-    # apply to the identical row placement in the final job.
-    from pyspark import StorageLevel
-
-    d = d.persist(StorageLevel.MEMORY_AND_DISK)
+    # Eager localCheckpoint before the counts action — same reasoning as
+    # pack_sequences: freeze the sampled range partitioning so the
+    # offsets keyed by __pid apply to the identical row placement in the
+    # final job (lineage cut: a lost block fails instead of silently
+    # recomputing with re-sampled boundaries).
+    d = d.localCheckpoint(eager=True)
     counts = d.groupBy("__pid").agg(F.count(F.lit(1)).alias("__pn")).collect()
     running, offsets = 0, {}
     for row in sorted(counts, key=lambda r: r["__pid"]):
@@ -750,8 +749,6 @@ def quality_budget_filter(
     row count falls out of the same per-partition counts, so the whole
     operator costs one extra tiny collect over partition totals.
     """
-    from pyspark import StorageLevel
-
     spark = df.sparkSession
     nparts = num_partitions or spark.sparkContext.defaultParallelism
     d = df.repartitionByRange(
@@ -761,10 +758,12 @@ def quality_budget_filter(
         F.col(score_col).desc(), F.col(id_col).asc()
     )
     d = d.withColumn("__local_rank", F.row_number().over(w))
-    # persist BEFORE the counts action: freeze the sampled range
-    # partitioning so the offsets keyed by __pid apply to the identical
-    # row placement in the final job (same reasoning as pack_sequences)
-    d = d.persist(StorageLevel.MEMORY_AND_DISK)
+    # eager localCheckpoint BEFORE the counts action: freeze the sampled
+    # range partitioning so the offsets keyed by __pid apply to the
+    # identical row placement in the final job (same reasoning as
+    # pack_sequences; lineage cut so a lost block fails rather than
+    # silently recomputing with re-sampled boundaries)
+    d = d.localCheckpoint(eager=True)
     counts = d.groupBy("__pid").agg(F.count(F.lit(1)).alias("__pn")).collect()
     running, offsets = 0, {}
     for row in sorted(counts, key=lambda r: r["__pid"]):
@@ -827,8 +826,11 @@ def weighted_sample_oracle_sql(
     """DuckDB replica of :func:`weighted_sample` — identical md5 priority
     and IEEE division, ORDER BY + LIMIT. ``rows_sql`` yields the candidate
     rows; ``id_expr``/``weight_expr`` are column expressions over it."""
+    from aleph2_contrib_spark.operators import sql_str
+
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    seed = sql_str(seed)
     return f"""
 SELECT * EXCLUDE (__pri) FROM (
     SELECT r.*,

@@ -1040,14 +1040,17 @@ def funnel_windowed_oracle_sql(
     """DuckDB replica of :func:`funnel_counts_windowed` via direct
     EXISTS-chain joins (the quadratic formulation the operator avoids).
     ``events_sql`` must yield (u, t, s) with s in epoch MICROseconds."""
+    from aleph2_contrib_spark.operators import sql_str
+
     w_us = int(window_seconds) * 1_000_000
+    q = [sql_str(s) for s in steps]
     selects = []
-    for i, step in enumerate(steps):
+    for i, step in enumerate(q):
         joins = ["FROM e e0"]
-        conds = [f"e0.t = '{steps[0]}'"]
+        conds = [f"e0.t = '{q[0]}'"]
         for j in range(1, i + 1):
             joins.append(f"JOIN e e{j} ON e{j}.u = e0.u")
-            conds.append(f"e{j}.t = '{steps[j]}'")
+            conds.append(f"e{j}.t = '{q[j]}'")
             conds.append(f"e{j}.s > e{j-1}.s")
             conds.append(f"e{j}.s <= e0.s + {w_us}")
         selects.append(
@@ -1202,10 +1205,16 @@ def concurrency_timeline(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     wl = Window.partitionBy("__pid").orderBy("__t")
+    # Eager localCheckpoint, NOT persist: the offsets collected below are
+    # keyed by spark_partition_id(), which is only stable if the range
+    # partitioning is never re-executed. A plain persist() can lose
+    # blocks and silently recompute with RE-SAMPLED range boundaries,
+    # corrupting the prefix sums; localCheckpoint cuts lineage so a lost
+    # block fails the job instead (same barrier as profile.ks_statistic).
     d = (
         d.withColumn("__local", F.sum("__d").over(w))
         .withColumn("__next_local", F.lead("__t").over(wl))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     parts = (
         d.groupBy("__pid")
@@ -1241,15 +1250,10 @@ def concurrency_timeline(
         F.sum("__dur").cast("long").alias("total_duration"),
         F.count(F.lit(1)).cast("long").alias("n_segments"),
     )
-    res = out.select(
+    return out.select(
         F.col("concurrency").cast("long").alias("concurrency"),
         "total_duration",
         "n_segments",
-    )
-    rows = res.collect()
-    d.unpersist()
-    return spark.createDataFrame(
-        rows, "concurrency long, total_duration long, n_segments long"
     )
 
 

@@ -350,7 +350,6 @@ def ks_statistic(
     pack_sequences; NEVER a single-partition window), and one tiny max
     aggregate finishes. Shuffle volume is distinct values, not rows.
     """
-    from pyspark import StorageLevel
     from pyspark.sql import Window
 
     spark = df.sparkSession
@@ -377,7 +376,11 @@ def ks_statistic(
     d = d.withColumn("__la", F.sum("__ca").over(w)).withColumn(
         "__lb", F.sum("__cb").over(w)
     )
-    d = d.persist(StorageLevel.MEMORY_AND_DISK)
+    # eager localCheckpoint: offsets below are keyed by __pid, so the
+    # sampled range partitioning must never re-execute (a lost persist
+    # block would silently recompute with re-sampled boundaries and
+    # corrupt the prefix sums; the lineage cut fails instead)
+    d = d.localCheckpoint(eager=True)
     totals = (
         d.groupBy("__pid")
         .agg(F.sum("__ca").alias("__pa"), F.sum("__cb").alias("__pb"))
@@ -410,13 +413,11 @@ def ks_statistic(
             ).alias("ks_f6"),
         )
     )
-    # materialize the one-row answer so the cached cumsum can be released
-    # before returning — otherwise every call leaks blocks into the
-    # session storage pool for the life of the returned (lazy) DataFrame
+    # materialize the one-row answer so the checkpointed cumsum blocks
+    # can be reclaimed as soon as `d` goes out of scope — otherwise every
+    # call holds blocks for the life of the returned (lazy) DataFrame
     row = final.collect()
-    out = spark.createDataFrame(row, final.schema)
-    d.unpersist()
-    return out
+    return spark.createDataFrame(row, final.schema)
 
 
 def table_summary(
@@ -633,7 +634,9 @@ FROM (SELECT coalesce(CAST({c} AS VARCHAR), chr(0) || 'NULL') AS k, count(*) AS 
     return " UNION ALL ".join(sels)
 
 
-def chi2_independence(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+def chi2_independence(
+    df: DataFrame, col_a: str, col_b: str, max_exact_n: int = 99_999_999
+) -> DataFrame:
     """Pearson chi-square independence statistic between two categorical
     columns — the dependency screen ("does source predict label? does
     shard correlate with quality bucket?") a feature-audit pass runs
@@ -655,8 +658,18 @@ def chi2_independence(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
     Plan shape at scale: ONE groupBy(a, b) over the scan (map-side
     partial, output = distinct cell count); totals derive from the cell
     table itself (two tiny aggs, broadcast back) — the raw table is
-    never rescanned, nothing driver-side. DECIMAL(38,0) cross-products
-    keep 1e20-scale squares exact.
+    never rescanned, nothing driver-side.
+
+    EXACTNESS BOUND: the per-cell numerator (O·n − r·c)²·10⁶ is carried
+    in DECIMAL(38,0), which holds it exactly only while |O·n − r·c| <
+    10¹⁶ — guaranteed by n ≤ 10⁸−1 (|O·n − r·c| ≤ n²). Beyond that,
+    non-ANSI Spark would silently NULL the overflowed cells and F.sum
+    would drop them, yielding a WRONG statistic with no error — so the
+    operator raises at runtime when n exceeds the bound instead of
+    returning a wrong answer. (A 10⁸-row contingency SCAN is fine at any
+    scale; n here is the table row count, the one quantity that drives
+    the term magnitude.) ``max_exact_n`` exists so tests can exercise the
+    guard without 10⁸ rows — production callers should not raise it.
     """
     for c in (col_a, col_b):
         if c not in df.columns:
@@ -695,13 +708,35 @@ def chi2_independence(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
             ),
         )
     )
+    # Fail-fast overflow guard (see EXACTNESS BOUND in the docstring):
+    # past n = 1e8-1 the per-cell DECIMAL(38,0) term can overflow to
+    # NULL and the sum would silently drop cells. raise_error sits in
+    # the otherwise-branch of the kept `n` column so it survives
+    # column pruning and fires during the final projection.
+    n_guarded = F.when(
+        F.col("__n") <= F.lit(int(max_exact_n)), F.col("__n")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("chi2_independence: n="),
+                F.col("__n").cast("string"),
+                F.lit(
+                    " exceeds the exact DECIMAL(38,0) bound (n <= 99999999):"
+                    " per-cell (O*n - r*c)^2 * 1e6 would overflow and cells"
+                    " would be silently dropped. Pre-aggregate or shard the"
+                    " input (the statistic is additive over disjoint strata"
+                    " only if recomputed per stratum)."
+                ),
+            )
+        )
+    )
     return (
         x.groupBy("__n", "__nr", "__nc")
         .agg(F.sum("__t").alias("__chi"))
         .select(
             F.lit(col_a).alias("col_a"),
             F.lit(col_b).alias("col_b"),
-            F.col("__n").cast("long").alias("n"),
+            n_guarded.cast("long").alias("n"),
             F.col("__nr").cast("int").alias("n_rows_cat"),
             F.col("__nc").cast("int").alias("n_cols_cat"),
             ((F.col("__nr") - 1) * (F.col("__nc") - 1)).cast("int").alias("dof"),
@@ -780,10 +815,18 @@ def join_size_profile(
             (F.col("__ca").cast("decimal(38,0)") * F.col("__cb")).alias("__p")
         )
     )
+    # n_join_rows / max_key_pairs stay DECIMAL(38,0): the explosive case
+    # (> 9.2e18 output rows) is exactly the incident this profiler
+    # exists to catch, and a non-ANSI cast to long would report it as
+    # NULL instead of the number.
     stats = joined.agg(
-        F.coalesce(F.sum("__p"), F.lit(0)).cast("long").alias("n_join_rows"),
+        F.coalesce(F.sum("__p"), F.lit(0))
+        .cast("decimal(38,0)")
+        .alias("n_join_rows"),
         F.count(F.lit(1)).cast("long").alias("n_matching_keys"),
-        F.coalesce(F.max("__p"), F.lit(0)).cast("long").alias("max_key_pairs"),
+        F.coalesce(F.max("__p"), F.lit(0))
+        .cast("decimal(38,0)")
+        .alias("max_key_pairs"),
         F.coalesce(
             F.expr("CAST((1000000 * max(__p)) div sum(__p) AS BIGINT)"), F.lit(0)
         ).alias("max_pairs_share_ppm"),
@@ -811,9 +854,9 @@ b AS (SELECT {right_key} AS k, count(*) AS cb FROM r
 j AS (SELECT CAST(ca AS HUGEINT) * cb AS p FROM a JOIN b USING (k))
 SELECT (SELECT CAST(count(*) AS BIGINT) FROM l) AS n_left,
        (SELECT CAST(count(*) AS BIGINT) FROM r) AS n_right,
-       CAST(coalesce(sum(p), 0) AS BIGINT) AS n_join_rows,
+       CAST(coalesce(sum(p), 0) AS DECIMAL(38,0)) AS n_join_rows,
        CAST(count(*) AS BIGINT) AS n_matching_keys,
-       CAST(coalesce(max(p), 0) AS BIGINT) AS max_key_pairs,
+       CAST(coalesce(max(p), 0) AS DECIMAL(38,0)) AS max_key_pairs,
        coalesce(CAST((1000000 * max(p)) // sum(p) AS BIGINT), 0) AS max_pairs_share_ppm
 FROM j
 """

@@ -577,15 +577,24 @@ def bloom_probe(
     probe explodes k positions per key, left-joins the broadcast set,
     and groups back counting hits — probe side shuffles only its own
     (key, k) rows, and with m=4096 the broadcast is ~16 KB.
+
+    NULL probe keys always report may_contain = false (the build side
+    skips NULLs, so "a NULL never probes true" holds on BOTH sides):
+    positions use NULL-propagating concat, so a NULL key hashes to NULL
+    positions that can never join a set bit.
     """
     if m < 2 or k < 1:
         raise ValueError(f"need m >= 2 and k >= 1, got m={m} k={k}")
     s = F.col(col).cast("string")
+    # F.concat (not concat_ws): concat_ws SKIPS a NULL key, hashing the
+    # bare "j" prefix — a NULL would then probe the positions of the
+    # j-th salt string and could spuriously report true. concat
+    # propagates NULL, matching the DuckDB oracle's NULL arithmetic.
     positions = F.array(
         *[
             (
                 F.conv(
-                    F.substring(F.md5(F.concat_ws(":", F.lit(str(j)), s)), 1, 8),
+                    F.substring(F.md5(F.concat(F.lit(f"{j}:"), s)), 1, 8),
                     16,
                     10,
                 ).cast("long")

@@ -945,3 +945,17 @@ def test_concurrency_timeline_oracle_matches(spark):
         f"SELECT c1 AS lo, c2 AS hi FROM (VALUES {vals}) t(c1, c2)"
     )
     assert got == {tuple(r) for r in duckdb.sql(sql).fetchall()}
+
+
+def test_funnel_oracle_sql_escapes_quoted_steps():
+    """Step names containing single quotes must not break or inject into
+    the generated DuckDB oracle SQL (ADVICE r7)."""
+    import duckdb
+
+    from aleph2_contrib_spark.operators.events import funnel_windowed_oracle_sql
+
+    sql = funnel_windowed_oracle_sql(
+        "SELECT 'u1' AS u, 'it''s' AS t, 1000000 AS s", ["it's", "o'k"], 60
+    )
+    rows = duckdb.sql(sql).fetchall()
+    assert [(r[0], r[1], r[2]) for r in rows] == [(0, "it's", 1), (1, "o'k", 0)]

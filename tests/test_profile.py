@@ -492,3 +492,19 @@ def test_benford_profile_oracle_matches(spark, tmp_path):
         for r in con.execute(benford_profile_oracle_sql("b", "x")).fetchall()
     }
     assert got == want
+
+
+def test_chi2_independence_overflow_guard_raises(spark):
+    """Past the exact DECIMAL(38,0) bound the per-cell terms could
+    silently NULL-drop; the operator must raise instead (ADVICE r7).
+    max_exact_n is lowered so the guard fires without 1e8 rows."""
+    import pytest as _pytest
+
+    from aleph2_contrib_spark.operators.profile import chi2_independence
+
+    rows = [(str(i % 3), str(i % 2)) for i in range(50)]
+    df = spark.createDataFrame(rows, "a string, b string")
+    # fine under the default bound
+    assert chi2_independence(df, "a", "b").collect()[0]["n"] == 50
+    with _pytest.raises(Exception, match="exceeds the exact DECIMAL"):
+        chi2_independence(df, "a", "b", max_exact_n=49).collect()

@@ -331,3 +331,20 @@ def test_bloom_validation(spark):
         bloom_build(df, "v", m=1)
     with _pytest.raises(ValueError, match="m >= 2"):
         bloom_probe(df, df.select(F.lit(1).alias("pos")), "v", k=0)
+
+
+def test_bloom_probe_null_key_always_false(spark):
+    """A NULL probe key must report may_contain=false (build skips NULLs,
+    so 'a NULL never probes true' holds on both sides — ADVICE r7): the
+    positions use NULL-propagating concat, never the bare salt string."""
+    from aleph2_contrib_spark.operators.sketch import bloom_build, bloom_probe
+
+    # saturate the filter so EVERY position is set — the old concat_ws
+    # bug (NULL hashes as md5("j")) would then report true for NULL
+    b = spark.createDataFrame([(f"k{i}",) for i in range(20000)], "v string")
+    bloom = bloom_build(b, "v", m=64)
+    assert bloom.count() == 64  # fully saturated
+    p = spark.createDataFrame([("k1",), (None,)], "v string")
+    got = {r["v"]: r["may_contain"] for r in bloom_probe(p, bloom, "v", m=64).collect()}
+    assert got["k1"] is True
+    assert got[None] is False
