@@ -256,16 +256,37 @@ def pack_sequences(
 # --------------------------------------------------------------------------
 
 
-def global_order_index(df: DataFrame, order_col: str, num_partitions: int | None = None) -> DataFrame:
+def global_order_index(
+    df: DataFrame,
+    order_col,
+    num_partitions: int | None = None,
+) -> DataFrame:
     """Add a 0-based dense global index ``idx`` ordered by ``order_col``
-    (values must be unique), via the same two-phase scan as
+    (a column name/Column, or a list of them for composite orderings —
+    the combined key must be unique, e.g. via a trailing id tie-break;
+    ``F.col(...).desc()`` works), via the same two-phase scan as
     ``pack_sequences``: range-partition, per-partition row_number, driver
     prefix over per-partition counts, broadcast join back. No
     single-partition window; output independent of partition boundaries."""
     spark = df.sparkSession
     nparts = num_partitions or spark.sparkContext.defaultParallelism
-    d = df.repartitionByRange(nparts, order_col).withColumn("__pid", F.spark_partition_id())
-    w = Window.partitionBy("__pid").orderBy(order_col)
+    cols = list(order_col) if isinstance(order_col, (list, tuple)) else [order_col]
+    if nparts == 1:
+        # Single range ⇒ every cross-partition offset is 0: rank within
+        # the one coalesced partition directly — no sampling job, no
+        # checkpoint, no driver collect. coalesce(1) reports
+        # SinglePartition, so the window adds no exchange. Callers pick
+        # nparts == 1 only when the table is known-small (e.g.
+        # rfm_segments' adaptive sizing); the window stays keyed on
+        # __pid, never "no partition defined".
+        d = df.coalesce(1).withColumn("__pid", F.spark_partition_id())
+        w1 = Window.partitionBy("__pid").orderBy(*cols)
+        return (
+            d.withColumn("idx", (F.row_number().over(w1) - 1).cast("long"))
+            .drop("__pid")
+        )
+    d = df.repartitionByRange(nparts, *cols).withColumn("__pid", F.spark_partition_id())
+    w = Window.partitionBy("__pid").orderBy(*cols)
     d = d.withColumn("__local_idx", F.row_number().over(w) - 1)
     # Eager localCheckpoint before the counts action — same reasoning as
     # pack_sequences: freeze the sampled range partitioning so the

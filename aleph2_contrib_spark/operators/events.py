@@ -1067,12 +1067,33 @@ SELECT CAST(step_idx AS INT) AS step_idx, step, n_users FROM ({body})
 """
 
 
+def _exact_ntile_from_idx(idx_name: str, total: int, n_tiles: int):
+    """SQL ``ntile(n)`` reconstructed from a 0-based global rank column
+    named ``idx_name``: over ``total`` rows the first ``total mod n``
+    tiles get ``total div n + 1`` rows, the rest ``total div n`` —
+    identical to Spark/DuckDB ntile, but computable from a distributed
+    two-phase rank with NO single-task sort. Pure integer ``div``
+    arithmetic, exact at any count."""
+    base, rem = divmod(int(total), int(n_tiles))
+    if base == 0:
+        # fewer rows than tiles: each row is its own tile (SQL semantics)
+        return F.expr(f"CAST({idx_name} + 1 AS INT)")
+    hi = rem * (base + 1)
+    return F.expr(
+        f"CAST(CASE WHEN {idx_name} < {hi}"
+        f" THEN 1 + ({idx_name} div {base + 1})"
+        f" ELSE {1 + rem} + (({idx_name} - {hi}) div {base})"
+        f" END AS INT)"
+    )
+
+
 def rfm_segments(
     df: DataFrame,
     user_col: str,
     ts_col: str,
     value_col: str,
     n_tiles: int = 4,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """RFM (recency / frequency / monetary) customer segmentation — the
     classic behavioral-cohort labeling: each user scored 1..n_tiles on
@@ -1082,21 +1103,27 @@ def rfm_segments(
     Determinism contract (the module's discipline): "now" is the table's
     max timestamp (no wall clock), recency is exact integer
     microseconds, monetary is the exact DECIMAL sum floored to integer
-    cents, and every ntile ordering carries ``user_col`` as the final
+    cents, and every tile ordering carries ``user_col`` as the final
     tie-break — so tiles are bit-identical in any engine. Tile 1 is
     best (most recent / most frequent / highest value).
 
     Returns (user, recency_us, frequency, monetary_c, r, f, m, segment).
 
     Plan shape at scale: one groupBy(user) over the scan (map-side
-    partial), a 1-row max-ts broadcast, then three ntile windows over
-    the per-USER aggregate table (users, not events — and ntile needs a
-    single ordered partition, so this operator is for segment tables
-    that fit one task post-aggregation; shard by region/tenant first at
-    true 100 TB user counts, as real RFM deployments do).
+    partial), a 1-row max-ts broadcast, then THREE two-phase global
+    ranks over the per-user table (corpus.global_order_index: range
+    partition on the ordering, per-partition row_number, O(partitions)
+    driver prefix broadcast back) with each tile derived from the exact
+    rank via integer arithmetic (_exact_ntile_from_idx). NEVER an
+    unpartitioned ntile window — at hundreds of millions of users a
+    single-task sort is the operator that falls over; this shape
+    shuffles the per-user aggregate three times and sorts only within
+    partitions.
     """
     if n_tiles < 1:
         raise ValueError("n_tiles must be >= 1")
+    from aleph2_contrib_spark.operators.corpus import global_order_index
+
     sec = F.unix_micros(F.col(ts_col).cast("timestamp"))
     per_user = df.groupBy(F.col(user_col).alias("user")).agg(
         F.max(sec).alias("__last"),
@@ -1106,24 +1133,46 @@ def rfm_segments(
         ).cast("long").alias("monetary_c"),
     )
     now = per_user.agg(F.max("__last").alias("__now"))
-    scored = per_user.crossJoin(F.broadcast(now)).withColumn(
-        "recency_us", (F.col("__now") - F.col("__last")).cast("long")
+    scored = (
+        per_user.crossJoin(F.broadcast(now))
+        .withColumn("recency_us", (F.col("__now") - F.col("__last")).cast("long"))
+        .select("user", "recency_us", "frequency", "monetary_c")
+        # checkpoint once so the three rank passes (and the count) read
+        # materialized blocks instead of re-running the event aggregate
+        .localCheckpoint(eager=True)
     )
-    wr = Window.orderBy(F.col("recency_us").asc(), F.col("user").asc())
-    wf = Window.orderBy(F.col("frequency").desc(), F.col("user").asc())
-    wm = Window.orderBy(F.col("monetary_c").desc(), F.col("user").asc())
-    out = (
-        scored.withColumn("r", F.ntile(n_tiles).over(wr))
-        .withColumn("f", F.ntile(n_tiles).over(wf))
-        .withColumn("m", F.ntile(n_tiles).over(wm))
-        .withColumn(
-            "segment",
-            F.concat(
-                F.col("r").cast("string"),
-                F.col("f").cast("string"),
-                F.col("m").cast("string"),
+    total = scored.count()
+    # Size the rank passes to the per-USER table, not the session default:
+    # ~100k users per range partition keeps each per-partition sort small
+    # at scale, while a tiny segment table (the common local/test case)
+    # collapses to one partition instead of paying 32-task sampling +
+    # shuffle overhead three times. Still never an unpartitioned window —
+    # the rank window is always keyed on __pid.
+    if num_partitions is None:
+        num_partitions = max(
+            1,
+            min(
+                df.sparkSession.sparkContext.defaultParallelism,
+                (total + 99_999) // 100_000,
             ),
         )
+    orderings = [
+        ("r", [F.col("recency_us").asc(), F.col("user").asc()]),
+        ("f", [F.col("frequency").desc(), F.col("user").asc()]),
+        ("m", [F.col("monetary_c").desc(), F.col("user").asc()]),
+    ]
+    out = scored
+    for tile_col, cols in orderings:
+        out = global_order_index(out, cols, num_partitions).withColumn(
+            tile_col, _exact_ntile_from_idx("idx", total, n_tiles)
+        ).drop("idx")
+    out = out.withColumn(
+        "segment",
+        F.concat(
+            F.col("r").cast("string"),
+            F.col("f").cast("string"),
+            F.col("m").cast("string"),
+        ),
     )
     return out.select(
         "user", "recency_us", "frequency", "monetary_c", "r", "f", "m", "segment"

@@ -119,3 +119,14 @@ def test_dim_joins_broadcast(spark):
     plan = plan_of(spark, "q5_revenue_by_nation")
     assert plan.count("BroadcastHashJoin") >= 3
     assert "CartesianProduct" not in plan
+
+
+def test_rfm_windows_all_partitioned(spark):
+    """events_rfm_segments must never sort in one unpartitioned window
+    (VERDICT r7): every Window in the gate's plan is keyed on __pid and
+    ntile is gone (tiles derive from the two-phase global rank)."""
+    plan = plan_of(spark, "events_rfm_segments")
+    assert "ntile" not in plan, plan
+    for line in plan.splitlines():
+        if "Window [" in line:
+            assert "__pid" in line, f"unpartitioned window:\n{line}"
