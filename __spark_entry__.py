@@ -2330,7 +2330,17 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     pointer-jumping loop itself. Oracle: plain min-label propagation
     unrolled 8 rounds with a convergence sentinel row — pointer jumping
     converges at least as fast, and the sampled co-purchase graph's
-    diameter is far below 8 at every tested sf."""
+    diameter is far below 8 at every tested sf.
+
+    Gate cost note (r8): the r7 local run recorded 80 s here under host
+    load; the driver of that cost is ROUNDS x fixed job overhead, not
+    edge volume — measured at sf0.01: full graph (17.7k edges) = 4
+    rounds / ~6 s solo, while TRIMMING edges makes it slower (mod-3
+    sparsification -> 5.9k edges but 12 s: sparser graph = larger
+    diameter = more rounds). So the gate keeps its input and the
+    operator itself was cut to ONE action per round (lazy checkpoint
+    materialized by the convergence count, convergence via carried
+    __prev instead of a labels-vs-labels join)."""
     from aleph2_contrib_spark.operators.dedup import connected_components
 
     li = (

@@ -1034,10 +1034,14 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("component").alias("nbr_min"))
         )
+        # carry the round's starting label through as __prev so
+        # convergence is a narrow filter over the checkpointed frame —
+        # NOT an extra labels-vs-labels shuffle join per round
         propagated = labels.join(
             neigh_min, labels.node == neigh_min.src, "left"
         ).select(
             "node",
+            F.col("component").alias("__prev"),
             F.least(
                 F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
             ).alias("component"),
@@ -1047,21 +1051,22 @@ def connected_components(
         jump = propagated.select(
             F.col("node").alias("j_node"), F.col("component").alias("j_comp")
         )
+        # lazy checkpoint: the convergence count below is a full-scan
+        # action, so it materializes every block and cuts lineage in the
+        # SAME job — one action per round, not checkpoint + count
         new_labels = (
             propagated.join(jump, propagated.component == jump.j_node, "left")
             .select(
                 "node",
+                "__prev",
                 F.coalesce(F.col("j_comp"), F.col("component")).alias("component"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(
+            F.col("component") != F.col("__prev")
+        ).count()
+        labels = new_labels.drop("__prev")
         if changed == 0:
             return labels
     raise RuntimeError(
