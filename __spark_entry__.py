@@ -29,13 +29,15 @@ from contextlib import contextmanager
 
 
 @contextmanager
-def _stream_shuffle(spark: SparkSession, n: int = 8):
+def _stream_shuffle(spark: SparkSession, n: int = 4):
     """Scope spark.sql.shuffle.partitions around a streaming query START.
 
     Streaming state/agg partition counts are frozen at query start (AQE is
     disabled for streams), and the default 32 means 32 state stores + 32
     Python workers for gates whose streams carry a handful of keys — pure
-    fixed cost. 8 partitions carry the same keys at 4x less overhead.
+    fixed cost. 4 partitions carry the same keys at 8x less per-batch
+    state-store open/commit overhead (r8: was 8; each gate's key count is
+    thousands at most, so 4 stores still parallelize the real work).
     Restoring immediately after ``.start()`` is safe (the plan is already
     compiled) and leaves every batch query in the session untouched."""
     prev = spark.conf.get("spark.sql.shuffle.partitions")
@@ -3263,7 +3265,7 @@ def streaming_pit_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dim2.count()
 
-    facts = orders.select(
+    facts = orders.filter(F.col("o_orderkey") % 3 == 0).select(
         "o_orderkey", "o_custkey", F.date_sub("o_orderdate", 30).alias("asof_date")
     )
     src = tempfile.mkdtemp(prefix="a2s_pit_src_")
@@ -4080,9 +4082,9 @@ def streaming_interval_join_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = (
         _t(spark, sf_dir, "events")
-        # 1-in-3 users: join semantics identical on a subset; keeps the
+        # 1-in-9 users: join semantics identical on a subset; keeps the
         # JSON serialize + two-stream replay in seconds at sf0.1
-        .filter(F.col("user_id") % 3 == 0)
+        .filter(F.col("user_id") % 9 == 0)
         .select(
             "user_id",
             "event_type",
@@ -4154,7 +4156,7 @@ def streaming_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame
 
     ev = (
         _t(spark, sf_dir, "events")
-        .filter(F.col("user_id") % 3 == 1)
+        .filter(F.col("user_id") % 9 == 1)
         .select(
             "user_id",
             "event_type",
@@ -4405,7 +4407,11 @@ def streaming_late_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aleph2_contrib_spark.model.bucket import Bucket, TemporalSchema
     from aleph2_contrib_spark.streaming.runner import json_file_stream
 
-    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value", "ts")
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 3 == 0)
+        .select("event_id", "event_type", "value", "ts")
+    )
     src = tempfile.mkdtemp(prefix="a2s_late_src_")
     # four sequential single-file writes, NEWEST time range first — the
     # file stream consumes files in modification order, so event time
@@ -4460,7 +4466,7 @@ def streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aleph2_contrib_spark.sources.txlog import TransactionalTable
     from aleph2_contrib_spark.streaming.runner import json_file_stream
 
-    cdc = _t(spark, sf_dir, "orders").select(
+    cdc = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 3 == 0).select(
         F.col("o_custkey").alias("k"),
         F.col("o_totalprice").alias("val"),
         F.when(F.col("o_orderkey") % 11 == 0, F.lit("d"))
@@ -4545,7 +4551,14 @@ def _hll_by_group_oracle() -> str:
     return f"SELECT g AS event_type, est, n_buckets, zeros FROM ({inner})"
 
 
-_SCD2_PIT_ORACLE = """
+def _scd2_pit_oracle(fact_where: str = "") -> str:
+    """SCD2 point-in-time ASOF-join oracle; ``fact_where`` optionally
+    narrows the FACT side (the streaming gate replays 1-in-3 facts to
+    keep the harness small — dim unchanged, per-fact semantics identical)."""
+    return _SCD2_PIT_ORACLE_TPL.replace("__FACT_WHERE__", fact_where)
+
+
+_SCD2_PIT_ORACLE_TPL = """
             WITH obs AS (
                 SELECT o_custkey AS key, o_orderpriority AS attr,
                        o_orderdate AS d, o_orderkey AS k
@@ -4571,7 +4584,7 @@ _SCD2_PIT_ORACLE = """
             ), facts AS (
                 SELECT o_orderkey, o_custkey,
                        CAST(o_orderdate - INTERVAL 30 DAY AS DATE) AS asof_date
-                FROM orders
+                FROM orders __FACT_WHERE__
             )
             SELECT f.o_orderkey, f.o_custkey, f.asof_date,
                    d.attr AS prio_asof, CAST(d.valid_from AS DATE) AS matched_ts
@@ -5698,7 +5711,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT o_custkey AS k, o_totalprice AS val,
                        CASE WHEN o_orderkey % 11 = 0 THEN 'd' ELSE 'u' END AS op,
                        CAST(o_orderdate AS DATE) AS d, o_orderkey AS seq
-                FROM orders
+                FROM orders WHERE o_orderkey % 3 = 0
             ), last AS (
                 SELECT *, row_number() OVER (
                     PARTITION BY k ORDER BY d DESC, seq DESC) AS rn
@@ -5709,7 +5722,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_late_routing": """
             SELECT strftime(date_trunc('day', ts), '%Y-%m-%dT00') AS part,
                    count(*) AS n, count(DISTINCT event_id) AS n_ids
-            FROM events GROUP BY part
+            FROM events WHERE event_id % 3 = 0 GROUP BY part
         """,
         "graph_coreness": _coreness_oracle(),
         "graph_kcore": _kcore_oracle(),
@@ -5741,9 +5754,9 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_pairs,
                    CAST(sum(epoch_us(p.ts) - epoch_us(c.ts)) AS BIGINT) AS gap_us_sum
             FROM (SELECT user_id, ts FROM events
-                  WHERE event_type = 'click' AND user_id % 3 = 0) c
+                  WHERE event_type = 'click' AND user_id % 9 = 0) c
             JOIN (SELECT user_id, ts FROM events
-                  WHERE event_type = 'purchase' AND user_id % 3 = 0) p
+                  WHERE event_type = 'purchase' AND user_id % 9 = 0) p
               ON c.user_id = p.user_id
              AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
             GROUP BY c.user_id
@@ -5753,9 +5766,9 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(p.ts) AS BIGINT) AS n_matched,
                    CAST(count(*) - count(p.ts) AS BIGINT) AS n_unmatched
             FROM (SELECT user_id, ts FROM events
-                  WHERE event_type = 'click' AND user_id % 3 = 1) c
+                  WHERE event_type = 'click' AND user_id % 9 = 1) c
             LEFT JOIN (SELECT user_id, ts FROM events
-                       WHERE event_type = 'purchase' AND user_id % 3 = 1) p
+                       WHERE event_type = 'purchase' AND user_id % 9 = 1) p
               ON c.user_id = p.user_id
              AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
             GROUP BY c.user_id
@@ -6129,39 +6142,7 @@ def oracle_sql() -> dict[str, str]:
                    n_triangles
             FROM t
         """,
-        "join_scd2_pit": _SCD2_PIT_ORACLE,    "join_scd2_pit": """
-            WITH obs AS (
-                SELECT o_custkey AS key, o_orderpriority AS attr,
-                       o_orderdate AS d, o_orderkey AS k
-                FROM orders
-            ), marked AS (
-                SELECT *, CASE WHEN lag(1) OVER w IS NULL THEN 1
-                               WHEN lag(attr) OVER w IS NOT DISTINCT FROM attr
-                               THEN 0 ELSE 1 END AS new_run
-                FROM obs WINDOW w AS (PARTITION BY key ORDER BY d, k)
-            ), runs AS (
-                SELECT *, sum(new_run) OVER (
-                    PARTITION BY key ORDER BY d, k ROWS UNBOUNDED PRECEDING) AS run
-                FROM marked
-            ), g AS (
-                SELECT key, run, min(attr) AS attr, min(d) AS valid_from
-                FROM runs GROUP BY key, run
-            ), dim AS (
-                SELECT key, attr, valid_from FROM (
-                    SELECT g.*, row_number() OVER (
-                        PARTITION BY key, valid_from ORDER BY run DESC) AS rn
-                    FROM g
-                ) WHERE rn = 1
-            ), facts AS (
-                SELECT o_orderkey, o_custkey,
-                       CAST(o_orderdate - INTERVAL 30 DAY AS DATE) AS asof_date
-                FROM orders
-            )
-            SELECT f.o_orderkey, f.o_custkey, f.asof_date,
-                   d.attr AS prio_asof, CAST(d.valid_from AS DATE) AS matched_ts
-            FROM facts f ASOF LEFT JOIN dim d
-              ON f.o_custkey = d.key AND f.asof_date >= d.valid_from
-        """,
+        "join_scd2_pit": _scd2_pit_oracle(),
         "similarity_hard_negatives": """
             WITH q AS (
                 SELECT vec_id AS anchor_id, CAST(embedding AS DOUBLE[]) AS qv, label
@@ -7853,7 +7834,9 @@ def oracle_sql() -> dict[str, str]:
             FROM n
         """,
         "events_ewma": _ewma_oracle(),
-        "streaming_pit_enrichment": _SCD2_PIT_ORACLE,
+        "streaming_pit_enrichment": _scd2_pit_oracle(
+            "WHERE o_orderkey % 3 = 0"
+        ),
         "corpus_quality_budget_filter": f"""
             WITH ranked AS (
                 SELECT id, score_fx,
