@@ -1212,6 +1212,60 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_real_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode on REAL image bytes with NO injected decoder
+    (VERDICT r7 item 6): each document becomes a deterministic P6 PPM
+    (w = 4 + doc_id % 5, h = 3 + doc_id % 4, gray pixel k = (doc_id*31 +
+    k*7) % 256 replicated across RGB), encoded in an Arrow batch by
+    operators/codecs.encode_ppm, then decoded back by the stdlib codec
+    through the production extract_media_metadata / extract_media_features
+    path. The 16-bin gray-histogram counts are recovered exactly via
+    round(feature * n_pixels); DuckDB replays the pixel arithmetic
+    symbolically — so real header parsing, pixel math and Arrow plumbing
+    all sit on the differential gate."""
+    import pandas as pd
+
+    from aleph2_contrib_spark.operators import multimodal as mm
+    from aleph2_contrib_spark.operators.codecs import encode_ppm, media_decoder
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+
+    def gen(batches):
+        for b in batches:
+            rows = []
+            for did in b["doc_id"]:
+                did = int(did)
+                w, h = 4 + did % 5, 3 + did % 4
+                rgb = bytearray()
+                for k in range(w * h):
+                    g = (did * 31 + k * 7) % 256
+                    rgb += bytes((g, g, g))
+                rows.append(
+                    {"__source_file": str(did), "content": encode_ppm(w, h, bytes(rgb))}
+                )
+            yield pd.DataFrame(rows, columns=["__source_file", "content"])
+
+    imgs = docs.mapInPandas(gen, schema="`__source_file` string, content binary")
+    meta = mm.extract_media_metadata(imgs, decoder=media_decoder)
+    feats = mm.extract_media_features(imgs, decoder=media_decoder)
+    n_px = F.col("width") * F.col("height")
+    return meta.join(feats, "__source_file").select(
+        "__source_file",
+        "mime",
+        "width",
+        "height",
+        "codec",
+        F.concat_ws(
+            ",",
+            F.transform(
+                "embedding", lambda x: F.round(x * n_px).cast("int").cast("string")
+            ),
+        ).alias("hist"),
+    )
+
+
 def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-k probed over ALL cells — must equal exhaustive search, so
     the brute-force DuckDB oracle applies exactly."""
@@ -5276,6 +5330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pii_redact": corpus_pii_redact,
         "sketch_hll_cardinality": sketch_hll_cardinality,
         "multimodal_features": multimodal_features,
+        "multimodal_real_codec": multimodal_real_codec,
         "q12_priority_by_linestatus": q12_priority_by_linestatus,
         "docs_clean_corpus": docs_clean_corpus,
         "corpus_mix_sample": corpus_mix_sample,
@@ -7511,6 +7566,25 @@ def oracle_sql() -> dict[str, str]:
                      i -> CAST(CAST('0x' || substr(sha256(text), i*2+1, 2) AS UBIGINT) AS VARCHAR)),
                      ',') AS feat_bytes
             FROM documents
+        """,
+        "multimodal_real_codec": """
+            WITH d AS (
+                SELECT doc_id, CAST(4 + doc_id % 5 AS INT) AS w,
+                       CAST(3 + doc_id % 4 AS INT) AS h
+                FROM documents
+            ), px AS (
+                SELECT doc_id, w, h, unnest(range(0, w * h)) AS k FROM d
+            ), hist AS (
+                SELECT doc_id, any_value(w) AS w, any_value(h) AS h,
+                       list(((doc_id * 31 + k * 7) % 256) // 16) AS bl
+                FROM px GROUP BY doc_id
+            )
+            SELECT CAST(doc_id AS VARCHAR) AS "__source_file",
+                   'image/x-portable-pixmap' AS mime,
+                   w AS width, h AS height, 'ppm' AS codec,
+                   array_to_string(list_transform(range(0, 16),
+                     i -> CAST(len(list_filter(bl, b -> b = i)) AS VARCHAR)), ',') AS hist
+            FROM hist
         """,
         "q17_small_quantity_revenue": """
             SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly

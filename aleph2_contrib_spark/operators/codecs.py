@@ -1,0 +1,168 @@
+"""Pure-Python (stdlib-only) image codecs for the multimodal pipeline.
+
+The container has no PIL/ffmpeg, so the multimodal operators were shipped
+with injected-decoder seams (operators/multimodal.py). This module closes
+the loop for the UNCOMPRESSED formats a pure-Python parser can own — PPM
+(P6) and 24-bit BMP — so the decode / feature / resize path runs on real
+bytes end-to-end with NO injected fake:
+
+- :func:`decode_ppm` / :func:`encode_ppm` — binary PPM (P6), the simplest
+  real interchange format (magic, dims, maxval, raw RGB).
+- :func:`decode_bmp` — BITMAPFILEHEADER + BITMAPINFOHEADER, 24 bpp
+  uncompressed, bottom-up rows with 4-byte padding (the classic layout).
+- :func:`media_decoder` — magic-sniffing decoder with the
+  ``operators.multimodal`` decoder contract (mime/width/height/n_frames/
+  duration_s/codec/features). Features are a 16-bin grayscale histogram,
+  exact integer counts normalized by pixel count — deterministic and
+  engine-replayable (the oracle recomputes them in SQL).
+- :func:`resize_rgb` — nearest-neighbor resample, re-encoded as PPM, with
+  the ``resize_images`` resizer signature.
+
+Compressed formats (JPEG/PNG/MP4) stay injected-decoder seams — a pure-
+Python entropy decoder would be neither fast nor honest; the point here is
+that the Arrow plumbing carries REAL pixels for the formats we can parse.
+
+At scale the per-image work is O(pixels) Python inside Arrow batches —
+the same envelope as a PIL call; batch sizing guidance in
+operators/multimodal.py applies unchanged.
+"""
+
+from __future__ import annotations
+
+import struct
+
+PPM_MIME = "image/x-portable-pixmap"
+BMP_MIME = "image/bmp"
+N_HIST_BINS = 16
+
+
+def encode_ppm(width: int, height: int, rgb: bytes) -> bytes:
+    """Serialize raw interleaved RGB bytes as binary PPM (P6, maxval 255)."""
+    if width < 1 or height < 1:
+        raise ValueError(f"bad dimensions {width}x{height}")
+    if len(rgb) != width * height * 3:
+        raise ValueError(
+            f"payload is {len(rgb)} bytes, need {width * height * 3} for {width}x{height}"
+        )
+    return b"P6\n%d %d\n255\n" % (width, height) + rgb
+
+
+def decode_ppm(payload: bytes) -> tuple[int, int, bytes]:
+    """Parse binary PPM (P6) → (width, height, raw RGB). Handles the
+    whitespace/comment grammar of the header; maxval must be 255."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment to end of line
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"only maxval 255 supported, got {maxval}")
+    need = w * h * 3
+    rgb = payload[pos : pos + need]
+    if len(rgb) != need:
+        raise ValueError(f"truncated PPM: have {len(rgb)} pixel bytes, need {need}")
+    return w, h, rgb
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, bytes]:
+    """Parse an uncompressed 24-bit BMP → (width, height, raw RGB,
+    top-down row order). BMP stores BGR bottom-up with rows padded to 4
+    bytes; this undoes both."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    if len(payload) < 54:
+        raise ValueError("truncated BMP header")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    header_size, w, h = struct.unpack_from("<Iii", payload, 14)
+    if header_size < 40:
+        raise ValueError(f"unsupported BMP header size {header_size}")
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"only uncompressed 24-bit BMP supported (bpp={bpp}, compression={compression})")
+    if w < 1:
+        raise ValueError(f"bad BMP width {w}")
+    top_down = h < 0
+    h = abs(h)
+    row_bytes = w * 3
+    stride = (row_bytes + 3) & ~3
+    if len(payload) < data_offset + stride * h:
+        raise ValueError("truncated BMP pixel data")
+    out = bytearray(row_bytes * h)
+    for row in range(h):
+        src_row = row if top_down else h - 1 - row
+        base = data_offset + src_row * stride
+        dst = row * row_bytes
+        for x in range(w):
+            b, g, r = payload[base + 3 * x : base + 3 * x + 3]
+            out[dst + 3 * x : dst + 3 * x + 3] = bytes((r, g, b))
+    return w, h, bytes(out)
+
+
+def _gray_histogram(rgb: bytes) -> list[int]:
+    """16-bin histogram of integer gray = (r+g+b) // 3 — exact counts."""
+    bins = [0] * N_HIST_BINS
+    for i in range(0, len(rgb), 3):
+        gray = (rgb[i] + rgb[i + 1] + rgb[i + 2]) // 3
+        bins[gray >> 4] += 1
+    return bins
+
+
+def media_decoder(payload: bytes) -> dict:
+    """Real stdlib decoder with the ``operators.multimodal`` contract:
+    sniffs PPM/BMP magic, parses pixels, features = 16-bin gray histogram
+    normalized by pixel count (counts are exact ints, so count recovery by
+    round(f * n_pixels) is lossless)."""
+    if payload[:2] == b"P6":
+        w, h, rgb = decode_ppm(payload)
+        mime, codec = PPM_MIME, "ppm"
+    elif payload[:2] == b"BM":
+        w, h, rgb = decode_bmp(payload)
+        mime, codec = BMP_MIME, "bmp"
+    else:
+        raise ValueError(f"unrecognized media magic {payload[:2]!r}")
+    n = w * h
+    return {
+        "mime": mime,
+        "width": w,
+        "height": h,
+        "n_frames": 1,
+        "duration_s": 0.0,
+        "codec": codec,
+        "features": [c / n for c in _gray_histogram(rgb)],
+    }
+
+
+def resize_rgb(payload: bytes, new_w: int, new_h: int) -> bytes:
+    """Nearest-neighbor resample of a PPM/BMP payload, re-encoded as PPM —
+    the ``resize_images`` resizer signature. Source pixel for output (x, y)
+    is (x * w_src // new_w, y * h_src // new_h): pure integer arithmetic,
+    bit-identical everywhere."""
+    if new_w < 1 or new_h < 1:
+        raise ValueError(f"bad target dimensions {new_w}x{new_h}")
+    if payload[:2] == b"P6":
+        w, h, rgb = decode_ppm(payload)
+    elif payload[:2] == b"BM":
+        w, h, rgb = decode_bmp(payload)
+    else:
+        raise ValueError(f"unrecognized media magic {payload[:2]!r}")
+    out = bytearray(new_w * new_h * 3)
+    for y in range(new_h):
+        sy = y * h // new_h
+        for x in range(new_w):
+            sx = x * w // new_w
+            src = (sy * w + sx) * 3
+            dst = (y * new_w + x) * 3
+            out[dst : dst + 3] = rgb[src : src + 3]
+    return encode_ppm(new_w, new_h, bytes(out))

@@ -1,0 +1,115 @@
+"""Pure-Python PPM/BMP codecs + the multimodal pipeline on REAL bytes
+(no injected decoder) — VERDICT r7 item 6."""
+
+import struct
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from aleph2_contrib_spark.operators.codecs import (
+    decode_bmp,
+    decode_ppm,
+    encode_ppm,
+    media_decoder,
+    resize_rgb,
+)
+
+
+def _make_bmp(width, height, rgb_topdown, bottom_up=True):
+    """Hand-build an uncompressed 24-bit BMP (the layout every real writer
+    emits: BGR, rows padded to 4 bytes, bottom-up unless height < 0)."""
+    row_bytes = width * 3
+    stride = (row_bytes + 3) & ~3
+    pix = bytearray()
+    rows = range(height - 1, -1, -1) if bottom_up else range(height)
+    for row in rows:
+        line = bytearray()
+        for x in range(width):
+            r, g, b = rgb_topdown[(row * width + x) * 3 : (row * width + x) * 3 + 3]
+            line += bytes((b, g, r))
+        line += b"\x00" * (stride - row_bytes)
+        pix += line
+    h_field = height if bottom_up else -height
+    header = b"BM" + struct.pack("<IHHI", 54 + len(pix), 0, 0, 54)
+    header += struct.pack("<IiiHHIIiiII", 40, width, h_field, 1, 24, 0, len(pix), 0, 0, 0, 0)
+    return bytes(header) + bytes(pix)
+
+
+RGB_3x2 = bytes(
+    [255, 0, 0, 0, 255, 0, 0, 0, 255,   # row 0: red green blue
+     10, 20, 30, 40, 50, 60, 70, 80, 90]  # row 1
+)
+
+
+def test_ppm_roundtrip_and_header_grammar():
+    p = encode_ppm(3, 2, RGB_3x2)
+    assert decode_ppm(p) == (3, 2, RGB_3x2)
+    # comments and arbitrary whitespace in the header
+    with_comment = b"P6\n# a comment\n 3\t2\n# more\n255\n" + RGB_3x2
+    assert decode_ppm(with_comment) == (3, 2, RGB_3x2)
+    with pytest.raises(ValueError, match="truncated"):
+        decode_ppm(p[:-1])
+    with pytest.raises(ValueError, match="not a P6"):
+        decode_ppm(b"P5\n3 2\n255\n" + RGB_3x2)
+
+
+def test_bmp_decode_bottom_up_and_top_down():
+    assert decode_bmp(_make_bmp(3, 2, RGB_3x2, bottom_up=True)) == (3, 2, RGB_3x2)
+    assert decode_bmp(_make_bmp(3, 2, RGB_3x2, bottom_up=False)) == (3, 2, RGB_3x2)
+    with pytest.raises(ValueError, match="not a BMP"):
+        decode_bmp(b"XX" + b"\x00" * 60)
+
+
+def test_media_decoder_contract_and_histogram():
+    p = encode_ppm(3, 2, RGB_3x2)
+    m = media_decoder(p)
+    assert (m["mime"], m["codec"], m["width"], m["height"]) == (
+        "image/x-portable-pixmap", "ppm", 3, 2,
+    )
+    # grays: 85,85,85 (bin 5), 20 (1), 50 (3), 80 (5)
+    counts = [round(f * 6) for f in m["features"]]
+    assert sum(counts) == 6
+    assert counts[5] == 4 and counts[1] == 1 and counts[3] == 1
+    # BMP of the same pixels must featurize identically
+    mb = media_decoder(_make_bmp(3, 2, RGB_3x2))
+    assert mb["features"] == m["features"] and mb["codec"] == "bmp"
+    with pytest.raises(ValueError, match="unrecognized"):
+        media_decoder(b"\x89PNG....")
+
+
+def test_resize_nearest_neighbor_exact():
+    p = encode_ppm(2, 2, bytes([1, 1, 1, 2, 2, 2, 3, 3, 3, 4, 4, 4]))
+    up = resize_rgb(p, 4, 4)
+    w, h, rgb = decode_ppm(up)
+    assert (w, h) == (4, 4)
+    # each source pixel becomes a 2x2 block
+    px = [rgb[i] for i in range(0, len(rgb), 3)]
+    assert px == [1, 1, 2, 2, 1, 1, 2, 2, 3, 3, 4, 4, 3, 3, 4, 4]
+    # downsize back recovers the original corners
+    down = resize_rgb(up, 2, 2)
+    assert decode_ppm(down)[2] == bytes([1, 1, 1, 2, 2, 2, 3, 3, 3, 4, 4, 4])
+
+
+def test_multimodal_pipeline_on_real_bytes(spark):
+    """extract_media_metadata / extract_media_features / resize_images run
+    the REAL codec — no injected decoder anywhere."""
+    from aleph2_contrib_spark.operators import multimodal as mm
+    from aleph2_contrib_spark.operators.codecs import media_decoder as dec
+
+    payloads = [
+        ("a", encode_ppm(3, 2, RGB_3x2)),
+        ("b", _make_bmp(3, 2, RGB_3x2)),
+    ]
+    df = spark.createDataFrame(payloads, "__source_file string, content binary")
+    meta = {r["__source_file"]: r for r in mm.extract_media_metadata(df, decoder=dec).collect()}
+    assert meta["a"]["codec"] == "ppm" and meta["b"]["codec"] == "bmp"
+    assert all(meta[k]["width"] == 3 and meta[k]["height"] == 2 for k in "ab")
+
+    feats = {r["__source_file"]: r["embedding"] for r in mm.extract_media_features(df, decoder=dec).collect()}
+    assert feats["a"] == feats["b"]  # same pixels, same histogram
+
+    resized = mm.resize_images(df, 6, 4, resizer=resize_rgb).collect()
+    for r in resized:
+        w, h, _ = decode_ppm(bytes(r["content"]))
+        assert (w, h) == (6, 4) and (r["width"], r["height"]) == (6, 4)
