@@ -288,6 +288,57 @@ def bench_join_topk_ops(spark, path, n_edges, label):
     return out
 
 
+def bench_ann_ops(spark, n_vecs, label):
+    """ANN probe-path scaling (VERDICT r7 item 5): codebooks/centroids are
+    maintenance artifacts (trained once, untimed — same reasoning as the
+    bench's dedup_incremental state build); what must scale is the QUERY
+    path. With n_centroids and nprobe FIXED, ivf_pq_topk scans
+    nprobe/n_centroids of the table as m-byte codes — cost grows at most
+    linearly in vectors (the pruned fraction is constant), and the exact
+    refine stays a driver-bounded list. brute_force_topk is printed
+    alongside as the unpruned reference."""
+    from aleph2_contrib_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_build_centroids,
+        ivf_pq_topk,
+        pq_train_codebooks,
+    )
+
+    dim = 16
+    emb = spark.range(n_vecs).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(dim)),
+            lambda i: (F.abs(F.xxhash64(F.col("id"), i, F.lit(51))) % 2000)
+            / F.lit(1000.0)
+            - F.lit(1.0),
+        ).alias("embedding"),
+    ).persist()
+    emb.count()
+    # maintenance (untimed): coarse quantizer + PQ codebooks
+    cents = ivf_build_centroids(emb, n_centroids=32)
+    books = pq_train_codebooks(emb, m=8, n_codes=64)
+    q = [((h * 37 + 11) % 2000) / 1000.0 - 1.0 for h in range(dim)]
+    out = {}
+
+    def run(name, thunk):
+        t0 = time.perf_counter()
+        thunk()
+        out[name] = round(time.perf_counter() - t0, 2)
+
+    # warm the Arrow/pandas-UDF workers untimed — the probe path's
+    # first call pays Python worker spin-up that would poison the ratio
+    ivf_pq_topk(emb.limit(2048), q, cents, books, k=5, nprobe=2).count()
+    run(
+        "ivf_pq_probe",
+        lambda: ivf_pq_topk(emb, q, cents, books, k=10, nprobe=4).count(),
+    )
+    run("ann_brute_force", lambda: brute_force_topk(emb, q, 10).count())
+    emb.unpersist()
+    print(label, out, flush=True)
+    return out
+
+
 def make_hot_docs(spark, n, id_offset=5_000_000):
     return (
         spark.range(n)
@@ -473,6 +524,10 @@ def main():
     s2 = bench_round7_ops(spark, p2, f"{factor}x")
     r1.update(s1)
     r2.update(s2)
+    a1 = bench_ann_ops(spark, base * 40, "1x")
+    a2 = bench_ann_ops(spark, base * factor * 40, f"{factor}x")
+    r1.update(a1)
+    r2.update(a2)
     m1 = bench_mutation_path(spark, p1, "1x")
     m2 = bench_mutation_path(spark, p2, f"{factor}x")
     print("--- scaling ratios (ideal <= %d; super-linear = plan problem) ---" % factor)
