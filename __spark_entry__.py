@@ -1266,6 +1266,56 @@ def multimodal_real_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_audio_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio twin of multimodal_real_codec: each document becomes a real
+    RIFF/WAVE 16-bit PCM payload (mono, 8 kHz, n = 8 + doc_id % 5 frames,
+    sample k = ((doc_id*131 + k*17) % 65536) - 32768), encoded by
+    operators/codecs.encode_wav, decoded back by the stdlib chunk-walking
+    parser through extract_media_metadata + extract_media_features. The
+    16-bin int16-amplitude histogram counts are recovered exactly via
+    round(feature * n_frames); duration_s is the identical IEEE division
+    n/8000 in both engines. DuckDB replays the sample arithmetic
+    symbolically."""
+    import pandas as pd
+
+    from aleph2_contrib_spark.operators import multimodal as mm
+    from aleph2_contrib_spark.operators.codecs import encode_wav, media_decoder
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+
+    def gen(batches):
+        for b in batches:
+            rows = []
+            for did in b["doc_id"]:
+                did = int(did)
+                n = 8 + did % 5
+                samples = [((did * 131 + k * 17) % 65536) - 32768 for k in range(n)]
+                rows.append(
+                    {"__source_file": str(did), "content": encode_wav(8000, samples)}
+                )
+            yield pd.DataFrame(rows, columns=["__source_file", "content"])
+
+    auds = docs.mapInPandas(gen, schema="`__source_file` string, content binary")
+    meta = mm.extract_media_metadata(auds, decoder=media_decoder)
+    feats = mm.extract_media_features(auds, decoder=media_decoder)
+    return meta.join(feats, "__source_file").select(
+        "__source_file",
+        "mime",
+        "n_frames",
+        "duration_s",
+        "codec",
+        F.concat_ws(
+            ",",
+            F.transform(
+                "embedding",
+                lambda x: F.round(x * F.col("n_frames")).cast("int").cast("string"),
+            ),
+        ).alias("hist"),
+    )
+
+
 def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-k probed over ALL cells — must equal exhaustive search, so
     the brute-force DuckDB oracle applies exactly."""
@@ -5331,6 +5381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_hll_cardinality": sketch_hll_cardinality,
         "multimodal_features": multimodal_features,
         "multimodal_real_codec": multimodal_real_codec,
+        "multimodal_audio_codec": multimodal_audio_codec,
         "q12_priority_by_linestatus": q12_priority_by_linestatus,
         "docs_clean_corpus": docs_clean_corpus,
         "corpus_mix_sample": corpus_mix_sample,
@@ -7582,6 +7633,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(doc_id AS VARCHAR) AS "__source_file",
                    'image/x-portable-pixmap' AS mime,
                    w AS width, h AS height, 'ppm' AS codec,
+                   array_to_string(list_transform(range(0, 16),
+                     i -> CAST(len(list_filter(bl, b -> b = i)) AS VARCHAR)), ',') AS hist
+            FROM hist
+        """,
+        "multimodal_audio_codec": """
+            WITH d AS (
+                SELECT doc_id, CAST(8 + doc_id % 5 AS INT) AS n FROM documents
+            ), sm AS (
+                SELECT doc_id, n, unnest(range(0, n)) AS k FROM d
+            ), hist AS (
+                SELECT doc_id, any_value(n) AS n,
+                       list(((doc_id * 131 + k * 17) % 65536) // 4096) AS bl
+                FROM sm GROUP BY doc_id
+            )
+            SELECT CAST(doc_id AS VARCHAR) AS "__source_file",
+                   'audio/wav' AS mime,
+                   n AS n_frames,
+                   CAST(n AS DOUBLE) / 8000.0 AS duration_s,
+                   'pcm_s16le' AS codec,
                    array_to_string(list_transform(range(0, 16),
                      i -> CAST(len(list_filter(bl, b -> b = i)) AS VARCHAR)), ',') AS hist
             FROM hist

@@ -10,11 +10,14 @@ bytes end-to-end with NO injected fake:
   real interchange format (magic, dims, maxval, raw RGB).
 - :func:`decode_bmp` — BITMAPFILEHEADER + BITMAPINFOHEADER, 24 bpp
   uncompressed, bottom-up rows with 4-byte padding (the classic layout).
+- :func:`decode_wav` / :func:`encode_wav` — RIFF/WAVE 16-bit PCM with a
+  real chunk walk (fmt /data separated by LIST/fact chunks, word-aligned).
 - :func:`media_decoder` — magic-sniffing decoder with the
   ``operators.multimodal`` decoder contract (mime/width/height/n_frames/
-  duration_s/codec/features). Features are a 16-bin grayscale histogram,
-  exact integer counts normalized by pixel count — deterministic and
-  engine-replayable (the oracle recomputes them in SQL).
+  duration_s/codec/features). Features are a 16-bin histogram (gray
+  levels for images, int16 amplitude for audio), exact integer counts
+  normalized by element count — deterministic and engine-replayable (the
+  oracle recomputes them in SQL).
 - :func:`resize_rgb` — nearest-neighbor resample, re-encoded as PPM, with
   the ``resize_images`` resizer signature.
 
@@ -33,6 +36,7 @@ import struct
 
 PPM_MIME = "image/x-portable-pixmap"
 BMP_MIME = "image/bmp"
+WAV_MIME = "audio/wav"
 N_HIST_BINS = 16
 
 
@@ -110,6 +114,57 @@ def decode_bmp(payload: bytes) -> tuple[int, int, bytes]:
     return w, h, bytes(out)
 
 
+def encode_wav(sample_rate: int, samples: list[int], channels: int = 1) -> bytes:
+    """Serialize 16-bit signed PCM samples (interleaved if multi-channel)
+    as a canonical RIFF/WAVE file."""
+    if sample_rate < 1 or channels < 1:
+        raise ValueError(f"bad sample_rate={sample_rate} channels={channels}")
+    if len(samples) % channels:
+        raise ValueError("sample count not divisible by channel count")
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    byte_rate = sample_rate * channels * 2
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate, byte_rate, channels * 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, list[int]]:
+    """Parse RIFF/WAVE 16-bit PCM → (sample_rate, channels, samples).
+    Walks the chunk list (fmt /data may be separated by LIST/fact/cue
+    chunks in real files; chunks are word-aligned)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_fmt, channels, rate = struct.unpack_from("<HHI", fmt, 0)
+    bits = struct.unpack_from("<H", fmt, 14)[0]
+    if audio_fmt != 1 or bits != 16:
+        raise ValueError(f"only 16-bit PCM supported (fmt={audio_fmt}, bits={bits})")
+    n = len(data) // 2
+    samples = list(struct.unpack(f"<{n}h", data[: n * 2]))
+    return rate, channels, samples
+
+
+def _amplitude_histogram(samples: list[int]) -> list[int]:
+    """16-bin histogram of (sample + 32768) >> 12 — exact counts over the
+    full int16 range."""
+    bins = [0] * N_HIST_BINS
+    for s in samples:
+        bins[(s + 32768) >> 12] += 1
+    return bins
+
+
 def _gray_histogram(rgb: bytes) -> list[int]:
     """16-bin histogram of integer gray = (r+g+b) // 3 — exact counts."""
     bins = [0] * N_HIST_BINS
@@ -121,9 +176,23 @@ def _gray_histogram(rgb: bytes) -> list[int]:
 
 def media_decoder(payload: bytes) -> dict:
     """Real stdlib decoder with the ``operators.multimodal`` contract:
-    sniffs PPM/BMP magic, parses pixels, features = 16-bin gray histogram
-    normalized by pixel count (counts are exact ints, so count recovery by
-    round(f * n_pixels) is lossless)."""
+    sniffs PPM/BMP/WAV magic and parses real samples. Features are a
+    16-bin histogram (gray levels for images, int16 amplitude for audio)
+    normalized by element count — counts are exact ints, so count
+    recovery by round(f * n) is lossless."""
+    if payload[:4] == b"RIFF":
+        rate, channels, samples = decode_wav(payload)
+        n_frames = len(samples) // channels
+        n = len(samples) or 1
+        return {
+            "mime": WAV_MIME,
+            "width": None,
+            "height": None,
+            "n_frames": n_frames,
+            "duration_s": n_frames / rate,
+            "codec": "pcm_s16le",
+            "features": [c / n for c in _amplitude_histogram(samples)],
+        }
     if payload[:2] == b"P6":
         w, h, rgb = decode_ppm(payload)
         mime, codec = PPM_MIME, "ppm"

@@ -113,3 +113,38 @@ def test_multimodal_pipeline_on_real_bytes(spark):
     for r in resized:
         w, h, _ = decode_ppm(bytes(r["content"]))
         assert (w, h) == (6, 4) and (r["width"], r["height"]) == (6, 4)
+
+
+def test_wav_roundtrip_and_chunk_walk():
+    from aleph2_contrib_spark.operators.codecs import decode_wav, encode_wav
+
+    samples = [0, 100, -100, 32767, -32768, 7]
+    p = encode_wav(8000, samples)
+    assert decode_wav(p) == (8000, 1, samples)
+    # stereo interleaved
+    st = encode_wav(44100, samples, channels=2)
+    assert decode_wav(st) == (44100, 2, samples)
+    # a LIST chunk between fmt and data must be skipped (word-aligned walk)
+    import struct as _s
+
+    fmt_pos = p.index(b"fmt ")
+    data_pos = p.index(b"data")
+    extra = b"LIST" + _s.pack("<I", 5) + b"INFOx" + b"\x00"  # odd size, padded
+    patched = p[:data_pos] + extra + p[data_pos:]
+    patched = patched[:4] + _s.pack("<I", len(patched) - 8) + patched[8:]
+    assert decode_wav(patched) == (8000, 1, samples)
+    with pytest.raises(ValueError, match="not a RIFF"):
+        decode_wav(b"OggS" + bytes(40))
+
+
+def test_media_decoder_wav_contract():
+    from aleph2_contrib_spark.operators.codecs import encode_wav, media_decoder
+
+    samples = [-32768, -1, 0, 4095, 4096, 32767]
+    m = media_decoder(encode_wav(16000, samples))
+    assert (m["mime"], m["codec"], m["n_frames"]) == ("audio/wav", "pcm_s16le", 6)
+    assert m["duration_s"] == 6 / 16000
+    counts = [round(f * 6) for f in m["features"]]
+    # bins: -32768->0, -1->7, 0->8, 4095->8, 4096->9, 32767->15
+    assert counts[0] == 1 and counts[7] == 1 and counts[8] == 2
+    assert counts[9] == 1 and counts[15] == 1 and sum(counts) == 6
