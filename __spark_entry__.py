@@ -1266,6 +1266,19 @@ def multimodal_real_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def similarity_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact one-pass covariance/Gram statistics of the embeddings table
+    (operators/similarity.embedding_covariance): per unordered component
+    pair, exact fixed-point sums and the covariance numerator
+    n·Σxy − Σx·Σy in DECIMAL(38,0) — whitening/PCA-prep/drift primitive.
+    Upper-triangle products are built JVM-side and partial-aggregated, so
+    shuffle volume is O(partitions · dim²) at any row count."""
+    from aleph2_contrib_spark.operators.similarity import embedding_covariance
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_covariance(emb, "embedding", dim=64)
+
+
 def multimodal_audio_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio twin of multimodal_real_codec: each document becomes a real
     RIFF/WAVE 16-bit PCM payload (mono, 8 kHz, n = 8 + doc_id % 5 frames,
@@ -5382,6 +5395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": multimodal_features,
         "multimodal_real_codec": multimodal_real_codec,
         "multimodal_audio_codec": multimodal_audio_codec,
+        "similarity_embedding_covariance": similarity_embedding_covariance,
         "q12_priority_by_linestatus": q12_priority_by_linestatus,
         "docs_clean_corpus": docs_clean_corpus,
         "corpus_mix_sample": corpus_mix_sample,
@@ -5771,6 +5785,10 @@ def _mmr_oracle(k: int = 5, lam: str = "0.75", one_minus: str = "0.25", pool: in
 
 
 def oracle_sql() -> dict[str, str]:
+    from aleph2_contrib_spark.operators.similarity import (
+        embedding_covariance_oracle_sql,
+    )
+
     return {
         "crud_batch_writer_roundtrip": """
             WITH sel AS (
@@ -7637,6 +7655,9 @@ def oracle_sql() -> dict[str, str]:
                      i -> CAST(len(list_filter(bl, b -> b = i)) AS VARCHAR)), ',') AS hist
             FROM hist
         """,
+        "similarity_embedding_covariance": embedding_covariance_oracle_sql(
+            "embeddings", "embedding", dim=64
+        ),
         "multimodal_audio_codec": """
             WITH d AS (
                 SELECT doc_id, CAST(8 + doc_id % 5 AS INT) AS n FROM documents

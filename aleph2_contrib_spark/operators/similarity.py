@@ -978,3 +978,123 @@ def mmr_topk(
             ]
         ),
     )
+
+
+def embedding_covariance(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    scale: int = 1000,
+) -> DataFrame:
+    """Exact covariance/Gram statistics of an embedding column in ONE
+    aggregation pass — the primitive behind whitening, PCA preprocessing,
+    drift detection between embedding snapshots, and anisotropy audits
+    of a vector corpus.
+
+    Engine-portable by the repo's fixed-point discipline: components are
+    floored to ``scale`` fixed-point BEFORE any product, so every pair
+    sum is an exact integer (DECIMAL(38,0) — order/partition/engine
+    independent), and the covariance NUMERATOR ``n·Σxy − Σx·Σy`` is
+    emitted exactly rather than divided into a float. One output row per
+    unordered component pair (i <= j):
+
+        (i, j, n, sum_xy_fx2, sum_x_fx, sum_y_fx, cov_num_fx2)
+
+    where ``*_fx`` carry factor ``scale`` and ``*_fx2`` factor
+    ``scale²``; true covariance = cov_num_fx2 / (scale²·n·(n−1)) for the
+    sample form — callers divide at the boundary.
+
+    Plan shape at 100 TB: the per-row upper-triangle products are built
+    JVM-side (nested F.transform over F.sequence — no Python) and
+    posexploded to dim·(dim+1)/2 skinny rows; ONE groupBy(i, j) with
+    map-side partial aggregation collapses each partition to ≤ pairs
+    rows before the shuffle, so shuffle volume is O(partitions · dim²)
+    regardless of row count. NULL vectors and vectors of the wrong
+    length are excluded (counted against nothing).
+
+    ``dim`` defaults to the first row's vector length (one tiny head()
+    probe — pass it explicitly in pipelines where the probe is unwanted).
+    """
+    if dim is None:
+        first = df.select(F.size(F.col(vec_col)).alias("d")).filter(
+            F.col("d") > 0
+        ).head()
+        if first is None:
+            raise ValueError("cannot infer dim from an empty/all-null column")
+        dim = int(first["d"])
+    if dim < 1:
+        raise ValueError(f"dim must be >= 1, got {dim}")
+    v = F.col(vec_col).cast("array<double>")
+    fx = F.transform(v, lambda x: F.floor(x * F.lit(int(scale))).cast("long"))
+    base = df.filter(F.size(v) == dim).select(fx.alias("__fx"))
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: F.transform(
+                F.sequence(i, F.lit(dim - 1)),
+                lambda j: F.struct(
+                    i.cast("int").alias("i"),
+                    j.cast("int").alias("j"),
+                    (
+                        F.element_at("__fx", i + 1).cast("decimal(38,0)")
+                        * F.element_at("__fx", j + 1)
+                    ).alias("xy"),
+                    F.element_at("__fx", i + 1).alias("x"),
+                    F.element_at("__fx", j + 1).alias("y"),
+                ),
+            ),
+        )
+    )
+    exploded = base.select(F.explode(pairs).alias("p")).select("p.*")
+    agg = exploded.groupBy("i", "j").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("xy").cast("decimal(38,0)").alias("sum_xy_fx2"),
+        F.sum("x").cast("decimal(38,0)").alias("sum_x_fx"),
+        F.sum("y").cast("decimal(38,0)").alias("sum_y_fx"),
+    )
+    return agg.select(
+        "i",
+        "j",
+        "n",
+        "sum_xy_fx2",
+        "sum_x_fx",
+        "sum_y_fx",
+        (
+            F.col("n").cast("decimal(38,0)") * F.col("sum_xy_fx2")
+            - F.col("sum_x_fx") * F.col("sum_y_fx")
+        ).cast("decimal(38,0)").alias("cov_num_fx2"),
+    )
+
+
+def embedding_covariance_oracle_sql(
+    table: str, vec_expr: str = "embedding", dim: int = 16, scale: int = 1000
+) -> str:
+    """DuckDB replica of :func:`embedding_covariance` (HUGEINT carries the
+    exact pair sums; same fixed-point floors)."""
+    return f"""
+WITH fx AS (
+    SELECT list_transform(CAST({vec_expr} AS DOUBLE[]),
+                          x -> CAST(floor(x * {int(scale)}) AS BIGINT)) AS v
+    FROM {table}
+    WHERE {vec_expr} IS NOT NULL AND len({vec_expr}) = {int(dim)}
+), pairs AS (
+    SELECT i.i AS i, j.j AS j,
+           CAST(v[i.i + 1] AS HUGEINT) * v[j.j + 1] AS xy,
+           v[i.i + 1] AS x, v[j.j + 1] AS y
+    FROM fx, (SELECT unnest(range(0, {int(dim)})) AS i) i,
+         (SELECT unnest(range(0, {int(dim)})) AS j) j
+    WHERE j.j >= i.i
+), agg AS (
+    SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+           CAST(count(*) AS BIGINT) AS n,
+           sum(xy) AS sxy, CAST(sum(x) AS HUGEINT) AS sx,
+           CAST(sum(y) AS HUGEINT) AS sy
+    FROM pairs GROUP BY i, j
+)
+SELECT i, j, n,
+       CAST(sxy AS DECIMAL(38,0)) AS sum_xy_fx2,
+       CAST(sx AS DECIMAL(38,0)) AS sum_x_fx,
+       CAST(sy AS DECIMAL(38,0)) AS sum_y_fx,
+       CAST(n * sxy - sx * sy AS DECIMAL(38,0)) AS cov_num_fx2
+FROM agg
+"""

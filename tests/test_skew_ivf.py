@@ -315,3 +315,72 @@ def test_codebook_store_append_assigns_with_stored_codebook(spark, emb):
     got = {r["id"]: r["__ivf_cell"] for r in cells.collect()}
     for r in expect.select("vec_id", "__ivf_cell").collect():
         assert got[r["vec_id"]] == r["__ivf_cell"]
+
+
+# -- embedding_covariance ----------------------------------------------------
+
+
+def test_embedding_covariance_exact_small(spark):
+    """Hand-checkable 2-dim case: exact fixed-point sums and covariance
+    numerator n*Sxy - Sx*Sy."""
+    from aleph2_contrib_spark.operators.similarity import embedding_covariance
+
+    rows = [([1.0, 2.0],), ([3.0, 5.0],), ([0.5, -1.25],)]
+    df = spark.createDataFrame(rows, "embedding array<double>")
+    got = {(r["i"], r["j"]): r for r in embedding_covariance(df, scale=1000).collect()}
+    # fx vectors: (1000,2000) (3000,5000) (500,-1250)
+    assert got[(0, 0)]["sum_xy_fx2"] == 1000**2 + 3000**2 + 500**2
+    assert got[(0, 1)]["sum_xy_fx2"] == 1000*2000 + 3000*5000 + 500*(-1250)
+    assert got[(1, 1)]["sum_x_fx"] == 2000 + 5000 - 1250
+    r01 = got[(0, 1)]
+    assert r01["cov_num_fx2"] == 3 * r01["sum_xy_fx2"] - r01["sum_x_fx"] * r01["sum_y_fx"]
+    # wrong-length and NULL vectors excluded
+    df2 = spark.createDataFrame(
+        [([1.0, 2.0],), ([1.0],), (None,)], "embedding array<double>"
+    )
+    got2 = embedding_covariance(df2, dim=2).collect()
+    assert all(r["n"] == 1 for r in got2) and len(got2) == 3
+
+
+def test_embedding_covariance_matches_numpy(spark):
+    """Float covariance recovered from the exact numerator agrees with
+    numpy on well-scaled data (fixed-point floor error ~1/scale)."""
+    import numpy as np
+
+    from aleph2_contrib_spark.operators.similarity import embedding_covariance
+
+    rng = np.random.RandomState(3)
+    X = rng.uniform(-1, 1, size=(200, 4))
+    df = spark.createDataFrame(
+        [(row.tolist(),) for row in X], "embedding array<double>"
+    )
+    got = {(r["i"], r["j"]): r for r in embedding_covariance(df, scale=100000).collect()}
+    n = 200
+    C = np.cov(X, rowvar=False, ddof=1)
+    for i in range(4):
+        for j in range(i, 4):
+            r = got[(i, j)]
+            est = float(r["cov_num_fx2"]) / (100000.0**2 * n * (n - 1))
+            assert abs(est - C[i, j]) < 2e-4, (i, j, est, C[i, j])
+
+
+def test_embedding_covariance_oracle_matches(spark, tmp_path):
+    import duckdb
+
+    from aleph2_contrib_spark.operators.similarity import (
+        embedding_covariance,
+        embedding_covariance_oracle_sql,
+    )
+
+    import numpy as np
+    rng = np.random.RandomState(9)
+    X = rng.uniform(-2, 2, size=(60, 3)).astype("float32")
+    df = spark.createDataFrame(
+        [(row.tolist(),) for row in X], "embedding array<float>"
+    )
+    p = str(tmp_path / "emb.parquet")
+    df.coalesce(1).write.parquet(p)
+    got = {tuple(r) for r in embedding_covariance(df, dim=3).collect()}
+    sql = embedding_covariance_oracle_sql(f"'{p}/*.parquet'", "embedding", dim=3)
+    want = {tuple(r) for r in duckdb.sql(sql).fetchall()}
+    assert got == want
