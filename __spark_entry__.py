@@ -2474,6 +2474,25 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(edges, driver_max_edges=0).select("node", "component")
 
 
+def graph_bipartite_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted bipartite→unipartite projection (operators/graph.
+    bipartite_project): the co-purchase graph as a first-class operator —
+    parts sharing an order, weight = co-occurrence count, with the hub
+    fence (orders with > 6 distinct parts dropped) and min_weight = 2
+    both ACTIVE at the tested SFs so the gate pins the cap and floor
+    semantics, not just the raw self-join."""
+    from aleph2_contrib_spark.operators.graph import bipartite_project
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 5 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    return bipartite_project(
+        li, "l_orderkey", "l_partkey", min_weight=2, max_left_degree=6
+    )
+
+
 def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synchronous label-propagation communities (operators/graph.
     lpa_communities) over the sampled part co-purchase graph: 3 fixed
@@ -5396,6 +5415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_real_codec": multimodal_real_codec,
         "multimodal_audio_codec": multimodal_audio_codec,
         "similarity_embedding_covariance": similarity_embedding_covariance,
+        "graph_bipartite_project": graph_bipartite_project,
         "q12_priority_by_linestatus": q12_priority_by_linestatus,
         "docs_clean_corpus": docs_clean_corpus,
         "corpus_mix_sample": corpus_mix_sample,
@@ -5785,11 +5805,18 @@ def _mmr_oracle(k: int = 5, lam: str = "0.75", one_minus: str = "0.25", pool: in
 
 
 def oracle_sql() -> dict[str, str]:
+    from aleph2_contrib_spark.operators.graph import bipartite_project_oracle_sql
     from aleph2_contrib_spark.operators.similarity import (
         embedding_covariance_oracle_sql,
     )
 
     return {
+        "graph_bipartite_project": bipartite_project_oracle_sql(
+            "SELECT l_orderkey AS l, l_partkey AS r FROM lineitem"
+            " WHERE l_orderkey % 5 = 0",
+            min_weight=2,
+            max_left_degree=6,
+        ),
         "crud_batch_writer_roundtrip": """
             WITH sel AS (
                 SELECT * FROM events ORDER BY event_id LIMIT 200

@@ -1766,3 +1766,80 @@ def ppr_oracle_sql(
         f"{body}\n"
         f"SELECT node, rank_fx AS rank_f6 FROM r{iterations} WHERE rank_fx > 0"
     )
+
+
+def bipartite_project(
+    df: DataFrame,
+    left_col: str,
+    right_col: str,
+    min_weight: int = 1,
+    max_left_degree: int | None = None,
+) -> DataFrame:
+    """Bipartite → unipartite projection: from (left, right) incidence
+    rows (order→part, user→item, author→paper), the weighted co-occurrence
+    graph over the RIGHT side — weight(a, b) = number of distinct left
+    keys incident to both. THE graph-construction primitive this repo's
+    own gates kept inlining (the co-purchase graph feeding CC / k-core /
+    LPA / PageRank is exactly this projection of lineitem).
+
+    Returns (src, dst, weight) with src < dst, weight >= ``min_weight``.
+    Incidence rows are deduplicated first, so multiplicity never inflates
+    weights.
+
+    Plan shape at 100 TB: ONE self-equi-join keyed on the left key — the
+    classic quadratic hazard is a hub left key (an order with 10k parts
+    contributes 50M pairs), so ``max_left_degree`` fences it: left keys
+    above the cap are dropped entirely (standard practice in co-occurrence
+    mining — a hub basket carries almost no signal and all of the cost).
+    The degree filter is a broadcast-or-shuffle semi join on an
+    O(distinct-left) table; pair volume is then bounded by cap·|incidence|.
+    With min_weight >= 2 the output also drops the long singleton tail.
+    """
+    if min_weight < 1:
+        raise ValueError(f"min_weight must be >= 1, got {min_weight}")
+    inc = df.select(
+        F.col(left_col).alias("__l"), F.col(right_col).alias("__r")
+    ).filter(F.col("__l").isNotNull() & F.col("__r").isNotNull()).distinct()
+    if max_left_degree is not None:
+        keep = (
+            inc.groupBy("__l")
+            .agg(F.count(F.lit(1)).alias("__d"))
+            .filter(F.col("__d") <= int(max_left_degree))
+            .select("__l")
+        )
+        inc = inc.join(keep, "__l", "left_semi")
+    a = inc
+    b = inc.select(F.col("__l").alias("__l2"), F.col("__r").alias("__r2"))
+    pairs = a.join(b, (a.__l == b.__l2) & (a.__r < b.__r2)).select(
+        F.col("__r").alias("src"), F.col("__r2").alias("dst")
+    )
+    out = pairs.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).cast("long").alias("weight")
+    )
+    if min_weight > 1:
+        out = out.filter(F.col("weight") >= int(min_weight))
+    return out
+
+
+def bipartite_project_oracle_sql(
+    incidence_sql: str, min_weight: int = 1, max_left_degree: int | None = None
+) -> str:
+    """DuckDB replica of :func:`bipartite_project`. ``incidence_sql`` must
+    yield (l, r)."""
+    cap = (
+        f""", keep AS (
+        SELECT l FROM inc GROUP BY l HAVING count(*) <= {int(max_left_degree)}
+    ), inc2 AS (SELECT inc.* FROM inc JOIN keep USING (l))"""
+        if max_left_degree is not None
+        else ", inc2 AS (SELECT * FROM inc)"
+    )
+    return f"""
+WITH inc AS MATERIALIZED (
+    SELECT DISTINCT l, r FROM ({incidence_sql})
+    WHERE l IS NOT NULL AND r IS NOT NULL
+){cap}
+SELECT a.r AS src, b.r AS dst, CAST(count(*) AS BIGINT) AS weight
+FROM inc2 a JOIN inc2 b ON a.l = b.l AND a.r < b.r
+GROUP BY a.r, b.r
+HAVING count(*) >= {int(min_weight)}
+"""

@@ -774,3 +774,52 @@ def test_personalized_pagerank_validation(spark):
     df = spark.createDataFrame([("a", "b")], "src string, dst string")
     with _pytest.raises(ValueError, match="at least one seed"):
         personalized_pagerank(df, [])
+
+
+# -- bipartite_project -------------------------------------------------------
+
+
+def test_bipartite_project_weights_and_cap(spark):
+    from aleph2_contrib_spark.operators.graph import bipartite_project
+
+    rows = [
+        ("o1", "a"), ("o1", "b"), ("o1", "c"),
+        ("o2", "a"), ("o2", "b"),
+        ("o3", "a"), ("o3", "b"),
+        ("o3", "a"),          # duplicate incidence must not inflate weight
+        ("o4", "x"), (None, "y"), ("o5", None),
+    ]
+    df = spark.createDataFrame(rows, "l string, r string")
+    got = {(r["src"], r["dst"]): r["weight"] for r in bipartite_project(df, "l", "r").collect()}
+    assert got == {("a", "b"): 3, ("a", "c"): 1, ("b", "c"): 1}
+    # min_weight drops the singleton tail
+    got2 = {(r["src"], r["dst"]): r["weight"]
+            for r in bipartite_project(df, "l", "r", min_weight=2).collect()}
+    assert got2 == {("a", "b"): 3}
+    # hub fence: o1 (degree 3) dropped entirely at cap 2
+    got3 = {(r["src"], r["dst"]): r["weight"]
+            for r in bipartite_project(df, "l", "r", max_left_degree=2).collect()}
+    assert got3 == {("a", "b"): 2}
+
+
+def test_bipartite_project_oracle_matches(spark, tmp_path):
+    import duckdb
+
+    from aleph2_contrib_spark.operators.graph import (
+        bipartite_project,
+        bipartite_project_oracle_sql,
+    )
+
+    import random
+    rnd = random.Random(5)
+    rows = [(rnd.randint(0, 40), rnd.randint(0, 25)) for _ in range(600)]
+    df = spark.createDataFrame(rows, "l int, r int")
+    p = str(tmp_path / "inc.parquet")
+    df.coalesce(1).write.parquet(p)
+    for kwargs in ({}, {"min_weight": 2}, {"max_left_degree": 12}):
+        got = {tuple(r) for r in bipartite_project(df, "l", "r", **kwargs).collect()}
+        sql = bipartite_project_oracle_sql(
+            f"SELECT l, r FROM '{p}/*.parquet'", **kwargs
+        )
+        want = {tuple(r) for r in duckdb.sql(sql).fetchall()}
+        assert got == want, kwargs
