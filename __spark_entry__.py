@@ -5336,15 +5336,16 @@ def join_bitmap_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver gate grades the FIRST 50 entries
     # each round. The literal below keeps its historical grouping; the
-    # actual round-7 window is imposed programmatically at the end of
-    # this function (_ROUND7_WINDOW), per VERDICT r6 item 5: 6 gates with
-    # no green driver row yet (join_point_in_interval after its oracle
-    # cast fix, plus the 5 round-6 gates that waited at 51-55), then the
-    # 4 gates whose semantics changed this round (streaming caps + the
-    # leakage-split fingerprint hash), then 40 of the 46 round-3-stale
-    # gates — the remaining 6 lead round 8, after which nothing is older
-    # than round 4. All entries past the window are green in this round's
-    # full-registry local run (CORRECTNESS_local_r07.json).
+    # round-8 window is imposed programmatically at the end of this
+    # function, per VERDICT r7 item 4: the 4 round-8-new gates, then
+    # every gate whose code or oracle changed this round (rfm rewrite,
+    # CC loop + consumers, the 5 ADVICE fixes, scd2-pit oracle dedupe,
+    # all streaming gates after the state-partition/feed trims), the
+    # even-round stable-tier rotation, the 6 remaining round-3-stale
+    # gates, and the oldest r4/r5-era checks — after which nothing is
+    # last-driver-checked before round 5. All entries past the window
+    # are green in this round's full-registry local run
+    # (CORRECTNESS_local_r08.json).
     reg = {
         # -- (0) round-2-stale rotation block (VERDICT r5 item 1) --
         "explode_top_tokens": explode_top_tokens,
@@ -5571,42 +5572,70 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v1_query_extras": v1_query_extras,
     }
     window = [
-        # (a) never driver-green: the fixed-oracle interval join + the 5
-        #     round-6 gates that waited at slots 51-55
-        "join_point_in_interval",
-        "mining_skyline",
+        # ---- ROUND-8 WINDOW (VERDICT r7 item 4) ----
+        # (a) new oracle gates this round (never driver-checked)
+        "graph_bipartite_project",
+        "similarity_embedding_covariance",
+        "multimodal_real_codec",
+        "multimodal_audio_codec",
+        # (b) code/oracle changed in round 8 — old green rows no longer
+        #     certify them: rfm two-phase-rank rewrite, CC one-action
+        #     rounds (+ its two dedup consumers), the ADVICE fixes
+        #     (bloom NULL probe, chi2 guard, join-size decimals,
+        #     funnel/seed SQL escaping, localCheckpoint barriers), the
+        #     scd2-pit oracle dedupe, and every streaming gate (state
+        #     partitions 8 -> 4; five also got trimmed mirrored feeds)
+        "events_rfm_segments",
+        "graph_connected_components",
+        "dedup_minhash_cc_keep",
+        "dedup_incremental",
+        "sketch_bloom_filter",
+        "profile_chi2_independence",
+        "profile_join_size",
+        "profile_ks_drift",
+        "events_concurrency_timeline",
+        "events_funnel_windowed",
         "corpus_weighted_sample",
-        "events_cusum_alarms",
-        "join_nearest_value",
-        "events_trend_slope",
-        # (b) semantics changed in round 7 (capped feeds / fingerprint
-        #     hash) — their old green rows no longer certify them — plus
-        #     the new pruned-path recall gate (VERDICT r6 item 6)
-        "streaming_session_timeout",
+        "corpus_pack_sequences",
+        "corpus_shuffle_shards",
+        "corpus_quality_budget_filter",
+        "join_scd2_pit",
+        "streaming_interval_join",
+        "streaming_interval_join_outer",
+        "streaming_cdc_apply",
+        "streaming_late_routing",
+        "streaming_pit_enrichment",
+        "streaming_stateful_counts",
+        "streaming_join_gate",
         "streaming_dedup_gate",
+        "streaming_session_timeout",
         "streaming_hll_windows",
-        "corpus_leakage_safe_split",
-        "similarity_ivf_pq_recall",
-        # (c) 39 of the 46 round-3-stale gates (registry order); the
-        #     final 7 (pipeline_sql_stage, dedup_exact_first,
-        #     text_token_stats, raw_json_view, streaming_pipeline_gate,
-        #     file_ingest_*) lead round 8
-        "dedup_incremental", "corpus_pack_sequences", "corpus_pii_redact",
-        "sketch_hll_cardinality", "multimodal_features",
-        "q12_priority_by_linestatus", "docs_clean_corpus",
-        "corpus_mix_sample", "corpus_contamination",
-        "corpus_repetition_score", "corpus_shuffle_shards",
-        "corpus_stratified_sample", "sql_udf_surface", "corpus_e2e_prep",
-        "q11_important_stock", "q21_sole_late_supplier",
-        "dedup_minhash_pairs", "events_sessionize",
-        "dedup_ngram_jaccard_pairs", "q3_shipping_priority",
-        "q5_revenue_by_nation", "q6_forecast_revenue", "q4_priority_exists",
-        "q10_returned_items", "q14_promo_revenue",
-        "window_top_order_per_cust", "rollup_order_counts", "dsl_equals_in",
-        "dsl_range_dates", "dsl_nested_bool", "dsl_not_equals_exists",
-        "dsl_topk", "dsl_all_of_array", "dsl_text_match", "v1_mongo_query",
-        "es_dsl_query", "update_increment_set", "update_delete_by_spec",
-        "pipeline_group_stats",
+        "streaming_pipeline_gate",
+        # (c) stable-tier rotation: function-family gates are due in even
+        #     rounds (tools/run_local_correctness.py policy)
+        "string_funcs",
+        "date_funcs",
+        "math_funcs",
+        "regexp_funcs",
+        # (d) the 6 remaining round-3-stale gates promised to lead round 8
+        #     (streaming_pipeline_gate already above)
+        "pipeline_sql_stage",
+        "dedup_exact_first",
+        "text_token_stats",
+        "raw_json_view",
+        "file_ingest_json_roundtrip",
+        "file_ingest_xml_roundtrip",
+        # (e) oldest remaining driver checks (r4/r5 era) — drain staleness
+        "update_partition_scoped",
+        "v1_query_extras",
+        "update_array_ops",
+        "crud_filtered_repo",
+        "dsl_enum_projection_exclude",
+        "file_ingest_binary_roundtrip",
+        "file_inbox_consume_archive",
+        "update_upsert_by_spec",
+        "crud_batch_writer_roundtrip",
+        "storage_partitioned_roundtrip",
     ]
     assert len(window) == 50 and len(set(window)) == 50
     assert all(k in reg for k in window)
