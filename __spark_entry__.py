@@ -4811,19 +4811,24 @@ def _cc_oracle(rounds: int = 8) -> str:
                   ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
                 WHERE a.l_orderkey % 7 = 0
             ),
-            e0 AS (
+            e0 AS MATERIALIZED (
                 SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
                 FROM raw WHERE src <> dst
             ),
-            und AS (
+            und AS MATERIALIZED (
                 SELECT a AS u, b AS v FROM e0 UNION ALL SELECT b AS u, a AS v FROM e0
             ),
-            l0 AS (SELECT DISTINCT u AS node, u AS label FROM und)"""
+            l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS label FROM und)"""
     ]
+    # Every l{i} MUST be MATERIALIZED: l{i} is referenced twice (next
+    # round's self-join q-side, and the final convergence EXCEPT), so
+    # DuckDB's default CTE inlining re-evaluates the chain exponentially
+    # — measured 74 s at sf0.01 vs ~1 s materialized (this WAS the
+    # r7 "80 s gate"; the Spark side is ~5 s).
     for i in range(1, rounds + 1):
         parts.append(
             f""",
-            l{i} AS (
+            l{i} AS MATERIALIZED (
                 SELECT p.node, least(p.label, COALESCE(min(q.label), p.label)) AS label
                 FROM l{i - 1} p
                 LEFT JOIN und n2 ON n2.u = p.node
@@ -5710,7 +5715,7 @@ _MINHASH_PAIRS_ORACLE = r"""
         SELECT doc_id,
                string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
         FROM documents
-    ), s AS (
+    ), s AS MATERIALIZED (
         SELECT doc_id,
                list_distinct(
                    list_transform(
@@ -5720,6 +5725,8 @@ _MINHASH_PAIRS_ORACLE = r"""
                ) AS sh
         FROM t
     )
+    -- s is self-joined: MATERIALIZED stops DuckDB's CTE inlining from
+    -- recomputing the shingle lists on both join sides
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(floor(len(list_intersect(a.sh, b.sh))
                 / len(list_distinct(list_concat(a.sh, b.sh))) * 1000000.0) AS BIGINT) AS j_f6
@@ -6154,7 +6161,7 @@ def oracle_sql() -> dict[str, str]:
                        list_distinct([wds[i] || ' ' || wds[i+1] || ' ' || wds[i+2]
                                       for i in generate_series(1, len(wds) - 2)]) AS tk
                 FROM w WHERE len(wds) >= 3
-            ), s2 AS (
+            ), s2 AS MATERIALIZED (
                 SELECT doc_id, tk, len(tk) AS n FROM s WHERE len(tk) > 0
             )
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -6576,7 +6583,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id,
                        string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
                 FROM documents
-            ), s AS (
+            ), s AS MATERIALIZED (
                 SELECT doc_id,
                        list_distinct(
                            list_transform(
@@ -7975,7 +7982,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id,
                        string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
                 FROM documents
-            ), s AS (
+            ), s AS MATERIALIZED (
                 SELECT doc_id,
                        list_distinct(
                            list_transform(
