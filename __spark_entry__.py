@@ -3639,8 +3639,14 @@ def dedup_minhash_cc_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute-force all-pairs closure therefore agrees with overwhelming
     probability at this scale/seed, not by identity. The exact-verify
     step means any surviving difference is a MISSING edge, never a
-    spurious one."""
-    docs = _t(spark, sf_dir, "documents")
+    spurious one.
+
+    Corpus sampled 2-in-3 (r8): the ORACLE is a brute-force all-pairs
+    jaccard + recursive closure whose cost is quadratic in docs (~34 s
+    over the full 500 at sf0.01, ~2/3 of the gate); 333 docs keep every
+    cluster shape the gate pins (near-dup neighbors share id locality in
+    the synthetic corpus) at half the oracle cost."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 != 0)
     out = ddp.minhash_dedup_cc(
         docs, "doc_id", "text", num_hashes=64, bands=64, threshold=0.5,
         shingle_mode="token", verify="exact", sig_impl="numpy",
@@ -6582,7 +6588,7 @@ def oracle_sql() -> dict[str, str]:
             WITH RECURSIVE t AS (
                 SELECT doc_id,
                        string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
-                FROM documents
+                FROM documents WHERE doc_id % 3 != 0
             ), s AS MATERIALIZED (
                 SELECT doc_id,
                        list_distinct(
@@ -6616,7 +6622,8 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             LEFT JOIN comp c ON d.doc_id = c.node
             LEFT JOIN sizes z ON c.component = z.component
-            WHERE c.node IS NULL OR d.doc_id = c.component
+            WHERE d.doc_id % 3 != 0
+              AND (c.node IS NULL OR d.doc_id = c.component)
         """,
         "v1_query_extras": _v1_extras_oracle(),
         "q1_pricing_summary": f"""
