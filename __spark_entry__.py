@@ -1279,6 +1279,30 @@ def similarity_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFra
     return embedding_covariance(emb, "embedding", dim=64)
 
 
+def events_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping-window aggregation (operators/events.hopping_window_agg):
+    1-hour windows sliding every 15 minutes over the event stream — each
+    event in 4 windows, exact epoch-aligned starts, exact cents. Batch
+    twin of the streaming windowed gates and of events_tumbling_window."""
+    from aleph2_contrib_spark.operators.events import hopping_window_agg
+
+    ev = _t(spark, sf_dir, "events")
+    return hopping_window_agg(ev, "ts", "value", 3600, 900)
+
+
+def profile_numeric_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Pearson correlation screen (operators/profile.
+    numeric_correlation) over lineitem's four numeric measures:
+    complete-case, fixed-point-exact numerator and variance terms, no
+    float or sqrt anywhere (caller divides at the boundary)."""
+    from aleph2_contrib_spark.operators.profile import numeric_correlation
+
+    li = _t(spark, sf_dir, "lineitem")
+    return numeric_correlation(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
+
+
 def multimodal_audio_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio twin of multimodal_real_codec: each document becomes a real
     RIFF/WAVE 16-bit PCM payload (mono, 8 kHz, n = 8 + doc_id % 5 frames,
@@ -5428,6 +5452,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio_codec": multimodal_audio_codec,
         "similarity_embedding_covariance": similarity_embedding_covariance,
         "graph_bipartite_project": graph_bipartite_project,
+        "profile_numeric_correlation": profile_numeric_correlation,
+        "events_hopping_window": events_hopping_window,
         "q12_priority_by_linestatus": q12_priority_by_linestatus,
         "docs_clean_corpus": docs_clean_corpus,
         "corpus_mix_sample": corpus_mix_sample,
@@ -5847,12 +5873,22 @@ def _mmr_oracle(k: int = 5, lam: str = "0.75", one_minus: str = "0.25", pool: in
 
 
 def oracle_sql() -> dict[str, str]:
+    from aleph2_contrib_spark.operators.events import hopping_window_oracle_sql
     from aleph2_contrib_spark.operators.graph import bipartite_project_oracle_sql
+    from aleph2_contrib_spark.operators.profile import (
+        numeric_correlation_oracle_sql,
+    )
     from aleph2_contrib_spark.operators.similarity import (
         embedding_covariance_oracle_sql,
     )
 
     return {
+        "profile_numeric_correlation": numeric_correlation_oracle_sql(
+            "lineitem", ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+        ),
+        "events_hopping_window": hopping_window_oracle_sql(
+            "SELECT epoch_us(ts) AS t, value AS v FROM events", 3600, 900
+        ),
         "graph_bipartite_project": bipartite_project_oracle_sql(
             "SELECT l_orderkey AS l, l_partkey AS r FROM lineitem"
             " WHERE l_orderkey % 5 = 0",

@@ -1328,3 +1328,74 @@ SELECT CAST(concurrency AS BIGINT) AS concurrency,
 FROM c WHERE nxt IS NOT NULL AND concurrency > 0
 GROUP BY concurrency
 """ % intervals_sql
+
+
+def hopping_window_agg(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    window_seconds: int,
+    slide_seconds: int,
+) -> DataFrame:
+    """Overlapping (hopping/sliding) event-time window aggregation in
+    batch form — the moving-average / rolling-rate shape ("events and
+    value per 1-hour window, advancing every 15 minutes") that pairs
+    with the tumbling gate and the streaming windowed aggregations.
+    Each event lands in ``ceil(window/slide)`` epoch-aligned windows.
+
+    Determinism contract: window starts are exact epoch-aligned integer
+    microseconds (Spark's F.window alignment), counts are exact, and the
+    value sum is the exact DECIMAL sum floored to integer cents — so
+    rows are bit-identical in any engine. Returns
+    (window_start_us, n, sum_v_c) for non-empty windows.
+
+    Plan shape at scale: F.window explodes each row into its
+    window-count copies JVM-side, then ONE groupBy(window) with map-side
+    partial aggregation — shuffle volume is distinct windows x
+    partitions, not events. The window/slide ratio is the explicit
+    amplification dial (x4 at 1h/15m).
+    """
+    if window_seconds < 1 or slide_seconds < 1:
+        raise ValueError("window_seconds and slide_seconds must be >= 1")
+    ts = F.col(ts_col).cast("timestamp")
+    win = F.window(ts, f"{int(window_seconds)} seconds", f"{int(slide_seconds)} seconds")
+    return (
+        df.groupBy(win.alias("__w"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.floor(
+                F.sum(F.col(value_col).cast("decimal(38,6)")) * 100
+            ).cast("long").alias("sum_v_c"),
+        )
+        .select(
+            F.unix_micros(F.col("__w.start")).alias("window_start_us"),
+            "n",
+            "sum_v_c",
+        )
+    )
+
+
+def hopping_window_oracle_sql(
+    events_sql: str, window_seconds: int, slide_seconds: int
+) -> str:
+    """DuckDB replica of :func:`hopping_window_agg`. ``events_sql`` must
+    yield (t, v) with t in epoch MICROseconds. Window membership
+    start <= t < start + w over epoch-aligned starts k·slide unrolls to
+    k in [ (t-w) div slide + 1, t div slide ] — integer division is
+    truncation in BOTH engines, identical for the positive epochs the
+    tables carry (pre-1970 timestamps would need floor-div care)."""
+    w_us = int(window_seconds) * 1_000_000
+    s_us = int(slide_seconds) * 1_000_000
+    return f"""
+WITH e AS (
+    SELECT CAST(t AS BIGINT) AS t, v FROM ({events_sql})
+), x AS (
+    SELECT t, v,
+           unnest(range((t - {w_us}) // {s_us} + 1, t // {s_us} + 1)) AS k
+    FROM e
+)
+SELECT CAST(k * {s_us} AS BIGINT) AS window_start_us,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(floor(sum(CAST(v AS DECIMAL(38,6))) * 100) AS BIGINT) AS sum_v_c
+FROM x GROUP BY 1
+"""

@@ -943,3 +943,111 @@ SELECT CAST(d AS INT) AS digit, CAST(cnt AS BIGINT) AS cnt,
                 - (CASE d {cases} END)) AS BIGINT) AS dev_ppm
 FROM c
 """
+
+
+def numeric_correlation(
+    df: DataFrame,
+    cols: list[str],
+    scale: int = 1000,
+) -> DataFrame:
+    """Exact Pearson correlation screen over a list of numeric columns —
+    the multivariate companion of :func:`chi2_independence` for the
+    feature-audit pass ("which numeric features are redundant / leak
+    each other") over a training table.
+
+    Engine-portable by the module's discipline: values are floored to
+    ``scale`` fixed-point before any product, so everything emitted is an
+    exact integer — the correlation NUMERATOR ``n·Σxy − Σx·Σy`` and the
+    two variance terms ``n·Σx² − (Σx)²`` — never a float or a sqrt
+    (sqrt's final ulp differs across libms). One row per pair i < j:
+
+        (col_a, col_b, n, corr_num, var_a_num, var_b_num)
+
+    with corr = corr_num / sqrt(var_a_num · var_b_num) computed by the
+    caller at the boundary. Rows with a NULL in ANY listed column are
+    excluded (complete-case, the standard correlation-matrix contract).
+
+    Plan shape: delegates to similarity.embedding_covariance — the
+    columns become one array, upper-triangle products are built JVM-side
+    and partial-aggregated, shuffle O(partitions · k²) for k columns.
+    """
+    from aleph2_contrib_spark.operators.similarity import embedding_covariance
+
+    if len(cols) < 2:
+        raise ValueError("need at least 2 columns")
+    for c in cols:
+        if c not in df.columns:
+            raise ValueError(f"column {c!r} not in DataFrame")
+    vec = F.array(*[F.col(c).cast("double") for c in cols])
+    complete = df.filter(
+        ~F.exists(vec, lambda x: x.isNull())
+    ).select(vec.alias("__v"))
+    cov = embedding_covariance(complete, "__v", dim=len(cols), scale=scale)
+    diag = cov.filter(F.col("i") == F.col("j")).select(
+        F.col("i").alias("__d"),
+        (
+            F.col("n").cast("decimal(38,0)") * F.col("sum_xy_fx2")
+            - F.col("sum_x_fx") * F.col("sum_x_fx")
+        ).alias("__var"),
+    )
+    names = F.array(*[F.lit(c) for c in cols])
+    off = cov.filter(F.col("i") < F.col("j"))
+    return (
+        off.join(F.broadcast(diag.withColumnRenamed("__d", "i")), "i")
+        .withColumnRenamed("__var", "__var_a")
+        .join(
+            F.broadcast(
+                diag.withColumnRenamed("__d", "j").withColumnRenamed("__var", "__var_b")
+            ),
+            "j",
+        )
+        .select(
+            F.element_at(names, F.col("i") + 1).alias("col_a"),
+            F.element_at(names, F.col("j") + 1).alias("col_b"),
+            "n",
+            F.col("cov_num_fx2").alias("corr_num"),
+            F.col("__var_a").cast("decimal(38,0)").alias("var_a_num"),
+            F.col("__var_b").cast("decimal(38,0)").alias("var_b_num"),
+        )
+    )
+
+
+def numeric_correlation_oracle_sql(
+    table: str, cols: list[str], scale: int = 1000
+) -> str:
+    """DuckDB replica of :func:`numeric_correlation` (HUGEINT sums, same
+    fixed-point floors, complete-case filter)."""
+    k = len(cols)
+    fx = ", ".join(
+        f"CAST(floor(CAST({c} AS DOUBLE) * {int(scale)}) AS BIGINT) AS x{i}"
+        for i, c in enumerate(cols)
+    )
+    notnull = " AND ".join(f"{c} IS NOT NULL" for c in cols)
+    sums = ", ".join(
+        [f"CAST(count(*) AS BIGINT) AS n"]
+        + [f"CAST(sum(x{i}) AS HUGEINT) AS s{i}" for i in range(k)]
+        + [
+            f"sum(CAST(x{i} AS HUGEINT) * x{j}) AS p{i}_{j}"
+            for i in range(k)
+            for j in range(i, k)
+        ]
+    )
+    rows = []
+    for i in range(k):
+        for j in range(i + 1, k):
+            rows.append(
+                f"SELECT '{cols[i]}' AS col_a, '{cols[j]}' AS col_b, n,"
+                f" CAST(n * p{i}_{j} - s{i} * s{j} AS DECIMAL(38,0)) AS corr_num,"
+                f" CAST(n * p{i}_{i} - s{i} * s{i} AS DECIMAL(38,0)) AS var_a_num,"
+                f" CAST(n * p{j}_{j} - s{j} * s{j} AS DECIMAL(38,0)) AS var_b_num"
+                f" FROM agg"
+            )
+    body = " UNION ALL ".join(rows)
+    return f"""
+WITH base AS (
+    SELECT {fx} FROM {table} WHERE {notnull}
+), agg AS MATERIALIZED (
+    SELECT {sums} FROM base
+)
+{body}
+"""

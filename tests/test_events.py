@@ -1013,3 +1013,39 @@ def test_rfm_segments_plan_has_no_unpartitioned_window(spark):
         if "Window [" in line:
             assert "__pid" in line, f"unpartitioned window:\n{line}"
     assert "ntile" not in plan
+
+
+def test_hopping_window_agg_membership_and_oracle(spark, tmp_path):
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from aleph2_contrib_spark.operators.events import (
+        hopping_window_agg,
+        hopping_window_oracle_sql,
+    )
+
+    # events at epoch 0s, 10s, 25s, 59s, 60s — window 60s, slide 20s
+    rows = [(0, 1.0), (10_000_000, 2.0), (25_000_000, 4.0),
+            (59_000_000, 8.0), (60_000_000, 16.0)]
+    df = spark.createDataFrame(
+        [(r[0], r[1]) for r in rows], "us long, v double"
+    ).select(F.timestamp_micros(F.col("us")).alias("ts"), "v")
+    got = {r["window_start_us"]: (r["n"], r["sum_v_c"])
+           for r in hopping_window_agg(df, "ts", "v", 60, 20).collect()}
+    # event at t=0 belongs to windows starting -40, -20, 0; t=60 to 20, 40, 60
+    assert got[0] == (4, 1500)           # 0,10,25,59
+    assert got[-40_000_000] == (2, 300)  # 0, 10
+    assert got[20_000_000] == (3, 2800)  # 25, 59, 60
+    assert got[60_000_000] == (1, 1600)  # 60 only
+    # oracle parity on positive epochs (the documented domain)
+    pos = spark.createDataFrame(
+        [(86_400_000_000 + r[0], r[1]) for r in rows], "us long, v double"
+    )
+    p = str(tmp_path / "e.parquet")
+    pos.coalesce(1).write.parquet(p)
+    sdf = pos.select(F.timestamp_micros(F.col("us")).alias("ts"), "v")
+    got2 = {tuple(r) for r in hopping_window_agg(sdf, "ts", "v", 60, 20).collect()}
+    sql = hopping_window_oracle_sql(f"SELECT us AS t, v FROM '{p}/*.parquet'", 60, 20)
+    want = {tuple(r) for r in duckdb.sql(sql).fetchall()}
+    assert got2 == want

@@ -508,3 +508,53 @@ def test_chi2_independence_overflow_guard_raises(spark):
     assert chi2_independence(df, "a", "b").collect()[0]["n"] == 50
     with _pytest.raises(Exception, match="exceeds the exact DECIMAL"):
         chi2_independence(df, "a", "b", max_exact_n=49).collect()
+
+
+# -- numeric_correlation -----------------------------------------------------
+
+
+def test_numeric_correlation_exact_and_complete_case(spark):
+    from aleph2_contrib_spark.operators.profile import numeric_correlation
+
+    rows = [
+        (1.0, 2.0, 10.0),
+        (2.0, 4.0, 8.0),
+        (3.0, 6.0, 6.0),
+        (4.0, None, 4.0),   # complete-case: dropped everywhere
+    ]
+    df = spark.createDataFrame(rows, "x double, y double, z double")
+    got = {(r["col_a"], r["col_b"]): r for r in numeric_correlation(df, ["x", "y", "z"]).collect()}
+    assert set(got) == {("x", "y"), ("x", "z"), ("y", "z")}
+    r = got[("x", "y")]
+    # y = 2x exactly: corr_num^2 == var_a*var_b (corr = +1), n = 3
+    assert r["n"] == 3
+    assert r["corr_num"] * r["corr_num"] == r["var_a_num"] * r["var_b_num"]
+    assert r["corr_num"] > 0
+    rz = got[("x", "z")]
+    # z = -2x + 12: perfect negative
+    assert rz["corr_num"] < 0
+    assert rz["corr_num"] * rz["corr_num"] == rz["var_a_num"] * rz["var_b_num"]
+
+
+def test_numeric_correlation_oracle_matches(spark, tmp_path):
+    import random
+
+    import duckdb
+
+    from aleph2_contrib_spark.operators.profile import (
+        numeric_correlation,
+        numeric_correlation_oracle_sql,
+    )
+
+    rnd = random.Random(11)
+    rows = [
+        (rnd.uniform(0, 50), rnd.uniform(-5, 5), rnd.uniform(0, 1))
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame(rows, "a double, b double, c double")
+    p = str(tmp_path / "t.parquet")
+    df.coalesce(1).write.parquet(p)
+    got = {tuple(r) for r in numeric_correlation(df, ["a", "b", "c"]).collect()}
+    sql = numeric_correlation_oracle_sql(f"'{p}/*.parquet'", ["a", "b", "c"])
+    want = {tuple(r) for r in duckdb.sql(sql).fetchall()}
+    assert got == want
