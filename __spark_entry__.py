@@ -1279,6 +1279,45 @@ def similarity_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFra
     return embedding_covariance(emb, "embedding", dim=64)
 
 
+def join_epsilon_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric ε-band join (operators/joins.epsilon_band_join): click
+    and purchase events within ±1 s of each other GLOBALLY (not per
+    user) — grid-bucketed equi-join, never the cartesian theta join
+    Catalyst would otherwise plan. Aggregated per left event (count +
+    exact diff sum) to keep the gate output compact."""
+    from aleph2_contrib_spark.operators.joins import epsilon_band_join
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.unix_micros(F.col("ts").cast("timestamp")).alias("us")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"), F.col("us").alias("c_us")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), F.col("us").alias("p_us")
+    )
+    pairs = epsilon_band_join(
+        clicks, purchases, "c_id", "c_us", "p_id", "p_us", 1_000_000
+    )
+    return pairs.groupBy("c_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_near"),
+        F.sum("diff").cast("long").alias("diff_us_sum"),
+    )
+
+
+def profile_categorical_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini diversity screen (operators/profile.categorical_gini) over
+    orders' status/priority and events' type — exact rational impurity
+    in ppm, log-free, NULL as a category (key_skew's convention)."""
+    from aleph2_contrib_spark.operators.profile import categorical_gini
+
+    o = _t(spark, sf_dir, "orders")
+    ev = _t(spark, sf_dir, "events")
+    return categorical_gini(o, ["o_orderstatus", "o_orderpriority"]).unionByName(
+        categorical_gini(ev, ["event_type"])
+    )
+
+
 def events_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hopping-window aggregation (operators/events.hopping_window_agg):
     1-hour windows sliding every 15 minutes over the event stream — each
@@ -5454,6 +5493,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_bipartite_project": graph_bipartite_project,
         "profile_numeric_correlation": profile_numeric_correlation,
         "events_hopping_window": events_hopping_window,
+        "join_epsilon_band": join_epsilon_band,
+        "profile_categorical_gini": profile_categorical_gini,
         "q12_priority_by_linestatus": q12_priority_by_linestatus,
         "docs_clean_corpus": docs_clean_corpus,
         "corpus_mix_sample": corpus_mix_sample,
@@ -5876,6 +5917,7 @@ def oracle_sql() -> dict[str, str]:
     from aleph2_contrib_spark.operators.events import hopping_window_oracle_sql
     from aleph2_contrib_spark.operators.graph import bipartite_project_oracle_sql
     from aleph2_contrib_spark.operators.profile import (
+        categorical_gini_oracle_sql,
         numeric_correlation_oracle_sql,
     )
     from aleph2_contrib_spark.operators.similarity import (
@@ -5888,6 +5930,23 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_hopping_window": hopping_window_oracle_sql(
             "SELECT epoch_us(ts) AS t, value AS v FROM events", 3600, 900
+        ),
+        "join_epsilon_band": """
+            WITH c AS (SELECT event_id AS c_id, epoch_us(ts) AS c_us
+                       FROM events WHERE event_type = 'click'),
+                 p AS (SELECT event_id AS p_id, epoch_us(ts) AS p_us
+                       FROM events WHERE event_type = 'purchase')
+            SELECT c_id, CAST(count(*) AS BIGINT) AS n_near,
+                   CAST(sum(p_us - c_us) AS BIGINT) AS diff_us_sum
+            FROM c JOIN p ON abs(p_us - c_us) <= 1000000
+            GROUP BY c_id
+        """,
+        "profile_categorical_gini": (
+            categorical_gini_oracle_sql(
+                "orders", ["o_orderstatus", "o_orderpriority"]
+            )
+            + " UNION ALL "
+            + categorical_gini_oracle_sql("events", ["event_type"])
         ),
         "graph_bipartite_project": bipartite_project_oracle_sql(
             "SELECT l_orderkey AS l, l_partkey AS r FROM lineitem"

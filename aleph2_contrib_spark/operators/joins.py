@@ -533,3 +533,90 @@ FROM l, LATERAL (
     LIMIT 1
 ) nn
 """
+
+
+def epsilon_band_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    left_val: str,
+    right_id: str,
+    right_val: str,
+    eps: int,
+) -> DataFrame:
+    """Symmetric ε-band join over INTEGER measures (epoch micros, cents,
+    fixed-point scores): every (left, right) pair with |l − r| <= eps —
+    the proximity-matching primitive (events within a second of each
+    other, prices within a tick, near-simultaneous readings) that a
+    plain theta join would execute as a cartesian product.
+
+    Exactness contract: values are integers (cast to long) and ``eps``
+    an integer, so membership is exact integer arithmetic — no float
+    boundary ulps. Returns (left_id, right_id, diff) with
+    diff = r − l ∈ [−eps, +eps]. NULL values never match.
+
+    Plan shape at 100 TB: grid bucketing with width eps — the right side
+    carries one row per record keyed by floor(v/eps); the left side
+    explodes to its 3 candidate buckets (b−1, b, b+1 — any partner within
+    eps lives there) JVM-side, then ONE bucket-keyed equi-join + the
+    exact band filter. Shuffle volume is 3·|L| + |R| skinny rows; output
+    is the true pair count. A hot bucket (many equal values) is the
+    caller's density warning — profile.join_size_profile on the bucket
+    key is the pre-flight. Catalyst would otherwise plan |L|·|R| BNLJ:
+    test_plan_quality pins the equi-join shape.
+    """
+    if eps < 1:
+        raise ValueError(f"eps must be >= 1, got {eps}")
+    lv = F.col(left_val).cast("long")
+    rv = F.col(right_val).cast("long")
+    # floor division toward -inf for negatives: Spark's div truncates
+    # toward zero, so subtract the non-negative pmod first — the result
+    # is an exact multiple of eps, and DECIMAL division keeps it exact
+    # at any long magnitude (double division would lose ulps past 2^53)
+    def bucket(v):
+        return (
+            (v - _pmod(v, eps)).cast("decimal(38,0)") / F.lit(int(eps))
+        ).cast("long")
+
+    r = right.filter(rv.isNotNull()).select(
+        F.col(right_id).alias("__rid"),
+        rv.alias("__rv"),
+        bucket(rv).alias("__b"),
+    )
+    l = left.filter(lv.isNotNull()).select(
+        F.col(left_id).alias("__lid"),
+        lv.alias("__lv"),
+        F.explode(
+            F.array(*[bucket(lv) + F.lit(d) for d in (-1, 0, 1)])
+        ).alias("__b"),
+    )
+    return (
+        l.join(r, "__b")
+        .filter(F.abs(F.col("__rv") - F.col("__lv")) <= F.lit(int(eps)))
+        .select(
+            F.col("__lid").alias(left_id),
+            F.col("__rid").alias(right_id),
+            (F.col("__rv") - F.col("__lv")).alias("diff"),
+        )
+    )
+
+
+def _pmod(v, m: int):
+    """Non-negative modulo (Spark's % keeps the dividend's sign)."""
+    return F.pmod(v, F.lit(int(m)))
+
+
+def epsilon_band_join_oracle_sql(
+    left_sql: str, right_sql: str, left_id: str, right_id: str, eps: int
+) -> str:
+    """DuckDB replica of :func:`epsilon_band_join` — the plain theta join
+    (correct by definition; the operator's grid bucketing must reproduce
+    it exactly). ``left_sql`` yields (lid, lv), ``right_sql`` (rid, rv),
+    integer values."""
+    return f"""
+SELECT l.lid AS {left_id}, r.rid AS {right_id},
+       CAST(r.rv - l.lv AS BIGINT) AS diff
+FROM ({left_sql}) l JOIN ({right_sql}) r
+  ON l.lv IS NOT NULL AND r.rv IS NOT NULL
+ AND abs(r.rv - l.lv) <= {int(eps)}
+"""

@@ -1051,3 +1051,67 @@ WITH base AS (
 )
 {body}
 """
+
+
+def categorical_gini(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Gini impurity per categorical column — the log-free diversity
+    screen ("is this label column degenerate? how mixed is source?") a
+    feature audit runs next to :func:`key_skew`. Chosen over Shannon
+    entropy deliberately: gini = 1 − Σ(c/n)² is RATIONAL, so
+    ``gini_ppm = (10⁶·(n² − Σc²)) div n²`` is exact integer arithmetic
+    end-to-end and engine-portable (ln() differs in final ulps across
+    libms — the same reasoning as chi2_independence). NULL counts as a
+    real category (matching key_skew).
+
+    One row per column: (col_name, n, n_categories, gini_ppm) — 0 for a
+    single-value column, → 10⁶·(1−1/k) for k uniform categories.
+
+    Plan shape at scale: one groupBy per column with map-side partials
+    (output = distinct categories), then a 1-row aggregate; Σc² in
+    DECIMAL(38,0) is exact to ~10¹⁹-row columns.
+    """
+    parts = []
+    for c in cols:
+        if c not in df.columns:
+            raise ValueError(f"column {c!r} not in DataFrame")
+        cnts = (
+            df.select(
+                F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL")).alias("__k")
+            )
+            .groupBy("__k")
+            .agg(F.count(F.lit(1)).alias("__c"))
+        )
+        agg = cnts.agg(
+            F.sum("__c").cast("decimal(38,0)").alias("__n"),
+            F.count(F.lit(1)).alias("__k_cnt"),
+            F.sum(F.col("__c").cast("decimal(38,0)") * F.col("__c")).alias("__ss"),
+        )
+        parts.append(
+            agg.select(
+                F.lit(c).alias("col_name"),
+                F.col("__n").cast("long").alias("n"),
+                F.col("__k_cnt").cast("long").alias("n_categories"),
+                F.expr(
+                    "CAST((1000000 * (__n * __n - __ss)) div (__n * __n) AS BIGINT)"
+                ).alias("gini_ppm"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def categorical_gini_oracle_sql(table: str, cols: list[str]) -> str:
+    """DuckDB replica of :func:`categorical_gini` (HUGEINT squares)."""
+    sels = []
+    for c in cols:
+        sels.append(f"""
+SELECT '{c}' AS col_name, CAST(sum(cc) AS BIGINT) AS n,
+       CAST(count(*) AS BIGINT) AS n_categories,
+       CAST((1000000 * (CAST(sum(cc) AS HUGEINT) * sum(cc)
+                        - sum(CAST(cc AS HUGEINT) * cc)))
+            // (CAST(sum(cc) AS HUGEINT) * sum(cc)) AS BIGINT) AS gini_ppm
+FROM (SELECT coalesce(CAST({c} AS VARCHAR), chr(0) || 'NULL') AS k, count(*) AS cc
+      FROM {table} GROUP BY 1)""")
+    return " UNION ALL ".join(sels)

@@ -377,3 +377,55 @@ def test_nearest_value_join_oracle_matches(spark, nn_data):
         "lv", "rv", "lid", "rid",
     )
     assert got == {tuple(x) for x in duckdb.sql(sql).fetchall()}
+
+
+# -- epsilon_band_join --------------------------------------------------------
+
+
+def test_epsilon_band_join_exact_membership(spark):
+    from pyspark.sql import functions as F
+
+    from aleph2_contrib_spark.operators.joins import epsilon_band_join
+
+    l = spark.createDataFrame(
+        [(1, 100), (2, 205), (3, None), (4, -3)], "lid int, lv long"
+    )
+    r = spark.createDataFrame(
+        [(10, 95), (11, 110), (12, 206), (13, 300), (14, None), (15, 7)],
+        "rid int, rv long",
+    )
+    got = {(x["lid"], x["rid"]): x["diff"]
+           for x in epsilon_band_join(l, r, "lid", "lv", "rid", "rv", 10).collect()}
+    # |100-95|=5, |100-110|=10 (inclusive), |205-206|=1, |-3-7|=10
+    assert got == {(1, 10): -5, (1, 11): 10, (2, 12): 1, (4, 15): 10}
+    # plan shape: equi-join on the bucket, never a nested-loop
+    plan = epsilon_band_join(l, r, "lid", "lv", "rid", "rv", 10)._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_epsilon_band_join_oracle_matches(spark, tmp_path):
+    import random
+
+    import duckdb
+
+    from aleph2_contrib_spark.operators.joins import (
+        epsilon_band_join,
+        epsilon_band_join_oracle_sql,
+    )
+
+    rnd = random.Random(13)
+    lrows = [(i, rnd.randint(-500, 500)) for i in range(200)]
+    rrows = [(i, rnd.randint(-500, 500)) for i in range(150)]
+    l = spark.createDataFrame(lrows, "lid int, lv long")
+    r = spark.createDataFrame(rrows, "rid int, rv long")
+    lp, rp = str(tmp_path / "l.parquet"), str(tmp_path / "r.parquet")
+    l.coalesce(1).write.parquet(lp)
+    r.coalesce(1).write.parquet(rp)
+    got = {tuple(x) for x in epsilon_band_join(l, r, "lid", "lv", "rid", "rv", 25).collect()}
+    sql = epsilon_band_join_oracle_sql(
+        f"SELECT lid, lv FROM '{lp}/*.parquet'",
+        f"SELECT rid, rv FROM '{rp}/*.parquet'",
+        "lid", "rid", 25,
+    )
+    want = {tuple(x) for x in duckdb.sql(sql).fetchall()}
+    assert got == want

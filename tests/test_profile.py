@@ -558,3 +558,39 @@ def test_numeric_correlation_oracle_matches(spark, tmp_path):
     sql = numeric_correlation_oracle_sql(f"'{p}/*.parquet'", ["a", "b", "c"])
     want = {tuple(r) for r in duckdb.sql(sql).fetchall()}
     assert got == want
+
+
+def test_categorical_gini_exact(spark):
+    from aleph2_contrib_spark.operators.profile import categorical_gini
+
+    df = spark.createDataFrame(
+        [("a", "x"), ("a", "y"), ("b", "x"), ("b", "y"), (None, "x")],
+        "u string, v string",
+    )
+    got = {r["col_name"]: r for r in categorical_gini(df, ["u", "v"]).collect()}
+    # u: counts 2,2,1 over 5 -> 1 - 9/25 = 16/25 -> 640000 ppm
+    assert (got["u"]["n"], got["u"]["n_categories"], got["u"]["gini_ppm"]) == (5, 3, 640_000)
+    # v: 3,2 -> 1 - 13/25 = 12/25 -> 480000
+    assert got["v"]["gini_ppm"] == 480_000
+    # degenerate single value -> 0
+    one = spark.createDataFrame([("k",)] * 4, "w string")
+    assert categorical_gini(one, ["w"]).collect()[0]["gini_ppm"] == 0
+
+
+def test_categorical_gini_oracle_matches(spark, tmp_path):
+    import duckdb
+
+    from aleph2_contrib_spark.operators.profile import (
+        categorical_gini,
+        categorical_gini_oracle_sql,
+    )
+
+    rows = [(f"s{i % 7}", i % 3) for i in range(100)] + [(None, None)]
+    df = spark.createDataFrame(rows, "a string, b int")
+    p = str(tmp_path / "g.parquet")
+    df.coalesce(1).write.parquet(p)
+    got = {tuple(r) for r in categorical_gini(df, ["a", "b"]).collect()}
+    want = {tuple(r) for r in duckdb.sql(
+        categorical_gini_oracle_sql(f"'{p}/*.parquet'", ["a", "b"])
+    ).fetchall()}
+    assert got == want
