@@ -1279,6 +1279,46 @@ def similarity_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFra
     return embedding_covariance(emb, "embedding", dim=64)
 
 
+def events_survival_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier life table (operators/events.survival_table) over
+    user lifetimes: duration = active span in days (first to last
+    event), observed = the user ever purchased (else censored at last
+    sight). Exact integer (t, n_at_risk, n_events, n_censored) rows —
+    the KM product is the caller's boundary step."""
+    from aleph2_contrib_spark.operators.events import survival_table
+
+    ev = _t(spark, sf_dir, "events")
+    subj = ev.groupBy("user_id").agg(
+        F.datediff(
+            F.max(F.col("ts").cast("timestamp")).cast("date"),
+            F.min(F.col("ts").cast("timestamp")).cast("date"),
+        ).alias("dur"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("ev"),
+    )
+    return survival_table(subj, "dur", "ev")
+
+
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (operators/graph.degree_assortativity) of the
+    sampled co-purchase graph — exact Pearson numerator and variance
+    terms over endpoint degrees, both orientations (Newman), no
+    sqrt/float anywhere."""
+    from aleph2_contrib_spark.operators.graph import degree_assortativity
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 7 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    lj = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+    edges = li.join(lj, (li.l_orderkey == lj.ok) & (li.l_partkey < lj.pk)).select(
+        F.col("l_partkey").alias("src"), F.col("pk").alias("dst")
+    )
+    return degree_assortativity(edges)
+
+
 def join_epsilon_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric ε-band join (operators/joins.epsilon_band_join): click
     and purchase events within ±1 s of each other GLOBALLY (not per
@@ -5495,6 +5535,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hopping_window": events_hopping_window,
         "join_epsilon_band": join_epsilon_band,
         "profile_categorical_gini": profile_categorical_gini,
+        "events_survival_table": events_survival_table,
+        "graph_degree_assortativity": graph_degree_assortativity,
         "q12_priority_by_linestatus": q12_priority_by_linestatus,
         "docs_clean_corpus": docs_clean_corpus,
         "corpus_mix_sample": corpus_mix_sample,
@@ -5914,8 +5956,14 @@ def _mmr_oracle(k: int = 5, lam: str = "0.75", one_minus: str = "0.25", pool: in
 
 
 def oracle_sql() -> dict[str, str]:
-    from aleph2_contrib_spark.operators.events import hopping_window_oracle_sql
-    from aleph2_contrib_spark.operators.graph import bipartite_project_oracle_sql
+    from aleph2_contrib_spark.operators.events import (
+        hopping_window_oracle_sql,
+        survival_table_oracle_sql,
+    )
+    from aleph2_contrib_spark.operators.graph import (
+        bipartite_project_oracle_sql,
+        degree_assortativity_oracle_sql,
+    )
     from aleph2_contrib_spark.operators.profile import (
         categorical_gini_oracle_sql,
         numeric_correlation_oracle_sql,
@@ -5947,6 +5995,21 @@ def oracle_sql() -> dict[str, str]:
             )
             + " UNION ALL "
             + categorical_gini_oracle_sql("events", ["event_type"])
+        ),
+        "events_survival_table": survival_table_oracle_sql(
+            """
+            SELECT datediff('day', CAST(min(ts) AS DATE), CAST(max(ts) AS DATE)) AS dur,
+                   max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS ev
+            FROM events GROUP BY user_id
+            """
+        ),
+        "graph_degree_assortativity": degree_assortativity_oracle_sql(
+            """
+            SELECT a.l_partkey AS src, b.l_partkey AS dst
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            WHERE a.l_orderkey % 7 = 0
+            """
         ),
         "graph_bipartite_project": bipartite_project_oracle_sql(
             "SELECT l_orderkey AS l, l_partkey AS r FROM lineitem"

@@ -1399,3 +1399,70 @@ SELECT CAST(k * {s_us} AS BIGINT) AS window_start_us,
        CAST(floor(sum(CAST(v AS DECIMAL(38,6))) * 100) AS BIGINT) AS sum_v_c
 FROM x GROUP BY 1
 """
+
+
+def survival_table(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+) -> DataFrame:
+    """Kaplan-Meier survival/life table from per-subject (duration,
+    observed) rows — churn / time-to-conversion / session-lifetime
+    analysis. ``event_col`` is 1 when the terminal event was OBSERVED at
+    ``duration``, 0 when the subject was censored there (still alive at
+    last sight).
+
+    Returns one row per distinct observed-event time t:
+    (t, n_at_risk, n_events, n_censored) — everything the KM estimator
+    needs, all exact integers: S(t) = Π_{u<=t} (1 − d_u / r_u) is a
+    product of rationals the caller folds at the boundary (emitting the
+    float product would smuggle engine-specific rounding into the gate;
+    the table IS the portable artifact). ``n_at_risk`` counts subjects
+    with duration >= t; per KM convention subjects censored exactly at t
+    are still at risk at t. Rows with NULL duration are excluded.
+
+    Plan shape at scale: one groupBy(duration) over the subject table
+    (map-side partial, output = distinct durations), then a reverse
+    prefix sum over the DISTINCT-duration table — O(distinct) rows, the
+    same deliberately-tiny single-partition window as
+    sketch.quantile_hist (the heavy reduction already happened in the
+    groupBy; shard upstream if durations are near-unique at 10⁹+
+    subjects)."""
+    d = F.col(duration_col).cast("long")
+    ev = F.col(event_col).cast("int")
+    per_t = (
+        df.filter(d.isNotNull())
+        .groupBy(d.alias("t"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__n_all"),
+            F.sum(ev).cast("long").alias("n_events"),
+            F.sum(1 - ev).cast("long").alias("n_censored"),
+        )
+    )
+    w = Window.orderBy(F.col("t").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    out = per_t.withColumn("n_at_risk", F.sum("__n_all").over(w))
+    return out.filter(F.col("n_events") > 0).select(
+        "t", "n_at_risk", "n_events", "n_censored"
+    )
+
+
+def survival_table_oracle_sql(subjects_sql: str) -> str:
+    """DuckDB replica of :func:`survival_table`. ``subjects_sql`` must
+    yield (dur, ev) with ev in {0, 1}."""
+    return f"""
+WITH per_t AS (
+    SELECT CAST(dur AS BIGINT) AS t,
+           count(*) AS n_all,
+           CAST(sum(ev) AS BIGINT) AS n_events,
+           CAST(sum(1 - ev) AS BIGINT) AS n_censored
+    FROM ({subjects_sql}) WHERE dur IS NOT NULL GROUP BY 1
+)
+SELECT t,
+       CAST(sum(n_all) OVER (ORDER BY t DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS n_at_risk,
+       n_events, n_censored
+FROM per_t QUALIFY n_events > 0
+"""

@@ -1843,3 +1843,94 @@ FROM inc2 a JOIN inc2 b ON a.l = b.l AND a.r < b.r
 GROUP BY a.r, b.r
 HAVING count(*) >= {int(min_weight)}
 """
+
+
+def degree_assortativity(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Degree assortativity of an undirected graph — the graph-QA scalar
+    ("do hubs attach to hubs?"; positive = social-network-like, negative
+    = hub-and-spoke) computed as the Pearson correlation of endpoint
+    degrees over the edge list, emitted EXACTLY per the repo's
+    discipline: one row (n_edge_ends, corr_num, var_a_num, var_b_num)
+    with corr = corr_num / sqrt(var_a·var_b) left to the caller (no
+    sqrt, no float — engine-portable).
+
+    Semantics: edges are canonicalized (undirected, deduped, self-loops
+    dropped); each edge contributes BOTH orientations so the measure is
+    symmetric (the standard Newman formulation), giving n_edge_ends =
+    2·|E| pairs of (deg(u), deg(v)).
+
+    Plan shape at scale: one groupBy(node) for degrees, two broadcast-or
+    -shuffle joins to annotate edge endpoints, then ONE 1-row exact
+    aggregate (sums in DECIMAL(38,0)). No iteration, no all-pairs."""
+    e0 = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    und = e0.unionByName(
+        e0.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = und.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    da = deg.select(F.col("node").alias("__u"), F.col("deg").alias("dx"))
+    db = deg.select(F.col("node").alias("__v"), F.col("deg").alias("dy"))
+    pairs = (
+        und.join(da, und.a == F.col("__u"))
+        .join(db, und.b == F.col("__v"))
+        .select(
+            F.col("dx").cast("decimal(38,0)").alias("x"),
+            F.col("dy").cast("decimal(38,0)").alias("y"),
+        )
+    )
+    agg = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_edge_ends"),
+        F.sum(F.col("x") * F.col("y")).alias("__sxy"),
+        F.sum("x").alias("__sx"),
+        F.sum("y").alias("__sy"),
+        F.sum(F.col("x") * F.col("x")).alias("__sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("__syy"),
+    )
+    n = F.col("n_edge_ends").cast("decimal(38,0)")
+    return agg.select(
+        "n_edge_ends",
+        (n * F.col("__sxy") - F.col("__sx") * F.col("__sy"))
+        .cast("decimal(38,0)").alias("corr_num"),
+        (n * F.col("__sxx") - F.col("__sx") * F.col("__sx"))
+        .cast("decimal(38,0)").alias("var_a_num"),
+        (n * F.col("__syy") - F.col("__sy") * F.col("__sy"))
+        .cast("decimal(38,0)").alias("var_b_num"),
+    )
+
+
+def degree_assortativity_oracle_sql(edge_sql: str) -> str:
+    """DuckDB replica of :func:`degree_assortativity` (HUGEINT sums).
+    ``edge_sql`` yields (src, dst)."""
+    return f"""
+WITH e0 AS MATERIALIZED (
+    SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+    FROM ({edge_sql}) WHERE src <> dst
+), und AS MATERIALIZED (
+    SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0
+), deg AS MATERIALIZED (
+    SELECT a AS node, CAST(count(*) AS HUGEINT) AS deg FROM und GROUP BY a
+), pairs AS (
+    SELECT da.deg AS x, db.deg AS y
+    FROM und JOIN deg da ON und.a = da.node JOIN deg db ON und.b = db.node
+), agg AS (
+    SELECT CAST(count(*) AS HUGEINT) AS n,
+           sum(x * y) AS sxy, sum(x) AS sx, sum(y) AS sy,
+           sum(x * x) AS sxx, sum(y * y) AS syy
+    FROM pairs
+)
+SELECT CAST(n AS BIGINT) AS n_edge_ends,
+       CAST(n * sxy - sx * sy AS DECIMAL(38,0)) AS corr_num,
+       CAST(n * sxx - sx * sx AS DECIMAL(38,0)) AS var_a_num,
+       CAST(n * syy - sy * sy AS DECIMAL(38,0)) AS var_b_num
+FROM agg
+"""

@@ -1049,3 +1049,27 @@ def test_hopping_window_agg_membership_and_oracle(spark, tmp_path):
     sql = hopping_window_oracle_sql(f"SELECT us AS t, v FROM '{p}/*.parquet'", 60, 20)
     want = {tuple(r) for r in duckdb.sql(sql).fetchall()}
     assert got2 == want
+
+
+def test_survival_table_exact_and_oracle(spark, tmp_path):
+    import duckdb
+
+    from aleph2_contrib_spark.operators.events import (
+        survival_table,
+        survival_table_oracle_sql,
+    )
+
+    # durations: 2(ev),2(cens),3(ev),3(ev),5(cens),7(ev), NULL dropped
+    rows = [(2, 1), (2, 0), (3, 1), (3, 1), (5, 0), (7, 1), (None, 1)]
+    df = spark.createDataFrame(rows, "dur int, ev int")
+    got = {r["t"]: (r["n_at_risk"], r["n_events"], r["n_censored"])
+           for r in survival_table(df, "dur", "ev").collect()}
+    # at t=2: all 6 at risk; t=3: 4 remain; t=7: 1 remains
+    assert got == {2: (6, 1, 1), 3: (4, 2, 0), 7: (1, 1, 0)}
+    # censored-only times (5) emit no row but still count at risk upstream
+    p = str(tmp_path / "s.parquet")
+    df.coalesce(1).write.parquet(p)
+    want = {tuple(r) for r in duckdb.sql(
+        survival_table_oracle_sql(f"SELECT dur, ev FROM '{p}/*.parquet'")
+    ).fetchall()}
+    assert {tuple(r) for r in survival_table(df, "dur", "ev").collect()} == want

@@ -823,3 +823,35 @@ def test_bipartite_project_oracle_matches(spark, tmp_path):
         )
         want = {tuple(r) for r in duckdb.sql(sql).fetchall()}
         assert got == want, kwargs
+
+
+def test_degree_assortativity_signs_and_oracle(spark, tmp_path):
+    import duckdb
+
+    from aleph2_contrib_spark.operators.graph import (
+        degree_assortativity,
+        degree_assortativity_oracle_sql,
+    )
+
+    # star graph: hub attaches to leaves only -> strictly negative corr
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], "src int, dst int"
+    )
+    r = degree_assortativity(star).collect()[0]
+    assert r["n_edge_ends"] == 10 and r["corr_num"] < 0
+    # two disjoint same-degree cliques -> zero variance (undefined corr)
+    k3 = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6)]
+    r2 = degree_assortativity(spark.createDataFrame(k3, "src int, dst int")).collect()[0]
+    assert r2["var_a_num"] == 0 and r2["corr_num"] == 0
+    # oracle parity incl. self-loop/dup/orientation canonicalization
+    import random
+    rnd = random.Random(17)
+    rows = [(rnd.randint(0, 30), rnd.randint(0, 30)) for _ in range(300)]
+    df = spark.createDataFrame(rows, "src int, dst int")
+    p = str(tmp_path / "e.parquet")
+    df.coalesce(1).write.parquet(p)
+    got = {tuple(r) for r in degree_assortativity(df).collect()}
+    want = {tuple(r) for r in duckdb.sql(
+        degree_assortativity_oracle_sql(f"SELECT src, dst FROM '{p}/*.parquet'")
+    ).fetchall()}
+    assert got == want
