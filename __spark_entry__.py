@@ -5698,6 +5698,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_embedding_covariance",
         "multimodal_real_codec",
         "multimodal_audio_codec",
+        "profile_numeric_correlation",
+        "events_hopping_window",
+        "join_epsilon_band",
+        "profile_categorical_gini",
+        "events_survival_table",
+        "graph_degree_assortativity",
         # (b) code/oracle changed in round 8 — old green rows no longer
         #     certify them: rfm two-phase-rank rewrite, CC one-action
         #     rounds (+ its two dedup consumers), the ADVICE fixes
@@ -5745,17 +5751,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raw_json_view",
         "file_ingest_json_roundtrip",
         "file_ingest_xml_roundtrip",
-        # (e) oldest remaining driver checks (r4/r5 era) — drain staleness
+        # (e) oldest remaining driver checks (r4/r5 era) — drain
+        #     staleness (the six displaced by the late-round-8 gates —
+        #     dsl_enum_projection_exclude, file_ingest_binary_roundtrip,
+        #     file_inbox_consume_archive, update_upsert_by_spec,
+        #     crud_batch_writer_roundtrip, storage_partitioned_roundtrip
+        #     — lead round 9; all are green in the local 222-gate run)
         "update_partition_scoped",
         "v1_query_extras",
         "update_array_ops",
         "crud_filtered_repo",
-        "dsl_enum_projection_exclude",
-        "file_ingest_binary_roundtrip",
-        "file_inbox_consume_archive",
-        "update_upsert_by_spec",
-        "crud_batch_writer_roundtrip",
-        "storage_partitioned_roundtrip",
     ]
     assert len(window) == 50 and len(set(window)) == 50
     assert all(k in reg for k in window)
