@@ -1466,3 +1466,63 @@ SELECT t,
        n_events, n_censored
 FROM per_t QUALIFY n_events > 0
 """
+
+
+def activity_streaks(
+    df: DataFrame, user_col: str, ts_col: str
+) -> DataFrame:
+    """Gaps-and-islands consecutive-day activity streaks — the retention
+    primitive behind "7-day streak" product metrics and engagement
+    cohorts: per user, each maximal run of consecutive calendar days
+    with at least one event becomes one row (user, streak_start_day,
+    streak_days), day = days since 1970-01-01 of the event's UTC date.
+
+    Exactness contract: day numbers are integer datediffs (session is
+    UTC-pinned; no float, no tz arithmetic), and the island id is the
+    classic day − row_number() constant, so results are engine-exact.
+
+    Plan shape at 100 TB: distinct (user, day) first — the ONLY pass
+    over the raw events, map-side partial — then a user-partitioned
+    row_number window and a (user, island) groupBy. All three shuffles
+    are user-keyed and distinct-day-sized (≪ events); no unpartitioned
+    window, no driver state.
+    """
+    day = F.datediff(
+        F.to_date(F.col(ts_col).cast("timestamp")), F.lit("1970-01-01").cast("date")
+    ).cast("long")
+    ud = (
+        df.filter(F.col(ts_col).isNotNull() & F.col(user_col).isNotNull())
+        .select(F.col(user_col).alias("__u"), day.alias("__day"))
+        .distinct()
+    )
+    w = Window.partitionBy("__u").orderBy(F.col("__day").asc())
+    islands = ud.withColumn(
+        "__grp", F.col("__day") - F.row_number().over(w)
+    )
+    return islands.groupBy("__u", "__grp").agg(
+        F.min("__day").cast("long").alias("streak_start_day"),
+        F.count(F.lit(1)).cast("long").alias("streak_days"),
+    ).select(
+        F.col("__u").alias(user_col), "streak_start_day", "streak_days"
+    )
+
+
+def activity_streaks_oracle_sql(rows_sql: str, user_col: str) -> str:
+    """DuckDB replica of :func:`activity_streaks` — identical datediff
+    day numbers, row_number island constant, and island groupBy.
+    ``rows_sql`` yields (user, ts) under those output names."""
+    return f"""
+WITH ud AS (
+    SELECT DISTINCT "user" AS u,
+           CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS day
+    FROM ({rows_sql}) WHERE ts IS NOT NULL AND "user" IS NOT NULL
+), islands AS (
+    SELECT u, day,
+           day - row_number() OVER (PARTITION BY u ORDER BY day) AS grp
+    FROM ud
+)
+SELECT u AS {user_col},
+       CAST(min(day) AS BIGINT) AS streak_start_day,
+       CAST(count(*) AS BIGINT) AS streak_days
+FROM islands GROUP BY u, grp
+"""

@@ -1934,3 +1934,117 @@ SELECT CAST(n AS BIGINT) AS n_edge_ends,
        CAST(n * syy - sy * sy AS DECIMAL(38,0)) AS var_b_num
 FROM agg
 """
+
+
+def deterministic_walks(
+    edges: DataFrame,
+    n_steps: int = 3,
+    seed: str = "walk",
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Hash-seeded deterministic random walks — the corpus generator for
+    DeepWalk/node2vec-style graph embeddings, made engine-portable: from
+    every vertex with out-edges, walk ``n_steps`` hops where the step-i
+    successor of vertex c is the out-neighbour minimizing the PORTABLE
+    priority string md5("seed:i:c:nbr") || ":" || nbr. md5 makes the
+    choice uniform-ish and deterministic; the fixed-width hex prefix
+    means lexicographic MIN equals hash order, and the appended
+    neighbour id breaks (astronomically unlikely) hash ties identically
+    in every engine. Dead ends stop the walk (NULL tail).
+
+    Returns (start, step_1 … step_n) — one row per start vertex.
+
+    Plan shape at 100 TB: the step-i successor depends only on (i, c),
+    so each step is ONE vertex-sized groupBy over the edge list (the
+    per-step transition table, map-side partial min) plus ONE equi-join
+    against the frontier — never a per-walk scan, no driver state, no
+    iteration over rows. Cost is n_steps × (|E| groupBy + |V| join);
+    walks for ALL vertices are produced in the same n_steps jobs, which
+    is what makes it viable where a per-walk sampler would not be.
+    """
+    from pyspark import StorageLevel
+
+    if n_steps < 1:
+        raise ValueError(f"n_steps must be >= 1, got {n_steps}")
+    src = F.col(src_col)
+    dst = F.col(dst_col)
+    # the edge list feeds n_steps transition groupBys plus the start set;
+    # unpersisted, an expensive upstream (e.g. a co-occurrence self-join)
+    # re-executes n_steps+1 times
+    e = (
+        edges.filter(src.isNotNull() & dst.isNotNull())
+        .select(src.alias("__s"), dst.alias("__d"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    out = e.select(F.col("__s").alias("start")).distinct().withColumn(
+        "__cur", F.col("start")
+    )
+    for i in range(1, n_steps + 1):
+        pri = F.concat(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.lit(seed),
+                    F.lit(str(i)),
+                    F.col("__s").cast("string"),
+                    F.col("__d").cast("string"),
+                )
+            ),
+            F.lit(":"),
+            F.col("__d").cast("string"),
+        )
+        trans = e.groupBy(F.col("__s").alias("__from")).agg(
+            F.split_part(F.min(pri), F.lit(":"), F.lit(2))
+            .cast("long")
+            .alias("__next")
+        )
+        out = (
+            out.join(trans, out.__cur == trans.__from, "left")
+            .drop("__from")
+            .withColumnRenamed("__next", f"step_{i}")
+            .withColumn("__cur", F.col(f"step_{i}"))
+        )
+    return out.drop("__cur")
+
+
+def deterministic_walks_oracle_sql(
+    edge_sql: str, n_steps: int = 3, seed: str = "walk"
+) -> str:
+    """DuckDB replica of :func:`deterministic_walks` — identical md5
+    priority strings, per-step arg-min transition tables, chained LEFT
+    JOINs. ``edge_sql`` yields (src, dst)."""
+    from aleph2_contrib_spark.operators import sql_str
+
+    seed = sql_str(seed)
+    ctes = [
+        f"""e AS MATERIALIZED (
+    SELECT src AS s, dst AS d FROM ({edge_sql})
+    WHERE src IS NOT NULL AND dst IS NOT NULL
+)"""
+    ]
+    for i in range(1, n_steps + 1):
+        ctes.append(
+            f"""t{i} AS MATERIALIZED (
+    SELECT s AS frm,
+           CAST(split_part(min(md5('{seed}:{i}:' || CAST(s AS VARCHAR)
+                || ':' || CAST(d AS VARCHAR)) || ':' || CAST(d AS VARCHAR)),
+                ':', 2) AS BIGINT) AS nxt
+    FROM e GROUP BY s
+)"""
+        )
+    joins = ["FROM (SELECT DISTINCT s AS start FROM e) v"]
+    prev = "v.start"
+    sels = ["v.start"]
+    for i in range(1, n_steps + 1):
+        joins.append(f"LEFT JOIN t{i} ON {prev} = t{i}.frm")
+        sels.append(f"t{i}.nxt AS step_{i}")
+        prev = f"t{i}.nxt"
+    return (
+        "WITH "
+        + ", ".join(ctes)
+        + "\nSELECT "
+        + ", ".join(sels)
+        + "\n"
+        + "\n".join(joins)
+    )

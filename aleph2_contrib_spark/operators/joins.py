@@ -606,6 +606,120 @@ def _pmod(v, m: int):
     return F.pmod(v, F.lit(int(m)))
 
 
+def grid_radius_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    left_x: str,
+    left_y: str,
+    right_id: str,
+    right_x: str,
+    right_y: str,
+    radius: int,
+) -> DataFrame:
+    """2-D radius join over INTEGER coordinates (scaled lat/lon
+    microdegrees, grid metres, pixel space): every (left, right) pair with
+    squared euclidean distance <= radius² — the spatial proximity
+    primitive (points of interest near a site, co-located readings,
+    near-duplicate detections) that a plain theta join would execute as a
+    cartesian product.
+
+    Exactness contract: coordinates cast to long, ``radius`` an integer,
+    membership decided by exact long arithmetic dx²+dy² <= r² — no
+    haversine floats, no boundary ulps. Returns (left_id, right_id,
+    dist_sq). NULL coordinates never match.
+
+    Plan shape at 100 TB: the 2-D extension of
+    :func:`epsilon_band_join`'s grid bucketing — the right side carries
+    one row per record keyed by its (⌊x/r⌋, ⌊y/r⌋) cell; the left side
+    explodes to its 9 candidate cells JVM-side (any partner within r
+    lives in the 3×3 neighbourhood), then ONE cell-keyed equi-join + the
+    exact distance filter. Shuffle volume is 9·|L| + |R| skinny rows and
+    the per-cell pair count is density-bounded by construction (a cell is
+    r×r); Catalyst would otherwise plan |L|·|R| BNLJ —
+    test_plan_quality pins the equi-join shape. Overflow fence: within
+    joined cells |dx|,|dy| <= 2r so dx²+dy² <= 8r², exact in a long for
+    r <= 2³⁰ — enforced below rather than silently wrapping.
+    """
+    if radius < 1:
+        raise ValueError(f"radius must be >= 1, got {radius}")
+    if radius > (1 << 30):
+        raise ValueError(
+            f"radius {radius} > 2^30: dx^2+dy^2 could exceed long range "
+            "inside joined cells; rescale the coordinate grid"
+        )
+
+    def cell(v):
+        # floor division toward -inf (Spark div truncates toward zero);
+        # DECIMAL keeps the multiple exact at any long magnitude
+        return (
+            (v - _pmod(v, radius)).cast("decimal(38,0)") / F.lit(int(radius))
+        ).cast("long")
+
+    rx = F.col(right_x).cast("long")
+    ry = F.col(right_y).cast("long")
+    r = right.filter(rx.isNotNull() & ry.isNotNull()).select(
+        F.col(right_id).alias("__rid"),
+        rx.alias("__rx"),
+        ry.alias("__ry"),
+        cell(rx).alias("__cx"),
+        cell(ry).alias("__cy"),
+    )
+    lx = F.col(left_x).cast("long")
+    ly = F.col(left_y).cast("long")
+    l = (
+        left.filter(lx.isNotNull() & ly.isNotNull())
+        .select(
+            F.col(left_id).alias("__lid"),
+            lx.alias("__lx"),
+            ly.alias("__ly"),
+            F.explode(
+                F.array(*[cell(lx) + F.lit(d) for d in (-1, 0, 1)])
+            ).alias("__cx"),
+            cell(ly).alias("__cy0"),
+        )
+        .select(
+            "__lid",
+            "__lx",
+            "__ly",
+            "__cx",
+            F.explode(
+                F.array(*[F.col("__cy0") + F.lit(d) for d in (-1, 0, 1)])
+            ).alias("__cy"),
+        )
+    )
+    dx = F.col("__rx") - F.col("__lx")
+    dy = F.col("__ry") - F.col("__ly")
+    return (
+        l.join(r, ["__cx", "__cy"])
+        .filter(dx * dx + dy * dy <= F.lit(int(radius) * int(radius)))
+        .select(
+            F.col("__lid").alias(left_id),
+            F.col("__rid").alias(right_id),
+            (dx * dx + dy * dy).alias("dist_sq"),
+        )
+    )
+
+
+def grid_radius_join_oracle_sql(
+    left_sql: str, right_sql: str, left_id: str, right_id: str, radius: int
+) -> str:
+    """DuckDB replica of :func:`grid_radius_join` — the plain theta join
+    (correct by definition; the operator's 3×3 grid bucketing must
+    reproduce it exactly). ``left_sql`` yields (lid, lx, ly),
+    ``right_sql`` (rid, rx, ry), integer coordinates."""
+    return f"""
+SELECT l.lid AS {left_id}, r.rid AS {right_id},
+       CAST((r.rx - l.lx) * (r.rx - l.lx)
+          + (r.ry - l.ly) * (r.ry - l.ly) AS BIGINT) AS dist_sq
+FROM ({left_sql}) l JOIN ({right_sql}) r
+  ON l.lx IS NOT NULL AND l.ly IS NOT NULL
+ AND r.rx IS NOT NULL AND r.ry IS NOT NULL
+ AND (r.rx - l.lx) * (r.rx - l.lx) + (r.ry - l.ly) * (r.ry - l.ly)
+     <= {int(radius) * int(radius)}
+"""
+
+
 def epsilon_band_join_oracle_sql(
     left_sql: str, right_sql: str, left_id: str, right_id: str, eps: int
 ) -> str:

@@ -1115,3 +1115,105 @@ SELECT '{c}' AS col_name, CAST(sum(cc) AS BIGINT) AS n,
 FROM (SELECT coalesce(CAST({c} AS VARCHAR), chr(0) || 'NULL') AS k, count(*) AS cc
       FROM {table} GROUP BY 1)""")
     return " UNION ALL ".join(sels)
+
+
+def mad_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Robust per-group outlier screen: flag rows where
+    |x − median| > k · MAD (median absolute deviation) — the standard
+    robust alternative to z-scores when the groups themselves contain
+    the outliers that would corrupt a mean/stddev
+    (anomaly_zscore_flags' failure mode on heavy-tailed QA data).
+
+    Exactness contract: LOWER-median convention — the median is the
+    actual element at row_number ⌊(n+1)/2⌋ under the total order
+    (value, id), never an interpolated average, and MAD is the lower
+    median of |x − med| under (deviation, id). Every quantity is either
+    a data element or an IEEE-754 double of two data elements
+    (subtraction/abs/compare are bit-deterministic), so the flags are
+    engine-portable with no summation-order sensitivity.
+
+    Returns the flagged rows only: (id, group, value, med, mad, dev)
+    with dev = |value − med| > k·mad.
+
+    Plan shape at 100 TB: three window passes ALL partitioned by the
+    group key — one exchange, per-partition sorts, no driver collect,
+    no unpartitioned window (test_plan_quality-compatible). Groups are
+    processed independently; a single monster group is the caller's
+    salting problem, same as any per-group sort.
+    """
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    v = F.col(value_col).cast("double")
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(group_col).alias("__g"),
+        v.alias("__v"),
+    ).filter(F.col("__v").isNotNull())
+
+    wg = Window.partitionBy("__g")
+    w1 = wg.orderBy(F.col("__v").asc(), F.col("__id").asc())
+    pos = ((F.col("__n") + F.lit(1)) / F.lit(2)).cast("long")  # floor: n >= 1
+    with_med = (
+        base.withColumn("__rn", F.row_number().over(w1))
+        .withColumn("__n", F.count(F.lit(1)).over(wg))
+        .withColumn(
+            "__med",
+            F.max(F.when(F.col("__rn") == pos, F.col("__v"))).over(wg),
+        )
+        .withColumn("__dev", F.abs(F.col("__v") - F.col("__med")))
+    )
+    w2 = wg.orderBy(F.col("__dev").asc(), F.col("__id").asc())
+    with_mad = with_med.withColumn("__rn2", F.row_number().over(w2)).withColumn(
+        "__mad",
+        F.max(F.when(F.col("__rn2") == pos, F.col("__dev"))).over(wg),
+    )
+    return with_mad.filter(
+        F.col("__dev") > F.lit(int(k)) * F.col("__mad")
+    ).select(
+        F.col("__id").alias(id_col),
+        F.col("__g").alias(group_col),
+        F.col("__v").alias(value_col),
+        F.col("__med").alias("med"),
+        F.col("__mad").alias("mad"),
+        F.col("__dev").alias("dev"),
+    )
+
+
+def mad_outliers_oracle_sql(
+    rows_sql: str, group_col: str, value_col: str, id_col: str, k: int = 3
+) -> str:
+    """DuckDB replica of :func:`mad_outliers` — identical lower-median
+    row_number windows and IEEE double deviation arithmetic.
+    ``rows_sql`` yields (id, group, value) under those output names."""
+    return f"""
+WITH base AS (
+    SELECT {id_col} AS id, {group_col} AS g, CAST({value_col} AS DOUBLE) AS v
+    FROM ({rows_sql}) WHERE {value_col} IS NOT NULL
+), ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY g ORDER BY v, id) AS rn,
+           count(*) OVER (PARTITION BY g) AS n
+    FROM base
+), med AS (
+    SELECT *, max(CASE WHEN rn = (n + 1) // 2 THEN v END)
+                  OVER (PARTITION BY g) AS med
+    FROM ranked
+), dev AS (
+    SELECT *, abs(v - med) AS dev,
+           row_number() OVER (PARTITION BY g ORDER BY abs(v - med), id) AS rn2
+    FROM med
+), mad AS (
+    SELECT *, max(CASE WHEN rn2 = (n + 1) // 2 THEN dev END)
+                  OVER (PARTITION BY g) AS mad
+    FROM dev
+)
+SELECT id AS {id_col}, g AS {group_col}, v AS {value_col}, med, mad, dev
+FROM mad WHERE dev > {int(k)} * mad
+"""

@@ -1073,3 +1073,60 @@ def test_survival_table_exact_and_oracle(spark, tmp_path):
         survival_table_oracle_sql(f"SELECT dur, ev FROM '{p}/*.parquet'")
     ).fetchall()}
     assert {tuple(r) for r in survival_table(df, "dur", "ev").collect()} == want
+
+
+# -- activity_streaks ---------------------------------------------------------
+
+
+def test_activity_streaks_hand_worked(spark):
+    import datetime as dt
+
+    from aleph2_contrib_spark.operators.events import activity_streaks
+
+    def t(day, hour=0):
+        return dt.datetime(1970, 1, day, hour)
+
+    rows = [
+        # user 1: days 1,2,3 then 5 -> streaks (0,3) and (4,1); repeats
+        # within a day collapse
+        (1, t(1)), (1, t(1, 12)), (1, t(2)), (1, t(3)), (1, t(5)),
+        # user 2: single day
+        (2, t(10)),
+        # NULL user / NULL ts dropped
+        (None, t(1)), (3, None),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        (r["user_id"], r["streak_start_day"], r["streak_days"])
+        for r in activity_streaks(df, "user_id", "ts").collect()
+    }
+    assert got == {(1, 0, 3), (1, 4, 1), (2, 9, 1)}
+
+
+def test_activity_streaks_oracle_matches(spark, tmp_path):
+    import datetime as dt
+    import random
+
+    import duckdb
+
+    from aleph2_contrib_spark.operators.events import (
+        activity_streaks,
+        activity_streaks_oracle_sql,
+    )
+
+    rnd = random.Random(3)
+    rows = [
+        (rnd.randint(1, 12),
+         dt.datetime(2024, 1, 1) + dt.timedelta(days=rnd.randint(0, 40),
+                                                seconds=rnd.randint(0, 86399)))
+        for _ in range(400)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    p = str(tmp_path / "ev.parquet")
+    df.coalesce(1).write.parquet(p)
+    got = {tuple(x) for x in activity_streaks(df, "user_id", "ts").collect()}
+    sql = activity_streaks_oracle_sql(
+        f"SELECT user_id AS \"user\", ts FROM '{p}/*.parquet'", "user_id"
+    )
+    want = {tuple(x) for x in duckdb.sql(sql).fetchall()}
+    assert got == want and len(got) > 0

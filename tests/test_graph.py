@@ -855,3 +855,80 @@ def test_degree_assortativity_signs_and_oracle(spark, tmp_path):
         degree_assortativity_oracle_sql(f"SELECT src, dst FROM '{p}/*.parquet'")
     ).fetchall()}
     assert got == want
+
+
+# -- deterministic_walks ------------------------------------------------------
+
+
+def test_deterministic_walks_matches_python_simulation(spark):
+    import hashlib
+    import random
+
+    from aleph2_contrib_spark.operators.graph import deterministic_walks
+
+    rnd = random.Random(23)
+    edges = list({(rnd.randint(0, 30), rnd.randint(0, 30)) for _ in range(120)})
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["start"]: (r["step_1"], r["step_2"], r["step_3"])
+        for r in deterministic_walks(df, n_steps=3, seed="t").collect()
+    }
+
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, []).append(d)
+
+    def nxt(i, c):
+        if c is None or c not in adj:
+            return None
+        pri = {
+            d: hashlib.md5(f"t:{i}:{c}:{d}".encode()).hexdigest() + ":" + str(d)
+            for d in adj[c]
+        }
+        return min(adj[c], key=lambda d: pri[d])
+
+    want = {}
+    for s in adj:
+        n1 = nxt(1, s)
+        n2 = nxt(2, n1)
+        n3 = nxt(3, n2)
+        want[s] = (n1, n2, n3)
+    assert got == want and len(got) > 0
+
+
+def test_deterministic_walks_dead_ends_and_validation(spark):
+    import pytest
+
+    from aleph2_contrib_spark.operators.graph import deterministic_walks
+
+    # 1 -> 2, 2 has no out-edges: walk stops, NULL tail stays NULL
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    rows = {r["start"]: r for r in deterministic_walks(df, n_steps=3).collect()}
+    assert set(rows) == {1}
+    assert rows[1]["step_1"] == 2
+    assert rows[1]["step_2"] is None and rows[1]["step_3"] is None
+    with pytest.raises(ValueError, match="n_steps"):
+        deterministic_walks(df, n_steps=0)
+
+
+def test_deterministic_walks_oracle_matches(spark, tmp_path):
+    import random
+
+    import duckdb
+
+    from aleph2_contrib_spark.operators.graph import (
+        deterministic_walks,
+        deterministic_walks_oracle_sql,
+    )
+
+    rnd = random.Random(5)
+    edges = list({(rnd.randint(0, 50), rnd.randint(0, 50)) for _ in range(300)})
+    df = spark.createDataFrame(edges, "src long, dst long")
+    p = str(tmp_path / "e.parquet")
+    df.coalesce(1).write.parquet(p)
+    got = {tuple(x) for x in deterministic_walks(df, n_steps=2, seed="z").collect()}
+    sql = deterministic_walks_oracle_sql(
+        f"SELECT src, dst FROM '{p}/*.parquet'", n_steps=2, seed="z"
+    )
+    want = {tuple(x) for x in duckdb.sql(sql).fetchall()}
+    assert got == want and len(got) > 0

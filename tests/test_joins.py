@@ -429,3 +429,86 @@ def test_epsilon_band_join_oracle_matches(spark, tmp_path):
     )
     want = {tuple(x) for x in duckdb.sql(sql).fetchall()}
     assert got == want
+
+
+# -- grid_radius_join ---------------------------------------------------------
+
+
+def test_grid_radius_join_matches_brute_force(spark):
+    import random
+
+    from aleph2_contrib_spark.operators.joins import grid_radius_join
+
+    rnd = random.Random(7)
+    # negative coords exercise the floor-toward--inf cell math
+    lrows = [(i, rnd.randint(-300, 300), rnd.randint(-300, 300)) for i in range(120)]
+    rrows = [(i, rnd.randint(-300, 300), rnd.randint(-300, 300)) for i in range(90)]
+    radius = 60
+    want = {
+        (li, ri, (rx - lx) ** 2 + (ry - ly) ** 2)
+        for (li, lx, ly) in lrows
+        for (ri, rx, ry) in rrows
+        if (rx - lx) ** 2 + (ry - ly) ** 2 <= radius * radius
+    }
+    l = spark.createDataFrame(lrows, "lid int, lx long, ly long")
+    r = spark.createDataFrame(rrows, "rid int, rx long, ry long")
+    out = grid_radius_join(l, r, "lid", "lx", "ly", "rid", "rx", "ry", radius)
+    got = {(x["lid"], x["rid"], x["dist_sq"]) for x in out.collect()}
+    assert got == want and len(got) > 0
+    # plan shape: cell-keyed equi-join, never a nested-loop/cartesian
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_grid_radius_join_nulls_boundary_and_validation(spark):
+    import pytest
+
+    from aleph2_contrib_spark.operators.joins import grid_radius_join
+
+    l = spark.createDataFrame(
+        [(1, 0, 0), (2, None, 5), (3, 7, None)], "lid int, lx long, ly long"
+    )
+    r = spark.createDataFrame(
+        [(10, 3, 4), (11, None, 0), (12, 5, 1)], "rid int, rx long, ry long"
+    )
+    got = {
+        (x["lid"], x["rid"]): x["dist_sq"]
+        for x in grid_radius_join(
+            l, r, "lid", "lx", "ly", "rid", "rx", "ry", 5
+        ).collect()
+    }
+    # (0,0)-(3,4) dist_sq 25 = r^2 inclusive boundary; NULL coords never match
+    assert got == {(1, 10): 25}
+    with pytest.raises(ValueError, match="radius"):
+        grid_radius_join(l, r, "lid", "lx", "ly", "rid", "rx", "ry", 0)
+    with pytest.raises(ValueError, match="2\\^30"):
+        grid_radius_join(l, r, "lid", "lx", "ly", "rid", "rx", "ry", (1 << 30) + 1)
+
+
+def test_grid_radius_join_oracle_matches(spark, tmp_path):
+    import random
+
+    import duckdb
+
+    from aleph2_contrib_spark.operators.joins import (
+        grid_radius_join,
+        grid_radius_join_oracle_sql,
+    )
+
+    rnd = random.Random(41)
+    lrows = [(i, rnd.randint(-200, 200), rnd.randint(-200, 200)) for i in range(150)]
+    rrows = [(i, rnd.randint(-200, 200), rnd.randint(-200, 200)) for i in range(150)]
+    l = spark.createDataFrame(lrows, "lid int, lx long, ly long")
+    r = spark.createDataFrame(rrows, "rid int, rx long, ry long")
+    lp, rp = str(tmp_path / "l.parquet"), str(tmp_path / "r.parquet")
+    l.coalesce(1).write.parquet(lp)
+    r.coalesce(1).write.parquet(rp)
+    out = grid_radius_join(l, r, "lid", "lx", "ly", "rid", "rx", "ry", 45)
+    got = {tuple(x) for x in out.collect()}
+    sql = grid_radius_join_oracle_sql(
+        f"SELECT lid, lx, ly FROM '{lp}/*.parquet'",
+        f"SELECT rid, rx, ry FROM '{rp}/*.parquet'",
+        "lid", "rid", 45,
+    )
+    want = {tuple(x) for x in duckdb.sql(sql).fetchall()}
+    assert got == want and len(got) > 0

@@ -594,3 +594,73 @@ def test_categorical_gini_oracle_matches(spark, tmp_path):
         categorical_gini_oracle_sql(f"'{p}/*.parquet'", ["a", "b"])
     ).fetchall()}
     assert got == want
+
+
+# -- mad_outliers -------------------------------------------------------------
+
+
+def test_mad_outliers_hand_worked(spark):
+    from aleph2_contrib_spark.operators.profile import mad_outliers
+
+    # group 'a': values 1..7 plus a spike 100 (n=8, lower median = 4th
+    # element asc = 4.0); deviations |x-4|: 3,2,1,0,1,2,3,96 -> sorted
+    # 0,1,1,2,2,3,3,96, lower median (4th) = 2.0 => MAD 2, k=3 flags
+    # dev > 6: only the spike.
+    rows = [(i, "a", float(v)) for i, v in enumerate([1, 2, 3, 4, 5, 6, 7, 100])]
+    # group 'b': all-identical values -> MAD 0, nothing flagged
+    rows += [(100 + i, "b", 5.0) for i in range(4)]
+    # NULL value rows are dropped before ranking
+    rows += [(200, "a", None)]
+    df = spark.createDataFrame(rows, "id int, g string, v double")
+    got = mad_outliers(df, "g", "v", "id", k=3).collect()
+    assert len(got) == 1
+    (r,) = got
+    assert (r["id"], r["g"], r["v"], r["med"], r["mad"], r["dev"]) == (
+        7, "a", 100.0, 4.0, 2.0, 96.0,
+    )
+
+
+def test_mad_outliers_validation_and_partitioned_plan(spark):
+    import pytest
+
+    from aleph2_contrib_spark.operators.profile import mad_outliers
+
+    df = spark.createDataFrame([(1, "a", 1.0)], "id int, g string, v double")
+    with pytest.raises(ValueError, match="k must be"):
+        mad_outliers(df, "g", "v", "id", k=0)
+    # every window is partitioned by the group key — no global sort
+    plan = (
+        mad_outliers(df, "g", "v", "id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" in plan
+    import re
+
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "__g" in spec  # partition key present in every window spec
+
+
+def test_mad_outliers_oracle_matches(spark, tmp_path):
+    import random
+
+    import duckdb
+
+    from aleph2_contrib_spark.operators.profile import (
+        mad_outliers,
+        mad_outliers_oracle_sql,
+    )
+
+    rnd = random.Random(97)
+    rows = [
+        (i, rnd.choice(["x", "y", "z"]), round(rnd.uniform(-50, 50), 3))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "id int, g string, v double")
+    p = str(tmp_path / "t.parquet")
+    df.coalesce(1).write.parquet(p)
+    got = {tuple(x) for x in mad_outliers(df, "g", "v", "id", k=1).collect()}
+    sql = mad_outliers_oracle_sql(
+        f"SELECT id, g, v FROM '{p}/*.parquet'", "g", "v", "id", k=1
+    )
+    want = {tuple(x) for x in duckdb.sql(sql).fetchall()}
+    assert got == want and len(got) > 0
