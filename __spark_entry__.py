@@ -1460,6 +1460,72 @@ def events_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return activity_streaks(ev, "user_id", "ts")
 
 
+def linkage_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribute-level survivorship (operators/linkage.golden_record):
+    customers folded into pseudo-entities (c_custkey mod 997) with
+    deterministic gaps punched into name/segment, then one struct-max
+    groupBy picks each attribute's survivor by (non-null, priority =
+    c_nationkey, tiebreak id) — different attributes may survive from
+    different candidate rows."""
+    from aleph2_contrib_spark.operators.linkage import golden_record
+
+    cand = _t(spark, sf_dir, "customer").select(
+        (F.col("c_custkey") % 997).alias("entity"),
+        F.when(F.col("c_custkey") % 5 == 0, F.lit(None)).otherwise(
+            F.col("c_name")
+        ).alias("name"),
+        F.when(F.col("c_mktsegment") == "BUILDING", F.lit(None)).otherwise(
+            F.col("c_mktsegment")
+        ).alias("segment"),
+        F.col("c_acctbal").alias("balance"),
+        F.col("c_nationkey").cast("long").alias("prio"),
+        F.col("c_custkey").alias("rid"),
+    )
+    return golden_record(
+        cand, "entity", ["name", "segment", "balance"], ["prio"], "rid"
+    )
+
+
+def profile_null_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-data pattern matrix (operators/profile.null_patterns) over
+    events with deterministic gaps punched into three columns — one
+    groupBy over at most 2^3 masks plus the tiny-table window share."""
+    from aleph2_contrib_spark.operators.profile import null_patterns
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.when(F.col("value") < 20, F.lit(None)).otherwise(F.col("value")).alias("v1"),
+        F.when(
+            F.col("event_type").isin("click", "view"), F.lit(None)
+        ).otherwise(F.col("event_type")).alias("v2"),
+        F.when(F.col("user_id") % 7 == 0, F.lit(None)).otherwise(
+            F.col("user_id")
+        ).alias("v3"),
+    )
+    return null_patterns(ev, ["v1", "v2", "v3"])
+
+
+def profile_inclusion_deps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Joinability discovery (operators/profile.inclusion_deps): four
+    FK-candidate columns checked for containment — two true inclusion
+    dependencies (orders→customer, lineitem→part) and two partial
+    overlaps — distinct + left-semi join per pair, exact ppm."""
+    from aleph2_contrib_spark.operators.profile import inclusion_deps
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    ev = _t(spark, sf_dir, "events")
+    return inclusion_deps(
+        [
+            ("orders.custkey<=customer", o, "o_custkey", c, "c_custkey"),
+            ("customer.custkey<=orders", c, "c_custkey", o, "o_custkey"),
+            ("lineitem.partkey<=part", li, "l_partkey", p, "p_partkey"),
+            ("events.user<=customer", ev, "user_id", c, "c_custkey"),
+        ]
+    )
+
+
 def multimodal_audio_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio twin of multimodal_real_codec: each document becomes a real
     RIFF/WAVE 16-bit PCM payload (mono, 8 kHz, n = 8 + doc_id % 5 frames,
@@ -5619,6 +5685,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_mad_outliers": profile_mad_outliers,
         "graph_walks": graph_walks,
         "events_streaks": events_streaks,
+        "linkage_golden_record": linkage_golden_record,
+        "profile_null_patterns": profile_null_patterns,
+        "profile_inclusion_deps": profile_inclusion_deps,
         "q12_priority_by_linestatus": q12_priority_by_linestatus,
         "docs_clean_corpus": docs_clean_corpus,
         "corpus_mix_sample": corpus_mix_sample,
@@ -5790,6 +5859,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_mad_outliers",
         "graph_walks",
         "events_streaks",
+        # (linkage_golden_record, profile_null_patterns and
+        #  profile_inclusion_deps — the last three round-8 gates — don't
+        #  fit the 50-slot window; they're certified by the local
+        #  full-registry artifact this round and lead round 9's window)
         # (b) code/oracle changed in round 8 — old green rows no longer
         #     certify them: rfm two-phase-rank rewrite, CC one-action
         #     rounds (+ its two dedup consumers), the ADVICE fixes
@@ -6062,9 +6135,14 @@ def oracle_sql() -> dict[str, str]:
     from aleph2_contrib_spark.operators.joins import (
         grid_radius_join_oracle_sql,
     )
+    from aleph2_contrib_spark.operators.linkage import (
+        golden_record_oracle_sql,
+    )
     from aleph2_contrib_spark.operators.profile import (
         categorical_gini_oracle_sql,
+        inclusion_deps_oracle_sql,
         mad_outliers_oracle_sql,
+        null_patterns_oracle_sql,
         numeric_correlation_oracle_sql,
     )
     from aleph2_contrib_spark.operators.similarity import (
@@ -6131,6 +6209,44 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_streaks": activity_streaks_oracle_sql(
             'SELECT user_id AS "user", ts FROM events', "user_id"
+        ),
+        "linkage_golden_record": golden_record_oracle_sql(
+            """
+            SELECT c_custkey % 997 AS entity,
+                   CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE c_name END AS name,
+                   CASE WHEN c_mktsegment = 'BUILDING' THEN NULL
+                        ELSE c_mktsegment END AS segment,
+                   c_acctbal AS balance,
+                   CAST(c_nationkey AS BIGINT) AS prio,
+                   c_custkey AS rid
+            FROM customer
+            """,
+            "entity",
+            ["name", "segment", "balance"],
+            ["prio"],
+            "rid",
+        ),
+        "profile_null_patterns": null_patterns_oracle_sql(
+            """
+            SELECT CASE WHEN value < 20 THEN NULL ELSE value END AS v1,
+                   CASE WHEN event_type IN ('click', 'view') THEN NULL
+                        ELSE event_type END AS v2,
+                   CASE WHEN user_id % 7 = 0 THEN NULL ELSE user_id END AS v3
+            FROM events
+            """,
+            ["v1", "v2", "v3"],
+        ),
+        "profile_inclusion_deps": inclusion_deps_oracle_sql(
+            [
+                ("orders.custkey<=customer", "orders", "o_custkey",
+                 "customer", "c_custkey"),
+                ("customer.custkey<=orders", "customer", "c_custkey",
+                 "orders", "o_custkey"),
+                ("lineitem.partkey<=part", "lineitem", "l_partkey",
+                 "part", "p_partkey"),
+                ("events.user<=customer", "events", "user_id",
+                 "customer", "c_custkey"),
+            ]
         ),
         "profile_mad_outliers": mad_outliers_oracle_sql(
             "SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders",

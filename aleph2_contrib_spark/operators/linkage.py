@@ -161,3 +161,64 @@ scored AS (
 )
 SELECT lid, rid, score_f6 FROM scored WHERE score_f6 >= {int(min_score_f6)}
 """
+
+
+def golden_record(
+    df: DataFrame,
+    entity_col: str,
+    attr_cols: Sequence[str],
+    order_cols: Sequence[str],
+    id_col: str,
+) -> DataFrame:
+    """Survivorship: collapse each entity's candidate records into ONE
+    golden row — the master-data step after linkage/dedup has assigned
+    entity keys. Each attribute survives INDEPENDENTLY: its value comes
+    from the candidate row with the highest (non-null-ness, *order_cols,
+    id) tuple, so a record missing one field still wins the fields it
+    has (standard attribute-level survivorship, not row-level).
+
+    Exactness contract: the winner is an argmax over a lexicographic
+    struct — non-null flag first (a NULL never beats a value), then the
+    caller's trust ordering (e.g. source priority, then recency), with
+    the unique ``id_col`` last so the order is total and the result
+    engine-exact. ``order_cols`` must be non-null (coalesce at the call
+    site): NULL-vs-value field comparison inside struct MIN/MAX is the
+    one place engines disagree, so it is excluded by contract.
+
+    Plan shape at 100 TB: ONE groupBy(entity) with k struct-max
+    aggregates — map-side partial merge, no window, no self-join, no
+    candidate explosion. Skewed entities (one key with millions of
+    candidates) merge associatively like any max.
+    """
+    aggs = []
+    for a in attr_cols:
+        s = F.struct(
+            F.col(a).isNotNull().cast("int").alias("nn"),
+            *[F.col(o).alias(f"o{i}") for i, o in enumerate(order_cols)],
+            F.col(id_col).alias("tid"),
+            F.col(a).alias("v"),
+        )
+        aggs.append(F.max(s).getField("v").alias(a))
+    return df.groupBy(entity_col).agg(*aggs)
+
+
+def golden_record_oracle_sql(
+    rows_sql: str,
+    entity_col: str,
+    attr_cols: Sequence[str],
+    order_cols: Sequence[str],
+    id_col: str,
+) -> str:
+    """DuckDB replica of :func:`golden_record` — identical lexicographic
+    struct-max survivorship (structs compare positionally in both
+    engines). ``rows_sql`` yields the candidate rows."""
+    sels = []
+    for a in attr_cols:
+        fields = [f"nn := CAST({a} IS NOT NULL AS INT)"]
+        fields += [f"o{i} := {o}" for i, o in enumerate(order_cols)]
+        fields += [f"tid := {id_col}", f"v := {a}"]
+        sels.append(f"(max(struct_pack({', '.join(fields)}))).v AS {a}")
+    return f"""
+SELECT {entity_col}, {', '.join(sels)}
+FROM ({rows_sql}) GROUP BY {entity_col}
+"""

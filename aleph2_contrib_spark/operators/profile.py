@@ -1217,3 +1217,133 @@ WITH base AS (
 SELECT id AS {id_col}, g AS {group_col}, v AS {value_col}, med, mad, dev
 FROM mad WHERE dev > {int(k)} * mad
 """
+
+
+def null_patterns(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Missing-data pattern matrix (R mice/VIM's md.pattern, distributed):
+    one row per OBSERVED null-mask combination over ``cols`` — which
+    column subsets go missing together — the completeness diagnostic
+    that per-column null counts can't express (two columns 10% null each
+    may be jointly missing or never co-missing).
+
+    Returns (pattern, n, share_ppm): ``pattern`` is a '0'/'1' string
+    aligned with ``cols`` ('1' = non-null), ``share_ppm`` the exact
+    integer row share. Plan shape at 100 TB: the mask is a narrow
+    projection, then ONE map-side-partial groupBy over at most 2^k tiny
+    keys; the share is a window sum over that pattern table (tiny by
+    construction — the documented tiny-table window pattern, not a data
+    window).
+    """
+    from pyspark.sql import Window
+
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    if len(cols) > 20:
+        raise ValueError(f"at most 20 pattern columns, got {len(cols)}")
+    pattern = F.concat(
+        *[F.when(F.col(c).isNotNull(), F.lit("1")).otherwise(F.lit("0")) for c in cols]
+    )
+    counts = (
+        df.select(pattern.alias("pattern"))
+        .groupBy("pattern")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    total = F.sum("n").over(Window.partitionBy())
+    return (
+        counts.withColumn("__total", total)
+        .withColumn(
+            "share_ppm", F.expr("CAST((n * 1000000) div __total AS BIGINT)")
+        )
+        .drop("__total")
+    )
+
+
+def null_patterns_oracle_sql(rows_sql: str, cols: list[str]) -> str:
+    """DuckDB replica of :func:`null_patterns`. ``rows_sql`` yields the
+    profiled columns."""
+    pattern = " || ".join(
+        f"CASE WHEN {c} IS NOT NULL THEN '1' ELSE '0' END" for c in cols
+    )
+    return f"""
+WITH counts AS (
+    SELECT ({pattern}) AS pattern, CAST(count(*) AS BIGINT) AS n
+    FROM ({rows_sql}) GROUP BY 1
+)
+SELECT pattern, n,
+       CAST((n * 1000000) // (sum(n) OVER ()) AS BIGINT) AS share_ppm
+FROM counts
+"""
+
+
+def inclusion_deps(
+    pairs: list[tuple[str, DataFrame, str, DataFrame, str]],
+) -> DataFrame:
+    """Inclusion-dependency / joinability discovery — the data-catalog
+    question "is column A contained in column B, i.e. is this a join
+    key?" — for each named (left_df.left_col ⊆ right_df.right_col)
+    candidate: distinct left values, how many appear on the right, and
+    the exact containment share in ppm (1e6 = a verified inclusion
+    dependency / foreign-key candidate).
+
+    NULLs are ignored on both sides (SQL FK semantics). Plan shape at
+    100 TB: per pair, two column-pruned distinct aggregates and ONE
+    left-semi equi-join on the value — broadcast when the right side's
+    distinct set is small, shuffle otherwise (planner's choice); never
+    a row-level join of the base tables.
+    """
+    if not pairs:
+        raise ValueError("pairs must be non-empty")
+    parts = []
+    for name, ldf, lcol, rdf, rcol in pairs:
+        l = ldf.select(F.col(lcol).alias("__v")).filter(
+            F.col("__v").isNotNull()
+        ).distinct()
+        r = rdf.select(F.col(rcol).alias("__v")).filter(
+            F.col("__v").isNotNull()
+        ).distinct()
+        contained = l.join(r, "__v", "left_semi")
+        stats = l.agg(F.count(F.lit(1)).cast("long").alias("n_left_distinct")).crossJoin(
+            contained.agg(F.count(F.lit(1)).cast("long").alias("n_contained"))
+        )
+        parts.append(
+            stats.select(
+                F.lit(name).alias("dep"),
+                "n_left_distinct",
+                "n_contained",
+                F.expr(
+                    "CAST(CASE WHEN n_left_distinct > 0 THEN "
+                    "(n_contained * 1000000) div n_left_distinct "
+                    "ELSE NULL END AS BIGINT)"
+                ).alias("containment_ppm"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def inclusion_deps_oracle_sql(
+    pairs: list[tuple[str, str, str, str, str]],
+) -> str:
+    """DuckDB replica of :func:`inclusion_deps`. ``pairs`` entries are
+    (name, left_table, left_col, right_table, right_col)."""
+    from aleph2_contrib_spark.operators import sql_str
+
+    sels = []
+    for name, ltab, lcol, rtab, rcol in pairs:
+        name = sql_str(name)
+        sels.append(f"""
+SELECT '{name}' AS dep,
+       (SELECT count(DISTINCT {lcol}) FROM {ltab} WHERE {lcol} IS NOT NULL)
+           AS n_left_distinct,
+       (SELECT count(*) FROM
+            (SELECT DISTINCT {lcol} AS v FROM {ltab} WHERE {lcol} IS NOT NULL) l
+        WHERE EXISTS (SELECT 1 FROM {rtab} r WHERE r.{rcol} = l.v))
+           AS n_contained,
+       CAST(((SELECT count(*) FROM
+            (SELECT DISTINCT {lcol} AS v FROM {ltab} WHERE {lcol} IS NOT NULL) l
+        WHERE EXISTS (SELECT 1 FROM {rtab} r WHERE r.{rcol} = l.v)) * 1000000)
+        // (SELECT count(DISTINCT {lcol}) FROM {ltab} WHERE {lcol} IS NOT NULL)
+        AS BIGINT) AS containment_ppm""")
+    return " UNION ALL ".join(sels)

@@ -120,3 +120,64 @@ def test_linked_pairs_validation(sides):
             l, r, "lid", "rid", "name", "name",
             [LinkField("name", "name", 0, "exact")],
         )
+
+
+# -- golden_record ------------------------------------------------------------
+
+
+def test_golden_record_attribute_level_survivorship(spark):
+    from aleph2_contrib_spark.operators.linkage import golden_record
+
+    rows = [
+        # entity 1: high-prio row missing email -> name survives from
+        # prio 9, email from prio 5 (attribute-level, not row-level)
+        (1, "Alice-new", None, 9, 101),
+        (1, "Alice-old", "a@x.com", 5, 102),
+        # entity 2: equal prio -> higher id wins
+        (2, "Bob-a", "b1@x.com", 3, 201),
+        (2, "Bob-b", "b2@x.com", 3, 202),
+        # entity 3: all-null attribute stays null
+        (3, None, None, 1, 301),
+    ]
+    df = spark.createDataFrame(rows, "entity long, name string, email string, prio long, rid long")
+    got = {
+        r["entity"]: (r["name"], r["email"])
+        for r in golden_record(df, "entity", ["name", "email"], ["prio"], "rid").collect()
+    }
+    assert got == {
+        1: ("Alice-new", "a@x.com"),
+        2: ("Bob-b", "b2@x.com"),
+        3: (None, None),
+    }
+
+
+def test_golden_record_oracle_matches(spark, tmp_path):
+    import random
+
+    import duckdb
+
+    from aleph2_contrib_spark.operators.linkage import (
+        golden_record,
+        golden_record_oracle_sql,
+    )
+
+    rnd = random.Random(11)
+    rows = [
+        (
+            rnd.randint(1, 40),
+            rnd.choice(["x", "y", "z", None]),
+            rnd.choice([1.5, 2.5, None]),
+            rnd.randint(1, 5),
+            i,
+        )
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "entity long, a string, b double, prio long, rid long")
+    p = str(tmp_path / "cand.parquet")
+    df.coalesce(1).write.parquet(p)
+    got = {tuple(x) for x in golden_record(df, "entity", ["a", "b"], ["prio"], "rid").collect()}
+    sql = golden_record_oracle_sql(
+        f"SELECT * FROM '{p}/*.parquet'", "entity", ["a", "b"], ["prio"], "rid"
+    )
+    want = {tuple(x) for x in duckdb.sql(sql).fetchall()}
+    assert got == want and len(got) > 0

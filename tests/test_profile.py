@@ -664,3 +664,53 @@ def test_mad_outliers_oracle_matches(spark, tmp_path):
     )
     want = {tuple(x) for x in duckdb.sql(sql).fetchall()}
     assert got == want and len(got) > 0
+
+
+# -- null_patterns ------------------------------------------------------------
+
+
+def test_null_patterns_hand_worked(spark):
+    import pytest
+
+    from aleph2_contrib_spark.operators.profile import null_patterns
+
+    rows = [
+        (1, "a"), (2, "b"),          # 11 x2
+        (None, "c"),                 # 01
+        (3, None), (4, None),        # 10 x2
+        (None, None),                # 00
+    ]
+    df = spark.createDataFrame(rows, "x long, y string")
+    got = {r["pattern"]: (r["n"], r["share_ppm"]) for r in null_patterns(df, ["x", "y"]).collect()}
+    assert got == {
+        "11": (2, 333333),
+        "01": (1, 166666),
+        "10": (2, 333333),
+        "00": (1, 166666),
+    }
+    with pytest.raises(ValueError):
+        null_patterns(df, [])
+    with pytest.raises(ValueError):
+        null_patterns(df, ["x"] * 21)
+
+
+# -- inclusion_deps -----------------------------------------------------------
+
+
+def test_inclusion_deps_hand_worked(spark):
+    import pytest
+
+    from aleph2_contrib_spark.operators.profile import inclusion_deps
+
+    l = spark.createDataFrame([(1,), (2,), (3,), (None,), (3,)], "v long")
+    r = spark.createDataFrame([(2,), (3,), (4,), (None,)], "w long")
+    got = {
+        x["dep"]: (x["n_left_distinct"], x["n_contained"], x["containment_ppm"])
+        for x in inclusion_deps(
+            [("l<=r", l, "v", r, "w"), ("r<=l", r, "w", l, "v")]
+        ).collect()
+    }
+    # l distinct {1,2,3}: 2,3 in r -> 2/3; r distinct {2,3,4}: 2,3 in l
+    assert got == {"l<=r": (3, 2, 666666), "r<=l": (3, 2, 666666)}
+    with pytest.raises(ValueError):
+        inclusion_deps([])
