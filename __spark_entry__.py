@@ -1526,6 +1526,91 @@ def profile_inclusion_deps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def graph_closeness_landmarks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """h-hop landmark closeness (operators/graph.landmark_closeness) on
+    the sampled co-purchase graph: 8 md5-chosen landmarks, 3-hop
+    per-landmark BFS (one frontier join + one min-groupBy per round),
+    exact integer closeness and harmonic numerators (denominator
+    lcm(1..3) = 6). Oracle unrolls the rounds as min-dist CTEs."""
+    from aleph2_contrib_spark.operators.graph import landmark_closeness
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 13 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    lj = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+    edges = li.join(lj, (li.l_orderkey == lj.ok) & (li.l_partkey < lj.pk)).select(
+        F.col("l_partkey").alias("src"), F.col("pk").alias("dst")
+    )
+    return landmark_closeness(edges, n_landmarks=8, max_hops=3, seed="cl8")
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling on REAL container bytes: each document
+    becomes an A2MJ motion-PPM video (operators/codecs.encode_mjppm;
+    n = 4 + doc_id % 5 frames, frame j a 3×2 PPM with gray pixel
+    k = (doc_id*31 + j*53 + k*7) % 256), demuxed by the stdlib
+    length-prefixed container walk through the production
+    multimodal.sample_frames path (every 2nd frame), then each sampled
+    frame decoded by the real PPM codec — per-frame 16-bin gray
+    histograms recovered exactly. DuckDB replays the frame/pixel
+    arithmetic symbolically, so the demux, sampling arithmetic and
+    Arrow plumbing all sit on the differential gate."""
+    import pandas as pd
+
+    from aleph2_contrib_spark.operators import multimodal as mm
+    from aleph2_contrib_spark.operators.codecs import (
+        encode_mjppm,
+        encode_ppm,
+        media_decoder,
+        mjppm_frame_extractor,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+
+    def gen(batches):
+        for b in batches:
+            rows = []
+            for did in b["doc_id"]:
+                did = int(did)
+                frames = []
+                for j in range(4 + did % 5):
+                    rgb = bytearray()
+                    for k in range(6):
+                        g = (did * 31 + j * 53 + k * 7) % 256
+                        rgb += bytes((g, g, g))
+                    frames.append(encode_ppm(3, 2, bytes(rgb)))
+                rows.append(
+                    {"__source_file": str(did), "content": encode_mjppm(frames)}
+                )
+            yield pd.DataFrame(rows, columns=["__source_file", "content"])
+
+    vids = docs.mapInPandas(gen, schema="`__source_file` string, content binary")
+    sampled = mm.sample_frames(
+        vids, every_n=2, frame_extractor=mjppm_frame_extractor
+    )
+    feats = mm.extract_media_features(
+        sampled.select(
+            F.concat_ws("#", "__source_file", F.col("frame_idx").cast("string")
+                        ).alias("__source_file"),
+            F.col("frame").alias("content"),
+        ),
+        decoder=media_decoder,
+    )
+    return feats.select(
+        "__source_file",
+        F.concat_ws(
+            ",",
+            F.transform(
+                "embedding", lambda x: F.round(x * 6).cast("int").cast("string")
+            ),
+        ).alias("hist"),
+    )
+
+
 def multimodal_audio_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio twin of multimodal_real_codec: each document becomes a real
     RIFF/WAVE 16-bit PCM payload (mono, 8 kHz, n = 8 + doc_id % 5 frames,
@@ -5688,6 +5773,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linkage_golden_record": linkage_golden_record,
         "profile_null_patterns": profile_null_patterns,
         "profile_inclusion_deps": profile_inclusion_deps,
+        "graph_closeness_landmarks": graph_closeness_landmarks,
+        "multimodal_frame_sample": multimodal_frame_sample,
         "q12_priority_by_linestatus": q12_priority_by_linestatus,
         "docs_clean_corpus": docs_clean_corpus,
         "corpus_mix_sample": corpus_mix_sample,
@@ -5859,9 +5946,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_mad_outliers",
         "graph_walks",
         "events_streaks",
-        # (linkage_golden_record, profile_null_patterns and
-        #  profile_inclusion_deps — the last three round-8 gates — don't
-        #  fit the 50-slot window; they're certified by the local
+        # (linkage_golden_record, profile_null_patterns,
+        #  profile_inclusion_deps, graph_closeness_landmarks,
+        #  multimodal_frame_sample and the later round-8 gates don't fit
+        #  the 50-slot window; they're certified by the local
         #  full-registry artifact this round and lead round 9's window)
         # (b) code/oracle changed in round 8 — old green rows no longer
         #     certify them: rfm two-phase-rank rewrite, CC one-action
@@ -6131,6 +6219,7 @@ def oracle_sql() -> dict[str, str]:
         bipartite_project_oracle_sql,
         degree_assortativity_oracle_sql,
         deterministic_walks_oracle_sql,
+        landmark_closeness_oracle_sql,
     )
     from aleph2_contrib_spark.operators.joins import (
         grid_radius_join_oracle_sql,
@@ -6210,6 +6299,42 @@ def oracle_sql() -> dict[str, str]:
         "events_streaks": activity_streaks_oracle_sql(
             'SELECT user_id AS "user", ts FROM events', "user_id"
         ),
+        "graph_closeness_landmarks": landmark_closeness_oracle_sql(
+            """
+            SELECT a.l_partkey AS src, b.l_partkey AS dst
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            WHERE a.l_orderkey % 13 = 0
+            """,
+            n_landmarks=8,
+            max_hops=3,
+            seed="cl8",
+        ),
+        "multimodal_frame_sample": """
+            WITH d AS (
+                SELECT doc_id, CAST(4 + doc_id % 5 AS INT) AS n FROM documents
+            ), fr AS (
+                SELECT doc_id, unnest(range(0, n)) AS j, n FROM d
+            ), sampled AS (
+                -- every 2nd frame, re-indexed by its position in the
+                -- sampled list (sample_frames' enumeration)
+                SELECT doc_id, j, CAST(j // 2 AS INT) AS frame_idx
+                FROM fr WHERE j % 2 = 0
+            ), px AS (
+                SELECT doc_id, frame_idx, j, unnest(range(0, 6)) AS k
+                FROM sampled
+            ), hist AS (
+                SELECT doc_id, frame_idx,
+                       list(((doc_id * 31 + j * 53 + k * 7) % 256) // 16) AS bl
+                FROM px GROUP BY doc_id, frame_idx
+            )
+            SELECT CAST(doc_id AS VARCHAR) || '#' || CAST(frame_idx AS VARCHAR)
+                       AS "__source_file",
+                   array_to_string(list_transform(range(0, 16),
+                     i -> CAST(len(list_filter(bl, b -> b = i)) AS VARCHAR)), ',')
+                       AS hist
+            FROM hist
+        """,
         "linkage_golden_record": golden_record_oracle_sql(
             """
             SELECT c_custkey % 997 AS entity,

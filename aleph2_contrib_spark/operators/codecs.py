@@ -235,3 +235,54 @@ def resize_rgb(payload: bytes, new_w: int, new_h: int) -> bytes:
             dst = (y * new_w + x) * 3
             out[dst : dst + 3] = rgb[src : src + 3]
     return encode_ppm(new_w, new_h, bytes(out))
+
+
+MJPPM_MAGIC = b"A2MJ"
+MJPPM_MIME = "video/x-motion-ppm"
+
+
+def encode_mjppm(frames: list[bytes]) -> bytes:
+    """Serialize a list of encoded frames (PPM payloads) as a naive
+    motion-PPM video container: magic ``A2MJ`` + u32-LE frame count,
+    then per frame a u32-LE byte length + the frame payload. The point
+    is a REAL length-prefixed container walk (the shape every video
+    demuxer performs) that stdlib code can own end-to-end — compressed
+    codecs stay injected seams."""
+    if not frames:
+        raise ValueError("frames must be non-empty")
+    out = bytearray(MJPPM_MAGIC)
+    out += struct.pack("<I", len(frames))
+    for f in frames:
+        out += struct.pack("<I", len(f))
+        out += f
+    return bytes(out)
+
+
+def decode_mjppm(payload: bytes) -> list[bytes]:
+    """Parse an ``A2MJ`` container back into its frame payloads — strict
+    bounds checks (truncated frame, trailing garbage) fail fast."""
+    if payload[:4] != MJPPM_MAGIC:
+        raise ValueError(f"bad mjppm magic {payload[:4]!r}")
+    (n,) = struct.unpack_from("<I", payload, 4)
+    off = 8
+    frames = []
+    for _ in range(n):
+        if off + 4 > len(payload):
+            raise ValueError("truncated mjppm frame header")
+        (ln,) = struct.unpack_from("<I", payload, off)
+        off += 4
+        if off + ln > len(payload):
+            raise ValueError("truncated mjppm frame payload")
+        frames.append(payload[off : off + ln])
+        off += ln
+    if off != len(payload):
+        raise ValueError(f"trailing bytes after mjppm frames at {off}")
+    return frames
+
+
+def mjppm_frame_extractor(payload: bytes, every_n: int) -> list[bytes]:
+    """``operators.multimodal.sample_frames`` extractor for A2MJ video:
+    demux, keep frames 0, n, 2n, …"""
+    if every_n < 1:
+        raise ValueError(f"every_n must be >= 1, got {every_n}")
+    return decode_mjppm(payload)[::every_n]

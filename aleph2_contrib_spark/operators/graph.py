@@ -2048,3 +2048,145 @@ def deterministic_walks_oracle_sql(
         + "\n"
         + "\n".join(joins)
     )
+
+
+def landmark_closeness(
+    edges: DataFrame,
+    n_landmarks: int = 8,
+    max_hops: int = 3,
+    seed: str = "lm",
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """h-hop landmark closeness — the scalable stand-in for exact
+    closeness/harmonic centrality (exact requires all-pairs distances):
+    pick ``n_landmarks`` probe vertices DETERMINISTICALLY (lowest
+    md5("seed:v"), the repo's portable sampling idiom), run a
+    multi-source per-landmark BFS over the UNDIRECTED graph to
+    ``max_hops``, and emit per vertex the exact integer centrality
+    numerators:
+
+      n_reached     landmarks within h hops (a landmark reaches itself
+                    at d=0 — reachability is reflexive)
+      sum_dist      Σ d over those landmarks (closeness numerator)
+      harmonic_num  Σ lcm(1..h)/d over landmarks at d ≥ 1 — the harmonic
+                    sum as an EXACT integer (denominator lcm(1..h);
+                    caller divides at the boundary)
+
+    Plan shape at 100 TB: state is (landmark, vertex, dist) — at most
+    n_landmarks · |V| rows, the explicit cost dial — and each round is
+    ONE frontier-driven equi-join on the vertex key plus ONE min-groupBy
+    (per-round persist + lineage cut, pagerank's discipline). max_hops
+    is a small constant, so total cost is h joins regardless of |V|.
+    Landmark selection is a TakeOrdered over vertex ids (driver gets
+    n_landmarks rows, never the vertex set).
+    """
+    import math
+
+    from pyspark import StorageLevel
+
+    if n_landmarks < 1:
+        raise ValueError(f"n_landmarks must be >= 1, got {n_landmarks}")
+    if max_hops < 1:
+        raise ValueError(f"max_hops must be >= 1, got {max_hops}")
+    e0 = (
+        edges.filter(F.col(src_col).isNotNull() & F.col(dst_col).isNotNull())
+        .select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    und = (
+        e0.unionByName(e0.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    verts = und.select(F.col("a").alias("v")).distinct()
+    lms = (
+        verts.orderBy(
+            F.md5(F.concat_ws(":", F.lit(seed), F.col("v").cast("string"))).asc(),
+            F.col("v").asc(),
+        )
+        .limit(int(n_landmarks))
+        .select(F.col("v").alias("lm"))
+    )
+    state = lms.select(
+        F.col("lm"), F.col("lm").alias("v"), F.lit(0).cast("int").alias("d")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    for _ in range(int(max_hops)):
+        expand = (
+            state.join(und, state.v == und.a)
+            .select(F.col("lm"), F.col("b").alias("v"), (F.col("d") + 1).alias("d"))
+        )
+        new_state = (
+            state.unionByName(expand)
+            .groupBy("lm", "v")
+            .agg(F.min("d").cast("int").alias("d"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        new_state.count()  # materialize, then release the old round
+        state.unpersist()
+        state = new_state
+    # lcm(1..h) is divisible by every d <= h, so lcm/d is an EXACT double
+    # — engine cast semantics (Spark truncates, DuckDB rounds) never see
+    # a fractional value
+    lcm = math.lcm(*range(1, int(max_hops) + 1))
+    out = state.groupBy("v").agg(
+        F.count(F.lit(1)).cast("long").alias("n_reached"),
+        F.sum("d").cast("long").alias("sum_dist"),
+        F.sum(
+            F.when(F.col("d") > 0, F.lit(lcm).cast("long") / F.col("d"))
+            .otherwise(F.lit(0))
+            .cast("long")
+        ).cast("long").alias("harmonic_num"),
+    )
+    und.unpersist()
+    return out
+
+
+def landmark_closeness_oracle_sql(
+    edge_sql: str, n_landmarks: int = 8, max_hops: int = 3, seed: str = "lm"
+) -> str:
+    """DuckDB replica of :func:`landmark_closeness` — identical md5
+    landmark choice and per-round min-dist unrolling. ``edge_sql``
+    yields (src, dst)."""
+    import math
+
+    from aleph2_contrib_spark.operators import sql_str
+
+    seed = sql_str(seed)
+    lcm = math.lcm(*range(1, int(max_hops) + 1))
+    ctes = [
+        f"""e0 AS MATERIALIZED (
+    SELECT DISTINCT src AS a, dst AS b FROM ({edge_sql})
+    WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst
+), und AS MATERIALIZED (
+    SELECT DISTINCT a, b FROM (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0)
+), lms AS MATERIALIZED (
+    SELECT v AS lm FROM (SELECT DISTINCT a AS v FROM und)
+    ORDER BY md5('{seed}:' || CAST(v AS VARCHAR)), v
+    LIMIT {int(n_landmarks)}
+), t0 AS (SELECT lm, lm AS v, 0 AS d FROM lms)"""
+    ]
+    prev = "t0"
+    for i in range(1, int(max_hops) + 1):
+        ctes.append(
+            f"""t{i} AS MATERIALIZED (
+    SELECT lm, v, min(d) AS d FROM (
+        SELECT lm, v, d FROM {prev}
+        UNION ALL
+        SELECT s.lm, und.b AS v, s.d + 1 AS d FROM {prev} s JOIN und ON s.v = und.a
+    ) GROUP BY lm, v
+)"""
+        )
+        prev = f"t{i}"
+    return (
+        "WITH "
+        + ", ".join(ctes)
+        + f"""
+SELECT v, CAST(count(*) AS BIGINT) AS n_reached,
+       CAST(sum(d) AS BIGINT) AS sum_dist,
+       CAST(sum(CASE WHEN d > 0 THEN CAST({lcm} / d AS BIGINT) ELSE 0 END)
+            AS BIGINT) AS harmonic_num
+FROM {prev} GROUP BY v
+"""
+    )

@@ -148,3 +148,45 @@ def test_media_decoder_wav_contract():
     # bins: -32768->0, -1->7, 0->8, 4095->8, 4096->9, 32767->15
     assert counts[0] == 1 and counts[7] == 1 and counts[8] == 2
     assert counts[9] == 1 and counts[15] == 1 and sum(counts) == 6
+
+
+# -- A2MJ motion-PPM container ------------------------------------------------
+
+
+def test_mjppm_roundtrip_and_sampling():
+    from aleph2_contrib_spark.operators.codecs import (
+        decode_mjppm,
+        encode_mjppm,
+        encode_ppm,
+        mjppm_frame_extractor,
+    )
+
+    frames = [encode_ppm(2, 1, bytes([i] * 6)) for i in range(7)]
+    payload = encode_mjppm(frames)
+    assert payload[:4] == b"A2MJ"
+    assert decode_mjppm(payload) == frames
+    assert mjppm_frame_extractor(payload, 3) == [frames[0], frames[3], frames[6]]
+    assert mjppm_frame_extractor(payload, 1) == frames
+
+
+def test_mjppm_strict_bounds():
+    import pytest
+
+    from aleph2_contrib_spark.operators.codecs import (
+        decode_mjppm,
+        encode_mjppm,
+        encode_ppm,
+        mjppm_frame_extractor,
+    )
+
+    payload = encode_mjppm([encode_ppm(1, 1, b"abc")])
+    with pytest.raises(ValueError, match="magic"):
+        decode_mjppm(b"XXXX" + payload[4:])
+    with pytest.raises(ValueError, match="truncated"):
+        decode_mjppm(payload[:-1])
+    with pytest.raises(ValueError, match="trailing"):
+        decode_mjppm(payload + b"z")
+    with pytest.raises(ValueError, match="non-empty"):
+        encode_mjppm([])
+    with pytest.raises(ValueError, match="every_n"):
+        mjppm_frame_extractor(payload, 0)

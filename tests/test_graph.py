@@ -932,3 +932,80 @@ def test_deterministic_walks_oracle_matches(spark, tmp_path):
     )
     want = {tuple(x) for x in duckdb.sql(sql).fetchall()}
     assert got == want and len(got) > 0
+
+
+# -- landmark_closeness -------------------------------------------------------
+
+
+def test_landmark_closeness_path_graph_exact(spark):
+    import hashlib
+
+    from aleph2_contrib_spark.operators.graph import landmark_closeness
+
+    # path 1-2-3-4-5; pick 2 landmarks by the documented md5 order and
+    # verify against a hand BFS
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    lms = sorted(range(1, 6), key=lambda v: (hashlib.md5(f"t:{v}".encode()).hexdigest(), v))[:2]
+    got = {
+        r["v"]: (r["n_reached"], r["sum_dist"], r["harmonic_num"])
+        for r in landmark_closeness(df, n_landmarks=2, max_hops=2, seed="t").collect()
+    }
+    # hand BFS (undirected, h=2, lcm(1..2)=2)
+    import collections
+
+    adj = collections.defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    want = {}
+    for lm in lms:
+        dist = {lm: 0}
+        frontier = [lm]
+        for d in (1, 2):
+            nxt = []
+            for u in frontier:
+                for w in adj[u]:
+                    if w not in dist:
+                        dist[w] = d
+                        nxt.append(w)
+            frontier = nxt
+        for v, d in dist.items():
+            n, s, hn = want.get(v, (0, 0, 0))
+            want[v] = (n + 1, s + d, hn + (2 // d if d > 0 else 0))
+    assert got == want and len(got) > 0
+
+
+def test_landmark_closeness_validation(spark):
+    import pytest
+
+    from aleph2_contrib_spark.operators.graph import landmark_closeness
+
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError, match="n_landmarks"):
+        landmark_closeness(df, n_landmarks=0)
+    with pytest.raises(ValueError, match="max_hops"):
+        landmark_closeness(df, max_hops=0)
+
+
+def test_landmark_closeness_oracle_matches(spark, tmp_path):
+    import random
+
+    import duckdb
+
+    from aleph2_contrib_spark.operators.graph import (
+        landmark_closeness,
+        landmark_closeness_oracle_sql,
+    )
+
+    rnd = random.Random(29)
+    edges = list({(rnd.randint(0, 40), rnd.randint(0, 40)) for _ in range(140)})
+    df = spark.createDataFrame(edges, "src long, dst long")
+    p = str(tmp_path / "e.parquet")
+    df.coalesce(1).write.parquet(p)
+    got = {tuple(x) for x in landmark_closeness(df, n_landmarks=5, max_hops=3, seed="q").collect()}
+    sql = landmark_closeness_oracle_sql(
+        f"SELECT src, dst FROM '{p}/*.parquet'", n_landmarks=5, max_hops=3, seed="q"
+    )
+    want = {tuple(x) for x in duckdb.sql(sql).fetchall()}
+    assert got == want and len(got) > 0

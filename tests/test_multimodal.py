@@ -79,3 +79,25 @@ def test_resize_default_stub(spark, media):
 
     with _pytest.raises(Exception, match="PIL"):
         resize_images(media, 8, 8).collect()
+
+
+def test_sample_frames_real_mjppm_container(spark):
+    from aleph2_contrib_spark.operators.codecs import (
+        decode_ppm,
+        encode_mjppm,
+        encode_ppm,
+        mjppm_frame_extractor,
+    )
+    from aleph2_contrib_spark.operators.multimodal import sample_frames
+
+    frames = [encode_ppm(2, 2, bytes([j] * 12)) for j in range(5)]
+    df = spark.createDataFrame(
+        [("v1", bytearray(encode_mjppm(frames)))], "`__source_file` string, content binary"
+    )
+    got = sample_frames(df, every_n=2, frame_extractor=mjppm_frame_extractor).collect()
+    assert [(r["frame_idx"], bytes(r["frame"])) for r in sorted(got, key=lambda r: r["frame_idx"])] == [
+        (0, frames[0]), (1, frames[2]), (2, frames[4]),
+    ]
+    # sampled frames decode back to real pixels
+    w, h, rgb = decode_ppm(bytes(sorted(got, key=lambda r: r["frame_idx"])[1]["frame"]))
+    assert (w, h, rgb) == (2, 2, bytes([2] * 12))
