@@ -1611,6 +1611,39 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + URL-level dedup (operators/corpus.
+    canonicalize_url / url_dedup): documents mapped to deterministic
+    messy URLs (mixed case, www, default ports, duplicate slashes,
+    trailing slash, tracking params, fragments), canonicalized with
+    pure Column expressions and deduped by ONE groupBy on the canonical
+    string. The oracle rebuilds the same raw URLs and canonicalizes via
+    the SQL twin expression."""
+    from aleph2_contrib_spark.operators.corpus import url_dedup
+
+    d = F.col("doc_id")
+    raw = F.concat(
+        F.lit("HTTP://"),
+        F.when(d % 2 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.lit("Example"),
+        (d % 7).cast("string"),
+        F.lit(".COM"),
+        F.when(d % 3 == 0, F.lit(":80")).otherwise(F.lit("")),
+        F.lit("/a//b"),
+        (d % 5).cast("string"),
+        F.when(d % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(d % 4 == 0, F.lit("?utm_source=x&b=2&a=1"))
+        .when(d % 4 == 1, F.lit("?b=2&a=1"))
+        .when(d % 4 == 2, F.lit("?gclid=9"))
+        .otherwise(F.lit("")),
+        F.when(d % 6 == 0, F.lit("#sec")).otherwise(F.lit("")),
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), raw.alias("url")
+    )
+    return url_dedup(docs, "url", "doc_id")
+
+
 def multimodal_audio_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio twin of multimodal_real_codec: each document becomes a real
     RIFF/WAVE 16-bit PCM payload (mono, 8 kHz, n = 8 + doc_id % 5 frames,
@@ -5775,6 +5808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_inclusion_deps": profile_inclusion_deps,
         "graph_closeness_landmarks": graph_closeness_landmarks,
         "multimodal_frame_sample": multimodal_frame_sample,
+        "corpus_url_dedup": corpus_url_dedup,
         "q12_priority_by_linestatus": q12_priority_by_linestatus,
         "docs_clean_corpus": docs_clean_corpus,
         "corpus_mix_sample": corpus_mix_sample,
@@ -6234,9 +6268,14 @@ def oracle_sql() -> dict[str, str]:
         null_patterns_oracle_sql,
         numeric_correlation_oracle_sql,
     )
+    from aleph2_contrib_spark.operators.corpus import (
+        canonicalize_url_oracle_expr,
+    )
     from aleph2_contrib_spark.operators.similarity import (
         embedding_covariance_oracle_sql,
     )
+
+    _url_canon_expr = canonicalize_url_oracle_expr("url")
 
     return {
         "profile_numeric_correlation": numeric_correlation_oracle_sql(
@@ -6299,6 +6338,29 @@ def oracle_sql() -> dict[str, str]:
         "events_streaks": activity_streaks_oracle_sql(
             'SELECT user_id AS "user", ts FROM events', "user_id"
         ),
+        "corpus_url_dedup": f"""
+            WITH raw AS (
+                SELECT doc_id,
+                       'HTTP://'
+                       || CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END
+                       || 'Example' || CAST(doc_id % 7 AS VARCHAR) || '.COM'
+                       || CASE WHEN doc_id % 3 = 0 THEN ':80' ELSE '' END
+                       || '/a//b' || CAST(doc_id % 5 AS VARCHAR)
+                       || CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END
+                       || CASE WHEN doc_id % 4 = 0 THEN '?utm_source=x&b=2&a=1'
+                               WHEN doc_id % 4 = 1 THEN '?b=2&a=1'
+                               WHEN doc_id % 4 = 2 THEN '?gclid=9'
+                               ELSE '' END
+                       || CASE WHEN doc_id % 6 = 0 THEN '#sec' ELSE '' END AS url
+                FROM documents
+            )
+            SELECT {_url_canon_expr} AS canon_url,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   min(doc_id) AS keep_id
+            FROM raw
+            WHERE {_url_canon_expr} IS NOT NULL
+            GROUP BY 1
+        """,
         "graph_closeness_landmarks": landmark_closeness_oracle_sql(
             """
             SELECT a.l_partkey AS src, b.l_partkey AS dst

@@ -864,3 +864,129 @@ SELECT * EXCLUDE (__pri) FROM (
 ORDER BY __pri ASC, {id_expr} ASC
 LIMIT {int(k)}
 """
+
+
+_URL_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?(?:#.*)?$"
+_TRACKING_PREFIXES = ("utm_", "gclid", "fbclid", "ref=")
+
+
+def canonicalize_url(url: Column, strip_www: bool = True) -> Column:
+    """Web-corpus URL canonicalization — the normalization pass CommonCrawl
+    -style pipelines run before URL-level dedup, as pure Column
+    expressions (no UDF):
+
+      · scheme and host lowercased, leading ``www.`` stripped (optional)
+      · default ports dropped (``:80`` for http, ``:443`` for https)
+      · fragment dropped
+      · path: duplicate slashes collapsed, empty path → ``/``, trailing
+        slash trimmed (except the bare root)
+      · query: params split, tracking params dropped (``utm_*``,
+        ``gclid``, ``fbclid``, ``ref=``), remainder BYTE-SORTED and
+        rejoined — param order no longer distinguishes URLs
+      · non-URLs (no scheme://authority) → NULL
+
+    Engine-portability: the regex uses only capturing/non-capturing
+    groups and character classes (Java regex ∩ RE2), replacements never
+    use backreferences (Spark's ``$1`` vs DuckDB's ``\\1`` would
+    diverge), and the param sort is the engines' shared binary
+    collation. :func:`canonicalize_url_oracle_expr` is the SQL twin.
+    """
+    u = F.trim(url)
+    scheme = F.lower(F.regexp_extract(u, _URL_RE, 1))
+    auth = F.lower(F.regexp_extract(u, _URL_RE, 2))
+    if strip_www:
+        auth = F.when(
+            auth.startswith("www."), F.substring(auth, 5, 2_000_000)
+        ).otherwise(auth)
+    auth = F.when(
+        (scheme == "http") & auth.endswith(":80"),
+        F.substring(auth, 1, F.length(auth) - 3),
+    ).when(
+        (scheme == "https") & auth.endswith(":443"),
+        F.substring(auth, 1, F.length(auth) - 4),
+    ).otherwise(auth)
+    path = F.regexp_replace(F.regexp_extract(u, _URL_RE, 3), "/{2,}", "/")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    path = F.when(
+        (F.length(path) > 1) & path.endswith("/"),
+        F.substring(path, 1, F.length(path) - 1),
+    ).otherwise(path)
+    q = F.regexp_extract(u, _URL_RE, 4)
+    keep = F.filter(
+        F.split(q, "&"),
+        lambda p: (p != "")
+        & ~p.startswith(_TRACKING_PREFIXES[0])
+        & ~p.startswith(_TRACKING_PREFIXES[1])
+        & ~p.startswith(_TRACKING_PREFIXES[2])
+        & ~p.startswith(_TRACKING_PREFIXES[3]),
+    )
+    q2 = F.array_join(F.array_sort(keep), "&")
+    canon = F.concat(
+        scheme,
+        F.lit("://"),
+        auth,
+        path,
+        F.when(q2 != "", F.concat(F.lit("?"), q2)).otherwise(F.lit("")),
+    )
+    return F.when((scheme != "") & (auth != ""), canon)
+
+
+def url_dedup(df: DataFrame, url_col: str, id_col: str) -> DataFrame:
+    """URL-level dedup over :func:`canonicalize_url`: one row per
+    canonical URL with the duplicate count and the kept (minimum) id —
+    the first stage of a web-corpus pipeline, ahead of content-level
+    MinHash. One narrow projection + ONE groupBy on the canonical
+    string; rows with non-URL values are dropped (NULL canonical)."""
+    canon = canonicalize_url(F.col(url_col))
+    return (
+        df.select(canon.alias("canon_url"), F.col(id_col).alias("__id"))
+        .filter(F.col("canon_url").isNotNull())
+        .groupBy("canon_url")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("__id").alias("keep_id"),
+        )
+    )
+
+
+def canonicalize_url_oracle_expr(url_expr: str, strip_www: bool = True) -> str:
+    """DuckDB SQL expression replicating :func:`canonicalize_url` over
+    ``url_expr`` — identical regex (RE2 ∩ Java), port/www/path/query
+    handling, and binary-collation param sort."""
+    re_sql = _URL_RE  # backslashes are literal in DuckDB '...' strings
+    u = f"trim({url_expr})"
+    scheme = f"lower(regexp_extract({u}, '{re_sql}', 1))"
+    auth0 = f"lower(regexp_extract({u}, '{re_sql}', 2))"
+    if strip_www:
+        auth0 = (
+            f"CASE WHEN starts_with({auth0}, 'www.') "
+            f"THEN substr({auth0}, 5) ELSE {auth0} END"
+        )
+    auth = (
+        f"CASE WHEN {scheme} = 'http' AND {auth0} LIKE '%:80' "
+        f"THEN substr({auth0}, 1, len({auth0}) - 3) "
+        f"WHEN {scheme} = 'https' AND {auth0} LIKE '%:443' "
+        f"THEN substr({auth0}, 1, len({auth0}) - 4) "
+        f"ELSE {auth0} END"
+    )
+    path0 = f"regexp_replace(regexp_extract({u}, '{re_sql}', 3), '/{{2,}}', '/', 'g')"
+    path1 = f"CASE WHEN {path0} = '' THEN '/' ELSE {path0} END"
+    path = (
+        f"CASE WHEN len({path1}) > 1 AND {path1} LIKE '%/' "
+        f"THEN substr({path1}, 1, len({path1}) - 1) ELSE {path1} END"
+    )
+    q = f"regexp_extract({u}, '{re_sql}', 4)"
+    preds = " AND ".join(
+        [f"p <> ''"]
+        + [f"NOT starts_with(p, '{t}')" for t in _TRACKING_PREFIXES]
+    )
+    q2 = (
+        f"array_to_string(list_sort(list_filter(string_split({q}, '&'), "
+        f"p -> {preds})), '&')"
+    )
+    return (
+        f"CASE WHEN {scheme} <> '' AND {auth} <> '' THEN "
+        f"{scheme} || '://' || {auth} || {path} || "
+        f"(CASE WHEN {q2} <> '' THEN '?' || {q2} ELSE '' END) "
+        f"ELSE NULL END"
+    )

@@ -570,3 +570,68 @@ def test_weighted_sample_plan_is_take_ordered(spark):
     df = spark.range(1000).withColumn("w", (F.col("id") % 7) + 1)
     plan = weighted_sample(df, "id", "w", k=5)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+# -- canonicalize_url / url_dedup ---------------------------------------------
+
+
+def test_canonicalize_url_rules(spark):
+    from pyspark.sql import functions as F
+
+    from aleph2_contrib_spark.operators.corpus import canonicalize_url
+
+    cases = {
+        "HTTP://WWW.Ex.COM:80/a//b/?utm_source=x&b=2&a=1#f": "http://ex.com/a/b?a=1&b=2",
+        "https://Host.org:443/": "https://host.org/",
+        "https://host.org": "https://host.org/",
+        "http://h/p?gclid=1&fbclid=2&ref=abc": "http://h/p",
+        "http://h:8080/p": "http://h:8080/p",   # non-default port kept
+        "https://h:80/p": "https://h:80/p",     # :80 is only default for http
+        "notaurl": None,
+        "": None,
+    }
+    df = spark.createDataFrame([(u,) for u in cases], "u string")
+    got = {
+        r["u"]: r["c"]
+        for r in df.select("u", canonicalize_url(F.col("u")).alias("c")).collect()
+    }
+    assert got == cases
+
+
+def test_url_dedup_groups_and_oracle(spark, tmp_path):
+    import duckdb
+
+    from aleph2_contrib_spark.operators.corpus import (
+        canonicalize_url_oracle_expr,
+        url_dedup,
+    )
+
+    rows = [
+        (1, "http://A.com/x/"),
+        (2, "HTTP://a.com/x"),
+        (3, "http://a.com//x?utm_source=z"),
+        (4, "http://b.com/y?b=1&a=2"),
+        (5, "http://b.com/y?a=2&b=1"),
+        (6, "garbage"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {
+        r["canon_url"]: (r["n_docs"], r["keep_id"])
+        for r in url_dedup(df, "url", "doc_id").collect()
+    }
+    assert got == {
+        "http://a.com/x": (3, 1),
+        "http://b.com/y?a=2&b=1": (2, 4),
+    }
+    # SQL twin agrees on the same rows
+    p = str(tmp_path / "u.parquet")
+    df.coalesce(1).write.parquet(p)
+    expr = canonicalize_url_oracle_expr("url")
+    want = {
+        r[0]: (r[1], r[2])
+        for r in duckdb.sql(
+            f"SELECT {expr} AS c, count(*), min(doc_id) FROM '{p}/*.parquet' "
+            f"WHERE {expr} IS NOT NULL GROUP BY 1"
+        ).fetchall()
+    }
+    assert got == want
