@@ -1644,6 +1644,32 @@ def corpus_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_dedup(docs, "url", "doc_id")
 
 
+def similarity_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (operators/similarity.rrf_fusion) of two
+    heterogeneous user rankings — exact total spend (DECIMAL cents) and
+    event count — fused as floor(1e6/(60+rank)) terms; ranks are total-
+    ordered (score DESC, id ASC) so the fused integers are
+    engine-exact. The hybrid-search combiner next to BM25 and ANN."""
+    from aleph2_contrib_spark.operators.similarity import rrf_fusion
+
+    ev = _t(spark, sf_dir, "events")
+    by_value = ev.groupBy("user_id").agg(
+        F.floor(F.sum(F.col("value").cast("decimal(38,6)")) * 100)
+        .cast("long")
+        .alias("spend_c")
+    )
+    by_count = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+    return rrf_fusion(
+        [
+            ("spend", by_value, "user_id", "spend_c"),
+            ("activity", by_count, "user_id", "n_events"),
+        ],
+        k0=60,
+    ).withColumnRenamed("id", "user_id")
+
+
 def multimodal_audio_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio twin of multimodal_real_codec: each document becomes a real
     RIFF/WAVE 16-bit PCM payload (mono, 8 kHz, n = 8 + doc_id % 5 frames,
@@ -5809,6 +5835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_closeness_landmarks": graph_closeness_landmarks,
         "multimodal_frame_sample": multimodal_frame_sample,
         "corpus_url_dedup": corpus_url_dedup,
+        "similarity_rrf_fusion": similarity_rrf_fusion,
         "q12_priority_by_linestatus": q12_priority_by_linestatus,
         "docs_clean_corpus": docs_clean_corpus,
         "corpus_mix_sample": corpus_mix_sample,
@@ -6273,6 +6300,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from aleph2_contrib_spark.operators.similarity import (
         embedding_covariance_oracle_sql,
+        rrf_fusion_oracle_sql,
     )
 
     _url_canon_expr = canonicalize_url_oracle_expr("url")
@@ -6338,6 +6366,19 @@ def oracle_sql() -> dict[str, str]:
         "events_streaks": activity_streaks_oracle_sql(
             'SELECT user_id AS "user", ts FROM events', "user_id"
         ),
+        "similarity_rrf_fusion": "SELECT id AS user_id, n_lists, rrf_f6 FROM ("
+        + rrf_fusion_oracle_sql(
+            [
+                """SELECT user_id AS id,
+                          CAST(floor(sum(CAST(value AS DECIMAL(38,6))) * 100)
+                               AS BIGINT) AS s
+                   FROM events GROUP BY user_id""",
+                "SELECT user_id AS id, count(*) AS s FROM events GROUP BY user_id",
+            ],
+            id_out="id",
+            k0=60,
+        )
+        + ")",
         "corpus_url_dedup": f"""
             WITH raw AS (
                 SELECT doc_id,

@@ -1098,3 +1098,78 @@ SELECT i, j, n,
        CAST(n * sxy - sx * sy AS DECIMAL(38,0)) AS cov_num_fx2
 FROM agg
 """
+
+
+def rrf_fusion(
+    lists: list[tuple[str, DataFrame, str, str]], k0: int = 60
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack & Clarke & Buettcher, SIGIR 2009)
+    — the standard way to combine heterogeneous retrieval signals (BM25
+    text ranks + embedding-cosine ranks + recency ranks) without score
+    calibration, completing the hybrid-search stack next to
+    text.bm25_scores and the ANN family.
+
+    Each entry is (name, candidates_df, id_col, score_col): the list is
+    ranked by score DESC (ties broken by id ASC — total order, so ranks
+    are engine-exact), and a document at rank r contributes
+    floor(1e6 / (k0 + r)) — the RRF term in exact f6 fixed point, so
+    fused scores are integers and portable. Returns
+    (id, n_lists, rrf_f6); the caller sorts/cuts top-k.
+
+    Contract: inputs are CANDIDATE lists (each the top-k output of a
+    retrieval stage, ≤ ~1e5 rows), so the per-list ranking window is the
+    documented tiny-table window pattern — NOT a corpus-scale sort. At
+    100 TB the corpus-scale work happened upstream in the retrievers;
+    fusing corpus-sized lists would need the two-phase global-rank
+    machinery (corpus.quality_budget_filter) instead — by design this
+    operator does not silently absorb that cost.
+    """
+    from pyspark.sql import Window
+
+    if not lists:
+        raise ValueError("lists must be non-empty")
+    if k0 < 1:
+        raise ValueError(f"k0 must be >= 1, got {k0}")
+    parts = []
+    for name, df, id_col, score_col in lists:
+        w = Window.orderBy(F.col("__s").desc(), F.col("__id").asc())
+        parts.append(
+            df.select(
+                F.col(id_col).alias("__id"), F.col(score_col).alias("__s")
+            )
+            .filter(F.col("__id").isNotNull())
+            .withColumn("__rnk", F.row_number().over(w))
+            .select("__id", "__rnk")
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return (
+        u.groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lists"),
+            F.sum(F.expr(f"1000000 div ({int(k0)} + __rnk)"))
+            .cast("long")
+            .alias("rrf_f6"),
+        )
+        .withColumnRenamed("__id", "id")
+    )
+
+
+def rrf_fusion_oracle_sql(
+    list_sqls: list[str], id_out: str = "id", k0: int = 60
+) -> str:
+    """DuckDB replica of :func:`rrf_fusion` — identical DESC-score/ASC-id
+    ranking and floor(1e6/(k0+r)) terms. Each ``list_sqls`` entry yields
+    (id, s)."""
+    ranked = [
+        f"""SELECT id, row_number() OVER (ORDER BY s DESC, id ASC) AS rnk
+FROM ({sql}) WHERE id IS NOT NULL"""
+        for sql in list_sqls
+    ]
+    u = "\nUNION ALL\n".join(ranked)
+    return f"""
+SELECT id AS {id_out}, CAST(count(*) AS BIGINT) AS n_lists,
+       CAST(sum(1000000 // ({int(k0)} + rnk)) AS BIGINT) AS rrf_f6
+FROM ({u}) GROUP BY id
+"""
