@@ -1670,6 +1670,53 @@ def similarity_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnRenamed("id", "user_id")
 
 
+def graph_global_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row graph QA (operators/graph.global_graph_stats) over the
+    DIRECTED purchase-sequence graph (partkey at line i → partkey at
+    line j>i within sampled orders): exact vertex/edge/wedge/triangle
+    counts, clustering coefficient ppm, reciprocity ppm. The oracle
+    counts triangles by the direct a<b<c join — the operator's
+    degree-ordered orientation must reproduce it exactly."""
+    from aleph2_contrib_spark.operators.graph import global_graph_stats
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 9 == 0)
+        .select("l_orderkey", "l_partkey", "l_linenumber")
+    )
+    lj = li.select(
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_partkey").alias("pk"),
+        F.col("l_linenumber").alias("ln"),
+    )
+    edges = li.join(
+        lj, (li.l_orderkey == lj.ok) & (li.l_linenumber < lj.ln)
+    ).select(F.col("l_partkey").alias("src"), F.col("pk").alias("dst"))
+    return global_graph_stats(edges)
+
+
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer readability screen (operators/text.
+    readability_stats): word/sentence/vowel-group counts and the
+    floor-divided milli-Flesch per document — one narrow codegen pass,
+    regexes in the Java∩RE2 dialect."""
+    from aleph2_contrib_spark.operators.text import readability_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return readability_stats(docs)
+
+
+def text_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-overlap matrix (operators/text.source_similarity_minhash):
+    estimated token-set Jaccard between every source pair via 32
+    md5-deterministic MinHash registers — signatures are bit-identical
+    in both engines, so the estimate differentials exactly."""
+    from aleph2_contrib_spark.operators.text import source_similarity_minhash
+
+    docs = _t(spark, sf_dir, "documents")
+    return source_similarity_minhash(docs, "source", "text", k=32, seed="ss8")
+
+
 def multimodal_audio_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio twin of multimodal_real_codec: each document becomes a real
     RIFF/WAVE 16-bit PCM payload (mono, 8 kHz, n = 8 + doc_id % 5 frames,
@@ -5836,6 +5883,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frame_sample": multimodal_frame_sample,
         "corpus_url_dedup": corpus_url_dedup,
         "similarity_rrf_fusion": similarity_rrf_fusion,
+        "graph_global_stats": graph_global_stats,
+        "text_readability": text_readability,
+        "text_source_similarity": text_source_similarity,
         "q12_priority_by_linestatus": q12_priority_by_linestatus,
         "docs_clean_corpus": docs_clean_corpus,
         "corpus_mix_sample": corpus_mix_sample,
@@ -6280,7 +6330,12 @@ def oracle_sql() -> dict[str, str]:
         bipartite_project_oracle_sql,
         degree_assortativity_oracle_sql,
         deterministic_walks_oracle_sql,
+        global_graph_stats_oracle_sql,
         landmark_closeness_oracle_sql,
+    )
+    from aleph2_contrib_spark.operators.text import (
+        readability_stats_oracle_sql,
+        source_similarity_minhash_oracle_sql,
     )
     from aleph2_contrib_spark.operators.joins import (
         grid_radius_join_oracle_sql,
@@ -6365,6 +6420,18 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_streaks": activity_streaks_oracle_sql(
             'SELECT user_id AS "user", ts FROM events', "user_id"
+        ),
+        "graph_global_stats": global_graph_stats_oracle_sql(
+            """
+            SELECT a.l_partkey AS src, b.l_partkey AS dst
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_linenumber < b.l_linenumber
+            WHERE a.l_orderkey % 9 = 0
+            """
+        ),
+        "text_readability": readability_stats_oracle_sql("documents"),
+        "text_source_similarity": source_similarity_minhash_oracle_sql(
+            "documents", "source", "text", k=32, seed="ss8"
         ),
         "similarity_rrf_fusion": "SELECT id AS user_id, n_lists, rrf_f6 FROM ("
         + rrf_fusion_oracle_sql(

@@ -2190,3 +2190,123 @@ SELECT v, CAST(count(*) AS BIGINT) AS n_reached,
 FROM {prev} GROUP BY v
 """
     )
+
+
+def global_graph_stats(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """One-row graph-QA summary — the structural health check run before
+    any expensive graph algorithm: exact n_vertices, n_edges (canonical
+    undirected), n_wedges (Σ d(d−1)/2), n_triangles (via
+    :func:`triangle_count`'s degree-ordered orientation), the global
+    clustering coefficient as exact ppm (3·triangles·1e6 div wedges),
+    and edge reciprocity over the RAW directed edges (mutual directed
+    edges · 1e6 div directed edges — 1e6 for an undirected-in-disguise
+    feed, ~0 for a citation-style DAG).
+
+    Plan shape at 100 TB: triangle_count's m^1.5-bounded wedge join is
+    the dominant cost; everything else is one degree groupBy, one
+    distinct, one canonical-pair groupBy, and 1-row crossJoins of the
+    scalar aggregates (tiny-side BNLJ by construction). Wedge counts use
+    DECIMAL(38,0) — a 1e9-degree hub squares past the long range.
+    """
+    tri = triangle_count(edges, src_col, dst_col)
+
+    a = F.least(F.col(src_col), F.col(dst_col)).alias("a")
+    b = F.greatest(F.col(src_col), F.col(dst_col)).alias("b")
+    e = edges.select(a, b).filter(F.col("a") != F.col("b")).distinct()
+    deg = (
+        e.select(F.col("a").alias("n"))
+        .unionByName(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("d"))
+    )
+    wedges = deg.agg(
+        F.sum(F.expr("CAST((d * (d - 1)) / 2 AS DECIMAL(38,0))"))
+        .cast("decimal(38,0)")
+        .alias("n_wedges")
+    )
+
+    dir_e = (
+        edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("t"))
+        .filter(F.col("s") != F.col("t"))
+        .distinct()
+    )
+    recip = (
+        dir_e.groupBy(
+            F.least(F.col("s"), F.col("t")).alias("a"),
+            F.greatest(F.col("s"), F.col("t")).alias("b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_orient"))
+        .agg(
+            F.sum(F.when(F.col("n_orient") == 2, F.lit(2)).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("n_mutual"),
+            F.sum("n_orient").cast("long").alias("n_directed"),
+        )
+    )
+    return (
+        tri.crossJoin(wedges)
+        .crossJoin(recip)
+        .select(
+            "n_vertices",
+            "n_edges",
+            "n_triangles",
+            # stays DECIMAL(38,0): a long cast would silently NULL the
+            # hub-squared case this QA row exists to expose
+            F.col("n_wedges"),
+            F.expr(
+                "CAST(CASE WHEN n_wedges > 0 THEN "
+                "(3 * CAST(n_triangles AS DECIMAL(38,0)) * 1000000) div n_wedges "
+                "ELSE NULL END AS BIGINT)"
+            ).alias("global_cc_ppm"),
+            F.expr(
+                "CAST(CASE WHEN n_directed > 0 THEN "
+                "(n_mutual * 1000000) div n_directed ELSE NULL END AS BIGINT)"
+            ).alias("reciprocity_ppm"),
+        )
+    )
+
+
+def global_graph_stats_oracle_sql(edge_sql: str) -> str:
+    """DuckDB replica of :func:`global_graph_stats` — direct a<b<c
+    triangle join (feasible at gate scale; the operator's oriented
+    formulation must reproduce it exactly). ``edge_sql`` yields
+    (src, dst)."""
+    return f"""
+WITH raw AS MATERIALIZED (
+    SELECT src, dst FROM ({edge_sql})
+    WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst
+), e AS MATERIALIZED (
+    SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM raw
+), verts AS (
+    SELECT count(*) AS n_vertices FROM
+        (SELECT DISTINCT v FROM (SELECT a AS v FROM e UNION ALL SELECT b FROM e))
+), deg AS (
+    SELECT n, CAST(count(*) AS HUGEINT) AS d FROM
+        (SELECT a AS n FROM e UNION ALL SELECT b AS n FROM e) GROUP BY n
+), wed AS (
+    SELECT sum(d * (d - 1) // 2) AS n_wedges FROM deg
+), tri AS (
+    SELECT count(*) AS n_triangles
+    FROM e ab JOIN e bc ON ab.b = bc.a JOIN e ac ON ac.a = ab.a AND ac.b = bc.b
+), dir_e AS (
+    SELECT DISTINCT src AS s, dst AS t FROM raw
+), rec AS (
+    SELECT CAST(sum(CASE WHEN n_orient = 2 THEN 2 ELSE 0 END) AS BIGINT) AS n_mutual,
+           CAST(sum(n_orient) AS BIGINT) AS n_directed
+    FROM (SELECT least(s, t) AS a, greatest(s, t) AS b, count(*) AS n_orient
+          FROM dir_e GROUP BY 1, 2)
+)
+SELECT CAST(verts.n_vertices AS BIGINT) AS n_vertices,
+       CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+       CAST(tri.n_triangles AS BIGINT) AS n_triangles,
+       CAST(wed.n_wedges AS DECIMAL(38,0)) AS n_wedges,
+       CAST(CASE WHEN wed.n_wedges > 0
+            THEN (3 * CAST(tri.n_triangles AS HUGEINT) * 1000000) // wed.n_wedges
+            ELSE NULL END AS BIGINT) AS global_cc_ppm,
+       CAST(CASE WHEN rec.n_directed > 0
+            THEN (rec.n_mutual * 1000000) // rec.n_directed
+            ELSE NULL END AS BIGINT) AS reciprocity_ppm
+FROM verts, wed, tri, rec
+"""

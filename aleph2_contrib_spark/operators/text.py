@@ -779,3 +779,170 @@ def collocations(
         .orderBy(F.col("lift_f6").desc(), F.col("w1").asc(), F.col("w2").asc())
         .limit(top_k)
     )
+
+
+def readability_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Readability screen with EXACT integer features — the corpus-QA
+    cousin of the Gopher length rules: per document, word count
+    (``[A-Za-z]+`` runs), sentence count (``[.!?]+`` runs) and syllable
+    proxy (``[aeiouy]+`` vowel groups, the standard cheap estimator),
+    plus a floor-divided milli-Flesch:
+
+        flesch_m3 = 206835 − (1015·words) div max(sents,1)
+                           − (84600·syll) div max(words,1)
+
+    The two ratios are floor divisions, so the score is an integer and
+    engine-exact — a deterministic variant of Flesch reading ease (the
+    float formula differs by < 2 milli-points, irrelevant for
+    thresholding at corpus scale). All regexes sit in the Java∩RE2
+    dialect. One narrow codegen pass, no shuffle, no Python.
+    """
+    words = F.size(F.regexp_extract_all(F.col(text_col), F.lit("[A-Za-z]+"), 0))
+    sents = F.size(F.regexp_extract_all(F.col(text_col), F.lit("[.!?]+"), 0))
+    syll = F.size(
+        F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[aeiouy]+"), 0)
+    )
+    return df.select(
+        F.col(id_col),
+        words.cast("long").alias("n_words"),
+        sents.cast("long").alias("n_sentences"),
+        syll.cast("long").alias("n_syllable_groups"),
+    ).withColumn(
+        "flesch_m3",
+        F.expr(
+            "CAST(206835"
+            " - (1015 * n_words) div greatest(n_sentences, 1)"
+            " - (84600 * n_syllable_groups) div greatest(n_words, 1)"
+            " AS BIGINT)"
+        ),
+    )
+
+
+def readability_stats_oracle_sql(
+    table: str, text_col: str = "text", id_col: str = "doc_id"
+) -> str:
+    """DuckDB replica of :func:`readability_stats`."""
+    words = f"len(regexp_extract_all({text_col}, '[A-Za-z]+'))"
+    sents = f"len(regexp_extract_all({text_col}, '[.!?]+'))"
+    syll = f"len(regexp_extract_all(lower({text_col}), '[aeiouy]+'))"
+    return f"""
+SELECT {id_col},
+       CAST({words} AS BIGINT) AS n_words,
+       CAST({sents} AS BIGINT) AS n_sentences,
+       CAST({syll} AS BIGINT) AS n_syllable_groups,
+       CAST(206835
+            - (1015 * {words}) // greatest({sents}, 1)
+            - (84600 * {syll}) // greatest({words}, 1)
+            AS BIGINT) AS flesch_m3
+FROM {table}
+"""
+
+
+def source_similarity_minhash(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    k: int = 32,
+    seed: str = "ss",
+) -> DataFrame:
+    """Dataset-overlap matrix: estimated token-set Jaccard between every
+    pair of corpus slices (sources, crawls, snapshots) via k-register
+    MinHash — the "how much does dataset A overlap dataset B" screen
+    run before mixing corpora, at signature cost instead of a
+    token-level join.
+
+    Portable and DETERMINISTIC: register i of a slice is
+    min(md5("seed:i:token")) over the slice's DISTINCT lowercase word
+    tokens, so both engines build bit-identical signatures and the
+    estimate matches exactly (it is still an estimate of true Jaccard —
+    k controls the variance, ±1/√k). Returns (group_a, group_b,
+    n_matches, jaccard_est_ppm = n_matches·1e6 div k) for group_a <
+    group_b.
+
+    Plan shape at 100 TB: one distinct over (group, token), ONE groupBy
+    per-group computing all k min-registers map-side-partial, then a
+    pairwise self-join of the GROUP-sized signature table (groups ≪
+    rows; 10 sources = 45 pairs). Token volume never crosses the
+    network twice.
+    """
+    if k < 1 or k > 256:
+        raise ValueError(f"k must be in [1, 256], got {k}")
+    toks = (
+        df.select(
+            F.col(group_col).alias("__g"),
+            F.explode(
+                F.array_distinct(
+                    F.split(F.lower(F.col(text_col)), "[^a-z0-9]+")
+                )
+            ).alias("__t"),
+        )
+        .filter(F.col("__t") != "")
+        .distinct()
+    )
+    regs = toks.groupBy("__g").agg(
+        *[
+            F.min(
+                F.md5(F.concat_ws(":", F.lit(seed), F.lit(str(i)), F.col("__t")))
+            ).alias(f"__r{i}")
+            for i in range(k)
+        ]
+    )
+    a = regs.select(
+        F.col("__g").alias("group_a"), *[F.col(f"__r{i}").alias(f"__a{i}") for i in range(k)]
+    )
+    b = regs.select(
+        F.col("__g").alias("group_b"), *[F.col(f"__r{i}").alias(f"__b{i}") for i in range(k)]
+    )
+    matches = sum(
+        F.when(F.col(f"__a{i}") == F.col(f"__b{i}"), 1).otherwise(0) for i in range(k)
+    )
+    return (
+        a.join(b, F.col("group_a") < F.col("group_b"))
+        .select(
+            "group_a",
+            "group_b",
+            matches.cast("long").alias("n_matches"),
+        )
+        .withColumn(
+            "jaccard_est_ppm",
+            F.expr(f"CAST((n_matches * 1000000) div {int(k)} AS BIGINT)"),
+        )
+    )
+
+
+def source_similarity_minhash_oracle_sql(
+    table: str,
+    group_col: str = "source",
+    text_col: str = "text",
+    k: int = 32,
+    seed: str = "ss",
+) -> str:
+    """DuckDB replica of :func:`source_similarity_minhash` — identical
+    md5 registers over the same distinct-token sets."""
+    from aleph2_contrib_spark.operators import sql_str
+
+    seed = sql_str(seed)
+    regs = ", ".join(
+        f"min(md5('{seed}:{i}:' || t)) AS r{i}" for i in range(k)
+    )
+    matches = " + ".join(
+        f"CASE WHEN a.r{i} = b.r{i} THEN 1 ELSE 0 END" for i in range(k)
+    )
+    return f"""
+WITH toks AS (
+    SELECT DISTINCT {group_col} AS g, t
+    FROM (SELECT {group_col},
+                 unnest(list_distinct(string_split_regex(lower({text_col}),
+                                                         '[^a-z0-9]+'))) AS t
+          FROM {table})
+    WHERE t <> ''
+), regs AS (
+    SELECT g, {regs} FROM toks GROUP BY g
+)
+SELECT a.g AS group_a, b.g AS group_b,
+       CAST({matches} AS BIGINT) AS n_matches,
+       CAST((({matches}) * 1000000) // {int(k)} AS BIGINT) AS jaccard_est_ppm
+FROM regs a JOIN regs b ON a.g < b.g
+"""

@@ -1009,3 +1009,48 @@ def test_landmark_closeness_oracle_matches(spark, tmp_path):
     )
     want = {tuple(x) for x in duckdb.sql(sql).fetchall()}
     assert got == want and len(got) > 0
+
+
+# -- global_graph_stats -------------------------------------------------------
+
+
+def test_global_graph_stats_hand_worked(spark):
+    from aleph2_contrib_spark.operators.graph import global_graph_stats
+
+    # triangle 1-2-3 plus pendant 3->4; directed: 1->2, 2->1 (mutual),
+    # 1->3, 2->3, 3->4
+    edges = [(1, 2), (2, 1), (1, 3), (2, 3), (3, 4)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    (r,) = global_graph_stats(df).collect()
+    assert r["n_vertices"] == 4 and r["n_edges"] == 4
+    assert r["n_triangles"] == 1
+    # degrees: 1:2, 2:2, 3:3, 4:1 -> wedges 1+1+3+0 = 5
+    assert int(r["n_wedges"]) == 5
+    assert r["global_cc_ppm"] == (3 * 1 * 1000000) // 5
+    # directed distinct: 5 edges, mutual pair (1,2) contributes 2
+    assert r["reciprocity_ppm"] == (2 * 1000000) // 5
+
+
+def test_global_graph_stats_oracle_matches(spark, tmp_path):
+    import random
+
+    import duckdb
+
+    from aleph2_contrib_spark.operators.graph import (
+        global_graph_stats,
+        global_graph_stats_oracle_sql,
+    )
+
+    rnd = random.Random(31)
+    edges = list({(rnd.randint(0, 25), rnd.randint(0, 25)) for _ in range(160)})
+    df = spark.createDataFrame(edges, "src long, dst long")
+    p = str(tmp_path / "e.parquet")
+    df.coalesce(1).write.parquet(p)
+    got = [tuple(x) for x in global_graph_stats(df).collect()]
+    want = [
+        tuple(x)
+        for x in duckdb.sql(
+            global_graph_stats_oracle_sql(f"SELECT src, dst FROM '{p}/*.parquet'")
+        ).fetchall()
+    ]
+    assert got == want

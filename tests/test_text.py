@@ -1,0 +1,106 @@
+
+
+# -- readability_stats --------------------------------------------------------
+
+
+def test_readability_stats_hand_worked(spark):
+    from aleph2_contrib_spark.operators.text import readability_stats
+
+    df = spark.createDataFrame(
+        [(1, "The cat sat. The dog ran!"), (2, "no punctuation here"), (3, "")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r.asDict() for r in readability_stats(df).collect()}
+    # doc 1: 6 words, 2 sentences, vowel groups: e,a,a,e,o,a -> 6
+    assert got[1]["n_words"] == 6 and got[1]["n_sentences"] == 2
+    assert got[1]["n_syllable_groups"] == 6
+    assert got[1]["flesch_m3"] == 206835 - (1015 * 6) // 2 - (84600 * 6) // 6
+    # doc 2: 3 words, 0 sentences (guarded div), groups: o,u,ua,io,e,e -> 6
+    assert got[2]["n_sentences"] == 0
+    assert got[2]["flesch_m3"] == 206835 - (1015 * 3) // 1 - (84600 * 6) // 3
+    # empty doc: all zero, score 206835
+    assert got[3]["flesch_m3"] == 206835
+
+
+def test_readability_oracle_matches(spark, tmp_path):
+    import duckdb
+
+    from aleph2_contrib_spark.operators.text import (
+        readability_stats,
+        readability_stats_oracle_sql,
+    )
+
+    rows = [
+        (i, t)
+        for i, t in enumerate(
+            ["Hello world. How are you?", "x! y? z.", "aaa eee iii", "", "Rhythm myth."]
+        )
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    p = str(tmp_path / "d.parquet")
+    df.coalesce(1).write.parquet(p)
+    got = {tuple(x) for x in readability_stats(df).collect()}
+    want = {
+        tuple(x)
+        for x in duckdb.sql(
+            readability_stats_oracle_sql(f"'{p}/*.parquet'")
+        ).fetchall()
+    }
+    assert got == want
+
+
+# -- source_similarity_minhash ------------------------------------------------
+
+
+def test_source_similarity_identical_and_disjoint(spark):
+    import pytest
+
+    from aleph2_contrib_spark.operators.text import source_similarity_minhash
+
+    rows = [
+        ("s1", "alpha beta gamma"),
+        ("s2", "alpha beta gamma"),       # identical token set to s1
+        ("s3", "zeta eta theta iota"),    # disjoint
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+    got = {
+        (r["group_a"], r["group_b"]): (r["n_matches"], r["jaccard_est_ppm"])
+        for r in source_similarity_minhash(df, k=16).collect()
+    }
+    assert got[("s1", "s2")] == (16, 1000000)   # identical sets match all registers
+    assert got[("s1", "s3")][0] == 0            # disjoint sets: md5 minima differ
+    assert got[("s2", "s3")][0] == 0
+    with pytest.raises(ValueError, match="k must be"):
+        source_similarity_minhash(df, k=0)
+
+
+def test_source_similarity_oracle_matches(spark, tmp_path):
+    import random
+
+    import duckdb
+
+    from aleph2_contrib_spark.operators.text import (
+        source_similarity_minhash,
+        source_similarity_minhash_oracle_sql,
+    )
+
+    rnd = random.Random(7)
+    vocab = [f"w{j}" for j in range(60)]
+    rows = [
+        (f"s{g}", " ".join(rnd.choice(vocab) for _ in range(30)))
+        for g in range(4)
+        for _ in range(10)
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+    p = str(tmp_path / "d.parquet")
+    df.coalesce(1).write.parquet(p)
+    got = {tuple(x) for x in source_similarity_minhash(df, k=24, seed="t").collect()}
+    want = {
+        tuple(x)
+        for x in duckdb.sql(
+            source_similarity_minhash_oracle_sql(
+                f"'{p}/*.parquet'", "source", "text", k=24, seed="t"
+            )
+        ).fetchall()
+    }
+    assert got == want and len(got) == 6
