@@ -1717,6 +1717,47 @@ def text_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_similarity_minhash(docs, "source", "text", k=32, seed="ss8")
 
 
+def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood ER candidates (operators/dedup.
+    sorted_neighborhood_pairs): customers ordered by (market segment,
+    name), pairs within 3 rank positions — two-phase global rank (no
+    single-task sort) + the grid-bucketed band join ON THE RANK. Oracle
+    ranks with one window and theta-joins the rank distance."""
+    from aleph2_contrib_spark.operators.dedup import sorted_neighborhood_pairs
+
+    cust = _t(spark, sf_dir, "customer")
+    return sorted_neighborhood_pairs(
+        cust, ["c_mktsegment", "c_name"], "c_custkey", window=3
+    )
+
+
+def window_rolling_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame rolling window (the one window frame the window gates
+    didn't cover): per user, trailing 7-day event count and exact-cents
+    value sum via rangeBetween(-6, 0) over the integer day number —
+    user-partitioned, engine-exact DECIMAL sums, one row per active
+    (user, day)."""
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf_dir, "events")
+    day = F.datediff(
+        F.to_date(F.col("ts").cast("timestamp")), F.lit("1970-01-01").cast("date")
+    ).cast("long")
+    w = W.partitionBy("user_id").orderBy("day").rangeBetween(-6, 0)
+    return (
+        ev.select("user_id", day.alias("day"), "value")
+        .select(
+            "user_id",
+            "day",
+            F.count(F.lit(1)).over(w).cast("long").alias("n_7d"),
+            F.floor(F.sum(F.col("value").cast("decimal(38,6)")).over(w) * 100)
+            .cast("long")
+            .alias("v_7d_c"),
+        )
+        .distinct()
+    )
+
+
 def multimodal_audio_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio twin of multimodal_real_codec: each document becomes a real
     RIFF/WAVE 16-bit PCM payload (mono, 8 kHz, n = 8 + doc_id % 5 frames,
@@ -5886,6 +5927,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_global_stats": graph_global_stats,
         "text_readability": text_readability,
         "text_source_similarity": text_source_similarity,
+        "dedup_sorted_neighborhood": dedup_sorted_neighborhood,
+        "window_rolling_range": window_rolling_range,
         "q12_priority_by_linestatus": q12_priority_by_linestatus,
         "docs_clean_corpus": docs_clean_corpus,
         "corpus_mix_sample": corpus_mix_sample,
@@ -6353,6 +6396,9 @@ def oracle_sql() -> dict[str, str]:
     from aleph2_contrib_spark.operators.corpus import (
         canonicalize_url_oracle_expr,
     )
+    from aleph2_contrib_spark.operators.dedup import (
+        sorted_neighborhood_oracle_sql,
+    )
     from aleph2_contrib_spark.operators.similarity import (
         embedding_covariance_oracle_sql,
         rrf_fusion_oracle_sql,
@@ -6421,6 +6467,27 @@ def oracle_sql() -> dict[str, str]:
         "events_streaks": activity_streaks_oracle_sql(
             'SELECT user_id AS "user", ts FROM events', "user_id"
         ),
+        "dedup_sorted_neighborhood": sorted_neighborhood_oracle_sql(
+            "SELECT c_custkey, c_mktsegment, c_name FROM customer",
+            ["c_mktsegment", "c_name"],
+            "c_custkey",
+            window=3,
+        ),
+        "window_rolling_range": """
+            SELECT DISTINCT user_id,
+                   CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                        AS BIGINT) AS day,
+                   CAST(count(*) OVER w AS BIGINT) AS n_7d,
+                   CAST(floor(sum(CAST(value AS DECIMAL(38,6))) OVER w * 100)
+                        AS BIGINT) AS v_7d_c
+            FROM events
+            WINDOW w AS (
+                PARTITION BY user_id
+                ORDER BY CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                              AS BIGINT)
+                RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+            )
+        """,
         "graph_global_stats": global_graph_stats_oracle_sql(
             """
             SELECT a.l_partkey AS src, b.l_partkey AS dst

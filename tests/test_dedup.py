@@ -503,3 +503,50 @@ def test_containment_hot_shingle_cap_keeps_rare_matches(spark):
         for r in ddp.containment_pairs(df, "doc_id", "text", tau_permille=900).collect()
     }
     assert capped[(100, 101)] == uncapped[(100, 101)]
+
+
+# -- sorted_neighborhood_pairs ------------------------------------------------
+
+
+def test_sorted_neighborhood_hand_worked(spark):
+    import pytest
+
+    from aleph2_contrib_spark.operators.dedup import sorted_neighborhood_pairs
+
+    rows = [(10, "bob"), (20, "alice"), (30, "carol"), (40, "alicia")]
+    df = spark.createDataFrame(rows, "id long, name string")
+    # sort order by name: alice(20), alicia(40), bob(10), carol(30)
+    got = {
+        (r["id_a"], r["id_b"]): r["rank_dist"]
+        for r in sorted_neighborhood_pairs(df, ["name"], "id", window=2).collect()
+    }
+    assert got == {
+        (20, 40): 1, (40, 10): 1, (10, 30): 1,
+        (20, 10): 2, (40, 30): 2,
+    }
+    with pytest.raises(ValueError, match="window"):
+        sorted_neighborhood_pairs(df, ["name"], "id", window=0)
+
+
+def test_sorted_neighborhood_oracle_matches(spark, tmp_path):
+    import random
+
+    import duckdb
+
+    from aleph2_contrib_spark.operators.dedup import (
+        sorted_neighborhood_oracle_sql,
+        sorted_neighborhood_pairs,
+    )
+
+    rnd = random.Random(19)
+    # duplicate sort keys exercise the id tie-break
+    rows = [(i, rnd.choice("abcdef") * rnd.randint(1, 3)) for i in range(120)]
+    df = spark.createDataFrame(rows, "id long, k string")
+    p = str(tmp_path / "t.parquet")
+    df.coalesce(1).write.parquet(p)
+    got = {tuple(x) for x in sorted_neighborhood_pairs(df, ["k"], "id", window=4).collect()}
+    sql = sorted_neighborhood_oracle_sql(
+        f"SELECT id, k FROM '{p}/*.parquet'", ["k"], "id", window=4
+    )
+    want = {tuple(x) for x in duckdb.sql(sql).fetchall()}
+    assert got == want and len(got) > 0
