@@ -500,12 +500,107 @@ def bench_round7_ops(spark, path, label):
     return out
 
 
+def bench_round8_ops(spark, path, n_edges, label):
+    """Round-8 additions with a scale-relevant plan: deterministic walks
+    (n_steps vertex-sized groupBys + joins), landmark closeness (h
+    frontier joins over (landmark, vertex) state), the 2-D grid radius
+    join (9-cell equi-join, never cartesian), sorted-neighborhood
+    blocking (two-phase rank + band join on the rank), the source-pair
+    MinHash matrix (one distinct + one groupBy building all registers),
+    and the one-row graph QA summary (m^1.5-bounded triangle join)."""
+    from aleph2_contrib_spark.operators.dedup import sorted_neighborhood_pairs
+    from aleph2_contrib_spark.operators.graph import (
+        deterministic_walks,
+        global_graph_stats,
+        landmark_closeness,
+    )
+    from aleph2_contrib_spark.operators.joins import grid_radius_join
+    from aleph2_contrib_spark.operators.text import source_similarity_minhash
+
+    docs = spark.read.parquet(path)
+    out = {}
+
+    def run(name, thunk):
+        t0 = time.perf_counter()
+        thunk()
+        out[name] = round(time.perf_counter() - t0, 2)
+
+    nv = max(n_edges // 8, 10)
+    e = spark.range(n_edges).select(
+        (F.abs(F.xxhash64(F.col("id"), F.lit(51))) % nv).alias("src"),
+        (F.abs(F.xxhash64(F.col("id"), F.lit(52))) % nv).alias("dst"),
+    )
+    run(
+        "walks",
+        lambda: deterministic_walks(e, n_steps=3).agg(
+            F.count(F.lit(1)), F.sum("step_3")
+        ).collect(),
+    )
+    run(
+        "landmark_close",
+        lambda: landmark_closeness(e, n_landmarks=8, max_hops=3)
+        .agg(F.sum("sum_dist"))
+        .collect(),
+    )
+    run(
+        "graph_qa",
+        lambda: global_graph_stats(e).collect(),
+    )
+
+    # points on a grid sized to keep matches/point constant as n grows
+    # (density-constant scaling — the operator's documented regime)
+    n_pts = docs.count()
+    side = int((n_pts * 2_000_000) ** 0.5)
+    pts = docs.select(
+        F.col("doc_id").alias("pid"),
+        (F.abs(F.xxhash64("doc_id", F.lit(61))) % side).alias("x"),
+        (F.abs(F.xxhash64("doc_id", F.lit(62))) % side).alias("y"),
+    )
+    l = pts.filter(F.col("pid") % 2 == 0)
+    r = pts.select(
+        F.col("pid").alias("rid"), F.col("x").alias("rx"), F.col("y").alias("ry")
+    ).filter(F.col("rid") % 2 == 1)
+    run(
+        "grid_radius",
+        lambda: grid_radius_join(
+            l, r, "pid", "x", "y", "rid", "rx", "ry", 1000
+        ).count(),
+    )
+    run(
+        "sorted_nbhd",
+        lambda: sorted_neighborhood_pairs(
+            docs, ["text"], "doc_id", window=4
+        ).count(),
+    )
+    run(
+        "source_minhash",
+        lambda: source_similarity_minhash(docs, "source", "text", k=32)
+        .agg(F.sum("n_matches"))
+        .collect(),
+    )
+    print(label, out, flush=True)
+    return out
+
+
 def main():
     base = int(sys.argv[1]) if len(sys.argv) > 1 else 5000
     factor = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    only = sys.argv[3] if len(sys.argv) > 3 else None
     spark = get_spark("scale-stress")
     p1 = make_docs(spark, base, "/tmp/scale_docs_1x.parquet")
     p2 = make_docs(spark, base * factor, f"/tmp/scale_docs_{factor}x.parquet")
+    if only == "round8":
+        # warmup pass: absorb codegen/JIT compilation so the 1x
+        # measurements reflect the operators, not session cold-start
+        bench_round8_ops(spark, p1, base * 20, "warmup")
+        r1 = bench_round8_ops(spark, p1, base * 20, "1x")
+        r2 = bench_round8_ops(spark, p2, base * factor * 20, f"{factor}x")
+        print("--- scaling ratios (ideal <= %d) ---" % factor)
+        for k in r1:
+            ratio = r2[k] / r1[k] if r1[k] > 0 else float("inf")
+            flag = "  <-- SUPER-LINEAR" if ratio > factor * 1.5 else ""
+            print(f"{k:22s} 1x={r1[k]:7.2f}s {factor}x={r2[k]:8.2f}s ratio={ratio:5.1f}{flag}")
+        return
     r1 = bench_ops(spark, p1, "1x")
     r2 = bench_ops(spark, p2, f"{factor}x")
     g1 = bench_graph_ops(spark, base * 20, "1x")
