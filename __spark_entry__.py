@@ -1758,6 +1758,31 @@ def window_rolling_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source score calibration (operators/corpus.
+    score_rank_normalize): per-source rank-ppm of each document's
+    length score — group-partitioned windows only, exact integer
+    positions; makes incomparable per-source scores mixable under one
+    threshold."""
+    from aleph2_contrib_spark.operators.corpus import score_rank_normalize
+
+    docs = _t(spark, sf_dir, "documents")
+    return score_rank_normalize(docs, "source", "n_chars", "doc_id")
+
+
+def events_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user local-maximum detection (operators/events.
+    peak_detection): points strictly above both neighbors in (ts,
+    value) series order — one key-partitioned lag/lead window,
+    comparisons only."""
+    from aleph2_contrib_spark.operators.events import peak_detection
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"), "value"
+    )
+    return peak_detection(ev, "user_id", "ts_us", "value")
+
+
 def multimodal_audio_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio twin of multimodal_real_codec: each document becomes a real
     RIFF/WAVE 16-bit PCM payload (mono, 8 kHz, n = 8 + doc_id % 5 frames,
@@ -5929,6 +5954,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_source_similarity": text_source_similarity,
         "dedup_sorted_neighborhood": dedup_sorted_neighborhood,
         "window_rolling_range": window_rolling_range,
+        "corpus_rank_normalize": corpus_rank_normalize,
+        "events_peaks": events_peaks,
         "q12_priority_by_linestatus": q12_priority_by_linestatus,
         "docs_clean_corpus": docs_clean_corpus,
         "corpus_mix_sample": corpus_mix_sample,
@@ -6364,9 +6391,13 @@ def _mmr_oracle(k: int = 5, lam: str = "0.75", one_minus: str = "0.25", pool: in
 
 
 def oracle_sql() -> dict[str, str]:
+    from aleph2_contrib_spark.operators.corpus import (
+        score_rank_normalize_oracle_sql,
+    )
     from aleph2_contrib_spark.operators.events import (
         activity_streaks_oracle_sql,
         hopping_window_oracle_sql,
+        peak_detection_oracle_sql,
         survival_table_oracle_sql,
     )
     from aleph2_contrib_spark.operators.graph import (
@@ -6466,6 +6497,18 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_streaks": activity_streaks_oracle_sql(
             'SELECT user_id AS "user", ts FROM events', "user_id"
+        ),
+        "corpus_rank_normalize": score_rank_normalize_oracle_sql(
+            "SELECT doc_id, source, n_chars FROM documents",
+            "source",
+            "n_chars",
+            "doc_id",
+        ),
+        "events_peaks": peak_detection_oracle_sql(
+            "SELECT user_id, epoch_us(ts) AS ts_us, value FROM events",
+            "user_id",
+            "ts_us",
+            "value",
         ),
         "dedup_sorted_neighborhood": sorted_neighborhood_oracle_sql(
             "SELECT c_custkey, c_mktsegment, c_name FROM customer",

@@ -990,3 +990,64 @@ def canonicalize_url_oracle_expr(url_expr: str, strip_www: bool = True) -> str:
         f"(CASE WHEN {q2} <> '' THEN '?' || {q2} ELSE '' END) "
         f"ELSE NULL END"
     )
+
+
+def score_rank_normalize(
+    df: DataFrame, group_col: str, score_col: str, id_col: str
+) -> DataFrame:
+    """Cross-source score calibration: map each record's quality score to
+    its within-group rank position in exact ppm — the rank-based
+    normalization that makes INCOMPARABLE per-source scores (different
+    classifiers, different scales) mixable under one global threshold,
+    the standard prelude to corpus mixing when sources are scored by
+    different models.
+
+    rank_ppm = (rank − 1) · 1e6 div (n − 1)  (0 = group's worst,
+    1e6 = best; single-record groups map to 1e6), rank ordered by
+    (score, id) so ties resolve identically in every engine.
+
+    Plan shape at 100 TB: ONE group-partitioned row_number window + the
+    per-group count — no global sort, no unpartitioned window; sources
+    are the partition key so skew equals source imbalance (salt or
+    sub-split a mega-source upstream).
+    """
+    w = Window.partitionBy("__g").orderBy(F.col("__s").asc(), F.col("__id").asc())
+    wg = Window.partitionBy("__g")
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(group_col).alias("__g"),
+        F.col(score_col).alias("__s"),
+    ).filter(F.col("__s").isNotNull())
+    return (
+        base.withColumn("__rnk", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(wg))
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("__g").alias(group_col),
+            F.col("__s").alias(score_col),
+            F.expr(
+                "CAST(CASE WHEN __n > 1 THEN ((__rnk - 1) * 1000000) div (__n - 1) "
+                "ELSE 1000000 END AS BIGINT)"
+            ).alias("rank_ppm"),
+        )
+    )
+
+
+def score_rank_normalize_oracle_sql(
+    rows_sql: str, group_col: str, score_col: str, id_col: str
+) -> str:
+    """DuckDB replica of :func:`score_rank_normalize`. ``rows_sql``
+    yields (id, group, score) under those output names."""
+    return f"""
+WITH base AS (
+    SELECT {id_col}, {group_col}, {score_col},
+           row_number() OVER (PARTITION BY {group_col}
+                              ORDER BY {score_col}, {id_col}) AS rnk,
+           count(*) OVER (PARTITION BY {group_col}) AS n
+    FROM ({rows_sql}) WHERE {score_col} IS NOT NULL
+)
+SELECT {id_col}, {group_col}, {score_col},
+       CAST(CASE WHEN n > 1 THEN ((rnk - 1) * 1000000) // (n - 1)
+            ELSE 1000000 END AS BIGINT) AS rank_ppm
+FROM base
+"""

@@ -1526,3 +1526,66 @@ SELECT u AS {user_col},
        CAST(count(*) AS BIGINT) AS streak_days
 FROM islands GROUP BY u, grp
 """
+
+
+def peak_detection(
+    df: DataFrame, key_col: str, ts_col: str, value_col: str
+) -> DataFrame:
+    """Local-maximum detection per series — the alerting primitive
+    ("usage spiked") that CUSUM's cumulative drift test does not cover:
+    a peak is a point STRICTLY greater than both its neighbors in
+    (ts, id-free) series order; series boundaries are never peaks
+    (one-sided evidence is not a spike).
+
+    Exactness contract: comparisons only — no arithmetic at all, so any
+    ordered type works unchanged. Ordering is (ts, value) to stay total
+    when timestamps tie. Returns the peak rows
+    (key, ts, value, prev_value, next_value).
+
+    Plan shape: ONE key-partitioned window pass (lag + lead in the same
+    frame) — the cheapest possible shape; at 100 TB the key shuffle is
+    the only data movement.
+    """
+    w = Window.partitionBy("__k").orderBy(F.col("__ts").asc(), F.col("__v").asc())
+    base = df.select(
+        F.col(key_col).alias("__k"),
+        F.col(ts_col).alias("__ts"),
+        F.col(value_col).alias("__v"),
+    ).filter(F.col("__ts").isNotNull() & F.col("__v").isNotNull())
+    return (
+        base.withColumn("__prev", F.lag("__v").over(w))
+        .withColumn("__next", F.lead("__v").over(w))
+        .filter(
+            F.col("__prev").isNotNull()
+            & F.col("__next").isNotNull()
+            & (F.col("__v") > F.col("__prev"))
+            & (F.col("__v") > F.col("__next"))
+        )
+        .select(
+            F.col("__k").alias(key_col),
+            F.col("__ts").alias(ts_col),
+            F.col("__v").alias(value_col),
+            F.col("__prev").alias("prev_value"),
+            F.col("__next").alias("next_value"),
+        )
+    )
+
+
+def peak_detection_oracle_sql(
+    rows_sql: str, key_col: str, ts_col: str, value_col: str
+) -> str:
+    """DuckDB replica of :func:`peak_detection`. ``rows_sql`` yields
+    (key, ts, value) under those output names."""
+    return f"""
+WITH base AS (
+    SELECT {key_col}, {ts_col}, {value_col},
+           lag({value_col}) OVER w AS prev_value,
+           lead({value_col}) OVER w AS next_value
+    FROM ({rows_sql})
+    WHERE {ts_col} IS NOT NULL AND {value_col} IS NOT NULL
+    WINDOW w AS (PARTITION BY {key_col} ORDER BY {ts_col}, {value_col})
+)
+SELECT * FROM base
+WHERE prev_value IS NOT NULL AND next_value IS NOT NULL
+  AND {value_col} > prev_value AND {value_col} > next_value
+"""

@@ -635,3 +635,50 @@ def test_url_dedup_groups_and_oracle(spark, tmp_path):
         ).fetchall()
     }
     assert got == want
+
+
+# -- score_rank_normalize -----------------------------------------------------
+
+
+def test_score_rank_normalize_hand_worked(spark):
+    from aleph2_contrib_spark.operators.corpus import score_rank_normalize
+
+    rows = [
+        (1, "a", 10.0), (2, "a", 30.0), (3, "a", 20.0),   # ranks 1,3,2 of 3
+        (4, "b", 99.0),                                    # singleton -> 1e6
+        (5, "a", None),                                    # dropped
+        (6, "c", 5.0), (7, "c", 5.0),                      # tie -> id order
+    ]
+    df = spark.createDataFrame(rows, "id long, g string, s double")
+    got = {
+        r["id"]: r["rank_ppm"]
+        for r in score_rank_normalize(df, "g", "s", "id").collect()
+    }
+    assert got == {1: 0, 3: 500000, 2: 1000000, 4: 1000000, 6: 0, 7: 1000000}
+
+
+def test_score_rank_normalize_oracle_matches(spark, tmp_path):
+    import random
+
+    import duckdb
+
+    from aleph2_contrib_spark.operators.corpus import (
+        score_rank_normalize,
+        score_rank_normalize_oracle_sql,
+    )
+
+    rnd = random.Random(43)
+    rows = [(i, rnd.choice(["x", "y"]), rnd.randint(0, 20)) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, g string, s long")
+    p = str(tmp_path / "t.parquet")
+    df.coalesce(1).write.parquet(p)
+    got = {tuple(x) for x in score_rank_normalize(df, "g", "s", "id").collect()}
+    want = {
+        tuple(x)
+        for x in duckdb.sql(
+            score_rank_normalize_oracle_sql(
+                f"SELECT id, g, s FROM '{p}/*.parquet'", "g", "s", "id"
+            )
+        ).fetchall()
+    }
+    assert got == want and len(got) == 200

@@ -1130,3 +1130,48 @@ def test_activity_streaks_oracle_matches(spark, tmp_path):
     )
     want = {tuple(x) for x in duckdb.sql(sql).fetchall()}
     assert got == want and len(got) > 0
+
+
+# -- peak_detection -----------------------------------------------------------
+
+
+def test_peak_detection_hand_worked(spark):
+    from aleph2_contrib_spark.operators.events import peak_detection
+
+    rows = [
+        # series u1 over ts 1..6: 1, 5, 2, 2, 7, 3 -> peaks at ts2 (5) and ts5 (7)
+        (1, 1, 1.0), (1, 2, 5.0), (1, 3, 2.0), (1, 4, 2.0), (1, 5, 7.0), (1, 6, 3.0),
+        # u2: monotone -> no interior peak; boundaries never peak
+        (2, 1, 1.0), (2, 2, 2.0), (2, 3, 3.0),
+        # u3: single point -> nothing
+        (3, 9, 4.0),
+    ]
+    df = spark.createDataFrame(rows, "k long, ts long, v double")
+    got = {(r["k"], r["ts"]): (r["v"], r["prev_value"], r["next_value"])
+           for r in peak_detection(df, "k", "ts", "v").collect()}
+    assert got == {(1, 2): (5.0, 1.0, 2.0), (1, 5): (7.0, 2.0, 3.0)}
+
+
+def test_peak_detection_oracle_matches(spark, tmp_path):
+    import random
+
+    import duckdb
+
+    from aleph2_contrib_spark.operators.events import (
+        peak_detection,
+        peak_detection_oracle_sql,
+    )
+
+    rnd = random.Random(3)
+    rows = [(rnd.randint(1, 6), t, rnd.randint(0, 9)) for t in range(500)]
+    df = spark.createDataFrame(rows, "k long, ts long, v long")
+    p = str(tmp_path / "t.parquet")
+    df.coalesce(1).write.parquet(p)
+    got = {tuple(x) for x in peak_detection(df, "k", "ts", "v").collect()}
+    want = {
+        tuple(x)
+        for x in duckdb.sql(
+            peak_detection_oracle_sql(f"SELECT k, ts, v FROM '{p}/*.parquet'", "k", "ts", "v")
+        ).fetchall()
+    }
+    assert got == want and len(got) > 0
