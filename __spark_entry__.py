@@ -1783,6 +1783,17 @@ def events_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return peak_detection(ev, "user_id", "ts_us", "value")
 
 
+def events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trailing-7-day active users (operators/events.
+    rolling_active_users): distinct (user, day) exploded to its 7
+    covered reporting days, one groupBy count — the exact WAU twin of
+    the approximate streaming_hll_windows."""
+    from aleph2_contrib_spark.operators.events import rolling_active_users
+
+    ev = _t(spark, sf_dir, "events")
+    return rolling_active_users(ev, "user_id", "ts", window_days=7)
+
+
 def multimodal_audio_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio twin of multimodal_real_codec: each document becomes a real
     RIFF/WAVE 16-bit PCM payload (mono, 8 kHz, n = 8 + doc_id % 5 frames,
@@ -5956,6 +5967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_rolling_range": window_rolling_range,
         "corpus_rank_normalize": corpus_rank_normalize,
         "events_peaks": events_peaks,
+        "events_active_users": events_active_users,
         "q12_priority_by_linestatus": q12_priority_by_linestatus,
         "docs_clean_corpus": docs_clean_corpus,
         "corpus_mix_sample": corpus_mix_sample,
@@ -6398,6 +6410,7 @@ def oracle_sql() -> dict[str, str]:
         activity_streaks_oracle_sql,
         hopping_window_oracle_sql,
         peak_detection_oracle_sql,
+        rolling_active_users_oracle_sql,
         survival_table_oracle_sql,
     )
     from aleph2_contrib_spark.operators.graph import (
@@ -6497,6 +6510,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_streaks": activity_streaks_oracle_sql(
             'SELECT user_id AS "user", ts FROM events', "user_id"
+        ),
+        "events_active_users": rolling_active_users_oracle_sql(
+            'SELECT user_id AS "user", ts FROM events', window_days=7
         ),
         "corpus_rank_normalize": score_rank_normalize_oracle_sql(
             "SELECT doc_id, source, n_chars FROM documents",

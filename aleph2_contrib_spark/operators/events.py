@@ -1589,3 +1589,75 @@ SELECT * FROM base
 WHERE prev_value IS NOT NULL AND next_value IS NOT NULL
   AND {value_col} > prev_value AND {value_col} > next_value
 """
+
+
+def rolling_active_users(
+    df: DataFrame, user_col: str, ts_col: str, window_days: int = 7
+) -> DataFrame:
+    """Exact rolling active users — the WAU/MAU metric: for each day,
+    how many DISTINCT users were active in the trailing ``window_days``
+    window. A RANGE window frame cannot express this (Spark has no
+    count-distinct-over-window); the scalable exact form is explode-
+    to-covered-days:
+
+      distinct (user, day) → each activity day contributes the user to
+      the ``window_days`` target days it covers (a JVM-side sequence
+      explode) → distinct (user, target) → ONE groupBy(target) count.
+
+    Target days past the last activity day are cut (a trailing window
+    that ends after the data is not a reporting day) via a 1-row
+    broadcast of max(day). Returns (day, n_active) with day = days
+    since 1970-01-01 UTC.
+
+    Plan shape at 100 TB: shuffle volume is distinct activity pairs ×
+    window_days skinny rows — the explicit amplification dial (×7 WAU,
+    ×30 MAU); counts are map-side-partial after the second distinct.
+    For sketch-precision-is-enough cases the HLL window family is the
+    cheaper path; this is the exact one.
+    """
+    if window_days < 1:
+        raise ValueError(f"window_days must be >= 1, got {window_days}")
+    day = F.datediff(
+        F.to_date(F.col(ts_col).cast("timestamp")), F.lit("1970-01-01").cast("date")
+    ).cast("long")
+    ud = (
+        df.filter(F.col(ts_col).isNotNull() & F.col(user_col).isNotNull())
+        .select(F.col(user_col).alias("__u"), day.alias("__day"))
+        .distinct()
+    )
+    covered = ud.select(
+        "__u",
+        F.explode(
+            F.sequence(
+                F.col("__day"), F.col("__day") + F.lit(int(window_days) - 1)
+            )
+        ).alias("__target"),
+    ).distinct()
+    max_day = ud.agg(F.max("__day").alias("__max_day"))
+    return (
+        covered.join(F.broadcast(max_day), F.col("__target") <= F.col("__max_day"))
+        .groupBy("__target")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
+        .select(F.col("__target").alias("day"), "n_active")
+    )
+
+
+def rolling_active_users_oracle_sql(
+    rows_sql: str, window_days: int = 7
+) -> str:
+    """DuckDB replica of :func:`rolling_active_users`. ``rows_sql``
+    yields ("user", ts)."""
+    return f"""
+WITH ud AS (
+    SELECT DISTINCT "user" AS u,
+           CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS day
+    FROM ({rows_sql}) WHERE ts IS NOT NULL AND "user" IS NOT NULL
+), covered AS (
+    SELECT DISTINCT u, day + g AS target
+    FROM ud, unnest(range(0, {int(window_days)})) AS t(g)
+)
+SELECT target AS day, CAST(count(*) AS BIGINT) AS n_active
+FROM covered
+WHERE target <= (SELECT max(day) FROM ud)
+GROUP BY target
+"""

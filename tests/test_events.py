@@ -1175,3 +1175,64 @@ def test_peak_detection_oracle_matches(spark, tmp_path):
         ).fetchall()
     }
     assert got == want and len(got) > 0
+
+
+# -- rolling_active_users -----------------------------------------------------
+
+
+def test_rolling_active_users_hand_worked(spark):
+    import datetime as dt
+
+    import pytest
+
+    from aleph2_contrib_spark.operators.events import rolling_active_users
+
+    def t(day):
+        return dt.datetime(1970, 1, day)
+
+    rows = [
+        (1, t(1)), (1, t(1)),   # u1 active day 0 (dup collapses)
+        (2, t(2)),              # u2 active day 1
+        (1, t(4)),              # u1 again day 3
+        (None, t(1)), (3, None),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {r["day"]: r["n_active"] for r in rolling_active_users(df, "user_id", "ts", 3).collect()}
+    # day 0: {u1}; day 1: {u1,u2}; day 2: {u1,u2}; day 3: {u2,u1}
+    # (days 4,5 would still cover u1's day-3 activity but are past
+    # max(day)=3 and cut)
+    assert got == {0: 1, 1: 2, 2: 2, 3: 2}
+    with pytest.raises(ValueError, match="window_days"):
+        rolling_active_users(df, "user_id", "ts", 0)
+
+
+def test_rolling_active_users_oracle_matches(spark, tmp_path):
+    import datetime as dt
+    import random
+
+    import duckdb
+
+    from aleph2_contrib_spark.operators.events import (
+        rolling_active_users,
+        rolling_active_users_oracle_sql,
+    )
+
+    rnd = random.Random(13)
+    rows = [
+        (rnd.randint(1, 20),
+         dt.datetime(2024, 3, 1) + dt.timedelta(days=rnd.randint(0, 25)))
+        for _ in range(600)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    p = str(tmp_path / "ev.parquet")
+    df.coalesce(1).write.parquet(p)
+    got = {tuple(x) for x in rolling_active_users(df, "user_id", "ts", 7).collect()}
+    want = {
+        tuple(x)
+        for x in duckdb.sql(
+            rolling_active_users_oracle_sql(
+                f"SELECT user_id AS \"user\", ts FROM '{p}/*.parquet'", 7
+            )
+        ).fetchall()
+    }
+    assert got == want and len(got) > 0

@@ -58,6 +58,10 @@ INTENTIONAL_BNLJ = {
     "profile_benford",             # 9-digit rows x 1-row broadcast total
     "profile_join_size",           # three 1-row aggregates joined 1x1x1
     "events_rfm_segments",         # per-user aggregate x 1-row broadcast max-ts "now"
+    "profile_inclusion_deps",      # per pair: two 1-row aggregates joined 1x1
+    "graph_global_stats",          # three 1-row scalar aggregates joined 1x1x1
+    "events_active_users",         # covered-days x 1-row broadcast max-day cut
+    "text_source_similarity",      # group-sized signature self-join (groups << rows)
 }
 
 
