@@ -1644,6 +1644,58 @@ def corpus_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_dedup(docs, "url", "doc_id")
 
 
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real image resize end-to-end: the multimodal_real_codec images
+    (w = 4 + doc_id % 5, h = 3 + doc_id % 4, gray pixel k =
+    (doc_id*31 + k*7) % 256) pushed through the production
+    multimodal.resize_images path with the REAL nearest-neighbor
+    resampler (operators/codecs.resize_rgb, source pixel =
+    (x·w div 2, y·h div 2)), then the resized 2×2 PPM decoded back by
+    the real codec — the 4 surviving gray levels recovered exactly via
+    the 16-bin histogram. DuckDB replays the resample index arithmetic
+    symbolically."""
+    import pandas as pd
+
+    from aleph2_contrib_spark.operators import multimodal as mm
+    from aleph2_contrib_spark.operators.codecs import (
+        encode_ppm,
+        media_decoder,
+        resize_rgb,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+
+    def gen(batches):
+        for b in batches:
+            rows = []
+            for did in b["doc_id"]:
+                did = int(did)
+                w, h = 4 + did % 5, 3 + did % 4
+                rgb = bytearray()
+                for k in range(w * h):
+                    g = (did * 31 + k * 7) % 256
+                    rgb += bytes((g, g, g))
+                rows.append(
+                    {"__source_file": str(did), "content": encode_ppm(w, h, bytes(rgb))}
+                )
+            yield pd.DataFrame(rows, columns=["__source_file", "content"])
+
+    imgs = docs.mapInPandas(gen, schema="`__source_file` string, content binary")
+    resized = mm.resize_images(imgs, 2, 2, resizer=resize_rgb)
+    feats = mm.extract_media_features(resized, decoder=media_decoder)
+    return feats.select(
+        "__source_file",
+        F.concat_ws(
+            ",",
+            F.transform(
+                "embedding", lambda x: F.round(x * 4).cast("int").cast("string")
+            ),
+        ).alias("hist"),
+    )
+
+
 def similarity_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reciprocal-rank fusion (operators/similarity.rrf_fusion) of two
     heterogeneous user rankings — exact total spend (DECIMAL cents) and
@@ -5968,6 +6020,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_rank_normalize": corpus_rank_normalize,
         "events_peaks": events_peaks,
         "events_active_users": events_active_users,
+        "multimodal_resize": multimodal_resize,
         "q12_priority_by_linestatus": q12_priority_by_linestatus,
         "docs_clean_corpus": docs_clean_corpus,
         "corpus_mix_sample": corpus_mix_sample,
@@ -6511,6 +6564,27 @@ def oracle_sql() -> dict[str, str]:
         "events_streaks": activity_streaks_oracle_sql(
             'SELECT user_id AS "user", ts FROM events', "user_id"
         ),
+        "multimodal_resize": """
+            WITH d AS (
+                SELECT doc_id, CAST(4 + doc_id % 5 AS INT) AS w,
+                       CAST(3 + doc_id % 4 AS INT) AS h
+                FROM documents
+            ), px AS (
+                -- output pixel (x, y) of the 2x2 resample samples source
+                -- index k = (y*h//2)*w + (x*w//2)
+                SELECT doc_id, w, h,
+                       ((y * h) // 2) * w + ((x * w) // 2) AS k
+                FROM d, unnest(range(0, 2)) AS tx(x), unnest(range(0, 2)) AS ty(y)
+            ), hist AS (
+                SELECT doc_id,
+                       list(((doc_id * 31 + k * 7) % 256) // 16) AS bl
+                FROM px GROUP BY doc_id
+            )
+            SELECT CAST(doc_id AS VARCHAR) AS "__source_file",
+                   array_to_string(list_transform(range(0, 16),
+                     i -> CAST(len(list_filter(bl, b -> b = i)) AS VARCHAR)), ',') AS hist
+            FROM hist
+        """,
         "events_active_users": rolling_active_users_oracle_sql(
             'SELECT user_id AS "user", ts FROM events', window_days=7
         ),
