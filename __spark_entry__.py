@@ -1644,6 +1644,62 @@ def corpus_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_dedup(docs, "url", "doc_id")
 
 
+def corpus_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve (operators/corpus.vocab_coverage): per
+    token its frequency rank, cumulative count and exact cumulative
+    corpus share — one corpus-sized groupBy, then the two-phase global
+    scan over the vocab-sized table (no single-task sort)."""
+    from aleph2_contrib_spark.operators.corpus import vocab_coverage
+
+    docs = _t(spark, sf_dir, "documents")
+    return vocab_coverage(docs, "text")
+
+
+def events_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval union per user (operators/events.merge_intervals):
+    event intervals [ts, ts + floor(value·1e9) µs] merged where they
+    overlap or touch — running-max islands on two key-partitioned
+    windows; coverage complement of the concurrency timeline."""
+    from aleph2_contrib_spark.operators.events import merge_intervals
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("s"),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            + F.floor(F.col("value") * 1e9).cast("long")
+        ).alias("e"),
+    )
+    return merge_intervals(ev, "user_id", "s", "e")
+
+
+def text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose router (operators/text.code_detect): exact symbol
+    density and keyword-per-100-words signals per document — the
+    corpus triage that keeps prose heuristics from junking source
+    code."""
+    from aleph2_contrib_spark.operators.text import code_detect
+
+    docs = _t(spark, sf_dir, "documents")
+    return code_detect(docs)
+
+
+def profile_format_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Format-pattern discovery (operators/profile.format_patterns):
+    shape signatures (A+/a+/9+ runs) counted for customer names, order
+    priorities and event types — the mixed-format DQ screen."""
+    from aleph2_contrib_spark.operators.profile import format_patterns
+
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    ev = _t(spark, sf_dir, "events")
+    return (
+        format_patterns(c, ["c_name"])
+        .unionByName(format_patterns(o, ["o_orderpriority"]))
+        .unionByName(format_patterns(ev, ["event_type"]))
+    )
+
+
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real image resize end-to-end: the multimodal_real_codec images
     (w = 4 + doc_id % 5, h = 3 + doc_id % 4, gray pixel k =
@@ -6021,6 +6077,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_peaks": events_peaks,
         "events_active_users": events_active_users,
         "multimodal_resize": multimodal_resize,
+        "corpus_vocab_coverage": corpus_vocab_coverage,
+        "events_interval_merge": events_interval_merge,
+        "text_code_detect": text_code_detect,
+        "profile_format_patterns": profile_format_patterns,
         "q12_priority_by_linestatus": q12_priority_by_linestatus,
         "docs_clean_corpus": docs_clean_corpus,
         "corpus_mix_sample": corpus_mix_sample,
@@ -6458,13 +6518,21 @@ def _mmr_oracle(k: int = 5, lam: str = "0.75", one_minus: str = "0.25", pool: in
 def oracle_sql() -> dict[str, str]:
     from aleph2_contrib_spark.operators.corpus import (
         score_rank_normalize_oracle_sql,
+        vocab_coverage_oracle_sql,
     )
     from aleph2_contrib_spark.operators.events import (
         activity_streaks_oracle_sql,
         hopping_window_oracle_sql,
+        merge_intervals_oracle_sql,
         peak_detection_oracle_sql,
         rolling_active_users_oracle_sql,
         survival_table_oracle_sql,
+    )
+    from aleph2_contrib_spark.operators.profile import (
+        format_patterns_oracle_sql,
+    )
+    from aleph2_contrib_spark.operators.text import (
+        code_detect_oracle_sql,
     )
     from aleph2_contrib_spark.operators.graph import (
         bipartite_project_oracle_sql,
@@ -6563,6 +6631,25 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_streaks": activity_streaks_oracle_sql(
             'SELECT user_id AS "user", ts FROM events', "user_id"
+        ),
+        "corpus_vocab_coverage": vocab_coverage_oracle_sql(
+            "SELECT text FROM documents"
+        ),
+        "events_interval_merge": merge_intervals_oracle_sql(
+            """
+            SELECT user_id, epoch_us(ts) AS s,
+                   epoch_us(ts) + CAST(floor(value * 1e9) AS BIGINT) AS e
+            FROM events
+            """,
+            "user_id",
+        ),
+        "text_code_detect": code_detect_oracle_sql("documents"),
+        "profile_format_patterns": (
+            format_patterns_oracle_sql("customer", ["c_name"])
+            + " UNION ALL "
+            + format_patterns_oracle_sql("orders", ["o_orderpriority"])
+            + " UNION ALL "
+            + format_patterns_oracle_sql("events", ["event_type"])
         ),
         "multimodal_resize": """
             WITH d AS (

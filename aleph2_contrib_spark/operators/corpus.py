@@ -1051,3 +1051,93 @@ SELECT {id_col}, {group_col}, {score_col},
             ELSE 1000000 END AS BIGINT) AS rank_ppm
 FROM base
 """
+
+
+def vocab_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Vocabulary coverage curve — the tokenizer-prep analytic "what
+    vocab size covers X% of corpus tokens": per distinct lowercase word
+    token, its total occurrence count, frequency rank, inclusive
+    cumulative count and exact cumulative share in ppm, ordered by
+    (count DESC, token ASC) so the curve is engine-exact.
+
+    Plan shape at 100 TB: ONE map-side-partial groupBy over tokens
+    (the only corpus-sized stage), then the repo's two-phase global
+    scan over the VOCAB-sized count table (range-partition on the rank
+    order, per-partition window, driver prefix over per-partition
+    totals, broadcast back — pack_sequences' machinery, including the
+    eager localCheckpoint barrier; no single-task sort even at
+    100M-token vocabularies). The corpus total falls out of the prefix
+    pass for free.
+    """
+    spark = df.sparkSession
+    nparts = num_partitions or spark.sparkContext.defaultParallelism
+    counts = (
+        df.select(
+            F.explode(
+                F.split(F.lower(F.col(text_col)), "[^a-z0-9]+")
+            ).alias("token")
+        )
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    d = (
+        counts.repartitionByRange(nparts, F.col("cnt").desc(), F.col("token").asc())
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    w = Window.partitionBy("__pid").orderBy(F.col("cnt").desc(), F.col("token").asc())
+    d = d.withColumn("__local_cum", F.sum("cnt").over(w)).withColumn(
+        "__local_rank", F.row_number().over(w)
+    )
+    # same barrier as pack_sequences: offsets below are keyed by __pid
+    d = d.localCheckpoint(eager=True)
+    totals = d.groupBy("__pid").agg(
+        F.sum("cnt").alias("__ptot"), F.count(F.lit(1)).alias("__pn")
+    ).collect()
+    running, running_n, offsets = 0, 0, {}
+    for row in sorted(totals, key=lambda r: r["__pid"]):
+        offsets[row["__pid"]] = (running, running_n)
+        running += row["__ptot"]
+        running_n += row["__pn"]
+    total = int(running)
+    off_df = spark.createDataFrame(
+        [(int(p), int(o), int(n)) for p, (o, n) in offsets.items()],
+        "__pid int, __off long, __noff long",
+    )
+    return (
+        d.join(F.broadcast(off_df), "__pid")
+        .select(
+            "token",
+            "cnt",
+            (F.col("__local_rank") + F.col("__noff")).cast("long").alias("rank"),
+            (F.col("__local_cum") + F.col("__off")).cast("long").alias("cum_cnt"),
+            F.expr(
+                f"CAST(((__local_cum + __off) * 1000000) div {total} AS BIGINT)"
+            ).alias("cum_ppm"),
+        )
+    )
+
+
+def vocab_coverage_oracle_sql(rows_sql: str, text_col: str = "text") -> str:
+    """DuckDB replica of :func:`vocab_coverage` — one window cumsum over
+    the vocab-sized count table."""
+    return f"""
+WITH counts AS (
+    SELECT token, CAST(count(*) AS BIGINT) AS cnt
+    FROM (SELECT unnest(string_split_regex(lower({text_col}), '[^a-z0-9]+')) AS token
+          FROM ({rows_sql}))
+    WHERE token <> '' GROUP BY token
+)
+SELECT token, cnt,
+       row_number() OVER (ORDER BY cnt DESC, token) AS rank,
+       CAST(sum(cnt) OVER (ORDER BY cnt DESC, token
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cnt,
+       CAST((sum(cnt) OVER (ORDER BY cnt DESC, token
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1000000)
+            // (SELECT sum(cnt) FROM counts) AS BIGINT) AS cum_ppm
+FROM counts
+"""

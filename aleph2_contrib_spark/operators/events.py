@@ -1661,3 +1661,79 @@ FROM covered
 WHERE target <= (SELECT max(day) FROM ud)
 GROUP BY target
 """
+
+
+def merge_intervals(
+    df: DataFrame, key_col: str, start_col: str, end_col: str
+) -> DataFrame:
+    """Union of overlapping-or-touching intervals per key — the coverage
+    primitive (machine uptime windows, user presence, validity spans)
+    behind "total covered time" questions; the batch complement of
+    concurrency_timeline (which counts overlap depth, not coverage).
+
+    Classic running-max islands: intervals ordered by (start, end); a
+    new island starts where start > max(end) over all PRIOR intervals
+    of the key (touching endpoints merge). Emits one row per merged
+    island: (key, start, end, n_merged). Invalid rows (NULLs,
+    end < start) are dropped.
+
+    Plan shape at 100 TB: two key-partitioned window passes (prior-max
+    + island id via running sum of flags) and one (key, island)
+    groupBy — all on the key shuffle, no self-join, no unpartitioned
+    window.
+    """
+    w_prev = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__s").asc(), F.col("__e").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = Window.partitionBy("__k").orderBy(F.col("__s").asc(), F.col("__e").asc())
+    base = df.select(
+        F.col(key_col).alias("__k"),
+        F.col(start_col).cast("long").alias("__s"),
+        F.col(end_col).cast("long").alias("__e"),
+    ).filter(
+        F.col("__s").isNotNull()
+        & F.col("__e").isNotNull()
+        & (F.col("__e") >= F.col("__s"))
+    )
+    flagged = base.withColumn("__prev_max", F.max("__e").over(w_prev)).withColumn(
+        "__new",
+        F.when(
+            F.col("__prev_max").isNull() | (F.col("__s") > F.col("__prev_max")),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    islands = flagged.withColumn("__isl", F.sum("__new").over(w_run))
+    return islands.groupBy("__k", "__isl").agg(
+        F.min("__s").cast("long").alias("start"),
+        F.max("__e").cast("long").alias("end"),
+        F.count(F.lit(1)).cast("long").alias("n_merged"),
+    ).select(F.col("__k").alias(key_col), "start", "end", "n_merged")
+
+
+def merge_intervals_oracle_sql(rows_sql: str, key_col: str) -> str:
+    """DuckDB replica of :func:`merge_intervals`. ``rows_sql`` yields
+    (key, s, e)."""
+    return f"""
+WITH base AS (
+    SELECT {key_col} AS k, CAST(s AS BIGINT) AS s, CAST(e AS BIGINT) AS e
+    FROM ({rows_sql})
+    WHERE s IS NOT NULL AND e IS NOT NULL AND e >= s
+), flagged AS (
+    SELECT *, CASE WHEN max(e) OVER (PARTITION BY k ORDER BY s, e
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                     OR s > max(e) OVER (PARTITION BY k ORDER BY s, e
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               THEN 1 ELSE 0 END AS new_island
+    FROM base
+), islands AS (
+    SELECT *, sum(new_island) OVER (PARTITION BY k ORDER BY s, e
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+    FROM flagged
+)
+SELECT k AS {key_col}, CAST(min(s) AS BIGINT) AS start,
+       CAST(max(e) AS BIGINT) AS "end",
+       CAST(count(*) AS BIGINT) AS n_merged
+FROM islands GROUP BY k, isl
+"""

@@ -1347,3 +1347,53 @@ SELECT '{name}' AS dep,
         // (SELECT count(DISTINCT {lcol}) FROM {ltab} WHERE {lcol} IS NOT NULL)
         AS BIGINT) AS containment_ppm""")
     return " UNION ALL ".join(sels)
+
+
+def format_patterns(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Format-pattern discovery — the DQ profiler that finds MIXED value
+    formats in a column (three phone formats, two id schemes, stray
+    whitespace): each value maps to its shape signature — uppercase
+    runs → ``A+``, lowercase runs → ``a+``, digit runs → ``9+``, other
+    characters kept verbatim — and shapes are counted per column.
+    NULL appears as the '∅' pattern so missingness shows in the same
+    report.
+
+    Returns (col_name, pattern, n). The signature regexes are in the
+    shared Java∩RE2 dialect with no backreference replacements. Plan
+    shape: one narrow signature projection + ONE groupBy per column
+    over the (tiny) distinct-shape space; unioned column reports.
+    """
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    parts = []
+    for c in cols:
+        sig = F.col(c).cast("string")
+        sig = F.regexp_replace(sig, "[A-Z]+", "A+")
+        sig = F.regexp_replace(sig, "[a-z]+", "a+")
+        sig = F.regexp_replace(sig, "[0-9]+", "9+")
+        parts.append(
+            df.select(F.coalesce(sig, F.lit("∅")).alias("pattern"))
+            .groupBy("pattern")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .select(F.lit(c).alias("col_name"), "pattern", "n")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def format_patterns_oracle_sql(table: str, cols: list[str]) -> str:
+    """DuckDB replica of :func:`format_patterns`."""
+    sels = []
+    for c in cols:
+        sig = (
+            f"regexp_replace(regexp_replace(regexp_replace("
+            f"CAST({c} AS VARCHAR), '[A-Z]+', 'A+', 'g'), "
+            f"'[a-z]+', 'a+', 'g'), '[0-9]+', '9+', 'g')"
+        )
+        sels.append(f"""
+SELECT '{c}' AS col_name, coalesce({sig}, '∅') AS pattern,
+       CAST(count(*) AS BIGINT) AS n
+FROM {table} GROUP BY 2""")
+    return " UNION ALL ".join(sels)

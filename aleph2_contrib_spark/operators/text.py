@@ -946,3 +946,91 @@ SELECT a.g AS group_a, b.g AS group_b,
        CAST((({matches}) * 1000000) // {int(k)} AS BIGINT) AS jaccard_est_ppm
 FROM regs a JOIN regs b ON a.g < b.g
 """
+
+
+_CODE_KEYWORDS = (
+    "def|class|return|import|function|var|const|if|else|for|while|void|int|public"
+)
+
+
+def code_detect(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    symbol_ppm_min: int = 40_000,
+    keyword_per_100w_min: int = 8,
+) -> DataFrame:
+    """Code-vs-prose router — the corpus triage step that sends source
+    code to a code pipeline (different dedup granularity, different
+    quality rules) instead of letting prose heuristics junk it. Two
+    exact signals per document:
+
+      symbol_ppm        code punctuation ({}[]();=<>#) per char, ppm
+      kw_per_100w_x100  code keyword hits per 100 words, ×100 fixed
+                        point (keywords: def/class/return/import/…)
+
+    is_code = symbol_ppm >= symbol_ppm_min OR keyword density >=
+    keyword_per_100w_min (×100 internally). All counts are
+    regexp_count over the shared Java∩RE2 dialect; one narrow pass.
+    """
+    n_chars = F.length(F.col(text_col))
+    n_sym = F.regexp_count(F.col(text_col), F.lit(r"[{}\[\]();=<>#]"))
+    n_words = F.regexp_count(F.col(text_col), F.lit("[A-Za-z]+"))
+    n_kw = F.regexp_count(
+        F.lower(F.col(text_col)), F.lit(rf"\b({_CODE_KEYWORDS})\b")
+    )
+    base = df.select(
+        F.col(id_col),
+        n_chars.cast("long").alias("__nc"),
+        n_sym.cast("long").alias("n_symbols"),
+        n_words.cast("long").alias("__nw"),
+        n_kw.cast("long").alias("n_keywords"),
+    )
+    return base.select(
+        id_col,
+        "n_symbols",
+        "n_keywords",
+        F.expr(
+            "CAST(CASE WHEN __nc > 0 THEN (n_symbols * 1000000) div __nc "
+            "ELSE 0 END AS BIGINT)"
+        ).alias("symbol_ppm"),
+        F.expr(
+            "CAST(CASE WHEN __nw > 0 THEN (n_keywords * 10000) div __nw "
+            "ELSE 0 END AS BIGINT)"
+        ).alias("kw_per_100w_x100"),
+    ).withColumn(
+        "is_code",
+        (F.col("symbol_ppm") >= F.lit(int(symbol_ppm_min)))
+        | (F.col("kw_per_100w_x100") >= F.lit(int(keyword_per_100w_min) * 100)),
+    )
+
+
+def code_detect_oracle_sql(
+    table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    symbol_ppm_min: int = 40_000,
+    keyword_per_100w_min: int = 8,
+) -> str:
+    """DuckDB replica of :func:`code_detect`."""
+    sym = f"len(regexp_extract_all({text_col}, '[{{}}\\[\\]();=<>#]'))"
+    words = f"len(regexp_extract_all({text_col}, '[A-Za-z]+'))"
+    kw = f"len(regexp_extract_all(lower({text_col}), '\\b({_CODE_KEYWORDS})\\b'))"
+    return f"""
+SELECT {id_col},
+       CAST({sym} AS BIGINT) AS n_symbols,
+       CAST({kw} AS BIGINT) AS n_keywords,
+       CAST(CASE WHEN len({text_col}) > 0
+            THEN ({sym} * 1000000) // len({text_col}) ELSE 0 END AS BIGINT)
+           AS symbol_ppm,
+       CAST(CASE WHEN {words} > 0
+            THEN ({kw} * 10000) // {words} ELSE 0 END AS BIGINT)
+           AS kw_per_100w_x100,
+       (CASE WHEN len({text_col}) > 0
+             THEN ({sym} * 1000000) // len({text_col}) ELSE 0 END)
+           >= {int(symbol_ppm_min)}
+       OR (CASE WHEN {words} > 0
+                THEN ({kw} * 10000) // {words} ELSE 0 END)
+           >= {int(keyword_per_100w_min) * 100} AS is_code
+FROM {table}
+"""

@@ -682,3 +682,49 @@ def test_score_rank_normalize_oracle_matches(spark, tmp_path):
         ).fetchall()
     }
     assert got == want and len(got) == 200
+
+
+# -- vocab_coverage -----------------------------------------------------------
+
+
+def test_vocab_coverage_hand_worked(spark):
+    from aleph2_contrib_spark.operators.corpus import vocab_coverage
+
+    df = spark.createDataFrame(
+        [("b b b a a c",), ("a b, d!",)], "text string"
+    )
+    # counts: b=4, a=3, c=1, d=1 (total 9); rank ties by token asc
+    got = {r["token"]: (r["rank"], r["cnt"], r["cum_cnt"], r["cum_ppm"])
+           for r in vocab_coverage(df, "text").collect()}
+    assert got == {
+        "b": (1, 4, 4, 4 * 1000000 // 9),
+        "a": (2, 3, 7, 7 * 1000000 // 9),
+        "c": (3, 1, 8, 8 * 1000000 // 9),
+        "d": (4, 1, 9, 1000000),
+    }
+
+
+def test_vocab_coverage_oracle_matches(spark, tmp_path):
+    import random
+
+    import duckdb
+
+    from aleph2_contrib_spark.operators.corpus import (
+        vocab_coverage,
+        vocab_coverage_oracle_sql,
+    )
+
+    rnd = random.Random(5)
+    vocab = [f"w{j}" for j in range(40)]
+    rows = [(" ".join(rnd.choice(vocab) for _ in range(25)),) for _ in range(200)]
+    df = spark.createDataFrame(rows, "text string")
+    p = str(tmp_path / "d.parquet")
+    df.coalesce(1).write.parquet(p)
+    got = {tuple(x) for x in vocab_coverage(df, "text").collect()}
+    want = {
+        tuple(x)
+        for x in duckdb.sql(
+            vocab_coverage_oracle_sql(f"SELECT text FROM '{p}/*.parquet'")
+        ).fetchall()
+    }
+    assert got == want and len(got) == 40

@@ -1236,3 +1236,54 @@ def test_rolling_active_users_oracle_matches(spark, tmp_path):
         ).fetchall()
     }
     assert got == want and len(got) > 0
+
+
+# -- merge_intervals ----------------------------------------------------------
+
+
+def test_merge_intervals_hand_worked(spark):
+    from aleph2_contrib_spark.operators.events import merge_intervals
+
+    rows = [
+        # key 1: [1,5],[4,8] overlap; [8,9] touches -> one island [1,9];
+        # [20,22] separate
+        (1, 1, 5), (1, 4, 8), (1, 8, 9), (1, 20, 22),
+        # contained interval [2,3] inside [1,9]
+        (1, 2, 3),
+        # key 2: invalid (e < s) dropped, single valid island
+        (2, 10, 9), (2, 10, 12),
+        # NULLs dropped
+        (3, None, 5), (3, 4, None),
+    ]
+    df = spark.createDataFrame(rows, "k long, s long, e long")
+    got = {(r["k"], r["start"], r["end"]): r["n_merged"]
+           for r in merge_intervals(df, "k", "s", "e").collect()}
+    assert got == {(1, 1, 9): 4, (1, 20, 22): 1, (2, 10, 12): 1}
+
+
+def test_merge_intervals_oracle_matches(spark, tmp_path):
+    import random
+
+    import duckdb
+
+    from aleph2_contrib_spark.operators.events import (
+        merge_intervals,
+        merge_intervals_oracle_sql,
+    )
+
+    rnd = random.Random(23)
+    rows = []
+    for i in range(500):
+        s = rnd.randint(0, 300)
+        rows.append((rnd.randint(1, 8), s, s + rnd.randint(0, 25)))
+    df = spark.createDataFrame(rows, "k long, s long, e long")
+    p = str(tmp_path / "t.parquet")
+    df.coalesce(1).write.parquet(p)
+    got = {tuple(x) for x in merge_intervals(df, "k", "s", "e").collect()}
+    want = {
+        tuple(x)
+        for x in duckdb.sql(
+            merge_intervals_oracle_sql(f"SELECT k, s, e FROM '{p}/*.parquet'", "k")
+        ).fetchall()
+    }
+    assert got == want and len(got) > 0

@@ -714,3 +714,39 @@ def test_inclusion_deps_hand_worked(spark):
     assert got == {"l<=r": (3, 2, 666666), "r<=l": (3, 2, 666666)}
     with pytest.raises(ValueError):
         inclusion_deps([])
+
+
+# -- format_patterns ----------------------------------------------------------
+
+
+def test_format_patterns_hand_worked(spark):
+    import pytest
+
+    from aleph2_contrib_spark.operators.profile import format_patterns
+
+    rows = [("Customer#000000001",), ("Customer#000000002",), ("ACME-12b",), (None,)]
+    df = spark.createDataFrame(rows, "v string")
+    got = {r["pattern"]: r["n"] for r in format_patterns(df, ["v"]).collect()}
+    assert got == {"A+a+#9+": 2, "A+-9+a+": 1, "∅": 1}
+    with pytest.raises(ValueError):
+        format_patterns(df, [])
+
+
+def test_format_patterns_oracle_matches(spark, tmp_path):
+    import duckdb
+
+    from aleph2_contrib_spark.operators.profile import (
+        format_patterns,
+        format_patterns_oracle_sql,
+    )
+
+    rows = [("aB3",), ("x-1",), ("x-2",), ("HTTP2",), (None,), ("",)]
+    df = spark.createDataFrame(rows, "v string")
+    p = str(tmp_path / "t.parquet")
+    df.coalesce(1).write.parquet(p)
+    got = {tuple(x) for x in format_patterns(df, ["v"]).collect()}
+    want = {
+        tuple(x)
+        for x in duckdb.sql(format_patterns_oracle_sql(f"'{p}/*.parquet'", ["v"])).fetchall()
+    }
+    assert got == want

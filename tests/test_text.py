@@ -104,3 +104,43 @@ def test_source_similarity_oracle_matches(spark, tmp_path):
         ).fetchall()
     }
     assert got == want and len(got) == 6
+
+
+# -- code_detect --------------------------------------------------------------
+
+
+def test_code_detect_routes_code_vs_prose(spark):
+    from aleph2_contrib_spark.operators.text import code_detect
+
+    rows = [
+        (1, "def f(x):\n    return x + 1\n\nclass A:\n    pass"),
+        (2, "The quick brown fox jumps over the lazy dog again and again."),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in code_detect(df).collect()}
+    assert got[1]["is_code"] is True and got[1]["n_keywords"] >= 3
+    assert got[2]["is_code"] is False and got[2]["symbol_ppm"] == 0
+    assert got[3]["is_code"] is False and got[3]["symbol_ppm"] == 0
+
+
+def test_code_detect_oracle_matches(spark, tmp_path):
+    import duckdb
+
+    from aleph2_contrib_spark.operators.text import (
+        code_detect,
+        code_detect_oracle_sql,
+    )
+
+    rows = [
+        (1, "def f(x): return [x]"),
+        (2, "plain words only here"),
+        (3, "if (a < b) { c = d; } else { e = f; }"),
+        (4, "for the record, while nice, this is prose"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    p = str(tmp_path / "d.parquet")
+    df.coalesce(1).write.parquet(p)
+    got = {tuple(x) for x in code_detect(df).collect()}
+    want = {tuple(x) for x in duckdb.sql(code_detect_oracle_sql(f"'{p}/*.parquet'")).fetchall()}
+    assert got == want
