@@ -1700,6 +1700,47 @@ def profile_format_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def profile_ingestion_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feed-continuity screen (operators/profile.ingestion_gaps):
+    missing calendar-day ranges per event type over a sparsified feed
+    (users ≡ 0 mod 50) — distinct (key, day) then one lead() window."""
+    from aleph2_contrib_spark.operators.profile import ingestion_gaps
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") % 50 == 0)
+    return ingestion_gaps(ev, "event_type", "ts")
+
+
+def profile_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (operators/profile.table_diff): orders vs a
+    deterministically mutated next-day snapshot (every 11th key
+    dropped, every 7th repriced, a shifted-key block added) — one
+    keyed full-outer join + NULL-safe column compare, counts per
+    added/removed/changed/unchanged."""
+    from aleph2_contrib_spark.operators.profile import table_diff
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    nxt = (
+        o.filter(F.col("o_orderkey") % 11 != 0)
+        .select(
+            "o_orderkey",
+            F.when(
+                F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") * 2
+            ).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+            "o_orderstatus",
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 13 == 0).select(
+                (F.col("o_orderkey") + F.lit(1_000_000_000)).alias("o_orderkey"),
+                "o_totalprice",
+                "o_orderstatus",
+            )
+        )
+    )
+    return table_diff(o, nxt, ["o_orderkey"], ["o_totalprice", "o_orderstatus"])
+
+
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real image resize end-to-end: the multimodal_real_codec images
     (w = 4 + doc_id % 5, h = 3 + doc_id % 4, gray pixel k =
@@ -6081,6 +6122,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_interval_merge": events_interval_merge,
         "text_code_detect": text_code_detect,
         "profile_format_patterns": profile_format_patterns,
+        "profile_ingestion_gaps": profile_ingestion_gaps,
+        "profile_table_diff": profile_table_diff,
         "q12_priority_by_linestatus": q12_priority_by_linestatus,
         "docs_clean_corpus": docs_clean_corpus,
         "corpus_mix_sample": corpus_mix_sample,
@@ -6530,6 +6573,8 @@ def oracle_sql() -> dict[str, str]:
     )
     from aleph2_contrib_spark.operators.profile import (
         format_patterns_oracle_sql,
+        ingestion_gaps_oracle_sql,
+        table_diff_oracle_sql,
     )
     from aleph2_contrib_spark.operators.text import (
         code_detect_oracle_sql,
@@ -6650,6 +6695,25 @@ def oracle_sql() -> dict[str, str]:
             + format_patterns_oracle_sql("orders", ["o_orderpriority"])
             + " UNION ALL "
             + format_patterns_oracle_sql("events", ["event_type"])
+        ),
+        "profile_ingestion_gaps": ingestion_gaps_oracle_sql(
+            "SELECT event_type AS k, ts FROM events WHERE user_id % 50 = 0",
+            "event_type",
+        ),
+        "profile_table_diff": table_diff_oracle_sql(
+            "SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders",
+            """
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2
+                        ELSE o_totalprice END AS o_totalprice,
+                   o_orderstatus
+            FROM orders WHERE o_orderkey % 11 <> 0
+            UNION ALL
+            SELECT o_orderkey + 1000000000, o_totalprice, o_orderstatus
+            FROM orders WHERE o_orderkey % 13 = 0
+            """,
+            ["o_orderkey"],
+            ["o_totalprice", "o_orderstatus"],
         ),
         "multimodal_resize": """
             WITH d AS (

@@ -1397,3 +1397,145 @@ SELECT '{c}' AS col_name, coalesce({sig}, '∅') AS pattern,
        CAST(count(*) AS BIGINT) AS n
 FROM {table} GROUP BY 2""")
     return " UNION ALL ".join(sels)
+
+
+def ingestion_gaps(
+    df: DataFrame, key_col: str, ts_col: str
+) -> DataFrame:
+    """Ingestion-continuity screen: per source/feed key, the missing
+    calendar-day ranges inside its observed span — the "feed went dark
+    Tuesday–Thursday" DQ check that per-day row counts bury. A gap is
+    a maximal run of days with NO data strictly between two observed
+    days.
+
+    Returns (key, gap_start_day, gap_end_day, gap_days), day = days
+    since 1970-01-01 UTC. Plan shape: distinct (key, day) — the only
+    data-sized pass — then ONE key-partitioned lead() window; gaps
+    fall out of consecutive observed days with lead > day + 1.
+    """
+    day = F.datediff(
+        F.to_date(F.col(ts_col).cast("timestamp")), F.lit("1970-01-01").cast("date")
+    ).cast("long")
+    from pyspark.sql import Window
+
+    ud = (
+        df.filter(F.col(ts_col).isNotNull() & F.col(key_col).isNotNull())
+        .select(F.col(key_col).alias("__k"), day.alias("__day"))
+        .distinct()
+    )
+    w = Window.partitionBy("__k").orderBy(F.col("__day").asc())
+    return (
+        ud.withColumn("__next", F.lead("__day").over(w))
+        .filter(F.col("__next") > F.col("__day") + 1)
+        .select(
+            F.col("__k").alias(key_col),
+            (F.col("__day") + 1).cast("long").alias("gap_start_day"),
+            (F.col("__next") - 1).cast("long").alias("gap_end_day"),
+            (F.col("__next") - F.col("__day") - 1).cast("long").alias("gap_days"),
+        )
+    )
+
+
+def ingestion_gaps_oracle_sql(rows_sql: str, key_col: str) -> str:
+    """DuckDB replica of :func:`ingestion_gaps`. ``rows_sql`` yields
+    (key, ts) under the output names (k, ts)."""
+    return f"""
+WITH ud AS (
+    SELECT DISTINCT k,
+           CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS day
+    FROM ({rows_sql}) WHERE ts IS NOT NULL AND k IS NOT NULL
+), nxt AS (
+    SELECT k, day, lead(day) OVER (PARTITION BY k ORDER BY day) AS next_day
+    FROM ud
+)
+SELECT k AS {key_col}, CAST(day + 1 AS BIGINT) AS gap_start_day,
+       CAST(next_day - 1 AS BIGINT) AS gap_end_day,
+       CAST(next_day - day - 1 AS BIGINT) AS gap_days
+FROM nxt WHERE next_day > day + 1
+"""
+
+
+def table_diff(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Snapshot diff — the data-ops regression tool ("what changed
+    between yesterday's build and today's"): keyed full-outer
+    comparison of two table versions, summarized as one row per status:
+
+      added     key in right only
+      removed   key in left only
+      changed   key in both, any compare column differs (NULL-safe)
+      unchanged key in both, all compare columns equal
+
+    Returns (status, n). Exactness: comparisons are NULL-safe equality
+    (``<=>``) — no hashing, no float arithmetic, engine-portable for
+    any column type.
+
+    Plan shape at 100 TB: ONE full-outer sort-merge/hash join on the
+    key (both sides column-pruned to key + compare cols) + a map-side-
+    partial groupBy over 4 statuses. For repeated diffing, bucket both
+    snapshots by the key to make the join co-located.
+    """
+    if not key_cols or not compare_cols:
+        raise ValueError("key_cols and compare_cols must be non-empty")
+    l = left.select(
+        *[F.col(k).alias(f"__lk_{k}") for k in key_cols],
+        *[F.col(c).alias(f"__lv_{c}") for c in compare_cols],
+        F.lit(1).alias("__l"),
+    )
+    r = right.select(
+        *[F.col(k).alias(f"__rk_{k}") for k in key_cols],
+        *[F.col(c).alias(f"__rv_{c}") for c in compare_cols],
+        F.lit(1).alias("__r"),
+    )
+    cond = None
+    for k in key_cols:
+        c = F.col(f"__lk_{k}").eqNullSafe(F.col(f"__rk_{k}"))
+        cond = c if cond is None else (cond & c)
+    joined = l.join(r, cond, "full_outer")
+    same = None
+    for c in compare_cols:
+        eq = F.col(f"__lv_{c}").eqNullSafe(F.col(f"__rv_{c}"))
+        same = eq if same is None else (same & eq)
+    status = (
+        F.when(F.col("__l").isNull(), F.lit("added"))
+        .when(F.col("__r").isNull(), F.lit("removed"))
+        .when(same, F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return (
+        joined.select(status.alias("status"))
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def table_diff_oracle_sql(
+    left_sql: str,
+    right_sql: str,
+    key_cols: list[str],
+    compare_cols: list[str],
+) -> str:
+    """DuckDB replica of :func:`table_diff` (IS NOT DISTINCT FROM =
+    Spark's <=>)."""
+    on = " AND ".join(
+        f"l.{k} IS NOT DISTINCT FROM r.{k}" for k in key_cols
+    )
+    same = " AND ".join(
+        f"l.{c} IS NOT DISTINCT FROM r.{c}" for c in compare_cols
+    )
+    return f"""
+WITH j AS (
+    SELECT CASE WHEN l.__l IS NULL THEN 'added'
+                WHEN r.__r IS NULL THEN 'removed'
+                WHEN {same} THEN 'unchanged'
+                ELSE 'changed' END AS status
+    FROM (SELECT *, 1 AS __l FROM ({left_sql})) l
+    FULL OUTER JOIN (SELECT *, 1 AS __r FROM ({right_sql})) r
+      ON {on}
+)
+SELECT status, CAST(count(*) AS BIGINT) AS n FROM j GROUP BY status
+"""

@@ -750,3 +750,116 @@ def test_format_patterns_oracle_matches(spark, tmp_path):
         for x in duckdb.sql(format_patterns_oracle_sql(f"'{p}/*.parquet'", ["v"])).fetchall()
     }
     assert got == want
+
+
+# -- ingestion_gaps -----------------------------------------------------------
+
+
+def test_ingestion_gaps_hand_worked(spark):
+    import datetime as dt
+
+    from aleph2_contrib_spark.operators.profile import ingestion_gaps
+
+    def t(day, hour=6):
+        return dt.datetime(1970, 1, day, hour)
+
+    rows = [
+        ("a", t(1)), ("a", t(2)), ("a", t(5)), ("a", t(6)), ("a", t(9)),
+        ("b", t(3)), ("b", t(4)),           # contiguous -> no gap
+        (None, t(1)), ("c", None),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp")
+    got = {
+        (r["k"], r["gap_start_day"], r["gap_end_day"]): r["gap_days"]
+        for r in ingestion_gaps(df, "k", "ts").collect()
+    }
+    # 'a' observed days 0,1,4,5,8 -> gaps [2,3] and [6,7]
+    assert got == {("a", 2, 3): 2, ("a", 6, 7): 2}
+
+
+def test_ingestion_gaps_oracle_matches(spark, tmp_path):
+    import datetime as dt
+    import random
+
+    import duckdb
+
+    from aleph2_contrib_spark.operators.profile import (
+        ingestion_gaps,
+        ingestion_gaps_oracle_sql,
+    )
+
+    rnd = random.Random(7)
+    rows = [
+        (rnd.choice(["x", "y", "z"]),
+         dt.datetime(2024, 5, 1) + dt.timedelta(days=rnd.randint(0, 30)))
+        for _ in range(60)
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp")
+    p = str(tmp_path / "t.parquet")
+    df.coalesce(1).write.parquet(p)
+    got = {tuple(x) for x in ingestion_gaps(df, "k", "ts").collect()}
+    want = {
+        tuple(x)
+        for x in duckdb.sql(
+            ingestion_gaps_oracle_sql(f"SELECT k, ts FROM '{p}/*.parquet'", "k")
+        ).fetchall()
+    }
+    assert got == want and len(got) > 0
+
+
+# -- table_diff ---------------------------------------------------------------
+
+
+def test_table_diff_hand_worked(spark):
+    import pytest
+
+    from aleph2_contrib_spark.operators.profile import table_diff
+
+    l = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, None, 30.0), (4, "d", 40.0)],
+        "k long, s string, v double",
+    )
+    r = spark.createDataFrame(
+        [(1, "a", 10.0),        # unchanged
+         (2, "b", 21.0),        # changed (v)
+         (3, None, 30.0),       # unchanged (NULL-safe equality on s)
+         (5, "e", 50.0)],       # added; key 4 removed
+        "k long, s string, v double",
+    )
+    got = {x["status"]: x["n"] for x in table_diff(l, r, ["k"], ["s", "v"]).collect()}
+    assert got == {"unchanged": 2, "changed": 1, "added": 1, "removed": 1}
+    with pytest.raises(ValueError):
+        table_diff(l, r, [], ["s"])
+
+
+def test_table_diff_oracle_matches(spark, tmp_path):
+    import random
+
+    import duckdb
+
+    from aleph2_contrib_spark.operators.profile import (
+        table_diff,
+        table_diff_oracle_sql,
+    )
+
+    rnd = random.Random(37)
+    lrows = [(i, rnd.choice(["a", "b", None]), rnd.randint(0, 5)) for i in range(150)]
+    rrows = [(i, rnd.choice(["a", "b", None]), rnd.randint(0, 5)) for i in range(30, 180)]
+    l = spark.createDataFrame(lrows, "k long, s string, v long")
+    r = spark.createDataFrame(rrows, "k long, s string, v long")
+    lp, rp = str(tmp_path / "l.parquet"), str(tmp_path / "r.parquet")
+    l.coalesce(1).write.parquet(lp)
+    r.coalesce(1).write.parquet(rp)
+    got = {tuple(x) for x in table_diff(l, r, ["k"], ["s", "v"]).collect()}
+    want = {
+        tuple(x)
+        for x in duckdb.sql(
+            table_diff_oracle_sql(
+                f"SELECT k, s, v FROM '{lp}/*.parquet'",
+                f"SELECT k, s, v FROM '{rp}/*.parquet'",
+                ["k"],
+                ["s", "v"],
+            )
+        ).fetchall()
+    }
+    assert got == want
