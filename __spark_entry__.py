@@ -1741,6 +1741,38 @@ def profile_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table_diff(o, nxt, ["o_orderkey"], ["o_totalprice", "o_orderstatus"])
 
 
+_RECURSIVE_CTE_SQL = """
+WITH RECURSIVE anc(ck, anc, depth) AS (
+    SELECT c_custkey AS ck,
+           CAST((c_custkey - c_custkey % 3) / 3 AS BIGINT) AS anc,
+           1 AS depth
+    FROM customer
+    UNION ALL
+    SELECT ck, CAST((anc - anc % 3) / 3 AS BIGINT), depth + 1
+    FROM anc WHERE anc > 0
+)
+SELECT ck AS c_custkey,
+       CAST(max(depth) AS BIGINT) AS n_levels,
+       CAST(sum(anc) AS BIGINT) AS anc_sum,
+       CAST(min(anc) AS BIGINT) AS root
+FROM anc GROUP BY ck
+"""
+
+
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE SQL passthrough (Spark 4.x WITH RECURSIVE): each
+    customer walked up its implicit ternary ancestor chain (parent =
+    child div 3, expressed engine-portably as (k − k%3)/3) to the root,
+    aggregating level count / ancestor sum per customer. The ONE SQL
+    text runs verbatim on both engines — hierarchical queries
+    (org charts, category trees, BOM explosions) no longer need the
+    hand-rolled iterative-join operators; for graphs deeper than a
+    recursion budget or cyclic inputs, the iterative operators
+    (bfs_levels, connected_components) remain the scale path."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(_RECURSIVE_CTE_SQL)
+
+
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real image resize end-to-end: the multimodal_real_codec images
     (w = 4 + doc_id % 5, h = 3 + doc_id % 4, gray pixel k =
@@ -6124,6 +6156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_format_patterns": profile_format_patterns,
         "profile_ingestion_gaps": profile_ingestion_gaps,
         "profile_table_diff": profile_table_diff,
+        "sql_recursive_cte": sql_recursive_cte,
         "q12_priority_by_linestatus": q12_priority_by_linestatus,
         "docs_clean_corpus": docs_clean_corpus,
         "corpus_mix_sample": corpus_mix_sample,
@@ -6696,6 +6729,7 @@ def oracle_sql() -> dict[str, str]:
             + " UNION ALL "
             + format_patterns_oracle_sql("events", ["event_type"])
         ),
+        "sql_recursive_cte": _RECURSIVE_CTE_SQL,
         "profile_ingestion_gaps": ingestion_gaps_oracle_sql(
             "SELECT event_type AS k, ts FROM events WHERE user_id % 50 = 0",
             "event_type",
