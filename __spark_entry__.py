@@ -1741,6 +1741,19 @@ def profile_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table_diff(o, nxt, ["o_orderkey"], ["o_totalprice", "o_orderstatus"])
 
 
+def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWAP per user (operators/events.time_weighted_avg): each gauge
+    observation holds until the next, weights in exact µs × f6
+    DECIMAL(38,0), twa_f6 = num div duration — one key-partitioned
+    lead() window + one groupBy on the same key."""
+    from aleph2_contrib_spark.operators.events import time_weighted_avg
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("t"), "value"
+    )
+    return time_weighted_avg(ev, "user_id", "t", "value")
+
+
 _RECURSIVE_CTE_SQL = """
 WITH RECURSIVE anc(ck, anc, depth) AS (
     SELECT c_custkey AS ck,
@@ -6157,6 +6170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_ingestion_gaps": profile_ingestion_gaps,
         "profile_table_diff": profile_table_diff,
         "sql_recursive_cte": sql_recursive_cte,
+        "events_time_weighted_avg": events_time_weighted_avg,
         "q12_priority_by_linestatus": q12_priority_by_linestatus,
         "docs_clean_corpus": docs_clean_corpus,
         "corpus_mix_sample": corpus_mix_sample,
@@ -6603,6 +6617,7 @@ def oracle_sql() -> dict[str, str]:
         peak_detection_oracle_sql,
         rolling_active_users_oracle_sql,
         survival_table_oracle_sql,
+        time_weighted_avg_oracle_sql,
     )
     from aleph2_contrib_spark.operators.profile import (
         format_patterns_oracle_sql,
@@ -6730,6 +6745,10 @@ def oracle_sql() -> dict[str, str]:
             + format_patterns_oracle_sql("events", ["event_type"])
         ),
         "sql_recursive_cte": _RECURSIVE_CTE_SQL,
+        "events_time_weighted_avg": time_weighted_avg_oracle_sql(
+            "SELECT user_id AS k, epoch_us(ts) AS t, value AS v FROM events",
+            "user_id",
+        ),
         "profile_ingestion_gaps": ingestion_gaps_oracle_sql(
             "SELECT event_type AS k, ts FROM events WHERE user_id % 50 = 0",
             "event_type",

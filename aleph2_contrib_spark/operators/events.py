@@ -1737,3 +1737,77 @@ SELECT k AS {key_col}, CAST(min(s) AS BIGINT) AS start,
        CAST(count(*) AS BIGINT) AS n_merged
 FROM islands GROUP BY k, isl
 """
+
+
+def time_weighted_avg(
+    df: DataFrame, key_col: str, ts_col: str, value_col: str
+) -> DataFrame:
+    """Time-weighted average per key — the monitoring/finance mean
+    (TWAP, average gauge value, mean queue depth) where a plain AVG is
+    wrong because samples are irregular: each observation holds until
+    the next one, so it weighs by its holding duration.
+
+    Exactness contract: values fix to v_fx = floor(v·1e6); the
+    numerator Σ v_fx·Δt accumulates in DECIMAL(38,0) (µs durations ×
+    f6 values overflow a long within hours); twa_f6 = num div duration
+    — exact integer division, engine-portable. Observations at the
+    same timestamp contribute 0 weight except the run's last (lead()
+    within the tie is the same ts), so ties are deterministic without
+    a tie-break contract. Keys with zero observed duration emit NULL
+    (nothing to weight). Returns (key, n_points, dur_us, twa_f6).
+
+    Plan shape at 100 TB: one key-partitioned lead() window + one
+    groupBy on the same key — single shuffle.
+    """
+    base = df.select(
+        F.col(key_col).alias("__k"),
+        F.col(ts_col).cast("long").alias("__t"),
+        F.floor(F.col(value_col).cast("double") * 1e6).cast("long").alias("__v"),
+    ).filter(F.col("__t").isNotNull() & F.col("__v").isNotNull())
+    w = Window.partitionBy("__k").orderBy(F.col("__t").asc(), F.col("__v").asc())
+    stepped = base.withColumn("__next", F.lead("__t").over(w))
+    return (
+        stepped.groupBy("__k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_points"),
+            (F.max("__t") - F.min("__t")).cast("long").alias("dur_us"),
+            F.sum(
+                F.col("__v").cast("decimal(38,0)")
+                * (F.coalesce(F.col("__next"), F.col("__t")) - F.col("__t")).cast(
+                    "decimal(38,0)"
+                )
+            ).cast("decimal(38,0)").alias("__num"),
+        )
+        .select(
+            F.col("__k").alias(key_col),
+            "n_points",
+            "dur_us",
+            F.expr(
+                "CAST(CASE WHEN dur_us > 0 THEN __num div dur_us "
+                "ELSE NULL END AS BIGINT)"
+            ).alias("twa_f6"),
+        )
+    )
+
+
+def time_weighted_avg_oracle_sql(rows_sql: str, key_col: str) -> str:
+    """DuckDB replica of :func:`time_weighted_avg`. ``rows_sql`` yields
+    (k, t, v) with t integer micros."""
+    return f"""
+WITH base AS (
+    SELECT k, CAST(t AS BIGINT) AS t,
+           CAST(floor(CAST(v AS DOUBLE) * 1e6) AS BIGINT) AS vfx
+    FROM ({rows_sql}) WHERE t IS NOT NULL AND v IS NOT NULL
+), stepped AS (
+    SELECT *, lead(t) OVER (PARTITION BY k ORDER BY t, vfx) AS nxt
+    FROM base
+)
+SELECT k AS {key_col},
+       CAST(count(*) AS BIGINT) AS n_points,
+       CAST(max(t) - min(t) AS BIGINT) AS dur_us,
+       CAST(CASE WHEN max(t) - min(t) > 0 THEN
+            sum(CAST(vfx AS HUGEINT) * (coalesce(nxt, t) - t))
+            // (max(t) - min(t))
+            ELSE NULL END AS BIGINT) AS twa_f6
+FROM stepped GROUP BY k
+"""

@@ -1287,3 +1287,54 @@ def test_merge_intervals_oracle_matches(spark, tmp_path):
         ).fetchall()
     }
     assert got == want and len(got) > 0
+
+
+# -- time_weighted_avg --------------------------------------------------------
+
+
+def test_time_weighted_avg_hand_worked(spark):
+    from aleph2_contrib_spark.operators.events import time_weighted_avg
+
+    rows = [
+        # key 1: v=2.0 holds [0,10), v=4.0 holds [10,30) -> twa = (2*10+4*20)/30
+        (1, 0, 2.0), (1, 10, 4.0), (1, 30, 6.0),
+        # key 2: single point -> zero duration -> NULL
+        (2, 5, 9.0),
+        # key 3: duplicate ts: only the run's last gets weight
+        (3, 0, 1.0), (3, 0, 3.0), (3, 10, 5.0),
+    ]
+    df = spark.createDataFrame(rows, "k long, t long, v double")
+    got = {r["k"]: (r["n_points"], r["dur_us"], r["twa_f6"])
+           for r in time_weighted_avg(df, "k", "t", "v").collect()}
+    assert got[1] == (3, 30, (2_000_000 * 10 + 4_000_000 * 20) // 30)
+    assert got[2] == (1, 0, None)
+    # key 3: v=1 weight 0, v=3 holds [0,10) -> twa = 3.0
+    assert got[3] == (3, 10, 3_000_000)
+
+
+def test_time_weighted_avg_oracle_matches(spark, tmp_path):
+    import random
+
+    import duckdb
+
+    from aleph2_contrib_spark.operators.events import (
+        time_weighted_avg,
+        time_weighted_avg_oracle_sql,
+    )
+
+    rnd = random.Random(53)
+    rows = [
+        (rnd.randint(1, 9), rnd.randint(0, 10_000_000), round(rnd.uniform(-5, 5), 4))
+        for _ in range(600)
+    ]
+    df = spark.createDataFrame(rows, "k long, t long, v double")
+    p = str(tmp_path / "t.parquet")
+    df.coalesce(1).write.parquet(p)
+    got = {tuple(x) for x in time_weighted_avg(df, "k", "t", "v").collect()}
+    want = {
+        tuple(x)
+        for x in duckdb.sql(
+            time_weighted_avg_oracle_sql(f"SELECT k, t, v FROM '{p}/*.parquet'", "k")
+        ).fetchall()
+    }
+    assert got == want and len(got) == 9
