@@ -1754,6 +1754,44 @@ def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return time_weighted_avg(ev, "user_id", "t", "value")
 
 
+def corpus_chat_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT-conversation QA (operators/corpus.chat_turn_stats): documents
+    become deterministic JSON conversations (2 + doc_id%4 turns,
+    alternating roles, every 7th doc carrying a doubled-user violation),
+    parsed with from_json + posexplode and validated for strict
+    user/assistant alternation — one groupBy(id). The oracle rebuilds
+    the same JSON and validates via DuckDB's JSON functions."""
+    from aleph2_contrib_spark.operators.corpus import chat_turn_stats
+
+    d = F.col("doc_id")
+    n = (d % 4 + 2).cast("int")
+    role = lambda i: (
+        F.when(i % 2 == 0, F.lit("user"))
+        .when((d % 7 == 0) & (i == 1), F.lit("user"))
+        .otherwise(F.lit("assistant"))
+    )
+    turn = lambda i: F.concat(
+        F.lit('{"role":"'),
+        role(i),
+        F.lit('","content":"c'),
+        d.cast("string"),
+        F.lit("_"),
+        i.cast("string"),
+        F.lit('"}'),
+    )
+    conv = F.concat(
+        F.lit("["),
+        F.array_join(
+            F.transform(F.sequence(F.lit(0), n - 1), lambda i: turn(i)), ","
+        ),
+        F.lit("]"),
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), conv.alias("conv")
+    )
+    return chat_turn_stats(docs, "doc_id", "conv")
+
+
 _RECURSIVE_CTE_SQL = """
 WITH RECURSIVE anc(ck, anc, depth) AS (
     SELECT c_custkey AS ck,
@@ -6171,6 +6209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_table_diff": profile_table_diff,
         "sql_recursive_cte": sql_recursive_cte,
         "events_time_weighted_avg": events_time_weighted_avg,
+        "corpus_chat_turns": corpus_chat_turns,
         "q12_priority_by_linestatus": q12_priority_by_linestatus,
         "docs_clean_corpus": docs_clean_corpus,
         "corpus_mix_sample": corpus_mix_sample,
@@ -6607,6 +6646,7 @@ def _mmr_oracle(k: int = 5, lam: str = "0.75", one_minus: str = "0.25", pool: in
 
 def oracle_sql() -> dict[str, str]:
     from aleph2_contrib_spark.operators.corpus import (
+        chat_turn_stats_oracle_sql,
         score_rank_normalize_oracle_sql,
         vocab_coverage_oracle_sql,
     )
@@ -6745,6 +6785,22 @@ def oracle_sql() -> dict[str, str]:
             + format_patterns_oracle_sql("events", ["event_type"])
         ),
         "sql_recursive_cte": _RECURSIVE_CTE_SQL,
+        "corpus_chat_turns": chat_turn_stats_oracle_sql(
+            """
+            SELECT doc_id AS id,
+                   '[' || array_to_string(list_transform(
+                       range(0, CAST(doc_id % 4 + 2 AS BIGINT)),
+                       i -> '{"role":"'
+                            || CASE WHEN i % 2 = 0 THEN 'user'
+                                    WHEN doc_id % 7 = 0 AND i = 1 THEN 'user'
+                                    ELSE 'assistant' END
+                            || '","content":"c' || CAST(doc_id AS VARCHAR)
+                            || '_' || CAST(i AS VARCHAR) || '"}'), ',')
+                   || ']' AS conv
+            FROM documents
+            """,
+            "doc_id",
+        ),
         "events_time_weighted_avg": time_weighted_avg_oracle_sql(
             "SELECT user_id AS k, epoch_us(ts) AS t, value AS v FROM events",
             "user_id",

@@ -1141,3 +1141,99 @@ SELECT token, cnt,
             // (SELECT sum(cnt) FROM counts) AS BIGINT) AS cum_ppm
 FROM counts
 """
+
+
+def chat_turn_stats(
+    df: DataFrame, id_col: str, conv_col: str
+) -> DataFrame:
+    """SFT-conversation QA — the structural validation instruction-tuning
+    pipelines run before chat-template rendering: parse a JSON
+    conversation column ([{"role":…,"content":…}, …]) and emit per
+    conversation the turn counts and the strict-alternation verdict
+    (turn i must be 'user' for even i, 'assistant' for odd i — the
+    contract most chat templates assume; a doubled role or a
+    system-role stray breaks training downstream, silently).
+
+    Returns (id, n_turns, n_user, n_assistant, total_chars,
+    alternates_ok, is_valid) with is_valid = alternates_ok AND
+    n_turns >= 2. Malformed JSON parses to NULL and the conversation is
+    DROPPED (pre-filter with a validity screen if you need the reject
+    stream). NULL contents count 0 chars.
+
+    Plan shape at 100 TB: from_json + posexplode JVM-side, ONE
+    groupBy(id) with map-side partial aggregates — turn rows never
+    leave the stage unaggregated beyond the id shuffle.
+    """
+    turns = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(
+            F.from_json(
+                F.col(conv_col), "array<struct<role:string,content:string>>"
+            )
+        ).alias("__i", "__t"),
+    ).select(
+        "__id",
+        "__i",
+        F.col("__t.role").alias("__role"),
+        F.coalesce(F.length(F.col("__t.content")), F.lit(0)).alias("__len"),
+    )
+    expected = F.when(F.col("__i") % 2 == 0, F.lit("user")).otherwise(
+        F.lit("assistant")
+    )
+    return (
+        turns.withColumn(
+            "__viol",
+            F.when(
+                F.col("__role").isNull() | (F.col("__role") != expected), F.lit(1)
+            ).otherwise(F.lit(0)),
+        )
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_turns"),
+            F.sum(
+                F.when(F.col("__role") == "user", 1).otherwise(0)
+            ).cast("long").alias("n_user"),
+            F.sum(
+                F.when(F.col("__role") == "assistant", 1).otherwise(0)
+            ).cast("long").alias("n_assistant"),
+            F.sum("__len").cast("long").alias("total_chars"),
+            (F.sum("__viol") == 0).alias("alternates_ok"),
+        )
+        .withColumn(
+            "is_valid", F.col("alternates_ok") & (F.col("n_turns") >= 2)
+        )
+        .withColumnRenamed("__id", id_col)
+    )
+
+
+def chat_turn_stats_oracle_sql(rows_sql: str, id_col: str) -> str:
+    """DuckDB replica of :func:`chat_turn_stats`. ``rows_sql`` yields
+    (id, conv) with conv a JSON array string."""
+    return f"""
+WITH t AS (
+    SELECT id, conv,
+           unnest(range(0, CAST(json_array_length(conv) AS BIGINT))) AS i
+    FROM ({rows_sql}) WHERE json_valid(conv)
+), turns AS (
+    SELECT id, i,
+           json_extract_string(conv, '$[' || i || '].role') AS role,
+           coalesce(len(json_extract_string(conv, '$[' || i || '].content')), 0)
+               AS clen
+    FROM t
+)
+SELECT id AS {id_col},
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT) AS n_user,
+       CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_assistant,
+       CAST(sum(clen) AS BIGINT) AS total_chars,
+       sum(CASE WHEN role IS NULL
+                  OR role <> (CASE WHEN i % 2 = 0 THEN 'user'
+                                   ELSE 'assistant' END)
+                THEN 1 ELSE 0 END) = 0 AS alternates_ok,
+       (sum(CASE WHEN role IS NULL
+                   OR role <> (CASE WHEN i % 2 = 0 THEN 'user'
+                                    ELSE 'assistant' END)
+                 THEN 1 ELSE 0 END) = 0) AND count(*) >= 2 AS is_valid
+FROM turns GROUP BY id
+"""

@@ -728,3 +728,68 @@ def test_vocab_coverage_oracle_matches(spark, tmp_path):
         ).fetchall()
     }
     assert got == want and len(got) == 40
+
+
+# -- chat_turn_stats ----------------------------------------------------------
+
+
+def test_chat_turn_stats_hand_worked(spark):
+    import json
+
+    from aleph2_contrib_spark.operators.corpus import chat_turn_stats
+
+    def conv(*roles):
+        return json.dumps(
+            [{"role": r, "content": f"m{i}"} for i, r in enumerate(roles)]
+        )
+
+    rows = [
+        (1, conv("user", "assistant", "user", "assistant")),  # valid
+        (2, conv("user", "user")),                            # doubled user
+        (3, conv("assistant", "user")),                       # wrong start
+        (4, conv("user",)),                                   # too short
+        (5, '[{"role":"user","content":null}]'),              # NULL content
+        (6, "not json at all"),                               # dropped
+    ]
+    df = spark.createDataFrame(rows, "id long, conv string")
+    got = {r["id"]: r.asDict() for r in chat_turn_stats(df, "id", "conv").collect()}
+    assert set(got) == {1, 2, 3, 4, 5}
+    assert got[1]["is_valid"] is True and got[1]["n_user"] == 2
+    assert got[2]["alternates_ok"] is False
+    assert got[3]["alternates_ok"] is False
+    assert got[4]["alternates_ok"] is True and got[4]["is_valid"] is False
+    assert got[5]["total_chars"] == 0
+
+
+def test_chat_turn_stats_oracle_matches(spark, tmp_path):
+    import json
+    import random
+
+    import duckdb
+
+    from aleph2_contrib_spark.operators.corpus import (
+        chat_turn_stats,
+        chat_turn_stats_oracle_sql,
+    )
+
+    rnd = random.Random(61)
+    rows = []
+    for i in range(120):
+        n = rnd.randint(1, 6)
+        roles = [
+            rnd.choice(["user", "assistant", "system"]) for _ in range(n)
+        ]
+        rows.append(
+            (i, json.dumps([{"role": r, "content": "x" * rnd.randint(0, 5)} for r in roles]))
+        )
+    df = spark.createDataFrame(rows, "id long, conv string")
+    p = str(tmp_path / "c.parquet")
+    df.coalesce(1).write.parquet(p)
+    got = {tuple(x) for x in chat_turn_stats(df, "id", "conv").collect()}
+    want = {
+        tuple(x)
+        for x in duckdb.sql(
+            chat_turn_stats_oracle_sql(f"SELECT id, conv FROM '{p}/*.parquet'", "id")
+        ).fetchall()
+    }
+    assert got == want and len(got) == 120
