@@ -1792,6 +1792,22 @@ def corpus_chat_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chat_turn_stats(docs, "doc_id", "conv")
 
 
+def corpus_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPO pair construction (operators/corpus.preference_pairs): events
+    as reward-scored candidates per user — chosen/rejected by the
+    (floor(value·1e6), event_id) total order with exact margins; one
+    groupBy of lexicographic struct extrema."""
+    from aleph2_contrib_spark.operators.corpus import preference_pairs
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("event_type").alias("cand"),
+        F.floor(F.col("value") * 1e6).cast("long").alias("score_f6"),
+        "event_id",
+    )
+    return preference_pairs(ev, "user_id", "cand", "score_f6", "event_id")
+
+
 _RECURSIVE_CTE_SQL = """
 WITH RECURSIVE anc(ck, anc, depth) AS (
     SELECT c_custkey AS ck,
@@ -6210,6 +6226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_recursive_cte": sql_recursive_cte,
         "events_time_weighted_avg": events_time_weighted_avg,
         "corpus_chat_turns": corpus_chat_turns,
+        "corpus_preference_pairs": corpus_preference_pairs,
         "q12_priority_by_linestatus": q12_priority_by_linestatus,
         "docs_clean_corpus": docs_clean_corpus,
         "corpus_mix_sample": corpus_mix_sample,
@@ -6647,6 +6664,7 @@ def _mmr_oracle(k: int = 5, lam: str = "0.75", one_minus: str = "0.25", pool: in
 def oracle_sql() -> dict[str, str]:
     from aleph2_contrib_spark.operators.corpus import (
         chat_turn_stats_oracle_sql,
+        preference_pairs_oracle_sql,
         score_rank_normalize_oracle_sql,
         vocab_coverage_oracle_sql,
     )
@@ -6785,6 +6803,14 @@ def oracle_sql() -> dict[str, str]:
             + format_patterns_oracle_sql("events", ["event_type"])
         ),
         "sql_recursive_cte": _RECURSIVE_CTE_SQL,
+        "corpus_preference_pairs": preference_pairs_oracle_sql(
+            """
+            SELECT user_id AS p, event_type AS c,
+                   CAST(floor(value * 1e6) AS BIGINT) AS s, event_id AS i
+            FROM events
+            """,
+            "user_id",
+        ),
         "corpus_chat_turns": chat_turn_stats_oracle_sql(
             """
             SELECT doc_id AS id,

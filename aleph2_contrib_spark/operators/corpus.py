@@ -1237,3 +1237,79 @@ SELECT id AS {id_col},
                  THEN 1 ELSE 0 END) = 0) AND count(*) >= 2 AS is_valid
 FROM turns GROUP BY id
 """
+
+
+def preference_pairs(
+    df: DataFrame,
+    prompt_col: str,
+    cand_col: str,
+    score_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Best-vs-worst preference pairs — the DPO/RLHF data-prep step after
+    reward scoring: per prompt, chosen = the (score, id)-argmax
+    candidate, rejected = the argmin, with the exact score margin.
+    Prompts with fewer than two candidates are dropped (no pair), and
+    the (score, id) total order makes ties deterministic — on an
+    all-tied prompt the pair is the max-id vs min-id candidate with
+    margin 0 (filter margin > 0 downstream if strict preference is
+    required).
+
+    Scores must be integer-typed (fix floats upstream: floor(s·1e6))
+    so margins are exact. NULL scores are dropped before pairing.
+
+    Plan shape at 100 TB: ONE groupBy(prompt) with two lexicographic
+    struct extrema + a count — map-side partial, no window, no
+    self-join (golden_record's survivorship machinery, pointed at
+    preference data).
+    """
+    base = df.select(
+        F.col(prompt_col).alias("__p"),
+        F.col(cand_col).alias("__c"),
+        F.col(score_col).cast("long").alias("__s"),
+        F.col(id_col).alias("__i"),
+    ).filter(F.col("__s").isNotNull())
+    st = F.struct(F.col("__s").alias("s"), F.col("__i").alias("i"), F.col("__c").alias("c"))
+    return (
+        base.groupBy("__p")
+        .agg(
+            F.max(st).alias("__best"),
+            F.min(st).alias("__worst"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+        .filter(F.col("__n") >= 2)
+        .select(
+            F.col("__p").alias(prompt_col),
+            F.col("__best.c").alias("chosen"),
+            F.col("__worst.c").alias("rejected"),
+            F.col("__best.i").alias("chosen_id"),
+            F.col("__worst.i").alias("rejected_id"),
+            (F.col("__best.s") - F.col("__worst.s")).cast("long").alias("margin"),
+            F.col("__n").cast("long").alias("n_candidates"),
+        )
+    )
+
+
+def preference_pairs_oracle_sql(
+    rows_sql: str, prompt_col: str
+) -> str:
+    """DuckDB replica of :func:`preference_pairs`. ``rows_sql`` yields
+    (p, c, s, i)."""
+    return f"""
+WITH base AS (
+    SELECT p, c, CAST(s AS BIGINT) AS s, i FROM ({rows_sql})
+    WHERE s IS NOT NULL
+), agg AS (
+    SELECT p,
+           max(struct_pack(s := s, i := i, c := c)) AS best,
+           min(struct_pack(s := s, i := i, c := c)) AS worst,
+           count(*) AS n
+    FROM base GROUP BY p
+)
+SELECT p AS {prompt_col},
+       (best).c AS chosen, (worst).c AS rejected,
+       (best).i AS chosen_id, (worst).i AS rejected_id,
+       CAST((best).s - (worst).s AS BIGINT) AS margin,
+       CAST(n AS BIGINT) AS n_candidates
+FROM agg WHERE n >= 2
+"""

@@ -793,3 +793,50 @@ def test_chat_turn_stats_oracle_matches(spark, tmp_path):
         ).fetchall()
     }
     assert got == want and len(got) == 120
+
+
+# -- preference_pairs ---------------------------------------------------------
+
+
+def test_preference_pairs_hand_worked(spark):
+    from aleph2_contrib_spark.operators.corpus import preference_pairs
+
+    rows = [
+        (1, "a", 10, 100), (1, "b", 30, 101), (1, "c", 20, 102),
+        (2, "x", 5, 200),                         # single candidate: dropped
+        (3, "p", 7, 300), (3, "q", 7, 301),        # all tied: id breaks, margin 0
+        (4, "m", None, 400), (4, "n", 3, 401),     # NULL score dropped -> single
+    ]
+    df = spark.createDataFrame(rows, "p long, c string, s long, i long")
+    got = {r["p"]: r.asDict() for r in preference_pairs(df, "p", "c", "s", "i").collect()}
+    assert set(got) == {1, 3}
+    assert (got[1]["chosen"], got[1]["rejected"], got[1]["margin"]) == ("b", "a", 20)
+    assert (got[3]["chosen_id"], got[3]["rejected_id"], got[3]["margin"]) == (301, 300, 0)
+
+
+def test_preference_pairs_oracle_matches(spark, tmp_path):
+    import random
+
+    import duckdb
+
+    from aleph2_contrib_spark.operators.corpus import (
+        preference_pairs,
+        preference_pairs_oracle_sql,
+    )
+
+    rnd = random.Random(71)
+    rows = [
+        (rnd.randint(1, 15), rnd.choice("abcde"), rnd.randint(0, 9), i)
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "p long, c string, s long, i long")
+    pq = str(tmp_path / "t.parquet")
+    df.coalesce(1).write.parquet(pq)
+    got = {tuple(x) for x in preference_pairs(df, "p", "c", "s", "i").collect()}
+    want = {
+        tuple(x)
+        for x in duckdb.sql(
+            preference_pairs_oracle_sql(f"SELECT p, c, s, i FROM '{pq}/*.parquet'", "p")
+        ).fetchall()
+    }
+    assert got == want and len(got) > 0
