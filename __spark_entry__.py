@@ -1808,6 +1808,31 @@ def corpus_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return preference_pairs(ev, "user_id", "cand", "score_f6", "event_id")
 
 
+def graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components (operators/graph.
+    strongly_connected_components) of the DIRECTED purchase-sequence
+    graph — trim drains the DAG mass in topological layers, FW-BW
+    min-label fixpoints settle the cyclic cores (this sample carries a
+    25-vertex core), scc_id = the SCC's minimum member. Oracle computes
+    the mutual transitive closure by recursive CTE."""
+    from aleph2_contrib_spark.operators.graph import strongly_connected_components
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 51 == 0)
+        .select("l_orderkey", "l_partkey", "l_linenumber")
+    )
+    lj = li.select(
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_partkey").alias("pk"),
+        F.col("l_linenumber").alias("ln"),
+    )
+    edges = li.join(
+        lj, (li.l_orderkey == lj.ok) & (li.l_linenumber < lj.ln)
+    ).select(F.col("l_partkey").alias("src"), F.col("pk").alias("dst"))
+    return strongly_connected_components(edges)
+
+
 _RECURSIVE_CTE_SQL = """
 WITH RECURSIVE anc(ck, anc, depth) AS (
     SELECT c_custkey AS ck,
@@ -6227,6 +6252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_time_weighted_avg": events_time_weighted_avg,
         "corpus_chat_turns": corpus_chat_turns,
         "corpus_preference_pairs": corpus_preference_pairs,
+        "graph_scc": graph_scc,
         "q12_priority_by_linestatus": q12_priority_by_linestatus,
         "docs_clean_corpus": docs_clean_corpus,
         "corpus_mix_sample": corpus_mix_sample,
@@ -6691,6 +6717,7 @@ def oracle_sql() -> dict[str, str]:
         deterministic_walks_oracle_sql,
         global_graph_stats_oracle_sql,
         landmark_closeness_oracle_sql,
+        strongly_connected_components_oracle_sql,
     )
     from aleph2_contrib_spark.operators.text import (
         readability_stats_oracle_sql,
@@ -6803,6 +6830,14 @@ def oracle_sql() -> dict[str, str]:
             + format_patterns_oracle_sql("events", ["event_type"])
         ),
         "sql_recursive_cte": _RECURSIVE_CTE_SQL,
+        "graph_scc": strongly_connected_components_oracle_sql(
+            """
+            SELECT a.l_partkey AS src, b.l_partkey AS dst
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_linenumber < b.l_linenumber
+            WHERE a.l_orderkey % 51 = 0
+            """
+        ),
         "corpus_preference_pairs": preference_pairs_oracle_sql(
             """
             SELECT user_id AS p, event_type AS c,

@@ -2310,3 +2310,181 @@ SELECT CAST(verts.n_vertices AS BIGINT) AS n_vertices,
             ELSE NULL END AS BIGINT) AS reciprocity_ppm
 FROM verts, wed, tri, rec
 """
+
+
+def strongly_connected_components(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_phases: int = 12,
+    max_rounds: int = 40,
+) -> DataFrame:
+    """Strongly connected components of a DIRECTED graph — the cycle
+    structure (mutual-reachability classes) that undirected
+    connected_components cannot see; condensing a dependency/citation/
+    transaction graph to its DAG of SCCs is the standard precursor to
+    cycle-aware analytics.
+
+    Algorithm: iterative FW-BW min-label peeling. Per phase, two
+    min-label fixpoints on the remaining subgraph — F(v) = min vertex
+    reachable FROM v, B(v) = min vertex that REACHES v (the reversed
+    fixpoint) — then every vertex with F(v) == B(v) == c is in the SCC
+    of c (v→*c and c→*v), gets scc_id = c, and is peeled. Each phase
+    settles at least the SCC of the minimum remaining vertex, and
+    scc_id is the SCC's minimum member — matching the oracle's
+    mutual-transitive-closure definition exactly. Returns
+    (vertex, scc_id).
+
+    Plan shape at scale: a fixpoint round is ONE edge equi-join + ONE
+    min-groupBy on the vertex key (persisted state, lineage cut per
+    round — connected_components' discipline); a phase is two
+    fixpoints + one anti-join peel. The honest caveat of every
+    FW-BW-family algorithm applies: a CHAIN of k SCCs whose minima are
+    adversarially ordered needs up to k phases — ``max_phases`` raises
+    rather than silently spinning (raise the cap for condensation-deep
+    graphs; Tarjan on a driver is the right tool below ~1e6 edges).
+    """
+    from pyspark import StorageLevel
+
+    e0 = (
+        edges.filter(F.col(src_col).isNotNull() & F.col(dst_col).isNotNull())
+        .select(F.col(src_col).alias("s"), F.col(dst_col).alias("t"))
+        .filter(F.col("s") != F.col("t"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    verts = (
+        e0.select(F.col("s").alias("v"))
+        .unionByName(e0.select(F.col("t").alias("v")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    def min_fixpoint(vs, es, forward: bool):
+        # L(v) = min id reachable from v along es (forward) or along
+        # reversed es (backward = "min id that reaches v").
+        # Eager localCheckpoint EVERY round: the label state feeds the
+        # next round's union AND the convergence compare — persist alone
+        # keeps the full union-of-unions lineage, whose analysis cost
+        # grows per round until it dominates wall-clock (measured 0.6 s
+        # -> 8 s by round 5 on an 8-edge graph); the checkpoint keeps
+        # plans O(1) per round (pagerank's discipline).
+        a, b = ("s", "t") if forward else ("t", "s")
+        labels = vs.select("v", F.col("v").alias("lab")).localCheckpoint(eager=True)
+        for _ in range(int(max_rounds)):
+            cand = (
+                es.join(labels, es[b] == labels.v)
+                .select(es[a].alias("v"), F.col("lab"))
+            )
+            new_labels = (
+                labels.unionByName(cand)
+                .groupBy("v")
+                .agg(F.min("lab").alias("lab"))
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                new_labels.join(
+                    labels.withColumnRenamed("lab", "old"), "v"
+                )
+                .filter(F.col("lab") != F.col("old"))
+                .limit(1)
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                return labels
+        raise RuntimeError(
+            f"SCC min-label fixpoint did not converge in {max_rounds} rounds"
+        )
+
+    result = None
+    active_v = verts.localCheckpoint(eager=True)
+    active_e = e0.localCheckpoint(eager=True)
+    for _ in range(int(max_phases)):
+        if active_v.limit(1).count() == 0:
+            break
+        # TRIM (the standard FW-BW companion): a vertex with no in-edge
+        # or no out-edge in the active subgraph is a singleton SCC —
+        # iterating this drains the DAG portion in topological layers,
+        # leaving only the cyclic cores for the (more expensive)
+        # fixpoints; without it a DAG chain of k vertices costs k phases
+        for _ in range(int(max_rounds)):
+            has_out = active_e.select(F.col("s").alias("v")).distinct()
+            has_in = active_e.select(F.col("t").alias("v")).distinct()
+            both = has_out.join(has_in, "v")
+            single = active_v.join(both, "v", "left_anti").localCheckpoint(
+                eager=True
+            )
+            if single.limit(1).count() == 0:
+                break
+            settled1 = single.select("v", F.col("v").alias("scc_id"))
+            result = settled1 if result is None else result.unionByName(settled1)
+            active_v = active_v.join(single, "v", "left_anti").localCheckpoint(
+                eager=True
+            )
+            active_e = (
+                active_e.join(
+                    single.select(F.col("v").alias("s")), "s", "left_anti"
+                )
+                .join(single.select(F.col("v").alias("t")), "t", "left_anti")
+                .localCheckpoint(eager=True)
+            )
+        if active_v.limit(1).count() == 0:
+            break
+        fwd = min_fixpoint(active_v, active_e, forward=True)
+        bwd = min_fixpoint(active_v, active_e, forward=False)
+        settled = (
+            fwd.join(bwd.withColumnRenamed("lab", "blab"), "v")
+            .filter(F.col("lab") == F.col("blab"))
+            .select("v", F.col("lab").alias("scc_id"))
+            .localCheckpoint(eager=True)
+        )
+        result = settled if result is None else result.unionByName(settled)
+        # peel: named-column anti-joins against two renamed copies of the
+        # settled set (one shared DF in two join conditions resolves
+        # ambiguously and measured 150 s on 8 edges); checkpoint the new
+        # state so phases never chain lineage
+        active_v = active_v.join(settled.select("v"), "v", "left_anti").localCheckpoint(
+            eager=True
+        )
+        active_e = (
+            active_e.join(settled.select(F.col("v").alias("s")), "s", "left_anti")
+            .join(settled.select(F.col("v").alias("t")), "t", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+    else:
+        if active_v.limit(1).count() > 0:
+            raise RuntimeError(
+                f"SCC peeling did not finish in {max_phases} phases "
+                "(adversarial SCC-chain ordering — raise max_phases)"
+            )
+    e0.unpersist()
+    verts.unpersist()
+    if result is None:  # empty graph
+        return verts.select(
+            F.col("v").alias("vertex"), F.col("v").alias("scc_id")
+        ).limit(0)
+    return result.select(F.col("v").alias("vertex"), F.col("scc_id"))
+
+
+def strongly_connected_components_oracle_sql(edge_sql: str) -> str:
+    """DuckDB replica of :func:`strongly_connected_components` by
+    definition: recursive-CTE transitive closure (UNION dedups, so
+    cycles terminate), scc_id = min mutually-reachable vertex.
+    Feasible at gate scale only — closure is O(n·reach)."""
+    return f"""
+WITH RECURSIVE e AS MATERIALIZED (
+    SELECT DISTINCT src AS s, dst AS t FROM ({edge_sql})
+    WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst
+), verts AS (
+    SELECT DISTINCT v FROM (SELECT s AS v FROM e UNION ALL SELECT t FROM e)
+), reach(a, b) AS (
+    SELECT v, v FROM verts
+    UNION
+    SELECT r.a, e.t FROM reach r JOIN e ON r.b = e.s
+)
+SELECT m.a AS vertex, CAST(min(m.b) AS BIGINT) AS scc_id
+FROM (SELECT r1.a, r1.b FROM reach r1 JOIN reach r2
+        ON r1.a = r2.b AND r1.b = r2.a) m
+GROUP BY m.a
+"""

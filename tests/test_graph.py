@@ -1054,3 +1054,54 @@ def test_global_graph_stats_oracle_matches(spark, tmp_path):
         ).fetchall()
     ]
     assert got == want
+
+
+# -- strongly_connected_components --------------------------------------------
+
+
+def test_scc_hand_worked(spark):
+    from aleph2_contrib_spark.operators.graph import strongly_connected_components
+
+    # triangle {1,2,3}, 2-cycle {5,6}, DAG chain 3->4->5, pendant 4->7
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 6), (6, 5), (4, 7)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = sorted(tuple(x) for x in strongly_connected_components(df).collect())
+    assert got == [(1, 1), (2, 1), (3, 1), (4, 4), (5, 5), (6, 5), (7, 7)]
+
+
+def test_scc_dag_chain_trims_in_one_phase(spark):
+    from aleph2_contrib_spark.operators.graph import strongly_connected_components
+
+    # a pure 10-vertex chain would need 10 peeling phases without trim;
+    # max_phases=2 proves trim drains it
+    edges = [(i, i + 1) for i in range(10)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = sorted(tuple(x) for x in strongly_connected_components(df, max_phases=2).collect())
+    assert got == [(i, i) for i in range(11)]
+
+
+def test_scc_oracle_matches_random(spark, tmp_path):
+    import random
+
+    import duckdb
+
+    from aleph2_contrib_spark.operators.graph import (
+        strongly_connected_components,
+        strongly_connected_components_oracle_sql,
+    )
+
+    rnd = random.Random(47)
+    edges = list({(rnd.randint(0, 30), rnd.randint(0, 30)) for _ in range(70)})
+    df = spark.createDataFrame(edges, "src long, dst long")
+    p = str(tmp_path / "e.parquet")
+    df.coalesce(1).write.parquet(p)
+    got = {tuple(x) for x in strongly_connected_components(df).collect()}
+    want = {
+        tuple(x)
+        for x in duckdb.sql(
+            strongly_connected_components_oracle_sql(
+                f"SELECT src, dst FROM '{p}/*.parquet'"
+            )
+        ).fetchall()
+    }
+    assert got == want and len(got) > 0
