@@ -513,6 +513,7 @@ def bench_round8_ops(spark, path, n_edges, label):
         deterministic_walks,
         global_graph_stats,
         landmark_closeness,
+        strongly_connected_components,
     )
     from aleph2_contrib_spark.operators.joins import grid_radius_join
     from aleph2_contrib_spark.operators.text import source_similarity_minhash
@@ -545,6 +546,13 @@ def bench_round8_ops(spark, path, n_edges, label):
     run(
         "graph_qa",
         lambda: global_graph_stats(e).collect(),
+    )
+    run(
+        "scc",
+        lambda: strongly_connected_components(e, max_phases=20, max_rounds=60)
+        .groupBy("scc_id")
+        .agg(F.count(F.lit(1)))
+        .count(),
     )
 
     # points on a grid sized to keep matches/point constant as n grows
