@@ -1270,13 +1270,16 @@ def similarity_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFra
     """Exact one-pass covariance/Gram statistics of the embeddings table
     (operators/similarity.embedding_covariance): per unordered component
     pair, exact fixed-point sums and the covariance numerator
-    n·Σxy − Σx·Σy in DECIMAL(38,0) — whitening/PCA-prep/drift primitive.
+    n·Σxy − Σx·Σy exact — whitening/PCA-prep/drift primitive.
     Upper-triangle products are built JVM-side and partial-aggregated, so
-    shuffle volume is O(partitions · dim²) at any row count."""
+    shuffle volume is O(partitions · dim²) at any row count. The exact
+    wide sums cross the gate boundary as digit strings (decimal columns
+    are banned from gate output — functions/gate_types.py)."""
+    from aleph2_contrib_spark.functions.gate_types import stringify_decimals
     from aleph2_contrib_spark.operators.similarity import embedding_covariance
 
     emb = _t(spark, sf_dir, "embeddings")
-    return embedding_covariance(emb, "embedding", dim=64)
+    return stringify_decimals(embedding_covariance(emb, "embedding", dim=64))
 
 
 def events_survival_table(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1304,7 +1307,9 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree assortativity (operators/graph.degree_assortativity) of the
     sampled co-purchase graph — exact Pearson numerator and variance
     terms over endpoint degrees, both orientations (Newman), no
-    sqrt/float anywhere."""
+    sqrt/float anywhere. Exact wide terms emitted as digit strings at
+    the gate boundary."""
+    from aleph2_contrib_spark.functions.gate_types import stringify_decimals
     from aleph2_contrib_spark.operators.graph import degree_assortativity
 
     li = (
@@ -1316,7 +1321,7 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = li.join(lj, (li.l_orderkey == lj.ok) & (li.l_partkey < lj.pk)).select(
         F.col("l_partkey").alias("src"), F.col("pk").alias("dst")
     )
-    return degree_assortativity(edges)
+    return stringify_decimals(degree_assortativity(edges))
 
 
 def join_epsilon_band(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1373,12 +1378,16 @@ def profile_numeric_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Pearson correlation screen (operators/profile.
     numeric_correlation) over lineitem's four numeric measures:
     complete-case, fixed-point-exact numerator and variance terms, no
-    float or sqrt anywhere (caller divides at the boundary)."""
+    float or sqrt anywhere (caller divides at the boundary). Exact wide
+    terms emitted as digit strings at the gate boundary."""
+    from aleph2_contrib_spark.functions.gate_types import stringify_decimals
     from aleph2_contrib_spark.operators.profile import numeric_correlation
 
     li = _t(spark, sf_dir, "lineitem")
-    return numeric_correlation(
-        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    return stringify_decimals(
+        numeric_correlation(
+            li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+        )
     )
 
 
@@ -3819,12 +3828,16 @@ def profile_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pre-flight join-size profile (operators/profile.join_size_profile):
     exact |lineitem ⋈ orders| on orderkey plus the heaviest key's output
     share, computed from the two O(distinct) count tables without ever
-    running the join."""
+    running the join. The exact (possibly > int64) pair counts cross the
+    gate boundary as digit strings."""
+    from aleph2_contrib_spark.functions.gate_types import stringify_decimals
     from aleph2_contrib_spark.operators.profile import join_size_profile
 
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
-    return join_size_profile(li, o, "l_orderkey", "o_orderkey")
+    return stringify_decimals(
+        join_size_profile(li, o, "l_orderkey", "o_orderkey")
+    )
 
 
 def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6688,6 +6701,7 @@ def _mmr_oracle(k: int = 5, lam: str = "0.75", one_minus: str = "0.25", pool: in
 
 
 def oracle_sql() -> dict[str, str]:
+    from aleph2_contrib_spark.functions import gate_types as _gt
     from aleph2_contrib_spark.operators.corpus import (
         chat_turn_stats_oracle_sql,
         preference_pairs_oracle_sql,
@@ -6750,8 +6764,13 @@ def oracle_sql() -> dict[str, str]:
     _url_canon_expr = canonicalize_url_oracle_expr("url")
 
     return {
-        "profile_numeric_correlation": numeric_correlation_oracle_sql(
-            "lineitem", ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+        "profile_numeric_correlation": _gt.varchar_wrap(
+            numeric_correlation_oracle_sql(
+                "lineitem",
+                ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+            ),
+            ["col_a", "col_b", "n", "corr_num", "var_a_num", "var_b_num"],
+            {"corr_num", "var_a_num", "var_b_num"},
         ),
         "events_hopping_window": hopping_window_oracle_sql(
             "SELECT epoch_us(ts) AS t, value AS v FROM events", 3600, 900
@@ -7071,13 +7090,17 @@ def oracle_sql() -> dict[str, str]:
             "o_orderkey",
             k=2,
         ),
-        "graph_degree_assortativity": degree_assortativity_oracle_sql(
-            """
+        "graph_degree_assortativity": _gt.varchar_wrap(
+            degree_assortativity_oracle_sql(
+                """
             SELECT a.l_partkey AS src, b.l_partkey AS dst
             FROM lineitem a JOIN lineitem b
               ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
             WHERE a.l_orderkey % 7 = 0
             """
+            ),
+            ["n_edge_ends", "corr_num", "var_a_num", "var_b_num"],
+            {"corr_num", "var_a_num", "var_b_num"},
         ),
         "graph_bipartite_project": bipartite_project_oracle_sql(
             "SELECT l_orderkey AS l, l_partkey AS r FROM lineitem"
@@ -7164,7 +7187,12 @@ def oracle_sql() -> dict[str, str]:
         "linkage_blocked_pairs": _linkage_oracle(),
         "profile_key_skew": _key_skew_oracle(),
         "profile_chi2_independence": _chi2_oracle(),
-        "profile_join_size": _join_size_oracle(),
+        "profile_join_size": _gt.varchar_wrap(
+            _join_size_oracle(),
+            ["n_left", "n_right", "n_join_rows", "n_matching_keys",
+             "max_key_pairs", "max_pairs_share_ppm"],
+            {"n_join_rows", "max_key_pairs"},
+        ),
         "profile_benford": _benford_oracle(),
         "sketch_bloom_filter": _bloom_oracle(),
         "events_concurrency_timeline": _concurrency_oracle(),
@@ -8951,8 +8979,11 @@ def oracle_sql() -> dict[str, str]:
                      i -> CAST(len(list_filter(bl, b -> b = i)) AS VARCHAR)), ',') AS hist
             FROM hist
         """,
-        "similarity_embedding_covariance": embedding_covariance_oracle_sql(
-            "embeddings", "embedding", dim=64
+        "similarity_embedding_covariance": _gt.varchar_wrap(
+            embedding_covariance_oracle_sql("embeddings", "embedding", dim=64),
+            ["i", "j", "n", "sum_xy_fx2", "sum_x_fx", "sum_y_fx",
+             "cov_num_fx2"],
+            {"sum_xy_fx2", "sum_x_fx", "sum_y_fx", "cov_num_fx2"},
         ),
         "multimodal_audio_codec": """
             WITH d AS (

@@ -263,6 +263,8 @@ def decode_mjppm(payload: bytes) -> list[bytes]:
     bounds checks (truncated frame, trailing garbage) fail fast."""
     if payload[:4] != MJPPM_MAGIC:
         raise ValueError(f"bad mjppm magic {payload[:4]!r}")
+    if len(payload) < 8:
+        raise ValueError("truncated mjppm header")
     (n,) = struct.unpack_from("<I", payload, 4)
     off = 8
     frames = []

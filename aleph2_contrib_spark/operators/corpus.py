@@ -28,6 +28,8 @@ train-set reproducibility (and the DuckDB oracles) possible.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -914,11 +916,13 @@ def canonicalize_url(url: Column, strip_www: bool = True) -> Column:
     q = F.regexp_extract(u, _URL_RE, 4)
     keep = F.filter(
         F.split(q, "&"),
-        lambda p: (p != "")
-        & ~p.startswith(_TRACKING_PREFIXES[0])
-        & ~p.startswith(_TRACKING_PREFIXES[1])
-        & ~p.startswith(_TRACKING_PREFIXES[2])
-        & ~p.startswith(_TRACKING_PREFIXES[3]),
+        # fold over the shared tuple so adding a prefix updates engine
+        # and oracle together (the SQL twin iterates the same tuple)
+        lambda p: reduce(
+            lambda acc, t: acc & ~p.startswith(t),
+            _TRACKING_PREFIXES,
+            p != "",
+        ),
     )
     q2 = F.array_join(F.array_sort(keep), "&")
     canon = F.concat(
@@ -1158,13 +1162,24 @@ def chat_turn_stats(
     alternates_ok, is_valid) with is_valid = alternates_ok AND
     n_turns >= 2. Malformed JSON parses to NULL and the conversation is
     DROPPED (pre-filter with a validity screen if you need the reject
-    stream). NULL contents count 0 chars.
+    stream). A valid-JSON row that is not an ARRAY (a lone
+    ``{"role":…}`` object — real SFT feeds contain them) is also
+    DROPPED, on both engines: Spark's from_json would otherwise wrap a
+    lone object as a one-element array while JSON-path engines
+    (json_array_length) see a non-array, so the array-only contract is
+    enforced with an explicit leading-'[' pre-filter here rather than
+    left to parser quirks. NULL contents count 0 chars.
 
     Plan shape at 100 TB: from_json + posexplode JVM-side, ONE
     groupBy(id) with map-side partial aggregates — turn rows never
     leave the stage unaggregated beyond the id shuffle.
     """
-    turns = df.select(
+    turns = df.filter(
+        # array-only contract: from_json(array schema) silently wraps a
+        # lone JSON object as [obj]; require the serialized form to BE
+        # an array so both engines agree on what a "turn list" is
+        F.ltrim(F.col(conv_col)).startswith("[")
+    ).select(
         F.col(id_col).alias("__id"),
         F.posexplode(
             F.from_json(
@@ -1213,7 +1228,8 @@ def chat_turn_stats_oracle_sql(rows_sql: str, id_col: str) -> str:
 WITH t AS (
     SELECT id, conv,
            unnest(range(0, CAST(json_array_length(conv) AS BIGINT))) AS i
-    FROM ({rows_sql}) WHERE json_valid(conv)
+    FROM ({rows_sql})
+    WHERE json_valid(conv) AND ltrim(conv) LIKE '[%'
 ), turns AS (
     SELECT id, i,
            json_extract_string(conv, '$[' || i || '].role') AS role,

@@ -1677,6 +1677,13 @@ def merge_intervals(
     island: (key, start, end, n_merged). Invalid rows (NULLs,
     end < start) are dropped.
 
+    Bounds contract: start/end are integer positions (ticks, epoch
+    seconds/µs). Float-typed bounds are FLOORED to integers on both
+    engines — floor() explicitly, never an engine cast, because
+    engines disagree on fractional casts (Spark's cast truncates
+    toward zero, DuckDB's rounds half-even) and that divergence would
+    silently change which intervals touch.
+
     Plan shape at 100 TB: two key-partitioned window passes (prior-max
     + island id via running sum of flags) and one (key, island)
     groupBy — all on the key shuffle, no self-join, no unpartitioned
@@ -1690,8 +1697,8 @@ def merge_intervals(
     w_run = Window.partitionBy("__k").orderBy(F.col("__s").asc(), F.col("__e").asc())
     base = df.select(
         F.col(key_col).alias("__k"),
-        F.col(start_col).cast("long").alias("__s"),
-        F.col(end_col).cast("long").alias("__e"),
+        F.floor(F.col(start_col)).cast("long").alias("__s"),
+        F.floor(F.col(end_col)).cast("long").alias("__e"),
     ).filter(
         F.col("__s").isNotNull()
         & F.col("__e").isNotNull()
@@ -1717,9 +1724,10 @@ def merge_intervals_oracle_sql(rows_sql: str, key_col: str) -> str:
     (key, s, e)."""
     return f"""
 WITH base AS (
-    SELECT {key_col} AS k, CAST(s AS BIGINT) AS s, CAST(e AS BIGINT) AS e
+    SELECT {key_col} AS k,
+           CAST(floor(s) AS BIGINT) AS s, CAST(floor(e) AS BIGINT) AS e
     FROM ({rows_sql})
-    WHERE s IS NOT NULL AND e IS NOT NULL AND e >= s
+    WHERE s IS NOT NULL AND e IS NOT NULL AND floor(e) >= floor(s)
 ), flagged AS (
     SELECT *, CASE WHEN max(e) OVER (PARTITION BY k ORDER BY s, e
                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL

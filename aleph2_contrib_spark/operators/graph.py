@@ -2252,9 +2252,12 @@ def global_graph_stats(
             "n_vertices",
             "n_edges",
             "n_triangles",
-            # stays DECIMAL(38,0): a long cast would silently NULL the
-            # hub-squared case this QA row exists to expose
-            F.col("n_wedges"),
+            # exact digit string, not a long cast (which would silently
+            # NULL the hub-squared case this QA row exists to expose)
+            # and not DECIMAL (banned at the gate boundary — the driver
+            # canonicalizer renders wide decimals per-engine; see
+            # functions/gate_types.py)
+            F.col("n_wedges").cast("string").alias("n_wedges"),
             F.expr(
                 "CAST(CASE WHEN n_wedges > 0 THEN "
                 "(3 * CAST(n_triangles AS DECIMAL(38,0)) * 1000000) div n_wedges "
@@ -2301,7 +2304,7 @@ WITH raw AS MATERIALIZED (
 SELECT CAST(verts.n_vertices AS BIGINT) AS n_vertices,
        CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
        CAST(tri.n_triangles AS BIGINT) AS n_triangles,
-       CAST(wed.n_wedges AS DECIMAL(38,0)) AS n_wedges,
+       CAST(CAST(wed.n_wedges AS HUGEINT) AS VARCHAR) AS n_wedges,
        CAST(CASE WHEN wed.n_wedges > 0
             THEN (3 * CAST(tri.n_triangles AS HUGEINT) * 1000000) // wed.n_wedges
             ELSE NULL END AS BIGINT) AS global_cc_ppm,
@@ -2318,6 +2321,7 @@ def strongly_connected_components(
     dst_col: str = "dst",
     max_phases: int = 12,
     max_rounds: int = 40,
+    driver_trim_max_edges: int = 2_000_000,
 ) -> DataFrame:
     """Strongly connected components of a DIRECTED graph — the cycle
     structure (mutual-reachability classes) that undirected
@@ -2343,6 +2347,21 @@ def strongly_connected_components(
     adversarially ordered needs up to k phases — ``max_phases`` raises
     rather than silently spinning (raise the cap for condensation-deep
     graphs; Tarjan on a driver is the right tool below ~1e6 edges).
+
+    Hybrid TRIM (the kcore_decomposition / bfs_levels contract): the
+    trim drains the DAG mass one topological LAYER per round, and each
+    distributed round is a full Spark job — a 68-layer chain measured
+    32 s of pure job latency at sf0.1 while the fixpoints took 2 s. So
+    when the active subgraph is ≤ ``driver_trim_max_edges`` canonical
+    edges (2M ≈ 32 MB of int64 pairs, sized to
+    spark.driver.maxResultSize; 0 disables), the peel-to-fixpoint runs
+    on the driver over two numpy arrays — the whole layer sequence
+    vectorized, sub-second — and only the trimmed singleton set and the
+    surviving subgraph are re-uploaded (both bounded by the cap). The
+    FW-BW min-label fixpoints — the part whose state is corpus-sized at
+    100 TB — ALWAYS run distributed; above the cap the trim also runs
+    distributed (one probe-folded job per layer). Identical unique
+    fixpoint on either path.
     """
     from pyspark import StorageLevel
 
@@ -2363,35 +2382,44 @@ def strongly_connected_components(
     def min_fixpoint(vs, es, forward: bool):
         # L(v) = min id reachable from v along es (forward) or along
         # reversed es (backward = "min id that reaches v").
-        # Eager localCheckpoint EVERY round: the label state feeds the
-        # next round's union AND the convergence compare — persist alone
-        # keeps the full union-of-unions lineage, whose analysis cost
-        # grows per round until it dominates wall-clock (measured 0.6 s
-        # -> 8 s by round 5 on an 8-edge graph); the checkpoint keeps
-        # plans O(1) per round (pagerank's discipline).
+        # localCheckpoint EVERY round: the label state feeds the next
+        # round's join — persist alone keeps the full lineage, whose
+        # analysis cost grows per round until it dominates wall-clock
+        # (measured 0.6 s -> 8 s by round 5 on an 8-edge graph); the
+        # checkpoint keeps plans O(1) per round (pagerank's discipline).
+        # The convergence probe is FOLDED into the materializing job: the
+        # new state carries a per-vertex chg flag (label strictly
+        # decreased), the checkpoint is lazy, and the sum(chg) action
+        # both materializes the round's state and returns the probe —
+        # ONE Spark job per round instead of the former two (eager
+        # checkpoint + a join-based changed count), which halved the
+        # sf0.1 gate cost (round-9 brief item 3; the gate was paying
+        # per-round job latency, not data volume).
         a, b = ("s", "t") if forward else ("t", "s")
         labels = vs.select("v", F.col("v").alias("lab")).localCheckpoint(eager=True)
         for _ in range(int(max_rounds)):
-            cand = (
+            cmin = (
                 es.join(labels, es[b] == labels.v)
                 .select(es[a].alias("v"), F.col("lab"))
-            )
-            new_labels = (
-                labels.unionByName(cand)
                 .groupBy("v")
-                .agg(F.min("lab").alias("lab"))
-                .localCheckpoint(eager=True)
+                .agg(F.min("lab").alias("clab"))
             )
-            changed = (
-                new_labels.join(
-                    labels.withColumnRenamed("lab", "old"), "v"
+            merged = (
+                labels.join(cmin, "v", "left")
+                .select(
+                    "v",
+                    F.least(
+                        F.col("lab"), F.coalesce("clab", "lab")
+                    ).alias("lab"),
+                    F.when(
+                        F.coalesce("clab", "lab") < F.col("lab"), F.lit(1)
+                    ).otherwise(F.lit(0)).alias("chg"),
                 )
-                .filter(F.col("lab") != F.col("old"))
-                .limit(1)
-                .count()
+                .localCheckpoint(eager=False)
             )
-            labels = new_labels
-            if changed == 0:
+            changed = merged.agg(F.sum("chg").alias("c")).first()["c"]
+            labels = merged.select("v", "lab")
+            if not changed:
                 return labels
         raise RuntimeError(
             f"SCC min-label fixpoint did not converge in {max_rounds} rounds"
@@ -2408,27 +2436,90 @@ def strongly_connected_components(
         # iterating this drains the DAG portion in topological layers,
         # leaving only the cyclic cores for the (more expensive)
         # fixpoints; without it a DAG chain of k vertices costs k phases
-        for _ in range(int(max_rounds)):
-            has_out = active_e.select(F.col("s").alias("v")).distinct()
-            has_in = active_e.select(F.col("t").alias("v")).distinct()
-            both = has_out.join(has_in, "v")
-            single = active_v.join(both, "v", "left_anti").localCheckpoint(
-                eager=True
+        if (
+            driver_trim_max_edges
+            and active_e.count() <= int(driver_trim_max_edges)
+        ):
+            # driver path: vectorized peel-to-fixpoint (all layers in
+            # microseconds), bounded collects on both sides of the cap
+            import numpy as np
+            import pandas as pd
+            from pyspark.sql import types as T
+
+            epdf = active_e.toPandas()
+            vpdf = active_v.toPandas()
+            A = epdf["s"].to_numpy()
+            B = epdf["t"].to_numpy()
+            while len(A) > 0:
+                keep = np.intersect1d(np.unique(A), np.unique(B))
+                mask = np.isin(A, keep) & np.isin(B, keep)
+                if mask.all():
+                    break
+                A, B = A[mask], B[mask]
+            surv = (
+                np.unique(np.concatenate([A, B]))
+                if len(A)
+                else np.array([], dtype=vpdf["v"].to_numpy().dtype)
             )
-            if single.limit(1).count() == 0:
-                break
-            settled1 = single.select("v", F.col("v").alias("scc_id"))
-            result = settled1 if result is None else result.unionByName(settled1)
-            active_v = active_v.join(single, "v", "left_anti").localCheckpoint(
-                eager=True
-            )
-            active_e = (
-                active_e.join(
-                    single.select(F.col("v").alias("s")), "s", "left_anti"
+            allv = vpdf["v"].to_numpy()
+            singles = allv[~np.isin(allv, surv)]
+            spark = edges.sparkSession
+            node_type = active_v.schema["v"].dataType
+            if len(singles):
+                settled1 = spark.createDataFrame(
+                    pd.DataFrame({"v": singles, "scc_id": singles}),
+                    schema=T.StructType(
+                        [
+                            T.StructField("v", node_type),
+                            T.StructField("scc_id", node_type),
+                        ]
+                    ),
                 )
-                .join(single.select(F.col("v").alias("t")), "t", "left_anti")
-                .localCheckpoint(eager=True)
-            )
+                result = (
+                    settled1
+                    if result is None
+                    else result.unionByName(settled1)
+                )
+            active_v = spark.createDataFrame(
+                pd.DataFrame({"v": surv}),
+                schema=T.StructType([T.StructField("v", node_type)]),
+            ).localCheckpoint(eager=True)
+            active_e = spark.createDataFrame(
+                pd.DataFrame({"s": A, "t": B}),
+                schema=T.StructType(
+                    [
+                        T.StructField("s", node_type),
+                        T.StructField("t", node_type),
+                    ]
+                ),
+            ).localCheckpoint(eager=True)
+        else:
+            for _ in range(int(max_rounds)):
+                has_out = active_e.select(F.col("s").alias("v")).distinct()
+                has_in = active_e.select(F.col("t").alias("v")).distinct()
+                both = has_out.join(has_in, "v")
+                # lazy checkpoint + count in ONE job (same fold as the
+                # fixpoint probe): the count both materializes the
+                # round's singleton set and answers "anything to trim?"
+                single = active_v.join(both, "v", "left_anti").localCheckpoint(
+                    eager=False
+                )
+                if single.count() == 0:
+                    break
+                settled1 = single.select("v", F.col("v").alias("scc_id"))
+                result = (
+                    settled1 if result is None else result.unionByName(settled1)
+                )
+                active_v = active_v.join(single, "v", "left_anti").localCheckpoint(
+                    eager=True
+                )
+                active_e = (
+                    active_e.join(
+                        single.select(F.col("v").alias("s")), "s", "left_anti"
+                    )
+                    .join(single.select(F.col("v").alias("t")), "t", "left_anti")
+                    .localCheckpoint(eager=True)
+                )
         if active_v.limit(1).count() == 0:
             break
         fwd = min_fixpoint(active_v, active_e, forward=True)

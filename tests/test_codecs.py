@@ -184,6 +184,10 @@ def test_mjppm_strict_bounds():
         decode_mjppm(b"XXXX" + payload[4:])
     with pytest.raises(ValueError, match="truncated"):
         decode_mjppm(payload[:-1])
+    # valid magic but the u32 frame-count header itself is cut short:
+    # must be the documented fail-fast ValueError, not struct.error
+    with pytest.raises(ValueError, match="truncated mjppm header"):
+        decode_mjppm(payload[:6])
     with pytest.raises(ValueError, match="trailing"):
         decode_mjppm(payload + b"z")
     with pytest.raises(ValueError, match="non-empty"):

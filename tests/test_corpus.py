@@ -750,10 +750,17 @@ def test_chat_turn_stats_hand_worked(spark):
         (4, conv("user",)),                                   # too short
         (5, '[{"role":"user","content":null}]'),              # NULL content
         (6, "not json at all"),                               # dropped
+        # valid JSON but a lone OBJECT, not an array: dropped on both
+        # engines (from_json would wrap it as [obj]; json_array_length
+        # sees a non-array — the explicit '['-prefix contract wins)
+        (7, '{"role":"user","content":"hi"}'),
+        (8, '  [{"role":"user","content":"a"},'
+            '{"role":"assistant","content":"b"}]'),           # leading ws ok
     ]
     df = spark.createDataFrame(rows, "id long, conv string")
     got = {r["id"]: r.asDict() for r in chat_turn_stats(df, "id", "conv").collect()}
-    assert set(got) == {1, 2, 3, 4, 5}
+    assert set(got) == {1, 2, 3, 4, 5, 8}
+    assert got[8]["is_valid"] is True
     assert got[1]["is_valid"] is True and got[1]["n_user"] == 2
     assert got[2]["alternates_ok"] is False
     assert got[3]["alternates_ok"] is False
@@ -782,6 +789,10 @@ def test_chat_turn_stats_oracle_matches(spark, tmp_path):
         rows.append(
             (i, json.dumps([{"role": r, "content": "x" * rnd.randint(0, 5)} for r in roles]))
         )
+    # parity on the reject stream too: lone object and malformed JSON
+    # must be dropped by BOTH engines
+    rows.append((200, '{"role":"user","content":"solo"}'))
+    rows.append((201, "{not json"))
     df = spark.createDataFrame(rows, "id long, conv string")
     p = str(tmp_path / "c.parquet")
     df.coalesce(1).write.parquet(p)

@@ -1105,3 +1105,35 @@ def test_scc_oracle_matches_random(spark, tmp_path):
         ).fetchall()
     }
     assert got == want and len(got) > 0
+
+
+def test_scc_driver_and_distributed_trim_agree(spark):
+    """The hybrid driver peel (default, under the 2M-edge cap) and the
+    forced-distributed trim (driver_trim_max_edges=0 — the 100 TB path
+    the scale sweep certifies) reach the identical unique fixpoint,
+    including string vertex ids through the numpy path."""
+    import random
+
+    from aleph2_contrib_spark.operators.graph import (
+        strongly_connected_components,
+    )
+
+    rnd = random.Random(53)
+    edges = list({(rnd.randint(0, 40), rnd.randint(0, 40)) for _ in range(90)})
+    for schema, conv in (
+        ("src long, dst long", lambda x: x),
+        ("src string, dst string", lambda x: f"v{x:03d}"),
+    ):
+        df = spark.createDataFrame(
+            [(conv(a), conv(b)) for a, b in edges], schema
+        )
+        hybrid = sorted(
+            tuple(x) for x in strongly_connected_components(df).collect()
+        )
+        dist = sorted(
+            tuple(x)
+            for x in strongly_connected_components(
+                df, driver_trim_max_edges=0
+            ).collect()
+        )
+        assert hybrid == dist and len(hybrid) > 0, schema

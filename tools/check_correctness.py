@@ -12,6 +12,7 @@ auditable alongside the driver's 50-query window.
 
 from __future__ import annotations
 
+import decimal
 import math
 import sys
 import time
@@ -31,11 +32,36 @@ def normalize_cell(v):
         if math.isnan(v):
             return "NaN"
         return repr(v)
+    if isinstance(v, decimal.Decimal):
+        # repr-typed, NOT ==-coerced: Python Decimal(5) == 5, which is
+        # exactly how the round-8 decimal(38,0) gates passed this tool
+        # while the driver's pandas canonicalizer hashed them red. Tag
+        # the type so a representation divergence fails locally first
+        # (decimal_cols() below rejects the column outright as well).
+        return f"decimal:{v}"
     if hasattr(v, "isoformat"):
         return v.isoformat()
     if isinstance(v, (list, tuple)):
         return tuple(normalize_cell(x) for x in v)
     return v
+
+
+def decimal_cols(cols, rows):
+    """Columns whose first non-NULL cell is a decimal.Decimal — banned at
+    the gate boundary on EITHER engine: the driver's pandas canonicalizer
+    renders wide decimals differently per engine, so even a value-exact
+    Decimal-vs-Decimal result hash-mismatches at the driver (round-6
+    join_point_in_interval, round-8 covariance family). Emit BIGINT or
+    exact digit strings instead (functions/gate_types.py)."""
+    bad = []
+    for i, c in enumerate(cols):
+        for r in rows:
+            if r[i] is None:
+                continue
+            if isinstance(r[i], decimal.Decimal):
+                bad.append(c)
+            break
+    return bad
 
 
 def canon(rows, cols):
@@ -94,6 +120,18 @@ def main():
                 results[name] = {"status": "fail", "err": f"array cols {bad_cols}"}
                 n_fail += 1
                 continue
+            dec_bad = decimal_cols(scols, srows)
+            if dec_bad:
+                print(
+                    f"FAIL {name}: decimal-typed Spark result columns {dec_bad} "
+                    "— the driver canonicalizer renders wide decimals "
+                    "differently per engine; emit BIGINT or digit strings "
+                    "(functions/gate_types.stringify_decimals)"
+                )
+                results[name] = {"status": "fail",
+                                 "err": f"spark decimal cols {dec_bad}"}
+                n_fail += 1
+                continue
         if name not in oracles:
             print(f"rows-only {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
             results[name] = {"status": "rows_only", "rows": len(srows),
@@ -106,6 +144,17 @@ def main():
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
             results[name] = {"status": "fail", "err": f"duckdb error: {e}"[:300]}
+            n_fail += 1
+            continue
+        dec_bad = decimal_cols(dcols, drows)
+        if dec_bad:
+            print(
+                f"FAIL {name}: decimal-typed oracle result columns {dec_bad} "
+                "— CAST to BIGINT or VARCHAR in the oracle SQL "
+                "(functions/gate_types.varchar_wrap)"
+            )
+            results[name] = {"status": "fail",
+                             "err": f"oracle decimal cols {dec_bad}"}
             n_fail += 1
             continue
         ok = True

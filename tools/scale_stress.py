@@ -549,7 +549,12 @@ def bench_round8_ops(spark, path, n_edges, label):
     )
     run(
         "scc",
-        lambda: strongly_connected_components(e, max_phases=20, max_rounds=60)
+        # driver_trim_max_edges=0: the sweep certifies the DISTRIBUTED
+        # trim + fixpoint path (what runs above the 2M-edge hybrid cap
+        # at 100 TB), not the driver peel the gate-scale default takes
+        lambda: strongly_connected_components(
+            e, max_phases=20, max_rounds=60, driver_trim_max_edges=0
+        )
         .groupBy("scc_id")
         .agg(F.count(F.lit(1)))
         .count(),
