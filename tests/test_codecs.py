@@ -194,3 +194,132 @@ def test_mjppm_strict_bounds():
         encode_mjppm([])
     with pytest.raises(ValueError, match="every_n"):
         mjppm_frame_extractor(payload, 0)
+
+
+# -- PNG (real compressed format, stdlib zlib) --------------------------------
+
+
+def _png_raw_chunks(w, h, color_type, raw):
+    import struct
+    import zlib
+
+    def chunk(t, d):
+        return (
+            struct.pack(">I", len(d)) + t + d
+            + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+        )
+
+    from aleph2_contrib_spark.operators.codecs import PNG_MAGIC
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return PNG_MAGIC, chunk, ihdr, zlib.compress(raw)
+
+
+def test_png_roundtrip_and_decoder_contract():
+    from aleph2_contrib_spark.operators.codecs import (
+        decode_png,
+        encode_png,
+        media_decoder,
+        resize_rgb,
+    )
+
+    rgb = bytes((i * 7) % 256 for i in range(5 * 8 * 3))
+    p = encode_png(5, 8, rgb)
+    assert decode_png(p) == (5, 8, rgb)
+    d = media_decoder(p)
+    assert (d["mime"], d["codec"], d["width"], d["height"]) == (
+        "image/png", "png", 5, 8,
+    )
+    assert abs(sum(d["features"]) - 1.0) < 1e-9
+    out = resize_rgb(p, 3, 3)
+    assert out[:2] == b"P6"
+
+
+def test_png_all_filter_types_multi_idat_and_ancillary():
+    """Decode a PNG whose five scanlines use the five filter types, whose
+    IDAT is split across two chunks, and which carries an ancillary tEXt
+    chunk — the real-world shapes an own encoder never produces."""
+    import random
+
+    from aleph2_contrib_spark.operators.codecs import decode_png
+
+    W, H, bpp = 4, 5, 3
+    stride = W * bpp
+    rnd = random.Random(7)
+    px = [bytes(rnd.randrange(256) for _ in range(stride)) for _ in range(H)]
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+    raw = bytearray()
+    prev = bytes(stride)
+    for y, ft in enumerate([0, 1, 2, 3, 4]):
+        line = px[y]
+        raw.append(ft)
+        for i in range(stride):
+            a = line[i - bpp] if i >= bpp else 0
+            b_, c = prev[i], (prev[i - bpp] if i >= bpp else 0)
+            v = {
+                0: line[i],
+                1: line[i] - a,
+                2: line[i] - b_,
+                3: line[i] - ((a + b_) >> 1),
+                4: line[i] - paeth(a, b_, c),
+            }[ft] & 0xFF
+            raw.append(v)
+        prev = line
+    magic, chunk, ihdr, z = _png_raw_chunks(W, H, 2, bytes(raw))
+    payload = (
+        magic + chunk(b"IHDR", ihdr) + chunk(b"tEXt", b"k\x00v")
+        + chunk(b"IDAT", z[:20]) + chunk(b"IDAT", z[20:]) + chunk(b"IEND", b"")
+    )
+    assert decode_png(payload) == (W, H, b"".join(px))
+
+
+def test_png_grayscale_expands_to_rgb():
+    from aleph2_contrib_spark.operators.codecs import decode_png
+
+    raw = bytearray()
+    for y in range(3):
+        raw += bytes([0]) + bytes(((y * 4 + x) * 13) % 256 for x in range(4))
+    magic, chunk, ihdr, z = _png_raw_chunks(4, 3, 0, bytes(raw))
+    payload = magic + chunk(b"IHDR", ihdr) + chunk(b"IDAT", z) + chunk(b"IEND", b"")
+    w, h, rgb = decode_png(payload)
+    assert (w, h) == (4, 3)
+    assert all(rgb[3 * i] == rgb[3 * i + 1] == rgb[3 * i + 2] for i in range(12))
+
+
+def test_png_fail_fast():
+    import pytest
+
+    from aleph2_contrib_spark.operators.codecs import decode_png, encode_png
+
+    p = encode_png(2, 2, bytes(12))
+    with pytest.raises(ValueError, match="signature"):
+        decode_png(b"\x89PNX" + p[4:])
+    bad = bytearray(p)
+    bad[20] ^= 0xFF  # flip a byte inside IHDR data -> CRC mismatch
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(bad))
+    with pytest.raises(ValueError, match="truncated"):
+        decode_png(p[:-4])
+    with pytest.raises(ValueError, match="IEND"):
+        decode_png(p[: len(p) - 12])
+    # unsupported variants fail fast, never garbage pixels
+    import struct
+    import zlib
+
+    magic, chunk, _, z = _png_raw_chunks(2, 2, 2, bytes([0, 0, 0]))
+    pal_ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    with pytest.raises(ValueError, match="color_type"):
+        decode_png(magic + chunk(b"IHDR", pal_ihdr) + chunk(b"IEND", b""))
+    il_ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)
+    with pytest.raises(ValueError, match="interlaced"):
+        decode_png(magic + chunk(b"IHDR", il_ihdr) + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="bytes"):
+        # IDAT inflates to the wrong length
+        short = zlib.compress(b"\x00\x01")
+        ih = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+        decode_png(magic + chunk(b"IHDR", ih) + chunk(b"IDAT", short) + chunk(b"IEND", b""))
