@@ -1027,6 +1027,22 @@ def embedding_covariance(
     v = F.col(vec_col).cast("array<double>")
     fx = F.transform(v, lambda x: F.floor(x * F.lit(int(scale))).cast("long"))
     base = df.filter(F.size(v) == dim).select(fx.alias("__fx"))
+    # product fast path: fx values are longs; when BOTH factors are
+    # < 3e9 in magnitude the product fits a long exactly (3e9² = 9e18
+    # < 2^63), so the hot multiply stays in JVM long arithmetic and
+    # only the result widens to decimal — Spark's Decimal multiply
+    # always routes through java.math.BigDecimal, which measured ~2x
+    # the whole covariance pass. Factors at or above the bound (values
+    # beyond ~3e6 at the default scale) take the exact decimal multiply
+    # — never a silent long overflow, exact at any magnitude.
+    _LONG_SAFE = F.lit(3_000_000_000)
+
+    def _xy(x, y):
+        return F.when(
+            (F.abs(x) < _LONG_SAFE) & (F.abs(y) < _LONG_SAFE),
+            (x * y).cast("decimal(38,0)"),
+        ).otherwise(x.cast("decimal(38,0)") * y)
+
     pairs = F.flatten(
         F.transform(
             F.sequence(F.lit(0), F.lit(dim - 1)),
@@ -1035,9 +1051,9 @@ def embedding_covariance(
                 lambda j: F.struct(
                     i.cast("int").alias("i"),
                     j.cast("int").alias("j"),
-                    (
-                        F.element_at("__fx", i + 1).cast("decimal(38,0)")
-                        * F.element_at("__fx", j + 1)
+                    _xy(
+                        F.element_at("__fx", i + 1),
+                        F.element_at("__fx", j + 1),
                     ).alias("xy"),
                     F.element_at("__fx", i + 1).alias("x"),
                     F.element_at("__fx", j + 1).alias("y"),

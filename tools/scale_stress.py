@@ -595,11 +595,84 @@ def bench_round8_ops(spark, path, n_edges, label):
     return out
 
 
+def bench_round9_ops(spark, n_rows, label):
+    """Round-9 touched families: the PNG decode path (Arrow-batched
+    stdlib inflate+unfilter — must scale linearly in rows since each
+    image is O(pixels) independent work) and the exact covariance/Gram
+    screen (shuffle O(partitions·dim²) regardless of rows — the 10x run
+    should grow by ~the scan cost only, far below 10x)."""
+    import pandas as pd
+
+    from aleph2_contrib_spark.operators import multimodal as mm
+    from aleph2_contrib_spark.operators.codecs import encode_png, media_decoder
+    from aleph2_contrib_spark.operators.similarity import embedding_covariance
+
+    out = {}
+
+    def run(name, thunk):
+        t0 = time.perf_counter()
+        thunk()
+        out[name] = round(time.perf_counter() - t0, 2)
+
+    ids = spark.range(n_rows).select(F.col("id").alias("doc_id"))
+
+    def gen(batches):
+        for b in batches:
+            rows = []
+            for did in b["doc_id"]:
+                did = int(did)
+                w, h = 5 + did % 4, 4 + did % 3
+                rgb = bytes(
+                    c
+                    for k in range(w * h)
+                    for c in ((did * 37 + k * 11) % 256,) * 3
+                )
+                rows.append(
+                    {"__source_file": str(did), "content": encode_png(w, h, rgb)}
+                )
+            yield pd.DataFrame(rows, columns=["__source_file", "content"])
+
+    imgs = ids.mapInPandas(gen, schema="`__source_file` string, content binary")
+    run(
+        "png_decode",
+        lambda: mm.extract_media_features(imgs, decoder=media_decoder)
+        .agg(F.count(F.lit(1)))
+        .collect(),
+    )
+    emb = spark.range(n_rows).select(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda i: (
+                (F.abs(F.xxhash64(F.col("id"), i, F.lit(9))) % 2001) - 1000
+            )
+            / 1000.0,
+        ).alias("embedding")
+    )
+    run(
+        "covariance64",
+        lambda: embedding_covariance(emb, "embedding", dim=64)
+        .agg(F.count(F.lit(1)))
+        .collect(),
+    )
+    print(label, out, flush=True)
+    return out
+
+
 def main():
     base = int(sys.argv[1]) if len(sys.argv) > 1 else 5000
     factor = int(sys.argv[2]) if len(sys.argv) > 2 else 10
     only = sys.argv[3] if len(sys.argv) > 3 else None
     spark = get_spark("scale-stress")
+    if only == "round9":
+        bench_round9_ops(spark, base * 4, "warmup")
+        r1 = bench_round9_ops(spark, base * 4, "1x")
+        r2 = bench_round9_ops(spark, base * 4 * factor, f"{factor}x")
+        print("--- scaling ratios (ideal <= %d) ---" % factor)
+        for k in r1:
+            ratio = r2[k] / r1[k] if r1[k] > 0 else float("inf")
+            flag = "  <-- SUPER-LINEAR" if ratio > factor * 1.5 else ""
+            print(f"{k:22s} 1x={r1[k]:7.2f}s {factor}x={r2[k]:8.2f}s ratio={ratio:5.1f}{flag}")
+        return
     p1 = make_docs(spark, base, "/tmp/scale_docs_1x.parquet")
     p2 = make_docs(spark, base * factor, f"/tmp/scale_docs_{factor}x.parquet")
     if only == "round8":
