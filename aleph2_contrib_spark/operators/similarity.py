@@ -1006,11 +1006,14 @@ def embedding_covariance(
 
     Plan shape at 100 TB: the per-row upper-triangle products are built
     JVM-side (nested F.transform over F.sequence — no Python) and
-    posexploded to dim·(dim+1)/2 skinny rows; ONE groupBy(i, j) with
-    map-side partial aggregation collapses each partition to ≤ pairs
-    rows before the shuffle, so shuffle volume is O(partitions · dim²)
-    regardless of row count. NULL vectors and vectors of the wrong
-    length are excluded (counted against nothing).
+    posexploded to dim·(dim+1)/2 skinny (i, j, xy) rows; ONE
+    groupBy(i, j) with map-side partial aggregation collapses each
+    partition to ≤ pairs rows before the shuffle, so shuffle volume is
+    O(partitions · dim²) regardless of row count. Per-component sums Σx
+    come from a separate dim-sized posexplode (decimal accumulation
+    from the first add — a long Σx would wrap silently past 2^63) and
+    broadcast-join back onto the pair aggregates. NULL vectors and
+    vectors of the wrong length are excluded (counted against nothing).
 
     ``dim`` defaults to the first row's vector length (one tiny head()
     probe — pass it explicitly in pipelines where the probe is unwanted).
@@ -1043,6 +1046,22 @@ def embedding_covariance(
             (x * y).cast("decimal(38,0)"),
         ).otherwise(x.cast("decimal(38,0)") * y)
 
+    # per-component sums Σx_i come from ONE dim-sized posexplode (not
+    # duplicated through every pair group as the first version did —
+    # 40% of the dim² explode was redundant x/y baggage) and accumulate
+    # in DECIMAL from the first add: a long-typed Σx wraps silently
+    # past 2^63, exactly the overflow class this operator exists to
+    # avoid. The tiny (dim-row) sum table broadcast-joins back onto the
+    # pair aggregates.
+    comp = (
+        base.select(F.posexplode("__fx").alias("i", "__x"))
+        .groupBy("i")
+        .agg(
+            F.sum(F.col("__x").cast("decimal(38,0)"))
+            .cast("decimal(38,0)")
+            .alias("__sx")
+        )
+    )
     pairs = F.flatten(
         F.transform(
             F.sequence(F.lit(0), F.lit(dim - 1)),
@@ -1055,8 +1074,6 @@ def embedding_covariance(
                         F.element_at("__fx", i + 1),
                         F.element_at("__fx", j + 1),
                     ).alias("xy"),
-                    F.element_at("__fx", i + 1).alias("x"),
-                    F.element_at("__fx", j + 1).alias("y"),
                 ),
             ),
         )
@@ -1065,20 +1082,32 @@ def embedding_covariance(
     agg = exploded.groupBy("i", "j").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("xy").cast("decimal(38,0)").alias("sum_xy_fx2"),
-        F.sum("x").cast("decimal(38,0)").alias("sum_x_fx"),
-        F.sum("y").cast("decimal(38,0)").alias("sum_y_fx"),
     )
-    return agg.select(
-        "i",
-        "j",
-        "n",
-        "sum_xy_fx2",
-        "sum_x_fx",
-        "sum_y_fx",
-        (
-            F.col("n").cast("decimal(38,0)") * F.col("sum_xy_fx2")
-            - F.col("sum_x_fx") * F.col("sum_y_fx")
-        ).cast("decimal(38,0)").alias("cov_num_fx2"),
+    return (
+        agg.join(
+            F.broadcast(comp.select("i", F.col("__sx").alias("sum_x_fx"))),
+            "i",
+        )
+        .join(
+            F.broadcast(
+                comp.select(
+                    F.col("i").alias("j"), F.col("__sx").alias("sum_y_fx")
+                )
+            ),
+            "j",
+        )
+        .select(
+            "i",
+            "j",
+            "n",
+            "sum_xy_fx2",
+            "sum_x_fx",
+            "sum_y_fx",
+            (
+                F.col("n").cast("decimal(38,0)") * F.col("sum_xy_fx2")
+                - F.col("sum_x_fx") * F.col("sum_y_fx")
+            ).cast("decimal(38,0)").alias("cov_num_fx2"),
+        )
     )
 
 
