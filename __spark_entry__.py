@@ -1981,6 +1981,21 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def similarity_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization audit (operators/similarity.
+    int8_quantization_stats) of the embeddings table — the FAISS-SQ8
+    storage form (float32 → int8 codes + one scalar, 4× smaller). Per
+    vector: exact integer code checksums (sum/L1/min/max), the carried
+    scale in ppb, and the worst reconstruction error in ppm (bounded by
+    1e6/127 by construction). floor-based quantization so both engines
+    produce identical codes from identical IEEE doubles; one narrow
+    projection, zero shuffles."""
+    from aleph2_contrib_spark.operators.similarity import int8_quantization_stats
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return int8_quantization_stats(emb, "embedding", "vec_id")
+
+
 def similarity_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reciprocal-rank fusion (operators/similarity.rrf_fusion) of two
     heterogeneous user rankings — exact total spend (DECIMAL cents) and
@@ -5815,6 +5830,14 @@ def _benford_oracle() -> str:
     return benford_profile_oracle_sql("lineitem", "l_extendedprice")
 
 
+def _int8_quant_oracle() -> str:
+    from aleph2_contrib_spark.operators.similarity import (
+        int8_quantization_stats_oracle_sql,
+    )
+
+    return int8_quantization_stats_oracle_sql("embeddings", "embedding", "vec_id")
+
+
 def _join_size_oracle() -> str:
     from aleph2_contrib_spark.operators.profile import (
         join_size_profile_oracle_sql,
@@ -6304,6 +6327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frame_sample": multimodal_frame_sample,
         "corpus_url_dedup": corpus_url_dedup,
         "similarity_rrf_fusion": similarity_rrf_fusion,
+        "similarity_quantize_int8": similarity_quantize_int8,
         "graph_global_stats": graph_global_stats,
         "text_readability": text_readability,
         "text_source_similarity": text_source_similarity,
@@ -7017,6 +7041,7 @@ def oracle_sql() -> dict[str, str]:
         "text_source_similarity": source_similarity_minhash_oracle_sql(
             "documents", "source", "text", k=32, seed="ss8"
         ),
+        "similarity_quantize_int8": _int8_quant_oracle(),
         "similarity_rrf_fusion": "SELECT id AS user_id, n_lists, rrf_f6 FROM ("
         + rrf_fusion_oracle_sql(
             [

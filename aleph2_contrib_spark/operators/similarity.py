@@ -1218,3 +1218,154 @@ SELECT id AS {id_out}, CAST(count(*) AS BIGINT) AS n_lists,
        CAST(sum(1000000 // ({int(k0)} + rnk)) AS BIGINT) AS rrf_f6
 FROM ({u}) GROUP BY id
 """
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization (SQ8) — the embedding STORAGE primitive
+# ---------------------------------------------------------------------------
+
+
+def quantize_embeddings_int8(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "doc_id",
+    out_col: str = "q8",
+    scale_col: str = "q_max_abs",
+) -> DataFrame:
+    """Symmetric int8 scalar quantization of an embedding column — the
+    standard 4× storage cut (float32 → int8 + one scalar) applied to a
+    vector corpus before it ships to an ANN index or an archival tier
+    (FAISS's SQ8 / "scalar quantizer" form).
+
+    Per vector: m = max|x_i| (the scalar carried alongside), and
+    q_i = floor(x_i · 127 / m) clamped to [-127, 127] — FLOOR, not
+    round-half-*, because the two engines' round modes differ (Spark
+    HALF_UP, DuckDB half-even) while floor of the identical IEEE-double
+    expression is bit-portable (the module's f6 discipline applied to
+    quantization). Dequantize: x̂_i = q_i · m / 127, with
+    |x − x̂| ≤ m/127 by construction. All-zero vectors quantize to all
+    zeros with m = 0 (dequantizes exactly); NULL vectors pass through
+    as NULL.
+
+    Plan shape at 100 TB: one narrow projection, no shuffle, no Python
+    — array max + one transform, all Catalyst expressions. The output
+    column is array<int> holding int8-range values (Spark's tinyint
+    arrays widen in most sinks anyway; the RANGE is the contract).
+    """
+    v = F.col(vec_col).cast("array<double>")
+    m = F.array_max(F.transform(v, F.abs))
+    q = F.when(m == 0.0, F.transform(v, lambda x: F.lit(0))).otherwise(
+        F.transform(
+            v,
+            lambda x: F.greatest(
+                F.lit(-127),
+                F.least(
+                    F.lit(127), F.floor(x * F.lit(127.0) / m).cast("int")
+                ),
+            ),
+        )
+    )
+    return df.withColumn(out_col, q).withColumn(
+        scale_col, F.when(v.isNull(), F.lit(None)).otherwise(m)
+    )
+
+
+def dequantize_embeddings_int8(
+    df: DataFrame,
+    q_col: str = "q8",
+    scale_col: str = "q_max_abs",
+    out_col: str = "embedding_deq",
+) -> DataFrame:
+    """Inverse of :func:`quantize_embeddings_int8`: x̂_i = q_i · m / 127
+    (exact for the all-zero case, within m/127 elsewhere)."""
+    m = F.col(scale_col)
+    return df.withColumn(
+        out_col,
+        F.transform(
+            F.col(q_col), lambda qv: qv.cast("double") * m / F.lit(127.0)
+        ),
+    )
+
+
+def int8_quantization_stats(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-vector QA row for the SQ8 path — the audit a pipeline runs
+    before swapping an index to quantized storage. One row per vector:
+
+        (id, dim, scale_ppb, q_sum, q_l1, q_min, q_max, err_ppm_max)
+
+    scale_ppb = floor(m·1e9) pins the carried scalar in exact integer
+    parts-per-billion; q_* are exact integer aggregates of the int8
+    codes (checksums a reader can re-derive); err_ppm_max =
+    floor(1e6 · max|x_i − q_i·m/127| / m) is the worst reconstruction
+    error relative to the vector's own magnitude — ≤ 1e6/127 ≈ 7874 by
+    construction, so a larger value is a broken reader, not noise.
+    All-zero and NULL vectors are dropped (nothing to audit).
+
+    Plan shape: one narrow projection, zero shuffles — every statistic
+    folds inside the row via F.aggregate/F.zip_with.
+    """
+    q8 = quantize_embeddings_int8(df, vec_col, id_col)
+    v = F.col(vec_col).cast("array<double>")
+    m = F.col("q_max_abs")
+    deq = F.transform(F.col("q8"), lambda qv: qv.cast("double") * m / F.lit(127.0))
+    abs_err = F.zip_with(v, deq, lambda a, b: F.abs(a - b))
+    return (
+        q8.filter(F.col("q_max_abs").isNotNull() & (F.col("q_max_abs") > 0.0))
+        .select(
+            F.col(id_col),
+            F.size(v).cast("int").alias("dim"),
+            F.floor(m * F.lit(1_000_000_000.0)).cast("long").alias("scale_ppb"),
+            F.aggregate(
+                "q8", F.lit(0).cast("long"), lambda acc, x: acc + x
+            ).alias("q_sum"),
+            F.aggregate(
+                "q8", F.lit(0).cast("long"), lambda acc, x: acc + F.abs(x)
+            ).alias("q_l1"),
+            F.array_min("q8").cast("int").alias("q_min"),
+            F.array_max("q8").cast("int").alias("q_max"),
+            F.floor(F.array_max(abs_err) * F.lit(1_000_000.0) / m)
+            .cast("long")
+            .alias("err_ppm_max"),
+        )
+    )
+
+
+def int8_quantization_stats_oracle_sql(
+    table: str, vec_expr: str = "embedding", id_col: str = "doc_id"
+) -> str:
+    """DuckDB replica of :func:`int8_quantization_stats` — identical
+    IEEE-double expressions (x·127/m, q·m/127), identical floors and
+    clamps, so every integer output matches bit-for-bit."""
+    return f"""
+WITH base AS (
+    SELECT {id_col},
+           list_transform(CAST({vec_expr} AS DOUBLE[]), x -> x) AS v,
+           list_max(list_transform(CAST({vec_expr} AS DOUBLE[]), x -> abs(x))) AS m
+    FROM {table}
+    WHERE {vec_expr} IS NOT NULL
+), q AS (
+    SELECT {id_col}, v, m,
+           list_transform(
+               v, x -> greatest(-127, least(127,
+                   CAST(floor(x * 127.0 / m) AS INT)))) AS q8
+    FROM base WHERE m > 0
+), err AS (
+    SELECT {id_col}, v, m, q8,
+           list_max(list_transform(range(1, len(v) + 1),
+               i -> abs(v[i] - q8[i] * m / 127.0))) AS max_err
+    FROM q
+)
+SELECT {id_col},
+       CAST(len(v) AS INT) AS dim,
+       CAST(floor(m * 1000000000.0) AS BIGINT) AS scale_ppb,
+       CAST(list_sum(q8) AS BIGINT) AS q_sum,
+       CAST(list_sum(list_transform(q8, x -> abs(x))) AS BIGINT) AS q_l1,
+       CAST(list_min(q8) AS INT) AS q_min,
+       CAST(list_max(q8) AS INT) AS q_max,
+       CAST(floor(max_err * 1000000.0 / m) AS BIGINT) AS err_ppm_max
+FROM err
+"""

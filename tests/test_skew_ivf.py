@@ -384,3 +384,59 @@ def test_embedding_covariance_oracle_matches(spark, tmp_path):
     sql = embedding_covariance_oracle_sql(f"'{p}/*.parquet'", "embedding", dim=3)
     want = {tuple(r) for r in duckdb.sql(sql).fetchall()}
     assert got == want
+
+
+# -- int8 scalar quantization (SQ8) -------------------------------------------
+
+
+def test_int8_quantize_roundtrip_bound_and_edges(spark):
+    from pyspark.sql import functions as F
+
+    from aleph2_contrib_spark.operators.similarity import (
+        dequantize_embeddings_int8,
+        quantize_embeddings_int8,
+    )
+
+    rows = [
+        (1, [1.0, -2.0, 0.5, 2.0]),
+        (2, [0.001, -0.001, 0.0005, 0.0]),  # tiny magnitudes
+        (3, [0.0, 0.0, 0.0, 0.0]),          # all-zero -> all-zero codes, m=0
+        (4, None),                           # NULL passes through
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, embedding array<double>")
+    q = quantize_embeddings_int8(df)
+    d = {r["doc_id"]: r for r in dequantize_embeddings_int8(q).collect()}
+    # max-magnitude component quantizes to ±127 exactly
+    assert d[1]["q8"][3] == 127 and d[1]["q8"][1] == -127
+    for did in (1, 2):
+        m = d[did]["q_max_abs"]
+        for a, b in zip(d[did]["embedding"], d[did]["embedding_deq"]):
+            assert abs(a - b) <= m / 127 + 1e-12
+        assert all(-127 <= c <= 127 for c in d[did]["q8"])
+    assert d[3]["q8"] == [0, 0, 0, 0] and d[3]["q_max_abs"] == 0.0
+    assert d[4]["q8"] is None and d[4]["q_max_abs"] is None
+
+
+def test_int8_quantization_stats_oracle_matches(spark, tmp_path):
+    import duckdb
+    import numpy as np
+
+    from aleph2_contrib_spark.operators.similarity import (
+        int8_quantization_stats,
+        int8_quantization_stats_oracle_sql,
+    )
+
+    rng = np.random.RandomState(13)
+    X = rng.uniform(-3, 3, size=(120, 6)).astype("float32")
+    rows = [(i, x.tolist()) for i, x in enumerate(X)]
+    rows.append((500, [0.0] * 6))  # dropped (m = 0)
+    rows.append((501, None))       # dropped (NULL)
+    df = spark.createDataFrame(rows, "doc_id long, embedding array<float>")
+    p = str(tmp_path / "e.parquet")
+    df.coalesce(1).write.parquet(p)
+    got = {tuple(r) for r in int8_quantization_stats(df).collect()}
+    sql = int8_quantization_stats_oracle_sql(f"'{p}/*.parquet'", "embedding", "doc_id")
+    want = {tuple(r) for r in duckdb.sql(sql).fetchall()}
+    assert got == want and len(got) == 120
+    # worst reconstruction error respects the 1e6/127 construction bound
+    assert max(r[7] for r in got) <= 1_000_000 // 127
