@@ -1818,6 +1818,18 @@ def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return time_weighted_avg(ev, "user_id", "t", "value")
 
 
+def corpus_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle rewrite (operators/corpus.fim_transform,
+    Bavarian et al. 2022) of the documents table: md5-derived split
+    points, PSM re-serialization <|fim_prefix|>P<|fim_suffix|>S
+    <|fim_middle|>M, short docs pass through. Narrow projection, zero
+    shuffles; the oracle re-derives every split point bit-for-bit."""
+    from aleph2_contrib_spark.operators.corpus import fim_transform
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return fim_transform(docs, "doc_id", "text")
+
+
 def corpus_chat_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SFT-conversation QA (operators/corpus.chat_turn_stats): documents
     become deterministic JSON conversations (2 + doc_id%4 turns,
@@ -5830,6 +5842,14 @@ def _benford_oracle() -> str:
     return benford_profile_oracle_sql("lineitem", "l_extendedprice")
 
 
+def _fim_oracle() -> str:
+    from aleph2_contrib_spark.operators.corpus import fim_transform_oracle_sql
+
+    return fim_transform_oracle_sql(
+        "SELECT doc_id AS id, text FROM documents", "doc_id"
+    )
+
+
 def _int8_quant_oracle() -> str:
     from aleph2_contrib_spark.operators.similarity import (
         int8_quantization_stats_oracle_sql,
@@ -6346,6 +6366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_recursive_cte": sql_recursive_cte,
         "events_time_weighted_avg": events_time_weighted_avg,
         "corpus_chat_turns": corpus_chat_turns,
+        "corpus_fim_transform": corpus_fim_transform,
         "corpus_preference_pairs": corpus_preference_pairs,
         "graph_scc": graph_scc,
         "q12_priority_by_linestatus": q12_priority_by_linestatus,
@@ -6933,6 +6954,7 @@ def oracle_sql() -> dict[str, str]:
             """,
             "user_id",
         ),
+        "corpus_fim_transform": _fim_oracle(),
         "corpus_chat_turns": chat_turn_stats_oracle_sql(
             """
             SELECT doc_id AS id,

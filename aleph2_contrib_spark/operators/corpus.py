@@ -1329,3 +1329,125 @@ SELECT p AS {prompt_col},
        CAST(n AS BIGINT) AS n_candidates
 FROM agg WHERE n >= 2
 """
+
+
+# ---------------------------------------------------------------------------
+# fill-in-the-middle (FIM) transformation
+# ---------------------------------------------------------------------------
+
+FIM_PREFIX_TOK = "<|fim_prefix|>"
+FIM_SUFFIX_TOK = "<|fim_suffix|>"
+FIM_MIDDLE_TOK = "<|fim_middle|>"
+
+
+def fim_transform(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    middle_frac_ppm: int = 300_000,
+    min_len: int = 20,
+    seed: str = "fim",
+) -> DataFrame:
+    """Fill-in-the-middle transformation (Bavarian et al. 2022, "Efficient
+    Training of Language Models to Fill in the Middle") — the document
+    rewrite code-model pipelines apply to a fraction of the corpus so the
+    model learns infilling: split each document into (prefix, middle,
+    suffix) at deterministic points and re-serialize in PSM order
+
+        <|fim_prefix|>P<|fim_suffix|>S<|fim_middle|>M
+
+    so the model predicts the middle given both sides. Split points are
+    md5-derived from (seed, id) — reproducible across runs, partitionings
+    and engines (the corpus-module discipline; no rand()). The middle
+    spans ``middle_frac_ppm`` of the document (ppm — exact integer math,
+    ≥ 1 char), its start uniform over the valid range. Documents shorter
+    than ``min_len`` chars pass through unchanged (fim_applied = false)
+    — matching the paper's practice of transforming only a fraction;
+    compose with ``hash_sample`` to pick WHICH documents.
+
+    Returns (id, fim_text, fim_applied, split_start, middle_len) —
+    split geometry emitted so QA can re-derive the pieces. One narrow
+    projection, zero shuffles, all Catalyst string expressions (ASCII /
+    single-codepoint semantics: both engines index substrings by
+    codepoint).
+    """
+    if not (0 < int(middle_frac_ppm) < 1_000_000):
+        raise ValueError(f"middle_frac_ppm must be in (0, 1e6), got {middle_frac_ppm}")
+    if min_len < 3:
+        raise ValueError(f"min_len must be >= 3, got {min_len}")
+    t = F.col(text_col)
+    L = F.length(t)
+    mlen = F.greatest(
+        F.lit(1), (L * F.lit(int(middle_frac_ppm))).cast("long") / F.lit(1_000_000)
+    ).cast("long")
+    # uniform start in [1, L - mlen + 1]: md5 integer mod the range width
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    rng_width = L.cast("long") - mlen + 1
+    start = (h % rng_width) + 1
+    prefix = F.substring(t, F.lit(1), (start - 1).cast("int"))
+    middle = t.substr(start.cast("int"), mlen.cast("int"))
+    suffix = t.substr(
+        (start + mlen).cast("int"), (L.cast("long") - start - mlen + 1).cast("int")
+    )
+    applied = t.isNotNull() & (L >= F.lit(int(min_len)))
+    return df.select(
+        F.col(id_col),
+        F.when(
+            applied,
+            F.concat(
+                F.lit(FIM_PREFIX_TOK),
+                prefix,
+                F.lit(FIM_SUFFIX_TOK),
+                suffix,
+                F.lit(FIM_MIDDLE_TOK),
+                middle,
+            ),
+        ).otherwise(t).alias("fim_text"),
+        applied.alias("fim_applied"),
+        F.when(applied, start).cast("long").alias("split_start"),
+        F.when(applied, mlen).cast("long").alias("middle_len"),
+    )
+
+
+def fim_transform_oracle_sql(
+    rows_sql: str,
+    id_col: str,
+    middle_frac_ppm: int = 300_000,
+    min_len: int = 20,
+    seed: str = "fim",
+) -> str:
+    """DuckDB replica of :func:`fim_transform`. ``rows_sql`` yields
+    (id, text)."""
+    return f"""
+WITH base AS (
+    SELECT id, text, len(text) AS L,
+           greatest(1, CAST(len(text) * {int(middle_frac_ppm)} AS BIGINT)
+                       // 1000000) AS mlen,
+           CAST('0x' || substr(md5('{seed}:' || CAST(id AS VARCHAR)), 1, 8)
+                AS UBIGINT) AS h
+    FROM ({rows_sql})
+), pos AS (
+    SELECT *, CAST(h % CAST(L - mlen + 1 AS UBIGINT) AS BIGINT) + 1 AS s,
+           (text IS NOT NULL AND L >= {int(min_len)}) AS applied
+    FROM base
+)
+SELECT id AS {id_col},
+       CASE WHEN applied THEN
+            '{FIM_PREFIX_TOK}' || substr(text, 1, CAST(s - 1 AS INT))
+            || '{FIM_SUFFIX_TOK}' || substr(text, CAST(s + mlen AS INT),
+                                            CAST(L - s - mlen + 1 AS INT))
+            || '{FIM_MIDDLE_TOK}' || substr(text, CAST(s AS INT), CAST(mlen AS INT))
+       ELSE text END AS fim_text,
+       applied AS fim_applied,
+       CASE WHEN applied THEN s END AS split_start,
+       CASE WHEN applied THEN mlen END AS middle_len
+FROM pos
+"""

@@ -851,3 +851,77 @@ def test_preference_pairs_oracle_matches(spark, tmp_path):
         ).fetchall()
     }
     assert got == want and len(got) > 0
+
+
+# -- fim_transform -------------------------------------------------------------
+
+
+def test_fim_transform_hand_worked(spark):
+    from aleph2_contrib_spark.operators.corpus import (
+        FIM_MIDDLE_TOK,
+        FIM_PREFIX_TOK,
+        FIM_SUFFIX_TOK,
+        fim_transform,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog repeatedly"),
+        (2, "short"),   # below min_len: passthrough
+        (3, ""),        # empty: passthrough
+        (4, None),      # NULL: passthrough
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {r["id"]: r for r in fim_transform(df, "id", "text").collect()}
+    r = out[1]
+    assert r["fim_applied"] is True
+    # pieces reassemble to the original text at the emitted geometry
+    txt = rows[0][1]
+    s, m = r["split_start"], r["middle_len"]
+    pre, mid, suf = txt[: s - 1], txt[s - 1 : s - 1 + m], txt[s - 1 + m :]
+    assert r["fim_text"] == (
+        FIM_PREFIX_TOK + pre + FIM_SUFFIX_TOK + suf + FIM_MIDDLE_TOK + mid
+    )
+    # middle spans ~30% (default ppm) of the doc
+    assert m == len(txt) * 300_000 // 1_000_000
+    assert out[2]["fim_text"] == "short" and out[2]["fim_applied"] is False
+    assert out[2]["split_start"] is None
+    assert out[3]["fim_text"] == "" and out[4]["fim_text"] is None
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="middle_frac_ppm"):
+        fim_transform(df, "id", "text", middle_frac_ppm=0)
+    with _pytest.raises(ValueError, match="min_len"):
+        fim_transform(df, "id", "text", min_len=1)
+
+
+def test_fim_transform_deterministic_and_oracle(spark, tmp_path):
+    import random
+
+    import duckdb
+
+    from aleph2_contrib_spark.operators.corpus import (
+        fim_transform,
+        fim_transform_oracle_sql,
+    )
+
+    rnd = random.Random(23)
+    words = ["alpha", "beta", "gamma", "delta", "eps"]
+    rows = [
+        (i, " ".join(rnd.choice(words) for _ in range(rnd.randint(1, 40))))
+        for i in range(150)
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    p = str(tmp_path / "t.parquet")
+    df.coalesce(1).write.parquet(p)
+    got = {tuple(r) for r in fim_transform(df, "id", "text").collect()}
+    # identical across repeated runs (seeded, partition-independent)
+    again = {tuple(r) for r in fim_transform(df.repartition(7), "id", "text").collect()}
+    assert got == again
+    want = {
+        tuple(r)
+        for r in duckdb.sql(
+            fim_transform_oracle_sql(f"SELECT id, text FROM '{p}/*.parquet'", "id")
+        ).fetchall()
+    }
+    assert got == want and len(got) == 150
