@@ -1818,6 +1818,31 @@ def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return time_weighted_avg(ev, "user_id", "t", "value")
 
 
+def corpus_distribution_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance resampling to an explicit target histogram (operators/
+    corpus.distribution_match_sample): documents bucketed by length band
+    (0/1/2 at 200-char steps, capped), reshaped to a 50/30/20 target mix
+    keeping the maximum possible total (the scarcest bucket stays
+    whole). Verified by per-bucket survivor counts + id checksums; the
+    oracle recomputes K and the floored rates from the data with the
+    identical IEEE evaluation order."""
+    from aleph2_contrib_spark.operators.corpus import distribution_match_sample
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.least(F.lit(2), F.floor(F.length("text") / 200).cast("int")).alias(
+            "len_band"
+        ),
+    )
+    kept = distribution_match_sample(
+        docs, "len_band", "doc_id", {0: 500_000, 1: 300_000, 2: 200_000}
+    )
+    return kept.groupBy(F.col("len_band").alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.sum("doc_id").cast("long").alias("id_sum"),
+    )
+
+
 def corpus_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fill-in-the-middle rewrite (operators/corpus.fim_transform,
     Bavarian et al. 2022) of the documents table: md5-derived split
@@ -5842,6 +5867,19 @@ def _benford_oracle() -> str:
     return benford_profile_oracle_sql("lineitem", "l_extendedprice")
 
 
+def _dmatch_oracle() -> str:
+    from aleph2_contrib_spark.operators.corpus import (
+        distribution_match_oracle_sql,
+    )
+
+    return distribution_match_oracle_sql(
+        "SELECT doc_id, text FROM documents",
+        "least(2, CAST(len(text) // 200 AS INT))",
+        "doc_id",
+        {0: 500_000, 1: 300_000, 2: 200_000},
+    )
+
+
 def _fim_oracle() -> str:
     from aleph2_contrib_spark.operators.corpus import fim_transform_oracle_sql
 
@@ -6367,6 +6405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_time_weighted_avg": events_time_weighted_avg,
         "corpus_chat_turns": corpus_chat_turns,
         "corpus_fim_transform": corpus_fim_transform,
+        "corpus_distribution_match": corpus_distribution_match,
         "corpus_preference_pairs": corpus_preference_pairs,
         "graph_scc": graph_scc,
         "q12_priority_by_linestatus": q12_priority_by_linestatus,
@@ -6955,6 +6994,7 @@ def oracle_sql() -> dict[str, str]:
             "user_id",
         ),
         "corpus_fim_transform": _fim_oracle(),
+        "corpus_distribution_match": _dmatch_oracle(),
         "corpus_chat_turns": chat_turn_stats_oracle_sql(
             """
             SELECT doc_id AS id,

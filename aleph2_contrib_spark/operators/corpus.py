@@ -1451,3 +1451,112 @@ SELECT id AS {id_col},
        CASE WHEN applied THEN mlen END AS middle_len
 FROM pos
 """
+
+
+# ---------------------------------------------------------------------------
+# distribution matching (importance resampling to an explicit target)
+# ---------------------------------------------------------------------------
+
+
+def distribution_match_sample(
+    df: DataFrame,
+    bucket_col: str,
+    id_col: str,
+    target_ppm: dict,
+    seed: str = "dmatch",
+) -> DataFrame:
+    """Importance resampling to an EXPLICIT target distribution over a
+    bucket column — the curation step that reshapes a corpus histogram
+    (quality buckets, length terciles, domains) to a prescribed mix
+    (CCNet's per-quality-bucket shaping; the acceptance-sampling form of
+    DoReMi-style domain reweighting). Where ``temperature_mix`` flattens
+    the NATURAL distribution by a power law, this matches a TARGET one.
+
+    Per bucket b with n_b rows and target weight t_b (ppm):
+    K = min over target buckets of n_b / t_b (the largest scale at which
+    every bucket can still supply its share), acceptance rate_b =
+    min(1, K·t_b / n_b) — so kept counts are ≈ K·t_b, exactly
+    proportional to the target, keeping the maximum possible total (the
+    scarcest bucket is kept whole; everything else downsamples to
+    match). Rows whose bucket is absent from ``target_ppm`` (or has
+    weight 0) are dropped.
+
+    Determinism/portability: per-bucket counts are a tiny collect
+    (buckets ≪ rows, the temperature_mix pattern); rates are floored to
+    1e-6 and applied with the md5-threshold sampler, so the kept SET is
+    identical across runs, partitionings, and engines — every arithmetic
+    step is IEEE-double with a fixed evaluation order that an oracle can
+    replay exactly.
+
+    One count groupBy + one narrow filter pass; no other shuffle.
+    """
+    import math
+
+    if not target_ppm or any(int(v) < 0 for v in target_ppm.values()):
+        raise ValueError("target_ppm must be non-empty with weights >= 0")
+    counts = {
+        r[0]: r[1] for r in df.groupBy(bucket_col).count().collect()
+    }
+    k = None
+    for b, t in target_ppm.items():
+        t = int(t)
+        if t > 0 and b in counts:
+            ratio = counts[b] / (t * 1.0)
+            k = ratio if k is None else min(k, ratio)
+    if k is None:  # no target bucket present in the data
+        return df.filter(F.lit(False))
+    rates = {}
+    for b, t in target_ppm.items():
+        t = int(t)
+        if t > 0 and b in counts:
+            rates[b] = math.floor(min(1.0, (k * t) / counts[b]) * 1_000_000) / 1_000_000
+    u = md5_unit(F.col(id_col), seed)
+    rate_expr = F.lit(-1.0)
+    for b, r in rates.items():
+        rate_expr = F.when(F.col(bucket_col) == F.lit(b), F.lit(r)).otherwise(
+            rate_expr
+        )
+    return df.filter(u < rate_expr)
+
+
+def distribution_match_oracle_sql(
+    rows_sql: str,
+    bucket_expr: str,
+    id_expr: str,
+    target_ppm: dict,
+    seed: str = "dmatch",
+) -> str:
+    """DuckDB replica of :func:`distribution_match_sample` aggregated per
+    bucket (n_kept, id_sum) — recomputes K and the floored rates from
+    the data with the identical IEEE-double evaluation order, so every
+    keep/drop decision matches bit-for-bit. ``rows_sql`` yields rows;
+    ``bucket_expr``/``id_expr`` are expressions over them."""
+    values = ", ".join(
+        f"({b!r}, {int(t)})" if isinstance(b, str) else f"({b}, {int(t)})"
+        for b, t in target_ppm.items()
+    )
+    return f"""
+WITH rows_in AS ({rows_sql}),
+b AS (
+    SELECT {id_expr} AS id, {bucket_expr} AS bucket FROM rows_in
+), n AS (
+    SELECT bucket, count(*) AS nb FROM b GROUP BY bucket
+), t(bucket, tppm) AS (VALUES {values}),
+k AS (
+    SELECT min(nb / (tppm * 1.0)) AS kk
+    FROM n JOIN t USING (bucket) WHERE tppm > 0
+), r AS (
+    SELECT bucket,
+           floor(least(1.0, ((SELECT kk FROM k) * tppm) / nb) * 1000000)
+               / 1000000 AS rate
+    FROM n JOIN t USING (bucket) WHERE tppm > 0
+), kept AS (
+    SELECT b.id, b.bucket
+    FROM b JOIN r USING (bucket)
+    WHERE CAST('0x' || substr(md5('{seed}:' || CAST(b.id AS VARCHAR)), 1, 8)
+               AS UBIGINT) / 4294967296.0 < r.rate
+)
+SELECT bucket, CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(id) AS BIGINT) AS id_sum
+FROM kept GROUP BY bucket
+"""

@@ -925,3 +925,72 @@ def test_fim_transform_deterministic_and_oracle(spark, tmp_path):
         ).fetchall()
     }
     assert got == want and len(got) == 150
+
+
+# -- distribution_match_sample --------------------------------------------------
+
+
+def test_distribution_match_proportions_and_max_kept(spark):
+    from aleph2_contrib_spark.operators.corpus import distribution_match_sample
+
+    # buckets 0..6 equal-sized; target only 0/1/2 at 5:3:2
+    df = spark.createDataFrame(
+        [(i, i % 7) for i in range(7000)], "doc_id long, bucket int"
+    )
+    kept = distribution_match_sample(
+        df, "bucket", "doc_id", {0: 500_000, 1: 300_000, 2: 200_000}, seed="dm"
+    )
+    counts = {r["bucket"]: r["n"] for r in kept.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert set(counts) == {0, 1, 2}  # untargeted buckets dropped
+    # the binding bucket (largest target weight) is kept ~whole;
+    # others downsample toward the 5:3:2 mix
+    assert counts[0] > 900  # 1000 rows, rate 1.0 (minus float-floor slack)
+    assert abs(counts[0] / counts[1] - 5 / 3) < 0.25
+    assert abs(counts[1] / counts[2] - 3 / 2) < 0.3
+    # weight-0 target bucket drops everything; absent buckets don't bind
+    none_kept = distribution_match_sample(
+        df, "bucket", "doc_id", {0: 0, 99: 1_000_000}, seed="dm"
+    )
+    assert none_kept.count() == 0
+
+    with pytest.raises(ValueError, match="target_ppm"):
+        distribution_match_sample(df, "bucket", "doc_id", {})
+
+
+def test_distribution_match_oracle_and_partition_independence(spark, tmp_path):
+    import duckdb
+
+    from aleph2_contrib_spark.operators.corpus import (
+        distribution_match_oracle_sql,
+        distribution_match_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, (i * i) % 5) for i in range(3000)], "doc_id long, bucket int"
+    )
+    target = {0: 400_000, 1: 400_000, 4: 200_000}
+    p = str(tmp_path / "t.parquet")
+    df.coalesce(1).write.parquet(p)
+
+    def agg(frame):
+        return {
+            tuple(r)
+            for r in frame.groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_kept"),
+                F.sum("doc_id").cast("long").alias("id_sum"),
+            )
+            .collect()
+        }
+
+    got = agg(distribution_match_sample(df, "bucket", "doc_id", target))
+    got_repart = agg(
+        distribution_match_sample(df.repartition(11), "bucket", "doc_id", target)
+    )
+    assert got == got_repart
+    sql = distribution_match_oracle_sql(
+        f"SELECT doc_id, bucket FROM '{p}/*.parquet'", "bucket", "doc_id", target
+    )
+    want = {tuple(r) for r in duckdb.sql(sql).fetchall()}
+    assert got == want and len(got) == 3
