@@ -564,3 +564,77 @@ def test_streaming_interval_join_left_outer_batch_semantics(spark):
         streaming_interval_join(
             left, right, "k", "lt", "rt", "1 hour", "1 hour", how="full"
         )
+
+
+# -- real TCP wire for the decode path (S11's honest maximum without a broker)
+
+
+def test_socket_json_stream_decodes_over_real_tcp(spark, tmp_path):
+    """End-to-end over a REAL network socket: a localhost TCP server
+    emits JSON lines (including a poison pill); socket_json_stream feeds
+    them through the production kafka_decode transform into a memory
+    sink. Proves the wire leg the Kafka connector would occupy — the
+    decode path consumes bytes that genuinely crossed a socket."""
+    import socket
+    import threading
+    import time
+
+    from aleph2_contrib_spark.streaming.runner import socket_json_stream
+
+    lines = [
+        '{"user_id": 1, "event_type": "click", "value": 10.5}',
+        '{"user_id": 2, "event_type": "purchase", "value": 99.0}',
+        "NOT JSON {{{",  # poison pill: must be dropped, not kill the query
+        '{"user_id": 3, "event_type": "click", "value": 1.0}',
+    ]
+
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+    done = threading.Event()
+
+    def serve():
+        conn, _ = srv.accept()
+        try:
+            conn.sendall(("\n".join(lines) + "\n").encode())
+            # keep the connection open until the assertion side is done —
+            # the socket source treats EOF as source failure
+            done.wait(timeout=120)
+        finally:
+            conn.close()
+            srv.close()
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+
+    decoded = socket_json_stream(
+        spark, "127.0.0.1", port,
+        "user_id LONG, event_type STRING, value DOUBLE",
+    )
+    q = (
+        decoded.writeStream.format("memory")
+        .queryName("sock_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        rows = []
+        while time.time() < deadline:
+            rows = spark.sql("SELECT * FROM sock_sink").collect()
+            if len(rows) >= 3:
+                break
+            time.sleep(0.5)
+        got = sorted((r["user_id"], r["event_type"], r["value"]) for r in rows)
+        assert got == [
+            (1, "click", 10.5),
+            (2, "purchase", 99.0),
+            (3, "click", 1.0),
+        ], got
+        assert q.isActive  # the poison pill did not kill the stream
+    finally:
+        done.set()
+        q.stop()
