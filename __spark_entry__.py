@@ -1321,6 +1321,60 @@ def multimodal_png_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_gif_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode of a second REAL COMPRESSED format, with the
+    compression algorithm itself implemented in-repo (operators/codecs:
+    GIF-variant LZW — dynamic table, CLEAR/EOI, 12-bit cap, KwKwK):
+    each document becomes a deterministic GIF87a (w = 6 + doc_id % 3,
+    h = 5 + doc_id % 4, gray pixel k = (doc_id*41 + k*13) % 256) built
+    by encode_gif, then demuxed + LZW-decoded back through the
+    production extract_media_metadata / extract_media_features path.
+    Histogram counts recovered exactly; DuckDB replays the pixel
+    arithmetic symbolically."""
+    import pandas as pd
+
+    from aleph2_contrib_spark.operators import multimodal as mm
+    from aleph2_contrib_spark.operators.codecs import encode_gif, media_decoder
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+
+    def gen(batches):
+        for b in batches:
+            rows = []
+            for did in b["doc_id"]:
+                did = int(did)
+                w, h = 6 + did % 3, 5 + did % 4
+                rgb = bytes(
+                    c
+                    for k in range(w * h)
+                    for c in ((did * 41 + k * 13) % 256,) * 3
+                )
+                rows.append(
+                    {"__source_file": str(did), "content": encode_gif(w, h, rgb)}
+                )
+            yield pd.DataFrame(rows, columns=["__source_file", "content"])
+
+    imgs = docs.mapInPandas(gen, schema="`__source_file` string, content binary")
+    meta = mm.extract_media_metadata(imgs, decoder=media_decoder)
+    feats = mm.extract_media_features(imgs, decoder=media_decoder)
+    n_px = F.col("width") * F.col("height")
+    return meta.join(feats, "__source_file").select(
+        "__source_file",
+        "mime",
+        "width",
+        "height",
+        "codec",
+        F.concat_ws(
+            ",",
+            F.transform(
+                "embedding", lambda x: F.round(x * n_px).cast("int").cast("string")
+            ),
+        ).alias("hist"),
+    )
+
+
 def similarity_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact one-pass covariance/Gram statistics of the embeddings table
     (operators/similarity.embedding_covariance): per unordered component
@@ -6365,6 +6419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": multimodal_features,
         "multimodal_real_codec": multimodal_real_codec,
         "multimodal_png_codec": multimodal_png_codec,
+        "multimodal_gif_codec": multimodal_gif_codec,
         "multimodal_audio_codec": multimodal_audio_codec,
         "similarity_embedding_covariance": similarity_embedding_covariance,
         "graph_bipartite_project": graph_bipartite_project,
@@ -9106,6 +9161,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(doc_id AS VARCHAR) AS "__source_file",
                    'image/x-portable-pixmap' AS mime,
                    w AS width, h AS height, 'ppm' AS codec,
+                   array_to_string(list_transform(range(0, 16),
+                     i -> CAST(len(list_filter(bl, b -> b = i)) AS VARCHAR)), ',') AS hist
+            FROM hist
+        """,
+        "multimodal_gif_codec": """
+            WITH d AS (
+                SELECT doc_id, CAST(6 + doc_id % 3 AS INT) AS w,
+                       CAST(5 + doc_id % 4 AS INT) AS h
+                FROM documents
+            ), px AS (
+                SELECT doc_id, w, h, unnest(range(0, w * h)) AS k FROM d
+            ), hist AS (
+                SELECT doc_id, any_value(w) AS w, any_value(h) AS h,
+                       list(((doc_id * 41 + k * 13) % 256) // 16) AS bl
+                FROM px GROUP BY doc_id
+            )
+            SELECT CAST(doc_id AS VARCHAR) AS "__source_file",
+                   'image/gif' AS mime,
+                   w AS width, h AS height, 'gif' AS codec,
                    array_to_string(list_transform(range(0, 16),
                      i -> CAST(len(list_filter(bl, b -> b = i)) AS VARCHAR)), ',') AS hist
             FROM hist

@@ -2,9 +2,11 @@
 
 The container has no PIL/ffmpeg, so the multimodal operators were shipped
 with injected-decoder seams (operators/multimodal.py). This module closes
-the loop for the UNCOMPRESSED formats a pure-Python parser can own — PPM
-(P6) and 24-bit BMP — so the decode / feature / resize path runs on real
-bytes end-to-end with NO injected fake:
+the loop for every format a pure-Python parser can honestly own —
+uncompressed (PPM, BMP, WAV) AND compressed where the compression is
+stdlib or simple enough to implement in full (PNG via zlib, GIF via an
+in-repo LZW) — so the decode / feature / resize path runs on real bytes
+end-to-end with NO injected fake:
 
 - :func:`decode_ppm` / :func:`encode_ppm` — binary PPM (P6), the simplest
   real interchange format (magic, dims, maxval, raw RGB).
@@ -22,6 +24,10 @@ bytes end-to-end with NO injected fake:
   (zlib is stdlib): signature + CRC-verified chunk walk, multi-IDAT
   inflate, all five scanline filters; 8-bit gray/truecolor,
   non-interlaced (VERDICT r8 item 6).
+- :func:`decode_gif` / :func:`encode_gif` — second REAL compressed format,
+  LZW implemented here in full (dynamic table, CLEAR/EOI, 12-bit cap,
+  KwKwK case): header/extension/sub-block walk, global+local color
+  tables, first frame; interlace fails fast.
 - :func:`resize_rgb` — nearest-neighbor resample, re-encoded as PPM, with
   the ``resize_images`` resizer signature.
 
@@ -206,6 +212,9 @@ def media_decoder(payload: bytes) -> dict:
     elif payload[:8] == PNG_MAGIC:
         w, h, rgb = decode_png(payload)
         mime, codec = PNG_MIME, "png"
+    elif payload[:6] in (b"GIF87a", b"GIF89a"):
+        w, h, rgb = decode_gif(payload)
+        mime, codec = GIF_MIME, "gif"
     else:
         raise ValueError(f"unrecognized media magic {payload[:2]!r}")
     n = w * h
@@ -233,6 +242,8 @@ def resize_rgb(payload: bytes, new_w: int, new_h: int) -> bytes:
         w, h, rgb = decode_bmp(payload)
     elif payload[:8] == PNG_MAGIC:
         w, h, rgb = decode_png(payload)
+    elif payload[:6] in (b"GIF87a", b"GIF89a"):
+        w, h, rgb = decode_gif(payload)
     else:
         raise ValueError(f"unrecognized media magic {payload[:2]!r}")
     out = bytearray(new_w * new_h * 3)
@@ -448,3 +459,226 @@ def mjppm_frame_extractor(payload: bytes, every_n: int) -> list[bytes]:
     if every_n < 1:
         raise ValueError(f"every_n must be >= 1, got {every_n}")
     return decode_mjppm(payload)[::every_n]
+
+
+GIF_MIME = "image/gif"
+
+
+def _lzw_encode(indices: bytes, min_code_size: int) -> bytes:
+    """GIF-variant LZW encoder (dynamic table, 12-bit cap, CLEAR emitted
+    when the table fills — the canonical GIF writer behavior)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    code_size = min_code_size + 1
+    out_bits: list[tuple[int, int]] = [(clear, code_size)]
+    w = b""
+    for ch in indices:
+        wc = w + bytes([ch])
+        if wc in table:
+            w = wc
+        else:
+            out_bits.append((table[w], code_size))
+            table[wc] = next_code
+            next_code += 1
+            if next_code > (1 << code_size) and code_size < 12:
+                code_size += 1
+            elif next_code > (1 << 12):
+                out_bits.append((clear, code_size))
+                table = {bytes([i]): i for i in range(clear)}
+                next_code = eoi + 1
+                code_size = min_code_size + 1
+            w = bytes([ch])
+    if w:
+        out_bits.append((table[w], code_size))
+    out_bits.append((eoi, code_size))
+    # pack LSB-first
+    acc = n = 0
+    data = bytearray()
+    for code, size in out_bits:
+        acc |= code << n
+        n += size
+        while n >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            n -= 8
+    if n:
+        data.append(acc & 0xFF)
+    return bytes(data)
+
+
+def _lzw_decode(data: bytes, min_code_size: int, n_expected: int) -> bytes:
+    """GIF-variant LZW decoder: LSB-first bit stream, CLEAR/EOI codes,
+    dynamic table growth to 12 bits, the KwKwK special case."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+
+    def reset():
+        return {i: bytes([i]) for i in range(clear)}, eoi + 1, min_code_size + 1
+
+    table, next_code, code_size = reset()
+    acc = n = pos = 0
+    prev: bytes | None = None
+    out = bytearray()
+    while True:
+        while n < code_size:
+            if pos >= len(data):
+                raise ValueError("truncated GIF LZW stream (no EOI)")
+            acc |= data[pos] << n
+            pos += 1
+            n += 8
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        n -= code_size
+        if code == clear:
+            table, next_code, code_size = reset()
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code not in table:
+                raise ValueError(f"bad first GIF LZW code {code}")
+            entry = table[code]
+        elif code in table:
+            entry = table[code]
+        elif code == next_code:  # KwKwK
+            entry = prev + prev[:1]
+        else:
+            raise ValueError(f"bad GIF LZW code {code}")
+        out += entry
+        if prev is not None:
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+            if next_code == (1 << code_size) and code_size < 12:
+                code_size += 1
+        prev = entry
+        if len(out) > n_expected:
+            raise ValueError("GIF LZW stream longer than image")
+    if len(out) != n_expected:
+        raise ValueError(
+            f"GIF LZW stream decoded {len(out)} pixels, need {n_expected}"
+        )
+    return bytes(out)
+
+
+def encode_gif(width: int, height: int, rgb: bytes) -> bytes:
+    """Serialize raw RGB as a minimal REAL GIF87a: the image's distinct
+    colors (≤ 256 enforced) become the global color table, pixels LZW-
+    compress with the canonical dynamic-table writer. Any compliant GIF
+    reader opens the output."""
+    if width < 1 or height < 1:
+        raise ValueError(f"bad dimensions {width}x{height}")
+    if len(rgb) != width * height * 3:
+        raise ValueError(
+            f"payload is {len(rgb)} bytes, need {width * height * 3} "
+            f"for {width}x{height}"
+        )
+    pixels = [rgb[i : i + 3] for i in range(0, len(rgb), 3)]
+    palette = sorted(set(pixels))
+    if len(palette) > 256:
+        raise ValueError(f"GIF encoder needs <= 256 distinct colors, got {len(palette)}")
+    index_of = {c: i for i, c in enumerate(palette)}
+    indices = bytes(index_of[p] for p in pixels)
+    # color table size: power of two >= max(2, len(palette))
+    ct_bits = 1
+    while (1 << ct_bits) < len(palette):
+        ct_bits += 1
+    ct = b"".join(palette) + b"\x00\x00\x00" * ((1 << ct_bits) - len(palette))
+    min_code_size = max(2, ct_bits)
+    lzw = _lzw_encode(indices, min_code_size)
+    out = bytearray(b"GIF87a")
+    out += struct.pack("<HHBBB", width, height, 0x80 | (ct_bits - 1), 0, 0)
+    out += ct
+    out += b"\x2C" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+    out += bytes([min_code_size])
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3B"
+    return bytes(out)
+
+
+def decode_gif(payload: bytes) -> tuple[int, int, bytes]:
+    """Parse a GIF (87a/89a) → (width, height, raw RGB of the FIRST
+    frame) — a second REAL compressed format owned end-to-end by stdlib
+    code: header + logical screen walk, global/local color tables,
+    extension-block skipping (GCE/comment/application), sub-block
+    reassembly, and a full GIF-variant LZW decode (dynamic table,
+    CLEAR/EOI, 12-bit cap, KwKwK case). Interlaced images fail fast;
+    transparency is ignored (first frame composited as stored)."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError(f"bad GIF signature {payload[:6]!r}")
+    if len(payload) < 13:
+        raise ValueError("truncated GIF header")
+    sw, sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = payload[pos : pos + 3 * n]
+        if len(gct) != 3 * n:
+            raise ValueError("truncated GIF global color table")
+        pos += 3 * n
+    while pos < len(payload):
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            raise ValueError("GIF has no image descriptor")
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while True:
+                if pos >= len(payload):
+                    raise ValueError("truncated GIF extension")
+                sz = payload[pos]
+                pos += 1 + sz
+                if sz == 0:
+                    break
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{block:02x}")
+        if pos + 9 > len(payload):
+            raise ValueError("truncated GIF image descriptor")
+        _lx, _ty, w, h, iflags = struct.unpack_from("<HHHHB", payload, pos)
+        pos += 9
+        if iflags & 0x40:
+            raise ValueError("interlaced GIF not supported")
+        ct = gct
+        if iflags & 0x80:
+            n = 2 << (iflags & 0x07)
+            ct = payload[pos : pos + 3 * n]
+            if len(ct) != 3 * n:
+                raise ValueError("truncated GIF local color table")
+            pos += 3 * n
+        if ct is None:
+            raise ValueError("GIF image has no color table")
+        if w < 1 or h < 1:
+            raise ValueError(f"bad GIF dimensions {w}x{h}")
+        if pos >= len(payload):
+            raise ValueError("truncated GIF image data")
+        min_code_size = payload[pos]
+        pos += 1
+        if not (2 <= min_code_size <= 11):
+            raise ValueError(f"bad GIF LZW min code size {min_code_size}")
+        lzw = bytearray()
+        while True:
+            if pos >= len(payload):
+                raise ValueError("truncated GIF data sub-blocks")
+            sz = payload[pos]
+            pos += 1
+            if sz == 0:
+                break
+            lzw += payload[pos : pos + sz]
+            if len(payload) < pos + sz:
+                raise ValueError("truncated GIF data sub-block")
+            pos += sz
+        indices = _lzw_decode(bytes(lzw), min_code_size, w * h)
+        n_colors = len(ct) // 3
+        out = bytearray()
+        for idx in indices:
+            if idx >= n_colors:
+                raise ValueError(f"GIF pixel index {idx} outside color table")
+            out += ct[3 * idx : 3 * idx + 3]
+        return w, h, bytes(out)
+    raise ValueError("GIF ended without trailer or image")

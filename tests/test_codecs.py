@@ -323,3 +323,80 @@ def test_png_fail_fast():
         short = zlib.compress(b"\x00\x01")
         ih = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
         decode_png(magic + chunk(b"IHDR", ih) + chunk(b"IDAT", short) + chunk(b"IEND", b""))
+
+
+# -- GIF (second real compressed format; LZW implemented in-repo) --------------
+
+
+def test_gif_roundtrip_and_decoder_contract():
+    from aleph2_contrib_spark.operators.codecs import (
+        decode_gif,
+        encode_gif,
+        media_decoder,
+        resize_rgb,
+    )
+
+    w, h = 6, 4
+    rgb = b"".join(bytes([(k * 13) % 256] * 3) for k in range(w * h))
+    g = encode_gif(w, h, rgb)
+    assert g[:6] == b"GIF87a" and g[-1:] == b"\x3B"
+    assert decode_gif(g) == (w, h, rgb)
+    d = media_decoder(g)
+    assert (d["mime"], d["codec"], d["width"], d["height"]) == (
+        "image/gif", "gif", w, h,
+    )
+    assert resize_rgb(g, 3, 2)[:2] == b"P6"
+
+
+def test_gif_lzw_table_growth_clear_and_kwkwk():
+    import random
+
+    from aleph2_contrib_spark.operators.codecs import (
+        _lzw_decode,
+        _lzw_encode,
+        decode_gif,
+        encode_gif,
+    )
+
+    # long low-entropy stream: grows the table past several code sizes
+    # and (at 20k symbols over a 4-entry alphabet) past the 12-bit cap,
+    # forcing a mid-stream CLEAR + table reset
+    rnd = random.Random(3)
+    idx = bytes(rnd.randrange(4) for _ in range(20000))
+    enc = _lzw_encode(idx, 2)
+    assert _lzw_decode(enc, 2, len(idx)) == idx
+    # KwKwK special case: "aaaa" emits a code equal to next_code
+    assert _lzw_decode(_lzw_encode(b"\x00\x00\x00\x00", 2), 2, 4) == b"\x00\x00\x00\x00"
+    # a 40x35 image with 200 gray levels round-trips through the full
+    # container (sub-block splitting at 255 bytes included)
+    W, H = 40, 35
+    px = b"".join(bytes([rnd.randrange(200)] * 3) for _ in range(W * H))
+    assert decode_gif(encode_gif(W, H, px)) == (W, H, px)
+
+
+def test_gif_fail_fast():
+    import pytest
+
+    from aleph2_contrib_spark.operators.codecs import decode_gif, encode_gif
+
+    w, h = 4, 3
+    rgb = b"".join(bytes([(k * 29) % 256] * 3) for k in range(w * h))
+    g = encode_gif(w, h, rgb)
+    with pytest.raises(ValueError, match="signature"):
+        decode_gif(b"JIF87a" + g[6:])
+    with pytest.raises(ValueError, match="truncated"):
+        decode_gif(g[:9])
+    with pytest.raises(ValueError, match="truncated"):
+        decode_gif(g[:-6])
+    # interlace flag on the image descriptor fails fast
+    gct_n = 2 << (g[10] & 7)
+    desc = 13 + 3 * gct_n
+    assert g[desc] == 0x2C
+    bad = bytearray(g)
+    bad[desc + 9] |= 0x40
+    with pytest.raises(ValueError, match="interlaced"):
+        decode_gif(bytes(bad))
+    # >256 distinct colors is an encoder error, not silent palette loss
+    over = b"".join(bytes((k % 256, k // 256, 0)) for k in range(257))
+    with pytest.raises(ValueError, match="256 distinct"):
+        encode_gif(257, 1, over)
