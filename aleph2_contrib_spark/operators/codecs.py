@@ -492,7 +492,19 @@ def _lzw_encode(indices: bytes, min_code_size: int) -> bytes:
             w = bytes([ch])
     if w:
         out_bits.append((table[w], code_size))
-    out_bits.append((eoi, code_size))
+    # EOI width: the decoder performs one LAST table insert after the
+    # final data code (it lags the encoder by one insert mid-stream,
+    # catching up at the end), so when next_code sits exactly on a
+    # power-of-two boundary the decoder widens before reading EOI —
+    # found by the hypothesis roundtrip property, invisible to
+    # mid-stream cases because the one-insert lag and the encoder's
+    # one-later (>) threshold cancel everywhere else
+    eoi_size = (
+        code_size + 1
+        if code_size < 12 and next_code == (1 << code_size)
+        else code_size
+    )
+    out_bits.append((eoi, eoi_size))
     # pack LSB-first
     acc = n = 0
     data = bytearray()

@@ -400,3 +400,61 @@ def test_gif_fail_fast():
     over = b"".join(bytes((k % 256, k // 256, 0)) for k in range(257))
     with pytest.raises(ValueError, match="256 distinct"):
         encode_gif(257, 1, over)
+
+
+# -- property-based roundtrips (hypothesis) ------------------------------------
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HAS_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    _HAS_HYPOTHESIS = False
+
+if _HAS_HYPOTHESIS:
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(1, 12),
+        h=st.integers(1, 12),
+        data=st.data(),
+    )
+    def test_png_gif_roundtrip_property(w, h, data):
+        """Any RGB image round-trips bit-exactly through PNG; any image
+        with ≤256 distinct colors round-trips through GIF; and
+        media_decoder featurizes the same pixels identically regardless
+        of which container carried them."""
+        from aleph2_contrib_spark.operators.codecs import (
+            decode_gif,
+            decode_png,
+            encode_gif,
+            encode_png,
+            media_decoder,
+        )
+
+        n = w * h
+        # ≤16 distinct colors keeps GIF in range and mixes palette sizes
+        palette = data.draw(
+            st.lists(
+                st.tuples(
+                    st.integers(0, 255), st.integers(0, 255), st.integers(0, 255)
+                ),
+                min_size=1,
+                max_size=16,
+                unique=True,
+            )
+        )
+        pix = data.draw(
+            st.lists(st.integers(0, len(palette) - 1), min_size=n, max_size=n)
+        )
+        rgb = b"".join(bytes(palette[i]) for i in pix)
+
+        p = encode_png(w, h, rgb)
+        assert decode_png(p) == (w, h, rgb)
+        g = encode_gif(w, h, rgb)
+        assert decode_gif(g) == (w, h, rgb)
+        mp, mg = media_decoder(p), media_decoder(g)
+        assert mp["features"] == mg["features"]
+        assert (mp["width"], mp["height"]) == (mg["width"], mg["height"]) == (w, h)
