@@ -440,3 +440,37 @@ def test_int8_quantization_stats_oracle_matches(spark, tmp_path):
     assert got == want and len(got) == 120
     # worst reconstruction error respects the 1e6/127 construction bound
     assert max(r[7] for r in got) <= 1_000_000 // 127
+
+
+def test_int8_quantize_property(spark):
+    """Property over adversarial vectors (tiny/huge magnitudes, negatives,
+    repeated values): codes stay in [-127,127], max-|x| components land
+    within one code of full scale (floor quantization can give ±126 when
+    x·127/m rounds an ulp below the integer), and reconstruction error
+    never exceeds m/127."""
+    import random
+
+    from aleph2_contrib_spark.operators.similarity import (
+        dequantize_embeddings_int8,
+        quantize_embeddings_int8,
+    )
+
+    rnd = random.Random(99)
+    rows = []
+    for i in range(60):
+        scale = 10.0 ** rnd.randint(-6, 6)
+        dim = rnd.randint(1, 12)
+        rows.append((i, [rnd.uniform(-1, 1) * scale for _ in range(dim)]))
+    df = spark.createDataFrame(rows, "doc_id long, embedding array<double>")
+    out = dequantize_embeddings_int8(quantize_embeddings_int8(df)).collect()
+    assert len(out) == 60
+    for r in out:
+        m = r["q_max_abs"]
+        assert m == max(abs(x) for x in r["embedding"])
+        assert all(-127 <= c <= 127 for c in r["q8"])
+        # the max-|x| component lands at full scale (±127) or one code
+        # below it (floor + IEEE rounding)
+        k = max(range(len(r["embedding"])), key=lambda j: abs(r["embedding"][j]))
+        assert abs(r["q8"][k]) in (126, 127)
+        for a, b in zip(r["embedding"], r["embedding_deq"]):
+            assert abs(a - b) <= m / 127 * (1 + 1e-12)
