@@ -1377,8 +1377,10 @@ def fim_transform(
         raise ValueError(f"min_len must be >= 3, got {min_len}")
     t = F.col(text_col)
     L = F.length(t)
+    # widen BEFORE multiplying: length * ppm overflows int32 for texts of
+    # ~7160+ chars (ANSI mode throws, non-ANSI wraps silently)
     mlen = F.greatest(
-        F.lit(1), (L * F.lit(int(middle_frac_ppm))).cast("long") / F.lit(1_000_000)
+        F.lit(1), (L.cast("long") * F.lit(int(middle_frac_ppm))) / F.lit(1_000_000)
     ).cast("long")
     # uniform start in [1, L - mlen + 1]: md5 integer mod the range width
     h = F.conv(

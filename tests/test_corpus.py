@@ -895,6 +895,43 @@ def test_fim_transform_hand_worked(spark):
         fim_transform(df, "id", "text", min_len=1)
 
 
+def test_fim_transform_long_document_no_int32_overflow(spark):
+    # regression: len(text) * 300000 in IntegerType overflows int32 for any
+    # text of 7160+ chars (ANSI throws; non-ANSI silently wraps, collapsing
+    # mlen to 1). The multiply must widen to long FIRST.
+    import duckdb
+
+    from aleph2_contrib_spark.operators.corpus import (
+        fim_transform,
+        fim_transform_oracle_sql,
+    )
+
+    long_txt = ("lorem ipsum dolor sit amet " * 400)[:10_000]  # 10k chars
+    huge_txt = "x" * 50_000
+    df = spark.createDataFrame(
+        [(1, long_txt), (2, huge_txt)], "id long, text string"
+    )
+    out = {r["id"]: r for r in fim_transform(df, "id", "text").collect()}
+    assert out[1]["middle_len"] == len(long_txt) * 300_000 // 1_000_000 == 3_000
+    assert out[2]["middle_len"] == 15_000
+    # pieces reassemble at the emitted geometry
+    s, m = out[1]["split_start"], out[1]["middle_len"]
+    assert long_txt[s - 1 : s - 1 + m] in out[1]["fim_text"]
+    # engine/oracle parity on the long documents
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES (1, ?), (2, ?)) v(id, text)",
+        [long_txt, huge_txt],
+    )
+    want = {
+        tuple(r)
+        for r in con.sql(
+            fim_transform_oracle_sql("SELECT id, text FROM t", "id")
+        ).fetchall()
+    }
+    assert {tuple(r) for r in out.values()} == want
+
+
 def test_fim_transform_deterministic_and_oracle(spark, tmp_path):
     import random
 

@@ -1289,6 +1289,50 @@ def test_merge_intervals_oracle_matches(spark, tmp_path):
     assert got == want and len(got) > 0
 
 
+def test_merge_intervals_float_bounds_floored_on_both_engines(spark, tmp_path):
+    # regression for the documented bounds contract: float-typed bounds are
+    # FLOORED explicitly on both engines — never an engine cast, because
+    # Spark's long cast truncates toward zero while DuckDB's rounds
+    # half-even, and that divergence silently changes which intervals touch.
+    import duckdb
+
+    from aleph2_contrib_spark.operators.events import (
+        merge_intervals,
+        merge_intervals_oracle_sql,
+    )
+
+    rows = [
+        (1, 0.9, 2.5),    # floors to [0, 2]
+        (1, 2.5, 4.1),    # floors to [2, 4] — touches -> merges with above
+        (1, 5.5, 5.9),    # floors to [5, 5] — single point island
+        (1, 7.99, 7.01),  # floors to [7, 7] — valid AFTER flooring (e >= s)
+        (2, 0.5, 0.4),    # floors to [0, 0] — also valid after flooring
+        (2, 2.4, 1.6),    # floors to [2, 1] — invalid: dropped
+        (2, 3.5, 10.49),  # floors to [3, 10] (cast-rounding would give 4/10)
+    ]
+    df = spark.createDataFrame(rows, "k long, s double, e double")
+    got = {
+        tuple(r)
+        for r in merge_intervals(df, "k", "s", "e").collect()
+    }
+    assert got == {
+        (1, 0, 4, 2),
+        (1, 5, 5, 1),
+        (1, 7, 7, 1),
+        (2, 0, 0, 1),
+        (2, 3, 10, 1),
+    }
+    p = str(tmp_path / "fi.parquet")
+    df.coalesce(1).write.parquet(p)
+    want = {
+        tuple(r)
+        for r in duckdb.sql(
+            merge_intervals_oracle_sql(f"SELECT k, s, e FROM '{p}/*.parquet'", "k")
+        ).fetchall()
+    }
+    assert got == want
+
+
 # -- time_weighted_avg --------------------------------------------------------
 
 
