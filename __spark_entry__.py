@@ -1375,6 +1375,74 @@ def multimodal_gif_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_jpeg_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode of an ENTROPY-CODED format with no injected
+    decoder (VERDICT r9 item 4, operators/jpeg.py): each document becomes
+    a deterministic baseline JFIF JPEG — w = 9 + doc_id % 6, h = 8 +
+    doc_id % 5 (2×2 MCUs, non-multiple-of-8 crops), gray value constant
+    per 8×8 block: g = (doc_id*43 + block_index*29) % 256 — encoded with
+    DC quantization step 8, the step that makes block-constant images
+    round-trip EXACTLY (DC of a constant block is 8·(c−128); every AC is
+    0; the fixed-point color transforms are exact identities on gray).
+    The decode leg runs the real thing: marker walk, canonical Huffman
+    from DHT, byte-unstuffed scan with DC prediction, dequant + IDCT.
+    DuckDB replays the pixel arithmetic symbolically, so a real Huffman
+    entropy decode sits on the differential gate."""
+    import pandas as pd
+
+    from aleph2_contrib_spark.operators import multimodal as mm
+    from aleph2_contrib_spark.operators.codecs import media_decoder
+    from aleph2_contrib_spark.operators.jpeg import (
+        QUANT_CHROMA,
+        QUANT_LUMA,
+        dc_exact_quant,
+        encode_jpeg,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+    ql, qc = dc_exact_quant(QUANT_LUMA), dc_exact_quant(QUANT_CHROMA)
+
+    def gen(batches):
+        for b in batches:
+            rows = []
+            for did in b["doc_id"]:
+                did = int(did)
+                w, h = 9 + did % 6, 8 + did % 5
+                bw = (w + 7) // 8
+                rgb = bytearray()
+                for k in range(w * h):
+                    x, y = k % w, k // w
+                    g = (did * 43 + ((y // 8) * bw + x // 8) * 29) % 256
+                    rgb += bytes((g, g, g))
+                rows.append(
+                    {
+                        "__source_file": str(did),
+                        "content": encode_jpeg(w, h, bytes(rgb), ql, qc),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["__source_file", "content"])
+
+    imgs = docs.mapInPandas(gen, schema="`__source_file` string, content binary")
+    meta = mm.extract_media_metadata(imgs, decoder=media_decoder)
+    feats = mm.extract_media_features(imgs, decoder=media_decoder)
+    n_px = F.col("width") * F.col("height")
+    return meta.join(feats, "__source_file").select(
+        "__source_file",
+        "mime",
+        "width",
+        "height",
+        "codec",
+        F.concat_ws(
+            ",",
+            F.transform(
+                "embedding", lambda x: F.round(x * n_px).cast("int").cast("string")
+            ),
+        ).alias("hist"),
+    )
+
+
 def similarity_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact one-pass covariance/Gram statistics of the embeddings table
     (operators/similarity.embedding_covariance): per unordered component
@@ -6338,18 +6406,15 @@ def join_bitmap_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver gate grades the FIRST 50 entries
     # each round. The literal below keeps its historical grouping; the
-    # round-9 window is imposed programmatically at the end of this
-    # function, per VERDICT r8 items 1 and 4: the 4 round-8 driver-red
-    # gates (fixed — exact wide sums now cross the gate boundary as
-    # digit strings, never DECIMAL), then every gate whose code or
-    # oracle changed this round (n_wedges stringification, the SCC
-    # hybrid-trim + probe-fold rewrite, the 4 ADVICE fixes), the eight
-    # stale rows VERDICT r8 item 4 names plus the six displaced gates
-    # the round-8 comment promised would lead round 9, every remaining
-    # never-driver-checked gate (28 — the round-8 additions the 50-slot
-    # window couldn't fit), and the oldest r4-era check that fits. All
-    # entries past the window are green in this round's full-registry
-    # local run (CORRECTNESS_local_r09.json).
+    # round-10 window is imposed programmatically at the end of this
+    # function, per VERDICT r9 item 3 + ADVICE r9: the four round-9
+    # gates the r9 window deferred (never driver-checked), the gate
+    # whose code changed this round (fim_transform int32-overflow fix),
+    # the judge-named stalest rows (graph build ✓r5, storage trio ✓r6,
+    # the four U5 function gates), then the r4-stale tier — the oldest
+    # driver rows in the registry. All entries past the window are
+    # green in this round's full-registry local run
+    # (CORRECTNESS_local_r10.json).
     reg = {
         # -- (0) round-2-stale rotation block (VERDICT r5 item 1) --
         "explode_top_tokens": explode_top_tokens,
@@ -6420,6 +6485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_real_codec": multimodal_real_codec,
         "multimodal_png_codec": multimodal_png_codec,
         "multimodal_gif_codec": multimodal_gif_codec,
+        "multimodal_jpeg_codec": multimodal_jpeg_codec,
         "multimodal_audio_codec": multimodal_audio_codec,
         "similarity_embedding_covariance": similarity_embedding_covariance,
         "graph_bipartite_project": graph_bipartite_project,
@@ -6618,72 +6684,75 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v1_query_extras": v1_query_extras,
     }
     window = [
-        # ---- ROUND-9 WINDOW (VERDICT r8 items 1 + 4) ----
-        # (a) the 4 round-8 driver-red gates, fixed: exact wide sums now
-        #     cross the gate boundary as digit strings (gate_types.py)
-        "similarity_embedding_covariance",
-        "profile_numeric_correlation",
-        "graph_degree_assortativity",
-        "profile_join_size",
-        # (b) code/oracle changed this round — old rows no longer
-        #     certify them: n_wedges digit-string emission, the SCC
-        #     hybrid-trim/probe-fold rewrite, the chat-turn array-only
-        #     contract, merge_intervals floor()ed bounds, the
-        #     canonicalize_url prefix fold, the mjppm header check
-        "graph_global_stats",
-        "graph_scc",
-        "corpus_chat_turns",
-        "events_interval_merge",
-        "corpus_url_dedup",
-        "multimodal_frame_sample",
-        "multimodal_png_codec",
-        # (c) the stale rows VERDICT r8 item 4 names, plus the six
-        #     displaced gates the round-8 window comment promised would
-        #     lead round 9
-        "dsl_enum_projection_exclude",
-        "update_upsert_by_spec",
-        "crud_filtered_repo",
-        "graph_visibility",
-        "file_ingest_binary_roundtrip",
-        "file_inbox_consume_archive",
-        "storage_retention_age_out",
-        "pipeline_combiner_partial_agg",
-        "crud_batch_writer_roundtrip",
-        "storage_partitioned_roundtrip",
-        "update_array_ops",
-        # (d) every remaining never-driver-checked gate (round-8-era
-        #     additions certified only by the local full-registry runs
-        #     until now)
-        "linkage_golden_record",
-        "profile_null_patterns",
-        "profile_inclusion_deps",
-        "graph_closeness_landmarks",
-        "similarity_rrf_fusion",
-        "text_readability",
-        "text_source_similarity",
-        "dedup_sorted_neighborhood",
-        "window_rolling_range",
-        "corpus_rank_normalize",
-        "events_peaks",
-        "events_active_users",
-        "multimodal_resize",
-        "corpus_vocab_coverage",
-        "text_code_detect",
-        "profile_format_patterns",
-        "profile_ingestion_gaps",
-        "profile_table_diff",
-        "sql_recursive_cte",
-        "events_time_weighted_avg",
-        "corpus_preference_pairs",
-        "events_sequential_patterns",
-        "events_markov_transitions",
-        "events_funnel_windowed",
-        "linkage_blocked_pairs",
-        "profile_key_skew",
-        "profile_benford",
-        "graph_personalized_pagerank",
-        # (the r4/r5-stale tier — 86 gates — rotates through rounds
-        #  10-11; all green in CORRECTNESS_local_r09.json)
+        # ---- ROUND-10 WINDOW (VERDICT r9 items 2 + 3, ADVICE r9) ----
+        # (a) the four round-9 gates the 50-slot r9 window deferred
+        #     (never driver-checked; ADVICE r9 low), plus fim_transform
+        #     whose length math changed this round (int32-overflow fix:
+        #     the multiply now widens to long BEFORE scaling by ppm)
+        "multimodal_gif_codec",
+        "corpus_fim_transform",
+        "corpus_distribution_match",
+        "similarity_quantize_int8",
+        # (a2) NEW this round: real baseline-JPEG entropy decode on the
+        #      gate (operators/jpeg.py; VERDICT r9 item 4)
+        "multimodal_jpeg_codec",
+        # (b) the judge-named stalest driver rows (graph build last
+        #     checked r5, storage trio r6) plus the four U5 function
+        #     gates (even-round local re-verify policy: this round they
+        #     are BOTH locally re-verified and driver-rotated)
+        "graph_vertices",
+        "graph_edges",
+        "graph_merge_incremental",
+        "storage_segment_rolling",
+        "storage_buffer_promote",
+        "storage_collide_policy",
+        "string_funcs",
+        "date_funcs",
+        "math_funcs",
+        "regexp_funcs",
+        # (c) the r4-stale tier (last driver-checked round 4 — the
+        #     oldest rows in the registry; 42 total, the first 36 here,
+        #     the remaining 6 + the r5 tier lead round 11). All green in
+        #     this round's full-registry local run.
+        "array_funcs_tokens",
+        "corpus_c4_line_filter",
+        "corpus_chunk_stride",
+        "corpus_domain_rollup",
+        "corpus_gopher_rules",
+        "corpus_temperature_mix",
+        "dedup_fuzzy_levenshtein",
+        "dedup_spans",
+        "events_anomaly_zscore",
+        "events_basket_lift",
+        "events_funnel",
+        "events_interarrival_stats",
+        "events_scd2_intervals",
+        "graph_bfs_levels",
+        "graph_pagerank",
+        "graph_triangles",
+        "grouping_sets_revenue",
+        "join_anti_customers_no_orders",
+        "join_semi_parts_ordered",
+        "pivot_event_counts",
+        "profile_expectations",
+        "profile_histogram_drift",
+        "profile_value_histogram",
+        "setop_click_not_purchase",
+        "similarity_hard_negatives",
+        "similarity_ivf_pq_exact",
+        "similarity_label_centroids",
+        "sketch_cms_heavy_hitters",
+        "sketch_hll_by_group",
+        "sketch_hll_intersection",
+        "sketch_quantile_by_group",
+        "sketch_quantile_hist",
+        "stats_percentiles",
+        "text_bigram_rarity",
+        "text_char_pairs",
+        # (deferred to round 11: the 7 remaining r4 rows —
+        #  text_inverted_postings, text_keywords_tfidf, text_relevance_topk,
+        #  txlog_incremental_etl, txlog_restore_changefeed, union_entities,
+        #  window_running_total — then the 37-gate r5 tier and the r6 tier)
     ]
     assert len(window) == 50 and len(set(window)) == 50
     assert all(k in reg for k in window)
@@ -9161,6 +9230,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(doc_id AS VARCHAR) AS "__source_file",
                    'image/x-portable-pixmap' AS mime,
                    w AS width, h AS height, 'ppm' AS codec,
+                   array_to_string(list_transform(range(0, 16),
+                     i -> CAST(len(list_filter(bl, b -> b = i)) AS VARCHAR)), ',') AS hist
+            FROM hist
+        """,
+        "multimodal_jpeg_codec": """
+            WITH d AS (
+                SELECT doc_id, CAST(9 + doc_id % 6 AS INT) AS w,
+                       CAST(8 + doc_id % 5 AS INT) AS h
+                FROM documents
+            ), px AS (
+                SELECT doc_id, w, h, unnest(range(0, w * h)) AS k FROM d
+            ), hist AS (
+                SELECT doc_id, any_value(w) AS w, any_value(h) AS h,
+                       list(((doc_id * 43
+                              + (((k // w) // 8) * ((w + 7) // 8)
+                                 + (k % w) // 8) * 29) % 256) // 16) AS bl
+                FROM px GROUP BY doc_id
+            )
+            SELECT CAST(doc_id AS VARCHAR) AS "__source_file",
+                   'image/jpeg' AS mime,
+                   w AS width, h AS height, 'jpeg' AS codec,
                    array_to_string(list_transform(range(0, 16),
                      i -> CAST(len(list_filter(bl, b -> b = i)) AS VARCHAR)), ',') AS hist
             FROM hist

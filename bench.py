@@ -19,6 +19,13 @@ the MIN silently mixes cold executions with cache-hit scans and
 understates real per-query cost. Per-pass totals are recorded in
 BENCH_full.json ("pass_totals") so the residual warm-JVM effect stays
 visible rather than folded into the headline number.
+
+Host-load provenance (round-10): os.getloadavg()[0] is sampled at start,
+after warmup, at each pass boundary, and at end ("load_avg_1m"), and each
+pass's full per-query dict is kept separately ("per_pass_queries") — so a
+regressed total can be decomposed into plan change vs neighbor load from
+the committed artifact alone (the r9 381 s vs r8 316 s delta needed a
+separate solo artifact to prove environmental).
 """
 
 from __future__ import annotations
@@ -38,6 +45,7 @@ import __spark_entry__ as entrymod
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    load_samples: dict[str, float] = {"start": round(os.getloadavg()[0], 2)}
     spark = get_spark("bench")
 
     # Warm the JVM so per-query numbers measure the engine, not session
@@ -79,15 +87,19 @@ def main() -> None:
     # second pass usually rescues the queries the first pass mis-timed.
     passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
     # Pass 2+ re-times the SLOWEST pass-1 queries first, under a fixed
-    # wall-clock budget: bursty host noise moves multi-second queries by
-    # seconds (worth a retry) and sub-second queries by milliseconds (not
-    # worth doubling a ~200-query registry's wall clock). Per-query MIN
-    # methodology is unchanged where it matters, and total bench time is
-    # bounded at pass-1 + budget no matter how the registry grows.
-    rerun_budget = float(os.environ.get("SPARK_GRAFT_BENCH_RERUN_BUDGET", "150"))
+    # wall-clock budget: the slowest-first ordering means noise-moved
+    # multi-second queries are always rescued even if the budget runs out
+    # on the sub-second tail. The default budget (r10: 450 s, was 150 s)
+    # covers the FULL registry's warm second pass at the current size, so
+    # the committed artifact normally carries min-of-2 for every query —
+    # the cap only bites if the registry grows far past ~260 queries or
+    # the host is badly loaded, and total bench time stays bounded at
+    # pass-1 + budget either way.
+    rerun_budget = float(os.environ.get("SPARK_GRAFT_BENCH_RERUN_BUDGET", "450"))
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
     pass_totals: list[float] = []
+    per_pass_queries: list[dict[str, float]] = []
     for p in range(max(1, passes)):
         if p == 0:
             plan = list(entrymod.queries().items())
@@ -101,7 +113,10 @@ def main() -> None:
                 (k, qmap[k]) for k in sorted(timings, key=lambda k: -timings[k])
             ]
             budget = rerun_budget
+        if p == 0:
+            load_samples["after_warm"] = round(os.getloadavg()[0], 2)
         pass_total = 0.0
+        pass_timings: dict[str, float] = {}
         for name, fn in plan:
             if pass_total > budget:
                 break
@@ -109,10 +124,13 @@ def main() -> None:
             out = fn(spark, sf_dir).collect()
             dt = time.perf_counter() - t0
             pass_total += dt
+            pass_timings[name] = round(dt, 4)
             if name not in timings or dt < timings[name]:
                 timings[name] = dt
             rows[name] = len(out)
         pass_totals.append(round(pass_total, 2))
+        per_pass_queries.append(pass_timings)
+        load_samples[f"pass{p + 1}_end"] = round(os.getloadavg()[0], 2)
         if p == 0 and pass_total > 420.0:
             # Pass 1 ran hot (host contention) — that is precisely when the
             # per-query-MIN rescue pass matters most, so NEVER skip it
@@ -134,6 +152,8 @@ def main() -> None:
         "queries": {k: round(v, 4) for k, v in timings.items()},
         "rows": rows,
         "pass_totals": pass_totals,
+        "per_pass_queries": per_pass_queries,
+        "load_avg_1m": load_samples,
     }
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_full.json"), "w") as f:
         json.dump(full, f, indent=1, sort_keys=True)
@@ -148,6 +168,7 @@ def main() -> None:
         "unit": "sec",
         "sf": sf_val,
         "n_queries": len(timings),
+        "load_avg_1m": load_samples,
         "queries": {k: round(v, 2) for k, v in slowest.items()},
         "full": "BENCH_full.json",
     }

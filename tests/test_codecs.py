@@ -458,3 +458,162 @@ if _HAS_HYPOTHESIS:
         mp, mg = media_decoder(p), media_decoder(g)
         assert mp["features"] == mg["features"]
         assert (mp["width"], mp["height"]) == (mg["width"], mg["height"]) == (w, h)
+
+
+# -- JPEG (baseline JFIF, operators/jpeg.py) -----------------------------------
+
+
+def test_jpeg_exact_roundtrip_block_constant():
+    """A block-constant image with DC quant step 8 round-trips EXACTLY —
+    the property the multimodal_jpeg_codec differential gate leans on
+    (the DC of a constant block is 8·(c−128), quantized losslessly by
+    step 8; every AC is 0; the fixed-point color transforms are exact
+    identities on gray pixels)."""
+    from aleph2_contrib_spark.operators.jpeg import (
+        QUANT_CHROMA,
+        QUANT_LUMA,
+        dc_exact_quant,
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    w, h = 13, 10  # 2x2 MCUs, non-multiple-of-8 dims (edge replication)
+    bw = (w + 7) // 8
+    rgb = bytearray()
+    for y in range(h):
+        for x in range(w):
+            bi = (y // 8) * bw + (x // 8)
+            g = (37 + bi * 29) % 256
+            rgb += bytes((g, g, g))
+    payload = encode_jpeg(
+        w, h, bytes(rgb), dc_exact_quant(QUANT_LUMA), dc_exact_quant(QUANT_CHROMA)
+    )
+    assert decode_jpeg(payload) == (w, h, bytes(rgb))
+
+
+def test_jpeg_media_decoder_contract_and_resize():
+    from aleph2_contrib_spark.operators.codecs import media_decoder, resize_rgb
+    from aleph2_contrib_spark.operators.jpeg import (
+        QUANT_CHROMA,
+        QUANT_LUMA,
+        dc_exact_quant,
+        encode_jpeg,
+    )
+
+    w, h = 8, 8
+    rgb = bytes(200 for _ in range(w * h * 3))
+    payload = encode_jpeg(
+        w, h, rgb, dc_exact_quant(QUANT_LUMA), dc_exact_quant(QUANT_CHROMA)
+    )
+    m = media_decoder(payload)
+    assert m["mime"] == "image/jpeg" and m["codec"] == "jpeg"
+    assert (m["width"], m["height"]) == (w, h)
+    # all 64 pixels land in gray bin 200 // 16 = 12
+    assert m["features"][12] == 1.0 and sum(m["features"]) == 1.0
+    out = resize_rgb(payload, 4, 4)
+    assert out[:2] == b"P6"
+
+
+def test_jpeg_grayscale_single_component():
+    from aleph2_contrib_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    w, h = 9, 5
+    g = [(11 * k) % 256 for k in range(w * h)]
+    rgb = b"".join(bytes((v, v, v)) for v in g)
+    ones = [1] * 64
+    payload = encode_jpeg(w, h, rgb, ones, ones, grayscale=True)
+    w2, h2, rgb2 = decode_jpeg(payload)
+    assert (w2, h2) == (w, h)
+    # single-component path expands to RGB; unit tables bound the DCT
+    # roundtrip error at 8.5 per pixel (see module docstring)
+    assert max(abs(a - b) for a, b in zip(rgb, rgb2)) <= 9
+
+
+def test_jpeg_fail_fast():
+    import pytest
+
+    from aleph2_contrib_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    rgb = bytes(128 for _ in range(8 * 8 * 3))
+    payload = encode_jpeg(8, 8, rgb)
+
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"\x89PNG" + payload)
+    with pytest.raises(ValueError):  # header truncation (boundary-dependent msg)
+        decode_jpeg(payload[:20])
+    with pytest.raises(ValueError, match="truncated"):
+        decode_jpeg(payload[:30])  # cuts inside the DQT segment
+    # flip SOF0 -> SOF2 (progressive): must fail fast, not mis-decode
+    prog = payload.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(ValueError, match="baseline"):
+        decode_jpeg(prog)
+    # entropy truncation: chop mid-scan (before EOI)
+    with pytest.raises(ValueError):
+        decode_jpeg(payload[:-20])
+    with pytest.raises(ValueError, match="dimensions"):
+        encode_jpeg(0, 8, b"")
+    with pytest.raises(ValueError, match="quant"):
+        encode_jpeg(8, 8, rgb, [0] * 64, [1] * 64)
+
+
+if _HAS_HYPOTHESIS:
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        bw=st.integers(1, 3),
+        bh=st.integers(1, 3),
+        crop_x=st.integers(0, 7),
+        crop_y=st.integers(0, 7),
+        data=st.data(),
+    )
+    def test_jpeg_block_constant_exact_roundtrip_property(
+        bw, bh, crop_x, crop_y, data
+    ):
+        """Property behind the oracle gate: ANY block-constant gray image
+        (any block values, any non-multiple-of-8 crop) round-trips
+        exactly with DC step 8 — the full Huffman DC-prediction path
+        (all magnitude categories, byte stuffing) on real bytes."""
+        from aleph2_contrib_spark.operators.jpeg import (
+            QUANT_CHROMA,
+            QUANT_LUMA,
+            dc_exact_quant,
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        w, h = bw * 8 - crop_x, bh * 8 - crop_y
+        if w < 1 or h < 1:
+            return
+        vals = data.draw(
+            st.lists(st.integers(0, 255), min_size=bw * bh, max_size=bw * bh)
+        )
+        rgb = bytearray()
+        for y in range(h):
+            for x in range(w):
+                g = vals[(y // 8) * bw + (x // 8)]
+                rgb += bytes((g, g, g))
+        payload = encode_jpeg(
+            w, h, bytes(rgb),
+            dc_exact_quant(QUANT_LUMA), dc_exact_quant(QUANT_CHROMA),
+        )
+        assert decode_jpeg(payload) == (w, h, bytes(rgb))
+
+    @settings(max_examples=15, deadline=None)
+    @given(w=st.integers(1, 10), h=st.integers(1, 10), data=st.data())
+    def test_jpeg_arbitrary_image_bounded_error_property(w, h, data):
+        """Arbitrary COLOR images with unit quant tables decode within the
+        provable bound: ≤0.5 rounding per coefficient × 64 basis terms of
+        magnitude ≤1/4 → ≤8 per sample, plus fixed-point chroma rounding
+        (±0.5 into weights summing ≤2.02) and the final pixel rounding —
+        ≤12 per channel end-to-end."""
+        from aleph2_contrib_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+        n = w * h * 3
+        rgb = bytes(
+            data.draw(st.lists(st.integers(0, 255), min_size=n, max_size=n))
+        )
+        ones = [1] * 64
+        payload = encode_jpeg(w, h, rgb, ones, ones)
+        w2, h2, rgb2 = decode_jpeg(payload)
+        assert (w2, h2) == (w, h)
+        assert max(abs(a - b) for a, b in zip(rgb, rgb2)) <= 12

@@ -95,9 +95,11 @@ def main() -> int:
     for n in skipped:
         results[n] = {
             "status": "stable_tier_skipped",
+            # machine-readable provenance (VERDICT r9 item 2): the most
+            # recent even round is the last local full check by policy
+            "last_verified_round": args.round - 1 if args.round % 2 == 1 else args.round,
             "note": "function-family gate verified in even rounds only "
-            "(tools/run_local_correctness.py tiering policy); last full "
-            "check: see prior round's artifact + driver history",
+            "(tools/run_local_correctness.py tiering policy)",
         }
     n_pass = sum(1 for r in results.values() if r.get("status") == "pass")
     n_fail = sum(1 for r in results.values() if r.get("status") == "fail")
