@@ -638,3 +638,146 @@ def test_socket_json_stream_decodes_over_real_tcp(spark, tmp_path):
     finally:
         done.set()
         q.stop()
+
+
+# -- real kill/restart recovery over the checkpoint (VERDICT r9 item 5) --------
+
+
+def test_transactional_sink_survives_real_crash_restart(spark, tmp_path, stream_dir):
+    """The untested half of S11/P15: a REAL query-failure/restart cycle
+    through Spark's checkpoint, not a hand-called sink replay. The sink
+    commits batch 0 to the TransactionalTable and THEN the foreachBatch
+    crashes — exactly the at-least-once window (table committed, offset
+    not). The restarted query replays batch 0 from the checkpoint with
+    the same batch_id; the idempotent (app_id, batch_id) txn marker must
+    no-op it. Final table = exact input, no duplicates, no losses — the
+    reference's at-least-once ack contract (OutputBolt.execute) upgraded
+    to exactly-once by the transactional store."""
+    from aleph2_contrib_spark.sources.txlog import TransactionalTable
+    from aleph2_contrib_spark.streaming.runner import transactional_sink
+
+    t = TransactionalTable(spark, str(tmp_path / "crash_table"))
+    inner = transactional_sink(t, "crash_job")
+    ckpt = str(tmp_path / "ckpt_crash")
+    crashed = {"n": 0}
+
+    def commit_then_crash(df, batch_id):
+        inner(df, batch_id)  # the commit lands...
+        crashed["n"] += 1
+        raise RuntimeError("injected crash AFTER table commit")  # ...the offset doesn't
+
+    stream = json_file_stream(spark, stream_dir, SCHEMA)
+    q = stream.writeStream.foreachBatch(commit_then_crash).option(
+        "checkpointLocation", ckpt
+    ).trigger(availableNow=True).start()
+    with pytest.raises(Exception):  # the query genuinely dies
+        q.awaitTermination(120)
+    assert crashed["n"] == 1
+    assert t.read().count() == 3  # batch 0 IS in the table (the dirty window)
+
+    # restart from the SAME checkpoint with the healthy sink: Spark
+    # replays batch 0 (same batch_id, same offset range); the txn marker
+    # makes the replay a no-op instead of a duplicate append
+    stream2 = json_file_stream(spark, stream_dir, SCHEMA)
+    q2 = stream2.writeStream.foreachBatch(
+        transactional_sink(t, "crash_job")
+    ).option("checkpointLocation", ckpt).trigger(availableNow=True).start()
+    q2.awaitTermination(120)
+    got = sorted(r.event_id for r in t.read().collect())
+    assert got == ["e1", "e2", "late"]  # exactly-once: no dup, no loss
+
+    # new data after recovery flows through the same checkpoint lineage
+    write_batch(
+        stream_dir,
+        "b2.json",
+        [{"event_id": "e9", "event_time": "2020-03-01T00:00:00",
+          "user_id": 9, "event_type": "click", "value": 5.0}],
+    )
+    stream3 = json_file_stream(spark, stream_dir, SCHEMA)
+    q3 = stream3.writeStream.foreachBatch(
+        transactional_sink(t, "crash_job")
+    ).option("checkpointLocation", ckpt).trigger(availableNow=True).start()
+    q3.awaitTermination(120)
+    assert sorted(r.event_id for r in t.read().collect()) == [
+        "e1", "e2", "e9", "late",
+    ]
+
+
+def test_socket_stream_kill_restart_from_checkpoint(spark, tmp_path):
+    """Kill/restart on the REAL wire: a socket-fed transactional-sink
+    query is stopped mid-stream and restarted from its checkpoint against
+    a fresh TCP connection. Committed rows must not duplicate across the
+    restart and post-restart rows must land. (The socket source has no
+    offsets — Spark's documented at-most-once, test-only contract — so
+    the replay-idempotency leg of exactly-once is proven by the
+    replayable-source test above; this test pins the restart semantics
+    on the wire path itself.)"""
+    import socket
+    import threading
+    import time
+
+    from aleph2_contrib_spark.sources.txlog import TransactionalTable
+    from aleph2_contrib_spark.streaming.runner import (
+        socket_json_stream,
+        transactional_sink,
+    )
+
+    t = TransactionalTable(spark, str(tmp_path / "sock_table"))
+    ckpt = str(tmp_path / "ckpt_sock")
+    schema = "user_id LONG, event_type STRING, value DOUBLE"
+
+    def serve(lines, stop_evt):
+        srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        srv.bind(("127.0.0.1", 0))
+        srv.listen(1)
+
+        def run():
+            conn, _ = srv.accept()
+            try:
+                conn.sendall(("\n".join(lines) + "\n").encode())
+                stop_evt.wait(timeout=120)
+            finally:
+                conn.close()
+                srv.close()
+
+        threading.Thread(target=run, daemon=True).start()
+        return srv.getsockname()[1]
+
+    def table_count():
+        try:
+            return t.read().count()
+        except FileNotFoundError:  # no commits yet
+            return 0
+
+    def run_phase(lines, app_batch_offset, want_total):
+        stop_evt = threading.Event()
+        port = serve(lines, stop_evt)
+        decoded = socket_json_stream(spark, "127.0.0.1", port, schema)
+        # distinct app per phase: the socket source resets batch ids per
+        # connection, and the point here is restart, not replay-idempotency
+        sink = transactional_sink(t, f"sock_job_{app_batch_offset}")
+        q = decoded.writeStream.foreachBatch(sink).option(
+            "checkpointLocation", ckpt
+        ).start()
+        try:
+            deadline = time.time() + 90
+            while time.time() < deadline and table_count() < want_total:
+                time.sleep(0.5)
+        finally:
+            stop_evt.set()
+            q.stop()  # the KILL: stop mid-stream, checkpoint retained
+        assert table_count() == want_total
+
+    run_phase(
+        ['{"user_id": 1, "event_type": "click", "value": 1.0}',
+         '{"user_id": 2, "event_type": "view", "value": 2.0}'],
+        0, 2,
+    )
+    run_phase(
+        ['{"user_id": 3, "event_type": "click", "value": 3.0}',
+         '{"user_id": 4, "event_type": "view", "value": 4.0}'],
+        1, 4,
+    )
+    got = sorted(r.user_id for r in t.read().collect())
+    assert got == [1, 2, 3, 4]  # no dup across the restart, no loss

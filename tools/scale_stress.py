@@ -658,11 +658,115 @@ def bench_round9_ops(spark, n_rows, label):
     return out
 
 
+def bench_round10_ops(spark, n_rows, label, dims=(64, 128, 256)):
+    """Round-10 sweeps (VERDICT r9 item 6): the Gram/covariance pass's
+    cost is O(dim²) BY DESIGN and dim is the axis a 100 TB user actually
+    turns (embedding width 64 → 1024 = 256× pairs) — measure 1×/2×/4×
+    dim at FIXED rows and check the cost exponent ≈ 2 with no driver-side
+    blowup (the only collect is the dim²-row result itself). Also the
+    new JPEG decode path (Arrow-batched, per-image independent — must be
+    linear in rows like PNG)."""
+    import pandas as pd
+
+    from aleph2_contrib_spark.operators import multimodal as mm
+    from aleph2_contrib_spark.operators.codecs import media_decoder
+    from aleph2_contrib_spark.operators.jpeg import (
+        QUANT_CHROMA,
+        QUANT_LUMA,
+        dc_exact_quant,
+        encode_jpeg,
+    )
+    from aleph2_contrib_spark.operators.similarity import embedding_covariance
+
+    out = {}
+
+    def run(name, thunk):
+        t0 = time.perf_counter()
+        thunk()
+        out[name] = round(time.perf_counter() - t0, 2)
+
+    for dim in dims:
+        emb = spark.range(n_rows).select(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(dim)),
+                lambda i: (
+                    (F.abs(F.xxhash64(F.col("id"), i, F.lit(9))) % 2001) - 1000
+                )
+                / 1000.0,
+            ).alias("embedding")
+        )
+        run(
+            f"covariance_dim{dim}",
+            lambda e=emb, d=dim: embedding_covariance(e, "embedding", dim=d)
+            .agg(F.count(F.lit(1)))
+            .collect(),
+        )
+
+    ids = spark.range(n_rows).select(F.col("id").alias("doc_id"))
+    ql, qc = dc_exact_quant(QUANT_LUMA), dc_exact_quant(QUANT_CHROMA)
+
+    def gen(batches):
+        for b in batches:
+            rows = []
+            for did in b["doc_id"]:
+                did = int(did)
+                w, h = 9 + did % 6, 8 + did % 5
+                bw = (w + 7) // 8
+                rgb = bytes(
+                    c
+                    for k in range(w * h)
+                    for c in (
+                        ((did * 43 + ((k // w // 8) * bw + (k % w) // 8) * 29) % 256,
+                         ) * 3
+                    )
+                )
+                rows.append(
+                    {
+                        "__source_file": str(did),
+                        "content": encode_jpeg(w, h, rgb, ql, qc),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["__source_file", "content"])
+
+    imgs = ids.mapInPandas(gen, schema="`__source_file` string, content binary")
+    run(
+        "jpeg_decode",
+        lambda: mm.extract_media_features(imgs, decoder=media_decoder)
+        .agg(F.count(F.lit(1)))
+        .collect(),
+    )
+    print(label, out, flush=True)
+    return out
+
+
 def main():
     base = int(sys.argv[1]) if len(sys.argv) > 1 else 5000
     factor = int(sys.argv[2]) if len(sys.argv) > 2 else 10
     only = sys.argv[3] if len(sys.argv) > 3 else None
     spark = get_spark("scale-stress")
+    if only == "round10":
+        # dim sweep at FIXED rows: 1x/2x/4x dim → ideal cost ratios 1/4/16
+        # (pairs grow dim²); jpeg_decode rides along for a rows ratio
+        bench_round10_ops(spark, base * 4, "warmup", dims=(64,))
+        r1 = bench_round10_ops(spark, base * 4, "1x")
+        r2 = bench_round10_ops(spark, base * 4 * factor, f"{factor}x-rows")
+        print("--- covariance dim exponent (fixed rows; ideal ratio = (dim/64)^2) ---")
+        base_t = r1["covariance_dim64"]
+        import math as _m
+
+        for dim in (128, 256):
+            ratio = r1[f"covariance_dim{dim}"] / base_t if base_t > 0 else float("inf")
+            expo = _m.log(ratio) / _m.log(dim / 64) if ratio > 0 else float("nan")
+            print(
+                f"dim {dim:4d}: t={r1[f'covariance_dim{dim}']:7.2f}s "
+                f"ratio={ratio:6.2f} (ideal {(dim/64)**2:.0f}) exponent={expo:4.2f}"
+            )
+        print(f"--- rows ratios at {factor}x (ideal <= {factor}) ---")
+        for k in r1:
+            ratio = r2[k] / r1[k] if r1[k] > 0 else float("inf")
+            flag = "  <-- SUPER-LINEAR" if ratio > factor * 1.5 else ""
+            print(f"{k:22s} 1x={r1[k]:7.2f}s {factor}x={r2[k]:8.2f}s ratio={ratio:5.1f}{flag}")
+        return
     if only == "round9":
         bench_round9_ops(spark, base * 4, "warmup")
         r1 = bench_round9_ops(spark, base * 4, "1x")
