@@ -6836,15 +6836,26 @@ _MINHASH_PAIRS_ORACLE = r"""
                    )
                ) AS sh
         FROM t
+    -- intersection sizes via an exploded shingle equi-join instead of
+    -- all-pairs list_intersect: |A∩B| = count of shared shingles and
+    -- |A∪B| = |A|+|B|−|A∩B| — the SAME integers, so the jaccard
+    -- division is bit-identical, at O(matching pairs) instead of O(n²)
+    -- (VERDICT r9 item 8: the all-pairs form was the local gate's cost)
+    ), sz AS MATERIALIZED (
+        SELECT doc_id, len(sh) AS n FROM s
+    ), e AS (
+        SELECT doc_id, unnest(sh) AS g FROM s
+    ), inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
     )
-    -- s is self-joined: MATERIALIZED stops DuckDB's CTE inlining from
-    -- recomputing the shingle lists on both join sides
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           CAST(floor(len(list_intersect(a.sh, b.sh))
-                / len(list_distinct(list_concat(a.sh, b.sh))) * 1000000.0) AS BIGINT) AS j_f6
-    FROM s a JOIN s b ON a.doc_id < b.doc_id
-    WHERE len(list_intersect(a.sh, b.sh))
-          / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+    SELECT id_a, id_b,
+           CAST(floor(i / (na.n + nb.n - i) * 1000000.0) AS BIGINT) AS j_f6
+    FROM inter
+    JOIN sz na ON na.doc_id = id_a
+    JOIN sz nb ON nb.doc_id = id_b
+    WHERE i / (na.n + nb.n - i) >= 0.5
 """
 
 _SIMHASH_HAMMING_PAIRS_ORACLE = f"""
@@ -8107,11 +8118,21 @@ def oracle_sql() -> dict[str, str]:
                            )
                        ) AS sh
                 FROM t
+            -- exploded-equi-join intersection counts (same integers as
+            -- list_intersect/list_concat, O(matching pairs) not O(n²))
+            ), sz AS MATERIALIZED (
+                SELECT doc_id, len(sh) AS n FROM s
+            ), e AS (
+                SELECT doc_id, unnest(sh) AS g FROM s
+            ), inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+                FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
             ), pairs AS (
-                SELECT a.doc_id AS id_a, b.doc_id AS id_b
-                FROM s a JOIN s b ON a.doc_id < b.doc_id
-                WHERE len(list_intersect(a.sh, b.sh))
-                      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+                SELECT id_a, id_b FROM inter
+                JOIN sz na ON na.doc_id = id_a
+                JOIN sz nb ON nb.doc_id = id_b
+                WHERE i / (na.n + nb.n - i) >= 0.5
             ),
             edges AS (
                 SELECT id_a AS src, id_b AS dst FROM pairs
@@ -9569,12 +9590,22 @@ def oracle_sql() -> dict[str, str]:
                            )
                        ) AS sh
                 FROM t
+            -- exploded-equi-join intersection counts (same integers as
+            -- list_intersect/list_concat, O(matching pairs) not O(n²))
+            ), sz AS MATERIALIZED (
+                SELECT doc_id, len(sh) AS n FROM s
+            ), e AS (
+                SELECT doc_id, unnest(sh) AS g FROM s
+            ), inter AS (
+                SELECT a.doc_id AS new_id, b.doc_id AS old_id, count(*) AS i
+                FROM e a JOIN e b ON a.g = b.g
+                WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+                GROUP BY 1, 2
             ), near_dup AS (
-                SELECT DISTINCT a.doc_id
-                FROM s a JOIN s b
-                  ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
-                 AND len(list_intersect(a.sh, b.sh))
-                     / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+                SELECT DISTINCT new_id AS doc_id FROM inter
+                JOIN sz na ON na.doc_id = new_id
+                JOIN sz nb ON nb.doc_id = old_id
+                WHERE i / (na.n + nb.n - i) >= 0.5
             )
             SELECT d.doc_id, d.source FROM documents d
             WHERE d.doc_id % 2 = 1

