@@ -1375,6 +1375,85 @@ def multimodal_gif_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_mulaw_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPRESSED-audio twin of multimodal_audio_codec (the PNG/GIF/JPEG
+    move applied to sound): each document becomes a real RIFF/WAVE
+    G.711 µ-law payload (wFormatTag 7, fact chunk, 8-bit codes; mono
+    8 kHz, n = 10 + doc_id % 7 frames, source sample
+    k = ((doc_id*61 + k*29) % 65536) - 32768) built by
+    operators/codecs.encode_wav_mulaw — the companding implemented
+    in-repo — then chunk-walked and EXPANDED back to int16 by
+    decode_wav_full through the production metadata/features path. µ-law
+    is lossy, but decode∘encode is a pure integer function of the source
+    sample (segment/mantissa shifts, ITU-T G.711), so DuckDB replays the
+    companded values symbolically and the histogram sits on exact
+    integers."""
+    import pandas as pd
+
+    from aleph2_contrib_spark.operators import multimodal as mm
+    from aleph2_contrib_spark.operators.codecs import encode_wav_mulaw, media_decoder
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+
+    def gen(batches):
+        for b in batches:
+            rows = []
+            for did in b["doc_id"]:
+                did = int(did)
+                n = 10 + did % 7
+                samples = [((did * 61 + k * 29) % 65536) - 32768 for k in range(n)]
+                rows.append(
+                    {
+                        "__source_file": str(did),
+                        "content": encode_wav_mulaw(8000, samples),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["__source_file", "content"])
+
+    auds = docs.mapInPandas(gen, schema="`__source_file` string, content binary")
+    meta = mm.extract_media_metadata(auds, decoder=media_decoder)
+    feats = mm.extract_media_features(auds, decoder=media_decoder)
+    return meta.join(feats, "__source_file").select(
+        "__source_file",
+        "mime",
+        "n_frames",
+        "duration_s",
+        "codec",
+        F.concat_ws(
+            ",",
+            F.transform(
+                "embedding",
+                lambda x: F.round(x * F.col("n_frames")).cast("int").cast("string"),
+            ),
+        ).alias("hist"),
+    )
+
+
+def text_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clipped bigram precision/recall (operators/text.ngram_overlap_scores
+    — BLEU-n modified precision + ROUGE-n recall, the eval-data QA
+    scorer): candidate = the document text, reference = the same text
+    with the first (doc_id % 4) tokens dropped — a deterministic
+    perturbation both engines rebuild symbolically, giving a full spread
+    of partial overlaps including exact matches (k=0). Zero shuffles:
+    one narrow projection of higher-order Catalyst expressions."""
+    from aleph2_contrib_spark.operators.text import ngram_overlap_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    k = (F.col("doc_id") % 4).cast("int")
+    pairs = docs.select(
+        "doc_id",
+        F.col("text").alias("cand"),
+        F.concat_ws(
+            " ", F.slice(toks, k + 1, F.greatest(F.size(toks) - k, F.lit(0)))
+        ).alias("ref"),
+    )
+    return ngram_overlap_scores(pairs, "doc_id", "cand", "ref", n=2)
+
+
 def multimodal_jpeg_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode of an ENTROPY-CODED format with no injected
     decoder (VERDICT r9 item 4, operators/jpeg.py): each document becomes
@@ -6403,6 +6482,23 @@ def join_bitmap_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _text_ngram_overlap_oracle() -> str:
+    """Oracle for text_ngram_overlap: rebuild the deterministic
+    token-drop reference (first doc_id % 4 tokens removed) in DuckDB and
+    feed the operator's own oracle SQL."""
+    from aleph2_contrib_spark.operators.text import ngram_overlap_scores_oracle_sql
+
+    rows = """
+        SELECT doc_id, text AS cand,
+               array_to_string(
+                   t[1 + CAST(doc_id % 4 AS INT):], ' ') AS ref
+        FROM (SELECT doc_id, text,
+                     string_split_regex(trim(text), '\\s+') AS t
+              FROM documents)
+    """
+    return ngram_overlap_scores_oracle_sql(rows, "doc_id", n=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver gate grades the FIRST 50 entries
     # each round. The literal below keeps its historical grouping; the
@@ -6486,6 +6582,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_png_codec": multimodal_png_codec,
         "multimodal_gif_codec": multimodal_gif_codec,
         "multimodal_jpeg_codec": multimodal_jpeg_codec,
+        "multimodal_mulaw_codec": multimodal_mulaw_codec,
+        "text_ngram_overlap": text_ngram_overlap,
         "multimodal_audio_codec": multimodal_audio_codec,
         "similarity_embedding_covariance": similarity_embedding_covariance,
         "graph_bipartite_project": graph_bipartite_project,
@@ -6747,10 +6845,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_quantile_by_group",
         "sketch_quantile_hist",
         "stats_percentiles",
-        "text_bigram_rarity",
-        "text_char_pairs",
-        # (deferred to round 11: the 7 remaining r4 rows —
-        #  text_inverted_postings, text_keywords_tfidf, text_relevance_topk,
+        # (a3) NEW this round: BLEU/ROUGE n-gram overlap scorer +
+        #      G.711 mu-law compressed-audio decode on the gate
+        "text_ngram_overlap",
+        "multimodal_mulaw_codec",
+        # (deferred to round 11: the 9 remaining r4 rows —
+        #  text_bigram_rarity, text_char_pairs, text_inverted_postings, text_keywords_tfidf, text_relevance_topk,
         #  txlog_incremental_etl, txlog_restore_changefeed, union_entities,
         #  window_running_total — then the 37-gate r5 tier and the r6 tier)
     ]
@@ -9251,6 +9351,49 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(doc_id AS VARCHAR) AS "__source_file",
                    'image/x-portable-pixmap' AS mime,
                    w AS width, h AS height, 'ppm' AS codec,
+                   array_to_string(list_transform(range(0, 16),
+                     i -> CAST(len(list_filter(bl, b -> b = i)) AS VARCHAR)), ',') AS hist
+            FROM hist
+        """,
+        "text_ngram_overlap": _text_ngram_overlap_oracle(),
+        "multimodal_mulaw_codec": """
+            WITH d AS (
+                SELECT doc_id, CAST(10 + doc_id % 7 AS INT) AS n FROM documents
+            ), sm AS (
+                SELECT doc_id, n, unnest(range(0, n)) AS k FROM d
+            ), x AS (
+                SELECT doc_id, n,
+                       ((doc_id * 61 + k * 29) % 65536) - 32768 AS xv
+                FROM sm
+            ), segd AS (
+                -- G.711 companding replayed symbolically: mag/segment/
+                -- mantissa shifts are the decode(encode(x)) fixed point
+                SELECT doc_id, n, xv,
+                       least(abs(xv), 32635) + 132 AS mag
+                FROM x
+            ), segc AS (
+                SELECT doc_id, n, xv, mag,
+                       CASE WHEN mag < 256 THEN 0 WHEN mag < 512 THEN 1
+                            WHEN mag < 1024 THEN 2 WHEN mag < 2048 THEN 3
+                            WHEN mag < 4096 THEN 4 WHEN mag < 8192 THEN 5
+                            WHEN mag < 16384 THEN 6 ELSE 7 END AS seg
+                FROM segd
+            ), y AS (
+                SELECT doc_id, n,
+                       CASE WHEN xv < 0 THEN -1 ELSE 1 END
+                       * (((((mag >> (seg + 3)) & 15) << 3) + 132) << seg) - 
+                         CASE WHEN xv < 0 THEN -132 ELSE 132 END AS yv
+                FROM segc
+            ), hist AS (
+                SELECT doc_id, any_value(n) AS n,
+                       list((yv + 32768) // 4096) AS bl
+                FROM y GROUP BY doc_id
+            )
+            SELECT CAST(doc_id AS VARCHAR) AS "__source_file",
+                   'audio/wav' AS mime,
+                   n AS n_frames,
+                   CAST(n AS DOUBLE) / 8000.0 AS duration_s,
+                   'pcm_mulaw' AS codec,
                    array_to_string(list_transform(range(0, 16),
                      i -> CAST(len(list_filter(bl, b -> b = i)) AS VARCHAR)), ',') AS hist
             FROM hist

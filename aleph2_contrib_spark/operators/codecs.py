@@ -28,6 +28,10 @@ end-to-end with NO injected fake:
   LZW implemented here in full (dynamic table, CLEAR/EOI, 12-bit cap,
   KwKwK case): header/extension/sub-block walk, global+local color
   tables, first frame; interlace fails fast.
+- :func:`encode_wav_mulaw` / :func:`decode_wav_full` — G.711 µ-law WAV
+  (wFormatTag 7): REAL compressed audio with the companding
+  (segment/mantissa, ITU-T G.711) implemented in-repo; decode∘encode is
+  a pure integer function, so the differential gate replays it in SQL.
 - :func:`resize_rgb` — nearest-neighbor resample, re-encoded as PPM, with
   the ``resize_images`` resizer signature.
 
@@ -145,10 +149,60 @@ def encode_wav(sample_rate: int, samples: list[int], channels: int = 1) -> bytes
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
-def decode_wav(payload: bytes) -> tuple[int, int, list[int]]:
-    """Parse RIFF/WAVE 16-bit PCM → (sample_rate, channels, samples).
+MULAW_BIAS = 0x84   # G.711 µ-law bias (132)
+MULAW_CLIP = 32635
+
+
+def mulaw_encode_sample(x: int) -> int:
+    """G.711 µ-law compression of one int16 sample → 8-bit code (the
+    classic segment/mantissa form, public ITU-T G.711 spec). Pure
+    integer arithmetic — the exact inverse expansion below is what the
+    differential gate replays symbolically in SQL."""
+    sign = 0x80 if x < 0 else 0x00
+    mag = min(-x if x < 0 else x, MULAW_CLIP) + MULAW_BIAS
+    seg = mag.bit_length() - 8  # mag >= 0x84, so always in [0, 7]
+    mantissa = (mag >> (seg + 3)) & 0x0F
+    return ~(sign | (seg << 4) | mantissa) & 0xFF
+
+
+def mulaw_decode_sample(code: int) -> int:
+    """G.711 µ-law expansion of one 8-bit code → int16 sample:
+    magnitude = (((c & 0xF) << 3) + 0x84) << seg, minus the bias —
+    replayable as plain integer shifts in any SQL engine."""
+    c = ~code & 0xFF
+    seg = (c >> 4) & 0x07
+    mag = ((((c & 0x0F) << 3) + MULAW_BIAS) << seg) - MULAW_BIAS
+    return -mag if c & 0x80 else mag
+
+
+def encode_wav_mulaw(sample_rate: int, samples: list[int], channels: int = 1) -> bytes:
+    """Serialize int16 samples as a REAL compressed-audio RIFF/WAVE file:
+    wFormatTag = 7 (µ-law), 8 bits/sample, with the fact chunk non-PCM
+    formats require — any compliant WAV reader opens the output. This is
+    the audio analogue of the PNG/GIF/JPEG move: the compression itself
+    (G.711 µ-law companding) implemented in-repo."""
+    if sample_rate < 1 or channels < 1:
+        raise ValueError(f"bad sample_rate={sample_rate} channels={channels}")
+    if len(samples) % channels:
+        raise ValueError("sample count not divisible by channel count")
+    data = bytes(mulaw_encode_sample(s) for s in samples)
+    byte_rate = sample_rate * channels
+    fmt = struct.pack("<HHIIHH", 7, channels, sample_rate, byte_rate, channels, 8)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"fact" + struct.pack("<II", 4, len(samples) // channels)
+    body += b"data" + struct.pack("<I", len(data)) + data
+    if len(data) & 1:
+        body += b"\x00"  # word alignment pad
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav_full(payload: bytes) -> tuple[int, int, list[int], str]:
+    """Parse RIFF/WAVE → (sample_rate, channels, samples, codec).
     Walks the chunk list (fmt /data may be separated by LIST/fact/cue
-    chunks in real files; chunks are word-aligned)."""
+    chunks in real files; chunks are word-aligned). Supports 16-bit PCM
+    (wFormatTag 1) and 8-bit G.711 µ-law (wFormatTag 7, expanded to
+    int16 via the in-repo inverse companding); anything else fails
+    fast."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     pos, fmt, data = 12, None, None
@@ -165,10 +219,19 @@ def decode_wav(payload: bytes) -> tuple[int, int, list[int]]:
         raise ValueError("WAV missing fmt/data chunk")
     audio_fmt, channels, rate = struct.unpack_from("<HHI", fmt, 0)
     bits = struct.unpack_from("<H", fmt, 14)[0]
-    if audio_fmt != 1 or bits != 16:
-        raise ValueError(f"only 16-bit PCM supported (fmt={audio_fmt}, bits={bits})")
-    n = len(data) // 2
-    samples = list(struct.unpack(f"<{n}h", data[: n * 2]))
+    if audio_fmt == 1 and bits == 16:
+        n = len(data) // 2
+        return rate, channels, list(struct.unpack(f"<{n}h", data[: n * 2])), "pcm_s16le"
+    if audio_fmt == 7 and bits == 8:
+        return rate, channels, [mulaw_decode_sample(c) for c in data], "pcm_mulaw"
+    raise ValueError(
+        f"only 16-bit PCM / 8-bit mu-law supported (fmt={audio_fmt}, bits={bits})"
+    )
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, list[int]]:
+    """Back-compat 3-tuple view of :func:`decode_wav_full`."""
+    rate, channels, samples, _ = decode_wav_full(payload)
     return rate, channels, samples
 
 
@@ -197,7 +260,7 @@ def media_decoder(payload: bytes) -> dict:
     normalized by element count — counts are exact ints, so count
     recovery by round(f * n) is lossless."""
     if payload[:4] == b"RIFF":
-        rate, channels, samples = decode_wav(payload)
+        rate, channels, samples, codec = decode_wav_full(payload)
         n_frames = len(samples) // channels
         n = len(samples) or 1
         return {
@@ -206,7 +269,7 @@ def media_decoder(payload: bytes) -> dict:
             "height": None,
             "n_frames": n_frames,
             "duration_s": n_frames / rate,
-            "codec": "pcm_s16le",
+            "codec": codec,
             "features": [c / n for c in _amplitude_histogram(samples)],
         }
     if payload[:2] == b"P6":

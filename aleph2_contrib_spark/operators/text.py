@@ -1034,3 +1034,115 @@ SELECT {id_col},
            >= {int(keyword_per_100w_min) * 100} AS is_code
 FROM {table}
 """
+
+
+def ngram_overlap_scores(
+    df: DataFrame,
+    id_col: str,
+    cand_col: str,
+    ref_col: str,
+    n: int = 2,
+) -> DataFrame:
+    """Clipped n-gram precision / recall between a candidate and a
+    reference text per row — the BLEU-n modified-precision component
+    (Papineni et al. 2002) and ROUGE-n recall (Lin 2004), the eval-data
+    QA primitive behind "how close is this generated answer to the
+    reference" scoring and self-instruct dedup-against-prompt checks.
+
+    clipped = Σ_g min(count_cand(g), count_ref(g)) over distinct
+    candidate n-grams; precision = clipped / |cand grams|, recall =
+    clipped / |ref grams| — exact integer counts, f6 fixed-point
+    ratios (floor), NULL when the respective denominator is 0.
+
+    Plan shape at 100 TB: ZERO shuffles — the whole computation is one
+    narrow projection of Catalyst higher-order functions (per-row
+    O(distinct_grams × grams) comparisons, the right trade for
+    sentence/paragraph-scale eval pairs; corpus-scale cross-document
+    overlap is ``contamination_check``'s exploded-join job, not this).
+    Reference parity: the reference has no eval scorer — this is part
+    of the LLM-pipeline surface (SURVEY §2 extras) the engine adds.
+    """
+    from aleph2_contrib_spark.operators.corpus import word_ngrams
+
+    gc = word_ngrams(F.col(cand_col), n)
+    gr = word_ngrams(F.col(ref_col), n)
+
+    def clipped(gcand: Column, gref: Column) -> Column:
+        # Σ over DISTINCT candidate grams of min(cnt_cand, cnt_ref):
+        # bind both arrays once through a 2-element struct transform so
+        # they are not re-evaluated per gram (the word_ngrams discipline)
+        return F.aggregate(
+            F.array_distinct(gcand),
+            F.lit(0).cast("long"),
+            lambda acc, g: acc
+            + F.least(
+                F.size(F.filter(gcand, lambda x: x == g)),
+                F.size(F.filter(gref, lambda x: x == g)),
+            ).cast("long"),
+        )
+
+    out = df.select(
+        F.col(id_col),
+        F.size(gc).cast("long").alias("n_cand_grams"),
+        F.size(gr).cast("long").alias("n_ref_grams"),
+        clipped(gc, gr).alias("clipped_matches"),
+    )
+    return out.select(
+        id_col,
+        "n_cand_grams",
+        "n_ref_grams",
+        "clipped_matches",
+        F.when(
+            F.col("n_cand_grams") > 0,
+            F.floor(
+                F.col("clipped_matches") * F.lit(1_000_000) / F.col("n_cand_grams")
+            ),
+        ).cast("long").alias("precision_f6"),
+        F.when(
+            F.col("n_ref_grams") > 0,
+            F.floor(
+                F.col("clipped_matches") * F.lit(1_000_000) / F.col("n_ref_grams")
+            ),
+        ).cast("long").alias("recall_f6"),
+    )
+
+
+def ngram_overlap_scores_oracle_sql(
+    rows_sql: str, id_col: str, n: int = 2
+) -> str:
+    """DuckDB replica of :func:`ngram_overlap_scores`. ``rows_sql``
+    yields (id, cand, ref)."""
+
+    def grams(col: str) -> str:
+        toks = f"string_split_regex(lower(trim({col})), '\\s+')"
+        parts = " || ' ' || ".join(f"t[i+{j}]" for j in range(n))
+        return (
+            f"CASE WHEN trim({col}) != '' AND len({toks}) >= {n} THEN "
+            f"(SELECT list_transform(generate_series(1, len(t) - {n - 1}), "
+            f"i -> {parts}) FROM (SELECT {toks} AS t)) "
+            f"ELSE [] END"
+        )
+
+    return f"""
+WITH g AS (
+    SELECT {id_col} AS id, {grams('cand')} AS gc, {grams('ref')} AS gr
+    FROM ({rows_sql})
+), counted AS (
+    SELECT id, len(gc) AS n_cand_grams, len(gr) AS n_ref_grams,
+           CAST(coalesce(list_aggregate(
+               list_transform(list_distinct(gc),
+                   x -> least(len(list_filter(gc, y -> y = x)),
+                              len(list_filter(gr, y -> y = x)))),
+               'sum'), 0) AS BIGINT) AS clipped_matches
+    FROM g
+)
+SELECT id AS {id_col},
+       CAST(n_cand_grams AS BIGINT) AS n_cand_grams,
+       CAST(n_ref_grams AS BIGINT) AS n_ref_grams,
+       clipped_matches,
+       CASE WHEN n_cand_grams > 0
+            THEN (clipped_matches * 1000000) // n_cand_grams END AS precision_f6,
+       CASE WHEN n_ref_grams > 0
+            THEN (clipped_matches * 1000000) // n_ref_grams END AS recall_f6
+FROM counted
+"""

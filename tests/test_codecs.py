@@ -617,3 +617,82 @@ if _HAS_HYPOTHESIS:
         w2, h2, rgb2 = decode_jpeg(payload)
         assert (w2, h2) == (w, h)
         assert max(abs(a - b) for a, b in zip(rgb, rgb2)) <= 12
+
+
+# -- G.711 mu-law WAV (compressed audio) ----------------------------------------
+
+
+def test_mulaw_companding_hand_worked_and_fixed_point():
+    from aleph2_contrib_spark.operators.codecs import (
+        mulaw_decode_sample,
+        mulaw_encode_sample,
+    )
+
+    # spec anchors: 0 -> code 0xFF (all-ones complement), decode(0xFF) = 0
+    assert mulaw_encode_sample(0) == 0xFF
+    assert mulaw_decode_sample(0xFF) == 0
+    # max positive clips to 32635: seg 7, mantissa 15 -> code 0x80
+    assert mulaw_encode_sample(32767) == 0x80
+    assert mulaw_decode_sample(0x80) == 32124
+    # sign symmetry
+    assert mulaw_decode_sample(mulaw_encode_sample(-500)) == -mulaw_decode_sample(
+        mulaw_encode_sample(500)
+    )
+    # companding is a projection: decode∘encode is idempotent on its image
+    for x in range(-32768, 32768, 97):
+        c = mulaw_encode_sample(x)
+        y = mulaw_decode_sample(c)
+        assert mulaw_encode_sample(y) == c
+        # error bounded by segment step (≤ |x|/16 + bias rounding)
+        assert abs(y - max(-32767, min(32767, x))) <= (abs(x) >> 4) + 132
+
+
+def test_mulaw_wav_container_and_media_decoder():
+    from aleph2_contrib_spark.operators.codecs import (
+        decode_wav_full,
+        encode_wav,
+        encode_wav_mulaw,
+        media_decoder,
+        mulaw_decode_sample,
+        mulaw_encode_sample,
+    )
+
+    samples = [((k * 517) % 65536) - 32768 for k in range(33)]
+    payload = encode_wav_mulaw(8000, samples)
+    rate, ch, out, codec = decode_wav_full(payload)
+    assert (rate, ch, codec) == (8000, 1, "pcm_mulaw")
+    assert out == [mulaw_decode_sample(mulaw_encode_sample(s)) for s in samples]
+    m = media_decoder(payload)
+    assert m["codec"] == "pcm_mulaw" and m["mime"] == "audio/wav"
+    assert m["n_frames"] == 33 and abs(m["duration_s"] - 33 / 8000) < 1e-12
+    # histogram counts recover exactly and describe the DECODED samples
+    counts = [round(f * 33) for f in m["features"]]
+    assert sum(counts) == 33
+    # PCM containers still report pcm_s16le through the same walk
+    assert media_decoder(encode_wav(8000, samples))["codec"] == "pcm_s16le"
+
+
+if _HAS_HYPOTHESIS:
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        rate=st.integers(1, 48000),
+        samples=st.lists(st.integers(-32768, 32767), min_size=1, max_size=64),
+    )
+    def test_mulaw_wav_roundtrip_property(rate, samples):
+        """Any int16 stream survives the full encode→container→decode walk
+        with per-sample values equal to the canonical companded value, and
+        re-encoding the decoded stream is bit-identical (fixed point)."""
+        from aleph2_contrib_spark.operators.codecs import (
+            decode_wav_full,
+            encode_wav_mulaw,
+            mulaw_decode_sample,
+            mulaw_encode_sample,
+        )
+
+        payload = encode_wav_mulaw(rate, samples)
+        r2, ch, out, codec = decode_wav_full(payload)
+        assert (r2, ch, codec) == (rate, 1, "pcm_mulaw")
+        want = [mulaw_decode_sample(mulaw_encode_sample(s)) for s in samples]
+        assert out == want
+        assert encode_wav_mulaw(rate, out) == encode_wav_mulaw(rate, want)

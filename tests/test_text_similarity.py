@@ -569,3 +569,74 @@ def test_collocations_deterministic_cut(spark):
     a = [tuple(r) for r in txt.collocations(docs1, min_count=2, top_k=3).collect()]
     b = [tuple(r) for r in txt.collocations(docs2, min_count=2, top_k=3).collect()]
     assert a == b
+
+
+# -- ngram_overlap_scores (BLEU-n precision / ROUGE-n recall) -------------------
+
+
+def test_ngram_overlap_hand_worked(spark):
+    from aleph2_contrib_spark.operators.text import ngram_overlap_scores
+
+    rows = [
+        # cand bigrams: [the cat, cat sat] ; ref bigrams: [the cat, cat sat,
+        # sat down] -> clipped = 2, precision 2/2, recall 2/3
+        (1, "the cat sat", "the cat sat down"),
+        # repetition clipping (the BLEU "the the the" case): cand bigram
+        # [the the] x3, ref has 1 -> clipped = 1, precision 1/3
+        (2, "the the the the", "the the cat"),
+        # no overlap
+        (3, "alpha beta", "gamma delta"),
+        # too short for bigrams -> 0 grams, NULL precision
+        (4, "one", "two words here"),
+        (5, None, "two words here"),
+    ]
+    df = spark.createDataFrame(rows, "id long, cand string, ref string")
+    got = {
+        r["id"]: r.asDict()
+        for r in ngram_overlap_scores(df, "id", "cand", "ref", n=2).collect()
+    }
+    assert got[1]["clipped_matches"] == 2
+    assert got[1]["precision_f6"] == 1_000_000
+    assert got[1]["recall_f6"] == 666_666
+    assert got[2]["n_cand_grams"] == 3 and got[2]["clipped_matches"] == 1
+    assert got[2]["precision_f6"] == 333_333
+    assert got[3]["clipped_matches"] == 0 and got[3]["precision_f6"] == 0
+    assert got[4]["n_cand_grams"] == 0 and got[4]["precision_f6"] is None
+    assert got[4]["recall_f6"] == 0
+    assert got[5]["n_cand_grams"] == 0 and got[5]["precision_f6"] is None
+
+
+def test_ngram_overlap_oracle_matches(spark, tmp_path):
+    import random
+
+    import duckdb
+
+    from aleph2_contrib_spark.operators.text import (
+        ngram_overlap_scores,
+        ngram_overlap_scores_oracle_sql,
+    )
+
+    rnd = random.Random(31)
+    words = ["the", "cat", "sat", "on", "mat", "a"]
+    rows = []
+    for i in range(200):
+        cand = " ".join(rnd.choice(words) for _ in range(rnd.randint(0, 12)))
+        ref = " ".join(rnd.choice(words) for _ in range(rnd.randint(0, 12)))
+        rows.append((i, cand, ref))
+    df = spark.createDataFrame(rows, "id long, cand string, ref string")
+    p = str(tmp_path / "pairs.parquet")
+    df.coalesce(1).write.parquet(p)
+    for n in (1, 2, 3):
+        got = {
+            tuple(r)
+            for r in ngram_overlap_scores(df, "id", "cand", "ref", n=n).collect()
+        }
+        want = {
+            tuple(r)
+            for r in duckdb.sql(
+                ngram_overlap_scores_oracle_sql(
+                    f"SELECT id, cand, ref FROM '{p}/*.parquet'", "id", n=n
+                )
+            ).fetchall()
+        }
+        assert got == want and len(got) == 200, f"n={n}"
