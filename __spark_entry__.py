@@ -1431,6 +1431,68 @@ def multimodal_mulaw_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_avi_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video container on the gate (operators/codecs.encode_avi /
+    decode_avi — RIFF AVI: hdrl/avih/strl headers, uncompressed 24-bit
+    DIB '00db' frames, idx1; replaces the repo-invented A2MJ demux as
+    the video story): each document becomes a deterministic AVI
+    (w = 4 + doc_id % 3, h = 3 + doc_id % 2, fps 10, n = 2 + doc_id % 3
+    frames; frame f gray pixel p = (doc_id*53 + f*17 + p*7) % 256),
+    demuxed back through the production metadata/features path. The
+    first-frame 16-bin gray histogram, frame count, and duration are
+    replayed symbolically by DuckDB."""
+    import pandas as pd
+
+    from aleph2_contrib_spark.operators import multimodal as mm
+    from aleph2_contrib_spark.operators.codecs import encode_avi, media_decoder
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+
+    def gen(batches):
+        for b in batches:
+            rows = []
+            for did in b["doc_id"]:
+                did = int(did)
+                w, h = 4 + did % 3, 3 + did % 2
+                frames = [
+                    bytes(
+                        c
+                        for p in range(w * h)
+                        for c in (((did * 53 + f * 17 + p * 7) % 256,) * 3)
+                    )
+                    for f in range(2 + did % 3)
+                ]
+                rows.append(
+                    {
+                        "__source_file": str(did),
+                        "content": encode_avi(w, h, 10, frames),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["__source_file", "content"])
+
+    vids = docs.mapInPandas(gen, schema="`__source_file` string, content binary")
+    meta = mm.extract_media_metadata(vids, decoder=media_decoder)
+    feats = mm.extract_media_features(vids, decoder=media_decoder)
+    n_px = F.col("width") * F.col("height")
+    return meta.join(feats, "__source_file").select(
+        "__source_file",
+        "mime",
+        "width",
+        "height",
+        "n_frames",
+        "duration_s",
+        "codec",
+        F.concat_ws(
+            ",",
+            F.transform(
+                "embedding", lambda x: F.round(x * n_px).cast("int").cast("string")
+            ),
+        ).alias("hist"),
+    )
+
+
 def text_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Clipped bigram precision/recall (operators/text.ngram_overlap_scores
     — BLEU-n modified precision + ROUGE-n recall, the eval-data QA
@@ -6583,6 +6645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_gif_codec": multimodal_gif_codec,
         "multimodal_jpeg_codec": multimodal_jpeg_codec,
         "multimodal_mulaw_codec": multimodal_mulaw_codec,
+        "multimodal_avi_codec": multimodal_avi_codec,
         "text_ngram_overlap": text_ngram_overlap,
         "multimodal_audio_codec": multimodal_audio_codec,
         "similarity_embedding_covariance": similarity_embedding_covariance,
@@ -6844,13 +6907,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_hll_intersection",
         "sketch_quantile_by_group",
         "sketch_quantile_hist",
-        "stats_percentiles",
         # (a3) NEW this round: BLEU/ROUGE n-gram overlap scorer +
         #      G.711 mu-law compressed-audio decode on the gate
         "text_ngram_overlap",
         "multimodal_mulaw_codec",
-        # (deferred to round 11: the 9 remaining r4 rows —
-        #  text_bigram_rarity, text_char_pairs, text_inverted_postings, text_keywords_tfidf, text_relevance_topk,
+        "multimodal_avi_codec",
+        # (deferred to round 11: the 10 remaining r4 rows —
+        #  stats_percentiles, text_bigram_rarity, text_char_pairs,
+        #  text_inverted_postings, text_keywords_tfidf, text_relevance_topk,
         #  txlog_incremental_etl, txlog_restore_changefeed, union_entities,
         #  window_running_total — then the 37-gate r5 tier and the r6 tier)
     ]
@@ -9356,6 +9420,30 @@ def oracle_sql() -> dict[str, str]:
             FROM hist
         """,
         "text_ngram_overlap": _text_ngram_overlap_oracle(),
+        "multimodal_avi_codec": """
+            WITH d AS (
+                SELECT doc_id, CAST(4 + doc_id % 3 AS INT) AS w,
+                       CAST(3 + doc_id % 2 AS INT) AS h,
+                       CAST(2 + doc_id % 3 AS INT) AS nf
+                FROM documents
+            ), px AS (
+                SELECT doc_id, w, h, nf, unnest(range(0, w * h)) AS p FROM d
+            ), hist AS (
+                SELECT doc_id, any_value(w) AS w, any_value(h) AS h,
+                       any_value(nf) AS nf,
+                       list(((doc_id * 53 + p * 7) % 256) // 16) AS bl
+                FROM px GROUP BY doc_id
+            )
+            SELECT CAST(doc_id AS VARCHAR) AS "__source_file",
+                   'video/x-msvideo' AS mime,
+                   w AS width, h AS height,
+                   nf AS n_frames,
+                   CAST(nf AS DOUBLE) / 10.0 AS duration_s,
+                   'rawvideo' AS codec,
+                   array_to_string(list_transform(range(0, 16),
+                     i -> CAST(len(list_filter(bl, b -> b = i)) AS VARCHAR)), ',') AS hist
+            FROM hist
+        """,
         "multimodal_mulaw_codec": """
             WITH d AS (
                 SELECT doc_id, CAST(10 + doc_id % 7 AS INT) AS n FROM documents

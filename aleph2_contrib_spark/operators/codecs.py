@@ -32,6 +32,10 @@ end-to-end with NO injected fake:
   (wFormatTag 7): REAL compressed audio with the companding
   (segment/mantissa, ITU-T G.711) implemented in-repo; decode∘encode is
   a pure integer function, so the differential gate replays it in SQL.
+- :func:`encode_avi` / :func:`decode_avi` — REAL video container (RIFF
+  AVI: hdrl/avih/strl/movi/idx1 walk, uncompressed 24-bit DIB frames) —
+  replaces the repo-invented A2MJ container as the video demux story;
+  compressed video codecs stay out of honest pure-Python scope.
 - :func:`resize_rgb` — nearest-neighbor resample, re-encoded as PPM, with
   the ``resize_images`` resizer signature.
 
@@ -259,6 +263,19 @@ def media_decoder(payload: bytes) -> dict:
     16-bin histogram (gray levels for images, int16 amplitude for audio)
     normalized by element count — counts are exact ints, so count
     recovery by round(f * n) is lossless."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        w, h, fps, frames = decode_avi(payload)
+        n = w * h
+        return {
+            "mime": AVI_MIME,
+            "width": w,
+            "height": h,
+            "n_frames": len(frames),
+            "duration_s": len(frames) / fps,
+            "codec": "rawvideo",
+            # features describe the FIRST frame (thumbnail histogram)
+            "features": [c / n for c in _gray_histogram(frames[0])],
+        }
     if payload[:4] == b"RIFF":
         rate, channels, samples, codec = decode_wav_full(payload)
         n_frames = len(samples) // channels
@@ -772,3 +789,167 @@ def decode_gif(payload: bytes) -> tuple[int, int, bytes]:
             out += ct[3 * idx : 3 * idx + 3]
         return w, h, bytes(out)
     raise ValueError("GIF ended without trailer or image")
+
+
+AVI_MIME = "video/x-msvideo"
+
+
+def _dib_from_rgb(width: int, height: int, rgb: bytes) -> bytes:
+    """Top-down RGB → the DIB pixel block AVI '00db' chunks carry:
+    bottom-up BGR rows padded to 4 bytes (the BMP layout without headers)."""
+    row_bytes = width * 3
+    stride = (row_bytes + 3) & ~3
+    out = bytearray(stride * height)
+    for row in range(height):
+        src = (height - 1 - row) * row_bytes  # bottom-up
+        dst = row * stride
+        for x in range(width):
+            r, g, b = rgb[src + 3 * x : src + 3 * x + 3]
+            out[dst + 3 * x : dst + 3 * x + 3] = bytes((b, g, r))
+    return bytes(out)
+
+
+def _rgb_from_dib(width: int, height: int, dib: bytes) -> bytes:
+    row_bytes = width * 3
+    stride = (row_bytes + 3) & ~3
+    if len(dib) < stride * height:
+        raise ValueError(f"truncated DIB frame: {len(dib)} < {stride * height}")
+    out = bytearray(row_bytes * height)
+    for row in range(height):
+        src = (height - 1 - row) * stride
+        dst = row * row_bytes
+        for x in range(width):
+            b, g, r = dib[src + 3 * x : src + 3 * x + 3]
+            out[dst + 3 * x : dst + 3 * x + 3] = bytes((r, g, b))
+    return bytes(out)
+
+
+def _riff_chunk(cid: bytes, body: bytes) -> bytes:
+    return cid + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+
+def _riff_list(list_type: bytes, body: bytes) -> bytes:
+    return _riff_chunk(b"LIST", list_type + body)
+
+
+def encode_avi(width: int, height: int, fps: int, frames: list[bytes]) -> bytes:
+    """Serialize top-down RGB frames as a REAL AVI file (OpenDML RIFF:
+    hdrl with avih + one 'vids' stream, uncompressed 24-bit DIB frames
+    in '00db' chunks, idx1 index) — any compliant player opens the
+    output. This replaces the repo-invented A2MJ container as the video
+    demux story: the chunk grammar here is the one every real demuxer
+    walks; compressed video codecs (H.264 etc.) remain out of honest
+    pure-Python scope."""
+    if width < 1 or height < 1 or fps < 1:
+        raise ValueError(f"bad dimensions/fps {width}x{height}@{fps}")
+    if not frames:
+        raise ValueError("frames must be non-empty")
+    for f in frames:
+        if len(f) != width * height * 3:
+            raise ValueError("frame size mismatch")
+    dibs = [_dib_from_rgb(width, height, f) for f in frames]
+    frame_bytes = len(dibs[0])
+    n = len(frames)
+    # avih: MainAVIHeader (56 bytes)
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        1_000_000 // fps,        # dwMicroSecPerFrame
+        frame_bytes * fps,       # dwMaxBytesPerSec
+        0,                       # dwPaddingGranularity
+        0x10,                    # dwFlags: AVIF_HASINDEX
+        n, 0, 1,                 # totalframes, initialframes, streams
+        frame_bytes,             # dwSuggestedBufferSize
+        width, height, 0, 0, 0, 0,
+    )
+    # strh: AVIStreamHeader for a 'vids' stream, rate/scale = fps/1
+    strh = b"vids" + b"DIB " + struct.pack(
+        "<IHHIIIIIIIIhhhh", 0, 0, 0, 0, 1, fps, 0, n, frame_bytes, 0xFFFFFFFF >> 1,
+        0, 0, 0, width, height,
+    )
+    # strf: BITMAPINFOHEADER, 24 bpp, BI_RGB
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, frame_bytes, 0, 0, 0, 0
+    )
+    hdrl = _riff_list(
+        b"hdrl",
+        _riff_chunk(b"avih", avih)
+        + _riff_list(b"strl", _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf)),
+    )
+    movi_body = b"".join(_riff_chunk(b"00db", d) for d in dibs)
+    movi = _riff_list(b"movi", movi_body)
+    # idx1: one entry per frame; offsets relative to the 'movi' list type
+    idx_entries = bytearray()
+    off = 4
+    for d in dibs:
+        idx_entries += b"00db" + struct.pack("<III", 0x10, off, len(d))
+        off += 8 + len(d) + (len(d) & 1)
+    idx1 = _riff_chunk(b"idx1", bytes(idx_entries))
+    body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi(payload: bytes) -> tuple[int, int, int, list[bytes]]:
+    """Parse an AVI file → (width, height, fps, frames as top-down RGB).
+    Real demux walk: RIFF/LIST recursion, avih/strh/strf headers, '00db'
+    (uncompressed DIB) frame chunks inside 'movi' (direct or inside
+    'rec ' lists). Compressed streams ('00dc' with a non-DIB fourcc),
+    non-24-bpp, and missing headers fail fast — never garbage frames."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+
+    w = h = None
+    fps = None
+    frames: list[bytes] = []
+    compression = None
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal w, h, fps, compression
+        while pos + 8 <= end:
+            cid = payload[pos : pos + 4]
+            size = struct.unpack_from("<I", payload, pos + 4)[0]
+            body_start = pos + 8
+            if body_start + size > end:
+                raise ValueError(f"truncated AVI chunk {cid!r}")
+            if cid == b"LIST":
+                walk(body_start + 4, body_start + size)
+            elif cid == b"strh":
+                if payload[body_start : body_start + 4] == b"vids":
+                    fourcc = payload[body_start + 4 : body_start + 8]
+                    if fourcc not in (b"DIB ", b"\x00\x00\x00\x00"):
+                        raise ValueError(
+                            f"only uncompressed DIB video supported, got {fourcc!r}"
+                        )
+                    scale, rate = struct.unpack_from("<II", payload, body_start + 20)
+                    if scale:
+                        fps = rate // scale
+            elif cid == b"strf" and w is None:
+                hdr_size, bw, bh = struct.unpack_from("<Iii", payload, body_start)
+                bpp = struct.unpack_from("<H", payload, body_start + 14)[0]
+                compression = struct.unpack_from("<I", payload, body_start + 16)[0]
+                if bpp != 24 or compression != 0:
+                    raise ValueError(
+                        f"only 24-bpp BI_RGB supported (bpp={bpp}, comp={compression})"
+                    )
+                w, h = bw, abs(bh)
+            elif cid in (b"00db", b"00dc"):
+                frames.append(payload[body_start : body_start + size])
+            pos = body_start + size + (size & 1)
+
+    walk(12, len(payload))
+    if w is None or h is None:
+        raise ValueError("AVI missing strf video format header")
+    if fps is None:
+        raise ValueError("AVI missing vids strh header")
+    if not frames:
+        raise ValueError("AVI has no video frames")
+    return w, h, fps, [_rgb_from_dib(w, h, d) for d in frames]
+
+
+def avi_frame_extractor(payload: bytes, every_n: int) -> list[bytes]:
+    """``operators.multimodal.sample_frames`` extractor for AVI video:
+    demux, keep frames 0, n, 2n, …, re-encoded as PPM payloads so the
+    downstream image path decodes them."""
+    if every_n < 1:
+        raise ValueError(f"every_n must be >= 1, got {every_n}")
+    w, h, _fps, frames = decode_avi(payload)
+    return [encode_ppm(w, h, f) for f in frames[::every_n]]

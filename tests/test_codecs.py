@@ -696,3 +696,92 @@ if _HAS_HYPOTHESIS:
         want = [mulaw_decode_sample(mulaw_encode_sample(s)) for s in samples]
         assert out == want
         assert encode_wav_mulaw(rate, out) == encode_wav_mulaw(rate, want)
+
+
+# -- AVI (real RIFF video container) --------------------------------------------
+
+
+def test_avi_roundtrip_and_demux_walk():
+    from aleph2_contrib_spark.operators.codecs import (
+        avi_frame_extractor,
+        decode_avi,
+        decode_ppm,
+        encode_avi,
+    )
+
+    w, h = 5, 3
+    frames = [
+        bytes(((f * 53 + k * 7) % 256) for k in range(w * h * 3)) for f in range(4)
+    ]
+    payload = encode_avi(w, h, 10, frames)
+    assert payload[:4] == b"RIFF" and payload[8:12] == b"AVI "
+    assert decode_avi(payload) == (w, h, 10, frames)
+    # frame sampling re-encodes to PPM
+    samp = avi_frame_extractor(payload, 2)
+    assert len(samp) == 2 and decode_ppm(samp[1]) == (w, h, frames[2])
+
+
+def test_avi_media_decoder_contract():
+    from aleph2_contrib_spark.operators.codecs import encode_avi, media_decoder
+
+    w, h = 4, 3
+    gray = [(k * 11) % 256 for k in range(w * h)]
+    frame0 = b"".join(bytes((g, g, g)) for g in gray)
+    frame1 = bytes(w * h * 3)
+    m = media_decoder(encode_avi(w, h, 8, [frame0, frame1]))
+    assert (m["mime"], m["codec"]) == ("video/x-msvideo", "rawvideo")
+    assert (m["width"], m["height"], m["n_frames"]) == (w, h, 2)
+    assert m["duration_s"] == 2 / 8
+    counts = [round(f * w * h) for f in m["features"]]
+    want = [0] * 16
+    for g in gray:
+        want[g >> 4] += 1
+    assert counts == want  # features describe the FIRST frame
+
+
+def test_avi_fail_fast():
+    import pytest
+
+    from aleph2_contrib_spark.operators.codecs import decode_avi, encode_avi
+
+    frames = [bytes(4 * 3 * 3)]
+    payload = encode_avi(4, 3, 10, frames)
+    with pytest.raises(ValueError, match="not a RIFF/AVI"):
+        decode_avi(b"RIFF\x00\x00\x00\x00WAVE")
+    with pytest.raises(ValueError, match="truncated"):
+        decode_avi(payload[:-6])
+    # compressed fourcc must fail fast, not mis-decode
+    bad = payload.replace(b"vidsDIB ", b"vidsH264", 1)
+    with pytest.raises(ValueError, match="DIB"):
+        decode_avi(bad)
+    with pytest.raises(ValueError, match="non-empty"):
+        encode_avi(4, 3, 10, [])
+    with pytest.raises(ValueError, match="frame size"):
+        encode_avi(4, 3, 10, [b"xx"])
+
+
+if _HAS_HYPOTHESIS:
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        w=st.integers(1, 8),
+        h=st.integers(1, 6),
+        fps=st.integers(1, 60),
+        n=st.integers(1, 6),
+        data=st.data(),
+    )
+    def test_avi_roundtrip_property(w, h, fps, n, data):
+        """Any RGB frame stack round-trips bit-exactly through the AVI
+        container (DIB row padding, word-aligned chunks, odd sizes)."""
+        from aleph2_contrib_spark.operators.codecs import decode_avi, encode_avi
+
+        sz = w * h * 3
+        frames = [
+            bytes(
+                data.draw(
+                    st.lists(st.integers(0, 255), min_size=sz, max_size=sz)
+                )
+            )
+            for _ in range(n)
+        ]
+        assert decode_avi(encode_avi(w, h, fps, frames)) == (w, h, fps, frames)
