@@ -1046,6 +1046,64 @@ def embedding_covariance(
             (x * y).cast("decimal(38,0)"),
         ).otherwise(x.cast("decimal(38,0)") * y)
 
+    # Small-dim fast path (the numeric-correlation profile shape: k
+    # table columns, k(k+1)/2 ≤ 120 pairs): ONE wide aggregation with a
+    # sum expression per pair — no per-row explode at all, so the row
+    # volume never multiplies by pairs and the only shuffle is the
+    # global-agg partial/final exchange (one row). Values are the SAME
+    # exact decimals as the explode path below — this is a plan choice,
+    # not a semantics choice. Above the threshold the wide agg's codegen
+    # cost and single-row hotspot stop paying; the posexplode path's
+    # shuffle is O(partitions · dim²) and scales to any dim.
+    if dim * (dim + 1) // 2 <= 120:
+        def _x(i: int):
+            return F.element_at("__fx", i + 1)
+
+        aggs = [F.count(F.lit(1)).cast("long").alias("__n")]
+        for i in range(dim):
+            aggs.append(
+                F.sum(_x(i).cast("decimal(38,0)"))
+                .cast("decimal(38,0)")
+                .alias(f"__sx_{i}")
+            )
+        for i in range(dim):
+            for j in range(i, dim):
+                aggs.append(
+                    F.sum(_xy(_x(i), _x(j)))
+                    .cast("decimal(38,0)")
+                    .alias(f"__sxy_{i}_{j}")
+                )
+        row = base.agg(*aggs)
+        structs = [
+            F.struct(
+                F.lit(i).cast("int").alias("i"),
+                F.lit(j).cast("int").alias("j"),
+                F.col(f"__sxy_{i}_{j}").alias("sum_xy_fx2"),
+                F.col(f"__sx_{i}").alias("sum_x_fx"),
+                F.col(f"__sx_{j}").alias("sum_y_fx"),
+            )
+            for i in range(dim)
+            for j in range(i, dim)
+        ]
+        return (
+            row.select(
+                F.col("__n").alias("n"), F.explode(F.array(*structs)).alias("p")
+            )
+            .filter(F.col("n") > 0)  # explode path emits nothing on empty input
+            .select(
+                "p.i",
+                "p.j",
+                "n",
+                "p.sum_xy_fx2",
+                "p.sum_x_fx",
+                "p.sum_y_fx",
+                (
+                    F.col("n").cast("decimal(38,0)") * F.col("p.sum_xy_fx2")
+                    - F.col("p.sum_x_fx") * F.col("p.sum_y_fx")
+                ).cast("decimal(38,0)").alias("cov_num_fx2"),
+            )
+        )
+
     # per-component sums Σx_i come from ONE dim-sized posexplode (not
     # duplicated through every pair group as the first version did —
     # 40% of the dim² explode was redundant x/y baggage) and accumulate
