@@ -1431,6 +1431,45 @@ def multimodal_mulaw_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Writing-script profile (operators/text.script_mix — exact
+    codepoint counts per script class + mixed-script flag, the
+    multilingual-curation / mojibake signal): the ASCII test corpus is
+    augmented with a deterministic non-latin suffix keyed by doc_id % 4
+    (cyrillic / CJK / both / none) so every script branch and the mixed
+    flag are exercised; both engines rebuild the suffix symbolically.
+    Zero shuffles — one narrow regexp_count projection."""
+    from aleph2_contrib_spark.operators.text import script_mix
+
+    docs = _t(spark, sf_dir, "documents")
+    suffix = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit(" \u043f\u0440\u0438\u0432\u0435\u0442 \u043c\u0438\u0440"))
+        .when(F.col("doc_id") % 4 == 1, F.lit(" \u4f60\u597d\u4e16\u754c\u6c49\u5b57"))
+        .when(F.col("doc_id") % 4 == 2, F.lit(" \u043c\u0438\u0440\u0430 \u4e16\u754c\u4eba"))
+        .otherwise(F.lit(""))
+    )
+    aug = docs.select(
+        "doc_id", F.concat(F.coalesce(F.col("text"), F.lit("")), suffix).alias("text")
+    )
+    return script_mix(aug, "doc_id", "text")
+
+
+def text_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary drift between two corpus snapshots
+    (operators/text.vocab_drift_terms — per-word counts in snapshot A
+    (even doc_ids) vs B (odd), add-one-smoothed rate ratio rr_f6 via
+    EXACT integer floor division on both engines, top-k most-skewed each
+    direction with deterministic tie-breaks): the "what changed between
+    crawls" curation screen. One word-keyed groupBy + two
+    TakeOrderedAndProject top-ks, zero global sorts."""
+    from aleph2_contrib_spark.operators.text import vocab_drift_terms
+
+    docs = _t(spark, sf_dir, "documents")
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1)
+    return vocab_drift_terms(a, b, "text", top_k=20, min_count=3)
+
+
 def multimodal_avi_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL video container on the gate (operators/codecs.encode_avi /
     decode_avi — RIFF AVI: hdrl/avih/strl headers, uncompressed 24-bit
@@ -6544,6 +6583,32 @@ def join_bitmap_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _text_script_mix_oracle() -> str:
+    from aleph2_contrib_spark.operators.text import script_mix_oracle_sql
+
+    rows = """
+        SELECT doc_id,
+               coalesce(text, '') || CASE CAST(doc_id % 4 AS INT)
+                   WHEN 0 THEN ' \u043f\u0440\u0438\u0432\u0435\u0442 \u043c\u0438\u0440'
+                   WHEN 1 THEN ' \u4f60\u597d\u4e16\u754c\u6c49\u5b57'
+                   WHEN 2 THEN ' \u043c\u0438\u0440\u0430 \u4e16\u754c\u4eba'
+                   ELSE '' END AS text
+        FROM documents
+    """
+    return script_mix_oracle_sql(rows, "doc_id")
+
+
+def _text_vocab_drift_oracle() -> str:
+    from aleph2_contrib_spark.operators.text import vocab_drift_terms_oracle_sql
+
+    return vocab_drift_terms_oracle_sql(
+        "SELECT text FROM documents WHERE doc_id % 2 = 0",
+        "SELECT text FROM documents WHERE doc_id % 2 = 1",
+        top_k=20,
+        min_count=3,
+    )
+
+
 def _text_ngram_overlap_oracle() -> str:
     """Oracle for text_ngram_overlap: rebuild the deterministic
     token-drop reference (first doc_id % 4 tokens removed) in DuckDB and
@@ -6646,6 +6711,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_jpeg_codec": multimodal_jpeg_codec,
         "multimodal_mulaw_codec": multimodal_mulaw_codec,
         "multimodal_avi_codec": multimodal_avi_codec,
+        "text_script_mix": text_script_mix,
+        "text_vocab_drift": text_vocab_drift,
         "text_ngram_overlap": text_ngram_overlap,
         "multimodal_audio_codec": multimodal_audio_codec,
         "similarity_embedding_covariance": similarity_embedding_covariance,
@@ -6905,14 +6972,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_cms_heavy_hitters",
         "sketch_hll_by_group",
         "sketch_hll_intersection",
-        "sketch_quantile_by_group",
-        "sketch_quantile_hist",
         # (a3) NEW this round: BLEU/ROUGE n-gram overlap scorer +
         #      G.711 mu-law compressed-audio decode on the gate
         "text_ngram_overlap",
         "multimodal_mulaw_codec",
         "multimodal_avi_codec",
-        # (deferred to round 11: the 10 remaining r4 rows —
+        "text_script_mix",
+        "text_vocab_drift",
+        # (deferred to round 11: the 12 remaining r4 rows —
+        #  sketch_quantile_by_group, sketch_quantile_hist,
         #  stats_percentiles, text_bigram_rarity, text_char_pairs,
         #  text_inverted_postings, text_keywords_tfidf, text_relevance_topk,
         #  txlog_incremental_etl, txlog_restore_changefeed, union_entities,
@@ -9420,6 +9488,8 @@ def oracle_sql() -> dict[str, str]:
             FROM hist
         """,
         "text_ngram_overlap": _text_ngram_overlap_oracle(),
+        "text_script_mix": _text_script_mix_oracle(),
+        "text_vocab_drift": _text_vocab_drift_oracle(),
         "multimodal_avi_codec": """
             WITH d AS (
                 SELECT doc_id, CAST(4 + doc_id % 3 AS INT) AS w,

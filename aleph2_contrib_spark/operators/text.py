@@ -1146,3 +1146,230 @@ SELECT id AS {id_col},
             THEN (clipped_matches * 1000000) // n_ref_grams END AS recall_f6
 FROM counted
 """
+
+
+def script_mix(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    mixed_min_chars: int = 3,
+) -> DataFrame:
+    """Per-document writing-script profile — the multilingual-curation
+    and mojibake/spam signal ("is this document one script, a legitimate
+    bilingual mix, or encoding garbage"): exact codepoint counts per
+    script class (latin letters, digits, cyrillic, CJK unified
+    ideographs, whitespace, other) plus f6 ratios over total codepoints
+    and an ``is_mixed_script`` flag (≥ 2 of {latin, cyrillic, cjk} with
+    at least ``mixed_min_chars`` codepoints each — the shape real
+    mixed-script spam/mojibake takes).
+
+    Counts are regexp_count over unicode ranges — the Java∩RE2∩PCRE
+    dialect shared with the oracle — so every number is an exact
+    integer. Zero shuffles: one narrow projection."""
+    t = F.col(text_col)
+    total = F.length(t).cast("long")
+
+    def cnt(pattern: str) -> Column:
+        return F.regexp_count(t, F.lit(pattern)).cast("long")
+
+    n_latin = cnt("[A-Za-z]")
+    n_digit = cnt("[0-9]")
+    n_cyr = cnt("[Ѐ-ӿ]")
+    n_cjk = cnt("[一-鿿]")
+    n_ws = cnt(r"\s")
+
+    def f6(num: Column) -> Column:
+        return F.when(
+            total > 0, F.floor(num * F.lit(1_000_000) / total)
+        ).cast("long")
+
+    m = F.lit(int(mixed_min_chars))
+    n_scripts = (
+        (n_latin >= m).cast("int") + (n_cyr >= m).cast("int") + (n_cjk >= m).cast("int")
+    )
+    return df.select(
+        F.col(id_col),
+        total.alias("n_chars"),
+        n_latin.alias("n_latin"),
+        n_digit.alias("n_digit"),
+        n_cyr.alias("n_cyrillic"),
+        n_cjk.alias("n_cjk"),
+        n_ws.alias("n_ws"),
+        (total - n_latin - n_digit - n_cyr - n_cjk - n_ws).alias("n_other"),
+        f6(n_latin).alias("latin_ratio_f6"),
+        f6(n_cyr).alias("cyrillic_ratio_f6"),
+        f6(n_cjk).alias("cjk_ratio_f6"),
+        F.coalesce(n_scripts >= 2, F.lit(False)).alias("is_mixed_script"),
+    )
+
+
+def script_mix_oracle_sql(
+    rows_sql: str, id_col: str, mixed_min_chars: int = 3
+) -> str:
+    """DuckDB replica of :func:`script_mix`. ``rows_sql`` yields
+    (id, text)."""
+    def cnt(pattern: str) -> str:
+        return f"len(regexp_extract_all(text, '{pattern}'))"
+
+    lat, dig = cnt("[A-Za-z]"), cnt("[0-9]")
+    cyr = cnt("[\u0400-\u04ff]")
+    cjk = cnt("[\u4e00-\u9fff]")
+    ws = cnt("\\s")
+    m = int(mixed_min_chars)
+    return f"""
+WITH c AS (
+    SELECT {id_col} AS id, len(text) AS n_chars,
+           {lat} AS n_latin, {dig} AS n_digit,
+           {cyr} AS n_cyrillic, {cjk} AS n_cjk, {ws} AS n_ws
+    FROM ({rows_sql})
+)
+SELECT id AS {id_col},
+       CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(n_latin AS BIGINT) AS n_latin,
+       CAST(n_digit AS BIGINT) AS n_digit,
+       CAST(n_cyrillic AS BIGINT) AS n_cyrillic,
+       CAST(n_cjk AS BIGINT) AS n_cjk,
+       CAST(n_ws AS BIGINT) AS n_ws,
+       CAST(n_chars - n_latin - n_digit - n_cyrillic - n_cjk - n_ws
+            AS BIGINT) AS n_other,
+       CASE WHEN n_chars > 0
+            THEN (n_latin * 1000000) // n_chars END AS latin_ratio_f6,
+       CASE WHEN n_chars > 0
+            THEN (n_cyrillic * 1000000) // n_chars END AS cyrillic_ratio_f6,
+       CASE WHEN n_chars > 0
+            THEN (n_cjk * 1000000) // n_chars END AS cjk_ratio_f6,
+       coalesce(CAST(n_latin >= {m} AS INT) + CAST(n_cyrillic >= {m} AS INT)
+                + CAST(n_cjk >= {m} AS INT) >= 2, FALSE) AS is_mixed_script
+FROM c
+"""
+
+
+def vocab_drift_terms(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    text_col: str,
+    top_k: int = 50,
+    min_count: int = 5,
+) -> DataFrame:
+    """Vocabulary drift between two corpus snapshots (crawl N vs crawl
+    N+1, source A vs source B) — "which terms exploded or vanished":
+    per word, document-independent token counts in each snapshot and the
+    add-one-smoothed rate ratio
+
+        rr_f6 = floor( 1e6 · (count_a + 1)·(total_b + V)
+                             / ((count_b + 1)·(total_a + V)) )
+
+    (V = joint vocabulary size — Laplace smoothing on the per-snapshot
+    unigram rates, so the ratio compares RATES, not raw counts, and is
+    finite for words absent from one side). Log-free by the module's
+    discipline: rr is a monotone transform of the log-odds score, so
+    rankings match, and every emitted number is an exact integer. Emits
+    the ``top_k`` most A-skewed and ``top_k`` most B-skewed words with
+    ``direction`` ('a' | 'b'), ties broken by word for determinism.
+
+    Plan shape at 100 TB: one explode + ONE groupBy(word) with map-side
+    partial agg (shuffle = distinct words), a 2-row totals broadcast,
+    and two TakeOrderedAndProject top-ks — zero global sorts."""
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+
+    def counts(df: DataFrame, name: str) -> DataFrame:
+        toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        return (
+            df.filter(F.trim(F.col(text_col)) != "")
+            .select(F.explode(toks).alias("word"))
+            .filter(F.col("word") != "")
+            .groupBy("word")
+            .agg(F.count(F.lit(1)).cast("long").alias(name))
+        )
+    ca = counts(df_a, "count_a")
+    cb = counts(df_b, "count_b")
+    joined = ca.join(cb, "word", "full_outer").select(
+        "word",
+        F.coalesce("count_a", F.lit(0)).alias("count_a"),
+        F.coalesce("count_b", F.lit(0)).alias("count_b"),
+    ).filter((F.col("count_a") + F.col("count_b")) >= F.lit(int(min_count)))
+    totals = joined.agg(
+        F.sum("count_a").alias("__ta"),
+        F.sum("count_b").alias("__tb"),
+        F.count(F.lit(1)).alias("__v"),
+    )
+    scored = (
+        joined.crossJoin(F.broadcast(totals))
+        .select(
+            "word",
+            "count_a",
+            "count_b",
+            # exact integer floor division via `div` — plain decimal `/`
+            # ROUNDS to the result scale before floor() sees it (2.9999995
+            # would floor to 3), and a double division loses bits past 2^53
+            (
+                (F.col("count_a") + 1).cast("decimal(38,0)")
+                * (F.col("__tb") + F.col("__v")).cast("decimal(38,0)")
+                * F.lit(1_000_000)
+            ).alias("__num"),
+            (
+                (F.col("count_b") + 1).cast("decimal(38,0)")
+                * (F.col("__ta") + F.col("__v")).cast("decimal(38,0)")
+            ).alias("__den"),
+        )
+        .select(
+            "word",
+            "count_a",
+            "count_b",
+            F.expr("__num div __den").cast("long").alias("rr_f6"),
+        )
+    )
+    top_a = (
+        scored.orderBy(F.col("rr_f6").desc(), F.col("word").asc())
+        .limit(top_k)
+        .withColumn("direction", F.lit("a"))
+    )
+    top_b = (
+        scored.orderBy(F.col("rr_f6").asc(), F.col("word").asc())
+        .limit(top_k)
+        .withColumn("direction", F.lit("b"))
+    )
+    return top_a.unionByName(top_b)
+
+
+def vocab_drift_terms_oracle_sql(
+    rows_a: str, rows_b: str, top_k: int = 50, min_count: int = 5
+) -> str:
+    """DuckDB replica of :func:`vocab_drift_terms`. ``rows_a``/``rows_b``
+    each yield (text)."""
+
+    def counts(rows: str, name: str) -> str:
+        return f"""
+        SELECT word, CAST(count(*) AS BIGINT) AS {name}
+        FROM (
+            SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+            FROM ({rows}) WHERE trim(text) != ''
+        ) WHERE word != '' GROUP BY word"""
+
+    return f"""
+WITH ca AS ({counts(rows_a, 'count_a')}), cb AS ({counts(rows_b, 'count_b')}),
+j AS (
+    SELECT coalesce(ca.word, cb.word) AS word,
+           coalesce(count_a, 0) AS count_a, coalesce(count_b, 0) AS count_b
+    FROM ca FULL OUTER JOIN cb ON ca.word = cb.word
+    WHERE coalesce(count_a, 0) + coalesce(count_b, 0) >= {int(min_count)}
+), t AS (
+    SELECT sum(count_a) AS ta, sum(count_b) AS tb, count(*) AS v FROM j
+), scored AS (
+    SELECT word, count_a, count_b,
+           CAST(CAST(count_a + 1 AS HUGEINT) * (tb + v) * 1000000
+                // (CAST(count_b + 1 AS HUGEINT) * (ta + v)) AS BIGINT)
+               AS rr_f6
+    FROM j, t
+)
+SELECT * FROM (
+    SELECT word, count_a, count_b, rr_f6, 'a' AS direction
+    FROM scored ORDER BY rr_f6 DESC, word ASC LIMIT {int(top_k)}
+)
+UNION ALL
+SELECT * FROM (
+    SELECT word, count_a, count_b, rr_f6, 'b' AS direction
+    FROM scored ORDER BY rr_f6 ASC, word ASC LIMIT {int(top_k)}
+)
+"""

@@ -640,3 +640,114 @@ def test_ngram_overlap_oracle_matches(spark, tmp_path):
             ).fetchall()
         }
         assert got == want and len(got) == 200, f"n={n}"
+
+
+# -- script_mix -----------------------------------------------------------------
+
+
+def test_script_mix_hand_worked_and_oracle(spark, tmp_path):
+    import duckdb
+
+    from aleph2_contrib_spark.operators.text import (
+        script_mix,
+        script_mix_oracle_sql,
+    )
+
+    rows = [
+        (1, "hello world 123"),
+        (2, "привет мир"),                 # pure cyrillic
+        (3, "hello мир привет"),           # latin + cyrillic >= 3 chars each
+        (4, "你好世界 hello"),               # cjk + latin
+        (5, ""),                            # empty: ratios NULL
+        (6, "a б 中"),                      # 1 char each: NOT mixed (< min 3)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in script_mix(df, "doc_id", "text").collect()}
+    assert got[1]["n_latin"] == 10 and got[1]["n_digit"] == 3
+    assert got[1]["is_mixed_script"] is False
+    assert got[2]["n_cyrillic"] == 9 and got[2]["n_latin"] == 0
+    assert got[3]["is_mixed_script"] is True
+    assert got[4]["is_mixed_script"] is True and got[4]["n_cjk"] == 4
+    assert got[5]["n_chars"] == 0 and got[5]["latin_ratio_f6"] is None
+    assert got[6]["is_mixed_script"] is False
+    # differential vs DuckDB on the same rows
+    p = str(tmp_path / "sm.parquet")
+    df.coalesce(1).write.parquet(p)
+    want = {
+        tuple(r)
+        for r in duckdb.sql(
+            script_mix_oracle_sql(
+                f"SELECT doc_id, text FROM '{p}/*.parquet'", "doc_id"
+            )
+        ).fetchall()
+    }
+    assert {tuple(r) for r in script_mix(df, "doc_id", "text").collect()} == want
+
+
+# -- vocab_drift_terms ----------------------------------------------------------
+
+
+def test_vocab_drift_hand_worked(spark):
+    from aleph2_contrib_spark.operators.text import vocab_drift_terms
+
+    a = spark.createDataFrame(
+        [("new new new shared shared",), ("new shared",)], "text string"
+    )
+    b = spark.createDataFrame(
+        [("old old shared shared",), ("old shared",)], "text string"
+    )
+    out = vocab_drift_terms(a, b, "text", top_k=2, min_count=1).collect()
+    by_dir = {}
+    for r in out:
+        by_dir.setdefault(r["direction"], []).append(r)
+    # 'new' (4 vs 0) tops the a-side; 'old' (0 vs 3) tops the b-side
+    assert by_dir["a"][0]["word"] == "new" and by_dir["a"][0]["count_b"] == 0
+    assert by_dir["b"][0]["word"] == "old" and by_dir["b"][0]["count_a"] == 0
+    # totals: ta=7, tb=6, v=3 -> rr('new') = 5*(6+3)*1e6 // (1*(7+3)) = 4.5e6
+    assert by_dir["a"][0]["rr_f6"] == 4_500_000
+    # shared appears in both directions' candidate set but not at rank 1
+    assert all(len(v) == 2 for v in by_dir.values())
+
+
+def test_vocab_drift_oracle_matches(spark, tmp_path):
+    import random
+
+    import duckdb
+
+    from aleph2_contrib_spark.operators.text import (
+        vocab_drift_terms,
+        vocab_drift_terms_oracle_sql,
+    )
+
+    rnd = random.Random(47)
+    words_a = ["alpha", "beta", "gamma", "delta", "shared", "common"]
+    words_b = ["omega", "beta", "gamma", "epsilon", "shared", "common"]
+    rows_a = [
+        (" ".join(rnd.choice(words_a) for _ in range(rnd.randint(1, 20))),)
+        for _ in range(80)
+    ]
+    rows_b = [
+        (" ".join(rnd.choice(words_b) for _ in range(rnd.randint(1, 20))),)
+        for _ in range(80)
+    ]
+    da = spark.createDataFrame(rows_a, "text string")
+    db = spark.createDataFrame(rows_b, "text string")
+    pa, pb = str(tmp_path / "a.parquet"), str(tmp_path / "b.parquet")
+    da.coalesce(1).write.parquet(pa)
+    db.coalesce(1).write.parquet(pb)
+    got = {
+        tuple(r)
+        for r in vocab_drift_terms(da, db, "text", top_k=5, min_count=2).collect()
+    }
+    want = {
+        tuple(r)
+        for r in duckdb.sql(
+            vocab_drift_terms_oracle_sql(
+                f"SELECT text FROM '{pa}/*.parquet'",
+                f"SELECT text FROM '{pb}/*.parquet'",
+                top_k=5,
+                min_count=2,
+            )
+        ).fetchall()
+    }
+    assert got == want and len(got) == 10
