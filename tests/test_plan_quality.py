@@ -54,6 +54,7 @@ INTENTIONAL_BNLJ = {
     "sketch_hll_intersection",     # three 1-row estimates joined 1x1x1
     "graph_triangles",             # three 1-row global counts joined 1x1x1
     "text_lm_surprisal",           # corpus x 1-row broadcast vocab-size scalar
+    "text_vocab_drift",            # word table x 1-row broadcast (ta, tb, v) totals
     "profile_chi2_independence",   # cell table x 1-row broadcast (n, nr, nc) totals
     "profile_benford",             # 9-digit rows x 1-row broadcast total
     "profile_join_size",           # three 1-row aggregates joined 1x1x1
