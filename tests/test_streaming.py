@@ -705,13 +705,16 @@ def test_transactional_sink_survives_real_crash_restart(spark, tmp_path, stream_
 
 def test_socket_stream_kill_restart_from_checkpoint(spark, tmp_path):
     """Kill/restart on the REAL wire: a socket-fed transactional-sink
-    query is stopped mid-stream and restarted from its checkpoint against
-    a fresh TCP connection. Committed rows must not duplicate across the
-    restart and post-restart rows must land. (The socket source has no
-    offsets — Spark's documented at-most-once, test-only contract — so
-    the replay-idempotency leg of exactly-once is proven by the
-    replayable-source test above; this test pins the restart semantics
-    on the wire path itself.)"""
+    query is stopped mid-stream and a new query started against a fresh
+    TCP connection, committing into the SAME durable table. Committed
+    rows must not duplicate across the kill and post-restart rows must
+    land. The socket source has no offsets — resuming its checkpoint is
+    not just lossy but REJECTED by Spark ("Offsets committed out of
+    order: N followed by -1"), so each phase runs its own checkpoint and
+    app lineage: the production restart story for a non-replayable
+    transport is sink-side idempotence + durable state, which is exactly
+    what this pins. The checkpoint-replay leg of exactly-once is proven
+    by the replayable-source test above."""
     import socket
     import threading
     import time
@@ -723,7 +726,6 @@ def test_socket_stream_kill_restart_from_checkpoint(spark, tmp_path):
     )
 
     t = TransactionalTable(spark, str(tmp_path / "sock_table"))
-    ckpt = str(tmp_path / "ckpt_sock")
     schema = "user_id LONG, event_type STRING, value DOUBLE"
 
     def serve(lines, stop_evt):
@@ -750,15 +752,15 @@ def test_socket_stream_kill_restart_from_checkpoint(spark, tmp_path):
         except FileNotFoundError:  # no commits yet
             return 0
 
-    def run_phase(lines, app_batch_offset, want_total):
+    def run_phase(lines, phase, want_total):
         stop_evt = threading.Event()
         port = serve(lines, stop_evt)
         decoded = socket_json_stream(spark, "127.0.0.1", port, schema)
-        # distinct app per phase: the socket source resets batch ids per
-        # connection, and the point here is restart, not replay-idempotency
-        sink = transactional_sink(t, f"sock_job_{app_batch_offset}")
+        # fresh checkpoint + distinct app per phase: a non-replayable
+        # source cannot legally resume a checkpoint (see docstring)
+        sink = transactional_sink(t, f"sock_job_{phase}")
         q = decoded.writeStream.foreachBatch(sink).option(
-            "checkpointLocation", ckpt
+            "checkpointLocation", str(tmp_path / f"ckpt_sock_{phase}")
         ).start()
         try:
             deadline = time.time() + 90
