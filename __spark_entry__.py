@@ -52,6 +52,23 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def _doc_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id driver column for the multimodal codec gates, spread over
+    the full core count: the documents table is ONE parquet split at test
+    SF, and every codec gate feeds it into Arrow-batched Python
+    encode/decode — without a repartition the whole Python stage runs on
+    1 of 32 cores (measured: the JPEG Huffman+IDCT gate at 23 s serial vs
+    ~2 s wide; pure plumbing, values are per-row so the shuffle is
+    population-neutral). At 100 TB the source would already arrive in
+    thousands of splits and this repartition collapses to a no-op-sized
+    round-robin of an 8-byte column."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+
 def _dec(col: str, scale: int = 2) -> F.Column:
     return F.col(col).cast(f"decimal(18,{scale})")
 
@@ -1228,9 +1245,7 @@ def multimodal_real_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aleph2_contrib_spark.operators import multimodal as mm
     from aleph2_contrib_spark.operators.codecs import encode_ppm, media_decoder
 
-    docs = _t(spark, sf_dir, "documents").select(
-        F.col("doc_id").cast("long").alias("doc_id")
-    )
+    docs = _doc_ids(spark, sf_dir)
 
     def gen(batches):
         for b in batches:
@@ -1283,9 +1298,7 @@ def multimodal_png_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aleph2_contrib_spark.operators import multimodal as mm
     from aleph2_contrib_spark.operators.codecs import encode_png, media_decoder
 
-    docs = _t(spark, sf_dir, "documents").select(
-        F.col("doc_id").cast("long").alias("doc_id")
-    )
+    docs = _doc_ids(spark, sf_dir)
 
     def gen(batches):
         for b in batches:
@@ -1336,9 +1349,7 @@ def multimodal_gif_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aleph2_contrib_spark.operators import multimodal as mm
     from aleph2_contrib_spark.operators.codecs import encode_gif, media_decoder
 
-    docs = _t(spark, sf_dir, "documents").select(
-        F.col("doc_id").cast("long").alias("doc_id")
-    )
+    docs = _doc_ids(spark, sf_dir)
 
     def gen(batches):
         for b in batches:
@@ -1393,9 +1404,7 @@ def multimodal_mulaw_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aleph2_contrib_spark.operators import multimodal as mm
     from aleph2_contrib_spark.operators.codecs import encode_wav_mulaw, media_decoder
 
-    docs = _t(spark, sf_dir, "documents").select(
-        F.col("doc_id").cast("long").alias("doc_id")
-    )
+    docs = _doc_ids(spark, sf_dir)
 
     def gen(batches):
         for b in batches:
@@ -1485,9 +1494,7 @@ def multimodal_avi_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aleph2_contrib_spark.operators import multimodal as mm
     from aleph2_contrib_spark.operators.codecs import encode_avi, media_decoder
 
-    docs = _t(spark, sf_dir, "documents").select(
-        F.col("doc_id").cast("long").alias("doc_id")
-    )
+    docs = _doc_ids(spark, sf_dir)
 
     def gen(batches):
         for b in batches:
@@ -1538,8 +1545,8 @@ def text_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     scorer): candidate = the document text, reference = the same text
     with the first (doc_id % 4) tokens dropped — a deterministic
     perturbation both engines rebuild symbolically, giving a full spread
-    of partial overlaps including exact matches (k=0). Zero shuffles:
-    one narrow projection of higher-order Catalyst expressions."""
+    of partial overlaps including exact matches (k=0). One id-keyed
+    gram-histogram shuffle (see ngram_overlap_scores' plan note)."""
     from aleph2_contrib_spark.operators.text import ngram_overlap_scores
 
     docs = _t(spark, sf_dir, "documents")
@@ -1579,9 +1586,7 @@ def multimodal_jpeg_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode_jpeg,
     )
 
-    docs = _t(spark, sf_dir, "documents").select(
-        F.col("doc_id").cast("long").alias("doc_id")
-    )
+    docs = _doc_ids(spark, sf_dir)
     ql, qc = dc_exact_quant(QUANT_LUMA), dc_exact_quant(QUANT_CHROMA)
 
     def gen(batches):
@@ -1933,9 +1938,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         mjppm_frame_extractor,
     )
 
-    docs = _t(spark, sf_dir, "documents").select(
-        F.col("doc_id").cast("long").alias("doc_id")
-    )
+    docs = _doc_ids(spark, sf_dir)
 
     def gen(batches):
         for b in batches:
@@ -2287,9 +2290,7 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         resize_rgb,
     )
 
-    docs = _t(spark, sf_dir, "documents").select(
-        F.col("doc_id").cast("long").alias("doc_id")
-    )
+    docs = _doc_ids(spark, sf_dir)
 
     def gen(batches):
         for b in batches:
@@ -2500,9 +2501,7 @@ def multimodal_audio_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aleph2_contrib_spark.operators import multimodal as mm
     from aleph2_contrib_spark.operators.codecs import encode_wav, media_decoder
 
-    docs = _t(spark, sf_dir, "documents").select(
-        F.col("doc_id").cast("long").alias("doc_id")
-    )
+    docs = _doc_ids(spark, sf_dir)
 
     def gen(batches):
         for b in batches:
