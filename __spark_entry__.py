@@ -1610,10 +1610,15 @@ def multimodal_jpeg_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=["__source_file", "content"])
 
     imgs = docs.mapInPandas(gen, schema="`__source_file` string, content binary")
-    meta = mm.extract_media_metadata(imgs, decoder=media_decoder)
-    feats = mm.extract_media_features(imgs, decoder=media_decoder)
+    # single-decode combined pass: the Huffman+IDCT decode is the whole
+    # cost of this gate, so metadata+features come from ONE decoder call
+    # (and no meta⋈feats join) instead of the two-extract path the
+    # cheaper codec gates still exercise
+    both = mm.extract_media(imgs, decoder=media_decoder).filter(
+        F.col("embedding").isNotNull()
+    )
     n_px = F.col("width") * F.col("height")
-    return meta.join(feats, "__source_file").select(
+    return both.select(
         "__source_file",
         "mime",
         "width",

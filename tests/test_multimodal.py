@@ -45,6 +45,35 @@ def test_feature_extraction_feeds_similarity(spark, media):
     assert ("a.img", "c.img") in got
 
 
+def test_combined_extract_matches_two_pass(spark, media):
+    """extract_media (single decode) must equal extract_media_metadata ⋈
+    extract_media_features — same rows, same values, one decoder call."""
+    both = mm.extract_media(media, decoder=mm.fake_decoder)
+    meta = mm.extract_media_metadata(media, decoder=mm.fake_decoder)
+    feats = mm.extract_media_features(media, decoder=mm.fake_decoder)
+    joined = meta.join(feats, "__source_file")
+    cols = sorted(both.columns)
+    a = sorted(map(tuple, both.select(*cols).collect()))
+    b = sorted(map(tuple, joined.select(*cols).collect()))
+    assert a == b
+
+
+def test_combined_extract_null_embedding_on_dim_mismatch(spark, media):
+    """A decoder yielding the wrong feature width keeps the metadata row
+    with embedding NULL (the two-pass inner join would DROP it — the
+    combined pass is strictly more informative)."""
+
+    def short_features(payload):
+        d = mm.fake_decoder(payload)
+        d["features"] = d["features"][:4]
+        return d
+
+    out = mm.extract_media(media, decoder=short_features).collect()
+    assert len(out) == 3
+    assert all(r["embedding"] is None for r in out)
+    assert all(r["mime"] == "image/fake" for r in out)
+
+
 def test_frame_sampling_with_fake_extractor(spark, media):
     def fake_frames(payload, every_n):
         return [payload + bytes([i]) for i in range(3)]
