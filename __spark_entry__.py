@@ -2341,6 +2341,18 @@ def similarity_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return int8_quantization_stats(emb, "embedding", "vec_id")
 
 
+def similarity_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss ±1 projection (operators/similarity.
+    random_projection_f6): embeddings 64 → 16 dims through a seeded
+    md5-derived sign matrix, f6 fixed-point inputs so every projected
+    coordinate is exact int64 on both engines. The narrowing stage ahead
+    of dedup blocking / ANN shortlists; zero shuffles, map-only."""
+    from aleph2_contrib_spark.operators.similarity import random_projection_f6
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return random_projection_f6(emb, "embedding", "vec_id", dim=64, k=16)
+
+
 def similarity_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reciprocal-rank fusion (operators/similarity.rrf_fusion) of two
     heterogeneous user rankings — exact total spend (DECIMAL cents) and
@@ -2869,6 +2881,38 @@ def window_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
             F.sum(_dec("o_totalprice")).cast("double").alias("total"),
         )
+    )
+
+
+def window_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window breadth: percent_rank and cume_dist — but EXACT, as f6
+    fixed-point integers computed from integer rank/count windows
+    (floor(1e6·(rank−1)/(n−1)), floor(1e6·cnt_le/n)) instead of the
+    built-in float versions, so both engines hash identically including
+    tie groups (real ties: ranking on o_orderdate). One partition-keyed
+    shuffle; the RANGE cumulative count rides the same sort."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-03-01") & (F.col("o_orderdate") < "1995-04-01")
+    )
+    wo = W.partitionBy("o_orderstatus").orderBy("o_orderdate")
+    wr = wo.rangeBetween(W.unboundedPreceding, W.currentRow)
+    wp = W.partitionBy("o_orderstatus")
+    ranked = orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_orderdate",
+        (F.rank().over(wo) - 1).alias("__rm1"),
+        F.count(F.lit(1)).over(wr).alias("__le"),
+        F.count(F.lit(1)).over(wp).alias("__n"),
+    )
+    return ranked.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.expr(
+            "CAST(CASE WHEN __n > 1 THEN (__rm1 * 1000000) div (__n - 1) "
+            "ELSE NULL END AS BIGINT)"
+        ).alias("pct_rank_f6"),
+        F.expr("CAST((__le * 1000000) div __n AS BIGINT)").alias("cume_dist_f6"),
     )
 
 
@@ -6399,6 +6443,66 @@ def _cusum_oracle() -> str:
     return cusum_oracle_sql(series, "event_type", "d", threshold=5, slack=0)
 
 
+def text_kn_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kneser-Ney bigram LM statistics (operators/text.kneser_ney_stats)
+    over the documents corpus: per word, exact occurrence count plus
+    distinct-left-neighbor (continuation) and distinct-right-neighbor
+    counts — the integer sufficient statistics of interpolated-KN
+    smoothing. min_count=2 trims the hapax tail at the gate boundary;
+    counts themselves stay corpus-true. Two explodes + word-keyed
+    partial-agg groupBys, no windows, no driver work."""
+    from aleph2_contrib_spark.operators.text import kneser_ney_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return kneser_ney_stats(docs.select("text"), "text", min_count=2)
+
+
+def _kn_lm_counts_oracle() -> str:
+    from aleph2_contrib_spark.operators.text import kneser_ney_stats_oracle_sql
+
+    return kneser_ney_stats_oracle_sql("documents", "text", min_count=2)
+
+
+def events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best single changepoint per series (operators/events.
+    changepoint_single — binary segmentation's inner step, exact f3
+    integer SSE scoring) over per-type daily event counts: for each
+    event_type, the split day minimizing left+right squared error, with
+    total/best/gain costs. One key shuffle; windows + a row_number pick,
+    no joins."""
+    from aleph2_contrib_spark.operators.events import changepoint_single
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type"),
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("d"),
+    ).agg(F.count(F.lit(1)).alias("x"))
+    return changepoint_single(daily, "event_type", "d", "x")
+
+
+def _random_projection_oracle() -> str:
+    from aleph2_contrib_spark.operators.similarity import (
+        random_projection_oracle_sql,
+    )
+
+    return random_projection_oracle_sql(
+        "embeddings", "embedding", "vec_id", dim=64, k=16
+    )
+
+
+def _changepoint_oracle() -> str:
+    from aleph2_contrib_spark.operators.events import (
+        changepoint_single_oracle_sql,
+    )
+
+    series = (
+        "SELECT event_type AS k,"
+        " CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS x,"
+        " count(*) AS y FROM events GROUP BY 1, 2"
+    )
+    return changepoint_single_oracle_sql(series, "event_type")
+
+
 def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic weighted sampling without replacement
     (operators/corpus.weighted_sample): 200 documents drawn with priority
@@ -6718,6 +6822,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_script_mix": text_script_mix,
         "text_vocab_drift": text_vocab_drift,
         "text_ngram_overlap": text_ngram_overlap,
+        "events_changepoint": events_changepoint,
+        "similarity_random_projection": similarity_random_projection,
+        "text_kn_lm_counts": text_kn_lm_counts,
+        "window_distribution_ranks": window_distribution_ranks,
         "multimodal_audio_codec": multimodal_audio_codec,
         "similarity_embedding_covariance": similarity_embedding_covariance,
         "graph_bipartite_project": graph_bipartite_project,
@@ -6983,7 +7091,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_avi_codec",
         "text_script_mix",
         "text_vocab_drift",
-        # (deferred to round 11: the 12 remaining r4 rows —
+        # (deferred to round 11, HEAD of that window: the four r10-new
+        #  never-driver-checked gates — events_changepoint,
+        #  similarity_random_projection, text_kn_lm_counts,
+        #  window_distribution_ranks — then the 12 remaining r4 rows —
         #  sketch_quantile_by_group, sketch_quantile_hist,
         #  stats_percentiles, text_bigram_rarity, text_char_pairs,
         #  text_inverted_postings, text_keywords_tfidf, text_relevance_topk,
@@ -9494,6 +9605,31 @@ def oracle_sql() -> dict[str, str]:
         "text_ngram_overlap": _text_ngram_overlap_oracle(),
         "text_script_mix": _text_script_mix_oracle(),
         "text_vocab_drift": _text_vocab_drift_oracle(),
+        "events_changepoint": _changepoint_oracle(),
+        "similarity_random_projection": _random_projection_oracle(),
+        "text_kn_lm_counts": _kn_lm_counts_oracle(),
+        "window_distribution_ranks": """
+            WITH base AS (
+                SELECT o_orderkey, o_orderstatus, o_orderdate FROM orders
+                WHERE o_orderdate >= TIMESTAMP '1995-03-01'
+                  AND o_orderdate < TIMESTAMP '1995-04-01'
+            ), r AS (
+                SELECT o_orderkey, o_orderstatus,
+                       rank() OVER (PARTITION BY o_orderstatus
+                                    ORDER BY o_orderdate) - 1 AS rm1,
+                       count(*) OVER (PARTITION BY o_orderstatus
+                                      ORDER BY o_orderdate
+                                      RANGE BETWEEN UNBOUNDED PRECEDING
+                                            AND CURRENT ROW) AS le,
+                       count(*) OVER (PARTITION BY o_orderstatus) AS n
+                FROM base
+            )
+            SELECT o_orderkey, o_orderstatus,
+                   CAST(CASE WHEN n > 1 THEN (rm1 * 1000000) // (n - 1)
+                        ELSE NULL END AS BIGINT) AS pct_rank_f6,
+                   CAST((le * 1000000) // n AS BIGINT) AS cume_dist_f6
+            FROM r
+        """,
         "multimodal_avi_codec": """
             WITH d AS (
                 SELECT doc_id, CAST(4 + doc_id % 3 AS INT) AS w,

@@ -1819,3 +1819,139 @@ SELECT k AS {key_col},
             ELSE NULL END AS BIGINT) AS twa_f6
 FROM stepped GROUP BY k
 """
+
+
+def changepoint_single(
+    series: DataFrame,
+    key_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Best single changepoint per series by exact integer squared-error
+    cost — binary-segmentation's inner step (Scott & Knott 1974; the
+    building block PELT/BinSeg iterate), the "did this metric shift, and
+    where" primitive that complements ``cusum_alarms`` (CUSUM needs a
+    tuned drift k; this is parameter-free).
+
+    For each key with points (x, y), x strictly ordered: every boundary
+    t in [1, n-1] splits the series into left = first t points and
+    right = the rest. Segment SSE with count m, sum s, sumsq q is
+    q − s²/m; the candidate cost is SSE_L + SSE_R, a rational with
+    denominator m_L·m_R. Both engines score it as exact f3 fixed-point
+
+        cost_f3(t) = ((q_L·m_L − s_L²)·m_R + (q_R·m_R − s_R²)·m_L) · 1000
+                     div (m_L · m_R)
+
+    (numerator and cost are ≥ 0 by Cauchy-Schwarz, so truncating div ==
+    floor on both engines) and pick the smallest t among minimal costs —
+    a deterministic contract both engines replay exactly. Output per key:
+    n, split_x (first x of the right segment), total_sse_f3 (no-split
+    cost), best_sse_f3, gain_f3 = total − best. Keys with n < 2 have no
+    admissible split and are dropped; callers threshold gain_f3 (or
+    gain/total) to decide whether the changepoint is real.
+
+    Overflow: everything stays in int64 — the scored numerator is
+    ≤ 2·n²·Σy²·1000, so series with n²·Σy² ≤ 4.6e15 are safe (daily
+    counts for years of data); rescale y beyond that.
+
+    Scale: ONE shuffle on the key; prefix sums and totals are window
+    passes over the same partitioning (a single exchange, two sorts),
+    and the argmin is a row_number pick — no joins, no second shuffle,
+    no driver collection. Skewed keys are bounded by the longest single
+    series, the same bound every per-key window in this module carries.
+    """
+    pt = Window.partitionBy("__k")
+    po = pt.orderBy("__x")
+    df = series.select(
+        F.col(key_col).alias("__k"),
+        F.col(x_col).cast("long").alias("__x"),
+        F.col(y_col).cast("long").alias("__y"),
+    )
+    cum = df.select(
+        "__k",
+        "__x",
+        F.row_number().over(po).alias("__t"),
+        F.count(F.lit(1)).over(pt).alias("n"),
+        F.sum("__y").over(po).alias("__sl"),
+        F.sum(F.col("__y") * F.col("__y")).over(po).alias("__ql"),
+        F.sum("__y").over(pt).alias("__s"),
+        F.sum(F.col("__y") * F.col("__y")).over(pt).alias("__q"),
+        F.lead("__x").over(po).alias("__next_x"),
+    )
+    ml = F.col("__t")
+    mr = F.col("n") - ml
+    sl, ql = F.col("__sl"), F.col("__ql")
+    sr, qr = F.col("__s") - sl, F.col("__q") - ql
+    num = (ql * ml - sl * sl) * mr + (qr * mr - sr * sr) * ml
+    total_num = F.col("__q") * F.col("n") - F.col("__s") * F.col("__s")
+    scored = cum.filter(mr > 0).select(
+        "__k",
+        "n",
+        F.col("__next_x").alias("split_x"),
+        (num * F.lit(1000)).alias("__num"),
+        (ml * mr).alias("__den"),
+        (total_num * F.lit(1000)).alias("__tnum"),
+    )
+    scored = scored.select(
+        "__k",
+        "n",
+        "split_x",
+        F.expr("__num div __den").alias("best_sse_f3"),
+        F.expr("__tnum div n").alias("total_sse_f3"),
+    )
+    pick = F.row_number().over(
+        Window.partitionBy("__k").orderBy("best_sse_f3", "split_x")
+    )
+    return (
+        scored.withColumn("__r", pick)
+        .filter((F.col("__r") == 1) & (F.col("n") >= 2))
+        .select(
+            F.col("__k").alias(key_col),
+            F.col("n").cast("long").alias("n"),
+            F.col("split_x").cast("long").alias("split_x"),
+            F.col("total_sse_f3").cast("long").alias("total_sse_f3"),
+            F.col("best_sse_f3").cast("long").alias("best_sse_f3"),
+            (F.col("total_sse_f3") - F.col("best_sse_f3"))
+            .cast("long")
+            .alias("gain_f3"),
+        )
+    )
+
+
+def changepoint_single_oracle_sql(series_sql: str, key_col: str) -> str:
+    """DuckDB replica of :func:`changepoint_single`. ``series_sql``
+    yields (k, x, y) with x strictly ordered per k and y integral."""
+    return f"""
+WITH base AS (
+    SELECT k, CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y
+    FROM ({series_sql})
+), cum AS (
+    SELECT k, x,
+           row_number() OVER w AS t,
+           count(*) OVER (PARTITION BY k) AS n,
+           sum(y) OVER w AS sl,
+           sum(y * y) OVER w AS ql,
+           sum(y) OVER (PARTITION BY k) AS s,
+           sum(y * y) OVER (PARTITION BY k) AS q,
+           lead(x) OVER w AS next_x
+    FROM base
+    WINDOW w AS (PARTITION BY k ORDER BY x)
+), scored AS (
+    SELECT k, n, next_x AS split_x,
+           (((ql * t - sl * sl) * (n - t)
+             + ((q - ql) * (n - t) - (s - sl) * (s - sl)) * t) * 1000)
+           // (t * (n - t)) AS best_sse_f3,
+           ((q * n - s * s) * 1000) // n AS total_sse_f3
+    FROM cum WHERE n - t > 0
+), picked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY k ORDER BY best_sse_f3, split_x) AS r
+    FROM scored
+)
+SELECT k AS {key_col}, CAST(n AS BIGINT) AS n,
+       CAST(split_x AS BIGINT) AS split_x,
+       CAST(total_sse_f3 AS BIGINT) AS total_sse_f3,
+       CAST(best_sse_f3 AS BIGINT) AS best_sse_f3,
+       CAST(total_sse_f3 - best_sse_f3 AS BIGINT) AS gain_f3
+FROM picked WHERE r = 1 AND n >= 2
+"""

@@ -1427,3 +1427,106 @@ SELECT {id_col},
        CAST(floor(max_err * 1000000.0 / m) AS BIGINT) AS err_ppm_max
 FROM err
 """
+
+
+def jl_sign_matrix(dim: int, k: int, seed: str = "jl") -> list[list[int]]:
+    """Deterministic ±1 projection matrix for :func:`random_projection_f6`
+    — k rows of dim signs, sign = parity of the first md5 byte of
+    "seed:row:col" (Achlioptas 2003 showed ±1 entries satisfy the
+    Johnson-Lindenstrauss lemma; md5 gives both engines — and any future
+    reader in any language — the same matrix from the same seed string
+    with no RNG-implementation coupling)."""
+    import hashlib
+
+    return [
+        [
+            1
+            if hashlib.md5(f"{seed}:{j}:{i}".encode()).digest()[0] % 2 == 0
+            else -1
+            for i in range(dim)
+        ]
+        for j in range(k)
+    ]
+
+
+def random_projection_f6(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    k: int = 16,
+    seed: str = "jl",
+) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction, engine-exact:
+    project dim-wide embeddings onto k seeded ±1 directions,
+
+        p_j = Σ_i sign(j,i) · floor(x_i · 1e6)
+
+    — f6 fixed-point inputs so the projection is pure int64 arithmetic
+    and hashes identically everywhere (callers divide by 1e6·√k at the
+    edge to recover the JL-scaled coordinates). The cheap first stage of
+    every wide-embedding pipeline here: distances in k=16 dims
+    approximate distances in dim=64 within JL distortion, so dedup
+    blocking / ANN shortlist / drift screens can run 4× narrower before
+    the exact pass rescores the survivors.
+
+    Rows whose vector is NULL or not exactly ``dim`` wide are dropped.
+    Overflow: |p_j| ≤ dim · max|x| · 1e6 — int64-safe through
+    max|x| ~ 1e8 at dim 64; rescale beyond.
+
+    Plan shape: ZERO shuffles — one narrow projection; each output is a
+    zip_with against a literal sign array folded by F.aggregate, all
+    JVM-side. At 100 TB this is a map-only pass bounded by scan speed.
+    """
+    signs = jl_sign_matrix(dim, k, seed)
+    xf = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: F.floor(x * F.lit(1_000_000.0)).cast("long"),
+    )
+    base = df.filter(
+        F.col(vec_col).isNotNull() & (F.size(vec_col) == dim)
+    ).select(F.col(id_col), xf.alias("__xf"))
+    cols = [F.col(id_col)]
+    for j, row in enumerate(signs):
+        lit_row = F.array(*[F.lit(s) for s in row])
+        term = F.zip_with(F.col("__xf"), lit_row, lambda x, s: x * s)
+        cols.append(
+            F.aggregate(
+                term, F.lit(0).cast("long"), lambda acc, v: acc + v
+            ).alias(f"p{j:02d}")
+        )
+    return base.select(*cols)
+
+
+def random_projection_oracle_sql(
+    table: str,
+    vec_expr: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    k: int = 16,
+    seed: str = "jl",
+) -> str:
+    """DuckDB replica of :func:`random_projection_f6`: identical f6
+    floors, identical literal sign matrix, explicit 1-indexed sums."""
+    signs = jl_sign_matrix(dim, k, seed)
+    proj = ",\n       ".join(
+        "CAST("
+        + " + ".join(
+            f"{'' if s == 1 else '-'}xf[{i + 1}]"
+            for i, s in enumerate(row)
+        )
+        + f" AS BIGINT) AS p{j:02d}"
+        for j, row in enumerate(signs)
+    )
+    return f"""
+WITH base AS (
+    SELECT {id_col},
+           list_transform(CAST({vec_expr} AS DOUBLE[]),
+                          x -> CAST(floor(x * 1000000.0) AS BIGINT)) AS xf
+    FROM {table}
+    WHERE {vec_expr} IS NOT NULL AND len({vec_expr}) = {dim}
+)
+SELECT {id_col},
+       {proj}
+FROM base
+"""

@@ -1400,3 +1400,116 @@ SELECT * FROM (
     FROM scored ORDER BY rr_f6 ASC, word ASC LIMIT {int(top_k)}
 )
 """
+
+
+def kneser_ney_stats(
+    df: DataFrame,
+    text_col: str,
+    min_count: int = 1,
+) -> DataFrame:
+    """Corpus-wide Kneser-Ney bigram statistics — the exact integer
+    counts an interpolated-KN language model (Kneser & Ney 1995; Chen &
+    Goodman 1999's benchmark smoothing) is trained from, per word:
+
+        c_unigram     raw occurrence count
+        n_left_types  N1+(·w): distinct left neighbors — KN's
+                      continuation count, the famous "San Francisco"
+                      correction (frequent but predictable words get
+                      LOW continuation mass)
+        n_right_types N1+(w·): distinct right continuations — the
+                      normalizer of the backoff weight λ(w)
+
+    Everything is a count of strings — no probabilities, no floats; the
+    caller assembles P_KN at the edge (discounts are rationals over
+    these integers). Σ n_left_types over all words = the corpus's bigram
+    type count, the unigram-level denominator. Tokenization matches the
+    module's other operators (lowercase, whitespace-normalized); empty
+    tokens are dropped, words with c_unigram < min_count are filtered
+    AFTER counting (counts stay corpus-true).
+
+    Plan shape at 100 TB: one token explode and one bigram explode, then
+    count/distinct aggregations keyed on the word — partial-aggregated
+    groupBys, two outer joins of word-keyed tables (skew bounded by stop
+    words, the same hot keys every corpus groupBy here carries; AQE skew
+    handling applies). No windows, no self-joins, nothing driver-side.
+    """
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " "
+    )
+    base = df.select(toks.alias("__tk"))
+    tk = F.col("__tk")
+    uni = (
+        base.select(F.explode(tk).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c_unigram"))
+    )
+    pairs = (
+        base.filter(F.size(tk) >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(tk) - 1),
+                    lambda i: F.struct(
+                        F.try_element_at(tk, i).alias("p"),
+                        F.try_element_at(tk, i + 1).alias("w"),
+                    ),
+                )
+            ).alias("bg")
+        )
+        .select(F.col("bg.p").alias("p"), F.col("bg.w").alias("w"))
+        .filter((F.col("p") != "") & (F.col("w") != ""))
+        .distinct()
+    )
+    left = pairs.groupBy("w").agg(F.count(F.lit(1)).alias("n_left_types"))
+    right = (
+        pairs.groupBy("p")
+        .agg(F.count(F.lit(1)).alias("n_right_types"))
+        .withColumnRenamed("p", "w")
+    )
+    return (
+        uni.join(left, "w", "left")
+        .join(right, "w", "left")
+        .select(
+            F.col("w").alias("word"),
+            F.col("c_unigram").cast("long").alias("c_unigram"),
+            F.coalesce("n_left_types", F.lit(0)).cast("long").alias("n_left_types"),
+            F.coalesce("n_right_types", F.lit(0)).cast("long").alias("n_right_types"),
+        )
+        .filter(F.col("c_unigram") >= min_count)
+    )
+
+
+def kneser_ney_stats_oracle_sql(
+    table: str, text_col: str, min_count: int = 1
+) -> str:
+    """DuckDB replica of :func:`kneser_ney_stats`: same tokenization
+    (lower, trim, split on whitespace runs, empty tokens dropped), same
+    distinct-neighbor counts."""
+    return f"""
+WITH docs AS (
+    SELECT list_filter(
+             string_split_regex(lower(trim({text_col})), '\\s+'),
+             t -> t <> '') AS tk
+    FROM {table}
+), uni AS (
+    SELECT w, count(*) AS c_unigram
+    FROM (SELECT unnest(tk) AS w FROM docs) GROUP BY w
+), pairs AS (
+    SELECT DISTINCT tk[i] AS p, tk[i + 1] AS w
+    FROM docs, unnest(range(1, len(tk))) AS u(i)
+    WHERE len(tk) >= 2
+), lft AS (
+    SELECT w, count(*) AS n_left_types FROM pairs GROUP BY w
+), rgt AS (
+    SELECT p AS w, count(*) AS n_right_types FROM pairs GROUP BY p
+)
+SELECT uni.w AS word,
+       CAST(uni.c_unigram AS BIGINT) AS c_unigram,
+       CAST(coalesce(lft.n_left_types, 0) AS BIGINT) AS n_left_types,
+       CAST(coalesce(rgt.n_right_types, 0) AS BIGINT) AS n_right_types
+FROM uni
+LEFT JOIN lft ON uni.w = lft.w
+LEFT JOIN rgt ON uni.w = rgt.w
+WHERE uni.c_unigram >= {min_count}
+"""

@@ -1382,3 +1382,58 @@ def test_time_weighted_avg_oracle_matches(spark, tmp_path):
         ).fetchall()
     }
     assert got == want and len(got) == 9
+
+
+def test_changepoint_single_step_series(spark):
+    from aleph2_contrib_spark.operators.events import changepoint_single
+
+    rows = [Row(k="a", x=i, y=v) for i, v in enumerate([1, 1, 1, 9, 9, 9])]
+    out = {r.k: r for r in changepoint_single(
+        spark.createDataFrame(rows), "k", "x", "y").collect()}
+    r = out["a"]
+    # split exactly at the step: left [1,1,1], right [9,9,9], both SSE 0
+    assert r.split_x == 3
+    assert r.best_sse_f3 == 0
+    # total SSE = sum((y - 5)^2) = 6*16 = 96 -> f3 = 96000
+    assert r.total_sse_f3 == 96_000
+    assert r.gain_f3 == 96_000
+    assert r.n == 6
+
+
+def test_changepoint_tie_break_and_min_n(spark):
+    from aleph2_contrib_spark.operators.events import changepoint_single
+
+    rows = [Row(k="flat", x=i, y=5) for i in range(4)]
+    rows += [Row(k="single", x=0, y=7)]
+    out = {r.k: r for r in changepoint_single(
+        spark.createDataFrame(rows), "k", "x", "y").collect()}
+    # all splits of a flat series cost 0 -> deterministic smallest split_x
+    assert out["flat"].split_x == 1
+    assert out["flat"].gain_f3 == 0
+    # n=1 has no admissible split -> dropped
+    assert "single" not in out
+
+
+def test_changepoint_matches_bruteforce(spark):
+    from aleph2_contrib_spark.operators.events import changepoint_single
+
+    ys = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8, 9, 7, 9]
+
+    def sse_f3(seg):
+        m, s, q = len(seg), sum(seg), sum(v * v for v in seg)
+        return (q * m - s * s) * 1000 // m  # non-negative -> floor==trunc
+
+    # exact replay of the operator's f3 contract
+    def cost_f3(t):
+        L, R = ys[:t], ys[t:]
+        mL, sL, qL = len(L), sum(L), sum(v * v for v in L)
+        mR, sR, qR = len(R), sum(R), sum(v * v for v in R)
+        num = (qL * mL - sL * sL) * mR + (qR * mR - sR * sR) * mL
+        return num * 1000 // (mL * mR)
+
+    exp_cost, exp_t = min((cost_f3(t), t) for t in range(1, len(ys)))
+    rows = [Row(k="s", x=i, y=v) for i, v in enumerate(ys)]
+    r = changepoint_single(spark.createDataFrame(rows), "k", "x", "y").collect()[0]
+    assert (r.best_sse_f3, r.split_x) == (exp_cost, exp_t)
+    assert r.total_sse_f3 == sse_f3(ys)
+    assert r.gain_f3 == r.total_sse_f3 - r.best_sse_f3

@@ -53,3 +53,64 @@ def test_rrf_fusion_tie_break_and_oracle(spark, tmp_path):
     )
     want = {tuple(x) for x in duckdb.sql(sql).fetchall()}
     assert got == want and len(got) > 0
+
+
+def test_random_projection_exact_f6(spark):
+    import hashlib
+
+    from pyspark.sql import Row
+
+    from aleph2_contrib_spark.operators.similarity import (
+        jl_sign_matrix,
+        random_projection_f6,
+    )
+
+    vecs = [
+        Row(vec_id=1, embedding=[0.5, -1.25, 2.0, 0.1]),
+        Row(vec_id=2, embedding=[0.0, 0.0, 0.0, 0.0]),
+        Row(vec_id=3, embedding=[1.0, 2.0, 3.0]),  # wrong dim -> dropped
+        Row(vec_id=4, embedding=None),  # NULL -> dropped
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    out = {r.vec_id: r for r in random_projection_f6(
+        df, "embedding", "vec_id", dim=4, k=3, seed="t").collect()}
+    assert set(out) == {1, 2}
+
+    signs = jl_sign_matrix(4, 3, seed="t")
+    # the matrix is the documented md5-parity construction
+    for j in range(3):
+        for i in range(4):
+            b = hashlib.md5(f"t:{j}:{i}".encode()).digest()[0]
+            assert signs[j][i] == (1 if b % 2 == 0 else -1)
+
+    import math
+
+    xf = [math.floor(x * 1_000_000.0) for x in [0.5, -1.25, 2.0, 0.1]]
+    for j in range(3):
+        exp = sum(s * v for s, v in zip(signs[j], xf))
+        assert out[1][f"p{j:02d}"] == exp
+    assert all(out[2][f"p{j:02d}"] == 0 for j in range(3))
+
+
+def test_random_projection_preserves_relative_distance(spark):
+    """JL sanity: identical vectors project identically; a far vector
+    stays far in the projected space (sign test, not a distortion
+    proof)."""
+    from pyspark.sql import Row
+
+    from aleph2_contrib_spark.operators.similarity import random_projection_f6
+
+    a = [1.0] * 16
+    far = [100.0 if i % 2 else -100.0 for i in range(16)]
+    df = spark.createDataFrame(
+        [Row(vec_id=1, embedding=a), Row(vec_id=2, embedding=list(a)),
+         Row(vec_id=3, embedding=far)],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {r.vec_id: r for r in random_projection_f6(
+        df, "embedding", "vec_id", dim=16, k=4).collect()}
+    p = lambda r: [rows[r][f"p{j:02d}"] for j in range(4)]
+    assert p(1) == p(2)
+    d12 = sum((x - y) ** 2 for x, y in zip(p(1), p(2)))
+    d13 = sum((x - y) ** 2 for x, y in zip(p(1), p(3)))
+    assert d12 == 0 and d13 > 0

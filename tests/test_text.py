@@ -144,3 +144,58 @@ def test_code_detect_oracle_matches(spark, tmp_path):
     got = {tuple(x) for x in code_detect(df).collect()}
     want = {tuple(x) for x in duckdb.sql(code_detect_oracle_sql(f"'{p}/*.parquet'")).fetchall()}
     assert got == want
+
+
+def test_kneser_ney_stats_hand_counts(spark):
+    from pyspark.sql import Row
+
+    from aleph2_contrib_spark.operators.text import kneser_ney_stats
+
+    docs = spark.createDataFrame(
+        [Row(text="the cat sat"), Row(text="the cat ran"), Row(text="a cat")]
+    )
+    out = {r.word: r for r in kneser_ney_stats(docs, "text").collect()}
+    assert out["cat"].c_unigram == 3
+    assert out["the"].c_unigram == 2
+    # continuation counts: cat follows {the, a} -> 2 distinct lefts
+    assert out["cat"].n_left_types == 2
+    assert out["sat"].n_left_types == 1 and out["ran"].n_left_types == 1
+    # doc-initial-only words have zero continuation mass
+    assert out["the"].n_left_types == 0 and out["a"].n_left_types == 0
+    # right expansions: cat -> {sat, ran}
+    assert out["cat"].n_right_types == 2
+    assert out["the"].n_right_types == 1 and out["a"].n_right_types == 1
+    assert out["sat"].n_right_types == 0
+    # bigram type count identity: sum of continuation counts
+    assert sum(r.n_left_types for r in out.values()) == 4
+
+
+def test_kneser_ney_san_francisco_property(spark):
+    """A word can be frequent yet have minimal continuation count when it
+    only ever follows one context — exactly what KN discounts."""
+    from pyspark.sql import Row
+
+    from aleph2_contrib_spark.operators.text import kneser_ney_stats
+
+    docs = spark.createDataFrame(
+        [Row(text="san francisco")] * 5 + [Row(text="new york"), Row(text="old york")]
+    )
+    out = {r.word: r for r in kneser_ney_stats(docs, "text").collect()}
+    assert out["francisco"].c_unigram == 5
+    assert out["francisco"].n_left_types == 1  # only ever after "san"
+    assert out["york"].n_left_types == 2  # {new, old}
+
+
+def test_kneser_ney_tokenization_edges(spark):
+    from pyspark.sql import Row
+
+    from aleph2_contrib_spark.operators.text import kneser_ney_stats
+
+    docs = spark.createDataFrame(
+        [Row(text="  The   CAT  "), Row(text=""), Row(text=None), Row(text="x")],
+        "text string",
+    )
+    out = {r.word: r for r in kneser_ney_stats(docs, "text").collect()}
+    assert set(out) == {"the", "cat", "x"}
+    assert out["the"].c_unigram == 1 and out["cat"].n_left_types == 1
+    assert out["x"].n_left_types == 0 and out["x"].n_right_types == 0
