@@ -1670,6 +1670,144 @@ def events_survival_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return survival_table(subj, "dur", "ev")
 
 
+def _copurchase_simple_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic simple undirected co-purchase graph for the path/
+    betweenness gates: parts sharing an order (l_orderkey % 13 == 0
+    sample), both orientations, deduplicated (a simple graph — σ counts
+    paths per distinct edge, so multiplicities must match the oracle)."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 13 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    lj = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+    return (
+        li.join(lj, (li.l_orderkey == lj.ok) & (li.l_partkey != lj.pk))
+        .select(F.col("l_partkey").alias("src"), F.col("pk").alias("dst"))
+        .distinct()
+    )
+
+
+_PATHS_EDGE_SQL = """
+li AS (
+    SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 13 = 0
+), e AS (
+    SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d
+    FROM li a JOIN li b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+), seeds AS (
+    SELECT DISTINCT s FROM e ORDER BY s LIMIT 3
+)"""
+
+
+def graph_path_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shortest-path counting (operators/graph.shortest_path_counts —
+    Brandes' σ, the forward half of betweenness): min-hop distance and
+    exact number of distinct shortest paths from the 3 smallest vertices
+    of the sampled co-purchase graph, depth ≤ 3. All exact integers; the
+    oracle replays the wavefront as 3 unrolled frontier-join stages."""
+    from aleph2_contrib_spark.operators.graph import shortest_path_counts
+
+    edges = _copurchase_simple_edges(spark, sf_dir)
+    seeds = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .orderBy("node")
+        .limit(3)
+    )
+    return shortest_path_counts(edges, seeds, max_depth=3)
+
+
+def _path_counts_oracle(depth: int = 3) -> str:
+    stages = []
+    prev = "r0"
+    stages.append(
+        "r0 AS (SELECT s AS node, 0 AS dist,"
+        " CAST(1 AS BIGINT) AS sigma FROM seeds)"
+    )
+    for i in range(1, depth + 1):
+        stages.append(
+            f"f{i} AS (SELECT e.d AS node, CAST({i} AS INT) AS dist,"
+            f" CAST(sum(r.sigma) AS BIGINT) AS sigma"
+            f" FROM {prev} r JOIN e ON r.node = e.s"
+            f" WHERE r.dist = {i - 1} GROUP BY e.d)"
+        )
+        stages.append(
+            f"r{i} AS (SELECT * FROM {prev} UNION ALL"
+            f" SELECT f.* FROM f{i} f LEFT JOIN {prev} p USING (node)"
+            f" WHERE p.node IS NULL)"
+        )
+        prev = f"r{i}"
+    return (
+        "WITH " + _PATHS_EDGE_SQL.strip() + ", "
+        + ",\n".join(stages)
+        + f"\nSELECT node, CAST(dist AS INT) AS dist, sigma FROM {prev}"
+    )
+
+
+def graph_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled betweenness centrality (operators/graph.
+    betweenness_sampled — Brandes forward σ + backward dependency
+    accumulation, every rational term floored at f6 so the whole
+    computation is deterministic integer arithmetic): 3 pivot sources on
+    the sampled co-purchase graph, depth ≤ 3. The 3-row source collect
+    is the documented bounded driver step (pivot lists are caller
+    inputs); the oracle unrolls forward and backward passes per source."""
+    from aleph2_contrib_spark.operators.graph import betweenness_sampled
+
+    edges = _copurchase_simple_edges(spark, sf_dir)
+    srcs = [
+        r[0]
+        for r in edges.select("src").distinct().orderBy("src").limit(3).collect()
+    ]
+    return betweenness_sampled(edges, srcs, max_depth=3)
+
+
+def _betweenness_oracle(depth: int = 3) -> str:
+    stages = ["r0 AS (SELECT s AS o, s AS node, 0 AS dist, CAST(1 AS BIGINT) AS sigma FROM seeds)"]
+    prev = "r0"
+    for i in range(1, depth + 1):
+        stages.append(
+            f"f{i} AS (SELECT r.o, e.d AS node, CAST({i} AS INT) AS dist,"
+            f" CAST(sum(r.sigma) AS BIGINT) AS sigma"
+            f" FROM {prev} r JOIN e ON r.node = e.s"
+            f" WHERE r.dist = {i - 1} GROUP BY r.o, e.d)"
+        )
+        stages.append(
+            f"r{i} AS (SELECT * FROM {prev} UNION ALL"
+            f" SELECT f.* FROM f{i} f LEFT JOIN {prev} p USING (o, node)"
+            f" WHERE p.node IS NULL)"
+        )
+        prev = f"r{i}"
+    # backward: each node's delta is set at its own level from level+1
+    stages.append(
+        f"d{depth} AS (SELECT o, node, CAST(0 AS BIGINT) AS delta"
+        f" FROM {prev} WHERE dist = {depth})"
+    )
+    for l in range(depth - 1, -1, -1):
+        stages.append(
+            f"d{l} AS (SELECT lo.o, lo.node,"
+            f" CAST(coalesce(sum((lo.sigma * (1000000 + up.delta)) // up.sigma), 0)"
+            f" AS BIGINT) AS delta"
+            f" FROM {prev} lo"
+            f" LEFT JOIN e ON lo.node = e.s"
+            f" LEFT JOIN (SELECT up.o, up.node, up.sigma, d.delta"
+            f"            FROM {prev} up JOIN d{l + 1} d USING (o, node)"
+            f"            WHERE up.dist = {l + 1}) up"
+            f"   ON e.d = up.node AND lo.o = up.o"
+            f" WHERE lo.dist = {l} GROUP BY lo.o, lo.node)"
+        )
+    alld = " UNION ALL ".join(f"SELECT * FROM d{l}" for l in range(depth + 1))
+    return (
+        "WITH " + _PATHS_EDGE_SQL.strip() + ", "
+        + ",\n".join(stages)
+        + f", alld AS ({alld})\n"
+        "SELECT node, CAST(sum(delta) AS BIGINT) AS betweenness_f6,\n"
+        "       CAST(3 AS INT) AS n_sources\n"
+        "FROM alld WHERE node <> o GROUP BY node"
+    )
+
+
 def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree assortativity (operators/graph.degree_assortativity) of the
     sampled co-purchase graph — exact Pearson numerator and variance
@@ -2914,6 +3052,25 @@ def window_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("pct_rank_f6"),
         F.expr("CAST((__le * 1000000) div __n AS BIGINT)").alias("cume_dist_f6"),
     )
+
+
+def unpivot_order_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long UNPIVOT surface (DataFrame.unpivot / SQL stack): a wide
+    per-orderstatus metric table melts into (status, metric, value)
+    rows — the reshape every metrics exporter needs. Exact integer
+    values; one groupBy then a narrow generate."""
+    orders = _t(spark, sf_dir, "orders")
+    wide = orders.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count(F.when(F.col("o_orderpriority") == "1-URGENT", 1)).alias("n_urgent"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+    )
+    return wide.unpivot(
+        ids=["o_orderstatus"],
+        values=["n_total", "n_urgent", "n_customers"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    ).select("o_orderstatus", "metric", F.col("value").cast("long").alias("value"))
 
 
 def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6826,6 +6983,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_random_projection": similarity_random_projection,
         "text_kn_lm_counts": text_kn_lm_counts,
         "window_distribution_ranks": window_distribution_ranks,
+        "unpivot_order_metrics": unpivot_order_metrics,
+        "graph_path_counts": graph_path_counts,
+        "graph_betweenness": graph_betweenness,
         "multimodal_audio_codec": multimodal_audio_codec,
         "similarity_embedding_covariance": similarity_embedding_covariance,
         "graph_bipartite_project": graph_bipartite_project,
@@ -9608,6 +9768,24 @@ def oracle_sql() -> dict[str, str]:
         "events_changepoint": _changepoint_oracle(),
         "similarity_random_projection": _random_projection_oracle(),
         "text_kn_lm_counts": _kn_lm_counts_oracle(),
+        "graph_path_counts": _path_counts_oracle(),
+        "graph_betweenness": _betweenness_oracle(),
+        "unpivot_order_metrics": """
+            WITH wide AS (
+                SELECT o_orderstatus,
+                       count(*) AS n_total,
+                       count(CASE WHEN o_orderpriority = '1-URGENT'
+                                  THEN 1 END) AS n_urgent,
+                       count(DISTINCT o_custkey) AS n_customers
+                FROM orders GROUP BY o_orderstatus
+            )
+            SELECT o_orderstatus, 'n_total' AS metric,
+                   CAST(n_total AS BIGINT) AS value FROM wide
+            UNION ALL
+            SELECT o_orderstatus, 'n_urgent', CAST(n_urgent AS BIGINT) FROM wide
+            UNION ALL
+            SELECT o_orderstatus, 'n_customers', CAST(n_customers AS BIGINT) FROM wide
+        """,
         "window_distribution_ranks": """
             WITH base AS (
                 SELECT o_orderkey, o_orderstatus, o_orderdate FROM orders

@@ -2579,3 +2579,280 @@ FROM (SELECT r1.a, r1.b FROM reach r1 JOIN reach r2
         ON r1.a = r2.b AND r1.b = r2.a) m
 GROUP BY m.a
 """
+
+
+def shortest_path_counts(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+    max_depth: int = 4,
+    driver_cap_edges: int = 2_000_000,
+) -> DataFrame:
+    """Brandes' σ: per node, the min-hop distance from the seed SET and
+    the exact number of distinct shortest seed→node paths within
+    ``max_depth`` hops — the forward half of betweenness centrality
+    (Brandes 2001) and a structural-redundancy signal on its own (how
+    many independent shortest routes reach a vertex).
+
+    Returns (node, dist, sigma), both exact integers; seeds have
+    dist = 0, sigma = 1. Deterministic: every step is an integer
+    min/sum — no tie-breaking, no floats. σ can grow like degreeᵈᵉᵖᵗʰ;
+    int64 holds depth·log₂(deg) < 63 — size ``max_depth`` (and the
+    graph's hub degree) accordingly, the same contract the f6 operators
+    carry for magnitudes.
+
+    Plan shape: identical wavefront discipline to :func:`bfs_levels`
+    (whose docstring carries the reference-parity note): the edge table
+    is key-partitioned and persisted ONCE, each round is one
+    frontier⋈edges equi-join plus a sum-groupBy on the destination and
+    an anti-join against the reached set, one count action per round.
+    Small graphs (≤ ``driver_cap_edges``) solve with an exact
+    driver-side BFS — identical integers by construction.
+    """
+    from pyspark import StorageLevel
+
+    spark = edges.sparkSession
+    slim = edges.select(F.col(src_col).alias("__s"), F.col(dst_col).alias("__d"))
+    seed_nodes = seeds.select(F.col(node_col).alias("node")).distinct()
+
+    if slim.limit(driver_cap_edges + 1).count() <= driver_cap_edges:
+        from collections import defaultdict
+
+        adj = defaultdict(list)
+        for r in slim.collect():
+            adj[r["__s"]].append(r["__d"])
+        dist: dict = {r[0]: 0 for r in seed_nodes.collect()}
+        sigma: dict = {n: 1 for n in dist}
+        frontier = list(dist)
+        depth = 0
+        while frontier and depth < max_depth:
+            depth += 1
+            nxt: dict = {}
+            for u in frontier:
+                for v in adj.get(u, ()):
+                    if v in dist and dist[v] < depth:
+                        continue
+                    nxt[v] = nxt.get(v, 0) + sigma[u]
+            frontier = [v for v in nxt if v not in dist]
+            for v in frontier:
+                dist[v] = depth
+                sigma[v] = nxt[v]
+        from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+        node_type = seed_nodes.schema[0].dataType
+        out_schema = StructType(
+            [
+                StructField("node", node_type),
+                StructField("dist", IntegerType()),
+                StructField("sigma", LongType()),
+            ]
+        )
+        return spark.createDataFrame(
+            [(n, int(dist[n]), int(sigma[n])) for n in dist], out_schema
+        )
+
+    e = slim.repartition("__s").persist(StorageLevel.MEMORY_AND_DISK)
+    reached = (
+        seed_nodes.withColumn("dist", F.lit(0))
+        .withColumn("sigma", F.lit(1).cast("long"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    frontier = reached
+    for i in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["__s"])
+            .groupBy(F.col("__d").alias("node"))
+            .agg(F.sum("sigma").alias("sigma"))
+            .withColumn("dist", F.lit(i))
+        )
+        frontier = (
+            nxt.join(reached.select("node"), "node", "left_anti")
+            .select("node", "dist", "sigma")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        if frontier.count() == 0:
+            frontier.unpersist()
+            break
+        reached = reached.unionByName(frontier).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+    e.unpersist()
+    return reached.select(
+        "node", F.col("dist").cast("int").alias("dist"), F.col("sigma").cast("long").alias("sigma")
+    )
+
+
+def betweenness_sampled(
+    edges: DataFrame,
+    sources: Sequence,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_depth: int = 4,
+    driver_cap_edges: int = 2_000_000,
+) -> DataFrame:
+    """Sampled betweenness centrality (Brandes 2001's accumulation from
+    a pivot subset — the standard estimator when all-sources is
+    unaffordable, Bader et al. 2007): run a full forward σ/dist pass and
+    a backward dependency accumulation from each of K caller-chosen
+    sources, summed per vertex.
+
+    Exactness contract: σ and dist are exact integers; the dependency
+    recursion δ(v) = Σ_{w succ} σ(v)/σ(w) · (1 + δ(w)) is rational, so
+    each TERM is floored at f6 — δ_f6(v) = Σ (σ(v)·(1e6 + δ_f6(w)))
+    div σ(w) — making every intermediate an integer and the result
+    engine- and order-deterministic (integer sums commute; floats
+    would not). Endpoints are excluded per Brandes. Output:
+    (node, betweenness_f6, n_sources). Magnitude bound: σ·(1e6+δ) must
+    stay inside int64 — size max_depth/graph so σ ≤ ~1e6 (the same
+    overflow contract :func:`shortest_path_counts` documents).
+
+    Plan shape: ALL K sources advance in ONE wavefront loop — rows are
+    (source, node) keyed, so the per-round cost is one frontier⋈edges
+    join + sum-groupBy + anti-join regardless of K, and the backward
+    pass is one level-descending join per depth, again for all sources
+    at once. Small graphs take an exact driver BFS with the identical
+    integer arithmetic (term-floored f6), so both paths agree bit-
+    for-bit. K is the caller's accuracy/cost dial; depth bounds both
+    loops.
+    """
+    from pyspark import StorageLevel
+
+    spark = edges.sparkSession
+    slim = edges.select(F.col(src_col).alias("__s"), F.col(dst_col).alias("__d"))
+    F6 = 1_000_000
+
+    if slim.limit(driver_cap_edges + 1).count() <= driver_cap_edges:
+        from collections import defaultdict
+
+        adj = defaultdict(list)
+        for r in slim.collect():
+            adj[r["__s"]].append(r["__d"])
+        acc: dict = {}
+        for s in sources:
+            dist = {s: 0}
+            sigma = {s: 1}
+            frontier = [s]
+            order = [s]
+            depth = 0
+            while frontier and depth < max_depth:
+                depth += 1
+                nxt: dict = {}
+                for u in frontier:
+                    for v in adj.get(u, ()):
+                        if v in dist and dist[v] < depth:
+                            continue
+                        nxt[v] = nxt.get(v, 0) + sigma[u]
+                frontier = [v for v in nxt if v not in dist]
+                for v in sorted(frontier):
+                    dist[v] = depth
+                    sigma[v] = nxt[v]
+                    order.append(v)
+            delta = {v: 0 for v in dist}
+            for v in reversed(order):
+                for w in adj.get(v, ()):
+                    if w in dist and dist[w] == dist[v] + 1:
+                        delta[v] += (sigma[v] * (F6 + delta[w])) // sigma[w]
+            for v in dist:
+                if v != s:
+                    acc[v] = acc.get(v, 0) + delta[v]
+        from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+        node_type = slim.schema[0].dataType
+        out_schema = StructType(
+            [
+                StructField("node", node_type),
+                StructField("betweenness_f6", LongType()),
+                StructField("n_sources", IntegerType()),
+            ]
+        )
+        return spark.createDataFrame(
+            [(n, int(b), len(sources)) for n, b in acc.items()], out_schema
+        )
+
+    e = slim.repartition("__s").persist(StorageLevel.MEMORY_AND_DISK)
+    seed_rows = spark.createDataFrame(
+        [(s,) for s in sources], ["node"]
+    ).withColumn("__src", F.col("node"))
+    reached = (
+        seed_rows.select("__src", "node")
+        .withColumn("dist", F.lit(0))
+        .withColumn("sigma", F.lit(1).cast("long"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    frontier = reached
+    for i in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["__s"])
+            .groupBy("__src", F.col("__d").alias("node"))
+            .agg(F.sum("sigma").alias("sigma"))
+            .withColumn("dist", F.lit(i))
+        )
+        frontier = (
+            nxt.join(
+                reached.select(
+                    F.col("__src").alias("__rs"), F.col("node").alias("__rn")
+                ),
+                (nxt["__src"] == F.col("__rs")) & (nxt["node"] == F.col("__rn")),
+                "left_anti",
+            )
+            .select("__src", "node", "dist", "sigma")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        if frontier.count() == 0:
+            frontier.unpersist()
+            break
+        reached = reached.unionByName(frontier).persist(StorageLevel.MEMORY_AND_DISK)
+    # backward accumulation, all sources at once, deepest level first
+    delta = reached.select(
+        "__src", "node", F.lit(0).cast("long").alias("delta")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    for l in range(max_depth - 1, -1, -1):
+        lower = reached.filter(F.col("dist") == l).select(
+            "__src", F.col("node").alias("v"), F.col("sigma").alias("sig_v")
+        )
+        upper = (
+            reached.filter(F.col("dist") == l + 1)
+            .select("__src", F.col("node").alias("w"), F.col("sigma").alias("sig_w"))
+            .join(
+                delta.select("__src", F.col("node").alias("w"), "delta"),
+                ["__src", "w"],
+            )
+        )
+        contrib = (
+            lower.join(e, lower["v"] == e["__s"])
+            .join(
+                upper,
+                (lower["__src"] == upper["__src"]) & (F.col("__d") == upper["w"]),
+            )
+            .groupBy(lower["__src"].alias("__src"), F.col("v").alias("node"))
+            .agg(
+                F.sum(
+                    F.expr(f"(sig_v * ({F6} + delta)) div sig_w")
+                ).alias("d_new")
+            )
+        )
+        delta = (
+            delta.join(contrib, ["__src", "node"], "left")
+            .select(
+                "__src",
+                "node",
+                (F.col("delta") + F.coalesce("d_new", F.lit(0))).alias("delta"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+    e.unpersist()
+    return (
+        delta.filter(F.col("node") != F.col("__src"))
+        .groupBy("node")
+        .agg(
+            F.sum("delta").alias("betweenness_f6"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+        .select(
+            "node",
+            F.col("betweenness_f6").cast("long").alias("betweenness_f6"),
+            F.lit(len(sources)).cast("int").alias("n_sources"),
+        )
+    )

@@ -1137,3 +1137,74 @@ def test_scc_driver_and_distributed_trim_agree(spark):
             ).collect()
         )
         assert hybrid == dist and len(hybrid) > 0, schema
+
+
+def _both_dirs(spark, pairs):
+    from pyspark.sql import Row
+
+    rows = [Row(src=a, dst=b) for a, b in pairs] + [
+        Row(src=b, dst=a) for a, b in pairs
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_shortest_path_counts_diamond(spark):
+    from pyspark.sql import Row
+
+    from aleph2_contrib_spark.operators.graph import shortest_path_counts
+
+    edges = spark.createDataFrame(
+        [Row(src=s, dst=d) for s, d in [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d")]]
+    )
+    seeds = spark.createDataFrame([Row(node="a")])
+    out = {r.node: (r.dist, r.sigma) for r in shortest_path_counts(
+        edges, seeds).collect()}
+    assert out == {"a": (0, 1), "b": (1, 1), "c": (1, 1), "d": (2, 2)}
+
+
+def test_betweenness_path_graph_exact_f6(spark):
+    from aleph2_contrib_spark.operators.graph import betweenness_sampled
+
+    edges = _both_dirs(spark, [("a", "b"), ("b", "c"), ("c", "d")])
+    out = {r.node: r.betweenness_f6 for r in betweenness_sampled(
+        edges, ["a"], max_depth=4).collect()}
+    # from source a on the path a-b-c-d: delta(b)=2, delta(c)=1, delta(d)=0
+    assert out == {"b": 2_000_000, "c": 1_000_000, "d": 0}
+
+
+def test_betweenness_diamond_split_paths(spark):
+    from pyspark.sql import Row
+
+    from aleph2_contrib_spark.operators.graph import betweenness_sampled
+
+    edges = spark.createDataFrame(
+        [Row(src=s, dst=d) for s, d in [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d")]]
+    )
+    out = {r.node: r.betweenness_f6 for r in betweenness_sampled(
+        edges, ["a"], max_depth=4).collect()}
+    # two shortest a->d paths split the dependency: delta(b)=delta(c)=0.5
+    assert out == {"b": 500_000, "c": 500_000, "d": 0}
+
+
+def test_betweenness_distributed_matches_driver(spark):
+    from aleph2_contrib_spark.operators.graph import (
+        betweenness_sampled,
+        shortest_path_counts,
+    )
+    from pyspark.sql import Row
+
+    pairs = [(i, (i * 3 + 1) % 11) for i in range(11)] + [(i, (i + 1) % 11) for i in range(11)]
+    edges = _both_dirs(spark, pairs)
+    srcs = [0, 5]
+    drv = {r.node: r.betweenness_f6 for r in betweenness_sampled(
+        edges, srcs, max_depth=3).collect()}
+    dist = {r.node: r.betweenness_f6 for r in betweenness_sampled(
+        edges, srcs, max_depth=3, driver_cap_edges=0).collect()}
+    assert drv == dist
+
+    seeds = spark.createDataFrame([Row(node=0), Row(node=5)])
+    drv_s = {r.node: (r.dist, r.sigma) for r in shortest_path_counts(
+        edges, seeds, max_depth=3).collect()}
+    dist_s = {r.node: (r.dist, r.sigma) for r in shortest_path_counts(
+        edges, seeds, max_depth=3, driver_cap_edges=0).collect()}
+    assert drv_s == dist_s and len(drv_s) > 2
