@@ -2804,10 +2804,18 @@ def betweenness_sampled(
             frontier.unpersist()
             break
         reached = reached.unionByName(frontier).persist(StorageLevel.MEMORY_AND_DISK)
-    # backward accumulation, all sources at once, deepest level first
-    delta = reached.select(
+    # Backward accumulation, all sources at once, deepest level first.
+    # A node's delta is DEFINED entirely at its own level (contributions
+    # only flow from dist+1), so each level gets its own small delta
+    # table computed from the previous one and the final answer is their
+    # union — no repeated full-table left joins (the first cut re-joined
+    # an ever-growing delta table every round; measured ~18 s of fixed
+    # overhead at toy scale from exactly that).
+    reached = reached.persist(StorageLevel.MEMORY_AND_DISK)
+    level_delta = reached.filter(F.col("dist") == max_depth).select(
         "__src", "node", F.lit(0).cast("long").alias("delta")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    all_deltas = [level_delta]
     for l in range(max_depth - 1, -1, -1):
         lower = reached.filter(F.col("dist") == l).select(
             "__src", F.col("node").alias("v"), F.col("sigma").alias("sig_v")
@@ -2816,7 +2824,7 @@ def betweenness_sampled(
             reached.filter(F.col("dist") == l + 1)
             .select("__src", F.col("node").alias("w"), F.col("sigma").alias("sig_w"))
             .join(
-                delta.select("__src", F.col("node").alias("w"), "delta"),
+                level_delta.select("__src", F.col("node").alias("w"), "delta"),
                 ["__src", "w"],
             )
         )
@@ -2830,19 +2838,23 @@ def betweenness_sampled(
             .agg(
                 F.sum(
                     F.expr(f"(sig_v * ({F6} + delta)) div sig_w")
-                ).alias("d_new")
+                ).alias("delta")
             )
         )
-        delta = (
-            delta.join(contrib, ["__src", "node"], "left")
+        # level-l nodes with no successors at l+1 contribute delta 0
+        level_delta = (
+            lower.select("__src", F.col("v").alias("node"))
+            .join(contrib, ["__src", "node"], "left")
             .select(
-                "__src",
-                "node",
-                (F.col("delta") + F.coalesce("d_new", F.lit(0))).alias("delta"),
+                "__src", "node", F.coalesce("delta", F.lit(0)).alias("delta")
             )
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
+        all_deltas.append(level_delta)
     e.unpersist()
+    delta = all_deltas[0]
+    for d in all_deltas[1:]:
+        delta = delta.unionByName(d)
     return (
         delta.filter(F.col("node") != F.col("__src"))
         .groupBy("node")

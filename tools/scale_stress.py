@@ -739,11 +739,63 @@ def bench_round10_ops(spark, n_rows, label, dims=(64, 128, 256)):
     return out
 
 
+
+
+def bench_betweenness_ops(spark, n_edges, label):
+    """Round-10 graph additions: shortest-path counts and sampled
+    betweenness, DISTRIBUTED path forced (driver_cap_edges=0) so the
+    sweep certifies the wavefront loops, not the small-graph collect.
+    Both are per-round one join + one groupBy; cost must track the
+    frontier (~linear in edges at fixed depth/sources)."""
+    from aleph2_contrib_spark.operators.graph import (
+        betweenness_sampled,
+        shortest_path_counts,
+    )
+
+    out = {}
+
+    def run(name, thunk):
+        t0 = time.perf_counter()
+        thunk()
+        out[name] = round(time.perf_counter() - t0, 2)
+
+    n_nodes = max(1000, n_edges // 10)
+    edges = spark.range(n_edges).select(
+        (F.abs(F.xxhash64("id", F.lit(1))) % n_nodes).alias("src"),
+        (F.abs(F.xxhash64("id", F.lit(2))) % n_nodes).alias("dst"),
+    )
+    seeds = spark.range(4).select(F.col("id").alias("node"))
+    run(
+        "path_counts_d3",
+        lambda: shortest_path_counts(
+            edges, seeds, max_depth=3, driver_cap_edges=0
+        ).agg(F.count(F.lit(1))).collect(),
+    )
+    run(
+        "betweenness_k4_d3",
+        lambda: betweenness_sampled(
+            edges, [0, 1, 2, 3], max_depth=3, driver_cap_edges=0
+        ).agg(F.count(F.lit(1))).collect(),
+    )
+    print(label, out, flush=True)
+    return out
+
+
 def main():
     base = int(sys.argv[1]) if len(sys.argv) > 1 else 5000
     factor = int(sys.argv[2]) if len(sys.argv) > 2 else 10
     only = sys.argv[3] if len(sys.argv) > 3 else None
     spark = get_spark("scale-stress")
+    if only == "round10b":
+        bench_betweenness_ops(spark, base * 20, "warmup")
+        r1 = bench_betweenness_ops(spark, base * 20, "1x")
+        r2 = bench_betweenness_ops(spark, base * 20 * factor, f"{factor}x")
+        print("--- scaling ratios (ideal <= %d) ---" % factor)
+        for k in r1:
+            ratio = r2[k] / r1[k] if r1[k] > 0 else float("inf")
+            flag = "  <-- SUPER-LINEAR" if ratio > factor * 1.5 else ""
+            print(f"{k:22s} 1x={r1[k]:7.2f}s {factor}x={r2[k]:8.2f}s ratio={ratio:5.1f}{flag}")
+        return
     if only == "round10":
         # dim sweep at FIXED rows: 1x/2x/4x dim → ideal cost ratios 1/4/16
         # (pairs grow dim²); jpeg_decode rides along for a rows ratio
