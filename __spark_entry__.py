@@ -6600,6 +6600,26 @@ def _cusum_oracle() -> str:
     return cusum_oracle_sql(series, "event_type", "d", threshold=5, slack=0)
 
 
+def corpus_boilerplate_affixes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source shared-boilerplate census (operators/corpus.
+    boilerplate_affixes): longest prefix/suffix common to every document
+    of a source via the LCP(min,max) order trick — one combiner-friendly
+    groupBy then an O(length) scan on two strings per group. The
+    header/footer-stripping survey a crawl-cleaning pipeline runs."""
+    from aleph2_contrib_spark.operators.corpus import boilerplate_affixes
+
+    docs = _t(spark, sf_dir, "documents")
+    return boilerplate_affixes(docs, "source", "text")
+
+
+def _boilerplate_oracle() -> str:
+    from aleph2_contrib_spark.operators.corpus import (
+        boilerplate_affixes_oracle_sql,
+    )
+
+    return boilerplate_affixes_oracle_sql("documents", "source", "text")
+
+
 def text_kn_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kneser-Ney bigram LM statistics (operators/text.kneser_ney_stats)
     over the documents corpus: per word, exact occurrence count plus
@@ -6982,6 +7002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_changepoint": events_changepoint,
         "similarity_random_projection": similarity_random_projection,
         "text_kn_lm_counts": text_kn_lm_counts,
+        "corpus_boilerplate_affixes": corpus_boilerplate_affixes,
         "window_distribution_ranks": window_distribution_ranks,
         "unpivot_order_metrics": unpivot_order_metrics,
         "graph_path_counts": graph_path_counts,
@@ -9768,6 +9789,7 @@ def oracle_sql() -> dict[str, str]:
         "events_changepoint": _changepoint_oracle(),
         "similarity_random_projection": _random_projection_oracle(),
         "text_kn_lm_counts": _kn_lm_counts_oracle(),
+        "corpus_boilerplate_affixes": _boilerplate_oracle(),
         "graph_path_counts": _path_counts_oracle(),
         "graph_betweenness": _betweenness_oracle(),
         "unpivot_order_metrics": """

@@ -1562,3 +1562,99 @@ SELECT bucket, CAST(count(*) AS BIGINT) AS n_kept,
        CAST(sum(id) AS BIGINT) AS id_sum
 FROM kept GROUP BY bucket
 """
+
+
+def boilerplate_affixes(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Shared-boilerplate detection per document group (source/domain):
+    the longest prefix and suffix common to EVERY document in the group
+    — the header/footer a crawler pipeline strips before training
+    (C4/RefinedWeb-style cleaning finds these per-site; this is the
+    corpus-scale census that tells you which sites need it and how many
+    characters they waste).
+
+    The group-wide longest common prefix uses the classic order trick:
+    LCP(set) = LCP(lexicographic min, lexicographic max) — any divergence
+    between two members appears between the extremes, so only TWO
+    strings per group are ever compared. Suffix = the same on reversed
+    strings. Output (group, n_docs, prefix_len, suffix_len,
+    prefix) — exact integers/strings; single-doc groups report the whole
+    document (callers threshold n_docs ≥ 2). NULL texts are ignored.
+
+    Plan shape at 100 TB: ONE partial-aggregated groupBy (min/max/count
+    are all combiner-friendly), then an O(length) per-GROUP character
+    scan — group count × max length work, independent of document
+    count. No explode, no join, no window.
+    """
+
+    def lcp_len(a: Column, b: Column) -> Column:
+        L = F.least(F.length(a), F.length(b))
+        mism = F.filter(
+            F.sequence(F.lit(1), L),
+            lambda i: F.substring(a, i, F.lit(1)) != F.substring(b, i, F.lit(1)),
+        )
+        return (
+            F.when(L >= 1, F.coalesce(F.try_element_at(mism, F.lit(1)) - 1, L))
+            .otherwise(0)
+            .cast("long")
+        )
+
+    # The order trick must run in the COMPARISON orientation: the suffix
+    # leg needs min/max of the REVERSED strings — reversing the forward
+    # extremes is wrong (a middle document can diverge nearer the end
+    # than either forward extreme does; caught by the hand test).
+    agg = (
+        df.filter(F.col(text_col).isNotNull())
+        .groupBy(F.col(group_col).alias("grp"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(text_col).alias("__a"),
+            F.max(text_col).alias("__b"),
+            F.min(F.reverse(text_col)).alias("__ra"),
+            F.max(F.reverse(text_col)).alias("__rb"),
+        )
+    )
+    a, b = F.col("__a"), F.col("__b")
+    pl = lcp_len(a, b)
+    sl = lcp_len(F.col("__ra"), F.col("__rb"))
+    return agg.select(
+        F.col("grp").alias(group_col),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        pl.alias("prefix_len"),
+        sl.alias("suffix_len"),
+        F.substring(a, 1, pl.cast("int")).alias("prefix"),
+    )
+
+
+def boilerplate_affixes_oracle_sql(
+    table: str, group_col: str, text_col: str
+) -> str:
+    """DuckDB replica of :func:`boilerplate_affixes` — same min/max
+    order trick, 1-indexed char scan, floor-free integer arithmetic."""
+
+    def lcp(a: str, b: str) -> str:
+        return (
+            f"CASE WHEN least(len({a}), len({b})) >= 1 THEN"
+            f" coalesce(list_min(list_filter(range(1, least(len({a}), len({b})) + 1),"
+            f" i -> {a}[i] <> {b}[i])), least(len({a}), len({b})) + 1) - 1"
+            f" ELSE 0 END"
+        )
+
+    return f"""
+WITH agg AS (
+    SELECT {group_col} AS grp, count(*) AS n_docs,
+           min({text_col}) AS a, max({text_col}) AS b,
+           min(reverse({text_col})) AS ra, max(reverse({text_col})) AS rb
+    FROM {table} WHERE {text_col} IS NOT NULL
+    GROUP BY {group_col}
+)
+SELECT grp AS {group_col},
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST({lcp('a', 'b')} AS BIGINT) AS prefix_len,
+       CAST({lcp('ra', 'rb')} AS BIGINT) AS suffix_len,
+       substr(a, 1, CAST({lcp('a', 'b')} AS BIGINT)) AS prefix
+FROM agg
+"""

@@ -1031,3 +1031,87 @@ def test_distribution_match_oracle_and_partition_independence(spark, tmp_path):
     )
     want = {tuple(r) for r in duckdb.sql(sql).fetchall()}
     assert got == want and len(got) == 3
+
+
+def test_boilerplate_affixes_hand(spark):
+    from pyspark.sql import Row
+
+    from aleph2_contrib_spark.operators.corpus import boilerplate_affixes
+
+    docs = spark.createDataFrame(
+        [
+            Row(src="a", text="HEADER body one FOOTER"),
+            Row(src="a", text="HEADER body two FOOTER"),
+            Row(src="a", text="HEADER other text here FOOTER"),
+            Row(src="b", text="xyz"),
+            Row(src="c", text=None),
+            Row(src="c", text="solo doc"),
+        ]
+    )
+    out = {r.src: r for r in boilerplate_affixes(docs, "src", "text").collect()}
+    a = out["a"]
+    assert a.n_docs == 3
+    assert a.prefix == "HEADER "
+    assert a.prefix_len == 7
+    assert a.suffix_len == len(" FOOTER")
+    # single-doc group: whole doc is its own boilerplate (documented)
+    assert out["b"].prefix_len == 3 and out["b"].prefix == "xyz"
+    # NULL text ignored, group still reported from remaining docs
+    assert out["c"].n_docs == 1 and out["c"].prefix == "solo doc"
+
+
+def test_boilerplate_affixes_edges(spark):
+    from pyspark.sql import Row
+
+    from aleph2_contrib_spark.operators.corpus import boilerplate_affixes
+
+    docs = spark.createDataFrame(
+        [
+            Row(src="empty", text=""),
+            Row(src="empty", text="nonempty"),
+            Row(src="eq", text="same"),
+            Row(src="eq", text="same"),
+        ]
+    )
+    out = {r.src: r for r in boilerplate_affixes(docs, "src", "text").collect()}
+    assert out["empty"].prefix_len == 0 and out["empty"].suffix_len == 0
+    assert out["eq"].prefix_len == 4 and out["eq"].suffix_len == 4
+
+
+def test_boilerplate_affixes_property_vs_bruteforce(spark):
+    """Hypothesis: random string groups — prefix/suffix lengths from the
+    min/max order trick must equal brute-force common affixes (this is
+    the test that caught reversing the forward extremes instead of
+    taking extremes of the reversed strings)."""
+    import os
+
+    from hypothesis import given, settings, strategies as st
+    from pyspark.sql import Row
+
+    from aleph2_contrib_spark.operators.corpus import boilerplate_affixes
+
+    groups = st.lists(
+        st.lists(st.text(alphabet="abXY", max_size=6), min_size=1, max_size=5),
+        min_size=1,
+        max_size=3,
+    )
+
+    def brute_lcp(strs):
+        p = os.path.commonprefix(strs)
+        s = os.path.commonprefix([x[::-1] for x in strs])
+        return len(p), len(s)
+
+    @settings(max_examples=15, deadline=None)
+    @given(groups)
+    def run(gs):
+        rows = [
+            Row(src=f"g{i}", text=t) for i, g in enumerate(gs) for t in g
+        ]
+        out = {r.src: r for r in boilerplate_affixes(
+            spark.createDataFrame(rows, "src string, text string"),
+            "src", "text").collect()}
+        for i, g in enumerate(gs):
+            pl, sl = brute_lcp(g)
+            assert (out[f"g{i}"].prefix_len, out[f"g{i}"].suffix_len) == (pl, sl)
+
+    run()

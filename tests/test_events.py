@@ -1437,3 +1437,39 @@ def test_changepoint_matches_bruteforce(spark):
     assert (r.best_sse_f3, r.split_x) == (exp_cost, exp_t)
     assert r.total_sse_f3 == sse_f3(ys)
     assert r.gain_f3 == r.total_sse_f3 - r.best_sse_f3
+
+
+def test_changepoint_property_vs_bruteforce(spark):
+    """Hypothesis: random integer series — the operator's (split, costs)
+    must equal an independent brute-force replay of the documented f3
+    contract for every series, including negative values and ties."""
+    from hypothesis import given, settings, strategies as st
+
+    from aleph2_contrib_spark.operators.events import changepoint_single
+
+    series = st.lists(st.integers(-50, 50), min_size=2, max_size=12)
+
+    @settings(max_examples=20, deadline=None)
+    @given(series)
+    def run(ys):
+        def cost_f3(t):
+            L, R = ys[:t], ys[t:]
+            mL, sL, qL = len(L), sum(L), sum(v * v for v in L)
+            mR, sR, qR = len(R), sum(R), sum(v * v for v in R)
+            num = (qL * mL - sL * sL) * mR + (qR * mR - sR * sR) * mL
+            return num * 1000 // (mL * mR)
+
+        exp_cost, exp_t = min((cost_f3(t), t) for t in range(1, len(ys)))
+        m, s, q = len(ys), sum(ys), sum(v * v for v in ys)
+        exp_total = (q * m - s * s) * 1000 // m
+        rows = [Row(k="h", x=i, y=v) for i, v in enumerate(ys)]
+        r = changepoint_single(
+            spark.createDataFrame(rows), "k", "x", "y"
+        ).collect()[0]
+        assert (r.best_sse_f3, r.split_x, r.total_sse_f3) == (
+            exp_cost,
+            exp_t,
+            exp_total,
+        )
+
+    run()
