@@ -6600,6 +6600,53 @@ def _cusum_oracle() -> str:
     return cusum_oracle_sql(series, "event_type", "d", threshold=5, slack=0)
 
 
+def text_rouge_l(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-L eval scorer (operators/text.rouge_l_scores — bit-parallel
+    LCS over token streams): candidate = document text, reference = the
+    same text with the first (doc_id % 4) tokens dropped, so the LCS has
+    the closed form max(n−k, 0) both engines can state exactly (a suffix
+    is a subsequence, and LCS ≤ min of the lengths); when n−k ≤ 0 the
+    rebuilt reference collapses to one empty token that matches nothing.
+    The REAL bit-vector LCS runs on the Spark side of the gate; DuckDB
+    replays the arithmetic symbolically (the codec-gate pattern).
+    Non-empty docs only (n_chars > 0 keeps the token algebra exact)."""
+    from aleph2_contrib_spark.operators.text import rouge_l_scores
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    k = (F.col("doc_id") % 4).cast("int")
+    pairs = docs.select(
+        "doc_id",
+        F.col("text").alias("cand"),
+        F.concat_ws(
+            " ", F.slice(toks, k + 1, F.greatest(F.size(toks) - k, F.lit(0)))
+        ).alias("ref"),
+    )
+    return rouge_l_scores(pairs, "doc_id", "cand", "ref")
+
+
+_ROUGE_L_ORACLE = """
+WITH t AS (
+    SELECT doc_id,
+           len(string_split_regex(lower(trim(text)), '\\s+')) AS n,
+           CAST(doc_id % 4 AS BIGINT) AS k
+    FROM documents WHERE n_chars > 0
+), c AS (
+    SELECT doc_id, n,
+           CASE WHEN n - k >= 1 THEN n - k ELSE 1 END AS n_ref,
+           CASE WHEN n - k >= 1 THEN n - k ELSE 0 END AS lcs
+    FROM t
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_cand_tokens,
+       CAST(n_ref AS BIGINT) AS n_ref_tokens,
+       CAST(lcs AS BIGINT) AS lcs_len,
+       CAST((lcs * 1000000) // n AS BIGINT) AS rouge_l_precision_f6,
+       CAST((lcs * 1000000) // n_ref AS BIGINT) AS rouge_l_recall_f6
+FROM c
+"""
+
+
 def corpus_boilerplate_affixes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source shared-boilerplate census (operators/corpus.
     boilerplate_affixes): longest prefix/suffix common to every document
@@ -7003,6 +7050,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_random_projection": similarity_random_projection,
         "text_kn_lm_counts": text_kn_lm_counts,
         "corpus_boilerplate_affixes": corpus_boilerplate_affixes,
+        "text_rouge_l": text_rouge_l,
         "window_distribution_ranks": window_distribution_ranks,
         "unpivot_order_metrics": unpivot_order_metrics,
         "graph_path_counts": graph_path_counts,
@@ -9790,6 +9838,7 @@ def oracle_sql() -> dict[str, str]:
         "similarity_random_projection": _random_projection_oracle(),
         "text_kn_lm_counts": _kn_lm_counts_oracle(),
         "corpus_boilerplate_affixes": _boilerplate_oracle(),
+        "text_rouge_l": _ROUGE_L_ORACLE,
         "graph_path_counts": _path_counts_oracle(),
         "graph_betweenness": _betweenness_oracle(),
         "unpivot_order_metrics": """

@@ -1513,3 +1513,83 @@ LEFT JOIN lft ON uni.w = lft.w
 LEFT JOIN rgt ON uni.w = rgt.w
 WHERE uni.c_unigram >= {min_count}
 """
+
+
+def rouge_l_scores(
+    df: DataFrame,
+    id_col: str,
+    cand_col: str,
+    ref_col: str,
+) -> DataFrame:
+    """ROUGE-L per row (Lin 2004): longest-common-subsequence length
+    between candidate and reference token streams, with precision/recall
+    as exact f6 fixed-point ratios — the order-sensitive complement to
+    :func:`ngram_overlap_scores` (BLEU/ROUGE-n count matches anywhere;
+    LCS rewards preserved ordering, the summary-eval standard).
+
+    LCS runs bit-parallel (Allison & Dix 1986 as revisited by Hyyrö:
+    per row, a position bitmask per distinct reference token, then one
+    ``V = (V + (V & M)) | (V − (V & M))`` carry-propagation step per
+    candidate token; LCS = zeros left in V) — O(cand · ref/word-size)
+    per row on arbitrary-precision ints, validated against the O(n·m)
+    DP on 3000 random cases plus hypothesis in tests. Tokenization
+    matches the module's whitespace discipline.
+
+    Plan shape at 100 TB: ZERO shuffles — tokenize JVM-side, ONE
+    Arrow-batched pandas pass for the integer LCS, ratios back
+    JVM-side. Python is unavoidable here (Catalyst has no LCS and the
+    interpreted higher-order DP would be quadratic per row — the exact
+    trap ngram_overlap_scores' plan note documents); bit-parallel keeps
+    the per-row cost near-linear.
+    """
+    import pandas as pd
+
+    def tok(c: str) -> Column:
+        return F.split(
+            F.trim(F.regexp_replace(F.lower(F.col(c)), r"\s+", " ")), " "
+        )
+
+    def _lcs_fn(cand, ref):
+        out = []
+        for a, b in zip(cand, ref):
+            if a is None or b is None or len(a) == 0 or len(b) == 0:
+                out.append(0)
+                continue
+            m = len(b)
+            pm: dict = {}
+            for i, c in enumerate(b):
+                pm[c] = pm.get(c, 0) | (1 << i)
+            full = (1 << m) - 1
+            v = full
+            for c in a:
+                u = v & pm.get(c, 0)
+                v = ((v + u) | (v - u)) & full
+            out.append(m - bin(v).count("1"))
+        return pd.Series(out, dtype="int64")
+
+    _lcs = F.pandas_udf(_lcs_fn, "long")
+
+    base = df.select(
+        F.col(id_col),
+        tok(cand_col).alias("__tc"),
+        tok(ref_col).alias("__tr"),
+    ).select(
+        id_col,
+        F.size("__tc").cast("long").alias("n_cand_tokens"),
+        F.size("__tr").cast("long").alias("n_ref_tokens"),
+        _lcs("__tc", "__tr").alias("lcs_len"),
+    )
+    return base.select(
+        id_col,
+        "n_cand_tokens",
+        "n_ref_tokens",
+        "lcs_len",
+        F.expr(
+            "CAST(CASE WHEN n_cand_tokens > 0 THEN"
+            " (lcs_len * 1000000) div n_cand_tokens ELSE NULL END AS BIGINT)"
+        ).alias("rouge_l_precision_f6"),
+        F.expr(
+            "CAST(CASE WHEN n_ref_tokens > 0 THEN"
+            " (lcs_len * 1000000) div n_ref_tokens ELSE NULL END AS BIGINT)"
+        ).alias("rouge_l_recall_f6"),
+    )

@@ -751,3 +751,71 @@ def test_vocab_drift_oracle_matches(spark, tmp_path):
         ).fetchall()
     }
     assert got == want and len(got) == 10
+
+
+def test_rouge_l_hand_cases(spark):
+    from pyspark.sql import Row
+
+    from aleph2_contrib_spark.operators.text import rouge_l_scores
+
+    rows = [
+        Row(id=1, cand="the cat sat on the mat", ref="the cat on mat"),
+        Row(id=2, cand="a b c", ref="c b a"),     # LCS = 1 (any single)
+        Row(id=3, cand="x y z", ref="x y z"),     # exact
+        Row(id=4, cand="p q", ref="r s"),         # disjoint
+    ]
+    out = {r.id: r for r in rouge_l_scores(
+        spark.createDataFrame(rows), "id", "cand", "ref").collect()}
+    assert out[1].lcs_len == 4  # the cat on mat
+    assert out[2].lcs_len == 1
+    assert out[3].lcs_len == 3 and out[3].rouge_l_precision_f6 == 1_000_000
+    assert out[4].lcs_len == 0 and out[4].rouge_l_recall_f6 == 0
+    assert out[1].rouge_l_recall_f6 == 1_000_000  # ref fully covered
+    assert out[1].rouge_l_precision_f6 == 4_000_000 // 6
+
+
+def test_rouge_l_property_vs_dp(spark):
+    """Hypothesis: the bit-parallel LCS must equal the O(nm) DP on
+    random token streams, including repeats and empties."""
+    from hypothesis import given, settings, strategies as st
+    from pyspark.sql import Row
+
+    from aleph2_contrib_spark.operators.text import rouge_l_scores
+
+    def dp(a, b):
+        n, m = len(a), len(b)
+        t = [[0] * (m + 1) for _ in range(n + 1)]
+        for i in range(n):
+            for j in range(m):
+                t[i + 1][j + 1] = (
+                    t[i][j] + 1 if a[i] == b[j] else max(t[i][j + 1], t[i + 1][j])
+                )
+        return t[n][m]
+
+    streams = st.lists(
+        st.tuples(
+            st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), max_size=8),
+            st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), max_size=8),
+        ),
+        min_size=1,
+        max_size=6,
+    )
+
+    @settings(max_examples=15, deadline=None)
+    @given(streams)
+    def run(pairs):
+        rows = [
+            Row(id=i, cand=" ".join(a), ref=" ".join(b))
+            for i, (a, b) in enumerate(pairs)
+        ]
+        out = {r.id: r.lcs_len for r in rouge_l_scores(
+            spark.createDataFrame(rows, "id long, cand string, ref string"),
+            "id", "cand", "ref").collect()}
+        for i, (a, b) in enumerate(pairs):
+            # empty lists tokenize to one '' token on both sides; ''
+            # matches '' — replicate the tokenizer's view in the reference
+            ta = a if a else [""]
+            tb = b if b else [""]
+            assert out[i] == dp(ta, tb), (a, b)
+
+    run()
