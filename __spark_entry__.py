@@ -2491,6 +2491,78 @@ def similarity_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return random_projection_f6(emb, "embedding", "vec_id", dim=64, k=16)
 
 
+def similarity_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-hash ANN shortlist (operators/similarity.sign_hamming_codes
+    — SimHash-style sign bits, two BIGINT halves, Hamming = XOR +
+    popcount): top-5 nearest candidates per anchor (vec_id ≤ 8) by
+    (hamming, vec_id) total order. The 8 anchor codes are a bounded
+    driver collect rebuilt as a LITERAL exploded array — an 8× narrow
+    row multiplier, no cross join anywhere. Exact integer distances."""
+    from aleph2_contrib_spark.operators.similarity import sign_hamming_codes
+
+    emb = _t(spark, sf_dir, "embeddings")
+    codes = sign_hamming_codes(emb, "embedding", "vec_id")
+    anchors = sorted(
+        (r["vec_id"], r["code_lo"], r["code_hi"])
+        for r in codes.filter(F.col("vec_id") <= 8).collect()
+    )
+    a_lit = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("aid"),
+                F.lit(lo).cast("long").alias("alo"),
+                F.lit(hi).cast("long").alias("ahi"),
+            )
+            for a, lo, hi in anchors
+        ]
+    )
+    ex = codes.select(
+        "vec_id", "code_lo", "code_hi", F.explode(a_lit).alias("a")
+    ).filter(F.col("vec_id") != F.col("a.aid"))
+    ham = ex.select(
+        F.col("a.aid").alias("anchor_id"),
+        "vec_id",
+        (
+            F.bit_count(F.expr("code_lo ^ a.alo"))
+            + F.bit_count(F.expr("code_hi ^ a.ahi"))
+        ).cast("int").alias("hamming"),
+    )
+    w = W.partitionBy("anchor_id").orderBy("hamming", "vec_id")
+    return (
+        ham.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= 5)
+        .select("anchor_id", "vec_id", "hamming")
+    )
+
+
+def _hamming_topk_oracle() -> str:
+    powers_lo = " + ".join(
+        f"CASE WHEN emb[{i + 1}] > 0 THEN {1 << i} ELSE 0 END" for i in range(32)
+    )
+    powers_hi = " + ".join(
+        f"CASE WHEN emb[{i + 33}] > 0 THEN {1 << i} ELSE 0 END" for i in range(32)
+    )
+    return f"""
+WITH c AS (
+    SELECT vec_id,
+           CAST({powers_lo} AS BIGINT) AS code_lo,
+           CAST({powers_hi} AS BIGINT) AS code_hi
+    FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+          WHERE embedding IS NOT NULL AND len(embedding) = 64)
+), pairs AS (
+    SELECT a.vec_id AS anchor_id, b.vec_id,
+           CAST(bit_count(xor(a.code_lo, b.code_lo))
+                + bit_count(xor(a.code_hi, b.code_hi)) AS INT) AS hamming
+    FROM c a JOIN c b ON a.vec_id <= 8 AND b.vec_id <> a.vec_id
+), ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY anchor_id ORDER BY hamming, vec_id) AS r
+    FROM pairs
+)
+SELECT anchor_id, vec_id, hamming FROM ranked WHERE r <= 5
+"""
+
+
 def similarity_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reciprocal-rank fusion (operators/similarity.rrf_fusion) of two
     heterogeneous user rankings — exact total spend (DECIMAL cents) and
@@ -6687,6 +6759,26 @@ def _kn_lm_counts_oracle() -> str:
     return kneser_ney_stats_oracle_sql("documents", "text", min_count=2)
 
 
+def profile_key_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-key discovery (operators/profile.key_discovery): exact
+    row/non-null/distinct counts + unique-key verdict per orders column
+    in ONE shared-scan aggregation (expand-based multi-distinct)."""
+    from aleph2_contrib_spark.operators.profile import key_discovery
+
+    orders = _t(spark, sf_dir, "orders")
+    return key_discovery(
+        orders, ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+    )
+
+
+def _key_discovery_oracle() -> str:
+    from aleph2_contrib_spark.operators.profile import key_discovery_oracle_sql
+
+    return key_discovery_oracle_sql(
+        "orders", ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+    )
+
+
 def events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Best single changepoint per series (operators/events.
     changepoint_single — binary segmentation's inner step, exact f3
@@ -7051,6 +7143,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_kn_lm_counts": text_kn_lm_counts,
         "corpus_boilerplate_affixes": corpus_boilerplate_affixes,
         "text_rouge_l": text_rouge_l,
+        "similarity_hamming_topk": similarity_hamming_topk,
+        "profile_key_discovery": profile_key_discovery,
         "window_distribution_ranks": window_distribution_ranks,
         "unpivot_order_metrics": unpivot_order_metrics,
         "graph_path_counts": graph_path_counts,
@@ -9839,6 +9933,8 @@ def oracle_sql() -> dict[str, str]:
         "text_kn_lm_counts": _kn_lm_counts_oracle(),
         "corpus_boilerplate_affixes": _boilerplate_oracle(),
         "text_rouge_l": _ROUGE_L_ORACLE,
+        "similarity_hamming_topk": _hamming_topk_oracle(),
+        "profile_key_discovery": _key_discovery_oracle(),
         "graph_path_counts": _path_counts_oracle(),
         "graph_betweenness": _betweenness_oracle(),
         "unpivot_order_metrics": """

@@ -1539,3 +1539,57 @@ WITH j AS (
 )
 SELECT status, CAST(count(*) AS BIGINT) AS n FROM j GROUP BY status
 """
+
+
+def key_discovery(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Candidate-key discovery — the profiler step schema tooling runs
+    before declaring primary keys or choosing partition/bucket columns:
+    per column, exact row/non-null/distinct counts and whether the
+    column is a unique key (every row non-null and distinct).
+
+    Output (column, n_rows, n_nonnull, n_distinct, is_key), one row per
+    profiled column, deterministic order by column name at the caller's
+    discretion (the gate compares order-insensitively).
+
+    Plan shape at 100 TB: ONE aggregation pass over the table — all
+    count(distinct) measures share the scan via Spark's expand-based
+    multi-distinct rewrite (k columns → k-way row expansion, shuffle
+    keyed on the grouping-id; exact, no sketch). For very wide tables
+    swap in HLL sketches (operators/sketch) and accept the ±2% — this
+    operator is the exact form."""
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"__n_{c}"),
+            F.count(c).alias(f"__nn_{c}"),
+            F.countDistinct(c).alias(f"__nd_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    longs = []
+    for c in cols:
+        longs.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(f"__n_{c}").cast("long").alias("n_rows"),
+                F.col(f"__nn_{c}").cast("long").alias("n_nonnull"),
+                F.col(f"__nd_{c}").cast("long").alias("n_distinct"),
+                (
+                    (F.col(f"__nd_{c}") == F.col(f"__n_{c}"))
+                    & (F.col(f"__nn_{c}") == F.col(f"__n_{c}"))
+                ).alias("is_key"),
+            )
+        )
+    return wide.select(F.explode(F.array(*longs)).alias("p")).select("p.*")
+
+
+def key_discovery_oracle_sql(table: str, cols: list[str]) -> str:
+    """DuckDB replica of :func:`key_discovery` (count(DISTINCT) exact)."""
+    parts = [
+        f"SELECT '{c}' AS column, CAST(count(*) AS BIGINT) AS n_rows,"
+        f" CAST(count({c}) AS BIGINT) AS n_nonnull,"
+        f" CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,"
+        f" count(DISTINCT {c}) = count(*) AND count({c}) = count(*) AS is_key"
+        f" FROM {table}"
+        for c in cols
+    ]
+    return " UNION ALL ".join(parts)

@@ -1530,3 +1530,46 @@ SELECT {id_col},
        {proj}
 FROM base
 """
+
+
+def sign_hamming_codes(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+) -> DataFrame:
+    """Binary sign hashing (Charikar 2002's SimHash family applied to
+    raw embedding coordinates): each vector becomes dim sign bits packed
+    into two BIGINT halves (code_lo = bits 0..31, code_hi = 32..63 —
+    two halves so no bit ever reaches a signed-overflow position on
+    either engine), Hamming distance between codes approximates angular
+    distance at 1 bit/dim — 32× smaller than float32 storage and
+    distance is two XOR+popcounts. The cheapest ANN shortlist tier,
+    below even :func:`random_projection_f6`.
+
+    Bits are exact: bit i set iff x_i > 0 (ties-to-zero deterministic on
+    IEEE equality), packed by summing power-of-two literals — pure
+    integer arithmetic, engine-identical. Rows not exactly ``dim`` wide
+    or NULL are dropped.
+
+    Plan shape: ZERO shuffles, one narrow projection."""
+    assert dim <= 64, "two 32-bit halves — widen the half count past 64"
+    half = dim // 2
+    v = F.col(vec_col)
+
+    def pack(offset: int, n: int) -> Column:
+        powers = F.array(*[F.lit(1 << i) for i in range(n)])
+        bits = F.zip_with(
+            F.slice(v, offset + 1, n),
+            powers,
+            lambda x, p: F.when(x > 0, p).otherwise(F.lit(0)),
+        )
+        return F.aggregate(
+            bits, F.lit(0).cast("long"), lambda acc, x: acc + x
+        )
+
+    return df.filter(F.col(vec_col).isNotNull() & (F.size(vec_col) == dim)).select(
+        F.col(id_col),
+        pack(0, half).alias("code_lo"),
+        pack(half, dim - half).alias("code_hi"),
+    )

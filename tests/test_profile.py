@@ -863,3 +863,23 @@ def test_table_diff_oracle_matches(spark, tmp_path):
         ).fetchall()
     }
     assert got == want
+
+
+def test_key_discovery_verdicts(spark):
+    from pyspark.sql import Row
+
+    from aleph2_contrib_spark.operators.profile import key_discovery
+
+    df = spark.createDataFrame(
+        [
+            Row(pk=1, dup="a", nullable=1),
+            Row(pk=2, dup="a", nullable=None),
+            Row(pk=3, dup="b", nullable=3),
+        ]
+    )
+    out = {r.column: r for r in key_discovery(df, ["pk", "dup", "nullable"]).collect()}
+    assert out["pk"].is_key and out["pk"].n_distinct == 3
+    assert not out["dup"].is_key and out["dup"].n_distinct == 2
+    # all-distinct among non-nulls but a NULL row: not a key
+    assert not out["nullable"].is_key
+    assert out["nullable"].n_nonnull == 2 and out["nullable"].n_rows == 3

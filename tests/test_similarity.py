@@ -114,3 +114,28 @@ def test_random_projection_preserves_relative_distance(spark):
     d12 = sum((x - y) ** 2 for x, y in zip(p(1), p(2)))
     d13 = sum((x - y) ** 2 for x, y in zip(p(1), p(3)))
     assert d12 == 0 and d13 > 0
+
+
+def test_sign_hamming_codes_bits(spark):
+    from pyspark.sql import Row
+
+    from aleph2_contrib_spark.operators.similarity import sign_hamming_codes
+
+    v = [0.0] * 64
+    v[0] = 1.0   # bit 0 of lo
+    v[31] = 2.0  # bit 31 of lo
+    v[32] = 3.0  # bit 0 of hi
+    v[63] = -1.0  # negative -> 0
+    rows = [
+        Row(vec_id=1, embedding=v),
+        Row(vec_id=2, embedding=[0.5] * 64),   # all bits set
+        Row(vec_id=3, embedding=[-0.5] * 64),  # none set
+        Row(vec_id=4, embedding=[1.0] * 63),   # wrong dim -> dropped
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.vec_id: (r.code_lo, r.code_hi) for r in sign_hamming_codes(
+        df, "embedding", "vec_id").collect()}
+    assert out[1] == (1 | (1 << 31), 1)
+    assert out[2] == ((1 << 32) - 1, (1 << 32) - 1)
+    assert out[3] == (0, 0)
+    assert 4 not in out
