@@ -7414,10 +7414,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_avi_codec",
         "text_script_mix",
         "text_vocab_drift",
-        # (deferred to round 11, HEAD of that window: the four r10-new
+        # (deferred to round 11, HEAD of that window: the eleven r10-new
         #  never-driver-checked gates — events_changepoint,
         #  similarity_random_projection, text_kn_lm_counts,
-        #  window_distribution_ranks — then the 12 remaining r4 rows —
+        #  window_distribution_ranks, unpivot_order_metrics,
+        #  graph_path_counts, graph_betweenness,
+        #  corpus_boilerplate_affixes, text_rouge_l,
+        #  similarity_hamming_topk, profile_key_discovery —
+        #  then the 12 remaining r4 rows —
         #  sketch_quantile_by_group, sketch_quantile_hist,
         #  stats_percentiles, text_bigram_rarity, text_char_pairs,
         #  text_inverted_postings, text_keywords_tfidf, text_relevance_topk,
