@@ -6759,6 +6759,25 @@ def _kn_lm_counts_oracle() -> str:
     return kneser_ney_stats_oracle_sql("documents", "text", min_count=2)
 
 
+def events_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality profile (operators/events.seasonal_index):
+    per event_type and weekday, exact count, ppm share, and seasonal
+    index vs the uniform 1/7 expectation — one groupBy + broadcast
+    totals join, O(types·7) output."""
+    from aleph2_contrib_spark.operators.events import seasonal_index
+
+    ev = _t(spark, sf_dir, "events")
+    return seasonal_index(ev, "event_type", "ts")
+
+
+def _seasonal_index_oracle() -> str:
+    from aleph2_contrib_spark.operators.events import seasonal_index_oracle_sql
+
+    return seasonal_index_oracle_sql(
+        "SELECT event_type AS k, ts FROM events", "event_type"
+    )
+
+
 def profile_key_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate-key discovery (operators/profile.key_discovery): exact
     row/non-null/distinct counts + unique-key verdict per orders column
@@ -7145,6 +7164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_rouge_l": text_rouge_l,
         "similarity_hamming_topk": similarity_hamming_topk,
         "profile_key_discovery": profile_key_discovery,
+        "events_seasonal_index": events_seasonal_index,
         "window_distribution_ranks": window_distribution_ranks,
         "unpivot_order_metrics": unpivot_order_metrics,
         "graph_path_counts": graph_path_counts,
@@ -9939,6 +9959,7 @@ def oracle_sql() -> dict[str, str]:
         "text_rouge_l": _ROUGE_L_ORACLE,
         "similarity_hamming_topk": _hamming_topk_oracle(),
         "profile_key_discovery": _key_discovery_oracle(),
+        "events_seasonal_index": _seasonal_index_oracle(),
         "graph_path_counts": _path_counts_oracle(),
         "graph_betweenness": _betweenness_oracle(),
         "unpivot_order_metrics": """

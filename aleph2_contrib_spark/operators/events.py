@@ -1955,3 +1955,69 @@ SELECT k AS {key_col}, CAST(n AS BIGINT) AS n,
        CAST(total_sse_f3 - best_sse_f3 AS BIGINT) AS gain_f3
 FROM picked WHERE r = 1 AND n >= 2
 """
+
+
+def seasonal_index(
+    series: DataFrame,
+    key_col: str,
+    ts_col: str,
+    n_buckets: int = 7,
+) -> DataFrame:
+    """Day-of-week seasonal profile per key, exact: for each
+    (key, weekday) bucket, the event count, its share of the key's
+    total in ppm, and the seasonal index — the ratio of observed share
+    to the uniform 1/7 expectation, in ppm:
+
+        share_ppm = (cnt · 1e6)   div total
+        index_ppm = (cnt · 7e6)   div total     (1e6 = flat profile)
+
+    Both truncating integer divisions over non-negative counts, so
+    floor == trunc on both engines. The calendar-seasonality screen
+    that complements :func:`changepoint_single` (a weekly rhythm is not
+    a level shift) and :func:`cusum_alarms`. Weekday numbering follows
+    Spark's ``dayofweek`` (1 = Sunday … 7 = Saturday); the oracle maps
+    DuckDB's 0-based ``dayofweek`` onto it explicitly.
+
+    Plan shape: ONE partial-aggregated groupBy(key, dow) plus a
+    broadcast-sized per-key totals join — O(keys·7) state, no windows.
+    """
+    d = series.select(
+        F.col(key_col).alias("__k"),
+        F.dayofweek(F.col(ts_col).cast("timestamp")).alias("dow"),
+    )
+    cnt = d.groupBy("__k", "dow").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = cnt.groupBy("__k").agg(F.sum("cnt").alias("__tot"))
+    return (
+        cnt.join(F.broadcast(tot), "__k")
+        .select(
+            F.col("__k").alias(key_col),
+            F.col("dow").cast("int").alias("dow"),
+            F.col("cnt").cast("long").alias("cnt"),
+            F.expr("CAST((cnt * 1000000) div __tot AS BIGINT)").alias(
+                "share_ppm"
+            ),
+            F.expr(
+                f"CAST((cnt * {n_buckets} * 1000000) div __tot AS BIGINT)"
+            ).alias("index_ppm"),
+        )
+    )
+
+
+def seasonal_index_oracle_sql(rows_sql: str, key_col: str) -> str:
+    """DuckDB replica of :func:`seasonal_index`. ``rows_sql`` yields
+    (k, ts). DuckDB dayofweek is 0=Sunday; +1 matches Spark's 1=Sunday."""
+    return f"""
+WITH d AS (
+    SELECT k, dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS dow
+    FROM ({rows_sql})
+), c AS (
+    SELECT k, dow, count(*) AS cnt FROM d GROUP BY k, dow
+), t AS (
+    SELECT k, sum(cnt) AS tot FROM c GROUP BY k
+)
+SELECT c.k AS {key_col}, CAST(c.dow AS INT) AS dow,
+       CAST(c.cnt AS BIGINT) AS cnt,
+       CAST((c.cnt * 1000000) // t.tot AS BIGINT) AS share_ppm,
+       CAST((c.cnt * 7 * 1000000) // t.tot AS BIGINT) AS index_ppm
+FROM c JOIN t ON c.k = t.k
+"""

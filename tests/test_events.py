@@ -1473,3 +1473,24 @@ def test_changepoint_property_vs_bruteforce(spark):
         )
 
     run()
+
+
+def test_seasonal_index_flat_and_spiked(spark):
+    import datetime as dtm
+
+    from aleph2_contrib_spark.operators.events import seasonal_index
+
+    base = dtm.datetime(2024, 1, 1)  # a Monday
+    rows = [Row(k="flat", ts=base + dtm.timedelta(days=i)) for i in range(14)]
+    rows += [Row(k="spike", ts=base)] * 6 + [Row(k="spike", ts=base + dtm.timedelta(days=1))]
+    out = {(r.k, r.dow): r for r in seasonal_index(
+        spark.createDataFrame(rows), "k", "ts").collect()}
+    # flat: every weekday twice -> share 2/14, index exactly 1e6
+    flat = [v for (k, _), v in out.items() if k == "flat"]
+    assert len(flat) == 7
+    assert all(v.cnt == 2 and v.index_ppm == 1_000_000 for v in flat)
+    # spike: Monday (Spark dow=2) has 6 of 7 events
+    s = out[("spike", 2)]
+    assert s.cnt == 6
+    assert s.share_ppm == 6 * 1_000_000 // 7
+    assert s.index_ppm == 6 * 7 * 1_000_000 // 7

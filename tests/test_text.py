@@ -199,3 +199,41 @@ def test_kneser_ney_tokenization_edges(spark):
     assert set(out) == {"the", "cat", "x"}
     assert out["the"].c_unigram == 1 and out["cat"].n_left_types == 1
     assert out["x"].n_left_types == 0 and out["x"].n_right_types == 0
+
+
+def test_kneser_ney_property_vs_python_reference(spark):
+    """Hypothesis: random tiny corpora — unigram, continuation, and
+    right-expansion counts must equal an independent Python reference."""
+    from collections import Counter
+
+    from hypothesis import given, settings, strategies as st
+    from pyspark.sql import Row
+
+    from aleph2_contrib_spark.operators.text import kneser_ney_stats
+
+    corpora = st.lists(
+        st.lists(st.sampled_from(["a", "b", "c"]), max_size=6),
+        min_size=1,
+        max_size=5,
+    )
+
+    @settings(max_examples=15, deadline=None)
+    @given(corpora)
+    def run(docs):
+        uni = Counter()
+        pairs = set()
+        for d in docs:
+            uni.update(d)
+            pairs.update(zip(d, d[1:]))
+        left = Counter(w for _, w in pairs)
+        right = Counter(p for p, _ in pairs)
+        rows = [Row(text=" ".join(d)) for d in docs]
+        out = {r.word: r for r in kneser_ney_stats(
+            spark.createDataFrame(rows, "text string"), "text").collect()}
+        assert set(out) == set(uni)
+        for w in uni:
+            assert out[w].c_unigram == uni[w]
+            assert out[w].n_left_types == left.get(w, 0)
+            assert out[w].n_right_types == right.get(w, 0)
+
+    run()
