@@ -4638,6 +4638,29 @@ def events_sequential_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_sequential_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential association rules (operators/events.sequential_rules):
+    a→b confidence in exact ppm from the pattern miner's length-1/2
+    supports — "after a, how often eventually b", the ordered
+    counterpart of basket rules."""
+    from aleph2_contrib_spark.operators.events import sequential_rules
+
+    ev = _t(spark, sf_dir, "events")
+    return sequential_rules(
+        ev, "user_id", "ts", "event_type", "event_id", min_support=5
+    )
+
+
+def _sequential_rules_oracle() -> str:
+    from aleph2_contrib_spark.operators.events import sequential_rules_oracle_sql
+
+    ev = (
+        "SELECT user_id AS u, event_type AS t, ts, event_id AS eid"
+        " FROM events"
+    )
+    return sequential_rules_oracle_sql(ev, min_support=5)
+
+
 def events_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Association mining (operators/events.basket_pair_lift): top
     supplier pairs co-appearing in orders ranked by lift — exact integer
@@ -7165,6 +7188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_hamming_topk": similarity_hamming_topk,
         "profile_key_discovery": profile_key_discovery,
         "events_seasonal_index": events_seasonal_index,
+        "events_sequential_rules": events_sequential_rules,
         "window_distribution_ranks": window_distribution_ranks,
         "unpivot_order_metrics": unpivot_order_metrics,
         "graph_path_counts": graph_path_counts,
@@ -9960,6 +9984,7 @@ def oracle_sql() -> dict[str, str]:
         "similarity_hamming_topk": _hamming_topk_oracle(),
         "profile_key_discovery": _key_discovery_oracle(),
         "events_seasonal_index": _seasonal_index_oracle(),
+        "events_sequential_rules": _sequential_rules_oracle(),
         "graph_path_counts": _path_counts_oracle(),
         "graph_betweenness": _betweenness_oracle(),
         "unpivot_order_metrics": """

@@ -2021,3 +2021,78 @@ SELECT c.k AS {key_col}, CAST(c.dow AS INT) AS dow,
        CAST((c.cnt * 7 * 1000000) // t.tot AS BIGINT) AS index_ppm
 FROM c JOIN t ON c.k = t.k
 """
+
+
+def sequential_rules(
+    df: DataFrame,
+    user_col: str,
+    time_col: str,
+    type_col: str,
+    id_col: str,
+    min_support: int = 2,
+) -> DataFrame:
+    """Sequential association rules a→b from the length-2 patterns of
+    :func:`sequential_patterns`: confidence = users(a then b) /
+    users(a), the ordered counterpart of basket rules
+    (:mod:`operators.itemsets` mines unordered co-occurrence; this is
+    "after viewing, how often do they eventually purchase").
+
+    Exact integers: (antecedent, consequent, support, support_ante,
+    conf_ppm = (support · 1e6) div support_ante) — truncating division
+    over non-negative counts, engine-identical. Rules with pattern
+    support < min_support are dropped AFTER confidence is computed from
+    corpus-true counts.
+
+    Plan shape: inherits the pattern miner's no-explosion design (first/
+    last-position equi-joins), plus one broadcast-sized join of the
+    O(|types|²) rule table against the O(|types|) unigram table.
+    """
+    pats = sequential_patterns(
+        df, user_col, time_col, type_col, id_col, min_support=1, max_len=2
+    )
+    l1 = pats.filter(F.col("length") == 1).select(
+        F.col("pattern").alias("antecedent"),
+        F.col("support").alias("support_ante"),
+    )
+    l2 = pats.filter(F.col("length") == 2).select(
+        F.element_at(F.split("pattern", ">"), 1).alias("antecedent"),
+        F.element_at(F.split("pattern", ">"), 2).alias("consequent"),
+        "support",
+    )
+    return (
+        l2.join(F.broadcast(l1), "antecedent")
+        .filter(F.col("support") >= F.lit(int(min_support)))
+        .select(
+            "antecedent",
+            "consequent",
+            F.col("support").cast("long").alias("support"),
+            F.col("support_ante").cast("long").alias("support_ante"),
+            F.expr(
+                "CAST((support * 1000000) div support_ante AS BIGINT)"
+            ).alias("conf_ppm"),
+        )
+    )
+
+
+def sequential_rules_oracle_sql(events_sql: str, min_support: int = 2) -> str:
+    """DuckDB replica of :func:`sequential_rules` — wraps the pattern
+    miner's oracle and derives the same rule table."""
+    pats = sequential_patterns_oracle_sql(events_sql, min_support=1, max_len=2)
+    return f"""
+WITH pats AS ({pats}),
+l1 AS (
+    SELECT pattern AS antecedent, support AS support_ante
+    FROM pats WHERE length = 1
+), l2 AS (
+    SELECT string_split(pattern, '>')[1] AS antecedent,
+           string_split(pattern, '>')[2] AS consequent,
+           support
+    FROM pats WHERE length = 2
+)
+SELECT l2.antecedent, l2.consequent,
+       CAST(l2.support AS BIGINT) AS support,
+       CAST(l1.support_ante AS BIGINT) AS support_ante,
+       CAST((l2.support * 1000000) // l1.support_ante AS BIGINT) AS conf_ppm
+FROM l2 JOIN l1 ON l2.antecedent = l1.antecedent
+WHERE l2.support >= {int(min_support)}
+"""

@@ -1494,3 +1494,29 @@ def test_seasonal_index_flat_and_spiked(spark):
     assert s.cnt == 6
     assert s.share_ppm == 6 * 1_000_000 // 7
     assert s.index_ppm == 6 * 7 * 1_000_000 // 7
+
+
+def test_sequential_rules_hand_confidence(spark):
+    import datetime as dtm
+
+    from aleph2_contrib_spark.operators.events import sequential_rules
+
+    T = dtm.datetime
+    rows = []
+    # 3 users view; 2 of them later purchase; 1 purchases BEFORE viewing
+    for u, types in enumerate(
+        [["view", "purchase"], ["view", "purchase"], ["view"],
+         ["purchase", "view"]]
+    ):
+        for i, t in enumerate(types):
+            rows.append(Row(user_id=u, ts=T(2024, 1, 1, i), event_type=t,
+                            event_id=u * 10 + i))
+    out = {(r.antecedent, r.consequent): r for r in sequential_rules(
+        spark.createDataFrame(rows), "user_id", "ts", "event_type",
+        "event_id", min_support=2).collect()}
+    r = out[("view", "purchase")]
+    # 4 users saw 'view'; 2 had a purchase strictly after first view
+    assert r.support == 2 and r.support_ante == 4
+    assert r.conf_ppm == 2 * 1_000_000 // 4
+    # the reversed rule: 3 users with purchase; only u=3 views after
+    assert ("purchase", "view") not in out  # support 1 < min_support

