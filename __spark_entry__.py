@@ -7458,13 +7458,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_avi_codec",
         "text_script_mix",
         "text_vocab_drift",
-        # (deferred to round 11, HEAD of that window: the eleven r10-new
-        #  never-driver-checked gates — events_changepoint,
+        # (deferred to round 11, HEAD of that window: the thirteen
+        #  r10-new never-driver-checked gates — events_changepoint,
         #  similarity_random_projection, text_kn_lm_counts,
         #  window_distribution_ranks, unpivot_order_metrics,
         #  graph_path_counts, graph_betweenness,
         #  corpus_boilerplate_affixes, text_rouge_l,
-        #  similarity_hamming_topk, profile_key_discovery —
+        #  similarity_hamming_topk, profile_key_discovery,
+        #  events_seasonal_index, events_sequential_rules —
         #  then the 12 remaining r4 rows —
         #  sketch_quantile_by_group, sketch_quantile_hist,
         #  stats_percentiles, text_bigram_rarity, text_char_pairs,
