@@ -7092,6 +7092,213 @@ def _text_ngram_overlap_oracle() -> str:
     return ngram_overlap_scores_oracle_sql(rows, "doc_id", n=2)
 
 
+def graph_rectangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 4-cycle (rectangle) count (operators/graph.rectangle_count
+    — Chiba-Nishizeki ordered 2-paths, Σ_E min-degree ≤ 2m^1.5 work
+    bound) over the sampled co-purchase graph: the motif census for
+    bipartite-ish interaction graphs where triangles are rare. One row,
+    all exact integers, with the enumerated-2-path total as the cost
+    witness."""
+    from aleph2_contrib_spark.operators.graph import rectangle_count
+
+    return rectangle_count(_copurchase_simple_edges(spark, sf_dir))
+
+
+def _rectangles_oracle() -> str:
+    from aleph2_contrib_spark.operators.graph import rectangle_count_oracle_sql
+
+    return rectangle_count_oracle_sql(
+        """li AS (
+    SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 13 = 0
+), e AS (
+    SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d
+    FROM li a JOIN li b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+)"""
+    )
+
+
+def events_allen_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Allen interval-relation census (operators/events.
+    allen_relation_census — Allen 1983's 13 relations as a fixed CASE
+    ladder): every lineitem's delivery interval [shipdate, shipdate +
+    quantity%30 days] classified against its own order's 30-day window
+    [orderdate, orderdate+30], counted per relation with exact ppm
+    shares. The pairing is the orderkey equi-join (never all-pairs);
+    output is O(13) rows."""
+    from aleph2_contrib_spark.operators.events import allen_relation_census
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.col("l_shipdate").alias("xs"),
+        F.date_add(
+            F.col("l_shipdate"), F.col("l_quantity").cast("int") % 30
+        ).alias("xe"),
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        F.col("o_orderdate").alias("ys"),
+        F.date_add(F.col("o_orderdate"), 30).alias("ye"),
+    )
+    return allen_relation_census(li.join(o, "l_orderkey"), "xs", "xe", "ys", "ye")
+
+
+def _allen_relations_oracle() -> str:
+    from aleph2_contrib_spark.operators.events import (
+        allen_relation_census_oracle_sql,
+    )
+
+    pairs = """
+        SELECT l.l_shipdate AS xs,
+               l.l_shipdate + to_days(CAST(l.l_quantity AS INT) % 30) AS xe,
+               o.o_orderdate AS ys,
+               o.o_orderdate + to_days(30) AS ye
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    """
+    return allen_relation_census_oracle_sql(pairs, "xs", "xe", "ys", "ye")
+
+
+def profile_monotonicity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-direction census (operators/profile.monotonicity_profile):
+    per-user event streams ordered by (ts, event_id), adjacent-pair
+    rise/flat/drop counts and a monotonicity verdict for the timestamp
+    epoch and the value column — the DQ check before trusting as-of /
+    incremental logic. ONE key-shuffle window pass, 1-row-per-column
+    output."""
+    from aleph2_contrib_spark.operators.profile import monotonicity_profile
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.col("ts").cast("timestamp").cast("long").alias("ts_epoch"),
+        "value",
+    )
+    return monotonicity_profile(
+        ev, "user_id", ["ts", "event_id"], ["ts_epoch", "value"]
+    )
+
+
+def _monotonicity_oracle() -> str:
+    from aleph2_contrib_spark.operators.profile import (
+        monotonicity_profile_oracle_sql,
+    )
+
+    rows = (
+        "SELECT user_id, event_id, ts,"
+        " CAST(epoch(CAST(ts AS TIMESTAMP)) AS BIGINT) AS ts_epoch,"
+        " value FROM events"
+    )
+    return monotonicity_profile_oracle_sql(
+        rows, "user_id", ["ts", "event_id"], ["ts_epoch", "value"]
+    )
+
+
+def similarity_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized-retrieval shortlist: top-5 nearest candidates per
+    anchor (vec_id ≤ 8) by EXACT INTEGER dot product of int8 codes
+    (operators/similarity.quantize_embeddings_int8 — FAISS-SQ8 form).
+    The production middle tier between the binary sign-hamming
+    shortlist and full-precision rerank: 4× smaller vectors, integer
+    SIMD-able arithmetic, and — because the codes and the dot are exact
+    integers — an engine-exact gate with no float tolerance. The 8
+    anchor code arrays are a bounded driver collect rebuilt as a
+    LITERAL exploded array (8× narrow row multiplier, no cross join)."""
+    from aleph2_contrib_spark.operators.similarity import (
+        quantize_embeddings_int8,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") == 64)
+    )
+    codes = quantize_embeddings_int8(emb, "embedding", "vec_id").filter(
+        F.col("q_max_abs") > 0.0
+    )
+    anchors = sorted(
+        (r["vec_id"], list(r["q8"]))
+        for r in codes.filter(F.col("vec_id") <= 8).collect()
+    )
+    a_lit = F.array(
+        *[
+            F.struct(
+                F.lit(aid).alias("aid"),
+                F.array(*[F.lit(int(x)) for x in aq]).alias("aq"),
+            )
+            for aid, aq in anchors
+        ]
+    )
+    ex = codes.select("vec_id", "q8", F.explode(a_lit).alias("a")).filter(
+        F.col("vec_id") != F.col("a.aid")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("q8"), F.col("a.aq"), lambda x, y: (x * y).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+    scored = ex.select(
+        F.col("a.aid").alias("anchor_id"),
+        "vec_id",
+        dot.alias("dot_q8"),
+    )
+    w = W.partitionBy("anchor_id").orderBy(F.col("dot_q8").desc(), "vec_id")
+    return (
+        scored.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= 5)
+        .select("anchor_id", "vec_id", "dot_q8")
+    )
+
+
+def _int8_topk_oracle() -> str:
+    return """
+WITH base AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+           list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                   x -> abs(x))) AS m
+    FROM embeddings
+    WHERE embedding IS NOT NULL AND len(embedding) = 64
+), q AS (
+    SELECT vec_id,
+           list_transform(v, x -> greatest(-127, least(127,
+               CAST(floor(x * 127.0 / m) AS INT)))) AS q8
+    FROM base WHERE m > 0
+), pairs AS (
+    SELECT a.vec_id AS anchor_id, b.vec_id,
+           CAST(list_sum(list_transform(range(1, 65),
+               i -> CAST(a.q8[i] AS BIGINT) * b.q8[i])) AS BIGINT) AS dot_q8
+    FROM q a JOIN q b ON a.vec_id <= 8 AND b.vec_id <> a.vec_id
+), ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY anchor_id ORDER BY dot_q8 DESC, vec_id) AS r
+    FROM pairs
+)
+SELECT anchor_id, vec_id, dot_q8 FROM ranked WHERE r <= 5
+"""
+
+
+def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source n-gram overlap matrix (operators/dedup.
+    cross_source_overlap): distinct shared 4-grams + asymmetric
+    containment ppm for every source pair of the documents table — the
+    pre-mix census that sizes cross-source dedup and catches mirror
+    contamination. Hot shingles (> 32 sources) fenced out exactly like
+    the SSJoin hot-shingle cap; grams cross the shuffle as md5-16
+    keys."""
+    from aleph2_contrib_spark.operators.dedup import cross_source_overlap
+
+    docs = _t(spark, sf_dir, "documents")
+    return cross_source_overlap(docs, "text", "source", n=4)
+
+
+def _cross_source_matrix_oracle() -> str:
+    from aleph2_contrib_spark.operators.dedup import (
+        cross_source_overlap_oracle_sql,
+    )
+
+    return cross_source_overlap_oracle_sql(
+        "SELECT source AS src, text FROM documents", n=4
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver gate grades the FIRST 50 entries
     # each round. The literal below keeps its historical grouping; the
@@ -7189,6 +7396,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_key_discovery": profile_key_discovery,
         "events_seasonal_index": events_seasonal_index,
         "events_sequential_rules": events_sequential_rules,
+        "graph_rectangles": graph_rectangles,
+        "events_allen_relations": events_allen_relations,
+        "profile_monotonicity": profile_monotonicity,
+        "similarity_int8_topk": similarity_int8_topk,
+        "dedup_cross_source_matrix": dedup_cross_source_matrix,
         "window_distribution_ranks": window_distribution_ranks,
         "unpivot_order_metrics": unpivot_order_metrics,
         "graph_path_counts": graph_path_counts,
@@ -7458,14 +7670,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_avi_codec",
         "text_script_mix",
         "text_vocab_drift",
-        # (deferred to round 11, HEAD of that window: the thirteen
+        # (deferred to round 11, HEAD of that window: the eighteen
         #  r10-new never-driver-checked gates — events_changepoint,
         #  similarity_random_projection, text_kn_lm_counts,
         #  window_distribution_ranks, unpivot_order_metrics,
         #  graph_path_counts, graph_betweenness,
         #  corpus_boilerplate_affixes, text_rouge_l,
         #  similarity_hamming_topk, profile_key_discovery,
-        #  events_seasonal_index, events_sequential_rules —
+        #  events_seasonal_index, events_sequential_rules,
+        #  graph_rectangles, events_allen_relations,
+        #  profile_monotonicity, similarity_int8_topk,
+        #  dedup_cross_source_matrix —
         #  then the 12 remaining r4 rows —
         #  sketch_quantile_by_group, sketch_quantile_hist,
         #  stats_percentiles, text_bigram_rarity, text_char_pairs,
@@ -9986,6 +10201,11 @@ def oracle_sql() -> dict[str, str]:
         "profile_key_discovery": _key_discovery_oracle(),
         "events_seasonal_index": _seasonal_index_oracle(),
         "events_sequential_rules": _sequential_rules_oracle(),
+        "graph_rectangles": _rectangles_oracle(),
+        "events_allen_relations": _allen_relations_oracle(),
+        "profile_monotonicity": _monotonicity_oracle(),
+        "similarity_int8_topk": _int8_topk_oracle(),
+        "dedup_cross_source_matrix": _cross_source_matrix_oracle(),
         "graph_path_counts": _path_counts_oracle(),
         "graph_betweenness": _betweenness_oracle(),
         "unpivot_order_metrics": """

@@ -1542,3 +1542,132 @@ SELECT a.id AS id_a, b.id AS id_b, CAST(b.idx - a.idx AS BIGINT) AS rank_dist
 FROM ranked a JOIN ranked b
   ON b.idx - a.idx BETWEEN 1 AND {int(window)}
 """
+
+
+def cross_source_overlap(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    n: int = 4,
+    max_sources_per_shingle: int = 32,
+) -> DataFrame:
+    """Cross-source n-gram overlap matrix — "how much of corpus A is
+    also in corpus B", the census a training-data pipeline runs before
+    mixing sources (Common Crawl vs curated web vs code) to size the
+    cross-source dedup problem and catch upstream mirror contamination
+    BEFORE committing to mix weights.
+
+    For every unordered source pair that shares at least one distinct
+    word n-gram:
+
+        (source_a, source_b, shared_shingles, total_a, total_b,
+         containment_ppm)
+
+    shared_shingles = |shingles(A) ∩ shingles(B)| (distinct grams),
+    total_x = |shingles(X)|, containment_ppm = (shared · 1e6) div
+    min(total_a, total_b) — the asymmetric-containment form of overlap
+    (a small corpus fully mirrored inside a big one scores 1e6, where
+    plain Jaccard would hide it). All exact integers / truncating
+    division.
+
+    Shingles present in MORE THAN ``max_sources_per_shingle`` sources
+    are excluded everywhere (shared counts AND totals) — they are
+    boilerplate by definition and would otherwise make every pair look
+    related; the cutoff is a deterministic rule mirrored exactly by the
+    oracle, the same hot-key fence the SSJoin prefix filter uses.
+
+    Plan shape at 100 TB: one explode + distinct on (gram_key, source)
+    — the gram crosses the shuffle as a 16-hex md5 key, not the string
+    — one groupBy(gram) to count sources (the cap filter), a self-join
+    of the CAPPED postings on gram_key (fan-out bounded by the cap per
+    gram), one groupBy(pair), and a broadcast totals join (sources are
+    few). Never all-pairs on documents; no Python.
+    """
+    from aleph2_contrib_spark.operators.corpus import word_ngrams
+
+    postings = (
+        df.select(
+            F.col(source_col).alias("src"),
+            F.explode(word_ngrams(F.col(text_col), n)).alias("gram"),
+        )
+        .select("src", F.substring(F.md5("gram"), 1, 16).alias("gk"))
+        .distinct()
+    )
+    eligible = (
+        postings.groupBy("gk")
+        .agg(F.count(F.lit(1)).alias("ns"))
+        .filter(F.col("ns") <= max_sources_per_shingle)
+    )
+    capped = postings.join(eligible.select("gk"), "gk")
+    totals = capped.groupBy("src").agg(F.count(F.lit(1)).alias("total"))
+    a, b = capped.alias("a"), capped.alias("b")
+    shared = (
+        a.join(b, F.col("a.gk") == F.col("b.gk"))
+        .filter(F.col("a.src") < F.col("b.src"))
+        .groupBy(
+            F.col("a.src").alias("source_a"), F.col("b.src").alias("source_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared_shingles"))
+    )
+    ta = totals.select(F.col("src").alias("source_a"), F.col("total").alias("total_a"))
+    tb = totals.select(F.col("src").alias("source_b"), F.col("total").alias("total_b"))
+    return (
+        shared.join(F.broadcast(ta), "source_a")
+        .join(F.broadcast(tb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            F.col("shared_shingles").cast("long").alias("shared_shingles"),
+            F.col("total_a").cast("long").alias("total_a"),
+            F.col("total_b").cast("long").alias("total_b"),
+            F.expr(
+                "CAST((shared_shingles * 1000000) div least(total_a, total_b) AS BIGINT)"
+            ).alias("containment_ppm"),
+        )
+    )
+
+
+def cross_source_overlap_oracle_sql(
+    docs_sql: str,
+    n: int = 4,
+    max_sources_per_shingle: int = 32,
+) -> str:
+    """DuckDB replica of :func:`cross_source_overlap`. ``docs_sql``
+    yields (src, text). Identical tokenization (lower, whitespace
+    split), identical md5-16 gram keys, identical cap and truncating
+    division."""
+    gram_parts = ", ".join(f"t[i + {j}]" for j in range(n))
+    return f"""
+WITH d AS (
+    SELECT src,
+           string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+    FROM ({docs_sql})
+    WHERE text IS NOT NULL AND trim(text) <> ''
+), g AS (
+    SELECT src, unnest(list_transform(range(1, len(t) - {n} + 2),
+               i -> concat_ws(' ', {gram_parts}))) AS gram
+    FROM d WHERE len(t) >= {n}
+), p AS (
+    SELECT DISTINCT src, substr(md5(gram), 1, 16) AS gk FROM g
+), elig AS (
+    SELECT gk FROM p GROUP BY gk
+    HAVING count(*) <= {max_sources_per_shingle}
+), capped AS (
+    SELECT p.src, p.gk FROM p JOIN elig USING (gk)
+), tot AS (
+    SELECT src, count(*) AS total FROM capped GROUP BY src
+), shared AS (
+    SELECT a.src AS source_a, b.src AS source_b, count(*) AS shared_shingles
+    FROM capped a JOIN capped b ON a.gk = b.gk AND a.src < b.src
+    GROUP BY 1, 2
+)
+SELECT s.source_a, s.source_b,
+       CAST(s.shared_shingles AS BIGINT) AS shared_shingles,
+       CAST(ta.total AS BIGINT) AS total_a,
+       CAST(tb.total AS BIGINT) AS total_b,
+       CAST((s.shared_shingles * 1000000) // least(ta.total, tb.total)
+            AS BIGINT) AS containment_ppm
+FROM shared s
+JOIN tot ta ON ta.src = s.source_a
+JOIN tot tb ON tb.src = s.source_b
+"""

@@ -2096,3 +2096,109 @@ SELECT l2.antecedent, l2.consequent,
 FROM l2 JOIN l1 ON l2.antecedent = l1.antecedent
 WHERE l2.support >= {int(min_support)}
 """
+
+
+_ALLEN_LADDER = (
+    # (name, predicate template over xs/xe/ys/ye) — evaluated IN ORDER,
+    # first match wins; the ladder is exhaustive for xs<=xe, ys<=ye
+    ("precedes", "{xe} < {ys}"),
+    ("meets", "{xe} = {ys}"),
+    ("overlaps", "{xs} < {ys} AND {ys} < {xe} AND {xe} < {ye}"),
+    ("finished_by", "{xs} < {ys} AND {xe} = {ye}"),
+    ("contains", "{xs} < {ys} AND {xe} > {ye}"),
+    ("starts", "{xs} = {ys} AND {xe} < {ye}"),
+    ("equals", "{xs} = {ys} AND {xe} = {ye}"),
+    ("started_by", "{xs} = {ys} AND {xe} > {ye}"),
+    ("during", "{xs} > {ys} AND {xe} < {ye}"),
+    ("finishes", "{xs} > {ys} AND {xe} = {ye}"),
+    ("overlapped_by", "{ys} < {xs} AND {xs} < {ye} AND {ye} < {xe}"),
+    ("met_by", "{xs} = {ye}"),
+    ("preceded_by", "{xs} > {ye}"),
+)
+
+
+def _allen_case(xs: str, xe: str, ys: str, ye: str) -> str:
+    arms = " ".join(
+        f"WHEN {pred.format(xs=xs, xe=xe, ys=ys, ye=ye)} THEN '{name}'"
+        for name, pred in _ALLEN_LADDER
+    )
+    return f"CASE {arms} END"
+
+
+def allen_relation_census(
+    pairs: DataFrame,
+    xs: str,
+    xe: str,
+    ys: str,
+    ye: str,
+) -> DataFrame:
+    """Census of Allen's 13 interval relations (Allen 1983,
+    "Maintaining knowledge about temporal intervals", CACM 26(11))
+    over an ALREADY-PAIRED interval table — each input row carries one
+    X interval [xs, xe] and one Y interval [ys, ye], normally produced
+    by a key-scoped equi-join (never an all-pairs product; the caller
+    owns the pairing and its scale story).
+
+    Returns one row per observed relation:
+
+        (relation, n, share_ppm)
+
+    share_ppm = (n · 1e6) div total — truncating integer division, so
+    the shares are engine-exact. The relation is decided by a fixed
+    CASE ladder (first match wins) that is mutually exclusive and
+    exhaustive for well-formed intervals (start ≤ end on both sides);
+    degenerate point intervals (start = end) classify deterministically
+    through the same ladder order on both engines. Rows where any bound
+    is NULL fall out (CASE yields NULL → dropped).
+
+    The interval-algebra QA complement to ``merge_intervals`` /
+    ``interval joins``: instead of producing the overlap set it
+    characterizes HOW two interval families relate (did shipments fall
+    inside their order windows, straddle them, or miss them entirely)
+    — the census a pipeline checks before trusting a point-in-interval
+    enrichment.
+
+    Plan shape: one pure-Column classification pass, ONE 13-bucket
+    groupBy, plus a 1-row total broadcast — O(13) output regardless of
+    input size.
+    """
+    rel = F.expr(_allen_case(xs, xe, ys, ye)).alias("relation")
+    c = (
+        pairs.select(rel)
+        .filter(F.col("relation").isNotNull())
+        .groupBy("relation")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = c.agg(F.sum("n").alias("__tot"))
+    return (
+        c.join(F.broadcast(tot))
+        .select(
+            "relation",
+            F.col("n").cast("long").alias("n"),
+            F.expr("CAST((n * 1000000) div __tot AS BIGINT)").alias(
+                "share_ppm"
+            ),
+        )
+    )
+
+
+def allen_relation_census_oracle_sql(
+    pairs_sql: str, xs: str, xe: str, ys: str, ye: str
+) -> str:
+    """DuckDB replica of :func:`allen_relation_census` — the IDENTICAL
+    CASE ladder (generated from the same table), identical truncating
+    division. ``pairs_sql`` yields one row per (X, Y) interval pair."""
+    case = _allen_case(xs, xe, ys, ye)
+    return f"""
+WITH p AS (
+    SELECT {case} AS relation FROM ({pairs_sql})
+), c AS (
+    SELECT relation, count(*) AS n FROM p
+    WHERE relation IS NOT NULL GROUP BY relation
+), t AS (
+    SELECT sum(n) AS tot FROM c
+)
+SELECT c.relation, CAST(c.n AS BIGINT) AS n,
+       CAST((c.n * 1000000) // t.tot AS BIGINT) AS share_ppm
+FROM c, t
+"""

@@ -2868,3 +2868,133 @@ def betweenness_sampled(
             F.lit(len(sources)).cast("int").alias("n_sources"),
         )
     )
+
+
+def rectangle_count(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Exact global 4-cycle (rectangle) count over an undirected graph —
+    the quadrilateral complement to :func:`triangle_count`, and the
+    motif that dominates bipartite-ish interaction graphs (user-item,
+    author-paper) where triangles are structurally rare.
+
+    Algorithm: Chiba–Nishizeki ordered 2-paths (C4 counting from
+    "Arboricity and subgraph listing algorithms", SIAM J. Comput. 1985,
+    restated for dataflow). Rank vertices by (degree DESC, id ASC); call
+    u ≺ v when u ranks earlier (higher degree, ties to smaller id).
+    Enumerate 2-paths u→v→w where BOTH v ≻ u and w ≻ u (u is the
+    earliest vertex of the path). Each 4-cycle has a unique earliest
+    vertex u and a unique opposite corner w, and its two middles are
+    exactly the middles of two such 2-paths, so
+
+        C4 = Σ_{(u,w)} C(p_uw, 2),   p_uw = # ordered 2-paths u→·→w.
+
+    The ordering is what bounds the blow-up: expanding only edges (u,v)
+    with v LATER (i.e. deg(v) ≤ deg(u)) charges each undirected edge
+    O(min(deg(u), deg(v))) work, and Σ_E min-degree ≤ 2·m^1.5 — hubs
+    never fan out from their own adjacency, they are only reached as
+    later endpoints. A naive wedge join would pay Σ deg² (hub-quadratic).
+
+    Input edges may be directed/duplicated/self-looped; canonicalized
+    (distinct unordered pairs, loops dropped) first. Returns one row
+    (n_vertices, n_edges, n_paths2, n_rectangles) — all exact integers
+    (n_paths2 = the enumerated ordered-2-path total, the cost witness).
+
+    Plan: one distinct (canonicalize), one groupBy (degrees), two slim
+    joins to attach ranks, the bounded path join, one (u,w) groupBy,
+    one global agg. The symmetric adjacency and degree tables are
+    persisted — both feed two plan branches.
+    """
+    from pyspark import StorageLevel
+
+    a = F.least(F.col(src_col), F.col(dst_col)).alias("a")
+    b = F.greatest(F.col(src_col), F.col(dst_col)).alias("b")
+    e = (
+        edges.select(a, b)
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sym = e.select(F.col("a").alias("x"), F.col("b").alias("y")).unionByName(
+        e.select(F.col("b").alias("x"), F.col("a").alias("y"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    deg = sym.groupBy(F.col("x").alias("n")).agg(
+        F.count(F.lit(1)).alias("d")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # first hop u→v with v ≻ u (v later: smaller degree, ties to larger id)
+    e1 = (
+        sym.join(deg.select(F.col("n").alias("x"), F.col("d").alias("du")), "x")
+        .join(deg.select(F.col("n").alias("y"), F.col("d").alias("dv")), "y")
+        .filter(
+            (F.col("dv") < F.col("du"))
+            | ((F.col("dv") == F.col("du")) & (F.col("y") > F.col("x")))
+        )
+        .select(F.col("x").alias("u"), F.col("y").alias("v"), "du")
+    )
+    # second hop v→w over ALL neighbors w of v, kept only when w ≻ u —
+    # per-edge work = deg(v) = min-endpoint degree (the CN bound)
+    p2 = (
+        e1.join(sym.select(F.col("x").alias("v"), F.col("y").alias("w")), "v")
+        .join(deg.select(F.col("n").alias("w"), F.col("d").alias("dw")), "w")
+        .filter(
+            (F.col("w") != F.col("u"))
+            & (
+                (F.col("dw") < F.col("du"))
+                | ((F.col("dw") == F.col("du")) & (F.col("w") > F.col("u")))
+            )
+        )
+        .select("u", "w")
+    )
+    pc = p2.groupBy("u", "w").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        deg.agg(F.count(F.lit(1)).alias("n_vertices"))
+        .join(e.agg(F.count(F.lit(1)).alias("n_edges")))
+        .join(
+            pc.agg(
+                F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_paths2"),
+                F.coalesce(
+                    F.sum(F.expr("(c * (c - 1)) div 2")), F.lit(0)
+                ).cast("long").alias("n_rectangles"),
+            )
+        )
+        .select("n_vertices", "n_edges", "n_paths2", "n_rectangles")
+    )
+
+
+def rectangle_count_oracle_sql(edge_sql: str) -> str:
+    """DuckDB replica of :func:`rectangle_count` — identical ordered
+    2-path enumeration over an ``e(s, d)`` CTE supplied by ``edge_sql``
+    (same rank: degree DESC, ties to smaller id first)."""
+    return f"""
+WITH {edge_sql},
+adj AS (
+    SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+    FROM e WHERE s <> d
+), sym AS (
+    SELECT a AS x, b AS y FROM adj UNION ALL SELECT b, a FROM adj
+), deg AS (
+    SELECT x AS n, count(*) AS d FROM sym GROUP BY x
+), e1 AS (
+    SELECT s1.x AS u, s1.y AS v, du.d AS du
+    FROM sym s1
+    JOIN deg du ON du.n = s1.x
+    JOIN deg dv ON dv.n = s1.y
+    WHERE dv.d < du.d OR (dv.d = du.d AND s1.y > s1.x)
+), p2 AS (
+    SELECT e1.u, s2.y AS w
+    FROM e1
+    JOIN sym s2 ON s2.x = e1.v
+    JOIN deg dw ON dw.n = s2.y
+    WHERE s2.y <> e1.u
+      AND (dw.d < e1.du OR (dw.d = e1.du AND s2.y > e1.u))
+), pc AS (
+    SELECT u, w, count(*) AS c FROM p2 GROUP BY u, w
+)
+SELECT (SELECT count(*) FROM deg) AS n_vertices,
+       (SELECT count(*) FROM adj) AS n_edges,
+       CAST(coalesce((SELECT sum(c) FROM pc), 0) AS BIGINT) AS n_paths2,
+       CAST(coalesce((SELECT sum((c * (c - 1)) // 2) FROM pc), 0) AS BIGINT)
+           AS n_rectangles
+"""

@@ -1593,3 +1593,125 @@ def key_discovery_oracle_sql(table: str, cols: list[str]) -> str:
         for c in cols
     ]
     return " UNION ALL ".join(parts)
+
+
+def monotonicity_profile(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    value_cols: list[str],
+) -> DataFrame:
+    """Per-column sequence-direction census — the data-quality check a
+    pipeline runs on columns EXPECTED to be monotone within a key
+    (event timestamps per user, version counters per entity, running
+    balances per account) before trusting incremental/as-of logic built
+    on that assumption.
+
+    Rows are ordered within each ``key_col`` group by ``order_cols``
+    (pass a unique tiebreaker last — e.g. the event id — so the
+    sequence, and therefore every adjacent pair, is identical on both
+    engines). For each profiled column, over all ADJACENT pairs where
+    both sides are non-null:
+
+        (column, n_pairs, n_rises, n_flat, n_drops, drop_ppm, verdict)
+
+    verdict ∈ non_decreasing | non_increasing | constant | mixed —
+    decided purely from the exact pair counts (constant when all flat,
+    non_decreasing when no drops, non_increasing when no rises).
+    drop_ppm = (n_drops · 1e6) div n_pairs, truncating division.
+    NULL-adjacent pairs are excluded from all counts (a NULL is a
+    missing reading, not an inversion).
+
+    Plan shape at 100 TB: ONE key shuffle (the lag window over
+    key/order), then a 1-row-per-column global aggregate — partial
+    aggregation makes the census map-side; no joins, no second shuffle.
+    The k profiled columns ride the same window pass.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(*[F.col(c) for c in order_cols])
+    lagged = df.select(
+        *[
+            x
+            for c in value_cols
+            for x in (
+                F.col(c).alias(f"__v_{c}"),
+                F.lag(F.col(c)).over(w).alias(f"__p_{c}"),
+            )
+        ]
+    )
+    aggs = []
+    for c in value_cols:
+        v, p = F.col(f"__v_{c}"), F.col(f"__p_{c}")
+        ok = v.isNotNull() & p.isNotNull()
+        aggs += [
+            F.sum(ok.cast("long")).alias(f"__n_{c}"),
+            F.sum((ok & (v > p)).cast("long")).alias(f"__r_{c}"),
+            F.sum((ok & (v == p)).cast("long")).alias(f"__f_{c}"),
+            F.sum((ok & (v < p)).cast("long")).alias(f"__d_{c}"),
+        ]
+    wide = lagged.agg(*aggs)
+    longs = []
+    for c in value_cols:
+        n, r = F.col(f"__n_{c}"), F.col(f"__r_{c}")
+        fl, d = F.col(f"__f_{c}"), F.col(f"__d_{c}")
+        longs.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.coalesce(n, F.lit(0)).cast("long").alias("n_pairs"),
+                F.coalesce(r, F.lit(0)).cast("long").alias("n_rises"),
+                F.coalesce(fl, F.lit(0)).cast("long").alias("n_flat"),
+                F.coalesce(d, F.lit(0)).cast("long").alias("n_drops"),
+                F.when(n > 0, F.expr(f"CAST((__d_{c} * 1000000) div __n_{c} AS BIGINT)"))
+                .otherwise(F.lit(0).cast("long"))
+                .alias("drop_ppm"),
+                F.when((n > 0) & (fl == n), F.lit("constant"))
+                .when((n > 0) & (d == 0), F.lit("non_decreasing"))
+                .when((n > 0) & (r == 0), F.lit("non_increasing"))
+                .otherwise(F.lit("mixed"))
+                .alias("verdict"),
+            )
+        )
+    return wide.select(F.explode(F.array(*longs)).alias("m")).select("m.*")
+
+
+def monotonicity_profile_oracle_sql(
+    table_sql: str,
+    key_col: str,
+    order_cols: list[str],
+    value_cols: list[str],
+) -> str:
+    """DuckDB replica of :func:`monotonicity_profile` — identical lag
+    windows, identical truncating division and verdict ladder."""
+    order_by = ", ".join(order_cols)
+    lag_cols = ", ".join(
+        f"lag({c}) OVER (PARTITION BY {key_col} ORDER BY {order_by}) AS p_{c}"
+        for c in value_cols
+    )
+    arms = []
+    for c in value_cols:
+        arms.append(
+            f"SELECT '{c}' AS \"column\","
+            f" CAST(coalesce(sum(CASE WHEN {c} IS NOT NULL AND p_{c} IS NOT NULL THEN 1 END), 0) AS BIGINT) AS n_pairs,"
+            f" CAST(coalesce(sum(CASE WHEN {c} > p_{c} THEN 1 END), 0) AS BIGINT) AS n_rises,"
+            f" CAST(coalesce(sum(CASE WHEN {c} = p_{c} THEN 1 END), 0) AS BIGINT) AS n_flat,"
+            f" CAST(coalesce(sum(CASE WHEN {c} < p_{c} THEN 1 END), 0) AS BIGINT) AS n_drops"
+            f" FROM lagged"
+        )
+    unions = " UNION ALL ".join(arms)
+    return f"""
+WITH lagged AS (
+    SELECT *, {lag_cols} FROM ({table_sql})
+), census AS (
+    {unions}
+)
+SELECT "column", n_pairs, n_rises, n_flat, n_drops,
+       CASE WHEN n_pairs > 0
+            THEN CAST((n_drops * 1000000) // n_pairs AS BIGINT)
+            ELSE CAST(0 AS BIGINT) END AS drop_ppm,
+       CASE WHEN n_pairs > 0 AND n_flat = n_pairs THEN 'constant'
+            WHEN n_pairs > 0 AND n_drops = 0 THEN 'non_decreasing'
+            WHEN n_pairs > 0 AND n_rises = 0 THEN 'non_increasing'
+            ELSE 'mixed' END AS verdict
+FROM census
+"""

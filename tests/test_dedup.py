@@ -550,3 +550,34 @@ def test_sorted_neighborhood_oracle_matches(spark, tmp_path):
     )
     want = {tuple(x) for x in duckdb.sql(sql).fetchall()}
     assert got == want and len(got) > 0
+
+
+def test_cross_source_overlap_matrix(spark):
+    from pyspark.sql import Row
+
+    from aleph2_contrib_spark.operators.dedup import cross_source_overlap
+
+    docs = spark.createDataFrame(
+        [
+            Row(source="A", text="w1 w2 w3 w4 w5"),
+            Row(source="B", text="w1  W2 w3 w4 x"),  # whitespace/case-normalized
+            Row(source="C", text="z1 z2 z3 z4"),
+            Row(source="C", text=None),
+        ]
+    )
+    out = {
+        (r.source_a, r.source_b): (
+            r.shared_shingles,
+            r.total_a,
+            r.total_b,
+            r.containment_ppm,
+        )
+        for r in cross_source_overlap(docs, "text", "source", n=4).collect()
+    }
+    # A and B share exactly the gram "w1 w2 w3 w4"; C shares nothing
+    assert out == {("A", "B"): (1, 2, 2, 500_000)}
+    # cap = 1: the shared gram lives in 2 sources -> fenced out, no pairs
+    empty = cross_source_overlap(
+        docs, "text", "source", n=4, max_sources_per_shingle=1
+    ).collect()
+    assert empty == []

@@ -1520,3 +1520,67 @@ def test_sequential_rules_hand_confidence(spark):
     assert r.conf_ppm == 2 * 1_000_000 // 4
     # the reversed rule: 3 users with purchase; only u=3 views after
     assert ("purchase", "view") not in out  # support 1 < min_support
+
+
+def test_allen_ladder_exclusive_and_exhaustive():
+    """Every ordered bound combination lands in exactly one ladder arm
+    (well-formed intervals): the CASE is a partition of the pair space."""
+    import itertools
+
+    from aleph2_contrib_spark.operators.events import _ALLEN_LADDER
+
+    def matches(xs, xe, ys, ye):
+        env = {"xs": xs, "xe": xe, "ys": ys, "ye": ye}
+        hits = []
+        for name, pred in _ALLEN_LADDER:
+            py = (
+                pred.format(xs="xs", xe="xe", ys="ys", ye="ye")
+                .replace("AND", "and")
+                .replace("=", "==")
+                .replace("<==", "<=")
+                .replace(">==", ">=")
+            )
+            if eval(py, {}, env):  # noqa: S307 - test-local arithmetic
+                hits.append(name)
+        return hits
+
+    # enumerate all interval pairs over a 5-point domain (incl. points)
+    for xs, xe in itertools.combinations_with_replacement(range(5), 2):
+        for ys, ye in itertools.combinations_with_replacement(range(5), 2):
+            hits = matches(xs, xe, ys, ye)
+            assert len(hits) >= 1, (xs, xe, ys, ye)
+            # first-match-wins makes the ladder deterministic even where
+            # degenerate point intervals satisfy several predicates; for
+            # PROPER intervals the match must be unique
+            if xs < xe and ys < ye:
+                assert len(hits) == 1, (xs, xe, ys, ye, hits)
+
+
+def test_allen_census_counts_and_shares(spark):
+    from pyspark.sql import Row
+
+    from aleph2_contrib_spark.operators.events import allen_relation_census
+
+    rows = [
+        Row(xs=1, xe=2, ys=3, ye=4),   # precedes
+        Row(xs=1, xe=3, ys=3, ye=4),   # meets
+        Row(xs=1, xe=3, ys=2, ye=4),   # overlaps
+        Row(xs=2, xe=3, ys=1, ye=4),   # during
+        Row(xs=1, xe=4, ys=1, ye=4),   # equals
+        Row(xs=5, xe=6, ys=1, ye=2),   # preceded_by
+        Row(xs=None, xe=1, ys=0, ye=2),  # NULL bound -> dropped
+    ]
+    out = {
+        r.relation: (r.n, r.share_ppm)
+        for r in allen_relation_census(
+            spark.createDataFrame(rows), "xs", "xe", "ys", "ye"
+        ).collect()
+    }
+    assert out == {
+        "precedes": (1, 166666),
+        "meets": (1, 166666),
+        "overlaps": (1, 166666),
+        "during": (1, 166666),
+        "equals": (1, 166666),
+        "preceded_by": (1, 166666),
+    }

@@ -1208,3 +1208,55 @@ def test_betweenness_distributed_matches_driver(spark):
     dist_s = {r.node: (r.dist, r.sigma) for r in shortest_path_counts(
         edges, seeds, max_depth=3, driver_cap_edges=0).collect()}
     assert drv_s == dist_s and len(drv_s) > 2
+
+
+def test_rectangle_count_known_shapes(spark):
+    from pyspark.sql import Row
+
+    from aleph2_contrib_spark.operators.graph import rectangle_count
+
+    def c4(pairs):
+        df = spark.createDataFrame([Row(src=a, dst=b) for a, b in pairs])
+        return rectangle_count(df).collect()[0]
+
+    # a single square has exactly one 4-cycle
+    sq = c4([(1, 2), (2, 3), (3, 4), (4, 1)])
+    assert (sq.n_vertices, sq.n_edges, sq.n_rectangles) == (4, 4, 1)
+    # K4: choose 2 diagonal pairs -> 3 rectangles
+    k4 = c4([(a, b) for a in range(4) for b in range(a + 1, 4)])
+    assert k4.n_rectangles == 3
+    # a triangle has none; duplicates/self-loops/direction are canonicalized
+    tri = c4([(1, 2), (2, 1), (2, 3), (3, 1), (1, 1)])
+    assert (tri.n_edges, tri.n_rectangles) == (3, 0)
+
+
+def test_rectangle_count_matches_brute_force_random(spark):
+    import itertools
+    import random
+
+    from pyspark.sql import Row
+
+    from aleph2_contrib_spark.operators.graph import rectangle_count
+
+    rng = random.Random(42)
+    for _ in range(3):
+        n = rng.randint(5, 10)
+        pairs = [
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(rng.randint(4, n * 2))
+        ]
+        adj = {i: set() for i in range(n)}
+        for a, b in pairs:
+            if a != b:
+                adj[a].add(b)
+                adj[b].add(a)
+        want = (
+            sum(
+                len(adj[u] & adj[v]) * (len(adj[u] & adj[v]) - 1) // 2
+                for u, v in itertools.combinations(range(n), 2)
+            )
+            // 2
+        )
+        df = spark.createDataFrame([Row(src=a, dst=b) for a, b in pairs])
+        got = rectangle_count(df).collect()[0].n_rectangles
+        assert got == want, (pairs, got, want)

@@ -883,3 +883,28 @@ def test_key_discovery_verdicts(spark):
     # all-distinct among non-nulls but a NULL row: not a key
     assert not out["nullable"].is_key
     assert out["nullable"].n_nonnull == 2 and out["nullable"].n_rows == 3
+
+
+def test_monotonicity_profile_verdicts(spark):
+    from pyspark.sql import Row
+
+    from aleph2_contrib_spark.operators.profile import monotonicity_profile
+
+    rows = [
+        Row(k="a", o=1, up=1, down=9, mixed=1, flat=7),
+        Row(k="a", o=2, up=2, down=8, mixed=None, flat=7),
+        Row(k="a", o=3, up=2, down=7, mixed=1, flat=7),
+        Row(k="b", o=1, up=5, down=5, mixed=5, flat=7),
+        Row(k="b", o=2, up=9, down=1, mixed=4, flat=7),
+    ]
+    out = {
+        r.column: (r.n_pairs, r.n_rises, r.n_flat, r.n_drops, r.drop_ppm, r.verdict)
+        for r in monotonicity_profile(
+            spark.createDataFrame(rows), "k", ["o"], ["up", "down", "mixed", "flat"]
+        ).collect()
+    }
+    assert out["up"] == (3, 2, 1, 0, 0, "non_decreasing")
+    assert out["down"] == (3, 0, 0, 3, 1_000_000, "non_increasing")
+    # NULL-adjacent pairs drop out entirely (only b's 5->4 pair survives)
+    assert out["mixed"] == (1, 0, 0, 1, 1_000_000, "non_increasing")
+    assert out["flat"] == (3, 0, 3, 0, 0, "constant")
