@@ -7299,6 +7299,109 @@ def _cross_source_matrix_oracle() -> str:
     )
 
 
+def events_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-contiguity CEP pattern match (operators/events.
+    cep_strict_sequence — Flink next()-semantics replayed as one window
+    pass): per user, count of click→view→purchase runs with NO event in
+    between and the whole run inside 7 days. ONE key shuffle, lead()
+    comparisons, no state machine."""
+    from aleph2_contrib_spark.operators.events import cep_strict_sequence
+
+    ev = _t(spark, sf_dir, "events")
+    return cep_strict_sequence(
+        ev,
+        "user_id",
+        "ts",
+        "event_type",
+        "event_id",
+        ["click", "view", "purchase"],
+        within_seconds=7 * 86400,
+    ).withColumnRenamed("key", "user_id")
+
+
+def _cep_pattern_oracle() -> str:
+    from aleph2_contrib_spark.operators.events import (
+        cep_strict_sequence_oracle_sql,
+    )
+
+    rows = (
+        "SELECT user_id AS key, ts, event_type AS typ, event_id AS id"
+        " FROM events"
+    )
+    return cep_strict_sequence_oracle_sql(
+        rows, ["click", "view", "purchase"], 7 * 86400, key_out="user_id"
+    )
+
+
+def text_encoding_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-anomaly census (operators/text.encoding_anomaly_census):
+    U+FFFD / C0-control / NBSP / zero-width counts per source with exact
+    bad-doc ppm. The clean synthetic corpus is salted deterministically
+    (doc_id % 5 appends one anomaly class) on BOTH engines — same
+    injection discipline as the script-mix gate — so every counter and
+    the ppm path is exercised."""
+    from aleph2_contrib_spark.operators.text import encoding_anomaly_census
+
+    salt = F.element_at(
+        F.array(
+            F.lit(""),
+            F.lit("�"),
+            F.lit("  "),
+            F.lit(""),
+            F.lit("​"),
+        ),
+        (F.col("doc_id") % 5).cast("int") + 1,
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        "source", F.concat(F.col("text"), salt).alias("text")
+    )
+    return encoding_anomaly_census(docs, "text", "source")
+
+
+def _encoding_anomalies_oracle() -> str:
+    from aleph2_contrib_spark.operators.text import (
+        encoding_anomaly_census_oracle_sql,
+    )
+
+    rows = """
+        SELECT source AS grp,
+               text || CASE CAST(doc_id % 5 AS INT)
+                    WHEN 1 THEN chr(65533)
+                    WHEN 2 THEN chr(160) || chr(160)
+                    WHEN 3 THEN chr(7)
+                    WHEN 4 THEN chr(8203)
+                    ELSE '' END AS text
+        FROM documents
+    """
+    return encoding_anomaly_census_oracle_sql(rows, group_out="source")
+
+
+def graph_diameter_2sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Double-sweep diameter lower bound (operators/graph.
+    diameter_two_sweep — Magnien/Latapy/Habib 2009): two deterministic
+    BFS waves over the sampled co-purchase graph, farthest-node ties to
+    the smallest id, eccentricities capped identically on both engines.
+    One row, exact integers."""
+    from aleph2_contrib_spark.operators.graph import diameter_two_sweep
+
+    return diameter_two_sweep(_copurchase_simple_edges(spark, sf_dir), max_iters=8)
+
+
+def _diameter_2sweep_oracle() -> str:
+    from aleph2_contrib_spark.operators.graph import diameter_two_sweep_oracle_sql
+
+    return diameter_two_sweep_oracle_sql(
+        """li AS (
+    SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 13 = 0
+), e AS (
+    SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d
+    FROM li a JOIN li b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+)""",
+        max_iters=8,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver gate grades the FIRST 50 entries
     # each round. The literal below keeps its historical grouping; the
@@ -7401,6 +7504,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_monotonicity": profile_monotonicity,
         "similarity_int8_topk": similarity_int8_topk,
         "dedup_cross_source_matrix": dedup_cross_source_matrix,
+        "events_cep_pattern": events_cep_pattern,
+        "text_encoding_anomalies": text_encoding_anomalies,
+        "graph_diameter_2sweep": graph_diameter_2sweep,
         "window_distribution_ranks": window_distribution_ranks,
         "unpivot_order_metrics": unpivot_order_metrics,
         "graph_path_counts": graph_path_counts,
@@ -7670,7 +7776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_avi_codec",
         "text_script_mix",
         "text_vocab_drift",
-        # (deferred to round 11, HEAD of that window: the eighteen
+        # (deferred to round 11, HEAD of that window: the twenty-one
         #  r10-new never-driver-checked gates — events_changepoint,
         #  similarity_random_projection, text_kn_lm_counts,
         #  window_distribution_ranks, unpivot_order_metrics,
@@ -7680,7 +7786,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #  events_seasonal_index, events_sequential_rules,
         #  graph_rectangles, events_allen_relations,
         #  profile_monotonicity, similarity_int8_topk,
-        #  dedup_cross_source_matrix —
+        #  dedup_cross_source_matrix, events_cep_pattern,
+        #  text_encoding_anomalies, graph_diameter_2sweep —
         #  then the 12 remaining r4 rows —
         #  sketch_quantile_by_group, sketch_quantile_hist,
         #  stats_percentiles, text_bigram_rarity, text_char_pairs,
@@ -10206,6 +10313,9 @@ def oracle_sql() -> dict[str, str]:
         "profile_monotonicity": _monotonicity_oracle(),
         "similarity_int8_topk": _int8_topk_oracle(),
         "dedup_cross_source_matrix": _cross_source_matrix_oracle(),
+        "events_cep_pattern": _cep_pattern_oracle(),
+        "text_encoding_anomalies": _encoding_anomalies_oracle(),
+        "graph_diameter_2sweep": _diameter_2sweep_oracle(),
         "graph_path_counts": _path_counts_oracle(),
         "graph_betweenness": _betweenness_oracle(),
         "unpivot_order_metrics": """

@@ -2202,3 +2202,87 @@ SELECT c.relation, CAST(c.n AS BIGINT) AS n,
        CAST((c.n * 1000000) // t.tot AS BIGINT) AS share_ppm
 FROM c, t
 """
+
+
+def cep_strict_sequence(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    id_col: str,
+    pattern: Sequence[str],
+    within_seconds: int,
+) -> DataFrame:
+    """Strict-contiguity CEP pattern matching — the batch replay of the
+    Storm/Flink-style complex-event-processing contract the reference's
+    streaming topologies serve (enrichment topology consuming typed
+    event streams; reference SparkScalaInterpreterTopology /
+    OutputBolt ack flow): count, per key, the positions where the next
+    ``len(pattern)`` events in the key's (ts, id) total order are
+    EXACTLY the pattern types, in order, with no other event between
+    them (strict contiguity — Flink's ``next()``, not
+    ``followedBy()``), and the whole match fits inside
+    ``within_seconds`` (first event to last event).
+
+    Returns (key, n_matches) for keys with ≥ 1 match, n_matches exact.
+
+    Strictness matters: relaxed (skip-till-next-match) semantics are
+    :func:`sequential_patterns`'s territory and explode combinatorially;
+    strict contiguity is a pure window expression — no joins, no state
+    machine, ONE key shuffle for the ordered window, then lead()
+    comparisons fold the pattern test into each row. At 100 TB this is
+    a single window pass over the event log regardless of pattern
+    length.
+    """
+    if len(pattern) < 2:
+        raise ValueError("pattern needs >= 2 steps")
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col), F.col(id_col))
+    t = F.col(type_col)
+    conds = t == pattern[0]
+    for i, step in enumerate(pattern[1:], start=1):
+        conds = conds & (F.lead(t, i).over(w) == step)
+    last_ts = F.lead(F.col(ts_col), len(pattern) - 1).over(w)
+    span_ok = (
+        last_ts.cast("timestamp").cast("long")
+        - F.col(ts_col).cast("timestamp").cast("long")
+    ) <= int(within_seconds)
+    return (
+        df.select(F.col(key_col).alias("key"), (conds & span_ok).alias("__m"))
+        .filter(F.col("__m"))
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_matches"))
+    )
+
+
+def cep_strict_sequence_oracle_sql(
+    rows_sql: str,
+    pattern: Sequence[str],
+    within_seconds: int,
+    key_out: str = "key",
+) -> str:
+    """DuckDB replica of :func:`cep_strict_sequence`. ``rows_sql``
+    yields (key, ts, typ, id); identical lead() windows and epoch
+    arithmetic."""
+    leads = ", ".join(
+        f"lead(typ, {i}) OVER w AS t{i}" for i in range(1, len(pattern))
+    )
+    conds = " AND ".join(
+        [f"typ = '{pattern[0]}'"]
+        + [f"t{i} = '{p}'" for i, p in enumerate(pattern[1:], start=1)]
+    )
+    k = len(pattern) - 1
+    return f"""
+WITH o AS (
+    SELECT key, ts, typ,
+           {leads},
+           lead(ts, {k}) OVER w AS ts_last
+    FROM ({rows_sql})
+    WINDOW w AS (PARTITION BY key ORDER BY ts, id)
+)
+SELECT key AS {key_out}, CAST(count(*) AS BIGINT) AS n_matches
+FROM o
+WHERE {conds}
+  AND epoch(CAST(ts_last AS TIMESTAMP)) - epoch(CAST(ts AS TIMESTAMP))
+      <= {int(within_seconds)}
+GROUP BY key
+"""

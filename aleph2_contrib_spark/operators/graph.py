@@ -2998,3 +2998,111 @@ SELECT (SELECT count(*) FROM deg) AS n_vertices,
        CAST(coalesce((SELECT sum((c * (c - 1)) // 2) FROM pc), 0) AS BIGINT)
            AS n_rectangles
 """
+
+
+def diameter_two_sweep(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iters: int = 8,
+) -> DataFrame:
+    """Double-sweep diameter lower bound (the classic 2-BFS heuristic —
+    Magnien/Latapy/Habib 2009, "Fast computation of empirically tight
+    bounds for the diameter of massive graphs"): BFS from a fixed start,
+    jump to the farthest node found, BFS again — the second
+    eccentricity is a lower bound on the true diameter that is exact on
+    trees and empirically tight on real graphs, at the cost of TWO BFS
+    passes instead of all-pairs.
+
+    Deterministic everywhere a heuristic normally has freedom: the
+    first seed is the smallest node id; the farthest node ties break to
+    the smallest id; eccentricities are capped at ``max_iters`` on both
+    engines (a cap hit means "≥ cap", identically). Edges are followed
+    as given — pass a symmetric edge table for undirected semantics.
+    Reaches only the seed's component (disconnected graphs have no
+    finite diameter; profile components first with
+    ``connected_components``).
+
+    Returns ONE row: (seed1, ecc1, seed2, ecc2, diameter_lb) —
+    diameter_lb = max(ecc1, ecc2), all exact integers.
+
+    Plan shape: two :func:`bfs_levels` waves (per round: one frontier
+    equi-join + one min-groupBy), and the farthest-node pick is a
+    1-row TakeOrdered, kept lazy via a 1-row broadcast join — no driver
+    collect in the lineage.
+    """
+    from pyspark import StorageLevel
+
+    # the edge table feeds the seed pick plus both BFS sweeps (each of
+    # which probes it more than once) — persist ONCE here or every
+    # branch re-runs the caller's edge-building join
+    edges = edges.select(F.col(src_col), F.col(dst_col)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    nodes = (
+        edges.select(F.col(src_col).alias("node"))
+        .unionByName(edges.select(F.col(dst_col).alias("node")))
+    )
+    seed1 = nodes.agg(F.min("node").alias("node"))
+    # l1 feeds three branches (farthest pick, ecc1, the pick again in
+    # the output row) — persist so the first BFS runs once
+    l1 = bfs_levels(edges, seed1, src_col, dst_col, max_iters=max_iters).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    seed2 = l1.orderBy(F.col("level").desc(), F.col("node").asc()).limit(1)
+    l2 = bfs_levels(
+        edges,
+        seed2.select("node"),
+        src_col,
+        dst_col,
+        max_iters=max_iters,
+    )
+    return (
+        seed1.select(F.col("node").alias("seed1"))
+        .join(l1.agg(F.max("level").cast("int").alias("ecc1")))
+        .join(seed2.select(F.col("node").alias("seed2")))
+        .join(l2.agg(F.max("level").cast("int").alias("ecc2")))
+        .select(
+            "seed1",
+            "ecc1",
+            "seed2",
+            "ecc2",
+            F.greatest("ecc1", "ecc2").cast("int").alias("diameter_lb"),
+        )
+    )
+
+
+def diameter_two_sweep_oracle_sql(edge_sql: str, max_iters: int = 8) -> str:
+    """DuckDB replica of :func:`diameter_two_sweep` over an ``e(s, d)``
+    CTE from ``edge_sql`` — recursive-CTE BFS waves with UNION dedup
+    (bounded by nodes × levels), identical seed and tie rules."""
+    return f"""
+WITH RECURSIVE {edge_sql},
+nodes AS (
+    SELECT s AS n FROM e UNION SELECT d FROM e
+), seed1 AS (
+    SELECT min(n) AS n FROM nodes
+), w1(node, lvl) AS (
+    SELECT n, 0 FROM seed1
+    UNION
+    SELECT e.d, w1.lvl + 1 FROM w1 JOIN e ON e.s = w1.node
+    WHERE w1.lvl < {int(max_iters)}
+), l1 AS (
+    SELECT node, min(lvl) AS lvl FROM w1 GROUP BY node
+), s2 AS (
+    SELECT node FROM l1 ORDER BY lvl DESC, node ASC LIMIT 1
+), w2(node, lvl) AS (
+    SELECT node, 0 FROM s2
+    UNION
+    SELECT e.d, w2.lvl + 1 FROM w2 JOIN e ON e.s = w2.node
+    WHERE w2.lvl < {int(max_iters)}
+), l2 AS (
+    SELECT node, min(lvl) AS lvl FROM w2 GROUP BY node
+)
+SELECT (SELECT n FROM seed1) AS seed1,
+       CAST((SELECT max(lvl) FROM l1) AS INT) AS ecc1,
+       (SELECT node FROM s2) AS seed2,
+       CAST((SELECT max(lvl) FROM l2) AS INT) AS ecc2,
+       CAST(greatest((SELECT max(lvl) FROM l1),
+                     (SELECT max(lvl) FROM l2)) AS INT) AS diameter_lb
+"""

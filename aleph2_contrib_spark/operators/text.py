@@ -1593,3 +1593,132 @@ def rouge_l_scores(
             " (lcs_len * 1000000) div n_ref_tokens ELSE NULL END AS BIGINT)"
         ).alias("rouge_l_recall_f6"),
     )
+
+
+_ANOMALY_CHARS = {
+    # counted one replace() each — cheap, exact, and regex-free so the
+    # two engines cannot diverge on regex dialect
+    "repl_chars": "�",   # U+FFFD replacement char: decode damage
+    "nbsp_chars": " ",   # NBSP: copy-paste / HTML extraction residue
+    "zwsp_chars": "​",   # zero-width space: invisible token splitter
+}
+
+# C0 control chars except \t \n \r — one regex class, identical in Java
+# regex and RE2 (plain ranges, no dialect-specific syntax)
+_CTRL_CLASS = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]"
+
+
+def encoding_anomaly_census(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Encoding-anomaly census per corpus slice — the mojibake screen a
+    text pipeline runs on every new source before tokenization:
+    replacement characters (U+FFFD) mean an upstream decoder already
+    destroyed bytes, stray C0 control characters mean binary bleed,
+    NBSP/zero-width characters silently split or glue tokens. Counts
+    are exact per group:
+
+        (group, n_docs, n_docs_bad, repl_chars, ctrl_chars,
+         nbsp_chars, zwsp_chars, bad_ppm)
+
+    n_docs_bad = docs containing ANY counted anomaly; bad_ppm =
+    (n_docs_bad · 1e6) div n_docs, truncating. NULL texts count toward
+    n_docs only (nothing to scan — they are a different DQ problem,
+    `profile.null_patterns`' territory).
+
+    Per-char counts use length(t) − length(replace(t, ch)) — scalar
+    string ops, no regex; the control-char class is the one regex, a
+    plain range class with identical semantics in Java regex and RE2.
+
+    Plan shape: one narrow expression pass + ONE groupBy(group) with
+    map-side partial agg — no joins, no windows, no Python.
+    """
+    t = F.col(text_col)
+    counts = {
+        name: F.when(
+            t.isNotNull(), F.length(t) - F.length(F.replace(t, F.lit(ch)))
+        ).otherwise(F.lit(0))
+        for name, ch in _ANOMALY_CHARS.items()
+    }
+    counts["ctrl_chars"] = F.when(
+        t.isNotNull(),
+        F.length(t) - F.length(F.regexp_replace(t, _CTRL_CLASS, "")),
+    ).otherwise(F.lit(0))
+    per_row = df.select(
+        F.col(group_col).alias("grp"),
+        *[c.cast("long").alias(n) for n, c in counts.items()],
+    )
+    any_bad = (
+        (F.col("repl_chars") + F.col("ctrl_chars") + F.col("nbsp_chars") + F.col("zwsp_chars"))
+        > 0
+    )
+    agg = per_row.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(any_bad.cast("long")).cast("long").alias("n_docs_bad"),
+        *[
+            F.sum(n).cast("long").alias(n)
+            for n in ("repl_chars", "ctrl_chars", "nbsp_chars", "zwsp_chars")
+        ],
+    )
+    return agg.select(
+        F.col("grp").alias(group_col),
+        "n_docs",
+        "n_docs_bad",
+        "repl_chars",
+        "ctrl_chars",
+        "nbsp_chars",
+        "zwsp_chars",
+        F.expr("CAST((n_docs_bad * 1000000) div n_docs AS BIGINT)").alias(
+            "bad_ppm"
+        ),
+    )
+
+
+def encoding_anomaly_census_oracle_sql(
+    rows_sql: str, group_out: str = "source"
+) -> str:
+    """DuckDB replica of :func:`encoding_anomaly_census`. ``rows_sql``
+    yields (grp, text). Identical replace()/regexp class, identical
+    truncating division."""
+    per = []
+    for name, ch in _ANOMALY_CHARS.items():
+        esc = f"chr({ord(ch)})"
+        per.append(
+            f"CASE WHEN text IS NOT NULL THEN"
+            f" length(text) - length(replace(text, {esc}, ''))"
+            f" ELSE 0 END AS {name}"
+        )
+    per.append(
+        "CASE WHEN text IS NOT NULL THEN length(text)"
+        f" - length(regexp_replace(text, '{_CTRL_CLASS}', '', 'g'))"
+        " ELSE 0 END AS ctrl_chars"
+    )
+    cols = ",\n           ".join(per)
+    return f"""
+WITH per_row AS (
+    SELECT grp,
+           {cols}
+    FROM ({rows_sql})
+), agg AS (
+    SELECT grp,
+           count(*) AS n_docs,
+           sum(CASE WHEN repl_chars + ctrl_chars + nbsp_chars + zwsp_chars > 0
+                    THEN 1 ELSE 0 END) AS n_docs_bad,
+           sum(repl_chars) AS repl_chars,
+           sum(ctrl_chars) AS ctrl_chars,
+           sum(nbsp_chars) AS nbsp_chars,
+           sum(zwsp_chars) AS zwsp_chars
+    FROM per_row GROUP BY grp
+)
+SELECT grp AS {group_out},
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_docs_bad AS BIGINT) AS n_docs_bad,
+       CAST(repl_chars AS BIGINT) AS repl_chars,
+       CAST(ctrl_chars AS BIGINT) AS ctrl_chars,
+       CAST(nbsp_chars AS BIGINT) AS nbsp_chars,
+       CAST(zwsp_chars AS BIGINT) AS zwsp_chars,
+       CAST((n_docs_bad * 1000000) // n_docs AS BIGINT) AS bad_ppm
+FROM agg
+"""

@@ -1584,3 +1584,36 @@ def test_allen_census_counts_and_shares(spark):
         "equals": (1, 166666),
         "preceded_by": (1, 166666),
     }
+
+
+def test_cep_strict_sequence_contiguity_and_window(spark):
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from aleph2_contrib_spark.operators.events import cep_strict_sequence
+
+    rows = [
+        # u1: clean click->view->purchase inside window
+        Row(k="u1", ts=100, typ="click", i=1),
+        Row(k="u1", ts=200, typ="view", i=2),
+        Row(k="u1", ts=300, typ="purchase", i=3),
+        # u2: interleaved error breaks strict contiguity
+        Row(k="u2", ts=100, typ="click", i=4),
+        Row(k="u2", ts=200, typ="error", i=5),
+        Row(k="u2", ts=300, typ="view", i=6),
+        Row(k="u2", ts=400, typ="purchase", i=7),
+        # u3: contiguous but span exceeds the window
+        Row(k="u3", ts=100, typ="click", i=8),
+        Row(k="u3", ts=200, typ="view", i=9),
+        Row(k="u3", ts=5000, typ="purchase", i=10),
+    ]
+    df = spark.createDataFrame(rows).select(
+        "k", F.col("ts").cast("timestamp").alias("ts"), "typ", "i"
+    )
+    out = {
+        r.key: r.n_matches
+        for r in cep_strict_sequence(
+            df, "k", "ts", "typ", "i", ["click", "view", "purchase"], 1000
+        ).collect()
+    }
+    assert out == {"u1": 1}

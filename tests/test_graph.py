@@ -1260,3 +1260,22 @@ def test_rectangle_count_matches_brute_force_random(spark):
         df = spark.createDataFrame([Row(src=a, dst=b) for a, b in pairs])
         got = rectangle_count(df).collect()[0].n_rectangles
         assert got == want, (pairs, got, want)
+
+
+def test_diameter_two_sweep_path_and_cycle(spark):
+    from pyspark.sql import Row
+
+    from aleph2_contrib_spark.operators.graph import diameter_two_sweep
+
+    def sym(pairs):
+        both = pairs + [(b, a) for a, b in pairs]
+        return spark.createDataFrame([Row(src=a, dst=b) for a, b in both])
+
+    # path 1-2-3-4-5: exact on trees
+    r = diameter_two_sweep(sym([(1, 2), (2, 3), (3, 4), (4, 5)])).collect()[0]
+    assert (r.seed1, r.ecc1, r.seed2, r.ecc2, r.diameter_lb) == (1, 4, 5, 4, 4)
+    # 6-cycle: diameter 3, farthest-from-1 ties (node 4 at distance 3)
+    c = diameter_two_sweep(
+        sym([(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 1)])
+    ).collect()[0]
+    assert (c.seed1, c.ecc1, c.seed2, c.ecc2, c.diameter_lb) == (1, 3, 4, 3, 3)

@@ -63,6 +63,9 @@ INTENTIONAL_BNLJ = {
     "graph_global_stats",          # three 1-row scalar aggregates joined 1x1x1
     "events_active_users",         # covered-days x 1-row broadcast max-day cut
     "text_source_similarity",      # group-sized signature self-join (groups << rows)
+    "graph_rectangles",            # three 1-row global counts joined 1x1x1
+    "graph_diameter_2sweep",       # four 1-row scalars (seeds/eccs) joined 1x1x1x1
+    "events_allen_relations",      # ≤13 relation rows x 1-row broadcast total
 }
 
 

@@ -237,3 +237,30 @@ def test_kneser_ney_property_vs_python_reference(spark):
             assert out[w].n_right_types == right.get(w, 0)
 
     run()
+
+
+def test_encoding_anomaly_census_counts(spark):
+    from pyspark.sql import Row
+
+    from aleph2_contrib_spark.operators.text import encoding_anomaly_census
+
+    rows = [
+        Row(source="a", text="clean text"),
+        Row(source="a", text="bad �� here"),
+        Row(source="a", text="ctrl \x07 and nbsp  "),
+        Row(source="b", text="zw​sp"),
+        Row(source="b", text=None),
+        # tab/newline are NOT control anomalies
+        Row(source="b", text="ok\tstill\nok"),
+    ]
+    out = {
+        r.source: (
+            r.n_docs, r.n_docs_bad, r.repl_chars, r.ctrl_chars,
+            r.nbsp_chars, r.zwsp_chars, r.bad_ppm,
+        )
+        for r in encoding_anomaly_census(
+            spark.createDataFrame(rows), "text", "source"
+        ).collect()
+    }
+    assert out["a"] == (3, 2, 2, 1, 1, 0, 666_666)
+    assert out["b"] == (3, 1, 0, 0, 0, 1, 333_333)
