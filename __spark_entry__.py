@@ -7186,7 +7186,7 @@ def _monotonicity_oracle() -> str:
 
     rows = (
         "SELECT user_id, event_id, ts,"
-        " CAST(epoch(CAST(ts AS TIMESTAMP)) AS BIGINT) AS ts_epoch,"
+        " CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS ts_epoch,"
         " value FROM events"
     )
     return monotonicity_profile_oracle_sql(
@@ -7402,6 +7402,154 @@ def _diameter_2sweep_oracle() -> str:
     )
 
 
+def similarity_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka prefix-dimension recall audit (Kusupati et al. 2022,
+    "Matryoshka Representation Learning"): how much of the exact
+    64-dim top-10 does a 16-dim PREFIX ranking recover, per anchor
+    (vec_id ≤ 5)? The go/no-go measurement before shipping truncated
+    embeddings as a cheap first retrieval stage. Scores are f6
+    fixed-point integer dot products (floor(x·1e6) per component,
+    int64 Σ) so both rankings and the overlap are engine-exact; ties
+    break (score DESC, vec_id). Output (anchor_id, n_overlap,
+    recall_ppm). Anchors ride as literals — no cross join; ONE scoring
+    pass computes both dots."""
+    emb = _t(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") == 64)
+    )
+    f6 = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.floor(x * F.lit(1_000_000.0)).cast("long"),
+        ).alias("v6"),
+    )
+    anchors = sorted(
+        (r["vec_id"], list(r["v6"]))
+        for r in f6.filter(F.col("vec_id") <= 5).collect()
+    )
+    a_lit = F.array(
+        *[
+            F.struct(
+                F.lit(aid).alias("aid"),
+                F.array(*[F.lit(int(x)) for x in av]).alias("av"),
+            )
+            for aid, av in anchors
+        ]
+    )
+    ex = f6.select("vec_id", "v6", F.explode(a_lit).alias("a")).filter(
+        F.col("vec_id") != F.col("a.aid")
+    )
+
+    def _dot(xs, ys):
+        return F.aggregate(
+            F.zip_with(xs, ys, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + t,
+        )
+
+    scored = ex.select(
+        F.col("a.aid").alias("anchor_id"),
+        "vec_id",
+        _dot(F.col("v6"), F.col("a.av")).alias("dot_full"),
+        _dot(F.slice(F.col("v6"), 1, 16), F.slice(F.col("a.av"), 1, 16)).alias(
+            "dot_pre"
+        ),
+    )
+    wf = W.partitionBy("anchor_id").orderBy(F.col("dot_full").desc(), "vec_id")
+    wp = W.partitionBy("anchor_id").orderBy(F.col("dot_pre").desc(), "vec_id")
+    ranked = scored.select(
+        "anchor_id",
+        "vec_id",
+        (F.row_number().over(wf) <= 10).alias("in_full"),
+        (F.row_number().over(wp) <= 10).alias("in_pre"),
+    )
+    return (
+        ranked.filter(F.col("in_full") & F.col("in_pre"))
+        .groupBy("anchor_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
+        .select(
+            "anchor_id",
+            "n_overlap",
+            F.expr("CAST((n_overlap * 1000000) div 10 AS BIGINT)").alias(
+                "recall_ppm"
+            ),
+        )
+    )
+
+
+def _matryoshka_recall_oracle() -> str:
+    return """
+WITH f6 AS (
+    SELECT vec_id,
+           list_transform(CAST(embedding AS DOUBLE[]),
+                          x -> CAST(floor(x * 1000000.0) AS BIGINT)) AS v6
+    FROM embeddings
+    WHERE embedding IS NOT NULL AND len(embedding) = 64
+), pairs AS (
+    SELECT a.vec_id AS anchor_id, b.vec_id,
+           list_sum(list_transform(range(1, 65),
+               i -> a.v6[i] * b.v6[i])) AS dot_full,
+           list_sum(list_transform(range(1, 17),
+               i -> a.v6[i] * b.v6[i])) AS dot_pre
+    FROM f6 a JOIN f6 b ON a.vec_id <= 5 AND b.vec_id <> a.vec_id
+), ranked AS (
+    SELECT anchor_id, vec_id,
+           row_number() OVER (PARTITION BY anchor_id
+                              ORDER BY dot_full DESC, vec_id) AS rf,
+           row_number() OVER (PARTITION BY anchor_id
+                              ORDER BY dot_pre DESC, vec_id) AS rp
+    FROM pairs
+)
+SELECT anchor_id,
+       CAST(count(*) AS BIGINT) AS n_overlap,
+       CAST((count(*) * 1000000) // 10 AS BIGINT) AS recall_ppm
+FROM ranked WHERE rf <= 10 AND rp <= 10
+GROUP BY anchor_id
+"""
+
+
+def join_asof_nearest_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional as-of join (operators/joins.asof_join_directional —
+    the full pandas merge_asof surface): each purchase matched to the
+    NEAREST click of the same user within ±3 days, exact-tie preferring
+    the past. Union + two ordered-window fills over ONE (key, ts)
+    shuffle — never a pair join."""
+    from aleph2_contrib_spark.operators.joins import asof_join_directional
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    out = asof_join_directional(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        direction="nearest",
+        tolerance_seconds=3 * 86400,
+    )
+    return out.select("user_id", "event_id", "matched_epoch")
+
+
+def _asof_nearest_oracle() -> str:
+    from aleph2_contrib_spark.operators.joins import asof_directional_oracle_sql
+
+    left = (
+        "SELECT user_id, event_id,"
+        " CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS ts_epoch"
+        " FROM events WHERE event_type = 'purchase'"
+    )
+    right = (
+        "SELECT user_id,"
+        " CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS ts_epoch"
+        " FROM events WHERE event_type = 'click'"
+    )
+    return asof_directional_oracle_sql(
+        left, right, "user_id", "nearest", 3 * 86400, ["event_id"]
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver gate grades the FIRST 50 entries
     # each round. The literal below keeps its historical grouping; the
@@ -7507,6 +7655,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cep_pattern": events_cep_pattern,
         "text_encoding_anomalies": text_encoding_anomalies,
         "graph_diameter_2sweep": graph_diameter_2sweep,
+        "similarity_matryoshka_recall": similarity_matryoshka_recall,
+        "join_asof_nearest_tolerance": join_asof_nearest_tolerance,
         "window_distribution_ranks": window_distribution_ranks,
         "unpivot_order_metrics": unpivot_order_metrics,
         "graph_path_counts": graph_path_counts,
@@ -7776,7 +7926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_avi_codec",
         "text_script_mix",
         "text_vocab_drift",
-        # (deferred to round 11, HEAD of that window: the twenty-one
+        # (deferred to round 11, HEAD of that window: the twenty-three
         #  r10-new never-driver-checked gates — events_changepoint,
         #  similarity_random_projection, text_kn_lm_counts,
         #  window_distribution_ranks, unpivot_order_metrics,
@@ -7787,7 +7937,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #  graph_rectangles, events_allen_relations,
         #  profile_monotonicity, similarity_int8_topk,
         #  dedup_cross_source_matrix, events_cep_pattern,
-        #  text_encoding_anomalies, graph_diameter_2sweep —
+        #  text_encoding_anomalies, graph_diameter_2sweep,
+        #  similarity_matryoshka_recall, join_asof_nearest_tolerance —
         #  then the 12 remaining r4 rows —
         #  sketch_quantile_by_group, sketch_quantile_hist,
         #  stats_percentiles, text_bigram_rarity, text_char_pairs,
@@ -10316,6 +10467,8 @@ def oracle_sql() -> dict[str, str]:
         "events_cep_pattern": _cep_pattern_oracle(),
         "text_encoding_anomalies": _encoding_anomalies_oracle(),
         "graph_diameter_2sweep": _diameter_2sweep_oracle(),
+        "similarity_matryoshka_recall": _matryoshka_recall_oracle(),
+        "join_asof_nearest_tolerance": _asof_nearest_oracle(),
         "graph_path_counts": _path_counts_oracle(),
         "graph_betweenness": _betweenness_oracle(),
         "unpivot_order_metrics": """

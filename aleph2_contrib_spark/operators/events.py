@@ -2282,7 +2282,7 @@ WITH o AS (
 SELECT key AS {key_out}, CAST(count(*) AS BIGINT) AS n_matches
 FROM o
 WHERE {conds}
-  AND epoch(CAST(ts_last AS TIMESTAMP)) - epoch(CAST(ts AS TIMESTAMP))
-      <= {int(within_seconds)}
+  AND floor(epoch(CAST(ts_last AS TIMESTAMP)))
+      - floor(epoch(CAST(ts AS TIMESTAMP))) <= {int(within_seconds)}
 GROUP BY key
 """

@@ -734,3 +734,151 @@ FROM ({left_sql}) l JOIN ({right_sql}) r
   ON l.lv IS NOT NULL AND r.rv IS NOT NULL
  AND abs(r.rv - l.lv) <= {int(eps)}
 """
+
+
+def asof_join_directional(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str | None = None,
+    direction: str = "backward",
+    tolerance_seconds: int | None = None,
+) -> DataFrame:
+    """As-of join with DIRECTION — the full pandas ``merge_asof``
+    surface (backward / forward / nearest) for the epoch-seconds
+    domain, returning each left row plus ``matched_epoch`` (the chosen
+    right timestamp as a BIGINT epoch, NULL when nothing qualifies).
+
+    * backward: latest right ≤ left (inclusive) — :func:`asof_join`'s
+      semantics, restated here in the epoch domain.
+    * forward: earliest right ≥ left (inclusive).
+    * nearest: whichever of the two candidates has the smaller
+      |gap|; an exact tie prefers the BACKWARD candidate (documented —
+      a tie means both sides are equally fresh, and preferring the
+      past never leaks the future into point-in-time features).
+
+    ``tolerance_seconds`` (optional) nulls out candidates farther than
+    the tolerance in the match direction BEFORE the nearest-pick, so a
+    one-sided miss still falls back to the other side.
+
+    Implementation: the same union + ordered-window formulation as
+    :func:`asof_join` — ONE shuffle on (key, ts), a backward
+    last(ignorenulls) fill and a forward first(ignorenulls) fill over
+    the same sorted partition, never a pair join. Equal timestamps are
+    inclusive in BOTH directions (right rows sort before left for the
+    backward fill; the forward fill's frame starts at the current row
+    and right rows at the same ts are reachable because the frame is
+    ordered by (ts, side) with left first only for lookahead — see the
+    per-direction orderings below).
+    """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown direction: {direction}")
+    right_ts = right_ts or left_ts
+    on = list(on)
+    l = left.select(
+        *left.columns,
+        F.col(left_ts).cast("timestamp").cast("long").alias("__ts"),
+        F.lit(1).alias("__side"),
+    )
+    r = right.select(
+        *on,
+        F.col(right_ts).cast("timestamp").cast("long").alias("__ts"),
+        F.lit(0).alias("__side"),
+    )
+    u = l.unionByName(r, allowMissingColumns=True)
+    # backward: right rows (side 0) sort BEFORE left at equal ts -> the
+    # frame [unbounded, current] includes the equal-ts right row
+    wb = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # forward: same physical sort; the frame [current, unbounded]
+    # still reaches an equal-ts right row ONLY if it sorts at-or-after
+    # the left row, so order (ts, side DESC) for this fill — Spark
+    # allows a different orderBy per window over one shuffle because
+    # both orderings share the (key, ts) sort prefix and side is tiny
+    wf = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__ts").asc(), F.col("__side").desc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    r_ts = F.when(F.col("__side") == 0, F.col("__ts"))
+    u = u.withColumn("__back", F.last(r_ts, ignorenulls=True).over(wb)).withColumn(
+        "__fwd", F.first(r_ts, ignorenulls=True).over(wf)
+    )
+    out = u.filter(F.col("__side") == 1)
+    back, fwd, ts = F.col("__back"), F.col("__fwd"), F.col("__ts")
+    if tolerance_seconds is not None:
+        tol = F.lit(int(tolerance_seconds))
+        back = F.when(ts - back <= tol, back)
+        fwd = F.when(fwd - ts <= tol, fwd)
+    if direction == "backward":
+        chosen = back
+    elif direction == "forward":
+        chosen = fwd
+    else:
+        chosen = (
+            F.when(back.isNull(), fwd)
+            .when(fwd.isNull(), back)
+            .when(fwd - ts < ts - back, fwd)
+            .otherwise(back)  # tie -> backward
+        )
+    return out.select(*left.columns, chosen.cast("long").alias("matched_epoch"))
+
+
+def asof_directional_oracle_sql(
+    left_sql: str,
+    right_sql: str,
+    key: str,
+    direction: str,
+    tolerance_seconds: int | None,
+    out_cols: Sequence[str],
+) -> str:
+    """DuckDB replica of :func:`asof_join_directional`. ``left_sql``
+    yields (key, ts_epoch BIGINT, *out_cols); ``right_sql`` yields
+    (key, ts_epoch). Identical union + two-window formulation and
+    tie rule."""
+    cols = ", ".join(out_cols)
+    tol_back = (
+        f"CASE WHEN __ts - __back <= {int(tolerance_seconds)} THEN __back END"
+        if tolerance_seconds is not None
+        else "__back"
+    )
+    tol_fwd = (
+        f"CASE WHEN __fwd - __ts <= {int(tolerance_seconds)} THEN __fwd END"
+        if tolerance_seconds is not None
+        else "__fwd"
+    )
+    if direction == "backward":
+        chosen = "b2"
+    elif direction == "forward":
+        chosen = "f2"
+    else:
+        chosen = (
+            "CASE WHEN b2 IS NULL THEN f2 WHEN f2 IS NULL THEN b2 "
+            "WHEN f2 - __ts < __ts - b2 THEN f2 ELSE b2 END"
+        )
+    return f"""
+WITH l AS ({left_sql}), r AS ({right_sql}),
+u AS (
+    SELECT {key}, ts_epoch AS __ts, 1 AS __side, {cols} FROM l
+    UNION ALL BY NAME
+    SELECT {key}, ts_epoch AS __ts, 0 AS __side FROM r
+), filled AS (
+    SELECT *,
+           last_value(CASE WHEN __side = 0 THEN __ts END IGNORE NULLS)
+               OVER (PARTITION BY {key} ORDER BY __ts ASC, __side ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS __back,
+           first_value(CASE WHEN __side = 0 THEN __ts END IGNORE NULLS)
+               OVER (PARTITION BY {key} ORDER BY __ts ASC, __side DESC
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS __fwd
+    FROM u
+), tol AS (
+    SELECT *, {tol_back} AS b2, {tol_fwd} AS f2 FROM filled WHERE __side = 1
+)
+SELECT {key}, {cols}, CAST({chosen} AS BIGINT) AS matched_epoch FROM tol
+"""

@@ -512,3 +512,39 @@ def test_grid_radius_join_oracle_matches(spark, tmp_path):
     )
     want = {tuple(x) for x in duckdb.sql(sql).fetchall()}
     assert got == want and len(got) > 0
+
+
+def test_asof_directional_semantics(spark):
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from aleph2_contrib_spark.operators.joins import asof_join_directional
+
+    def ts(s):
+        return s  # epoch-seconds ints cast inside the operator
+
+    left = spark.createDataFrame(
+        [Row(k="a", i=1, t=100), Row(k="a", i=2, t=205), Row(k="a", i=3, t=300)]
+    ).select("k", "i", F.col("t").cast("timestamp").alias("t"))
+    right = spark.createDataFrame(
+        [Row(k="a", t=90), Row(k="a", t=110), Row(k="a", t=300)]
+    ).select("k", F.col("t").cast("timestamp").alias("t"))
+
+    def run(direction, tol=None):
+        return {
+            r.i: r.matched_epoch
+            for r in asof_join_directional(
+                left, right, ["k"], "t",
+                direction=direction, tolerance_seconds=tol,
+            ).collect()
+        }
+
+    # backward: latest right <= left (inclusive at 300)
+    assert run("backward") == {1: 90, 2: 110, 3: 300}
+    # forward: earliest right >= left (inclusive at 300)
+    assert run("forward") == {1: 110, 2: 300, 3: 300}
+    # nearest: i=1 gap back 10 == gap fwd 10 -> tie prefers backward;
+    # i=2 back gap 95 < fwd gap 95 -> tie -> backward (110)
+    assert run("nearest") == {1: 90, 2: 110, 3: 300}
+    # tolerance 15: i=2's backward candidate (gap 95) dies both ways
+    assert run("nearest", tol=15) == {1: 90, 2: None, 3: 300}
