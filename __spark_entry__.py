@@ -7550,6 +7550,73 @@ def _asof_nearest_oracle() -> str:
     )
 
 
+def multimodal_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual dHash over REAL PNG payloads (operators/multimodal.
+    image_dhash): each document becomes the deterministic truecolor PNG
+    of the png-codec gate (w = 5 + doc_id%4, h = 4 + doc_id%3, gray
+    (doc_id·37 + k·11)%256), round-trips the in-repo zlib PNG decoder,
+    then the Krawetz difference-hash — 9×8 nearest-neighbor integer
+    sampling, integer luma, 64 bits in two BIGINT halves. The image-side
+    SimHash: the dedup key for crop/recompress near-dups. DuckDB replays
+    the pixel formula and bit packing symbolically, so the real DEFLATE
+    + unfilter path sits under an exact 64-bit contract."""
+    import pandas as pd
+
+    from aleph2_contrib_spark.operators.codecs import encode_png
+    from aleph2_contrib_spark.operators.multimodal import image_dhash
+
+    docs = _doc_ids(spark, sf_dir)
+
+    def gen(batches):
+        for b in batches:
+            rows = []
+            for did in b["doc_id"]:
+                did = int(did)
+                w, h = 5 + did % 4, 4 + did % 3
+                rgb = bytearray()
+                for k in range(w * h):
+                    g = (did * 37 + k * 11) % 256
+                    rgb += bytes((g, g, g))
+                rows.append({"doc_id": did, "content": encode_png(w, h, bytes(rgb))})
+            yield pd.DataFrame(rows, columns=["doc_id", "content"])
+
+    payloads = docs.mapInPandas(gen, "doc_id long, content binary")
+    return image_dhash(payloads, "content", "doc_id")
+
+
+def _image_dhash_oracle() -> str:
+    # pixel luma at grid sample (x, y): r=g=b=gray so integer luma
+    # (299r+587g+114b) div 1000 collapses to the gray formula itself
+    def p(x_expr: str) -> str:
+        return (
+            f"((doc_id * 37 + ((((b // 8) * h) // 8) * w + {x_expr}) * 11) % 256)"
+        )
+
+    cmp = f"{p('(((b % 8) + 1) * w) // 9')} > {p('((b % 8) * w) // 9')}"
+    lo = (
+        f"list_sum(list_transform(range(0, 32), b -> CASE WHEN {cmp}"
+        " THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END))"
+    )
+    hi = (
+        f"list_sum(list_transform(range(32, 64), b -> CASE WHEN {cmp}"
+        " THEN (CAST(1 AS BIGINT) << (b - 32)) ELSE CAST(0 AS BIGINT) END))"
+    )
+    return f"""
+WITH d AS (
+    SELECT doc_id,
+           5 + doc_id % 4 AS w,
+           4 + doc_id % 3 AS h
+    FROM documents
+)
+SELECT doc_id,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST({lo} AS BIGINT) AS dhash_lo,
+       CAST({hi} AS BIGINT) AS dhash_hi
+FROM d
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver gate grades the FIRST 50 entries
     # each round. The literal below keeps its historical grouping; the
@@ -7657,6 +7724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_diameter_2sweep": graph_diameter_2sweep,
         "similarity_matryoshka_recall": similarity_matryoshka_recall,
         "join_asof_nearest_tolerance": join_asof_nearest_tolerance,
+        "multimodal_image_dhash": multimodal_image_dhash,
         "window_distribution_ranks": window_distribution_ranks,
         "unpivot_order_metrics": unpivot_order_metrics,
         "graph_path_counts": graph_path_counts,
@@ -7926,7 +7994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_avi_codec",
         "text_script_mix",
         "text_vocab_drift",
-        # (deferred to round 11, HEAD of that window: the twenty-three
+        # (deferred to round 11, HEAD of that window: the twenty-four
         #  r10-new never-driver-checked gates — events_changepoint,
         #  similarity_random_projection, text_kn_lm_counts,
         #  window_distribution_ranks, unpivot_order_metrics,
@@ -7938,7 +8006,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #  profile_monotonicity, similarity_int8_topk,
         #  dedup_cross_source_matrix, events_cep_pattern,
         #  text_encoding_anomalies, graph_diameter_2sweep,
-        #  similarity_matryoshka_recall, join_asof_nearest_tolerance —
+        #  similarity_matryoshka_recall, join_asof_nearest_tolerance,
+        #  multimodal_image_dhash —
         #  then the 12 remaining r4 rows —
         #  sketch_quantile_by_group, sketch_quantile_hist,
         #  stats_percentiles, text_bigram_rarity, text_char_pairs,
@@ -10469,6 +10538,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_diameter_2sweep": _diameter_2sweep_oracle(),
         "similarity_matryoshka_recall": _matryoshka_recall_oracle(),
         "join_asof_nearest_tolerance": _asof_nearest_oracle(),
+        "multimodal_image_dhash": _image_dhash_oracle(),
         "graph_path_counts": _path_counts_oracle(),
         "graph_betweenness": _betweenness_oracle(),
         "unpivot_order_metrics": """

@@ -953,3 +953,25 @@ def avi_frame_extractor(payload: bytes, every_n: int) -> list[bytes]:
         raise ValueError(f"every_n must be >= 1, got {every_n}")
     w, h, _fps, frames = decode_avi(payload)
     return [encode_ppm(w, h, f) for f in frames[::every_n]]
+
+
+def decode_image(payload: bytes) -> tuple[int, int, bytes]:
+    """Sniff-and-decode for the still-image formats this module decodes
+    end-to-end in-repo (PPM / BMP / PNG / GIF first frame / baseline
+    JPEG): returns (width, height, rgb bytes). The pixel-level entry
+    point next to :func:`media_decoder`'s histogram-level contract —
+    perceptual hashing and resize kernels need the raster, not the
+    features."""
+    if payload[:2] == b"P6":
+        return decode_ppm(payload)
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    if payload[:8] == PNG_MAGIC:
+        return decode_png(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(payload)
+    if payload[:2] == b"\xff\xd8":
+        from aleph2_contrib_spark.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
+    raise ValueError("not a decodable still-image payload")

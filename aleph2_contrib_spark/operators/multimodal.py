@@ -228,3 +228,90 @@ def resize_images(
             yield pd.DataFrame(rows, columns=[id_col, "content", "width", "height"])
 
     return df.select(id_col, binary_col).mapInPandas(run, schema=schema)
+
+
+def dhash_bits(w: int, h: int, rgb: bytes, grid: tuple[int, int] = (9, 8)) -> tuple[int, int, int, int]:
+    """Difference-hash of one raster (the classic dHash — Krawetz 2013,
+    "Kind of Like That", hackerfactor blog): sample a (gx+1)×gy grid by
+    NEAREST-NEIGHBOR integer mapping (x = (i·w) div gx+1 — integer
+    division, no resampling floats), reduce to integer luma
+    (299r+587g+114b) div 1000, set bit (j·(gx) + i) when the right
+    sample is strictly brighter than its left neighbor, pack row-major
+    into two unsigned 32-bit halves. Returns (width, height, lo, hi).
+
+    Everything is integer arithmetic on exact decoded bytes, so the
+    hash is reproducible by ANY implementation from the pixel values —
+    the property the oracle uses, and the property that makes the hash
+    a stable dedup key across engines and languages."""
+    gx1, gy = grid
+    gx = gx1 - 1
+    lo = hi = 0
+    for j in range(gy):
+        y = (j * h) // gy
+        row = []
+        for i in range(gx1):
+            x = (i * w) // gx1
+            p = 3 * (y * w + x)
+            r, g, b = rgb[p], rgb[p + 1], rgb[p + 2]
+            row.append((299 * r + 587 * g + 114 * b) // 1000)
+        for i in range(gx):
+            if row[i + 1] > row[i]:
+                bit = j * gx + i
+                if bit < 32:
+                    lo |= 1 << bit
+                else:
+                    hi |= 1 << (bit - 32)
+    return w, h, lo, hi
+
+
+def image_dhash(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    grid: tuple[int, int] = (9, 8),
+) -> DataFrame:
+    """Perceptual difference-hash per image payload — the image-side
+    counterpart of SimHash for near-duplicate detection: two images
+    whose dHashes sit within a small Hamming distance are crops/
+    recompressions/brightness-shifts of each other, and the 64-bit key
+    buckets a billion-image corpus for pairwise verification exactly
+    like ``dedup.simhash`` buckets text.
+
+    Decodes REAL payloads through the in-repo still-image decoders
+    (PPM/BMP/PNG/GIF/JPEG — ``codecs.decode_image``), then pure integer
+    dHash (:func:`dhash_bits`). Returns (id, width, height, dhash_lo,
+    dhash_hi) — halves are unsigned-32 values in BIGINTs, Hamming =
+    bit_count(xor) per half, exactly the ``sign_hamming_codes`` join
+    pattern.
+
+    Plan shape: ONE Arrow-batched mapInPandas pass, no shuffle; at
+    100 TB batch size is bounded by bytes (arrow.maxRecordsPerBatch),
+    and the output is 5 narrow columns — the raster never crosses the
+    wire."""
+    from aleph2_contrib_spark.operators.codecs import decode_image
+
+    schema = (
+        f"{id_col} long, width int, height int, dhash_lo long, dhash_hi long"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = []
+            for did, payload in zip(b[id_col], b[content_col]):
+                w, h, rgb = decode_image(bytes(payload))
+                w, h, lo, hi = dhash_bits(w, h, rgb, grid)
+                out.append(
+                    {
+                        id_col: int(did),
+                        "width": w,
+                        "height": h,
+                        "dhash_lo": lo,
+                        "dhash_hi": hi,
+                    }
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[id_col, "width", "height", "dhash_lo", "dhash_hi"],
+            )
+
+    return df.select(id_col, content_col).mapInPandas(run, schema)

@@ -130,3 +130,53 @@ def test_sample_frames_real_mjppm_container(spark):
     # sampled frames decode back to real pixels
     w, h, rgb = decode_ppm(bytes(sorted(got, key=lambda r: r["frame_idx"])[1]["frame"]))
     assert (w, h, rgb) == (2, 2, bytes([2] * 12))
+
+
+def test_dhash_bits_known_gradients():
+    from aleph2_contrib_spark.operators.multimodal import dhash_bits
+
+    # horizontal gradient: every right sample strictly brighter -> all
+    # 64 bits set
+    w, h = 18, 16
+    rgb = bytes(
+        c
+        for y in range(h)
+        for x in range(w)
+        for c in (x * 10, x * 10, x * 10)
+    )
+    _, _, lo, hi = dhash_bits(w, h, rgb)
+    assert lo == 0xFFFFFFFF and hi == 0xFFFFFFFF
+    # flat image -> no bit set
+    flat = bytes(128 for _ in range(w * h * 3))
+    _, _, lo2, hi2 = dhash_bits(w, h, flat)
+    assert lo2 == 0 and hi2 == 0
+    # vertical gradient: rows uniform -> no left/right differences
+    vert = bytes(
+        c for y in range(h) for x in range(w) for c in (y * 9, y * 9, y * 9)
+    )
+    _, _, lo3, hi3 = dhash_bits(w, h, vert)
+    assert lo3 == 0 and hi3 == 0
+
+
+def test_image_dhash_roundtrip_png_matches_pure(spark):
+    import pandas as pd
+    from pyspark.sql import Row
+
+    from aleph2_contrib_spark.operators.codecs import encode_png
+    from aleph2_contrib_spark.operators.multimodal import dhash_bits, image_dhash
+
+    rows, want = [], {}
+    for did in range(8):
+        w, h = 5 + did % 4, 4 + did % 3
+        rgb = bytes(
+            c
+            for k in range(w * h)
+            for c in ((did * 37 + k * 11) % 256,) * 3
+        )
+        rows.append(Row(doc_id=did, content=bytearray(encode_png(w, h, rgb))))
+        want[did] = dhash_bits(w, h, rgb)
+    out = {
+        r.doc_id: (r.width, r.height, r.dhash_lo, r.dhash_hi)
+        for r in image_dhash(spark.createDataFrame(rows)).collect()
+    }
+    assert out == want
