@@ -7617,6 +7617,25 @@ FROM d
 """
 
 
+def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV bottom-k distinct sketch (operators/sketch.
+    kmv_estimate_by_group — Bar-Yossef 2002): distinct users per
+    event_type estimated from the 64 smallest 48-bit md5 positions with
+    a pure-integer estimator, exact below k. The mergeable sketch that
+    (unlike HLL) also supports intersections; engine-bit-identical by
+    construction."""
+    from aleph2_contrib_spark.operators.sketch import kmv_estimate_by_group
+
+    ev = _t(spark, sf_dir, "events")
+    return kmv_estimate_by_group(ev, "user_id", "event_type", k=64)
+
+
+def _kmv_oracle() -> str:
+    from aleph2_contrib_spark.operators.sketch import kmv_group_oracle_sql
+
+    return kmv_group_oracle_sql("user_id", "event_type", "events", k=64)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver gate grades the FIRST 50 entries
     # each round. The literal below keeps its historical grouping; the
@@ -7725,6 +7744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_matryoshka_recall": similarity_matryoshka_recall,
         "join_asof_nearest_tolerance": join_asof_nearest_tolerance,
         "multimodal_image_dhash": multimodal_image_dhash,
+        "sketch_kmv_distinct": sketch_kmv_distinct,
         "window_distribution_ranks": window_distribution_ranks,
         "unpivot_order_metrics": unpivot_order_metrics,
         "graph_path_counts": graph_path_counts,
@@ -7994,7 +8014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_avi_codec",
         "text_script_mix",
         "text_vocab_drift",
-        # (deferred to round 11, HEAD of that window: the twenty-four
+        # (deferred to round 11, HEAD of that window: the twenty-five
         #  r10-new never-driver-checked gates — events_changepoint,
         #  similarity_random_projection, text_kn_lm_counts,
         #  window_distribution_ranks, unpivot_order_metrics,
@@ -8007,7 +8027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #  dedup_cross_source_matrix, events_cep_pattern,
         #  text_encoding_anomalies, graph_diameter_2sweep,
         #  similarity_matryoshka_recall, join_asof_nearest_tolerance,
-        #  multimodal_image_dhash —
+        #  multimodal_image_dhash, sketch_kmv_distinct —
         #  then the 12 remaining r4 rows —
         #  sketch_quantile_by_group, sketch_quantile_hist,
         #  stats_percentiles, text_bigram_rarity, text_char_pairs,
@@ -10539,6 +10559,7 @@ def oracle_sql() -> dict[str, str]:
         "similarity_matryoshka_recall": _matryoshka_recall_oracle(),
         "join_asof_nearest_tolerance": _asof_nearest_oracle(),
         "multimodal_image_dhash": _image_dhash_oracle(),
+        "sketch_kmv_distinct": _kmv_oracle(),
         "graph_path_counts": _path_counts_oracle(),
         "graph_betweenness": _betweenness_oracle(),
         "unpivot_order_metrics": """

@@ -646,3 +646,111 @@ SELECT key AS {col},
 FROM ppos LEFT JOIN bpos USING (pos)
 GROUP BY key
 """
+
+
+# ---------------------------------------------------------------------------
+# KMV (K-minimum-values) distinct sketch — Bar-Yossef et al. 2002, the
+# bottom-k form. Same portability contract as the HLL: md5 is the hash
+# family, the first 12 hex chars (48 bits) are the value's position in
+# [0, 2^48), and the estimator is pure integer arithmetic:
+#
+#     est = (k - 1) · 2^48  div  h_(k)          (h_(k) = k-th smallest)
+#
+# (k-1)·2^48 tops out at ~1.8e16 for k = 64 — inside BIGINT on both
+# engines, which is WHY the domain is 48-bit here: the 128-bit-domain
+# variant needs DECIMAL(38)/HUGEINT intermediates for zero benefit at
+# gate scale. 48-bit collision odds are ~n²/2^49 per group — fine for a
+# sketch whose own relative error is ~1/√(k−2); a 100 TB deployment
+# counting billions per group widens the slice and the arithmetic
+# together (documented, one constant).
+# ---------------------------------------------------------------------------
+
+_KMV_HEX = 12
+_KMV_DOMAIN = 1 << (4 * _KMV_HEX)
+
+
+def kmv_estimate_by_group(
+    df: DataFrame,
+    col: str,
+    group_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Per-group KMV distinct estimate. Output one row per group:
+
+        (group, n_hashes_kept, kth_min_hash, est_distinct)
+
+    When a group holds fewer than k distinct hashes the sketch IS the
+    distinct set and the estimate is exact (kth_min_hash NULL) — the
+    standard small-regime behavior, mirrored by the oracle.
+
+    Mergeability (the reason KMV exists next to HLL): union = merge the
+    bottom-k lists and re-take the bottom k; intersection supports
+    Jaccard via the k-min coincidence trick — both pure set ops on the
+    kept hashes. HLL can only union; KMV buys intersections for k·8
+    bytes per group.
+
+    Plan shape: distinct (group, hash) — one shuffle — then a bounded
+    per-group window (row_number ≤ k) and ONE groupBy: state per group
+    is k longs, never the value set.
+    """
+    from pyspark.sql import Window
+
+    h = F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, _KMV_HEX), 16, 10).cast(
+        "long"
+    )
+    d = (
+        df.filter(F.col(col).isNotNull())
+        .select(F.col(group_col).alias("g"), h.alias("hv"))
+        .distinct()
+    )
+    w = Window.partitionBy("g").orderBy(F.col("hv").asc())
+    kept = d.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= k)
+    return (
+        kept.groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_hashes_kept"),
+            F.max("hv").alias("__max_hv"),
+        )
+        .select(
+            F.col("g").alias(group_col),
+            "n_hashes_kept",
+            F.when(F.col("n_hashes_kept") == k, F.col("__max_hv"))
+            .cast("long")
+            .alias("kth_min_hash"),
+            F.when(
+                F.col("n_hashes_kept") < k, F.col("n_hashes_kept").cast("long")
+            )
+            .otherwise(
+                F.expr(f"CAST(({k - 1} * CAST({_KMV_DOMAIN} AS BIGINT)) div __max_hv AS BIGINT)")
+            )
+            .alias("est_distinct"),
+        )
+    )
+
+
+def kmv_group_oracle_sql(
+    source_expr: str, group_expr: str, table: str, k: int = 64
+) -> str:
+    """DuckDB replica of :func:`kmv_estimate_by_group` — identical hash
+    slice, identical integer estimator."""
+    return f"""
+WITH d AS (
+    SELECT DISTINCT {group_expr} AS g,
+           CAST('0x' || substr(md5(CAST({source_expr} AS VARCHAR)), 1, {_KMV_HEX})
+                AS BIGINT) AS hv
+    FROM {table} WHERE ({source_expr}) IS NOT NULL
+), ranked AS (
+    SELECT g, hv, row_number() OVER (PARTITION BY g ORDER BY hv ASC) AS rn
+    FROM d
+), kept AS (
+    SELECT g, count(*) AS n_kept, max(hv) AS max_hv
+    FROM ranked WHERE rn <= {k} GROUP BY g
+)
+SELECT g AS {group_expr},
+       CAST(n_kept AS INT) AS n_hashes_kept,
+       CAST(CASE WHEN n_kept = {k} THEN max_hv END AS BIGINT) AS kth_min_hash,
+       CAST(CASE WHEN n_kept < {k} THEN n_kept
+                 ELSE ({k - 1} * CAST({_KMV_DOMAIN} AS BIGINT)) // max_hv
+            END AS BIGINT) AS est_distinct
+FROM kept
+"""

@@ -348,3 +348,25 @@ def test_bloom_probe_null_key_always_false(spark):
     got = {r["v"]: r["may_contain"] for r in bloom_probe(p, bloom, "v", m=64).collect()}
     assert got["k1"] is True
     assert got[None] is False
+
+
+def test_kmv_small_regime_exact_and_large_regime_close(spark):
+    from pyspark.sql import Row
+
+    from aleph2_contrib_spark.operators.sketch import kmv_estimate_by_group
+
+    rows = [Row(g="small", v=f"s{i}") for i in range(40)]
+    rows += [Row(g="big", v=f"b{i % 2000}") for i in range(6000)]
+    rows += [Row(g="small", v=None)]
+    out = {
+        r.g: (r.n_hashes_kept, r.kth_min_hash, r.est_distinct)
+        for r in kmv_estimate_by_group(
+            spark.createDataFrame(rows), "v", "g", k=64
+        ).collect()
+    }
+    # below k: sketch == the distinct set, estimate exact, no kth hash
+    assert out["small"] == (40, None, 40)
+    # at k: estimate within the ~1/sqrt(k-2) band of the true 2000
+    n_kept, kth, est = out["big"]
+    assert n_kept == 64 and kth is not None
+    assert abs(est - 2000) < 2000 * 0.5
