@@ -7636,6 +7636,96 @@ def _kmv_oracle() -> str:
     return kmv_group_oracle_sql("user_id", "event_type", "events", k=64)
 
 
+def sketch_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV set-operation estimate (operators/sketch.kmv_jaccard_estimate
+    — Beyer 2007 k-min coincidence): Jaccard + intersection size of
+    click-users vs purchase-users from two bottom-64 sketches and their
+    merge. The intersection capability HLL lacks; every output an exact
+    integer function of the kept hashes."""
+    from aleph2_contrib_spark.operators.sketch import kmv_jaccard_estimate
+
+    ev = _t(spark, sf_dir, "events")
+    return kmv_jaccard_estimate(
+        ev, "user_id", "event_type", "click", "purchase", k=64
+    )
+
+
+def _kmv_jaccard_oracle() -> str:
+    from aleph2_contrib_spark.operators.sketch import kmv_jaccard_oracle_sql
+
+    return kmv_jaccard_oracle_sql(
+        "user_id", "event_type", "click", "purchase", "events", k=64
+    )
+
+
+def storage_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner (sources/storage.compaction_plan —
+    quota binning: size-DESC cumsum div target, the distributed form of
+    first-fit-decreasing): a synthetic per-(priority, month) segment
+    manifest from orders (file size = exact cents written) binned to
+    ~5e7-cent rewrite jobs. ONE manifest-sized window pass; data files
+    never read."""
+    from aleph2_contrib_spark.sources.storage import compaction_plan
+
+    o = _t(spark, sf_dir, "orders")
+    manifest = o.groupBy(
+        F.col("o_orderpriority").alias("part"),
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate")).alias("file_id"),
+    ).agg(
+        F.floor(F.sum(F.col("o_totalprice").cast("decimal(38,6)")) * 100)
+        .cast("long")
+        .alias("size_bytes")
+    )
+    return compaction_plan(manifest, "part", "file_id", "size_bytes", 50_000_000)
+
+
+def _compaction_plan_oracle() -> str:
+    from aleph2_contrib_spark.sources.storage import compaction_plan_oracle_sql
+
+    files = """
+        SELECT o_orderpriority AS part,
+               CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT)
+                   AS file_id,
+               CAST(floor(sum(CAST(o_totalprice AS DECIMAL(38,6))) * 100)
+                    AS BIGINT) AS size_bytes
+        FROM orders GROUP BY 1, 2
+    """
+    return compaction_plan_oracle_sql(
+        files, "part", "file_id", "size_bytes", 50_000_000
+    )
+
+
+def events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences table (operators/events.diff_in_diff —
+    Card–Krueger form): odd-user "rollout" vs even-user control, pre/post
+    2024-01-15, exact DECIMAL cents means per cell and the integer DiD
+    estimate. ONE conditional-aggregation scan, no joins."""
+    from aleph2_contrib_spark.operators.events import diff_in_diff
+
+    # post-cutoff at truncated epoch SECONDS on both engines (the repo's
+    # floor(epoch()) discipline): sub-second precision differs between
+    # Spark's micros cast and DuckDB's nanos read at the boundary
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 2 == 1).alias("treat"),
+        (
+            F.col("ts").cast("timestamp").cast("long") >= F.lit(1705276800)
+        ).alias("post"),
+        "value",
+    )
+    return diff_in_diff(ev, "treat", "post", "value")
+
+
+def _diff_in_diff_oracle() -> str:
+    from aleph2_contrib_spark.operators.events import diff_in_diff_oracle_sql
+
+    rows = (
+        "SELECT user_id % 2 = 1 AS treat,"
+        " floor(epoch(CAST(ts AS TIMESTAMP))) >= 1705276800 AS post,"
+        " value FROM events"
+    )
+    return diff_in_diff_oracle_sql(rows)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver gate grades the FIRST 50 entries
     # each round. The literal below keeps its historical grouping; the
@@ -7745,6 +7835,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_asof_nearest_tolerance": join_asof_nearest_tolerance,
         "multimodal_image_dhash": multimodal_image_dhash,
         "sketch_kmv_distinct": sketch_kmv_distinct,
+        "sketch_kmv_jaccard": sketch_kmv_jaccard,
+        "storage_compaction_plan": storage_compaction_plan,
+        "events_diff_in_diff": events_diff_in_diff,
         "window_distribution_ranks": window_distribution_ranks,
         "unpivot_order_metrics": unpivot_order_metrics,
         "graph_path_counts": graph_path_counts,
@@ -8014,7 +8107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_avi_codec",
         "text_script_mix",
         "text_vocab_drift",
-        # (deferred to round 11, HEAD of that window: the twenty-five
+        # (deferred to round 11, HEAD of that window: the twenty-eight
         #  r10-new never-driver-checked gates — events_changepoint,
         #  similarity_random_projection, text_kn_lm_counts,
         #  window_distribution_ranks, unpivot_order_metrics,
@@ -8027,7 +8120,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #  dedup_cross_source_matrix, events_cep_pattern,
         #  text_encoding_anomalies, graph_diameter_2sweep,
         #  similarity_matryoshka_recall, join_asof_nearest_tolerance,
-        #  multimodal_image_dhash, sketch_kmv_distinct —
+        #  multimodal_image_dhash, sketch_kmv_distinct,
+        #  sketch_kmv_jaccard, storage_compaction_plan,
+        #  events_diff_in_diff —
         #  then the 12 remaining r4 rows —
         #  sketch_quantile_by_group, sketch_quantile_hist,
         #  stats_percentiles, text_bigram_rarity, text_char_pairs,
@@ -10560,6 +10655,9 @@ def oracle_sql() -> dict[str, str]:
         "join_asof_nearest_tolerance": _asof_nearest_oracle(),
         "multimodal_image_dhash": _image_dhash_oracle(),
         "sketch_kmv_distinct": _kmv_oracle(),
+        "sketch_kmv_jaccard": _kmv_jaccard_oracle(),
+        "storage_compaction_plan": _compaction_plan_oracle(),
+        "events_diff_in_diff": _diff_in_diff_oracle(),
         "graph_path_counts": _path_counts_oracle(),
         "graph_betweenness": _betweenness_oracle(),
         "unpivot_order_metrics": """

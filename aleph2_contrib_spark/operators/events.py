@@ -2286,3 +2286,124 @@ WHERE {conds}
       - floor(epoch(CAST(ts AS TIMESTAMP))) <= {int(within_seconds)}
 GROUP BY key
 """
+
+
+def diff_in_diff(
+    df: DataFrame,
+    treat_col: str,
+    post_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Difference-in-differences table — the standard quasi-experimental
+    readout (Card & Krueger 1994 form) for "did the rollout move the
+    metric": exact per-cell counts and mean values for the four
+    (treatment × period) cells, and the DiD estimate
+
+        (mean_T_post − mean_T_pre) − (mean_C_post − mean_C_pre)
+
+    All money-domain arithmetic is exact: per-cell sums accumulate in
+    DECIMAL(38,6), means are floor(sum·100 div n) integer CENTS
+    (truncating division — documented, engine-identical), and the DiD
+    is plain integer subtraction of those means. One row out:
+
+        (n_treat_pre, mean_treat_pre_c, n_treat_post, mean_treat_post_c,
+         n_ctrl_pre, mean_ctrl_pre_c, n_ctrl_post, mean_ctrl_post_c,
+         did_cents)
+
+    NULL values are excluded from their cell (count and sum together,
+    so the mean stays consistent). An empty cell yields NULL mean and
+    NULL did_cents — a DiD over a missing cell is meaningless and
+    should look broken, not zero.
+
+    Plan shape: ONE full-scan conditional aggregation (8 partial-agged
+    measures, map-side combined), no joins, no shuffle beyond the final
+    1-row gather.
+    """
+    t, p = F.col(treat_col), F.col(post_col)
+    v = F.col(value_col).cast("decimal(38,6)")
+    cells = {
+        "treat_pre": t & ~p,
+        "treat_post": t & p,
+        "ctrl_pre": ~t & ~p,
+        "ctrl_post": ~t & p,
+    }
+    aggs = []
+    for name, cond in cells.items():
+        ok = cond & v.isNotNull()
+        aggs += [
+            F.sum(ok.cast("long")).alias(f"n_{name}"),
+            F.sum(F.when(ok, v)).alias(f"__s_{name}"),
+        ]
+    wide = df.agg(*aggs)
+    means = {
+        name: F.when(
+            F.col(f"n_{name}") > 0,
+            F.expr(
+                f"CAST(floor(__s_{name} * 100) div n_{name} AS BIGINT)"
+            ),
+        )
+        for name in cells
+    }
+    out = wide.select(
+        *[
+            x
+            for name in cells
+            for x in (
+                F.col(f"n_{name}").cast("long").alias(f"n_{name}"),
+                means[name].alias(f"mean_{name}_c"),
+            )
+        ]
+    )
+    return out.withColumn(
+        "did_cents",
+        (F.col("mean_treat_post_c") - F.col("mean_treat_pre_c"))
+        - (F.col("mean_ctrl_post_c") - F.col("mean_ctrl_pre_c")),
+    )
+
+
+def diff_in_diff_oracle_sql(rows_sql: str) -> str:
+    """DuckDB replica of :func:`diff_in_diff`. ``rows_sql`` yields
+    (treat BOOLEAN, post BOOLEAN, value)."""
+    cells = {
+        "treat_pre": "treat AND NOT post",
+        "treat_post": "treat AND post",
+        "ctrl_pre": "NOT treat AND NOT post",
+        "ctrl_post": "NOT treat AND post",
+    }
+    parts = []
+    for name, cond in cells.items():
+        parts.append(
+            f"CAST(coalesce(sum(CASE WHEN {cond} AND value IS NOT NULL"
+            f" THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_{name}"
+        )
+        parts.append(
+            f"sum(CASE WHEN {cond} THEN CAST(value AS DECIMAL(38,6)) END)"
+            f" AS s_{name}"
+        )
+    sel = ",\n           ".join(parts)
+    # numerator cast to BIGINT BEFORE //: DuckDB's // on a DECIMAL
+    # operand degrades to double division (no floor), and the outer
+    # BIGINT cast would then ROUND — integer // integer truncates
+    mean = {
+        n: f"CASE WHEN n_{n} > 0 THEN"
+        f" CAST(CAST(floor(s_{n} * 100) AS BIGINT) // n_{n} AS BIGINT) END"
+        for n in cells
+    }
+    mcols = ",\n       ".join(
+        f"{mean[n]} AS mean_{n}_c" for n in cells
+    )
+    return f"""
+WITH w AS (
+    SELECT {sel}
+    FROM ({rows_sql})
+)
+SELECT n_treat_pre, mean_treat_pre_c, n_treat_post, mean_treat_post_c,
+       n_ctrl_pre, mean_ctrl_pre_c, n_ctrl_post, mean_ctrl_post_c,
+       (mean_treat_post_c - mean_treat_pre_c)
+       - (mean_ctrl_post_c - mean_ctrl_pre_c) AS did_cents
+FROM (
+    SELECT n_treat_pre, n_treat_post, n_ctrl_pre, n_ctrl_post,
+       {mcols}
+    FROM w
+)
+"""

@@ -754,3 +754,155 @@ SELECT g AS {group_expr},
             END AS BIGINT) AS est_distinct
 FROM kept
 """
+
+
+def kmv_jaccard_estimate(
+    df: DataFrame,
+    col: str,
+    label_col: str,
+    label_a: str,
+    label_b: str,
+    k: int = 64,
+) -> DataFrame:
+    """KMV set-operation estimate between two slices of one column —
+    the capability HLL lacks and the reason a pipeline keeps KMV
+    sketches next to it: from the bottom-k of A, the bottom-k of B,
+    and the bottom-k of their MERGE, estimate Jaccard and the
+    intersection size with pure integer arithmetic (Beyer et al. 2007,
+    "On synopses for distinct-value estimation under multiset
+    operations" — the k-min coincidence estimator):
+
+        K        = bottom-k of (bottom-k(A) ∪ bottom-k(B))
+        overlap  = |{h ∈ K : h ∈ bottom-k(A) ∧ h ∈ bottom-k(B)}|
+        jacc_ppm = (overlap · 1e6)        div |K|
+        inter_est= (overlap · union_est)  div |K|
+
+    union_est is the KMV estimate on K itself (exact when |K| < k).
+    ONE row out: (n_a, n_b, n_union_kept, overlap, jacc_ppm,
+    union_est, inter_est) — every value an exact integer function of
+    the kept hashes, so the gate is engine-exact even though the
+    ESTIMATES carry sketch error vs ground truth.
+
+    Plan shape: the two bottom-k's are one distinct + one bounded
+    window each (shared scan via the label filter), the merge is a
+    2k-row driver-free union — everything after the distinct is
+    O(k) rows.
+    """
+    from pyspark.sql import Window
+
+    h = F.conv(
+        F.substring(F.md5(F.col(col).cast("string")), 1, _KMV_HEX), 16, 10
+    ).cast("long")
+    base = df.filter(
+        F.col(col).isNotNull() & F.col(label_col).isin([label_a, label_b])
+    ).select(F.col(label_col).alias("lbl"), h.alias("hv"))
+    d = base.distinct()
+    w = Window.partitionBy("lbl").orderBy(F.col("hv").asc())
+    kept = (
+        d.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("lbl", "hv")
+    )
+    # merge: distinct hashes of both sketches, re-ranked, bottom-k
+    merged = (
+        kept.groupBy("hv")
+        .agg(
+            F.max(F.when(F.col("lbl") == label_a, 1).otherwise(0)).alias("in_a"),
+            F.max(F.when(F.col("lbl") == label_b, 1).otherwise(0)).alias("in_b"),
+        )
+        .withColumn(
+            "__rn",
+            F.row_number().over(Window.orderBy(F.col("hv").asc())),
+        )
+        .filter(F.col("__rn") <= k)
+    )
+    return (
+        merged.agg(
+            F.count(F.lit(1)).cast("int").alias("n_union_kept"),
+            F.sum((F.col("in_a") * F.col("in_b")).cast("long"))
+            .cast("long")
+            .alias("overlap"),
+            F.max("hv").alias("__max_hv"),
+        )
+        .join(
+            kept.filter(F.col("lbl") == label_a)
+            .agg(F.count(F.lit(1)).cast("int").alias("n_a"))
+        )
+        .join(
+            kept.filter(F.col("lbl") == label_b)
+            .agg(F.count(F.lit(1)).cast("int").alias("n_b"))
+        )
+        .select(
+            "n_a",
+            "n_b",
+            "n_union_kept",
+            "overlap",
+            F.expr("CAST((overlap * 1000000) div n_union_kept AS BIGINT)").alias(
+                "jacc_ppm"
+            ),
+            F.when(
+                F.col("n_union_kept") < k, F.col("n_union_kept").cast("long")
+            )
+            .otherwise(
+                F.expr(
+                    f"CAST(({k - 1} * CAST({_KMV_DOMAIN} AS BIGINT)) div __max_hv AS BIGINT)"
+                )
+            )
+            .alias("union_est"),
+        )
+        .withColumn(
+            "inter_est",
+            F.expr("CAST((overlap * union_est) div n_union_kept AS BIGINT)"),
+        )
+    )
+
+
+def kmv_jaccard_oracle_sql(
+    source_expr: str,
+    label_expr: str,
+    label_a: str,
+    label_b: str,
+    table: str,
+    k: int = 64,
+) -> str:
+    """DuckDB replica of :func:`kmv_jaccard_estimate`."""
+    return f"""
+WITH d AS (
+    SELECT DISTINCT {label_expr} AS lbl,
+           CAST('0x' || substr(md5(CAST({source_expr} AS VARCHAR)), 1, {_KMV_HEX})
+                AS BIGINT) AS hv
+    FROM {table}
+    WHERE ({source_expr}) IS NOT NULL
+      AND {label_expr} IN ('{label_a}', '{label_b}')
+), kept AS (
+    SELECT lbl, hv FROM (
+        SELECT lbl, hv,
+               row_number() OVER (PARTITION BY lbl ORDER BY hv ASC) AS rn
+        FROM d
+    ) WHERE rn <= {k}
+), merged AS (
+    SELECT hv, in_a, in_b FROM (
+        SELECT hv,
+               max(CASE WHEN lbl = '{label_a}' THEN 1 ELSE 0 END) AS in_a,
+               max(CASE WHEN lbl = '{label_b}' THEN 1 ELSE 0 END) AS in_b,
+               row_number() OVER (ORDER BY hv ASC) AS rn
+        FROM kept GROUP BY hv
+    ) WHERE rn <= {k}
+), agg AS (
+    SELECT CAST(count(*) AS INT) AS n_union_kept,
+           CAST(sum(in_a * in_b) AS BIGINT) AS overlap,
+           max(hv) AS max_hv
+    FROM merged
+)
+SELECT (SELECT CAST(count(*) AS INT) FROM kept WHERE lbl = '{label_a}') AS n_a,
+       (SELECT CAST(count(*) AS INT) FROM kept WHERE lbl = '{label_b}') AS n_b,
+       n_union_kept, overlap,
+       CAST((overlap * 1000000) // n_union_kept AS BIGINT) AS jacc_ppm,
+       CAST(CASE WHEN n_union_kept < {k} THEN n_union_kept
+                 ELSE ({k - 1} * CAST({_KMV_DOMAIN} AS BIGINT)) // max_hv
+            END AS BIGINT) AS union_est,
+       CAST((overlap * CASE WHEN n_union_kept < {k} THEN n_union_kept
+                 ELSE ({k - 1} * CAST({_KMV_DOMAIN} AS BIGINT)) // max_hv END)
+            // n_union_kept AS BIGINT) AS inter_est
+FROM agg
+"""

@@ -357,3 +357,102 @@ class TimePartitionedTable:
     def delete_datastore(self) -> None:
         """S19 bucket deletion."""
         shutil.rmtree(self.bucket.path, ignore_errors=True)
+
+
+def compaction_plan(
+    files: DataFrame,
+    part_col: str,
+    file_col: str,
+    size_col: str,
+    target_bytes: int,
+) -> DataFrame:
+    """Small-file compaction planner — the maintenance pass every
+    long-lived lakehouse runs over the rolling segments that
+    :class:`StorageService` writes (S14: size/time-rolled segment
+    files; the reference rolls HDFS segment files the same way,
+    HfdsDataWriteService's segment rotation): group each partition's
+    files into compaction bins of ~``target_bytes`` so the rewrite jobs
+    are right-sized and file counts stop growing.
+
+    Binning rule (deterministic QUOTA binning, the distributed-friendly
+    form also used by ``corpus.pack_sequences``): within each
+    partition, order files by (size DESC, file id ASC) and assign
+
+        bin_id = cum_bytes_before  div  target_bytes
+
+    Size-descending order packs the big files first so small files
+    backfill the remainder quotas; a file ≥ target lands alone in its
+    quota (its own cum span pushes the next file into a fresh bin).
+    Unlike greedy first-fit (inherently sequential, driver-bound),
+    quota binning is ONE window cumsum per partition — and its bins
+    overshoot the target by at most one file, the same guarantee
+    first-fit-decreasing gives a compactor in practice.
+
+    Returns (part, file, size, bin_id, bin_seq) — bin_seq is the
+    file's rank inside its bin (1 = largest), handy for rewrite-task
+    ordering. Singleton bins whose single file already exceeds the
+    target are "already compacted" — a rewriter skips bins of one file.
+
+    Plan shape at 100 TB of MANIFEST (not data): one key shuffle for
+    the per-partition window; output is manifest-sized. The data files
+    themselves are never read here.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(F.col(size_col).desc(), F.col(file_col).asc())
+    )
+    cum_before = F.coalesce(
+        F.sum(F.col(size_col)).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    out = files.select(
+        F.col(part_col),
+        F.col(file_col),
+        F.col(size_col).cast("long").alias(size_col),
+        cum_before.cast("long").alias("__cum"),
+    ).withColumn(
+        "bin_id", F.expr(f"CAST(__cum div {int(target_bytes)} AS BIGINT)")
+    )
+    wbin = Window.partitionBy(part_col, "bin_id").orderBy(
+        F.col(size_col).desc(), F.col(file_col).asc()
+    )
+    return out.select(
+        part_col,
+        file_col,
+        size_col,
+        "bin_id",
+        F.row_number().over(wbin).cast("int").alias("bin_seq"),
+    )
+
+
+def compaction_plan_oracle_sql(
+    files_sql: str,
+    part_col: str,
+    file_col: str,
+    size_col: str,
+    target_bytes: int,
+) -> str:
+    """DuckDB replica of :func:`compaction_plan` — identical windows,
+    identical truncating quota division."""
+    return f"""
+WITH f AS ({files_sql}),
+c AS (
+    SELECT {part_col}, {file_col}, CAST({size_col} AS BIGINT) AS {size_col},
+           CAST(coalesce(sum({size_col}) OVER (
+               PARTITION BY {part_col}
+               ORDER BY {size_col} DESC, {file_col} ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS cum
+    FROM f
+)
+SELECT {part_col}, {file_col}, {size_col},
+       CAST(cum // {int(target_bytes)} AS BIGINT) AS bin_id,
+       CAST(row_number() OVER (
+           PARTITION BY {part_col}, cum // {int(target_bytes)}
+           ORDER BY {size_col} DESC, {file_col} ASC) AS INT) AS bin_seq
+FROM c
+"""

@@ -1617,3 +1617,35 @@ def test_cep_strict_sequence_contiguity_and_window(spark):
         ).collect()
     }
     assert out == {"u1": 1}
+
+
+def test_diff_in_diff_exact_cells_and_null_policy(spark):
+    from pyspark.sql import Row
+
+    from aleph2_contrib_spark.operators.events import diff_in_diff
+
+    rows = [
+        # treat pre: 1.00, 2.00 -> mean 150c ; treat post: 4.00 -> 400c
+        Row(treat=True, post=False, value=1.0),
+        Row(treat=True, post=False, value=2.0),
+        Row(treat=True, post=True, value=4.0),
+        # ctrl pre: 1.00 -> 100c ; ctrl post: 1.50, NULL -> 150c (null out)
+        Row(treat=False, post=False, value=1.0),
+        Row(treat=False, post=True, value=1.5),
+        Row(treat=False, post=True, value=None),
+    ]
+    r = diff_in_diff(
+        spark.createDataFrame(rows), "treat", "post", "value"
+    ).collect()[0]
+    assert (r.n_treat_pre, r.mean_treat_pre_c) == (2, 150)
+    assert (r.n_treat_post, r.mean_treat_post_c) == (1, 400)
+    assert (r.n_ctrl_pre, r.mean_ctrl_pre_c) == (1, 100)
+    assert (r.n_ctrl_post, r.mean_ctrl_post_c) == (1, 150)
+    # DiD = (400-150) - (150-100) = 200
+    assert r.did_cents == 200
+    # empty cell -> NULL mean and NULL DiD, not zero
+    r2 = diff_in_diff(
+        spark.createDataFrame(rows[:2] + rows[3:]), "treat", "post", "value"
+    ).collect()[0]
+    assert r2.n_treat_post == 0 and r2.mean_treat_post_c is None
+    assert r2.did_cents is None

@@ -370,3 +370,37 @@ def test_kmv_small_regime_exact_and_large_regime_close(spark):
     n_kept, kth, est = out["big"]
     assert n_kept == 64 and kth is not None
     assert abs(est - 2000) < 2000 * 0.5
+
+
+def test_kmv_jaccard_small_regime_exact(spark):
+    from pyspark.sql import Row
+
+    from aleph2_contrib_spark.operators.sketch import kmv_jaccard_estimate
+
+    # A = {0..29}, B = {20..49}: union 50 < k=64 -> the merged sketch IS
+    # the union, so every output is exact set arithmetic
+    rows = [Row(lbl="a", v=f"x{i}") for i in range(30)]
+    rows += [Row(lbl="b", v=f"x{i}") for i in range(20, 50)]
+    r = kmv_jaccard_estimate(
+        spark.createDataFrame(rows), "v", "lbl", "a", "b", k=64
+    ).collect()[0]
+    assert (r.n_a, r.n_b, r.n_union_kept, r.overlap) == (30, 30, 50, 10)
+    assert r.jacc_ppm == 10 * 1_000_000 // 50  # exact 0.2
+    assert r.union_est == 50 and r.inter_est == 10
+
+
+def test_kmv_jaccard_large_regime_close(spark):
+    from pyspark.sql import Row
+
+    from aleph2_contrib_spark.operators.sketch import kmv_jaccard_estimate
+
+    # A = {0..999}, B = {500..1499}: true J = 500/1500 = 1/3
+    rows = [Row(lbl="a", v=f"y{i}") for i in range(1000)]
+    rows += [Row(lbl="b", v=f"y{i}") for i in range(500, 1500)]
+    r = kmv_jaccard_estimate(
+        spark.createDataFrame(rows), "v", "lbl", "a", "b", k=64
+    ).collect()[0]
+    assert r.n_union_kept == 64
+    assert abs(r.jacc_ppm - 333_333) < 250_000       # sketch-error band
+    assert abs(r.union_est - 1500) < 1500 * 0.5
+    assert abs(r.inter_est - 500) < 500  # loose: product of two estimates

@@ -298,3 +298,34 @@ def test_buffer_overwrite_after_promote_never_touches_live_data(spark, tmp_path,
     assert t.read().count() == 2  # live data untouched
     t.promote_buffer("ping")
     assert t.read().count() == 1
+
+
+def test_compaction_plan_quota_binning(spark):
+    from pyspark.sql import Row
+
+    from aleph2_contrib_spark.sources.storage import compaction_plan
+
+    files = spark.createDataFrame(
+        [
+            Row(part="p", f="a", sz=90),   # 0 before  -> bin 0
+            Row(part="p", f="b", sz=60),   # 90 before -> bin 0 (overshoot)
+            Row(part="p", f="c", sz=40),   # 150       -> bin 1
+            Row(part="p", f="d", sz=40),   # 190       -> bin 1
+            Row(part="p", f="e", sz=10),   # 230       -> bin 2
+            Row(part="q", f="big", sz=500),  # oversize file alone in bin 0
+            Row(part="q", f="tail", sz=10),  # 500 before -> bin 5
+        ]
+    )
+    out = {
+        (r.part, r.f): (r.bin_id, r.bin_seq)
+        for r in compaction_plan(files, "part", "f", "sz", 100).collect()
+    }
+    assert out == {
+        ("p", "a"): (0, 1),
+        ("p", "b"): (0, 2),
+        ("p", "c"): (1, 1),
+        ("p", "d"): (1, 2),
+        ("p", "e"): (2, 1),
+        ("q", "big"): (0, 1),
+        ("q", "tail"): (5, 1),
+    }
