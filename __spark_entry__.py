@@ -7726,6 +7726,45 @@ def _diff_in_diff_oracle() -> str:
     return diff_in_diff_oracle_sql(rows)
 
 
+def stats_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Mann–Whitney U (operators/profile.mann_whitney_u): click vs
+    purchase event values, doubled tie-averaged ranks so the statistic
+    and the common-language effect size are pure integers — the
+    nonparametric distribution-shift test, engine-exact."""
+    from aleph2_contrib_spark.operators.profile import mann_whitney_u
+
+    ev = _t(spark, sf_dir, "events")
+    return mann_whitney_u(ev, "value", "event_type", "click", "purchase")
+
+
+def _mann_whitney_oracle() -> str:
+    from aleph2_contrib_spark.operators.profile import mann_whitney_u_oracle_sql
+
+    return mann_whitney_u_oracle_sql(
+        "SELECT event_type AS lbl, value AS v FROM events", "click", "purchase"
+    )
+
+
+def corpus_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 span corruption (operators/corpus.span_corruption, Raffel 2020
+    §3.1.4): two md5-placed spans per document masked with
+    <extra_id_k> sentinels, denoising targets emitted alongside —
+    fim_transform's encoder-decoder sibling. Narrow projection, zero
+    shuffles; the oracle re-derives both spans bit-for-bit."""
+    from aleph2_contrib_spark.operators.corpus import span_corruption
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return span_corruption(docs, "doc_id", "text")
+
+
+def _span_corruption_oracle() -> str:
+    from aleph2_contrib_spark.operators.corpus import span_corruption_oracle_sql
+
+    return span_corruption_oracle_sql(
+        "SELECT doc_id AS id, text FROM documents", "doc_id"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver gate grades the FIRST 50 entries
     # each round. The literal below keeps its historical grouping; the
@@ -7838,6 +7877,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_kmv_jaccard": sketch_kmv_jaccard,
         "storage_compaction_plan": storage_compaction_plan,
         "events_diff_in_diff": events_diff_in_diff,
+        "stats_mann_whitney_u": stats_mann_whitney_u,
+        "corpus_span_corruption": corpus_span_corruption,
         "window_distribution_ranks": window_distribution_ranks,
         "unpivot_order_metrics": unpivot_order_metrics,
         "graph_path_counts": graph_path_counts,
@@ -8107,7 +8148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_avi_codec",
         "text_script_mix",
         "text_vocab_drift",
-        # (deferred to round 11, HEAD of that window: the twenty-eight
+        # (deferred to round 11, HEAD of that window: the thirty
         #  r10-new never-driver-checked gates — events_changepoint,
         #  similarity_random_projection, text_kn_lm_counts,
         #  window_distribution_ranks, unpivot_order_metrics,
@@ -8122,7 +8163,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #  similarity_matryoshka_recall, join_asof_nearest_tolerance,
         #  multimodal_image_dhash, sketch_kmv_distinct,
         #  sketch_kmv_jaccard, storage_compaction_plan,
-        #  events_diff_in_diff —
+        #  events_diff_in_diff, stats_mann_whitney_u,
+        #  corpus_span_corruption —
         #  then the 12 remaining r4 rows —
         #  sketch_quantile_by_group, sketch_quantile_hist,
         #  stats_percentiles, text_bigram_rarity, text_char_pairs,
@@ -10658,6 +10700,8 @@ def oracle_sql() -> dict[str, str]:
         "sketch_kmv_jaccard": _kmv_jaccard_oracle(),
         "storage_compaction_plan": _compaction_plan_oracle(),
         "events_diff_in_diff": _diff_in_diff_oracle(),
+        "stats_mann_whitney_u": _mann_whitney_oracle(),
+        "corpus_span_corruption": _span_corruption_oracle(),
         "graph_path_counts": _path_counts_oracle(),
         "graph_betweenness": _betweenness_oracle(),
         "unpivot_order_metrics": """

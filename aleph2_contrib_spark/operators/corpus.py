@@ -1658,3 +1658,144 @@ SELECT grp AS {group_col},
        substr(a, 1, CAST({lcp('a', 'b')} AS BIGINT)) AS prefix
 FROM agg
 """
+
+
+T5_SENTINEL = "<extra_id_{i}>"
+
+
+def span_corruption(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    corrupt_frac_ppm: int = 150_000,
+    min_len: int = 20,
+    seed: str = "t5",
+) -> DataFrame:
+    """T5-style span corruption (Raffel et al. 2020, "Exploring the
+    limits of transfer learning…", §3.1.4) with TWO spans: mask two
+    non-overlapping character spans with sentinel tokens and emit the
+    denoising target
+
+        corrupted: P0 <extra_id_0> P1 <extra_id_1> P2
+        targets:   <extra_id_0> S0 <extra_id_1> S1 <extra_id_2>
+
+    :func:`fim_transform`'s sibling — FIM trains infilling with ONE
+    split for causal models, span corruption trains denoising with k
+    masked spans for encoder-decoder models; a corpus pipeline ships
+    both transforms off one text column.
+
+    Determinism discipline is FIM's exactly: spans take
+    ``corrupt_frac_ppm`` of the document split evenly (span length =
+    max(1, (L·ppm) div 1e6 div 2) — exact integer math, truncating),
+    each span lands in its own half of the document at an offset drawn
+    from md5(seed:id:i) mod the feasible width — no RNG, same spans on
+    every engine and run. Documents shorter than ``min_len`` pass
+    through (applied = false). Output: (id, corrupted, targets,
+    applied, span_len, s0, s1).
+
+    Plan shape: one narrow expression pass, zero shuffles.
+    """
+    if min_len < 8:
+        raise ValueError(f"min_len must be >= 8, got {min_len}")
+    t = F.col(text_col)
+    L = F.length(t).cast("long")
+    slen = F.greatest(
+        F.lit(1), (L * F.lit(int(corrupt_frac_ppm))) / F.lit(1_000_000)
+    ).cast("long")
+    slen = F.greatest(F.lit(1), (slen / F.lit(2)).cast("long"))
+    seg = (L / F.lit(2)).cast("long")
+
+    def h(i: int):
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.lit(seed), F.col(id_col).cast("string"), F.lit(i)
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    width = seg - slen + 1
+    s0 = (h(0) % width) + 1
+    s1 = seg + (h(1) % width) + 1
+    sent = [T5_SENTINEL.format(i=i) for i in range(3)]
+    corrupted = F.concat(
+        F.substring(t, F.lit(1), (s0 - 1).cast("int")),
+        F.lit(sent[0]),
+        t.substr((s0 + slen).cast("int"), (s1 - s0 - slen).cast("int")),
+        F.lit(sent[1]),
+        t.substr((s1 + slen).cast("int"), (L - s1 - slen + 1).cast("int")),
+    )
+    targets = F.concat(
+        F.lit(sent[0]),
+        t.substr(s0.cast("int"), slen.cast("int")),
+        F.lit(sent[1]),
+        t.substr(s1.cast("int"), slen.cast("int")),
+        F.lit(sent[2]),
+    )
+    applied = t.isNotNull() & (L >= F.lit(int(min_len)))
+    return df.select(
+        F.col(id_col),
+        F.when(applied, corrupted).otherwise(t).alias("corrupted"),
+        F.when(applied, targets).alias("targets"),
+        applied.alias("applied"),
+        F.when(applied, slen).cast("long").alias("span_len"),
+        F.when(applied, s0).cast("long").alias("s0"),
+        F.when(applied, s1).cast("long").alias("s1"),
+    )
+
+
+def span_corruption_oracle_sql(
+    rows_sql: str,
+    id_col: str,
+    corrupt_frac_ppm: int = 150_000,
+    min_len: int = 20,
+    seed: str = "t5",
+) -> str:
+    """DuckDB replica of :func:`span_corruption`. ``rows_sql`` yields
+    (id, text)."""
+    s = [T5_SENTINEL.format(i=i) for i in range(3)]
+    return f"""
+WITH base AS (
+    SELECT id, text, CAST(len(text) AS BIGINT) AS L,
+           greatest(CAST(1 AS BIGINT),
+               greatest(CAST(1 AS BIGINT),
+                   CAST(len(text) AS BIGINT) * {int(corrupt_frac_ppm)} // 1000000)
+               // 2) AS slen,
+           CAST(len(text) AS BIGINT) // 2 AS seg,
+           CAST('0x' || substr(md5('{seed}:' || CAST(id AS VARCHAR) || ':0'), 1, 8)
+                AS BIGINT) AS h0,
+           CAST('0x' || substr(md5('{seed}:' || CAST(id AS VARCHAR) || ':1'), 1, 8)
+                AS BIGINT) AS h1
+    FROM ({rows_sql})
+), pos AS (
+    SELECT *,
+           (h0 % (seg - slen + 1)) + 1 AS s0,
+           seg + (h1 % (seg - slen + 1)) + 1 AS s1,
+           (text IS NOT NULL AND L >= {int(min_len)}) AS applied
+    FROM base
+)
+SELECT id AS {id_col},
+       CASE WHEN applied THEN
+            substr(text, 1, CAST(s0 - 1 AS INT))
+            || '{s[0]}' || substr(text, CAST(s0 + slen AS INT),
+                                  CAST(s1 - s0 - slen AS INT))
+            || '{s[1]}' || substr(text, CAST(s1 + slen AS INT),
+                                  CAST(L - s1 - slen + 1 AS INT))
+       ELSE text END AS corrupted,
+       CASE WHEN applied THEN
+            '{s[0]}' || substr(text, CAST(s0 AS INT), CAST(slen AS INT))
+            || '{s[1]}' || substr(text, CAST(s1 AS INT), CAST(slen AS INT))
+            || '{s[2]}'
+       END AS targets,
+       applied,
+       CASE WHEN applied THEN slen END AS span_len,
+       CASE WHEN applied THEN s0 END AS s0,
+       CASE WHEN applied THEN s1 END AS s1
+FROM pos
+"""

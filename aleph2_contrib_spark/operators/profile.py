@@ -1715,3 +1715,105 @@ SELECT "column", n_pairs, n_rises, n_flat, n_drops,
             ELSE 'mixed' END AS verdict
 FROM census
 """
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    value_col: str,
+    label_col: str,
+    label_a: str,
+    label_b: str,
+) -> DataFrame:
+    """Exact Mann–Whitney U (Wilcoxon rank-sum) statistic between two
+    slices of one numeric column — the nonparametric "did the
+    distribution shift" test a pipeline runs when means are ruled by
+    outliers. Everything stays in INTEGER arithmetic by carrying ranks
+    DOUBLED: a tie group occupying ranks r..r+c−1 has average rank
+    r + (c−1)/2, so 2·avg = 2r + c − 1 is always integral, and
+
+        2·R_a = Σ_{a} (2·rank),   2·U_a = 2·R_a − n_a(n_a+1)
+
+    One row out: (n_a, n_b, u2_a, u2_b, cles_a_ppm) — u2_* are the
+    DOUBLED U statistics (u2_a + u2_b = 2·n_a·n_b, asserted by the
+    algebra), cles_a_ppm = (u2_a · 1e6) div (2·n_a·n_b) is the
+    common-language effect size P(a > b) (+½P(=)) in exact ppm.
+    NULL values drop. The caller brings the normal approximation if a
+    p-value is wanted — the STATISTIC is the exact, engine-portable
+    part.
+
+    Plan shape: one global rank window over the combined slices (a
+    single-partition sort — the standard cost of an exact global rank;
+    at 100 TB use the two-phase range-partitioned rank of
+    `corpus.rank_normalize`), then ONE aggregation.
+    """
+    base = df.filter(
+        F.col(value_col).isNotNull()
+        & F.col(label_col).isin([label_a, label_b])
+    ).select(
+        F.col(label_col).alias("lbl"), F.col(value_col).alias("v")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("v").asc())
+    wt = Window.partitionBy("v")
+    ranked = base.select(
+        "lbl",
+        (2 * F.rank().over(w) + F.count(F.lit(1)).over(wt) - 1).alias("r2"),
+    )
+    agg = ranked.agg(
+        F.sum(F.when(F.col("lbl") == label_a, 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("lbl") == label_b, 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+        F.sum(F.when(F.col("lbl") == label_a, F.col("r2")).otherwise(0))
+        .cast("long")
+        .alias("r2_a"),
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        (F.col("r2_a") - F.col("n_a") * (F.col("n_a") + 1))
+        .cast("long")
+        .alias("u2_a"),
+        (
+            2 * F.col("n_a") * F.col("n_b")
+            - (F.col("r2_a") - F.col("n_a") * (F.col("n_a") + 1))
+        )
+        .cast("long")
+        .alias("u2_b"),
+        F.expr(
+            "CAST(((r2_a - n_a * (n_a + 1)) * 1000000)"
+            " div (2 * n_a * n_b) AS BIGINT)"
+        ).alias("cles_a_ppm"),
+    )
+
+
+def mann_whitney_u_oracle_sql(
+    rows_sql: str, label_a: str, label_b: str
+) -> str:
+    """DuckDB replica of :func:`mann_whitney_u`. ``rows_sql`` yields
+    (lbl, v); identical doubled-rank arithmetic."""
+    return f"""
+WITH base AS (
+    SELECT lbl, v FROM ({rows_sql})
+    WHERE v IS NOT NULL AND lbl IN ('{label_a}', '{label_b}')
+), ranked AS (
+    SELECT lbl,
+           2 * rank() OVER (ORDER BY v ASC)
+           + count(*) OVER (PARTITION BY v) - 1 AS r2
+    FROM base
+), agg AS (
+    SELECT CAST(sum(CASE WHEN lbl = '{label_a}' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+           CAST(sum(CASE WHEN lbl = '{label_b}' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+           CAST(sum(CASE WHEN lbl = '{label_a}' THEN r2 ELSE 0 END) AS BIGINT) AS r2_a
+    FROM ranked
+)
+SELECT n_a, n_b,
+       CAST(r2_a - n_a * (n_a + 1) AS BIGINT) AS u2_a,
+       CAST(2 * n_a * n_b - (r2_a - n_a * (n_a + 1)) AS BIGINT) AS u2_b,
+       CAST(((r2_a - n_a * (n_a + 1)) * 1000000) // (2 * n_a * n_b)
+            AS BIGINT) AS cles_a_ppm
+FROM agg
+"""

@@ -1115,3 +1115,37 @@ def test_boilerplate_affixes_property_vs_bruteforce(spark):
             assert (out[f"g{i}"].prefix_len, out[f"g{i}"].suffix_len) == (pl, sl)
 
     run()
+
+
+def test_span_corruption_reconstruction_and_long_doc(spark):
+    from pyspark.sql import Row
+
+    from aleph2_contrib_spark.operators.corpus import span_corruption
+
+    long_text = "".join(chr(97 + (i % 26)) for i in range(9000))  # int32-overflow guard
+    rows = [
+        Row(doc_id=1, text="abcdefghijklmnopqrstuvwxyz0123456789"),
+        Row(doc_id=2, text="short"),          # < min_len: passthrough
+        Row(doc_id=3, text=None),             # NULL: passthrough
+        Row(doc_id=4, text=long_text),
+    ]
+    out = {r.doc_id: r for r in span_corruption(
+        spark.createDataFrame(rows), "doc_id", "text").collect()}
+    assert out[2].applied is False and out[2].corrupted == "short"
+    assert out[3].corrupted is None and out[3].applied is False
+    for did in (1, 4):
+        r = out[did]
+        assert r.applied
+        text = rows[did - 1].text
+        # reassemble the original from corrupted + targets
+        p0, rest = r.corrupted.split("<extra_id_0>")
+        p1, p2 = rest.split("<extra_id_1>")
+        t = r.targets
+        assert t.startswith("<extra_id_0>") and t.endswith("<extra_id_2>")
+        mid = t[len("<extra_id_0>"):-len("<extra_id_2>")]
+        s0_text, s1_text = mid.split("<extra_id_1>")
+        assert p0 + s0_text + p1 + s1_text + p2 == text
+        # spans land where the metadata says, with the stated length
+        assert s0_text == text[r.s0 - 1 : r.s0 - 1 + r.span_len]
+        assert s1_text == text[r.s1 - 1 : r.s1 - 1 + r.span_len]
+        assert r.s1 >= r.s0 + r.span_len  # non-overlap

@@ -908,3 +908,22 @@ def test_monotonicity_profile_verdicts(spark):
     # NULL-adjacent pairs drop out entirely (only b's 5->4 pair survives)
     assert out["mixed"] == (1, 0, 0, 1, 1_000_000, "non_increasing")
     assert out["flat"] == (3, 0, 3, 0, 0, "constant")
+
+
+def test_mann_whitney_u_scipy_worked_example(spark):
+    from pyspark.sql import Row
+
+    from aleph2_contrib_spark.operators.profile import mann_whitney_u
+
+    # classic hand-computed example with ties:
+    # a = [1, 2, 4], b = [2, 3]  combined sorted: 1,2,2,3,4
+    # doubled avg ranks: 1->2, 2->5 (avg 2.5), 2->5, 3->8, 4->10
+    # 2R_a = 2+5+10 = 17 ; 2U_a = 17 - 3*4 = 5 (U_a = 2.5)
+    # 2U_b = 2*3*2 - 5 = 7 (U_b = 3.5); U_a + U_b = n_a*n_b = 6 ✓
+    rows = [Row(lbl="a", v=float(x)) for x in (1, 2, 4)]
+    rows += [Row(lbl="b", v=float(x)) for x in (2, 3)]
+    r = mann_whitney_u(
+        spark.createDataFrame(rows), "v", "lbl", "a", "b"
+    ).collect()[0]
+    assert (r.n_a, r.n_b, r.u2_a, r.u2_b) == (3, 2, 5, 7)
+    assert r.cles_a_ppm == 5 * 1_000_000 // 12
