@@ -7765,6 +7765,37 @@ def _span_corruption_oracle() -> str:
     )
 
 
+def events_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Shapley conversion attribution (operators/events.
+    shapley_attribution — the coalition game behind data-driven
+    attribution): purchase credit split among click/view/signup by
+    marginal contribution over all 8 coalitions, φ carried ×n! so every
+    output is an exact integer. Data-scale work = two keyed aggs + an
+    8-row mask census; the combination runs over literal coalition
+    frames in-plan."""
+    from aleph2_contrib_spark.operators.events import shapley_attribution
+
+    ev = _t(spark, sf_dir, "events")
+    return shapley_attribution(
+        ev, "user_id", "ts", "event_type", "purchase", ["click", "view", "signup"]
+    )
+
+
+def _shapley_oracle() -> str:
+    from aleph2_contrib_spark.operators.events import (
+        shapley_attribution_oracle_sql,
+    )
+
+    rows = (
+        "SELECT user_id AS u,"
+        " CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS ep,"
+        " event_type AS ty FROM events"
+    )
+    return shapley_attribution_oracle_sql(
+        rows, "purchase", ["click", "view", "signup"]
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver gate grades the FIRST 50 entries
     # each round. The literal below keeps its historical grouping; the
@@ -7879,6 +7910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_diff_in_diff": events_diff_in_diff,
         "stats_mann_whitney_u": stats_mann_whitney_u,
         "corpus_span_corruption": corpus_span_corruption,
+        "events_shapley_attribution": events_shapley_attribution,
         "window_distribution_ranks": window_distribution_ranks,
         "unpivot_order_metrics": unpivot_order_metrics,
         "graph_path_counts": graph_path_counts,
@@ -8148,7 +8180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_avi_codec",
         "text_script_mix",
         "text_vocab_drift",
-        # (deferred to round 11, HEAD of that window: the thirty
+        # (deferred to round 11, HEAD of that window: the thirty-one
         #  r10-new never-driver-checked gates — events_changepoint,
         #  similarity_random_projection, text_kn_lm_counts,
         #  window_distribution_ranks, unpivot_order_metrics,
@@ -8164,7 +8196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #  multimodal_image_dhash, sketch_kmv_distinct,
         #  sketch_kmv_jaccard, storage_compaction_plan,
         #  events_diff_in_diff, stats_mann_whitney_u,
-        #  corpus_span_corruption —
+        #  corpus_span_corruption, events_shapley_attribution —
         #  then the 12 remaining r4 rows —
         #  sketch_quantile_by_group, sketch_quantile_hist,
         #  stats_percentiles, text_bigram_rarity, text_char_pairs,
@@ -10702,6 +10734,7 @@ def oracle_sql() -> dict[str, str]:
         "events_diff_in_diff": _diff_in_diff_oracle(),
         "stats_mann_whitney_u": _mann_whitney_oracle(),
         "corpus_span_corruption": _span_corruption_oracle(),
+        "events_shapley_attribution": _shapley_oracle(),
         "graph_path_counts": _path_counts_oracle(),
         "graph_betweenness": _betweenness_oracle(),
         "unpivot_order_metrics": """

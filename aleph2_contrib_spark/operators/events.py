@@ -2407,3 +2407,180 @@ FROM (
     FROM w
 )
 """
+
+
+def shapley_attribution(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    conversion_type: str,
+    channels: Sequence[str],
+) -> DataFrame:
+    """Exact Shapley-value conversion attribution over channel
+    coalitions (Shapley 1953 applied to the marketing coalition game —
+    the model Google Analytics ran as "data-driven attribution";
+    simplified-Shapley form of Zhao et al. 2018): each converting
+    user's credit is split among the channels that touched them BEFORE
+    their first conversion, weighted by each channel's marginal
+    contribution across every coalition.
+
+    Game: players = channels; for a coalition S,
+    v(S) = #converters whose touch-set ⊆ S (their journey survives if
+    only S existed). Then
+
+        φ_i = Σ_{S ∌ i} |S|!·(n−1−|S|)! · (v(S∪i) − v(S)) / n!
+
+    Everything is EXACT: counts are integers and φ is emitted
+    multiplied by n! (``phi_nf``), which the weight formula makes
+    integral; share_ppm = (phi_nf · 1e6) div (n!·v(full)). Efficiency
+    (Σ φ_i = v(full)) holds by construction and is asserted in tests.
+    "Before" is strict at truncated epoch-SECOND granularity (the
+    repo's floor(epoch) discipline — sub-second precision differs
+    between engines). Converters with NO prior touch leave the game
+    (they are unattributable).
+
+    Plan shape: the DATA-scale work is two keyed aggregations (first
+    conversion per user, then one bit_or mask per user) and an 8-row
+    mask census for n=3; the Shapley combination runs over literal
+    2^n-row coalition frames — tiny broadcast nested-loop joins,
+    deliberately in-plan (no driver collect) so the whole thing is one
+    lazy DataFrame. n is bounded by the 2^n census (n ≤ ~10 in
+    practice; marketing attribution rarely exceeds 5 channels).
+    """
+    import math
+
+    n = len(channels)
+    if not (1 <= n <= 10):
+        raise ValueError("channels must have 1..10 entries")
+    spark = df.sparkSession
+    nf = math.factorial(n)
+    ep = F.col(ts_col).cast("timestamp").cast("long")
+    conv = (
+        df.filter(F.col(type_col) == conversion_type)
+        .groupBy(F.col(user_col).alias("u"))
+        .agg(F.min(ep).alias("fp"))
+    )
+    masks = (
+        df.select(F.col(user_col).alias("u"), ep.alias("ep"), F.col(type_col).alias("ty"))
+        .join(conv, "u")
+        .filter(F.col("ep") < F.col("fp"))
+        .select(
+            "u",
+            sum(
+                (F.when(F.col("ty") == ch, F.lit(1 << i)).otherwise(0))
+                for i, ch in enumerate(channels)
+            ).alias("b"),
+        )
+        .groupBy("u")
+        .agg(F.bit_or("b").alias("mask"))
+        .filter(F.col("mask") > 0)
+    )
+    counts = masks.groupBy("mask").agg(F.count(F.lit(1)).alias("c"))
+    coal = spark.range(1 << n).select(F.col("id").cast("int").alias("s"))
+    v = (
+        coal.join(
+            F.broadcast(counts),
+            (F.col("mask").bitwiseAND(F.col("s")) == F.col("mask")),
+            "left",
+        )
+        .groupBy("s")
+        .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("v"))
+    )
+    # |S|!(n-1-|S|)! for each coalition size, premultiplied into n!·φ
+    w_by_size = {
+        k: math.factorial(k) * math.factorial(n - 1 - k) for k in range(n)
+    }
+    w_expr = F.element_at(
+        F.array(*[F.lit(w_by_size[k]) for k in range(n)]),
+        F.col("size_s") + 1,
+    )
+    ch_rows = spark.createDataFrame(
+        [(ch, 1 << i) for i, ch in enumerate(channels)], "channel string, bit int"
+    )
+    vs = v.select(F.col("s").alias("s0"), F.col("v").alias("v0"))
+    v2 = v.select(F.col("s").alias("s1"), F.col("v").alias("v1"))
+    pairs = (
+        ch_rows.join(
+            F.broadcast(vs), F.col("s0").bitwiseAND(F.col("bit")) == 0
+        )
+        .withColumn("s1", F.col("s0") + F.col("bit"))
+        .join(F.broadcast(v2), "s1")
+        .withColumn("size_s", F.bit_count(F.col("s0").cast("long")).cast("int"))
+    )
+    phi = pairs.groupBy("channel").agg(
+        F.sum(w_expr * (F.col("v1") - F.col("v0"))).cast("long").alias("phi_nf")
+    )
+    total = v.filter(F.col("s") == (1 << n) - 1).select(
+        F.col("v").alias("__vt")
+    )
+    return (
+        phi.join(F.broadcast(total))
+        .select(
+            "channel",
+            "phi_nf",
+            F.lit(nf).cast("int").alias("n_factorial"),
+            F.col("__vt").cast("long").alias("v_full"),
+            F.expr(f"CAST((phi_nf * 1000000) div ({nf} * __vt) AS BIGINT)").alias(
+                "share_ppm"
+            ),
+        )
+    )
+
+
+def shapley_attribution_oracle_sql(
+    rows_sql: str,
+    conversion_type: str,
+    channels: Sequence[str],
+) -> str:
+    """DuckDB replica of :func:`shapley_attribution`. ``rows_sql``
+    yields (u, ep BIGINT epoch-seconds, ty)."""
+    import math
+
+    n = len(channels)
+    nf = math.factorial(n)
+    bit_case = " + ".join(
+        f"max(CASE WHEN ty = '{ch}' THEN {1 << i} ELSE 0 END)"
+        for i, ch in enumerate(channels)
+    )
+    w_arr = ", ".join(
+        str(math.factorial(k) * math.factorial(n - 1 - k)) for k in range(n)
+    )
+    ch_vals = ", ".join(
+        f"('{ch}', {1 << i})" for i, ch in enumerate(channels)
+    )
+    return f"""
+WITH ev AS ({rows_sql}),
+conv AS (
+    SELECT u, min(ep) AS fp FROM ev WHERE ty = '{conversion_type}' GROUP BY u
+), masks AS (
+    SELECT e.u, {bit_case} AS mask
+    FROM ev e JOIN conv c ON e.u = c.u AND e.ep < c.fp
+    GROUP BY e.u
+), counts AS (
+    SELECT mask, count(*) AS c FROM masks WHERE mask > 0 GROUP BY mask
+), coal AS (
+    SELECT CAST(s AS INT) AS s FROM range(0, {1 << n}) t(s)
+), v AS (
+    SELECT coal.s, CAST(coalesce(sum(counts.c), 0) AS BIGINT) AS v
+    FROM coal LEFT JOIN counts ON (counts.mask & coal.s) = counts.mask
+    GROUP BY coal.s
+), ch AS (
+    SELECT * FROM (VALUES {ch_vals}) AS t(channel, bit)
+), pairs AS (
+    SELECT ch.channel,
+           ([{w_arr}])[bit_count(v0.s) + 1] * (v1.v - v0.v) AS term
+    FROM ch
+    JOIN v v0 ON (v0.s & ch.bit) = 0
+    JOIN v v1 ON v1.s = v0.s + ch.bit
+), phi AS (
+    SELECT channel, CAST(sum(term) AS BIGINT) AS phi_nf FROM pairs GROUP BY channel
+)
+SELECT phi.channel, phi.phi_nf,
+       CAST({nf} AS INT) AS n_factorial,
+       (SELECT v FROM v WHERE s = {(1 << n) - 1}) AS v_full,
+       CAST((phi.phi_nf * 1000000)
+            // ({nf} * (SELECT v FROM v WHERE s = {(1 << n) - 1}))
+            AS BIGINT) AS share_ppm
+FROM phi
+"""

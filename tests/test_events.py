@@ -1649,3 +1649,38 @@ def test_diff_in_diff_exact_cells_and_null_policy(spark):
     ).collect()[0]
     assert r2.n_treat_post == 0 and r2.mean_treat_post_c is None
     assert r2.did_cents is None
+
+
+def test_shapley_attribution_worked_example_and_efficiency(spark):
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from aleph2_contrib_spark.operators.events import shapley_attribution
+
+    # 3 converters: u1 touched {A}, u2 touched {A,B}, u3 touched {B},
+    # u4 converts with no touches (leaves the game), u5 never converts
+    rows = []
+    def ev(u, t, ty):
+        rows.append(Row(u=u, t=t, ty=ty))
+    ev("u1", 10, "A"); ev("u1", 100, "buy")
+    ev("u2", 10, "A"); ev("u2", 20, "B"); ev("u2", 100, "buy")
+    ev("u3", 10, "B"); ev("u3", 100, "buy")
+    ev("u4", 100, "buy"); ev("u4", 200, "A")   # touch AFTER conversion
+    ev("u5", 10, "A")
+    df = spark.createDataFrame(rows).select(
+        "u", F.col("t").cast("timestamp").alias("t"), "ty"
+    )
+    out = {
+        r.channel: (r.phi_nf, r.n_factorial, r.v_full, r.share_ppm)
+        for r in shapley_attribution(df, "u", "t", "ty", "buy", ["A", "B"]).collect()
+    }
+    # v({A})=1 (u1), v({B})=1 (u3), v({A,B})=3; n=2, n!=2
+    # φ_A·2 = 1!(v(A)-v(∅)) ... sizes: |S|=0 w=1, |S|=1 w=1
+    # φ_A·2 = (v(A)-v(∅)) + (v(AB)-v(B)) = 1 + 2 = 3
+    # φ_B·2 = (v(B)-v(∅)) + (v(AB)-v(A)) = 1 + 2 = 3
+    assert out == {
+        "A": (3, 2, 3, 500_000),
+        "B": (3, 2, 3, 500_000),
+    }
+    # efficiency: Σ φ_nf = n! · v(full)
+    assert sum(v[0] for v in out.values()) == 2 * 3

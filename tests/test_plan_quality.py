@@ -66,6 +66,8 @@ INTENTIONAL_BNLJ = {
     "graph_rectangles",            # three 1-row global counts joined 1x1x1
     "graph_diameter_2sweep",       # four 1-row scalars (seeds/eccs) joined 1x1x1x1
     "events_allen_relations",      # ≤13 relation rows x 1-row broadcast total
+    "events_shapley_attribution",  # 2^n literal coalition frames, subset-bitmask joins
+    "sketch_kmv_jaccard",          # three 1-row sketch aggregates joined 1x1x1
 }
 
 
