@@ -1817,3 +1817,92 @@ SELECT n_a, n_b,
             AS BIGINT) AS cles_a_ppm
 FROM agg
 """
+
+
+def lorenz_gini(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Exact Gini concentration coefficient of a non-negative numeric
+    column per group — "how concentrated is revenue across orders /
+    spend across users", the inequality screen behind skew decisions
+    (a group with gini → 1 is one hot entity wearing a group key).
+    Uses the rank form (equivalent to the Lorenz-curve area):
+
+        G = (2·Σ i·x_(i) − (n+1)·Σ x) / (n·Σ x)      x sorted ASC
+
+    carried in exact integers: values enter as CENTS
+    (floor(value·100)), ranks come from one per-group window, and the
+    output is gini_f6 = floor-division of the 1e6-scaled numerator —
+    bit-identical on both engines. Σ i·x is tie-order independent
+    (swapping equal values leaves the sum unchanged), so no tiebreak
+    column is needed. Groups with Σx = 0 or n = 0 yield NULL.
+
+    At gate scale the Σ i·x product tops out well inside BIGINT
+    (n·max_cents·n ≈ 1e14 at sf0.1); a 100 TB deployment with
+    billions of rows per group moves the two sums to DECIMAL(38,0)
+    and ships the result through the digit-string boundary
+    (functions/gate_types) — same arithmetic, wider registers.
+
+    Plan shape: ONE per-group rank window (key shuffle) + ONE groupBy.
+    """
+    from pyspark.sql import Window
+
+    cents = F.floor(F.col(value_col).cast("decimal(38,6)") * 100).cast("long")
+    ranked = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(F.col(group_col).alias("g"), cents.alias("__c"))
+        .withColumn(
+            "__i",
+            F.row_number().over(
+                Window.partitionBy("g").orderBy(F.col("__c").asc())
+            ),
+        )
+    )
+    agg = ranked.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__c").cast("long").alias("sum_c"),
+        F.sum(F.col("__i") * F.col("__c")).cast("long").alias("sum_ic"),
+    )
+    # the 1e6-scaled numerator exceeds BIGINT at realistic group sizes
+    # (n²·cents·1e6) — widen to DECIMAL(38,0) for the division only;
+    # the quotient (≤ 1e6) comes back as BIGINT
+    return agg.select(
+        F.col("g").alias(group_col),
+        "n",
+        "sum_c",
+        F.when(
+            (F.col("n") > 0) & (F.col("sum_c") > 0),
+            F.expr(
+                "CAST((CAST(2 * sum_ic - (n + 1) * sum_c AS DECIMAL(38,0))"
+                " * 1000000) div (CAST(n AS DECIMAL(38,0)) * sum_c)"
+                " AS BIGINT)"
+            ),
+        ).alias("gini_f6"),
+    )
+
+
+def lorenz_gini_oracle_sql(rows_sql: str, group_out: str) -> str:
+    """DuckDB replica of :func:`lorenz_gini`. ``rows_sql`` yields
+    (g, value)."""
+    return f"""
+WITH base AS (
+    SELECT g, CAST(floor(CAST(value AS DECIMAL(38,6)) * 100) AS BIGINT) AS c
+    FROM ({rows_sql}) WHERE value IS NOT NULL
+), ranked AS (
+    SELECT g, c, row_number() OVER (PARTITION BY g ORDER BY c ASC) AS i
+    FROM base
+), agg AS (
+    SELECT g, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(c) AS BIGINT) AS sum_c,
+           CAST(sum(i * c) AS BIGINT) AS sum_ic
+    FROM ranked GROUP BY g
+)
+SELECT g AS {group_out}, n, sum_c,
+       CASE WHEN n > 0 AND sum_c > 0 THEN
+            CAST((CAST(2 * sum_ic - (n + 1) * sum_c AS HUGEINT) * 1000000)
+                 // (CAST(n AS HUGEINT) * sum_c) AS BIGINT)
+       END AS gini_f6
+FROM agg
+"""

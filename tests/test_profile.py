@@ -927,3 +927,25 @@ def test_mann_whitney_u_scipy_worked_example(spark):
     ).collect()[0]
     assert (r.n_a, r.n_b, r.u2_a, r.u2_b) == (3, 2, 5, 7)
     assert r.cles_a_ppm == 5 * 1_000_000 // 12
+
+
+def test_lorenz_gini_known_distributions(spark):
+    from pyspark.sql import Row
+
+    from aleph2_contrib_spark.operators.profile import lorenz_gini
+
+    rows = [Row(g="equal", v=5.0) for _ in range(4)]
+    rows += [Row(g="onehot", v=0.0) for _ in range(9)] + [Row(g="onehot", v=100.0)]
+    rows += [Row(g="null", v=None)]
+    out = {
+        r.prio if hasattr(r, "prio") else r.g: (r.n, r.gini_f6)
+        for r in lorenz_gini(
+            spark.createDataFrame(rows), "v", "g"
+        ).collect()
+    }
+    # perfectly equal -> G = 0
+    assert out["equal"] == (4, 0)
+    # one holder of everything among n=10 -> G = (n-1)/n = 0.9
+    assert out["onehot"] == (10, 900_000)
+    # all-NULL group vanishes (no non-null rows)
+    assert "null" not in out
