@@ -7819,6 +7819,40 @@ def _lorenz_gini_oracle() -> str:
     )
 
 
+def corpus_feistel_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free multi-epoch shuffle schedule (operators/corpus.
+    feistel_epoch_positions — cycle-walking Feistel FPE, Black &
+    Rogaway 2002): every document's position in epochs 1-3's
+    pseudo-random permutations, computed positionally (no sort, no
+    shuffle, provable bijection per epoch). n comes from one bounded
+    count; both engines run the SAME generated walk chain."""
+    from aleph2_contrib_spark.operators.corpus import feistel_epoch_positions
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    return feistel_epoch_positions(docs, "doc_id", n, [1, 2, 3])
+
+
+def _feistel_shuffle_oracle(sf_dir: str | None = None) -> str:
+    # n is sf-dependent (dense doc_id domain) — the oracle builder reads
+    # the same count from the parquet the harness will query
+    import duckdb
+
+    from aleph2_contrib_spark.operators.corpus import (
+        feistel_epoch_positions_oracle_sql,
+    )
+
+    sf = sf_dir or os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    con = duckdb.connect()
+    n = con.execute(
+        f"SELECT count(*) FROM '{sf}/documents.parquet'"
+    ).fetchone()[0]
+    con.close()
+    return feistel_epoch_positions_oracle_sql(
+        "SELECT doc_id FROM documents", "doc_id", int(n), [1, 2, 3]
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver gate grades the FIRST 50 entries
     # each round. The literal below keeps its historical grouping; the
@@ -7935,6 +7969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_span_corruption": corpus_span_corruption,
         "events_shapley_attribution": events_shapley_attribution,
         "profile_lorenz_gini": profile_lorenz_gini,
+        "corpus_feistel_shuffle": corpus_feistel_shuffle,
         "window_distribution_ranks": window_distribution_ranks,
         "unpivot_order_metrics": unpivot_order_metrics,
         "graph_path_counts": graph_path_counts,
@@ -8204,7 +8239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_avi_codec",
         "text_script_mix",
         "text_vocab_drift",
-        # (deferred to round 11, HEAD of that window: the thirty-two
+        # (deferred to round 11, HEAD of that window: the thirty-three
         #  r10-new never-driver-checked gates — events_changepoint,
         #  similarity_random_projection, text_kn_lm_counts,
         #  window_distribution_ranks, unpivot_order_metrics,
@@ -8221,7 +8256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #  sketch_kmv_jaccard, storage_compaction_plan,
         #  events_diff_in_diff, stats_mann_whitney_u,
         #  corpus_span_corruption, events_shapley_attribution,
-        #  profile_lorenz_gini —
+        #  profile_lorenz_gini, corpus_feistel_shuffle —
         #  then the 12 remaining r4 rows —
         #  sketch_quantile_by_group, sketch_quantile_hist,
         #  stats_percentiles, text_bigram_rarity, text_char_pairs,
@@ -10761,6 +10796,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_span_corruption": _span_corruption_oracle(),
         "events_shapley_attribution": _shapley_oracle(),
         "profile_lorenz_gini": _lorenz_gini_oracle(),
+        "corpus_feistel_shuffle": _feistel_shuffle_oracle(),
         "graph_path_counts": _path_counts_oracle(),
         "graph_betweenness": _betweenness_oracle(),
         "unpivot_order_metrics": """

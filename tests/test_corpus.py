@@ -1149,3 +1149,56 @@ def test_span_corruption_reconstruction_and_long_doc(spark):
         assert s0_text == text[r.s0 - 1 : r.s0 - 1 + r.span_len]
         assert s1_text == text[r.s1 - 1 : r.s1 - 1 + r.span_len]
         assert r.s1 >= r.s0 + r.span_len  # non-overlap
+
+
+def test_feistel_epoch_positions_bijective_and_decorrelated(spark):
+    from pyspark.sql import Row
+
+    from aleph2_contrib_spark.operators.corpus import feistel_epoch_positions
+
+    for n in (37, 500):
+        df = spark.createDataFrame([Row(doc_id=i) for i in range(n)])
+        out = feistel_epoch_positions(df, "doc_id", n, [1, 2]).collect()
+        by_epoch = {}
+        for r in out:
+            by_epoch.setdefault(r.epoch, {})[r.doc_id] = r.pos
+        for e in (1, 2):
+            # bijection: every position hit exactly once
+            assert sorted(by_epoch[e].values()) == list(range(n)), (n, e)
+        # epochs decorrelated: the two permutations differ
+        assert by_epoch[1] != by_epoch[2]
+
+
+def test_feistel_python_matches_duckdb_expression_form():
+    import duckdb
+
+    from aleph2_contrib_spark.operators.corpus import feistel_positions_sql
+
+    # the Arrow kernel and the oracle's expression chain are independent
+    # implementations of the same cipher — cross-check them directly
+    import hashlib
+
+    n, seed, epoch = 123, "feistel", 7
+    bits = max(2, (n - 1).bit_length())
+    w = (bits + 1) // 2
+    mask = (1 << w) - 1
+
+    def walk(x):
+        p, first = x, True
+        while first or p >= n:
+            first = False
+            l, r = p >> w, p & mask
+            for i in range(4):
+                fr = int(hashlib.md5(f"{seed}:{epoch}:{i}:{r}".encode())
+                         .hexdigest()[:8], 16) & mask
+                l, r = r, l ^ fr
+            p = (l << w) | r
+        return p
+
+    con = duckdb.connect()
+    sql = feistel_positions_sql(
+        f"SELECT x AS doc_id, {epoch} AS epoch FROM range(0, {n}) t(x)",
+        "doc_id", n, [epoch], seed, "duckdb",
+    )
+    got = {r[0]: r[2] for r in con.execute(sql).fetchall()}
+    assert got == {x: walk(x) for x in range(n)}
