@@ -7853,6 +7853,29 @@ def _feistel_shuffle_oracle(sf_dir: str | None = None) -> str:
     )
 
 
+def events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candlestick bars (operators/events.ohlc_bars): per
+    (event_type, hour) open/high/low/close/volume in exact cents —
+    open/close are order-dependent firsts/lasts a plain groupBy can't
+    produce; order is (floored epoch, event_id) so both engines agree.
+    One window pass + one groupBy."""
+    from aleph2_contrib_spark.operators.events import ohlc_bars
+
+    ev = _t(spark, sf_dir, "events")
+    return ohlc_bars(ev, "event_type", "ts", "event_id", "value", 3600)
+
+
+def _ohlc_oracle() -> str:
+    from aleph2_contrib_spark.operators.events import ohlc_bars_oracle_sql
+
+    rows = (
+        "SELECT event_type AS k,"
+        " CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS ep,"
+        " event_id AS id, value FROM events"
+    )
+    return ohlc_bars_oracle_sql(rows, "event_type", 3600)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver gate grades the FIRST 50 entries
     # each round. The literal below keeps its historical grouping; the
@@ -7970,6 +7993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_shapley_attribution": events_shapley_attribution,
         "profile_lorenz_gini": profile_lorenz_gini,
         "corpus_feistel_shuffle": corpus_feistel_shuffle,
+        "events_ohlc_bars": events_ohlc_bars,
         "window_distribution_ranks": window_distribution_ranks,
         "unpivot_order_metrics": unpivot_order_metrics,
         "graph_path_counts": graph_path_counts,
@@ -8239,7 +8263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_avi_codec",
         "text_script_mix",
         "text_vocab_drift",
-        # (deferred to round 11, HEAD of that window: the thirty-three
+        # (deferred to round 11, HEAD of that window: the thirty-four
         #  r10-new never-driver-checked gates — events_changepoint,
         #  similarity_random_projection, text_kn_lm_counts,
         #  window_distribution_ranks, unpivot_order_metrics,
@@ -8256,7 +8280,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #  sketch_kmv_jaccard, storage_compaction_plan,
         #  events_diff_in_diff, stats_mann_whitney_u,
         #  corpus_span_corruption, events_shapley_attribution,
-        #  profile_lorenz_gini, corpus_feistel_shuffle —
+        #  profile_lorenz_gini, corpus_feistel_shuffle,
+        #  events_ohlc_bars —
         #  then the 12 remaining r4 rows —
         #  sketch_quantile_by_group, sketch_quantile_hist,
         #  stats_percentiles, text_bigram_rarity, text_char_pairs,
@@ -10797,6 +10822,7 @@ def oracle_sql() -> dict[str, str]:
         "events_shapley_attribution": _shapley_oracle(),
         "profile_lorenz_gini": _lorenz_gini_oracle(),
         "corpus_feistel_shuffle": _feistel_shuffle_oracle(),
+        "events_ohlc_bars": _ohlc_oracle(),
         "graph_path_counts": _path_counts_oracle(),
         "graph_betweenness": _betweenness_oracle(),
         "unpivot_order_metrics": """

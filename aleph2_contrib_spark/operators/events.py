@@ -2584,3 +2584,111 @@ SELECT phi.channel, phi.phi_nf,
             AS BIGINT) AS share_ppm
 FROM phi
 """
+
+
+def ohlc_bars(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """OHLC downsampling — the candlestick/bar aggregation every
+    timeseries store exposes (open/high/low/close/volume per time
+    bucket), which a plain groupBy can't produce because OPEN and CLOSE
+    are ORDER-dependent (first/last value in the bucket), not
+    commutative aggregates.
+
+    Determinism: rows are ordered by (floor-epoch seconds, id) — the
+    repo's floor(epoch) discipline plus a unique tiebreaker, because
+    raw sub-second timestamps order differently across engines (Spark
+    micros vs parquet nanos). Values are exact CENTS
+    (floor(value·100)); NULL values are excluded from the bar entirely
+    (all five measures together, so open/close/extremes stay
+    consistent). Output per (key, bucket):
+
+        (key, bucket_start, n, open_c, high_c, low_c, close_c, vol_c)
+
+    Plan shape: ONE (key, bucket) window pass (two row_numbers over
+    the same sort) + ONE groupBy with map-side partials — no joins,
+    no second shuffle.
+    """
+    ep = F.col(ts_col).cast("timestamp").cast("long")
+    cents = F.floor(F.col(value_col).cast("decimal(38,6)") * 100).cast("long")
+    base = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(
+            F.col(key_col).alias("k"),
+            (ep - (ep % F.lit(int(bucket_seconds)))).alias("bucket_start"),
+            ep.alias("__ep"),
+            F.col(id_col).alias("__id"),
+            cents.alias("__c"),
+        )
+    )
+    wa = Window.partitionBy("k", "bucket_start").orderBy(
+        F.col("__ep").asc(), F.col("__id").asc()
+    )
+    wd = Window.partitionBy("k", "bucket_start").orderBy(
+        F.col("__ep").desc(), F.col("__id").desc()
+    )
+    ranked = base.select(
+        "k",
+        "bucket_start",
+        "__c",
+        F.row_number().over(wa).alias("__ra"),
+        F.row_number().over(wd).alias("__rd"),
+    )
+    return (
+        ranked.groupBy("k", "bucket_start")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.max(F.when(F.col("__ra") == 1, F.col("__c"))).alias("open_c"),
+            F.max("__c").alias("high_c"),
+            F.min("__c").alias("low_c"),
+            F.max(F.when(F.col("__rd") == 1, F.col("__c"))).alias("close_c"),
+            F.sum("__c").cast("long").alias("vol_c"),
+        )
+        .select(
+            F.col("k").alias(key_col),
+            F.col("bucket_start").cast("long").alias("bucket_start"),
+            "n",
+            "open_c",
+            "high_c",
+            "low_c",
+            "close_c",
+            "vol_c",
+        )
+    )
+
+
+def ohlc_bars_oracle_sql(
+    rows_sql: str, key_out: str, bucket_seconds: int = 3600
+) -> str:
+    """DuckDB replica of :func:`ohlc_bars`. ``rows_sql`` yields
+    (k, ep BIGINT epoch-seconds, id, value)."""
+    b = int(bucket_seconds)
+    return f"""
+WITH base AS (
+    SELECT k, ep - (ep % {b}) AS bucket_start, ep, id,
+           CAST(floor(CAST(value AS DECIMAL(38,6)) * 100) AS BIGINT) AS c
+    FROM ({rows_sql}) WHERE value IS NOT NULL
+), ranked AS (
+    SELECT k, bucket_start, c,
+           row_number() OVER (PARTITION BY k, bucket_start
+                              ORDER BY ep ASC, id ASC) AS ra,
+           row_number() OVER (PARTITION BY k, bucket_start
+                              ORDER BY ep DESC, id DESC) AS rd
+    FROM base
+)
+SELECT k AS {key_out},
+       CAST(bucket_start AS BIGINT) AS bucket_start,
+       CAST(count(*) AS BIGINT) AS n,
+       max(CASE WHEN ra = 1 THEN c END) AS open_c,
+       max(c) AS high_c,
+       min(c) AS low_c,
+       max(CASE WHEN rd = 1 THEN c END) AS close_c,
+       CAST(sum(c) AS BIGINT) AS vol_c
+FROM ranked
+GROUP BY k, bucket_start
+"""

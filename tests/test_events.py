@@ -1684,3 +1684,27 @@ def test_shapley_attribution_worked_example_and_efficiency(spark):
     }
     # efficiency: Σ φ_nf = n! · v(full)
     assert sum(v[0] for v in out.values()) == 2 * 3
+
+
+def test_ohlc_bars_order_and_null_policy(spark):
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from aleph2_contrib_spark.operators.events import ohlc_bars
+
+    rows = [
+        Row(k="x", t=10, i=1, v=5.00),
+        Row(k="x", t=20, i=2, v=9.00),
+        Row(k="x", t=20, i=3, v=1.00),   # same second: id breaks the tie
+        Row(k="x", t=30, i=4, v=None),   # NULL excluded entirely
+        Row(k="x", t=3700, i=5, v=7.00),  # next hour bucket
+    ]
+    df = spark.createDataFrame(rows).select(
+        "k", F.col("t").cast("timestamp").alias("t"), "i", "v"
+    )
+    out = {
+        (r.k, r.bucket_start): (r.n, r.open_c, r.high_c, r.low_c, r.close_c, r.vol_c)
+        for r in ohlc_bars(df, "k", "t", "i", "v", 3600).collect()
+    }
+    assert out[("x", 0)] == (3, 500, 900, 100, 100, 1500)
+    assert out[("x", 3600)] == (1, 700, 700, 700, 700, 700)
