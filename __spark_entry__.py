@@ -7876,6 +7876,63 @@ def _ohlc_oracle() -> str:
     return ohlc_bars_oracle_sql(rows, "event_type", 3600)
 
 
+def events_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per event_type (operators/events.max_drawdown):
+    peak-to-trough in exact cents over the (floored-epoch, event_id)
+    total order packed into one sortable BIGINT — order-dependent risk
+    metric a commutative agg can't produce. One running-max window +
+    one groupBy."""
+    from aleph2_contrib_spark.operators.events import max_drawdown
+
+    ev = _t(spark, sf_dir, "events")
+    ep = F.col("ts").cast("timestamp").cast("long")
+    series = ev.select(
+        "event_type",
+        (ep * F.lit(10_000_000) + F.col("event_id")).alias("o"),
+        "value",
+    )
+    return max_drawdown(series, "event_type", "o", "value")
+
+
+def _max_drawdown_oracle() -> str:
+    from aleph2_contrib_spark.operators.events import max_drawdown_oracle_sql
+
+    rows = (
+        "SELECT event_type AS k,"
+        " CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) * 10000000"
+        " + event_id AS o, value FROM events"
+    )
+    return max_drawdown_oracle_sql(rows, "event_type")
+
+
+def profile_null_rate_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Completeness drift (operators/profile.null_rate_trend): null-rate
+    per column per calendar day — the DQ trend invisible to the global
+    null census. The NULL-free synthetic events are salted
+    deterministically (event_id%7 / user_id%5 nulls) on BOTH engines,
+    same injection discipline as the encoding-anomaly gate."""
+    from aleph2_contrib_spark.operators.profile import null_rate_trend
+
+    ev = _t(spark, sf_dir, "events").select(
+        "ts",
+        F.when(F.col("event_id") % 7 != 0, F.col("value")).alias("v7"),
+        F.when(F.col("user_id") % 5 != 0, F.col("event_type")).alias("ty5"),
+    )
+    return null_rate_trend(ev, "ts", ["v7", "ty5"])
+
+
+def _null_rate_trend_oracle() -> str:
+    from aleph2_contrib_spark.operators.profile import null_rate_trend_oracle_sql
+
+    rows = (
+        "SELECT ts,"
+        " CASE WHEN event_id % 7 <> 0 THEN value END AS v7,"
+        " CASE WHEN user_id % 5 <> 0 THEN event_type END AS ty5"
+        " FROM events"
+    )
+    return null_rate_trend_oracle_sql(rows, ["v7", "ty5"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver gate grades the FIRST 50 entries
     # each round. The literal below keeps its historical grouping; the
@@ -7994,6 +8051,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_lorenz_gini": profile_lorenz_gini,
         "corpus_feistel_shuffle": corpus_feistel_shuffle,
         "events_ohlc_bars": events_ohlc_bars,
+        "events_max_drawdown": events_max_drawdown,
+        "profile_null_rate_trend": profile_null_rate_trend,
         "window_distribution_ranks": window_distribution_ranks,
         "unpivot_order_metrics": unpivot_order_metrics,
         "graph_path_counts": graph_path_counts,
@@ -8263,7 +8322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_avi_codec",
         "text_script_mix",
         "text_vocab_drift",
-        # (deferred to round 11, HEAD of that window: the thirty-four
+        # (deferred to round 11, HEAD of that window: the thirty-six
         #  r10-new never-driver-checked gates — events_changepoint,
         #  similarity_random_projection, text_kn_lm_counts,
         #  window_distribution_ranks, unpivot_order_metrics,
@@ -8281,7 +8340,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #  events_diff_in_diff, stats_mann_whitney_u,
         #  corpus_span_corruption, events_shapley_attribution,
         #  profile_lorenz_gini, corpus_feistel_shuffle,
-        #  events_ohlc_bars —
+        #  events_ohlc_bars, events_max_drawdown,
+        #  profile_null_rate_trend —
         #  then the 12 remaining r4 rows —
         #  sketch_quantile_by_group, sketch_quantile_hist,
         #  stats_percentiles, text_bigram_rarity, text_char_pairs,
@@ -10823,6 +10883,8 @@ def oracle_sql() -> dict[str, str]:
         "profile_lorenz_gini": _lorenz_gini_oracle(),
         "corpus_feistel_shuffle": _feistel_shuffle_oracle(),
         "events_ohlc_bars": _ohlc_oracle(),
+        "events_max_drawdown": _max_drawdown_oracle(),
+        "profile_null_rate_trend": _null_rate_trend_oracle(),
         "graph_path_counts": _path_counts_oracle(),
         "graph_betweenness": _betweenness_oracle(),
         "unpivot_order_metrics": """

@@ -2692,3 +2692,92 @@ SELECT k AS {key_out},
 FROM ranked
 GROUP BY k, bucket_start
 """
+
+
+def max_drawdown(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Maximum drawdown per key — the classic peak-to-trough risk
+    metric (largest drop from a running maximum), order-dependent and
+    therefore out of reach of commutative aggregation: per key, with
+    rows ordered by ``order_col``,
+
+        dd_t = max_{s ≤ t}(v_s) − v_t,    max_drawdown = max_t dd_t
+
+    Values are exact CENTS; output (key, n, peak_c, max_drawdown_c,
+    trough_after_peak_c) where trough_after_peak_c is the value at the
+    FIRST order position attaining the maximum drawdown (deterministic
+    tie rule, mirrored by the oracle). NULL values are skipped (a gap,
+    not a zero). A never-declining series reports 0.
+
+    Plan shape: one running-max window + one groupBy — ONE key
+    shuffle, no joins, no iteration.
+    """
+    cents = F.floor(F.col(value_col).cast("decimal(38,6)") * 100).cast("long")
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(key_col).alias("k"),
+        F.col(order_col).alias("o"),
+        cents.alias("c"),
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy(F.col("o").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    dd = base.select(
+        "k",
+        "o",
+        "c",
+        (F.max("c").over(w) - F.col("c")).alias("dd"),
+    )
+    wpick = Window.partitionBy("k").orderBy(F.col("dd").desc(), F.col("o").asc())
+    return (
+        dd.withColumn("__r", F.row_number().over(wpick))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.max("c").alias("peak_c"),
+            F.max("dd").cast("long").alias("max_drawdown_c"),
+            F.max(F.when(F.col("__r") == 1, F.col("c"))).alias(
+                "trough_after_peak_c"
+            ),
+        )
+        .select(
+            F.col("k").alias(key_col),
+            "n",
+            "peak_c",
+            "max_drawdown_c",
+            "trough_after_peak_c",
+        )
+    )
+
+
+def max_drawdown_oracle_sql(rows_sql: str, key_out: str) -> str:
+    """DuckDB replica of :func:`max_drawdown`. ``rows_sql`` yields
+    (k, o, value)."""
+    return f"""
+WITH base AS (
+    SELECT k, o,
+           CAST(floor(CAST(value AS DECIMAL(38,6)) * 100) AS BIGINT) AS c
+    FROM ({rows_sql}) WHERE value IS NOT NULL
+), dd AS (
+    SELECT k, o, c,
+           max(c) OVER (PARTITION BY k ORDER BY o ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - c AS dd
+    FROM base
+), picked AS (
+    SELECT *, row_number() OVER (PARTITION BY k ORDER BY dd DESC, o ASC) AS r
+    FROM dd
+)
+SELECT k AS {key_out},
+       CAST(count(*) AS BIGINT) AS n,
+       max(c) AS peak_c,
+       CAST(max(dd) AS BIGINT) AS max_drawdown_c,
+       max(CASE WHEN r = 1 THEN c END) AS trough_after_peak_c
+FROM picked
+GROUP BY k
+"""

@@ -1906,3 +1906,63 @@ SELECT g AS {group_out}, n, sum_c,
        END AS gini_f6
 FROM agg
 """
+
+
+def null_rate_trend(
+    df: DataFrame,
+    time_col: str,
+    cols: list[str],
+    bucket: str = "day",
+) -> DataFrame:
+    """Completeness drift — null-rate per column per time bucket, the
+    trend view a data-quality monitor alarms on (a column that was 1 %
+    null forever and is 40 % null today is an upstream break, invisible
+    to the GLOBAL census of ``null_patterns``). One long-format row per
+    (bucket, column):
+
+        (bucket_day, column, n_rows, n_null, null_ppm)
+
+    with null_ppm = (n_null · 1e6) div n_rows, truncating. Bucketing
+    is calendar DATE truncation (identical in both engines); the k
+    profiled columns ride one conditional-aggregation pass.
+
+    Plan shape: ONE groupBy(bucket) with 2k partial-agged measures,
+    then a k-way literal explode of the wide row — no second shuffle.
+    """
+    d = F.to_date(F.col(time_col).cast("timestamp"))
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"__nn_{c}"))
+    wide = df.groupBy(d.alias("bucket_day")).agg(*aggs)
+    longs = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col("__n").cast("long").alias("n_rows"),
+            F.col(f"__nn_{c}").cast("long").alias("n_null"),
+            F.expr(f"CAST((__nn_{c} * 1000000) div __n AS BIGINT)").alias(
+                "null_ppm"
+            ),
+        )
+        for c in cols
+    ]
+    return wide.select(
+        "bucket_day", F.explode(F.array(*longs)).alias("m")
+    ).select("bucket_day", "m.*")
+
+
+def null_rate_trend_oracle_sql(rows_sql: str, cols: list[str]) -> str:
+    """DuckDB replica of :func:`null_rate_trend`. ``rows_sql`` yields
+    (ts, *cols)."""
+    arms = []
+    for c in cols:
+        arms.append(
+            f"SELECT CAST(ts AS TIMESTAMP)::DATE AS bucket_day,"
+            f" '{c}' AS \"column\","
+            f" CAST(count(*) AS BIGINT) AS n_rows,"
+            f" CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS n_null,"
+            f" CAST((sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) * 1000000)"
+            f" // count(*) AS BIGINT) AS null_ppm"
+            f" FROM ({rows_sql}) GROUP BY 1"
+        )
+    return " UNION ALL ".join(arms)

@@ -1708,3 +1708,27 @@ def test_ohlc_bars_order_and_null_policy(spark):
     }
     assert out[("x", 0)] == (3, 500, 900, 100, 100, 1500)
     assert out[("x", 3600)] == (1, 700, 700, 700, 700, 700)
+
+
+def test_max_drawdown_worked_example(spark):
+    from pyspark.sql import Row
+
+    from aleph2_contrib_spark.operators.events import max_drawdown
+
+    rows = [
+        # series: 10, 8, 12, 4, 9 -> running max 10,10,12,12,12
+        # drawdowns 0,2,0,8,3 -> max dd 8 (800c), trough value 4
+        Row(k="a", o=i, v=float(x))
+        for i, x in enumerate([10, 8, 12, 4, 9])
+    ] + [
+        Row(k="up", o=i, v=float(x)) for i, x in enumerate([1, 2, 3])
+    ] + [Row(k="a", o=99, v=None)]
+    out = {
+        r.k: (r.n, r.peak_c, r.max_drawdown_c, r.trough_after_peak_c)
+        for r in max_drawdown(
+            spark.createDataFrame(rows), "k", "o", "v"
+        ).collect()
+    }
+    assert out["a"] == (5, 1200, 800, 400)
+    # monotone series -> zero drawdown, trough = first attaining row
+    assert out["up"] == (3, 300, 0, 100)

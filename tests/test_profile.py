@@ -949,3 +949,28 @@ def test_lorenz_gini_known_distributions(spark):
     assert out["onehot"] == (10, 900_000)
     # all-NULL group vanishes (no non-null rows)
     assert "null" not in out
+
+
+def test_null_rate_trend_per_day(spark):
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from aleph2_contrib_spark.operators.profile import null_rate_trend
+
+    rows = [
+        Row(t=0, a=1, b=None),
+        Row(t=3600, a=None, b=2),
+        Row(t=90000, a=None, b=None),  # next day
+        Row(t=90100, a=4, b=5),
+    ]
+    df = spark.createDataFrame(rows).select(
+        F.col("t").cast("timestamp").alias("ts"), "a", "b"
+    )
+    out = {
+        (str(r.bucket_day), r.column): (r.n_rows, r.n_null, r.null_ppm)
+        for r in null_rate_trend(df, "ts", ["a", "b"]).collect()
+    }
+    assert out[("1970-01-01", "a")] == (2, 1, 500_000)
+    assert out[("1970-01-01", "b")] == (2, 1, 500_000)
+    assert out[("1970-01-02", "a")] == (2, 1, 500_000)
+    assert out[("1970-01-02", "b")] == (2, 1, 500_000)
