@@ -1235,8 +1235,7 @@ def multimodal_real_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     (w = 4 + doc_id % 5, h = 3 + doc_id % 4, gray pixel k = (doc_id*31 +
     k*7) % 256 replicated across RGB), encoded in an Arrow batch by
     operators/codecs.encode_ppm, then decoded back by the stdlib codec
-    through the production extract_media_metadata / extract_media_features
-    path. The 16-bin gray-histogram counts are recovered exactly via
+    through the production extract_media fused decode path. The 16-bin gray-histogram counts are recovered exactly via
     round(feature * n_pixels); DuckDB replays the pixel arithmetic
     symbolically — so real header parsing, pixel math and Arrow plumbing
     all sit on the differential gate."""
@@ -1263,10 +1262,16 @@ def multimodal_real_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=["__source_file", "content"])
 
     imgs = docs.mapInPandas(gen, schema="`__source_file` string, content binary")
-    meta = mm.extract_media_metadata(imgs, decoder=media_decoder)
-    feats = mm.extract_media_features(imgs, decoder=media_decoder)
+    # ONE fused decode pass (guide §4: decode is the dominant cost; the
+    # split metadata+features form decoded every payload twice AND paid
+    # an id-keyed join shuffle to glue the halves back) — identical
+    # output: the isNotNull filter replicates the inner join's drop of
+    # feature-less rows.
+    both = mm.extract_media(imgs, decoder=media_decoder).filter(
+        F.col("embedding").isNotNull()
+    )
     n_px = F.col("width") * F.col("height")
-    return meta.join(feats, "__source_file").select(
+    return both.select(
         "__source_file",
         "mime",
         "width",
@@ -1288,8 +1293,7 @@ def multimodal_png_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = (doc_id*37 + k*11) % 256 replicated across RGB) built by
     operators/codecs.encode_png — CRC-correct chunks, zlib-deflated
     IDAT — then decoded back by the stdlib chunk-walk + inflate +
-    unfilter path through the production extract_media_metadata /
-    extract_media_features plumbing. The 16-bin gray-histogram counts
+    unfilter path through the production extract_media plumbing. The 16-bin gray-histogram counts
     are recovered exactly via round(feature * n_pixels); DuckDB replays
     the pixel arithmetic symbolically, so real DEFLATE round-tripping
     sits on the differential gate."""
@@ -1316,10 +1320,16 @@ def multimodal_png_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=["__source_file", "content"])
 
     imgs = docs.mapInPandas(gen, schema="`__source_file` string, content binary")
-    meta = mm.extract_media_metadata(imgs, decoder=media_decoder)
-    feats = mm.extract_media_features(imgs, decoder=media_decoder)
+    # ONE fused decode pass (guide §4: decode is the dominant cost; the
+    # split metadata+features form decoded every payload twice AND paid
+    # an id-keyed join shuffle to glue the halves back) — identical
+    # output: the isNotNull filter replicates the inner join's drop of
+    # feature-less rows.
+    both = mm.extract_media(imgs, decoder=media_decoder).filter(
+        F.col("embedding").isNotNull()
+    )
     n_px = F.col("width") * F.col("height")
-    return meta.join(feats, "__source_file").select(
+    return both.select(
         "__source_file",
         "mime",
         "width",
@@ -1341,7 +1351,7 @@ def multimodal_gif_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     each document becomes a deterministic GIF87a (w = 6 + doc_id % 3,
     h = 5 + doc_id % 4, gray pixel k = (doc_id*41 + k*13) % 256) built
     by encode_gif, then demuxed + LZW-decoded back through the
-    production extract_media_metadata / extract_media_features path.
+    production extract_media path.
     Histogram counts recovered exactly; DuckDB replays the pixel
     arithmetic symbolically."""
     import pandas as pd
@@ -1368,10 +1378,16 @@ def multimodal_gif_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=["__source_file", "content"])
 
     imgs = docs.mapInPandas(gen, schema="`__source_file` string, content binary")
-    meta = mm.extract_media_metadata(imgs, decoder=media_decoder)
-    feats = mm.extract_media_features(imgs, decoder=media_decoder)
+    # ONE fused decode pass (guide §4: decode is the dominant cost; the
+    # split metadata+features form decoded every payload twice AND paid
+    # an id-keyed join shuffle to glue the halves back) — identical
+    # output: the isNotNull filter replicates the inner join's drop of
+    # feature-less rows.
+    both = mm.extract_media(imgs, decoder=media_decoder).filter(
+        F.col("embedding").isNotNull()
+    )
     n_px = F.col("width") * F.col("height")
-    return meta.join(feats, "__source_file").select(
+    return both.select(
         "__source_file",
         "mime",
         "width",
@@ -1422,9 +1438,11 @@ def multimodal_mulaw_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=["__source_file", "content"])
 
     auds = docs.mapInPandas(gen, schema="`__source_file` string, content binary")
-    meta = mm.extract_media_metadata(auds, decoder=media_decoder)
-    feats = mm.extract_media_features(auds, decoder=media_decoder)
-    return meta.join(feats, "__source_file").select(
+    # ONE fused decode pass (guide §4) — see multimodal_real_codec note.
+    both = mm.extract_media(auds, decoder=media_decoder).filter(
+        F.col("embedding").isNotNull()
+    )
+    return both.select(
         "__source_file",
         "mime",
         "n_frames",
@@ -1519,10 +1537,16 @@ def multimodal_avi_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=["__source_file", "content"])
 
     vids = docs.mapInPandas(gen, schema="`__source_file` string, content binary")
-    meta = mm.extract_media_metadata(vids, decoder=media_decoder)
-    feats = mm.extract_media_features(vids, decoder=media_decoder)
+    # ONE fused decode pass (guide §4: decode is the dominant cost; the
+    # split metadata+features form decoded every payload twice AND paid
+    # an id-keyed join shuffle to glue the halves back) — identical
+    # output: the isNotNull filter replicates the inner join's drop of
+    # feature-less rows.
+    both = mm.extract_media(vids, decoder=media_decoder).filter(
+        F.col("embedding").isNotNull()
+    )
     n_px = F.col("width") * F.col("height")
-    return meta.join(feats, "__source_file").select(
+    return both.select(
         "__source_file",
         "mime",
         "width",
@@ -2718,7 +2742,7 @@ def multimodal_audio_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     RIFF/WAVE 16-bit PCM payload (mono, 8 kHz, n = 8 + doc_id % 5 frames,
     sample k = ((doc_id*131 + k*17) % 65536) - 32768), encoded by
     operators/codecs.encode_wav, decoded back by the stdlib chunk-walking
-    parser through extract_media_metadata + extract_media_features. The
+    parser through the fused extract_media pass. The
     16-bin int16-amplitude histogram counts are recovered exactly via
     round(feature * n_frames); duration_s is the identical IEEE division
     n/8000 in both engines. DuckDB replays the sample arithmetic
@@ -2743,9 +2767,11 @@ def multimodal_audio_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=["__source_file", "content"])
 
     auds = docs.mapInPandas(gen, schema="`__source_file` string, content binary")
-    meta = mm.extract_media_metadata(auds, decoder=media_decoder)
-    feats = mm.extract_media_features(auds, decoder=media_decoder)
-    return meta.join(feats, "__source_file").select(
+    # ONE fused decode pass (guide §4) — see multimodal_real_codec note.
+    both = mm.extract_media(auds, decoder=media_decoder).filter(
+        F.col("embedding").isNotNull()
+    )
+    return both.select(
         "__source_file",
         "mime",
         "n_frames",
