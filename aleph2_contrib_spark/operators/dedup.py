@@ -1327,6 +1327,10 @@ def containment_pairs(
     ``None`` to opt out (exact semantics, quadratic risk on degenerate
     corpora) or an int to pin the cap.
     """
+    from pyspark import StorageLevel
+
+    from aleph2_contrib_spark.parallel import ensure_parallelism
+
     wds = F.filter(F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"), lambda t: t != "")
 
     # Bind the word array ONCE as a lambda variable of a 1-element outer
@@ -1348,32 +1352,42 @@ def containment_pairs(
         )
 
     shingles = F.transform(F.array(wds), _from_words)[0]
+    # Shingling is the expensive narrow pass (interpreted higher-order
+    # exprs over every document) — spread it over the cores before
+    # computing it (a one-split parquet table would otherwise serialize
+    # it), and persist the result: freq, ordered, and the verify all
+    # need the shingle sets, and without the cache the tokenizer re-runs
+    # once per consumer (measured 3x the end-to-end tokenize cost).
     base = (
-        df.select(F.col(id_col).alias("id"), F.size(wds).alias("__nw"), shingles.alias("tk"))
+        ensure_parallelism(df.select(F.col(id_col).alias("id"), F.col(text_col)))
+        .select("id", F.size(wds).alias("__nw"), shingles.alias("tk"))
         .filter(F.col("__nw") >= F.lit(ngram))
         .select("id", "tk")
         .filter(F.size("tk") > 0)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     freq = (
         base.select(F.explode("tk").alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # per-doc tokens sorted rarest-first: join freqs, rebuild the array
-    # document-locally from (freq, token) structs
+    # document-locally from (freq, token) structs. The tf field is KEPT
+    # in the sorted array so the hot-shingle cap below is a document-
+    # local filter on the struct field instead of two semi-joins against
+    # freq (each of which re-aggregated the corpus: 2 extra shuffles + a
+    # recomputed tokenize pass per semi-join).
     ordered = (
         base.select("id", F.explode("tk").alias("tok"))
         .join(freq, "tok")
         .groupBy("id")
         .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct(F.col("tf"), F.col("tok")))),
-                lambda s: s["tok"],
-            ).alias("tk_sorted")
+            F.array_sort(F.collect_list(F.struct(F.col("tf"), F.col("tok")))).alias(
+                "tk_sorted"
+            )
         )
     )
-    from pyspark import StorageLevel
-
     # ordered feeds four plan branches (prefix side, posting side, two
     # array fetches) — persist once; and keep the candidate join SLIM:
     # only (tok, id) pairs shuffle through it, the shingle arrays join
@@ -1385,18 +1399,7 @@ def containment_pairs(
     # p = n − ceil(τ·n/1000) + 1, in pure integer arithmetic
     need = F.floor((F.lit(int(tau_permille)) * n + F.lit(999)) / F.lit(1000)).cast("int")
     prefix_len = (n - need + F.lit(1)).cast("int")
-    prefixes = ordered.select(
-        F.col("id").alias("id_a"),
-        F.explode(F.slice("tk_sorted", 1, prefix_len)).alias("tok"),
-    )
-    postings = ordered.select(
-        F.col("id").alias("id_b"),
-        F.explode("tk_sorted").alias("tok"),
-    )
     if max_shingle_freq == "auto":
-        from pyspark import StorageLevel as _SL
-
-        freq = freq.persist(_SL.MEMORY_AND_DISK)
         # Cost-based cap: candidate volume is bounded by Σ tf(t)² over
         # surviving tokens (prefix occurrences ≤ tf). Keep the LARGEST cap
         # whose bound stays within cost_factor × total shingle instances —
@@ -1411,11 +1414,6 @@ def containment_pairs(
             (r["tf"], r["n"]) for r in
             freq.groupBy("tf").agg(F.count(F.lit(1)).alias("n")).collect()
         )
-        # cache served only the histogram job above; release it here rather
-        # than leaking one cached table per call into the session storage
-        # pool (the ok semi-join below recomputes freq — one token-count
-        # aggregation — inside the consumer's job)
-        freq.unpersist()
         total = sum(tf * n for tf, n in hist)
         budget = cost_factor * total
         run_cost, cap = 0, 0
@@ -1443,21 +1441,46 @@ def containment_pairs(
                 "exact (quadratic-risk) semantics",
                 stacklevel=2,
             )
-    if max_shingle_freq is not None:
-        ok = freq.filter(F.col("tf") <= F.lit(int(max_shingle_freq))).select("tok")
-        prefixes = prefixes.join(ok, "tok", "left_semi")
-        postings = postings.join(ok, "tok", "left_semi")
+    # Candidate sides: slice/keep the struct arrays document-locally,
+    # apply the hot-shingle cap as a tf-field filter (replacing the two
+    # freq semi-joins — the cap set is already in every row), then
+    # explode to slim (tok, id) rows. Materialize ordered's cache FIRST
+    # (one bounded count on top of the cached base/freq) so the four
+    # consumer branches below all read InMemoryTableScan instead of
+    # racing to compute the same aggregation inside one job.
+    ordered.count()
+
+    def _keep(arr: Column) -> Column:
+        if max_shingle_freq is None:
+            return arr
+        return F.filter(arr, lambda s: s["tf"] <= F.lit(int(max_shingle_freq)))
+
+    prefixes = ordered.select(
+        F.col("id").alias("id_a"),
+        F.explode(
+            F.transform(_keep(F.slice("tk_sorted", 1, prefix_len)), lambda s: s["tok"])
+        ).alias("tok"),
+    )
+    postings = ordered.select(
+        F.col("id").alias("id_b"),
+        F.explode(
+            F.transform(_keep(F.col("tk_sorted")), lambda s: s["tok"])
+        ).alias("tok"),
+    )
     cand_ids = (
         prefixes.join(postings, "tok")
         .filter(F.col("id_a") != F.col("id_b"))
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    toks_only = ordered.select(
+        "id", F.transform("tk_sorted", lambda s: s["tok"]).alias("tk")
+    )
     cand = cand_ids.join(
-        ordered.select(F.col("id").alias("id_a"), F.col("tk_sorted").alias("tk_a")),
+        toks_only.select(F.col("id").alias("id_a"), F.col("tk").alias("tk_a")),
         "id_a",
     ).join(
-        ordered.select(F.col("id").alias("id_b"), F.col("tk_sorted").alias("tk_b")),
+        toks_only.select(F.col("id").alias("id_b"), F.col("tk").alias("tk_b")),
         "id_b",
     )
     inter = F.size(F.array_intersect("tk_a", "tk_b"))
