@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from aleph2_contrib_spark.parallel import ensure_parallelism
+
 # Tiny deterministic per-language stopword sets for the n-gram/stopword
 # language-ID heuristic. (Real deployments plug in fastText etc. via a
 # pandas UDF; the heuristic keeps the plumbing testable and oracle-able.)
@@ -47,6 +49,7 @@ def _f6(x: Column) -> Column:
 def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-document quality scoring features: length, token stats,
     distinct-token ratio, stopword ratio, mean token length."""
+    df = ensure_parallelism(df)
     t = tokens(F.col(text_col))
     n_tok = F.size(t)
     stop = F.array(*[F.lit(s) for s in LANG_STOPWORDS["en"]])
@@ -99,6 +102,7 @@ def quality_classifier_score(
     column program instead of opaque row-at-a-time user code.
     """
 
+    df = ensure_parallelism(df)
     def _bucket(f: Column) -> Column:
         return F.conv(F.substring(F.md5(f), 1, 8), 16, 10).cast("long") % F.lit(
             n_buckets
@@ -200,6 +204,7 @@ def bigram_rarity(
     in the same pass, no self-join, no recomputed explode), then
     groupBy(id). Everything is counts of strings — no floats until the
     final f6."""
+    df = ensure_parallelism(df)
     from pyspark.sql import Window
 
     toks = F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " ")
@@ -270,6 +275,7 @@ def relevance_topk(
     back; TakeOrderedAndProject does the top-k. No shuffle of the corpus,
     no explode — per-term tf is a vectorized array filter, so cost is
     O(docs × terms) at scan speed."""
+    df = ensure_parallelism(df)
     terms = [t.lower() for t in query_terms]
     toks = tokens(F.lower(F.col(text_col)))
 
@@ -344,6 +350,7 @@ def inverted_postings(
     full postings instead by writing the ranked rows keyed on
     (term, bucket(rank)) — same plan, sharded lists.
     """
+    df = ensure_parallelism(df)
     terms = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(
@@ -399,6 +406,7 @@ def char_pair_counts(
     re-runs this over re-segmented text each merge round; the per-round
     plan is exactly this one.
     """
+    df = ensure_parallelism(df)
     words = F.filter(
         F.split(F.lower(F.col(text_col)), r"[^a-z]+"), lambda w: F.length(w) >= 2
     )
@@ -444,6 +452,7 @@ def top_terms_tfidf(
     top-k window. Shuffle volume is the (id, term) stream — never
     all-pairs, no driver state.
     """
+    df = ensure_parallelism(df)
     terms = df.select(
         F.col(id_col).alias("id"),
         F.explode(
@@ -515,6 +524,7 @@ def ngram_lm_surprisal(
     vocabulary size is one tiny aggregate broadcast back as a scalar.
     No self-joins, no driver-side model, no floats until the final f6.
     """
+    df = ensure_parallelism(df)
     toks = F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " ")
     base = df.select(F.col(id_col).alias("id"), toks.alias("__tk"))
     tk = F.col("__tk")
@@ -594,6 +604,7 @@ def winnowing_fingerprints(
     chains aren't re-evaluated per position); the only shuffle is the
     final distinct on (id, fp).
     """
+    df = ensure_parallelism(df)
     def mins_of(hs: Column) -> Column:
         n_win = F.greatest(F.size(hs) - F.lit(window - 1), F.lit(1))
         return F.array_distinct(
@@ -655,6 +666,7 @@ def hashed_embedding(
     then (dense form) one map_from_entries + transform rebuild per doc.
     No Python anywhere.
     """
+    df = ensure_parallelism(df)
     toks = F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " ")
     h = F.md5(F.col("tok"))
     sparse = (
@@ -739,6 +751,7 @@ def collocations(
     cut. Shuffle volume is distinct pairs + distinct words, never
     occurrences past the first partial agg.
     """
+    df = ensure_parallelism(df)
     toks = F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " ")
     base = df.select(F.col(id_col).alias("id"), toks.alias("__tk")).filter(
         F.size(F.col("__tk")) >= 2
@@ -799,6 +812,7 @@ def readability_stats(
     thresholding at corpus scale). All regexes sit in the Java∩RE2
     dialect. One narrow codegen pass, no shuffle, no Python.
     """
+    df = ensure_parallelism(df)
     words = F.size(F.regexp_extract_all(F.col(text_col), F.lit("[A-Za-z]+"), 0))
     sents = F.size(F.regexp_extract_all(F.col(text_col), F.lit("[.!?]+"), 0))
     syll = F.size(
@@ -867,6 +881,7 @@ def source_similarity_minhash(
     rows; 10 sources = 45 pairs). Token volume never crosses the
     network twice.
     """
+    df = ensure_parallelism(df)
     if k < 1 or k > 256:
         raise ValueError(f"k must be in [1, 256], got {k}")
     toks = (
@@ -973,6 +988,7 @@ def code_detect(
     keyword_per_100w_min (×100 internally). All counts are
     regexp_count over the shared Java∩RE2 dialect; one narrow pass.
     """
+    df = ensure_parallelism(df)
     n_chars = F.length(F.col(text_col))
     n_sym = F.regexp_count(F.col(text_col), F.lit(r"[{}\[\]();=<>#]"))
     n_words = F.regexp_count(F.col(text_col), F.lit("[A-Za-z]+"))
@@ -1066,6 +1082,7 @@ def ngram_overlap_scores(
     Reference parity: the reference has no eval scorer — this is part
     of the LLM-pipeline surface (SURVEY §2 extras) the engine adds.
     """
+    df = ensure_parallelism(df)
     from aleph2_contrib_spark.operators.corpus import word_ngrams
 
     gc = word_ngrams(F.col(cand_col), n)
@@ -1193,6 +1210,7 @@ def script_mix(
     Counts are regexp_count over unicode ranges — the Java∩RE2∩PCRE
     dialect shared with the oracle — so every number is an exact
     integer. Zero shuffles: one narrow projection."""
+    df = ensure_parallelism(df)
     t = F.col(text_col)
     total = F.length(t).cast("long")
 
@@ -1297,6 +1315,8 @@ def vocab_drift_terms(
     Plan shape at 100 TB: one explode + ONE groupBy(word) with map-side
     partial agg (shuffle = distinct words), a 2-row totals broadcast,
     and two TakeOrderedAndProject top-ks — zero global sorts."""
+    df_a = ensure_parallelism(df_a)
+    df_b = ensure_parallelism(df_b)
     if top_k < 1:
         raise ValueError(f"top_k must be >= 1, got {top_k}")
 
@@ -1433,6 +1453,7 @@ def kneser_ney_stats(
     words, the same hot keys every corpus groupBy here carries; AQE skew
     handling applies). No windows, no self-joins, nothing driver-side.
     """
+    df = ensure_parallelism(df)
     toks = F.split(
         F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " "
     )
@@ -1542,6 +1563,7 @@ def rouge_l_scores(
     trap ngram_overlap_scores' plan note documents); bit-parallel keeps
     the per-row cost near-linear.
     """
+    df = ensure_parallelism(df)
     import pandas as pd
 
     def tok(c: str) -> Column:
@@ -1635,6 +1657,7 @@ def encoding_anomaly_census(
     Plan shape: one narrow expression pass + ONE groupBy(group) with
     map-side partial agg — no joins, no windows, no Python.
     """
+    df = ensure_parallelism(df)
     t = F.col(text_col)
     counts = {
         name: F.when(
