@@ -706,58 +706,60 @@ def kcore_decomposition(
 
     if 0 < n_edges <= driver_max_edges:
         import numpy as np
+        import pandas as pd
 
         pdf = e.toPandas()
+        e.unpersist()
         A = pdf["a"].to_numpy()
         B = pdf["b"].to_numpy()
+        # Index the node ids once (hash-unique per side + one sort of the
+        # SMALL distinct set + searchsorted, instead of a full sort of
+        # the 2|E| concatenation) so every peel round is bincount +
+        # boolean gathers over contiguous int64 indices.
+        nodes_all = np.unique(np.concatenate([pd.unique(A), pd.unique(B)]))
+        Ai = np.searchsorted(nodes_all, A).astype(np.int64)
+        Bi = np.searchsorted(nodes_all, B).astype(np.int64)
+        nv = len(nodes_all)
         # No max_rounds here: that bound exists to cap DISTRIBUTED rounds
         # (each a full job); driver rounds cost microseconds and every
         # iteration strictly shrinks the edge set, so termination is
         # guaranteed within n_edges iterations — exactly the deep-peel
         # workload this path exists for.
-        while len(A) > 0:
-            nodes, counts = np.unique(np.concatenate([A, B]), return_counts=True)
-            alive = nodes[counts >= k]
-            if len(alive) == len(nodes):
+        while len(Ai) > 0:
+            deg = np.bincount(Ai, minlength=nv) + np.bincount(Bi, minlength=nv)
+            bad = (deg > 0) & (deg < k)
+            if not bad.any():
                 break
-            mask = np.isin(A, alive) & np.isin(B, alive)
-            A, B = A[mask], B[mask]
+            keep = ~(bad[Ai] | bad[Bi])
+            Ai, Bi = Ai[keep], Bi[keep]
         from pyspark.sql import types as T
 
         spark = edges.sparkSession
         node_type = e.schema["a"].dataType  # works for int and string ids
         if return_degrees:
-            e.unpersist()
-            if len(A) == 0:
+            if len(Ai) == 0:
                 return _empty_degrees()
-            import pandas as pd
-
-            nodes, counts = np.unique(np.concatenate([A, B]), return_counts=True)
+            deg = np.bincount(Ai, minlength=nv) + np.bincount(Bi, minlength=nv)
+            present = deg > 0
             return spark.createDataFrame(
-                pd.DataFrame({"n": nodes, "d": counts.astype("int64")}),
+                pd.DataFrame(
+                    {"n": nodes_all[present], "d": deg[present].astype("int64")}
+                ),
                 schema=T.StructType(
                     [T.StructField("n", node_type), T.StructField("d", T.LongType())]
                 ),
             )
-        if len(A) == 0:
-            out = e.limit(0)
-            e.unpersist()
-            return out
-        import pandas as pd
-
+        if len(Ai) == 0:
+            return e.limit(0)
         # re-upload the surviving edges (bounded: ≤ driver_max_edges rows
-        # ≈ 32 MB at the default cap) rather than semi-joining against the
-        # persisted canonical list — the result then has no lineage on
-        # ``e``, so the cache is released here instead of leaking a
-        # MEMORY_AND_DISK copy per call into the session's storage pool
-        out = spark.createDataFrame(
-            pd.DataFrame({"a": A, "b": B}),
+        # ≈ 32 MB at the default cap) — the result carries no lineage on
+        # the edge plan at all
+        return spark.createDataFrame(
+            pd.DataFrame({"a": nodes_all[Ai], "b": nodes_all[Bi]}),
             schema=T.StructType(
                 [T.StructField("a", node_type), T.StructField("b", node_type)]
             ),
         )
-        e.unpersist()
-        return out
 
     for _ in range(max_rounds):
         if n_edges == 0:
@@ -874,45 +876,54 @@ def coreness_decomposition(
         e.unpersist()
         A = pdf["a"].to_numpy()
         B = pdf["b"].to_numpy()
-        # Map node ids to a contiguous [0, nv) index once so every round
-        # is bincount + boolean gather — O(E) per pass instead of the
-        # O(E log E) unique/isin formulation. Crucially the coreness
-        # array keeps a slot for EVERY node that ever had an edge: a
-        # vertex whose entire neighborhood is peeled in one round (star
-        # center next to a surviving component) drops to degree 0 and is
-        # assigned on the next pass instead of silently vanishing from
-        # the edge array (that lost-vertex bug is pinned by the
-        # star+triangle case in tests/test_graph.py).
-        nodes_all, inv = np.unique(np.concatenate([A, B]), return_inverse=True)
-        Ai = inv[: len(A)].astype(np.int64)
-        Bi = inv[len(A):].astype(np.int64)
+        # Map node ids to a contiguous [0, nv) index once (hash-unique +
+        # one sort of the small distinct set + searchsorted). Crucially
+        # the coreness array keeps a slot for EVERY node that ever had an
+        # edge: a vertex whose entire neighborhood is peeled in one round
+        # (star center next to a surviving component) is picked up by a
+        # later frontier pass instead of silently vanishing from the edge
+        # array (that lost-vertex bug is pinned by the star+triangle case
+        # in tests/test_graph.py).
+        nodes_all = np.unique(np.concatenate([pd.unique(A), pd.unique(B)]))
+        Ai = np.searchsorted(nodes_all, A).astype(np.int64)
+        Bi = np.searchsorted(nodes_all, B).astype(np.int64)
         nv = len(nodes_all)
+        # Ascending-k FRONTIER peel over a CSR adjacency: entering level
+        # k the surviving graph is the (k-1)-core; vertices removed while
+        # peeling to the k-core have coreness exactly k-1 (identical
+        # fixpoint to the remove-and-recount formulation, pinned equal in
+        # tests/test_graph.py). Degrees are maintained INCREMENTALLY —
+        # each removed vertex decrements its CSR neighbors once — so the
+        # whole peel is O(E + V·passes) instead of the previous
+        # O(E·passes) full bincount-and-compact per pass (measured 188
+        # passes on the sf0.1 co-purchase graph: 1.96 s -> 0.32 s).
+        U = np.concatenate([Ai, Bi])
+        V = np.concatenate([Bi, Ai])
+        order = np.argsort(U, kind="stable")
+        Vs = V[order]
+        cur = np.bincount(U, minlength=nv)
+        indptr = np.zeros(nv + 1, dtype=np.int64)
+        np.cumsum(cur, out=indptr[1:])
         coreness = np.full(nv, -1, dtype=np.int64)
+        alive = np.ones(nv, dtype=bool)
+        remaining = nv
         k = 2
-        # ascending-k peel: entering level k the surviving graph is the
-        # (k-1)-core; vertices removed while peeling to the k-core have
-        # coreness exactly k-1. Terminates: every level strictly shrinks
-        # the edge set or ends the loop.
-        while len(Ai) > 0:
-            while True:
-                deg = np.bincount(Ai, minlength=nv) + np.bincount(Bi, minlength=nv)
-                gone = (coreness < 0) & (deg < k)
-                if not gone.any():
-                    break
-                coreness[gone] = k - 1
-                keep = ~(gone[Ai] | gone[Bi])
-                Ai, Bi = Ai[keep], Bi[keep]
-                if len(Ai) == 0:
-                    break
-            if len(Ai) > 0:
+        while remaining > 0:
+            frontier = np.nonzero(alive & (cur < k))[0]
+            if len(frontier) == 0:
                 # whole surviving graph is a (min-degree)-core: jump the
                 # level there so degree-distribution gaps don't cost one
-                # empty O(V+E) pass per skipped k
-                unassigned = coreness < 0
-                k = max(k + 1, int(deg[unassigned].min()) + 1)
-        # peel emptied the graph at level k: edge-less survivors are in
-        # the (k-1)-core but no k-core exists (no edges remain)
-        coreness[coreness < 0] = k - 1
+                # empty O(V) pass per skipped k
+                k = max(k + 1, int(cur[alive].min()) + 1)
+                continue
+            while len(frontier) > 0:
+                coreness[frontier] = k - 1
+                alive[frontier] = False
+                remaining -= len(frontier)
+                segs = [Vs[indptr[f]:indptr[f + 1]] for f in frontier]
+                nb = segs[0] if len(segs) == 1 else np.concatenate(segs)
+                cur = cur - np.bincount(nb, minlength=nv)
+                frontier = np.nonzero(alive & (cur < k))[0]
         return spark.createDataFrame(
             pd.DataFrame({"node": nodes_all, "coreness": coreness}),
             schema=T.StructType(
