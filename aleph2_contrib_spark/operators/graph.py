@@ -1494,31 +1494,38 @@ def hits_scores(
         .unionByName(e.select(F.col("__d").alias("node")))
         .distinct()
     )
-    h = nodes.withColumn("hub", F.lit(1).cast("long"))
-    for _ in range(iterations):
-        a = (
-            e.join(h, e["__s"] == h["node"])
-            .groupBy(F.col("__d").alias("node"))
-            .agg(F.sum("hub").alias("auth"))
-        )
-        h_new = (
+    # Rounds carry ONLY nodes with a nonzero score: a node whose hub (or
+    # auth) is 0 contributes nothing to the next round's sums, so the
+    # per-round "restore sinks/sources with 0" join against the distinct
+    # node set is pure plan weight — 1 join + 1 distinct recompute per
+    # round removed; the zeros are restored ONCE on the final projection.
+    # Round 1's h₀ = 1-everywhere join likewise collapses to a plain
+    # in-degree count (every edge's src has hub exactly 1).
+    h = None
+    for i in range(iterations):
+        if h is None:
+            a = (
+                e.groupBy(F.col("__d").alias("node"))
+                .agg(F.count(F.lit(1)).cast("long").alias("auth"))
+            )
+        else:
+            a = (
+                e.join(h, e["__s"] == h["node"])
+                .groupBy(F.col("__d").alias("node"))
+                .agg(F.sum("hub").alias("auth"))
+            )
+        h = (
             e.join(a, e["__d"] == a["node"])
             .groupBy(F.col("__s").alias("node"))
             .agg(F.sum("auth").alias("hub"))
         )
-        # sinks/sources fall out of the joins; restore them with 0 so the
-        # output covers every incident node and the next round sees them
-        h = (
-            nodes.join(h_new, "node", "left")
-            .select("node", F.coalesce("hub", F.lit(0)).cast("long").alias("hub"))
-        )
         last_a = a
     out = (
-        nodes.join(h, "node")
+        nodes.join(h, "node", "left")
         .join(last_a, "node", "left")
         .select(
             "node",
-            F.col("hub"),
+            F.coalesce("hub", F.lit(0)).cast("long").alias("hub"),
             F.coalesce("auth", F.lit(0)).cast("long").alias("auth"),
         )
         # eager: one row per node, materialized now so the edge cache can
