@@ -1027,9 +1027,15 @@ def embedding_covariance(
         dim = int(first["d"])
     if dim < 1:
         raise ValueError(f"dim must be >= 1, got {dim}")
+    from aleph2_contrib_spark.parallel import ensure_parallelism
+
     v = F.col(vec_col).cast("array<double>")
     fx = F.transform(v, lambda x: F.floor(x * F.lit(int(scale))).cast("long"))
-    base = df.filter(F.size(v) == dim).select(fx.alias("__fx"))
+    # The dim·(dim+1)/2 per-row product build + map-side partial agg all
+    # run BELOW the first exchange — spread the input so a one-split
+    # table doesn't serialize the whole Gram pass onto one core (no-op
+    # when the source already has >= cores splits).
+    base = ensure_parallelism(df.filter(F.size(v) == dim).select(fx.alias("__fx")))
     # product fast path: fx values are longs; when BOTH factors are
     # < 3e9 in magnitude the product fits a long exactly (3e9² = 9e18
     # < 2^63), so the hot multiply stays in JVM long arithmetic and
