@@ -211,11 +211,23 @@ def association_rules(
     l2 = fi.filter(F.col("size") == 2).select("i1", "i2", "support")
     l3 = fi.filter(F.col("size") == 3).select("i1", "i2", "i3", "support")
 
+    # Single-item and sub-pair support lookups all broadcast the SAME
+    # DataFrame object (renames happen after the join): identical
+    # broadcast subtrees canonicalize equal, so ReuseExchange builds ONE
+    # broadcast for the five L1 lookups and ONE for the three L2 lookups
+    # instead of nine independent broadcast-build jobs over the same
+    # cached table (measured: the rule phase was ~60% of the gate).
+    l1b = l1.select(F.col("i").alias("__k"), F.col("sup").alias("__s1"))
+    l2b = l2.select(
+        F.col("i1").alias("__a"), F.col("i2").alias("__b"), F.col("support").alias("__s2")
+    )
+
     def _sup1(df, item_expr, out):
-        return df.join(
-            F.broadcast(l1.select(F.col("i"), F.col("sup").alias(out))),
-            on=F.expr(item_expr) == F.col("i"),
-        ).drop("i")
+        return (
+            df.join(F.broadcast(l1b), on=F.expr(item_expr) == F.col("__k"))
+            .withColumnRenamed("__s1", out)
+            .drop("__k")
+        )
 
     def _splits(df, exprs):
         # one inline-exploded struct array per row: every (antecedent,
@@ -243,16 +255,14 @@ def association_rules(
     # sub-pairs are present), single-item supports from L1
     t = _sup1(_sup1(_sup1(l3, "i1", "s1"), "i2", "s2"), "i3", "s3")
     for a, b, out in (("i1", "i2", "s12"), ("i1", "i3", "s13"), ("i2", "i3", "s23")):
-        t = t.join(
-            F.broadcast(
-                l2.select(
-                    F.col("i1").alias("__a"),
-                    F.col("i2").alias("__b"),
-                    F.col("support").alias(out),
-                )
-            ),
-            on=(F.col(a) == F.col("__a")) & (F.col(b) == F.col("__b")),
-        ).drop("__a", "__b")
+        t = (
+            t.join(
+                F.broadcast(l2b),
+                on=(F.col(a) == F.col("__a")) & (F.col(b) == F.col("__b")),
+            )
+            .withColumnRenamed("__s2", out)
+            .drop("__a", "__b")
+        )
 
     triple_rules = _splits(
         t,
