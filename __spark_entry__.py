@@ -4436,13 +4436,25 @@ def similarity_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     broken probe/ADC/refine stage produces, so the approximate path's
     quality is driver-checked even though the neighbor SET itself is not
     hash-stable. The oracle is the constant expected verdict row."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings").persist()
     centroids = sim.ivf_build_centroids(emb, n_centroids=8)
     codebooks = sim.pq_train_codebooks(emb, m=8, n_codes=16)
     k = 10
+    qids = (2, 7, 23, 42, 101)
+    # shared across the 5 probes: one collect for the query vectors and
+    # ONE ivf_assign + pq_encode pass over the (persisted) table — the
+    # two Arrow passes were re-run per query (5x each) before
+    qvecs = {
+        r["vec_id"]: r["embedding"]
+        for r in emb.filter(F.col("vec_id").isin(*qids))
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    coded = sim.pq_encode(sim.ivf_assign(emb, centroids), codebooks).persist()
+    coded.count()
     hits = total = 0
-    for qid in (2, 7, 23, 42, 101):
-        qvec = emb.filter(F.col("vec_id") == qid).select("embedding").head()[0]
+    for qid in qids:
+        qvec = qvecs[qid]
         exact = {
             r[0]
             for r in sim.brute_force_topk(emb, qvec, k).select("vec_id").collect()
@@ -4450,13 +4462,16 @@ def similarity_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         approx = {
             r[0]
             for r in sim.ivf_pq_topk(
-                emb, qvec, centroids, codebooks, k=k, nprobe=4, refine=20
+                emb, qvec, centroids, codebooks, k=k, nprobe=4, refine=20,
+                coded=coded,
             )
             .select("vec_id")
             .collect()
         }
         hits += len(exact & approx)
         total += k
+    emb.unpersist()
+    coded.unpersist()
     return spark.createDataFrame(
         [(5, k, 550, hits * 1000 // total >= 550)],
         "n_queries int, k int, floor_f3 int, floor_met boolean",

@@ -709,6 +709,7 @@ def ivf_pq_topk(
     refine: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    coded: DataFrame | None = None,
 ) -> DataFrame:
     """Composed IVF-PQ search — the production ANN shape (a coarse
     quantizer prunes the scan, PQ codes score candidates without reading
@@ -735,10 +736,20 @@ def ivf_pq_topk(
         return sum(a * b for a, b in zip(q, c)) / (qn * cn)
 
     probe_cells = sorted(range(len(centroids)), key=lambda i: -cos_q(centroids[i]))[:nprobe]
-    assigned = ivf_assign(df, centroids, vec_col)
-    cand = assigned.filter(F.col("__ivf_cell").isin(probe_cells))
-    coded = pq_encode(cand, codebooks, vec_col)
-    short = pq_topk(coded.select(id_col, "pq_codes"), q, codebooks, k=refine * k, id_col=id_col)
+    # ``coded``: optionally a precomputed ivf_assign + pq_encode of ``df``
+    # (columns __ivf_cell, pq_codes) — multi-query callers pay the two
+    # Arrow passes ONCE and share the (typically persisted) code table
+    # across queries; per-row encoding is deterministic, so encoding all
+    # cells up front then filtering equals encoding the probed cells.
+    if coded is None:
+        assigned = ivf_assign(df, centroids, vec_col)
+        coded = pq_encode(
+            assigned.filter(F.col("__ivf_cell").isin(probe_cells)), codebooks, vec_col
+        )
+        cand = coded
+    else:
+        cand = coded.filter(F.col("__ivf_cell").isin(probe_cells))
+    short = pq_topk(cand.select(id_col, "pq_codes"), q, codebooks, k=refine * k, id_col=id_col)
     refined = df.join(F.broadcast(short.select(id_col)), id_col, "inner")
     return brute_force_topk(refined, q, k, id_col, vec_col)
 
