@@ -3081,6 +3081,7 @@ def diameter_two_sweep(
     src_col: str = "src",
     dst_col: str = "dst",
     max_iters: int = 8,
+    driver_cap_edges: int = 2_000_000,
 ) -> DataFrame:
     """Double-sweep diameter lower bound (the classic 2-BFS heuristic —
     Magnien/Latapy/Habib 2009, "Fast computation of empirically tight
@@ -3115,6 +3116,72 @@ def diameter_two_sweep(
     edges = edges.select(F.col(src_col), F.col(dst_col)).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+
+    # Driver fast path (the bfs_levels hybrid contract, same 2M-edge
+    # cap): both sweeps walk ONE collected CSR instead of paying the
+    # per-round join jobs twice plus two separate edge collections —
+    # identical seeds, tie-breaks, caps and eccentricities by
+    # construction (pinned against the distributed form in
+    # tests/test_graph.py's diameter cases).
+    if edges.limit(driver_cap_edges + 1).count() <= driver_cap_edges:
+        import numpy as np
+        import pandas as pd
+
+        epdf = edges.toPandas()
+        edges.unpersist()
+        spark = edges.sparkSession
+        S = epdf[src_col].to_numpy()
+        D = epdf[dst_col].to_numpy()
+        nodes_all = np.unique(np.concatenate([pd.unique(S), pd.unique(D)]))
+        Si = np.searchsorted(nodes_all, S).astype(np.int64)
+        Di = np.searchsorted(nodes_all, D).astype(np.int64)
+        nv = len(nodes_all)
+        order = np.argsort(Si, kind="stable")
+        Ss, Ds = Si[order], Di[order]
+        starts = np.searchsorted(Ss, np.arange(nv), side="left")
+        ends = np.searchsorted(Ss, np.arange(nv), side="right")
+
+        def _bfs(seed_i: int) -> "np.ndarray":
+            level = np.full(nv, -1, dtype=np.int64)
+            level[seed_i] = 0
+            frontier = np.array([seed_i], dtype=np.int64)
+            for i in range(1, max_iters + 1):
+                lens = ends[frontier] - starts[frontier]
+                with_succ = frontier[lens > 0]
+                if len(with_succ) == 0:
+                    break
+                lens = lens[lens > 0]
+                run_starts = np.repeat(starts[with_succ], lens)
+                run_offsets = np.arange(lens.sum()) - np.repeat(
+                    np.cumsum(lens) - lens, lens
+                )
+                nxt = np.unique(Ds[run_starts + run_offsets])
+                nxt = nxt[level[nxt] < 0]
+                if len(nxt) == 0:
+                    break
+                level[nxt] = i
+                frontier = nxt
+            return level
+
+        seed1_i = 0  # nodes_all is sorted: index 0 IS the smallest node id
+        l1 = _bfs(seed1_i)
+        ecc1 = int(l1.max())
+        # farthest node, ties to the smallest id: levels ascend over the
+        # sorted node axis, so the first argmax is the smallest-id winner
+        seed2_i = int(np.argmax(l1))
+        l2 = _bfs(seed2_i)
+        ecc2 = int(l2[l2 >= 0].max())
+        n1 = nodes_all[seed1_i]
+        n2 = nodes_all[seed2_i]
+        n1 = n1.item() if hasattr(n1, "item") else n1
+        n2 = n2.item() if hasattr(n2, "item") else n2
+        return spark.createDataFrame(
+            [(n1, ecc1, n2, ecc2, max(ecc1, ecc2))],
+            schema="seed1 {t}, ecc1 int, seed2 {t}, ecc2 int, diameter_lb int".format(
+                t=edges.schema[src_col].dataType.simpleString()
+            ),
+        )
+
     nodes = (
         edges.select(F.col(src_col).alias("node"))
         .unionByName(edges.select(F.col(dst_col).alias("node")))

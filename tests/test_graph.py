@@ -1279,3 +1279,30 @@ def test_diameter_two_sweep_path_and_cycle(spark):
         sym([(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 1)])
     ).collect()[0]
     assert (c.seed1, c.ecc1, c.seed2, c.ecc2, c.diameter_lb) == (1, 3, 4, 3, 3)
+
+
+def test_diameter_two_sweep_driver_matches_distributed(spark):
+    """The driver CSR fast path and the distributed per-round-join path
+    must produce the identical row (seeds, tie-breaks, caps included):
+    driver_cap_edges=0 forces the distributed form on the same graphs."""
+    from pyspark.sql import Row
+
+    from aleph2_contrib_spark.operators.graph import diameter_two_sweep
+
+    def sym(pairs):
+        both = pairs + [(b, a) for a, b in pairs]
+        return spark.createDataFrame([Row(src=a, dst=b) for a, b in both])
+
+    graphs = [
+        # lollipop: triangle + tail, exercises the farthest-node tie-break
+        [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 6)],
+        # two stars bridged, plus a cap-hitting long path under max_iters=2
+        [(1, 2), (1, 3), (1, 4), (4, 5), (5, 6), (5, 7)],
+    ]
+    for pairs in graphs:
+        for mi in (2, 8):
+            fast = diameter_two_sweep(sym(pairs), max_iters=mi).collect()[0]
+            slow = diameter_two_sweep(
+                sym(pairs), max_iters=mi, driver_cap_edges=0
+            ).collect()[0]
+            assert fast == slow, (pairs, mi, fast, slow)
