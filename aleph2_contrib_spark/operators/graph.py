@@ -1635,6 +1635,12 @@ def ktruss_decomposition(
             F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
             F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
         ).persist(StorageLevel.MEMORY_AND_DISK)
+        # Materialize BEFORE the consuming plan is built: oriented feeds
+        # three branches (both wedge sides + the closing join), and a lazy
+        # persist leaves them racing to compute the same degree-join
+        # subtree inside one job (the triangle_count fix, measured 20.4 →
+        # 11.9 s there) — here it recurs EVERY peel round.
+        oriented.count()
         x, y = oriented.alias("x"), oriented.alias("y")
         v1_first = (F.col("x.dv") < F.col("y.dv")) | (
             (F.col("x.dv") == F.col("y.dv")) & (F.col("x.v") < F.col("y.v"))
@@ -2124,6 +2130,7 @@ def landmark_closeness(
     seed: str = "lm",
     src_col: str = "src",
     dst_col: str = "dst",
+    driver_cap_edges: int = 2_000_000,
 ) -> DataFrame:
     """h-hop landmark closeness — the scalable stand-in for exact
     closeness/harmonic centrality (exact requires all-pairs distances):
@@ -2147,6 +2154,13 @@ def landmark_closeness(
     is a small constant, so total cost is h joins regardless of |V|.
     Landmark selection is a TakeOrdered over vertex ids (driver gets
     n_landmarks rows, never the vertex set).
+
+    Below ``driver_cap_edges`` undirected edges the BFS rounds run on a
+    collected CSR adjacency instead (the bfs_levels/diameter_two_sweep
+    hybrid): h·n_landmarks numpy frontier sweeps replace 2·h shuffle
+    rounds, with identical (lm, v, min-d) state by construction —
+    landmark selection stays the distributed TakeOrdered either way.
+    Set 0 to force the distributed path.
     """
     import math
 
@@ -2176,6 +2190,86 @@ def landmark_closeness(
         .limit(int(n_landmarks))
         .select(F.col("v").alias("lm"))
     )
+    lcm = math.lcm(*range(1, int(max_hops) + 1))
+    if (
+        driver_cap_edges
+        and und.limit(int(driver_cap_edges) + 1).count() <= int(driver_cap_edges)
+    ):
+        import numpy as np
+        import pandas as pd
+
+        lm_vals = [r["lm"] for r in lms.collect()]
+        epdf = und.toPandas()
+        und.unpersist()
+        ne = len(epdf)
+        nodes_all, inv = np.unique(
+            np.concatenate(
+                [
+                    epdf["a"].to_numpy(),
+                    epdf["b"].to_numpy(),
+                    np.asarray(lm_vals, dtype=epdf["a"].to_numpy().dtype),
+                ]
+            ),
+            return_inverse=True,
+        )
+        Si, Di = inv[:ne], inv[ne : 2 * ne]
+        lm_idx = inv[2 * ne :]
+        nv = len(nodes_all)
+        order = np.argsort(Si, kind="stable")
+        Ss, Ds = Si[order], Di[order]
+        starts = np.searchsorted(Ss, np.arange(nv), side="left")
+        ends = np.searchsorted(Ss, np.arange(nv), side="right")
+        n_reached = np.zeros(nv, dtype=np.int64)
+        sum_dist = np.zeros(nv, dtype=np.int64)
+        harmonic = np.zeros(nv, dtype=np.int64)
+        for s in lm_idx:
+            dist = np.full(nv, -1, dtype=np.int64)
+            dist[int(s)] = 0
+            frontier = np.array([int(s)], dtype=np.int64)
+            for d in range(1, int(max_hops) + 1):
+                lens = ends[frontier] - starts[frontier]
+                keep = frontier[lens > 0]
+                if keep.size == 0:
+                    break
+                klens = ends[keep] - starts[keep]
+                run_starts = np.repeat(starts[keep], klens)
+                offs = np.arange(klens.sum()) - np.repeat(
+                    np.cumsum(klens) - klens, klens
+                )
+                nxt = np.unique(Ds[run_starts + offs])
+                nxt = nxt[dist[nxt] < 0]
+                if nxt.size == 0:
+                    break
+                dist[nxt] = d
+                frontier = nxt
+            reached = dist >= 0
+            n_reached[reached] += 1
+            sum_dist[reached] += dist[reached]
+            pos = dist >= 1
+            harmonic[pos] += lcm // dist[pos]
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        node_type = und.schema[0].dataType
+        out_schema = StructType(
+            [
+                StructField("v", node_type),
+                StructField("n_reached", LongType()),
+                StructField("sum_dist", LongType()),
+                StructField("harmonic_num", LongType()),
+            ]
+        )
+        hit = n_reached > 0
+        return und.sparkSession.createDataFrame(
+            pd.DataFrame(
+                {
+                    "v": nodes_all[hit],
+                    "n_reached": n_reached[hit],
+                    "sum_dist": sum_dist[hit],
+                    "harmonic_num": harmonic[hit],
+                }
+            ),
+            schema=out_schema,
+        )
     state = lms.select(
         F.col("lm"), F.col("lm").alias("v"), F.lit(0).cast("int").alias("d")
     ).persist(StorageLevel.MEMORY_AND_DISK)
@@ -2196,7 +2290,6 @@ def landmark_closeness(
     # lcm(1..h) is divisible by every d <= h, so lcm/d is an EXACT double
     # — engine cast semantics (Spark truncates, DuckDB rounds) never see
     # a fractional value
-    lcm = math.lcm(*range(1, int(max_hops) + 1))
     out = state.groupBy("v").agg(
         F.count(F.lit(1)).cast("long").alias("n_reached"),
         F.sum("d").cast("long").alias("sum_dist"),

@@ -976,6 +976,32 @@ def test_landmark_closeness_path_graph_exact(spark):
     assert got == want and len(got) > 0
 
 
+def test_landmark_closeness_driver_matches_distributed(spark):
+    """The driver CSR fast path must reproduce the distributed rounds'
+    rows exactly (driver_cap_edges=0 forces the join path): same landmark
+    set (selection is the same distributed TakeOrdered either way), same
+    min-distances, same exact integer harmonic numerators."""
+    import random
+
+    from aleph2_contrib_spark.operators.graph import landmark_closeness
+
+    rng = random.Random(7)
+    pairs = list({(rng.randrange(1, 40), rng.randrange(1, 40)) for _ in range(90)})
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    for n_lm, hops in ((3, 2), (5, 3)):
+        fast = {
+            r["v"]: (r["n_reached"], r["sum_dist"], r["harmonic_num"])
+            for r in landmark_closeness(df, n_landmarks=n_lm, max_hops=hops, seed="dd").collect()
+        }
+        slow = {
+            r["v"]: (r["n_reached"], r["sum_dist"], r["harmonic_num"])
+            for r in landmark_closeness(
+                df, n_landmarks=n_lm, max_hops=hops, seed="dd", driver_cap_edges=0
+            ).collect()
+        }
+        assert fast == slow and len(fast) > 0
+
+
 def test_landmark_closeness_validation(spark):
     import pytest
 
