@@ -5989,8 +5989,14 @@ def storage_segment_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_add(F.date_trunc("day", F.min("ts")), 5).alias("c")
     ).collect()[0]["c"]  # 1-row probe
     ev = ev_all.filter(F.col("ts") < F.lit(cutoff).cast("timestamp"))
-    out_rows = []
-    for codec, ext in (("gzip", "gz"), ("snappy", "snappy")):
+
+    # The two codec branches are fully independent (separate temp dirs,
+    # same input): overlap them as concurrent driver jobs (guide §2.6) so
+    # the second branch's ~150-row-file write tail back-fills the cores
+    # the first leaves idle. Results are concatenated in the fixed
+    # (gzip, snappy) order, so gate output is order-identical to the
+    # sequential form.
+    def _one_codec(codec: str, ext: str) -> list[tuple]:
         bucket = Bucket(
             full_name=f"/gate/segroll_{codec}",
             path=tempfile.mkdtemp(prefix=f"a2s_gate_roll_{codec}_"),
@@ -6011,11 +6017,12 @@ def storage_segment_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .collect()
         }
+        rows = []
         for part_dir in sorted(glob.glob(os.path.join(table.primary_path, f"{PARTITION_COL}=*"))):
             val = os.path.basename(part_dir).split("=", 1)[1]
             files = glob.glob(os.path.join(part_dir, "part-*"))
             n_rows, n_ids = counts[val]
-            out_rows.append(
+            rows.append(
                 (
                     codec,
                     val,
@@ -6025,6 +6032,13 @@ def storage_segment_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
                     sum(f.endswith(f".{ext}.parquet") for f in files),
                 )
             )
+        return rows
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        branches = list(pool.map(lambda c: _one_codec(*c), (("gzip", "gz"), ("snappy", "snappy"))))
+    out_rows = [r for branch in branches for r in branch]
     return spark.createDataFrame(
         out_rows,
         schema="codec string, part string, n_rows long, n_ids long, n_files long, n_files_codec_ok long",
@@ -6050,8 +6064,11 @@ def storage_collide_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     odd = ev.filter(F.col("event_id") % 2 == 1).withColumn(
         "value", F.concat(F.lit("v"), F.col("event_id").cast("string"))
     )
-    out_rows = []
-    for policy in ("error", "new_type"):
+    # The two policy branches are independent (separate temp dirs, same
+    # inputs): overlap them as concurrent driver jobs (guide §2.6);
+    # results concatenated in the fixed (error, new_type) order keep the
+    # gate output order-identical to the sequential form.
+    def _one_policy(policy: str) -> tuple:
         bucket = Bucket(
             full_name=f"/gate/collide_{policy}",
             path=tempfile.mkdtemp(prefix=f"a2s_gate_collide_{policy}_"),
@@ -6069,15 +6086,18 @@ def storage_collide_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_value_new = (
             got.filter(F.col("value_2").isNotNull()).count() if "value_2" in got.columns else 0
         )
-        out_rows.append(
-            (
-                policy,
-                raised,
-                got.count(),
-                got.filter(F.col("value").isNotNull()).count(),
-                n_value_new,
-            )
+        return (
+            policy,
+            raised,
+            got.count(),
+            got.filter(F.col("value").isNotNull()).count(),
+            n_value_new,
         )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        out_rows = list(pool.map(_one_policy, ("error", "new_type")))
     return spark.createDataFrame(
         out_rows,
         schema="policy string, raised long, n_rows long, n_value_double long, n_value_new_type long",
