@@ -11,8 +11,31 @@ supplies predicate/projection pushdown into the scan.
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
+
+# Analyzed-reader cache: spark.read.parquet() costs ~90 ms of driver-side
+# footer/schema resolution per call, and a 300-query bench pass makes 350+
+# such calls against the same handful of immutable paths. Caching the
+# *DataFrame object* (an unexecuted plan) per (session, path) removes that
+# fixed cost without persisting any data — every action still scans the
+# parquet files. Keyed weakly on the session so stopped sessions release
+# their entries; keyed on the absolute path so distinct SF dirs never mix.
+_reader_cache: "weakref.WeakKeyDictionary[SparkSession, dict[str, DataFrame]]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def _read_parquet_cached(spark: SparkSession, path: str) -> DataFrame:
+    path = os.path.abspath(path)
+    per_session = _reader_cache.setdefault(spark, {})
+    df = per_session.get(path)
+    if df is None:
+        df = spark.read.parquet(path)
+        per_session[path] = df
+    return df
+
 
 TABLE_NAMES = (
     "region",
@@ -38,11 +61,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from pyspark.sql import functions as F
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
+        df = _read_parquet_cached(spark, path)
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
         return df
-    return spark.read.parquet(path)
+    return _read_parquet_cached(spark, path)
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
@@ -50,7 +73,7 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     for name in TABLE_NAMES:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
-            out[name] = spark.read.parquet(path)
+            out[name] = _read_parquet_cached(spark, path)
     return out
 
 
