@@ -381,11 +381,83 @@ def pagerank(
     return ranks.select("node", F.col("rank_fx").alias("rank_f6"))
 
 
+def _np_triangle_support(Ai, Bi, nv, need_support: bool, wedge_budget: int = 200_000_000):
+    """Vectorized triangle machinery over an index-mapped canonical edge
+    list (``Ai < Bi`` by index, distinct, loop-free; indices in
+    ``[0, nv)``) — the same degree-ordered orientation as the distributed
+    :func:`triangle_count`, so both paths find every triangle exactly
+    once from its (degree, id)-lowest vertex.
+
+    Returns ``(n_triangles, support)`` where ``support`` is the per-edge
+    triangle count aligned to the input edge order (``None`` unless
+    ``need_support``), or ``None`` when the orientation's total wedge
+    count exceeds ``wedge_budget`` (caller falls back to the distributed
+    m^1.5-bounded join, which spills instead of sizing driver arrays).
+
+    Index order equals node-value order (np.unique sorts), so the
+    (degree, id) tie-break over indices reproduces the distributed
+    tie-break over values exactly.
+    """
+    import numpy as np
+
+    m = len(Ai)
+    if m == 0:
+        return 0, (np.zeros(0, dtype=np.int64) if need_support else None)
+    nv64 = np.int64(nv)
+    deg = np.bincount(np.concatenate([Ai, Bi]), minlength=nv)
+    da, db = deg[Ai], deg[Bi]
+    a_first = (da < db) | ((da == db) & (Ai < Bi))
+    U = np.where(a_first, Ai, Bi).astype(np.int64)
+    V = np.where(a_first, Bi, Ai).astype(np.int64)
+    # order key for wedge endpoints: (deg, id), encoded dv*nv + v < nv²
+    KV = deg[V].astype(np.int64) * nv64 + V
+    order = np.lexsort((KV, U))
+    Us, Vs = U[order], V[order]
+    node_range = np.arange(nv)
+    ends = np.searchsorted(Us, node_range, side="right")
+    pos = np.arange(m, dtype=np.int64)
+    remaining = ends[Us] - pos - 1  # wedge partners after this position
+    total_wedges = int(remaining.sum())
+    if total_wedges > wedge_budget:
+        return None
+    firsts = np.repeat(pos, remaining)
+    offs = np.arange(total_wedges, dtype=np.int64) - np.repeat(
+        np.cumsum(remaining) - remaining, remaining
+    )
+    seconds = firsts + 1 + offs
+    # wedge (u; v1 ≺ v2): closing oriented edge is exactly (v1 → v2)
+    wcode = Vs[firsts] * nv64 + Vs[seconds]
+    osort = np.sort(Us * nv64 + Vs)
+    idx = np.searchsorted(osort, wcode)
+    idx_c = np.minimum(idx, m - 1)
+    hit = osort[idx_c] == wcode
+    n_tri = int(hit.sum())
+    if not need_support:
+        return n_tri, None
+    fa, sb = firsts[hit], seconds[hit]
+    ecode = Ai.astype(np.int64) * nv64 + Bi
+    esort_order = np.argsort(ecode)
+    esorted = ecode[esort_order]
+
+    def _canon(X, Y):
+        return np.minimum(X, Y) * nv64 + np.maximum(X, Y)
+
+    allc = np.concatenate(
+        [_canon(Us[fa], Vs[fa]), _canon(Us[fa], Vs[sb]), _canon(Vs[fa], Vs[sb])]
+    )
+    eidx = np.searchsorted(esorted, allc)
+    support_sorted = np.bincount(eidx, minlength=m)
+    support = np.empty(m, dtype=np.int64)
+    support[esort_order] = support_sorted
+    return n_tri, support
+
+
 def triangle_count(
     edges: DataFrame,
     src_col: str = "src",
     dst_col: str = "dst",
     assume_canonical_persisted: bool = False,
+    driver_cap_edges: int = 2_000_000,
 ) -> DataFrame:
     """Exact global triangle count over an undirected graph, via
     degree-ordered orientation — the standard distributed formulation
@@ -420,6 +492,7 @@ def triangle_count(
     """
     from pyspark import StorageLevel
 
+    spark = edges.sparkSession
     if assume_canonical_persisted:
         # Caller guarantees (src, dst) is already the canonical
         # undirected edge list (src < dst, distinct, loop-free) AND
@@ -428,6 +501,7 @@ def triangle_count(
         # cache (global_graph_stats shares one canonical subtree this
         # way instead of re-deriving it per scalar).
         e = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        n_edges = e.limit(driver_cap_edges + 1).count()
     else:
         a = F.least(F.col(src_col), F.col(dst_col)).alias("a")
         b = F.greatest(F.col(src_col), F.col(dst_col)).alias("b")
@@ -437,7 +511,29 @@ def triangle_count(
             .distinct()
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        e.count()
+        n_edges = e.count()
+    if n_edges <= driver_cap_edges:
+        # Hybrid, like bfs_levels/coreness: under the cap the wedge join
+        # costs more in scheduled stages than in work — collect the
+        # canonical edges once and run the SAME degree-ordered orientation
+        # vectorized on the driver (guide §4.1). Falls back to the
+        # distributed join if the orientation's wedge total would blow the
+        # driver-array budget (the m^1.5 worst case the join spills through).
+        import numpy as np
+
+        epdf = e.toPandas()
+        nodes_all, inv = np.unique(
+            np.concatenate([epdf["a"].to_numpy(), epdf["b"].to_numpy()]),
+            return_inverse=True,
+        )
+        ne = len(epdf)
+        got = _np_triangle_support(inv[:ne], inv[ne:], len(nodes_all), need_support=False)
+        if got is not None:
+            n_tri, _ = got
+            return spark.createDataFrame(
+                [(int(len(nodes_all)), int(ne), int(n_tri))],
+                schema="n_vertices long, n_edges long, n_triangles long",
+            )
     deg = (
         e.select(F.col("a").alias("n"))
         .unionByName(e.select(F.col("b").alias("n")))
@@ -1569,12 +1665,59 @@ def hits_oracle_sql(edge_sql: str, iterations: int = 3) -> str:
     return "".join(parts)
 
 
+def _ktruss_driver(e: DataFrame, k: int, max_rounds: int):
+    """Driver-exact k-truss peel over the collected canonical edge list
+    ``e`` (columns a < b, distinct). Mirrors the distributed loop round
+    for round: recount in-subgraph triangle support, drop every edge with
+    support < k-2 simultaneously, stop at the first round that removes
+    nothing (returning that round's supports). Returns ``None`` if a
+    round's wedge total exceeds the driver-array budget (caller falls
+    back to the distributed joins)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    spark = e.sparkSession
+    out_schema = StructType(
+        list(e.schema.fields) + [StructField("support", LongType())]
+    )
+    epdf = e.toPandas()
+    nodes_all, inv = np.unique(
+        np.concatenate([epdf["a"].to_numpy(), epdf["b"].to_numpy()]),
+        return_inverse=True,
+    )
+    ne = len(epdf)
+    Ai, Bi = inv[:ne].astype(np.int64), inv[ne:].astype(np.int64)
+    nv = len(nodes_all)
+    def _result(support):
+        return spark.createDataFrame(
+            pd.DataFrame(
+                {"a": nodes_all[Ai], "b": nodes_all[Bi], "support": support}
+            ),
+            schema=out_schema,
+        )
+
+    for _ in range(max_rounds):
+        if len(Ai) == 0:
+            return _result(np.zeros(0, dtype=np.int64))
+        got = _np_triangle_support(Ai, Bi, nv, need_support=True)
+        if got is None:
+            return None
+        _, support = got
+        keep = support >= (k - 2)
+        if keep.all():
+            return _result(support)
+        Ai, Bi = Ai[keep], Bi[keep]
+    raise RuntimeError(f"ktruss_decomposition did not converge in {max_rounds} rounds")
+
+
 def ktruss_decomposition(
     edges: DataFrame,
     k: int,
     src_col: str = "src",
     dst_col: str = "dst",
     max_rounds: int = 30,
+    driver_cap_edges: int = 2_000_000,
 ) -> DataFrame:
     """k-truss: the maximal subgraph in which every edge closes at least
     ``k - 2`` triangles WITHIN the subgraph — the edge-strength analogue of
@@ -1614,6 +1757,18 @@ def ktruss_decomposition(
         .localCheckpoint(eager=True)
     )
     n_edges = e.count()
+
+    if n_edges <= driver_cap_edges:
+        # Hybrid fast path (bfs_levels/coreness discipline): every peel
+        # round costs ~4 scheduled jobs distributed, which dwarfs the
+        # actual work under the cap. Run the SAME round-synchronous peel
+        # (recount support via degree-ordered orientation, drop all
+        # edges < k-2 at once, repeat) vectorized on the driver — the
+        # removal is simultaneous per round in both paths, so the
+        # surviving set and final supports are identical by construction.
+        out = _ktruss_driver(e, k, max_rounds)
+        if out is not None:
+            return out
 
     for _ in range(max_rounds):
         if n_edges == 0:

@@ -1332,3 +1332,56 @@ def test_diameter_two_sweep_driver_matches_distributed(spark):
                 sym(pairs), max_iters=mi, driver_cap_edges=0
             ).collect()[0]
             assert fast == slow, (pairs, mi, fast, slow)
+
+
+# ------------------------------------- driver vs distributed: truss/triangles
+
+
+def test_ktruss_driver_matches_distributed(spark, truss_edges):
+    """The driver CSR peel must equal the distributed join peel row for
+    row (same simultaneous-removal rounds, same final supports), including
+    on graphs with degree ties that stress the (degree, id) orientation."""
+    import random
+
+    from aleph2_contrib_spark.operators.graph import ktruss_decomposition
+
+    rng = random.Random(11)
+    cases = [truss_edges]
+    # 4-regular circulant: every degree equal -> orientation decided
+    # purely by the id tie-break
+    cases.append([(i, (i + 1) % 12) for i in range(12)] + [(i, (i + 2) % 12) for i in range(12)])
+    # random graphs
+    for n, m in ((15, 40), (25, 90)):
+        cases.append(
+            [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        )
+    for edges in cases:
+        df = spark.createDataFrame(edges, "src int, dst int")
+        for k in (3, 4):
+            fast = {
+                (r["a"], r["b"], r["support"])
+                for r in ktruss_decomposition(df, k=k).collect()
+            }
+            slow = {
+                (r["a"], r["b"], r["support"])
+                for r in ktruss_decomposition(df, k=k, driver_cap_edges=0).collect()
+            }
+            assert fast == slow, (edges, k)
+
+
+def test_triangle_count_driver_matches_distributed(spark):
+    import random
+
+    from aleph2_contrib_spark.operators.graph import triangle_count
+
+    rng = random.Random(7)
+    cases = [
+        [(1, 2), (2, 3), (1, 3), (3, 4)],
+        [(i, (i + 1) % 10) for i in range(10)] + [(i, (i + 3) % 10) for i in range(10)],
+        [(rng.randrange(20), rng.randrange(20)) for _ in range(70)],
+    ]
+    for edges in cases:
+        df = spark.createDataFrame(edges, "src int, dst int")
+        fast = triangle_count(df).collect()[0]
+        slow = triangle_count(df, driver_cap_edges=0).collect()[0]
+        assert tuple(fast) == tuple(slow), edges

@@ -30,7 +30,11 @@ def main() -> None:
         sf_dir = args[i + 1]
         del args[i : i + 2]
     tag, names = args[0], args[1:]
-    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r10")
+    out_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        os.environ.get("SPARK_GRAFT_PLANS_DIR", "r11"),
+    )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("explain")
     qs = entrymod.queries()
