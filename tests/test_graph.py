@@ -1385,3 +1385,35 @@ def test_triangle_count_driver_matches_distributed(spark):
         fast = triangle_count(df).collect()[0]
         slow = triangle_count(df, driver_cap_edges=0).collect()[0]
         assert tuple(fast) == tuple(slow), edges
+
+
+def test_scc_driver_matches_distributed(spark):
+    """Full driver-side min-label solve (under the trim cap) must equal
+    the distributed FW-BW phase loop on graphs with cycles, DAG chains
+    into cycles, and isolated-in-subgraph vertices."""
+    import random
+
+    from aleph2_contrib_spark.operators.graph import strongly_connected_components
+
+    rng = random.Random(23)
+    cases = [
+        # two cycles joined by a DAG chain
+        [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 6), (6, 7), (7, 5)],
+        # adversarial min ordering: high-id cycle feeding low-id cycle
+        [(10, 11), (11, 10), (11, 1), (1, 2), (2, 1)],
+    ]
+    for n, m in ((12, 30), (20, 60)):
+        cases.append([(rng.randrange(n), rng.randrange(n)) for _ in range(m)])
+    for edges in cases:
+        df = spark.createDataFrame(edges, "src int, dst int")
+        fast = {
+            (r["vertex"], r["scc_id"])
+            for r in strongly_connected_components(df).collect()
+        }
+        slow = {
+            (r["vertex"], r["scc_id"])
+            for r in strongly_connected_components(
+                df, driver_trim_max_edges=0
+            ).collect()
+        }
+        assert fast == slow, edges
