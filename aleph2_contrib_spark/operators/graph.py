@@ -1140,6 +1140,7 @@ def lpa_communities(
     dst_col: str = "dst",
     rounds: int = 3,
     checkpoint_every: int = 0,
+    driver_cap_edges: int = 2_000_000,
 ) -> DataFrame:
     """Synchronous label-propagation community detection over an
     undirected graph — the cheap community analytic (spam clusters,
@@ -1175,6 +1176,53 @@ def lpa_communities(
         .filter(F.col("a") != F.col("b"))
         .distinct()
     )
+    if driver_cap_edges and e.limit(driver_cap_edges + 1).count() <= driver_cap_edges:
+        # Hybrid fast path (bfs/kcore/scc discipline): each synchronous
+        # round costs a join + groupBy + window distributed — ~3 jobs of
+        # fixed latency that dwarf the work under the cap. The update
+        # rule (most frequent neighbor label, ties to the SMALLEST
+        # label, all nodes simultaneously) is fully deterministic, so
+        # the vectorized form returns identical labels by construction.
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        epdf = e.toPandas()
+        spark = edges.sparkSession
+        node_type = e.schema["a"].dataType
+        nodes_all, inv = np.unique(
+            np.concatenate([epdf["a"].to_numpy(), epdf["b"].to_numpy()]),
+            return_inverse=True,
+        )
+        ne = len(epdf)
+        Ai, Bi = inv[:ne].astype(np.int64), inv[ne:].astype(np.int64)
+        U = np.concatenate([Ai, Bi])  # symmetrized
+        V = np.concatenate([Bi, Ai])
+        nv = np.int64(len(nodes_all))
+        labels_np = np.arange(nv, dtype=np.int64)
+        for _ in range(rounds):
+            codes = U * nv + labels_np[V]
+            uniq, cnt = np.unique(codes, return_counts=True)
+            u_of, lab_of = uniq // nv, uniq % nv
+            # per node: highest count, ties to smallest label — lexsort
+            # majors last: (node asc, count desc, label asc)
+            order = np.lexsort((lab_of, -cnt, u_of))
+            _, first = np.unique(u_of[order], return_index=True)
+            winners = order[first]
+            new_labels = labels_np.copy()
+            new_labels[u_of[winners]] = lab_of[winners]
+            labels_np = new_labels
+        return spark.createDataFrame(
+            pd.DataFrame(
+                {"node": nodes_all, "community": nodes_all[labels_np]}
+            ),
+            schema=T.StructType(
+                [
+                    T.StructField("node", node_type),
+                    T.StructField("community", node_type),
+                ]
+            ),
+        )
     und = (
         e.select(F.col("a").alias("u"), F.col("b").alias("v"))
         .unionByName(e.select(F.col("b").alias("u"), F.col("a").alias("v")))

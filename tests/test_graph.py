@@ -1417,3 +1417,31 @@ def test_scc_driver_matches_distributed(spark):
             ).collect()
         }
         assert fast == slow, edges
+
+
+def test_lpa_driver_matches_distributed(spark):
+    import random
+
+    from aleph2_contrib_spark.operators.graph import lpa_communities
+
+    rng = random.Random(31)
+    cases = [
+        [(1, 2), (2, 3), (3, 1), (4, 5), (5, 6), (6, 4), (3, 4)],
+        [(i, (i + 1) % 9) for i in range(9)],
+    ]
+    for n, m in ((14, 35), (22, 70)):
+        cases.append([(rng.randrange(n), rng.randrange(n)) for _ in range(m)])
+    for edges in cases:
+        df = spark.createDataFrame(edges, "src int, dst int")
+        for rounds in (1, 3):
+            fast = {
+                (r["node"], r["community"])
+                for r in lpa_communities(df, rounds=rounds).collect()
+            }
+            slow = {
+                (r["node"], r["community"])
+                for r in lpa_communities(
+                    df, rounds=rounds, driver_cap_edges=0
+                ).collect()
+            }
+            assert fast == slow, (edges, rounds)
