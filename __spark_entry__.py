@@ -52,6 +52,46 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def _staged_stream_chunks(
+    df: DataFrame, chunk_idx_col, n_chunks: int, src_dir: str
+) -> None:
+    """Write the N ordered source files of a replayed file stream in ONE
+    Spark job instead of N sequential filtered writes (each a full
+    scan + job of fixed latency): partition the single pass by the chunk
+    index, then arrange strictly increasing modification times in replay
+    order on the driver — the file source consumes oldest-mtime-first,
+    so utime defines batch order exactly as the sequential writes did.
+    An empty chunk still yields an (empty) file, preserving the previous
+    one-batch-per-chunk structure. ``chunk_idx_col`` must evaluate to
+    0..n_chunks-1."""
+    import glob
+    import shutil
+    import tempfile
+    import time
+
+    stage = tempfile.mkdtemp(prefix="a2s_chunkstage_")
+    (
+        df.withColumn("__chunk", chunk_idx_col)
+        .repartition(n_chunks, F.col("__chunk"))
+        .write.partitionBy("__chunk")
+        .mode("overwrite")
+        .json(stage)
+    )
+    t0 = time.time() - 2.0 * (n_chunks + 2)
+    for i in range(n_chunks):
+        parts = sorted(glob.glob(os.path.join(stage, f"__chunk={i}", "part-*")))
+        dst = os.path.join(src_dir, f"chunk_{i:02d}.json")
+        if len(parts) == 1:
+            shutil.move(parts[0], dst)
+        else:  # empty chunk (no file) or a multi-file corner: concatenate
+            with open(dst, "wb") as out:
+                for p in parts:
+                    with open(p, "rb") as fh:
+                        shutil.copyfileobj(fh, out)
+        os.utime(dst, (t0 + 2.0 * i, t0 + 2.0 * i))
+    shutil.rmtree(stage, ignore_errors=True)
+
+
 def _doc_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """doc_id driver column for the multimodal codec gates, spread over
     the full core count: the documents table is ONE parquet split at test
@@ -4958,8 +4998,14 @@ def streaming_pit_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = tempfile.mkdtemp(prefix="a2s_pit_src_")
     yr = F.year(F.col("asof_date"))
     # newest years first → later micro-batches are entirely "late"
-    for lo, hi in ((2000, 2100), (1998, 1999), (1996, 1997), (1900, 1995)):
-        facts.filter((yr >= lo) & (yr <= hi)).coalesce(1).write.mode("append").json(src)
+    # (one staged job + mtime ordering, not 4 sequential write jobs)
+    chunk = (
+        F.when(yr >= 2000, F.lit(0))
+        .when(yr >= 1998, F.lit(1))
+        .when(yr >= 1996, F.lit(2))
+        .otherwise(F.lit(3))
+    )
+    _staged_stream_chunks(facts, chunk, 4, src)
 
     stream = json_file_stream(
         spark, src, "o_orderkey long, o_custkey long, asof_date date",
@@ -5723,8 +5769,8 @@ def streaming_hll_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     src = tempfile.mkdtemp(prefix="a2s_shll_src_")
     day = F.dayofmonth("ts")
-    for lo, hi in ((1, 10), (11, 20), (21, 31)):
-        ev.filter((day >= lo) & (day <= hi)).coalesce(1).write.mode("append").json(src)
+    chunk = F.when(day <= 10, F.lit(0)).when(day <= 20, F.lit(1)).otherwise(F.lit(2))
+    _staged_stream_chunks(ev, chunk, 3, src)
     now = time.time()
     for i, (name, ts) in enumerate(
         (("zz_sentinel_a.json", "2030-01-01T00:00:00.000Z"),
@@ -6126,12 +6172,17 @@ def streaming_late_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "event_type", "value", "ts")
     )
     src = tempfile.mkdtemp(prefix="a2s_late_src_")
-    # four sequential single-file writes, NEWEST time range first — the
-    # file stream consumes files in modification order, so event time
-    # runs backward across micro-batches
+    # four source files, NEWEST time range first — the file stream
+    # consumes files in mtime order, so event time runs backward across
+    # micro-batches (one staged job + utime, not 4 sequential writes)
     day = F.dayofmonth("ts")
-    for lo, hi in ((23, 31), (16, 22), (9, 15), (1, 8)):
-        ev.filter((day >= lo) & (day <= hi)).coalesce(1).write.mode("append").json(src)
+    chunk = (
+        F.when(day >= 23, F.lit(0))
+        .when(day >= 16, F.lit(1))
+        .when(day >= 9, F.lit(2))
+        .otherwise(F.lit(3))
+    )
+    _staged_stream_chunks(ev, chunk, 4, src)
     bucket = Bucket(
         full_name="/gate/late_routing",
         path=tempfile.mkdtemp(prefix="a2s_gate_late_"),
@@ -6189,13 +6240,18 @@ def streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").alias("seq"),
     )
     src = tempfile.mkdtemp(prefix="a2s_cdc_src_")
-    # four sequential single-file writes in ASCENDING date order (ranges
-    # cover the synthetic tables' full 1995-2001 span): batches partition
-    # the (d, seq) order, the precondition for batch-wise
-    # last-writer-wins composing to the global one
+    # four source files in ASCENDING date order (ranges cover the
+    # synthetic tables' full 1995-2001 span): batches partition the
+    # (d, seq) order, the precondition for batch-wise last-writer-wins
+    # composing to the global one (one staged job + utime ordering)
     yr = F.year("d")
-    for lo, hi in ((0, 1996), (1997, 1998), (1999, 2000), (2001, 9999)):
-        cdc.filter((yr >= lo) & (yr <= hi)).coalesce(1).write.mode("append").json(src)
+    chunk = (
+        F.when(yr <= 1996, F.lit(0))
+        .when(yr <= 1998, F.lit(1))
+        .when(yr <= 2000, F.lit(2))
+        .otherwise(F.lit(3))
+    )
+    _staged_stream_chunks(cdc, chunk, 4, src)
     table = TransactionalTable(
         spark, tempfile.mkdtemp(prefix="a2s_cdc_tbl_"), stats_cols=("k",)
     )
