@@ -1294,6 +1294,7 @@ def link_prediction(
     dst_col: str = "dst",
     top_n: int = 20,
     max_witness_degree: int | None = None,
+    driver_cap_edges: int = 2_000_000,
 ) -> DataFrame:
     """Neighborhood-based link prediction: rank the NON-adjacent vertex
     pairs of an undirected graph by common-neighbor count, with an
@@ -1348,6 +1349,84 @@ def link_prediction(
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    n_edges = e.limit(driver_cap_edges + 1).count()
+    if n_edges <= driver_cap_edges:
+        # Hybrid fast path: the witness pair expansion, adjacency
+        # exclusion, exact-integer Jaccard and total-order top-n are all
+        # integer-deterministic, so the vectorized driver form returns
+        # the identical rows. Expansion budget-guarded (the distributed
+        # path's m·W/2 bound, same fallback discipline as
+        # triangle_count).
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        epdf = e.toPandas()
+        spark = edges.sparkSession
+        node_type = e.schema["a"].dataType
+        nodes_all, inv = np.unique(
+            np.concatenate([epdf["a"].to_numpy(), epdf["b"].to_numpy()]),
+            return_inverse=True,
+        )
+        ne = len(epdf)
+        Ai, Bi = inv[:ne].astype(np.int64), inv[ne:].astype(np.int64)
+        nv = np.int64(len(nodes_all))
+        W = np.concatenate([Ai, Bi])
+        N = np.concatenate([Bi, Ai])
+        deg_np = np.bincount(W, minlength=int(nv)).astype(np.int64)
+        # witness expansion: neighbors sorted per witness -> p < q pairs
+        order = np.lexsort((N, W))
+        Ws, Ns = W[order], N[order]
+        wit_deg = deg_np[Ws]
+        if max_witness_degree is not None:
+            keepw = wit_deg <= int(max_witness_degree)
+            Ws, Ns = Ws[keepw], Ns[keepw]
+        pos = np.arange(len(Ws), dtype=np.int64)
+        ends = np.searchsorted(Ws, np.arange(int(nv)), side="right")
+        remaining = ends[Ws] - pos - 1
+        total = int(remaining.sum())
+        if total <= 400_000_000:
+            firsts = np.repeat(pos, remaining)
+            offs = np.arange(total, dtype=np.int64) - np.repeat(
+                np.cumsum(remaining) - remaining, remaining
+            )
+            seconds = firsts + 1 + offs
+            codes = Ns[firsts] * nv + Ns[seconds]
+            uniq, cn = np.unique(codes, return_counts=True)
+            # exclude already-adjacent pairs
+            ecode = np.sort(Ai * nv + Bi)
+            eidx = np.minimum(np.searchsorted(ecode, uniq), max(ne - 1, 0))
+            nonadj = (ecode[eidx] != uniq) if ne else np.ones(len(uniq), bool)
+            uniq, cn = uniq[nonadj], cn[nonadj].astype(np.int64)
+            pa, pb = uniq // nv, uniq % nv
+            da_np, db_np = deg_np[pa], deg_np[pb]
+            jp = (1000 * cn) // (da_np + db_np - cn)
+            # total order: cn desc, jp desc, a asc, b asc
+            sel = np.lexsort((pb, pa, -jp, -cn))[: int(top_n)]
+            return spark.createDataFrame(
+                pd.DataFrame(
+                    {
+                        "a": nodes_all[pa[sel]],
+                        "b": nodes_all[pb[sel]],
+                        "cn": cn[sel],
+                        # the distributed path's da/db come from
+                        # F.size(ns) — IntegerType, match it exactly
+                        "da": da_np[sel].astype("int32"),
+                        "db": db_np[sel].astype("int32"),
+                        "jaccard_permille": jp[sel],
+                    }
+                ),
+                schema=T.StructType(
+                    [
+                        T.StructField("a", node_type),
+                        T.StructField("b", node_type),
+                        T.StructField("cn", T.LongType()),
+                        T.StructField("da", T.IntegerType()),
+                        T.StructField("db", T.IntegerType()),
+                        T.StructField("jaccard_permille", T.LongType()),
+                    ]
+                ),
+            )
     adj = e.select(F.col("a").alias("w"), F.col("b").alias("n")).unionByName(
         e.select(F.col("b").alias("w"), F.col("a").alias("n"))
     )
@@ -3080,29 +3159,64 @@ def shortest_path_counts(
     seed_nodes = seeds.select(F.col(node_col).alias("node")).distinct()
 
     if slim.limit(driver_cap_edges + 1).count() <= driver_cap_edges:
-        from collections import defaultdict
-
-        adj = defaultdict(list)
-        for r in slim.collect():
-            adj[r["__s"]].append(r["__d"])
-        dist: dict = {r[0]: 0 for r in seed_nodes.collect()}
-        sigma: dict = {n: 1 for n in dist}
-        frontier = list(dist)
-        depth = 0
-        while frontier and depth < max_depth:
-            depth += 1
-            nxt: dict = {}
-            for u in frontier:
-                for v in adj.get(u, ()):
-                    if v in dist and dist[v] < depth:
-                        continue
-                    nxt[v] = nxt.get(v, 0) + sigma[u]
-            frontier = [v for v in nxt if v not in dist]
-            for v in frontier:
-                dist[v] = depth
-                sigma[v] = nxt[v]
+        # Vectorized driver BFS with exact int64 σ accumulation (the
+        # row-collect + dict form spent its time pickling Rows across the
+        # Python boundary — same Arrow+CSR rework bfs_levels got;
+        # np.add.at keeps σ exact where a float-weighted bincount would
+        # round past 2^53).
+        import numpy as np
+        import pandas as pd
         from pyspark.sql.types import IntegerType, LongType, StructField, StructType
 
+        epdf = slim.toPandas()
+        spdf = seed_nodes.toPandas()
+        nodes_all, inv = np.unique(
+            np.concatenate(
+                [
+                    epdf["__s"].to_numpy(),
+                    epdf["__d"].to_numpy(),
+                    spdf["node"].to_numpy(),
+                ]
+            ),
+            return_inverse=True,
+        )
+        ne = len(epdf)
+        Si, Di = inv[:ne], inv[ne : 2 * ne]
+        seed_idx = np.unique(inv[2 * ne :])
+        nv = len(nodes_all)
+        order = np.argsort(Si, kind="stable")
+        Ss, Ds = Si[order], Di[order]
+        starts = np.searchsorted(Ss, np.arange(nv), side="left")
+        ends = np.searchsorted(Ss, np.arange(nv), side="right")
+        dist_np = np.full(nv, -1, dtype=np.int64)
+        sigma_np = np.zeros(nv, dtype=np.int64)
+        dist_np[seed_idx] = 0
+        sigma_np[seed_idx] = 1
+        frontier = seed_idx
+        for depth in range(1, max_depth + 1):
+            if len(frontier) == 0:
+                break
+            lens = ends[frontier] - starts[frontier]
+            with_succ = frontier[lens > 0]
+            lens = lens[lens > 0]
+            if len(with_succ) == 0:
+                break
+            run_starts = np.repeat(starts[with_succ], lens)
+            offs = np.arange(int(lens.sum()), dtype=np.int64) - np.repeat(
+                np.cumsum(lens) - lens, lens
+            )
+            targets = Ds[run_starts + offs]
+            wts = np.repeat(sigma_np[with_succ], lens)
+            unreached = dist_np[targets] < 0
+            t2, w2 = targets[unreached], wts[unreached]
+            if len(t2) == 0:
+                break
+            acc = np.zeros(nv, dtype=np.int64)
+            np.add.at(acc, t2, w2)
+            newly = np.unique(t2)
+            dist_np[newly] = depth
+            sigma_np[newly] = acc[newly]
+            frontier = newly
         node_type = seed_nodes.schema[0].dataType
         out_schema = StructType(
             [
@@ -3111,8 +3225,16 @@ def shortest_path_counts(
                 StructField("sigma", LongType()),
             ]
         )
+        reached = dist_np >= 0
         return spark.createDataFrame(
-            [(n, int(dist[n]), int(sigma[n])) for n in dist], out_schema
+            pd.DataFrame(
+                {
+                    "node": nodes_all[reached],
+                    "dist": dist_np[reached].astype("int32"),
+                    "sigma": sigma_np[reached],
+                }
+            ),
+            schema=out_schema,
         )
 
     e = slim.repartition("__s").persist(StorageLevel.MEMORY_AND_DISK)
@@ -3336,6 +3458,7 @@ def rectangle_count(
     edges: DataFrame,
     src_col: str = "src",
     dst_col: str = "dst",
+    driver_cap_edges: int = 2_000_000,
 ) -> DataFrame:
     """Exact global 4-cycle (rectangle) count over an undirected graph —
     the quadrilateral complement to :func:`triangle_count`, and the
@@ -3379,6 +3502,53 @@ def rectangle_count(
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    n_edges = e.limit(driver_cap_edges + 1).count()
+    if n_edges <= driver_cap_edges:
+        # Hybrid fast path (triangle_count discipline): run the SAME
+        # Chiba–Nishizeki ordered-2-path enumeration vectorized on the
+        # collected canonical edges; the CN bound (Σ_E min-degree ≤
+        # 2·m^1.5) sizes the expansion, with a hard budget guard falling
+        # back to the distributed joins.
+        import numpy as np
+
+        epdf = e.toPandas()
+        spark = edges.sparkSession
+        nodes_all, inv = np.unique(
+            np.concatenate([epdf["a"].to_numpy(), epdf["b"].to_numpy()]),
+            return_inverse=True,
+        )
+        ne = len(epdf)
+        Ai, Bi = inv[:ne].astype(np.int64), inv[ne:].astype(np.int64)
+        nv = np.int64(len(nodes_all))
+        X = np.concatenate([Ai, Bi])
+        Y = np.concatenate([Bi, Ai])
+        deg_np = np.bincount(X, minlength=int(nv))
+        # order key: u ≺ v ⇔ (deg desc, id asc); "later" = larger key
+        key = (nv - deg_np.astype(np.int64)) * nv + np.arange(nv, dtype=np.int64)
+        m1 = key[Y] > key[X]  # first hop u→v with v later
+        U1, V1 = X[m1], Y[m1]
+        # CSR over sym sorted by source for the v→w expansion
+        order = np.argsort(X, kind="stable")
+        Xs, Ys = X[order], Y[order]
+        ends = np.searchsorted(Xs, np.arange(int(nv)), side="right")
+        starts = np.searchsorted(Xs, np.arange(int(nv)), side="left")
+        lens = ends[V1] - starts[V1]
+        total = int(lens.sum())
+        if total <= 400_000_000:
+            ru = np.repeat(U1, lens)
+            offs = np.arange(total, dtype=np.int64) - np.repeat(
+                np.cumsum(lens) - lens, lens
+            )
+            W = Ys[np.repeat(starts[V1], lens) + offs]
+            keep = (W != ru) & (key[W] > key[ru])
+            codes = ru[keep] * nv + W[keep]
+            _, cnt = np.unique(codes, return_counts=True)
+            n_paths2 = int(cnt.sum())
+            n_rect = int((cnt * (cnt - 1) // 2).sum())
+            return spark.createDataFrame(
+                [(int(nv), int(ne), n_paths2, n_rect)],
+                schema="n_vertices long, n_edges long, n_paths2 long, n_rectangles long",
+            )
     sym = e.select(F.col("a").alias("x"), F.col("b").alias("y")).unionByName(
         e.select(F.col("b").alias("x"), F.col("a").alias("y"))
     ).persist(StorageLevel.MEMORY_AND_DISK)

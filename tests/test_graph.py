@@ -1445,3 +1445,35 @@ def test_lpa_driver_matches_distributed(spark):
                 ).collect()
             }
             assert fast == slow, (edges, rounds)
+
+
+def test_rectangle_link_driver_match_distributed(spark):
+    import random
+
+    from aleph2_contrib_spark.operators.graph import link_prediction, rectangle_count
+
+    rng = random.Random(43)
+    cases = [
+        # bipartite-ish rectangle-rich graph + a pendant
+        [(1, 10), (1, 11), (2, 10), (2, 11), (3, 10), (3, 11), (11, 12)],
+        [(i, (i + 1) % 8) for i in range(8)] + [(0, 4), (2, 6)],
+    ]
+    for n, m in ((16, 45), (24, 80)):
+        cases.append([(rng.randrange(n), rng.randrange(n)) for _ in range(m)])
+    for edges in cases:
+        df = spark.createDataFrame(edges, "src int, dst int")
+        fr = rectangle_count(df).collect()[0]
+        sr = rectangle_count(df, driver_cap_edges=0).collect()[0]
+        assert tuple(fr) == tuple(sr), edges
+        fl = [tuple(r) for r in link_prediction(df, top_n=10).collect()]
+        sl = [tuple(r) for r in link_prediction(df, top_n=10, driver_cap_edges=0).collect()]
+        assert fl == sl, edges
+        # witness-degree cap parity
+        flc = [tuple(r) for r in link_prediction(df, top_n=10, max_witness_degree=3).collect()]
+        slc = [
+            tuple(r)
+            for r in link_prediction(
+                df, top_n=10, max_witness_degree=3, driver_cap_edges=0
+            ).collect()
+        ]
+        assert flc == slc, edges
