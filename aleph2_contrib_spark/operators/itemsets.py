@@ -26,12 +26,150 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _frequent_itemsets_driver(tx: DataFrame, minsup: int, max_size: int):
+    """Vectorized driver-side Apriori over the collected distinct
+    (txn, item) stream — the same level-wise counting as the distributed
+    joins (L1 support filter, within-transaction ordered pairs, pair-
+    frequent extension with downward closure), so the itemsets and exact
+    integer supports are identical by construction. Item comparisons use
+    np.unique order, which equals Spark's UTF8 binary order (UTF-8
+    preserves code-point order). Returns None if the within-transaction
+    pair expansion would blow the driver-array budget (caller falls back
+    to the distributed joins, which spill instead)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    spark = tx.sparkSession
+    item_type = tx.schema["__i"].dataType
+    pdf = tx.toPandas()
+    out_schema = T.StructType(
+        [
+            T.StructField("size", T.IntegerType(), False),
+            T.StructField("i1", item_type),
+            T.StructField("i2", item_type),
+            T.StructField("i3", item_type),
+            T.StructField("support", T.LongType()),
+        ]
+    )
+
+    def _result(frames):
+        allf = pd.concat(frames, ignore_index=True)
+        return spark.createDataFrame(allf, schema=out_schema)
+
+    items_all, icode = np.unique(pdf["__i"].to_numpy(), return_inverse=True)
+    tvals, tcode = np.unique(pdf["__t"].to_numpy(), return_inverse=True)
+    ni = np.int64(len(items_all))
+    icode = icode.astype(np.int64)
+    # L1
+    isup = np.bincount(icode, minlength=int(ni))
+    l1_mask = isup >= minsup
+    none_i = pd.Series([None] * int(l1_mask.sum()), dtype=object)
+    frames = [
+        pd.DataFrame(
+            {
+                "size": np.int32(1),
+                "i1": items_all[l1_mask],
+                "i2": none_i,
+                "i3": none_i,
+                "support": isup[l1_mask].astype(np.int64),
+            }
+        )
+    ]
+    if max_size == 1:
+        return _result(frames)
+    # prune to frequent items, sort by (txn, item) for run expansion
+    keep = l1_mask[icode]
+    Tc, Ic = tcode[keep].astype(np.int64), icode[keep]
+    order = np.lexsort((Ic, Tc))
+    Tc, Ic = Tc[order], Ic[order]
+    pos = np.arange(len(Tc), dtype=np.int64)
+    rend = np.searchsorted(Tc, Tc, side="right")
+    remaining = rend - pos - 1
+    total_pairs = int(remaining.sum())
+    if total_pairs > 300_000_000:
+        return None
+    firsts = np.repeat(pos, remaining)
+    offs = np.arange(total_pairs, dtype=np.int64) - np.repeat(
+        np.cumsum(remaining) - remaining, remaining
+    )
+    seconds = firsts + 1 + offs
+    pcode = Ic[firsts] * ni + Ic[seconds]
+    up, cp = np.unique(pcode, return_counts=True)
+    l2_mask = cp >= minsup
+    l2_codes, l2_sup = up[l2_mask], cp[l2_mask].astype(np.int64)
+    none_2 = pd.Series([None] * len(l2_codes), dtype=object)
+    frames.append(
+        pd.DataFrame(
+            {
+                "size": np.int32(2),
+                "i1": items_all[l2_codes // ni],
+                "i2": items_all[l2_codes % ni],
+                "i3": none_2,
+                "support": l2_sup,
+            }
+        )
+    )
+    if max_size == 2:
+        return _result(frames)
+    # L3: extend only occurrences of frequent pairs with items after i2
+    # in the same transaction; both remaining sub-pairs must be frequent
+    pidx = np.searchsorted(l2_codes, pcode)
+    pidx_c = np.minimum(pidx, max(len(l2_codes) - 1, 0))
+    occ_keep = (
+        (l2_codes[pidx_c] == pcode) if len(l2_codes) else np.zeros(len(pcode), bool)
+    )
+    f2, s2 = firsts[occ_keep], seconds[occ_keep]
+    rem3 = rend[s2] - s2 - 1
+    total3 = int(rem3.sum())
+    if total3 > 300_000_000:
+        return None
+    if total3:
+        pf = np.repeat(f2, rem3)
+        ps = np.repeat(s2, rem3)
+        offs3 = np.arange(total3, dtype=np.int64) - np.repeat(
+            np.cumsum(rem3) - rem3, rem3
+        )
+        pt = ps + 1 + offs3
+        c13 = Ic[pf] * ni + Ic[pt]
+        c23 = Ic[ps] * ni + Ic[pt]
+
+        def _member(c):
+            if not len(l2_codes):
+                return np.zeros(len(c), bool)
+            ix = np.minimum(np.searchsorted(l2_codes, c), len(l2_codes) - 1)
+            return l2_codes[ix] == c
+
+        m3 = _member(c13) & _member(c23)
+        pf, ps, pt = pf[m3], ps[m3], pt[m3]
+        # dense pair rank keeps the triple key inside int64 for any ni
+        prank = np.searchsorted(l2_codes, Ic[pf] * ni + Ic[ps]).astype(np.int64)
+        tkey = prank * ni + Ic[pt]
+        ut, ct = np.unique(tkey, return_counts=True)
+        l3_mask = ct >= minsup
+        ut, ct = ut[l3_mask], ct[l3_mask].astype(np.int64)
+        tp = l2_codes[ut // ni]
+        frames.append(
+            pd.DataFrame(
+                {
+                    "size": np.int32(3),
+                    "i1": items_all[tp // ni],
+                    "i2": items_all[tp % ni],
+                    "i3": items_all[ut % ni],
+                    "support": ct,
+                }
+            )
+        )
+    return _result(frames)
+
+
 def frequent_itemsets(
     transactions: DataFrame,
     txn_col: str = "txn_id",
     item_col: str = "item",
     minsup: int = 2,
     max_size: int = 3,
+    driver_cap_rows: int = 2_000_000,
 ) -> DataFrame:
     """Support-pruned frequent itemsets of size 1..``max_size`` (≤ 3).
 
@@ -49,6 +187,10 @@ def frequent_itemsets(
     tx = transactions.select(
         F.col(txn_col).alias("__t"), F.col(item_col).alias("__i")
     ).distinct()
+    if driver_cap_rows and tx.limit(driver_cap_rows + 1).count() <= driver_cap_rows:
+        out = _frequent_itemsets_driver(tx, minsup, max_size)
+        if out is not None:
+            return out
 
     l1 = (
         tx.groupBy("__i")

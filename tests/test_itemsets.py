@@ -147,3 +147,32 @@ def test_association_rules_lift_sanity(spark, baskets):
         assert 0 < r["conf_ppm"] <= 1_000_000
         # P(A∪C) <= min(P(A), P(C))
         assert r["sup_rule"] <= min(r["sup_ante"], r["sup_cons"])
+
+
+def test_frequent_itemsets_driver_matches_distributed(spark):
+    import random
+
+    from aleph2_contrib_spark.operators.itemsets import frequent_itemsets
+
+    rng = random.Random(17)
+    rows = [
+        (t, f"item_{rng.randrange(8)}")
+        for t in range(30)
+        for _ in range(rng.randrange(1, 6))
+    ]
+    df = spark.createDataFrame(rows, "txn_id int, item string")
+    for minsup, max_size in ((1, 3), (2, 3), (3, 2), (2, 1)):
+        fast = {
+            tuple(r)
+            for r in frequent_itemsets(df, minsup=minsup, max_size=max_size).collect()
+        }
+        slow = {
+            tuple(r)
+            for r in frequent_itemsets(
+                df, minsup=minsup, max_size=max_size, driver_cap_rows=0
+            ).collect()
+        }
+        assert fast == slow, (minsup, max_size)
+    # empty input
+    empty = spark.createDataFrame([], "txn_id int, item string")
+    assert frequent_itemsets(empty, minsup=2).count() == 0
