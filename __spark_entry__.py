@@ -4492,8 +4492,13 @@ def similarity_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     coded = sim.pq_encode(sim.ivf_assign(emb, centroids), codebooks).persist()
     coded.count()
-    hits = total = 0
-    for qid in qids:
+
+    # The 5 probes are independent job chains (each: exact brute-force
+    # top-k + the pruned pq_topk→refine→rerank ladder); run them from a
+    # small thread pool so later probes back-fill executor slots while
+    # earlier ones sit in per-job scheduling latency (guide §2.6). Each
+    # probe's computation and result sets are unchanged.
+    def _probe(qid: int) -> int:
         qvec = qvecs[qid]
         exact = {
             r[0]
@@ -4508,8 +4513,13 @@ def similarity_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("vec_id")
             .collect()
         }
-        hits += len(exact & approx)
-        total += k
+        return len(exact & approx)
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(qids)) as pool:
+        hits = sum(pool.map(_probe, qids))
+    total = k * len(qids)
     emb.unpersist()
     coded.unpersist()
     return spark.createDataFrame(

@@ -1261,6 +1261,101 @@ def fuzzy_levenshtein_pairs(
     )
 
 
+def _containment_pairs_driver(
+    base: DataFrame, tau_permille: int, max_shingle_freq
+) -> DataFrame:
+    """Driver-exact replica of the SSJoin prefix-filter pipeline over the
+    collected (id, shingle-set) base — same rarest-first (tf, tok) order,
+    same prefix length ⌈p = n − ⌈τ·n/1000⌉ + 1⌉, same auto/int/None
+    hot-shingle cap applied to both candidate sides, same full-set exact
+    verify and floor(1e6·inter/size_a) double-division rounding — so the
+    emitted directed pairs are identical to the distributed join's."""
+    import math
+    import warnings
+    from collections import Counter, defaultdict
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    spark = base.sparkSession
+    id_type = base.schema["id"].dataType
+    rows = base.toPandas()
+    ids = rows["id"].tolist()
+    toks = [list(t) for t in rows["tk"].tolist()]
+    tf = Counter()
+    for tl in toks:
+        tf.update(tl)
+    if max_shingle_freq == "auto":
+        cost_factor = 16
+        hist = sorted(Counter(tf.values()).items())
+        total = sum(f * n for f, n in hist)
+        budget = cost_factor * total
+        run_cost, cap = 0, 0
+        for f, n in hist:
+            run_cost += f * f * n
+            if run_cost > budget:
+                break
+            cap = f
+        max_shingle_freq = max(cap, 32)
+        max_tf = hist[-1][0] if hist else 0
+        if max_tf > max_shingle_freq:
+            n_dropped_tokens = sum(n for f, n in hist if f > max_shingle_freq)
+            warnings.warn(
+                "containment_pairs auto cap engaged: dropping "
+                f"{n_dropped_tokens} shingles with corpus frequency > "
+                f"{max_shingle_freq} (max observed {max_tf}) from candidate "
+                "generation — recall may be reduced for pairs sharing only "
+                "ultra-common shingles; pass max_shingle_freq=None for "
+                "exact (quadratic-risk) semantics",
+                stacklevel=3,
+            )
+    sets = []
+    sorted_toks = []
+    for tl in toks:
+        st = sorted(tl, key=lambda t: (tf[t], t))
+        sorted_toks.append(st)
+        sets.append(set(tl))
+    postings = defaultdict(list)
+    for i, st in enumerate(sorted_toks):
+        for t in st:
+            if max_shingle_freq is None or tf[t] <= max_shingle_freq:
+                postings[t].append(i)
+    out = {"id_a": [], "id_b": [], "inter": [], "size_a": [], "cont_f6": []}
+    tau = int(tau_permille)
+    for i, st in enumerate(sorted_toks):
+        n = len(st)
+        need = (tau * n + 999) // 1000
+        plen = n - need + 1
+        cand = set()
+        for t in st[:plen]:
+            if max_shingle_freq is None or tf[t] <= max_shingle_freq:
+                cand.update(postings[t])
+        cand.discard(i)
+        sa = sets[i]
+        for j in sorted(cand):
+            inter = len(sa & sets[j])
+            if inter * 1000 >= tau * n:
+                out["id_a"].append(ids[i])
+                out["id_b"].append(ids[j])
+                out["inter"].append(inter)
+                out["size_a"].append(n)
+                out["cont_f6"].append(int(math.floor(1000000 * inter / n)))
+    schema = T.StructType(
+        [
+            T.StructField("id_a", id_type),
+            T.StructField("id_b", id_type),
+            T.StructField("inter", T.IntegerType()),
+            T.StructField("size_a", T.IntegerType()),
+            T.StructField("cont_f6", T.LongType()),
+        ]
+    )
+    pdf = pd.DataFrame(out)
+    pdf["inter"] = pdf["inter"].astype("int32")
+    pdf["size_a"] = pdf["size_a"].astype("int32")
+    pdf["cont_f6"] = pdf["cont_f6"].astype("int64")
+    return spark.createDataFrame(pdf, schema=schema)
+
+
 def containment_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -1268,6 +1363,7 @@ def containment_pairs(
     tau_permille: int = 800,
     ngram: int = 3,
     max_shingle_freq: int | None | str = "auto",
+    driver_cap_shingles: int = 2_000_000,
 ) -> DataFrame:
     """EXACT shingle-set containment join: directed pairs (id_a, id_b)
     where |A∩B| / |A| ≥ τ over the documents' distinct token ``ngram``
@@ -1366,6 +1462,17 @@ def containment_pairs(
         .filter(F.size("tk") > 0)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    if driver_cap_shingles:
+        # Hybrid fast path (triangle_count discipline): the SSJoin's five
+        # post-shingling shuffles (freq, ordered, prefix join, two verify
+        # fetches) are fixed job latency that dwarfs the work when the
+        # corpus's distinct-shingle volume fits one driver collect. The
+        # stats probe doubles as the cache materializer for base.
+        stats = base.agg(
+            F.count(F.lit(1)).alias("n"), F.sum(F.size("tk")).alias("m")
+        ).first()
+        if (stats["m"] or 0) <= int(driver_cap_shingles):
+            return _containment_pairs_driver(base, tau_permille, max_shingle_freq)
     freq = (
         base.select(F.explode("tk").alias("tok"))
         .groupBy("tok")

@@ -581,3 +581,40 @@ def test_cross_source_overlap_matrix(spark):
         docs, "text", "source", n=4, max_sources_per_shingle=1
     ).collect()
     assert empty == []
+
+
+def test_containment_driver_matches_distributed(spark):
+    """Driver SSJoin replica == distributed joins, including the auto
+    hot-shingle cap, an explicit int cap, and the None (exact) mode."""
+    import random
+
+    rng = random.Random(5)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = []
+    for i in range(40):
+        words = [vocab[rng.randrange(len(vocab))] for _ in range(rng.randrange(3, 40))]
+        docs.append((i, " ".join(words)))
+    # containment plants: doc embedded in a larger doc
+    docs.append((100, docs[0][1]))
+    docs.append((101, docs[0][1] + " " + docs[1][1]))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    from aleph2_contrib_spark.operators.dedup import containment_pairs
+
+    for cap in ("auto", None, 8):
+        fast = {
+            tuple(r)
+            for r in containment_pairs(
+                df, tau_permille=700, ngram=2, max_shingle_freq=cap
+            ).collect()
+        }
+        slow = {
+            tuple(r)
+            for r in containment_pairs(
+                df,
+                tau_permille=700,
+                ngram=2,
+                max_shingle_freq=cap,
+                driver_cap_shingles=0,
+            ).collect()
+        }
+        assert fast == slow, cap
