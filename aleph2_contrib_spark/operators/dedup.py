@@ -226,6 +226,7 @@ def minhash_lsh_pairs(
     shingle_mode: str = "char",  # char | token
     verify: str = "exact",  # exact | estimate
     sig_impl: str = "expr",  # expr (pure Catalyst) | numpy (Arrow fast path)
+    driver_cap_shingles: int = 2_000_000,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, jaccard ≥ threshold).
 
@@ -248,6 +249,21 @@ def minhash_lsh_pairs(
         num_hashes=num_hashes, shingle_k=shingle_k,
         shingle_mode=shingle_mode, sig_impl=sig_impl,
     )
+    if driver_cap_shingles:
+        # Hybrid fast path: signatures are already computed by the (cached,
+        # parallel) base pass; the band explode + self-join + verify joins
+        # are fixed job latency when the shingle-hash volume fits one
+        # driver collect. Band buckets group on the RAW signature slice —
+        # band_hash equality minus the astronomically unlikely (≈2^-64)
+        # xxhash collision, which exact verify would reject anyway. The
+        # stats probe doubles as the cache materializer.
+        stats = base.agg(
+            F.count(F.lit(1)).alias("n"), F.sum(F.size("hs")).alias("m")
+        ).first()
+        if (stats["m"] or 0) <= int(driver_cap_shingles):
+            out = _minhash_pairs_driver(base, num_hashes, bands, threshold, verify)
+            if out is not None:
+                return out
     banded = _band_keys(base, num_hashes, bands)
     cand_ids = (
         banded.select(F.col("id").alias("id_a"), "band_id", "band_hash")
@@ -260,6 +276,128 @@ def minhash_lsh_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     return _fetch_and_verify(cand_ids, base, base, threshold, verify, num_hashes)
+
+
+def _minhash_pairs_driver(
+    base: DataFrame, num_hashes: int, bands: int, threshold: float, verify: str
+):
+    """Driver-exact replica of band join + verify over the collected base:
+    same r-row band grouping (on raw signature slices), same candidate
+    pair set (id_a < id_b), same size pre-filter and float jaccard as the
+    distributed ``_fetch_and_verify``. Returns None if the bucket pair
+    volume exceeds the driver budget (caller falls back to the joins)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    spark = base.sparkSession
+    id_type = base.schema["id"].dataType
+    pdf = base.select("id", "hs", "sig").toPandas()
+    n = len(pdf)
+    ids = pdf["id"].to_numpy()
+    hs_lists = pdf["hs"].tolist()
+    S = (
+        np.stack([np.asarray(s, dtype=np.int64) for s in pdf["sig"].tolist()])
+        if n
+        else np.zeros((0, num_hashes), dtype=np.int64)
+    )
+    rpb = num_hashes // bands
+    n64 = np.int64(max(n, 1))
+
+    def _pairs_in_runs(sorted_rows, run_end_per_pos):
+        """Emit i<j index pairs inside equal-key runs (run-expansion)."""
+        pos = np.arange(len(sorted_rows), dtype=np.int64)
+        remaining = run_end_per_pos - pos - 1
+        total = int(remaining.sum())
+        if total == 0:
+            return None
+        firsts = np.repeat(pos, remaining)
+        offs = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(remaining) - remaining, remaining
+        )
+        seconds = firsts + 1 + offs
+        return sorted_rows[firsts], sorted_rows[seconds]
+
+    # candidate pairs: rows equal on a band's signature slice (same set as
+    # the band_hash join minus ~2^-64 hash collisions, which verify kills)
+    cand_codes = []
+    total_bucket_pairs = 0
+    for b in range(bands):
+        cols = [S[:, b * rpb + r] for r in range(rpb)][::-1]
+        order = np.lexsort(tuple(cols))
+        key = S[order, b * rpb : (b + 1) * rpb]
+        changed = np.any(key[1:] != key[:-1], axis=1) if len(key) > 1 else np.array([], bool)
+        run_id = np.concatenate([[0], np.cumsum(changed)]) if len(key) else np.zeros(0, np.int64)
+        run_end = np.searchsorted(run_id, run_id, side="right")
+        remaining = run_end - np.arange(len(run_id)) - 1
+        total_bucket_pairs += int(remaining.sum())
+        if total_bucket_pairs > 200_000_000:
+            return None
+        got = _pairs_in_runs(order, run_end)
+        if got is not None:
+            pi, pj = got
+            lo, hi = np.minimum(pi, pj), np.maximum(pi, pj)
+            cand_codes.append(lo * n64 + hi)
+    cand = (
+        np.unique(np.concatenate(cand_codes)) if cand_codes else np.zeros(0, np.int64)
+    )
+    ci, cj = cand // n64, cand % n64
+    thr = float(threshold)
+    if verify == "exact":
+        # exact |A∩B| for every pair sharing >= 1 hash, via postings
+        # run-expansion (the same Σ C(df,2) volume the distributed
+        # candidate join carries), then look candidates up
+        lens = np.array([len(h) for h in hs_lists], dtype=np.int64)
+        D = np.repeat(np.arange(n, dtype=np.int64), lens)
+        H = (
+            np.concatenate([np.asarray(h, dtype=np.int64) for h in hs_lists])
+            if n and lens.sum()
+            else np.zeros(0, np.int64)
+        )
+        order = np.lexsort((D, H))
+        Hs, Ds = H[order], D[order]
+        run_end = np.searchsorted(Hs, Hs, side="right")
+        remaining = run_end - np.arange(len(Hs)) - 1
+        if int(remaining.sum()) > 200_000_000:
+            return None
+        got = _pairs_in_runs(Ds, run_end)
+        if got is not None:
+            pi, pj = got
+            share_codes, share_cnt = np.unique(
+                np.minimum(pi, pj) * n64 + np.maximum(pi, pj), return_counts=True
+            )
+        else:
+            share_codes = np.zeros(0, np.int64)
+            share_cnt = np.zeros(0, np.int64)
+        ix = (
+            np.minimum(np.searchsorted(share_codes, cand), max(len(share_codes) - 1, 0))
+            if len(share_codes)
+            else np.zeros(len(cand), np.int64)
+        )
+        inter = np.where(
+            (len(share_codes) > 0) & (share_codes[ix] == cand), share_cnt[ix], 0
+        ).astype(np.int64) if len(cand) else np.zeros(0, np.int64)
+        union = lens[ci] + lens[cj] - inter
+        jac = np.where(union == 0, 1.0, inter / np.where(union == 0, 1, union))
+    else:
+        matches = (S[ci] == S[cj]).sum(axis=1).astype(np.int64)
+        jac = matches / float(num_hashes)
+    keep = (jac >= thr) & (ids[ci] != ids[cj])
+    ci, cj, jac = ci[keep], cj[keep], jac[keep]
+    swap = ids[ci] > ids[cj]
+    ia = np.where(swap, cj, ci)
+    ib = np.where(swap, ci, cj)
+    schema = T.StructType(
+        [
+            T.StructField("id_a", id_type),
+            T.StructField("id_b", id_type),
+            T.StructField("jaccard", T.DoubleType()),
+        ]
+    )
+    return spark.createDataFrame(
+        pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib], "jaccard": jac}),
+        schema=schema,
+    )
 
 
 def _minhash_base(

@@ -618,3 +618,38 @@ def test_containment_driver_matches_distributed(spark):
             ).collect()
         }
         assert fast == slow, cap
+
+
+def test_minhash_pairs_driver_matches_distributed(spark):
+    import random
+
+    rng = random.Random(9)
+    base_words = [f"tok{i}" for i in range(40)]
+    docs = []
+    for i in range(25):
+        words = [base_words[rng.randrange(len(base_words))] for _ in range(rng.randrange(8, 30))]
+        docs.append((i, " ".join(words)))
+    # plant near-dups
+    docs.append((50, docs[0][1]))
+    docs.append((51, docs[0][1] + " tok0 tok1"))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    from aleph2_contrib_spark.operators.dedup import minhash_lsh_pairs
+
+    for verify, bands in (("exact", 64), ("exact", 16), ("estimate", 16)):
+        fast = {
+            (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+            for r in minhash_lsh_pairs(
+                df, "doc_id", "text", num_hashes=64, bands=bands,
+                threshold=0.4, shingle_mode="token", verify=verify,
+                sig_impl="numpy",
+            ).collect()
+        }
+        slow = {
+            (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+            for r in minhash_lsh_pairs(
+                df, "doc_id", "text", num_hashes=64, bands=bands,
+                threshold=0.4, shingle_mode="token", verify=verify,
+                sig_impl="numpy", driver_cap_shingles=0,
+            ).collect()
+        }
+        assert fast == slow, (verify, bands)
